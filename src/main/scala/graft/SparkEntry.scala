@@ -1,13 +1,572 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.clean.Cleaners
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.quality.QualityChecker
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is deterministic (explicit total ordering with unique
+  * tiebreaks) and type-aligned with its DuckDB oracle: counts/ranks are
+  * BIGINT on both sides, money aggregates run in exact DECIMAL then cast
+  * to DOUBLE, similarity scores are double-precision rounded to 6 dp, and
+  * timestamps cross the boundary as epoch microseconds.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright — an explicit schema reading it as epoch-nanos LongType is
+    * the only session-independent way in (verified empirically; the
+    * `nanosAsLong` legacy flag would tie us to session config the driver's
+    * smoke harness doesn't set). All `ts` arithmetic downstream is integer
+    * nanos; the DuckDB oracles use `epoch_ns`.
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises scan → JSON flatten → validity filter → dedup → profile
+    * (SURVEY.md §7.3) in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = t(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k"))
+      .filter(col("event_type").rlike("^[a-z_]+$"))
+    val deduped = Cleaners.dedupKeepFirst(ev, Seq("user_id", "event_type"), Seq(col("event_id")))
+    QualityChecker.missingProfile(deduped.select("event_id", "user_id", "event_type", "value", "k"))
+  }
+
+  // ---------------------------------------------------------------------
+  // queries — one per implemented operator family (SURVEY.md §2, §2.11)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 G-family + TPC-H-style aggregate: decimal-exact money math.
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(4,2)")
+      val tax = col("l_tax").cast("decimal(4,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(4,2)") - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1).cast("decimal(4,2)") - disc) * (lit(1).cast("decimal(4,2)") + tax))
+            .cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Implied FK enrichment join (SURVEY.md §2.9 note): broadcast dims.
+    "enrich_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // Window top-k (rank per group with explicit tiebreaks).
+    "topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 5)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // F1/S3 — JSON flatten via from_json (the reference's json_normalize).
+    "flatten_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .orderBy("event_id")),
+
+    // X1 — literal all-occurrence prefix strip.
+    "strip_prefix" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), lit("Customer#"), lit("")).as("name_stripped"))
+        .orderBy("c_custkey")),
+
+    // X5/G2 — regex-validity violation counts (one-row summaries).
+    "validate_regex" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      QualityChecker.checkSuite(Seq(
+        QualityChecker.invalidCount(ev, col("event_type"),
+          col("event_type").rlike("^[a-z_]+$"), "invalid_event_type", "events"),
+        QualityChecker.invalidCount(ev, col("props"),
+          col("props").rlike("^\\{.*\\}$"), "invalid_props_json", "events")))
+    }),
+
+    // X6/C3 — range nullify (out-of-range → null), row-level output.
+    "validate_range" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          when(col("value").between(0d, 100d), col("value")).as("value_clean"))
+        .orderBy("event_id")),
+
+    // C4/G3 — logical-order repair via least/greatest over a join.
+    "logical_swap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          unix_micros(least(col("o_orderdate"), col("l_shipdate")).cast("timestamp")).as("start_us"),
+          unix_micros(greatest(col("o_orderdate"), col("l_shipdate")).cast("timestamp")).as("end_us"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // R1/C6 — dropna on keys + constant fill.
+    "dropna_fill" -> ((s, dir) =>
+      Cleaners.fillNull(
+        Cleaners.dropNullKeys(t(s, dir, "events"), Seq("user_id")),
+        "value", 0.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    // D1 — deterministic keep-first dedup.
+    "dedup_first" -> ((s, dir) =>
+      Cleaners.dedupKeepFirst(
+        t(s, dir, "events"), Seq("user_id", "event_type"), Seq(col("event_id")))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")),
+
+    // G4 — duplicate-membership count (keep=False semantics).
+    "dup_profile" -> ((s, dir) =>
+      QualityChecker.duplicateMembership(
+        t(s, dir, "events"), Seq("user_id", "event_type"),
+        "duplicate_membership", "events")),
+
+    // G1 — missing-value profile.
+    "missing_profile" -> ((s, dir) =>
+      QualityChecker.missingProfile(t(s, dir, "events"))),
+
+    // D2/F2 — route by predicate, re-union, aggregate.
+    "union_tables" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .unionByName(ev.filter(col("event_type") === "view"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // G5 — quality-check battery across two tables.
+    "quality_summary" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      QualityChecker.checkSuite(Seq(
+        QualityChecker.invalidCount(ev, col("event_type"),
+          col("event_type").rlike("^[a-z_]+$"), "invalid_event_type", "events"),
+        QualityChecker.invalidCount(ev, col("value"),
+          col("value") <= 400d, "value_out_of_range", "events"),
+        QualityChecker.duplicateMembership(ev, Seq("user_id", "event_type"),
+          "duplicate_membership", "events"),
+        QualityChecker.invalidCount(o, col("o_orderpriority"),
+          col("o_orderpriority").rlike("^[1-5]-"), "invalid_priority", "orders")))
+    }),
+
+    // Sessionization — gap-based (30 min) event sessions per user.
+    // ts is epoch-nanos (see eventsSchema); all gap math in int64 nanos.
+    "sessionize" -> ((s, dir) => {
+      // Truncate nanos → micros up front: DuckDB's parquet reader only
+      // keeps microsecond precision, so the oracle can't see nanos. Gap
+      // math therefore runs in µs on BOTH sides (identical grouping).
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000L
+      t(s, dir, "events")
+        // integral DIV — `/` would round-trip through double and lose
+        // precision above 2^53 (epoch-nanos ≈ 1.7e18).
+        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("__prev", lag(col("tus"), 1).over(wOrd))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("tus") - col("__prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("tus")).as("start_us"),
+          max(col("tus")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // §2.11 — exact dedup by content hash.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // §2.11 — MinHash+LSH near-dup (verified ≥ 0.8 exact Jaccard).
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
+    // §2.11 — exact all-pairs n-gram Jaccard via inverted index.
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // §2.11 — SimHash near-dup (Hamming ≤ 3 over 64-bit signatures).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // §2.11 — embedding-cosine near-dup pairs.
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
+        .orderBy("id_a", "id_b")),
+
+    // §2.11 — brute-force cosine top-k (exact baseline).
+    "similarity_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2.11 — LSH-bucketed ANN (the 100 TB scale path; approximate).
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, numPlanes = 8)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2.11 — language-ID heuristic.
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langIdExpr(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // §2.11 — text quality metrics + composite score.
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextStats.qualityMetrics(col("text")): _*)
+        .orderBy("doc_id")),
+
+    // §2.11 — token counting (whitespace + BPE-ish pretokenizer).
+    "token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // §2.11 — document fingerprinting (rolling + content hashes).
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.rollingFingerprint(col("text")).as("rolling_fp"),
+          TextStats.contentFingerprint(col("text")).as("content_fp"))
+        .orderBy("doc_id")),
+
+    // §2.11 — multimodal plumbing: binary payload + typed metadata.
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(
+          col("media_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha256"))
+        .orderBy("media_id")),
+
+    // §2.11 — stubbed decode / feature extraction over binary payloads.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("media_id"))
+  )
+
+  // ---------------------------------------------------------------------
+  // oracleSql — DuckDB-equivalent ANSI SQL per query (same column names,
+  // same types, same ordering). Omitted where not SQL-expressible
+  // (xxhash64-based signatures, LSH bucketing, mapPartitions decode).
+  // ---------------------------------------------------------------------
+
+  /** Shared SQL fragment: word-3-gram shingle sets per document. */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN list_transform(generate_series(1, len(w) - 2),
+      |                          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+      |      ELSE [] END) AS s
+      |  FROM toks
+      |), inv AS (
+      |  SELECT doc_id, unnest(s) AS g FROM sh
+      |), pair_inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(s) AS n FROM sh)
+      |""".stripMargin
+
+  private def jaccardSql(threshold: Double): String =
+    shingleCte +
+      s"""SELECT id_a, id_b,
+         |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM pair_inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "enrich_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "topk_window" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "flatten_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "strip_prefix" ->
+      """SELECT c_custkey, regexp_replace(c_name, 'Customer#', '', 'g') AS name_stripped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "validate_regex" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS table_name, 'invalid_event_type' AS error_type,
+        |    CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$')) AS BIGINT) AS error_count,
+        |    round(count(*) FILTER (WHERE event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$')) * 100.0 / count(*), 2) AS error_pct
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'invalid_props_json',
+        |    CAST(count(*) FILTER (WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$')) AS BIGINT),
+        |    round(count(*) FILTER (WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$')) * 100.0 / count(*), 2)
+        |  FROM events)
+        |ORDER BY table_name, error_type""".stripMargin,
+
+    "validate_range" ->
+      """SELECT event_id,
+        |  CASE WHEN value BETWEEN 0 AND 100 THEN value END AS value_clean
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "logical_swap" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  epoch_us(least(o_orderdate, l_shipdate)) AS start_us,
+        |  epoch_us(greatest(o_orderdate, l_shipdate)) AS end_us
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dropna_fill" ->
+      """SELECT event_id, user_id, coalesce(value, 0.0) AS value
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "dedup_first" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "dup_profile" ->
+      """SELECT 'events' AS table_name, 'duplicate_membership' AS error_type,
+        |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT) AS error_count,
+        |  round(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) * 100.0 / sum(n), 2) AS error_pct
+        |FROM (SELECT count(*) AS n FROM events GROUP BY user_id, event_type)""".stripMargin,
+
+    "missing_profile" ->
+      """SELECT column_name, null_count, pct_missing FROM (
+        |  SELECT 'event_id' AS column_name, CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_count, round(count(*) FILTER (WHERE event_id IS NULL) * 100.0 / count(*), 2) AS pct_missing FROM events
+        |  UNION ALL SELECT 'ts', CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT), round(count(*) FILTER (WHERE ts IS NULL) * 100.0 / count(*), 2) FROM events
+        |  UNION ALL SELECT 'user_id', CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT), round(count(*) FILTER (WHERE user_id IS NULL) * 100.0 / count(*), 2) FROM events
+        |  UNION ALL SELECT 'event_type', CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT), round(count(*) FILTER (WHERE event_type IS NULL) * 100.0 / count(*), 2) FROM events
+        |  UNION ALL SELECT 'value', CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT), round(count(*) FILTER (WHERE value IS NULL) * 100.0 / count(*), 2) FROM events
+        |  UNION ALL SELECT 'props', CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT), round(count(*) FILTER (WHERE props IS NULL) * 100.0 / count(*), 2) FROM events)
+        |ORDER BY pct_missing DESC, column_name""".stripMargin,
+
+    "union_tables" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_type = 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "quality_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'events' AS table_name, 'invalid_event_type' AS error_type,
+        |    CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$')) AS BIGINT) AS error_count,
+        |    round(count(*) FILTER (WHERE event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$')) * 100.0 / count(*), 2) AS error_pct
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'value_out_of_range',
+        |    CAST(count(*) FILTER (WHERE value IS NOT NULL AND NOT value <= 400) AS BIGINT),
+        |    round(count(*) FILTER (WHERE value IS NOT NULL AND NOT value <= 400) * 100.0 / count(*), 2)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'duplicate_membership',
+        |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) AS BIGINT),
+        |    round(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0) * 100.0 / sum(n), 2)
+        |  FROM (SELECT count(*) AS n FROM events GROUP BY user_id, event_type)
+        |  UNION ALL
+        |  SELECT 'orders', 'invalid_priority',
+        |    CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+        |    round(count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) * 100.0 / count(*), 2)
+        |  FROM orders)
+        |ORDER BY table_name, error_type""".stripMargin,
+
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, tus, event_id,
+        |    CASE WHEN prev_us IS NULL OR tus - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g
+        |), sessions AS (
+        |  SELECT user_id, tus,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(tus) AS BIGINT) AS start_us,
+        |  CAST(max(tus) AS BIGINT) AS end_us
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" -> jaccardSql(0.8),
+    "ngram_jaccard" -> jaccardSql(0.5),
+
+    "embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 6) AS cosine_sim
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+        |SELECT query_id, neighbor_id, cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" -> {
+      val punct = """len(regexp_extract_all(text, '[[:punct:]]'))"""
+      val digit = """len(regexp_extract_all(text, '[0-9]'))"""
+      val upper = """len(regexp_extract_all(text, '[A-Z]'))"""
+      val stop = """len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|it|that|for)\b'))"""
+      val ntok = """len(string_split_regex(trim(text), '\s+'))"""
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $ntok END AS BIGINT) AS n_tokens,
+         |  round(length(text) * 1.0 / greatest($ntok, 1), 4) AS mean_token_len,
+         |  CAST($punct AS BIGINT) AS n_punct,
+         |  round($punct * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+         |  CAST($digit AS BIGINT) AS n_digits,
+         |  CAST($upper AS BIGINT) AS n_upper,
+         |  CAST($stop AS BIGINT) AS n_stopwords,
+         |  round($stop * 1.0 / greatest($ntok, 1), 4) AS stopword_ratio,
+         |  round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
+         |    1.0 * least($ntok * 1.0 / 50.0, 1.0)
+         |        * (1.0 - least($punct * 2.0 / greatest(length(text), 1), 1.0))
+         |        * (1.0 - least($digit * 2.0 / greatest(length(text), 1), 1.0))
+         |        * least(round($stop * 1.0 / greatest($ntok, 1), 4) * 5.0 + 0.2, 1.0)
+         |    END, 4) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha256
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,94 @@
+package graft.clean
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conditional-repair / row-filter / dedup operators
+  * (SURVEY.md §2.6 R1, §2.7 C1–C6, §2.9 D1).
+  *
+  * Every operator is a narrow (shuffle-free) `DataFrame => DataFrame`
+  * transformation except [[dedupKeepFirst]], which needs one hash shuffle on
+  * the dedup key — at 100 TB that is the minimum possible data movement for
+  * exact dedup, and AQE coalesces the post-shuffle partitions.
+  */
+object Cleaners {
+
+  /** Backtick-quoted column ref: table columns keep the reference's dotted
+    * names (e.g. `resource.period.start`), which a bare `col()` would
+    * misresolve as a struct-field path.
+    */
+  private def qcol(name: String): Column = col(s"`$name`")
+
+  /** C1 — keep a date-ish string only when null or valid (datetime OR bare
+    * date, `data_quality_checker.py:173-180`); invalid values become null.
+    * `when` with no `otherwise` yields null, matching the reference.
+    */
+  def nullifyInvalidDates(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(qcol(c).isNull || Validators.isValidDateOrDatetime(qcol(c)), qcol(c)))
+    }
+
+  /** C2 — nullify phone strings failing all four accepted shapes
+    * (`data_quality_checker.py:182-185`).
+    */
+  def nullifyInvalidPhone(df: DataFrame, c: String): DataFrame =
+    if (!df.columns.contains(c)) df
+    else df.withColumn(c, when(qcol(c).isNull || Validators.isValidPhone(qcol(c)), qcol(c)))
+
+  /** C3 — nullify out-of-range numerics (`data_quality_checker.py:219-228`).
+    * Generic over any (column, lo, hi) triple; lat/lon are the two
+    * reference instances.
+    */
+  def nullifyOutOfRange(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    if (!df.columns.contains(c)) df
+    else df.withColumn(c, when(qcol(c).between(lo, hi), qcol(c)))
+
+  /** C4 — swap inverted (start, end) pairs where both are non-null and
+    * start > end (`data_quality_checker.py:197-211`). Comparison is the
+    * column's natural ordering — for the reference's ISO strings that is the
+    * same lexicographic compare pandas used. `least`/`greatest` express the
+    * swap branch-free and stay inside whole-stage codegen.
+    */
+  def swapInvertedPair(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val s = qcol(startCol); val e = qcol(endCol)
+    val bothSet = s.isNotNull && e.isNotNull
+    df.withColumn(startCol, when(bothSet, least(s, e)).otherwise(s))
+      .withColumn(endCol, when(bothSet, greatest(s, e)).otherwise(e))
+  }
+
+  /** C5 — backfill a boolean from a sibling integer: if `intCol` is set and
+    * `boolCol` is null, set the boolean true (`data_quality_checker.py:250-261`).
+    */
+  def backfillBooleanFromInt(df: DataFrame, intCol: String, boolCol: String): DataFrame =
+    df.withColumn(
+      boolCol,
+      when(qcol(intCol).isNotNull && qcol(boolCol).isNull, lit(true)).otherwise(qcol(boolCol)))
+
+  /** C6 — fill nulls with a constant (`data_quality_checker.py:264-270`). */
+  def fillNull(df: DataFrame, c: String, value: Any): DataFrame =
+    df.na.fill(Map(c -> value))
+
+  /** R1 — drop rows where any of the key columns is null
+    * (`data_quality_checker.py:244,282,294,306,318`).
+    */
+  def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.na.drop(keys.filter(df.columns.contains))
+
+  /** D1 — deterministic keep-first dedup. The reference's
+    * `drop_duplicates(keep='first')` (`data_quality_checker.py:344`) keeps
+    * the first row in *file order*; under Spark parallelism "first" is
+    * undefined, so the engine makes the tiebreak explicit: keep the row with
+    * the smallest `orderBy` tuple within each key group.
+    *
+    * One shuffle on `keys`; the window + filter pipeline stays in a single
+    * stage after the exchange. At scale prefer this over
+    * `dropDuplicates(keys)` whenever downstream results are hash-compared.
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(qcol): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.fhir
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FHIR Bundle ingest (SURVEY.md §2.1 S1–S3, §2.2 F1–F4).
+  *
+  * The reference reads one file at a time with pandas and accumulates rows
+  * with per-row `pd.concat` (`json_pipeline.py:100-118, 59-94`). Here the
+  * whole directory is ONE schema'd `json` scan — Spark lists and splits
+  * files across executors — and the per-entry rowization is a single
+  * `explode`. The resourceType router becomes six filters over one cached
+  * plan, so Catalyst pushes both the type predicate and the per-resource
+  * column pruning into the scan.
+  */
+object BundleReader {
+
+  /** S1+S2+S3: read every `*.json` under `path` (recursively — replacing
+    * the reference's file-moving staging script `all_json_file.py`) as one
+    * entry-level DataFrame with columns (fullUrl, resource.*).
+    */
+  def readEntries(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.bundleSchema)
+      .option("multiLine", true)
+      .option("pathGlobFilter", "*.json")
+      .option("recursiveFileLookup", true)
+      .json(path)
+      .select(explode(col("entry")).as("entry"))
+      .select(col("entry.fullUrl").as("fullUrl"), col("entry.resource").as("resource"))
+
+  /** X1 — strip every literal `urn:uuid:` occurrence
+    * (`json_pipeline.py:128-151`; pandas `str.replace` is literal +
+    * all-occurrences, hence a literal-safe regexp_replace).
+    */
+  def stripUrnUuid(c: Column): Column = regexp_replace(c, lit("urn:uuid:"), lit(""))
+
+  /** F4 — the synthetic FK. Parity form (`json_pipeline.py:63-78`):
+    * Patient rows use their own id; others use `subject.reference`
+    * stripped of the urn prefix — Encounter/Immunization carry
+    * `patient.reference` instead, so theirs is null (documented quirk,
+    * SURVEY.md §1.1).
+    */
+  def patientIdParity: Column =
+    when(col("resource.resourceType") === "Patient", col("resource.id"))
+      .otherwise(stripUrnUuid(col("resource.subject.reference")))
+
+  /** The engine's preferred enrichment key: works for every resource type
+    * (`coalesce` over subject/patient references).
+    */
+  def patientIdCoalesced: Column =
+    when(col("resource.resourceType") === "Patient", col("resource.id"))
+      .otherwise(stripUrnUuid(coalesce(
+        col("resource.subject.reference"), col("resource.patient.reference"))))
+
+  /** F2 router — one filter per resource type over the shared entry scan.
+    * Callers should `.cache()` the entries DataFrame before fanning out six
+    * ways so the JSON parse happens once.
+    */
+  def route(entries: DataFrame, fhirResourceType: String): DataFrame =
+    entries.filter(col("resource.resourceType") === fhirResourceType)
+
+  /** Ingest + normalize: entries with `fullUrl` / reference columns
+    * stripped of `urn:uuid:` (`json_pipeline.py:122-153` clean_and_rename)
+    * and the parity `patient_id` attached.
+    */
+  def normalizedEntries(spark: SparkSession, path: String): DataFrame =
+    normalize(readEntries(spark, path))
+
+  /** Normalization applied to an already-read entry frame (exposed
+    * separately so tests can inject in-memory bundles).
+    */
+  def normalize(entries: DataFrame): DataFrame =
+    entries
+      .withColumn("patient_id", patientIdParity)
+      .withColumn("fullUrl", stripUrnUuid(col("fullUrl")))
+}

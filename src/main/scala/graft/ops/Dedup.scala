@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. Designed so that nothing is ever
+  * quadratic in the corpus: candidate generation always goes through a
+  * bucket (band-hash / bit-chunk / shared-shingle) shuffle join, and the
+  * expensive verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash, keeping the row with the smallest id.
+    * One shuffle on the 128-bit content hash; at 100 TB the shuffle carries
+    * (hash, id) pairs only if callers project first — here we keep the
+    * row because output is the surviving records.
+    */
+  def exactByContent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // --- MinHash + LSH --------------------------------------------------------
+
+  /** Number of MinHash functions (banded as [[Bands]] × [[RowsPerBand]]).
+    * b=32, r=4 puts the LSH S-curve threshold at (1/32)^(1/4) ≈ 0.42 with
+    * P(candidate | J=0.8) ≈ 1 − (1−0.8⁴)³² ≈ 0.99999995 — effectively
+    * exhaustive above the verify threshold, so LSH+verify ≡ exact
+    * threshold-Jaccard while staying near-linear in corpus size.
+    */
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand = 4
+
+  /** MinHash signature of a shingle set: signature(i) =
+    * min over shingles of xxhash64(shingle, i). Seeded xxhash64 replaces
+    * the classic (a·h+b) mod p family — same independence in practice, no
+    * ANSI overflow, and it's a native codegen'd expression.
+    * Empty shingle set → null signature (doc too short to compare).
+    */
+  def minhashSignature(shingleSet: Column, k: Int = NumHashes): Column =
+    when(size(shingleSet) > 0,
+      array((0 until k).map(i => array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*))
+
+  /** Candidate pairs via LSH banding: explode each signature into
+    * [[Bands]] (bandIdx, bandHash) keys, shuffle on the key, and emit
+    * intra-bucket pairs (a < b). The only shuffle is on band hashes;
+    * bucket sizes are tiny for non-degenerate corpora, so pair expansion
+    * is local and small.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val bands = docs
+      .filter(col(sigCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(Bands - 1)),
+            b => xxhash64(slice(col(sigCol), b * RowsPerBand + 1, lit(RowsPerBand)), b)))
+          .as(Seq("band_idx", "band_hash")))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs: join the shingle sets
+    * back on both sides (broadcast-friendly when the candidate list is
+    * small) and compute |A∩B| / |A∪B| exactly.
+    */
+  def verifyJaccard(
+      candidates: DataFrame,
+      docs: DataFrame, idCol: String, shingleCol: String): DataFrame = {
+    val sets = docs.select(col(idCol).as("__vid"), col(shingleCol).as("__vset"))
+    candidates
+      .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vset", "__set_a"), "id_a")
+      .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vset", "__set_b"), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
+      .withColumn("__union",
+        size(col("__set_a")).cast("long") + size(col("__set_b")).cast("long") - col("__inter"))
+      .withColumn("jaccard",
+        round(col("__inter") * lit(1.0) / greatest(col("__union"), lit(1L)), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
+    * exact verify ≥ threshold. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(
+      col(idCol),
+      TextStats.shingleSet(col(textCol), n).as("__shingles"))
+    val signed = sh.withColumn("__sig", minhashSignature(col("__shingles")))
+    val cands = lshCandidates(signed, idCol, "__sig")
+    verifyJaccard(cands, sh, idCol, "__shingles")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --- SimHash ---------------------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset: bit j of the signature is the
+    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1). Computed with
+    * higher-order functions: fold the token array into a 64-long vector of
+    * bit-sums, then collapse signs into a single long. Shuffle-free.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TextStats.whitespaceTokens(text)
+    val sums = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(63)),
+            j => when(call_function("getbit", h, j) === 1, 1).otherwise(-1)),
+          (a, b) => a + b)
+      })
+    // Collapse sign bits: OR together 2^j for each j where sums(j) > 0.
+    // The powers array is precomputed driver-side (shift amounts must be
+    // literals in the Scala API); bitwiseOR cannot overflow.
+    val powers = array((0 until 64).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L),
+      (acc, p) => acc.bitwiseOR(p))
+  }
+
+  /** SimHash near-dup candidates: two docs are candidates when any of the
+    * four 16-bit chunks of their signatures match (pigeonhole: Hamming
+    * distance ≤ 3 guarantees a shared chunk). Shuffle on (chunkIdx,
+    * chunkValue); verify by exact Hamming distance via bit_count(xor).
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val signed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+    val chunks = signed.select(
+      col("__id"), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("__sh"), i * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val l = chunks.as("l"); val r = chunks.as("r")
+    l.join(r,
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col("l.__id") < col("r.__id"))
+      .select(
+        col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sh").bitwiseXOR(col("r.__sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- exact n-gram Jaccard via inverted index --------------------------------
+
+  /** Exact all-pairs Jaccard ≥ threshold WITHOUT LSH: build an inverted
+    * index (shingle → doc), self-join on shingle to count intersections,
+    * then join back per-doc set sizes. Never materializes non-overlapping
+    * pairs, so cost is Σ_shingle df(shingle)² — near-linear when no shingle
+    * is degenerate-hot. This is the oracle-checkable exact form; MinHash is
+    * the approximate scale form.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"), TextStats.shingleSet(col(textCol), n).as("__set"))
+    val sizes = sets.select(col("__id"), size(col("__set")).cast("long").as("__sz"))
+    val inv = sets.select(col("__id"), explode(col("__set")).as("__sh"))
+    val inter = inv.as("l").join(inv.as("r"),
+        col("l.__sh") === col("r.__sh") && col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("__inter") * lit(1.0) /
+          (col("__sz_a") + col("__sz_b") - col("__inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

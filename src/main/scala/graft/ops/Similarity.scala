@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: exact brute-force cosine top-k — a broadcast of the (small)
+  * query set against the corpus, so the corpus is scanned once, never
+  * shuffled. Scale path: random-hyperplane LSH bucketing — candidates share
+  * a bucket key, turning the n×m cross product into a bucket-local join.
+  * All arithmetic is double-precision (float inputs are upcast) so results
+  * are deterministic and oracle-comparable.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length array columns, in double precision.
+    * `zip_with` multiply + left-to-right `aggregate` sum keeps the whole
+    * computation inside codegen'd higher-order functions — no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [−1, 1]; null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn)
+  }
+
+  /** Exact top-k nearest neighbors for each query vector.
+    *
+    * `queries` (small: user queries, centroids, probe sets) is broadcast;
+    * the corpus streams through map-side, computing cosine per
+    * (query, item) pair, then a single shuffle on query id ranks the top-k.
+    * Ranking uses the ROUNDED similarity (6 dp) with the item id as a
+    * tiebreak, so results are stable across engines and runs.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val joined = c.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val scored = joined.select(
+      col("query_id"), col("neighbor_id"),
+      round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // --- random-hyperplane LSH (the 100 TB path) -------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 mapped to [−1, 1]. No RNG state, so plans are reproducible
+    * and executors regenerate identical planes with zero coordination.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+
+  /** LSH bucket signature: one sign bit per hyperplane, packed into a long.
+    * Vectors with high cosine land in the same bucket with probability
+    * (1 − θ/π) per plane.
+    */
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate NN via LSH bucketing: corpus and queries are both
+    * bucketed; candidates are bucket-mates; exact cosine ranks within
+    * the candidate set. One shuffle on bucket id (instead of a full
+    * cross product); recall tunes with `numPlanes` (fewer planes = bigger
+    * buckets = higher recall, more compute).
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numPlanes: Int = 12): DataFrame = {
+    val c = corpus.select(
+      col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
+      hyperplaneBucket(col(corpusVec), dim, numPlanes).as("__bucket"))
+    val q = queries.select(
+      col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      hyperplaneBucket(col(queryVec), dim, numPlanes).as("__bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    c.join(q, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
+    * Exact form — block-nested cross join; usable to ~10⁵ vectors. The
+    * scale form routes through [[hyperplaneBucket]] first (same verify).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    v.as("l").join(v.as("r"), col("l.__id") < col("r.__id"))
+      .select(
+        col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        round(cosine(col("l.__v"), col("r.__v")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

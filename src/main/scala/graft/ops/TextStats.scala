@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure column
+  * expressions — codegen'd, shuffle-free, linear in input bytes, so they
+  * scale to 100 TB as a single mapper pass over the corpus.
+  */
+object TextStats {
+
+  /** Whitespace tokens (the reference's only tokenizer analog is
+    * whitespace word handling in its join/concat ops, e.g.
+    * `json_pipeline.py:235`). `split` on `\s+` after trim; empty text → 0.
+    */
+  def whitespaceTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+
+  /** BPE-ish subword count: GPT-2-style pretokenizer regex — runs of
+    * letters, runs of digits, single punctuation, collapsed whitespace.
+    * A cheap, deterministic proxy for "how many tokens would a BPE
+    * tokenizer emit" without shipping a vocab.
+    */
+  val BpePretokenPattern = """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"""
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpePretokenPattern)), lit(0))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
+    * higher-order functions only (sequence/transform/slice) so the whole
+    * shingling stays inside whole-stage codegen.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = whitespaceTokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Distinct shingle set (the unit of Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Tiny per-language stopword lists for the heuristic scorer. Public
+    * knowledge (most-frequent function words); deliberately small so the
+    * regexes stay cheap.
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  private def wordAlternation(words: Seq[String]): String =
+    words.mkString("(?i)\\b(", "|", ")\\b")
+
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    coalesce(regexp_count(text, lit(wordAlternation(Stopwords(lang)))), lit(0))
+
+  /** Quality metrics in one projection: length, token count, mean token
+    * length, punctuation ratio, digit ratio, uppercase ratio, stopword
+    * ratio, and a composite [0,1] score. One pass, no shuffle.
+    */
+  def qualityMetrics(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nTok = tokenCount(text).cast("long")
+    val nPunct = coalesce(regexp_count(text, lit("""[\p{Punct}]""")), lit(0)).cast("long")
+    val nDigit = coalesce(regexp_count(text, lit("[0-9]")), lit(0)).cast("long")
+    val nUpper = coalesce(regexp_count(text, lit("[A-Z]")), lit(0)).cast("long")
+    val nStop = stopwordCount(text).cast("long")
+    val safeChars = greatest(nChars, lit(1L))
+    val safeTok = greatest(nTok, lit(1L))
+    val punctRatio = round(nPunct * lit(1.0) / safeChars, 4)
+    val stopRatio = round(nStop * lit(1.0) / safeTok, 4)
+    val meanTokLen = round(nChars * lit(1.0) / safeTok, 4)
+    // Composite: long enough, some stopwords, not punctuation/digit soup.
+    val score = round(
+      when(nChars < 20, lit(0.0)).otherwise(
+        lit(1.0)
+          * least(nTok * lit(1.0) / lit(50.0), lit(1.0))
+          * (lit(1.0) - least(nPunct * lit(2.0) / safeChars, lit(1.0)))
+          * (lit(1.0) - least(nDigit * lit(2.0) / safeChars, lit(1.0)))
+          * least(stopRatio * lit(5.0) + lit(0.2), lit(1.0))), 4)
+    Seq(
+      nChars.as("n_chars"), nTok.as("n_tokens"), meanTokLen.as("mean_token_len"),
+      nPunct.as("n_punct"), punctRatio.as("punct_ratio"),
+      nDigit.as("n_digits"), nUpper.as("n_upper"),
+      nStop.as("n_stopwords"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts; winner = max
+    * count with lexicographic tiebreak; "und" (undetermined) when nothing
+    * matches. A struct-max trick keeps it a single projection.
+    */
+  def langIdExpr(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val scored = langs.map { l =>
+      // negate count so that max(struct) prefers higher counts, and the
+      // ascending lang code breaks ties deterministically.
+      struct((-stopwordCount(text, l)).as("neg"), lit(l).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: order-sensitive 64-bit rolling hash over tokens
+    * (`acc = xxhash64(acc, token)` chaining — overflow-free under ANSI
+    * mode, which Spark 4 enables by default). Content-identical docs
+    * collide; reordered docs don't. Shuffle-free.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      whitespaceTokens(text),
+      lit(-3750763034362895579L), // FNV-1a 64 offset basis as the seed
+      (acc, t) => xxhash64(acc, t))
+
+  /** Content fingerprint: min-hash of the shingle set (order-insensitive;
+    * robust to shuffling sentences). Used by near-dup candidates as a
+    * cheap first-pass bucket key.
+    */
+  def contentFingerprint(text: Column, n: Int = 3): Column =
+    coalesce(array_min(transform(shingleSet(text, n), s => xxhash64(s))), lit(0L))
+}

@@ -1,0 +1,98 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling / validation aggregates (SURVEY.md §2.8 G1–G6).
+  *
+  * The reference computes each metric with a full `iterrows()` pass per
+  * check (`data_quality_checker.py:34-102`); here every metric is a
+  * single-pass, map-side-combinable aggregate, so a whole per-table check
+  * battery is one scan + one tiny (rows = #checks) result. Nothing here
+  * collects to the driver.
+  */
+object QualityChecker {
+
+  /** G1 — missing-value profile: one row per column with the null count and
+    * null percentage, sorted worst-first (`data_quality_checker.py:10-31`).
+    *
+    * One aggregate pass over the table (2·ncols + 1 partial aggregates,
+    * all map-side combined), then an unpivot of the single result row —
+    * the unpivot input is one row, so the `stack` is free.
+    */
+  def missingProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val aggs = count(lit(1)).as("__total") +:
+      cols.map(c => sum(col(s"`$c`").isNull.cast("long")).as(s"__nulls_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `__nulls_$c`")
+      .mkString(", ")
+    one
+      .select(
+        expr(s"stack(${cols.length}, $stackArgs) as (column_name, null_count)"),
+        col("__total"))
+      .select(
+        col("column_name"),
+        col("null_count"),
+        round(col("null_count") * 100.0 / col("__total"), 2).as("pct_missing"))
+      .orderBy(desc("pct_missing"), asc("column_name"))
+  }
+
+  /** G2 — count of non-null values failing a predicate, as a one-row
+    * summary `[table_name, error_type, error_count, error_pct]`
+    * (`data_quality_checker.py:34-45`).
+    */
+  def invalidCount(df: DataFrame, c: Column, valid: Column, errorType: String, tableName: String): DataFrame =
+    summaryRow(df, c.isNotNull && !valid, errorType, tableName)
+
+  /** G3 — logical-order violations: both endpoints set and start > end
+    * (`data_quality_checker.py:83-94`).
+    */
+  def logicalOrderViolations(df: DataFrame, start: Column, end: Column, errorType: String, tableName: String): DataFrame =
+    summaryRow(df, start.isNotNull && end.isNotNull && start > end, errorType, tableName)
+
+  /** G4 — duplicate-membership count: the number of rows belonging to any
+    * duplicate group over `keys` (pandas `duplicated(keep=False).sum()`,
+    * `data_quality_checker.py:97-102` — a group of 2 counts as 2, so this is
+    * NOT `count - countDistinct`).
+    *
+    * One shuffle on `keys` for the group sizes, then a global sum. At scale
+    * the first aggregate is map-side combined on the key columns only.
+    */
+  def duplicateMembership(df: DataFrame, keys: Seq[String], errorType: String, tableName: String): DataFrame = {
+    val sized = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val total = sized.agg(
+      sum(when(col("__n") > 1, col("__n")).otherwise(lit(0L))).as("error_count"),
+      sum(col("__n")).as("__total"))
+    finishSummary(total, errorType, tableName)
+  }
+
+  /** G5 — a check battery is just a union of one-row summaries; keep result
+    * ordering deterministic for hash comparison.
+    */
+  def checkSuite(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_.unionByName(_)).orderBy("table_name", "error_type")
+
+  /** G6 — before/after accounting without extra passes: attach observable
+    * metrics to the plan; the listener (or `Observation`) reads them when
+    * the enclosing action runs.
+    */
+  def withRowCountObservation(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"))
+
+  private def summaryRow(df: DataFrame, isError: Column, errorType: String, tableName: String): DataFrame =
+    finishSummary(
+      df.agg(
+        sum(isError.cast("long")).as("error_count"),
+        count(lit(1)).as("__total")),
+      errorType, tableName)
+
+  private def finishSummary(one: DataFrame, errorType: String, tableName: String): DataFrame =
+    one.select(
+      lit(tableName).as("table_name"),
+      lit(errorType).as("error_type"),
+      coalesce(col("error_count"), lit(0L)).as("error_count"),
+      round(coalesce(col("error_count"), lit(0L)) * 100.0 / col("__total"), 2).as("error_pct"))
+}

@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks (SURVEY.md §2.1 S4–S7).
+  *
+  * CSV mirrors the reference's `to_csv(index=False)` ×6
+  * (`json_pipeline.py:1058-1076`); JDBC replaces the psycopg2
+  * `execute_values` batch loader (`json_pipeline.py:863-892`) — Spark
+  * executors write partitions in parallel, with the FK parent/child
+  * ordering preserved by sequencing the six table writes on the driver
+  * (`json_pipeline.py:909-926`).
+  */
+object Sinks {
+
+  /** P4 — the reference's `.`→`_` rename at load time
+    * (`json_pipeline.py:869`).
+    */
+  def underscored(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.replace('.', '_')).toIndexedSeq: _*)
+
+  /** S4 — CSV with header, overwrite. One directory per table (Spark
+    * writes part files; at scale a single CSV file is an anti-pattern, so
+    * no coalesce(1) here — callers who need one file can repartition).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", true).csv(path)
+
+  def writeAllCsv(tables: Map[String, DataFrame], baseDir: String): Unit =
+    tables.foreach { case (name, df) => writeCsv(df, s"$baseDir/$name") }
+
+  /** S5+S6 — JDBC load: Spark creates the table from the DataFrame schema
+    * and appends partition-parallel batches. `batchsize` matches the
+    * psycopg2 `execute_values` batching intent.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, batchSize: Int = 10000): Unit =
+    underscored(df).write
+      .mode("overwrite")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+
+  /** S7 — FK-ordered multi-table load: patient (parent) first, then
+    * children, matching the DDL dependency order.
+    */
+  val LoadOrder: Seq[String] =
+    Seq("patient", "encounter", "condition", "observation", "immunization", "careplan")
+
+  def writeAllJdbc(tables: Map[String, DataFrame], url: String,
+      props: java.util.Properties): Unit =
+    LoadOrder.foreach(name => writeJdbc(tables(name), url, name, props))
+
+  /** Parquet sink — the engine's preferred lake format (columnar, predicate
+    * pushdown, partition pruning). Not in the reference; first-class here.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
