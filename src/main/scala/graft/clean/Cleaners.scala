@@ -53,8 +53,12 @@ object Cleaners {
   def swapInvertedPair(df: DataFrame, startCol: String, endCol: String): DataFrame = {
     val s = qcol(startCol); val e = qcol(endCol)
     val bothSet = s.isNotNull && e.isNotNull
-    df.withColumn(startCol, when(bothSet, least(s, e)).otherwise(s))
-      .withColumn(endCol, when(bothSet, greatest(s, e)).otherwise(e))
+    // single withColumns: both expressions must see the ORIGINAL columns —
+    // sequential withColumn would feed the already-replaced start into the
+    // end computation and collapse the pair to (min, min).
+    df.withColumns(Map(
+      startCol -> when(bothSet, least(s, e)).otherwise(s),
+      endCol -> when(bothSet, greatest(s, e)).otherwise(e)))
   }
 
   /** C5 — backfill a boolean from a sibling integer: if `intCol` is set and
@@ -65,15 +69,24 @@ object Cleaners {
       boolCol,
       when(qcol(intCol).isNotNull && qcol(boolCol).isNull, lit(true)).otherwise(qcol(boolCol)))
 
-  /** C6 — fill nulls with a constant (`data_quality_checker.py:264-270`). */
+  /** C6 — fill nulls with a constant (`data_quality_checker.py:264-270`).
+    * `coalesce` instead of `na.fill`: the na functions resolve dotted
+    * column names (`resource.id`) as struct paths and fail on the
+    * reference's literal dotted columns.
+    */
   def fillNull(df: DataFrame, c: String, value: Any): DataFrame =
-    df.na.fill(Map(c -> value))
+    if (!df.columns.contains(c)) df
+    else df.withColumn(c, coalesce(qcol(c), lit(value)))
 
   /** R1 — drop rows where any of the key columns is null
-    * (`data_quality_checker.py:244,282,294,306,318`).
+    * (`data_quality_checker.py:244,282,294,306,318`). Plain filter, not
+    * `na.drop`, for the same dotted-name reason as [[fillNull]].
     */
   def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.na.drop(keys.filter(df.columns.contains))
+    keys.filter(df.columns.contains) match {
+      case Nil => df
+      case ks => df.filter(ks.map(qcol(_).isNotNull).reduce(_ && _))
+    }
 
   /** D1 — deterministic keep-first dedup. The reference's
     * `drop_duplicates(keep='first')` (`data_quality_checker.py:344`) keeps

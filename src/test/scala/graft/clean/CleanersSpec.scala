@@ -1,0 +1,86 @@
+package graft.clean
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C1–C6 / R1 / D1 semantics (SURVEY.md §2.6–§2.7, §2.9). */
+class CleanersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C1 nullifyInvalidDates: invalid → null, valid datetime and bare date survive") {
+    val df = Seq(
+      ("2012-03-04T05:06:07+00:00"), ("2012-03-04"), ("03/04/2012"), (null: String))
+      .toDF("resource.birthDate")
+    val out = Cleaners.nullifyInvalidDates(df, Seq("resource.birthDate"))
+      .select(col("`resource.birthDate`")).as[Option[String]].collect().toSeq
+    assert(out == Seq(
+      Some("2012-03-04T05:06:07+00:00"), Some("2012-03-04"), None, None))
+  }
+
+  test("C1 skips columns absent from the frame") {
+    val df = Seq(1, 2).toDF("x")
+    assert(Cleaners.nullifyInvalidDates(df, Seq("nope")).columns.toSeq == Seq("x"))
+  }
+
+  test("C2 nullifyInvalidPhone") {
+    val df = Seq("555-123-4567", "bogus", null).toDF("contact_number")
+    val out = Cleaners.nullifyInvalidPhone(df, "contact_number")
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("555-123-4567"), None, None))
+  }
+
+  test("C3 nullifyOutOfRange keeps bounds, nulls outside") {
+    val df = Seq(-90.0, 0.0, 90.0, 90.5).toDF("latitude")
+    val out = Cleaners.nullifyOutOfRange(df, "latitude", -90, 90)
+      .as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(-90.0), Some(0.0), Some(90.0), None))
+  }
+
+  test("C4 swapInvertedPair: swaps only when both set and start > end; idempotent") {
+    val df = Seq(
+      ("2012-01-02", "2012-01-01"),        // inverted → swap
+      ("2012-01-01", "2012-01-02"),        // ordered → keep
+      ("2012-01-02", null),                // one null → untouched
+      (null, "2012-01-01"))
+      .toDF("s", "e")
+    val once = Cleaners.swapInvertedPair(df, "s", "e")
+    val got = once.as[(Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (Some("2012-01-01"), Some("2012-01-02")),
+      (Some("2012-01-01"), Some("2012-01-02")),
+      (Some("2012-01-02"), None),
+      (None, Some("2012-01-01"))))
+    val twice = Cleaners.swapInvertedPair(once, "s", "e")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(twice == got, "fix(fix(df)) == fix(df)")
+  }
+
+  test("C5 backfillBooleanFromInt: int set + bool null → true") {
+    val df = Seq(
+      (Some(2), None: Option[Boolean]),
+      (Some(2), Some(false)),
+      (None: Option[Int], None: Option[Boolean]))
+      .toDF("i", "b")
+    val out = Cleaners.backfillBooleanFromInt(df, "i", "b")
+      .select("b").as[Option[Boolean]].collect().toSeq
+    assert(out == Seq(Some(true), Some(false), None))
+  }
+
+  test("C6 fillNull + R1 dropNullKeys") {
+    val df = Seq(
+      (Some(1L), Some(1.0)), (Some(2L), None), (None, Some(3.0)))
+      .toDF("k", "v")
+    val out = Cleaners.fillNull(Cleaners.dropNullKeys(df, Seq("k")), "v", 0.0)
+      .as[(Long, Double)].collect().toSeq.sorted
+    assert(out == Seq((1L, 1.0), (2L, 0.0)))
+  }
+
+  test("D1 dedupKeepFirst: keeps smallest tiebreak per key; key-distinct after") {
+    val df = Seq(
+      (1L, "a", 30), (1L, "a", 10), (1L, "a", 20), (2L, "a", 5), (1L, "b", 1))
+      .toDF("k1", "k2", "ord")
+    val out = Cleaners.dedupKeepFirst(df, Seq("k1", "k2"), Seq(col("ord")))
+      .as[(Long, String, Int)].collect().toSeq.sorted
+    assert(out == Seq((1L, "a", 10), (1L, "b", 1), (2L, "a", 5)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river delta"), // near dup of 1
+    (4L, "completely different text about astrophysics and galactic rotation curves"),
+    (5L, "short one"))
+    .toDF("doc_id", "text")
+
+  test("exactByContent keeps smallest id per identical text") {
+    val ids = Dedup.exactByContent(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash near-dups finds exact pair (J=1.0) and near pair, never self/symmetric pairs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.forall(p => p._1 < p._2))
+    // (1,2): identical → jaccard 1.0 must be present
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // (1,3) and (2,3): 13 tokens → 11 shingles, only the last differs →
+    // 10 common, union 12 → J = 10/12 ≈ 0.833333
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0.833333))
+    // unrelated docs never pair
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("minhash agrees with exact ngram jaccard above threshold") {
+    val mh = Dedup.minhashNearDups(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mh == exact)
+  }
+
+  test("ngramJaccardPairs exact values") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs == Seq((1L, 2L, 1.0), (1L, 3L, 0.833333), (2L, 3L, 0.833333)))
+  }
+
+  test("simhash: identical docs at hamming 0; near dup within 3; distinct docs excluded") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(p => p._3 <= 3))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("simhash64 is deterministic and sensitive to token multiset") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(1f, 0f, 0f)),     // identical to 0
+    (2L, Array(0.9f, 0.1f, 0f)), // close to 0
+    (3L, Array(0f, 1f, 0f)),     // orthogonal
+    (4L, Array(-1f, 0f, 0f)))    // opposite
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val out = vecs.as("l").join(vecs.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id"), col("r.vec_id"),
+        round(Similarity.cosine(col("l.embedding"), col("r.embedding")), 6).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 3L)) == 0.0)
+    assert(out((0L, 4L)) == -1.0)
+    assert(out((0L, 2L)) > 0.99 && out((0L, 2L)) < 1.0)
+  }
+
+  test("cosine of zero vector is null, not NaN") {
+    val z = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f))).toDF("id", "v")
+    val r = z.as("l").join(z.as("r"), col("l.id") < col("r.id"))
+      .select(Similarity.cosine(col("l.v"), col("r.v")).as("c"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("bruteForceTopK: exact ranks with id tiebreak, excludes self") {
+    val res = Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    assert(res == Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)))
+  }
+
+  test("lshTopK: bucket-mates of an identical vector always include it") {
+    // identical vectors share every hyperplane sign → same bucket, rank 1
+    val res = Similarity.lshTopK(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      dim = 3, k = 3, numPlanes = 6)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(res.get(1L).contains(1L))
+  }
+
+  test("cosineNearDupPairs: only the >=0.99 pairs survive") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  test("whitespace tokens + count: trim, collapse runs, empty → 0") {
+    assert(one[Int](TextStats.tokenCount(col("t")), "  a  b\tc\nd ") == 4)
+    assert(one[Int](TextStats.tokenCount(col("t")), "") == 0)
+    assert(one[Int](TextStats.tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](TextStats.tokenCount(col("t")), "word") == 1)
+  }
+
+  test("bpe-ish token count: letters/digits/punct splits") {
+    // "Hello, world 42!" → [Hello][,][ world][ 42][!] = 5
+    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "Hello, world 42!") == 5)
+    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "it's") == 2) // [it]['s]
+    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "") == 0)
+  }
+
+  test("shingles: n=3 over 5 tokens → 3 shingles, short text → empty") {
+    val got = one[scala.collection.Seq[String]](TextStats.shingles(col("t"), 3), "a b c d e")
+    assert(got.toSeq == Seq("a b c", "b c d", "c d e"))
+    assert(one[scala.collection.Seq[String]](TextStats.shingles(col("t"), 3), "a b").isEmpty)
+  }
+
+  test("shingleSet deduplicates") {
+    val got = one[scala.collection.Seq[String]](TextStats.shingleSet(col("t"), 2), "x y x y x y")
+    assert(got.toSeq.sorted == Seq("x y", "y x"))
+  }
+
+  test("langId: stopword-based winner; und when no hits") {
+    val en = "the cat sat on the mat and it is that for"
+    val fr = "le chat est sur la table et il est que pour"
+    assert(one[String](TextStats.langIdExpr(col("t")), en) == "en")
+    assert(one[String](TextStats.langIdExpr(col("t")), fr) == "fr")
+    assert(one[String](TextStats.langIdExpr(col("t")), "zzz qqq") == "und")
+  }
+
+  test("quality metrics: hand-computed on a tiny doc") {
+    val text = "The cat sat." // 12 chars, 3 tokens, 1 punct, 1 upper, 1 stopword(The)
+    val row = Seq(text).toDF("t")
+      .select(TextStats.qualityMetrics(col("t")): _*).collect()(0)
+    assert(row.getAs[Long]("n_chars") == 12L)
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    assert(row.getAs[Long]("n_punct") == 1L)
+    assert(row.getAs[Long]("n_upper") == 1L) // just the leading T
+    assert(row.getAs[Long]("n_stopwords") == 1L)
+    assert(row.getAs[Double]("quality_score") == 0.0) // < 20 chars
+  }
+
+  test("fingerprints: rolling is order-sensitive, content is order-robust on shingle sets") {
+    def fp(c: org.apache.spark.sql.Column, t: String): Long = one[Long](c, t)
+    val r1 = fp(TextStats.rollingFingerprint(col("t")), "a b c d")
+    val r2 = fp(TextStats.rollingFingerprint(col("t")), "d c b a")
+    val r3 = fp(TextStats.rollingFingerprint(col("t")), "a b c d")
+    assert(r1 == r3 && r1 != r2)
+    val c1 = fp(TextStats.contentFingerprint(col("t"), 1), "a b c d")
+    val c2 = fp(TextStats.contentFingerprint(col("t"), 1), "d c b a")
+    assert(c1 == c2, "1-gram content fingerprint ignores order")
+  }
+}
