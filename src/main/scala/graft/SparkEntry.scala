@@ -136,15 +136,20 @@ object SparkEntry {
           when(col("value").between(0d, 100d), col("value")).as("value_clean"))
         .orderBy("event_id")),
 
-    // C4/G3 — logical-order repair via least/greatest over a join.
+    // C4/G3 — logical-order repair, routed through the library operator so
+    // the oracle gate covers Cleaners.swapInvertedPair itself.
     "logical_swap" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
       val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          unix_micros(least(col("o_orderdate"), col("l_shipdate")).cast("timestamp")).as("start_us"),
-          unix_micros(greatest(col("o_orderdate"), col("l_shipdate")).cast("timestamp")).as("end_us"))
+          col("o_orderdate").as("start_ts"), col("l_shipdate").as("end_ts"))
+      Cleaners.swapInvertedPair(joined, "start_ts", "end_ts")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("start_ts").cast("timestamp")).as("start_us"),
+          unix_micros(col("end_ts").cast("timestamp")).as("end_us"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 

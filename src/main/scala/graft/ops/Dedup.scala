@@ -34,15 +34,16 @@ object Dedup {
   val Bands = 32
   val RowsPerBand = 4
 
-  /** MinHash signature of a shingle set: signature(i) =
-    * min over shingles of xxhash64(shingle, i). Seeded xxhash64 replaces
-    * the classic (a·h+b) mod p family — same independence in practice, no
-    * ANSI overflow, and it's a native codegen'd expression.
-    * Empty shingle set → null signature (doc too short to compare).
+  /** MinHash signature of a HASHED shingle set (see
+    * [[graft.functions.TextKernels.shingleHashSet]]): signature(i) = min
+    * over shingles of one SplitMix64 round seeded by i — "hash once,
+    * permute cheaply". A per-document imperative kernel: the HOF
+    * formulation (`array_min(transform(...))` × k) is CodegenFallback-
+    * interpreted and ~10× slower. Empty/null set → null signature (doc too
+    * short to compare).
     */
-  def minhashSignature(shingleSet: Column, k: Int = NumHashes): Column =
-    when(size(shingleSet) > 0,
-      array((0 until k).map(i => array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*))
+  def minhashSignature(hashedShingleSet: Column, k: Int = NumHashes): Column =
+    graft.functions.TextKernels.minhashSignatureUdf(k)(hashedShingleSet)
 
   /** Candidate pairs via LSH banding: explode each signature into
     * [[Bands]] (bandIdx, bandHash) keys, shuffle on the key, and emit
@@ -70,9 +71,9 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs: join the shingle sets
-    * back on both sides (broadcast-friendly when the candidate list is
-    * small) and compute |A∩B| / |A∪B| exactly.
+  /** Exact Jaccard verification of candidate pairs: join the hashed
+    * shingle sets back on both sides (broadcast-friendly when the
+    * candidate list is small) and merge-intersect the sorted arrays.
     */
   def verifyJaccard(
       candidates: DataFrame,
@@ -81,23 +82,22 @@ object Dedup {
     candidates
       .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vset", "__set_a"), "id_a")
       .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vset", "__set_b"), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
-      .withColumn("__union",
-        size(col("__set_a")).cast("long") + size(col("__set_b")).cast("long") - col("__inter"))
       .withColumn("jaccard",
-        round(col("__inter") * lit(1.0) / greatest(col("__union"), lit(1L)), 6))
+        graft.functions.TextKernels.jaccardSortedUdf(col("__set_a"), col("__set_b")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup: shingle → sign → band → bucket-join →
-    * exact verify ≥ threshold. Output: (id_a, id_b, jaccard), id_a < id_b.
+  /** End-to-end MinHash near-dup: shingle-hash → sign → band →
+    * bucket-join → exact verify ≥ threshold. Output: (id_a, id_b,
+    * jaccard), id_a < id_b. Shingle hashing is 64-bit, so "exact" is
+    * modulo hash collisions (~2⁻⁶⁴ per shingle pair — negligible).
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = df.select(
       col(idCol),
-      TextStats.shingleSet(col(textCol), n).as("__shingles"))
+      graft.functions.TextKernels.shingleHashSetUdf(n)(col(textCol)).as("__shingles"))
     val signed = sh.withColumn("__sig", minhashSignature(col("__shingles")))
     val cands = lshCandidates(signed, idCol, "__sig")
     verifyJaccard(cands, sh, idCol, "__shingles")
@@ -107,31 +107,14 @@ object Dedup {
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: bit j of the signature is the
-    * sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1). Computed with
-    * higher-order functions: fold the token array into a 64-long vector of
-    * bit-sums, then collapse signs into a single long. Shuffle-free.
+    * sign of Σ_tokens (bit j of hash(token) ? +1 : −1). One imperative
+    * kernel pass per document ([[graft.functions.TextKernels.simhash64]]) —
+    * the HOF formulation (fold tokens into a 64-wide bit-sum vector) is
+    * interpreted and allocates three 64-element arrays per token.
+    * Shuffle-free.
     */
-  def simhash64(text: Column): Column = {
-    val toks = TextStats.whitespaceTokens(text)
-    val sums = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(63)),
-            j => when(call_function("getbit", h, j) === 1, 1).otherwise(-1)),
-          (a, b) => a + b)
-      })
-    // Collapse sign bits: OR together 2^j for each j where sums(j) > 0.
-    // The powers array is precomputed driver-side (shift amounts must be
-    // literals in the Scala API); bitwiseOR cannot overflow.
-    val powers = array((0 until 64).map(j => lit(1L << j)): _*)
-    aggregate(
-      zip_with(sums, powers, (s, p) => when(s > 0, p).otherwise(lit(0L))),
-      lit(0L),
-      (acc, p) => acc.bitwiseOR(p))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.TextKernels.simhash64Udf(text)
 
   /** SimHash near-dup candidates: two docs are candidates when any of the
     * four 16-bit chunks of their signatures match (pigeonhole: Hamming
@@ -169,8 +152,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"), TextStats.shingleSet(col(textCol), n).as("__set"))
+    val sets = df.select(
+      col(idCol).as("__id"),
+      graft.functions.TextKernels.shingleHashSetUdf(n)(col(textCol)).as("__set"))
     val sizes = sets.select(col("__id"), size(col("__set")).cast("long").as("__sz"))
+    // inverted index on the 64-bit shingle hash: long join keys shuffle and
+    // compare far cheaper than the shingle strings
     val inv = sets.select(col("__id"), explode(col("__set")).as("__sh"))
     val inter = inv.as("l").join(inv.as("r"),
         col("l.__sh") === col("r.__sh") && col("l.__id") < col("r.__id"))

@@ -111,16 +111,56 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
-    * Exact form — block-nested cross join; usable to ~10⁵ vectors. The
-    * scale form routes through [[hyperplaneBucket]] first (same verify).
+    *
+    * Exact all-pairs is inherently O(n²) in similarity computations, so the
+    * kernel matters: one side is broadcast as a plain float-array matrix
+    * and each partition of the other side runs a tight dot-product loop —
+    * the declarative form (pair join + `zip_with`/`aggregate` cosine) is
+    * interpreted per element and ~100× slower. The per-pair math matches
+    * the HOF/oracle formulation exactly: sequential double-precision dot
+    * and norms, rounded half-even to 6 dp.
+    *
+    * Scale contract: the broadcast side must fit in executor memory
+    * (~2 GB ≈ 8M 64-dim float vectors); beyond that, route through
+    * [[hyperplaneBucket]] / [[lshTopK]] (approximate) or shard the
+    * broadcast side and union the outputs (exact, n/shard passes).
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    v.as("l").join(v.as("r"), col("l.__id") < col("r.__id"))
-      .select(
-        col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        round(cosine(col("l.__v"), col("r.__v")), 6).as("cosine_sim"))
-      .filter(col("cosine_sim") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val side = vecs.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    vecs.mapPartitions { it =>
+      val corpus = bc.value
+      it.flatMap { case (ida, va) =>
+        val normA = {
+          var s = 0.0; var i = 0
+          while (i < va.length) { s += va(i) * va(i); i += 1 }
+          math.sqrt(s)
+        }
+        // corpus is sorted by id: binary-search the first id > ida and
+        // only scan the upper triangle
+        var lo = 0; var hi = corpus.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (corpus(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        (lo until corpus.length).iterator.flatMap { j =>
+          val (idb, vb) = corpus(j)
+          var dot = 0.0; var nb = 0.0; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); nb += vb(i) * vb(i); i += 1 }
+          val denom = normA * math.sqrt(nb)
+          if (denom > 0) {
+            // half-up for non-negatives, matching SQL round() semantics
+            val x = dot / denom * 1e6
+            val sim = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)) / 1e6
+            if (sim >= threshold) Iterator.single((ida, idb, sim)) else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "cosine_sim")
   }
 }

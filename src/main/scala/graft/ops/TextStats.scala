@@ -111,20 +111,17 @@ object TextStats {
   }
 
   /** Document fingerprint: order-sensitive 64-bit rolling hash over tokens
-    * (`acc = xxhash64(acc, token)` chaining — overflow-free under ANSI
-    * mode, which Spark 4 enables by default). Content-identical docs
-    * collide; reordered docs don't. Shuffle-free.
+    * (chain-mixed token hashes, one kernel pass per document —
+    * [[graft.functions.TextKernels.rollingFingerprint]]). Content-identical
+    * docs collide; reordered docs don't. Shuffle-free.
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      whitespaceTokens(text),
-      lit(-3750763034362895579L), // FNV-1a 64 offset basis as the seed
-      (acc, t) => xxhash64(acc, t))
+    graft.functions.TextKernels.rollingFingerprintUdf(text)
 
-  /** Content fingerprint: min-hash of the shingle set (order-insensitive;
-    * robust to shuffling sentences). Used by near-dup candidates as a
-    * cheap first-pass bucket key.
+  /** Content fingerprint: min hashed shingle (order-insensitive; robust to
+    * shuffling sentences). Used by near-dup candidates as a cheap
+    * first-pass bucket key.
     */
   def contentFingerprint(text: Column, n: Int = 3): Column =
-    coalesce(array_min(transform(shingleSet(text, n), s => xxhash64(s))), lit(0L))
+    graft.functions.TextKernels.contentFingerprintUdf(n)(text)
 }
