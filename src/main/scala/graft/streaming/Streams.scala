@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.fhir.{BundleReader, Schemas}
+
+/** Structured Streaming surface (SURVEY.md §7.6 — beyond-parity: the
+  * reference only batches daily via Airflow, `json_pipeline.py:35`).
+  *
+  * Incremental modes for the engine's two ingest shapes:
+  *  - FHIR Bundle directories: the same schema'd multiLine JSON read as
+  *    [[BundleReader.readEntries]], as a file-source stream — new bundle
+  *    files are picked up per micro-batch, and every downstream extractor/
+  *    cleaner transform composes unchanged (they are plain projections).
+  *  - Event streams: watermarked dedup (bounded state — the streaming D1),
+  *    windowed/session aggregations, and custom per-key running state via
+  *    `mapGroupsWithState`.
+  *
+  * Scale notes: state stores are keyed by the dedup/group keys only;
+  * watermarks bound state size; file-source streams list incrementally
+  * (maxFilesPerTrigger controls batch size at 100 TB backfills).
+  */
+object Streams {
+
+  /** Streaming twin of [[BundleReader.normalizedEntries]]. */
+  def readBundleStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1000): DataFrame =
+    BundleReader.normalize(
+      spark.readStream
+        .schema(Schemas.bundleSchema)
+        .option("multiLine", true)
+        .option("pathGlobFilter", "*.json")
+        .option("recursiveFileLookup", true)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(path)
+        .select(explode(col("entry")).as("entry"))
+        .select(col("entry.fullUrl").as("fullUrl"), col("entry.resource").as("resource")))
+
+  /** Attach an event-time timestamp column derived from an epoch-nanos
+    * long (the testdata `events.ts` shape). Integral DIV: see
+    * SparkEntry.eventsSchema for why nanos never go through double.
+    */
+  def withEventTime(df: DataFrame, nanosCol: String, eventTimeCol: String = "event_time"): DataFrame =
+    df.withColumn(eventTimeCol, timestamp_micros(expr(s"$nanosCol DIV 1000")))
+
+  /** Streaming D1 — exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for keys older than
+    * the watermark is evicted. (`dropDuplicatesWithinWatermark`, the
+    * bounded-state form — plain `dropDuplicates` would grow state
+    * forever on a 100 TB stream.)
+    */
+  def dedupWithinWatermark(
+      df: DataFrame, eventTimeCol: String, watermark: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Tumbling/sliding windowed counts per group with watermarked late-data
+    * handling (the streaming G-family analog).
+    */
+  def windowedCounts(
+      df: DataFrame, eventTimeCol: String, watermark: String,
+      windowDuration: String, groupCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Gap-based sessionization via the built-in `session_window` — the
+    * streaming twin of the batch `sessionize` registry query.
+    */
+  def sessionWindows(
+      df: DataFrame, eventTimeCol: String, watermark: String,
+      gap: String, groupCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap) +: groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(eventTimeCol)).as("start_time"),
+        max(col(eventTimeCol)).as("end_time"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_event_id: Long)
+
+  /** Custom per-key running state (`mapGroupsWithState`): running event
+    * count / value sum / high-water-mark per user, emitted on every
+    * update. The custom-state escape hatch for semantics windowed aggs
+    * can't express (the state is a single small struct per key —
+    * state-store size = #distinct users).
+    */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value,
+              math.max(acc.max_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to an in-memory table until
+    * all currently-available data is processed; returns the result. Used
+    * by tests and smoke checks (not a production sink).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

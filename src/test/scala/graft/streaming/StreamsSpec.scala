@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+class StreamsSpec extends SparkSpec {
+
+  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    in.addData((1L, ns(1), "click"), (1L, ns(2), "click"), (2L, ns(2), "view"), (1L, ns(3), "click"))
+    val events = Streams.withEventTime(
+      in.toDF.toDF("user_id", "ts", "event_type"), "ts")
+    val out = Streams.runToMemory(
+      Streams.dedupWithinWatermark(events, "event_time", "10 minutes", Seq("user_id", "event_type")),
+      "dedup_out")
+    val rows = out.select("user_id", "event_type").as[(Long, String)].collect().toSeq.sorted
+    assert(rows == Seq((1L, "click"), (2L, "view")))
+  }
+
+  test("windowedCounts: tumbling window counts per event_type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    in.addData(
+      (1L, ns(1), "click"), (2L, ns(2), "click"), (3L, ns(3), "view"),
+      (4L, ns(11), "click"))
+    val events = Streams.withEventTime(in.toDF.toDF("event_id", "ts", "event_type"), "ts")
+    val out = Streams.runToMemory(
+      Streams.windowedCounts(events, "event_time", "1 minute", "10 minutes", Seq("event_type")),
+      "window_out", OutputMode.Complete())
+    val rows = out
+      .select(col("window.start").cast("long").as("w"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(rows == Seq((0L, "click", 2L), (0L, "view", 1L), (600L, "click", 1L)))
+  }
+
+  test("sessionWindows: 30-minute gap splits sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    in.addData((1L, ns(0)), (1L, ns(10)), (1L, ns(60)), (2L, ns(0)))
+    val events = Streams.withEventTime(in.toDF.toDF("user_id", "ts"), "ts")
+    val out = Streams.runToMemory(
+      Streams.sessionWindows(events, "event_time", "1 minute", "30 minutes", Seq("user_id")),
+      "session_out", OutputMode.Complete())
+    val rows = out.select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("runningUserStats: custom mapGroupsWithState accumulates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val stats = Streams.runningUserStats(in.toDS())
+    val q = stats.writeStream.format("memory").queryName("stats_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.UserEvent(1L, 10L, 2.0), Streams.UserEvent(1L, 11L, 3.0))
+      q.processAllAvailable()
+      in.addData(Streams.UserEvent(1L, 12L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("stats_out")
+      .orderBy(desc("n_events")).as[Streams.UserStats].collect().head
+    assert(last == Streams.UserStats(1L, 3L, 10.0, 12L))
+  }
+
+  test("readBundleStream: file-source FHIR ingest matches batch reader") {
+    val dir = Files.createTempDirectory("fhir_stream")
+    val bundle =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        |{"fullUrl":"urn:uuid:p1","resource":{"resourceType":"Patient","id":"p1","gender":"male"}},
+        |{"fullUrl":"urn:uuid:c1","resource":{"resourceType":"Condition","id":"c1",
+        |  "subject":{"reference":"urn:uuid:p1"}}}
+        |]}""".stripMargin
+    Files.writeString(dir.resolve("b1.json"), bundle)
+    val out = Streams.runToMemory(
+      Streams.readBundleStream(spark, dir.toString), "bundle_out")
+    import spark.implicits._
+    val rows = out
+      .select(col("fullUrl"), col("resource.resourceType"), col("patient_id"))
+      .as[(String, String, String)].collect().toSeq.sorted
+    assert(rows == Seq(("c1", "Condition", "p1"), ("p1", "Patient", "p1")))
+  }
+}
