@@ -229,6 +229,40 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // A-family analog on array columns: first element + size.
+    "extract_first" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("first_dim"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")),
+
+    // Corpus profiling group-by over documents.
+    "corpus_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "source")),
+
+    // §2.11 — training-data curation: quality-score + language filter.
+    "quality_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id") +: col("lang") +: TextStats.qualityMetrics(col("text")): _*)
+        .filter(col("quality_score") >= 0.3 && col("lang") === "en")
+        .select("doc_id", "lang", "n_chars", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // §2.11 — greedy near-dup corpus filter (anti-join on pair losers).
+    "neardup_filter" -> ((s, dir) =>
+      Dedup.nearDupFilter(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // §2.11 — exact dedup by content hash.
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactByContent(t(s, dir, "documents"), "text", "doc_id")
@@ -359,7 +393,49 @@ object SparkEntry {
          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
 
+  // Shared SQL fragments for the documents quality formula (must stay in
+  // lock-step with TextStats.qualityMetrics).
+  private val punctSql = """len(regexp_extract_all(text, '[[:punct:]]'))"""
+  private val digitSql = """len(regexp_extract_all(text, '[0-9]'))"""
+  private val stopSql = """len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|it|that|for)\b'))"""
+  private val ntokSql = """len(string_split_regex(trim(text), '\s+'))"""
+  private val scoreSql =
+    s"""round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
+       |    1.0 * least($ntokSql * 1.0 / 50.0, 1.0)
+       |        * (1.0 - least($punctSql * 2.0 / greatest(length(text), 1), 1.0))
+       |        * (1.0 - least($digitSql * 2.0 / greatest(length(text), 1), 1.0))
+       |        * least(round($stopSql * 1.0 / greatest($ntokSql, 1), 4) * 5.0 + 0.2, 1.0)
+       |    END, 4)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "extract_first" ->
+      """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "corpus_profile" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "quality_filter" ->
+      s"""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+         |  $scoreSql AS quality_score
+         |FROM documents
+         |WHERE $scoreSql >= 0.3 AND lang = 'en'
+         |ORDER BY doc_id""".stripMargin,
+
+    "neardup_filter" ->
+      (shingleCte +
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (
+        |  SELECT id_b FROM pair_inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)
+        |ORDER BY doc_id""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -537,27 +613,18 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "text_quality" -> {
-      val punct = """len(regexp_extract_all(text, '[[:punct:]]'))"""
-      val digit = """len(regexp_extract_all(text, '[0-9]'))"""
       val upper = """len(regexp_extract_all(text, '[A-Z]'))"""
-      val stop = """len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|it|that|for)\b'))"""
-      val ntok = """len(string_split_regex(trim(text), '\s+'))"""
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $ntok END AS BIGINT) AS n_tokens,
-         |  round(length(text) * 1.0 / greatest($ntok, 1), 4) AS mean_token_len,
-         |  CAST($punct AS BIGINT) AS n_punct,
-         |  round($punct * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
-         |  CAST($digit AS BIGINT) AS n_digits,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $ntokSql END AS BIGINT) AS n_tokens,
+         |  round(length(text) * 1.0 / greatest($ntokSql, 1), 4) AS mean_token_len,
+         |  CAST($punctSql AS BIGINT) AS n_punct,
+         |  round($punctSql * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+         |  CAST($digitSql AS BIGINT) AS n_digits,
          |  CAST($upper AS BIGINT) AS n_upper,
-         |  CAST($stop AS BIGINT) AS n_stopwords,
-         |  round($stop * 1.0 / greatest($ntok, 1), 4) AS stopword_ratio,
-         |  round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
-         |    1.0 * least($ntok * 1.0 / 50.0, 1.0)
-         |        * (1.0 - least($punct * 2.0 / greatest(length(text), 1), 1.0))
-         |        * (1.0 - least($digit * 2.0 / greatest(length(text), 1), 1.0))
-         |        * least(round($stop * 1.0 / greatest($ntok, 1), 4) * 5.0 + 0.2, 1.0)
-         |    END, 4) AS quality_score
+         |  CAST($stopSql AS BIGINT) AS n_stopwords,
+         |  round($stopSql * 1.0 / greatest($ntokSql, 1), 4) AS stopword_ratio,
+         |  $scoreSql AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

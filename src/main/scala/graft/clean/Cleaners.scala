@@ -69,6 +69,25 @@ object Cleaners {
       boolCol,
       when(qcol(intCol).isNotNull && qcol(boolCol).isNull, lit(true)).otherwise(qcol(boolCol)))
 
+  /** P1 — drop columns by name list, ignoring absentees
+    * (`json_pipeline.py:481-506` fixed per-table drop lists).
+    */
+  def dropColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.drop(cols: _*)
+
+  /** P2 — drop columns whose name matches a predicate (the reference's
+    * case-insensitive "contains photo" drop, `json_pipeline.py:164`).
+    */
+  def dropColumnsWhere(df: DataFrame, p: String => Boolean): DataFrame =
+    df.drop(df.columns.filter(p): _*)
+
+  /** P3 — materialize a missing column as typed nulls
+    * (`json_pipeline.py:165-184`); no-op when present.
+    */
+  def ensureColumn(df: DataFrame, c: String, dataType: String): DataFrame =
+    if (df.columns.contains(c)) df
+    else df.withColumn(c, lit(null).cast(dataType))
+
   /** C6 — fill nulls with a constant (`data_quality_checker.py:264-270`).
     * `coalesce` instead of `na.fill`: the na functions resolve dotted
     * column names (`resource.id`) as struct paths and fail on the

@@ -104,6 +104,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup corpus curation: drop every document that has a near-dup
+    * with a smaller id (greedy keep-first per near-dup pair — the standard
+    * training-data filter; NOT transitive-closure clustering, which would
+    * need iterative min-id propagation). One anti-join against the
+    * candidate pairs; at 100 TB the pair set is tiny relative to the
+    * corpus, so AQE turns the anti-join into a broadcast.
+    */
+  def nearDupFilter(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val losers = minhashNearDups(df, textCol, idCol, n, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: bit j of the signature is the

@@ -75,6 +75,15 @@ class CleanersSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0), (2L, 0.0)))
   }
 
+  test("P1-P3 projection helpers: drop list / drop pattern / ensure column") {
+    val df = Seq((1, "x", "p")).toDF("keep", "photo_url", "other")
+    assert(Cleaners.dropColumns(df, Seq("other", "absent")).columns.toSeq == Seq("keep", "photo_url"))
+    assert(Cleaners.dropColumnsWhere(df, _.toLowerCase.contains("photo")).columns.toSeq == Seq("keep", "other"))
+    val ensured = Cleaners.ensureColumn(df, "added", "double")
+    assert(ensured.schema("added").dataType.typeName == "double")
+    assert(Cleaners.ensureColumn(df, "keep", "string").columns.length == 3, "no-op when present")
+  }
+
   test("D1 dedupKeepFirst: keeps smallest tiebreak per key; key-distinct after") {
     val df = Seq(
       (1L, "a", 30), (1L, "a", 10), (1L, "a", 20), (2L, "a", 5), (1L, "b", 1))

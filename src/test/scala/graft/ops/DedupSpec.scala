@@ -47,6 +47,13 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1.0), (1L, 3L, 0.833333), (2L, 3L, 0.833333)))
   }
 
+  test("nearDupFilter: drops the larger-id member of each near-dup pair") {
+    val kept = Dedup.nearDupFilter(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // pairs (1,2),(1,3),(2,3) at J>=0.8 → 2 and 3 dropped
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   test("simhash: identical docs at hamming 0; near dup within 3; distinct docs excluded") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSeq
