@@ -1,7 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Imperative per-document kernels for the text dedup/fingerprint hot path.
   *
@@ -189,35 +187,26 @@ object TextKernels {
     math.floor(inter.toDouble / union * 1e6 + 0.5) / 1e6
   }
 
-  // --- Column-level wrappers (deterministic Scala UDFs over per-doc rows) ---
+  // --- Catalyst adapters (UTF8String / ArrayData in, no boxing) ----------
+  // Called from generated code (see `expressions`): keep signatures stable.
 
-  def shingleHashSetUdf(n: Int): Column => Column = {
-    val f = udf((s: String) => shingleHashSet(s, n))
-    c => f(c)
-  }
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
 
-  def minhashSignatureUdf(k: Int): Column => Column = {
-    val f = udf((hs: Array[Long]) => minhashSignature(hs, k))
-    c => f(c)
-  }
+  def shingleHashSetArray(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingleHashSet(s.toString, n))
 
-  val simhash64Udf: Column => Column = {
-    val f = udf((s: String) => simhash64(s))
-    c => f(c)
-  }
+  def minhashSignatureArray(hashes: ArrayData, k: Int): ArrayData =
+    if (hashes.numElements() == 0) null
+    else UnsafeArrayData.fromPrimitiveArray(minhashSignature(hashes.toLongArray(), k))
 
-  val rollingFingerprintUdf: Column => Column = {
-    val f = udf((s: String) => rollingFingerprint(s))
-    c => f(c)
-  }
+  def simhash64U(s: UTF8String): Long = simhash64(s.toString).longValue()
 
-  def contentFingerprintUdf(n: Int): Column => Column = {
-    val f = udf((s: String) => contentFingerprint(s, n))
-    c => f(c)
-  }
+  def rollingFingerprintU(s: UTF8String): Long = rollingFingerprint(s.toString).longValue()
 
-  val jaccardSortedUdf: (Column, Column) => Column = {
-    val f = udf((a: Array[Long], b: Array[Long]) => jaccardSorted(a, b))
-    (a, b) => f(a, b)
-  }
+  def contentFingerprintU(s: UTF8String, n: Int): Long = contentFingerprint(s.toString, n)
+
+  def jaccardSortedArrays(a: ArrayData, b: ArrayData): java.lang.Double =
+    jaccardSorted(a.toLongArray(), b.toLongArray())
 }

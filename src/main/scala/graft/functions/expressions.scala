@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over the [[TextKernels]] kernels.
+  *
+  * These replace the Scala-UDF wrappers: a UDF forces
+  * catalyst-to-Scala conversion of every input/output and breaks
+  * whole-stage codegen at its boundary; these expressions generate a
+  * direct static call into the kernel inside the produced Java, so the
+  * surrounding projection stays one codegen'd stage and the only cost is
+  * the kernel itself. Interpreted `eval` paths are provided for
+  * completeness (codegen fallback, filters on literals, etc.).
+  */
+object expressions {
+
+  private val K = "graft.functions.TextKernels"
+
+  /** Hashed word-n-gram shingle set (sorted, distinct). */
+  case class ShingleHashSet(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hash_set"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.shingleHashSetArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.shingleHashSetArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature of a hashed shingle set; null for empty sets. */
+  case class MinhashSignature(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash_signature"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.minhashSignatureArray(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = $K.minhashSignatureArray($c, $k);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of the whitespace-token multiset. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.simhash64U(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.simhash64U($c)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Order-sensitive rolling token-hash fingerprint. */
+  case class RollingFingerprint(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_rolling_fingerprint"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.rollingFingerprintU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.rollingFingerprintU($c)")
+    override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+      copy(child = newChild)
+  }
+
+  /** Order-insensitive content fingerprint (min hashed shingle). */
+  case class ContentFingerprint(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_content_fingerprint"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.contentFingerprintU(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.contentFingerprintU($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ContentFingerprint =
+      copy(child = newChild)
+  }
+
+  /** Exact Jaccard of two sorted long arrays; null when both empty. */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_jaccard_sorted"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.jaccardSortedArrays(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("jac")
+        s"""java.lang.Double $tmp = $K.jaccardSortedArrays($a, $b);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaccardSorted =
+      copy(left = newLeft, right = newRight)
+  }
+}

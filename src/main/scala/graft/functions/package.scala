@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** The engine's custom column-function surface — native codegen'd Catalyst
+  * expressions (see [[functions.expressions]]), exposed Column-first like
+  * `org.apache.spark.sql.functions`, plus live-session SQL registration.
+  */
+package object functions {
+
+  private def c(e: Expression): Column = ColumnShim.column(e)
+  private def e(col: Column): Expression = ColumnShim.expression(col)
+
+  /** Sorted distinct 64-bit hashes of word-`n`-gram shingles. */
+  def shingle_hash_set(text: Column, n: Int): Column =
+    c(expressions.ShingleHashSet(e(text), n))
+
+  /** MinHash signature (`k` permutations) of a hashed shingle set. */
+  def minhash_signature(hashes: Column, k: Int): Column =
+    c(expressions.MinhashSignature(e(hashes), k))
+
+  /** 64-bit SimHash of the whitespace-token multiset. */
+  def simhash64(text: Column): Column =
+    c(expressions.SimHash64(e(text)))
+
+  /** Order-sensitive rolling token-hash fingerprint. */
+  def rolling_fingerprint(text: Column): Column =
+    c(expressions.RollingFingerprint(e(text)))
+
+  /** Order-insensitive content fingerprint (min hashed shingle). */
+  def content_fingerprint(text: Column, n: Int): Column =
+    c(expressions.ContentFingerprint(e(text), n))
+
+  /** Exact Jaccard similarity of two sorted hashed shingle sets. */
+  def jaccard_sorted(a: Column, b: Column): Column =
+    c(expressions.JaccardSorted(e(a), e(b)))
+
+  /** Make the functions SQL-callable on an already-built session
+    * (`SELECT graft_simhash64(text) FROM docs`). For sessions built from
+    * config, `spark.sql.extensions=graft.functions.GraftExtensions` does
+    * the same at build time.
+    */
+  def registerSql(spark: SparkSession): Unit = {
+    def lit(ex: Expression): Int = ex match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal argument, got $other")
+    }
+    ColumnShim.register(spark, "graft_shingle_hash_set",
+      args => expressions.ShingleHashSet(args(0), lit(args(1))))
+    ColumnShim.register(spark, "graft_minhash_signature",
+      args => expressions.MinhashSignature(args(0), lit(args(1))))
+    ColumnShim.register(spark, "graft_simhash64",
+      args => expressions.SimHash64(args(0)))
+    ColumnShim.register(spark, "graft_rolling_fingerprint",
+      args => expressions.RollingFingerprint(args(0)))
+    ColumnShim.register(spark, "graft_content_fingerprint",
+      args => expressions.ContentFingerprint(args(0), lit(args(1))))
+    ColumnShim.register(spark, "graft_jaccard_sorted",
+      args => expressions.JaccardSorted(args(0), args(1)))
+  }
+}

@@ -43,7 +43,7 @@ object Dedup {
     * short to compare).
     */
   def minhashSignature(hashedShingleSet: Column, k: Int = NumHashes): Column =
-    graft.functions.TextKernels.minhashSignatureUdf(k)(hashedShingleSet)
+    graft.functions.minhash_signature(hashedShingleSet, k)
 
   /** Candidate pairs via LSH banding: explode each signature into
     * [[Bands]] (bandIdx, bandHash) keys, shuffle on the key, and emit
@@ -83,7 +83,7 @@ object Dedup {
       .join(sets.withColumnRenamed("__vid", "id_a").withColumnRenamed("__vset", "__set_a"), "id_a")
       .join(sets.withColumnRenamed("__vid", "id_b").withColumnRenamed("__vset", "__set_b"), "id_b")
       .withColumn("jaccard",
-        graft.functions.TextKernels.jaccardSortedUdf(col("__set_a"), col("__set_b")))
+        graft.functions.jaccard_sorted(col("__set_a"), col("__set_b")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -97,7 +97,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = df.select(
       col(idCol),
-      graft.functions.TextKernels.shingleHashSetUdf(n)(col(textCol)).as("__shingles"))
+      graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
     val signed = sh.withColumn("__sig", minhashSignature(col("__shingles")))
     val cands = lshCandidates(signed, idCol, "__sig")
     verifyJaccard(cands, sh, idCol, "__shingles")
@@ -129,7 +129,7 @@ object Dedup {
     * Shuffle-free.
     */
   def simhash64(text: Column): Column =
-    graft.functions.TextKernels.simhash64Udf(text)
+    graft.functions.simhash64(text)
 
   /** SimHash near-dup candidates: two docs are candidates when any of the
     * four 16-bit chunks of their signatures match (pigeonhole: Hamming
@@ -169,7 +169,7 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sets = df.select(
       col(idCol).as("__id"),
-      graft.functions.TextKernels.shingleHashSetUdf(n)(col(textCol)).as("__set"))
+      graft.functions.shingle_hash_set(col(textCol), n).as("__set"))
     val sizes = sets.select(col("__id"), size(col("__set")).cast("long").as("__sz"))
     // inverted index on the 64-bit shingle hash: long join keys shuffle and
     // compare far cheaper than the shingle strings

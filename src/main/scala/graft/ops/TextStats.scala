@@ -116,12 +116,12 @@ object TextStats {
     * docs collide; reordered docs don't. Shuffle-free.
     */
   def rollingFingerprint(text: Column): Column =
-    graft.functions.TextKernels.rollingFingerprintUdf(text)
+    graft.functions.rolling_fingerprint(text)
 
   /** Content fingerprint: min hashed shingle (order-insensitive; robust to
     * shuffling sentences). Used by near-dup candidates as a cheap
     * first-pass bucket key.
     */
   def contentFingerprint(text: Column, n: Int = 3): Column =
-    graft.functions.TextKernels.contentFingerprintUdf(n)(text)
+    graft.functions.content_fingerprint(text, n)
 }

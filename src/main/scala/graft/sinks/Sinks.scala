@@ -31,14 +31,20 @@ object Sinks {
 
   /** S5+S6 — JDBC load: Spark creates the table from the DataFrame schema
     * and appends partition-parallel batches. `batchsize` matches the
-    * psycopg2 `execute_values` batching intent.
+    * psycopg2 `execute_values` batching intent; `columnTypes` carries the
+    * reference's typed DDL (`CREATE TABLE ... resource_id TEXT, latitude
+    * FLOAT, ...`, `json_pipeline.py:743-850`) as Spark's
+    * `createTableColumnTypes` (e.g. `"resource_id VARCHAR(64)"`).
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      props: java.util.Properties, batchSize: Int = 10000): Unit =
-    underscored(df).write
+      props: java.util.Properties, batchSize: Int = 10000,
+      columnTypes: Option[String] = None): Unit = {
+    val w = underscored(df).write
       .mode("overwrite")
       .option("batchsize", batchSize)
-      .jdbc(url, table, props)
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, table, props)
+  }
 
   /** S7 — FK-ordered multi-table load: patient (parent) first, then
     * children, matching the DDL dependency order.
