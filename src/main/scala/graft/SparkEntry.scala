@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
+import graft.fhir.FhirFixtures
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.quality.QualityChecker
 
@@ -340,6 +341,41 @@ object SparkEntry {
           TextStats.contentFingerprint(col("text")).as("content_fp"))
         .orderBy("doc_id")),
 
+    // G-family numeric profiling: exact distribution stats.
+    "numeric_profile" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          count(col("value")).as("n"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"),
+          round(avg(col("value")), 6).as("avg_v"),
+          round(stddev_samp(col("value")), 6).as("stddev_v"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    // Heavy hitters: top-10 users by event volume (deterministic tiebreak).
+    "heavy_hitters" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(desc("n_events"), asc("user_id"))
+        .limit(10)),
+
+    // FHIR pipeline end-to-end over deterministic fixture bundles (no SQL
+    // oracle — the FHIR JSON never exists as a DuckDB-readable table;
+    // correctness is pinned by FhirPipelineSpec, this surfaces it in the
+    // driver's rows-only check).
+    "fhir_pipeline" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("fhir_verify")
+      java.nio.file.Files.writeString(dir.resolve("b1.json"), FhirFixtures.bundle1)
+      java.nio.file.Files.writeString(dir.resolve("b2.json"), FhirFixtures.bundle2)
+      val entries = graft.fhir.BundleReader.normalizedEntries(s, dir.toString).cache()
+      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+      graft.sinks.Sinks.underscored(tables("patient"))
+        .select("resource_id", "patient_id", "full_name", "latitude", "maritalStatus")
+        .orderBy("resource_id")
+    }),
+
     // §2.11 — multimodal plumbing: binary payload + typed metadata.
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
@@ -408,6 +444,21 @@ object SparkEntry {
        |    END, 4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "numeric_profile" ->
+      """SELECT CAST(count(value) AS BIGINT) AS n,
+        |  round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v,
+        |  round(avg(value), 6) AS avg_v,
+        |  round(stddev_samp(value), 6) AS stddev_v,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events""".stripMargin,
+
+    "heavy_hitters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
 
     "extract_first" ->
       """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim,
