@@ -341,6 +341,22 @@ object SparkEntry {
           TextStats.contentFingerprint(col("text")).as("content_fp"))
         .orderBy("doc_id")),
 
+    // As-of (point-in-time) join: for each click, the latest prior-or-equal
+    // view's value per user. µs-truncated on both sides (DuckDB precision).
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts DIV 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      val views = Cleaners.dedupKeepFirst(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "tus", "value", "event_id"),
+          Seq("user_id", "tus"), Seq(col("event_id")))
+        .select(col("user_id"), col("tus").as("vts"), col("value").as("view_value"))
+      graft.ops.AsofJoin.asofJoin(clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("tus").as("ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // G-family numeric profiling: exact distribution stats.
     "numeric_profile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -444,6 +460,20 @@ object SparkEntry {
        |    END, 4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "asof_join" ->
+      """WITH vd AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, value AS view_value,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), v AS (SELECT user_id, vts, view_value FROM vd WHERE rn = 1),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.vts <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
 
     "numeric_profile" ->
       """SELECT CAST(count(value) AS BIGINT) AS n,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join — for each left row, attach the payload of
+  * the latest right row with `rightTime <= leftTime` on the same key.
+  *
+  * Spark has no native ASOF JOIN; the naive formulation (range join +
+  * per-left-row max) explodes to |L|×|R| per key. This implementation is
+  * the scalable union-and-carry-forward form: tag both sides, union, one
+  * shuffle on the key, then a single ordered window pass carries the most
+  * recent right payload forward into each left row —
+  * O((|L|+|R|) log) per key, no pair materialization, AQE-friendly.
+  *
+  * Semantics: inclusive (`<=`); ties on time resolve to the right row
+  * (right sorts before left at equal time). If the right side can hold
+  * multiple rows per (key, time), pre-dedup it (e.g.
+  * [[graft.clean.Cleaners.dedupKeepFirst]]) — the window would otherwise
+  * pick the physically-last one nondeterministically.
+  */
+object AsofJoin {
+
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "payload columns required")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collide with left columns")
+
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val rTagged = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
+        payload.map(col): _*)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__tag") === 1)
+      .select((leftCols ++ payload).map(c => col(s"`$c`")): _*)
+  }
+}
