@@ -693,6 +693,23 @@ object SparkEntry {
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    "lang_id" -> {
+      // generated from TextStats.Stopwords so the two sides cannot drift
+      val scores = TextStats.Stopwords.keys.toSeq.sorted.map { l =>
+        val pat = TextStats.Stopwords(l).mkString("(?i)\\b(", "|", ")\\b")
+        s"SELECT doc_id, '$l' AS lang, len(regexp_extract_all(text, '$pat')) AS cnt FROM documents"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH scores AS (
+         |  $scores
+         |), ranked AS (
+         |  SELECT doc_id, lang, cnt,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn,
+         |    max(cnt) OVER (PARTITION BY doc_id) AS mx
+         |  FROM scores)
+         |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ELSE lang END AS lang_pred
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     "text_quality" -> {
       val upper = """len(regexp_extract_all(text, '[A-Z]'))"""
       s"""SELECT doc_id,
