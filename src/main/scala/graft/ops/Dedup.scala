@@ -157,34 +157,36 @@ object Dedup {
 
   // --- exact n-gram Jaccard via inverted index --------------------------------
 
-  /** Exact all-pairs Jaccard ≥ threshold WITHOUT LSH: build an inverted
-    * index (shingle → doc), self-join on shingle to count intersections,
-    * then join back per-doc set sizes. Never materializes non-overlapping
-    * pairs, so cost is Σ_shingle df(shingle)² — near-linear when no shingle
-    * is degenerate-hot. This is the oracle-checkable exact form; MinHash is
-    * the approximate scale form.
+  /** Exact all-pairs Jaccard ≥ threshold WITHOUT LSH, via prefix filtering
+    * (the AllPairs/PPJoin family, Bayardo et al., WWW'07): under any global
+    * token order — here ascending shingle hash, which the sorted sets give
+    * for free — two sets with J ≥ t MUST share one of each other's first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens. So only that prefix is indexed, the
+    * candidate join runs on the prefix inverted index (Σ df_prefix² ≪
+    * Σ df² — a naive full-index join goes quadratic the moment documents
+    * genuinely overlap, which is exactly when dedup matters), and exact
+    * merge-intersect verification runs per candidate pair. Output equals
+    * the naive form exactly; MinHash+LSH remains the approximate
+    * alternative when even prefix candidates are too many.
     */
   def ngramJaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sets = df.select(
+      col(idCol),
+      graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
+    // prefix length: sz − ceil(t·sz) + 1 (0 for empty sets)
+    val sz = size(col("__shingles"))
+    val prefixLen = greatest(
+      sz - ceil(sz * lit(threshold)).cast("int") + lit(1), lit(0))
+    val prefix = sets.select(
       col(idCol).as("__id"),
-      graft.functions.shingle_hash_set(col(textCol), n).as("__set"))
-    val sizes = sets.select(col("__id"), size(col("__set")).cast("long").as("__sz"))
-    // inverted index on the 64-bit shingle hash: long join keys shuffle and
-    // compare far cheaper than the shingle strings
-    val inv = sets.select(col("__id"), explode(col("__set")).as("__sh"))
-    val inter = inv.as("l").join(inv.as("r"),
+      explode(slice(col("__shingles"), lit(1), prefixLen)).as("__sh"))
+    val cands = prefix.as("l").join(prefix.as("r"),
         col("l.__sh") === col("r.__sh") && col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("__inter") * lit(1.0) /
-          (col("__sz_a") + col("__sz_b") - col("__inter")), 6))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sets, idCol, "__shingles")
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }
