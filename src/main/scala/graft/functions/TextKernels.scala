@@ -127,6 +127,27 @@ object TextKernels {
     sig
   }
 
+  /** LSH band hashes of a MinHash signature: band b's hash mixes rows
+    * [b·r, (b+1)·r). One kernel pass (the HOF form —
+    * `transform(sequence, b => xxhash64(slice(sig, ...)))` — is
+    * interpreted per band).
+    */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = FnvOffset ^ b
+      var r = 0
+      while (r < rowsPerBand) {
+        h = mix64(h ^ sig(b * rowsPerBand + r)) * FnvPrime
+        r += 1
+      }
+      out(b) = mix64(h)
+      b += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over the whitespace-token multiset. */
   def simhash64(text: String): java.lang.Long = {
     if (text == null) return null
@@ -200,6 +221,9 @@ object TextKernels {
   def minhashSignatureArray(hashes: ArrayData, k: Int): ArrayData =
     if (hashes.numElements() == 0) null
     else UnsafeArrayData.fromPrimitiveArray(minhashSignature(hashes.toLongArray(), k))
+
+  def bandHashesArray(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(bandHashes(sig.toLongArray(), bands, rowsPerBand))
 
   def simhash64U(s: UTF8String): Long = simhash64(s.toString).longValue()
 

@@ -50,6 +50,19 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** LSH band hashes of a MinHash signature. */
+  case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_band_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.bandHashesArray(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bandHashesArray($c, $bands, $rowsPerBand)")
+    override protected def withNewChildInternal(newChild: Expression): BandHashes =
+      copy(child = newChild)
+  }
+
   /** 64-bit SimHash of the whitespace-token multiset. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {

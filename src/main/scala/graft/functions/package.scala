@@ -21,6 +21,10 @@ package object functions {
   def minhash_signature(hashes: Column, k: Int): Column =
     c(expressions.MinhashSignature(e(hashes), k))
 
+  /** LSH band hashes of a MinHash signature. */
+  def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    c(expressions.BandHashes(e(sig), bands, rowsPerBand))
+
   /** 64-bit SimHash of the whitespace-token multiset. */
   def simhash64(text: Column): Column =
     c(expressions.SimHash64(e(text)))

@@ -56,10 +56,7 @@ object Dedup {
       .filter(col(sigCol).isNotNull)
       .select(
         col(idCol).as("__id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(Bands - 1)),
-            b => xxhash64(slice(col(sigCol), b * RowsPerBand + 1, lit(RowsPerBand)), b)))
+        posexplode(graft.functions.band_hashes(col(sigCol), Bands, RowsPerBand))
           .as(Seq("band_idx", "band_hash")))
     val l = bands.as("l")
     val r = bands.as("r")

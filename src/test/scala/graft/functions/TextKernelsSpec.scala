@@ -69,6 +69,26 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.contentFingerprint("", 3) == 0L)
   }
 
+  test("bandHashes: deterministic, band-local (row change only touches its band)") {
+    val sig = Array.tabulate(128)(i => i * 31L)
+    val b1 = TextKernels.bandHashes(sig, 32, 4)
+    val b2 = TextKernels.bandHashes(sig, 32, 4)
+    assert(b1.toSeq == b2.toSeq && b1.length == 32)
+    val sig2 = sig.clone(); sig2(5) += 1 // row 5 lives in band 1
+    val b3 = TextKernels.bandHashes(sig2, 32, 4)
+    assert(b3(1) != b1(1))
+    assert(b3.indices.filterNot(_ == 1).forall(i => b3(i) == b1(i)))
+  }
+
+  test("unicode safety: CJK, emoji, surrogate pairs don't break kernels") {
+    val cjk = "你好 世界 朋友 你好 世界"
+    assert(TextKernels.shingleHashSet(cjk, 2).length == 3)
+    assert(TextKernels.simhash64(cjk) == TextKernels.simhash64(cjk))
+    val emoji = "a 🎉🎊 b 😀 c"
+    assert(TextKernels.shingleHashSet(emoji, 2).nonEmpty)
+    assert(TextKernels.rollingFingerprint(emoji) != TextKernels.rollingFingerprint("a b c"))
+  }
+
   test("jaccardSorted: exact merge intersection") {
     val a = Array(1L, 3L, 5L, 7L)
     val b = Array(3L, 5L, 9L)
