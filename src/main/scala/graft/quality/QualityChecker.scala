@@ -62,7 +62,8 @@ object QualityChecker {
     * the first aggregate is map-side combined on the key columns only.
     */
   def duplicateMembership(df: DataFrame, keys: Seq[String], errorType: String, tableName: String): DataFrame = {
-    val sized = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    // backticked refs: keys may be literal dotted names (`resource.id`)
+    val sized = df.groupBy(keys.map(k => col(s"`$k`")): _*).agg(count(lit(1)).as("__n"))
     val total = sized.agg(
       sum(when(col("__n") > 1, col("__n")).otherwise(lit(0L))).as("error_count"),
       sum(col("__n")).as("__total"))
