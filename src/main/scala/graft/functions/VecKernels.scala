@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Dense-vector kernels for embedding similarity. Same rationale as
+  * [[TextKernels]]: the HOF formulation (`aggregate(zip_with(a, b, _*_),
+  * ...)`) is interpreted per element; these loop in primitive doubles.
+  * Accumulation is sequential left-to-right double precision — identical
+  * to the HOF form and the DuckDB oracle, so results hash-match.
+  */
+object VecKernels {
+
+  /** Dot product; element access dispatched on the array element width
+    * (float embeddings vs double-cast arrays).
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}

@@ -102,6 +102,29 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Dot product of two numeric array columns (float or double elements),
+    * in sequential double precision.
+    */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_vec_dot"
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(s"vec_dot needs array<float|double>, got $t")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloat(left), isFloat(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VecKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDot =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Exact Jaccard of two sorted long arrays; null when both empty. */
   case class JaccardSorted(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -41,6 +41,10 @@ package object functions {
   def jaccard_sorted(a: Column, b: Column): Column =
     c(expressions.JaccardSorted(e(a), e(b)))
 
+  /** Dot product of two numeric array columns (double precision). */
+  def vec_dot(a: Column, b: Column): Column =
+    c(expressions.VecDot(e(a), e(b)))
+
   /** Make the functions SQL-callable on an already-built session
     * (`SELECT graft_simhash64(text) FROM docs`). For sessions built from
     * config, `spark.sql.extensions=graft.functions.GraftExtensions` does

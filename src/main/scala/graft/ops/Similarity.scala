@@ -15,14 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length array columns, in double precision.
-    * `zip_with` multiply + left-to-right `aggregate` sum keeps the whole
-    * computation inside codegen'd higher-order functions — no UDF.
+  /** Dot product of two equal-length array columns, in sequential double
+    * precision — a native codegen'd expression
+    * ([[graft.functions.expressions.VecDot]]); the HOF formulation
+    * (`aggregate(zip_with(...))`) is interpreted per element.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -62,23 +60,24 @@ object Similarity {
   // --- random-hyperplane LSH (the 100 TB path) -------------------------------
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 mapped to [−1, 1]. No RNG state, so plans are reproducible
-    * and executors regenerate identical planes with zero coordination.
+    * SplitMix64 mapped to [−1, 1]. Computed driver-side into literal
+    * arrays — no RNG state, no per-row regeneration; executors see plain
+    * constants in the plan.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+  private def planeComponent(plane: Int, d: Int): Double =
+    java.lang.Math.floorMod(
+      graft.functions.TextKernels.mix64(plane * graft.functions.TextKernels.Gamma + d),
+      2000001L).toDouble / 1000000.0 - 1.0
 
   /** LSH bucket signature: one sign bit per hyperplane, packed into a long.
     * Vectors with high cosine land in the same bucket with probability
-    * (1 − θ/π) per plane.
+    * (1 − θ/π) per plane. Each projection is one codegen'd [[dot]] against
+    * a constant plane array.
     */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
