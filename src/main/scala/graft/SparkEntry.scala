@@ -392,6 +392,12 @@ object SparkEntry {
         .orderBy("resource_id")
     }),
 
+    // §2.11 — per-source corpus overlap via MinHash-union custom aggregate
+    // (sketch-sized shuffle; no SQL oracle — hash-based estimate).
+    "source_overlap" -> ((s, dir) =>
+      Dedup.groupOverlap(t(s, dir, "documents"), "source", "text")
+        .orderBy("group_a", "group_b")),
+
     // §2.11 — multimodal plumbing: binary payload + typed metadata.
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")

@@ -45,6 +45,23 @@ package object functions {
   def vec_dot(a: Column, b: Column): Column =
     c(expressions.VecDot(e(a), e(b)))
 
+  /** Aggregate: element-wise min of MinHash signatures = the signature of
+    * the group's union (for group-vs-group Jaccard estimation).
+    */
+  def minhash_union(sig: Column, k: Int): Column =
+    c(MinHashUnionAgg(e(sig), k).toAggregateExpression())
+
+  /** Estimated Jaccard between two MinHash signatures: fraction of
+    * agreeing positions.
+    */
+  def minhash_agreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{size => asize, _}
+    round(
+      asize(org.apache.spark.sql.functions.filter(
+        zip_with(a, b, (x, y) => x === y), p => p))
+        .cast("double") / asize(a), 6)
+  }
+
   /** Make the functions SQL-callable on an already-built session
     * (`SELECT graft_simhash64(text) FROM docs`). For sessions built from
     * config, `spark.sql.extensions=graft.functions.GraftExtensions` does

@@ -116,6 +116,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Estimated pairwise corpus overlap between groups (sources, languages,
+    * shards): per-group MinHash-union sketch via the
+    * [[graft.functions.MinHashUnionAgg]] custom aggregate, then signature
+    * agreement between group pairs. Shuffle cost: k longs per group —
+    * independent of group size, so this profiles overlap across a 100 TB
+    * corpus with a sketch-sized shuffle. Output: (group_a, group_b,
+    * est_jaccard), group_a < group_b.
+    */
+  def groupOverlap(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3, k: Int = NumHashes): DataFrame = {
+    val sigs = df
+      .select(
+        col(groupCol).as("__grp"),
+        minhashSignature(
+          graft.functions.shingle_hash_set(col(textCol), n), k).as("__sig"))
+      .groupBy("__grp")
+      .agg(graft.functions.minhash_union(col("__sig"), k).as("__gsig"))
+      .filter(col("__gsig").isNotNull)
+    sigs.as("l").join(sigs.as("r"), col("l.__grp") < col("r.__grp"))
+      .select(
+        col("l.__grp").as("group_a"), col("r.__grp").as("group_b"),
+        graft.functions.minhash_agreement(col("l.__gsig"), col("r.__gsig"))
+          .as("est_jaccard"))
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: bit j of the signature is the

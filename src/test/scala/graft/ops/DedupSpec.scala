@@ -62,6 +62,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L))
   }
 
+  test("groupOverlap: identical corpora ≈ 1.0, disjoint ≈ 0.0, partial in between") {
+    val grouped = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s1", "one two three four five six seven eight"),
+      ("s2", "alpha beta gamma delta epsilon zeta eta theta"),   // = s1 doc1
+      ("s2", "one two three four five six seven eight"),          // = s1 doc2
+      ("s3", "totally different words nothing shared here at all"),
+      ("s4", "alpha beta gamma delta epsilon zeta eta theta"))    // half of s1
+      .toDF("source", "text")
+    val est = Dedup.groupOverlap(grouped, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("s1", "s2")) == 1.0, "identical corpora")
+    assert(est(("s1", "s3")) < 0.1, "disjoint corpora")
+    assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
+  }
+
   test("simhash64 is deterministic and sensitive to token multiset") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
