@@ -407,6 +407,16 @@ object SparkEntry {
           sha2(col("payload"), 256).as("payload_sha256"))
         .orderBy("media_id")),
 
+    // §2.11 — frame sampling fan-out over video-like payloads (stubbed
+    // decode; real flatMap-in-mapPartitions plumbing).
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"),
+        strideBytes = 128, maxFrames = 4)
+        .toDF()
+        .select("media_id", "frame_idx", "offset")
+        .orderBy("media_id", "frame_idx")),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.extractFeatures(

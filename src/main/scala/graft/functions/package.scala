@@ -85,5 +85,9 @@ package object functions {
       args => expressions.ContentFingerprint(args(0), lit(args(1))))
     ColumnShim.register(spark, "graft_jaccard_sorted",
       args => expressions.JaccardSorted(args(0), args(1)))
+    ColumnShim.register(spark, "graft_vec_dot",
+      args => expressions.VecDot(args(0), args(1)))
+    ColumnShim.register(spark, "graft_band_hashes",
+      args => expressions.BandHashes(args(0), lit(args(1)), lit(args(2))))
   }
 }

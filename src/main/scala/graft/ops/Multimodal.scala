@@ -45,6 +45,48 @@ object Multimodal {
       media_id: Long, n_bytes: Long, byte_mean: Double, byte_entropy_q: Long,
       feature: Array[Float])
 
+  final case class FrameFeatures(
+      media_id: Long, frame_idx: Int, offset: Long, frame_feature: Array[Float])
+
+  /** Frame sampling over video-like payloads: emit one feature vector per
+    * sampled frame (every `strideBytes` of payload, up to `maxFrames`).
+    * The frame decode is STUBBED (no codecs in this environment) as a
+    * deterministic digest of the frame's byte window; the Spark shape —
+    * one input row fanning out to N typed frame rows via `flatMap` inside
+    * `mapPartitions`, decoder handle reused per partition — is the real
+    * scale path (at 100 TB the fan-out happens executor-side, never
+    * driver-side).
+    */
+  def sampleFrames(
+      media: DataFrame, strideBytes: Int = 4096, maxFrames: Int = 8,
+      featureDim: Int = 4): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder seam (see extractFeatures)
+        val decodeFrame: (Array[Byte], Int, Int) => Array[Float] = { (bytes, from, until) =>
+          val out = new Array[Float](featureDim)
+          var i = from
+          while (i < until && i < bytes.length) {
+            out((i - from) % featureDim) += (bytes(i) & 0xff) / 255f
+            i += 1
+          }
+          out
+        }
+        it.flatMap { case (id, bytes) =>
+          val nFrames = math.min(
+            maxFrames, math.max(1, (bytes.length + strideBytes - 1) / strideBytes))
+          (0 until nFrames).iterator.map { f =>
+            val from = f * strideBytes
+            FrameFeatures(id, f, from.toLong,
+              decodeFrame(bytes, from, math.min(from + strideBytes, bytes.length)))
+          }
+        }
+      }
+  }
+
   /** Batch feature extraction over the payload column.
     *
     * `mapPartitions` gives one iterator per partition: a real

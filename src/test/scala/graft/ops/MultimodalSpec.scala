@@ -21,6 +21,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") >= 1 && meta.getAs[Int]("width") <= 1920)
   }
 
+  test("sampleFrames: fan-out per stride, capped, deterministic, empty-safe") {
+    val big = Seq((1L, "x" * 10000), (2L, "y"), (3L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMediaTable(big, "doc_id", "text"), strideBytes = 4096, maxFrames = 8)
+      .collect().groupBy(_.media_id)
+    assert(frames(1L).length == 3, "10000 bytes / 4096 stride → 3 frames")
+    assert(frames(1L).map(_.offset).sorted.toSeq == Seq(0L, 4096L, 8192L))
+    assert(frames(2L).length == 1 && frames(3L).length == 1, "tiny/empty → 1 frame")
+    val again = Multimodal.sampleFrames(
+      Multimodal.asMediaTable(big, "doc_id", "text"), strideBytes = 4096, maxFrames = 8)
+      .collect().groupBy(_.media_id)
+    assert(frames(1L).map(_.frame_feature.toSeq).toSet ==
+      again(1L).map(_.frame_feature.toSeq).toSet)
+  }
+
   test("extractFeatures: deterministic stub features, fixed dim, empty payload safe") {
     val feats = Multimodal.extractFeatures(
       Multimodal.asMediaTable(docs, "doc_id", "text"), featureDim = 4)
