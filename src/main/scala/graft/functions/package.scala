@@ -89,5 +89,7 @@ package object functions {
       args => expressions.VecDot(args(0), args(1)))
     ColumnShim.register(spark, "graft_band_hashes",
       args => expressions.BandHashes(args(0), lit(args(1)), lit(args(2))))
+    ColumnShim.register(spark, "graft_minhash_union",
+      args => MinHashUnionAgg(args(0), lit(args(1))).toAggregateExpression())
   }
 }

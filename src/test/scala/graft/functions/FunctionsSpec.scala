@@ -68,6 +68,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("j") == 1.0)
   }
 
+  test("GraftExtensions injects all functions without error") {
+    // extensions bind at session build; here we apply to a fresh
+    // SparkSessionExtensions and confirm every builder registers
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("minhash_union SQL aggregate via registerSql") {
+    registerSql(spark)
+    docs.filter(col("text").isNotNull).createOrReplaceTempView("fdocs2")
+    val sig = spark.sql(
+      """SELECT graft_minhash_union(
+        |  graft_minhash_signature(graft_shingle_hash_set(text, 3), 16), 16) AS s
+        |FROM fdocs2""".stripMargin).collect()(0)
+    assert(sig.getAs[scala.collection.Seq[Long]]("s").length == 16)
+  }
+
   test("projection with custom expressions stays in whole-stage codegen") {
     // a real file source (local relations constant-fold before planning)
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
