@@ -467,12 +467,15 @@ object SparkEntry {
   private val digitSql = """len(regexp_extract_all(text, '[0-9]'))"""
   private val stopSql = """len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|it|that|for)\b'))"""
   private val ntokSql = """len(string_split_regex(trim(text), '\s+'))"""
+  // single exact-integer division — see TextStats.qualityMetrics
   private val scoreSql =
     s"""round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
-       |    1.0 * least($ntokSql * 1.0 / 50.0, 1.0)
-       |        * (1.0 - least($punctSql * 2.0 / greatest(length(text), 1), 1.0))
-       |        * (1.0 - least($digitSql * 2.0 / greatest(length(text), 1), 1.0))
-       |        * least(round($stopSql * 1.0 / greatest($ntokSql, 1), 4) * 5.0 + 0.2, 1.0)
+       |    CAST(least($ntokSql, 50)
+       |      * greatest(length(text) - 2 * $punctSql, 0)
+       |      * greatest(length(text) - 2 * $digitSql, 0)
+       |      * least(25 * $stopSql + greatest($ntokSql, 1), 5 * greatest($ntokSql, 1)) AS DOUBLE)
+       |    / CAST(250 * greatest(length(text), 1) * greatest(length(text), 1)
+       |      * greatest($ntokSql, 1) AS DOUBLE)
        |    END, 4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(

@@ -80,13 +80,20 @@ object TextStats {
     val stopRatio = round(nStop * lit(1.0) / safeTok, 4)
     val meanTokLen = round(nChars * lit(1.0) / safeTok, 4)
     // Composite: long enough, some stopwords, not punctuation/digit soup.
+    // Stated as ONE division of exact int64 products — a chain of double
+    // multiplications drifts in the last ulp between engines and can flip
+    // round(,4) at a boundary (seen at sf0.1), while identical integers
+    // divide identically everywhere. Factors (each in [0,1]):
+    //   min(tok,50)/50 · max(chars−2·punct,0)/chars ·
+    //   max(chars−2·digit,0)/chars · min(25·stop+tok, 5·tok)/(5·tok)
+    val num = least(nTok, lit(50L)) *
+      greatest(nChars - lit(2L) * nPunct, lit(0L)) *
+      greatest(nChars - lit(2L) * nDigit, lit(0L)) *
+      least(lit(25L) * nStop + safeTok, lit(5L) * safeTok)
+    val den = lit(250L) * safeChars * safeChars * safeTok
     val score = round(
-      when(nChars < 20, lit(0.0)).otherwise(
-        lit(1.0)
-          * least(nTok * lit(1.0) / lit(50.0), lit(1.0))
-          * (lit(1.0) - least(nPunct * lit(2.0) / safeChars, lit(1.0)))
-          * (lit(1.0) - least(nDigit * lit(2.0) / safeChars, lit(1.0)))
-          * least(stopRatio * lit(5.0) + lit(0.2), lit(1.0))), 4)
+      when(nChars < 20, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double")), 4)
     Seq(
       nChars.as("n_chars"), nTok.as("n_tokens"), meanTokLen.as("mean_token_len"),
       nPunct.as("n_punct"), punctRatio.as("punct_ratio"),
