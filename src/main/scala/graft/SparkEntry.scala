@@ -235,7 +235,7 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          element_at(col("embedding"), 1).cast("double").as("first_dim"),
+          try_element_at(col("embedding"), lit(1)).cast("double").as("first_dim"),
           size(col("embedding")).cast("long").as("dim"))
         .orderBy("vec_id")),
 
@@ -434,7 +434,7 @@ object SparkEntry {
   /** Shared SQL fragment: word-3-gram shingle sets per document. */
   private val shingleCte =
     """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |), sh AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(w) >= 3
@@ -466,17 +466,26 @@ object SparkEntry {
   private val punctSql = """len(regexp_extract_all(text, '[[:punct:]]'))"""
   private val digitSql = """len(regexp_extract_all(text, '[0-9]'))"""
   private val stopSql = """len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|it|that|for)\b'))"""
-  private val ntokSql = """len(string_split_regex(trim(text), '\s+'))"""
-  // single exact-integer division — see TextStats.qualityMetrics
-  private val scoreSql =
+  // strip ALL leading/trailing whitespace (trim() is space-only), matching
+  // TextStats.whitespaceTokens / TextKernels.tokenBounds
+  private val strippedSql = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
+  private val ntokSql = s"""len(string_split_regex($strippedSql, '\\s+'))"""
+  // true token count: split of an empty string yields [''] (len 1), the
+  // Spark side yields 0 — guard like TextStats does
+  private val tok0Sql = s"CASE WHEN length($strippedSql) = 0 THEN 0 ELSE $ntokSql END"
+  // single exact-integer division with the same 1e5/1e6 caps as
+  // TextStats.qualityMetrics (overflow safety under int64)
+  private val scoreSql = {
+    val capC = "least(greatest(length(text), 1), 100000)"
+    val capT = s"least(greatest($tok0Sql, 1), 1000000)"
     s"""round(CASE WHEN length(text) < 20 THEN 0.0 ELSE
-       |    CAST(least($ntokSql, 50)
-       |      * greatest(length(text) - 2 * $punctSql, 0)
-       |      * greatest(length(text) - 2 * $digitSql, 0)
-       |      * least(25 * $stopSql + greatest($ntokSql, 1), 5 * greatest($ntokSql, 1)) AS DOUBLE)
-       |    / CAST(250 * greatest(length(text), 1) * greatest(length(text), 1)
-       |      * greatest($ntokSql, 1) AS DOUBLE)
+       |    CAST(least($tok0Sql, 50)
+       |      * greatest($capC - 2 * $punctSql, 0)
+       |      * greatest($capC - 2 * $digitSql, 0)
+       |      * least(25 * $stopSql + $capT, 5 * $capT) AS DOUBLE)
+       |    / CAST(250 * $capC * $capC * $capT AS DOUBLE)
        |    END, 4)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -733,7 +742,7 @@ object SparkEntry {
       val upper = """len(regexp_extract_all(text, '[A-Z]'))"""
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $ntokSql END AS BIGINT) AS n_tokens,
+         |  CAST($tok0Sql AS BIGINT) AS n_tokens,
          |  round(length(text) * 1.0 / greatest($ntokSql, 1), 4) AS mean_token_len,
          |  CAST($punctSql AS BIGINT) AS n_punct,
          |  round($punctSql * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
@@ -747,8 +756,8 @@ object SparkEntry {
 
     "token_count" ->
       """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+        |  CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -32,8 +32,11 @@ case class MinHashUnionAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
+      // bound by the actual array too: UnsafeArrayData.getLong has no
+      // bounds check, and SQL callers can pass sigs shorter than k
+      val n = math.min(k, arr.numElements())
       var i = 0
-      while (i < k) {
+      while (i < n) {
         val x = arr.getLong(i)
         if (x < buf(i)) buf(i) = x
         i += 1

@@ -48,8 +48,12 @@ object TextKernels {
 
   def hashString(s: String): Long = hashRange(s, 0, s.length)
 
+  /** Java-regex `\s` semantics exactly ([ \t\n\x0B\f\r]) — NOT
+    * Character.isWhitespace, whose unicode extras would diverge from
+    * `split("\\s+")` in TextStats and the engines' regex tokenizers.
+    */
   @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || Character.isWhitespace(c)
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Token boundaries as (start, end) index pairs — no substring alloc. */
   private def tokenBounds(s: String): Array[Int] = {

@@ -14,7 +14,9 @@ object VecKernels {
     * (float embeddings vs double-cast arrays).
     */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = a.numElements()
+    // min of both lengths: UnsafeArrayData has NO bounds checks, so an
+    // uneven pair would silently read adjacent memory
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -33,19 +33,22 @@ object AsofJoin {
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
+    // payload travels as ONE struct per right row: `last(ignoreNulls)` must
+    // skip left rows but NOT right rows whose payload value is null — and
+    // with several payload columns carried independently, one output row
+    // could otherwise mix values from different right rows
     val rTagged = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag")) ++
-        payload.map(col): _*)
+      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+        struct(payload.map(col): _*).as("__pay"): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select((leftCols ++ payload).map(c => col(s"`$c`")): _*)
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        payload.map(c => col("__pay").getField(c).as(c)): _*)
   }
 }

@@ -92,12 +92,18 @@ object Dedup {
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(
+    // persist the kernel pass: this frame feeds the band self-join (twice)
+    // and both verify joins — without it Spark recomputes the dominant
+    // shingle+signature cost up to 4×. MEMORY_AND_DISK spills rather than
+    // OOMs at scale; entries are LRU-evicted (library can't know when the
+    // caller's last action runs, so no unpersist here).
+    val signed = df.select(
       col(idCol),
       graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
-    val signed = sh.withColumn("__sig", minhashSignature(col("__shingles")))
+      .withColumn("__sig", minhashSignature(col("__shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(signed, idCol, "__sig")
-    verifyJaccard(cands, sh, idCol, "__shingles")
+    verifyJaccard(cands, signed, idCol, "__shingles")
       .filter(col("jaccard") >= threshold)
   }
 
@@ -198,6 +204,7 @@ object Dedup {
     val sets = df.select(
       col(idCol),
       graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // prefix length: sz − ceil(t·sz) + 1 (0 for empty sets)
     val sz = size(col("__shingles"))
     val prefixLen = greatest(

@@ -75,7 +75,8 @@ object Multimodal {
           }
           out
         }
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
           val nFrames = math.min(
             maxFrames, math.max(1, (bytes.length + strideBytes - 1) / strideBytes))
           (0 until nFrames).iterator.map { f =>
@@ -126,7 +127,8 @@ object Multimodal {
           }
           out
         }
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
           val n = bytes.length.toLong
           var sum = 0L
           var i = 0

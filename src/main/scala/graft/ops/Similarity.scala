@@ -53,7 +53,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -105,7 +105,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 

@@ -14,9 +14,14 @@ object TextStats {
     * whitespace word handling in its join/concat ops, e.g.
     * `json_pipeline.py:235`). `split` on `\s+` after trim; empty text → 0.
     */
-  def whitespaceTokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  def whitespaceTokens(text: Column): Column = {
+    // strip ALL leading/trailing whitespace: trim() removes only spaces,
+    // which would leave a leading empty token after split on tab/newline-
+    // prefixed text and diverge from TextKernels' tokenizer
+    val stripped = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(stripped) === 0, array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   def tokenCount(text: Column): Column = size(whitespaceTokens(text))
 
@@ -84,13 +89,18 @@ object TextStats {
     // multiplications drifts in the last ulp between engines and can flip
     // round(,4) at a boundary (seen at sf0.1), while identical integers
     // divide identically everywhere. Factors (each in [0,1]):
-    //   min(tok,50)/50 · max(chars−2·punct,0)/chars ·
-    //   max(chars−2·digit,0)/chars · min(25·stop+tok, 5·tok)/(5·tok)
+    //   min(tok,50)/50 · max(C−2·punct,0)/C · max(C−2·digit,0)/C ·
+    //   min(25·stop+T, 5·T)/(5·T)
+    // with C = chars capped at 1e5 and T = tokens capped at 1e6 so the
+    // products stay ≤ 2.5e18 < Long.MaxValue — uncapped, a megabyte
+    // document overflows and ANSI mode (Spark 4 default) aborts the query.
+    val capC = least(safeChars, lit(100000L))
+    val capT = least(safeTok, lit(1000000L))
     val num = least(nTok, lit(50L)) *
-      greatest(nChars - lit(2L) * nPunct, lit(0L)) *
-      greatest(nChars - lit(2L) * nDigit, lit(0L)) *
-      least(lit(25L) * nStop + safeTok, lit(5L) * safeTok)
-    val den = lit(250L) * safeChars * safeChars * safeTok
+      greatest(capC - lit(2L) * nPunct, lit(0L)) *
+      greatest(capC - lit(2L) * nDigit, lit(0L)) *
+      least(lit(25L) * nStop + capT, lit(5L) * capT)
+    val den = lit(250L) * capC * capC * capT
     val score = round(
       when(nChars < 20, lit(0.0))
         .otherwise(num.cast("double") / den.cast("double")), 4)

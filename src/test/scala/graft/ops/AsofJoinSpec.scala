@@ -25,6 +25,27 @@ class AsofJoinSpec extends SparkSpec {
       ("C", 7L, 5, None)))          // no quotes for key
   }
 
+  test("a NULL payload on the latest right row is attached as NULL, not skipped") {
+    val q = Seq(
+      ("A", 8L, Some(100.0)), ("A", 20L, None))  // latest quote has null px
+      .toDF("sym", "qt", "px")
+    val out = AsofJoin.asofJoin(
+      trades.filter($"t" === 25L), q, Seq("sym"), "t", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Int, Option[Double])].collect().toSeq
+    assert(out == Seq((3, None)), "DuckDB ASOF semantics: latest row wins even when its payload is null")
+  }
+
+  test("multiple payload columns always come from the SAME right row") {
+    val q = Seq(
+      ("A", 8L, Some(100.0), Some("early")),
+      ("A", 20L, None, Some("late")))
+      .toDF("sym", "qt", "px", "src")
+    val out = AsofJoin.asofJoin(
+      trades.filter($"t" === 25L), q, Seq("sym"), "t", "qt", Seq("px", "src"))
+      .select("px", "src").as[(Option[Double], Option[String])].collect().toSeq
+    assert(out == Seq((None, Some("late"))), "no mixing of rows across payload columns")
+  }
+
   test("left row count preserved; payload collision rejected") {
     assert(AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px")).count()
       == trades.count())
