@@ -167,6 +167,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
     val signed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = signed.select(
       col("__id"), col("__sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
