@@ -36,6 +36,11 @@ object ScaleProbe {
     }
 
     def time(name: String, df: => DataFrame): Double = {
+      // isolate measurements: the dedup ops persist their kernel-pass
+      // frames (deliberately, see Dedup scaladoc); letting those
+      // accumulate across probes causes eviction thrash that measured 3×
+      // worse than any op in isolation
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9

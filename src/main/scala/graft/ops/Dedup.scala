@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   * quadratic in the corpus: candidate generation always goes through a
   * bucket (band-hash / bit-chunk / shared-shingle) shuffle join, and the
   * expensive verification runs only on candidate pairs.
+  *
+  * Caching contract: the near-dup operators persist their kernel-pass
+  * projections (MEMORY_AND_DISK) because each feeds 2–4 plan subtrees; a
+  * library function cannot know when the caller's final action runs, so
+  * nothing is unpersisted here. Long-running sessions composing MANY
+  * dedup calls should `spark.catalog.clearCache()` between batches —
+  * accumulated entries otherwise cause eviction thrash (measured 3×
+  * slowdown when four ops' caches stack on one small executor).
   */
 object Dedup {
 
