@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine optimizer rules (length prefilter for jaccard thresholds)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
     // Warm up codegen/JIT/parquet-reader paths so the first timed query
     // doesn't absorb one-time session costs.
     spark.range(1000000).selectExpr("sum(id)").collect()

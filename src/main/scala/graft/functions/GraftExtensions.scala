@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthFilter)
     def info(name: String) = new ExpressionInfo("graft.functions.expressions", name)
     ext.injectFunction((FunctionIdentifier("graft_shingle_hash_set"),
       info("graft_shingle_hash_set"),
