@@ -249,6 +249,17 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang", "source")),
 
+    // Grouping sets: corpus stats at every (lang, source) aggregation level.
+    "corpus_cube" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("lang", "source")),
+
     // §2.11 — training-data curation: quality-score + language filter.
     "quality_filter" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -528,6 +539,14 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "corpus_cube" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |  coalesce(source, '<all>') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "quality_filter" ->
       s"""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
