@@ -137,6 +137,9 @@ object TextKernels {
     * interpreted per band).
     */
   def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    // SQL callers can pass sigs shorter than bands·rowsPerBand; null beats
+    // a per-row ArrayIndexOutOfBounds (the expression is nullable)
+    if (sig == null || sig.length < bands * rowsPerBand) return null
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -226,8 +229,10 @@ object TextKernels {
     if (hashes.numElements() == 0) null
     else UnsafeArrayData.fromPrimitiveArray(minhashSignature(hashes.toLongArray(), k))
 
-  def bandHashesArray(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(bandHashes(sig.toLongArray(), bands, rowsPerBand))
+  def bandHashesArray(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = bandHashes(sig.toLongArray(), bands, rowsPerBand)
+    if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
+  }
 
   def simhash64U(s: UTF8String): Long = simhash64(s.toString).longValue()
 

@@ -11,15 +11,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 object VecKernels {
 
   /** Dot product; element access dispatched on the array element width
-    * (float embeddings vs double-cast arrays).
+    * (float embeddings vs double-cast arrays). Null when any consumed
+    * element is null — matching the `aggregate(zip_with(...))` HOF form
+    * (reading null slots as 0.0 would silently fabricate values).
     */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     // min of both lengths: UnsafeArrayData has NO bounds checks, so an
     // uneven pair would silently read adjacent memory
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y

@@ -50,15 +50,21 @@ object expressions {
       copy(child = newChild)
   }
 
-  /** LSH band hashes of a MinHash signature. */
+  /** LSH band hashes of a MinHash signature; null when the signature is
+    * shorter than bands·rowsPerBand.
+    */
   case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_band_hashes"
     override protected def nullSafeEval(input: Any): Any =
       TextKernels.bandHashesArray(input.asInstanceOf[ArrayData], bands, rowsPerBand)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$K.bandHashesArray($c, $bands, $rowsPerBand)")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = $K.bandHashesArray($c, $bands, $rowsPerBand);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+           |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): BandHashes =
       copy(child = newChild)
   }
@@ -103,23 +109,41 @@ object expressions {
   }
 
   /** Dot product of two numeric array columns (float or double elements),
-    * in sequential double precision.
+    * in sequential double precision; null when inputs or any consumed
+    * element are null.
     */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_vec_dot"
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
-      case ArrayType(DoubleType, _) => false
-      case t => throw new IllegalArgumentException(s"vec_dot needs array<float|double>, got $t")
+      case _ => false
     }
+    private def supported(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    // analysis-time rejection: without this, wrong element types would
+    // surface as executor-side failures instead of an AnalysisException
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (supported(left) && supported(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> arguments, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
     override protected def nullSafeEval(a: Any, b: Any): Any =
       VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
         isFloat(left), isFloat(right))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.VecKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("dotv")
+        s"""java.lang.Double $tmp = graft.functions.VecKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.doubleValue(); }
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecDot =
       copy(left = newLeft, right = newRight)

@@ -62,34 +62,43 @@ package object functions {
         .cast("double") / asize(a), 6)
   }
 
+  private[functions] def intLitArg(ex: Expression): Int = ex match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal argument, got $other")
+  }
+
+  /** The single name → expression-builder table both registration paths
+    * ([[registerSql]] and [[GraftExtensions]]) consume — one list, no
+    * drift between live-session and config-built SQL surfaces.
+    */
+  private[functions] val sqlFunctionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hash_set" ->
+      ((args: Seq[Expression]) => expressions.ShingleHashSet(args(0), intLitArg(args(1)))),
+    "graft_minhash_signature" ->
+      ((args: Seq[Expression]) => expressions.MinhashSignature(args(0), intLitArg(args(1)))),
+    "graft_band_hashes" ->
+      ((args: Seq[Expression]) => expressions.BandHashes(args(0), intLitArg(args(1)), intLitArg(args(2)))),
+    "graft_simhash64" ->
+      ((args: Seq[Expression]) => expressions.SimHash64(args(0))),
+    "graft_rolling_fingerprint" ->
+      ((args: Seq[Expression]) => expressions.RollingFingerprint(args(0))),
+    "graft_content_fingerprint" ->
+      ((args: Seq[Expression]) => expressions.ContentFingerprint(args(0), intLitArg(args(1)))),
+    "graft_jaccard_sorted" ->
+      ((args: Seq[Expression]) => expressions.JaccardSorted(args(0), args(1))),
+    "graft_vec_dot" ->
+      ((args: Seq[Expression]) => expressions.VecDot(args(0), args(1))),
+    "graft_minhash_union" ->
+      ((args: Seq[Expression]) => MinHashUnionAgg(args(0), intLitArg(args(1))).toAggregateExpression()))
+
   /** Make the functions SQL-callable on an already-built session
     * (`SELECT graft_simhash64(text) FROM docs`). For sessions built from
     * config, `spark.sql.extensions=graft.functions.GraftExtensions` does
     * the same at build time.
     */
-  def registerSql(spark: SparkSession): Unit = {
-    def lit(ex: Expression): Int = ex match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"expected integer literal argument, got $other")
+  def registerSql(spark: SparkSession): Unit =
+    sqlFunctionBuilders.foreach { case (name, builder) =>
+      ColumnShim.register(spark, name, builder)
     }
-    ColumnShim.register(spark, "graft_shingle_hash_set",
-      args => expressions.ShingleHashSet(args(0), lit(args(1))))
-    ColumnShim.register(spark, "graft_minhash_signature",
-      args => expressions.MinhashSignature(args(0), lit(args(1))))
-    ColumnShim.register(spark, "graft_simhash64",
-      args => expressions.SimHash64(args(0)))
-    ColumnShim.register(spark, "graft_rolling_fingerprint",
-      args => expressions.RollingFingerprint(args(0)))
-    ColumnShim.register(spark, "graft_content_fingerprint",
-      args => expressions.ContentFingerprint(args(0), lit(args(1))))
-    ColumnShim.register(spark, "graft_jaccard_sorted",
-      args => expressions.JaccardSorted(args(0), args(1)))
-    ColumnShim.register(spark, "graft_vec_dot",
-      args => expressions.VecDot(args(0), args(1)))
-    ColumnShim.register(spark, "graft_band_hashes",
-      args => expressions.BandHashes(args(0), lit(args(1)), lit(args(2))))
-    ColumnShim.register(spark, "graft_minhash_union",
-      args => MinHashUnionAgg(args(0), lit(args(1))).toAggregateExpression())
-  }
 }

@@ -29,6 +29,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"payload ${payload.intersect(leftCols)} collide with left columns")
+    val reserved = Seq("__t", "__tag", "__pay").filter(leftCols.contains)
+    require(reserved.isEmpty,
+      s"left columns $reserved collide with asofJoin working columns")
 
     val lTagged = left
       .withColumn("__t", col(leftTime))
@@ -36,10 +39,16 @@ object AsofJoin {
     // payload travels as ONE struct per right row: `last(ignoreNulls)` must
     // skip left rows but NOT right rows whose payload value is null — and
     // with several payload columns carried independently, one output row
-    // could otherwise mix values from different right rows
-    val rTagged = right.select(
-      keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
-        struct(payload.map(col): _*).as("__pay"): _*)
+    // could otherwise mix values from different right rows.
+    // Null keys / null timestamps on the right can never match any left
+    // row under join-equality (= ASOF) semantics — and unfiltered they
+    // WOULD match: nulls-first ordering sorts a null-time right row before
+    // everything, and partitionBy groups null keys together.
+    val rTagged = right
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__tag") :+
+          struct(payload.map(col): _*).as("__pay"): _*)
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)

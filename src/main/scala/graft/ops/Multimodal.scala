@@ -60,6 +60,8 @@ object Multimodal {
   def sampleFrames(
       media: DataFrame, strideBytes: Int = 4096, maxFrames: Int = 8,
       featureDim: Int = 4): Dataset[FrameFeatures] = {
+    require(strideBytes > 0 && maxFrames >= 1 && featureDim > 0,
+      s"invalid params: strideBytes=$strideBytes maxFrames=$maxFrames featureDim=$featureDim")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
@@ -97,6 +99,7 @@ object Multimodal {
     * deterministic functions of the bytes so tests can pin them.
     */
   def extractFeatures(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    require(featureDim > 0, s"featureDim must be positive, got $featureDim")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))

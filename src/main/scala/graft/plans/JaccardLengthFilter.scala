@@ -31,9 +31,13 @@ object JaccardLengthFilter extends Rule[LogicalPlan] with PredicateHelper {
 
   private def lengthFilters(j: JaccardSorted, t: Double): Seq[Expression] = {
     def sz(e: Expression) = Cast(Size(e, legacySizeOfNull = false), DoubleType)
+    // slack by the kernel's rounding epsilon: jaccardSorted rounds half-up
+    // to 1e-6, so `rounded >= t` only implies `true J >= t - 5e-7`; the
+    // unslackened bound would drop boundary rows the original keeps
+    val ts = math.max(t - 1e-6, 0d)
     Seq(
-      GreaterThanOrEqual(sz(j.right), Multiply(sz(j.left), Literal(t))),
-      GreaterThanOrEqual(sz(j.left), Multiply(sz(j.right), Literal(t))))
+      GreaterThanOrEqual(sz(j.right), Multiply(sz(j.left), Literal(ts))),
+      GreaterThanOrEqual(sz(j.left), Multiply(sz(j.right), Literal(ts))))
   }
 
   /** Extra length conjuncts implied by `cond` and not already present. */
@@ -54,10 +58,13 @@ object JaccardLengthFilter extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, _) =>
       val extras = newExtras(cond)
       if (extras.isEmpty) f
-      else f.copy(condition = extras.foldLeft(cond)(And(_, _)))
+      // PREPEND: And evaluates left-to-right with short-circuit, so the
+      // cheap size() conjuncts must come before the kernel predicate —
+      // appended they'd never save the merge-intersect
+      else f.copy(condition = extras.foldRight(cond)(And(_, _)))
     case j @ Join(_, _, _, Some(cond), _) =>
       val extras = newExtras(cond)
       if (extras.isEmpty) j
-      else j.copy(condition = Some(extras.foldLeft(cond)(And(_, _))))
+      else j.copy(condition = Some(extras.foldRight(cond)(And(_, _))))
   }
 }
