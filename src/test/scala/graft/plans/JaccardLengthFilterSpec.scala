@@ -41,6 +41,41 @@ class JaccardLengthFilterSpec extends SparkSpec {
     }
   }
 
+  test("size conjuncts are PREPENDED so they short-circuit before the kernel") {
+    withRule {
+      val q = docs.as("l").crossJoin(docs.as("r"))
+        .select(
+          jaccard_sorted(
+            shingle_hash_set(col("l.text"), 2),
+            shingle_hash_set(col("r.text"), 2)).as("j"))
+        .filter(col("j") >= 0.5)
+      val cond = q.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.toString
+      }.orElse(q.queryExecution.optimizedPlan.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition.get.toString
+      }).get
+      assert(cond.indexOf("size(") < cond.indexOf("graft_jaccard_sorted"),
+        s"size() must precede the kernel predicate for short-circuit:\n$cond")
+    }
+  }
+
+  test("rounding-slack: length filter keeps pairs whose ROUNDED jaccard crosses the threshold") {
+    // sets sized 3 and 2 sharing 1 element: J = 1/4 = 0.25 exactly; with
+    // threshold 0.25 the unslackened filter t·|a| ≤ |b| is 0.75 ≤ ... fine;
+    // instead pin behavior: a pair passing the kernel predicate must never
+    // be dropped by the injected conjuncts, across a threshold sweep
+    val pairs = Seq(
+      (1L, "a b c d e f g h i j"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    Seq(0.25, 0.4, 0.5).foreach { t =>
+      def run() = Dedup.ngramJaccardPairs(pairs, "text", "doc_id", n = 1, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val without = run()
+      val withR = withRule(run())
+      assert(without == withR, s"threshold $t")
+    }
+  }
+
   test("results identical with and without the rule") {
     def run() = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
