@@ -72,6 +72,23 @@ class StreamsSpec extends SparkSpec {
     assert(last == Streams.UserStats(1L, 3L, 10.0, 12L))
   }
 
+  test("streaming content dedup: custom fingerprint expression inside a watermarked stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    in.addData(
+      (1L, ns(1), "the same document text"),
+      (2L, ns(2), "the same document text"),     // exact dup of 1
+      (3L, ns(3), "a different document entirely"))
+    val docs = Streams.withEventTime(in.toDF.toDF("doc_id", "ts", "text"), "ts")
+      .withColumn("__fp", graft.functions.rolling_fingerprint(org.apache.spark.sql.functions.col("text")))
+    val out = Streams.runToMemory(
+      Streams.dedupWithinWatermark(docs, "event_time", "10 minutes", Seq("__fp")),
+      "stream_dedup_out")
+    val ids = out.select("doc_id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 3L), "near-time exact dup dropped by fingerprint key")
+  }
+
   test("readBundleStream: file-source FHIR ingest matches batch reader") {
     val dir = Files.createTempDirectory("fhir_stream")
     val bundle =
