@@ -220,9 +220,17 @@ object Dedup {
       sz - ceil(sz * lit(threshold)).cast("int") + lit(1), lit(0))
     val prefix = sets.select(
       col(idCol).as("__id"),
+      sz.cast("double").as("__sz"),
       explode(slice(col("__shingles"), lit(1), prefixLen)).as("__sh"))
+    // AllPairs length filter at candidate time: J ≥ t ⟹ t·|A| ≤ |B| ≤
+    // |A|/t, so size-incompatible bucket-mates never become candidates.
+    // Slack by the verify round()'s 1e-6 epsilon (rounded J can cross the
+    // threshold where the true ratio doesn't quite).
+    val ts = math.max(threshold - 1e-6, 0d)
     val cands = prefix.as("l").join(prefix.as("r"),
-        col("l.__sh") === col("r.__sh") && col("l.__id") < col("r.__id"))
+        col("l.__sh") === col("r.__sh") && col("l.__id") < col("r.__id") &&
+        col("r.__sz") >= col("l.__sz") * ts &&
+        col("l.__sz") >= col("r.__sz") * ts)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
     verifyJaccard(cands, sets, idCol, "__shingles")
