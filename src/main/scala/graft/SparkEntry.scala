@@ -429,10 +429,15 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")),
 
     // §2.11 — stubbed decode / feature extraction over binary payloads.
+    // Scalar columns only: the driver's pandas comparator cannot sort/hash
+    // an array column, and the byte stats ARE DuckDB-expressible (hex
+    // decode of the UTF-8 payload), so this gate gets a full value oracle.
+    // The `feature` vector itself stays pinned by MultimodalSpec.
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
+        .select("media_id", "n_bytes", "byte_mean", "byte_entropy_q")
         .orderBy("media_id"))
   )
 
@@ -784,6 +789,28 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha256
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Byte stats of the UTF-8 payload, decoded in SQL via hex(): two hex
+    // chars per byte, each byte = 16·hi + lo. byte_mean divides the exact
+    // integer byte sum by n once, in double, rounded half-up 4 dp — the
+    // identical operation order as Multimodal.extractFeatures.
+    "multimodal_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE list_sum(list_transform(range(1, n + 1),
+        |        i -> (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)))
+        |    END AS byte_sum
+        |  FROM b)
+        |SELECT doc_id AS media_id,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(byte_sum * 1.0 / n, 4) END AS byte_mean,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE trunc((byte_sum * 1.0 / n) / 16) END AS BIGINT) AS byte_entropy_q
+        |FROM s ORDER BY media_id""".stripMargin
   )
 }

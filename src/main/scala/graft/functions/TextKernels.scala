@@ -155,10 +155,17 @@ object TextKernels {
     out
   }
 
-  /** 64-bit SimHash over the whitespace-token multiset. */
+  /** 64-bit SimHash over the whitespace-token multiset. Null for null text
+    * AND for zero-token (empty/whitespace-only) text: a shared constant
+    * signature for all empty docs would put them in one LSH bucket and pair
+    * them all — an O(n²) hot key on any corpus with many blank/boilerplate
+    * documents (MinHash already nulls empty shingle sets for the same
+    * reason).
+    */
   def simhash64(text: String): java.lang.Long = {
     if (text == null) return null
     val b = tokenBounds(text)
+    if (b.length == 0) return null
     val sums = new Array[Int](64)
     var t = 0
     while (t < b.length) {
@@ -234,7 +241,7 @@ object TextKernels {
     if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  def simhash64U(s: UTF8String): Long = simhash64(s.toString).longValue()
+  def simhash64U(s: UTF8String): java.lang.Long = simhash64(s.toString)
 
   def rollingFingerprintU(s: UTF8String): Long = rollingFingerprint(s.toString).longValue()
 

@@ -69,15 +69,25 @@ object expressions {
       copy(child = newChild)
   }
 
-  /** 64-bit SimHash of the whitespace-token multiset. */
+  /** 64-bit SimHash of the whitespace-token multiset; null for zero-token
+    * text (see [[TextKernels.simhash64]] — avoids the degenerate shared
+    * bucket for empty docs).
+    */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_simhash64"
     override protected def nullSafeEval(input: Any): Any =
       TextKernels.simhash64U(input.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$K.simhash64U($c)")
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("sh")
+        s"""java.lang.Long $tmp = $K.simhash64U($c);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp.longValue(); }
+           |""".stripMargin
+      })
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }

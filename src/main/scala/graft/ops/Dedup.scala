@@ -174,7 +174,11 @@ object Dedup {
     * chunkValue); verify by exact Hamming distance via bit_count(xor).
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    // null signatures (zero-token docs) are dropped BEFORE chunk explosion:
+    // a shared empty-doc signature would otherwise form one hot bucket
+    // pairing all blank docs quadratically (same contract as MinHash).
     val signed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
+      .filter(col("__sh").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = signed.select(
       col("__id"), col("__sh"),

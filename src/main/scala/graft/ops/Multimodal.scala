@@ -139,7 +139,8 @@ object Multimodal {
           val mean = if (n == 0) 0.0 else sum.toDouble / n
           // quantized byte-mean bucket as a cheap "entropy-like" stat
           val entropyQ = (mean / 16).toLong
-          MediaFeatures(id, n, math.rint(mean * 10000) / 10000, entropyQ, decoder(bytes))
+          // half-up to match SQL round() on both engines (rint is half-even)
+          MediaFeatures(id, n, math.floor(mean * 10000 + 0.5) / 10000, entropyQ, decoder(bytes))
         }
       }
   }

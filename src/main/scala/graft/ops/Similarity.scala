@@ -111,53 +111,96 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *
-    * Exact all-pairs is inherently O(n²) in similarity computations, so the
-    * kernel matters: one side is broadcast as a plain float-array matrix
-    * and each partition of the other side runs a tight dot-product loop —
-    * the declarative form (pair join + `zip_with`/`aggregate` cosine) is
-    * interpreted per element and ~100× slower. The per-pair math matches
-    * the HOF/oracle formulation exactly: sequential double-precision dot
-    * and norms, rounded half-even to 6 dp.
+    * Exact all-pairs is inherently O(n²) in similarity computations; the
+    * distribution strategy is block self-join: rows hash into `numBlocks`
+    * blocks by id, each block is packed into one chunk row, and the
+    * B·(B+1)/2 ordered chunk pairs (block_a ≤ block_b) fan out across
+    * executors, each running a tight double-precision dot-product kernel
+    * over its two chunks. Nothing ever collects to the driver, and every
+    * unordered row pair is examined exactly once (cross-block pairs live in
+    * exactly one ordered chunk pair; same-block pairs in the diagonal one).
+    * The declarative form (pair join + `zip_with`/`aggregate` cosine) is
+    * interpreted per element and ~100× slower than the kernel.
     *
-    * Scale contract: the broadcast side must fit in executor memory
-    * (~2 GB ≈ 8M 64-dim float vectors); beyond that, route through
-    * [[hyperplaneBucket]] / [[lshTopK]] (approximate) or shard the
-    * broadcast side and union the outputs (exact, n/shard passes).
+    * Scale contract: two chunks (2·n/B vectors) must fit in one task's
+    * memory — grow `numBlocks` with the corpus (work per task shrinks as
+    * 1/B², task count grows as B²). The total compute is still O(n²):
+    * beyond ~10M vectors route through [[hyperplaneBucket]] / [[lshTopK]]
+    * (approximate) instead of exact all-pairs.
+    *
+    * Per-pair math matches the SQL/oracle formulation exactly: sequential
+    * double dot and norms, rounded half-up to 6 dp. Null ids/vectors are
+    * excluded (they have no well-defined similarity).
     */
   def cosineNearDupPairs(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-    val side = vecs.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(side)
-    vecs.mapPartitions { it =>
-      val corpus = bc.value
-      it.flatMap { case (ida, va) =>
-        val normA = {
-          var s = 0.0; var i = 0
-          while (i < va.length) { s += va(i) * va(i); i += 1 }
-          math.sqrt(s)
+    val chunks = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .groupBy(pmod(col("__id"), lit(numBlocks.toLong)).as("__blk"))
+      .agg(collect_list(struct(col("__id").as("_1"), col("__v").as("_2"))).as("__rows"))
+      // feeds both sides of the chunk-pair join; persist or the
+      // shingle-of-this-op (group + pack) runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny driver-side list of ordered block pairs — joined by equi-key so
+    // Catalyst broadcasts it; the corpus itself is never broadcast
+    val blockPairs = spark
+      .createDataset(for { a <- 0L until numBlocks; b <- a until numBlocks } yield (a, b))
+      .toDF("__blk_a", "__blk_b")
+    val paired = chunks.select(col("__blk").as("__blk_a"), col("__rows").as("__ra"))
+      .join(broadcast(blockPairs), "__blk_a")
+      .join(
+        chunks.select(col("__blk").as("__blk_b"), col("__rows").as("__rb")),
+        "__blk_b")
+      // spread the B(B+1)/2 heavy chunk-pair rows evenly over tasks
+      .repartition(col("__blk_a"), col("__blk_b"))
+      .select(
+        col("__blk_a").as("_1"), col("__blk_b").as("_2"),
+        col("__ra").as("_3"), col("__rb").as("_4"))
+      .as[(Long, Long, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+    paired.mapPartitions { it =>
+      def pack(rows: Seq[(Long, Seq[Double])]): (Array[Long], Array[Array[Double]], Array[Double]) = {
+        val ids = new Array[Long](rows.size)
+        val vs = new Array[Array[Double]](rows.size)
+        val norms = new Array[Double](rows.size)
+        var i = 0
+        rows.foreach { case (id, v) =>
+          val arr = v.toArray
+          var s = 0.0; var d = 0
+          while (d < arr.length) { s += arr(d) * arr(d); d += 1 }
+          ids(i) = id; vs(i) = arr; norms(i) = math.sqrt(s); i += 1
         }
-        // corpus is sorted by id: binary-search the first id > ida and
-        // only scan the upper triangle
-        var lo = 0; var hi = corpus.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (corpus(mid)._1 <= ida) lo = mid + 1 else hi = mid
-        }
-        (lo until corpus.length).iterator.flatMap { j =>
-          val (idb, vb) = corpus(j)
-          var dot = 0.0; var nb = 0.0; var i = 0
-          while (i < va.length) { dot += va(i) * vb(i); nb += vb(i) * vb(i); i += 1 }
-          val denom = normA * math.sqrt(nb)
-          if (denom > 0) {
-            // half-up for non-negatives, matching SQL round() semantics
-            val x = dot / denom * 1e6
-            val sim = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)) / 1e6
-            if (sim >= threshold) Iterator.single((ida, idb, sim)) else Iterator.empty
-          } else Iterator.empty
+        (ids, vs, norms)
+      }
+      def sim(va: Array[Double], vb: Array[Double], na: Double, nb: Double): Double = {
+        var dot = 0.0; var i = 0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        val denom = na * nb
+        if (denom > 0) {
+          // half-up for non-negatives, matching SQL round() semantics
+          val x = dot / denom * 1e6
+          (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)) / 1e6
+        } else -2.0 // zero-norm vectors: cosine undefined, below any threshold
+      }
+      it.flatMap { case (blkA, blkB, ra, rb) =>
+        val (idsA, vsA, normsA) = pack(ra)
+        val diagonal = blkA == blkB
+        val (idsB, vsB, normsB) = if (diagonal) (idsA, vsA, normsA) else pack(rb)
+        (0 until idsA.length).iterator.flatMap { i =>
+          val startJ = if (diagonal) i + 1 else 0
+          (startJ until idsB.length).iterator.flatMap { j =>
+            val s = sim(vsA(i), vsB(j), normsA(i), normsB(j))
+            // ids must differ: duplicate-id rows are not self-pairs
+            if (s >= threshold && idsA(i) != idsB(j)) {
+              val (ida, idb) =
+                if (idsA(i) < idsB(j)) (idsA(i), idsB(j)) else (idsB(j), idsA(i))
+              Iterator.single((ida, idb, s))
+            } else Iterator.empty
+          }
         }
       }
     }.toDF("id_a", "id_b", "cosine_sim")

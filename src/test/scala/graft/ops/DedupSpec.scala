@@ -79,6 +79,17 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("simhash: zero-token docs get null signatures and never pair (no hot bucket)") {
+    // 1000 blank docs would all share signature 0 and form one quadratic
+    // LSH bucket (~500k pairs); the null-signature contract drops them.
+    val blanks = (1L to 1000L).map(i => (i, if (i % 2 == 0) "" else "  \t\n "))
+    val corpus = (blanks :+ (2000L, "real content words here")).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 3).count() == 0L)
+    val sig = corpus.select(Dedup.simhash64(col("text")).as("s"))
+      .filter(col("s").isNull).count()
+    assert(sig == 1000L)
+  }
+
   test("simhash64 is deterministic and sensitive to token multiset") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap

@@ -58,4 +58,30 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
     assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("cosineNearDupPairs: block count never changes the result") {
+    // every unordered pair must be examined exactly once regardless of how
+    // ids hash into blocks (diagonal + off-diagonal chunk pairs partition
+    // the pair space)
+    val expected = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5, numBlocks = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    for (b <- Seq(2, 3, 7, 16)) {
+      val got = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5, numBlocks = b)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"numBlocks=$b diverged")
+    }
+    assert(expected.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("cosineNearDupPairs: null ids and null vectors are excluded, not NPEs") {
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(0L), Array(1f, 0f)),
+      (java.lang.Long.valueOf(1L), Array(1f, 0f)),
+      (java.lang.Long.valueOf(2L), null),
+      (null.asInstanceOf[java.lang.Long], Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(withNulls, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
 }
