@@ -119,14 +119,16 @@ object SparkEntry {
           regexp_replace(col("c_name"), lit("Customer#"), lit("")).as("name_stripped"))
         .orderBy("c_custkey")),
 
-    // X5/G2 — regex-validity violation counts (one-row summaries).
+    // X5/G2 — regex-validity violation counts (one-row summaries). Both
+    // checks fuse into ONE scan of events (tableBattery).
     "validate_regex" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      QualityChecker.checkSuite(Seq(
-        QualityChecker.invalidCount(ev, col("event_type"),
-          col("event_type").rlike("^[a-z_]+$"), "invalid_event_type", "events"),
-        QualityChecker.invalidCount(ev, col("props"),
-          col("props").rlike("^\\{.*\\}$"), "invalid_props_json", "events")))
+      QualityChecker.tableBattery(ev, "events", Seq(
+        QualityChecker.invalidCheck(col("event_type"),
+          col("event_type").rlike("^[a-z_]+$"), "invalid_event_type"),
+        QualityChecker.invalidCheck(col("props"),
+          col("props").rlike("^\\{.*\\}$"), "invalid_props_json")))
+        .orderBy("table_name", "error_type")
     }),
 
     // X6/C3 — range nullify (out-of-range → null), row-level output.
@@ -189,19 +191,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // G5 — quality-check battery across two tables.
+    // G5 — quality-check battery across two tables. Each table is scanned
+    // ONCE: the two events predicate checks ride the duplicate check's
+    // group-size aggregation (tableBattery), vs one scan per check in the
+    // naive unioned form.
     "quality_summary" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val o = t(s, dir, "orders")
       QualityChecker.checkSuite(Seq(
-        QualityChecker.invalidCount(ev, col("event_type"),
-          col("event_type").rlike("^[a-z_]+$"), "invalid_event_type", "events"),
-        QualityChecker.invalidCount(ev, col("value"),
-          col("value") <= 400d, "value_out_of_range", "events"),
-        QualityChecker.duplicateMembership(ev, Seq("user_id", "event_type"),
-          "duplicate_membership", "events"),
-        QualityChecker.invalidCount(o, col("o_orderpriority"),
-          col("o_orderpriority").rlike("^[1-5]-"), "invalid_priority", "orders")))
+        QualityChecker.tableBattery(ev, "events", Seq(
+          QualityChecker.invalidCheck(col("event_type"),
+            col("event_type").rlike("^[a-z_]+$"), "invalid_event_type"),
+          QualityChecker.invalidCheck(col("value"),
+            col("value") <= 400d, "value_out_of_range"),
+          QualityChecker.DuplicateRows("duplicate_membership", Seq("user_id", "event_type")))),
+        QualityChecker.tableBattery(o, "orders", Seq(
+          QualityChecker.invalidCheck(col("o_orderpriority"),
+            col("o_orderpriority").rlike("^[1-5]-"), "invalid_priority")))))
     }),
 
     // Sessionization — gap-based (30 min) event sessions per user.
@@ -312,12 +318,15 @@ object SparkEntry {
     }),
 
     // §2.11 — LSH-bucketed ANN (the 100 TB scale path; approximate).
+    // 4-bit × 16-table config suits this near-random synthetic corpus
+    // (neighbors at ~75°); real embedding corpora with tighter neighbors
+    // should raise numPlanes (see lshTopK scaladoc).
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, k = 10, numPlanes = 8)
+        dim = 64, k = 10, numPlanes = 4, numTables = 16)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -401,6 +410,37 @@ object SparkEntry {
       graft.sinks.Sinks.underscored(tables("patient"))
         .select("resource_id", "patient_id", "full_name", "latitude", "maritalStatus")
         .orderBy("resource_id")
+    }),
+
+    // All six FHIR tables in one deterministic gate: every cleaned table's
+    // rows serialize to canonical JSON, so a regression in ANY extractor
+    // (A6–A12) or per-table cleaning composition moves this output. No SQL
+    // oracle — the FHIR source never exists as a DuckDB-readable table;
+    // rows-only check + value pinning in FhirPipelineSpec.
+    "fhir_tables" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("fhir_tables")
+      java.nio.file.Files.writeString(dir.resolve("b1.json"), FhirFixtures.bundle1)
+      java.nio.file.Files.writeString(dir.resolve("b2.json"), FhirFixtures.bundle2)
+      val entries = graft.fhir.BundleReader.normalizedEntries(s, dir.toString).cache()
+      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+      tables.toSeq.sortBy(_._1).map { case (name, df) =>
+        val u = graft.sinks.Sinks.underscored(df)
+        u.select(
+          lit(name).as("table_name"),
+          to_json(struct(u.columns.map(c => col(c)): _*)).as("row_json"))
+      }.reduce(_.unionByName(_)).orderBy("table_name", "row_json")
+    }),
+
+    // §2.11 — ANN quality gate: deterministic recall of the LSH path vs
+    // the exact brute-force ground truth (both sides pinned elsewhere:
+    // similarity_topk carries the DuckDB oracle for the exact side).
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, k = 10, numPlanes = 4, numTables = 16)
+        .orderBy("query_id")
     }),
 
     // §2.11 — per-source corpus overlap via MinHash-union custom aggregate

@@ -38,27 +38,43 @@ object Extractors {
 
   /** X2 — full_address keeps empty segments (plain concat, NOT concat_ws:
     * the reference joins with `", "` after defaulting missing parts to
-    * `''`, `json_pipeline.py:198-200`).
+    * `''`, `json_pipeline.py:198-200`). Null — not `", , , "` — when the
+    * patient has no address or address[0] carries no geolocation
+    * extension: the reference only assembles full_address inside its
+    * `isinstance(address, list) and 'extension' in address[0]` branch
+    * (`json_pipeline.py:191-204`), else appends None.
     */
   private def fullAddress: Column = {
     val a0 = first(col("resource.address"))
-    concat(
-      coalesce(array_join(a0.getField("line"), ", "), lit("")), lit(", "),
-      coalesce(a0.getField("city"), lit("")), lit(", "),
-      coalesce(a0.getField("state"), lit("")), lit(", "),
-      coalesce(a0.getField("postalCode"), lit("")))
+    when(a0.isNotNull && a0.getField("extension").isNotNull,
+      concat(
+        coalesce(array_join(a0.getField("line"), ", "), lit("")), lit(", "),
+        coalesce(a0.getField("city"), lit("")), lit(", "),
+        coalesce(a0.getField("state"), lit("")), lit(", "),
+        coalesce(a0.getField("postalCode"), lit(""))))
   }
 
-  /** A4 helper — first `resource.extension[]` entry with the given url. */
-  private def ext(url: String): Column =
-    first(filter(col("resource.extension"), e => e.getField("url") === url))
+  /** A4 helper — first `resource.extension[]` entry matching any of the
+    * given urls.
+    */
+  private def ext(urls: Seq[String]): Column =
+    first(filter(col("resource.extension"), e => e.getField("url").isin(urls: _*)))
 
-  private val raceUrl = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
-  private val ethnicityUrl = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity"
-  private val birthplaceUrl = "http://standardhealthrecord.org/fhir/StructureDefinition/placeOfBirth"
+  // The reference matches these EXACT url strings
+  // (`json_pipeline.py:261-266`); the modern US-Core / SHR canonical forms
+  // are accepted as well so both data vintages extract.
+  private val raceUrls = Seq(
+    "http://hl7.org/fhir/StructureDefinition/us-core-race",
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race")
+  private val ethnicityUrls = Seq(
+    "http://hl7.org/fhir/StructureDefinition/us-core-ethnicity",
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity")
+  private val birthplaceUrls = Seq(
+    "http://standardhealthrecord.org/fhir/extensions/placeOfBirth",
+    "http://standardhealthrecord.org/fhir/StructureDefinition/placeOfBirth")
 
-  private def extCoding0(url: String, field: String): Column =
-    first(ext(url).getField("valueCodeableConcept").getField("coding")).getField(field)
+  private def extCoding0(urls: Seq[String], field: String): Column =
+    first(ext(urls).getField("valueCodeableConcept").getField("coding")).getField(field)
 
   /** Patient table (`json_pipeline.py:162-293`): geolocation (A1), phone
     * (A2), name (A3 + X3), race/ethnicity/birthplace extensions (A4 + X4),
@@ -69,7 +85,7 @@ object Extractors {
     val name0 = first(col("resource.name"))
     val firstName = first(name0.getField("given"))
     val lastName = name0.getField("family")
-    val bp = ext(birthplaceUrl).getField("valueAddress")
+    val bp = ext(birthplaceUrls).getField("valueAddress")
     entries.select(
       col("fullUrl"),
       col("resource.id").as("resource.id"),
@@ -88,12 +104,12 @@ object Extractors {
       lastName.as("last_name"),
       when(firstName.isNotNull && lastName.isNotNull,
         concat_ws(" ", firstName, lastName)).as("full_name"),
-      extCoding0(raceUrl, "display").as("race"),
-      extCoding0(raceUrl, "code").as("race_code"),
-      extCoding0(ethnicityUrl, "display").as("ethnicity"),
-      extCoding0(ethnicityUrl, "code").as("ethnicity_code"),
+      extCoding0(raceUrls, "display").as("race"),
+      extCoding0(raceUrls, "code").as("race_code"),
+      extCoding0(ethnicityUrls, "display").as("ethnicity"),
+      extCoding0(ethnicityUrls, "code").as("ethnicity_code"),
       // X4 — `f"{city}, {state}"` with '' defaults (json_pipeline.py:268)
-      when(ext(birthplaceUrl).isNotNull,
+      when(ext(birthplaceUrls).isNotNull,
         concat(coalesce(bp.getField("city"), lit("")), lit(", "),
           coalesce(bp.getField("state"), lit("")))).as("birthplace"),
       first(col("resource.maritalStatus.coding")).getField("code").as("maritalStatus"))

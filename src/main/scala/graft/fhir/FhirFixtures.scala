@@ -19,11 +19,11 @@ object FhirFixtures {
       |  "telecom":[{"system":"email","value":"x@y.z"},{"system":"phone","value":"555-123-4567"}],
       |  "name":[{"given":["Ada"],"family":"Lovelace"}],
       |  "extension":[
-      |    {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+      |    {"url":"http://hl7.org/fhir/StructureDefinition/us-core-race",
       |     "valueCodeableConcept":{"coding":[{"display":"White","code":"2106-3"}]}},
-      |    {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity",
+      |    {"url":"http://hl7.org/fhir/StructureDefinition/us-core-ethnicity",
       |     "valueCodeableConcept":{"coding":[{"display":"Nonhispanic","code":"2186-5"}]}},
-      |    {"url":"http://standardhealthrecord.org/fhir/StructureDefinition/placeOfBirth",
+      |    {"url":"http://standardhealthrecord.org/fhir/extensions/placeOfBirth",
       |     "valueAddress":{"city":"Boston","state":"MA"}}],
       |  "maritalStatus":{"coding":[{"code":"M"}]}}},
       |{"fullUrl":"urn:uuid:enc-1","resource":{
@@ -67,8 +67,10 @@ object FhirFixtures {
       |    {"detail":{"code":{"coding":[{"display":"Exercise therapy","code":"229065009"}]}}}]}}
       |]}""".stripMargin
 
-  /** Duplicate patient id (keep-first dedup), invalid phone/date, and an
-    * out-of-range latitude.
+  /** Duplicate patient id (keep-first dedup), invalid phone/date, an
+    * out-of-range latitude, and a race extension under the MODERN US-Core
+    * url (bundle1 uses the reference's literal urls — both variants must
+    * extract).
     */
   val bundle2: String =
     """{"resourceType":"Bundle","type":"collection","entry":[
@@ -81,6 +83,9 @@ object FhirFixtures {
       |      {"url":"latitude","valueDecimal":95.0},
       |      {"url":"longitude","valueDecimal":-72.5}]}]}],
       |  "telecom":[{"system":"phone","value":"bogus-phone"}],
-      |  "name":[{"given":["Solo"]}]}}
+      |  "name":[{"given":["Solo"]}],
+      |  "extension":[
+      |    {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+      |     "valueCodeableConcept":{"coding":[{"display":"Asian","code":"2028-9"}]}}]}}
       |]}""".stripMargin
 }

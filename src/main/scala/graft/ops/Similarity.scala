@@ -72,41 +72,93 @@ object Similarity {
   /** LSH bucket signature: one sign bit per hyperplane, packed into a long.
     * Vectors with high cosine land in the same bucket with probability
     * (1 − θ/π) per plane. Each projection is one codegen'd [[dot]] against
-    * a constant plane array.
+    * a constant plane array. `planeOffset` selects an independent plane
+    * family (used by the multi-table form).
     */
-  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 12): Column = {
+  def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 12, planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
+      val plane = array((0 until dim).map(d => lit(planeComponent(planeOffset + p, d))): _*)
       when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate NN via LSH bucketing: corpus and queries are both
-    * bucketed; candidates are bucket-mates; exact cosine ranks within
-    * the candidate set. One shuffle on bucket id (instead of a full
-    * cross product); recall tunes with `numPlanes` (fewer planes = bigger
-    * buckets = higher recall, more compute).
+  /** All `numTables` bucket keys of a vector, one per independent plane
+    * family, table index packed into the high bits so keys never collide
+    * across tables.
+    */
+  private def lshKeys(vec: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
+    array((0 until numTables).map { t =>
+      hyperplaneBucket(vec, dim, numPlanes, planeOffset = t * numPlanes)
+        .bitwiseOR(lit(t.toLong << numPlanes))
+    }: _*)
+
+  /** Approximate NN via multi-table LSH: `numTables` independent plane
+    * families of `numPlanes` sign bits each; candidates are pairs sharing
+    * ANY table's bucket; exact cosine ranks the candidate set.
+    *
+    * One table is not enough: with per-plane agreement p = 1 − θ/π, a
+    * single m-bit table recalls p^m — for neighbors at 70–80° (typical
+    * of noisy corpora) that is ~1–2%. L tables recall 1 − (1−p^m)^L,
+    * tunable to any target; random pairs still collide at only
+    * ≈ L·(1/2)^m, which is what keeps the candidate set ≪ n·|queries|.
+    *
+    * Plan shape: the explode ships only (bucket_key, id) — n·L tuples,
+    * never vectors; after the bucket equi-join and candidate `distinct`,
+    * vectors join back once per candidate for exact scoring. Shuffles are
+    * all on keys/ids — the corpus vector table is scanned twice and never
+    * replicated L times.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      dim: Int, k: Int, numPlanes: Int = 12): DataFrame = {
-    val c = corpus.select(
-      col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
-      hyperplaneBucket(col(corpusVec), dim, numPlanes).as("__bucket"))
-    val q = queries.select(
-      col(queryId).as("query_id"), col(queryVec).as("__qv"),
-      hyperplaneBucket(col(queryVec), dim, numPlanes).as("__bucket"))
+      dim: Int, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val cKeys = c.select(col("neighbor_id"),
+      explode(lshKeys(col("__cv"), dim, numPlanes, numTables)).as("__key"))
+    val qKeys = q.select(col("query_id"),
+      explode(lshKeys(col("__qv"), dim, numPlanes, numTables)).as("__key"))
+    val candidates = cKeys.join(qKeys, Seq("__key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
-    c.join(q, Seq("__bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    candidates
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
       .select(
         col("query_id"), col("neighbor_id"),
         round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** Per-query recall of [[lshTopK]] against the exact [[bruteForceTopK]]
+    * ground truth: |ann ∩ exact| / |exact| (both sides deterministic, so
+    * this is a reproducible quality metric, not a statistical estimate).
+    * An LSH configuration that returned garbage buckets would show up here
+    * as recall ≈ k/n instead of ≈ 1. Output: (query_id, n_exact, n_hit,
+    * recall) per query.
+    */
+  def annRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = lshTopK(
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, dim, k, numPlanes, numTables)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_exact"), 4).as("recall"))
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.

@@ -28,82 +28,87 @@ object FhirQuality {
   /** All 20 checks over the six extracted tables (keys: patient,
     * encounter, condition, observation, immunization, careplan). Tables
     * absent from the map are skipped, like the reference's name dispatch.
+    *
+    * Each table's checks run as ONE [[QualityChecker.tableBattery]] scan
+    * (predicate sums riding the duplicate-check aggregation where one
+    * exists) — the unioned-one-row-aggregates form scanned each table once
+    * per check.
     */
   def runQualityChecks(tables: Map[String, DataFrame]): DataFrame = {
-    def checks(name: String, df: DataFrame): Seq[DataFrame] = name match {
+    def checks(name: String): Seq[BatteryCheck] = name match {
       case "condition" => Seq(
-        invalidCount(df, col_("resource.onsetDateTime"),
+        invalidCheck(col_("resource.onsetDateTime"),
           Validators.isValidDatetime(col_("resource.onsetDateTime")),
-          "Invalid OnsetDateTime Format", "condition_df"),
-        invalidCount(df, col_("resource.abatementDateTime"),
+          "Invalid OnsetDateTime Format"),
+        invalidCheck(col_("resource.abatementDateTime"),
           Validators.isValidDatetime(col_("resource.abatementDateTime")),
-          "Invalid AbatementDateTime Format", "condition_df"),
-        duplicateMembership(df, Seq("fullUrl", "resource.id"),
-          "Duplicate Check", "condition_df"),
-        logicalOrderViolations(df, col_("resource.onsetDateTime"),
+          "Invalid AbatementDateTime Format"),
+        DuplicateRows("Duplicate Check", Seq("fullUrl", "resource.id")),
+        orderCheck(col_("resource.onsetDateTime"),
           col_("resource.abatementDateTime"),
-          "Logical Date Compliance", "condition_df"))
+          "Logical Date Compliance"))
       case "encounter" => Seq(
-        invalidCount(df, col_("resource.period.start"),
+        invalidCheck(col_("resource.period.start"),
           Validators.isValidDatetime(col_("resource.period.start")),
-          "Invalid Period Start Format", "encounter_df"),
-        invalidCount(df, col_("resource.period.end"),
+          "Invalid Period Start Format"),
+        invalidCheck(col_("resource.period.end"),
           Validators.isValidDatetime(col_("resource.period.end")),
-          "Invalid Period End Format", "encounter_df"),
-        duplicateMembership(df, Seq("resource.id"),
-          "Duplicate Resource.ID", "encounter_df"))
+          "Invalid Period End Format"),
+        DuplicateRows("Duplicate Resource.ID", Seq("resource.id")))
       case "careplan" => Seq(
-        invalidCount(df, col_("resource.period.start"),
+        invalidCheck(col_("resource.period.start"),
           Validators.isValidDate(col_("resource.period.start")),
-          "Invalid Period Start Format", "careplan_df"),
-        invalidCount(df, col_("resource.period.end"),
+          "Invalid Period Start Format"),
+        invalidCheck(col_("resource.period.end"),
           Validators.isValidDate(col_("resource.period.end")),
-          "Invalid Period End Format", "careplan_df"),
-        logicalOrderViolations(df, col_("resource.period.start"),
+          "Invalid Period End Format"),
+        orderCheck(col_("resource.period.start"),
           col_("resource.period.end"),
-          "Logical Date Compliance", "careplan_df"))
+          "Logical Date Compliance"))
       case "patient" => Seq(
-        invalidCount(df, col_("resource.birthDate"),
+        invalidCheck(col_("resource.birthDate"),
           Validators.isValidDate(col_("resource.birthDate")),
-          "BirthDate Errors", "patient_df"),
-        invalidCount(df, col_("resource.deceasedDateTime"),
+          "BirthDate Errors"),
+        invalidCheck(col_("resource.deceasedDateTime"),
           Validators.isValidDatetime(col_("resource.deceasedDateTime")),
-          "DeceasedDateTime Errors", "patient_df"),
-        invalidCount(df, col_("contact_number"),
+          "DeceasedDateTime Errors"),
+        invalidCheck(col_("contact_number"),
           Validators.isValidPhone(col_("contact_number")),
-          "Contact Number Errors", "patient_df"),
-        invalidCount(df, col_("latitude"),
+          "Contact Number Errors"),
+        invalidCheck(col_("latitude"),
           Validators.isValidLatitude(col_("latitude")),
-          "Latitude Errors", "patient_df"),
-        invalidCount(df, col_("longitude"),
+          "Latitude Errors"),
+        invalidCheck(col_("longitude"),
           Validators.isValidLongitude(col_("longitude")),
-          "Longitude Errors", "patient_df"),
-        logicalOrderViolations(df, col_("resource.birthDate"),
+          "Longitude Errors"),
+        orderCheck(col_("resource.birthDate"),
           col_("resource.deceasedDateTime"),
-          "Birthdate vs DeceasedDateTime Logical Compliance", "patient_df"),
-        duplicateMembership(df, Seq("resource.id"),
-          "Duplicate Resource.ID", "patient_df"))
+          "Birthdate vs DeceasedDateTime Logical Compliance"),
+        DuplicateRows("Duplicate Resource.ID", Seq("resource.id")))
       case "observation" => Seq(
-        invalidCount(df, col_("resource.effectiveDateTime"),
+        invalidCheck(col_("resource.effectiveDateTime"),
           Validators.isValidDatetime(col_("resource.effectiveDateTime")),
-          "Invalid EffectiveDateTime Format", "observation_df"),
-        duplicateMembership(df, Seq("resource.id"),
-          "Duplicate Resource.ID", "observation_df"))
+          "Invalid EffectiveDateTime Format"),
+        DuplicateRows("Duplicate Resource.ID", Seq("resource.id")))
       case "immunization" => Seq(
-        invalidCount(df, col_("resource.date"),
+        invalidCheck(col_("resource.date"),
           Validators.isValidDatetime(col_("resource.date")),
-          "Invalid Resource.Date Format", "immunization_df"))
+          "Invalid Resource.Date Format"))
       case _ => Nil
     }
-    // reference dispatch order = the order dfs are passed (json_pipeline
-    // wires condition..immunization); keep battery order explicit
-    val ordered = Seq("condition", "encounter", "careplan", "patient",
-      "observation", "immunization")
-      .flatMap(n => tables.get(n).toSeq.flatMap(df => checks(n, df)))
+    // reference dispatch order (json_pipeline.py:517-518): the checker is
+    // constructed with [patient, careplan, condition, observation,
+    // encounter, immunization]
+    val ordered = Seq("patient", "careplan", "condition", "observation",
+      "encounter", "immunization")
+      .flatMap { n =>
+        tables.get(n).filter(_ => checks(n).nonEmpty)
+          .map(df => batteryRows(df, s"${n}_df", checks(n))).toSeq
+      }
     ordered.zipWithIndex
-      .map { case (d, i) => d.withColumn("__ord", lit(i)) }
+      .map { case (d, i) => d.withColumn("__tord", lit(i)) }
       .reduce(_.unionByName(_))
-      .orderBy("__ord")
-      .drop("__ord")
+      .orderBy("__tord", "__ord")
+      .drop("__tord", "__ord")
   }
 }

@@ -76,6 +76,89 @@ object QualityChecker {
   def checkSuite(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_)).orderBy("table_name", "error_type")
 
+  // --- single-pass per-table battery (G5 at scale) -------------------------
+
+  /** One check in a [[tableBattery]]. */
+  sealed trait BatteryCheck { def errorType: String }
+  /** Count of rows where `isError` holds (nulls never count as errors). */
+  final case class PredicateError(errorType: String, isError: Column) extends BatteryCheck
+  /** Count of rows belonging to any duplicate group over `keys`
+    * (pandas `duplicated(keep=False).sum()` semantics).
+    */
+  final case class DuplicateRows(errorType: String, keys: Seq[String]) extends BatteryCheck
+
+  /** Non-null values failing `valid` — battery form of [[invalidCount]]. */
+  def invalidCheck(c: Column, valid: Column, errorType: String): PredicateError =
+    PredicateError(errorType, c.isNotNull && !valid)
+
+  /** Both endpoints set and start > end — battery form of
+    * [[logicalOrderViolations]].
+    */
+  def orderCheck(start: Column, end: Column, errorType: String): PredicateError =
+    PredicateError(errorType, start.isNotNull && end.isNotNull && start > end)
+
+  /** All of a table's checks in ONE scan of the table.
+    *
+    * Building a battery as a union of [[invalidCount]]-style one-row
+    * aggregates re-scans the table once per check (the reference's 20-check
+    * battery costs up to 7 scans of one table). Here every predicate check
+    * becomes one `sum` in a single aggregate; when the battery contains a
+    * [[DuplicateRows]] check, the predicate sums ride its group-size
+    * aggregation (groupBy keys → partial sums per group → re-sum), so the
+    * scan count stays one and both shuffles carry only counter tuples —
+    * map-side combined, group-count-sized. A second DuplicateRows check
+    * with different keys genuinely needs its own group pass (extra scan).
+    *
+    * Output: one row per check, in battery order, same shape as
+    * [[invalidCount]] (`table_name, error_type, error_count, error_pct`).
+    */
+  def tableBattery(df: DataFrame, tableName: String, checks: Seq[BatteryCheck]): DataFrame =
+    batteryRows(df, tableName, checks).orderBy("__ord").drop("__ord")
+
+  /** [[tableBattery]] with the 0-based battery ordinal retained as `__ord`
+    * (unsorted) — for callers stitching several tables into one globally
+    * ordered report.
+    */
+  private[graft] def batteryRows(df: DataFrame, tableName: String, checks: Seq[BatteryCheck]): DataFrame = {
+    require(checks.nonEmpty, "tableBattery needs at least one check")
+    val firstDupIdx = checks.indexWhere(_.isInstanceOf[DuplicateRows])
+    val predAggs = checks.zipWithIndex.collect {
+      case (p: PredicateError, i) => sum(p.isError.cast("long")).as(s"__c$i")
+    }
+    val one = if (firstDupIdx < 0) {
+      df.agg(count(lit(1)).as("__total"), predAggs: _*)
+    } else {
+      val keys = checks(firstDupIdx).asInstanceOf[DuplicateRows].keys
+      val grouped = df
+        .groupBy(keys.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("__n"), predAggs: _*)
+      val resums = checks.zipWithIndex.collect {
+        case (_: PredicateError, i) => sum(col(s"__c$i")).as(s"__c$i")
+      } :+ sum(when(col("__n") > 1, col("__n")).otherwise(lit(0L))).as(s"__c$firstDupIdx")
+      grouped.agg(sum(col("__n")).as("__total"), resums: _*)
+    }
+    val fusedIdx = checks.indices
+      .filter(i => i == firstDupIdx || checks(i).isInstanceOf[PredicateError])
+    val entries = fusedIdx.map { i =>
+      struct(
+        lit(i).as("ord"), lit(checks(i).errorType).as("error_type"),
+        coalesce(col(s"__c$i"), lit(0L)).as("error_count"))
+    }
+    val fused = one
+      .select(explode(array(entries: _*)).as("r"), col("__total"))
+      .select(
+        col("r.ord").as("__ord"),
+        lit(tableName).as("table_name"),
+        col("r.error_type").as("error_type"),
+        col("r.error_count").as("error_count"),
+        round(col("r.error_count") * 100.0 / col("__total"), 2).as("error_pct"))
+    val extras = checks.zipWithIndex.collect {
+      case (d: DuplicateRows, i) if i != firstDupIdx =>
+        duplicateMembership(df, d.keys, d.errorType, tableName).withColumn("__ord", lit(i))
+    }
+    (fused +: extras).reduce(_.unionByName(_))
+  }
+
   /** G6 — before/after accounting without extra passes: attach observable
     * metrics to the plan; the listener (or `Observation`) reads them when
     * the enclosing action runs.

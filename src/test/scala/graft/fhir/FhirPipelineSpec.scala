@@ -55,6 +55,29 @@ class FhirPipelineSpec extends SparkSpec {
     assert(r2.getAs[Any]("full_name") == null, "full_name needs both parts (X3)")
     assert(r2.getAs[Int]("resource.multipleBirthInteger") == 0, "C6 fill")
     assert(r2.getAs[Any]("resource.multipleBirthBoolean") == null, "no backfill when int was null")
+    assert(r2.getAs[String]("race") == "Asian", "modern US-Core race url variant extracts (A4)")
+  }
+
+  test("full_address is null (not ', , , ') without an address or geolocation extension") {
+    // reference only assembles full_address when address[0] has an
+    // 'extension' key (json_pipeline.py:191-204)
+    val bundle =
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        |{"fullUrl":"urn:uuid:na-1","resource":{
+        |  "resourceType":"Patient","id":"na-1","gender":"female"}},
+        |{"fullUrl":"urn:uuid:na-2","resource":{
+        |  "resourceType":"Patient","id":"na-2","gender":"male",
+        |  "address":[{"line":["9 Pine"],"city":"Salem","state":"OR","postalCode":"97301"}]}}
+        |]}""".stripMargin
+    val dir = Files.createTempDirectory("fhir_noaddr")
+    Files.writeString(dir.resolve("b.json"), bundle)
+    val entries = BundleReader.normalizedEntries(spark, dir.toString)
+    val p = Extractors.patient(BundleReader.route(entries, "Patient"))
+      .orderBy(col("`resource.id`")).collect()
+    assert(p.length == 2)
+    assert(p(0).getAs[Any]("full_address") == null, "no address at all")
+    assert(p(1).getAs[Any]("full_address") == null, "address without geolocation extension")
+    assert(p(1).getAs[Any]("latitude") == null)
   }
 
   test("encounter: quirk patient_id null, period swap applied (C4)") {

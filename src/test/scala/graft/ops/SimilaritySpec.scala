@@ -73,6 +73,28 @@ class SimilaritySpec extends SparkSpec {
     assert(expected.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("annRecall: LSH top-k recall vs exact ground truth meets a quantitative floor") {
+    // deterministic on the driver-generated corpus: both sides (hyperplane
+    // signs, exact ranks) are pure functions of the data
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def meanRecall(planes: Int, tables: Int): Double =
+      Similarity.annRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, k = 10, numPlanes = planes, numTables = tables)
+        .agg(avg("recall")).as[Double].collect()(0)
+    // the registry config: this synthetic corpus has near-random neighbors
+    // (~75° ⇒ per-plane agreement ~0.58), so recall ≈ 1−(1−0.58⁴)¹⁶ ≈ 0.85
+    val mean = meanRecall(4, 16)
+    info(f"mean recall (m=4, L=16) = $mean%.4f")
+    assert(mean >= 0.5, s"LSH recall collapsed: $mean")
+    // more tables → strictly more candidates → recall must not decrease
+    val meanFewTables = meanRecall(4, 4)
+    info(f"mean recall (m=4, L=4)  = $meanFewTables%.4f")
+    assert(mean >= meanFewTables - 1e-9,
+      s"recall fell when tables were added: $mean < $meanFewTables")
+  }
+
   test("cosineNearDupPairs: null ids and null vectors are excluded, not NPEs") {
     val withNulls = Seq(
       (java.lang.Long.valueOf(0L), Array(1f, 0f)),
