@@ -1,6 +1,8 @@
 package graft.sinks
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Output sinks (SURVEY.md §2.1 S4–S7).
   *
@@ -53,8 +55,42 @@ object Sinks {
     Seq("patient", "encounter", "condition", "observation", "immunization", "careplan")
 
   def writeAllJdbc(tables: Map[String, DataFrame], url: String,
+      props: java.util.Properties,
+      columnTypes: Map[String, String] = Map.empty): Unit =
+    LoadOrder.foreach(name =>
+      writeJdbc(tables(name), url, name, props, columnTypes = columnTypes.get(name)))
+
+  /** S5–S7 with the reference's typed warehouse DDL
+    * ([[ReferenceDdl.columnTypes]], `json_pipeline.py:743-850`) applied to
+    * every table, DATE-declared columns cast to real dates first
+    * ([[ReferenceDdl.coerceDates]]).
+    */
+  def writeAllJdbcReference(tables: Map[String, DataFrame], url: String,
       props: java.util.Properties): Unit =
-    LoadOrder.foreach(name => writeJdbc(tables(name), url, name, props))
+    writeAllJdbc(
+      tables.map { case (n, df) => n -> ReferenceDdl.coerceDates(n, underscored(df)) },
+      url, props, ReferenceDdl.columnTypes)
+
+  /** Embedded-Derby compatibility: Spark's Derby dialect maps `StringType`
+    * → CLOB, which is (a) non-comparable in predicates and (b) the bind
+    * type for string NULLs — and Derby refuses `setNull(CLOB)` against the
+    * VARCHAR columns that `createTableColumnTypes` DDL creates. Register
+    * once before loading into Derby; no-op for other engines
+    * (`canHandle` keys on the url).
+    */
+  object DerbyCompat {
+    private val dialect: JdbcDialect = new JdbcDialect {
+      override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+      override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+        case StringType => Some(JdbcType("VARCHAR(255)", java.sql.Types.VARCHAR))
+        case _ => None
+      }
+    }
+    @volatile private var registered = false
+    def register(): Unit = synchronized {
+      if (!registered) { JdbcDialects.registerDialect(dialect); registered = true }
+    }
+  }
 
   /** Parquet sink — the engine's preferred lake format (columnar, predicate
     * pushdown, partition pruning). Not in the reference; first-class here.

@@ -44,6 +44,48 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("ReferenceDdl: column sets match the cleaned tables; reference type quirks encoded") {
+    // the DDL column lists must track the actual pipeline output schemas
+    val dir = Files.createTempDirectory("fhir_ddl")
+    Files.writeString(dir.resolve("b1.json"), graft.fhir.FhirFixtures.bundle1)
+    Files.writeString(dir.resolve("b2.json"), graft.fhir.FhirFixtures.bundle2)
+    val entries = graft.fhir.BundleReader.normalizedEntries(spark, dir.toString)
+    val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+    ReferenceDdl.columns.foreach { case (name, cols) =>
+      assert(Sinks.underscored(tables(name)).columns.toSeq == cols.map(_._1), s"table $name")
+    }
+    // the reference's quirks (json_pipeline.py:748,751,824,750)
+    val patient = ReferenceDdl.columns("patient").toMap
+    assert(patient("resource_birthDate") == "DATE")
+    assert(patient("resource_deceasedDateTime") == "VARCHAR(255)", "deceased stays TEXT")
+    assert(ReferenceDdl.columns("immunization").toMap.apply("resource_date") == "DATE")
+    assert(ReferenceDdl.primaryKeys == Map("patient" -> Seq("patient_id")))
+  }
+
+  test("ReferenceDdl roundtrip: patient loads into Derby with typed columns") {
+    val dir = Files.createTempDirectory("fhir_ddl_db")
+    Files.writeString(dir.resolve("b1.json"), graft.fhir.FhirFixtures.bundle1)
+    Files.writeString(dir.resolve("b2.json"), graft.fhir.FhirFixtures.bundle2)
+    val entries = graft.fhir.BundleReader.normalizedEntries(spark, dir.toString)
+    val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+    val url = s"jdbc:derby:$dir/ddldb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.DerbyCompat.register()
+    Sinks.writeAllJdbcReference(tables, url, props)
+    val back = spark.read.jdbc(url, "patient", props)
+    assert(back.count() == 2)
+    // DATE column came back typed, not as a string
+    assert(back.schema("resource_birthDate").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(back.filter($"resource_id" === "pat-1")
+      .select($"resource_birthDate".cast("string")).as[String].head() == "1980-05-01")
+    // the immunization datetime→DATE quirk truncates like Postgres
+    val imm = spark.read.jdbc(url, "immunization", props)
+    assert(imm.schema("resource_date").dataType == org.apache.spark.sql.types.DateType)
+    assert(imm.select($"resource_date".cast("string")).as[String].head() == "2015-01-01")
+  }
+
   test("parquet sink with partitioning") {
     val dir = Files.createTempDirectory("pq_out")
     val df = Seq(("en", 1L), ("fr", 2L), ("en", 3L)).toDF("lang", "doc_id")
