@@ -7,6 +7,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // wide FHIR structs (21-column to_json) exceed the default 25-field
+      // print cap; raise it so every plan stays printable/inspectable
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,20 +21,41 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // the near-dup operator family persists intermediates by design
+      // (documented caching contract, Dedup.scala): drop them between
+      // queries so no query's time includes another's eviction thrash
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop-format write: materializes every row end-to-end (projection
       // expressions, sorts, kernels) without sink I/O. A bare `.count()`
       // lets Catalyst prune projection-only query bodies down to a parquet
       // row count, timing the scan instead of the operator.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // record, never swallow: a failed query must be visible in the
+        // emitted JSON, not a ~0-second success
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.reverse.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    // a bench where anything failed must not exit 0
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -317,10 +317,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // §2.11 — LSH-bucketed ANN (the 100 TB scale path; approximate).
+    // §2.11 — LSH-bucketed ANN (the 100 TB scale SHAPE; approximate).
     // 4-bit × 16-table config suits this near-random synthetic corpus
-    // (neighbors at ~75°); real embedding corpora with tighter neighbors
-    // should raise numPlanes (see lshTopK scaladoc).
+    // (neighbors at ~75°) but is near-brute-force on candidates — a random
+    // pair collides in ≥1 of 16 tables with prob ≈ 0.64, so this exact
+    // config is bench-corpus-only; at scale raise numPlanes (8–16) and
+    // compensate recall with more tables (see lshTopK scaladoc).
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(

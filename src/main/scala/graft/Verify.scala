@@ -11,6 +11,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // wide FHIR structs exceed the default 25-field print cap
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,6 +21,9 @@ object Verify {
       spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // near-dup operators persist intermediates by design; drop them
+      // between queries so 41 queries don't stack cache evictions
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

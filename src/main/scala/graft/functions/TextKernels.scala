@@ -207,6 +207,143 @@ object TextKernels {
     if (hs == null || hs.isEmpty) 0L else hs(0) // sorted → head is min
   }
 
+  /** English stopword list for the quality-metrics kernel — the single
+    * source of truth: `TextStats.Stopwords("en")` and the DuckDB oracle
+    * regex are both generated from this array, so the three sides cannot
+    * drift. Order matters only for the generated regex alternation.
+    */
+  val EnStopwords: Array[String] =
+    Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** ASCII `\p{Punct}` / POSIX `[[:punct:]]`: !-/ :-@ [-` {-~ . */
+  @inline private def isAsciiPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** Java-regex `\b` word character. Subtle but load-bearing: without
+    * UNICODE_CHARACTER_CLASS, Java's `\w` is ASCII but `\b` is STILL
+    * Unicode-aware — `Pattern.Bound.isWord` checks
+    * `ch == '_' || Character.isLetterOrDigit(ch)` on the adjacent code
+    * point. So `\ba\b` does NOT match the "a" in "a的b" (的 is a letter)
+    * even though 的 is not `\w`. The kernel must reproduce exactly this
+    * or stopword counts drift from the regexp_count formulation the
+    * oracle mirrors.
+    */
+  @inline private def isJavaBoundWord(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** Second `Pattern.Bound` quirk: a non-spacing mark (Mn) with a
+    * letter/digit base character also counts as a word char for `\b` —
+    * so `\bthe\b` does NOT match in "thé" (NFD "thé"). This is the
+    * JDK's `hasBaseCharacter`: walk backward one CHAR at a time from
+    * `from`, skipping Mn code points; the first non-mark must be a letter
+    * or digit (note: underscore does NOT qualify as a base).
+    */
+  private def hasBaseCharacter(s: String, from: Int): Boolean = {
+    var x = from
+    while (x >= 0) {
+      val cp = s.codePointAt(x)
+      if (Character.isLetterOrDigit(cp)) return true
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      x -= 1
+    }
+    false
+  }
+
+  /** Is there a `\b` word char immediately LEFT of index `pos`?
+    * (`Pattern.Bound`'s left check: `codePointBefore` + the Mn clause.)
+    */
+  private def boundWordBefore(s: String, pos: Int): Boolean = {
+    val cp = s.codePointBefore(pos)
+    isJavaBoundWord(cp) ||
+      (Character.getType(cp) == Character.NON_SPACING_MARK &&
+        hasBaseCharacter(s, pos - 1))
+  }
+
+  /** Is there a `\b` word char AT index `pos`? (`Pattern.Bound`'s right
+    * check: `codePointAt` + the Mn clause.)
+    */
+  private def boundWordAt(s: String, pos: Int): Boolean = {
+    val cp = s.codePointAt(pos)
+    isJavaBoundWord(cp) ||
+      (Character.getType(cp) == Character.NON_SPACING_MARK &&
+        hasBaseCharacter(s, pos))
+  }
+
+  /** Case-insensitive match of `s[from, from+len)` against [[EnStopwords]].
+    *
+    * A match of `(?i)\b(the|a|...)\b` is a maximal ASCII-`\w+` run equal
+    * (ASCII case-insensitively) to one of the words — so partial-run
+    * matches like the "a" in "that" or the "the" in "the2" never fire —
+    * whose adjacent code points are additionally non-word per
+    * [[isJavaBoundWord]] (Unicode `\b` semantics).
+    */
+  private def isEnStopword(s: String, from: Int, len: Int): Boolean = {
+    if (len < 1 || len > 4) return false
+    @inline def lc(i: Int): Char = {
+      val c = s.charAt(from + i)
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    }
+    len match {
+      case 1 => lc(0) == 'a'
+      case 2 =>
+        val a = lc(0); val b = lc(1)
+        (a == 'o' && b == 'f') || (a == 't' && b == 'o') ||
+          (a == 'i' && (b == 'n' || b == 's' || b == 't'))
+      case 3 =>
+        val a = lc(0); val b = lc(1); val c = lc(2)
+        (a == 't' && b == 'h' && c == 'e') ||
+          (a == 'a' && b == 'n' && c == 'd') ||
+          (a == 'f' && b == 'o' && c == 'r')
+      case _ => lc(0) == 't' && lc(1) == 'h' && lc(2) == 'a' && lc(3) == 't'
+    }
+  }
+
+  /** All quality-metric counts in ONE pass over the string:
+    * `[n_chars, n_tokens, n_punct, n_digits, n_upper, n_stopwords]`.
+    *
+    * Replaces 4 `regexp_count` passes + 3 tokenizer `split`s per row
+    * (≈16 java.util.regex scans once Catalyst duplicates the score tree
+    * into Filter AND Project — there is no cross-operator subexpression
+    * elimination, so the fix that holds at 100 TB is making each
+    * evaluation a single cheap scan). Semantics are bit-identical to the
+    * regex forms: n_chars counts code points (Spark `length` /
+    * DuckDB `length`), tokens split on Java `\s`, punct is ASCII
+    * `\p{Punct}`, stopwords are `(?i)\b(...)\b` word-run matches.
+    */
+  def textMetrics(s: String): Array[Long] = {
+    if (s == null) return null
+    val n = s.length
+    var nTok = 0L; var nPunct = 0L; var nDigit = 0L; var nUpper = 0L
+    var nStop = 0L
+    var inTok = false // inside a non-whitespace token
+    var runStart = -1 // start of the current \w+ run, -1 when outside
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) inTok = false
+      else if (!inTok) { inTok = true; nTok += 1 }
+      if (isAsciiPunct(c)) nPunct += 1
+      if (c >= '0' && c <= '9') nDigit += 1
+      if (c >= 'A' && c <= 'Z') nUpper += 1
+      if (isWordChar(c)) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) {
+        if (isEnStopword(s, runStart, i - runStart) &&
+          (runStart == 0 || !boundWordBefore(s, runStart)) &&
+          !boundWordAt(s, i)) nStop += 1
+        runStart = -1
+      }
+      i += 1
+    }
+    if (runStart >= 0 && isEnStopword(s, runStart, n - runStart) &&
+      (runStart == 0 || !boundWordBefore(s, runStart))) nStop += 1
+    Array(s.codePointCount(0, n).toLong, nTok, nPunct, nDigit, nUpper, nStop)
+  }
+
   /** Exact Jaccard of two sorted long arrays (merge intersect). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): java.lang.Double = {
     if (a == null || b == null) return null
@@ -242,6 +379,12 @@ object TextKernels {
   }
 
   def simhash64U(s: UTF8String): java.lang.Long = simhash64(s.toString)
+
+  def textMetricsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = textMetrics(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m(0), m(1), m(2), m(3), m(4), m(5)))
+  }
 
   def rollingFingerprintU(s: UTF8String): Long = rollingFingerprint(s.toString).longValue()
 

@@ -30,4 +30,89 @@ object VecKernels {
     }
     s
   }
+
+  // --- random-hyperplane LSH kernel ----------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (plane, d):
+    * SplitMix64 mapped to [−1, 1]. The SAME derivation
+    * `Similarity.planeComponent` used when planes were literal arrays, so
+    * signatures (and therefore every downstream candidate set) are
+    * unchanged — the matrix just lives inside the kernel now instead of as
+    * m·L·dim literal doubles bloating the plan (the literal form produced
+    * plans Spark could not even print, with Janino method-size
+    * codegen-fallback risk).
+    */
+  @inline private def planeComponent(plane: Int, d: Int): Double =
+    java.lang.Math.floorMod(
+      TextKernels.mix64(plane * TextKernels.Gamma + d), 2000001L).toDouble / 1000000.0 - 1.0
+
+  /** (totalPlanes, dim) → row-major plane matrix; executors derive each
+    * family once and reuse it across rows/tasks.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planeMatrix(totalPlanes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((totalPlanes, dim), { key =>
+      val (p, d) = key
+      val m = new Array[Double](p * d)
+      var i = 0
+      while (i < p) {
+        var j = 0
+        while (j < d) { m(i * d + j) = planeComponent(i, j); j += 1 }
+        i += 1
+      }
+      m
+    })
+
+  /** All multi-table LSH bucket keys of one vector in one kernel pass:
+    * for table t and plane p, bit p of table t's bucket is set when
+    * `Σ_d vec[d]·plane[t·numPlanes+p][d] ≥ 0` (sequential double
+    * accumulation — identical to [[dot]] against the literal plane array),
+    * and the key is `bucket | (t << numPlanes)` so keys never collide
+    * across tables. Consumes `min(dim, |vec|)` elements like [[dot]]; a
+    * null element makes every predicate false (bit 0), matching the old
+    * `when(dot ≥ 0, bit).otherwise(0)` null semantics.
+    */
+  def lshKeys(vec: ArrayData, vecFloat: Boolean, dim: Int,
+      numPlanes: Int, numTables: Int): Array[Long] = {
+    val out = new Array[Long](numTables)
+    val n = math.min(vec.numElements(), dim)
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { if (vec.isNullAt(i)) hasNull = true; i += 1 }
+    if (hasNull) {
+      var t = 0
+      while (t < numTables) { out(t) = t.toLong << numPlanes; t += 1 }
+      return out
+    }
+    val v = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      v(i) = if (vecFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val planes = planeMatrix(numTables * numPlanes, dim)
+    var t = 0
+    while (t < numTables) {
+      var key = t.toLong << numPlanes
+      var p = 0
+      while (p < numPlanes) {
+        val base = (t * numPlanes + p) * dim
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += v(d) * planes(base + d); d += 1 }
+        if (s >= 0) key |= 1L << p
+        p += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    out
+  }
+
+  def lshKeysArray(vec: ArrayData, vecFloat: Boolean, dim: Int,
+      numPlanes: Int, numTables: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      lshKeys(vec, vecFloat, dim, numPlanes, numTables))
 }

@@ -118,6 +118,64 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** All text-quality counts in one kernel pass
+    * ([[TextKernels.textMetrics]]): a struct of
+    * `n_chars, n_tokens, n_punct, n_digits, n_upper, n_stopwords` longs.
+    * The ratio/score arithmetic stays declarative ON TOP of this struct
+    * (see `TextStats.qualityMetrics`), so rounding is Spark's own
+    * `round` — only the O(len) regex scans are replaced.
+    */
+  case class TextMetricsCounts(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = TextMetricsCounts.schema
+    override def prettyName: String = "graft_text_metrics"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.textMetricsRow(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.textMetricsRow($c)")
+    override protected def withNewChildInternal(newChild: Expression): TextMetricsCounts =
+      copy(child = newChild)
+  }
+
+  object TextMetricsCounts {
+    val schema: StructType = StructType(
+      Seq("n_chars", "n_tokens", "n_punct", "n_digits", "n_upper", "n_stopwords")
+        .map(StructField(_, LongType, nullable = false)))
+  }
+
+  /** Multi-table LSH bucket keys of an embedding vector in one kernel pass
+    * ([[VecKernels.lshKeys]]): `numTables` longs, bit p of table t's
+    * bucket = sign of the vector's projection on pseudo-random hyperplane
+    * t·numPlanes+p (SplitMix64-derived inside the kernel). Replaces the
+    * literal-plane-array formulation whose m·L·dim constant doubles made
+    * plans untruncatable and risked codegen fallback.
+    */
+  case class LshKeys(child: Expression, dim: Int, numPlanes: Int, numTables: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_lsh_keys"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires an array<float|double> argument, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      VecKernels.lshKeysArray(
+        input.asInstanceOf[ArrayData], isFloat, dim, numPlanes, numTables)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VecKernels.lshKeysArray($c, $isFloat, $dim, $numPlanes, $numTables)")
+    override protected def withNewChildInternal(newChild: Expression): LshKeys =
+      copy(child = newChild)
+  }
+
   /** Dot product of two numeric array columns (float or double elements),
     * in sequential double precision; null when inputs or any consumed
     * element are null.

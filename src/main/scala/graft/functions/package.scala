@@ -45,6 +45,16 @@ package object functions {
   def vec_dot(a: Column, b: Column): Column =
     c(expressions.VecDot(e(a), e(b)))
 
+  /** One-pass text-quality counts struct
+    * (`n_chars, n_tokens, n_punct, n_digits, n_upper, n_stopwords`).
+    */
+  def text_metrics(text: Column): Column =
+    c(expressions.TextMetricsCounts(e(text)))
+
+  /** Multi-table hyperplane-LSH bucket keys (`numTables` tagged longs). */
+  def lsh_keys(vec: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
+    c(expressions.LshKeys(e(vec), dim, numPlanes, numTables))
+
   /** Aggregate: element-wise min of MinHash signatures = the signature of
     * the group's union (for group-vs-group Jaccard estimation).
     */
@@ -89,6 +99,11 @@ package object functions {
       ((args: Seq[Expression]) => expressions.JaccardSorted(args(0), args(1))),
     "graft_vec_dot" ->
       ((args: Seq[Expression]) => expressions.VecDot(args(0), args(1))),
+    "graft_text_metrics" ->
+      ((args: Seq[Expression]) => expressions.TextMetricsCounts(args(0))),
+    "graft_lsh_keys" ->
+      ((args: Seq[Expression]) => expressions.LshKeys(
+        args(0), intLitArg(args(1)), intLitArg(args(2)), intLitArg(args(3)))),
     "graft_minhash_union" ->
       ((args: Seq[Expression]) => MinHashUnionAgg(args(0), intLitArg(args(1))).toAggregateExpression()))
 

@@ -73,7 +73,10 @@ object Similarity {
     * Vectors with high cosine land in the same bucket with probability
     * (1 − θ/π) per plane. Each projection is one codegen'd [[dot]] against
     * a constant plane array. `planeOffset` selects an independent plane
-    * family (used by the multi-table form).
+    * family. Literal-plane formulation — kept for single-bucket callers
+    * and as the reference the [[lshKeys]] kernel is spec-checked against;
+    * multi-table paths use the kernel (m·L plane families as literals
+    * bloat the plan past what Spark can print and risk codegen fallback).
     */
   def hyperplaneBucket(vec: Column, dim: Int, numPlanes: Int = 12, planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
@@ -85,13 +88,15 @@ object Similarity {
 
   /** All `numTables` bucket keys of a vector, one per independent plane
     * family, table index packed into the high bits so keys never collide
-    * across tables.
+    * across tables. One kernel call per row
+    * ([[graft.functions.expressions.LshKeys]]) — the plane matrix is
+    * derived inside the kernel from the same SplitMix64 scheme as
+    * [[hyperplaneBucket]]'s literals (identical keys; SimilaritySpec pins
+    * the equivalence), so the plan carries 1 expression node instead of
+    * m·L·dim constant doubles.
     */
   private def lshKeys(vec: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
-    array((0 until numTables).map { t =>
-      hyperplaneBucket(vec, dim, numPlanes, planeOffset = t * numPlanes)
-        .bitwiseOR(lit(t.toLong << numPlanes))
-    }: _*)
+    graft.functions.lsh_keys(vec, dim, numPlanes, numTables)
 
   /** Approximate NN via multi-table LSH: `numTables` independent plane
     * families of `numPlanes` sign bits each; candidates are pairs sharing
@@ -100,8 +105,12 @@ object Similarity {
     * One table is not enough: with per-plane agreement p = 1 − θ/π, a
     * single m-bit table recalls p^m — for neighbors at 70–80° (typical
     * of noisy corpora) that is ~1–2%. L tables recall 1 − (1−p^m)^L,
-    * tunable to any target; random pairs still collide at only
-    * ≈ L·(1/2)^m, which is what keeps the candidate set ≪ n·|queries|.
+    * tunable to any target; a random pair collides in ≥1 table with
+    * probability 1 − (1 − (1/2)^m)^L, so candidate reduction needs m
+    * large enough for that to be ≪ 1. NOTE: small-m configs (e.g. m=4,
+    * L=16 → 1 − (15/16)^16 ≈ 64% of the cross product) are
+    * near-brute-force — fine for small noisy bench corpora where recall
+    * dominates, but at scale raise m (8–16) and compensate recall with L.
     *
     * Plan shape: the explode ships only (bucket_key, id) — n·L tuples,
     * never vectors; after the bucket equi-join and candidate `distinct`,

@@ -56,7 +56,9 @@ object TextStats {
     * regexes stay cheap.
     */
   val Stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    // the en list lives in the kernel (TextKernels.textMetrics hardcodes
+    // its matcher); deriving it here keeps regex/oracle/kernel in lock-step
+    "en" -> graft.functions.TextKernels.EnStopwords.toSeq,
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"),
     "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
@@ -71,14 +73,30 @@ object TextStats {
   /** Quality metrics in one projection: length, token count, mean token
     * length, punctuation ratio, digit ratio, uppercase ratio, stopword
     * ratio, and a composite [0,1] score. One pass, no shuffle.
+    *
+    * All six counts come from ONE kernel scan of the string
+    * ([[graft.functions.TextKernels.textMetrics]] — semantically identical
+    * to the regex formulation, which cost 4 `regexp_count` passes + 3
+    * tokenizer splits PER EVALUATION). That matters because Catalyst
+    * duplicates an aliased score into both Filter and Project when a
+    * caller filters on it (no cross-operator subexpression elimination):
+    * with regexes that was ~16 java.util.regex scans per row; now it is
+    * two cheap byte passes, and within one projection codegen
+    * subexpression elimination collapses the ten field reads to a single
+    * kernel call. The ratio/score arithmetic and rounding stay declarative
+    * (Spark's own `round`), so oracle parity is untouched.
     */
   def qualityMetrics(text: Column): Seq[Column] = {
-    val nChars = length(text).cast("long")
-    val nTok = tokenCount(text).cast("long")
-    val nPunct = coalesce(regexp_count(text, lit("""[\p{Punct}]""")), lit(0)).cast("long")
-    val nDigit = coalesce(regexp_count(text, lit("[0-9]")), lit(0)).cast("long")
-    val nUpper = coalesce(regexp_count(text, lit("[A-Z]")), lit(0)).cast("long")
-    val nStop = stopwordCount(text).cast("long")
+    val m = graft.functions.text_metrics(text)
+    val nChars = m.getField("n_chars")
+    val nTok = m.getField("n_tokens")
+    // coalesce mirrors the regex form's null semantics: for null text the
+    // count columns were coalesce(regexp_count(null),0)=0 while
+    // length/token stayed null
+    val nPunct = coalesce(m.getField("n_punct"), lit(0L))
+    val nDigit = coalesce(m.getField("n_digits"), lit(0L))
+    val nUpper = coalesce(m.getField("n_upper"), lit(0L))
+    val nStop = coalesce(m.getField("n_stopwords"), lit(0L))
     val safeChars = greatest(nChars, lit(1L))
     val safeTok = greatest(nTok, lit(1L))
     val punctRatio = round(nPunct * lit(1.0) / safeChars, 4)

@@ -95,6 +95,36 @@ class SimilaritySpec extends SparkSpec {
       s"recall fell when tables were added: $mean < $meanFewTables")
   }
 
+  test("lsh_keys kernel ≡ literal-plane hyperplaneBucket keys (float and double, short vecs)") {
+    // 20 deterministic vectors with mixed signs; kernel must reproduce the
+    // literal-array formulation bit-for-bit (same SplitMix64 planes, same
+    // sequential dot order) or every ANN candidate set silently shifts
+    val m = 5; val l = 3; val dim = 8
+    val data = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => ((((i * 31 + d * 17) % 13) - 6).toFloat / 3f)))
+    }
+    for (asDouble <- Seq(false, true)) {
+      val base = data.toDF("id", "v")
+      val df = if (asDouble) base.withColumn("v", col("v").cast("array<double>")) else base
+      val viaLiterals = df.select(col("id"), array((0 until l).map(t =>
+          Similarity.hyperplaneBucket(col("v"), dim, m, planeOffset = t * m)
+            .bitwiseOR(lit(t.toLong << m))): _*).as("k"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val viaKernel = df.select(col("id"), graft.functions.lsh_keys(col("v"), dim, m, l).as("k"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(viaKernel == viaLiterals, s"asDouble=$asDouble diverged")
+    }
+    // vector shorter than dim: both sides consume min(|vec|, dim) elements
+    val short = Seq((0L, Array(0.5f, -0.25f))).toDF("id", "v")
+    val litShort = short.select(array((0 until l).map(t =>
+        Similarity.hyperplaneBucket(col("v"), dim, m, planeOffset = t * m)
+          .bitwiseOR(lit(t.toLong << m))): _*).as("k"))
+      .as[Seq[Long]].collect()(0)
+    val kerShort = short.select(graft.functions.lsh_keys(col("v"), dim, m, l).as("k"))
+      .as[Seq[Long]].collect()(0)
+    assert(kerShort == litShort)
+  }
+
   test("cosineNearDupPairs: null ids and null vectors are excluded, not NPEs") {
     val withNulls = Seq(
       (java.lang.Long.valueOf(0L), Array(1f, 0f)),

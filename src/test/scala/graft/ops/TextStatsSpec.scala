@@ -54,6 +54,37 @@ class TextStatsSpec extends SparkSpec {
     assert(row.getAs[Double]("quality_score") == 0.0) // < 20 chars
   }
 
+  test("text_metrics kernel ≡ regex formulation, char by char") {
+    // every count the kernel emits, recomputed with the original
+    // regexp_count/split formulation, over strings picked to break it:
+    // word-boundary edges (the2, _the, a_b), unicode (CJK non-word chars,
+    // supplementary-plane 𝄞 = surrogate pair), \s variants, punct classes
+    val samples = Seq(
+      "", "   ", "word", "The cat sat.", "the the the", "that", "a",
+      "A_b a_b the2 2the _the the_ thethe", "it's it is it", "  \t\nthe\tof\n",
+      "héllo wörld the", "的 是 的是 a的b", "athé aé á thé ist",
+      // explicit NFD / mark-boundary cases: thé (mark after stopword),
+      // éthe (mark+base before), _́the (mark with non-letter base),
+      // ́the (mark at string start, no base)
+      "thé x éthe _́the ́the á a",
+      "100% #1! [ok] {x} `y` ~z~",
+      "THE OF AND tHaT", "𝄞 clef 𝄞the the𝄞 the", "for for for for for",
+      "digits 0123456789 42x x42", "multi  spacesthe")
+    val df = samples.toDF("t")
+    val regex = df.select(
+      length(col("t")).cast("long").as("n_chars"),
+      TextStats.tokenCount(col("t")).cast("long").as("n_tokens"),
+      coalesce(regexp_count(col("t"), lit("""[\p{Punct}]""")), lit(0)).cast("long").as("n_punct"),
+      coalesce(regexp_count(col("t"), lit("[0-9]")), lit(0)).cast("long").as("n_digits"),
+      coalesce(regexp_count(col("t"), lit("[A-Z]")), lit(0)).cast("long").as("n_upper"),
+      TextStats.stopwordCount(col("t")).cast("long").as("n_stopwords")).collect()
+    val kernel = df.select(graft.functions.text_metrics(col("t")).as("m"))
+      .select("m.*").collect()
+    samples.indices.foreach { i =>
+      assert(kernel(i) == regex(i), s"metrics diverge on ${samples(i)}")
+    }
+  }
+
   test("fingerprints: rolling is order-sensitive, content is order-robust on shingle sets") {
     def fp(c: org.apache.spark.sql.Column, t: String): Long = one[Long](c, t)
     val r1 = fp(TextStats.rollingFingerprint(col("t")), "a b c d")
