@@ -404,10 +404,8 @@ object SparkEntry {
     // correctness is pinned by FhirPipelineSpec, this surfaces it in the
     // driver's rows-only check).
     "fhir_pipeline" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("fhir_verify")
-      java.nio.file.Files.writeString(dir.resolve("b1.json"), FhirFixtures.bundle1)
-      java.nio.file.Files.writeString(dir.resolve("b2.json"), FhirFixtures.bundle2)
-      val entries = graft.fhir.BundleReader.normalizedEntries(s, dir.toString).cache()
+      val entries = graft.fhir.BundleReader
+        .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
       val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
       graft.sinks.Sinks.underscored(tables("patient"))
         .select("resource_id", "patient_id", "full_name", "latitude", "maritalStatus")
@@ -420,10 +418,8 @@ object SparkEntry {
     // oracle — the FHIR source never exists as a DuckDB-readable table;
     // rows-only check + value pinning in FhirPipelineSpec.
     "fhir_tables" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("fhir_tables")
-      java.nio.file.Files.writeString(dir.resolve("b1.json"), FhirFixtures.bundle1)
-      java.nio.file.Files.writeString(dir.resolve("b2.json"), FhirFixtures.bundle2)
-      val entries = graft.fhir.BundleReader.normalizedEntries(s, dir.toString).cache()
+      val entries = graft.fhir.BundleReader
+        .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
       val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
       tables.toSeq.sortBy(_._1).map { case (name, df) =>
         val u = graft.sinks.Sinks.underscored(df)

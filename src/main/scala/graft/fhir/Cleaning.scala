@@ -22,6 +22,16 @@ import graft.clean.Cleaners
   */
 object Cleaning {
 
+  /** Instrumentation hook: called at named points inside a table pipeline
+    * with the intermediate DataFrame; must return it (optionally wrapped,
+    * e.g. with `observe` metrics — zero extra scans). The only point
+    * currently emitted is `"post_drop"`, immediately after the table's
+    * null-key drop: that is where the reference snapshots its
+    * removed/filled/updated counters (`data_quality_checker.py:241-276`).
+    */
+  type Tap = (String, DataFrame) => DataFrame
+  val noTap: Tap = (_, df) => df
+
   /** The 8 date columns the format cleaner touches wherever present
     * (`data_quality_checker.py:177`).
     */
@@ -42,10 +52,11 @@ object Cleaning {
     Cleaners.dedupKeepFirst(df, Seq(key), tiebreak)
   }
 
-  def patient(df: DataFrame): DataFrame = {
+  def patient(df: DataFrame, tap: Tap = noTap): DataFrame = {
+    val dropped = tap("post_drop", Cleaners.dropNullKeys(df, Seq("resource.id")))
     val missing = Cleaners.fillNull(
       Cleaners.backfillBooleanFromInt(
-        Cleaners.dropNullKeys(df, Seq("resource.id")),
+        dropped,
         "resource.multipleBirthInteger", "resource.multipleBirthBoolean"),
       "resource.multipleBirthInteger", 0)
     val formats = Cleaners.nullifyInvalidPhone(
@@ -56,48 +67,55 @@ object Cleaning {
       "longitude", -180, 180)
   }
 
-  def encounter(df: DataFrame): DataFrame =
+  def encounter(df: DataFrame, tap: Tap = noTap): DataFrame =
     dedup(
       Cleaners.swapInvertedPair(
         Cleaners.nullifyInvalidDates(
-          Cleaners.dropNullKeys(df, Seq("resource.id", "resource.patient.reference")),
+          tap("post_drop",
+            Cleaners.dropNullKeys(df, Seq("resource.id", "resource.patient.reference"))),
           DateColumns),
         "resource.period.start", "resource.period.end"),
       "resource.id")
 
-  def careplan(df: DataFrame): DataFrame =
+  def careplan(df: DataFrame, tap: Tap = noTap): DataFrame =
     Cleaners.swapInvertedPair(
       Cleaners.nullifyInvalidDates(df, DateColumns),
       "resource.period.start", "resource.period.end")
 
-  def condition(df: DataFrame): DataFrame =
+  def condition(df: DataFrame, tap: Tap = noTap): DataFrame =
     dedup(
       Cleaners.swapInvertedPair(
         Cleaners.nullifyInvalidDates(
-          Cleaners.dropNullKeys(df, Seq("resource.id", "patient_id")),
+          tap("post_drop", Cleaners.dropNullKeys(df, Seq("resource.id", "patient_id"))),
           DateColumns),
         "resource.onsetDateTime", "resource.abatementDateTime"),
       "resource.id")
 
-  def observation(df: DataFrame): DataFrame =
+  def observation(df: DataFrame, tap: Tap = noTap): DataFrame =
     dedup(
       Cleaners.nullifyInvalidDates(
-        Cleaners.dropNullKeys(df, Seq("resource.id", "patient_id")),
+        tap("post_drop", Cleaners.dropNullKeys(df, Seq("resource.id", "patient_id"))),
         DateColumns),
       "resource.id")
 
-  def immunization(df: DataFrame): DataFrame =
+  def immunization(df: DataFrame, tap: Tap = noTap): DataFrame =
     Cleaners.nullifyInvalidDates(
-      Cleaners.dropNullKeys(df,
-        Seq("resource.encounter.reference", "resource.patient.reference")),
+      tap("post_drop", Cleaners.dropNullKeys(df,
+        Seq("resource.encounter.reference", "resource.patient.reference"))),
       DateColumns)
 
+  /** Clean all six tables with their table-specific pipelines, threading a
+    * per-table instrumentation tap (see [[Tap]]).
+    */
+  def allTapped(tables: Map[String, DataFrame], tapFor: String => Tap): Map[String, DataFrame] = Map(
+    "patient" -> patient(tables("patient"), tapFor("patient")),
+    "encounter" -> encounter(tables("encounter"), tapFor("encounter")),
+    "condition" -> condition(tables("condition"), tapFor("condition")),
+    "observation" -> observation(tables("observation"), tapFor("observation")),
+    "immunization" -> immunization(tables("immunization"), tapFor("immunization")),
+    "careplan" -> careplan(tables("careplan"), tapFor("careplan")))
+
   /** Clean all six tables with their table-specific pipelines. */
-  def all(tables: Map[String, DataFrame]): Map[String, DataFrame] = Map(
-    "patient" -> patient(tables("patient")),
-    "encounter" -> encounter(tables("encounter")),
-    "condition" -> condition(tables("condition")),
-    "observation" -> observation(tables("observation")),
-    "immunization" -> immunization(tables("immunization")),
-    "careplan" -> careplan(tables("careplan")))
+  def all(tables: Map[String, DataFrame]): Map[String, DataFrame] =
+    allTapped(tables, _ => noTap)
 }

@@ -54,11 +54,17 @@ object Extractors {
         coalesce(a0.getField("postalCode"), lit(""))))
   }
 
-  /** A4 helper — first `resource.extension[]` entry matching any of the
-    * given urls.
+  /** A4 helper — LAST `resource.extension[]` entry matching any of the
+    * given urls: the reference's loop reassigns on every match
+    * (`json_pipeline.py:259-267`), so when a patient carries duplicate
+    * race/ethnicity/birthplace extensions the last one wins.
+    * `try_element_at(…, -1)` is the ANSI-safe last-element read (null for
+    * no match).
     */
   private def ext(urls: Seq[String]): Column =
-    first(filter(col("resource.extension"), e => e.getField("url").isin(urls: _*)))
+    try_element_at(
+      filter(col("resource.extension"), e => e.getField("url").isin(urls: _*)),
+      lit(-1))
 
   // The reference matches these EXACT url strings
   // (`json_pipeline.py:261-266`); the modern US-Core / SHR canonical forms

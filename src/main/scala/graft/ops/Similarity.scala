@@ -192,11 +192,29 @@ object Similarity {
     * Per-pair math matches the SQL/oracle formulation exactly: sequential
     * double dot and norms, rounded half-up to 6 dp. Null ids/vectors are
     * excluded (they have no well-defined similarity).
+    *
+    * Caching contract (same as the Dedup near-dup family): the packed
+    * chunks persist for the lifetime of the lazy result — they feed both
+    * sides of the chunk-pair join, and unpersisting before the caller's
+    * action would recompute the group+pack twice. Long-lived sessions
+    * issuing many calls should `spark.catalog.clearCache()` between
+    * batches (the Verify/Bench harnesses do).
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBlocks: Int = 16): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
+    // fail fast on non-integral ids: a silent cast("long") would turn
+    // string ids into nulls AFTER the null filter has run, flooding the
+    // kernel with 0-id rows instead of erroring
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"cosineNearDupPairs requires an integral id column; '$idCol' is " +
+          s"${other.simpleString}. Hash string ids to int64 explicitly first " +
+          "(e.g. withColumn(id, xxhash64(col(id)))) so emitted pair ids stay meaningful.")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val chunks = df

@@ -63,13 +63,47 @@ object Sinks {
   /** S5–S7 with the reference's typed warehouse DDL
     * ([[ReferenceDdl.columnTypes]], `json_pipeline.py:743-850`) applied to
     * every table, DATE-declared columns cast to real dates first
-    * ([[ReferenceDdl.coerceDates]]).
+    * ([[ReferenceDdl.coerceDates]]). With `applyConstraints` the
+    * reference's key constraints (`patient_id PRIMARY KEY`,
+    * `json_pipeline.py:750`) are added post-load — Spark's JDBC writer
+    * cannot emit them in the CREATE TABLE.
     */
   def writeAllJdbcReference(tables: Map[String, DataFrame], url: String,
-      props: java.util.Properties): Unit =
+      props: java.util.Properties, applyConstraints: Boolean = false): Unit = {
     writeAllJdbc(
       tables.map { case (n, df) => n -> ReferenceDdl.coerceDates(n, underscored(df)) },
       url, props, ReferenceDdl.columnTypes)
+    if (applyConstraints) applyPrimaryKeys(url, props)
+  }
+
+  /** Issue `ALTER TABLE … ADD PRIMARY KEY` for each declared key
+    * ([[ReferenceDdl.primaryKeys]] by default) over a plain JDBC
+    * connection. PRIMARY KEY demands NOT NULL columns and Spark-created
+    * columns are nullable, so the columns are first altered NOT NULL —
+    * Derby's `ALTER COLUMN c NOT NULL` vs the SQL-standard
+    * `ALTER COLUMN c SET NOT NULL` (Postgres et al.), keyed on the url.
+    * Fails loudly: a key the engine refuses (duplicate or null data) is a
+    * data-integrity signal, not something to swallow.
+    */
+  def applyPrimaryKeys(url: String, props: java.util.Properties,
+      keys: Map[String, Seq[String]] = ReferenceDdl.primaryKeys): Unit = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try keys.foreach { case (table, cols) =>
+        // Spark's JDBC writer quotes COLUMN identifiers (they come back
+        // case-exact, e.g. "patient_id") but passes the TABLE name through
+        // unquoted — mirror that or the ALTER misses the columns
+        val q = cols.map(c => "\"" + c + "\"")
+        val notNull =
+          if (url.startsWith("jdbc:derby")) "ALTER COLUMN %s NOT NULL"
+          else "ALTER COLUMN %s SET NOT NULL"
+        q.foreach(c => st.executeUpdate(s"ALTER TABLE $table ${notNull.format(c)}"))
+        st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY (${q.mkString(", ")})")
+      } finally st.close()
+    } finally conn.close()
+  }
 
   /** Embedded-Derby compatibility: Spark's Derby dialect maps `StringType`
     * → CLOB, which is (a) non-comparable in predicates and (b) the bind

@@ -58,6 +58,23 @@ class FhirPipelineSpec extends SparkSpec {
     assert(r2.getAs[String]("race") == "Asian", "modern US-Core race url variant extracts (A4)")
   }
 
+  test("duplicate race extensions: LAST match wins (reference loop reassigns, json_pipeline.py:259-267)") {
+    val dir = Files.createTempDirectory("fhir_dup_ext")
+    Files.writeString(dir.resolve("d.json"),
+      """{"resourceType":"Bundle","type":"collection","entry":[
+        |{"fullUrl":"urn:uuid:pat-9","resource":{
+        |  "resourceType":"Patient","id":"pat-9","extension":[
+        |    {"url":"http://hl7.org/fhir/StructureDefinition/us-core-race",
+        |     "valueCodeableConcept":{"coding":[{"display":"First","code":"1"}]}},
+        |    {"url":"http://hl7.org/fhir/us/core/StructureDefinition/us-core-race",
+        |     "valueCodeableConcept":{"coding":[{"display":"Second","code":"2"}]}}]}}
+        |]}""".stripMargin)
+    val entries = BundleReader.normalizedEntries(spark, dir.toString)
+    val row = Extractors.patient(BundleReader.route(entries, "Patient")).collect()(0)
+    assert(row.getAs[String]("race") == "Second")
+    assert(row.getAs[String]("race_code") == "2")
+  }
+
   test("full_address is null (not ', , , ') without an address or geolocation extension") {
     // reference only assembles full_address when address[0] has an
     // 'extension' key (json_pipeline.py:191-204)

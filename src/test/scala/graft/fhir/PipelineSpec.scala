@@ -43,5 +43,31 @@ class PipelineSpec extends SparkSpec {
       .csv(out.resolve("patient").toString)
     assert(patientCsv.count() == 2)
     assert(patientCsv.columns.contains("resource_birthDate"))
+
+    // G6 accounting (observe metrics completed by the writes above):
+    // patient: 3 raw rows (pat-1, its duplicate, pat-2), none with null
+    // resource.id, dedup removes 1; pat-1 carries multipleBirthInteger=2
+    // with no boolean (→ 1 updated boolean), the other 2 rows get the
+    // integer filled with 0
+    val pat = r.accounting("patient").summary
+    assert(pat("rows_before") == 3L, pat)
+    assert(pat("rows_after") == 2L, pat)
+    assert(pat("rows_removed") == 1L, pat)
+    assert(pat("rows_removed_null_keys") == 0L, pat)
+    assert(pat("rows_removed_dedup") == 1L, pat)
+    assert(pat("filled_values") == 2L, pat)
+    assert(pat("updated_booleans") == 1L, pat)
+    // structural invariants across every table: the removal split sums to
+    // the total, and only patient carries fill counters
+    r.accounting.foreach { case (name, acc) =>
+      val s = acc.summary
+      assert(s("rows_before") - s("rows_after") == s("rows_removed"), s"$name: $s")
+      if (s.contains("rows_removed_null_keys"))
+        assert(s("rows_removed_null_keys") + s("rows_removed_dedup") == s("rows_removed"),
+          s"$name: $s")
+      if (name != "patient") assert(!s.contains("filled_values"), s"$name: $s")
+    }
+    // careplan has no null-key drop → no split, only before/after
+    assert(!r.accounting("careplan").summary.contains("rows_removed_null_keys"))
   }
 }

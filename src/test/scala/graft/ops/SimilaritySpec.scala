@@ -125,6 +125,20 @@ class SimilaritySpec extends SparkSpec {
     assert(kerShort == litShort)
   }
 
+  test("cosineNearDupPairs: string id column is rejected fast, not silently nulled") {
+    val stringIds = Seq(("doc-a", Array(1f, 0f)), ("doc-b", Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(stringIds, "vec_id", "embedding", 0.9)
+    }
+    assert(ex.getMessage.contains("integral id column"))
+    assert(ex.getMessage.contains("xxhash64"), "error should point at the explicit-hash fix")
+    // the documented workaround produces correct pairs
+    val hashed = stringIds.withColumn("vec_id", xxhash64(col("vec_id")))
+    val pairs = Similarity.cosineNearDupPairs(hashed, "vec_id", "embedding", 0.9)
+    assert(pairs.count() == 1L)
+  }
+
   test("cosineNearDupPairs: null ids and null vectors are excluded, not NPEs") {
     val withNulls = Seq(
       (java.lang.Long.valueOf(0L), Array(1f, 0f)),

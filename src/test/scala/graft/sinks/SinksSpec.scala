@@ -57,7 +57,12 @@ class SinksSpec extends SparkSpec {
     // the reference's quirks (json_pipeline.py:748,751,824,750)
     val patient = ReferenceDdl.columns("patient").toMap
     assert(patient("resource_birthDate") == "DATE")
-    assert(patient("resource_deceasedDateTime") == "VARCHAR(255)", "deceased stays TEXT")
+    assert(patient("resource_deceasedDateTime") == "VARCHAR(4096)", "deceased stays TEXT")
+    // free-text columns that exceed 255 chars on realistic data carry the
+    // wide TEXT-equivalent; id/reference columns stay index-key-sized
+    assert(ReferenceDdl.columns("careplan").toMap.apply("careplan_activity") == "VARCHAR(4096)")
+    assert(patient("full_address") == "VARCHAR(4096)")
+    assert(patient("patient_id") == "VARCHAR(255)")
     assert(ReferenceDdl.columns("immunization").toMap.apply("resource_date") == "DATE")
     assert(ReferenceDdl.primaryKeys == Map("patient" -> Seq("patient_id")))
   }
@@ -72,7 +77,7 @@ class SinksSpec extends SparkSpec {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     Sinks.DerbyCompat.register()
-    Sinks.writeAllJdbcReference(tables, url, props)
+    Sinks.writeAllJdbcReference(tables, url, props, applyConstraints = true)
     val back = spark.read.jdbc(url, "patient", props)
     assert(back.count() == 2)
     // DATE column came back typed, not as a string
@@ -84,6 +89,19 @@ class SinksSpec extends SparkSpec {
     val imm = spark.read.jdbc(url, "immunization", props)
     assert(imm.schema("resource_date").dataType == org.apache.spark.sql.types.DateType)
     assert(imm.select($"resource_date".cast("string")).as[String].head() == "2015-01-01")
+    // the PRIMARY KEY (json_pipeline.py:750) is actually enforced: a
+    // duplicate patient_id insert must be rejected by the engine
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      val existing = back.select($"patient_id").as[String].head()
+      val ex = intercept[java.sql.SQLException] {
+        st.executeUpdate(
+          s"""INSERT INTO patient ("fullUrl", "resource_id", "patient_id") VALUES ('u', 'r', '$existing')""")
+      }
+      assert(ex.getSQLState.startsWith("23"), s"expected integrity violation, got $ex")
+      st.close()
+    } finally conn.close()
   }
 
   test("parquet sink with partitioning") {
