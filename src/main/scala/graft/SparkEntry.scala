@@ -466,6 +466,27 @@ object SparkEntry {
         .select("media_id", "frame_idx", "offset")
         .orderBy("media_id", "frame_idx")),
 
+    // §7.6 — Structured Streaming gate: the SAME events data as a
+    // file-source stream through watermarked dedup (bounded state), run to
+    // completion with a memory sink. All part files fit one micro-batch
+    // (maxFilesPerTrigger=1000 ≫ part count), so no row is ever late
+    // against the watermark and the surviving key set is exactly
+    // SELECT DISTINCT — giving a streaming operator a full value oracle.
+    "stream_dedup" -> ((s, dir) => {
+      import graft.streaming.Streams
+      // the streaming file source demands a DIRECTORY basePath; testdata
+      // ships events.parquet as a single file, so list the sf dir and
+      // glob-filter down to it
+      val src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val deduped = Streams.dedupWithinWatermark(
+        Streams.withEventTime(src, "ts"),
+        "event_time", "30 minutes", Seq("user_id", "event_type"))
+        .select("user_id", "event_type")
+      val name = "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(deduped, name).orderBy("user_id", "event_type")
+    }),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     // Scalar columns only: the driver's pandas comparator cannot sort/hash
     // an array column, and the byte stats ARE DuckDB-expressible (hex
@@ -677,6 +698,10 @@ object SparkEntry {
       """SELECT event_id, user_id, coalesce(value, 0.0) AS value
         |FROM events WHERE user_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "dedup_first" ->
       """SELECT event_id, user_id, event_type FROM (
