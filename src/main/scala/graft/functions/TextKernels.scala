@@ -215,6 +215,18 @@ object TextKernels {
   val EnStopwords: Array[String] =
     Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
+  /** Per-language stopword lists for the language-ID kernel, lang codes
+    * ascending (the tie-break order). Canonical here for the same
+    * no-drift reason as [[EnStopwords]]: `TextStats.Stopwords`, the
+    * generated oracle SQL, and [[langId]] all read this table.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"),
+    "en" -> EnStopwords.toSeq,
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
@@ -344,6 +356,138 @@ object TextKernels {
     Array(s.codePointCount(0, n).toLong, nTok, nPunct, nDigit, nUpper, nStop)
   }
 
+  // --- BPE-ish pretokenizer kernel ----------------------------------------
+
+  @inline private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  /** `[^\sA-Za-z0-9]` — anything non-\s, non-ASCII-alphanumeric (includes
+    * all non-ASCII letters: é counts as "punct" to this pretokenizer,
+    * exactly as the regex class reads).
+    */
+  @inline private def isBpePunct(c: Char): Boolean =
+    !isWs(c) && !isAsciiLetter(c) && !isAsciiDigit(c)
+
+  /** Non-overlapping match count of the GPT-2-style pretokenizer
+    * alternation `'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+`
+    * in one scan — a hand-rolled replica of java.util.regex's
+    * leftmost-first semantics: at each position the contraction
+    * alternative wins if its (case-sensitive) suffix follows an
+    * apostrophe; otherwise an optional literal space prefixes a maximal
+    * letter, digit, or "punct" run; unmatched whitespace advances one
+    * char. Spec-checked against `regexp_count` char-for-char
+    * (TextStatsSpec) including on the full test corpus.
+    */
+  def bpeTokenCount(s: String): Long = {
+    val n = s.length
+    var i = 0
+    var count = 0L
+    @inline def runEnd(from: Int, cls: Char => Boolean): Int = {
+      var j = from
+      while (j < n && cls(s.charAt(j))) j += 1
+      j
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val d = if (i + 1 < n) s.charAt(i + 1) else ' '
+        val e = if (i + 2 < n) s.charAt(i + 2) else ' '
+        val len =
+          if (d == 's' || d == 't' || d == 'm' || d == 'd') 2
+          else if ((d == 'r' || d == 'v') && e == 'e') 3
+          else if (d == 'l' && e == 'l') 3
+          else 0
+        if (len > 0) { count += 1; i += len }
+        else { count += 1; i = runEnd(i, isBpePunct) } // bare-punct fallback
+      }
+      else if (isAsciiLetter(c)) { count += 1; i = runEnd(i, isAsciiLetter) }
+      else if (isAsciiDigit(c)) { count += 1; i = runEnd(i, isAsciiDigit) }
+      else if (c == ' ' && i + 1 < n && !isWs(s.charAt(i + 1))) {
+        // ` ?X+`: the space joins the following run (contractions excluded
+        // — their alternative has no space prefix, so ` 's` pretokenizes
+        // as " '" + "s", and the punct run swallows the apostrophe)
+        val d = s.charAt(i + 1)
+        count += 1
+        i = if (isAsciiLetter(d)) runEnd(i + 1, isAsciiLetter)
+          else if (isAsciiDigit(d)) runEnd(i + 1, isAsciiDigit)
+          else runEnd(i + 1, isBpePunct)
+      }
+      else if (isBpePunct(c)) { count += 1; i = runEnd(i, isBpePunct) }
+      else i += 1 // whitespace: no alternative matches, engine advances one
+    }
+    count
+  }
+
+  // --- language-ID kernel --------------------------------------------------
+
+  /** Lang codes ascending — index aligns with [[LangStopwords]]. */
+  private val LangCodes: Array[String] = LangStopwords.map(_._1).toArray
+
+  /** lowercase word → indices of the languages whose list contains it
+    * (words overlap: "de"/"la"/"un"/"que"/"es" appear in ≥2 lists).
+    */
+  private val langDict: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    for (((_, words), idx) <- LangStopwords.zipWithIndex; w <- words) {
+      val prev = m.get(w)
+      m.put(w, if (prev == null) Array(idx) else prev :+ idx)
+    }
+    m
+  }
+  private val MaxStopwordLen: Int =
+    LangStopwords.iterator.flatMap(_._2).map(_.length).max
+
+  private def tallyRun(s: String, from: Int, until: Int, counts: Array[Int]): Unit = {
+    val len = until - from
+    if (len < 1 || len > MaxStopwordLen) return
+    val chars = new Array[Char](len)
+    var k = 0
+    while (k < len) {
+      val c = s.charAt(from + k)
+      chars(k) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      k += 1
+    }
+    val hit = langDict.get(new String(chars))
+    if (hit != null) { var m = 0; while (m < hit.length) { counts(hit(m)) += 1; m += 1 } }
+  }
+
+  /** Language ID in one pass: winner = language with the most stopword
+    * hits, ascending lang code breaking ties, "und" when nothing matches.
+    *
+    * Equivalent to five `regexp_count(text, '(?i)\b(w|…)\b')` scans: since
+    * every stopword consists solely of `\b`-word characters, a
+    * boundary-valid match is exactly a maximal `\b`-word-char run equal to
+    * the word (ASCII case-insensitively). Runs use the full Java `\b`
+    * word definition — Unicode letters/digits (so an isolated 的 matches
+    * but 的是 does not), underscore, and non-spacing marks with a
+    * letter/digit base ([[boundWordBefore]]'s Mn clause: NFD "thé" is ONE
+    * run ending in the mark, never the stopword "the").
+    */
+  def langId(s: String): String = {
+    if (s == null) return null
+    val n = s.length
+    val counts = new Array[Int](LangCodes.length)
+    var runStart = -1
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val isW = isJavaBoundWord(cp) ||
+        (Character.getType(cp) == Character.NON_SPACING_MARK && hasBaseCharacter(s, i))
+      if (isW) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) { tallyRun(s, runStart, i, counts); runStart = -1 }
+      i += Character.charCount(cp)
+    }
+    if (runStart >= 0) tallyRun(s, runStart, n, counts)
+    var best = -1
+    var bestC = 0
+    var j = 0
+    while (j < counts.length) {
+      if (counts(j) > bestC) { bestC = counts(j); best = j }
+      j += 1
+    }
+    if (best < 0) "und" else LangCodes(best)
+  }
+
   /** Exact Jaccard of two sorted long arrays (merge intersect). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): java.lang.Double = {
     if (a == null || b == null) return null
@@ -379,6 +523,10 @@ object TextKernels {
   }
 
   def simhash64U(s: UTF8String): java.lang.Long = simhash64(s.toString)
+
+  def langIdU(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))
+
+  def bpeTokenCountU(s: UTF8String): Long = bpeTokenCount(s.toString)
 
   def textMetricsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val m = textMetrics(s.toString)

@@ -143,6 +143,38 @@ object expressions {
         .map(StructField(_, LongType, nullable = false)))
   }
 
+  /** One-pass BPE-ish pretokenizer match count
+    * ([[TextKernels.bpeTokenCount]]) — replaces a `regexp_count` over the
+    * GPT-2-style alternation.
+    */
+  case class BpeTokenCount(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bpe_token_count"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.bpeTokenCountU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bpeTokenCountU($c)")
+    override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+      copy(child = newChild)
+  }
+
+  /** One-pass language ID ([[TextKernels.langId]]): the language with the
+    * most stopword hits, "und" when none match. Replaces five
+    * `regexp_count` scans (one per language) per row.
+    */
+  case class LangId(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_lang_id"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.langIdU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.langIdU($c)")
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
   /** Multi-table LSH bucket keys of an embedding vector in one kernel pass
     * ([[VecKernels.lshKeys]]): `numTables` longs, bit p of table t's
     * bucket = sign of the vector's projection on pseudo-random hyperplane

@@ -55,6 +55,14 @@ package object functions {
   def lsh_keys(vec: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
     c(expressions.LshKeys(e(vec), dim, numPlanes, numTables))
 
+  /** One-pass stopword-based language ID ("und" when nothing matches). */
+  def lang_id(text: Column): Column =
+    c(expressions.LangId(e(text)))
+
+  /** One-pass BPE-ish (GPT-2 pretokenizer) token count. */
+  def bpe_token_count(text: Column): Column =
+    c(expressions.BpeTokenCount(e(text)))
+
   /** Aggregate: element-wise min of MinHash signatures = the signature of
     * the group's union (for group-vs-group Jaccard estimation).
     */
@@ -101,6 +109,10 @@ package object functions {
       ((args: Seq[Expression]) => expressions.VecDot(args(0), args(1))),
     "graft_text_metrics" ->
       ((args: Seq[Expression]) => expressions.TextMetricsCounts(args(0))),
+    "graft_lang_id" ->
+      ((args: Seq[Expression]) => expressions.LangId(args(0))),
+    "graft_bpe_token_count" ->
+      ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
     "graft_lsh_keys" ->
       ((args: Seq[Expression]) => expressions.LshKeys(
         args(0), intLitArg(args(1)), intLitArg(args(2)), intLitArg(args(3)))),

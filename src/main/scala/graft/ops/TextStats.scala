@@ -32,6 +32,13 @@ object TextStats {
     */
   val BpePretokenPattern = """'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"""
   def bpeishTokenCount(text: Column): Column =
+    coalesce(graft.functions.bpe_token_count(text), lit(0L))
+
+  /** The `regexp_count` formulation [[bpeishTokenCount]]'s kernel
+    * replaced — retained as the executable spec (TextStatsSpec) and the
+    * shape the DuckDB oracle mirrors.
+    */
+  def bpeishTokenCountRegex(text: Column): Column =
     coalesce(regexp_count(text, lit(BpePretokenPattern)), lit(0))
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
@@ -55,14 +62,11 @@ object TextStats {
     * knowledge (most-frequent function words); deliberately small so the
     * regexes stay cheap.
     */
-  val Stopwords: Map[String, Seq[String]] = Map(
-    // the en list lives in the kernel (TextKernels.textMetrics hardcodes
-    // its matcher); deriving it here keeps regex/oracle/kernel in lock-step
-    "en" -> graft.functions.TextKernels.EnStopwords.toSeq,
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"),
-    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
-    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+  // canonical lists live in the kernel object (TextKernels.textMetrics /
+  // langId hardcode their matchers); deriving this map from them keeps
+  // regex, oracle SQL, and kernels in lock-step
+  val Stopwords: Map[String, Seq[String]] =
+    graft.functions.TextKernels.LangStopwords.toMap
 
   private def wordAlternation(words: Seq[String]): String =
     words.mkString("(?i)\\b(", "|", ")\\b")
@@ -132,9 +136,18 @@ object TextStats {
 
   /** Language-ID heuristic: per-language stopword hit counts; winner = max
     * count with lexicographic tiebreak; "und" (undetermined) when nothing
-    * matches. A struct-max trick keeps it a single projection.
+    * matches. One kernel pass ([[graft.functions.TextKernels.langId]])
+    * instead of five `regexp_count` scans; the coalesce mirrors the regex
+    * formulation's null behavior (null text counted 0 everywhere → "und").
     */
-  def langIdExpr(text: Column): Column = {
+  def langIdExpr(text: Column): Column =
+    coalesce(graft.functions.lang_id(text), lit("und"))
+
+  /** The five-regex formulation [[langIdExpr]] replaced — retained as the
+    * executable specification the kernel is spec-checked against
+    * (TextStatsSpec) and the shape the generated DuckDB oracle mirrors.
+    */
+  def langIdRegexExpr(text: Column): Column = {
     val langs = Stopwords.keys.toSeq.sorted
     val scored = langs.map { l =>
       // negate count so that max(struct) prefers higher counts, and the

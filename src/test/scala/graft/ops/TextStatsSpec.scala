@@ -18,9 +18,9 @@ class TextStatsSpec extends SparkSpec {
 
   test("bpe-ish token count: letters/digits/punct splits") {
     // "Hello, world 42!" → [Hello][,][ world][ 42][!] = 5
-    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "Hello, world 42!") == 5)
-    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "it's") == 2) // [it]['s]
-    assert(one[Int](TextStats.bpeishTokenCount(col("t")), "") == 0)
+    assert(one[Long](TextStats.bpeishTokenCount(col("t")), "Hello, world 42!") == 5L)
+    assert(one[Long](TextStats.bpeishTokenCount(col("t")), "it's") == 2L) // [it]['s]
+    assert(one[Long](TextStats.bpeishTokenCount(col("t")), "") == 0L)
   }
 
   test("shingles: n=3 over 5 tokens → 3 shingles, short text → empty") {
@@ -83,6 +83,56 @@ class TextStatsSpec extends SparkSpec {
     samples.indices.foreach { i =>
       assert(kernel(i) == regex(i), s"metrics diverge on ${samples(i)}")
     }
+  }
+
+  test("bpe token count kernel ≡ regexp_count on edge cases AND the sf0.01 corpus") {
+    // contractions (valid, bare, capitalized), space-joined runs, unicode
+    // "punct" (é, CJK), whitespace variants, apostrophe runs
+    val samples = Seq(
+      "", " ", "  ", "Hello, world 42!", "it's it'll they're we've I'm he'd can't",
+      "don't 'S 'rex 'l '' ' s x' é", "a1b2", "  leading", "trailing  ",
+      "tabs\tand\nnewlines", "héllo wörld", "的是了 a 的", "100%#1![ok]{x}`y`~z~",
+      "'", "''", "'s's's", "mixed 'reUP 42.5e3")
+    val df = samples.toDF("t")
+    val viaKernel = df.select(TextStats.bpeishTokenCount(col("t")).as("c")).as[Long].collect()
+    val viaRegex = df.select(TextStats.bpeishTokenCountRegex(col("t")).cast("long").as("c"))
+      .as[Long].collect()
+    samples.indices.foreach { i =>
+      assert(viaKernel(i) == viaRegex(i),
+        s"bpe count diverges on '${samples(i)}': ${viaKernel(i)} vs ${viaRegex(i)}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diverged = docs.select(
+        col("doc_id"),
+        TextStats.bpeishTokenCount(col("text")).as("k"),
+        TextStats.bpeishTokenCountRegex(col("text")).cast("long").as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diverged.isEmpty, diverged.limit(5).collect().mkString("; "))
+  }
+
+  test("lang_id kernel ≡ five-regex formulation on edge cases AND the sf0.01 corpus") {
+    // overlap words (de/la/un/que shared between fr+es), CJK isolated vs
+    // run-embedded, case folding, NFD marks, ties, empty
+    val samples = Seq(
+      "", "   ", "zzz qqq", "the cat is it", "LE la LES de et",
+      "el los de y un", "der und das ist nicht", "的 是 了", "的是了他不",
+      "a的b 的 x", "de de de", "la la un que", "thé le la les de",
+      "DER Und dAs", "the le el 的", "it is the of and to in that for a")
+    val df = samples.toDF("t")
+    val viaKernel = df.select(TextStats.langIdExpr(col("t")).as("l")).as[String].collect()
+    val viaRegex = df.select(TextStats.langIdRegexExpr(col("t")).as("l")).as[String].collect()
+    samples.indices.foreach { i =>
+      assert(viaKernel(i) == viaRegex(i),
+        s"lang diverges on '${samples(i)}': ${viaKernel(i)} vs ${viaRegex(i)}")
+    }
+    // the whole driver-generated corpus: every document must agree
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diverged = docs.select(
+        col("doc_id"),
+        TextStats.langIdExpr(col("text")).as("k"),
+        TextStats.langIdRegexExpr(col("text")).as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diverged.isEmpty, diverged.limit(5).collect().mkString("; "))
   }
 
   test("fingerprints: rolling is order-sensitive, content is order-robust on shingle sets") {
