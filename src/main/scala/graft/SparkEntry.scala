@@ -441,6 +441,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // §2.11 — IVF ANN (the bucketed alternative to LSH: nearest-centroid
+    // inverted file, nProbe buckets exact-scored per query). Deterministic
+    // seeded-by-id centroids; no oracle (approximate) — quantitative gate
+    // below.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, numCentroids = 16, nProbe = 6)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2.11 — IVF quality gate: deterministic recall vs the exact side.
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, numCentroids = 16, nProbe = 6)
+        .orderBy("query_id")
+    }),
+
     // §2.11 — per-source corpus overlap via MinHash-union custom aggregate
     // (sketch-sized shuffle; no SQL oracle — hash-based estimate).
     "source_overlap" -> ((s, dir) =>

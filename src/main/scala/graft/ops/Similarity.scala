@@ -144,31 +144,122 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Per-query recall of [[lshTopK]] against the exact [[bruteForceTopK]]
-    * ground truth: |ann ∩ exact| / |exact| (both sides deterministic, so
-    * this is a reproducible quality metric, not a statistical estimate).
-    * An LSH configuration that returned garbage buckets would show up here
-    * as recall ≈ k/n instead of ≈ 1. Output: (query_id, n_exact, n_hit,
-    * recall) per query.
+  /** Per-query recall of an approximate top-k result against the exact
+    * [[bruteForceTopK]] ground truth: |ann ∩ exact| / |exact| (both sides
+    * deterministic, so this is a reproducible quality metric, not a
+    * statistical estimate). Output: (query_id, n_exact, n_hit, recall).
     */
-  def annRecall(
-      corpus: DataFrame, corpusId: String, corpusVec: String,
-      queries: DataFrame, queryId: String, queryVec: String,
-      dim: Int, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
-      .select(col("query_id"), col("neighbor_id"))
-    val ann = lshTopK(
-      corpus, corpusId, corpusVec, queries, queryId, queryVec, dim, k, numPlanes, numTables)
-      .select(col("query_id"), col("neighbor_id"))
-    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+  private def recallAgainstExact(exact: DataFrame, ann: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(
+        ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
       .select(
         col("query_id"), col("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         round(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_exact"), 4).as("recall"))
   }
+
+  /** Recall of [[lshTopK]] vs exact — an LSH configuration that returned
+    * garbage buckets would show up here as recall ≈ k/n instead of ≈ 1.
+    */
+  def annRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numPlanes: Int = 8, numTables: Int = 8): DataFrame =
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      lshTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, dim, k,
+        numPlanes, numTables))
+
+  // --- IVF (inverted-file) ANN — the bucketed alternative to LSH -----------
+
+  /** Deterministic IVF centroids: the `numCentroids` corpus vectors with
+    * the smallest ids. Real deployments train k-means offline and ship the
+    * codebook; the engine's contract only needs SOME fixed partition of
+    * the sphere, and seeded-by-id keeps every run/oracle comparison
+    * reproducible with no RNG and no driver-side training loop.
+    */
+  private def ivfCentroids(c: DataFrame, numCentroids: Int): DataFrame =
+    c.orderBy(col("neighbor_id")).limit(numCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__cent"))
+
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    * score every vector against all centroids map-side, keep the argmax
+    * via `max(struct(cos, −centroid_id))` — deterministic tiebreak, and
+    * the aggregation is partial (map-side combine), so the only shuffle
+    * carries ONE row per vector. Nothing collects to the driver.
+    */
+  private def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(
+        col(idCol),
+        struct(
+          round(cosine(col(vecCol), col("__cent")), 6).as("c"),
+          (-col("centroid_id")).as("nc")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("__best"))
+      .select(col(idCol), (-col("__best.nc")).cast("long").as("centroid_id"))
+
+  /** Approximate NN via IVF: corpus vectors are bucketed under their
+    * nearest centroid (the inverted file); each query probes its `nProbe`
+    * nearest centroids and exact-scores only those buckets.
+    *
+    * Plan shape at scale: centroid table is broadcast (numCentroids ≪ n);
+    * assignment shuffles n (id, centroid_id) rows; the candidate join is a
+    * plain equi-join on centroid_id, so candidates ≈ n·(nProbe/K) per
+    * query with NO per-pair fan-out beyond the probed buckets — each
+    * neighbor lives in exactly one bucket, so no candidate dedup is needed
+    * (LSH needs a `distinct`). `nProbe = numCentroids` degrades exactly to
+    * [[bruteForceTopK]] (spec-pinned). Caveat mirrored from real IVF: an
+    * unbalanced codebook (hot centroid) skews the join — at 100 TB train
+    * better centroids or split hot buckets; seeded-by-id centroids are a
+    * bench-corpus simplification.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus
+      .filter(col(corpusId).isNotNull && col(corpusVec).isNotNull)
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val q = queries
+      .filter(col(queryId).isNotNull && col(queryVec).isNotNull)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val cents = ivfCentroids(c, numCentroids)
+    val inverted = c.join(ivfAssign(c, "neighbor_id", "__cv", cents), "neighbor_id")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__ccos"), asc("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("__qv"), col("centroid_id"),
+        round(cosine(col("__qv"), col("__cent")), 6).as("__ccos"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "__qv", "centroid_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    probes.join(inverted, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of [[ivfTopK]] vs exact ground truth. */
+  def ivfRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      ivfTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
+        numCentroids, nProbe))
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *

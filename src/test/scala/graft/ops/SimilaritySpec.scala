@@ -125,6 +125,27 @@ class SimilaritySpec extends SparkSpec {
     assert(kerShort == litShort)
   }
 
+  test("ivfTopK: full probe degrades to exact brute force; partial probe meets a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    // nProbe = numCentroids ⇒ every bucket probed ⇒ identical to exact
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, numCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == exact, "full-probe IVF must equal brute force")
+    // partial probe: quantitative recall floor on the bench corpus
+    val recall = Similarity.ivfRecall(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, numCentroids = 16, nProbe = 6)
+      .agg(avg("recall")).as[Double].collect()(0)
+    info(f"IVF mean recall (K=16, nProbe=6) = $recall%.4f")
+    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+  }
+
   test("cosineNearDupPairs: string id column is rejected fast, not silently nulled") {
     val stringIds = Seq(("doc-a", Array(1f, 0f)), ("doc-b", Array(1f, 0f)))
       .toDF("vec_id", "embedding")
