@@ -60,10 +60,32 @@ object ScaleProbe {
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    println(s"--- embeddings (${emb.count()} vecs) ---")
-    time("cosineNearDupPairs", Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.9))
-    time("lshTopK(all-as-queries)", Similarity.lshTopK(
-      emb, "vec_id", "embedding", emb, "vec_id", "embedding", dim = 64, k = 10))
+    def replicateEmb(times: Int): DataFrame = {
+      val n = 1000000L
+      (0 until times).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i * n)).as("vec_id"),
+          // perturb the first dimension so replicas aren't identical
+          (if (i == 0) col("embedding")
+           else concat(
+             array((element_at(col("embedding"), 1) + lit(0.01f * i)).cast("float")),
+             slice(col("embedding"), 2, 63))).as("embedding"))
+      }.reduce(_.unionByName(_))
+    }
+    // fixed query set + replicated corpus: the ratio shows how each ANN
+    // path scales with CORPUS size (all-as-queries would conflate the
+    // quadratic query growth with the corpus scaling under test)
+    Seq(1, k).foreach { times =>
+      val e = replicateEmb(times)
+      val q = e.filter(col("vec_id") < 100)
+      println(s"--- embeddings ${times}x (${e.count()} vecs) ---")
+      time("cosineNearDupPairs", Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.9))
+      time("lshTopK(100 queries)", Similarity.lshTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding", dim = 64, k = 10))
+      time("ivfTopK(100 queries)", Similarity.ivfTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, numCentroids = 64, nProbe = 8))
+    }
     spark.stop()
   }
 }
