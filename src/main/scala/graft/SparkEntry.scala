@@ -275,6 +275,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — Gopher-style rule filter (exact int64 rules, one kernel
+    // scan; the classic pretraining doc-quality gate).
+    "gopher_filter" -> ((s, dir) =>
+      TextStats.gopherFilter(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // §2.11 — greedy near-dup corpus filter (anti-join on pair losers).
     "neardup_filter" -> ((s, dir) =>
       Dedup.nearDupFilter(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
@@ -641,6 +648,15 @@ object SparkEntry {
          |  $scoreSql AS quality_score
          |FROM documents
          |WHERE $scoreSql >= 0.3 AND lang = 'en'
+         |ORDER BY doc_id""".stripMargin,
+
+    "gopher_filter" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE $tok0Sql BETWEEN 50 AND 100000
+         |  AND 3 * $tok0Sql <= length(text) AND length(text) <= 10 * $tok0Sql
+         |  AND 5 * $punctSql <= length(text)
+         |  AND 10 * $digitSql <= 3 * length(text)
+         |  AND $stopSql >= 2
          |ORDER BY doc_id""".stripMargin,
 
     "neardup_filter" ->

@@ -134,6 +134,35 @@ object TextStats {
       score.as("quality_score"))
   }
 
+  /** Gopher-style rule predicate (the public Rae et al. 2021 heuristics,
+    * restated over this engine's metrics): keep a document iff
+    *   - 50 ≤ tokens ≤ 100 000
+    *   - mean token length ∈ [3, 10]
+    *   - punctuation ≤ 20% of characters
+    *   - digits ≤ 30% of characters
+    *   - ≥ 2 stopword hits
+    * Every rule is an EXACT int64 comparison (`3·tok ≤ chars`, never a
+    * rounded ratio), so the predicate cannot drift between engines — and
+    * all five counts come from ONE `text_metrics` kernel scan.
+    */
+  def gopherKeep(text: Column): Column = {
+    val m = graft.functions.text_metrics(text)
+    val nChars = m.getField("n_chars")
+    val nTok = m.getField("n_tokens")
+    val nPunct = m.getField("n_punct")
+    val nDigit = m.getField("n_digits")
+    val nStop = m.getField("n_stopwords")
+    nTok.between(50L, 100000L) &&
+      lit(3L) * nTok <= nChars && nChars <= lit(10L) * nTok &&
+      lit(5L) * nPunct <= nChars &&
+      lit(10L) * nDigit <= lit(3L) * nChars &&
+      nStop >= 2L
+  }
+
+  /** Corpus filter applying [[gopherKeep]]. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame =
+    df.filter(gopherKeep(col(textCol)))
+
   /** Language-ID heuristic: per-language stopword hit counts; winner = max
     * count with lexicographic tiebreak; "und" (undetermined) when nothing
     * matches. One kernel pass ([[graft.functions.TextKernels.langId]])

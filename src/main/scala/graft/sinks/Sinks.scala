@@ -133,4 +133,24 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at
+    * write time so every later equi-join or aggregation on the bucket
+    * keys is co-located and shuffle-free — the 100 TB answer to
+    * fact-to-fact joins (orders ⋈ lineitem) that would otherwise shuffle
+    * both sides on every query. Both join sides must use the same bucket
+    * count and keys; `sortCols` additionally sorts within buckets so
+    * sort-merge joins can skip their sort. Registered as an external
+    * table at `path` (bucketing metadata lives in the catalog — plain
+    * `spark.read.parquet` sees only files and loses the layout).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      numBuckets: Int, bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -2,6 +2,7 @@ package graft.sinks
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** S4–S7 sink tests. JDBC runs against embedded Derby (ships with Spark
   * for the Hive metastore) — same `df.write.jdbc` path as the reference's
@@ -102,6 +103,35 @@ class SinksSpec extends SparkSpec {
       assert(ex.getSQLState.startsWith("23"), s"expected integrity violation, got $ex")
       st.close()
     } finally conn.close()
+  }
+
+  test("bucketed tables: equi-join on bucket keys runs with NO shuffle") {
+    val dir = Files.createTempDirectory("bucketed")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Sinks.writeBucketed(orders, "b_orders", s"$dir/orders", 4,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    Sinks.writeBucketed(lineitem, "b_lineitem", s"$dir/lineitem", 4,
+      Seq("l_orderkey"), Seq("l_orderkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so shuffle elision is what's under test
+      // (a broadcast join would trivially have no exchange)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it computes the same thing as the unbucketed join
+      val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
   }
 
   test("parquet sink with partitioning") {
