@@ -518,6 +518,16 @@ object SparkEntry {
       Streams.runToMemory(deduped, name).orderBy("user_id", "event_type")
     }),
 
+    // §2.11 — payload "resize" (stride decimation): scalar stats carry a
+    // full hex-reconstruction oracle; identity below the target size.
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizePayloads(
+        Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"),
+        targetBytes = 64)
+        .toDF()
+        .select("media_id", "n_bytes", "resized_n", "resized_sum")
+        .orderBy("media_id")),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     // Scalar columns only: the driver's pandas comparator cannot sort/hash
     // an array column, and the byte stats ARE DuckDB-expressible (hex
@@ -893,6 +903,25 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Stride-decimation resize, reconstructed in SQL from the hex payload:
+    // output byte j = input byte (j*n)//rn, rn = min(n, 64); exact int64
+    // byte sum compares the whole resized content.
+    "multimodal_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n, least(n, 64) AS rn,
+        |    CASE WHEN n = 0 THEN 0
+        |      ELSE list_sum(list_transform(range(0, least(n, 64)),
+        |        j -> (strpos('0123456789ABCDEF', h[2*((j*n)//least(n,64))+1 : 2*((j*n)//least(n,64))+1]) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', h[2*((j*n)//least(n,64))+2 : 2*((j*n)//least(n,64))+2]) - 1)))
+        |    END AS rsum
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(rn AS BIGINT) AS resized_n, CAST(rsum AS BIGINT) AS resized_sum
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // Byte stats of the UTF-8 payload, decoded in SQL via hex(): two hex
     // chars per byte, each byte = 16·hi + lo. byte_mean divides the exact

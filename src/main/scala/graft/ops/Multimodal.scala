@@ -90,6 +90,45 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, n_bytes: Long, resized_n: Long, resized_sum: Long,
+      resized: Array[Byte])
+
+  /** "Resize" over binary payloads — the codec-free analog of image
+    * resizing: deterministic stride decimation to at most `targetBytes`
+    * (output byte j = input byte ⌊j·n/rn⌋ with rn = min(n, target); a
+    * payload already at/below target passes through unchanged — no
+    * upsampling). A real implementation decodes, resamples pixels, and
+    * re-encodes inside the same `mapPartitions` seam; the byte-level stub
+    * keeps the contract (bytes in, smaller bytes out, executor-side only)
+    * exact and DuckDB-checkable.
+    */
+  def resizePayloads(media: DataFrame, targetBytes: Int): Dataset[ResizedMedia] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+          val n = bytes.length
+          val rn = math.min(n, targetBytes)
+          val out = new Array[Byte](rn)
+          var sum = 0L
+          var j = 0
+          while (j < rn) {
+            // long arithmetic: j*n overflows Int beyond ~2 GB payloads
+            val b = bytes(((j.toLong * n) / rn).toInt)
+            out(j) = b
+            sum += b & 0xff
+            j += 1
+          }
+          ResizedMedia(id, n.toLong, rn.toLong, sum, out)
+        }
+      }
+  }
+
   /** Batch feature extraction over the payload column.
     *
     * `mapPartitions` gives one iterator per partition: a real

@@ -52,4 +52,21 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f.feature.toSeq).toMap
     assert(again(1L) == feats(1L).feature.toSeq)
   }
+
+  test("resizePayloads: identity at/below target, exact stride decimation above, empty-safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"), // 8 bytes → target 4: indices 0,2,4,6 = a,c,e,g
+      (2L, "ab"),       // below target: identity
+      (3L, ""))         // empty: stays empty
+      .toDF("doc_id", "text")
+    val out = Multimodal.resizePayloads(
+      Multimodal.asMediaTable(docs, "doc_id", "text"), targetBytes = 4)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(new String(out(1L).resized, "UTF-8") == "aceg")
+    assert(out(1L).n_bytes == 8L && out(1L).resized_n == 4L)
+    assert(out(1L).resized_sum == "aceg".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+    assert(new String(out(2L).resized, "UTF-8") == "ab" && out(2L).resized_n == 2L)
+    assert(out(3L).resized_n == 0L && out(3L).resized_sum == 0L)
+  }
 }
