@@ -275,6 +275,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — PII scrub: masked text + per-doc match counts.
+    "pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextStats.scrubPii(col("text")).as("text_scrubbed") +:
+          TextStats.piiCounts(col("text")): _*)
+        .orderBy("doc_id")),
+
+    // §2.11 — repetition profile (duplicate-line fraction per document).
+    "repetition_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +: TextStats.dupLineStats(col("text")): _*)
+        .orderBy("doc_id")),
+
     // §2.11 — Gopher-style rule filter (exact int64 rules, one kernel
     // scan; the classic pretraining doc-quality gate).
     "gopher_filter" -> ((s, dir) =>
@@ -659,6 +673,27 @@ object SparkEntry {
          |FROM documents
          |WHERE $scoreSql >= 0.3 AND lang = 'en'
          |ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS text_scrubbed,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "repetition_profile" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+        |  round((len(lines) - len(list_distinct(lines))) * 1.0
+        |    / greatest(len(lines), 1), 4) AS dup_line_frac
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     "gopher_filter" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -134,6 +134,38 @@ object TextStats {
       score.as("quality_score"))
   }
 
+  /** PII masking for training corpora: emails and dashed/dotted phone
+    * numbers replaced with typed placeholder tokens. Patterns restricted
+    * to constructs Java regex and RE2 interpret identically (explicit
+    * classes, bounded repetition, no `\b` / lookaround), so the scrubbed
+    * text hash-matches the SQL oracle byte-for-byte.
+    */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern = """[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"""
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(PhonePattern), lit("<PHONE>"))
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    coalesce(regexp_count(text, lit(EmailPattern)), lit(0)).cast("long").as("n_emails"),
+    coalesce(regexp_count(text, lit(PhonePattern)), lit(0)).cast("long").as("n_phones"))
+
+  /** Repetition profile (the Gopher duplicate-line fraction): of the
+    * non-empty lines, what share are repeats of an earlier line. High
+    * values flag boilerplate/templated documents for pretraining filters.
+    */
+  def dupLineStats(text: Column): Seq[Column] = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val n = size(lines).cast("long")
+    val d = size(array_distinct(lines)).cast("long")
+    Seq(
+      n.as("n_lines"),
+      d.as("n_distinct_lines"),
+      round((n - d) * lit(1.0) / greatest(n, lit(1L)), 4).as("dup_line_frac"))
+  }
+
   /** Gopher-style rule predicate (the public Rae et al. 2021 heuristics,
     * restated over this engine's metrics): keep a document iff
     *   - 50 ≤ tokens ≤ 100 000

@@ -135,6 +135,26 @@ class TextStatsSpec extends SparkSpec {
     assert(diverged.isEmpty, diverged.limit(5).collect().mkString("; "))
   }
 
+  test("scrubPii masks emails and phones; counts match") {
+    val text = "mail a@b.co or x.y+z@mail-host.example.com, call 555-123-4567 or 555.987.6543 x"
+    assert(one[String](TextStats.scrubPii(col("t")), text) ==
+      "mail <EMAIL> or <EMAIL>, call <PHONE> or <PHONE> x")
+    val row = Seq(text).toDF("t").select(TextStats.piiCounts(col("t")): _*).collect()(0)
+    assert(row.getAs[Long]("n_emails") == 2L && row.getAs[Long]("n_phones") == 2L)
+    assert(one[String](TextStats.scrubPii(col("t")), "no pii here") == "no pii here")
+  }
+
+  test("dupLineStats: duplicate-line fraction, empty lines excluded") {
+    val row = Seq("a\nb\na\n\nb\nc").toDF("t")
+      .select(TextStats.dupLineStats(col("t")): _*).collect()(0)
+    assert(row.getAs[Long]("n_lines") == 5L)         // empty line dropped
+    assert(row.getAs[Long]("n_distinct_lines") == 3L)
+    assert(row.getAs[Double]("dup_line_frac") == 0.4) // 2 repeats of 5
+    val empty = Seq("").toDF("t")
+      .select(TextStats.dupLineStats(col("t")): _*).collect()(0)
+    assert(empty.getAs[Long]("n_lines") == 0L && empty.getAs[Double]("dup_line_frac") == 0.0)
+  }
+
   test("fingerprints: rolling is order-sensitive, content is order-robust on shingle sets") {
     def fp(c: org.apache.spark.sql.Column, t: String): Long = one[Long](c, t)
     val r1 = fp(TextStats.rollingFingerprint(col("t")), "a b c d")
