@@ -275,6 +275,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — corpus term analysis: top-10 tokens per source by frequency
+    // (explode → two-level aggregate; partial counts combine map-side so
+    // the shuffle carries (source, token) partial sums, not tokens).
+    "top_terms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextStats.whitespaceTokens(col("text"))).as("token"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("n"), asc("token"))
+      toks.groupBy("source", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .orderBy("source", "rnk")
+    }),
+
     // §2.11 — PII scrub: masked text + per-doc match counts.
     "pii_scrub" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -673,6 +687,21 @@ object SparkEntry {
          |FROM documents
          |WHERE $scoreSql >= 0.3 AND lang = 'en'
          |ORDER BY doc_id""".stripMargin,
+
+    "top_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS token
+        |  FROM documents
+        |  WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0
+        |), counted AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM toks GROUP BY source, token)
+        |SELECT source, token, n,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS BIGINT) AS rnk
+        |FROM counted
+        |QUALIFY rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
 
     "pii_scrub" ->
       """SELECT doc_id,
