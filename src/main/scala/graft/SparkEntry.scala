@@ -322,6 +322,17 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // §2.11 — train/eval decontamination: cross-corpus contamination pairs
+    // (train = doc_id % 7 ≠ 0, eval = the rest) at ≥ 0.8 exact Jaccard.
+    "contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.crossCorpusContamination(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text", "doc_id",
+        d.filter(pmod(col("doc_id"), lit(7)) === 0), "text", "doc_id",
+        n = 3, threshold = 0.8)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // §2.11 — MinHash+LSH near-dup (verified ≥ 0.8 exact Jaccard).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
@@ -575,8 +586,10 @@ object SparkEntry {
   // (xxhash64-based signatures, LSH bucketing, mapPartitions decode).
   // ---------------------------------------------------------------------
 
-  /** Shared SQL fragment: word-3-gram shingle sets per document. */
-  private val shingleCte =
+  /** Shared SQL fragment: word-3-gram shingle inverted index + set sizes
+    * per document (no pairing — see [[shingleCte]] for the a<b pair form).
+    */
+  private val shingleInvCte =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM documents
       |), sh AS (
@@ -588,12 +601,17 @@ object SparkEntry {
       |  FROM toks
       |), inv AS (
       |  SELECT doc_id, unnest(s) AS g FROM sh
-      |), pair_inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), sz AS (SELECT doc_id, len(s) AS n FROM sh)
-      |""".stripMargin
+      |), sz AS (SELECT doc_id, len(s) AS n FROM sh)""".stripMargin
+
+  /** [[shingleInvCte]] + the within-corpus (a < b) pair intersection. */
+  private val shingleCte =
+    shingleInvCte +
+      """, pair_inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |""".stripMargin
 
   private def jaccardSql(threshold: Double): String =
     shingleCte +
@@ -900,6 +918,22 @@ object SparkEntry {
 
     "dedup_minhash" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
+
+    "contamination" ->
+      (shingleInvCte +
+        """, cross_inter AS (
+          |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS i
+          |  FROM inv a JOIN inv b ON a.g = b.g
+          |  WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+          |  GROUP BY 1, 2
+          |)
+          |SELECT train_id, eval_id,
+          |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+          |FROM cross_inter
+          |JOIN sz sa ON sa.doc_id = train_id
+          |JOIN sz sb ON sb.doc_id = eval_id
+          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+          |ORDER BY train_id, eval_id""".stripMargin),
 
     "embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

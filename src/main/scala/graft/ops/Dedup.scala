@@ -130,6 +130,48 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus contamination (train/eval decontamination — the
+    * pretraining hygiene step): every (train, eval) document pair sharing
+    * ≥ `threshold` exact n-gram Jaccard. Both corpora are signed with the
+    * SAME MinHash family and banded; the bucket join runs train bands
+    * against eval bands only (never train×train or eval×eval, and with
+    * separate output columns so overlapping id spaces are fine), then the
+    * exact verify scores just the cross-corpus candidates. Same
+    * near-linear scale shape as [[minhashNearDups]]; the eval side is
+    * typically tiny, so its band table broadcasts.
+    */
+  def crossCorpusContamination(
+      train: DataFrame, trainTextCol: String, trainIdCol: String,
+      eval: DataFrame, evalTextCol: String, evalIdCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    def signed(df: DataFrame, textCol: String, idCol: String): DataFrame = df
+      .select(
+        col(idCol).as("__id"),
+        graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
+      .withColumn("__sig", minhashSignature(col("__shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bands(d: DataFrame): DataFrame = d
+      .filter(col("__sig").isNotNull)
+      .select(col("__id"),
+        posexplode(graft.functions.band_hashes(col("__sig"), Bands, RowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val t = signed(train, trainTextCol, trainIdCol)
+    val e = signed(eval, evalTextCol, evalIdCol)
+    val cands = bands(t).as("l")
+      .join(bands(e).as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash"))
+      .select(col("l.__id").as("train_id"), col("r.__id").as("eval_id"))
+      .distinct()
+    cands
+      .join(t.select(col("__id").as("train_id"), col("__shingles").as("__set_a")), "train_id")
+      .join(e.select(col("__id").as("eval_id"), col("__shingles").as("__set_b")), "eval_id")
+      .withColumn("jaccard",
+        graft.functions.jaccard_sorted(col("__set_a"), col("__set_b")))
+      .select(col("train_id"), col("eval_id"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Estimated pairwise corpus overlap between groups (sources, languages,
     * shards): per-group MinHash-union sketch via the
     * [[graft.functions.MinHashUnionAgg]] custom aggregate, then signature

@@ -54,6 +54,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("crossCorpusContamination: only cross-side pairs, overlapping id spaces safe") {
+    // eval doc 1 duplicates train docs 1 and (nearly) 3 — note the eval id
+    // COLLIDES with a train id, which the separate-column output must keep apart
+    val train = docs.filter(col("doc_id") =!= 2L)
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (9L, "totally unrelated evaluation prompt about cooking pasta al dente"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusContamination(
+        train, "text", "doc_id", eval, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("train_id", "eval_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 1L), (3L, 1L)), pairs)
+    assert(pairs.head._3 == 1.0) // exact duplicate across corpora
+    // no train×train leakage: docs 1 and 3 are near-dups WITHIN train but
+    // must not appear as a contamination pair
+    assert(!pairs.map(p => (p._1, p._2)).contains((1L, 3L)))
+  }
+
   test("simhash: identical docs at hamming 0; near dup within 3; distinct docs excluded") {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
       .as[(Long, Long, Int)].collect().toSeq
