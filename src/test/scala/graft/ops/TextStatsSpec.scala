@@ -135,6 +135,45 @@ class TextStatsSpec extends SparkSpec {
     assert(diverged.isEmpty, diverged.limit(5).collect().mkString("; "))
   }
 
+  test("randomized kernel ≡ regex equivalence: 300 seeded adversarial strings, all three kernels") {
+    // seeded generator over an alphabet chosen to hit every boundary rule:
+    // stopwords (all 5 languages), word/punct/digit/space/tab/newline,
+    // precomposed and COMBINING accents, CJK, surrogate pairs, apostrophe
+    // contractions, underscores
+    val atoms = Seq(
+      "the", "a", "of", "la", "de", "und", "的", "是", "THE", "tHaT",
+      "x", "7", "_", " ", "  ", "\t", "\n", ".", ",", "%", "'", "'s", "'re",
+      "é", "́", "é", "𝄞", "word", "42", "-", "@")
+    val rnd = new scala.util.Random(42)
+    val samples = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }.distinct
+    val df = samples.toDF("t")
+    val regexSide = df.select(
+      length(col("t")).cast("long").as("n_chars"),
+      TextStats.tokenCount(col("t")).cast("long").as("n_tokens"),
+      coalesce(regexp_count(col("t"), lit("""[\p{Punct}]""")), lit(0)).cast("long").as("n_punct"),
+      coalesce(regexp_count(col("t"), lit("[0-9]")), lit(0)).cast("long").as("n_digits"),
+      coalesce(regexp_count(col("t"), lit("[A-Z]")), lit(0)).cast("long").as("n_upper"),
+      TextStats.stopwordCount(col("t")).cast("long").as("n_stopwords"),
+      TextStats.bpeishTokenCountRegex(col("t")).cast("long").as("bpe"),
+      TextStats.langIdRegexExpr(col("t")).as("lang")).collect()
+    val kernelSide = df.select(
+      col("t"),
+      graft.functions.text_metrics(col("t")).as("m"),
+      TextStats.bpeishTokenCount(col("t")).as("bpe"),
+      TextStats.langIdExpr(col("t")).as("lang"))
+      .select("t", "m.*", "bpe", "lang").collect()
+    samples.indices.foreach { i =>
+      val r = regexSide(i)
+      val k = kernelSide(i)
+      (0 until 8).foreach { f =>
+        assert(k.get(f + 1) == r.get(f),
+          s"field ${r.schema(f).name} diverges on '${k.getString(0)}'")
+      }
+    }
+  }
+
   test("scrubPii masks emails and phones; counts match") {
     val text = "mail a@b.co or x.y+z@mail-host.example.com, call 555-123-4567 or 555.987.6543 x"
     assert(one[String](TextStats.scrubPii(col("t")), text) ==
