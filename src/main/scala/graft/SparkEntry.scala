@@ -322,6 +322,15 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // §2.11 — transitive near-dup clustering: every doc labeled with the
+    // min doc id reachable through ≥0.5-Jaccard pairs (connected
+    // components; oracle = recursive-CTE transitive closure).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")),
+
     // §2.11 — train/eval decontamination: cross-corpus contamination pairs
     // (train = doc_id % 7 ≠ 0, eval = the rest) at ≥ 0.8 exact Jaccard.
     "contamination" -> ((s, dir) => {
@@ -918,6 +927,24 @@ object SparkEntry {
 
     "dedup_minhash" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
+
+    "dedup_clusters" ->
+      (shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+        """, pairs AS (
+          |  SELECT id_a, id_b FROM pair_inter
+          |  JOIN sz sa ON sa.doc_id = id_a
+          |  JOIN sz sb ON sb.doc_id = id_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |), edges AS (
+          |  SELECT id_a AS a, id_b AS b FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs
+          |), reach AS (
+          |  SELECT doc_id AS a, doc_id AS b FROM documents
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          |)
+          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
 
     "contamination" ->
       (shingleInvCte +

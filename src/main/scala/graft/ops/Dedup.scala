@@ -130,6 +130,54 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Minimum-label connected components over an edge list: every vertex
+    * ends with `cluster` = the smallest vertex id reachable from it.
+    * Iterative min-label propagation (the standard distributed CC): each
+    * round joins the symmetrized edges to the current labels and takes the
+    * per-vertex min; converges in ≤ diameter rounds (near-dup clusters are
+    * shallow — pairs share content, so diameters are small). Each round is
+    * one shuffle; intermediate labels persist and the previous round is
+    * unpersisted, with the driver seeing only a convergence COUNT per
+    * round (never the labels). At extreme depth, checkpoint periodically
+    * to cut lineage — not needed for the shallow graphs dedup produces.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val prop = sym.join(labels, sym("__src") === labels("id"))
+        .select(col("__dst").as("id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shrunk = next.join(
+          labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") < col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = shrunk == 0
+    }
+    labels
+  }
+
+  /** Transitive near-dup clustering: [[minhashNearDups]] pairs as edges,
+    * then [[connectedComponents]] — every document labeled with its
+    * cluster's smallest doc id (docs with no near-dup form singleton
+    * clusters). The real-pipeline shape of dedup: keep one representative
+    * per CLUSTER (e.g. `cluster = id`), where the greedy pair filter
+    * ([[nearDupFilter]]) can over- or under-delete on chains a–b–c.
+    */
+  def nearDupClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol, n, threshold)
+    connectedComponents(df, idCol, pairs, "id_a", "id_b")
+  }
+
   /** Cross-corpus contamination (train/eval decontamination — the
     * pretraining hygiene step): every (train, eval) document pair sharing
     * ≥ `threshold` exact n-gram Jaccard. Both corpora are signed with the

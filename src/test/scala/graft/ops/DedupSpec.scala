@@ -54,6 +54,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("nearDupClusters: transitive chains collapse to one min-id cluster; singletons keep their own id") {
+    // 1–2 exact dups; 3 near-dups 1; no direct high-jaccard (2,3) pair is
+    // needed for them to share a cluster — transitivity via 1
+    val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L && clusters(5L) == 5L, "non-dups are singletons")
+    assert(clusters.size == 5, "every document is labeled")
+    // explicit 3-chain: a~b, b~c, a and c share nothing directly
+    val chain = Seq(
+      (10L, "aa bb cc dd ee ff gg hh"),
+      (11L, "aa bb cc dd ee ff gg zz"),   // near 10
+      (12L, "cc dd ee ff gg zz yy xx"))   // near 11, far from 10
+    val chainClusters = Dedup.nearDupClusters(
+        chain.toDF("doc_id", "text"), "text", "doc_id", n = 3, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(chainClusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L),
+      s"chain must collapse transitively: $chainClusters")
+  }
+
   test("crossCorpusContamination: only cross-side pairs, overlapping id spaces safe") {
     // eval doc 1 duplicates train docs 1 and (nearly) 3 — note the eval id
     // COLLIDES with a train id, which the separate-column output must keep apart
