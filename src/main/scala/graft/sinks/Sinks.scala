@@ -134,6 +134,15 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC sink — same columnar-lake role as parquet for warehouses
+    * standardized on ORC; identical pushdown/pruning behavior through the
+    * same FileScan machinery.
+    */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at
     * write time so every later equi-join or aggregation on the bucket
     * keys is co-located and shuffle-free — the 100 TB answer to

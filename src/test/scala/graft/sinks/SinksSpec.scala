@@ -105,6 +105,20 @@ class SinksSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("orc sink roundtrip with predicate pushdown") {
+    val dir = Files.createTempDirectory("orc_out")
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v")
+    Sinks.writeOrc(df, s"$dir/t")
+    val back = spark.read.orc(s"$dir/t")
+    assert(back.count() == 3)
+    val filtered = back.filter(col("id") > 1L)
+    assert(filtered.count() == 2)
+    // the filter must reach the ORC scan, not evaluate post-scan only
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
+  }
+
   test("bucketed tables: equi-join on bucket keys runs with NO shuffle") {
     val dir = Files.createTempDirectory("bucketed")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
