@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.clean.Cleaners
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.quality.QualityChecker
+
+/** Fluent corpus API — `import graft.syntax._` and chain the engine's
+  * operators directly off DataFrames, the way a pipeline author writes
+  * them:
+  *
+  * {{{
+  * import graft.syntax._
+  * val curated = docs
+  *   .dedupExact("text", "doc_id")
+  *   .gopherFilter("text")
+  *   .nearDupFilter("text", "doc_id", threshold = 0.8)
+  *   .scrubPii("text")
+  * }}}
+  *
+  * Every method delegates to the library object (Dedup / TextStats /
+  * Similarity / Cleaners / QualityChecker) — no logic lives here, so the
+  * fluent surface can never drift from the tested operators.
+  */
+object syntax {
+
+  implicit class CorpusOps(private val df: DataFrame) extends AnyVal {
+
+    // --- dedup ------------------------------------------------------------
+    def dedupExact(textCol: String, idCol: String): DataFrame =
+      Dedup.exactByContent(df, textCol, idCol)
+    def nearDupPairs(textCol: String, idCol: String,
+        n: Int = 3, threshold: Double = 0.8): DataFrame =
+      Dedup.minhashNearDups(df, textCol, idCol, n, threshold)
+    def nearDupFilter(textCol: String, idCol: String,
+        n: Int = 3, threshold: Double = 0.8): DataFrame =
+      Dedup.nearDupFilter(df, textCol, idCol, n, threshold)
+    def nearDupClusters(textCol: String, idCol: String,
+        n: Int = 3, threshold: Double = 0.8): DataFrame =
+      Dedup.nearDupClusters(df, textCol, idCol, n, threshold)
+    def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
+        n: Int = 3, threshold: Double = 0.8): DataFrame =
+      Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
+
+    // --- text quality -----------------------------------------------------
+    def withQualityMetrics(textCol: String): DataFrame =
+      df.select(org.apache.spark.sql.functions.col("*") +:
+        TextStats.qualityMetrics(org.apache.spark.sql.functions.col(textCol)): _*)
+    def gopherFilter(textCol: String): DataFrame =
+      TextStats.gopherFilter(df, textCol)
+    def withLangId(textCol: String, outCol: String = "lang_pred"): DataFrame =
+      df.withColumn(outCol, TextStats.langIdExpr(org.apache.spark.sql.functions.col(textCol)))
+    def scrubPii(textCol: String): DataFrame =
+      df.withColumn(textCol, TextStats.scrubPii(org.apache.spark.sql.functions.col(textCol)))
+
+    // --- similarity -------------------------------------------------------
+    def cosineNearDups(idCol: String, vecCol: String, threshold: Double,
+        numBlocks: Int = 16): DataFrame =
+      Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold, numBlocks)
+    def topKNeighbors(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, idCol, vecCol, queries, idCol, vecCol, k)
+
+    // --- cleaning / profiling --------------------------------------------
+    def dropNullKeys(keys: Seq[String]): DataFrame = Cleaners.dropNullKeys(df, keys)
+    def dedupKeepFirst(keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
+      Cleaners.dedupKeepFirst(df, keys, tiebreak)
+    def missingProfile(): DataFrame = QualityChecker.missingProfile(df)
+
+    // --- multimodal -------------------------------------------------------
+    def asMediaTable(idCol: String, textCol: String): DataFrame =
+      Multimodal.asMediaTable(df, idCol, textCol)
+  }
+}
