@@ -29,6 +29,44 @@ object BundleReader {
       .select(explode(col("entry")).as("entry"))
       .select(col("entry.fullUrl").as("fullUrl"), col("entry.resource").as("resource"))
 
+  /** [[readEntries]] plus malformed-input accounting: returns
+    * (entries, corrupt) where `corrupt` is one row per unparseable file
+    * (its path and raw prefix). The schema'd PERMISSIVE read sends any
+    * JSON that fails to parse to a corrupt-record column instead of
+    * killing the job — at 100 TB a single truncated upload must cost one
+    * quarantined row, not the batch (the reference's `json.load` loop
+    * dies on the first bad file). The corrupt side is a cheap second scan
+    * of only-the-corrupt column; callers typically write it to a
+    * quarantine sink.
+    */
+  def readEntriesWithCorrupt(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .schema(Schemas.bundleSchema.add("_corrupt_record", "string"))
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("pathGlobFilter", "*.json")
+      .option("recursiveFileLookup", true)
+      .json(path)
+      // capture the source file BEFORE caching — input_file_name() only
+      // has a value while the file scan is the producing operator
+      .withColumn("__file", input_file_name())
+      // required: Spark refuses corrupt-column-only queries over raw JSON
+      // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and both
+      // returned frames share this one scan anyway
+      .cache()
+    val entries = withCorrupt
+      .filter(col("_corrupt_record").isNull)
+      .select(explode(col("entry")).as("entry"))
+      .select(col("entry.fullUrl").as("fullUrl"), col("entry.resource").as("resource"))
+    val corrupt = withCorrupt
+      .filter(col("_corrupt_record").isNotNull)
+      .select(
+        col("__file").as("file"),
+        substring(col("_corrupt_record"), 1, 256).as("corrupt_prefix"))
+    (entries, corrupt)
+  }
+
   /** X1 — strip every literal `urn:uuid:` occurrence
     * (`json_pipeline.py:128-151`; pandas `str.replace` is literal +
     * all-occurrences, hence a literal-safe regexp_replace).

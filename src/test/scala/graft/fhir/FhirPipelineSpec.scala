@@ -58,6 +58,21 @@ class FhirPipelineSpec extends SparkSpec {
     assert(r2.getAs[String]("race") == "Asian", "modern US-Core race url variant extracts (A4)")
   }
 
+  test("readEntriesWithCorrupt: malformed file quarantined, good bundles still parse") {
+    val dir = Files.createTempDirectory("fhir_corrupt")
+    Files.writeString(dir.resolve("good.json"), FhirFixtures.bundle1)
+    Files.writeString(dir.resolve("bad.json"), "{ this is not json at all")
+    val (entries, corrupt) = BundleReader.readEntriesWithCorrupt(spark, dir.toString)
+    assert(entries.count() > 0, "good bundle parsed")
+    val bad = corrupt.collect()
+    assert(bad.length == 1, "exactly the malformed file quarantined")
+    assert(bad(0).getAs[String]("file").endsWith("bad.json"))
+    assert(bad(0).getAs[String]("corrupt_prefix").startsWith("{ this is not"))
+    // the happy-path reader and the corrupt-aware reader agree on entries
+    assert(entries.count() ==
+      BundleReader.readEntries(spark, dir.toString).count())
+  }
+
   test("duplicate race extensions: LAST match wins (reference loop reassigns, json_pipeline.py:259-267)") {
     val dir = Files.createTempDirectory("fhir_dup_ext")
     Files.writeString(dir.resolve("d.json"),
