@@ -84,11 +84,29 @@ class FunctionsSpec extends SparkSpec {
     assert(sig.getAs[scala.collection.Seq[Long]]("s").length == 16)
   }
 
+  test("round-3 kernels callable from spark.sql: text_metrics, lang_id, bpe, lsh_keys") {
+    registerSql(spark)
+    docs.filter(col("text").isNotNull).createOrReplaceTempView("fdocs3")
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  graft_text_metrics(text).n_tokens AS ntok,
+        |  graft_lang_id(text) AS lang,
+        |  graft_bpe_token_count(text) AS bpe,
+        |  graft_lsh_keys(array(CAST(1.0 AS DOUBLE), CAST(-0.5 AS DOUBLE)), 2, 4, 2) AS keys
+        |FROM fdocs3 WHERE doc_id = 1""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("ntok") == 9L)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("bpe") == 9L)
+    assert(r.getAs[scala.collection.Seq[Long]]("keys").length == 2)
+  }
+
   test("projection with custom expressions stays in whole-stage codegen") {
     // a real file source (local relations constant-fold before planning)
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(simhash64(col("text")), rolling_fingerprint(col("text")),
-        minhash_signature(shingle_hash_set(col("text"), 3), 8))
+        minhash_signature(shingle_hash_set(col("text"), 3), 8),
+        text_metrics(col("text")), graft.functions.lang_id(col("text")),
+        bpe_token_count(col("text")))
     val plan = real.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"expected codegen'd project, got:\n$plan")
     assert(real.count() > 0)
