@@ -418,6 +418,25 @@ object SparkEntry {
           TextStats.contentFingerprint(col("text")).as("content_fp"))
         .orderBy("doc_id")),
 
+    // Range (interval) join via time-binning — plain equi-join on bin
+    // keys, never BroadcastNestedLoop: shipments falling inside each
+    // sampled order's 3-day window (pure range predicate, no equi key).
+    "range_join" -> ((s, dir) => {
+      val day = 86400000000L // one day in micros
+      val points = t(s, dir, "lineitem")
+        .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      val intervals = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey").as("interval_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) + lit(3L) * day).as("end_us"))
+      graft.ops.RangeJoin.intervalJoin(points, "ship_us", intervals, "start_us", "end_us", day)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_shipments"))
+        .orderBy("interval_id")
+    }),
+
     // As-of (point-in-time) join: for each click, the latest prior-or-equal
     // view's value per user. µs-truncated on both sides (DuckDB precision).
     "asof_join" -> ((s, dir) => {
@@ -673,6 +692,14 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.vts <= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    "range_join" ->
+      """SELECT o_orderkey AS interval_id, CAST(count(*) AS BIGINT) AS n_shipments
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 3 DAY
+        |WHERE o_orderkey < 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "numeric_profile" ->
       """SELECT CAST(count(value) AS BIGINT) AS n,

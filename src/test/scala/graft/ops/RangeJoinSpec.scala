@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Seq(5L, 10L, 15L, 20L, 25L, 100L).toDF("ts")
+  private lazy val intervals = Seq(
+    (1L, 0L, 10L),    // catches 5, 10 (inclusive ends)
+    (2L, 12L, 22L),   // catches 15, 20
+    (3L, 30L, 40L),   // catches nothing
+    (4L, 8L, 16L))    // overlaps interval 1: 10, 15
+    .toDF("interval_id", "start_ts", "end_ts")
+
+  test("intervalJoin: matches the naive non-equi join exactly, at several bin widths") {
+    val expected = points.join(intervals,
+        col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select("interval_id", "ts").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts", w)
+        .select("interval_id", "ts").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"binWidth=$w produced duplicate matches")
+      assert(got.toSet == expected, s"binWidth=$w diverged")
+    }
+  }
+
+  test("intervalJoin plans as an equi-join on bins, never a nested loop") {
+    val joined = RangeJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts", 10L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+  }
+}
