@@ -42,4 +42,29 @@ object RangeJoin {
       .filter(col(tsCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join: all (left, right) pairs with
+    * `lStart ≤ rEnd AND rStart ≤ lEnd`. Both sides explode to covered
+    * bins and equi-join; overlapping pairs share SEVERAL bins, so instead
+    * of a `distinct` shuffle over the matches, each pair is kept only in
+    * its FIRST shared bin — `bin == max(⌊lStart/w⌋, ⌊rStart/w⌋)`, the
+    * standard dedup predicate: the first bin two overlapping intervals
+    * share is the later of their start bins, so exactly one exploded
+    * match survives per pair, for free.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame, lStartCol: String, lEndCol: String,
+      right: DataFrame, rStartCol: String, rEndCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("__bin",
+        explode(sequence(floor(col(s) / binWidth), floor(col(e) / binWidth))))
+    binned(left, lStartCol, lEndCol).join(binned(right, rStartCol, rEndCol), Seq("__bin"))
+      .filter(
+        col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol) &&
+          col("__bin") === greatest(
+            floor(col(lStartCol) / binWidth), floor(col(rStartCol) / binWidth)))
+      .drop("__bin")
+  }
 }

@@ -26,6 +26,23 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin: matches naive overlap join with NO duplicate pairs, several widths") {
+    val lhs = Seq((10L, 0L, 10L), (11L, 5L, 25L), (12L, 30L, 31L))
+      .toDF("l_id", "l_start", "l_end")
+    val rhs = Seq((20L, 8L, 40L), (21L, 26L, 29L), (22L, 50L, 60L))
+      .toDF("r_id", "r_start", "r_end")
+    val expected = lhs.join(rhs,
+        col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 4L, 10L, 100L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+          lhs, "l_start", "l_end", rhs, "r_start", "r_end", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"binWidth=$w emitted duplicate pairs")
+      assert(got.toSet == expected, s"binWidth=$w diverged: ${got.toSet} vs $expected")
+    }
+  }
+
   test("intervalJoin plans as an equi-join on bins, never a nested loop") {
     val joined = RangeJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts", 10L)
     val plan = joined.queryExecution.executedPlan.toString
