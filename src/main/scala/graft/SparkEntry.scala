@@ -289,6 +289,13 @@ object SparkEntry {
         .orderBy("source", "rnk")
     }),
 
+    // §2.11 — canonical text normalization (engine-safe char classes;
+    // normalized text is hash-compared byte-for-byte).
+    "normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.normalizeText(col("text")).as("text_norm"))
+        .orderBy("doc_id")),
+
     // §2.11 — PII scrub: masked text + per-doc match counts.
     "pii_scrub" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -756,6 +763,14 @@ object SparkEntry {
         |FROM counted
         |QUALIFY rnk <= 10
         |ORDER BY source, rnk""".stripMargin,
+
+    "normalize_text" ->
+      """SELECT doc_id,
+        |  lower(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x1f\x7f]', ' ', 'g'),
+        |    '[ \t\n\f\r\x0b]+', ' ', 'g'),
+        |    '^ | $', '', 'g')) AS text_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pii_scrub" ->
       """SELECT doc_id,

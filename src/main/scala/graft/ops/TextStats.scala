@@ -134,6 +134,21 @@ object TextStats {
       score.as("quality_score"))
   }
 
+  /** Canonical text normalization for dedup keys / downstream tokenizers:
+    * control chars → space, whitespace runs collapsed to one space, edges
+    * trimmed, lowercased. Character classes are explicit ranges (never
+    * `\s` or POSIX names, whose definitions differ between Java regex and
+    * RE2 — Java `\s` includes \x0B, RE2's does not), so the normalized
+    * text is byte-identical across engines and safely hash-compared.
+    */
+  def normalizeText(text: Column): Column =
+    lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, lit("[\\x00-\\x1f\\x7f]"), lit(" ")),
+          lit("[ \\t\\n\\f\\r\\x0b]+"), lit(" ")),
+        lit("^ | $"), lit("")))
+
   /** PII masking for training corpora: emails and dashed/dotted phone
     * numbers replaced with typed placeholder tokens. Patterns restricted
     * to constructs Java regex and RE2 interpret identically (explicit

@@ -174,6 +174,15 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: controls stripped, whitespace collapsed, trimmed, lowercased") {
+    assert(one[String](TextStats.normalizeText(col("t")), "  Hello\t\nWORLD x  ") ==
+      "hello world x")
+    assert(one[String](TextStats.normalizeText(col("t")), "") == "")
+    assert(one[String](TextStats.normalizeText(col("t")), "Él Dijo") == "él dijo")
+    assert(one[String](TextStats.normalizeText(col("t")), "a\u0001b\u007f c") == "a b c")
+    assert(one[String](TextStats.normalizeText(col("t")), " \t ") == "")
+  }
+
   test("scrubPii masks emails and phones; counts match") {
     val text = "mail a@b.co or x.y+z@mail-host.example.com, call 555-123-4567 or 555.987.6543 x"
     assert(one[String](TextStats.scrubPii(col("t")), text) ==
