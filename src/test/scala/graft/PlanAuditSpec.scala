@@ -1,0 +1,48 @@
+package graft
+
+import graft.SparkSpec
+
+/** Cross-registry plan audit: no query may plan a CartesianProduct or
+  * BroadcastNestedLoopJoin — the two operators that mean "this join has
+  * no key and will not survive a 100× scale-up". Locks in the plan-shape
+  * discipline permanently: any future operator that quietly degrades to a
+  * nested loop fails here, not in a production run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose BUILDER runs eager work (streams, iterative loops,
+    * fixture writes) — constructing their final DataFrame executes jobs,
+    * so they are audited by their own operator specs instead of here.
+    */
+  private val eagerBuilders = Set("stream_dedup", "dedup_clusters")
+
+  /** Queries that DELIBERATELY plan a BroadcastNestedLoopJoin: each is a
+    * brute-force scoring pass of the full corpus against a provably-small
+    * BROADCAST side, which is exactly "scan once, score in the mapper" —
+    * the right plan for that semantics. The audit still forbids BNLJ
+    * anywhere else (and CartesianProduct everywhere): the danger is a
+    * keyless join of two LARGE sides, not a broadcast cross.
+    */
+  private val intentionalBroadcastCross = Map(
+    "similarity_topk" -> "exact baseline: corpus × broadcast query set",
+    "ann_recall" -> "contains the exact ground-truth side (corpus × broadcast queries)",
+    "ann_ivf" -> "centroid assignment: corpus × broadcast codebook",
+    "ann_ivf_recall" -> "both of the above",
+    "source_overlap" -> "group-pair sketch cross: rows = #groups², k longs each")
+
+  test("no registry query plans a cartesian product; nested-loop joins only where designed") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => eagerBuilders(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad =
+          (if (plan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+          (if (plan.contains("BroadcastNestedLoopJoin") &&
+            !intentionalBroadcastCross.contains(name)) Seq("BroadcastNestedLoopJoin") else Nil)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"queries with scale-hostile join operators:\n${offenders.mkString("\n")}")
+  }
+}
