@@ -506,7 +506,7 @@ object SparkEntry {
         val u = graft.sinks.Sinks.underscored(df)
         u.select(
           lit(name).as("table_name"),
-          to_json(struct(u.columns.map(c => col(c)): _*)).as("row_json"))
+          to_json(struct(u.columns.toIndexedSeq.map(c => col(c)): _*)).as("row_json"))
       }.reduce(_.unionByName(_)).orderBy("table_name", "row_json")
     }),
 

@@ -79,7 +79,7 @@ object Cleaners {
     * case-insensitive "contains photo" drop, `json_pipeline.py:164`).
     */
   def dropColumnsWhere(df: DataFrame, p: String => Boolean): DataFrame =
-    df.drop(df.columns.filter(p): _*)
+    df.drop(df.columns.toIndexedSeq.filter(p): _*)
 
   /** P3 — materialize a missing column as typed nulls
     * (`json_pipeline.py:165-184`); no-op when present.

@@ -25,7 +25,7 @@ object QualityChecker {
     val cols = df.columns
     val aggs = count(lit(1)).as("__total") +:
       cols.map(c => sum(col(s"`$c`").isNull.cast("long")).as(s"__nulls_$c"))
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val stackArgs = cols
       .map(c => s"'$c', `__nulls_$c`")
       .mkString(", ")
