@@ -74,6 +74,28 @@ class DedupSpec extends SparkSpec {
       s"chain must collapse transitively: $chainClusters")
   }
 
+  test("connectedComponents: 30 seeded random graphs match a local union-find") {
+    val rnd = new scala.util.Random(11)
+    (1 to 30).foreach { trial =>
+      val nV = 2 + rnd.nextInt(12)
+      val nE = rnd.nextInt(14)
+      val edges = (0 until nE).map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      // local ground truth: classic union-find with min-root normalization
+      val parent = Array.tabulate(nV)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nV).map(v => v.toLong -> find(v).toLong).toMap
+      val vdf = (0 until nV).map(_.toLong).toDF("id")
+      val edf = edges.toDF("a", "b")
+      val got = Dedup.connectedComponents(vdf, "id", edf, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: graph $edges → $got, want $expected")
+    }
+  }
+
   test("crossCorpusContamination: only cross-side pairs, overlapping id spaces safe") {
     // eval doc 1 duplicates train docs 1 and (nearly) 3 — note the eval id
     // COLLIDES with a train id, which the separate-column output must keep apart

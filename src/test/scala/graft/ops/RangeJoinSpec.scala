@@ -43,6 +43,22 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("randomized: 200 seeded points × 60 intervals match the naive join at odd bin widths") {
+    val rnd = new scala.util.Random(7)
+    val ps = (0 until 200).map(i => (i.toLong, rnd.nextLong(1000L))).toDF("p_id", "ts")
+    val is = (0 until 60).map { i =>
+      val s = rnd.nextLong(950L)
+      (1000L + i, s, s + rnd.nextLong(120L))
+    }.toDF("i_id", "s", "e")
+    val expected = ps.join(is, col("ts") >= col("s") && col("ts") <= col("e"))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 13L, 64L, 1000L)) {
+      val got = RangeJoin.intervalJoin(ps, "ts", is, "s", "e", w)
+        .select("p_id", "i_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size && got.toSet == expected, s"binWidth=$w diverged")
+    }
+  }
+
   test("intervalJoin plans as an equi-join on bins, never a nested loop") {
     val joined = RangeJoin.intervalJoin(points, "ts", intervals, "start_ts", "end_ts", 10L)
     val plan = joined.queryExecution.executedPlan.toString
