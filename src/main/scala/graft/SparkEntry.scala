@@ -369,6 +369,21 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
         .orderBy("id_a", "id_b")),
 
+    // §2.11 — int8 embedding quantization (4× memory at 100 TB): scalar
+    // projections of the code carry a full oracle (scale + code sum and
+    // extremes reconstruct in SQL from the float vector exactly).
+    "embed_quantize" -> ((s, dir) => {
+      val q = graft.functions.quantize_int8(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(q.getField("scale"), 9).as("scale_r"),
+          aggregate(q.getField("q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+          array_min(q.getField("q")).cast("long").as("q_min"),
+          array_max(q.getField("q")).cast("long").as("q_max"))
+        .orderBy("vec_id")
+    }),
+
     // §2.11 — brute-force cosine top-k (exact baseline).
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1010,6 +1025,26 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, dv,
+        |    list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(dv, x ->
+        |        greatest(-127, least(127, CAST(round(x / scale) AS BIGINT))))
+        |      ELSE list_transform(dv, x -> CAST(0 AS BIGINT)) END AS code
+        |  FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale_r,
+        |  CAST(list_sum(code) AS BIGINT) AS q_sum,
+        |  CAST(list_min(code) AS BIGINT) AS q_min,
+        |  CAST(list_max(code) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "similarity_topk" ->
       """WITH q AS (

@@ -208,6 +208,39 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Symmetric int8 quantization of a float/double vector
+    * ([[VecKernels.quantizeInt8]]): struct(scale double, q array<tinyint>).
+    */
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = QuantizeInt8.schema
+    override def prettyName: String = "graft_quantize_int8"
+    private def isFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires an array<float|double> argument, got ${other.simpleString}")
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      VecKernels.quantizeInt8Row(input.asInstanceOf[ArrayData], isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.quantizeInt8Row($c, $isFloat)")
+    override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+      copy(child = newChild)
+  }
+
+  object QuantizeInt8 {
+    val schema: StructType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+  }
+
   /** Dot product of two numeric array columns (float or double elements),
     * in sequential double precision; null when inputs or any consumed
     * element are null.

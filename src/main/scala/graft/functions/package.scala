@@ -63,6 +63,10 @@ package object functions {
   def bpe_token_count(text: Column): Column =
     c(expressions.BpeTokenCount(e(text)))
 
+  /** Symmetric int8 quantization: struct(scale, q array<tinyint>). */
+  def quantize_int8(vec: Column): Column =
+    c(expressions.QuantizeInt8(e(vec)))
+
   /** Aggregate: element-wise min of MinHash signatures = the signature of
     * the group's union (for group-vs-group Jaccard estimation).
     */
@@ -113,6 +117,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.LangId(args(0))),
     "graft_bpe_token_count" ->
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
+    "graft_quantize_int8" ->
+      ((args: Seq[Expression]) => expressions.QuantizeInt8(args(0))),
     "graft_lsh_keys" ->
       ((args: Seq[Expression]) => expressions.LshKeys(
         args(0), intLitArg(args(1)), intLitArg(args(2)), intLitArg(args(3)))),

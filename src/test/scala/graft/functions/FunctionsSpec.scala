@@ -100,6 +100,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("keys").length == 2)
   }
 
+  test("quantize_int8: dequantization error ≤ scale/2, extremes hit ±127, zero vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)),              // zero vector → scale 0, zero code
+      (3L, Array(-3.0f, 3.0f, 1.5f)))
+      .toDF("id", "v")
+    val rows = vecs.select(col("id"), quantize_int8(col("v")).as("qz"))
+      .select(col("id"), col("qz.scale"), col("qz.q")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    val (s1, q1) = rows(1L)
+    assert(q1.head == 127 && s1 == 1.0 / 127.0)
+    // reconstruction error bound: |v - q*scale| <= scale/2 per element
+    Seq(1.0f, -0.5f, 0.25f, 0.0f).zip(q1).foreach { case (v, q) =>
+      assert(math.abs(v - q * s1) <= s1 / 2 + 1e-12, s"err too large for $v -> $q")
+    }
+    val (s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0))
+    val (_, q3) = rows(3L)
+    assert(q3.min == -127 && q3.max == 127)
+  }
+
   test("projection with custom expressions stays in whole-stage codegen") {
     // a real file source (local relations constant-fold before planning)
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
