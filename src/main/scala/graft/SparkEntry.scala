@@ -384,6 +384,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // §2.11 — compressed-domain top-k quality gate: recall of int8-code
+    // search vs full-precision exact (what the 4× compression costs).
+    "ann_quantized_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .orderBy("query_id")
+    }),
+
     // §2.11 — brute-force cosine top-k (exact baseline).
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

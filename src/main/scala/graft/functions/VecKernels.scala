@@ -158,6 +158,22 @@ object VecKernels {
     (scale, q)
   }
 
+  /** Exact integer dot product of two int8 code arrays (the
+    * compressed-domain inner product — scales multiply back outside, and
+    * cancel entirely in cosine). Max |sum| = 127²·n, overflow-free in
+    * int64 up to n ≈ 5.7e14 elements.
+    */
+  def dotInt8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
   def quantizeInt8Row(vec: ArrayData, vecFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val (scale, q) = quantizeInt8(vec, vecFloat)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

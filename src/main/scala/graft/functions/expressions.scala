@@ -282,6 +282,30 @@ object expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact int64 dot product of two int8 code arrays
+    * ([[VecKernels.dotInt8]]) — compressed-domain inner product.
+    */
+  case class VecDotInt8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_vec_dot_int8"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires array<tinyint> arguments, got ${l.simpleString} and ${r.simpleString}")
+      }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.dotInt8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernels.dotInt8($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecDotInt8 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Exact Jaccard of two sorted long arrays; null when both empty. */
   case class JaccardSorted(left: Expression, right: Expression)
       extends BinaryExpression {

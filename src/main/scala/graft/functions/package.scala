@@ -67,6 +67,10 @@ package object functions {
   def quantize_int8(vec: Column): Column =
     c(expressions.QuantizeInt8(e(vec)))
 
+  /** Exact int64 dot product of two int8 code arrays. */
+  def vec_dot_int8(a: Column, b: Column): Column =
+    c(expressions.VecDotInt8(e(a), e(b)))
+
   /** Aggregate: element-wise min of MinHash signatures = the signature of
     * the group's union (for group-vs-group Jaccard estimation).
     */
@@ -119,6 +123,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
     "graft_quantize_int8" ->
       ((args: Seq[Expression]) => expressions.QuantizeInt8(args(0))),
+    "graft_vec_dot_int8" ->
+      ((args: Seq[Expression]) => expressions.VecDotInt8(args(0), args(1))),
     "graft_lsh_keys" ->
       ((args: Seq[Expression]) => expressions.LshKeys(
         args(0), intLitArg(args(1)), intLitArg(args(2)), intLitArg(args(3)))),

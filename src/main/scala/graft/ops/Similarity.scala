@@ -251,6 +251,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact-shape top-k in the COMPRESSED domain: both sides quantize to
+    * int8 ([[graft.functions.quantize_int8]]) and similarity is computed
+    * from exact integer dot products of the codes — the per-vector scales
+    * cancel in cosine, so `cos_q = dot8(a,b) / (√dot8(a,a)·√dot8(b,b))`
+    * needs no dequantization at all. Same broadcast/rank plan as
+    * [[bruteForceTopK]], but the corpus side streams 1-byte codes instead
+    * of 4-byte floats — the 4× scan-bandwidth/memory lever at 100 TB,
+    * costing only quantization noise (recall vs exact gated by
+    * [[quantizedRecall]]).
+    */
+  def quantizedTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.{quantize_int8, vec_dot_int8}
+    def coded(df: DataFrame, id: String, vec: String, idOut: String, qOut: String): DataFrame =
+      df.select(col(id).as(idOut), quantize_int8(col(vec)).getField("q").as(qOut))
+    val q = broadcast(coded(queries, queryId, queryVec, "query_id", "__qq"))
+    val c = coded(corpus, corpusId, corpusVec, "neighbor_id", "__cq")
+    val joined = c.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val num = vec_dot_int8(col("__qq"), col("__cq")).cast("double")
+    val den = sqrt(vec_dot_int8(col("__qq"), col("__qq")).cast("double")) *
+      sqrt(vec_dot_int8(col("__cq"), col("__cq")).cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    joined
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(den > 0, num / den), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of [[quantizedTopK]] vs the full-precision exact ground
+    * truth — quantifies what the 4× compression costs in ranking quality.
+    */
+  def quantizedRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame =
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      quantizedTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k))
+
   /** Recall of [[ivfTopK]] vs exact ground truth. */
   def ivfRecall(
       corpus: DataFrame, corpusId: String, corpusVec: String,

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall" -> "contains the exact ground-truth side (corpus × broadcast queries)",
     "ann_ivf" -> "centroid assignment: corpus × broadcast codebook",
     "ann_ivf_recall" -> "both of the above",
+    "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
     "source_overlap" -> "group-pair sketch cross: rows = #groups², k longs each")
 
   test("no registry query plans a cartesian product; nested-loop joins only where designed") {

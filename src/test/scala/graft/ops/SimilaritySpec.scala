@@ -146,6 +146,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall collapsed: $recall")
   }
 
+  test("quantizedTopK: int8-code search recall vs exact meets a high floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val recall = Similarity.quantizedRecall(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .agg(avg("recall")).as[Double].collect()(0)
+    info(f"quantized-search mean recall = $recall%.4f")
+    // int8 quantization is gentle: ranking should survive almost intact
+    assert(recall >= 0.8, s"quantized recall collapsed: $recall")
+    // identical vectors stay rank-1 under quantization
+    val res = Similarity.quantizedTopK(
+        vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.sameElements(Array(1L)), res.toSeq)
+  }
+
   test("cosineNearDupPairs: string id column is rejected fast, not silently nulled") {
     val stringIds = Seq(("doc-a", Array(1f, 0f)), ("doc-b", Array(1f, 0f)))
       .toDF("vec_id", "embedding")
