@@ -356,6 +356,37 @@ object TextKernels {
     Array(s.codePointCount(0, n).toLong, nTok, nPunct, nDigit, nUpper, nStop)
   }
 
+  // --- whitespace-canonicalization kernel ----------------------------------
+
+  /** One-pass equivalent of the regex composition
+    * `regexp_replace(regexp_replace(regexp_replace(s,
+    * '[\x00-\x1f\x7f]', ' '), '[ \t\n\f\r\x0b]+', ' '), '^ | $', '')`:
+    * control chars become spaces, whitespace runs collapse to one space,
+    * edges trim. (The collapse class is a subset of the control class ∪
+    * space, so a single run-collapse over {controls, \x7f, space} is
+    * exactly the composition.) Lowercasing stays OUTSIDE the kernel —
+    * callers apply Spark's own `lower` so Unicode case semantics are the
+    * engine's, not a reimplementation.
+    */
+  def cleanWhitespace(s: String): String = {
+    if (s == null) return null
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= '\u001f' || c == '\u007f' || c == ' ') {
+        if (sb.length > 0) pendingSpace = true // leading run = trim
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString // trailing pending space dropped = trim
+  }
+
   // --- BPE-ish pretokenizer kernel ----------------------------------------
 
   @inline private def isAsciiLetter(c: Char): Boolean =
@@ -527,6 +558,9 @@ object TextKernels {
   def langIdU(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))
 
   def bpeTokenCountU(s: UTF8String): Long = bpeTokenCount(s.toString)
+
+  def cleanWhitespaceU(s: UTF8String): UTF8String =
+    UTF8String.fromString(cleanWhitespace(s.toString))
 
   def textMetricsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val m = textMetrics(s.toString)

@@ -159,6 +159,22 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** One-pass whitespace canonicalization
+    * ([[TextKernels.cleanWhitespace]]): controls → space, runs collapsed,
+    * edges trimmed. Replaces three regexp_replace passes.
+    */
+  case class CleanWhitespace(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_clean_whitespace"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.cleanWhitespaceU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.cleanWhitespaceU($c)")
+    override protected def withNewChildInternal(newChild: Expression): CleanWhitespace =
+      copy(child = newChild)
+  }
+
   /** One-pass language ID ([[TextKernels.langId]]): the language with the
     * most stopword hits, "und" when none match. Replaces five
     * `regexp_count` scans (one per language) per row.

@@ -55,6 +55,10 @@ package object functions {
   def lsh_keys(vec: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
     c(expressions.LshKeys(e(vec), dim, numPlanes, numTables))
 
+  /** One-pass whitespace canonicalization (controls→space, collapse, trim). */
+  def clean_whitespace(text: Column): Column =
+    c(expressions.CleanWhitespace(e(text)))
+
   /** One-pass stopword-based language ID ("und" when nothing matches). */
   def lang_id(text: Column): Column =
     c(expressions.LangId(e(text)))
@@ -119,6 +123,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.TextMetricsCounts(args(0))),
     "graft_lang_id" ->
       ((args: Seq[Expression]) => expressions.LangId(args(0))),
+    "graft_clean_whitespace" ->
+      ((args: Seq[Expression]) => expressions.CleanWhitespace(args(0))),
     "graft_bpe_token_count" ->
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
     "graft_quantize_int8" ->

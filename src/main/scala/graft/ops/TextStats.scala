@@ -142,6 +142,13 @@ object TextStats {
     * text is byte-identical across engines and safely hash-compared.
     */
   def normalizeText(text: Column): Column =
+    lower(graft.functions.clean_whitespace(text))
+
+  /** The three-regex formulation the [[normalizeText]] kernel replaced —
+    * retained as the executable spec (TextStatsSpec) and the shape the
+    * DuckDB oracle mirrors.
+    */
+  def normalizeTextRegex(text: Column): Column =
     lower(
       regexp_replace(
         regexp_replace(

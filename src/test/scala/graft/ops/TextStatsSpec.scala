@@ -174,6 +174,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText kernel ≡ three-regex formulation on edge cases AND the sf0.01 corpus") {
+    val samples = Seq(
+      "", " ", "  Hello\t\nWORLD x  ", "a\u0001b\u007f c", " \t\u000b\f\r ",
+      "Él Dijo", "的 是", "no controlshere", "x", " x ", "multi   spaces")
+    val df = samples.toDF("t")
+    val viaKernel = df.select(TextStats.normalizeText(col("t")).as("n")).as[String].collect()
+    val viaRegex = df.select(TextStats.normalizeTextRegex(col("t")).as("n")).as[String].collect()
+    samples.indices.foreach { i =>
+      assert(viaKernel(i) == viaRegex(i),
+        s"normalize diverges on '${samples(i)}': '${viaKernel(i)}' vs '${viaRegex(i)}'")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diverged = docs.select(
+        TextStats.normalizeText(col("text")).as("k"),
+        TextStats.normalizeTextRegex(col("text")).as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diverged.isEmpty)
+  }
+
   test("normalizeText: controls stripped, whitespace collapsed, trimmed, lowercased") {
     assert(one[String](TextStats.normalizeText(col("t")), "  Hello\t\nWORLD x  ") ==
       "hello world x")
