@@ -134,6 +134,32 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Small-file compaction — the standing maintenance job of any
+    * streaming/incremental lake: a table accumulated as thousands of tiny
+    * part files (one per micro-batch/task) re-written as
+    * ⌈bytes/targetFileBytes⌉ right-sized files. Listing overhead and scan
+    * task count drop proportionally; optional `sortWithinPartitions`
+    * clusters rows so parquet min/max zone maps actually prune. Size
+    * comes from the relation's statistics (the file-source stat IS the
+    * on-disk byte sum), so nothing is scanned before the single
+    * repartition-and-write pass.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes // BigInt
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).max(1).toInt
+    val rep = df.repartition(nFiles)
+    val laid = if (sortCols.nonEmpty)
+      rep.sortWithinPartitions(sortCols.map(c => org.apache.spark.sql.functions.col(c)): _*)
+    else rep
+    laid.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** ORC sink — same columnar-lake role as parquet for warehouses
     * standardized on ORC; identical pushdown/pruning behavior through the
     * same FileScan machinery.

@@ -105,6 +105,22 @@ class SinksSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("compactParquet: fragmented table rewritten to few right-sized files, data intact") {
+    val dir = Files.createTempDirectory("compact")
+    val df = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(40).write.parquet(s"$dir/fragmented")
+    def partFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f => f.getName.startsWith("part-"))
+    assert(partFiles(s"$dir/fragmented") == 40)
+    val n = Sinks.compactParquet(spark, s"$dir/fragmented", s"$dir/compacted",
+      targetFileBytes = 512L * 1024, sortCols = Seq("k"))
+    assert(partFiles(s"$dir/compacted") == n && n < 10, s"expected few files, got $n")
+    val back = spark.read.parquet(s"$dir/compacted")
+    assert(back.count() == 10000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head() ==
+      (0L until 10000L).sum)
+  }
+
   test("orc sink roundtrip with predicate pushdown") {
     val dir = Files.createTempDirectory("orc_out")
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
