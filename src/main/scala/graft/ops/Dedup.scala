@@ -212,6 +212,20 @@ object Dedup {
     connectedComponents(df, idCol, pairs, "id_a", "id_b")
   }
 
+  /** Cluster-aware dedup: keep exactly ONE representative per near-dup
+    * cluster (the smallest-id member), via [[nearDupClusters]] +
+    * left-semi join — the correct curation on chains a–b–c where the
+    * greedy pair filter can over- or under-delete.
+    */
+  def nearDupClusterKeepers(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val heads = nearDupClusters(df, textCol, idCol, n, threshold)
+      .filter(col("id") === col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(heads, Seq(idCol), "left_semi")
+  }
+
   /** Cross-corpus contamination (train/eval decontamination — the
     * pretraining hygiene step): every (train, eval) document pair sharing
     * ≥ `threshold` exact n-gram Jaccard. Both corpora are signed with the

@@ -39,6 +39,9 @@ object syntax {
     def nearDupClusters(textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.nearDupClusters(df, textCol, idCol, n, threshold)
+    def keepClusterRepresentatives(textCol: String, idCol: String,
+        n: Int = 3, threshold: Double = 0.8): DataFrame =
+      Dedup.nearDupClusterKeepers(df, textCol, idCol, n, threshold)
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
@@ -53,6 +56,8 @@ object syntax {
       df.withColumn(outCol, TextStats.langIdExpr(org.apache.spark.sql.functions.col(textCol)))
     def scrubPii(textCol: String): DataFrame =
       df.withColumn(textCol, TextStats.scrubPii(org.apache.spark.sql.functions.col(textCol)))
+    def normalizeText(textCol: String): DataFrame =
+      df.withColumn(textCol, TextStats.normalizeText(org.apache.spark.sql.functions.col(textCol)))
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

@@ -62,6 +62,10 @@ class DedupSpec extends SparkSpec {
     assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
     assert(clusters(4L) == 4L && clusters(5L) == 5L, "non-dups are singletons")
     assert(clusters.size == 5, "every document is labeled")
+    // cluster-aware dedup keeps exactly one representative per cluster
+    val keepers = Dedup.nearDupClusterKeepers(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keepers == Seq(1L, 4L, 5L), keepers)
     // explicit 3-chain: a~b, b~c, a and c share nothing directly
     val chain = Seq(
       (10L, "aa bb cc dd ee ff gg hh"),
