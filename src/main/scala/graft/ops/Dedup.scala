@@ -30,6 +30,21 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[exactByContent]] in its wide-row-safe form: the dedup shuffle
+    * carries ONLY (content-hash, id) pairs — a multi-KB document never
+    * crosses the wire — and the surviving rows come back via a left-semi
+    * join on id (which AQE broadcasts when the survivor set is small
+    * relative to the table). Prefer this when rows are heavy; the window
+    * form is fine when rows are already narrow.
+    */
+  def exactByContentProjected(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val survivors = df
+      .select(md5(col(textCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // --- MinHash + LSH --------------------------------------------------------
 
   /** Number of MinHash functions (banded as [[Bands]] × [[RowsPerBand]]).

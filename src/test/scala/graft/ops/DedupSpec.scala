@@ -18,6 +18,10 @@ class DedupSpec extends SparkSpec {
     val ids = Dedup.exactByContent(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(ids == Seq(1L, 3L, 4L, 5L))
+    // the projected (hash,id)-shuffle form selects the identical survivors
+    val projected = Dedup.exactByContentProjected(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(projected == ids)
   }
 
   test("minhash near-dups finds exact pair (J=1.0) and near pair, never self/symmetric pairs") {
