@@ -255,6 +255,36 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang", "source")),
 
+    // Corpus length distribution: exact percentiles of document length.
+    "doc_length_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))),
+
+    // Per-language quality rollup: kernel metrics aggregated exactly
+    // (DECIMAL sums — a double sum's partition order would flip the hash).
+    "lang_quality_summary" -> ((s, dir) => {
+      val m = graft.functions.text_metrics(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          m.getField("n_tokens").as("tok"),
+          m.getField("n_stopwords").as("stop"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          round(
+            sum(col("stop").cast("decimal(18,0)")).cast("double") * 100.0 /
+              sum(greatest(col("tok"), lit(1L)).cast("decimal(18,0)")).cast("double"),
+            4).as("stopword_pct"))
+        .orderBy("lang")
+    }),
+
     // Grouping sets: corpus stats at every (lang, source) aggregation level.
     "corpus_cube" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -752,6 +782,21 @@ object SparkEntry {
       """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "doc_length_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+        |FROM documents""".stripMargin,
+
+    "lang_quality_summary" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum($tok0Sql) AS BIGINT) AS total_tokens,
+         |  round(sum($stopSql) * 100.0 / sum(greatest($tok0Sql, 1)), 4) AS stopword_pct
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "corpus_profile" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
