@@ -31,6 +31,14 @@ class PlanAuditSpec extends SparkSpec {
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
     "source_overlap" -> "group-pair sketch cross: rows = #groups², k longs each")
 
+  test("every oracle key names a registry query (a typo silently demotes the gate)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    // and the allowlists in this spec stay in sync with the registry
+    val stale = (eagerBuilders ++ intentionalBroadcastCross.keySet) -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"plan-audit allowlist names unknown queries: $stale")
+  }
+
   test("no registry query plans a cartesian product; nested-loop joins only where designed") {
     val sfDir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq
