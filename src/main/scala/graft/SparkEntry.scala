@@ -499,6 +499,30 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
 
+    // Funnel conversion: of the users with a 'view', how many 'click'
+    // within 30 minutes after one. Equi-join on user + range predicate
+    // (AQE handles per-user skew); one exact summary row.
+    "funnel_conversion" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", expr("ts DIV 1000"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tus").as("vus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("cus"))
+      val gapUs = 30L * 60 * 1000000L
+      val converted = views.join(clicks, Seq("user_id"))
+        .filter(col("cus") >= col("vus") && col("cus") <= col("vus") + gapUs)
+        .select("user_id").distinct()
+        .withColumn("__c", lit(1L))
+      views.select("user_id").distinct()
+        .join(converted, Seq("user_id"), "left")
+        .agg(
+          count(lit(1)).as("n_view_users"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_converted"))
+        .select(col("n_view_users"), col("n_converted"),
+          round(col("n_converted") * 100.0 / greatest(col("n_view_users"), lit(1L)), 4)
+            .as("conversion_pct"))
+    }),
+
     // As-of (point-in-time) join: for each click, the latest prior-or-equal
     // view's value per user. µs-truncated on both sides (DuckDB precision).
     "asof_join" -> ((s, dir) => {
@@ -740,6 +764,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "funnel_conversion" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+        |), conv AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |   AND c.cus >= v.vus AND c.cus <= v.vus + 1800000000
+        |), vu AS (SELECT DISTINCT user_id FROM v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view_users,
+        |  CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+        |  round(count(conv.user_id) * 100.0 / greatest(count(*), 1), 4) AS conversion_pct
+        |FROM vu LEFT JOIN conv ON vu.user_id = conv.user_id""".stripMargin,
 
     "asof_join" ->
       """WITH vd AS (
