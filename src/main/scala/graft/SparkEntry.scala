@@ -499,6 +499,27 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
 
+    // Hour-over-hour retention: distinct active users per hour bucket and
+    // how many of them are active again in the NEXT hour. Self-join of
+    // the (hour, user) distinct set on (hour+1, user) — both sides
+    // aggregate before joining, so the join carries distinct pairs only.
+    "retention" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val active = t(s, dir, "events")
+        .select(expr(s"(ts DIV 1000) DIV $hourUs").as("hour"), col("user_id"))
+        .distinct()
+      val nxt = active.select((col("hour") - 1).as("hour"), col("user_id"))
+        .withColumn("__r", lit(1L))
+      active.join(nxt, Seq("hour", "user_id"), "left")
+        .groupBy("hour")
+        .agg(
+          count(lit(1)).as("n_active"),
+          coalesce(sum(col("__r")), lit(0L)).as("n_retained"))
+        .select(col("hour"), col("n_active"), col("n_retained"),
+          round(col("n_retained") * 100.0 / col("n_active"), 4).as("retention_pct"))
+        .orderBy("hour")
+    }),
+
     // Funnel conversion: of the users with a 'view', how many 'click'
     // within 30 minutes after one. Equi-join on user + range predicate
     // (AQE handles per-user skew); one exact summary row.
@@ -764,6 +785,19 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour, user_id FROM events
+        |), nxt AS (
+        |  SELECT hour - 1 AS hour, user_id, 1 AS r FROM active
+        |)
+        |SELECT active.hour, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(count(nxt.r) AS BIGINT) AS n_retained,
+        |  round(count(nxt.r) * 100.0 / count(*), 4) AS retention_pct
+        |FROM active LEFT JOIN nxt
+        |  ON active.hour = nxt.hour AND active.user_id = nxt.user_id
+        |GROUP BY active.hour ORDER BY active.hour""".stripMargin,
 
     "funnel_conversion" ->
       """WITH v AS (
