@@ -702,6 +702,26 @@ object SparkEntry {
         .select("media_id", "n_bytes", "resized_n", "resized_sum")
         .orderBy("media_id")),
 
+    // §7.6 — second streaming gate: watermarked tumbling-window counts
+    // over the file-source event stream, run to completion in Complete
+    // mode (every window emitted regardless of the final watermark), so
+    // the result is exactly the batch GROUP BY — full value oracle.
+    "stream_windows" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val counts = Streams.windowedCounts(
+        Streams.withEventTime(src, "ts"),
+        "event_time", "30 minutes", "1 hour", Seq("event_type"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"))
+      val name = "stream_windows_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(counts, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("win_start_us", "event_type")
+    }),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     // Scalar columns only: the driver's pandas comparator cannot sort/hash
     // an array column, and the byte stats ARE DuckDB-expressible (hex
@@ -1028,6 +1048,12 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "stream_windows" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start_us, event_type NULLS FIRST""".stripMargin,
 
     "dedup_first" ->
       """SELECT event_id, user_id, event_type FROM (
