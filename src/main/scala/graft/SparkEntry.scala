@@ -722,6 +722,29 @@ object SparkEntry {
         .orderBy("win_start_us", "event_type")
     }),
 
+    // §7.6 — third streaming gate: gap-based session windows over the
+    // event stream (Complete mode). session_window's merge semantics
+    // (events within the gap coalesce) are exactly the batch sessionize
+    // grouping, so per-session (user, start, n) hash-matches the same
+    // lag-gap SQL the batch gate uses — streaming/batch sessionization
+    // parity, value-checked.
+    "stream_sessions" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val sessions = Streams.sessionWindows(
+        Streams.withEventTime(src, "ts"),
+        "event_time", "30 minutes", "30 minutes", Seq("user_id"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+      val name = "stream_sessions_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(sessions, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("user_id", "start_us")
+    }),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     // Scalar columns only: the driver's pandas comparator cannot sort/hash
     // an array column, and the byte stats ARE DuckDB-expressible (hex
@@ -1048,6 +1071,26 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+
+    "stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN prev_us IS NULL OR tus - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session,
+        |    event_id
+        |  FROM g
+        |), sessions AS (
+        |  SELECT user_id, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "stream_windows" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     * fixture writes) — constructing their final DataFrame executes jobs,
     * so they are audited by their own operator specs instead of here.
     */
-  private val eagerBuilders = Set("stream_dedup", "stream_windows", "dedup_clusters")
+  private val eagerBuilders =
+    Set("stream_dedup", "stream_windows", "stream_sessions", "dedup_clusters")
 
   /** Queries that DELIBERATELY plan a BroadcastNestedLoopJoin: each is a
     * brute-force scoring pass of the full corpus against a provably-small
