@@ -499,6 +499,21 @@ object SparkEntry {
         .orderBy("interval_id")
     }),
 
+    // Skew-mitigation gate: the event_type join is the canonical hot-key
+    // case (5 keys × thousands of rows each). The dim builds via salted
+    // two-phase aggregation and joins back via the salted join; output
+    // equals the plain join exactly, so the operators get a full oracle.
+    "skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = graft.ops.SkewJoin.saltedCount(ev, "event_type", "event_id")
+        .withColumnRenamed("n", "type_total")
+      graft.ops.SkewJoin.saltedJoin(ev, dim, "event_type", "event_id")
+        .groupBy("event_type", "type_total")
+        .agg(count(lit(1)).as("n_events"))
+        .select("event_type", "n_events", "type_total")
+        .orderBy("event_type")
+    }),
+
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
     // the (hour, user) distinct set on (hour+1, user) — both sides
@@ -828,6 +843,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+
+    "skew_join" ->
+      """SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(t.total AS BIGINT) AS type_total
+        |FROM events e JOIN (
+        |  SELECT event_type, count(*) AS total FROM events GROUP BY event_type) t
+        |  ON e.event_type = t.event_type
+        |GROUP BY e.event_type, t.total ORDER BY e.event_type""".stripMargin,
 
     "retention" ->
       """WITH active AS (
