@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
 import graft.fhir.FhirFixtures
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.quality.QualityChecker
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -514,6 +514,58 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.11 curation — deterministic train/val/test split: membership is
+    // pure int64 arithmetic (Knuth multiplicative hash), reproducible in
+    // any engine and stable under repartitioning/corpus growth, unlike
+    // randomSplit's partition-seeded assignment. Row-level gate.
+    "data_split" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents"), "doc_id", 8000, 1000)
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // §2.11 curation — per-stratum deterministic sampling: downsample the
+    // dominant language, oversample the rare one; nested-sample property
+    // (raising a rate only adds rows) spec-tested in CurationSpec.
+    "stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 2000, "zh" -> 5000), defaultPerMyriad = 3000)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // §2.11 curation — greedy per-source token budget: longest docs first
+    // (doc_id tiebreak), keep while the running whitespace-token total
+    // stays ≤ 1000. One shuffle on source; cumulative sum is int64-exact.
+    "token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long")),
+        "source", "n_tokens", col("n_chars"), "doc_id", budget = 1000L)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")),
+
+    // §2.11 curation — sliding-window chunking (size 256, stride 192 →
+    // 64-char overlap): explode(sequence) fan-out, executor-side only.
+    // Byte-exact chunk text compared against DuckDB's substr.
+    "chunk_docs" -> ((s, dir) =>
+      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 256, 192)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), length(col("chunk_text")).cast("long").as("chunk_len"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // §2.11 curation — blocklist (anti-join) corpus filter: drop docs
+    // whose id appears in a flagged-PII blocklist (the same email/phone
+    // patterns the pii_scrub gate validates cross-engine). Broadcast anti
+    // join — the 100 TB shape for a small blocklist.
+    "blocklist_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val flagged = docs.filter(
+        col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+          || col("text").rlike("[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"))
+      Curation.blocklistFilter(docs, flagged, "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
     // the (hour, user) distinct set on (hour+1, user) — both sides
@@ -851,6 +903,66 @@ object SparkEntry {
         |  SELECT event_type, count(*) AS total FROM events GROUP BY event_type) t
         |  ON e.event_type = t.event_type
         |GROUP BY e.event_type, t.total ORDER BY e.event_type""".stripMargin,
+
+    "data_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 8000 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 10000 <
+        |  CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 3000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 1000
+        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (length(text) + 191) // 192)) AS chunk_id
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    substr(text, CAST(chunk_id * 192 + 1 AS BIGINT), 256) AS chunk_text
+        |  FROM e)
+        |SELECT doc_id, chunk_id, chunk_text,
+        |  CAST(length(chunk_text) AS BIGINT) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "blocklist_filter" ->
+      """SELECT doc_id, lang, source FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents b
+        |  WHERE b.doc_id = d.doc_id
+        |    AND (regexp_matches(b.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |      OR regexp_matches(b.text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')))
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, least(4, greatest(1, (n + 127) // 128)))) AS i
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * 128 AS BIGINT) AS "offset"
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "retention" ->
       """WITH active AS (

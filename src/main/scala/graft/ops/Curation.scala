@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * train/val/test splits, stratified sampling, per-group token-budget
+  * selection, sliding-window document chunking, and blocklist filtering.
+  *
+  * The reference pipeline (Vanessaaaaa0202/EHR_Data_PipeLine) has no
+  * curation surface — its only selection ops are null-drop and
+  * keep-first dedup (`data_quality_checker.py:244,340-352`); these
+  * operators are part of the mandated LLM-data-pipeline extension
+  * (SURVEY.md §2.11).
+  *
+  * Design for 100 TB:
+  *   - Every membership decision (split / sample) hashes a NUMERIC id with
+  *     the Knuth multiplicative hash — plain int64 arithmetic, so the
+  *     assignment is reproducible across engines and runs and stable under
+  *     repartitioning. `randomSplit`/`sample` are NOT: they seed per
+  *     partition, so adding one input file reshuffles every assignment —
+  *     unacceptable when the split membership must be durable across
+  *     pipeline re-runs.
+  *   - Split and sample are narrow (no shuffle): they filter/annotate
+  *     in place and preserve the upstream partitioning.
+  *   - `tokenBudget` is the only shuffling op (one hash partition by
+  *     group); a group's rows serialize through one window task, so
+  *     groups are expected to be "source"-grained (thousands of rows),
+  *     not corpus-grained. For a single giant group, cap rows first
+  *     (e.g. topk by priority) or raise the budget granularity.
+  *   - `chunkDocuments` fans out executor-side via `explode(sequence)`
+  *     — never a driver loop; output rows inherit the input partitioning.
+  */
+object Curation {
+
+  /** Buckets per whole: per-myriad (1/10000) gives 0.01% granularity. */
+  val Myriad = 10000L
+
+  /** Deterministic pseudo-uniform bucket in [0, 10000) from a
+    * non-negative numeric id: Knuth multiplicative hash
+    * `((id mod 2^31) * 2654435761) mod 10000`. The `mod 2^31` guard
+    * keeps the product within int64 for every long id. Requires
+    * non-negative ids (negative ids would diverge between `pmod` and
+    * ANSI-SQL `%` semantics).
+    */
+  def hashBucket(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(Myriad))
+
+  /** Deterministic train/val/test assignment: adds a `split` column.
+    * `trainPerMyriad`/`valPerMyriad` are shares out of 10000 (e.g.
+    * 8000/1000 → 80% train, 10% val, 10% test). A row's split depends
+    * only on its id — re-running over a grown corpus never reassigns an
+    * existing row.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      trainPerMyriad: Int, valPerMyriad: Int): DataFrame = {
+    require(trainPerMyriad >= 0 && valPerMyriad >= 0
+      && trainPerMyriad + valPerMyriad <= Myriad,
+      s"shares out of range: train=$trainPerMyriad val=$valPerMyriad")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPerMyriad, lit("train"))
+        .when(b < trainPerMyriad + valPerMyriad, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic stratified sample: keeps `ratesPerMyriad(stratum)` /
+    * 10000 of each stratum (default rate for unlisted strata). The kept
+    * set is a strict subset of any higher-rate kept set for the same ids
+    * (nested samples — raising a rate only ADDS rows).
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      ratesPerMyriad: Map[String, Int],
+      defaultPerMyriad: Int = 0): DataFrame = {
+    require((defaultPerMyriad +: ratesPerMyriad.values.toSeq)
+      .forall(r => r >= 0 && r <= Myriad), s"rates out of range: $ratesPerMyriad")
+    val rate = ratesPerMyriad.foldLeft(lit(defaultPerMyriad)) {
+      case (acc, (stratum, r)) => when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+
+  /** Greedy per-group token-budget selection: within each `groupCol`
+    * partition, rows are taken in (`priority` desc, `idCol` asc) order
+    * while the running token total stays ≤ `budget`; adds `cum_tokens`.
+    * Strict budget: a row whose tokens alone exceed the remaining budget
+    * is dropped (and so is everything after it in that group).
+    */
+  def tokenBudget(
+      df: DataFrame, groupCol: String, tokenCol: String,
+      priority: Column, idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"negative budget: $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(priority.desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Sliding-window character chunking: one output row per (doc, chunk),
+    * chunk starts at offsets 0, stride, 2·stride, … < length(text), each
+    * chunk `chunkSize` characters (the last one shorter). Chunk count =
+    * ceil(len / stride); null/empty docs yield no rows. Adds `chunk_id`
+    * (0-based) and `chunk_text`; overlap = chunkSize − stride when
+    * chunkSize > stride.
+    */
+  def chunkDocuments(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, s"chunkSize=$chunkSize stride=$stride")
+    val tc = s"`$textCol`"
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      // integral DIV: float ceil drifts for lengths near 2^53 and
+      // engines disagree on rounding — (len + stride - 1) DIV stride.
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), expr(s"(length($tc) + ${stride - 1}) DIV $stride").cast("int") - 1)))
+      .withColumn("chunk_text",
+        expr(s"substring($tc, chunk_id * $stride + 1, $chunkSize)"))
+  }
+
+  /** Remove rows whose `keyCol` appears in `blocklist` (left anti-join) —
+    * the "known-bad ids" corpus filter (contaminated docs, opt-outs,
+    * flagged PII). Blocklists are usually tiny next to the corpus →
+    * broadcast by default; disable for a corpus-scale blocklist and let
+    * sort-merge/AQE handle it.
+    */
+  def blocklistFilter(
+      df: DataFrame, blocklist: DataFrame, keyCol: String,
+      broadcastBlocklist: Boolean = true): DataFrame = {
+    val keys = blocklist.select(col(keyCol)).distinct()
+    df.join(if (broadcastBlocklist) broadcast(keys) else keys, Seq(keyCol), "left_anti")
+  }
+
+  /** Keep only rows whose `keyCol` appears in `allowlist` (left semi-join)
+    * — the dual of [[blocklistFilter]].
+    */
+  def allowlistFilter(
+      df: DataFrame, allowlist: DataFrame, keyCol: String,
+      broadcastAllowlist: Boolean = true): DataFrame = {
+    val keys = allowlist.select(col(keyCol)).distinct()
+    df.join(if (broadcastAllowlist) broadcast(keys) else keys, Seq(keyCol), "left_semi")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: exhaustive over 10k ids — exact shares, every row assigned") {
+    val df = (0L until 10000L).toDF("id")
+    val counts = Curation.hashSplit(df, "id", 8000, 1000)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // the Knuth hash is uniform but not exactly proportional on a finite
+    // id range; shares must be within 2% of nominal and cover all rows
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) <= 200)
+    assert(math.abs(counts("val") - 1000L) <= 200)
+    assert(math.abs(counts("test") - 1000L) <= 200)
+  }
+
+  test("hashSplit: assignment is a pure function of the id (repartition-stable)") {
+    val df = (0L until 1000L).toDF("id")
+    val a = Curation.hashSplit(df, "id", 7000, 1500).select("id", "split")
+    val b = Curation.hashSplit(df.repartition(7), "id", 7000, 1500).select("id", "split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("stratifiedSample: per-stratum rates honored, samples nest as rates rise") {
+    val df = (0L until 6000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = Curation.stratifiedSample(df, "id", "s", Map("a" -> 5000, "b" -> 1000))
+    val byStratum = kept.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byStratum("a") - 1500L) <= 90) // 3000 ids × 50% ± 3%
+    assert(math.abs(byStratum("b") - 300L) <= 90)  // 3000 ids × 10% ± 3%
+    // nesting: every row kept at a lower rate survives at a higher rate
+    val lower = Curation.stratifiedSample(df, "id", "s", Map("a" -> 2000, "b" -> 500))
+    assert(lower.exceptAll(kept).isEmpty)
+    // unlisted strata default to 0 → dropped entirely
+    assert(Curation.stratifiedSample(df, "id", "s", Map("a" -> 5000)).filter($"s" === "b").isEmpty)
+  }
+
+  test("tokenBudget: greedy cutoff per group, cum_tokens never exceeds budget") {
+    val df = Seq(
+      ("s1", 1L, 40L, 9), ("s1", 2L, 40L, 8), ("s1", 3L, 40L, 7), // third exceeds
+      ("s2", 4L, 100L, 5),                                        // alone over budget
+      ("s3", 5L, 10L, 1), ("s3", 6L, 20L, 2)                      // all fit
+    ).toDF("src", "id", "toks", "prio")
+    val out = Curation.tokenBudget(df, "src", "toks", col("prio"), "id", budget = 90L)
+      .select("src", "id", "cum_tokens").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("s1", 1L, 40L), ("s1", 2L, 80L), ("s3", 6L, 20L), ("s3", 5L, 30L)))
+  }
+
+  test("tokenBudget: priority ties broken by id — deterministic selection") {
+    val df = Seq(("g", 10L, 60L, 1), ("g", 11L, 60L, 1)).toDF("src", "id", "toks", "prio")
+    val out = Curation.tokenBudget(df, "src", "toks", col("prio"), "id", budget = 60L)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(10L))
+  }
+
+  test("chunkDocuments: boundaries match the naive chunking, empty/null yield none") {
+    val docs = Seq(
+      (1L, "abcdefghij"),      // len 10
+      (2L, "abc"),             // shorter than one chunk
+      (3L, ""),                // empty → no chunks
+      (4L, null.asInstanceOf[String]),
+      (5L, "日本語のテキストです十一字") // 13 chars, multi-byte
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    def naive(id: Long, s: String) =
+      (0 until s.length by 3).zipWithIndex.map { case (st, i) =>
+        (id, i, s.substring(st, math.min(st + 4, s.length)))
+      }
+    assert(out == (naive(1L, "abcdefghij") ++ naive(2L, "abc")
+      ++ naive(5L, "日本語のテキストです十一字")).toSet)
+  }
+
+  test("chunkDocuments: stride == chunkSize reconstructs the document exactly") {
+    val docs = Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val rebuilt = Curation.chunkDocuments(docs, "doc_id", "text", 8, 8)
+      .orderBy("chunk_id").agg(concat_ws("", collect_list("chunk_text")))
+      .as[String].head()
+    assert(rebuilt == "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("blocklist/allowlist filters match except/intersect semantics; anti is broadcast") {
+    val corpus = (1L to 100L).toDF("id")
+    val block = Seq(3L, 5L, 5L, 200L).toDF("id") // dup + miss entries tolerated
+    val out = Curation.blocklistFilter(corpus, block, "id")
+    assert(out.count() == 98 && out.filter($"id".isin(3L, 5L)).isEmpty)
+    val allow = Curation.allowlistFilter(corpus, block, "id")
+    assert(allow.select("id").as[Long].collect().toSet == Set(3L, 5L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+}
