@@ -756,7 +756,8 @@ object SparkEntry {
         "event_time", "30 minutes", Seq("user_id", "event_type"))
         .select("user_id", "event_type")
       val name = "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
-      Streams.runToMemory(deduped, name).orderBy("user_id", "event_type")
+      Streams.runToMemory(deduped, name, statePartitions = Some(8))
+        .orderBy("user_id", "event_type")
     }),
 
     // §2.11 — payload "resize" (stride decimation): scalar stats carry a
@@ -785,7 +786,8 @@ object SparkEntry {
           col("event_type"), col("n_events"))
       val name = "stream_windows_" + java.lang.Long.toHexString(System.nanoTime())
       Streams.runToMemory(counts, name,
-          org.apache.spark.sql.streaming.OutputMode.Complete())
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))
         .orderBy("win_start_us", "event_type")
     }),
 
@@ -808,7 +810,8 @@ object SparkEntry {
           col("n_events"))
       val name = "stream_sessions_" + java.lang.Long.toHexString(System.nanoTime())
       Streams.runToMemory(sessions, name,
-          org.apache.spark.sql.streaming.OutputMode.Complete())
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))
         .orderBy("user_id", "start_us")
     }),
 

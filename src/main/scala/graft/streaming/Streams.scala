@@ -106,15 +106,31 @@ object Streams {
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).
+    *
+    * `statePartitions`: state-store instance count for stateful streams —
+    * baked into the checkpoint at the FIRST micro-batch from
+    * `spark.sql.shuffle.partitions`, so it must be chosen at start, not
+    * inherited by accident. Size it to expected state volume: a local
+    * run-to-completion wants a handful (per-batch overhead is per
+    * instance: delta file + snapshot + maintenance each); a 100 TB
+    * production stream wants hundreds. None = session setting.
     */
-  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: OutputMode = OutputMode.Append(),
+      statePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prior)
+    spark.table(name)
   }
 }
