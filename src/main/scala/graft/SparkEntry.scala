@@ -566,6 +566,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 curation — sequence packing: global token offset of every doc
+    // in the id-ordered concatenated stream (capacity-512 training
+    // sequences). Distributed two-phase prefix sum — the only single-task
+    // step is a window over O(partitions) rows; the oracle is the naive
+    // global window cumsum.
+    "sequence_pack" -> ((s, dir) =>
+      Curation.packSequences(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+          .select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", capacity = 512L)
+        .select("doc_id", "n_tokens", "start_offset", "seq_id", "seq_pos", "spans_boundary")
+        .orderBy("doc_id")),
+
+    // §2.11 curation — epoch-mixture replication: per-language training
+    // mixture (down-weight en ×0.5, up-weight zh ×2, de ×1.25, fr ×1,
+    // drop es) with the fractional share resolved per-id by the same
+    // engine-reproducible hash the split/sample gates pin.
+    "epoch_mixture" -> ((s, dir) =>
+      Curation.epochMixture(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 2.0, "de" -> 1.25, "fr" -> 1.0))
+        .select("doc_id", "lang", "copy_id")
+        .orderBy("doc_id", "copy_id")),
+
+    // §2.11 curation — deterministic corpus shuffle: stable pseudo-random
+    // training order as a rank (hash bucket, id tiebreak), computed with
+    // the distributed prefix-sum — never a single-task global window.
+    "shuffle_order" -> ((s, dir) =>
+      Curation.shuffleOrder(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+        .select("doc_id", "shuffle_rank")
+        .orderBy("shuffle_rank")),
+
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
     // the (hour, user) distinct set on (hour+1, user) — both sides
@@ -955,6 +988,45 @@ object SparkEntry {
         |    AND (regexp_matches(b.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
         |      OR regexp_matches(b.text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')))
         |ORDER BY doc_id""".stripMargin,
+
+    "sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM d)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS seq_id, start_offset % 512 AS seq_pos,
+        |  (start_offset + n_tokens - 1) // 512 > start_offset // 512 AS spans_boundary
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "epoch_mixture" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'en' THEN CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 5000 THEN 1 ELSE 0 END
+        |      WHEN 'zh' THEN 2
+        |      WHEN 'de' THEN 1 + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 2500 THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 1
+        |      ELSE 0 END AS copies
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, lang, unnest(range(0, copies)) AS copy_id
+        |  FROM m WHERE copies > 0)
+        |SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
+        |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 10000, doc_id) - 1
+        |    AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY shuffle_rank""".stripMargin,
 
     "multimodal_frames" ->
       """WITH b AS (

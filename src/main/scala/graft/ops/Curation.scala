@@ -121,6 +121,107 @@ object Curation {
         expr(s"substring($tc, chunk_id * $stride + 1, $chunkSize)"))
   }
 
+  /** Sequence packing: assign every document a global token offset in the
+    * id-ordered concatenated token stream, and the training-sequence id it
+    * starts in (`seq_id = start_offset DIV capacity`). This is the layout
+    * step that turns a curated corpus into fixed-length training
+    * sequences; `spans_boundary` marks docs crossing a sequence edge.
+    *
+    * The naive form is a GLOBAL cumulative sum — a single-partition window
+    * that serializes the whole corpus through one task. This
+    * implementation is the distributed two-phase prefix sum:
+    *   1. range-partition by id (deterministic bounds), cumsum WITHIN each
+    *      partition in parallel;
+    *   2. per-partition token totals (one tiny row per partition) get an
+    *      exclusive prefix on the driver-side-small frame, broadcast back.
+    * Output values are partitioning-independent: the offset is defined by
+    * the total order on `idCol` alone (ids must be unique).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Long, numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity")
+    exclusivePrefixSum(df, Seq(col(idCol)), col(tokenCol).cast("long"),
+        numPartitions, "start_offset")
+      .withColumn("seq_id", expr(s"start_offset DIV $capacity"))
+      .withColumn("seq_pos", pmod(col("start_offset"), lit(capacity)))
+      .withColumn("spans_boundary",
+        expr(s"(start_offset + `$tokenCol` - 1) DIV $capacity") > col("seq_id"))
+  }
+
+  /** Distributed exclusive prefix sum of `value` over the total order
+    * `orderCols` (must be a key — unique): adds `outCol` = sum of `value`
+    * over all strictly-preceding rows. Two phases: range-partition on the
+    * order, cumsum within each partition in parallel, then an exclusive
+    * prefix over the per-partition totals (O(partitions) rows — that tiny
+    * window is the only single-task step) broadcast back. Output values
+    * depend on the total order alone, not the partitioning.
+    */
+  private def exclusivePrefixSum(
+      df: DataFrame, orderCols: Seq[Column], value: Column,
+      numPartitions: Int, outCol: String): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, orderCols: _*)
+      .withColumn("__val", value)
+      .withColumn("__pid", spark_partition_id())
+    val withinW = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = ranged.withColumn("__cum_in", sum(col("__val")).over(withinW))
+    val offsets = within.groupBy(col("__pid"))
+      .agg(sum(col("__val")).as("__ptotal"))
+      .withColumn("__poffset",
+        coalesce(
+          sum(col("__ptotal")).over(
+            Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__poffset"))
+    within.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__poffset") + col("__cum_in") - col("__val"))
+      .drop("__pid", "__cum_in", "__poffset", "__val")
+  }
+
+  /** Epoch-mixture replication: repeat each row `weights(stratum)` times
+    * (fractional part resolved deterministically per id — a weight of 2.3
+    * gives every row 2 copies and 30% of rows a third). The standard
+    * pretraining mixture step: upsample high-quality sources, downsample
+    * (weight < 1) the rest. Adds `copy_id` (0-based). Fan-out is
+    * executor-side `explode(sequence)`; weight 0 / unlisted strata drop.
+    */
+  def epochMixture(
+      df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1000), s"weights out of range: $weights")
+    val wholes = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(strataCol) === lit(s), lit(math.floor(w).toLong)).otherwise(acc)
+    }
+    val fracPerMyriad = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col(strataCol) === lit(s),
+        lit(math.round((w - math.floor(w)) * Myriad))).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        wholes + when(hashBucket(col(idCol)) < fracPerMyriad, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
+  /** Deterministic corpus shuffle: a stable pseudo-random total order
+    * (hash bucket, then id as tiebreak) with the global position exposed
+    * as `shuffle_rank`. Reproducible across runs/engines — the property a
+    * training-order shuffle needs that `orderBy(rand())` lacks. The rank
+    * is a count prefix-sum over (bucket, id) via [[exclusivePrefixSum]],
+    * so no single-task global window.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String): DataFrame =
+    exclusivePrefixSum(
+      df.withColumn("__bucket", hashBucket(col(idCol))),
+      Seq(col("__bucket"), col(idCol)), lit(1L),
+      numPartitions = 0, outCol = "shuffle_rank")
+      .drop("__bucket")
+
   /** Remove rows whose `keyCol` appears in `blocklist` (left anti-join) —
     * the "known-bad ids" corpus filter (contaminated docs, opt-outs,
     * flagged PII). Blocklists are usually tiny next to the corpus →

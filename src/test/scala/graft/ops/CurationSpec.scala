@@ -83,6 +83,58 @@ class CurationSpec extends SparkSpec {
     assert(rebuilt == "the quick brown fox jumps over the lazy dog")
   }
 
+  test("packSequences: offsets equal the naive global cumsum, any partitioning") {
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 37) % 90)) // varied token counts
+    val naiveOffsets = rows.map(_._2).scanLeft(0L)(_ + _).init
+    val expected = rows.zip(naiveOffsets).map { case ((id, tk), off) =>
+      (id, off, off / 128, off % 128, (off + tk - 1) / 128 > off / 128)
+    }.toSet
+    for (parts <- Seq(1, 3, 16)) {
+      val out = Curation.packSequences(
+        rows.toDF("id", "toks").repartition(parts), "id", "toks", capacity = 128L)
+        .select("id", "start_offset", "seq_id", "seq_pos", "spans_boundary")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(out == expected, s"parts=$parts")
+    }
+  }
+
+  test("packSequences: plan has no single-task global window over the data") {
+    val df = (0L until 100L).map(i => (i, 5L)).toDF("id", "toks")
+    val plan = Curation.packSequences(df, "id", "toks", 64L)
+      .queryExecution.executedPlan.toString
+    // the data-bearing window must be partitioned (partitionBy __pid);
+    // an empty-partition global window over the full input would show as
+    // "Window [...], [id ASC" with no preceding partition spec
+    assert(plan.contains("__pid"), plan)
+  }
+
+  test("epochMixture: whole weights replicate exactly, fractional adds ~frac share") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "hi" else "lo")).toDF("id", "src")
+    val out = Curation.epochMixture(df, "id", "src", Map("hi" -> 2.5, "lo" -> 0.25))
+    val byS = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byS("hi") >= 2 * 2000 && math.abs(byS("hi") - 5000L) <= 150) // 2000×2.5 ± 3%
+    assert(math.abs(byS("lo") - 500L) <= 150)                           // 2000×0.25 ± 3%
+    // every kept row carries 0-based contiguous copy ids
+    val copies = out.filter($"src" === "hi").groupBy("id")
+      .agg(sort_array(collect_list("copy_id")).as("c"))
+      .select("c").as[Seq[Long]].collect()
+    assert(copies.forall(c => c == (0L until c.length)))
+    // unlisted strata drop entirely
+    assert(Curation.epochMixture(df, "id", "src", Map("hi" -> 1.0)).filter($"src" === "lo").isEmpty)
+  }
+
+  test("shuffleOrder: a permutation, deterministic, and actually shuffled") {
+    val df = (0L until 2000L).toDF("id")
+    val out = Curation.shuffleOrder(df, "id")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(out.map(_._2).sorted.toSeq == (0L until 2000L)) // bijection onto 0..n-1
+    val again = Curation.shuffleOrder(df.repartition(5), "id")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(out.toMap == again.toMap)
+    // not the identity order: most ids moved
+    assert(out.count { case (id, r) => id == r } < 100)
+  }
+
   test("blocklist/allowlist filters match except/intersect semantics; anti is broadcast") {
     val corpus = (1L to 100L).toDF("id")
     val block = Seq(3L, 5L, 5L, 200L).toDF("id") // dup + miss entries tolerated
