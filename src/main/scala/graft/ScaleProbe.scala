@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Curation, Dedup, Similarity}
 
 /** Dev utility: scaling behavior of the near-dup/similarity operators.
   *
@@ -57,6 +57,17 @@ object ScaleProbe {
       time(s"ngramJaccardPairs", Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.8))
       time(s"simhashNearDups", Dedup.simhashNearDups(d, "text", "doc_id"))
       time(s"nearDupFilter", Dedup.nearDupFilter(d, "text", "doc_id"))
+    }
+
+    // curation prefix-sum family: the interesting probe is the global
+    // ordering op — confirm wall time stays ~linear in rows (two range
+    // shuffles + parallel windows; the single-task step is O(partitions))
+    Seq(1, k).foreach { times =>
+      val d = replicate(times).withColumn("n_tokens", length(col("text")).cast("long"))
+      println(s"--- curation ${times}x (${d.count()} docs) ---")
+      time("packSequences", Curation.packSequences(d, "doc_id", "n_tokens", 2048L))
+      time("shuffleOrder", Curation.shuffleOrder(d, "doc_id"))
+      time("chunkDocuments", Curation.chunkDocuments(d, "doc_id", "text", 256, 192))
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

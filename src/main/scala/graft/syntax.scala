@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -75,5 +75,27 @@ object syntax {
     // --- multimodal -------------------------------------------------------
     def asMediaTable(idCol: String, textCol: String): DataFrame =
       Multimodal.asMediaTable(df, idCol, textCol)
+
+    // --- curation ---------------------------------------------------------
+    def hashSplit(idCol: String, trainPerMyriad: Int, valPerMyriad: Int): DataFrame =
+      Curation.hashSplit(df, idCol, trainPerMyriad, valPerMyriad)
+    def stratifiedSample(idCol: String, strataCol: String,
+        ratesPerMyriad: Map[String, Int], defaultPerMyriad: Int = 0): DataFrame =
+      Curation.stratifiedSample(df, idCol, strataCol, ratesPerMyriad, defaultPerMyriad)
+    def tokenBudget(groupCol: String, tokenCol: String, priority: Column,
+        idCol: String, budget: Long): DataFrame =
+      Curation.tokenBudget(df, groupCol, tokenCol, priority, idCol, budget)
+    def chunkDocuments(idCol: String, textCol: String,
+        chunkSize: Int, stride: Int): DataFrame =
+      Curation.chunkDocuments(df, idCol, textCol, chunkSize, stride)
+    def packSequences(idCol: String, tokenCol: String, capacity: Long,
+        numPartitions: Int = 0): DataFrame =
+      Curation.packSequences(df, idCol, tokenCol, capacity, numPartitions)
+    def epochMixture(idCol: String, strataCol: String,
+        weights: Map[String, Double]): DataFrame =
+      Curation.epochMixture(df, idCol, strataCol, weights)
+    def shuffleOrder(idCol: String): DataFrame = Curation.shuffleOrder(df, idCol)
+    def withoutBlocklisted(blocklist: DataFrame, keyCol: String): DataFrame =
+      Curation.blocklistFilter(df, blocklist, keyCol)
   }
 }

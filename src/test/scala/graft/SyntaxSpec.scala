@@ -31,4 +31,27 @@ class SyntaxSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(clusters(2L) == 1L && clusters(3L) == 3L)
   }
+
+  test("fluent curation chain delegates end-to-end") {
+    val split = docs.hashSplit("doc_id", 8000, 1000)
+    assert(split.columns.contains("split") && split.count() == 4)
+    val block = Seq(4L).toDF("doc_id")
+    val curated = docs
+      .withoutBlocklisted(block, "doc_id")
+      .withColumn("grp", lit("all"))
+      .withColumn("n_tokens", (length($"text") / lit(5)).cast("long"))
+      .tokenBudget("grp", "n_tokens", $"n_tokens", "doc_id", budget = 1000L)
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val chunks = docs.chunkDocuments("doc_id", "text", 16, 16)
+    assert(chunks.filter($"doc_id" === 3L).count() == 1)
+    val packed = docs.withColumn("n_tokens", lit(10L))
+      .packSequences("doc_id", "n_tokens", capacity = 16L)
+    assert(packed.select("start_offset").as[Long].collect().sorted.toSeq
+      == Seq(0L, 10L, 20L, 30L))
+    val shuffled = docs.shuffleOrder("doc_id")
+    assert(shuffled.select("shuffle_rank").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L))
+    val mixed = docs.epochMixture("doc_id", "text", Map.empty)
+    assert(mixed.isEmpty) // no weights → everything drops
+  }
 }
