@@ -566,6 +566,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 curation — per-language top-quality cut: keep the best 20% of
+    // each language by the int-exact quality score (rank-based, so the
+    // cut is exact regardless of score distribution; doc_id tiebreak).
+    "quality_top_pct" -> ((s, dir) =>
+      Curation.topFractionByGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id") +: col("lang") +: TextStats.qualityMetrics(col("text")): _*),
+        "lang", col("quality_score"), "doc_id", keepPerMyriad = 2000L)
+        .select("doc_id", "lang", "quality_score")
+        .orderBy("doc_id")),
+
     // §2.11 curation — sequence packing: global token offset of every doc
     // in the id-ordered concatenated stream (capacity-512 training
     // sequences). Distributed two-phase prefix sum — the only single-task
@@ -988,6 +999,19 @@ object SparkEntry {
         |    AND (regexp_matches(b.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
         |      OR regexp_matches(b.text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')))
         |ORDER BY doc_id""".stripMargin,
+
+    "quality_top_pct" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $scoreSql AS quality_score FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang, quality_score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM scored)
+         |SELECT doc_id, lang, quality_score FROM ranked
+         |WHERE rnk <= (n * 2000 + 9999) // 10000
+         |ORDER BY doc_id""".stripMargin,
 
     "sequence_pack" ->
       """WITH d AS (

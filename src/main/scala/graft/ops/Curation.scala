@@ -121,6 +121,27 @@ object Curation {
         expr(s"substring($tc, chunk_id * $stride + 1, $chunkSize)"))
   }
 
+  /** Keep the top `keepPerMyriad`/10000 fraction of every group by
+    * `score` (desc, `idCol` as the deterministic tiebreak) — the
+    * "top-20%-quality per language" curation cut. Rank-based, so the cut
+    * is exact: ceil(fraction × group size) rows per group, regardless of
+    * score distribution (a value threshold would wobble with the corpus
+    * mix). One shuffle on the group key; a group's rows rank through one
+    * window task, so groups are expected source/language-grained.
+    */
+  def topFractionByGroup(
+      df: DataFrame, groupCol: String, score: Column, idCol: String,
+      keepPerMyriad: Long): DataFrame = {
+    require(keepPerMyriad >= 0 && keepPerMyriad <= Myriad,
+      s"keepPerMyriad out of range: $keepPerMyriad")
+    val rankW = Window.partitionBy(col(groupCol)).orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rank").cast("long") <=
+        expr(s"(__n * $keepPerMyriad + ${Myriad - 1}) DIV $Myriad"))
+      .drop("__rank", "__n")
+  }
+
   /** Sequence packing: assign every document a global token offset in the
     * id-ordered concatenated token stream, and the training-sequence id it
     * starts in (`seq_id = start_offset DIV capacity`). This is the layout

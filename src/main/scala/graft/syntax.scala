@@ -95,6 +95,9 @@ object syntax {
         weights: Map[String, Double]): DataFrame =
       Curation.epochMixture(df, idCol, strataCol, weights)
     def shuffleOrder(idCol: String): DataFrame = Curation.shuffleOrder(df, idCol)
+    def topFractionByGroup(groupCol: String, score: Column, idCol: String,
+        keepPerMyriad: Long): DataFrame =
+      Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)
     def withoutBlocklisted(blocklist: DataFrame, keyCol: String): DataFrame =
       Curation.blocklistFilter(df, blocklist, keyCol)
   }

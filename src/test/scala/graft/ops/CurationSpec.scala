@@ -83,6 +83,21 @@ class CurationSpec extends SparkSpec {
     assert(rebuilt == "the quick brown fox jumps over the lazy dog")
   }
 
+  test("topFractionByGroup: exact ceil cut per group, score-desc with id tiebreak") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0), ("a", 5L, 5.0),
+      ("b", 6L, 1.0)
+    ).toDF("g", "id", "score")
+    // 40% of 5 = 2 → ceil keeps 2 of group a: scores 30 (id 2), 30 (id 4).
+    // 40% of 1 → ceil(0.4) = 1 → the only b row survives.
+    val kept = Curation.topFractionByGroup(df, "g", col("score"), "id", 4000L)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 2L), ("a", 4L), ("b", 6L)))
+    // keep-all and keep-none edges
+    assert(Curation.topFractionByGroup(df, "g", col("score"), "id", 10000L).count() == 6)
+    assert(Curation.topFractionByGroup(df, "g", col("score"), "id", 0L).count() == 0)
+  }
+
   test("packSequences: offsets equal the naive global cumsum, any partitioning") {
     val rows = (0L until 500L).map(i => (i, 1L + (i * 37) % 90)) // varied token counts
     val naiveOffsets = rows.map(_._2).scanLeft(0L)(_ + _).init
