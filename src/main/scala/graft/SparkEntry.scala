@@ -566,6 +566,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // G-family extension — exact per-column cardinality profile (one agg
+    // pass, multi-distinct via Expand). The HLL-sketch form
+    // (QualityChecker.sketchCardinality) is the 100 TB path, spec-bounded;
+    // exact is the oracle-checkable gate.
+    "cardinality_profile" -> ((s, dir) =>
+      QualityChecker.cardinalityProfile(
+        t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))),
+
     // §2.11 curation — per-language top-quality cut: keep the best 20% of
     // each language by the int-exact quality score (rank-based, so the
     // cut is exact regardless of score distribution; doc_id tiebreak).
@@ -999,6 +1008,22 @@ object SparkEntry {
         |    AND (regexp_matches(b.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
         |      OR regexp_matches(b.text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')))
         |ORDER BY doc_id""".stripMargin,
+
+    "cardinality_profile" ->
+      """SELECT column_name, n_distinct, n_nonnull FROM (
+        |  SELECT 'o_custkey' AS column_name,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(count(o_custkey) AS BIGINT) AS n_nonnull FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    CAST(count(o_orderstatus) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(count(o_orderpriority) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    CAST(count(o_orderdate) AS BIGINT) FROM orders)
+        |ORDER BY column_name""".stripMargin,
 
     "quality_top_pct" ->
       s"""WITH scored AS (

@@ -40,6 +40,43 @@ object QualityChecker {
       .orderBy(desc("pct_missing"), asc("column_name"))
   }
 
+  /** Exact per-column distinct-cardinality profile: one `agg` with a
+    * distinct count per column (Catalyst rewrites multi-distinct via
+    * Expand — cost is ncols × a shuffle of distinct keys), unpivoted to
+    * `[column_name, n_distinct, n_nonnull]` rows. Exact distinct is the
+    * oracle-checkable form; at 100 TB interactive profiling use
+    * [[sketchCardinality]] instead — HLL sketches combine map-side and
+    * never shuffle raw keys.
+    */
+  def cardinalityProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "no columns given")
+    val aggs = columns.flatMap(c => Seq(
+      countDistinct(col(s"`$c`")).as(s"__nd_$c"),
+      count(col(s"`$c`")).as(s"__nn_$c")))
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = columns.map(c => s"'$c', `__nd_$c`, `__nn_$c`").mkString(", ")
+    one.select(expr(
+        s"stack(${columns.length}, $stackArgs) as (column_name, n_distinct, n_nonnull)"))
+      .orderBy("column_name")
+  }
+
+  /** Approximate per-column cardinality via DataSketches HLL
+    * (`hll_sketch_agg`): partials merge map-side, the shuffle carries one
+    * ~2^lgK-byte sketch per partition per column instead of the distinct
+    * key set — the 100 TB profiling path. Estimates carry ~1.6% RSE at
+    * the default lgK=12 (2.5σ bound spec-asserted).
+    */
+  def sketchCardinality(df: DataFrame, columns: Seq[String], lgK: Int = 12): DataFrame = {
+    require(columns.nonEmpty, "no columns given")
+    val aggs = columns.map(c =>
+      hll_sketch_estimate(hll_sketch_agg(col(s"`$c`"), lit(lgK))).as(s"__est_$c"))
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stackArgs = columns.map(c => s"'$c', `__est_$c`").mkString(", ")
+    one.select(expr(
+        s"stack(${columns.length}, $stackArgs) as (column_name, n_distinct_est)"))
+      .orderBy("column_name")
+  }
+
   /** G2 — count of non-null values failing a predicate, as a one-row
     * summary `[table_name, error_type, error_count, error_pct]`
     * (`data_quality_checker.py:34-45`).

@@ -67,4 +67,33 @@ class QualityCheckerSpec extends SparkSpec {
     observed.collect()
     assert(obs.get("rows") == 4L)
   }
+
+  test("cardinalityProfile: exact distinct/non-null per column, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), None), (None, Some("b"))
+    ).toDF("k", "s")
+    val out = QualityChecker.cardinalityProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("k", 2L, 3L), ("s", 2L, 3L)))
+  }
+
+  test("sketchCardinality: HLL estimate within the lgK=12 2.5-sigma bound (4%)") {
+    import spark.implicits._
+    val df = spark.range(100000).selectExpr("id", "CAST(id % 1000 AS STRING) AS s")
+    val est = QualityChecker.sketchCardinality(df, Seq("id", "s"))
+      .as[(String, Double)].collect().toMap
+    // lgK=12 → RSE ≈ 1.04/√4096 ≈ 1.6%; 2.5σ ≈ 4% (measured 2.9% here)
+    assert(math.abs(est("id") - 100000.0) / 100000.0 < 0.04, est("id"))
+    assert(math.abs(est("s") - 1000.0) / 1000.0 < 0.04, est("s"))
+  }
+
+  test("sketchCardinality: sketches merge map-side — no raw-key exchange in the plan") {
+    val df = SparkSpec.spark.range(10000).toDF("id")
+    val plan = QualityChecker.sketchCardinality(df, Seq("id"))
+      .queryExecution.executedPlan.toString
+    // partial_hll_sketch_agg before the exchange = map-side combine
+    assert(plan.contains("partial_hll_sketch_agg") || plan.contains("partial hll"), plan)
+  }
 }
