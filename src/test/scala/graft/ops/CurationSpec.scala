@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -148,6 +149,40 @@ class CurationSpec extends SparkSpec {
     assert(out.toMap == again.toMap)
     // not the identity order: most ids moved
     assert(out.count { case (id, r) => id == r } < 100)
+  }
+
+  test("property: chunkDocuments equals naive chunking on random unicode docs/params") {
+    val pieceGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(" ", "\t", "\n", "é", "語", "😀", "ß")) // incl. a surrogate pair
+    val textGen = Gen.listOfN(40, pieceGen).map(_.mkString)
+    val docs = Gen.listOfN(60, textGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for ((size, stride) <- Seq((7, 5), (5, 7), (1, 1), (64, 13))) {
+      val out = Curation.chunkDocuments(docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Int, String)].collect().toSet
+      // naive reference over code points (Spark substring counts code
+      // points, not UTF-16 chars — surrogate pairs like 😀 matter here)
+      val expected = docs.filter(_._2.nonEmpty).flatMap { case (id, t) =>
+        val cps = t.codePoints().toArray
+        (0 until cps.length by stride).zipWithIndex.map { case (st, i) =>
+          (id, i, new String(cps, st, math.min(size, cps.length - st)))
+        }
+      }.toSet
+      assert(out == expected, s"size=$size stride=$stride")
+    }
+  }
+
+  test("property: packSequences offsets match naive cumsum on random token counts") {
+    val rows = Gen.listOfN(300, Gen.choose(0L, 50L)).sample.get
+      .zipWithIndex.map { case (tk, i) => (i.toLong, tk) }
+    val expected = rows.map(_._2).scanLeft(0L)(_ + _).init
+      .zip(rows).map { case (off, (id, _)) => (id, off) }.toSet
+    val out = Curation.packSequences(
+      rows.toDF("id", "toks").repartition(11), "id", "toks", capacity = 64L)
+      .select("id", "start_offset").as[(Long, Long)].collect().toSet
+    assert(out == expected)
   }
 
   test("blocklist/allowlist filters match except/intersect semantics; anti is broadcast") {
