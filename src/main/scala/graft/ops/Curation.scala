@@ -184,14 +184,23 @@ object Curation {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // persist the ranged frame: BOTH the cumsum branch and the totals
+    // branch read it, and without the cache each branch re-scans and
+    // re-range-shuffles the input (verified in the physical plan) — 2×
+    // cost AND each branch would derive `__pid` from an independent
+    // range-sampling pass, silently corrupting offsets if the two
+    // partitionings ever diverged. Same documented caching contract as
+    // the near-dup family (Dedup.scala): callers batch-running many ops
+    // should `spark.catalog.clearCache()` between them.
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__val", value)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withinW = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = ranged.withColumn("__cum_in", sum(col("__val")).over(withinW))
-    val offsets = within.groupBy(col("__pid"))
+    val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col("__val")).as("__ptotal"))
       .withColumn("__poffset",
         coalesce(
