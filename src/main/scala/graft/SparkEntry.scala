@@ -650,8 +650,15 @@ object SparkEntry {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("tus").as("cus"))
       val gapUs = 30L * 60 * 1000000L
-      val converted = views.join(clicks, Seq("user_id"))
-        .filter(col("cus") >= col("vus") && col("cus") <= col("vus") + gapUs)
+      // left-semi (EXISTS) instead of inner-join + distinct: a converted
+      // view row needs ONE qualifying click, not the full view × click
+      // pair fan-out — a hot user's pairs are quadratic, the semi probe
+      // early-exits. Same user set, 100 TB-safe.
+      val converted = views.as("v")
+        .join(clicks.as("c"),
+          col("v.user_id") === col("c.user_id")
+            && col("c.cus") >= col("v.vus") && col("c.cus") <= col("v.vus") + gapUs,
+          "left_semi")
         .select("user_id").distinct()
         .withColumn("__c", lit(1L))
       views.select("user_id").distinct()
