@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-curation operators for training-data pipelines: deterministic
-  * train/val/test splits, stratified sampling, per-group token-budget
-  * selection, sliding-window document chunking, and blocklist filtering.
+  * train/val/test splits, stratified sampling, epoch-mixture replication,
+  * per-group token-budget selection and quality cuts, sliding-window
+  * document chunking, sequence packing, deterministic corpus shuffling,
+  * and blocklist filtering.
   *
   * The reference pipeline (Vanessaaaaa0202/EHR_Data_PipeLine) has no
   * curation surface — its only selection ops are null-drop and
@@ -24,13 +26,17 @@ import org.apache.spark.sql.functions._
   *     pipeline re-runs.
   *   - Split and sample are narrow (no shuffle): they filter/annotate
   *     in place and preserve the upstream partitioning.
-  *   - `tokenBudget` is the only shuffling op (one hash partition by
-  *     group); a group's rows serialize through one window task, so
-  *     groups are expected to be "source"-grained (thousands of rows),
-  *     not corpus-grained. For a single giant group, cap rows first
+  *   - `tokenBudget`/`topFractionByGroup` shuffle once on the group key;
+  *     a group's rows serialize through one window task, so groups are
+  *     expected to be "source"-grained (thousands of rows), not
+  *     corpus-grained. For a single giant group, cap rows first
   *     (e.g. topk by priority) or raise the budget granularity.
-  *   - `chunkDocuments` fans out executor-side via `explode(sequence)`
-  *     — never a driver loop; output rows inherit the input partitioning.
+  *   - `packSequences`/`shuffleOrder` need a global total order — they
+  *     use a distributed two-phase prefix sum whose only single-task step
+  *     is over O(partitions) rows, never the data.
+  *   - `chunkDocuments`/`epochMixture` fan out executor-side via
+  *     `explode(sequence)` — never a driver loop; output rows inherit the
+  *     input partitioning.
   */
 object Curation {
 
