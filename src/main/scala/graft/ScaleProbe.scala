@@ -67,7 +67,7 @@ object ScaleProbe {
       println(s"--- curation ${times}x (${d.count()} docs) ---")
       time("packSequences", Curation.packSequences(d, "doc_id", "n_tokens", 2048L))
       time("shuffleOrder", Curation.shuffleOrder(d, "doc_id"))
-      time("chunkDocuments", Curation.chunkDocuments(d, "doc_id", "text", 256, 192))
+      time("chunkDocuments", Curation.chunkDocuments(d, "text", 256, 192))
     }
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

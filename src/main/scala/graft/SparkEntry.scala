@@ -515,7 +515,7 @@ object SparkEntry {
     }),
 
     // §2.11 curation — deterministic train/val/test split: membership is
-    // pure int64 arithmetic (Knuth multiplicative hash), reproducible in
+    // pure int64 arithmetic (salted Feistel mix), reproducible in
     // any engine and stable under repartitioning/corpus growth, unlike
     // randomSplit's partition-seeded assignment. Row-level gate.
     "data_split" -> ((s, dir) =>
@@ -547,7 +547,7 @@ object SparkEntry {
     // 64-char overlap): explode(sequence) fan-out, executor-side only.
     // Byte-exact chunk text compared against DuckDB's substr.
     "chunk_docs" -> ((s, dir) =>
-      Curation.chunkDocuments(t(s, dir, "documents"), "doc_id", "text", 256, 192)
+      Curation.chunkDocuments(t(s, dir, "documents"), "text", 256, 192)
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("chunk_text"), length(col("chunk_text")).cast("long").as("chunk_len"))
         .orderBy("doc_id", "chunk_id")),
@@ -968,17 +968,19 @@ object SparkEntry {
         |GROUP BY e.event_type, t.total ORDER BY e.event_type""".stripMargin,
 
     "data_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 8000 THEN 'train'
-        |       WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 9000 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CASE WHEN __bucket < 8000 THEN 'train'
+         |       WHEN __bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.SplitSalt)}
+         |ORDER BY doc_id""".stripMargin,
 
     "stratified_sample" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 10000 <
-        |  CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 3000 END
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, source
+         |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.SampleSalt)}
+         |WHERE __bucket <
+         |  CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 3000 END
+         |ORDER BY doc_id""".stripMargin,
 
     "token_budget" ->
       """WITH d AS (
@@ -1062,27 +1064,27 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "epoch_mixture" ->
-      """WITH m AS (
-        |  SELECT doc_id, lang,
-        |    CASE lang
-        |      WHEN 'en' THEN CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 5000 THEN 1 ELSE 0 END
-        |      WHEN 'zh' THEN 2
-        |      WHEN 'de' THEN 1 + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 10000 < 2500 THEN 1 ELSE 0 END
-        |      WHEN 'fr' THEN 1
-        |      ELSE 0 END AS copies
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, lang, unnest(range(0, copies)) AS copy_id
-        |  FROM m WHERE copies > 0)
-        |SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
-        |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang
+         |      WHEN 'en' THEN CASE WHEN __bucket < 5000 THEN 1 ELSE 0 END
+         |      WHEN 'zh' THEN 2
+         |      WHEN 'de' THEN 1 + CASE WHEN __bucket < 2500 THEN 1 ELSE 0 END
+         |      WHEN 'fr' THEN 1
+         |      ELSE 0 END AS copies
+         |  FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.MixtureSalt)}),
+         |e AS (
+         |  SELECT doc_id, lang, unnest(range(0, copies)) AS copy_id
+         |  FROM m WHERE copies > 0)
+         |SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
+         |FROM e ORDER BY doc_id, copy_id""".stripMargin,
 
     "shuffle_order" ->
-      """SELECT doc_id,
-        |  CAST(row_number() OVER (
-        |    ORDER BY ((doc_id % 2147483648) * 2654435761) % 10000, doc_id) - 1
-        |    AS BIGINT) AS shuffle_rank
-        |FROM documents ORDER BY shuffle_rank""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY __mix60, doc_id) - 1
+         |    AS BIGINT) AS shuffle_rank
+         |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.ShuffleSalt)}
+         |ORDER BY shuffle_rank""".stripMargin,
 
     "multimodal_frames" ->
       """WITH b AS (

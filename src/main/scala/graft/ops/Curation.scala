@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §2.11).
   *
   * Design for 100 TB:
-  *   - Every membership decision (split / sample) hashes a NUMERIC id with
-  *     the Knuth multiplicative hash — plain int64 arithmetic, so the
-  *     assignment is reproducible across engines and runs and stable under
-  *     repartitioning. `randomSplit`/`sample` are NOT: they seed per
-  *     partition, so adding one input file reshuffles every assignment —
-  *     unacceptable when the split membership must be durable across
-  *     pipeline re-runs.
+  *   - Every membership decision (split / sample / mixture / order)
+  *     hashes a NUMERIC id through a salted 60-bit Feistel mix built from
+  *     non-overflowing int64 arithmetic, so the assignment is reproducible
+  *     across engines and runs and stable under repartitioning.
+  *     `randomSplit`/`sample` are NOT: they seed per partition, so adding
+  *     one input file reshuffles every assignment — unacceptable when the
+  *     split membership must be durable across pipeline re-runs. Each
+  *     operator hashes with its own salt, so composed selections
+  *     (sample → split → mixture) stay statistically independent.
   *   - Split and sample are narrow (no shuffle): they filter/annotate
   *     in place and preserve the upstream partitioning.
   *   - `tokenBudget`/`topFractionByGroup` shuffle once on the group key;
@@ -43,32 +45,100 @@ object Curation {
   /** Buckets per whole: per-myriad (1/10000) gives 0.01% granularity. */
   val Myriad = 10000L
 
+  // Per-operator salts: each selection operator hashes through a DIFFERENT
+  // permutation of the id space, so composed selections are independent —
+  // e.g. stratifiedSample → hashSplit must not hand the split the exact
+  // bucket order the sample already selected on (unsalted, the sampled
+  // survivors would all land in 'train').
+  val SplitSalt = 1L
+  val SampleSalt = 2L
+  val MixtureSalt = 3L
+  val ShuffleSalt = 4L
+
+  // 60-bit Feistel mix constants: the largest prime below 2^30 as the
+  // round modulus, xxHash's public 32-bit primes as round multipliers.
+  private val P30 = 1073741789L
+  private val Mask30 = (1L << 30) - 1
+  private val Mod60 = 1L << 60
+
   /** Deterministic pseudo-uniform bucket in [0, 10000) from a
-    * non-negative numeric id: Knuth multiplicative hash
-    * `((id mod 2^31) * 2654435761) mod 10000`. The `mod 2^31` guard
-    * keeps the product within int64 for every long id. Requires
-    * non-negative ids (negative ids would diverge between `pmod` and
-    * ANSI-SQL `%` semantics).
+    * non-negative numeric id (< 2^60; larger ids wrap): three-round
+    * Feistel mix over 30-bit halves with multiplicative round functions
+    * mod a 30-bit prime. Every operation is non-overflowing int64
+    * arithmetic (`%`, `*`, `xor`, shifts on non-negative values), so any
+    * ANSI-SQL engine reproduces the assignment bit-for-bit
+    * ([[bucketSqlCte]] emits that SQL) — and unlike a bare multiplicative
+    * hash reduced mod 10⁴, the mix is non-linear: id residue structure
+    * (strided keys, sharded low bits) does not pass through to buckets.
     */
-  def hashBucket(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(2147483648L)) * lit(2654435761L), lit(Myriad))
+  def hashBucket(id: Column, salt: Long): Column =
+    pmod(mix60(id, salt), lit(Myriad))
+
+  /** The full 60-bit salted mix (see [[hashBucket]]): a bijection on
+    * [0, 2^60) per salt — used directly where a total pseudo-random ORDER
+    * is needed ([[shuffleOrder]]), where 10⁴ buckets would leave long
+    * id-ordered runs inside each bucket.
+    */
+  def mix60(id: Column, salt: Long): Column = {
+    val (s1, s2) = saltConstants(salt)
+    val x = pmod(id.cast("long"), lit(Mod60))
+    val h0 = shiftright(x, 30)
+    val l0 = x.bitwiseAND(lit(Mask30))
+    val l1 = l0.bitwiseXOR(lit(s1))
+    val h1 = h0.bitwiseXOR(lit(s2))
+    val l2 = l1.bitwiseXOR(pmod(h1 * lit(2654435761L) + lit(374761393L), lit(P30)))
+    val h2 = h1.bitwiseXOR(pmod(l2 * lit(2246822519L) + lit(3266489917L), lit(P30)))
+    val l3 = l2.bitwiseXOR(pmod(h2 * lit(3266489917L) + lit(668265263L), lit(P30)))
+    shiftleft(h2, 30) + l3
+  }
+
+  /** Salt-derived round-entry constants, computed driver-side so the salt
+    * costs nothing per row. Salt must be in [0, 2^30). */
+  private def saltConstants(salt: Long): (Long, Long) = {
+    require(salt >= 0 && salt <= Mask30, s"salt out of [0, 2^30): $salt")
+    ((salt * 2654435761L + 2246822519L) % P30,
+      (salt * 3266489917L + 668265263L) % P30)
+  }
+
+  /** ANSI-SQL CTE chain computing the same mix as [[mix60]]/[[hashBucket]]
+    * over `fromSql` (a table name or subquery) — the oracle-parity form.
+    * Exposes every source column plus `__mix60` and `__bucket`. All
+    * intermediate values are non-negative, so `%` ≡ pmod and `>>`/`&`/
+    * `xor(a,b)` behave identically across engines.
+    */
+  def bucketSqlCte(fromSql: String, idExpr: String, salt: Long): String = {
+    val (s1, s2) = saltConstants(salt)
+    s"""(WITH __m0 AS (SELECT *, (($idExpr) % $Mod60) AS __x FROM $fromSql),
+       |__m1 AS (SELECT *, (__x >> 30) AS __h0, (__x & $Mask30) AS __l0 FROM __m0),
+       |__m2 AS (SELECT *, xor(__l0, $s1) AS __l1, xor(__h0, $s2) AS __h1 FROM __m1),
+       |__m3 AS (SELECT *, xor(__l1, (__h1 * 2654435761 + 374761393) % $P30) AS __l2 FROM __m2),
+       |__m4 AS (SELECT *, xor(__h1, (__l2 * 2246822519 + 3266489917) % $P30) AS __h2 FROM __m3),
+       |__m5 AS (SELECT *, xor(__l2, (__h2 * 3266489917 + 668265263) % $P30) AS __l3 FROM __m4)
+       |SELECT *, (__h2 << 30) + __l3 AS __mix60, ((__h2 << 30) + __l3) % $Myriad AS __bucket
+       |FROM __m5)""".stripMargin
+  }
 
   /** Deterministic train/val/test assignment: adds a `split` column.
     * `trainPerMyriad`/`valPerMyriad` are shares out of 10000 (e.g.
     * 8000/1000 → 80% train, 10% val, 10% test). A row's split depends
     * only on its id — re-running over a grown corpus never reassigns an
-    * existing row.
+    * existing row. A NULL id gets a NULL split (surfaced, never silently
+    * routed to a split — a null-id row in 'test' would contaminate the
+    * eval set with exactly the malformed rows).
     */
   def hashSplit(
       df: DataFrame, idCol: String,
-      trainPerMyriad: Int, valPerMyriad: Int): DataFrame = {
+      trainPerMyriad: Int, valPerMyriad: Int,
+      salt: Long = SplitSalt): DataFrame = {
+    // Long arithmetic: the Int sum could overflow past the bound check
     require(trainPerMyriad >= 0 && valPerMyriad >= 0
-      && trainPerMyriad + valPerMyriad <= Myriad,
+      && trainPerMyriad.toLong + valPerMyriad.toLong <= Myriad,
       s"shares out of range: train=$trainPerMyriad val=$valPerMyriad")
-    val b = hashBucket(col(idCol))
+    val b = hashBucket(col(idCol), salt)
     df.withColumn("split",
-      when(b < trainPerMyriad, lit("train"))
-        .when(b < trainPerMyriad + valPerMyriad, lit("val"))
+      when(col(idCol).isNull, lit(null).cast("string"))
+        .when(b < trainPerMyriad, lit("train"))
+        .when(b < trainPerMyriad.toLong + valPerMyriad, lit("val"))
         .otherwise(lit("test")))
   }
 
@@ -80,20 +150,24 @@ object Curation {
   def stratifiedSample(
       df: DataFrame, idCol: String, strataCol: String,
       ratesPerMyriad: Map[String, Int],
-      defaultPerMyriad: Int = 0): DataFrame = {
+      defaultPerMyriad: Int = 0,
+      salt: Long = SampleSalt): DataFrame = {
     require((defaultPerMyriad +: ratesPerMyriad.values.toSeq)
       .forall(r => r >= 0 && r <= Myriad), s"rates out of range: $ratesPerMyriad")
     val rate = ratesPerMyriad.foldLeft(lit(defaultPerMyriad)) {
       case (acc, (stratum, r)) => when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol)) < rate)
+    df.filter(hashBucket(col(idCol), salt) < rate)
   }
 
   /** Greedy per-group token-budget selection: within each `groupCol`
     * partition, rows are taken in (`priority` desc, `idCol` asc) order
     * while the running token total stays ≤ `budget`; adds `cum_tokens`.
     * Strict budget: a row whose tokens alone exceed the remaining budget
-    * is dropped (and so is everything after it in that group).
+    * is dropped (and so is everything after it in that group). A NULL
+    * token count is never selected (its cost is unknowable) and
+    * contributes 0 to the running total — so one malformed row neither
+    * poisons the cumulative sum to NULL nor sneaks in free.
     */
   def tokenBudget(
       df: DataFrame, groupCol: String, tokenCol: String,
@@ -102,8 +176,9 @@ object Curation {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(priority.desc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("cum_tokens") <= budget)
+    df.withColumn("cum_tokens",
+        sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
+      .filter(col("cum_tokens") <= budget && col(tokenCol).isNotNull)
   }
 
   /** Sliding-window character chunking: one output row per (doc, chunk),
@@ -114,7 +189,7 @@ object Curation {
     * chunkSize > stride.
     */
   def chunkDocuments(
-      df: DataFrame, idCol: String, textCol: String,
+      df: DataFrame, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, s"chunkSize=$chunkSize stride=$stride")
     val tc = s"`$textCol`"
@@ -228,7 +303,8 @@ object Curation {
     */
   def epochMixture(
       df: DataFrame, idCol: String, strataCol: String,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double],
+      salt: Long = MixtureSalt): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w <= 1000), s"weights out of range: $weights")
     val wholes = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
       when(col(strataCol) === lit(s), lit(math.floor(w).toLong)).otherwise(acc)
@@ -238,25 +314,29 @@ object Curation {
         lit(math.round((w - math.floor(w)) * Myriad))).otherwise(acc)
     }
     df.withColumn("__copies",
-        wholes + when(hashBucket(col(idCol)) < fracPerMyriad, 1L).otherwise(0L))
+        wholes + when(hashBucket(col(idCol), salt) < fracPerMyriad, 1L).otherwise(0L))
       .filter(col("__copies") > 0)
       .withColumn("copy_id", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__copies")
   }
 
   /** Deterministic corpus shuffle: a stable pseudo-random total order
-    * (hash bucket, then id as tiebreak) with the global position exposed
-    * as `shuffle_rank`. Reproducible across runs/engines — the property a
-    * training-order shuffle needs that `orderBy(rand())` lacks. The rank
-    * is a count prefix-sum over (bucket, id) via [[exclusivePrefixSum]],
-    * so no single-task global window.
+    * with the global position exposed as `shuffle_rank`. Reproducible
+    * across runs/engines — the property a training-order shuffle needs
+    * that `orderBy(rand())` lacks. Orders by the FULL 60-bit salted mix
+    * (id tiebreak only for ids ≥ 2^60 that wrap) — a coarse 10⁴-bucket
+    * key would leave id-ordered runs of ~n/10⁴ consecutive rows, i.e.
+    * chronological curriculum drift at corpus scale. The rank is a count
+    * prefix-sum via [[exclusivePrefixSum]], so no single-task global
+    * window.
     */
-  def shuffleOrder(df: DataFrame, idCol: String): DataFrame =
+  def shuffleOrder(df: DataFrame, idCol: String,
+      salt: Long = ShuffleSalt): DataFrame =
     exclusivePrefixSum(
-      df.withColumn("__bucket", hashBucket(col(idCol))),
-      Seq(col("__bucket"), col(idCol)), lit(1L),
+      df.withColumn("__mix", mix60(col(idCol), salt)),
+      Seq(col("__mix"), col(idCol)), lit(1L),
       numPartitions = 0, outCol = "shuffle_rank")
-      .drop("__bucket")
+      .drop("__mix")
 
   /** Remove rows whose `keyCol` appears in `blocklist` (left anti-join) —
     * the "known-bad ids" corpus filter (contaminated docs, opt-outs,

@@ -85,9 +85,9 @@ object syntax {
     def tokenBudget(groupCol: String, tokenCol: String, priority: Column,
         idCol: String, budget: Long): DataFrame =
       Curation.tokenBudget(df, groupCol, tokenCol, priority, idCol, budget)
-    def chunkDocuments(idCol: String, textCol: String,
+    def chunkDocuments(textCol: String,
         chunkSize: Int, stride: Int): DataFrame =
-      Curation.chunkDocuments(df, idCol, textCol, chunkSize, stride)
+      Curation.chunkDocuments(df, textCol, chunkSize, stride)
     def packSequences(idCol: String, tokenCol: String, capacity: Long,
         numPartitions: Int = 0): DataFrame =
       Curation.packSequences(df, idCol, tokenCol, capacity, numPartitions)

@@ -42,7 +42,7 @@ class SyntaxSpec extends SparkSpec {
       .withColumn("n_tokens", (length($"text") / lit(5)).cast("long"))
       .tokenBudget("grp", "n_tokens", $"n_tokens", "doc_id", budget = 1000L)
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
-    val chunks = docs.chunkDocuments("doc_id", "text", 16, 16)
+    val chunks = docs.chunkDocuments("text", 16, 16)
     assert(chunks.filter($"doc_id" === 3L).count() == 1)
     val packed = docs.withColumn("n_tokens", lit(10L))
       .packSequences("doc_id", "n_tokens", capacity = 16L)

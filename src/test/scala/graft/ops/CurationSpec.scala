@@ -11,12 +11,63 @@ class CurationSpec extends SparkSpec {
     val df = (0L until 10000L).toDF("id")
     val counts = Curation.hashSplit(df, "id", 8000, 1000)
       .groupBy("split").count().as[(String, Long)].collect().toMap
-    // the Knuth hash is uniform but not exactly proportional on a finite
+    // the Feistel mix is uniform but not exactly proportional on a finite
     // id range; shares must be within 2% of nominal and cover all rows
     assert(counts.values.sum == 10000L)
     assert(math.abs(counts("train") - 8000L) <= 200)
     assert(math.abs(counts("val") - 1000L) <= 200)
     assert(math.abs(counts("test") - 1000L) <= 200)
+  }
+
+  test("hashSplit: strided/structured ids still split at the nominal shares") {
+    // a bare multiplicative hash mod 10^4 is LINEAR in (id mod 10^4):
+    // ids that are multiples of 10000 would all share one bucket and land
+    // 100% in one split. The Feistel mix must not let id residue
+    // structure pass through.
+    for (stride <- Seq(10000L, 625L, 4096L)) {
+      val df = (0L until 4000L).map(_ * stride).toDF("id")
+      val counts = Curation.hashSplit(df, "id", 8000, 1000)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(math.abs(counts.getOrElse("train", 0L) - 3200L) <= 150, s"stride=$stride: $counts")
+      assert(math.abs(counts.getOrElse("val", 0L) - 400L) <= 100, s"stride=$stride: $counts")
+      assert(math.abs(counts.getOrElse("test", 0L) - 400L) <= 100, s"stride=$stride: $counts")
+    }
+  }
+
+  test("composed selections are independent: sample -> split keeps nominal shares") {
+    // the ops hash with DIFFERENT salts; unsalted, every sampled survivor
+    // would satisfy bucket < rate < trainShare and land in 'train'
+    val df = (0L until 20000L).map(i => (i, "s")).toDF("id", "st")
+    val sampled = Curation.stratifiedSample(df, "id", "st", Map("s" -> 1000))
+    val n = sampled.count().toDouble // ~2000
+    val counts = Curation.hashSplit(sampled.toDF(), "id", 8000, 1000)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(math.abs(counts("train") - 0.8 * n) <= 0.06 * n, s"n=$n $counts")
+    assert(math.abs(counts("val") - 0.1 * n) <= 0.04 * n, s"n=$n $counts")
+    // and the mixture's fractional copy is independent of the sample too
+    val mixed = Curation.epochMixture(sampled.toDF(), "id", "st", Map("s" -> 1.3))
+    assert(math.abs(mixed.count() - 1.3 * n) <= 0.06 * n, s"n=$n got ${mixed.count()}")
+  }
+
+  test("hashSplit: share-sum overflow and null ids are surfaced, not mislabeled") {
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit((1L to 3L).toDF("id"), "id", 2000000000, 2000000000)
+    }
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val splits = Curation.hashSplit(withNull, "id", 8000, 1000)
+      .select("split").as[Option[String]].collect()
+    assert(splits.count(_.isEmpty) == 1, "null id must get a null split, never 'test'")
+  }
+
+  test("tokenBudget: null token counts are excluded without poisoning the running sum") {
+    val df = Seq(
+      ("g", 1L, Some(30L), 9), ("g", 2L, None, 8), ("g", 3L, Some(40L), 7)
+    ).toDF("src", "id", "toks", "prio")
+    val out = Curation.tokenBudget(df, "src", "toks", col("prio"), "id", budget = 80L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toSet
+    // id 2 (null tokens) is dropped but costs nothing; id 3 still fits
+    assert(out == Set((1L, 30L), (3L, 70L)))
   }
 
   test("hashSplit: assignment is a pure function of the id (repartition-stable)") {
@@ -65,7 +116,7 @@ class CurationSpec extends SparkSpec {
       (4L, null.asInstanceOf[String]),
       (5L, "日本語のテキストです十一字") // 13 chars, multi-byte
     ).toDF("doc_id", "text")
-    val out = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+    val out = Curation.chunkDocuments(docs, "text", chunkSize = 4, stride = 3)
       .select("doc_id", "chunk_id", "chunk_text")
       .as[(Long, Int, String)].collect().toSet
     def naive(id: Long, s: String) =
@@ -78,7 +129,7 @@ class CurationSpec extends SparkSpec {
 
   test("chunkDocuments: stride == chunkSize reconstructs the document exactly") {
     val docs = Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
-    val rebuilt = Curation.chunkDocuments(docs, "doc_id", "text", 8, 8)
+    val rebuilt = Curation.chunkDocuments(docs, "text", 8, 8)
       .orderBy("chunk_id").agg(concat_ws("", collect_list("chunk_text")))
       .as[String].head()
     assert(rebuilt == "the quick brown fox jumps over the lazy dog")
@@ -149,6 +200,16 @@ class CurationSpec extends SparkSpec {
     assert(out.toMap == again.toMap)
     // not the identity order: most ids moved
     assert(out.count { case (id, r) => id == r } < 100)
+    // no long id-ascending runs (a coarse bucket key would leave ~n/10^4
+    // consecutive rows in original id order): random order gives max run
+    // ~log n
+    val idsInRankOrder = out.sortBy(_._2).map(_._1)
+    val maxRun = idsInRankOrder.foldLeft((0, 0, Long.MinValue)) {
+      case ((best, cur, prev), id) =>
+        val c = if (id > prev) cur + 1 else 1
+        (math.max(best, c), c, id)
+    }._1
+    assert(maxRun <= 15, s"max ascending-id run $maxRun")
   }
 
   test("property: chunkDocuments equals naive chunking on random unicode docs/params") {
@@ -159,7 +220,7 @@ class CurationSpec extends SparkSpec {
     val docs = Gen.listOfN(60, textGen).sample.get.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     for ((size, stride) <- Seq((7, 5), (5, 7), (1, 1), (64, 13))) {
-      val out = Curation.chunkDocuments(docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+      val out = Curation.chunkDocuments(docs.toDF("doc_id", "text"), "text", size, stride)
         .select("doc_id", "chunk_id", "chunk_text")
         .as[(Long, Int, String)].collect().toSet
       // naive reference over code points (Spark substring counts code
