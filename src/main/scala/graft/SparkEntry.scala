@@ -611,8 +611,9 @@ object SparkEntry {
         .orderBy("doc_id", "copy_id")),
 
     // §2.11 curation — deterministic corpus shuffle: stable pseudo-random
-    // training order as a rank (hash bucket, id tiebreak), computed with
-    // the distributed prefix-sum — never a single-task global window.
+    // training order as a rank over the full 60-bit salted mix (id
+    // tiebreak only for ids ≥ 2^60), computed with the distributed
+    // prefix-sum — never a single-task global window.
     "shuffle_order" -> ((s, dir) =>
       Curation.shuffleOrder(
         t(s, dir, "documents").select("doc_id"), "doc_id")
@@ -969,7 +970,8 @@ object SparkEntry {
 
     "data_split" ->
       s"""SELECT doc_id,
-         |  CASE WHEN __bucket < 8000 THEN 'train'
+         |  CASE WHEN doc_id IS NULL THEN NULL
+         |       WHEN __bucket < 8000 THEN 'train'
          |       WHEN __bucket < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.SplitSalt)}
@@ -983,18 +985,18 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "token_budget" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, n_chars,
-        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        |  FROM d)
-        |SELECT source, doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 1000
-        |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST($tok0Sql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 1000 AND n_tokens IS NOT NULL
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     "chunk_docs" ->
       """WITH e AS (
@@ -1048,11 +1050,10 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "sequence_pack" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tokens
-        |  FROM documents),
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST($tok0Sql AS BIGINT) AS n_tokens
+         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1079,9 +1080,13 @@ object SparkEntry {
          |SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
 
+    // NULLS FIRST pins DuckDB to Spark's asc ordering (Spark asc =
+    // nulls first; DuckDB's default is nulls last) — a NULL id mixes to
+    // a NULL key and must land at rank 0 on both sides.
     "shuffle_order" ->
       s"""SELECT doc_id,
-         |  CAST(row_number() OVER (ORDER BY __mix60, doc_id) - 1
+         |  CAST(row_number() OVER (
+         |      ORDER BY __mix60 ASC NULLS FIRST, doc_id ASC NULLS FIRST) - 1
          |    AS BIGINT) AS shuffle_rank
          |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.ShuffleSalt)}
          |ORDER BY shuffle_rank""".stripMargin,
