@@ -359,6 +359,22 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // §2.11 — C4-style corpus-level line dedup: a line occurring more
+    // than once in the corpus survives only at its first (id, pos);
+    // documents are rebuilt in line order (empty docs drop).
+    "line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // §2.11 — BM25 top-k ranked retrieval (k1=1.2, b=0.75, Lucene idf)
+    // over a fixed 3-term query; saturation is one exact-int64 division
+    // and per-term scores sum in fixed order, so the rounded score is
+    // bit-stable across engines.
+    "bm25_topk" -> ((s, dir) =>
+      TextStats.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "vector", "data"), k = 10)
+        .orderBy("rnk")),
+
     // §2.11 — transitive near-dup clustering: every doc labeled with the
     // min doc id reachable through ≥0.5-Jaccard pairs (connected
     // components; oracle = recursive-CTE transitive closure).
@@ -619,6 +635,22 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")
         .select("doc_id", "shuffle_rank")
         .orderBy("shuffle_rank")),
+
+    // Rolling 1-hour window per user: event count and max value over the
+    // trailing-hour RANGE frame (peers at equal tus included — identical
+    // frame semantics both engines). Count/max only: a double SUM over a
+    // sliding frame is aggregation-order-dependent and would drift.
+    "rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("tus", expr("ts DIV 1000"))
+        .select(
+          col("event_id"), col("user_id"), col("tus"),
+          count(lit(1)).over(w).as("n_1h"),
+          max(col("value")).over(w).as("max_val_1h"))
+        .orderBy("event_id")
+    }),
 
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
@@ -1102,6 +1134,15 @@ object SparkEntry {
         |  CAST(i * 128 AS BIGINT) AS "offset"
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
+    "rolling_window" ->
+      """SELECT event_id, user_id, tus,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  max(value) OVER w AS max_val_1h
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "retention" ->
       """WITH active AS (
         |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour, user_id FROM events
@@ -1451,6 +1492,71 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // generate_subscripts zips with unnest positionally; 0-based pos to
+    // match Spark's posexplode. Lines under minLineLen=1 char (i.e. empty
+    // lines) are exempt from dedup on both sides.
+    "line_dedup" ->
+      """WITH ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest(arr) AS line,
+        |    generate_subscripts(arr, 1) - 1 AS pos
+        |  FROM ls),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |    FROM lines WHERE length(line) >= 1)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // idf/saturation written in the SAME operation sequence as
+    // TextStats.bm25TopK: ln on doubles, saturation as one division of
+    // exact int64 products, terms summed left-to-right in fixed order.
+    "bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex($strippedSql, '\\s+')) AS token
+         |  FROM documents WHERE length($strippedSql) > 0),
+         |dl AS (
+         |  SELECT doc_id, CAST($tok0Sql AS BIGINT) AS dl FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+         |  FROM dl),
+         |dfreq AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN token = 'hash' THEN doc_id END) AS BIGINT) AS df0,
+         |    CAST(count(DISTINCT CASE WHEN token = 'vector' THEN doc_id END) AS BIGINT) AS df1,
+         |    CAST(count(DISTINCT CASE WHEN token = 'data' THEN doc_id END) AS BIGINT) AS df2
+         |  FROM toks),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN token = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+         |    CAST(sum(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+         |    CAST(sum(CASE WHEN token = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+         |  FROM toks WHERE token IN ('hash', 'vector', 'data')
+         |  GROUP BY doc_id),
+         |scored AS (
+         |  SELECT t.doc_id, round(
+         |      ln(1.0 + (CAST(s.n - f.df0 AS DOUBLE) + 0.5) / (CAST(f.df0 AS DOUBLE) + 0.5))
+         |        * (CAST(22 * t.tf0 * s.sumdl AS DOUBLE)
+         |           / CAST(10 * t.tf0 * s.sumdl + 3 * s.sumdl + 9 * d.dl * s.n AS DOUBLE))
+         |    + ln(1.0 + (CAST(s.n - f.df1 AS DOUBLE) + 0.5) / (CAST(f.df1 AS DOUBLE) + 0.5))
+         |        * (CAST(22 * t.tf1 * s.sumdl AS DOUBLE)
+         |           / CAST(10 * t.tf1 * s.sumdl + 3 * s.sumdl + 9 * d.dl * s.n AS DOUBLE))
+         |    + ln(1.0 + (CAST(s.n - f.df2 AS DOUBLE) + 0.5) / (CAST(f.df2 AS DOUBLE) + 0.5))
+         |        * (CAST(22 * t.tf2 * s.sumdl AS DOUBLE)
+         |           / CAST(10 * t.tf2 * s.sumdl + 3 * s.sumdl + 9 * d.dl * s.n AS DOUBLE)),
+         |    4) AS score
+         |  FROM tf t
+         |  JOIN dl d ON d.doc_id = t.doc_id
+         |  CROSS JOIN stats s CROSS JOIN dfreq f)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |FROM scored QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin,
 
     "dedup_minhash" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),

@@ -393,4 +393,47 @@ object Dedup {
     verifyJaccard(cands, sets, idCol, "__shingles")
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Corpus-level line dedup (the C4/RefinedWeb boilerplate pass): any
+    * line occurring more than once ANYWHERE in the corpus survives only
+    * at its first occurrence — smallest (id, line position) — and is
+    * removed everywhere else; documents are reassembled in original line
+    * order. Lines shorter than `minLineLen` characters are exempt (kept
+    * everywhere): deduping empty / one-char separator lines would rewrite
+    * paragraph structure rather than remove boilerplate. Documents whose
+    * every line is removed disappear from the output; output is
+    * (idCol, textCol) with the rebuilt text.
+    *
+    * Scale shape: one groupBy on the line (map-side combine absorbs hot
+    * boilerplate lines before the shuffle) producing the first-occurrence
+    * winner per line, one equi-join back (AQE handles residual skew), and
+    * one groupBy id to reassemble. Reassembly state is bounded by the
+    * largest single document, never the corpus.
+    */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minLineLen: Int = 1): DataFrame = {
+    require(minLineLen >= 0, s"negative minLineLen: $minLineLen")
+    val lines = df.select(
+      col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val dedupable = lines.filter(length(col("__line")) >= minLineLen)
+    val winners = dedupable
+      .groupBy("__line")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = dedupable
+      .join(winners, Seq("__line"))
+      .filter(col("__first.__id") === col("__id") &&
+        col("__first.__pos") === col("__pos"))
+      .drop("__first")
+      .unionByName(lines.filter(length(col("__line")) < minLineLen))
+    kept
+      .groupBy("__id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        "\n").as(textCol))
+      .withColumnRenamed("__id", idCol)
+  }
 }

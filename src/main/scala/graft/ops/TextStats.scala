@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -255,4 +256,68 @@ object TextStats {
     */
   def contentFingerprint(text: Column, n: Int = 3): Column =
     graft.functions.content_fingerprint(text, n)
+
+  /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) top-k ranked retrieval for a
+    * fixed term list: adds `score` (rounded to 4 decimals) and `rnk`,
+    * keeping the k best documents (score desc, id asc tiebreak). Only
+    * documents containing at least one query term are ranked — everything
+    * else scores 0 and is excluded, the standard inverted-index contract.
+    *
+    * Determinism across engines/runs: the term saturation is ONE division
+    * of exact int64 products — with k1 = 6/5, b = 3/4,
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) ==
+    * 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N) — and per-term scores are
+    * summed in FIXED term order (a floating SUM aggregate would be
+    * order-nondeterministic and flip rounded values run-to-run). Int64
+    * bounds: safe while 22·tf·Σdl < 2^63 (ANSI mode aborts loudly past
+    * it, e.g. Σdl ≲ 4·10^14 at tf ≤ 10^3).
+    *
+    * Scale shape: one agg pass for corpus stats (N, Σdl, per-term df —
+    * broadcast back as a single row), one explode→filter→pivot-count
+    * shuffle carrying only (id, dl, term) for MATCHING terms, and a
+    * global top-k window on the ranked slice (safe: row count ≤ matching
+    * docs, and k is small; at extreme scale pre-filter with a per-
+    * partition top-k before the global window).
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms: $terms")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k > 0, s"k must be positive: $k")
+    val toks = df.select(
+      col(idCol).as("__id"),
+      whitespaceTokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val statAggs =
+      Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L))
+            .as(s"__df$i")
+        }
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val tf = toks
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy("__id", "__dl").pivot("__tok", terms).count()
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tfc = coalesce(col(s"`$t`"), lit(0L))
+      val dfc = col(s"__df$i")
+      // idf and saturation sequenced exactly as the oracle SQL writes them
+      val idf = log(lit(1.0) +
+        ((col("__n") - dfc).cast("double") + lit(0.5)) /
+          (dfc.cast("double") + lit(0.5)))
+      val satur = (lit(22L) * tfc * col("__sumdl")).cast("double") /
+        (lit(10L) * tfc * col("__sumdl") + lit(3L) * col("__sumdl") +
+          lit(9L) * col("__dl") * col("__n")).cast("double")
+      idf * satur
+    }.reduce(_ + _)
+    val w = Window.orderBy(desc("score"), asc("__id"))
+    tf.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 4))
+      .select(col("__id"), col("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -45,6 +45,8 @@ object syntax {
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
+    def dedupLines(idCol: String, textCol: String, minLineLen: Int = 1): DataFrame =
+      Dedup.dedupLines(df, idCol, textCol, minLineLen)
 
     // --- text quality -----------------------------------------------------
     def withQualityMetrics(textCol: String): DataFrame =
@@ -58,6 +60,9 @@ object syntax {
       df.withColumn(textCol, TextStats.scrubPii(org.apache.spark.sql.functions.col(textCol)))
     def normalizeText(textCol: String): DataFrame =
       df.withColumn(textCol, TextStats.normalizeText(org.apache.spark.sql.functions.col(textCol)))
+    def bm25TopK(idCol: String, textCol: String,
+        terms: Seq[String], k: Int = 10): DataFrame =
+      TextStats.bm25TopK(df, idCol, textCol, terms, k)
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

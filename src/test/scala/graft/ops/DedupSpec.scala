@@ -165,4 +165,29 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(4L))
   }
+
+  private lazy val lineCorpus = Seq(
+    (1L, "alpha line\nshared boilerplate\nunique one"),
+    (2L, "shared boilerplate\nbeta line\n\ngamma"),
+    (3L, "shared boilerplate"),
+    (4L, "\n\n")) // only empty lines — exempt from dedup
+    .toDF("doc_id", "text")
+
+  test("dedupLines keeps the corpus-wide first occurrence and rebuilds line order") {
+    val out = Dedup.dedupLines(lineCorpus, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha line\nshared boilerplate\nunique one",
+      "first occurrence keeps its line")
+    assert(out(2L) == "beta line\n\ngamma",
+      "later duplicate removed; exempt empty line survives in place")
+    assert(!out.contains(3L), "a doc whose every line is removed drops")
+    assert(out(4L) == "\n\n", "empty-line-only docs pass through unchanged")
+  }
+
+  test("dedupLines minLineLen exempts short lines entirely") {
+    val out = Dedup.dedupLines(lineCorpus, "doc_id", "text", minLineLen = 100)
+      .as[(Long, String)].collect().toMap
+    val orig = lineCorpus.as[(Long, String)].collect().toMap
+    assert(out == orig, "all lines under the threshold ⇒ identity")
+  }
 }

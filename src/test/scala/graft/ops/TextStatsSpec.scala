@@ -232,4 +232,42 @@ class TextStatsSpec extends SparkSpec {
     val c2 = fp(TextStats.contentFingerprint(col("t"), 1), "d c b a")
     assert(c1 == c2, "1-gram content fingerprint ignores order")
   }
+
+  test("bm25TopK matches a naive reference computation") {
+    val docs = Map(
+      1L -> Seq("apple", "banana", "apple"),
+      2L -> Seq("banana", "cherry"),
+      3L -> Seq("apple", "apple", "apple", "banana"),
+      4L -> Seq("durian", "elderberry", "fig"),
+      5L -> Nil)
+    val corpus = docs.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val terms = Seq("apple", "banana")
+    val res = TextStats.bm25TopK(corpus, "doc_id", "text", terms, k = 3)
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._3)
+
+    val n = docs.size
+    val sumdl = docs.values.map(_.size).sum
+    def score(id: Long): Double = terms.map { t =>
+      val df = docs.values.count(_.contains(t))
+      val tf = docs(id).count(_ == t).toLong
+      val dl = docs(id).size.toLong
+      val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+      val satur = (22L * tf * sumdl).toDouble /
+        (10L * tf * sumdl + 3L * sumdl + 9L * dl * n).toDouble
+      idf * satur
+    }.sum
+    val expected = docs.keys.toSeq
+      .filter(id => terms.exists(docs(id).contains))
+      .map(id => (id, math.floor(score(id) * 1e4 + 0.5) / 1e4)) // half-up round(4)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(3)
+    assert(res.map(r => (r._1, r._2)) == expected,
+      s"engine ${res.toList} vs naive $expected")
+    assert(res.map(_._3) == Seq(1L, 2L, 3L), "dense top-k ranks")
+    // only matching docs rank: 4 (no query terms) and 5 (empty) never appear
+    val all = TextStats.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(all.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
 }
