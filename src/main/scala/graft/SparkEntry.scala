@@ -364,6 +364,7 @@ object SparkEntry {
     // documents are rebuilt in line order (empty docs drop).
     "line_dedup" -> ((s, dir) =>
       Dedup.dedupLines(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "text")
         .orderBy("doc_id")),
 
     // §2.11 — BM25 top-k ranked retrieval (k1=1.2, b=0.75, Lucene idf)

@@ -401,8 +401,9 @@ object Dedup {
     * order. Lines shorter than `minLineLen` characters are exempt (kept
     * everywhere): deduping empty / one-char separator lines would rewrite
     * paragraph structure rather than remove boilerplate. Documents whose
-    * every line is removed disappear from the output; output is
-    * (idCol, textCol) with the rebuilt text.
+    * every line is removed disappear from the output; all other columns
+    * pass through unchanged (a pre-computed length/token column will be
+    * stale relative to the rebuilt text — recompute downstream if used).
     *
     * Scale shape: one groupBy on the line (map-side combine absorbs hot
     * boilerplate lines before the shuffle) producing the first-occurrence
@@ -427,13 +428,15 @@ object Dedup {
         col("__first.__pos") === col("__pos"))
       .drop("__first")
       .unionByName(lines.filter(length(col("__line")) < minLineLen))
-    kept
+    val rebuilt = kept
       .groupBy("__id")
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line")),
-        "\n").as(textCol))
-      .withColumnRenamed("__id", idCol)
+        "\n").as("__rebuilt"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"))
+      .withColumn(textCol, col("__rebuilt"))
+      .drop("__id", "__rebuilt")
   }
 }
