@@ -1496,10 +1496,12 @@ object SparkEntry {
 
     // generate_subscripts zips with unnest positionally; 0-based pos to
     // match Spark's posexplode. Lines under minLineLen=1 char (i.e. empty
-    // lines) are exempt from dedup on both sides.
+    // lines) are exempt from dedup on both sides. NULL-id docs are
+    // dropped by the engine (inner join on id) — mirror explicitly.
     "line_dedup" ->
       """WITH ls AS (
-        |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+        |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+        |  WHERE doc_id IS NOT NULL),
         |lines AS (
         |  SELECT doc_id, unnest(arr) AS line,
         |    generate_subscripts(arr, 1) - 1 AS pos

@@ -401,9 +401,10 @@ object Dedup {
     * order. Lines shorter than `minLineLen` characters are exempt (kept
     * everywhere): deduping empty / one-char separator lines would rewrite
     * paragraph structure rather than remove boilerplate. Documents whose
-    * every line is removed disappear from the output; all other columns
-    * pass through unchanged (a pre-computed length/token column will be
-    * stale relative to the rebuilt text — recompute downstream if used).
+    * every line is removed disappear from the output, and so do NULL-id
+    * documents (no reliable identity to reassemble under); all other
+    * columns pass through unchanged (a pre-computed length/token column
+    * will be stale relative to the rebuilt text — recompute downstream).
     *
     * Scale shape: one groupBy on the line (map-side combine absorbs hot
     * boilerplate lines before the shuffle) producing the first-occurrence
@@ -415,7 +416,10 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minLineLen: Int = 1): DataFrame = {
     require(minLineLen >= 0, s"negative minLineLen: $minLineLen")
-    val lines = df.select(
+    // null-id docs are out of scope entirely: letting one WIN a first
+    // occurrence and then dropping it at the join would erase that line
+    // from the whole corpus
+    val lines = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
     val dedupable = lines.filter(length(col("__line")) >= minLineLen)

@@ -184,6 +184,18 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "\n\n", "empty-line-only docs pass through unchanged")
   }
 
+  test("dedupLines excludes null-id docs entirely — they never claim a first occurrence") {
+    val corpus = Seq(
+      (Option(1L), "alpha\nshared"),
+      (Option.empty[Long], "shared\nnullonly"),
+      (Option(2L), "shared\nbeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "alpha\nshared", 2L -> "beta"),
+      "first occurrence resolves among non-null docs only; null-id doc dropped")
+  }
+
   test("dedupLines minLineLen exempts short lines entirely") {
     val out = Dedup.dedupLines(lineCorpus, "doc_id", "text", minLineLen = 100)
       .as[(Long, String)].collect().toMap
