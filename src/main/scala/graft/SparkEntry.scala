@@ -367,6 +367,13 @@ object SparkEntry {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
+    // §2.11 — cross-document n-gram repetition profile (the exact-
+    // substring-dedup diagnostic): per doc, how many of its distinct
+    // 3-gram shingles at least one OTHER doc also carries.
+    "crossdoc_ngrams" -> ((s, dir) =>
+      Dedup.crossDocShingleProfile(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // §2.11 — BM25 top-k ranked retrieval (k1=1.2, b=0.75, Lucene idf)
     // over a fixed 3-term query; saturation is one exact-int64 division
     // and per-term scores sum in fixed order, so the rounded score is
@@ -1516,6 +1523,27 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // distinct 3-gram shingles (space-joined tokens) per doc; a shingle
+    // is "shared" when ≥2 docs carry it. range() end is exclusive: start
+    // positions 1..len-2 for width 3.
+    "crossdoc_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex($strippedSql, '\\s+') AS arr
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND length($strippedSql) > 0),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(list_slice(arr, i, i + 2), ' ') AS s
+         |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) - 1)) AS i FROM toks)),
+         |carriers AS (
+         |  SELECT s, count(*) AS docs FROM sh GROUP BY s)
+         |SELECT sh.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+         |FROM sh JOIN carriers c USING (s)
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     // idf/saturation written in the SAME operation sequence as
     // TextStats.bm25TopK: ln on doubles, saturation as one division of

@@ -443,4 +443,35 @@ object Dedup {
       .withColumn(textCol, col("__rebuilt"))
       .drop("__id", "__rebuilt")
   }
+
+  /** Cross-document n-gram repetition profile — the diagnostic behind
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * DISTINCT token n-grams also occur in at least one other document
+    * (`n_shared` of `n_shingles`, plus the ratio `shared_frac`). High
+    * fractions flag boilerplate/template docs that survive exact and
+    * near dedup. Documents with fewer than n tokens (no shingles) and
+    * null-id documents are excluded.
+    *
+    * Scale shape: distinct shingles explode to (id, shingle) pairs; one
+    * groupBy(shingle) with map-side combine counts carrier docs; one
+    * join back + groupBy(id) folds the profile. Everything is bounded by
+    * total token count — no pairwise doc joins.
+    */
+  def crossDocShingleProfile(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"shingle width must be positive: $n")
+    val pairs = df.filter(col(idCol).isNotNull).select(
+      col(idCol).as("__id"),
+      explode(TextStats.shingleSet(col(textCol), n)).as("__sh"))
+    val carriers = pairs.groupBy("__sh").agg(count(lit(1)).as("__docs"))
+    pairs.join(carriers, Seq("__sh"))
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -47,6 +47,8 @@ object syntax {
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
     def dedupLines(idCol: String, textCol: String, minLineLen: Int = 1): DataFrame =
       Dedup.dedupLines(df, idCol, textCol, minLineLen)
+    def crossDocShingleProfile(idCol: String, textCol: String, n: Int = 3): DataFrame =
+      Dedup.crossDocShingleProfile(df, idCol, textCol, n)
 
     // --- text quality -----------------------------------------------------
     def withQualityMetrics(textCol: String): DataFrame =

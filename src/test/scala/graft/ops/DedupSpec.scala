@@ -196,6 +196,22 @@ class DedupSpec extends SparkSpec {
       "first occurrence resolves among non-null docs only; null-id doc dropped")
   }
 
+  test("crossDocShingleProfile counts shingles shared with at least one other doc") {
+    val corpus = Seq(
+      (1L, "a b c d"),     // shingles: "a b c", "b c d"
+      (2L, "a b c x"),     // shingles: "a b c", "b c x"
+      (3L, "q r s"),       // shingle:  "q r s" (unique)
+      (4L, "a b"))         // < 3 tokens → no shingles → absent
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocShingleProfile(corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, a, b, f) => id -> ((a, b, f)) }.toMap
+    assert(out(1L) == ((2L, 1L, 0.5)), "doc 1: 'a b c' shared with doc 2")
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)), "unique shingle is unshared")
+    assert(!out.contains(4L), "sub-width docs have no profile")
+  }
+
   test("dedupLines minLineLen exempts short lines entirely") {
     val out = Dedup.dedupLines(lineCorpus, "doc_id", "text", minLineLen = 100)
       .as[(Long, String)].collect().toMap
