@@ -367,6 +367,23 @@ object SparkEntry {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
+    // §2.11 — corpus snapshot diff: the audit step of incremental
+    // ingestion. "New" snapshot is derived deterministically from the
+    // same table (drop %7, edit %11 text, re-id %13 as additions) so the
+    // gate exercises all four statuses with a full oracle.
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+      Curation.snapshotDiff(docs, newSnap, "doc_id", Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — cross-document n-gram repetition profile (the exact-
     // substring-dedup diagnostic): per doc, how many of its distinct
     // 3-gram shingles at least one OTHER doc also carries.
@@ -1523,6 +1540,30 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same derived "new" snapshot as the Spark side; documents ids are
+    // non-null so id-null markers are safe in SQL (the engine uses
+    // presence markers and is null-id-safe regardless).
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, text, lang, source FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN (o.text IS NOT DISTINCT FROM n.text)
+        |        AND (o.lang IS NOT DISTINCT FROM n.lang)
+        |        AND (o.source IS NOT DISTINCT FROM n.source) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // distinct 3-gram shingles (space-joined tokens) per doc; a shingle
     // is "shared" when ≥2 docs carry it. range() end is exclusive: start

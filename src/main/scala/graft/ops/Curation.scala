@@ -360,4 +360,32 @@ object Curation {
     val keys = allowlist.select(col(keyCol)).distinct()
     df.join(if (broadcastAllowlist) broadcast(keys) else keys, Seq(keyCol), "left_semi")
   }
+
+  /** Snapshot diff between two corpus versions: one row per id with
+    * `status` ∈ added / removed / changed / unchanged, where "changed"
+    * compares `compareCols` null-safely (a column going NULL ↔ non-NULL
+    * is a change, never a silent match). The audit step of incremental
+    * ingestion — what did this refresh actually do to the corpus?
+    *
+    * Scale shape: one full-outer shuffle join on the id; presence is
+    * tracked with marker literals, not id-null checks, so null-id rows
+    * on either side never alias as missing. Project before calling if
+    * rows are wide — the join ships the compared columns.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must not be empty")
+    val o = oldDf.select(col(idCol).as("__id"),
+      struct(compareCols.map(col): _*).as("__old"), lit(1).as("__ol"))
+    val n = newDf.select(col(idCol).as("__id"),
+      struct(compareCols.map(col): _*).as("__new"), lit(1).as("__nr"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(
+        col("__id").as(idCol),
+        when(col("__ol").isNull, lit("added"))
+          .when(col("__nr").isNull, lit("removed"))
+          .when(col("__old") <=> col("__new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -105,6 +105,9 @@ object syntax {
     def topFractionByGroup(groupCol: String, score: Column, idCol: String,
         keepPerMyriad: Long): DataFrame =
       Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)
+    def diffAgainst(newSnapshot: DataFrame, idCol: String,
+        compareCols: Seq[String]): DataFrame =
+      Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)
     def withoutBlocklisted(blocklist: DataFrame, keyCol: String): DataFrame =
       Curation.blocklistFilter(df, blocklist, keyCol)
   }

@@ -256,4 +256,23 @@ class CurationSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
+
+  test("snapshotDiff labels added/removed/changed/unchanged with null-safe compares") {
+    val oldSnap = Seq(
+      (1L, Option("a"), "s1"),
+      (2L, Option("b"), "s1"),
+      (3L, Option("c"), "s1"),
+      (4L, Option.empty[String], "s1"))
+      .toDF("id", "text", "source")
+    val newSnap = Seq(
+      (1L, Option("a"), "s1"),       // unchanged
+      (2L, Option("B"), "s1"),       // changed
+      (4L, Option("now-set"), "s1"), // NULL → value must read as changed
+      (5L, Option("new"), "s1"))     // added; 3 removed
+      .toDF("id", "text", "source")
+    val out = Curation.snapshotDiff(oldSnap, newSnap, "id", Seq("text", "source"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
+  }
 }
