@@ -57,7 +57,7 @@ object ScaleProbe {
       time(s"ngramJaccardPairs", Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.8))
       time(s"simhashNearDups", Dedup.simhashNearDups(d, "text", "doc_id"))
       time(s"nearDupFilter", Dedup.nearDupFilter(d, "text", "doc_id"))
-      time(s"dedupLines", Dedup.dedupLines(d, "doc_id", "text"))
+      time(s"dedupLines", Dedup.dedupLines(d, "text", "doc_id"))
       time(s"bm25TopK", graft.ops.TextStats.bm25TopK(
         d, "doc_id", "text", Seq("hash", "vector", "data"), k = 10))
     }

@@ -363,14 +363,16 @@ object SparkEntry {
     // than once in the corpus survives only at its first (id, pos);
     // documents are rebuilt in line order (empty docs drop).
     "line_dedup" -> ((s, dir) =>
-      Dedup.dedupLines(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.dedupLines(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
     // §2.11 — corpus snapshot diff: the audit step of incremental
     // ingestion. "New" snapshot is derived deterministically from the
     // same table (drop %7, edit %11 text, re-id %13 as additions) so the
-    // gate exercises all four statuses with a full oracle.
+    // gate exercises all four statuses with a full oracle. Additions get
+    // NEGATIVE ids (-id-1): disjoint from any real non-negative id at
+    // every scale factor, unlike a fixed offset a big corpus could reach.
     "snapshot_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
       val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
@@ -378,7 +380,7 @@ object SparkEntry {
           when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((-col("doc_id") - 1L).as("doc_id"),
             col("text"), col("lang"), col("source")))
       Curation.snapshotDiff(docs, newSnap, "doc_id", Seq("text", "lang", "source"))
         .orderBy("doc_id")
@@ -388,7 +390,7 @@ object SparkEntry {
     // substring-dedup diagnostic): per doc, how many of its distinct
     // 3-gram shingles at least one OTHER doc also carries.
     "crossdoc_ngrams" -> ((s, dir) =>
-      Dedup.crossDocShingleProfile(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.crossDocShingleProfile(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
 
     // §2.11 — BM25 top-k ranked retrieval (k1=1.2, b=0.75, Lucene idf)
@@ -1032,7 +1034,7 @@ object SparkEntry {
          |       WHEN __bucket < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.SplitSalt)}
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "stratified_sample" ->
       s"""SELECT doc_id, lang, source
@@ -1048,12 +1050,13 @@ object SparkEntry {
          |  FROM documents),
          |c AS (
          |  SELECT source, doc_id, n_tokens,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC NULLS FIRST
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM d)
          |SELECT source, doc_id, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 1000 AND n_tokens IS NOT NULL
-         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
+         |ORDER BY source NULLS FIRST, cum_tokens, doc_id NULLS FIRST""".stripMargin,
 
     "chunk_docs" ->
       """WITH e AS (
@@ -1553,7 +1556,7 @@ object SparkEntry {
         |    lang, source
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+        |  SELECT -doc_id - 1 AS doc_id, text, lang, source
         |  FROM documents WHERE doc_id % 13 = 0)
         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -1592,9 +1595,10 @@ object SparkEntry {
     "bm25_topk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex($strippedSql, '\\s+')) AS token
-         |  FROM documents WHERE length($strippedSql) > 0),
+         |  FROM documents WHERE doc_id IS NOT NULL AND length($strippedSql) > 0),
          |dl AS (
-         |  SELECT doc_id, CAST($tok0Sql AS BIGINT) AS dl FROM documents),
+         |  SELECT doc_id, CAST($tok0Sql AS BIGINT) AS dl FROM documents
+         |  WHERE doc_id IS NOT NULL),
          |stats AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
          |  FROM dl),

@@ -413,15 +413,19 @@ object Dedup {
     * largest single document, never the corpus.
     */
   def dedupLines(
-      df: DataFrame, idCol: String, textCol: String,
+      df: DataFrame, textCol: String, idCol: String,
       minLineLen: Int = 1): DataFrame = {
     require(minLineLen >= 0, s"negative minLineLen: $minLineLen")
     // null-id docs are out of scope entirely: letting one WIN a first
     // occurrence and then dropping it at the join would erase that line
-    // from the whole corpus
+    // from the whole corpus. The exploded lines persist (library caching
+    // contract, see object doc): three subtrees consume them — winners
+    // aggregate, kept-join probe, exempt union — and an unpersisted
+    // lineage would re-scan and re-explode the corpus for each.
     val lines = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dedupable = lines.filter(length(col("__line")) >= minLineLen)
     val winners = dedupable
       .groupBy("__line")
@@ -459,11 +463,15 @@ object Dedup {
     * total token count — no pairwise doc joins.
     */
   def crossDocShingleProfile(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle width must be positive: $n")
+    // persist: the (id, shingle) pairs feed both the carrier-count
+    // aggregate and the join probe — without it the HOF shingling and
+    // explode run twice over the corpus (library caching contract)
     val pairs = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       explode(TextStats.shingleSet(col(textCol), n)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val carriers = pairs.groupBy("__sh").agg(count(lit(1)).as("__docs"))
     pairs.join(carriers, Seq("__sh"))
       .groupBy("__id")

@@ -262,6 +262,9 @@ object TextStats {
     * keeping the k best documents (score desc, id asc tiebreak). Only
     * documents containing at least one query term are ranked — everything
     * else scores 0 and is excluded, the standard inverted-index contract.
+    * Null-id documents are excluded from ranking AND the corpus stats
+    * (N, Σdl, df): an unaddressable doc can't be retrieved, and letting
+    * it shift every idf would be a silent corpus-stat skew.
     *
     * Determinism across engines/runs: the term saturation is ONE division
     * of exact int64 products — with k1 = 6/5, b = 3/4,
@@ -285,7 +288,10 @@ object TextStats {
     require(terms.nonEmpty && terms.size <= 8, s"1..8 query terms: $terms")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
     require(k > 0, s"k must be positive: $k")
-    val toks = df.select(
+    // null-id docs are out of scope for BOTH ranking and the corpus
+    // stats (N, Σdl, df) — an unaddressable doc can't be retrieved, and
+    // letting it shift every idf would be a silent corpus-stat skew
+    val toks = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       whitespaceTokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))

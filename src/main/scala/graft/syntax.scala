@@ -45,10 +45,10 @@ object syntax {
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
-    def dedupLines(idCol: String, textCol: String, minLineLen: Int = 1): DataFrame =
-      Dedup.dedupLines(df, idCol, textCol, minLineLen)
-    def crossDocShingleProfile(idCol: String, textCol: String, n: Int = 3): DataFrame =
-      Dedup.crossDocShingleProfile(df, idCol, textCol, n)
+    def dedupLines(textCol: String, idCol: String, minLineLen: Int = 1): DataFrame =
+      Dedup.dedupLines(df, textCol, idCol, minLineLen)
+    def crossDocShingleProfile(textCol: String, idCol: String, n: Int = 3): DataFrame =
+      Dedup.crossDocShingleProfile(df, textCol, idCol, n)
 
     // --- text quality -----------------------------------------------------
     def withQualityMetrics(textCol: String): DataFrame =

@@ -174,7 +174,7 @@ class DedupSpec extends SparkSpec {
     .toDF("doc_id", "text")
 
   test("dedupLines keeps the corpus-wide first occurrence and rebuilds line order") {
-    val out = Dedup.dedupLines(lineCorpus, "doc_id", "text")
+    val out = Dedup.dedupLines(lineCorpus, "text", "doc_id")
       .as[(Long, String)].collect().toMap
     assert(out(1L) == "alpha line\nshared boilerplate\nunique one",
       "first occurrence keeps its line")
@@ -190,7 +190,7 @@ class DedupSpec extends SparkSpec {
       (Option.empty[Long], "shared\nnullonly"),
       (Option(2L), "shared\nbeta"))
       .toDF("doc_id", "text")
-    val out = Dedup.dedupLines(corpus, "doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "text", "doc_id")
       .as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "alpha\nshared", 2L -> "beta"),
       "first occurrence resolves among non-null docs only; null-id doc dropped")
@@ -203,7 +203,7 @@ class DedupSpec extends SparkSpec {
       (3L, "q r s"),       // shingle:  "q r s" (unique)
       (4L, "a b"))         // < 3 tokens → no shingles → absent
       .toDF("doc_id", "text")
-    val out = Dedup.crossDocShingleProfile(corpus, "doc_id", "text", n = 3)
+    val out = Dedup.crossDocShingleProfile(corpus, "text", "doc_id", n = 3)
       .as[(Long, Long, Long, Double)].collect()
       .map { case (id, a, b, f) => id -> ((a, b, f)) }.toMap
     assert(out(1L) == ((2L, 1L, 0.5)), "doc 1: 'a b c' shared with doc 2")
@@ -213,7 +213,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("dedupLines minLineLen exempts short lines entirely") {
-    val out = Dedup.dedupLines(lineCorpus, "doc_id", "text", minLineLen = 100)
+    val out = Dedup.dedupLines(lineCorpus, "text", "doc_id", minLineLen = 100)
       .as[(Long, String)].collect().toMap
     val orig = lineCorpus.as[(Long, String)].collect().toMap
     assert(out == orig, "all lines under the threshold ⇒ identity")
