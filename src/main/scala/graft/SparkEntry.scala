@@ -386,6 +386,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — deflate compression ratio per doc: the cheap repetition
+    // signal. Deterministic kernel, but DuckDB has no deflate → rows-only
+    // gate (TextStatsSpec pins known values).
+    "compression_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.compressionRatio(col("text")).as("comp_ratio"))
+        .orderBy("doc_id")),
+
     // §2.11 — cross-document n-gram repetition profile (the exact-
     // substring-dedup diagnostic): per doc, how many of its distinct
     // 3-gram shingles at least one OTHER doc also carries.

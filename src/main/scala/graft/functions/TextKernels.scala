@@ -574,4 +574,30 @@ object TextKernels {
 
   def jaccardSortedArrays(a: ArrayData, b: ArrayData): java.lang.Double =
     jaccardSorted(a.toLongArray(), b.toLongArray())
+
+  /** Deflate (zlib level 6, raw) compression ratio of the UTF-8 bytes:
+    * compressed/raw length, rounded half-up to 6 dp. Repetitive or
+    * templated text compresses far below natural prose — the standard
+    * cheap repetition signal (used alongside the Gopher rules). The
+    * deflate algorithm at a fixed level/strategy is deterministic for a
+    * given input, so the ratio is reproducible across runs and
+    * executors. Empty input → 1.0 by convention (nothing to compress).
+    */
+  def compressionRatio(raw: Array[Byte]): Double =
+    if (raw.isEmpty) 1.0
+    else {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(raw)
+      d.finish()
+      var buf = new Array[Byte](raw.length / 2 + 128)
+      var n = 0
+      while (!d.finished()) {
+        if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        n += d.deflate(buf, n, buf.length - n)
+      }
+      d.end()
+      math.floor(n.toDouble / raw.length * 1e6 + 0.5) / 1e6
+    }
+
+  def compressionRatioU(s: UTF8String): Double = compressionRatio(s.getBytes)
 }

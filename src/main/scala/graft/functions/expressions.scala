@@ -143,6 +143,22 @@ object expressions {
         .map(StructField(_, LongType, nullable = false)))
   }
 
+  /** Deflate compression ratio of the UTF-8 bytes
+    * ([[TextKernels.compressionRatio]]) — the cheap repetition/quality
+    * signal; deterministic at fixed level, rounded to 6 dp in-kernel.
+    */
+  case class CompressionRatio(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_compression_ratio"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.compressionRatioU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.compressionRatioU($c)")
+    override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+      copy(child = newChild)
+  }
+
   /** One-pass BPE-ish pretokenizer match count
     * ([[TextKernels.bpeTokenCount]]) — replaces a `regexp_count` over the
     * GPT-2-style alternation.

@@ -67,6 +67,10 @@ package object functions {
   def bpe_token_count(text: Column): Column =
     c(expressions.BpeTokenCount(e(text)))
 
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes, 6 dp). */
+  def compression_ratio(text: Column): Column =
+    c(expressions.CompressionRatio(e(text)))
+
   /** Symmetric int8 quantization: struct(scale, q array<tinyint>). */
   def quantize_int8(vec: Column): Column =
     c(expressions.QuantizeInt8(e(vec)))
@@ -127,6 +131,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.CleanWhitespace(args(0))),
     "graft_bpe_token_count" ->
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
+    "graft_compression_ratio" ->
+      ((args: Seq[Expression]) => expressions.CompressionRatio(args(0))),
     "graft_quantize_int8" ->
       ((args: Seq[Expression]) => expressions.QuantizeInt8(args(0))),
     "graft_vec_dot_int8" ->

@@ -257,6 +257,16 @@ object TextStats {
   def contentFingerprint(text: Column, n: Int = 3): Column =
     graft.functions.content_fingerprint(text, n)
 
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes): repetitive
+    * or templated text lands far below natural prose — the cheap
+    * repetition signal used alongside [[gopherKeep]] and
+    * [[dupLineStats]]. Deterministic (fixed deflate level), shuffle-free,
+    * one kernel pass. No SQL oracle exists (DuckDB has no deflate), so
+    * its registry gate is rows-only; the spec pins known values instead.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.functions.compression_ratio(text)
+
   /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) top-k ranked retrieval for a
     * fixed term list: adds `score` (rounded to 4 decimals) and `rnk`,
     * keeping the k best documents (score desc, id asc tiebreak). Only

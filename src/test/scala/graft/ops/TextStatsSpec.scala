@@ -233,6 +233,23 @@ class TextStatsSpec extends SparkSpec {
     assert(c1 == c2, "1-gram content fingerprint ignores order")
   }
 
+  test("compressionRatio separates repetitive from varied text, deterministically") {
+    val rows = Seq(
+      (1L, "a" * 4000),                               // maximally repetitive
+      (2L, (0 until 500).map(i => (i * 2654435761L).toHexString).mkString(" ")),
+      (3L, ""),                                       // empty → 1.0
+      (4L, "a" * 4000))
+      .toDF("id", "t")
+    val r = rows.select(col("id"), TextStats.compressionRatio(col("t")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.01, s"runs compress away: ${r(1L)}")
+    assert(r(2L) > 0.5, s"hex soup stays mostly incompressible: ${r(2L)}")
+    assert(r(3L) == 1.0, "empty convention")
+    assert(r(1L) == r(4L), "deterministic for identical input")
+    // incompressible input can exceed 1.0 only by the deflate framing
+    assert(r(2L) < 1.1)
+  }
+
   test("bm25TopK matches a naive reference computation") {
     val docs = Map(
       1L -> Seq("apple", "banana", "apple"),
