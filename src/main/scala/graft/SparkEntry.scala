@@ -386,6 +386,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — z-order (Morton) clustering value: the multi-dimensional
+    // data-skipping layout key, as pure bit arithmetic with an exact
+    // oracle. 10 bits per dimension over (doc_id, n_chars) buckets.
+    "zorder_layout" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Curation.zorderValue(col("doc_id") % 1024, col("n_chars") % 1024,
+            bits = 10).as("zval"))
+        .orderBy("zval", "doc_id")),
+
     // §2.11 — deflate compression ratio per doc: the cheap repetition
     // signal. Deterministic kernel, but DuckDB has no deflate → rows-only
     // gate (TextStatsSpec pins known values).
@@ -1552,6 +1562,12 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "zorder_layout" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(${Curation.zorderSqlExpr("doc_id % 1024", "n_chars % 1024", 10)} AS BIGINT) AS zval
+         |FROM documents
+         |ORDER BY zval, doc_id""".stripMargin,
 
     // same derived "new" snapshot as the Spark side; documents ids are
     // non-null so id-null markers are safe in SQL (the engine uses

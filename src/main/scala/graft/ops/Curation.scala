@@ -361,6 +361,47 @@ object Curation {
     df.join(if (broadcastAllowlist) broadcast(keys) else keys, Seq(keyCol), "left_semi")
   }
 
+  /** Morton (z-order) interleave of the low `bits` bits of two
+    * non-negative int columns: bit i of `a` lands at position 2i, bit i
+    * of `b` at 2i+1. Pure declarative bit arithmetic (shifts/AND over
+    * int64 — codegen'd, no UDF), identical in any engine. Inputs must
+    * already be bucketed to `bits` bits (e.g. `% 1024` for 10) — values
+    * beyond that range fold into the same curve cell only if the caller
+    * buckets them; this function masks, it does not rescale.
+    */
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31: $bits")
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Cluster a table along a two-dimensional z-order curve: range-
+    * partition then sort within partitions by the Morton value (and the
+    * tiebreak columns, for determinism). The layout lever behind
+    * multi-dimensional data skipping — after writing in this order,
+    * min/max column statistics prune scans on EITHER dimension, not just
+    * the lead sort key. No extra shuffle beyond the one range exchange
+    * any global sort pays.
+    */
+  def zorderBy(
+      df: DataFrame, a: Column, b: Column, bits: Int = 16,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val z = zorderValue(a, b, bits)
+    df.repartitionByRange((z +: tiebreak).map(_.asc): _*)
+      .sortWithinPartitions((z +: tiebreak).map(_.asc): _*)
+  }
+
+  /** The DuckDB-parity SQL for [[zorderValue]] — same term order. */
+  def zorderSqlExpr(aExpr: String, bExpr: String, bits: Int = 16): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31: $bits")
+    (0 until bits).map { i =>
+      s"((($aExpr) >> $i) & 1) * ${1L << (2 * i)}" +
+        s" + ((($bExpr) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Snapshot diff between two corpus versions: one row per id with
     * `status` ∈ added / removed / changed / unchanged, where "changed"
     * compares `compareCols` null-safely (a column going NULL ↔ non-NULL

@@ -257,6 +257,22 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("zorderValue interleaves bits; zorderBy yields a global curve order") {
+    // a=3 (bits 1,1), b=1 (bits 1,0): positions a0→0, b0→1, a1→2, b1→3
+    // ⇒ 0b0111 = 7
+    val v = Seq((3L, 1L)).toDF("a", "b")
+      .select(Curation.zorderValue($"a", $"b", bits = 2).as("z"))
+      .as[Long].head()
+    assert(v == 7L, s"expected interleave 7, got $v")
+    // curve order is global after repartitionByRange + sortWithinPartitions
+    val df = (0L until 64L).flatMap(a => (0L until 4L).map(b => (a % 32, b)))
+      .toDF("a", "b")
+    val zs = Curation.zorderBy(df, $"a", $"b", bits = 5, tiebreak = Seq($"a", $"b"))
+      .select(Curation.zorderValue($"a", $"b", bits = 5))
+      .as[Long].collect()
+    assert(zs.sameElements(zs.sorted), "rows must come back in z-value order")
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged with null-safe compares") {
     val oldSnap = Seq(
       (1L, Option("a"), "s1"),
