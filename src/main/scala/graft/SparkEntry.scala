@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
 import graft.fhir.FhirFixtures
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -698,6 +698,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Time-series gap fill: dense per-user hourly grid with zero-filled
+    // buckets. Engine buckets raw NANOS (ts DIV 3.6e12); the oracle
+    // buckets µs — integral division composes, so boundaries agree.
+    "resample_fill" -> ((s, dir) =>
+      TimeSeries.denseCounts(t(s, dir, "events"), "user_id", "ts",
+        3600L * 1000000000L)
+        .select(col("user_id"), col("bucket"), col("n_events"))
+        .orderBy("user_id", "bucket")),
+
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
     // the (hour, user) distinct set on (hour+1, user) — both sides
@@ -1189,6 +1198,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "resample_fill" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM c GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s)
+        |SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "retention" ->
       """WITH active AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -110,5 +110,11 @@ object syntax {
       Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)
     def withoutBlocklisted(blocklist: DataFrame, keyCol: String): DataFrame =
       Curation.blocklistFilter(df, blocklist, keyCol)
+    def zorderBy(a: Column, b: Column, bits: Int = 16): DataFrame =
+      Curation.zorderBy(df, a, b, bits)
+
+    // --- time series ------------------------------------------------------
+    def denseCounts(keyCol: String, tsCol: String, bucketWidth: Long): DataFrame =
+      TimeSeries.denseCounts(df, keyCol, tsCol, bucketWidth)
   }
 }

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // buckets of width 10: user 1 hits buckets 0,0,2 (gap at 1); user 2
+  // hits bucket 5 only; user 3 has only a null ts (excluded entirely)
+  private lazy val events = Seq(
+    (1L, Option(3L)), (1L, Option(7L)), (1L, Option(25L)),
+    (2L, Option(51L)),
+    (3L, Option.empty[Long]))
+    .toDF("user_id", "ts")
+
+  test("denseCounts zero-fills interior gaps per key, spans never cross keys") {
+    val out = TimeSeries.denseCounts(events, "user_id", "ts", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 1L),
+      (2L, 5L, 1L)))
+  }
+
+  test("denseCountsWithStaleness flags gaps and carries the last active bucket") {
+    val out = TimeSeries
+      .denseCountsWithStaleness(events, "user_id", "ts", 10L)
+      .select("user_id", "bucket", "is_gap", "last_active_bucket")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, false, 0L), (1L, 1L, true, 0L), (1L, 2L, false, 2L),
+      (2L, 5L, false, 5L)))
+  }
+}
