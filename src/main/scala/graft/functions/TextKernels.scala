@@ -583,10 +583,20 @@ object TextKernels {
     * given input, so the ratio is reproducible across runs and
     * executors. Empty input → 1.0 by convention (nothing to compress).
     */
+  // one native zlib stream per executor thread, reset per document —
+  // per-row Deflater allocation would pay native init/teardown billions
+  // of times and leak if deflate threw before end(); reset() at entry
+  // also clears any dirty state a previous failed call left behind
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
   def compressionRatio(raw: Array[Byte]): Double =
     if (raw.isEmpty) 1.0
     else {
-      val d = new java.util.zip.Deflater(6, true)
+      val d = deflaters.get()
+      d.reset()
       d.setInput(raw)
       d.finish()
       var buf = new Array[Byte](raw.length / 2 + 128)
@@ -595,7 +605,6 @@ object TextKernels {
         if (n == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
         n += d.deflate(buf, n, buf.length - n)
       }
-      d.end()
       math.floor(n.toDouble / raw.length * 1e6 + 0.5) / 1e6
     }
 

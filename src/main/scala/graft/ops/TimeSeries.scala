@@ -13,8 +13,11 @@ object TimeSeries {
     * bucket in [min observed, max observed] of that key, with
     * `n_events = 0` where nothing happened — the gap-fill step charts
     * and window models need before a sparse stream is usable.
-    * `tsCol` must be an integral epoch column; `bucket = ts DIV width`
-    * (integral division — float bucketing drifts near 2^53).
+    * `tsCol` must be an integral epoch column; `bucket` is FLOOR
+    * division (`(ts − pmod(ts, w)) DIV w` — exact int64, no double
+    * round-trip): truncating DIV would give a double-width bucket 0
+    * straddling the epoch and mis-bucket any negative/sentinel
+    * timestamp relative to a floor-division oracle.
     *
     * Scale shape: one groupBy down to (key, bucket) partial counts —
     * map-side combine absorbs the raw event volume — then an
@@ -22,22 +25,35 @@ object TimeSeries {
     * left join back on (key, bucket). Grid size is Σ per-key spans, not
     * keys × global span: a key active for an hour never fans out to the
     * corpus's full history. Null keys/timestamps are excluded (they
-    * have no place on a grid).
+    * have no place on a grid). A single corrupt timestamp (epoch-0
+    * sentinel next to 2026 data) would explode one key's span into a
+    * multi-GB row or hit Spark's sequence cap with a cryptic error —
+    * `maxBucketsPerKey` fails fast and names the key instead.
     */
   def denseCounts(
       df: DataFrame, keyCol: String, tsCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerKey: Long = 10000000L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxBucketsPerKey > 0, s"maxBucketsPerKey must be positive: $maxBucketsPerKey")
+    val key = col(s"`$keyCol`")
     val counts = df
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .groupBy(col(keyCol),
-        expr(s"`$tsCol` DIV $bucketWidth").as("bucket"))
+      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull)
+      .groupBy(key.as(keyCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
+          .as("bucket"))
       .agg(count(lit(1)).as("n_events"))
     val grid = counts
-      .groupBy(col(keyCol))
+      .groupBy(col(s"`$keyCol`"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-      .withColumn("bucket", explode(sequence(col("__lo"), col("__hi"))))
-      .drop("__lo", "__hi")
+      .withColumn("__span", col("__hi") - col("__lo") + 1L)
+      .withColumn("bucket",
+        explode(when(col("__span") > maxBucketsPerKey,
+          raise_error(concat(
+            lit(s"denseCounts: key "), col(s"`$keyCol`").cast("string"),
+            lit(s" spans "), col("__span").cast("string"),
+            lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — corrupt/sentinel timestamp?"))))
+          .otherwise(sequence(col("__lo"), col("__hi")))))
+      .drop("__lo", "__hi", "__span")
     grid.join(counts, Seq(keyCol, "bucket"), "left")
       .na.fill(0L, Seq("n_events"))
   }
@@ -47,11 +63,11 @@ object TimeSeries {
     */
   def denseCountsWithStaleness(
       df: DataFrame, keyCol: String, tsCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, maxBucketsPerKey: Long = 10000000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .partitionBy(col(s"`$keyCol`")).orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    denseCounts(df, keyCol, tsCol, bucketWidth)
+    denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
       .withColumn("is_gap", (col("n_events") === 0L))
       .withColumn("last_active_bucket",
         max(when(col("n_events") > 0L, col("bucket"))).over(w))

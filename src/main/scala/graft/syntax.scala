@@ -110,8 +110,9 @@ object syntax {
       Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)
     def withoutBlocklisted(blocklist: DataFrame, keyCol: String): DataFrame =
       Curation.blocklistFilter(df, blocklist, keyCol)
-    def zorderBy(a: Column, b: Column, bits: Int = 16): DataFrame =
-      Curation.zorderBy(df, a, b, bits)
+    def zorderBy(a: Column, b: Column, bits: Int = 16,
+        tiebreak: Seq[Column] = Nil): DataFrame =
+      Curation.zorderBy(df, a, b, bits, tiebreak)
 
     // --- time series ------------------------------------------------------
     def denseCounts(keyCol: String, tsCol: String, bucketWidth: Long): DataFrame =

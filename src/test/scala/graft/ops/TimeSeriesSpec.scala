@@ -21,6 +21,25 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 5L, 1L)))
   }
 
+  test("denseCounts floor-buckets negative timestamps (no double-width bucket 0)") {
+    val neg = Seq((1L, Option(-5L)), (1L, Option(5L))).toDF("user_id", "ts")
+    val out = TimeSeries.denseCounts(neg, "user_id", "ts", 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, -1L, 1L), (1L, 0L, 1L)),
+      "ts=-5 belongs to bucket -1 under floor division, not a merged bucket 0")
+  }
+
+  test("denseCounts fails fast with a named key when a span exceeds maxBucketsPerKey") {
+    val wild = Seq((7L, Option(0L)), (7L, Option(1000L))).toDF("user_id", "ts")
+    val e = intercept[Exception] {
+      TimeSeries.denseCounts(wild, "user_id", "ts", 1L, maxBucketsPerKey = 100L)
+        .count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    assert(messages(e).contains("maxBucketsPerKey"), messages(e))
+  }
+
   test("denseCountsWithStaleness flags gaps and carries the last active bucket") {
     val out = TimeSeries
       .denseCountsWithStaleness(events, "user_id", "ts", 10L)
