@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
 import graft.fhir.FhirFixtures
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -698,6 +698,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // K-step ordered funnel (view→click→purchase, 30 min per hop):
+    // per-user earliest completion times, partial funnels kept as nulls.
+    "funnel_steps" -> ((s, dir) =>
+      Funnel.funnelSteps(
+        t(s, dir, "events").withColumn("tus", expr("ts DIV 1000")),
+        "user_id", "tus", "event_type",
+        Seq("view", "click", "purchase"), 1800000000L)
+        .orderBy("user_id")),
+
     // Time-series gap fill: dense per-user hourly grid with zero-filled
     // buckets. Engine buckets raw NANOS (ts DIV 3.6e12); the oracle
     // buckets µs — integral division composes, so boundaries agree.
@@ -1198,6 +1207,25 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s0 AS (
+        |  SELECT user_id, CAST(min(tus) AS BIGINT) AS t0
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT s0.user_id, s0.t0, CAST(min(e.tus) AS BIGINT) AS t1
+        |  FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |    AND e.tus > s0.t0 AND e.tus <= s0.t0 + 1800000000
+        |  GROUP BY s0.user_id, s0.t0),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.t0, s1.t1, CAST(min(e.tus) AS BIGINT) AS t2
+        |  FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |    AND e.tus > s1.t1 AND e.tus <= s1.t1 + 1800000000
+        |  GROUP BY s1.user_id, s1.t0, s1.t1)
+        |SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id""".stripMargin,
 
     "resample_fill" ->
       """WITH c AS (

@@ -108,6 +108,36 @@ object TextKernels {
     distinct
   }
 
+  /** Distinct word-n-gram shingle STRINGS (space-joined tokens), in
+    * first-occurrence order — the oracle-parity (unhashed) twin of
+    * [[shingleHashSet]], for operators whose shuffle key must be
+    * reproducible in plain SQL. One pass over token bounds with
+    * substring copies; no regex, no interpreted HOFs. Same distinct +
+    * first-occurrence-order semantics as
+    * `array_distinct(TextStats.shingles(text, n))`.
+    */
+  def shingleStringSet(text: String, n: Int): Array[String] = {
+    if (text == null) return null
+    val b = tokenBounds(text)
+    val nTok = b.length / 2
+    if (nTok < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= nTok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(text, b(2 * (i + j)), b(2 * (i + j) + 1))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** MinHash signature from a hashed shingle set: sig(i) = min over
     * shingles of mix64(h + (i+1)·Gamma). Null/empty set → null (too short
     * to compare).
@@ -551,6 +581,13 @@ object TextKernels {
   def bandHashesArray(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val out = bandHashes(sig.toLongArray(), bands, rowsPerBand)
     if (out == null) null else UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def shingleStringSetArray(s: UTF8String, n: Int): ArrayData = {
+    val arr = shingleStringSet(s.toString, n)
+    if (arr == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(x => UTF8String.fromString(x): Any))
   }
 
   def simhash64U(s: UTF8String): java.lang.Long = simhash64(s.toString)

@@ -143,6 +143,21 @@ object expressions {
         .map(StructField(_, LongType, nullable = false)))
   }
 
+  /** Distinct word-n-gram shingle strings (first-occurrence order) —
+    * the unhashed, SQL-reproducible twin of [[ShingleHashSet]].
+    */
+  case class ShingleStringSet(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingle_string_set"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.shingleStringSetArray(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.shingleStringSetArray($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleStringSet =
+      copy(child = newChild)
+  }
+
   /** Deflate compression ratio of the UTF-8 bytes
     * ([[TextKernels.compressionRatio]]) — the cheap repetition/quality
     * signal; deterministic at fixed level, rounded to 6 dp in-kernel.

@@ -71,6 +71,10 @@ package object functions {
   def compression_ratio(text: Column): Column =
     c(expressions.CompressionRatio(e(text)))
 
+  /** Distinct word-n-gram shingle strings (unhashed, SQL-reproducible). */
+  def shingle_string_set(text: Column, n: Int): Column =
+    c(expressions.ShingleStringSet(e(text), n))
+
   /** Symmetric int8 quantization: struct(scale, q array<tinyint>). */
   def quantize_int8(vec: Column): Column =
     c(expressions.QuantizeInt8(e(vec)))
@@ -133,6 +137,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
     "graft_compression_ratio" ->
       ((args: Seq[Expression]) => expressions.CompressionRatio(args(0))),
+    "graft_shingle_string_set" ->
+      ((args: Seq[Expression]) => expressions.ShingleStringSet(args(0), intLitArg(args(1)))),
     "graft_quantize_int8" ->
       ((args: Seq[Expression]) => expressions.QuantizeInt8(args(0))),
     "graft_vec_dot_int8" ->

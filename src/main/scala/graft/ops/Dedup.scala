@@ -466,11 +466,14 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle width must be positive: $n")
     // persist: the (id, shingle) pairs feed both the carrier-count
-    // aggregate and the join probe — without it the HOF shingling and
-    // explode run twice over the corpus (library caching contract)
+    // aggregate and the join probe — without it the shingling and
+    // explode run twice over the corpus (library caching contract).
+    // Shingles come from the one-pass kernel (same semantics as
+    // array_distinct(TextStats.shingles), spec-pinned): the interpreted
+    // transform/slice HOF chain measured ~6× slower at sf0.1.
     val pairs = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
-      explode(TextStats.shingleSet(col(textCol), n)).as("__sh"))
+      explode(graft.functions.shingle_string_set(col(textCol), n)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val carriers = pairs.groupBy("__sh").agg(count(lit(1)).as("__docs"))
     pairs.join(carriers, Seq("__sh"))

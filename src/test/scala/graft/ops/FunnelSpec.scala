@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // window = 100. user 1 completes all three steps; user 2 clicks too
+  // late (out of window); user 3 clicks BEFORE viewing (wrong order);
+  // user 4 never clicks. Extra early/late events must not perturb the
+  // chosen earliest-qualifying times.
+  private lazy val events = Seq(
+    (1L, 10L, "view"), (1L, 50L, "click"), (1L, 60L, "purchase"),
+    (1L, 5L, "click"),               // before the view — ignored
+    (1L, 40L, "click"),              // earlier qualifying click wins
+    (2L, 10L, "view"), (2L, 200L, "click"),
+    (3L, 50L, "view"), (3L, 10L, "click"),
+    (4L, 10L, "view"))
+    .toDF("user_id", "ts", "event_type")
+
+  test("funnelSteps keeps order, window, and earliest-qualifying semantics") {
+    val out = Funnel.funnelSteps(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 100L)
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((10L, Some(40L), Some(60L))),
+      "earliest qualifying click (40, not 5 or 50) then purchase")
+    assert(out(2L) == ((10L, None, None)), "click at 200 is outside window 100")
+    assert(out(3L) == ((50L, None, None)), "click before view never qualifies")
+    assert(out(4L) == ((10L, None, None)))
+  }
+
+  test("funnelCounts folds to per-step reach") {
+    val row = Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 100L)
+      .as[(Long, Long, Long)].head()
+    assert(row == ((4L, 1L, 1L)))
+  }
+}

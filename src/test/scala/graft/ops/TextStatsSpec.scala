@@ -34,6 +34,28 @@ class TextStatsSpec extends SparkSpec {
     assert(got.toSeq.sorted == Seq("x y", "y x"))
   }
 
+  test("shingle_string_set kernel ≡ array_distinct(shingles) on edge cases AND the sf0.01 corpus") {
+    val samples = Seq(
+      "", " ", "a", "a b", "a b c", "a b c d", "a a a a", "x y x y x y",
+      "  lead and trail  ", "tabs\tand\nnewlines here too", "é ü 的 是 了 a")
+    val df = samples.toDF("t")
+    val viaKernel = df.select(graft.functions.shingle_string_set(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    val viaHof = df.select(TextStats.shingleSet(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    samples.indices.foreach { i =>
+      assert(viaKernel(i) == viaHof(i),
+        s"shingle set diverges on '${samples(i)}': ${viaKernel(i)} vs ${viaHof(i)}")
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val diverged = docs.select(
+        col("doc_id"),
+        graft.functions.shingle_string_set(col("text"), 3).as("k"),
+        TextStats.shingleSet(col("text"), 3).as("h"))
+      .filter(col("k") =!= col("h"))
+    assert(diverged.isEmpty, diverged.limit(5).collect().mkString("; "))
+  }
+
   test("langId: stopword-based winner; und when no hits") {
     val en = "the cat sat on the mat and it is that for"
     val fr = "le chat est sur la table et il est que pour"
