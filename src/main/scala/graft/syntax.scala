@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -114,8 +114,11 @@ object syntax {
         tiebreak: Seq[Column] = Nil): DataFrame =
       Curation.zorderBy(df, a, b, bits, tiebreak)
 
-    // --- time series ------------------------------------------------------
+    // --- time series / events --------------------------------------------
     def denseCounts(keyCol: String, tsCol: String, bucketWidth: Long): DataFrame =
       TimeSeries.denseCounts(df, keyCol, tsCol, bucketWidth)
+    def funnelSteps(keyCol: String, tsCol: String, typeCol: String,
+        steps: Seq[String], window: Long): DataFrame =
+      Funnel.funnelSteps(df, keyCol, tsCol, typeCol, steps, window)
   }
 }
