@@ -36,4 +36,38 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(row == ((4L, 1L, 1L)))
   }
+
+  test("randomized: funnelSteps ≡ naive per-key fold on 30 seeded event sets") {
+    val types = Vector("a", "b", "c")
+    val window = 25L
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val evs = Seq.fill(200)(
+        (rnd.nextInt(12).toLong, rnd.nextInt(300).toLong, types(rnd.nextInt(3))))
+        .distinct // duplicate (key, ts, type) rows don't change min-based semantics
+      val out = Funnel.funnelSteps(evs.toDF("k", "ts", "tp"), "k", "ts", "tp",
+        types, window)
+        .as[(Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((Option(r._2), r._3, r._4))).toMap
+
+      def naive(k: Long): (Option[Long], Option[Long], Option[Long]) = {
+        val mine = evs.filter(_._1 == k)
+        def step(prev: Option[Long], tp: String, first: Boolean): Option[Long] =
+          if (first) mine.filter(_._3 == tp).map(_._2).minOption
+          else prev.flatMap(p =>
+            mine.filter(e => e._3 == tp && e._2 > p && e._2 <= p + window)
+              .map(_._2).minOption)
+        val t0 = step(None, types(0), first = true)
+        val t1 = step(t0, types(1), first = false)
+        val t2 = step(t1, types(2), first = false)
+        (t0, t1, t2)
+      }
+      val keys = evs.map(_._1).distinct
+      keys.foreach { k =>
+        val exp = naive(k)
+        if (exp._1.isEmpty) assert(!out.contains(k), s"seed=$seed key=$k: no step-0 → no row")
+        else assert(out(k) == exp, s"seed=$seed key=$k: ${out.get(k)} vs $exp")
+      }
+    }
+  }
 }
