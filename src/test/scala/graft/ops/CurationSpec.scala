@@ -257,6 +257,32 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("randomized: snapshotDiff ≡ naive map compare on 30 seeded snapshot pairs") {
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def snap(): Map[Long, Option[String]] =
+        (0L until 40L).flatMap { id =>
+          if (rnd.nextDouble() < 0.3) None // absent from this snapshot
+          else Some(id -> (if (rnd.nextDouble() < 0.15) None
+                           else Some(s"v${rnd.nextInt(3)}")))
+        }.toMap
+      val oldM = snap(); val newM = snap()
+      def df(m: Map[Long, Option[String]]) =
+        m.toSeq.map { case (id, v) => (id, v) }.toDF("id", "payload")
+      val out = Curation.snapshotDiff(df(oldM), df(newM), "id", Seq("payload"))
+        .as[(Long, String)].collect().toMap
+      val expected = (oldM.keySet ++ newM.keySet).map { id =>
+        id -> ((oldM.get(id), newM.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+          case _ => sys.error("unreachable")
+        })
+      }.toMap
+      assert(out == expected, s"seed=$seed")
+    }
+  }
+
   test("zorderValue interleaves bits; zorderBy yields a global curve order") {
     // a=3 (bits 1,1), b=1 (bits 1,0): positions a0→0, b0→1, a1→2, b1→3
     // ⇒ 0b0111 = 7

@@ -40,6 +40,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(messages(e).contains("maxBucketsPerKey"), messages(e))
   }
 
+  test("randomized: denseCounts ≡ naive grid on 30 seeded event sets (incl. negative ts)") {
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val evs = Seq.fill(300)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(400).toLong - 200L)) // ts ∈ [-200, 200)
+      val width = 1 + rnd.nextInt(20)
+      val out = TimeSeries.denseCounts(
+        evs.toDF("k", "ts"), "k", "ts", width.toLong)
+        .as[(Long, Long, Long)].collect().toSet
+
+      val expected = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val buckets = rows.map(r => Math.floorDiv(r._2, width.toLong))
+        (buckets.min to buckets.max).map(b =>
+          (k, b, buckets.count(_ == b).toLong))
+      }.toSet
+      assert(out == expected, s"seed=$seed width=$width")
+    }
+  }
+
   test("denseCountsWithStaleness flags gaps and carries the last active bucket") {
     val out = TimeSeries
       .denseCountsWithStaleness(events, "user_id", "ts", 10L)
