@@ -37,6 +37,19 @@ class FunnelSpec extends SparkSpec {
     assert(row == ((4L, 1L, 1L)))
   }
 
+  test("funnelSteps handles dotted key names and rejects reserved ones") {
+    val dotted = events.withColumnRenamed("user_id", "user.id")
+    val out = Funnel.funnelSteps(dotted, "user.id", "ts", "event_type",
+      Seq("view", "click", "purchase"), window = 100L)
+    assert(out.columns.toSeq == Seq("user.id", "t0", "t1", "t2"))
+    assert(out.count() == 4)
+    val e = intercept[IllegalArgumentException] {
+      Funnel.funnelSteps(events.withColumnRenamed("user_id", "t0"),
+        "t0", "ts", "event_type", Seq("view", "click"), window = 100L)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("randomized: funnelSteps ≡ naive per-key fold on 30 seeded event sets") {
     val types = Vector("a", "b", "c")
     val window = 25L
