@@ -386,6 +386,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — unigram corpus-familiarity (engine-exact perplexity
+    // proxy): avg corpus token frequency + near-OOV count per doc,
+    // int64-exact until one final division.
+    "familiarity_score" -> ((s, dir) =>
+      TextStats.unigramFamiliarity(t(s, dir, "documents"), "doc_id", "text",
+        oovBelow = 3L)
+        .orderBy("doc_id")),
+
     // §2.11 — z-order (Morton) clustering value: the multi-dimensional
     // data-skipping layout key, as pure bit arithmetic with an exact
     // oracle. 10 bits per dimension over (doc_id, n_chars) buckets.
@@ -1615,6 +1623,19 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "familiarity_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex($strippedSql, '\\s+')) AS token
+         |  FROM documents WHERE doc_id IS NOT NULL AND length($strippedSql) > 0),
+         |freqs AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN f.freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(f.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS familiarity
+         |FROM toks t JOIN freqs f ON f.token = t.token
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "zorder_layout" ->
       s"""SELECT doc_id, n_chars,

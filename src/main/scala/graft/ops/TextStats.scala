@@ -267,6 +267,42 @@ object TextStats {
   def compressionRatio(text: Column): Column =
     graft.functions.compression_ratio(text)
 
+  /** Unigram corpus-familiarity scoring — the engine-exact perplexity
+    * proxy: for each document, the average corpus frequency of its
+    * tokens (`familiarity` = Σ freq(token) / n_tokens, one division of
+    * exact int64 sums — a true LM logprob would be an order-dependent
+    * float sum) and the count of near-OOV tokens (corpus frequency <
+    * `oovBelow`). Low familiarity / high OOV flags gibberish, encoding
+    * damage, and out-of-domain text the way an LM perplexity filter
+    * would, without a model artifact. Documents with no tokens (or null
+    * ids) are excluded.
+    *
+    * Scale shape: one token explode feeding a groupBy(token) frequency
+    * table (map-side combine) and a token→frequency equi-join back
+    * (AQE-handled; the frequency table is Zipf-small relative to the
+    * stream), then one groupBy(id) fold. The exploded tokens persist —
+    * they feed both the frequency aggregate and the join probe.
+    */
+  def unigramFamiliarity(
+      df: DataFrame, idCol: String, textCol: String,
+      oovBelow: Long = 2L): DataFrame = {
+    require(oovBelow >= 1, s"oovBelow must be at least 1: $oovBelow")
+    val toks = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"),
+        explode(whitespaceTokens(col(s"`$textCol`"))).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+    toks.join(freqs, Seq("__tok"))
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__freq")).as("__sum_freq"),
+        sum(when(col("__freq") < oovBelow, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("familiarity",
+        round(col("__sum_freq").cast("double") / col("n_tokens").cast("double"), 6))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"), col("familiarity"))
+  }
+
   /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) top-k ranked retrieval for a
     * fixed term list: adds `score` (rounded to 4 decimals) and `rnk`,
     * keeping the k best documents (score desc, id asc tiebreak). Only

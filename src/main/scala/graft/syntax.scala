@@ -65,6 +65,9 @@ object syntax {
     def bm25TopK(idCol: String, textCol: String,
         terms: Seq[String], k: Int = 10): DataFrame =
       TextStats.bm25TopK(df, idCol, textCol, terms, k)
+    def unigramFamiliarity(idCol: String, textCol: String,
+        oovBelow: Long = 2L): DataFrame =
+      TextStats.unigramFamiliarity(df, idCol, textCol, oovBelow)
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

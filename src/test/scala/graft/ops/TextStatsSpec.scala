@@ -272,6 +272,20 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L) < 1.1)
   }
 
+  test("unigramFamiliarity: avg corpus token frequency and OOV count, hand-computed") {
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "zzz"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus freqs: a=3, b=1, c=1, zzz=1
+    val out = TextStats.unigramFamiliarity(corpus, "doc_id", "text", oovBelow = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 1L, 2.333333)), "sum 3+3+1 over 3 tokens; b is OOV")
+    assert(out(2L) == ((2L, 1L, 2.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)), "hapax doc: familiarity 1, all OOV")
+    assert(!out.contains(4L), "token-less docs have no score")
+  }
+
   test("bm25TopK matches a naive reference computation") {
     val docs = Map(
       1L -> Seq("apple", "banana", "apple"),
