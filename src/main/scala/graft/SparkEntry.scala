@@ -526,6 +526,15 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.langIdExpr(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // §2.11 — declared-vs-predicted language confusion matrix: the QA
+    // rollup that catches mislabeled-corpus batches.
+    "lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextStats.langIdExpr(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     // §2.11 — text quality metrics + composite score.
     "text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1044,6 +1053,25 @@ object SparkEntry {
   // strip ALL leading/trailing whitespace (trim() is space-only), matching
   // TextStats.whitespaceTokens / TextKernels.tokenBounds
   private val strippedSql = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
+
+  /** Language-prediction subquery shared by `lang_id`/`lang_confusion` —
+    * generated from TextStats.Stopwords so the two sides cannot drift.
+    */
+  private lazy val langPredSql: String = {
+    val scores = graft.ops.TextStats.Stopwords.keys.toSeq.sorted.map { l =>
+      val pat = graft.ops.TextStats.Stopwords(l).mkString("(?i)\\b(", "|", ")\\b")
+      s"SELECT doc_id, '$l' AS lang, len(regexp_extract_all(text, '$pat')) AS cnt FROM documents"
+    }.mkString("\n  UNION ALL ")
+    s"""(WITH scores AS (
+       |  $scores
+       |), ranked AS (
+       |  SELECT doc_id, lang, cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn,
+       |    max(cnt) OVER (PARTITION BY doc_id) AS mx
+       |  FROM scores)
+       |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ELSE lang END AS lang_pred
+       |FROM ranked WHERE rn = 1)""".stripMargin
+  }
   private val ntokSql = s"""len(string_split_regex($strippedSql, '\\s+'))"""
   // true token count: split of an empty string yields [''] (len 1), the
   // Spark side yields 0 — guard like TextStats does
@@ -1811,22 +1839,14 @@ object SparkEntry {
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
-    "lang_id" -> {
-      // generated from TextStats.Stopwords so the two sides cannot drift
-      val scores = TextStats.Stopwords.keys.toSeq.sorted.map { l =>
-        val pat = TextStats.Stopwords(l).mkString("(?i)\\b(", "|", ")\\b")
-        s"SELECT doc_id, '$l' AS lang, len(regexp_extract_all(text, '$pat')) AS cnt FROM documents"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH scores AS (
-         |  $scores
-         |), ranked AS (
-         |  SELECT doc_id, lang, cnt,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS rn,
-         |    max(cnt) OVER (PARTITION BY doc_id) AS mx
-         |  FROM scores)
-         |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ELSE lang END AS lang_pred
-         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""SELECT doc_id, lang_pred FROM $langPredSql ORDER BY doc_id""",
+
+    "lang_confusion" ->
+      s"""SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN $langPredSql p ON p.doc_id = d.doc_id
+         |GROUP BY d.lang, p.lang_pred
+         |ORDER BY d.lang NULLS FIRST, p.lang_pred""".stripMargin,
 
     "text_quality" -> {
       val upper = """len(regexp_extract_all(text, '[A-Z]'))"""
