@@ -272,6 +272,22 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L) < 1.1)
   }
 
+  test("gopherKeep: each rule rejects its own violation class") {
+    def keep(t: String): Boolean =
+      Seq(t).toDF("t").select(TextStats.gopherKeep(col("t")).as("k"))
+        .as[Boolean].head()
+    val good = (("the of and is " * 13) + "sensible words follow here now").trim
+    assert(keep(good), "a prose-like doc passes every rule")
+    assert(!keep("short the of"), "under 50 tokens")
+    assert(!keep(("x " * 60).trim), "mean token length under 3 chars (3·tok > chars)")
+    assert(!keep((("the of " + "!!!!!!!!!! " * 3) * 20).trim), "punct over 20% of chars")
+    assert(!keep((("the of 1234567890123456789012345678 ") * 20).trim),
+      "digits over 30% of chars")
+    val noStops = ("wordy tokens without common function terms " * 10).trim
+    assert(!keep(noStops + " qq ww ee rr tt yy uu ii oo pp"),
+      "fewer than 2 stopwords")
+  }
+
   test("unigramFamiliarity: avg corpus token frequency and OOV count, hand-computed") {
     val corpus = Seq(
       (1L, "a a b"), (2L, "a c"), (3L, "zzz"), (4L, ""))
