@@ -527,9 +527,12 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // §2.11 — declared-vs-predicted language confusion matrix: the QA
-    // rollup that catches mislabeled-corpus batches.
+    // rollup that catches mislabeled-corpus batches. Null-id docs are
+    // excluded to match the oracle's prediction join on doc_id (the
+    // repo-wide null-id-out-of-scope convention).
     "lang_confusion" -> ((s, dir) =>
       t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
         .select(col("lang"), TextStats.langIdExpr(col("text")).as("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
@@ -1661,7 +1664,8 @@ object SparkEntry {
          |SELECT t.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(CASE WHEN f.freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-         |  round(CAST(sum(f.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS familiarity
+         |  round(CAST(sum(least(f.freq, ${TextStats.FreqCap})) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS familiarity
          |FROM toks t JOIN freqs f ON f.token = t.token
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 

@@ -283,6 +283,9 @@ object TextStats {
     * stream), then one groupBy(id) fold. The exploded tokens persist —
     * they feed both the frequency aggregate and the join probe.
     */
+  /** Saturation bound for [[unigramFamiliarity]] frequency sums. */
+  val FreqCap = 1000000000L
+
   def unigramFamiliarity(
       df: DataFrame, idCol: String, textCol: String,
       oovBelow: Long = 2L): DataFrame = {
@@ -296,7 +299,11 @@ object TextStats {
       .groupBy("__id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(col("__freq")).as("__sum_freq"),
+        // freq saturates at 1e9 before summing: a token seen a billion
+        // times is maximally familiar, and the uncapped sum could pass
+        // int64 at corpus scale — ANSI mode would abort the query where
+        // the oracle's wider sum succeeds (same cap on both sides)
+        sum(least(col("__freq"), lit(FreqCap))).as("__sum_freq"),
         sum(when(col("__freq") < oovBelow, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("familiarity",
         round(col("__sum_freq").cast("double") / col("n_tokens").cast("double"), 6))

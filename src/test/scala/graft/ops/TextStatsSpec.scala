@@ -272,17 +272,26 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L) < 1.1)
   }
 
-  test("gopherKeep: each rule rejects its own violation class") {
+  test("gopherKeep: each fixture violates exactly ONE rule (deleting that rule flips it)") {
     def keep(t: String): Boolean =
       Seq(t).toDF("t").select(TextStats.gopherKeep(col("t")).as("k"))
         .as[Boolean].head()
     val good = (("the of and is " * 13) + "sensible words follow here now").trim
     assert(keep(good), "a prose-like doc passes every rule")
+    // token-count floor: 3 tokens, stopwords present, mean length in band
     assert(!keep("short the of"), "under 50 tokens")
-    assert(!keep(("x " * 60).trim), "mean token length under 3 chars (3·tok > chars)")
+    // token-count ceiling: all-stopword doc, mean length 4 in band
+    assert(!keep(("the " * 100001).trim), "over 100000 tokens")
+    // mean-length floor: 60 one-char tokens, ALL stopwords ('a' is one)
+    assert(!keep(("a " * 60).trim), "mean token length under 3 chars")
+    // mean-length ceiling: long words + two stopwords keep other rules green
+    assert(!keep(("the of " + "extraordinarily magnificently " * 30).trim),
+      "mean token length over 10 chars")
+    // punct share: chars 799, tokens 100 (mean 8, in band), stopwords 40
     assert(!keep((("the of " + "!!!!!!!!!! " * 3) * 20).trim), "punct over 20% of chars")
-    assert(!keep((("the of 1234567890123456789012345678 ") * 20).trim),
-      "digits over 30% of chars")
+    // digit share: 5-char digit tokens keep mean length ~4.7, stopwords 40
+    assert(!keep(("the of 12345 67890 " * 20).trim), "digits over 30% of chars")
+    // stopword floor: everything else prose-like
     val noStops = ("wordy tokens without common function terms " * 10).trim
     assert(!keep(noStops + " qq ww ee rr tt yy uu ii oo pp"),
       "fewer than 2 stopwords")
