@@ -37,6 +37,16 @@ object SparkEntry {
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** One cleaned FHIR table (extraction + its table-specific cleaning
+    * pipeline) with underscored column names — the engine side of the
+    * `fhir_*_oracle` gates.
+    */
+  private def fhirCleanedTable(s: SparkSession, table: String): DataFrame = {
+    val entries = graft.fhir.BundleReader.normalizedEntries(s, FhirFixtures.fixtureDir)
+    val cleaned = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))(table)
+    graft.sinks.Sinks.underscored(cleaned)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → JSON flatten → validity filter → dedup → profile
     * (SURVEY.md §7.3) in one plan.
@@ -854,6 +864,32 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy("table_name", "row_json")
     }),
 
+    // Each FHIR table's full extraction (A1–A12) + table-specific cleaning
+    // composition (C1–C6, R1, D1) as its own hash-compared gate: Verify
+    // materializes the normalized entry rows to parquet
+    // (FhirFixtures.entriesDumpDir) and the oracle SQL re-derives the same
+    // cleaned table in DuckDB with list/struct functions — closing the
+    // round-3 "FHIR composition has no oracle" evidence gap
+    // (json_pipeline.py:162-474 extraction, :534-690 cleaning).
+    // multipleBirthBoolean is cast to int ON BOTH SIDES: a null BOOLEAN
+    // round-trips as None from parquet but NaN from DuckDB in the driver's
+    // pandas compare; int carries the same information hash-stably.
+    "fhir_patient_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "patient")
+        .withColumn("resource_multipleBirthBoolean",
+          col("resource_multipleBirthBoolean").cast("int"))
+        .orderBy("resource_id")),
+    "fhir_encounter_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "encounter").orderBy("resource_id")),
+    "fhir_condition_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "condition").orderBy("resource_id")),
+    "fhir_observation_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "observation").orderBy("resource_id")),
+    "fhir_immunization_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "immunization").orderBy("patient_id", "resource_date")),
+    "fhir_careplan_oracle" -> ((s, _) =>
+      fhirCleanedTable(s, "careplan").orderBy("patient_id", "resource_period_start")),
+
     // §2.11 — ANN quality gate: deterministic recall of the LSH path vs
     // the exact brute-force ground truth (both sides pinned elsewhere:
     // similarity_topk carries the DuckDB oracle for the exact side).
@@ -1093,7 +1129,237 @@ object SparkEntry {
        |    END, 4)""".stripMargin
   }
 
+  // ---- fhir_*_oracle: DuckDB re-derivation of each cleaned FHIR table from
+  // the normalized-entries parquet Verify materializes (one shared input, so
+  // the hash compare pins extraction + cleaning semantics, not parquet I/O).
+  // Scala-side regex constants are embedded so the oracle can never drift
+  // from Validators. DuckDB lists are 1-indexed; [n] out of range and [-1]
+  // on empty both yield NULL, matching try_element_at.
+  private def fhirEntriesRel: String =
+    s"read_parquet('${graft.fhir.FhirFixtures.entriesDumpDir}/*.parquet')"
+
+  /** C1 as SQL: keep a date string only when null or datetime/date-shaped. */
+  private def duckDateClean(c: String): String =
+    s"""CASE WHEN $c IS NULL OR regexp_matches($c, '${graft.clean.Validators.DatetimePattern}')
+       |  OR regexp_matches($c, '${graft.clean.Validators.DatePattern}') THEN $c END AS $c""".stripMargin
+
+  /** C4 as SQL: both non-null and inverted → swap (least/greatest, same
+    * lexicographic compare as the engine's string columns).
+    */
+  private def duckSwapPair(s0: String, e0: String): String =
+    s"""CASE WHEN $s0 IS NOT NULL AND $e0 IS NOT NULL THEN least($s0, $e0) ELSE $s0 END AS $s0,
+       |    CASE WHEN $s0 IS NOT NULL AND $e0 IS NOT NULL THEN greatest($s0, $e0) ELSE $e0 END AS $e0""".stripMargin
+
+  private def duckUrlList(urls: Seq[String]): String =
+    urls.map(u => s"'$u'").mkString("(", ", ", ")")
+
+  /** A4 as SQL: LAST extension whose url matches (reference loop reassigns
+    * per match, json_pipeline.py:259-267).
+    */
+  private def duckLastExt(urls: Seq[String]): String =
+    s"(list_filter(resource['extension'], x -> x['url'] IN ${duckUrlList(urls)}))[-1]"
+
+  private val fhirPatientOracleSql: String = {
+    import graft.fhir.Extractors.{RaceUrls, EthnicityUrls, BirthplaceUrls}
+    s"""WITH pat AS (
+       |  SELECT fullUrl, patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'Patient'),
+       |raw AS (
+       |  SELECT fullUrl,
+       |    resource['id'] AS resource_id,
+       |    resource['gender'] AS resource_gender,
+       |    resource['birthDate'] AS "resource_birthDate",
+       |    resource['multipleBirthBoolean'] AS "resource_multipleBirthBoolean",
+       |    patient_id,
+       |    resource['deceasedDateTime'] AS "resource_deceasedDateTime",
+       |    resource['multipleBirthInteger'] AS "resource_multipleBirthInteger",
+       |    (list_filter(resource['address'][1]['extension'][1]['extension'],
+       |       x -> x['url'] = 'latitude'))[1]['valueDecimal'] AS latitude,
+       |    (list_filter(resource['address'][1]['extension'][1]['extension'],
+       |       x -> x['url'] = 'longitude'))[1]['valueDecimal'] AS longitude,
+       |    CASE WHEN resource['address'][1] IS NOT NULL
+       |          AND resource['address'][1]['extension'] IS NOT NULL THEN
+       |        coalesce(array_to_string(resource['address'][1]['line'], ', '), '')
+       |        || ', ' || coalesce(resource['address'][1]['city'], '')
+       |        || ', ' || coalesce(resource['address'][1]['state'], '')
+       |        || ', ' || coalesce(resource['address'][1]['postalCode'], '') END AS full_address,
+       |    (list_filter(resource['telecom'], x -> x['system'] = 'phone'))[1]['value'] AS contact_number,
+       |    resource['name'][1]['given'][1] AS first_name,
+       |    resource['name'][1]['family'] AS last_name,
+       |    ${duckLastExt(RaceUrls)} AS race_ext,
+       |    ${duckLastExt(EthnicityUrls)} AS eth_ext,
+       |    ${duckLastExt(BirthplaceUrls)} AS bp_ext,
+       |    resource['maritalStatus']['coding'][1]['code'] AS "maritalStatus"
+       |  FROM pat),
+       |ext AS (
+       |  SELECT * EXCLUDE (race_ext, eth_ext, bp_ext),
+       |    CASE WHEN first_name IS NOT NULL AND last_name IS NOT NULL
+       |         THEN first_name || ' ' || last_name END AS full_name,
+       |    race_ext['valueCodeableConcept']['coding'][1]['display'] AS race,
+       |    race_ext['valueCodeableConcept']['coding'][1]['code'] AS race_code,
+       |    eth_ext['valueCodeableConcept']['coding'][1]['display'] AS ethnicity,
+       |    eth_ext['valueCodeableConcept']['coding'][1]['code'] AS ethnicity_code,
+       |    CASE WHEN bp_ext IS NOT NULL THEN
+       |        coalesce(bp_ext['valueAddress']['city'], '') || ', ' ||
+       |        coalesce(bp_ext['valueAddress']['state'], '') END AS birthplace
+       |  FROM raw),
+       |c1 AS (SELECT * FROM ext WHERE resource_id IS NOT NULL),
+       |c2 AS (SELECT * REPLACE (
+       |    CASE WHEN "resource_multipleBirthInteger" IS NOT NULL
+       |          AND "resource_multipleBirthBoolean" IS NULL THEN true
+       |         ELSE "resource_multipleBirthBoolean" END AS "resource_multipleBirthBoolean",
+       |    coalesce("resource_multipleBirthInteger", 0) AS "resource_multipleBirthInteger",
+       |    ${duckDateClean("\"resource_birthDate\"")},
+       |    ${duckDateClean("\"resource_deceasedDateTime\"")},
+       |    CASE WHEN contact_number IS NULL
+       |          OR regexp_matches(contact_number, '${graft.clean.Validators.PhonePattern}')
+       |         THEN contact_number END AS contact_number) FROM c1),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY resource_id ORDER BY fullUrl) AS rn FROM c2)
+       |SELECT * EXCLUDE (rn) REPLACE (
+       |    CASE WHEN latitude BETWEEN -90 AND 90 THEN latitude END AS latitude,
+       |    CASE WHEN longitude BETWEEN -180 AND 180 THEN longitude END AS longitude,
+       |    CAST("resource_multipleBirthBoolean" AS INTEGER) AS "resource_multipleBirthBoolean")
+       |FROM dd WHERE rn = 1 ORDER BY resource_id""".stripMargin
+  }
+
+  private val fhirEncounterOracleSql: String =
+    s"""WITH enc AS (
+       |  SELECT fullUrl, patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'Encounter'),
+       |raw AS (
+       |  SELECT fullUrl,
+       |    resource['id'] AS resource_id,
+       |    resource['status'] AS resource_status,
+       |    resource['class']['code'] AS resource_class_code,
+       |    replace(resource['patient']['reference'], 'urn:uuid:', '') AS resource_patient_reference,
+       |    resource['period']['start'] AS resource_period_start,
+       |    resource['period']['end'] AS resource_period_end,
+       |    patient_id,
+       |    resource['type'][1]['coding'][1]['code'] AS encounter_type_code,
+       |    resource['type'][1]['text'] AS encounter_text,
+       |    resource['reason']['coding'][1]['code'] AS reason_code,
+       |    resource['reason']['coding'][1]['display'] AS reason_display
+       |  FROM enc),
+       |c1 AS (SELECT * FROM raw
+       |  WHERE resource_id IS NOT NULL AND resource_patient_reference IS NOT NULL),
+       |c2 AS (SELECT * REPLACE (
+       |    ${duckDateClean("resource_period_start")},
+       |    ${duckDateClean("resource_period_end")}) FROM c1),
+       |c3 AS (SELECT * REPLACE (
+       |    ${duckSwapPair("resource_period_start", "resource_period_end")}) FROM c2),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY resource_id ORDER BY fullUrl) AS rn FROM c3)
+       |SELECT * EXCLUDE (rn) FROM dd WHERE rn = 1 ORDER BY resource_id""".stripMargin
+
+  private val fhirConditionOracleSql: String =
+    s"""WITH con AS (
+       |  SELECT fullUrl, patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'Condition'),
+       |raw AS (
+       |  SELECT fullUrl,
+       |    resource['id'] AS resource_id,
+       |    resource['clinicalStatus'] AS "resource_clinicalStatus",
+       |    resource['verificationStatus'] AS "resource_verificationStatus",
+       |    replace(resource['subject']['reference'], 'urn:uuid:', '') AS resource_subject_reference,
+       |    replace(resource['context']['reference'], 'urn:uuid:', '') AS resource_context_reference,
+       |    resource['onsetDateTime'] AS "resource_onsetDateTime",
+       |    patient_id,
+       |    resource['abatementDateTime'] AS "resource_abatementDateTime",
+       |    resource['code']['coding'][1]['display'] AS condition_display,
+       |    resource['code']['coding'][1]['code'] AS condition_code
+       |  FROM con),
+       |c1 AS (SELECT * FROM raw WHERE resource_id IS NOT NULL AND patient_id IS NOT NULL),
+       |c2 AS (SELECT * REPLACE (
+       |    ${duckDateClean("\"resource_onsetDateTime\"")},
+       |    ${duckDateClean("\"resource_abatementDateTime\"")}) FROM c1),
+       |c3 AS (SELECT * REPLACE (
+       |    ${duckSwapPair("\"resource_onsetDateTime\"", "\"resource_abatementDateTime\"")}) FROM c2),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY resource_id ORDER BY fullUrl) AS rn FROM c3)
+       |SELECT * EXCLUDE (rn) FROM dd WHERE rn = 1 ORDER BY resource_id""".stripMargin
+
+  private val fhirObservationOracleSql: String =
+    s"""WITH obs AS (
+       |  SELECT fullUrl, patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'Observation'),
+       |raw AS (
+       |  SELECT fullUrl,
+       |    resource['id'] AS resource_id,
+       |    resource['status'] AS resource_status,
+       |    replace(resource['subject']['reference'], 'urn:uuid:', '') AS resource_subject_reference,
+       |    replace(resource['encounter']['reference'], 'urn:uuid:', '') AS resource_encounter_reference,
+       |    resource['effectiveDateTime'] AS "resource_effectiveDateTime",
+       |    resource['valueQuantity']['value'] AS "resource_valueQuantity_value",
+       |    resource['valueQuantity']['unit'] AS "resource_valueQuantity_unit",
+       |    patient_id,
+       |    resource['code']['coding'][1]['display'] AS observation_type,
+       |    resource['code']['coding'][1]['code'] AS observation_code
+       |  FROM obs),
+       |c1 AS (SELECT * FROM raw WHERE resource_id IS NOT NULL AND patient_id IS NOT NULL),
+       |c2 AS (SELECT * REPLACE (
+       |    ${duckDateClean("\"resource_effectiveDateTime\"")}) FROM c1),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY resource_id ORDER BY fullUrl) AS rn FROM c2)
+       |SELECT * EXCLUDE (rn) FROM dd WHERE rn = 1 ORDER BY resource_id""".stripMargin
+
+  private val fhirImmunizationOracleSql: String =
+    s"""WITH imm AS (
+       |  SELECT patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'Immunization'),
+       |raw AS (
+       |  SELECT
+       |    resource['status'] AS resource_status,
+       |    resource['date'] AS resource_date,
+       |    replace(resource['patient']['reference'], 'urn:uuid:', '') AS resource_patient_reference,
+       |    resource['wasNotGiven'] AS "resource_wasNotGiven",
+       |    resource['primarySource'] AS "resource_primarySource",
+       |    replace(resource['encounter']['reference'], 'urn:uuid:', '') AS resource_encounter_reference,
+       |    patient_id,
+       |    resource['vaccineCode']['coding'][1]['display'] AS vaccine_type,
+       |    resource['vaccineCode']['coding'][1]['code'] AS vaccine_code
+       |  FROM imm),
+       |c1 AS (SELECT * FROM raw
+       |  WHERE resource_encounter_reference IS NOT NULL AND resource_patient_reference IS NOT NULL)
+       |SELECT * REPLACE (${duckDateClean("resource_date")}) FROM c1
+       |ORDER BY patient_id, resource_date""".stripMargin
+
+  private val fhirCareplanOracleSql: String =
+    s"""WITH cp AS (
+       |  SELECT patient_id, resource FROM $fhirEntriesRel
+       |  WHERE resource['resourceType'] = 'CarePlan'),
+       |raw AS (
+       |  SELECT
+       |    resource['status'] AS resource_status,
+       |    replace(resource['subject']['reference'], 'urn:uuid:', '') AS resource_subject_reference,
+       |    replace(resource['context']['reference'], 'urn:uuid:', '') AS resource_context_reference,
+       |    resource['period']['start'] AS resource_period_start,
+       |    patient_id,
+       |    resource['period']['end'] AS resource_period_end,
+       |    resource['category'][1]['coding'][1]['display'] AS careplan_name,
+       |    resource['category'][1]['coding'][1]['code'] AS careplan_code,
+       |    CASE WHEN len(list_filter(list_transform(resource['activity'],
+       |           a -> a['detail']['code']['coding'][1]['display']), v -> v IS NOT NULL)) > 0
+       |         THEN array_to_string(list_filter(list_transform(resource['activity'],
+       |           a -> a['detail']['code']['coding'][1]['display']), v -> v IS NOT NULL), ', ')
+       |         END AS careplan_activity,
+       |    CASE WHEN len(list_filter(list_transform(resource['activity'],
+       |           a -> a['detail']['code']['coding'][1]['code']), v -> v IS NOT NULL)) > 0
+       |         THEN array_to_string(list_filter(list_transform(resource['activity'],
+       |           a -> a['detail']['code']['coding'][1]['code']), v -> v IS NOT NULL), ', ')
+       |         END AS careplan_activity_code
+       |  FROM cp),
+       |c2 AS (SELECT * REPLACE (
+       |    ${duckDateClean("resource_period_start")},
+       |    ${duckDateClean("resource_period_end")}) FROM raw)
+       |SELECT * REPLACE (
+       |    ${duckSwapPair("resource_period_start", "resource_period_end")}) FROM c2
+       |ORDER BY patient_id, resource_period_start""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "fhir_patient_oracle" -> fhirPatientOracleSql,
+    "fhir_encounter_oracle" -> fhirEncounterOracleSql,
+    "fhir_condition_oracle" -> fhirConditionOracleSql,
+    "fhir_observation_oracle" -> fhirObservationOracleSql,
+    "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
+    "fhir_careplan_oracle" -> fhirCareplanOracleSql,
 
     "skew_join" ->
       """SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -20,7 +20,16 @@ object Verify {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Materialize the normalized FHIR entry rows once per run: the
+    // fhir_*_oracle DuckDB SQL re-derives every cleaned table from this
+    // parquet, so the oracle and the engine share one input.
+    graft.fhir.FhirFixtures.dumpNormalizedEntries(spark)
+    // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 runs a subset without
+    // paying for the full registry. Unset (driver runs) = everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // near-dup operators persist intermediates by design; drop them
       // between queries so 41 queries don't stack cache evictions
       spark.catalog.clearCache()

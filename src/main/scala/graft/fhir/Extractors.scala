@@ -68,14 +68,16 @@ object Extractors {
 
   // The reference matches these EXACT url strings
   // (`json_pipeline.py:261-266`); the modern US-Core / SHR canonical forms
-  // are accepted as well so both data vintages extract.
-  private val raceUrls = Seq(
+  // are accepted as well so both data vintages extract. Public: the
+  // fhir_patient_oracle DuckDB SQL embeds the same lists so engine and
+  // oracle can never drift.
+  val RaceUrls: Seq[String] = Seq(
     "http://hl7.org/fhir/StructureDefinition/us-core-race",
     "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race")
-  private val ethnicityUrls = Seq(
+  val EthnicityUrls: Seq[String] = Seq(
     "http://hl7.org/fhir/StructureDefinition/us-core-ethnicity",
     "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity")
-  private val birthplaceUrls = Seq(
+  val BirthplaceUrls: Seq[String] = Seq(
     "http://standardhealthrecord.org/fhir/extensions/placeOfBirth",
     "http://standardhealthrecord.org/fhir/StructureDefinition/placeOfBirth")
 
@@ -91,7 +93,7 @@ object Extractors {
     val name0 = first(col("resource.name"))
     val firstName = first(name0.getField("given"))
     val lastName = name0.getField("family")
-    val bp = ext(birthplaceUrls).getField("valueAddress")
+    val bp = ext(BirthplaceUrls).getField("valueAddress")
     entries.select(
       col("fullUrl"),
       col("resource.id").as("resource.id"),
@@ -110,12 +112,12 @@ object Extractors {
       lastName.as("last_name"),
       when(firstName.isNotNull && lastName.isNotNull,
         concat_ws(" ", firstName, lastName)).as("full_name"),
-      extCoding0(raceUrls, "display").as("race"),
-      extCoding0(raceUrls, "code").as("race_code"),
-      extCoding0(ethnicityUrls, "display").as("ethnicity"),
-      extCoding0(ethnicityUrls, "code").as("ethnicity_code"),
+      extCoding0(RaceUrls, "display").as("race"),
+      extCoding0(RaceUrls, "code").as("race_code"),
+      extCoding0(EthnicityUrls, "display").as("ethnicity"),
+      extCoding0(EthnicityUrls, "code").as("ethnicity_code"),
       // X4 — `f"{city}, {state}"` with '' defaults (json_pipeline.py:268)
-      when(ext(birthplaceUrls).isNotNull,
+      when(ext(BirthplaceUrls).isNotNull,
         concat(coalesce(bp.getField("city"), lit("")), lit(", "),
           coalesce(bp.getField("state"), lit("")))).as("birthplace"),
       first(col("resource.maritalStatus.coding")).getField("code").as("maritalStatus"))

@@ -101,4 +101,21 @@ object FhirFixtures {
     dir.toFile.deleteOnExit()
     dir.toString
   }
+
+  /** Where the Verify harness materializes [[BundleReader.normalizedEntries]]
+    * as parquet. The `fhir_*_oracle` DuckDB SQL re-derives each cleaned table
+    * from THIS parquet, so the engine and the oracle share one input and the
+    * hash compare pins extraction (A1–A12) + cleaning (C1–C6) end-to-end —
+    * not just row counts. Absolute path (the oracle runs driver-side with an
+    * unknown cwd), resolved once per JVM so dump and SQL always agree.
+    */
+  lazy val entriesDumpDir: String =
+    new java.io.File("target/verify-fhir-entries").getAbsolutePath
+
+  /** Materialize the normalized entry rows for the oracle side. Verify calls
+    * this once before running the registry; the write is fixture-sized.
+    */
+  def dumpNormalizedEntries(spark: org.apache.spark.sql.SparkSession): Unit =
+    BundleReader.normalizedEntries(spark, fixtureDir)
+      .coalesce(1).write.mode("overwrite").parquet(entriesDumpDir)
 }
