@@ -496,11 +496,16 @@ object SparkEntry {
 
     // §2.11 — compressed-domain top-k quality gate: recall of int8-code
     // search vs full-precision exact (what the 4× compression costs).
+    // The in-gate floor (SimilaritySpec's contract value) is certified by
+    // certifyRecallFloor: a recall regression errors the gate instead of
+    // shipping rows, so the driver's rows check = recall check.
     "ann_quantized_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.quantizedRecall(
-        emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      Similarity.certifyRecallFloor(
+        Similarity.quantizedRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10),
+        floor = 0.8)
         .orderBy("query_id")
     }),
 
@@ -895,10 +900,49 @@ object SparkEntry {
     // similarity_topk carries the DuckDB oracle for the exact side).
     "ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.annRecall(
-        emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        dim = 64, k = 10, numPlanes = 4, numTables = 16)
+      Similarity.certifyRecallFloor(
+        Similarity.annRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, k = 10, numPlanes = 4, numTables = 16),
+        floor = 0.5)
+        .orderBy("query_id")
+    }),
+
+    // §2.11 — the 100 TB-SHAPED LSH config, gate-backed (round-3 verdict):
+    // 10 planes × 32 tables — a random pair collides in ≥1 table with
+    // prob 1−(1−2⁻¹⁰)³² ≈ 3%, so candidates are genuinely selective
+    // (vs ~64% for the 4×16 bench config above). The synthetic corpus has
+    // NO close neighbors (exact top-k sits at ~75°, per-plane agreement
+    // ~0.58, so any selective config recalls ≤ ~0.15 of it — measured
+    // 0.15, theory 1−(1−0.58¹⁰)³² ≈ 0.13; that is LSH physics, not a
+    // bug). So this gate evaluates what LSH is FOR: each query gets 10
+    // deterministic planted near-copies (±5% per-component, cos ≈ 0.999)
+    // that become its exact top-10, and the in-gate floor certifies the
+    // selective config recovers ≥ 0.8 of them.
+    "ann_lsh_scaled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def u(j: Int, d: Int): Double = // deterministic noise in [-1, 1]
+        java.lang.Math.floorMod(
+          graft.functions.TextKernels.mix64((1000L + j) * graft.functions.TextKernels.Gamma + d),
+          2001L).toDouble / 1000.0 - 1.0
+      val variants = (1 to 10).map { j =>
+        struct(lit(j.toLong).as("j"),
+          array((0 until 64).map(d => lit(1.0 + 0.05 * u(j, d))): _*).as("f"))
+      }
+      val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = base.filter(col("vec_id") < 20)
+      val copies = queries
+        .select(col("vec_id"), col("embedding"), explode(array(variants: _*)).as("v"))
+        .select(
+          (lit(100000L) + col("vec_id") * 100 + col("v.j")).as("vec_id"),
+          zip_with(col("embedding"), col("v.f"), (a, b) => a * b).as("embedding"))
+      Similarity.certifyRecallFloor(
+        Similarity.annRecall(
+          base.unionByName(copies), "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          dim = 64, k = 10, numPlanes = 10, numTables = 32),
+        floor = 0.8)
         .orderBy("query_id")
     }),
 
@@ -919,10 +963,12 @@ object SparkEntry {
     // §2.11 — IVF quality gate: deterministic recall vs the exact side.
     "ann_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfRecall(
-        emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 10, numCentroids = 16, nProbe = 6)
+      Similarity.certifyRecallFloor(
+        Similarity.ivfRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          k = 10, numCentroids = 16, nProbe = 6),
+        floor = 0.3)
         .orderBy("query_id")
     }),
 

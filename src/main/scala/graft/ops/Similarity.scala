@@ -163,6 +163,26 @@ object Similarity {
         round(coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_exact"), 4).as("recall"))
   }
 
+  /** Certify an aggregate recall floor IN the result: every row carries
+    * `mean_recall` (over the query set), the `floor`, and `pass`; when the
+    * floor is violated `pass` raise_errors instead of returning false, so a
+    * recall regression FAILS the gate (visible to the driver as an error)
+    * rather than shipping plausible-looking rows. The unpartitioned window
+    * is a deliberate single-partition pass over the diagnostic-sized query
+    * set (recall frames are ≤ queries rows, never corpus-sized).
+    */
+  def certifyRecallFloor(rec: DataFrame, floor: Double): DataFrame = {
+    val w = Window.partitionBy()
+    rec
+      .withColumn("mean_recall", round(avg(col("recall")).over(w), 4))
+      .withColumn("floor", lit(floor))
+      .withColumn("pass",
+        when(col("mean_recall") >= col("floor"), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"recall floor $floor violated: mean_recall="),
+            col("mean_recall").cast("string")))))
+  }
+
   /** Recall of [[lshTopK]] vs exact — an LSH configuration that returned
     * garbage buckets would show up here as recall ≈ k/n instead of ≈ 1.
     */

@@ -95,6 +95,22 @@ class SimilaritySpec extends SparkSpec {
       s"recall fell when tables were added: $mean < $meanFewTables")
   }
 
+  test("certifyRecallFloor: attaches mean/floor/pass when met, raises when violated") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rec = Similarity.quantizedRecall(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    val ok = Similarity.certifyRecallFloor(rec, floor = 0.0).collect()
+    assert(ok.nonEmpty && ok.forall(_.getAs[Boolean]("pass")))
+    val mean = ok.head.getAs[Double]("mean_recall")
+    assert(ok.forall(_.getAs[Double]("mean_recall") == mean))
+    // an unmeetable floor must FAIL the query, not return pass=false rows
+    val e = intercept[Exception] {
+      Similarity.certifyRecallFloor(rec, floor = 1.1).collect()
+    }
+    assert(e.getMessage.contains("recall floor"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("lsh_keys kernel ≡ literal-plane hyperplaneBucket keys (float and double, short vecs)") {
     // 20 deterministic vectors with mixed signs; kernel must reproduce the
     // literal-array formulation bit-for-bit (same SplitMix64 planes, same
