@@ -972,10 +972,12 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
-    // §2.11 — per-source corpus overlap via MinHash-union custom aggregate
-    // (sketch-sized shuffle; no SQL oracle — hash-based estimate).
+    // §2.11 — per-source corpus overlap, EXACT set-algebra form (full
+    // DuckDB oracle). The MinHash-union sketch path (groupOverlap — the
+    // k-longs-per-group 100 TB profile) stays spec-gated: DedupSpec bounds
+    // its error against this exact form.
     "source_overlap" -> ((s, dir) =>
-      Dedup.groupOverlap(t(s, dir, "documents"), "source", "text")
+      Dedup.groupOverlapExact(t(s, dir, "documents"), "source", "text")
         .orderBy("group_a", "group_b")),
 
     // §2.11 — multimodal plumbing: binary payload + typed metadata.
@@ -1406,6 +1408,29 @@ object SparkEntry {
     "fhir_observation_oracle" -> fhirObservationOracleSql,
     "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
     "fhir_careplan_oracle" -> fhirCareplanOracleSql,
+
+    "source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+        |  FROM documents WHERE source IS NOT NULL
+        |), shl AS (
+        |  SELECT source, CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |            i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+        |      ELSE [] END AS s
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT source AS grp, unnest(s) AS g FROM shl
+        |), sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY grp),
+        |inter AS (
+        |  SELECT l.grp AS group_a, r.grp AS group_b, count(*) AS ni
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.grp < r.grp GROUP BY 1, 2)
+        |SELECT a.grp AS group_a, b.grp AS group_b, a.n AS n_a, b.n AS n_b,
+        |  CAST(coalesce(i.ni, 0) AS BIGINT) AS n_inter,
+        |  round(coalesce(i.ni, 0) * 1.0 / (a.n + b.n - coalesce(i.ni, 0)), 6) AS jaccard
+        |FROM sizes a JOIN sizes b ON a.grp < b.grp
+        |LEFT JOIN inter i ON i.group_a = a.grp AND i.group_b = b.grp
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "skew_join" ->
       """SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,

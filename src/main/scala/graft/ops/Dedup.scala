@@ -309,6 +309,46 @@ object Dedup {
           .as("est_jaccard"))
   }
 
+  /** EXACT pairwise corpus overlap between groups: per-pair Jaccard of the
+    * groups' distinct word-n-gram sets, plus the set sizes. Oracle-grade
+    * counterpart of [[groupOverlap]] — plain COUNT(DISTINCT) set algebra,
+    * fully distributed: one distinct on (group, shingle), one self
+    * equi-join on the shingle for intersections (bounded by total shingle
+    * occurrences × groups-per-shingle, never |A|·|B|), one tiny
+    * size-pair frame. At 100 TB the shingle self-join is the cost —
+    * profile with the sketch path ([[groupOverlap]], k longs per group)
+    * and reserve this form for audits; the sketch's error against this
+    * exact form is bounded in DedupSpec. Output: (group_a, group_b, n_a,
+    * n_b, n_inter, jaccard), group_a < group_b, null groups excluded.
+    */
+  def groupOverlapExact(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = df
+      .filter(col(groupCol).isNotNull)
+      .select(
+        col(groupCol).as("__grp"),
+        explode(graft.functions.shingle_string_set(col(textCol), n)).as("__h"))
+      .distinct()
+      // feeds the size aggregate and BOTH sides of the intersection join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("__grp").agg(count(lit(1)).as("__n"))
+    val inter = sh.as("l")
+      .join(sh.as("r"), col("l.__h") === col("r.__h") && col("l.__grp") < col("r.__grp"))
+      .groupBy(col("l.__grp").as("group_a"), col("r.__grp").as("group_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.as("a")
+      .join(sizes.as("b"), col("a.__grp") < col("b.__grp"))
+      .select(
+        col("a.__grp").as("group_a"), col("b.__grp").as("group_b"),
+        col("a.__n").as("n_a"), col("b.__n").as("n_b"))
+    pairs.join(inter, Seq("group_a", "group_b"), "left")
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        round(coalesce(col("n_inter"), lit(0L)) * 1.0 /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6).as("jaccard"))
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: bit j of the signature is the

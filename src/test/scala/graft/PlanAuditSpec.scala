@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf" -> "centroid assignment: corpus × broadcast codebook",
     "ann_ivf_recall" -> "both of the above",
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
-    "source_overlap" -> "group-pair sketch cross: rows = #groups², k longs each",
+    "source_overlap" -> "group-pair size cross: rows = #groups², two longs each",
     "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row")
 
   test("every oracle key names a registry query (a typo silently demotes the gate)") {

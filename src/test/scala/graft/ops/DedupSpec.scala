@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("groupOverlap sketch tracks groupOverlapExact within MinHash error on the bench corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = Dedup.groupOverlapExact(docs, "source", "text")
+      .select("group_a", "group_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = Dedup.groupOverlap(docs, "source", "text")
+      .select("group_a", "group_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+    // same pair universe, both a<b ordered
+    assert(est.nonEmpty && est.length == exact.size,
+      s"pair sets differ: sketch ${est.length} vs exact ${exact.size}")
+    // k=128 signature agreement has stderr ≈ √(J(1−J)/k) ≤ 0.045; 3σ plus
+    // small-set bias margin → 0.15 absolute. A broken sketch (hash drift,
+    // union bug) errors by O(1), far outside this band.
+    val maxErr = est.map { case (a, b, e) => math.abs(e - exact((a, b))) }.max
+    info(f"max |sketch − exact| over ${est.length} pairs = $maxErr%.4f")
+    assert(maxErr <= 0.15, f"sketch error $maxErr%.4f exceeds MinHash bound")
+  }
+
   test("simhash: zero-token docs get null signatures and never pair (no hot bucket)") {
     // 1000 blank docs would all share signature 0 and form one quadratic
     // LSH bucket (~500k pairs); the null-signature contract drops them.
