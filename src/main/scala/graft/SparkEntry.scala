@@ -37,6 +37,25 @@ object SparkEntry {
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Where Verify materializes (doc_id, simhash) of the sf documents table.
+    * The dedup_simhash oracle re-verifies the Hamming-pair stage from this
+    * parquet with bit_count(xor()) in DuckDB — sound because the pigeonhole
+    * chunk candidates are a SUPERSET of every Hamming≤3 pair, so the
+    * operator's output equals the all-pairs form the SQL computes. The
+    * signature kernel itself stays spec-pinned (TextKernels specs).
+    */
+  val SimhashDumpDir: String =
+    new java.io.File("target/verify-simhash-sigs").getAbsolutePath
+
+  /** The signature frame both the dump and (implicitly, via the same
+    * deterministic kernel) the dedup_simhash gate derive from. Null-id rows
+    * are kept: the `<` pair condition drops them identically on both sides.
+    */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.Dedup.simhash64(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
   /** One cleaned FHIR table (extraction + its table-specific cleaning
     * pipeline) with underscored column names — the engine side of the
     * `fhir_*_oracle` gates.
@@ -1408,6 +1427,15 @@ object SparkEntry {
     "fhir_observation_oracle" -> fhirObservationOracleSql,
     "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
     "fhir_careplan_oracle" -> fhirCareplanOracleSql,
+
+    "dedup_simhash" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, simhash FROM read_parquet('$SimhashDumpDir/*.parquet'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "source_overlap" ->
       """WITH toks AS (

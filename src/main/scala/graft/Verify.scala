@@ -24,6 +24,10 @@ object Verify {
     // fhir_*_oracle DuckDB SQL re-derives every cleaned table from this
     // parquet, so the oracle and the engine share one input.
     graft.fhir.FhirFixtures.dumpNormalizedEntries(spark)
+    // ... and the simhash signatures, so dedup_simhash's pair stage gets a
+    // bit_count(xor()) oracle (the kernel stays spec-pinned).
+    SparkEntry.simhashSignatures(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.SimhashDumpDir)
     // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 runs a subset without
     // paying for the full registry. Unset (driver runs) = everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
