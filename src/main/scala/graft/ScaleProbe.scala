@@ -100,6 +100,59 @@ object ScaleProbe {
         e, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 10, numCentroids = 64, nProbe = 8))
     }
+
+    // events-keyed fan-out family (round-3 ops): replication offsets
+    // user_id, so KEY cardinality grows k× while each key's span stays
+    // fixed — the axis that matters for the dense-grid explode (Σ per-key
+    // spans) and the funnel's per-key joins.
+    val ev = spark.read.schema(SparkEntry.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .select("user_id", "ts", "event_type")
+    def replicateEv(times: Int): DataFrame = {
+      val n = 100000000L
+      (0 until times).map { i =>
+        ev.select((col("user_id") + lit(i * n)).as("user_id"), col("ts"), col("event_type"))
+      }.reduce(_.unionByName(_))
+    }
+    Seq(1, k).foreach { times =>
+      val e = replicateEv(times)
+      println(s"--- events ${times}x (${e.count()} events) ---")
+      time("denseCounts(hourly)",
+        graft.ops.TimeSeries.denseCounts(e, "user_id", "ts", 3600L * 1000000000L))
+      time("funnelSteps(view,click,purchase)",
+        graft.ops.Funnel.funnelSteps(
+          e.withColumn("tus", expr("ts DIV 1000")),
+          "user_id", "tus", "event_type",
+          Seq("view", "click", "purchase"), 1800000000L))
+    }
+
+    // zorderBy: one range exchange + in-partition sort — ratio should be
+    // ~linear (sort) with no single-task step
+    Seq(1, k).foreach { times =>
+      val d = replicate(times).withColumn("n_chars", length(col("text")).cast("long"))
+      println(s"--- zorder ${times}x ---")
+      time("zorderBy(doc_id,n_chars)",
+        Curation.zorderBy(d, col("doc_id") % 1024, col("n_chars") % 1024,
+          bits = 10, tiebreak = Seq(col("doc_id"))))
+    }
+
+    // guard probe: one epoch-0 sentinel next to current-epoch data must
+    // fail fast with the offending key named, not build a giant grid row
+    // (bound lowered so the bench corpus's ~490k-hour span trips it)
+    val corrupt = ev.limit(1).select(col("user_id"), lit(0L).as("ts"), col("event_type"))
+      .unionByName(ev)
+    val guard =
+      try {
+        graft.ops.TimeSeries.denseCounts(
+          corrupt, "user_id", "ts", 3600L * 1000000000L,
+          maxBucketsPerKey = 100000L).count()
+        "NOT RAISED — guard regression"
+      } catch {
+        case e: Throwable if String.valueOf(e).contains("maxBucketsPerKey") ||
+            String.valueOf(e.getCause).contains("maxBucketsPerKey") =>
+          "raised as designed (key named in message)"
+      }
+    println(s"denseCounts sentinel guard: $guard")
     spark.stop()
   }
 }

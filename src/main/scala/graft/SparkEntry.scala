@@ -27,7 +27,7 @@ object SparkEntry {
     * smoke harness doesn't set). All `ts` arithmetic downstream is integer
     * nanos; the DuckDB oracles use `epoch_ns`.
     */
-  private val eventsSchema = StructType(Seq(
+  private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))

@@ -353,11 +353,34 @@ object Similarity {
     * sides of the chunk-pair join, and unpersisting before the caller's
     * action would recompute the group+pack twice. Long-lived sessions
     * issuing many calls should `spark.catalog.clearCache()` between
-    * batches (the Verify/Bench harnesses do).
+    * batches (the Verify/Bench harnesses do) — or use
+    * [[cosineNearDupPairsEager]], which releases the chunk cache itself.
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBlocks: Int = 16): DataFrame =
+    cosineNearDupPairsWithChunks(df, idCol, vecCol, threshold, numBlocks)._1
+
+  /** [[cosineNearDupPairs]] without the caching contract: materializes the
+    * pair result eagerly, releases the internal chunk cache before
+    * returning (try/finally — also on failure), and hands back a persisted
+    * result the CALLER owns (unpersist when done). The variant for
+    * long-lived sessions that can't clearCache between batches.
+    */
+  def cosineNearDupPairsEager(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBlocks: Int = 16): DataFrame = {
+    val (result, chunks) =
+      cosineNearDupPairsWithChunks(df, idCol, vecCol, threshold, numBlocks)
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    finally chunks.unpersist(blocking = true)
+    out
+  }
+
+  private def cosineNearDupPairsWithChunks(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBlocks: Int): (DataFrame, DataFrame) = {
     require(numBlocks >= 1, s"numBlocks must be positive, got $numBlocks")
     // fail fast on non-integral ids: a silent cast("long") would turn
     // string ids into nulls AFTER the null filter has run, flooding the
@@ -396,7 +419,7 @@ object Similarity {
         col("__blk_a").as("_1"), col("__blk_b").as("_2"),
         col("__ra").as("_3"), col("__rb").as("_4"))
       .as[(Long, Long, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
-    paired.mapPartitions { it =>
+    val pairsOut = paired.mapPartitions { it =>
       def pack(rows: Seq[(Long, Seq[Double])]): (Array[Long], Array[Array[Double]], Array[Double]) = {
         val ids = new Array[Long](rows.size)
         val vs = new Array[Array[Double]](rows.size)
@@ -438,5 +461,6 @@ object Similarity {
         }
       }
     }.toDF("id_a", "id_b", "cosine_sim")
+    (pairsOut, chunks)
   }
 }

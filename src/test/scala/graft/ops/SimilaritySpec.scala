@@ -95,6 +95,23 @@ class SimilaritySpec extends SparkSpec {
       s"recall fell when tables were added: $mean < $meanFewTables")
   }
 
+  test("cosineNearDupPairsEager: same pairs as lazy form, no chunk cache left behind") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val expected = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val eager = Similarity.cosineNearDupPairsEager(vecs, "vec_id", "embedding", 0.5)
+    assert(eager.as[(Long, Long, Double)].collect().toSet == expected)
+    // only the caller-owned result may remain cached; the internal chunk
+    // frame must be gone the moment the call returns
+    val afterEager = spark.sparkContext.getPersistentRDDs.size
+    assert(afterEager == before + 1,
+      s"expected only the returned result cached, found ${afterEager - before} persisted RDDs")
+    eager.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("certifyRecallFloor: attaches mean/floor/pass when met, raises when violated") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val rec = Similarity.quantizedRecall(
