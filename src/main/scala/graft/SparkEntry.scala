@@ -47,6 +47,56 @@ object SparkEntry {
   val SimhashDumpDir: String =
     new java.io.File("target/verify-simhash-sigs").getAbsolutePath
 
+  /** Where Verify materializes (vec_id, keys) — the kernel-computed LSH
+    * bucket keys of every embedding at the ann_lsh registry config. The
+    * ann_lsh oracle replays candidate generation (bucket equi-join), exact
+    * scoring (list_cosine_similarity), and ranking in DuckDB from this
+    * parquet; only the SplitMix64 plane derivation stays spec-pinned
+    * (kernel ≡ literal-plane equivalence in SimilaritySpec).
+    */
+  val LshKeysDumpDir: String =
+    new java.io.File("target/verify-lsh-keys").getAbsolutePath
+
+  /** The ann_lsh gate's key frame (m=4, L=16 — keep in lock-step with the
+    * registry entry below).
+    */
+  def lshKeyFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.lsh_keys(col("embedding"), 64, 4, 16).as("keys"))
+
+  /** Corpus + queries for ann_lsh_scaled: the base embeddings (as double
+    * arrays) plus 10 deterministic near-copies of each query (±5%
+    * per-component, cos ≈ 0.999) that become its exact top-10 — the
+    * neighbors a selective LSH config exists to find. Exposed so Verify can
+    * dump (vec_id, embedding, keys) for the oracle.
+    */
+  def annLshScaledData(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def u(j: Int, d: Int): Double = // deterministic noise in [-1, 1]
+      java.lang.Math.floorMod(
+        graft.functions.TextKernels.mix64((1000L + j) * graft.functions.TextKernels.Gamma + d),
+        2001L).toDouble / 1000.0 - 1.0
+    val variants = (1 to 10).map { j =>
+      struct(lit(j.toLong).as("j"),
+        array((0 until 64).map(d => lit(1.0 + 0.05 * u(j, d))): _*).as("f"))
+    }
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = base.filter(col("vec_id") < 20)
+    val copies = queries
+      .select(col("vec_id"), col("embedding"), explode(array(variants: _*)).as("v"))
+      .select(
+        (lit(100000L) + col("vec_id") * 100 + col("v.j")).as("vec_id"),
+        zip_with(col("embedding"), col("v.f"), (a, b) => a * b).as("embedding"))
+    (base.unionByName(copies), queries)
+  }
+
+  /** Where Verify materializes the ann_lsh_scaled corpus with its
+    * 10-plane × 32-table keys, for that gate's oracle.
+    */
+  val ScaledLshDumpDir: String =
+    new java.io.File("target/verify-lsh-scaled").getAbsolutePath
+
   /** The signature frame both the dump and (implicitly, via the same
     * deterministic kernel) the dedup_simhash gate derive from. Null-id rows
     * are kept: the `<` pair condition drops them identically on both sides.
@@ -940,25 +990,10 @@ object SparkEntry {
     // that become its exact top-10, and the in-gate floor certifies the
     // selective config recovers ≥ 0.8 of them.
     "ann_lsh_scaled" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      def u(j: Int, d: Int): Double = // deterministic noise in [-1, 1]
-        java.lang.Math.floorMod(
-          graft.functions.TextKernels.mix64((1000L + j) * graft.functions.TextKernels.Gamma + d),
-          2001L).toDouble / 1000.0 - 1.0
-      val variants = (1 to 10).map { j =>
-        struct(lit(j.toLong).as("j"),
-          array((0 until 64).map(d => lit(1.0 + 0.05 * u(j, d))): _*).as("f"))
-      }
-      val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = base.filter(col("vec_id") < 20)
-      val copies = queries
-        .select(col("vec_id"), col("embedding"), explode(array(variants: _*)).as("v"))
-        .select(
-          (lit(100000L) + col("vec_id") * 100 + col("v.j")).as("vec_id"),
-          zip_with(col("embedding"), col("v.f"), (a, b) => a * b).as("embedding"))
+      val (corpus, queries) = annLshScaledData(s, dir)
       Similarity.certifyRecallFloor(
         Similarity.annRecall(
-          base.unionByName(copies), "vec_id", "embedding",
+          corpus, "vec_id", "embedding",
           queries, "vec_id", "embedding",
           dim = 64, k = 10, numPlanes = 10, numTables = 32),
         floor = 0.8)
@@ -1196,6 +1231,62 @@ object SparkEntry {
        |    END, 4)""".stripMargin
   }
 
+  /** Recall-gate oracle builder: exact top-10 per query (vec_id < 20) over
+    * `eSrc`, an approx side supplied as CTEs ending in
+    * `approx(query_id, neighbor_id)`, the per-query recall join, and the
+    * certifyRecallFloor columns (mean over the UNPARTITIONED window = whole
+    * set, matching Spark's frameless partitionBy()). `pass` mirrors the
+    * engine's value when the gate succeeded (on violation the engine errors
+    * and there is nothing to compare).
+    */
+  private def recallOracleSql(eSrc: String, approxCtes: String, floor: Double): String =
+    s"""WITH e AS ($eSrc),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+       |    FROM e CROSS JOIN (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20) q
+       |    WHERE e.vec_id <> q.qid) WHERE rn <= 10),
+       |$approxCtes,
+       |hits AS (
+       |  SELECT x.query_id, count(*) AS nh
+       |  FROM exact x JOIN approx a USING (query_id, neighbor_id) GROUP BY 1),
+       |base AS (SELECT query_id, count(*) AS ne FROM exact GROUP BY 1),
+       |rec AS (
+       |  SELECT b.query_id, CAST(b.ne AS BIGINT) AS n_exact,
+       |    CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit,
+       |    round(coalesce(h.nh, 0) * 1.0 / b.ne, 4) AS recall
+       |  FROM base b LEFT JOIN hits h ON h.query_id = b.query_id)
+       |SELECT query_id, n_exact, n_hit, recall,
+       |  round(avg(recall) OVER (), 4) AS mean_recall,
+       |  CAST($floor AS DOUBLE) AS floor,
+       |  round(avg(recall) OVER (), 4) >= $floor AS pass
+       |FROM rec ORDER BY query_id""".stripMargin
+
+  /** Approx-side CTEs for an LSH recall oracle over a (vec_id, embedding,
+    * keys) dump: bucket equi-join candidates → exact-score → top-10.
+    */
+  private def lshApproxCtes(dumpDir: String): String =
+    s"""ck AS (SELECT vec_id, unnest(keys) AS key
+       |  FROM read_parquet('$dumpDir/*.parquet')),
+       |qk AS (SELECT vec_id AS qid, unnest(keys) AS key
+       |  FROM read_parquet('$dumpDir/*.parquet') WHERE vec_id < 20),
+       |cand AS (
+       |  SELECT DISTINCT qid, ck.vec_id AS nid
+       |  FROM ck JOIN qk USING (key) WHERE ck.vec_id <> qid),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qid AS query_id, nid AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC, nid) AS rn
+       |    FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
+       |  WHERE rn <= 10)""".stripMargin
+
+  private val embeddingsESrc =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
+
   // ---- fhir_*_oracle: DuckDB re-derivation of each cleaned FHIR table from
   // the normalized-entries parquet Verify materializes (one shared input, so
   // the hash compare pins extraction + cleaning semantics, not parquet I/O).
@@ -1427,6 +1518,116 @@ object SparkEntry {
     "fhir_observation_oracle" -> fhirObservationOracleSql,
     "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
     "fhir_careplan_oracle" -> fhirCareplanOracleSql,
+
+    "ann_recall" -> recallOracleSql(
+      embeddingsESrc, lshApproxCtes(LshKeysDumpDir), floor = 0.5),
+
+    "ann_lsh_scaled" -> recallOracleSql(
+      s"""SELECT vec_id, embedding AS v
+         |  FROM read_parquet('$ScaledLshDumpDir/*.parquet')""".stripMargin,
+      lshApproxCtes(ScaledLshDumpDir), floor = 0.8),
+
+    "ann_ivf_recall" -> recallOracleSql(
+      embeddingsESrc,
+      """cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT e.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c WHERE e.vec_id < 20) WHERE rn <= 6),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS nid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qid AS query_id, nid AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC, nid) AS rn
+        |    FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
+        |  WHERE rn <= 10)""".stripMargin,
+      floor = 0.3),
+
+    "ann_quantized_recall" -> recallOracleSql(
+      embeddingsESrc,
+      """codes AS (
+        |  SELECT vec_id, CASE WHEN scale > 0
+        |      THEN list_transform(v, x ->
+        |        greatest(-127, least(127, CAST(round(x / scale) AS BIGINT))))
+        |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS cd
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |        FROM e)),
+        |qdots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CAST(list_sum(list_transform(range(1, len(q.cd) + 1),
+        |      i -> q.cd[i] * c.cd[i])) AS DOUBLE) AS num,
+        |    sqrt(CAST(list_sum(list_transform(q.cd, x -> x * x)) AS DOUBLE)) *
+        |    sqrt(CAST(list_sum(list_transform(c.cd, x -> x * x)) AS DOUBLE)) AS den
+        |  FROM codes c CROSS JOIN (SELECT * FROM codes WHERE vec_id < 20) q
+        |  WHERE c.vec_id <> q.vec_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qid AS query_id, nid AS neighbor_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(CASE WHEN den > 0 THEN num / den END, 6) DESC NULLS LAST, nid) AS rn
+        |    FROM qdots) WHERE rn <= 10)""".stripMargin,
+      floor = 0.8),
+
+    "ann_lsh" ->
+      s"""WITH k AS (
+         |  SELECT vec_id, keys FROM read_parquet('$LshKeysDumpDir/*.parquet')),
+         |ck AS (SELECT vec_id, unnest(keys) AS key FROM k),
+         |qk AS (SELECT vec_id AS qid, unnest(keys) AS key FROM k WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT qid, ck.vec_id AS nid
+         |  FROM ck JOIN qk USING (key) WHERE ck.vec_id <> qid),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    round(list_cosine_similarity(eq.v, en.v), 6) AS cosine_sim
+         |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
+         |SELECT query_id, neighbor_id, cosine_sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT e.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= 6),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id AS nid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  WHERE a.vec_id <> p.qid),
+        |scored AS (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    round(list_cosine_similarity(eq.v, en.v), 6) AS cosine_sim
+        |  FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
+        |SELECT query_id, neighbor_id, cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH s AS (

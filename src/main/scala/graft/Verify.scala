@@ -28,6 +28,19 @@ object Verify {
     // bit_count(xor()) oracle (the kernel stays spec-pinned).
     SparkEntry.simhashSignatures(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.SimhashDumpDir)
+    // ... and the LSH bucket keys, so ann_lsh's candidate join + exact
+    // scoring + ranking get a DuckDB oracle (the plane kernel stays
+    // spec-pinned).
+    SparkEntry.lshKeyFrame(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.LshKeysDumpDir)
+    // ... and the ann_lsh_scaled corpus (base + planted near-copies) with
+    // its selective-config keys, for that gate's recall oracle.
+    SparkEntry.annLshScaledData(spark, sfDir)._1
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        graft.functions.lsh_keys(
+          org.apache.spark.sql.functions.col("embedding"), 64, 10, 32).as("keys"))
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.ScaledLshDumpDir)
     // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 runs a subset without
     // paying for the full registry. Unset (driver runs) = everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
