@@ -908,10 +908,10 @@ object SparkEntry {
         .orderBy(desc("n_events"), asc("user_id"))
         .limit(10)),
 
-    // FHIR pipeline end-to-end over deterministic fixture bundles (no SQL
-    // oracle — the FHIR JSON never exists as a DuckDB-readable table;
-    // correctness is pinned by FhirPipelineSpec, this surfaces it in the
-    // driver's rows-only check).
+    // FHIR pipeline end-to-end over deterministic fixture bundles. This
+    // composite stays rows-only (multi-table JSON output), but every
+    // table's extraction + cleaning is hash-gated by the fhir_*_oracle
+    // gates below; FhirPipelineSpec pins values here.
     "fhir_pipeline" -> ((s, _) => {
       val entries = graft.fhir.BundleReader
         .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
@@ -923,9 +923,9 @@ object SparkEntry {
 
     // All six FHIR tables in one deterministic gate: every cleaned table's
     // rows serialize to canonical JSON, so a regression in ANY extractor
-    // (A6–A12) or per-table cleaning composition moves this output. No SQL
-    // oracle — the FHIR source never exists as a DuckDB-readable table;
-    // rows-only check + value pinning in FhirPipelineSpec.
+    // (A6–A12) or per-table cleaning composition moves this output.
+    // Rows-only (to_json composite) — the per-table fhir_*_oracle gates
+    // below carry the hash compare for the same semantics.
     "fhir_tables" -> ((s, _) => {
       val entries = graft.fhir.BundleReader
         .normalizedEntries(s, FhirFixtures.fixtureDir).cache()

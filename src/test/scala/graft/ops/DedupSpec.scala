@@ -148,6 +148,25 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("groupOverlapExact: exact Jaccard with set sizes (identical=1, disjoint=0, half=0.5)") {
+    val grouped = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta eta theta"),   // 6 shingles
+      ("s1", "one two three four five six seven eight"),          // 6 shingles
+      ("s2", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("s2", "one two three four five six seven eight"),
+      ("s3", "totally different words nothing shared here at all"),
+      ("s4", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("source", "text")
+    val got = Dedup.groupOverlapExact(grouped, "source", "text")
+      .select("group_a", "group_b", "n_a", "n_b", "n_inter", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("s1", "s2"))._6 == 1.0 && got(("s1", "s2"))._5 == 12L)
+    assert(got(("s1", "s3"))._6 == 0.0 && got(("s1", "s3"))._5 == 0L)
+    assert(got(("s1", "s4")) == (("s1", "s4", 12L, 6L, 6L, 0.5)))
+    assert(got.size == 6, "all C(4,2) ordered pairs present, zero-overlap included")
+  }
+
   test("groupOverlap sketch tracks groupOverlapExact within MinHash error on the bench corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val exact = Dedup.groupOverlapExact(docs, "source", "text")
