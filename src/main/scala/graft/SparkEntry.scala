@@ -528,6 +528,25 @@ object SparkEntry {
         .orderBy("train_id", "eval_id")
     }),
 
+    // §2.11 — exact 13-gram decontamination (the published eval-overlap
+    // protocol, complementing the Jaccard form above): per held-out doc,
+    // the fraction of its 13-grams found anywhere in the train split.
+    "exact_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactNgramContamination(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text",
+        d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text",
+        n = 13)
+        .orderBy("doc_id")
+    }),
+
+    // §2.11 — per-source quota cap: at most 15 docs per source, selected
+    // by the salted deterministic mix (web-curation per-domain cap).
+    "source_quota" -> ((s, dir) =>
+      Curation.groupQuota(t(s, dir, "documents"), "source", "doc_id", maxPerGroup = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // §2.11 — MinHash+LSH near-dup (verified ≥ 0.8 exact Jaccard).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
@@ -1628,6 +1647,37 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "exact_contamination" -> {
+      // 13-wide shingle via list slice (w[i:i+12] is 1-based inclusive =
+      // 13 tokens), same strip/split tokenization as the 3-gram CTEs
+      val gram13 =
+        """CASE WHEN len(w) >= 13
+          |    THEN list_distinct(list_transform(generate_series(1, len(w) - 12),
+          |          i -> array_to_string(w[i:i+12], ' ')))
+          |    ELSE [] END""".stripMargin
+      s"""WITH tw AS (
+         |  SELECT string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |tr AS (SELECT DISTINCT g FROM (SELECT unnest($gram13) AS g FROM tw)),
+         |ew AS (
+         |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS w
+         |  FROM documents WHERE doc_id % 7 = 0 AND doc_id IS NOT NULL),
+         |ev AS (SELECT doc_id, unnest($gram13) AS g FROM ew)
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum(CASE WHEN t.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(sum(CASE WHEN t.g IS NOT NULL THEN 1 END), 0) * 1.0 / count(*), 6) AS hit_frac
+         |FROM ev e LEFT JOIN tr t ON e.g = t.g
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "source_quota" ->
+      s"""SELECT doc_id, source
+         |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.QuotaSalt)}
+         |WHERE doc_id IS NOT NULL
+         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY __mix60, doc_id) <= 15
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH s AS (

@@ -54,6 +54,7 @@ object Curation {
   val SampleSalt = 2L
   val MixtureSalt = 3L
   val ShuffleSalt = 4L
+  val QuotaSalt = 5L
 
   // 60-bit Feistel mix constants: the largest prime below 2^30 as the
   // round modulus, xxHash's public 32-bit primes as round multipliers.
@@ -158,6 +159,28 @@ object Curation {
       case (acc, (stratum, r)) => when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), salt) < rate)
+  }
+
+  /** Per-group document quota: keep at most `maxPerGroup` rows of each
+    * group, chosen by the salted 60-bit mix of the id — a deterministic
+    * "random" sample with no RNG, so reruns select identical rows. The
+    * standard cap against boilerplate-heavy domains flooding a corpus
+    * (per-domain caps in web curation). One hash shuffle on the group key;
+    * the order is total (mix60 is a bijection per salt, id tiebreak), so
+    * selection is reproducible across engines. Null ids are excluded (no
+    * stable identity → no stable quota seat); a null GROUP is a real
+    * group and gets its own quota.
+    */
+  def groupQuota(
+      df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int, salt: Long = QuotaSalt): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be positive: $maxPerGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(mix60(col(idCol), salt).asc, col(idCol).asc)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__qrn", row_number().over(w))
+      .filter(col("__qrn") <= maxPerGroup)
+      .drop("__qrn")
   }
 
   /** Greedy per-group token-budget selection: within each `groupCol`

@@ -283,6 +283,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram decontamination scan — the published eval-overlap
+    * protocol (a 13-gram of an eval document appearing ANYWHERE in the
+    * training corpus marks contamination), as opposed to
+    * [[crossCorpusContamination]]'s document-level Jaccard: per eval doc,
+    * how many of its distinct word n-grams occur in train, and the
+    * fraction. Output: (evalIdCol, n_grams, n_hit, hit_frac); eval docs
+    * with no n-grams (< n tokens) are excluded, null eval ids excluded.
+    *
+    * Distributed shape: distinct train grams (map-side combined), then ONE
+    * pass over exploded eval grams — a left join against the unique gram
+    * set folded straight into the per-doc aggregate. Both shuffles key on
+    * the gram string; no pairwise doc joins, nothing driver-side. At
+    * 100 TB the train gram set is the cost: hash grams to int64 before the
+    * join, partition both sides by gram, or front a Bloom filter on the
+    * (much smaller) eval gram set to pre-filter train's explode.
+    */
+  def exactNgramContamination(
+      train: DataFrame, trainTextCol: String,
+      eval: DataFrame, evalIdCol: String, evalTextCol: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram width must be positive: $n")
+    val trainGrams = train
+      .select(explode(graft.functions.shingle_string_set(col(trainTextCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    eval
+      .filter(col(evalIdCol).isNotNull)
+      .select(col(evalIdCol),
+        explode(graft.functions.shingle_string_set(col(evalTextCol), n)).as("__g"))
+      .join(trainGrams, Seq("__g"), "left")
+      .groupBy(evalIdCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
   /** Estimated pairwise corpus overlap between groups (sources, languages,
     * shards): per-group MinHash-union sketch via the
     * [[graft.functions.MinHashUnionAgg]] custom aggregate, then signature

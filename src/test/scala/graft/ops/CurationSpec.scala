@@ -317,4 +317,21 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "changed", 5L -> "added"))
   }
+
+  test("groupQuota: caps each group deterministically, keeps small groups whole, drops null ids") {
+    val df = ((1L to 100L).map(i => (Some(i), if (i <= 95) "big" else "small")) :+
+      ((None: Option[Long]) -> "big")).toDF("doc_id", "source")
+    val got = Curation.groupQuota(df, "source", "doc_id", maxPerGroup = 10)
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size == 10, "oversized group capped")
+    assert(bySrc("small") == (96L to 100L).toSet, "under-quota group kept whole")
+    // deterministic: the same rows every run
+    val again = Curation.groupQuota(df, "source", "doc_id", maxPerGroup = 10)
+      .as[(Long, String)].collect().toSet
+    assert(again == got.toSet)
+    // the selection hash-samples (mix60-smallest), not lowest-id-first
+    assert(bySrc("big") != (1L to 10L).toSet,
+      "quota must hash-select, not take the lowest ids")
+  }
 }

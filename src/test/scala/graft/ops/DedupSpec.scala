@@ -148,6 +148,23 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("exactNgramContamination: full, partial, zero hit fractions; short/null-id eval docs excluded") {
+    val train = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val eval = Seq(
+      (Some(1L), "alpha beta gamma delta epsilon"),  // all 3 trigrams in train
+      (Some(2L), "alpha beta gamma nine ten"),       // 1 of 3
+      (Some(3L), "one two three four"),              // 0 of 2
+      (Some(4L), "too short"),                       // < 3 tokens: no grams
+      (None: Option[Long], "alpha beta gamma"))      // null id: excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.exactNgramContamination(train, "text", eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 1.0)))
+    assert(got(2L) == ((2L, 3L, 1L, 0.333333)))
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)))
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
   test("groupOverlapExact: exact Jaccard with set sizes (identical=1, disjoint=0, half=0.5)") {
     val grouped = Seq(
       ("s1", "alpha beta gamma delta epsilon zeta eta theta"),   // 6 shingles
