@@ -547,6 +547,18 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.11 — incremental "seen before" dedup: Bloom prefilter over the
+    // history's content hashes + exact md5 verify of bloom-positives only
+    // (bloom-negatives never shuffle). Exact output — full oracle.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupAgainstHistory(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text",
+        d.filter(pmod(col("doc_id"), lit(7)) === 0), "text")
+        .select("doc_id", "in_history")
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — MinHash+LSH near-dup (verified ≥ 0.8 exact Jaccard).
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
@@ -1671,6 +1683,14 @@ object SparkEntry {
          |FROM ev e LEFT JOIN tr t ON e.g = t.g
          |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_incremental" ->
+      """SELECT i.doc_id,
+        |  coalesce(md5(i.text) IN (
+        |    SELECT md5(text) FROM documents
+        |    WHERE doc_id % 7 <> 0 AND text IS NOT NULL), false) AS in_history
+        |FROM documents i WHERE i.doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "source_quota" ->
       s"""SELECT doc_id, source

@@ -17,6 +17,27 @@ package object functions {
   def shingle_hash_set(text: Column, n: Int): Column =
     c(expressions.ShingleHashSet(e(text), n))
 
+  /** Spark's internal Bloom-filter aggregate (the engine behind runtime
+    * row-level filtering), exposed Column-first: builds a serialized Bloom
+    * filter over a LONG column (hash first — `xxhash64`). Not SQL-registered
+    * upstream, but a public-Spark catalyst class — no UDF, codegen'd probe.
+    */
+  def bloom_filter_agg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    c(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      e(hashed),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Probe of a serialized Bloom filter (constant byte array) against a
+    * LONG hash column.
+    */
+  def might_contain(bloomBytes: Array[Byte], hashed: Column): Column =
+    c(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      e(hashed)))
+
   /** MinHash signature (`k` permutations) of a hashed shingle set. */
   def minhash_signature(hashes: Column, k: Int): Column =
     c(expressions.MinhashSignature(e(hashes), k))

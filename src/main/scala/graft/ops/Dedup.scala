@@ -283,6 +283,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup against an already-ingested history WITHOUT joining
+    * it wholesale — the 100 TB "have we seen this before" primitive. A
+    * Bloom filter over the history's content hashes (ONE aggregate pass;
+    * the sketch lands on the driver at `numBits/8` bytes — the same
+    * footprint class as a broadcast, and reusable across many incoming
+    * batches) prefilters the incoming batch map-side; only bloom-POSITIVE
+    * rows pay the exact md5 semi-join that removes false positives, and
+    * bloom-negative rows (the vast majority when overlap is rare) never
+    * shuffle at all. No false negatives by Bloom construction, no false
+    * positives after the verify join — the output is EXACT.
+    *
+    * Output: `incoming` with an `in_history` boolean appended. Null-text
+    * rows are never flagged (no content, no identity); null ids pass
+    * through (flag is computed from content, not id).
+    *
+    * At 100 TB: size `expectedItems`/`fpp` to the history's distinct-doc
+    * count (8 M items at 1% fpp ≈ 10 MB sketch); the verify join's history
+    * side should be a pre-bucketed (hash) table so repeated batches pay no
+    * history shuffle; serialize the sketch once per history snapshot and
+    * reuse it for every batch.
+    */
+  def dedupAgainstHistory(
+      history: DataFrame, historyTextCol: String,
+      incoming: DataFrame, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = history
+      .filter(col(historyTextCol).isNotNull)
+      .agg(graft.functions.bloom_filter_agg(
+        xxhash64(col(historyTextCol)), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val candidate = col(textCol).isNotNull &&
+      graft.functions.might_contain(bloomBytes, xxhash64(col(textCol)))
+    val seen = history
+      .filter(col(historyTextCol).isNotNull)
+      .select(md5(col(historyTextCol)).as("__h")).distinct()
+      .withColumn("__seen", lit(true))
+    // split-union so bloom-negatives never reach the verify join's shuffle
+    val positives = incoming.filter(candidate)
+      .join(seen, md5(col(textCol)) === col("__h"), "left")
+      .withColumn("in_history", coalesce(col("__seen"), lit(false)))
+      .drop("__h", "__seen")
+    val negatives = incoming.filter(!coalesce(candidate, lit(false)))
+      .withColumn("in_history", lit(false))
+    positives.unionByName(negatives)
+  }
+
   /** Exact n-gram decontamination scan — the published eval-overlap
     * protocol (a 13-gram of an eval document appearing ANYWHERE in the
     * training corpus marks contamination), as opposed to

@@ -15,7 +15,9 @@ class PlanAuditSpec extends SparkSpec {
     * so they are audited by their own operator specs instead of here.
     */
   private val eagerBuilders =
-    Set("stream_dedup", "stream_windows", "stream_sessions", "dedup_clusters")
+    Set("stream_dedup", "stream_windows", "stream_sessions", "dedup_clusters",
+      // builder runs the history Bloom aggregate (sketch to driver)
+      "dedup_incremental")
 
   /** Queries that DELIBERATELY plan a BroadcastNestedLoopJoin: each is a
     * brute-force scoring pass of the full corpus against a provably-small

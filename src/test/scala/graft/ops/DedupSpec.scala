@@ -148,6 +148,25 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("dedupAgainstHistory: exact flags (no bloom false positives survive), null text never flagged") {
+    val history = Seq("seen one", "seen two", "seen three").toDF("text")
+    val incoming = Seq(
+      (1L, Some("seen one")),       // exact dup
+      (2L, Some("brand new doc")),  // new
+      (3L, Some("seen three")),     // exact dup
+      (4L, None: Option[String]))   // null text: never flagged
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstHistory(history, "text", incoming, "text")
+      .select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    // a tiny, collision-prone bloom still yields exact output (verify join
+    // strips the false positives the 64-bit sketch must produce)
+    val tiny = Dedup.dedupAgainstHistory(history, "text", incoming, "text",
+      expectedItems = 1L, fpp = 0.5)
+      .select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+    assert(tiny == got, "false positives must not survive the exact verify")
+  }
+
   test("exactNgramContamination: full, partial, zero hit fractions; short/null-id eval docs excluded") {
     val train = Seq("alpha beta gamma delta epsilon").toDF("text")
     val eval = Seq(
