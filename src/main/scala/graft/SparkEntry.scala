@@ -579,6 +579,15 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.9)
         .orderBy("id_a", "id_b")),
 
+    // §2.11 — semantic cluster dedup (SemDeDup-style): connected
+    // components over the cosine near-dup graph. 0.45 sits just under the
+    // bench corpus's top pair similarities so real multi-member clusters
+    // form; oracle = recursive-CTE reachability.
+    "embed_clusters" -> ((s, dir) =>
+      Similarity.cosineClusters(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")),
+
     // §2.11 — int8 embedding quantization (4× memory at 100 TB): scalar
     // projections of the code carry a full oracle (scale + code sum and
     // extremes reconstruct in SQL from the float vector exactly).
@@ -1683,6 +1692,22 @@ object SparkEntry {
          |FROM ev e LEFT JOIN tr t ON e.g = t.g
          |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "embed_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+        |reach AS (
+        |  SELECT vec_id AS a, vec_id AS b FROM e
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN edges ed ON r.b = ed.a)
+        |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT i.doc_id,

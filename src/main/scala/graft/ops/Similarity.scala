@@ -378,6 +378,26 @@ object Similarity {
     out
   }
 
+  /** Semantic cluster dedup (the SemDeDup-style curation step): connected
+    * components over the embedding near-dup graph — [[cosineNearDupPairs]]
+    * edges at `threshold`, then the same distributed min-label propagation
+    * as the text cluster family ([[Dedup.connectedComponents]]). Output
+    * (id, cluster); cluster = smallest reachable id; vectors with no
+    * near-dup edge keep their own id. Vertices are rows with non-null id
+    * AND vector (no embedding → no semantic identity). Inherits the pair
+    * kernel's O(n²) compute contract — beyond ~10M vectors generate edges
+    * with the LSH/IVF candidate paths instead.
+    */
+  def cosineClusters(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, numBlocks)
+    val vertices = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol))
+    Dedup.connectedComponents(vertices, idCol, pairs, "id_a", "id_b")
+  }
+
   private def cosineNearDupPairsWithChunks(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBlocks: Int): (DataFrame, DataFrame) = {

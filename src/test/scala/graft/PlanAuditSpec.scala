@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
   private val eagerBuilders =
     Set("stream_dedup", "stream_windows", "stream_sessions", "dedup_clusters",
       // builder runs the history Bloom aggregate (sketch to driver)
-      "dedup_incremental")
+      "dedup_incremental",
+      // builder iterates connected components (actions per round)
+      "embed_clusters")
 
   /** Queries that DELIBERATELY plan a BroadcastNestedLoopJoin: each is a
     * brute-force scoring pass of the full corpus against a provably-small

@@ -95,6 +95,14 @@ class SimilaritySpec extends SparkSpec {
       s"recall fell when tables were added: $mean < $meanFewTables")
   }
 
+  test("cosineClusters: near-dup chain collapses to the min id; orthogonal/opposite stay singletons") {
+    // 0~1 (identical) and 0~2 (cos≈0.994) chain {0,1,2}; 3 and 4 are
+    // far from everything at threshold 0.9
+    val got = Similarity.cosineClusters(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("cosineNearDupPairsEager: same pairs as lazy form, no chunk cache left behind") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.size
