@@ -136,6 +136,29 @@ object ScaleProbe {
           bits = 10, tiebreak = Seq(col("doc_id"))))
     }
 
+    // round-4 operator family: overlap/contamination/history-dedup/quota.
+    // Replication grows docs k× (near-dup replicas); group count is fixed
+    // (source values repeat), so groupOverlapExact stresses the
+    // per-shingle group fan-in and exactNgramContamination the gram-set
+    // join, both on the axis that grows at 100 TB.
+    Seq(1, k).foreach { times =>
+      val d = replicate(times)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      println(s"--- round-4 ops ${times}x (${d.count()} docs) ---")
+      time("groupOverlapExact",
+        Dedup.groupOverlapExact(d, "source", "text"))
+      time("exactNgramContamination",
+        Dedup.exactNgramContamination(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text",
+          d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", n = 13))
+      time("dedupAgainstHistory",
+        Dedup.dedupAgainstHistory(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text",
+          d.filter(pmod(col("doc_id"), lit(7)) === 0), "text"))
+      time("groupQuota(15)",
+        Curation.groupQuota(d, "source", "doc_id", maxPerGroup = 15))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

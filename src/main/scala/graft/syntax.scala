@@ -45,6 +45,12 @@ object syntax {
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
+    def exactContaminationAgainst(train: DataFrame, textCol: String, idCol: String,
+        n: Int = 13): DataFrame =
+      Dedup.exactNgramContamination(train, textCol, df, idCol, textCol, n)
+    def flagSeenIn(history: DataFrame, textCol: String,
+        expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+      Dedup.dedupAgainstHistory(history, textCol, df, textCol, expectedItems, fpp)
     def dedupLines(textCol: String, idCol: String, minLineLen: Int = 1): DataFrame =
       Dedup.dedupLines(df, textCol, idCol, minLineLen)
     def crossDocShingleProfile(textCol: String, idCol: String, n: Int = 3): DataFrame =
@@ -73,6 +79,9 @@ object syntax {
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,
         numBlocks: Int = 16): DataFrame =
       Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold, numBlocks)
+    def cosineClusters(idCol: String, vecCol: String, threshold: Double,
+        numBlocks: Int = 16): DataFrame =
+      Similarity.cosineClusters(df, idCol, vecCol, threshold, numBlocks)
     def topKNeighbors(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, idCol, vecCol, queries, idCol, vecCol, k)
 
@@ -87,6 +96,8 @@ object syntax {
       Multimodal.asMediaTable(df, idCol, textCol)
 
     // --- curation ---------------------------------------------------------
+    def groupQuota(groupCol: String, idCol: String, maxPerGroup: Int): DataFrame =
+      Curation.groupQuota(df, groupCol, idCol, maxPerGroup)
     def hashSplit(idCol: String, trainPerMyriad: Int, valPerMyriad: Int): DataFrame =
       Curation.hashSplit(df, idCol, trainPerMyriad, valPerMyriad)
     def stratifiedSample(idCol: String, strataCol: String,

@@ -54,4 +54,22 @@ class SyntaxSpec extends SparkSpec {
     val mixed = docs.epochMixture("doc_id", "text", Map.empty)
     assert(mixed.isEmpty) // no weights → everything drops
   }
+
+  test("round-4 wrappers delegate: flagSeenIn / exactContaminationAgainst / groupQuota / cosineClusters") {
+    val history = Seq("the quick brown fox jumps over the lazy dog near the river bank")
+      .toDF("text")
+    val seen = docs.flagSeenIn(history, "text")
+      .select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+    assert(seen(1L) && seen(2L) && !seen(3L) && !seen(4L))
+    val overlap = docs.exactContaminationAgainst(history, "text", "doc_id", n = 3)
+      .filter($"doc_id" === 1L).select("hit_frac").as[Double].head()
+    assert(overlap == 1.0)
+    val capped = docs.withColumn("src", lit("s")).groupQuota("src", "doc_id", 2)
+    assert(capped.count() == 2)
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cl = vecs.cosineClusters("vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(cl == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
 }
