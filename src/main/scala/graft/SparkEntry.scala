@@ -1115,6 +1115,28 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // §7.6 — fourth streaming gate: stream-static join. The incoming
+    // document stream is flagged against the STATIC history split —
+    // stateless on the stream side, deterministic run-to-completion, so
+    // the result is exactly the batch dedup_incremental and shares its
+    // oracle shape.
+    "stream_seen" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+      val history = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val flagged = Streams.flagSeenInStatic(src, "text", history, "text")
+        .select("doc_id", "in_history")
+      val name = "stream_seen_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(flagged, name, statePartitions = Some(8))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — payload "resize" (stride decimation): scalar stats carry a
     // full hex-reconstruction oracle; identity below the target size.
     "multimodal_resize" -> ((s, dir) =>
@@ -1552,6 +1574,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
+    // the flagship composite is a 5-column projection of the cleaned
+    // patient table — reuse its oracle as a subquery (plain concat: a
+    // second stripMargin would eat the embedded SQL's || operators)
+    "fhir_pipeline" ->
+      ("SELECT resource_id, patient_id, full_name, latitude, \"maritalStatus\"\n" +
+        s"FROM ($fhirPatientOracleSql) ORDER BY resource_id"),
+
     "fhir_patient_oracle" -> fhirPatientOracleSql,
     "fhir_encounter_oracle" -> fhirEncounterOracleSql,
     "fhir_condition_oracle" -> fhirConditionOracleSql,
@@ -1708,6 +1737,14 @@ object SparkEntry {
         |  SELECT r.a, ed.b FROM reach r JOIN edges ed ON r.b = ed.a)
         |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster
         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    "stream_seen" ->
+      """SELECT i.doc_id,
+        |  coalesce(md5(i.text) IN (
+        |    SELECT md5(text) FROM documents
+        |    WHERE doc_id % 7 <> 0 AND text IS NOT NULL), false) AS in_history
+        |FROM documents i WHERE i.doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT i.doc_id,

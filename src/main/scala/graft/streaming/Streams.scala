@@ -78,6 +78,28 @@ object Streams {
         min(col(eventTimeCol)).as("start_time"),
         max(col(eventTimeCol)).as("end_time"))
 
+  /** Stream-static "seen before" flag: every incoming micro-batch joins
+    * the STATIC history frame (Structured Streaming's stream-static join —
+    * stateless on the stream side; the static side is incrementally
+    * re-planned per batch, so a history stored as a bucketed/broadcastable
+    * table costs no stream state at all). The streaming twin of
+    * [[graft.ops.Dedup.dedupAgainstHistory]]'s verify stage; at 100 TB
+    * front it with the Bloom prefilter (`graft.functions.might_contain`
+    * over the serialized history sketch) so bloom-negative stream rows
+    * skip the join entirely.
+    */
+  def flagSeenInStatic(
+      stream: DataFrame, textCol: String,
+      history: DataFrame, historyTextCol: String): DataFrame = {
+    val seen = history
+      .filter(col(historyTextCol).isNotNull)
+      .select(md5(col(historyTextCol)).as("__h")).distinct()
+      .withColumn("__seen", lit(true))
+    stream.join(seen, md5(col(textCol)) === col("__h"), "left")
+      .withColumn("in_history", coalesce(col("__seen"), lit(false)))
+      .drop("__h", "__seen")
+  }
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_event_id: Long)
 

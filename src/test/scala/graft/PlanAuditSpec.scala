@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     * so they are audited by their own operator specs instead of here.
     */
   private val eagerBuilders =
-    Set("stream_dedup", "stream_windows", "stream_sessions", "dedup_clusters",
+    Set("stream_dedup", "stream_windows", "stream_sessions", "stream_seen",
+      "dedup_clusters",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
       // builder iterates connected components (actions per round)

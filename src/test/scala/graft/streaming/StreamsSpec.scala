@@ -106,4 +106,17 @@ class StreamsSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSeq.sorted
     assert(rows == Seq(("c1", "Condition", "p1"), ("p1", "Patient", "p1")))
   }
+
+  test("flagSeenInStatic: stream-static join flags history dups, null text never flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq("seen one", "seen two").toDF("text")
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "seen one"), (2L, "fresh"), (3L, "seen two"))
+    val out = Streams.runToMemory(
+      Streams.flagSeenInStatic(in.toDF.toDF("doc_id", "text"), "text", history, "text"),
+      "seen_out")
+    val rows = out.select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+    assert(rows == Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
