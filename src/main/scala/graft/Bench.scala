@@ -46,8 +46,8 @@ object Bench {
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
-    // per-query seconds for each full pass over the registry
-    val runs: Seq[Map[String, Double]] = (1 to nRuns).map { _ =>
+    // per-query (seconds, succeeded) for each full pass over the registry
+    val runs: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         // the near-dup operator family persists intermediates by design
         // (documented caching contract, Dedup.scala): drop them between
@@ -58,14 +58,16 @@ object Bench {
         // expressions, sorts, kernels) without sink I/O. A bare `.count()`
         // lets Catalyst prune projection-only query bodies down to a parquet
         // row count, timing the scan instead of the operator.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // record, never swallow: a failed query must be visible in the
-          // emitted JSON, not a ~0-second success
-          if (!errors.contains(name))
-            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            // record, never swallow: a failed query must be visible in the
+            // emitted JSON, not a ~0-second success
+            if (!errors.contains(name))
+              errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }.toMap
     }
     val names = SparkEntry.queries.keys.toSeq
@@ -78,15 +80,22 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val minSecs = names.map(n => n -> runs.map(_(n)).min)
+    // min over SUCCESSFUL runs only: a fast-failing run must not report a
+    // near-zero "min" for a query that takes 10 s when it works. All-runs-
+    // failed falls back to the raw min (the error is in the errors map).
+    val minSecs = names.map { n =>
+      val all = runs.map(_(n))
+      val good = all.filter(_._2).map(_._1)
+      n -> (if (good.nonEmpty) good.min else all.map(_._1).min)
+    }
     val qs = minSecs.map { case (k, v) => jstr(k) + ":" + f3(v) }.mkString("{", ",", "}")
     val perRun = names.map { n =>
-      jstr(n) + ":" + runs.map(r => f3(r(n))).mkString("[", ",", "]")
+      jstr(n) + ":" + runs.map(r => f3(r(n)._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
     val total = minSecs.map(_._2).sum
-    val runTotals = runs.map(r => f3(r.values.sum)).mkString("[", ",", "]")
+    val runTotals = runs.map(r => f3(r.values.map(_._1).sum)).mkString("[", ",", "]")
     // detail first (judge-readable run-to-run spread), canonical line LAST
     println(s"""{"metric":"bench_detail","unit":"sec","n_runs":$nRuns,"run_totals":$runTotals,"per_run":$perRun}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_runs":$nRuns,"run_totals":$runTotals,"sf":"$sfDir"}""")

@@ -164,18 +164,21 @@ object ScaleProbe {
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
     val corrupt = ev.limit(1).select(col("user_id"), lit(0L).as("ts"), col("event_type"))
       .unionByName(ev)
-    val guard =
+    val guardOk =
       try {
         graft.ops.TimeSeries.denseCounts(
           corrupt, "user_id", "ts", 3600L * 1000000000L,
           maxBucketsPerKey = 100000L).count()
-        "NOT RAISED — guard regression"
+        false
       } catch {
         case e: Throwable if String.valueOf(e).contains("maxBucketsPerKey") ||
-            String.valueOf(e.getCause).contains("maxBucketsPerKey") =>
-          "raised as designed (key named in message)"
+            String.valueOf(e.getCause).contains("maxBucketsPerKey") => true
       }
-    println(s"denseCounts sentinel guard: $guard")
+    println("denseCounts sentinel guard: " +
+      (if (guardOk) "raised as designed (key named in message)"
+       else "NOT RAISED — guard regression"))
     spark.stop()
+    // a probe that detected a guard regression must not exit 0
+    if (!guardOk) sys.exit(1)
   }
 }

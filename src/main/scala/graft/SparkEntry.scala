@@ -1412,7 +1412,7 @@ object SparkEntry {
        |    resource['maritalStatus']['coding'][1]['code'] AS "maritalStatus"
        |  FROM pat),
        |ext AS (
-       |  SELECT * EXCLUDE (race_ext, eth_ext, bp_ext),
+       |  SELECT * EXCLUDE (race_ext, eth_ext, bp_ext, "maritalStatus"),
        |    CASE WHEN first_name IS NOT NULL AND last_name IS NOT NULL
        |         THEN first_name || ' ' || last_name END AS full_name,
        |    race_ext['valueCodeableConcept']['coding'][1]['display'] AS race,
@@ -1421,7 +1421,8 @@ object SparkEntry {
        |    eth_ext['valueCodeableConcept']['coding'][1]['code'] AS ethnicity_code,
        |    CASE WHEN bp_ext IS NOT NULL THEN
        |        coalesce(bp_ext['valueAddress']['city'], '') || ', ' ||
-       |        coalesce(bp_ext['valueAddress']['state'], '') END AS birthplace
+       |        coalesce(bp_ext['valueAddress']['state'], '') END AS birthplace,
+       |    "maritalStatus"
        |  FROM raw),
        |c1 AS (SELECT * FROM ext WHERE resource_id IS NOT NULL),
        |c2 AS (SELECT * REPLACE (

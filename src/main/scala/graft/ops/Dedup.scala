@@ -302,7 +302,11 @@ object Dedup {
     * count (8 M items at 1% fpp ≈ 10 MB sketch); the verify join's history
     * side should be a pre-bucketed (hash) table so repeated batches pay no
     * history shuffle; serialize the sketch once per history snapshot and
-    * reuse it for every batch.
+    * reuse it for every batch. NOTE: Spark SILENTLY clamps the aggregate to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4 M default)
+    * and `.maxNumBits` (2²⁶ ≈ 8 MB default) — past those, raise both confs
+    * or the real fpp quietly exceeds the requested one (output stays exact
+    * either way; only prefilter selectivity degrades).
     */
   def dedupAgainstHistory(
       history: DataFrame, historyTextCol: String,
@@ -319,18 +323,30 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
     val candidate = col(textCol).isNotNull &&
       graft.functions.might_contain(bloomBytes, xxhash64(col(textCol)))
+    // split-union so bloom-negatives never reach the verify join's shuffle
+    val positives = flagAgainstSeenSet(
+      incoming.filter(candidate), textCol, history, historyTextCol)
+    val negatives = incoming.filter(!coalesce(candidate, lit(false)))
+      .withColumn("in_history", lit(false))
+    positives.unionByName(negatives)
+  }
+
+  /** The exact "seen before" verify stage shared by [[dedupAgainstHistory]]
+    * and the streaming twin ([[graft.streaming.Streams.flagSeenInStatic]]):
+    * left join on md5(content) against the history's distinct hash set,
+    * null content never flagged. One definition so batch and streaming
+    * semantics cannot fork.
+    */
+  def flagAgainstSeenSet(
+      rows: DataFrame, textCol: String,
+      history: DataFrame, historyTextCol: String): DataFrame = {
     val seen = history
       .filter(col(historyTextCol).isNotNull)
       .select(md5(col(historyTextCol)).as("__h")).distinct()
       .withColumn("__seen", lit(true))
-    // split-union so bloom-negatives never reach the verify join's shuffle
-    val positives = incoming.filter(candidate)
-      .join(seen, md5(col(textCol)) === col("__h"), "left")
+    rows.join(seen, md5(col(textCol)) === col("__h"), "left")
       .withColumn("in_history", coalesce(col("__seen"), lit(false)))
       .drop("__h", "__seen")
-    val negatives = incoming.filter(!coalesce(candidate, lit(false)))
-      .withColumn("in_history", lit(false))
-    positives.unionByName(negatives)
   }
 
   /** Exact n-gram decontamination scan — the published eval-overlap

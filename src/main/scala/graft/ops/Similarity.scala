@@ -374,6 +374,11 @@ object Similarity {
       cosineNearDupPairsWithChunks(df, idCol, vecCol, threshold, numBlocks)
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try out.count()
+    catch {
+      // on failure the caller never gets the handle — release it too, or
+      // each failed batch strands a persisted RDD for the session's life
+      case t: Throwable => out.unpersist(blocking = false); throw t
+    }
     finally chunks.unpersist(blocking = true)
     out
   }
@@ -391,7 +396,11 @@ object Similarity {
   def cosineClusters(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBlocks: Int = 16): DataFrame = {
+    // persist the pair list: CC's edge symmetrization reads it from TWO
+    // union branches, which would otherwise run the O(n²) block-pair
+    // cosine kernel twice (same contract as nearDupClusters)
     val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, numBlocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vertices = df
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol))

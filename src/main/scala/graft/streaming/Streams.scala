@@ -90,15 +90,8 @@ object Streams {
     */
   def flagSeenInStatic(
       stream: DataFrame, textCol: String,
-      history: DataFrame, historyTextCol: String): DataFrame = {
-    val seen = history
-      .filter(col(historyTextCol).isNotNull)
-      .select(md5(col(historyTextCol)).as("__h")).distinct()
-      .withColumn("__seen", lit(true))
-    stream.join(seen, md5(col(textCol)) === col("__h"), "left")
-      .withColumn("in_history", coalesce(col("__seen"), lit(false)))
-      .drop("__h", "__seen")
-  }
+      history: DataFrame, historyTextCol: String): DataFrame =
+    graft.ops.Dedup.flagAgainstSeenSet(stream, textCol, history, historyTextCol)
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_event_id: Long)

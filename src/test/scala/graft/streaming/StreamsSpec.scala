@@ -112,11 +112,11 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val history = Seq("seen one", "seen two").toDF("text")
     val in = MemoryStream[(Long, String)]
-    in.addData((1L, "seen one"), (2L, "fresh"), (3L, "seen two"))
+    in.addData((1L, "seen one"), (2L, "fresh"), (3L, "seen two"), (4L, null))
     val out = Streams.runToMemory(
       Streams.flagSeenInStatic(in.toDF.toDF("doc_id", "text"), "text", history, "text"),
       "seen_out")
     val rows = out.select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
-    assert(rows == Map(1L -> true, 2L -> false, 3L -> true))
+    assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 }
