@@ -547,6 +547,14 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.11 — in-document repeated-line trim (doc-level boilerplate
+    // removal; the corpus-level pass is line_dedup). Shuffle-free
+    // per-row projection.
+    "line_trim" -> ((s, dir) =>
+      Dedup.dedupLinesWithinDoc(t(s, dir, "documents"), "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")),
+
     // §2.11 — incremental "seen before" dedup: Bloom prefilter over the
     // history's content hashes + exact md5 verify of bloom-positives only
     // (bloom-negatives never shuffle). Exact output — full oracle.
@@ -1738,6 +1746,24 @@ object SparkEntry {
         |  SELECT r.a, ed.b FROM reach r JOIN edges ed ON r.b = ed.a)
         |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster
         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    "line_trim" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM base WHERE text IS NOT NULL),
+        |keep AS (
+        |  SELECT doc_id, line, pos,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM ex),
+        |reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text
+        |  FROM keep WHERE len(line) < 1 OR rn = 1 GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.text IS NULL THEN NULL ELSE coalesce(r.new_text, '') END AS text
+        |FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
+        |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
 
     "stream_seen" ->
       """SELECT i.doc_id,

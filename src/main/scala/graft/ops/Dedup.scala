@@ -592,6 +592,39 @@ object Dedup {
       .drop("__id", "__rebuilt")
   }
 
+  /** IN-document repeated-line removal — the doc-level boilerplate trim
+    * (complementing corpus-level [[dedupLines]]): within each document,
+    * keep the FIRST occurrence of every exact line, preserving order;
+    * lines shorter than `minLineLen` are exempt (separator/blank lines
+    * repeat legitimately). Pure per-row `aggregate` projection —
+    * shuffle-free, trivially partition-parallel; per-doc cost is
+    * O(lines × distinct long lines) via the seen-array scan, fine for
+    * real documents (use [[dedupLines]]'s explode form if single docs
+    * have 10⁵+ distinct lines). Null text passes through as null.
+    */
+  def dedupLinesWithinDoc(
+      df: DataFrame, textCol: String, minLineLen: Int = 1): DataFrame = {
+    require(minLineLen >= 0, s"negative minLineLen: $minLineLen")
+    val emptyArr = array().cast("array<string>")
+    df.withColumn(textCol,
+      when(col(textCol).isNotNull,
+        array_join(
+          aggregate(
+            split(col(textCol), "\n"),
+            struct(emptyArr.as("seen"), emptyArr.as("out")),
+            (acc, x) => {
+              val exempt = length(x) < minLineLen
+              val dup = array_contains(acc.getField("seen"), x)
+              struct(
+                when(exempt || dup, acc.getField("seen"))
+                  .otherwise(array_append(acc.getField("seen"), x)).as("seen"),
+                when(!exempt && dup, acc.getField("out"))
+                  .otherwise(array_append(acc.getField("out"), x)).as("out"))
+            },
+            acc => acc.getField("out")),
+          "\n")))
+  }
+
   /** Cross-document n-gram repetition profile — the diagnostic behind
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): for each document, how many of its

@@ -53,6 +53,8 @@ object syntax {
       Dedup.dedupAgainstHistory(history, textCol, df, textCol, expectedItems, fpp)
     def dedupLines(textCol: String, idCol: String, minLineLen: Int = 1): DataFrame =
       Dedup.dedupLines(df, textCol, idCol, minLineLen)
+    def dedupLinesWithinDoc(textCol: String, minLineLen: Int = 1): DataFrame =
+      Dedup.dedupLinesWithinDoc(df, textCol, minLineLen)
     def crossDocShingleProfile(textCol: String, idCol: String, n: Int = 3): DataFrame =
       Dedup.crossDocShingleProfile(df, textCol, idCol, n)
 

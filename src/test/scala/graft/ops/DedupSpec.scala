@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(est(("s1", "s4")) > 0.2 && est(("s1", "s4")) < 0.8, "J=0.5 ground truth")
   }
 
+  test("dedupLinesWithinDoc: first occurrence kept in order, short lines exempt, null passes through") {
+    val docs = Seq(
+      (1L, Some("a line\nb line\na line\n\nb line\n\nc")),
+      (2L, Some("")),
+      (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLinesWithinDoc(docs, "text")
+      .as[(Long, Option[String])].collect().toMap
+    // dups of 'a line'/'b line' dropped; both empty lines kept (exempt);
+    // order preserved
+    assert(got(1L).contains("a line\nb line\n\n\nc"))
+    assert(got(2L).contains(""))
+    assert(got(3L).isEmpty)
+    // exemption threshold: at minLineLen=2 the 1-char line 'c' repeats freely
+    val rep = Seq((1L, "c\nxx\nc\nxx")).toDF("doc_id", "text")
+    val trimmed = Dedup.dedupLinesWithinDoc(rep, "text", minLineLen = 2)
+      .as[(Long, String)].collect().head._2
+    assert(trimmed == "c\nxx\nc")
+  }
+
   test("dedupAgainstHistory: exact flags (no bloom false positives survive), null text never flagged") {
     val history = Seq("seen one", "seen two", "seen three").toDF("text")
     val incoming = Seq(
