@@ -99,6 +99,7 @@ object ScaleProbe {
       time("ivfTopK(100 queries)", Similarity.ivfTopK(
         e, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 10, numCentroids = 64, nProbe = 8))
+      time("cosineClusters", Similarity.cosineClusters(e, "vec_id", "embedding", 0.9))
     }
 
     // events-keyed fan-out family (round-3 ops): replication offsets
