@@ -37,6 +37,15 @@ object SparkEntry {
       spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  private[graft] val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // per-JVM scratch dir for the jsonl_roundtrip gate's write half
+  private lazy val jsonlScratchDir: String =
+    java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+
   /** Where Verify materializes (doc_id, simhash) of the sf documents table.
     * The dedup_simhash oracle re-verifies the Hamming-pair stage from this
     * parquet with bit_count(xor()) in DuckDB — sound because the pigeonhole
@@ -546,6 +555,17 @@ object SparkEntry {
       Curation.groupQuota(t(s, dir, "documents"), "source", "doc_id", maxPerGroup = 15)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // S-family — JSONL (the corpus interchange format) end-to-end: export
+    // documents as line-delimited JSON, read back with the schema'd
+    // reader, hash-compare against the source table. JSON string escaping
+    // must keep embedded newlines/quotes byte-exact or this diverges.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      graft.sinks.Sinks.writeJsonl(t(s, dir, "documents"), jsonlScratchDir)
+      graft.sinks.Sinks.readJsonl(s, jsonlScratchDir, docsSchema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
 
     // §2.11 — in-document repeated-line trim (doc-level boilerplate
     // removal; the corpus-level pass is line_dedup). Shuffle-free
@@ -1130,10 +1150,6 @@ object SparkEntry {
     // oracle shape.
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
       val src = s.readStream.schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -1746,6 +1762,10 @@ object SparkEntry {
         |  SELECT r.a, ed.b FROM reach r JOIN edges ed ON r.b = ed.a)
         |SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS cluster
         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
+
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "line_trim" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -48,6 +48,41 @@ object Sinks {
     w.jdbc(url, table, props)
   }
 
+  /** JSON-Lines (one object per line) — the standard interchange format
+    * for text corpora. Schema'd read: no inference pass over 100 TB, and
+    * absent fields arrive as typed nulls. Spark's default JSON mode IS
+    * line-delimited, so files split across executors (unlike multiLine).
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** [[readJsonl]] with malformed-line quarantine, same contract as the
+    * FHIR bundle reader: (rows, corrupt) where corrupt carries one row per
+    * unparseable LINE — at 100 TB one truncated record costs one
+    * quarantined row, not the batch.
+    */
+  def readJsonlWithCorrupt(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, substring}
+    val withCorrupt = spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    (withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      withCorrupt.filter(col("_corrupt_record").isNotNull)
+        .select(substring(col("_corrupt_record"), 1, 256).as("corrupt_prefix")))
+  }
+
+  /** Partition-parallel JSONL writer (the corpus export twin of
+    * [[readJsonl]]); JSON string escaping makes embedded newlines
+    * roundtrip-safe.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S7 — FK-ordered multi-table load: patient (parent) first, then
     * children, matching the DDL dependency order.
     */

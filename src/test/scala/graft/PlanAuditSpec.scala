@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_clusters",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
+      // builder writes the JSONL export before reading it back
+      "jsonl_roundtrip",
       // builder iterates connected components (actions per round)
       "embed_clusters")
 

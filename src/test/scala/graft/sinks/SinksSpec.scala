@@ -175,4 +175,26 @@ class SinksSpec extends SparkSpec {
     val pruned = back.filter($"lang" === "en")
     assert(pruned.count() == 2)
   }
+
+  test("jsonl roundtrip preserves embedded newlines/quotes; corrupt lines quarantine") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = Files.createTempDirectory("jsonl_spec")
+    val docs = Seq(
+      (1L, "plain"),
+      (2L, "line one\nline two\t\"quoted\""),
+      (3L, null: String))
+      .toDF("doc_id", "text")
+    Sinks.writeJsonl(docs, s"$dir/out")
+    val back = Sinks.readJsonl(spark, s"$dir/out", schema)
+      .as[(Long, Option[String])].collect().toMap
+    assert(back == Map(1L -> Some("plain"),
+      2L -> Some("line one\nline two\t\"quoted\""), 3L -> None))
+    // a truncated record costs one quarantined row, not the batch
+    Files.writeString(java.nio.file.Paths.get(s"$dir/out/zz_corrupt.json"),
+      """{"doc_id": 9, "tex""")
+    val (rows, corrupt) = Sinks.readJsonlWithCorrupt(spark, s"$dir/out", schema)
+    assert(rows.count() == 3 && corrupt.count() == 1)
+  }
 }
