@@ -556,6 +556,15 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.11 — sentence segmentation (the RAG/training-prep boundary rule):
+    // sentinel-insert + split instead of a lookbehind, so the RE2-based
+    // oracle reproduces it exactly. chunkBySentences (greedy packing over
+    // these sentences) is spec-pinned — packing is order-recursive, not
+    // SQL-expressible.
+    "sentence_split" -> ((s, dir) =>
+      Curation.splitSentences(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id", "sent_idx")),
+
     // S-family — JSONL (the corpus interchange format) end-to-end: export
     // documents as line-delimited JSON, read back with the schema'd
     // reader, hash-compare against the source table. JSON string escaping
@@ -1766,6 +1775,16 @@ object SparkEntry {
     "jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "sentence_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS ss
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_idx,
+        |  unnest(ss) AS sentence
+        |FROM s ORDER BY doc_id NULLS FIRST, sent_idx""".stripMargin,
 
     "line_trim" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -225,6 +225,62 @@ object Curation {
         expr(s"substring($tc, chunk_id * $stride + 1, $chunkSize)"))
   }
 
+  /** Sentence-boundary sentinel (U+0001 — absent from text corpora;
+    * documents containing it would need a different sentinel).
+    */
+  private val SentenceSep = "\u0001"
+
+  /** Sentence segmentation: one row per sentence with its 0-based index,
+    * preserving the terminal punctuation. Boundary = `[.!?]` followed by
+    * whitespace; a sentinel-insert + split (instead of a lookbehind,
+    * which RE2-based engines can't run) keeps the rule portable to the
+    * SQL oracle. Narrow explode — fans out where the row lives. Null/
+    * empty text produces no rows.
+    */
+  def splitSentences(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        posexplode(split(
+          regexp_replace(col(textCol), "([.!?])\\s+", "$1" + SentenceSep), SentenceSep))
+          .as(Seq("sent_idx", "sentence")))
+
+  /** Sentence-aware chunking (the RAG/training-prep split): greedy-pack
+    * consecutive sentences into chunks of at most `maxChars` characters
+    * (joined with one space), never splitting inside a sentence; a single
+    * sentence longer than `maxChars` becomes its own oversized chunk.
+    * Same per-row `aggregate` fold as [[graft.ops.Dedup.dedupLinesWithinDoc]] —
+    * shuffle-free; greedy packing is order-recursive, so the fold (not a
+    * window) is the right primitive. Segmentation is oracle-gated via
+    * [[splitSentences]]; the packing rule is spec-pinned.
+    */
+  def chunkBySentences(
+      df: DataFrame, textCol: String, idCol: String, maxChars: Int): DataFrame = {
+    require(maxChars > 0, s"maxChars must be positive: $maxChars")
+    val sentences = split(
+      regexp_replace(col(textCol), "([.!?])\\s+", "$1" + SentenceSep), SentenceSep)
+    val emptyArr = array().cast("array<string>")
+    val packed = aggregate(
+      sentences,
+      struct(emptyArr.as("chunks"), lit("").as("cur")),
+      (acc, s) => {
+        val cur = acc.getField("cur")
+        val chunks = acc.getField("chunks")
+        val fits = length(cur) + lit(1) + length(s) <= maxChars
+        struct(
+          when(cur === "", chunks)
+            .when(fits, chunks)
+            .otherwise(array_append(chunks, cur)).as("chunks"),
+          when(cur === "", s)
+            .when(fits, concat(cur, lit(" "), s))
+            .otherwise(s).as("cur"))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("chunks"))
+        .otherwise(array_append(acc.getField("chunks"), acc.getField("cur"))))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(packed).as(Seq("chunk_id", "chunk_text")))
+  }
+
   /** Keep the top `keepPerMyriad`/10000 fraction of every group by
     * `score` (desc, `idCol` as the deterministic tiebreak) — the
     * "top-20%-quality per language" curation cut. Rank-based, so the cut

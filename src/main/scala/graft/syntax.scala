@@ -100,6 +100,10 @@ object syntax {
     // --- curation ---------------------------------------------------------
     def groupQuota(groupCol: String, idCol: String, maxPerGroup: Int): DataFrame =
       Curation.groupQuota(df, groupCol, idCol, maxPerGroup)
+    def splitSentences(textCol: String, idCol: String): DataFrame =
+      Curation.splitSentences(df, textCol, idCol)
+    def chunkBySentences(textCol: String, idCol: String, maxChars: Int): DataFrame =
+      Curation.chunkBySentences(df, textCol, idCol, maxChars)
     def hashSplit(idCol: String, trainPerMyriad: Int, valPerMyriad: Int): DataFrame =
       Curation.hashSplit(df, idCol, trainPerMyriad, valPerMyriad)
     def stratifiedSample(idCol: String, strataCol: String,

@@ -318,6 +318,29 @@ class CurationSpec extends SparkSpec {
       4L -> "changed", 5L -> "added"))
   }
 
+  test("splitSentences: terminal punctuation preserved, indexes ordered, empty/null text excluded") {
+    val docs = Seq(
+      (1L, Some("One. Two!  Three? No trailing")),
+      (2L, Some("")),
+      (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.splitSentences(docs, "text", "doc_id")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "One."), (1L, 1, "Two!"), (1L, 2, "Three?"), (1L, 3, "No trailing")))
+  }
+
+  test("chunkBySentences: greedy packing never splits a sentence; oversized sentence stands alone") {
+    val docs = Seq((1L, "aaaa. bb. cccc. dd.")).toDF("doc_id", "text")
+    val got = Curation.chunkBySentences(docs, "text", "doc_id", maxChars = 9)
+      .as[(Long, Int, String)].collect().sortBy(_._2).toSeq
+    // "aaaa."+" "+"bb." = 9 fits; "cccc."+" "+"dd." = 9 fits
+    assert(got == Seq((1L, 0, "aaaa. bb."), (1L, 1, "cccc. dd.")))
+    val tiny = Curation.chunkBySentences(docs, "text", "doc_id", maxChars = 3)
+      .as[(Long, Int, String)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(tiny == Seq("aaaa.", "bb.", "cccc.", "dd."), "each sentence its own oversized chunk")
+  }
+
   test("groupQuota: caps each group deterministically, keeps small groups whole, drops null ids") {
     val df = ((1L to 100L).map(i => (Some(i), if (i <= 95) "big" else "small")) :+
       ((None: Option[Long]) -> "big")).toDF("doc_id", "source")
