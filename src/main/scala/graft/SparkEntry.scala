@@ -42,9 +42,30 @@ object SparkEntry {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  // per-JVM scratch dir for the jsonl_roundtrip gate's write half
-  private lazy val jsonlScratchDir: String =
-    java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+  // per-JVM scratch root for the jsonl_roundtrip gate's write half; keyed
+  // by the input dir so two frames built before execution can't clobber
+  // each other's export
+  private lazy val jsonlScratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+  private def jsonlScratchDir(dir: String): String =
+    jsonlScratchRoot + "/docs-" + java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Deterministic structure enrichment shared by the jsonl/line/sentence
+    * gates AND their oracles: the synthetic documents corpus is
+    * lowercase-letters-and-spaces only, so newline/punctuation/quote
+    * branches would otherwise never be exercised by the hash compare
+    * (specs alone would pin them). Injects a repeated line, terminal
+    * punctuation with trailing whitespace, and a quoted fragment.
+    */
+  private def enrichedTextExpr(c: String): Column =
+    concat(
+      substring(col(c), 1, 40), lit(".\n"),
+      substring(col(c), 1, 20), lit("!\t\"quoted\" tail?\n"),
+      substring(col(c), 1, 40), lit(".\n"))
+  private val enrichedTextSql: String =
+    """substring(text, 1, 40) || '.' || chr(10) ||
+      |    substring(text, 1, 20) || '!' || chr(9) || '"quoted" tail?' || chr(10) ||
+      |    substring(text, 1, 40) || '.' || chr(10)""".stripMargin
 
   /** Where Verify materializes (doc_id, simhash) of the sf documents table.
     * The dedup_simhash oracle re-verifies the Hamming-pair stage from this
@@ -562,7 +583,9 @@ object SparkEntry {
     // these sentences) is spec-pinned — packing is order-recursive, not
     // SQL-expressible.
     "sentence_split" -> ((s, dir) =>
-      Curation.splitSentences(t(s, dir, "documents"), "text", "doc_id")
+      Curation.splitSentences(
+        t(s, dir, "documents").withColumn("text", enrichedTextExpr("text")),
+        "text", "doc_id")
         .orderBy("doc_id", "sent_idx")),
 
     // S-family — JSONL (the corpus interchange format) end-to-end: export
@@ -570,8 +593,10 @@ object SparkEntry {
     // reader, hash-compare against the source table. JSON string escaping
     // must keep embedded newlines/quotes byte-exact or this diverges.
     "jsonl_roundtrip" -> ((s, dir) => {
-      graft.sinks.Sinks.writeJsonl(t(s, dir, "documents"), jsonlScratchDir)
-      graft.sinks.Sinks.readJsonl(s, jsonlScratchDir, docsSchema)
+      val scratch = jsonlScratchDir(dir)
+      graft.sinks.Sinks.writeJsonl(
+        t(s, dir, "documents").withColumn("text", enrichedTextExpr("text")), scratch)
+      graft.sinks.Sinks.readJsonl(s, scratch, docsSchema)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -580,7 +605,10 @@ object SparkEntry {
     // removal; the corpus-level pass is line_dedup). Shuffle-free
     // per-row projection.
     "line_trim" -> ((s, dir) =>
-      Dedup.dedupLinesWithinDoc(t(s, dir, "documents"), "text")
+      Dedup.dedupLinesWithinDoc(
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("text", enrichedTextExpr("text")),
+        "text")
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
@@ -1773,22 +1801,28 @@ object SparkEntry {
         |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin,
 
     "jsonl_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars FROM documents
-        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+      s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "sentence_split" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS ss
-        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
-        |SELECT doc_id,
-        |  CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_idx,
-        |  unnest(ss) AS sentence
-        |FROM s ORDER BY doc_id NULLS FIRST, sent_idx""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT doc_id, $enrichedTextSql AS text FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split(regexp_replace(text, '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(1), 'g'), chr(1)),
+         |    x -> x <> '') AS ss
+         |  FROM e WHERE text IS NOT NULL AND length(text) > 0)
+         |SELECT doc_id,
+         |  CAST(generate_subscripts(ss, 1) - 1 AS INTEGER) AS sent_idx,
+         |  unnest(ss) AS sentence
+         |FROM s ORDER BY doc_id NULLS FIRST, sent_idx""".stripMargin,
 
     "line_trim" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |ex AS (
+      (s"""WITH base AS (
+         |  SELECT doc_id, $enrichedTextSql AS text FROM documents
+         |  WHERE doc_id IS NOT NULL),
+         |""".stripMargin +
+      """ex AS (
         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
         |  FROM base WHERE text IS NOT NULL),
@@ -1802,7 +1836,7 @@ object SparkEntry {
         |SELECT b.doc_id,
         |  CASE WHEN b.text IS NULL THEN NULL ELSE coalesce(r.new_text, '') END AS text
         |FROM base b LEFT JOIN reb r ON r.doc_id = b.doc_id
-        |ORDER BY b.doc_id NULLS FIRST""".stripMargin,
+        |ORDER BY b.doc_id NULLS FIRST""".stripMargin),
 
     "stream_seen" ->
       """SELECT i.doc_id,

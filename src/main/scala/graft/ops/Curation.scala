@@ -230,19 +230,33 @@ object Curation {
     */
   private val SentenceSep = "\u0001"
 
+  /** The shared boundary rule: terminal `[.!?]` followed by whitespace.
+    * The whitespace class is EXPLICIT (space, tab, LF, FF, CR — not `\s`)
+    * because Java's `\s` includes vertical tab and RE2's does not, and
+    * the sentence_split oracle must reproduce the rule bit-for-bit.
+    * Trailing empty fragments (text ending in punctuation + whitespace)
+    * are dropped — boundary residue, not sentences.
+    */
+  private def sentenceArray(textCol: Column): Column =
+    filter(
+      split(
+        regexp_replace(textCol, "([.!?])[ \\t\\n\\f\\r]+", "$1" + SentenceSep),
+        SentenceSep),
+      s => s =!= "")
+
   /** Sentence segmentation: one row per sentence with its 0-based index,
-    * preserving the terminal punctuation. Boundary = `[.!?]` followed by
-    * whitespace; a sentinel-insert + split (instead of a lookbehind,
-    * which RE2-based engines can't run) keeps the rule portable to the
-    * SQL oracle. Narrow explode — fans out where the row lives. Null/
-    * empty text produces no rows.
+    * preserving the terminal punctuation. Sentinel-insert + split
+    * (instead of a lookbehind, which RE2-based engines can't run) keeps
+    * the rule portable to the SQL oracle; [[sentenceArray]] is the ONE
+    * boundary definition this and [[chunkBySentences]] share. Narrow
+    * explode — fans out where the row lives. Null/empty text produces no
+    * rows.
     */
   def splitSentences(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(
         col(idCol),
-        posexplode(split(
-          regexp_replace(col(textCol), "([.!?])\\s+", "$1" + SentenceSep), SentenceSep))
+        posexplode(sentenceArray(col(textCol)))
           .as(Seq("sent_idx", "sentence")))
 
   /** Sentence-aware chunking (the RAG/training-prep split): greedy-pack
@@ -257,8 +271,7 @@ object Curation {
   def chunkBySentences(
       df: DataFrame, textCol: String, idCol: String, maxChars: Int): DataFrame = {
     require(maxChars > 0, s"maxChars must be positive: $maxChars")
-    val sentences = split(
-      regexp_replace(col(textCol), "([.!?])\\s+", "$1" + SentenceSep), SentenceSep)
+    val sentences = sentenceArray(col(textCol))
     val emptyArr = array().cast("array<string>")
     val packed = aggregate(
       sentences,

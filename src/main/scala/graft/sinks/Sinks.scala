@@ -60,20 +60,34 @@ object Sinks {
   /** [[readJsonl]] with malformed-line quarantine, same contract as the
     * FHIR bundle reader: (rows, corrupt) where corrupt carries one row per
     * unparseable LINE — at 100 TB one truncated record costs one
-    * quarantined row, not the batch.
+    * quarantined row, not the batch. Both frames are independent UNCACHED
+    * scans (two passes): caching the parse to share one scan would pin the
+    * whole corpus in the block store, which is the worse trade at scale —
+    * the quarantine side is typically materialized once into a sink.
     */
   def readJsonlWithCorrupt(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, substring}
-    val withCorrupt = spark.read
-      .schema(schema.add("_corrupt_record", "string"))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    import org.apache.spark.sql.functions.{col, from_json, substring}
+    // DROPMALFORMED keeps exactly the parseable rows with no corrupt
+    // column in the plan — a corrupt-filtered PERMISSIVE read would trip
+    // Spark's corrupt-column-only restriction under aggressive pruning
+    // (e.g. a bare count())
+    val rows = spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
       .json(path)
-      .cache()
-    (withCorrupt.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      withCorrupt.filter(col("_corrupt_record").isNotNull)
-        .select(substring(col("_corrupt_record"), 1, 256).as("corrupt_prefix")))
+    // corrupt side as a TEXT scan + from_json's corrupt-record option
+    // (PERMISSIVE from_json yields a row of nulls, never null, so the
+    // embedded corrupt field is the malformed signal): avoids both
+    // Spark's corrupt-column-only query restriction and the FHIR reader's
+    // shared-scan cache (which would pin the corpus at 100 TB)
+    val corrupt = spark.read.textFile(path).toDF("__line")
+      .filter(from_json(col("__line"),
+          schema.add("_corrupt_record", "string"),
+          java.util.Map.of("columnNameOfCorruptRecord", "_corrupt_record"))
+        .getField("_corrupt_record").isNotNull)
+      .select(substring(col("__line"), 1, 256).as("corrupt_prefix"))
+    (rows, corrupt)
   }
 
   /** Partition-parallel JSONL writer (the corpus export twin of
