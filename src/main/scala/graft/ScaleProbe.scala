@@ -35,7 +35,14 @@ object ScaleProbe {
       }.reduce(_.unionByName(_))
     }
 
+    // dev subset filter (comma-separated name prefixes), mirrors Verify's
+    // SPARK_GRAFT_ONLY — lets a single op's 1×/k× ratio be re-measured in
+    // seconds instead of re-running the whole probe battery
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     def time(name: String, df: => DataFrame): Double = {
+      if (probeOnly.exists(f => !f.exists(name.startsWith))) return 0.0
       // isolate measurements: the dedup ops persist their kernel-pass
       // frames (deliberately, see Dedup scaladoc); letting those
       // accumulate across probes causes eviction thrash that measured 3×

@@ -330,10 +330,15 @@ object TextStats {
     *
     * Scale shape: one agg pass for corpus stats (N, Σdl, per-term df —
     * broadcast back as a single row), one explode→filter→pivot-count
-    * shuffle carrying only (id, dl, term) for MATCHING terms, and a
-    * global top-k window on the ranked slice (safe: row count ≤ matching
-    * docs, and k is small; at extreme scale pre-filter with a per-
-    * partition top-k before the global window).
+    * shuffle carrying only (id, dl, term) for MATCHING terms, then a
+    * TWO-PHASE top-k: a per-partition row_number cut to k (partitioned
+    * window — parallel across tasks) feeds the final unpartitioned rank
+    * window, which therefore sorts at most k × numPartitions rows instead
+    * of every matching doc. A common query term at 100 TB matches
+    * millions of docs; without the cut the final rank is one task sorting
+    * all of them. Correctness of the cut: under the same total order
+    * (score desc, id asc) any global top-k row is necessarily within the
+    * top k of its own partition, so the cut never drops a winner.
     */
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
@@ -371,10 +376,19 @@ object TextStats {
           lit(9L) * col("__dl") * col("__n")).cast("double")
       idf * satur
     }.reduce(_ + _)
-    val w = Window.orderBy(desc("score"), asc("__id"))
-    tf.crossJoin(broadcast(stats))
+    val scored = tf.crossJoin(broadcast(stats))
       .withColumn("score", round(score, 4))
       .select(col("__id"), col("score"))
+    // phase 1: per-partition top-k cut — parallel, bounds the final sort
+    val wCut = Window.partitionBy("__pid").orderBy(desc("score"), asc("__id"))
+    val cut = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prnk", row_number().over(wCut))
+      .filter(col("__prnk") <= k)
+      .drop("__pid", "__prnk")
+    // phase 2: global rank over ≤ k × numPartitions survivors
+    val w = Window.orderBy(desc("score"), asc("__id"))
+    cut
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .withColumnRenamed("__id", idCol)

@@ -49,6 +49,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty, s"plan-audit allowlist names unknown queries: $stale")
   }
 
+  test("bm25_topk: no unpartitioned window consumes the full match relation") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE wraps the plan in an AdaptiveSparkPlanExec leaf — dig through it
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case n => n
+    }.flatMap {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val plan = SparkEntry.queries("bm25_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val windows = nodes(plan).collect { case w: WindowExec => w }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the final global rank window")
+    // every unpartitioned (single-task) window must rank only the
+    // survivors of a partitioned per-partition top-k cut below it —
+    // i.e. its subtree contains a PARTITIONED window. Otherwise one task
+    // sorts every doc matching any query term.
+    unpartitioned.foreach { w =>
+      val cutBelow = nodes(w).exists {
+        case c: WindowExec => c.partitionSpec.nonEmpty
+        case _ => false
+      }
+      assert(cutBelow,
+        s"unpartitioned WindowExec with no per-partition top-k cut below it:\n$w")
+    }
+  }
+
   test("no registry query plans a cartesian product; nested-loop joins only where designed") {
     val sfDir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq
