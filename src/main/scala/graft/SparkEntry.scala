@@ -1881,7 +1881,8 @@ object SparkEntry {
         |      ELSE [] END AS s
         |  FROM toks
         |), sh AS (
-        |  SELECT DISTINCT source AS grp, unnest(s) AS g FROM shl
+        |  SELECT DISTINCT source AS grp,
+        |    ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS g FROM shl
         |), sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY grp),
         |inter AS (
         |  SELECT l.grp AS group_a, r.grp AS group_b, count(*) AS ni

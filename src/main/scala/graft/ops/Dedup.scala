@@ -416,22 +416,62 @@ object Dedup {
   /** EXACT pairwise corpus overlap between groups: per-pair Jaccard of the
     * groups' distinct word-n-gram sets, plus the set sizes. Oracle-grade
     * counterpart of [[groupOverlap]] — plain COUNT(DISTINCT) set algebra,
-    * fully distributed: one distinct on (group, shingle), one self
-    * equi-join on the shingle for intersections (bounded by total shingle
+    * fully distributed: one distinct on (group, shingle-hash), one self
+    * equi-join on the hash for intersections (bounded by total shingle
     * occurrences × groups-per-shingle, never |A|·|B|), one tiny
-    * size-pair frame. At 100 TB the shingle self-join is the cost —
-    * profile with the sketch path ([[groupOverlap]], k longs per group)
-    * and reserve this form for audits; the sketch's error against this
-    * exact form is bounded in DedupSpec. Output: (group_a, group_b, n_a,
-    * n_b, n_inter, jaccard), group_a < group_b, null groups excluded.
+    * size-pair frame. Shingles are hashed to 60-bit longs (md5 truncated)
+    * BEFORE the distinct: the shuffle and join carry fixed 8-byte keys
+    * instead of raw word n-grams (~an order of magnitude fewer bytes on
+    * prose), and the hash is reproducible in the DuckDB oracle
+    * (`('0x' || substr(md5(g),1,15))::BIGINT`), so the gate stays exact —
+    * distinct counts over hash(shingle) equal distinct counts over the
+    * shingles themselves up to hash collisions, and any collision affects
+    * engine and oracle identically. At 100 TB the hash self-join is the
+    * cost — profile with the sketch path ([[groupOverlap]], k longs per
+    * group) and reserve this form for audits; the sketch's error against
+    * this exact form is bounded in DedupSpec. Output: (group_a, group_b,
+    * n_a, n_b, n_inter, jaccard), group_a < group_b, null groups
+    * excluded.
+    *
+    * Caching contract: the (group, hash) frame is persisted (it feeds the
+    * size aggregate and both join sides) and stays cached until the
+    * session's `clearCache`. Long-lived sessions that can't clear between
+    * batches: use [[groupOverlapExactEager]], which releases it itself.
     */
   def groupOverlapExact(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame =
+    groupOverlapExactWithShingles(df, groupCol, textCol, n)._1
+
+  /** [[groupOverlapExact]] without the caching contract: materializes the
+    * overlap result eagerly, releases the internal shingle cache before
+    * returning (try/finally — also on failure), and hands back a persisted
+    * result the CALLER owns (unpersist when done).
+    */
+  def groupOverlapExactEager(
       df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val (result, sh) = groupOverlapExactWithShingles(df, groupCol, textCol, n)
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    catch {
+      case t: Throwable => out.unpersist(blocking = false); throw t
+    }
+    finally sh.unpersist(blocking = true)
+    out
+  }
+
+  private def groupOverlapExactWithShingles(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val sh = df
       .filter(col(groupCol).isNotNull)
       .select(
         col(groupCol).as("__grp"),
-        explode(graft.functions.shingle_string_set(col(textCol), n)).as("__h"))
+        explode(graft.functions.shingle_string_set(col(textCol), n)).as("__g"))
+      // hash before the distinct: the distinct shuffle already moves 8-byte
+      // keys, not raw n-grams (md5 truncated to 60 bits — the oracle
+      // mirrors it as ('0x' || substr(md5(g),1,15))::BIGINT)
+      .select(col("__grp"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
       .distinct()
       // feeds the size aggregate and BOTH sides of the intersection join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -445,12 +485,13 @@ object Dedup {
       .select(
         col("a.__grp").as("group_a"), col("b.__grp").as("group_b"),
         col("a.__n").as("n_a"), col("b.__n").as("n_b"))
-    pairs.join(inter, Seq("group_a", "group_b"), "left")
+    val result = pairs.join(inter, Seq("group_a", "group_b"), "left")
       .select(
         col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         coalesce(col("n_inter"), lit(0L)).as("n_inter"),
         round(coalesce(col("n_inter"), lit(0L)) * 1.0 /
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6).as("jaccard"))
+    (result, sh)
   }
 
   // --- SimHash ---------------------------------------------------------------
