@@ -47,8 +47,14 @@ object SparkEntry {
   // each other's export
   private lazy val jsonlScratchRoot: String =
     java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-  private def jsonlScratchDir(dir: String): String =
-    jsonlScratchRoot + "/docs-" + java.lang.Integer.toHexString(dir.hashCode)
+  private def jsonlScratchDir(dir: String): String = {
+    // key by md5 of the full path: 32-bit String.hashCode collisions
+    // between two input dirs in one JVM would silently clobber the other's
+    // export mid-gate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    jsonlScratchRoot + "/docs-" + hex
+  }
 
   /** Deterministic structure enrichment shared by the jsonl/line/sentence
     * gates AND their oracles: the synthetic documents corpus is
@@ -126,6 +132,72 @@ object SparkEntry {
     */
   val ScaledLshDumpDir: String =
     new java.io.File("target/verify-lsh-scaled").getAbsolutePath
+
+  /** Where Verify materializes (doc_id, rolling_fp, content_fp) of the
+    * fingerprint gate's enriched corpus. The doc_fingerprint oracle replays
+    * the gate's downstream duplicate-group stage (canonical id, exact-dup
+    * count, content-bucket size) from this parquet in DuckDB; the FNV-style
+    * rolling/content hash kernels stay spec-pinned (TextKernels specs) —
+    * same soundness pattern as [[SimhashDumpDir]].
+    */
+  val FingerprintDumpDir: String =
+    new java.io.File("target/verify-fingerprints").getAbsolutePath
+
+  /** The fingerprint frame both the dump and the doc_fingerprint gate
+    * derive from. The raw synthetic corpus has no duplicate or reordered
+    * documents, so the gate's dup-group branches would be vacuous (every
+    * bucket size 1); enrich it deterministically with (a) EXACT copies of
+    * every 7th doc — same rolling and content fingerprint, exercising the
+    * canonical-id/count branches — and (b) token-ROTATED copies of every
+    * 11th doc — different rolling fingerprint (order-sensitive) while the
+    * min-shingle content fingerprint usually survives the rotation,
+    * exercising the rolling/content divergence.
+    */
+  def fingerprintFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val exactCopies = docs
+      .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val toks = split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+    val rotated = concat_ws(" ",
+      concat(slice(toks, 2, 1000000), slice(toks, 1, 1)))
+    val rotatedCopies = docs
+      .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), rotated.as("text"))
+    docs.unionByName(exactCopies).unionByName(rotatedCopies)
+      .select(
+        col("doc_id"),
+        TextStats.rollingFingerprint(col("text")).as("rolling_fp"),
+        TextStats.contentFingerprint(col("text")).as("content_fp"))
+  }
+
+  /** Where Verify materializes (doc_id, source, comp_ratio) — the deflate
+    * compression-ratio kernel output per document of the enriched corpus.
+    * DuckDB has no deflate, so the kernel value itself cannot be
+    * recomputed SQL-side; the compression_profile oracle instead replays
+    * the gate's per-source profile AGGREGATION from this parquet, leaving
+    * only the kernel spec-pinned (TextKernelsSpec pins known ratios).
+    */
+  val CompressionDumpDir: String =
+    new java.io.File("target/verify-comp-ratios").getAbsolutePath
+
+  /** The per-doc ratio frame both the dump and the compression_profile
+    * gate derive from. Enriched with a highly-repetitive variant of every
+    * 13th doc (repeat of its first 10 chars — deflate crushes it) under a
+    * distinct source so the profile's low-ratio tail is exercised: the
+    * synthetic prose corpus alone has a narrow ratio band.
+    */
+  def compressionFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+    val repetitive = docs
+      .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(13)) === 0)
+      .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+        lit("synthetic_repeat").as("source"),
+        concat_ws("", array_repeat(substring(col("text"), 1, 10), 60)).as("text"))
+    docs.unionByName(repetitive)
+      .select(col("doc_id"), col("source"),
+        TextStats.compressionRatio(col("text")).as("comp_ratio"))
+  }
 
   /** The signature frame both the dump and (implicitly, via the same
     * deterministic kernel) the dedup_simhash gate derive from. Null-id rows
@@ -516,11 +588,21 @@ object SparkEntry {
     // §2.11 — deflate compression ratio per doc: the cheap repetition
     // signal. Deterministic kernel, but DuckDB has no deflate → rows-only
     // gate (TextStatsSpec pins known values).
+    // §2.11 — deflate-ratio repetition signal, gated on its per-source
+    // PROFILE aggregation (the oracle replays it from Verify's per-doc
+    // ratio dump; DuckDB has no deflate, so the kernel itself stays
+    // spec-pinned). Ratios round(6) in-query on both sides; the 0.3
+    // low-ratio threshold flags the enriched repetitive tail.
     "compression_profile" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextStats.compressionRatio(col("text")).as("comp_ratio"))
-        .orderBy("doc_id")),
+      compressionFrame(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("comp_ratio"), 6).as("avg_ratio"),
+          round(min("comp_ratio"), 6).as("min_ratio"),
+          round(max("comp_ratio"), 6).as("max_ratio"),
+          sum(when(col("comp_ratio") < 0.3, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("source")),
 
     // §2.11 — cross-document n-gram repetition profile (the exact-
     // substring-dedup diagnostic): per doc, how many of its distinct
@@ -742,14 +824,27 @@ object SparkEntry {
           TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
-    // §2.11 — document fingerprinting (rolling + content hashes).
-    "doc_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+    // §2.11 — document fingerprinting (rolling + content hashes), gated on
+    // its DOWNSTREAM duplicate-group stage: per doc, the canonical (min)
+    // id of its exact-dup group (same order-sensitive rolling fingerprint),
+    // that group's size, and its content-fingerprint bucket size. The
+    // oracle replays exactly this from Verify's fingerprint dump; the hash
+    // kernels stay spec-pinned. Corpus enriched with exact + rotated
+    // copies (see fingerprintFrame) so the dup branches are non-vacuous.
+    "doc_fingerprint" -> ((s, dir) => {
+      val wR = Window.partitionBy("rolling_fp")
+      val wC = Window.partitionBy("content_fp")
+      fingerprintFrame(s, dir)
         .select(
           col("doc_id"),
-          TextStats.rollingFingerprint(col("text")).as("rolling_fp"),
-          TextStats.contentFingerprint(col("text")).as("content_fp"))
-        .orderBy("doc_id")),
+          when(col("rolling_fp").isNull, col("doc_id"))
+            .otherwise(min("doc_id").over(wR)).as("canonical_id"),
+          when(col("rolling_fp").isNull, lit(1L))
+            .otherwise(count(lit(1)).over(wR)).cast("long").as("n_exact_dups"),
+          when(col("content_fp").isNull, lit(1L))
+            .otherwise(count(lit(1)).over(wC)).cast("long").as("content_bucket_size"))
+        .orderBy("doc_id")
+    }),
 
     // Range (interval) join via time-binning — plain equi-join on bin
     // keys, never BroadcastNestedLoop: shipments falling inside each
@@ -1860,6 +1955,28 @@ object SparkEntry {
          |WHERE doc_id IS NOT NULL
          |QUALIFY row_number() OVER (PARTITION BY source ORDER BY __mix60, doc_id) <= 15
          |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, rolling_fp, content_fp
+         |  FROM read_parquet('$FingerprintDumpDir/*.parquet'))
+         |SELECT doc_id,
+         |  CASE WHEN rolling_fp IS NULL THEN doc_id
+         |       ELSE min(doc_id) OVER (PARTITION BY rolling_fp) END AS canonical_id,
+         |  CAST(CASE WHEN rolling_fp IS NULL THEN 1
+         |       ELSE count(*) OVER (PARTITION BY rolling_fp) END AS BIGINT) AS n_exact_dups,
+         |  CAST(CASE WHEN content_fp IS NULL THEN 1
+         |       ELSE count(*) OVER (PARTITION BY content_fp) END AS BIGINT) AS content_bucket_size
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "compression_profile" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(comp_ratio), 6) AS avg_ratio,
+         |  round(min(comp_ratio), 6) AS min_ratio,
+         |  round(max(comp_ratio), 6) AS max_ratio,
+         |  CAST(sum(CASE WHEN comp_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+         |FROM read_parquet('$CompressionDumpDir/*.parquet')
+         |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH s AS (

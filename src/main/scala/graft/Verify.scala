@@ -41,6 +41,16 @@ object Verify {
         graft.functions.lsh_keys(
           org.apache.spark.sql.functions.col("embedding"), 64, 10, 32).as("keys"))
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.ScaledLshDumpDir)
+    // ... and the rolling/content fingerprints, so doc_fingerprint's
+    // duplicate-group stage gets a window-function oracle (the hash
+    // kernels stay spec-pinned).
+    SparkEntry.fingerprintFrame(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.FingerprintDumpDir)
+    // ... and the per-doc deflate ratios, so compression_profile's
+    // per-source aggregation gets an oracle (DuckDB has no deflate; the
+    // ratio kernel stays spec-pinned).
+    SparkEntry.compressionFrame(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.CompressionDumpDir)
     // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 runs a subset without
     // paying for the full registry. Unset (driver runs) = everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
