@@ -47,14 +47,17 @@ object SparkEntry {
   // each other's export
   private lazy val jsonlScratchRoot: String =
     java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-  private def jsonlScratchDir(dir: String): String = {
+  private def pathKey(dir: String): String = {
     // key by md5 of the full path: 32-bit String.hashCode collisions
     // between two input dirs in one JVM would silently clobber the other's
     // export mid-gate
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    jsonlScratchRoot + "/docs-" + hex
+    md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
+  private def jsonlScratchDir(dir: String): String =
+    jsonlScratchRoot + "/docs-" + pathKey(dir)
+  private def csvScratchDir(dir: String): String =
+    jsonlScratchRoot + "/csv-" + pathKey(dir)
 
   /** Deterministic structure enrichment shared by the jsonl/line/sentence
     * gates AND their oracles: the synthetic documents corpus is
@@ -198,6 +201,29 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         TextStats.compressionRatio(col("text")).as("comp_ratio"))
   }
+
+  /** Where the csv_roundtrip gate writes the cleaned patient table as CSV
+    * (S4, `json_pipeline.py:1058-1076`). Static absolute path: the oracle
+    * DuckDB-`read_csv`s the very files the engine wrote, so both parsers
+    * are compared over the same bytes — the only gate form that actually
+    * checks the CSV LAYER (quoting, null rendering, numeric round-trip)
+    * rather than the values that went in.
+    */
+  val CsvExportDir: String =
+    new java.io.File("target/verify-csv-export").getAbsolutePath
+
+  /** Comma/quote/backslash enrichment for the csv_roundtrip_docs gate —
+    * the CSV cousin of [[enrichedTextExpr]]. Forces the writer through
+    * field-quoting and RFC 4180 quote-doubling, WITHOUT newlines: embedded
+    * newlines would require multiLine=true on read, which makes CSV files
+    * non-splittable — the documented scale boundary of the CSV source.
+    */
+  private def csvEnrichedTextExpr(c: String): Column =
+    concat(substring(col(c), 1, 40),
+      lit(", \"quo, ted\" tail\\"), substring(col(c), 1, 10))
+  private val csvEnrichedTextSql: String =
+    """substring(text, 1, 40) || ', ' || chr(34) || 'quo, ted' || chr(34) ||
+      |    ' tail' || chr(92) || substring(text, 1, 10)""".stripMargin
 
   /** The signature frame both the dump and (implicitly, via the same
     * deterministic kernel) the dedup_simhash gate derive from. Null-id rows
@@ -679,6 +705,36 @@ object SparkEntry {
       graft.sinks.Sinks.writeJsonl(
         t(s, dir, "documents").withColumn("text", enrichedTextExpr("text")), scratch)
       graft.sinks.Sinks.readJsonl(s, scratch, docsSchema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // S4 — CSV sink round-trip over the cleaned FHIR patient table (the
+    // reference's to_csv path): writeCsv → schema'd readCsv, oracled by
+    // DuckDB read_csv OVER THE SAME FILES — engine writer, engine reader,
+    // and an independent parser must all agree on the bytes. Boolean cast
+    // to int on both sides (nullable-boolean hash pitfall).
+    "csv_roundtrip" -> ((s, _) => {
+      val table = fhirCleanedTable(s, "patient")
+      graft.sinks.Sinks.writeCsv(table, s"$CsvExportDir/patient")
+      graft.sinks.Sinks.readCsv(s, s"$CsvExportDir/patient", table.schema)
+        .withColumn("resource_multipleBirthBoolean",
+          col("resource_multipleBirthBoolean").cast("int"))
+        .orderBy("resource_id")
+    }),
+
+    // S4 at corpus volume — CSV round-trip of the documents table with
+    // comma/quote/backslash enrichment (the fixture patient table is 2
+    // rows; this is the quoting stress). Source-fidelity oracle: the
+    // read-back must hash-equal the enriched SOURCE recomputed in DuckDB,
+    // i.e. values survive the CSV layer byte-exactly (jsonl_roundtrip
+    // pattern).
+    "csv_roundtrip_docs" -> ((s, dir) => {
+      val scratch = csvScratchDir(dir)
+      graft.sinks.Sinks.writeCsv(
+        t(s, dir, "documents").withColumn("text", csvEnrichedTextExpr("text")),
+        scratch)
+      graft.sinks.Sinks.readCsv(s, scratch, docsSchema)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -1897,6 +1953,32 @@ object SparkEntry {
 
     "jsonl_roundtrip" ->
       s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "csv_roundtrip" ->
+      s"""SELECT fullUrl, resource_id, resource_gender, resource_birthDate,
+         |  CAST(resource_multipleBirthBoolean AS INTEGER) AS resource_multipleBirthBoolean,
+         |  patient_id, resource_deceasedDateTime, resource_multipleBirthInteger,
+         |  latitude, longitude, full_address, contact_number, first_name,
+         |  last_name, full_name, race, race_code, ethnicity, ethnicity_code,
+         |  birthplace, maritalStatus
+         |FROM read_csv('$CsvExportDir/patient/*.csv',
+         |  header=true, delim=',', quote='"', escape='"',
+         |  columns={'fullUrl':'VARCHAR','resource_id':'VARCHAR',
+         |    'resource_gender':'VARCHAR','resource_birthDate':'VARCHAR',
+         |    'resource_multipleBirthBoolean':'BOOLEAN','patient_id':'VARCHAR',
+         |    'resource_deceasedDateTime':'VARCHAR',
+         |    'resource_multipleBirthInteger':'INTEGER',
+         |    'latitude':'DOUBLE','longitude':'DOUBLE','full_address':'VARCHAR',
+         |    'contact_number':'VARCHAR','first_name':'VARCHAR',
+         |    'last_name':'VARCHAR','full_name':'VARCHAR','race':'VARCHAR',
+         |    'race_code':'VARCHAR','ethnicity':'VARCHAR',
+         |    'ethnicity_code':'VARCHAR','birthplace':'VARCHAR',
+         |    'maritalStatus':'VARCHAR'})
+         |ORDER BY resource_id""".stripMargin,
+
+    "csv_roundtrip_docs" ->
+      s"""SELECT doc_id, $csvEnrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "sentence_split" ->

@@ -24,9 +24,27 @@ object Sinks {
   /** S4 — CSV with header, overwrite. One directory per table (Spark
     * writes part files; at scale a single CSV file is an anti-pattern, so
     * no coalesce(1) here — callers who need one file can repartition).
+    * Embedded quotes are escaped by RFC 4180 quote-doubling (`""`), not
+    * Spark's default backslash — pandas `to_csv` parity, and what DuckDB
+    * and every other standard CSV consumer parses natively. Leading and
+    * trailing whitespace is written faithfully: Spark's writer TRIMS both
+    * by default (ignore*WhiteSpace=true on write), silently corrupting
+    * values that end in a space — caught by the csv_roundtrip_docs gate.
     */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", true).csv(path)
+    df.write.mode("overwrite").option("header", true)
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .option("escape", "\"").csv(path)
+
+  /** Schema'd CSV read, symmetric with [[writeCsv]] (header + RFC 4180
+    * quote-doubling). No inference pass; absent/empty fields arrive as
+    * typed nulls.
+    */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", true)
+      .option("escape", "\"").csv(path)
 
   def writeAllCsv(tables: Map[String, DataFrame], baseDir: String): Unit =
     tables.foreach { case (name, df) => writeCsv(df, s"$baseDir/$name") }
@@ -67,7 +85,7 @@ object Sinks {
     */
   def readJsonlWithCorrupt(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, from_json, substring}
+    import org.apache.spark.sql.functions.{col, from_json, substring, trim}
     // DROPMALFORMED keeps exactly the parseable rows with no corrupt
     // column in the plan — a corrupt-filtered PERMISSIVE read would trip
     // Spark's corrupt-column-only restriction under aggressive pruning
@@ -82,6 +100,10 @@ object Sinks {
     // Spark's corrupt-column-only query restriction and the FHIR reader's
     // shared-scan cache (which would pin the corpus at 100 TB)
     val corrupt = spark.read.textFile(path).toDF("__line")
+      // blank/whitespace-only lines are silently SKIPPED by Spark's JSON
+      // reader (neither row nor malformed record) — exclude them here too
+      // so rows + corrupt exactly partitions the non-blank input
+      .filter(trim(col("__line")) =!= "")
       .filter(from_json(col("__line"),
           schema.add("_corrupt_record", "string"),
           java.util.Map.of("columnNameOfCorruptRecord", "_corrupt_record"))

@@ -19,8 +19,8 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_clusters",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
-      // builder writes the JSONL export before reading it back
-      "jsonl_roundtrip",
+      // builders write the JSONL/CSV exports before reading them back
+      "jsonl_roundtrip", "csv_roundtrip", "csv_roundtrip_docs",
       // builder iterates connected components (actions per round)
       "embed_clusters")
 

@@ -197,4 +197,41 @@ class SinksSpec extends SparkSpec {
     val (rows, corrupt) = Sinks.readJsonlWithCorrupt(spark, s"$dir/out", schema)
     assert(rows.count() == 3 && corrupt.count() == 1)
   }
+
+  test("jsonl quarantine: blank lines are neither rows nor corrupt (exact partition)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = Files.createTempDirectory("jsonl_blank_spec")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      "{\"doc_id\": 1, \"text\": \"a\"}\n\n   \t\n{\"doc_id\": 2, \"text\"")
+    val (rows, corrupt) = Sinks.readJsonlWithCorrupt(spark, s"$dir/in.json", schema)
+    // the JSON reader silently skips blank lines; the corrupt probe must
+    // agree, or rows+corrupt stops being a partition of the input
+    assert(rows.count() == 1 && corrupt.count() == 1)
+  }
+
+  test("csv roundtrip preserves trailing whitespace, embedded commas and RFC-doubled quotes") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = Files.createTempDirectory("csv_spec")
+    val docs = Seq(
+      (1L, "trailing space "),
+      (2L, " leading, and \"quoted\" too"),
+      (3L, null: String),
+      (4L, "back\\slash"))
+      .toDF("doc_id", "text")
+    Sinks.writeCsv(docs, s"$dir/out")
+    val back = Sinks.readCsv(spark, s"$dir/out", schema)
+      .as[(Long, Option[String])].collect().toMap
+    assert(back == Map(1L -> Some("trailing space "),
+      2L -> Some(" leading, and \"quoted\" too"), 3L -> None,
+      4L -> Some("back\\slash")))
+    // and the bytes are standard CSV: embedded quotes doubled, not
+    // backslash-escaped (pandas/DuckDB parity)
+    val raw = spark.read.textFile(s"$dir/out").collect().mkString("\n")
+    assert(raw.contains("\"\"quoted\"\""), raw)
+    assert(!raw.contains("\\\"quoted"), raw)
+  }
 }
