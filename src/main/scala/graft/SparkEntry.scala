@@ -1278,7 +1278,9 @@ object SparkEntry {
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           k = 10, numCentroids = 16, nProbe = 6),
-        floor = 0.3)
+        // Lloyd-trained codebook (2 rounds): measured mean recall ≈ 0.95
+        // at sf0.01 — the raw seeded codebook needed a 0.3 floor
+        floor = 0.7)
         .orderBy("query_id")
     }),
 
@@ -1561,6 +1563,39 @@ object SparkEntry {
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
 
+  /** Two Lloyd rounds from the seeded-by-id codebook, mirroring
+    * `Similarity.ivfTrainCentroids` (iters=2): assign → exact grid-scaled
+    * per-cluster mean (floor(x·2^20) summed as BIGINT — order-independent,
+    * so engine and oracle can never drift on float summation order) →
+    * reassign → mean. Ends at `cents`/`assign`, the names the probe/cand
+    * stages consume. Kept as one shared fragment so ann_ivf and
+    * ann_ivf_recall can't diverge.
+    */
+  private val ivfLloydCtes: String = {
+    def assign(cents: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def mean(assignName: String, i: Int, out: String) =
+      s"""ex$i AS (
+         |  SELECT a.cid, generate_subscripts(e.v, 1) AS d, unnest(e.v) AS x
+         |  FROM $assignName a JOIN e ON e.vec_id = a.vec_id),
+         |ag$i AS (
+         |  SELECT cid, d, sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS s, count(*) AS n
+         |  FROM ex$i GROUP BY cid, d),
+         |$out AS (
+         |  SELECT cid, list(s / (n * 1048576.0) ORDER BY d) AS cv FROM ag$i GROUP BY cid)""".stripMargin
+    "cents0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),\n" +
+      assign("cents0", "assign0") + ",\n" +
+      mean("assign0", 1, "cents1") + ",\n" +
+      assign("cents1", "assign1") + ",\n" +
+      mean("assign1", 2, "cents") + ",\n" +
+      assign("cents", "assign")
+  }
+
   // ---- fhir_*_oracle: DuckDB re-derivation of each cleaned FHIR table from
   // the normalized-entries parquet Verify materializes (one shared input, so
   // the hash compare pins extraction + cleaning semantics, not parquet I/O).
@@ -1811,14 +1846,8 @@ object SparkEntry {
 
     "ann_ivf_recall" -> recallOracleSql(
       embeddingsESrc,
-      """cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |probes AS (
+      ivfLloydCtes + ",\n" +
+      """probes AS (
         |  SELECT qid, cid FROM (
         |    SELECT e.vec_id AS qid, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id
@@ -1835,7 +1864,7 @@ object SparkEntry {
         |        ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC, nid) AS rn
         |    FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
         |  WHERE rn <= 10)""".stripMargin,
-      floor = 0.3),
+      floor = 0.7),
 
     "ann_quantized_recall" -> recallOracleSql(
       embeddingsESrc,
@@ -1882,17 +1911,8 @@ object SparkEntry {
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-        |cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
-        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
-        |probes AS (
+      ("WITH e AS (\n  " + embeddingsESrc + "),\n" + ivfLloydCtes + ",\n" +
+      """probes AS (
         |  SELECT qid, cid FROM (
         |    SELECT e.vec_id AS qid, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id
@@ -1909,7 +1929,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine_sim,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
-        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
 
     "exact_contamination" -> {
       // 13-wide shingle via list slice (w[i:i+12] is 1-based inclusive =

@@ -197,15 +197,61 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN — the bucketed alternative to LSH -----------
 
-  /** Deterministic IVF centroids: the `numCentroids` corpus vectors with
-    * the smallest ids. Real deployments train k-means offline and ship the
-    * codebook; the engine's contract only needs SOME fixed partition of
-    * the sphere, and seeded-by-id keeps every run/oracle comparison
-    * reproducible with no RNG and no driver-side training loop.
+  /** Deterministic IVF seed centroids: the `numCentroids` corpus vectors
+    * with the smallest ids. Seeded-by-id keeps every run/oracle comparison
+    * reproducible with no RNG; [[ivfTrainCentroids]] then runs Lloyd
+    * rounds from this seed.
     */
   private def ivfCentroids(c: DataFrame, numCentroids: Int): DataFrame =
     c.orderBy(col("neighbor_id")).limit(numCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("__cv").as("__cent"))
+
+  /** Exact-arithmetic scale for Lloyd means: components are floored to
+    * 2^-20 grid longs before summing, so the per-cluster mean is exact
+    * integer arithmetic — deterministic under ANY aggregation order (a
+    * straight double sum is order-dependent across shuffles, which would
+    * break run-to-run and engine-vs-oracle reproducibility). Scaling a
+    * float by a power of two is exact in double.
+    */
+  private val LloydScale = 1048576.0
+
+  /** Lloyd-trained IVF codebook: `iters` rounds of assign → per-cluster
+    * mean from the seeded-by-id init. Each round is fully distributed —
+    * broadcast-argmax assignment (one shuffled row per vector), then a
+    * (centroid, dim) aggregation of grid-scaled component sums; nothing
+    * but the codebook itself ever sits on the driver, and it never does
+    * (stays a DataFrame, re-broadcast each round). Clusters that lose all
+    * members drop out (their centroid vanishes), which real k-means
+    * implementations handle by re-seeding — at the engine's scale the
+    * deterministic drop is the simpler contract and the oracle mirrors it.
+    * Trained centroids fix the hot-bucket skew of raw seeded centroids:
+    * the codebook spreads toward the data's actual modes, balancing the
+    * inverted lists (SCALING.md names unbalanced codebooks as THE IVF
+    * skew risk at 100 TB).
+    */
+  private[graft] def ivfTrainCentroids(
+      c: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    var cents = ivfCentroids(c, numCentroids)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(c, "neighbor_id", "__cv", cents)
+      val dims = c.join(assigned, "neighbor_id")
+        .select(col("centroid_id"),
+          posexplode(col("__cv")).as(Seq("__d", "__x")))
+        .groupBy("centroid_id", "__d")
+        .agg(
+          sum(floor(col("__x") * LloydScale).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+      cents = dims
+        .select(col("centroid_id"),
+          struct(col("__d"),
+            (col("__s") / (col("__n") * LloydScale)).as("v")).as("__dv"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(col("__dv"))).as("__a"))
+        .select(col("centroid_id"),
+          expr("transform(__a, r -> r.v)").as("__cent"))
+    }
+    cents
+  }
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
     * score every vector against all centroids map-side, keep the argmax
@@ -243,14 +289,17 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
     val c = corpus
       .filter(col(corpusId).isNotNull && col(corpusVec).isNotNull)
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries
       .filter(col(queryId).isNotNull && col(queryVec).isNotNull)
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-    val cents = ivfCentroids(c, numCentroids)
+    val cents =
+      if (trainIters <= 0) ivfCentroids(c, numCentroids)
+      else ivfTrainCentroids(c, numCentroids, trainIters)
     val inverted = c.join(ivfAssign(c, "neighbor_id", "__cv", cents), "neighbor_id")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(desc("__ccos"), asc("centroid_id"))
@@ -319,11 +368,12 @@ object Similarity {
   def ivfRecall(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+      k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 2): DataFrame =
     recallAgainstExact(
       bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
       ivfTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
-        numCentroids, nProbe))
+        numCentroids, nProbe, trainIters))
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *

@@ -184,7 +184,9 @@ class SimilaritySpec extends SparkSpec {
         k = 5, numCentroids = 16, nProbe = 6)
       .agg(avg("recall")).as[Double].collect()(0)
     info(f"IVF mean recall (K=16, nProbe=6) = $recall%.4f")
-    assert(recall >= 0.3, s"IVF recall collapsed: $recall")
+    // Lloyd-trained codebook (default 2 rounds): measured 0.96 here —
+    // the raw seeded codebook only cleared 0.3
+    assert(recall >= 0.7, s"IVF recall collapsed: $recall")
   }
 
   test("quantizedTopK: int8-code search recall vs exact meets a high floor") {
