@@ -202,8 +202,21 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       labels.unpersist()
-      labels = next
       converged = obs.get("shrunk").asInstanceOf[Long] == 0L
+      // truncate lineage EVERY round: the label plan feeds both the
+      // propagation and the merge, so its tree DOUBLES per round —
+      // measured on a 12-vertex chain, planning hits 12 s/round by round
+      // 7 and 155 s by round 8 (6k plan nodes); convergence takes
+      // O(graph diameter) rounds, so any long chain dies in planning, not
+      // execution. The eager localCheckpoint pins the (tiny) label frame
+      // as materialized blocks and restarts the plan from a LogicalRDD —
+      // 0.3 s/round FLAT on a diameter-24 chain. Cost: one extra
+      // cache-read job per round, noise next to the round's own shuffle.
+      // (The checkpoint must come AFTER obs.get: the metric rides the
+      // count; the checkpoint job is an RDD action observe never sees.)
+      val cp = next.localCheckpoint(eager = true)
+      next.unpersist()
+      labels = cp
     }
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")

@@ -104,6 +104,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: deep chain (diameter > 20) converges through per-round lineage checkpoints") {
+    // a path graph converges in O(diameter) min-label rounds, so 25
+    // vertices force ~2 dozen rounds. The label plan DOUBLES per round
+    // (it feeds both propagation and merge): without the per-round
+    // localCheckpoint, planning measured 155 s/round by round 8 and OOMed
+    // a 16g driver before round 12 — this spec dies on exactly that shape
+    val n = 25
+    val vdf = (0 until n).map(_.toLong).toDF("id")
+    val edf = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vdf, "id", edf, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+  }
+
   test("crossCorpusContamination: only cross-side pairs, overlapping id spaces safe") {
     // eval doc 1 duplicates train docs 1 and (nearly) 3 — note the eval id
     // COLLIDES with a train id, which the separate-column output must keep apart
