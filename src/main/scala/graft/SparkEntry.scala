@@ -1962,7 +1962,13 @@ object SparkEntry {
         |prs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
+        |  -- non-zero-norm guard mirrors the engine kernel's denom>0
+        |  -- branch: DuckDB orders NaN above all values, so a zero vector
+        |  -- would otherwise fabricate oracle edges the engine never emits
+        |  -- (it still seeds reach below, as its own singleton cluster)
+        |  WHERE list_sum(list_transform(a.v, x -> x * x)) > 0
+        |    AND list_sum(list_transform(b.v, x -> x * x)) > 0
+        |    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
         |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
         |reach AS (
         |  SELECT vec_id AS a, vec_id AS b FROM e

@@ -374,4 +374,42 @@ object expressions {
         newLeft: Expression, newRight: Expression): JaccardSorted =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Bloom membership probe against a BROADCAST serialized sketch.
+    *
+    * The built-in `BloomFilterMightContain` requires its sketch side as a
+    * foldable expression, i.e. the serialized filter rides the PLAN as a
+    * binary Literal — a ~MB sketch then bloats every explain/plan
+    * canonicalization and is re-shipped inside each task binary. Holding a
+    * `Broadcast[Array[Byte]]` handle instead serializes as a tiny
+    * broadcast id in the task closure; executors fetch the sketch once
+    * via the broadcast machinery and deserialize it lazily per task
+    * (transient lazy val). Child is the 64-bit hash of the probed value
+    * (xxhash64 — the same hash the aggregate ingested).
+    */
+  case class BloomMightContainBroadcast(
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_bloom_might_contain_bcast"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a LONG hash child, got ${child.dataType.simpleString}")
+    @transient private lazy val filter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloom.value))
+    def mightContain(h: Long): Boolean = filter.mightContainLong(h)
+    override protected def nullSafeEval(h: Any): Any =
+      mightContain(h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomMC", this,
+        classOf[BloomMightContainBroadcast].getName)
+      nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $ref.mightContain($h);")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainBroadcast =
+      copy(child = newChild)
+  }
 }

@@ -38,6 +38,15 @@ package object functions {
         bloomBytes, org.apache.spark.sql.types.BinaryType),
       e(hashed)))
 
+  /** [[might_contain]] with the sketch shipped as a BROADCAST instead of a
+    * plan literal — the form for MB-scale sketches reused across batches
+    * (see [[expressions.BloomMightContainBroadcast]]).
+    */
+  def might_contain_broadcast(
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      hashed: Column): Column =
+    c(expressions.BloomMightContainBroadcast(bloom, e(hashed)))
+
   /** MinHash signature (`k` permutations) of a hashed shingle set. */
   def minhash_signature(hashes: Column, k: Int): Column =
     c(expressions.MinhashSignature(e(hashes), k))

@@ -314,8 +314,10 @@ object Dedup {
     * At 100 TB: size `expectedItems`/`fpp` to the history's distinct-doc
     * count (8 M items at 1% fpp ≈ 10 MB sketch); the verify join's history
     * side should be a pre-bucketed (hash) table so repeated batches pay no
-    * history shuffle; serialize the sketch once per history snapshot and
-    * reuse it for every batch. NOTE: Spark SILENTLY clamps the aggregate to
+    * history shuffle; build the sketch once per history snapshot with
+    * [[historyBloomSketch]] and pass it to the `sketch` overload for every
+    * batch (this convenience form rebuilds it per call). NOTE: Spark
+    * SILENTLY clamps the aggregate to
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4 M default)
     * and `.maxNumBits` (2²⁶ ≈ 8 MB default) — past those, raise both confs
     * or the real fpp quietly exceeds the requested one (output stays exact
@@ -324,18 +326,45 @@ object Dedup {
   def dedupAgainstHistory(
       history: DataFrame, historyTextCol: String,
       incoming: DataFrame, textCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    dedupAgainstHistory(
+      historyBloomSketch(history, historyTextCol, expectedItems, fpp),
+      history, historyTextCol, incoming, textCol)
+
+  /** The history Bloom sketch [[dedupAgainstHistory]] prefilters with, as
+    * serialized bytes: ONE aggregate pass over the snapshot, reusable
+    * across every incoming batch until the history grows. Keys are
+    * `xxhash64(text)` — the `sketch` overload probes with the same hash.
+    */
+  def historyBloomSketch(
+      history: DataFrame, historyTextCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = history
+    history
       .filter(col(historyTextCol).isNotNull)
       .agg(graft.functions.bloom_filter_agg(
         xxhash64(col(historyTextCol)), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[dedupAgainstHistory]] with a PREBUILT sketch (from
+    * [[historyBloomSketch]], possibly persisted between runs): no
+    * aggregate pass over the history per batch, and the sketch ships to
+    * executors as a BROADCAST variable — embedding the ~MB bytes as a
+    * plan Literal (what the built-in `might_contain` requires) bloats
+    * every plan/explain/task binary it touches. `history` is still joined
+    * for the exact verify of bloom-positives only.
+    */
+  def dedupAgainstHistory(
+      sketch: Array[Byte],
+      history: DataFrame, historyTextCol: String,
+      incoming: DataFrame, textCol: String): DataFrame = {
+    val bcast = incoming.sparkSession.sparkContext.broadcast(sketch)
     val candidate = col(textCol).isNotNull &&
-      graft.functions.might_contain(bloomBytes, xxhash64(col(textCol)))
+      graft.functions.might_contain_broadcast(bcast, xxhash64(col(textCol)))
     // split-union so bloom-negatives never reach the verify join's shuffle
     val positives = flagAgainstSeenSet(
       incoming.filter(candidate), textCol, history, historyTextCol)

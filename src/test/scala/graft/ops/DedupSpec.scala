@@ -201,6 +201,29 @@ class DedupSpec extends SparkSpec {
     assert(tiny == got, "false positives must not survive the exact verify")
   }
 
+  test("dedupAgainstHistory: prebuilt broadcast sketch matches, and never rides the plan as a literal") {
+    val history = Seq("seen one", "seen two", "seen three").toDF("text")
+    val incoming = Seq(
+      (1L, Some("seen one")), (2L, Some("brand new doc")),
+      (3L, Some("seen three")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // build ONCE (the per-snapshot form), reuse across two batches
+    val sketch = Dedup.historyBloomSketch(history, "text")
+    val flagged = Dedup.dedupAgainstHistory(sketch, history, "text", incoming, "text")
+    val got = flagged.select("doc_id", "in_history")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val batch2 = Dedup.dedupAgainstHistory(sketch, history, "text",
+        incoming.filter(col("doc_id") === 2L), "text")
+      .select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+    assert(batch2 == Map(2L -> false))
+    // the sketch must ship via broadcast, not as an embedded binary
+    // Literal bloating every plan/explain/task closure
+    val plan = flagged.queryExecution.analyzed.toString
+    assert(plan.contains("graft_bloom_might_contain_bcast"), plan.take(2000))
+    assert(!plan.contains("bloom_filter_might_contain"), plan.take(2000))
+  }
+
   test("exactNgramContamination: full, partial, zero hit fractions; short/null-id eval docs excluded") {
     val train = Seq("alpha beta gamma delta epsilon").toDF("text")
     val eval = Seq(
