@@ -183,6 +183,15 @@ object Dedup {
         least(col("__src"), col("__mind")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
+    // the superseded round's localCheckpoint blocks are released
+    // explicitly each round — RDD-level persists are invisible to
+    // catalog.clearCache, and leaving them to the ContextCleaner's GC
+    // race makes cache accounting nondeterministic
+    var prevCheckpoint: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     while (!converged) {
       // ONE action per round: the shrank-count rides the materializing
       // count as an observe metric instead of a second traversal — in
@@ -216,8 +225,14 @@ object Dedup {
       // count; the checkpoint job is an RDD action observe never sees.)
       val cp = next.localCheckpoint(eager = true)
       next.unpersist()
+      prevCheckpoint.foreach(_.unpersist(blocking = false))
+      prevCheckpoint = checkpointRdd(cp)
       labels = cp
     }
+    // the FINAL round's checkpoint stays: it is the data behind the
+    // returned (lazy) result — local checkpoints are non-recoverable, so
+    // releasing it here would lose the labels before the caller acts.
+    // The ContextCleaner reclaims it when the result goes out of scope.
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))

@@ -216,41 +216,64 @@ object Similarity {
   private val LloydScale = 1048576.0
 
   /** Lloyd-trained IVF codebook: `iters` rounds of assign → per-cluster
-    * mean from the seeded-by-id init. Each round is fully distributed —
-    * broadcast-argmax assignment (one shuffled row per vector), then a
-    * (centroid, dim) aggregation of grid-scaled component sums; nothing
-    * but the codebook itself ever sits on the driver, and it never does
-    * (stays a DataFrame, re-broadcast each round). Clusters that lose all
-    * members drop out (their centroid vanishes), which real k-means
-    * implementations handle by re-seeding — at the engine's scale the
-    * deterministic drop is the simpler contract and the oracle mirrors it.
-    * Trained centroids fix the hot-bucket skew of raw seeded centroids:
-    * the codebook spreads toward the data's actual modes, balancing the
-    * inverted lists (SCALING.md names unbalanced codebooks as THE IVF
-    * skew risk at 100 TB).
+    * mean from the seeded-by-id init.
+    *
+    * The codebook (K × dim doubles — KB-scale, broadcast-footprint by
+    * definition) lives on the DRIVER between rounds, exactly like MLlib's
+    * KMeans and the Bloom-sketch pattern in [[Dedup.dedupAgainstHistory]]:
+    * each round is one distributed job (map-side argmax against the
+    * broadcast codebook, then a (centroid, dim) aggregation of
+    * grid-scaled component sums) whose K·dim-row result collects back.
+    * The fully-lazy formulation (codebook as a nested DataFrame plan) was
+    * measured 2-3× slower end-to-end: every consumer of the final
+    * codebook re-plans the whole training chain, and each round adds ~6
+    * sequential stage barriers. The corpus itself never collects.
+    *
+    * Clusters that lose all members drop out (their centroid vanishes),
+    * which real k-means implementations handle by re-seeding — at the
+    * engine's scale the deterministic drop is the simpler contract and
+    * the oracle mirrors it. Trained centroids fix the hot-bucket skew of
+    * raw seeded centroids: the codebook spreads toward the data's actual
+    * modes, balancing the inverted lists (SCALING.md names unbalanced
+    * codebooks as THE IVF skew risk at 100 TB). All mean arithmetic is
+    * exact grid-scaled int64 (floor(x·2^20) summed as longs, one double
+    * division at the end) — deterministic under any aggregation order and
+    * replayed bit-exactly by the DuckDB oracle.
     */
   private[graft] def ivfTrainCentroids(
       c: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
-    var cents = ivfCentroids(c, numCentroids)
+    val spark = c.sparkSession
+    var codebook: Seq[(Long, Seq[Double])] =
+      ivfCentroids(c, numCentroids)
+        .select(col("centroid_id"), col("__cent").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    def frame(cb: Seq[(Long, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      cb.toDF("centroid_id", "__cent")
+    }
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(c, "neighbor_id", "__cv", cents)
-      val dims = c.join(assigned, "neighbor_id")
+      val assigned = ivfAssign(c, "neighbor_id", "__cv", frame(codebook))
+      codebook = c.join(assigned, "neighbor_id")
         .select(col("centroid_id"),
           posexplode(col("__cv")).as(Seq("__d", "__x")))
         .groupBy("centroid_id", "__d")
         .agg(
           sum(floor(col("__x") * LloydScale).cast("long")).as("__s"),
           count(lit(1)).as("__n"))
-      cents = dims
-        .select(col("centroid_id"),
-          struct(col("__d"),
-            (col("__s") / (col("__n") * LloydScale)).as("v")).as("__dv"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(col("__dv"))).as("__a"))
-        .select(col("centroid_id"),
-          expr("transform(__a, r -> r.v)").as("__cent"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val v = new Array[Double](dim)
+          // same IEEE ops as the oracle's s / (n * 1048576.0)
+          rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / (r.getLong(3) * LloydScale))
+          (cid, v.toSeq)
+        }
+        .toSeq.sortBy(_._1)
     }
-    cents
+    frame(codebook)
   }
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,

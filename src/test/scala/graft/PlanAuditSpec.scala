@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_clusters",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
+      // builders run Lloyd codebook training (K×dim codebook to driver,
+      // broadcast-footprint class — same pattern as the Bloom sketch)
+      "ann_ivf", "ann_ivf_recall",
       // builders write the JSONL/CSV exports before reading them back
       "jsonl_roundtrip", "csv_roundtrip", "csv_roundtrip_docs",
       // builder iterates connected components (actions per round)

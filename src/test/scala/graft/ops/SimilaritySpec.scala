@@ -105,19 +105,24 @@ class SimilaritySpec extends SparkSpec {
 
   test("cosineNearDupPairsEager: same pairs as lazy form, no chunk cache left behind") {
     spark.catalog.clearCache()
-    val before = spark.sparkContext.getPersistentRDDs.size
     val expected = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5)
       .as[(Long, Long, Double)].collect().toSet
     spark.catalog.clearCache()
+    // compare RDD-ID SETS, not counts: persisted RDDs left by other
+    // suites (e.g. a CC result's final localCheckpoint) are reclaimed by
+    // the ContextCleaner on ITS schedule, so absolute counts race with GC
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val eager = Similarity.cosineNearDupPairsEager(vecs, "vec_id", "embedding", 0.5)
     assert(eager.as[(Long, Long, Double)].collect().toSet == expected)
-    // only the caller-owned result may remain cached; the internal chunk
-    // frame must be gone the moment the call returns
-    val afterEager = spark.sparkContext.getPersistentRDDs.size
-    assert(afterEager == before + 1,
-      s"expected only the returned result cached, found ${afterEager - before} persisted RDDs")
+    // only the caller-owned result may remain newly cached; the internal
+    // chunk frame must be gone the moment the call returns
+    val newAfterEager = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(newAfterEager.size == 1,
+      s"expected only the returned result newly cached, found ${newAfterEager.size}")
     eager.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    val newAfterRelease = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(newAfterRelease.isEmpty,
+      s"released result still pinned: $newAfterRelease")
   }
 
   test("certifyRecallFloor: attaches mean/floor/pass when met, raises when violated") {
