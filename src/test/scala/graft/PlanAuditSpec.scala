@@ -48,15 +48,66 @@ class PlanAuditSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
     // and the allowlists in this spec stay in sync with the registry
-    val stale = (eagerBuilders ++ intentionalBroadcastCross.keySet) -- SparkEntry.queries.keySet
+    val stale = (eagerBuilders ++ intentionalBroadcastCross.keySet ++
+      intentionalGlobalWindow.keySet) -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"plan-audit allowlist names unknown queries: $stale")
   }
 
-  test("bm25_topk: no unpartitioned window consumes the full match relation") {
+  /** Queries whose unpartitioned window is DELIBERATE: each ranks a
+    * relation already bounded to a small row count by construction, so the
+    * single task sorts k-ish rows, not the corpus. Anything NOT listed
+    * here that plans an unpartitioned window over an unbounded input
+    * fails the audit below.
+    */
+  private val intentionalGlobalWindow = Map(
+    "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)")
+
+  test("no registry query plans an unpartitioned window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
     // AQE wraps the plan in an AdaptiveSparkPlanExec leaf — dig through it
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case n => n
+    }.flatMap {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case n => Seq(n)
+    }
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => eagerBuilders(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        val unpartitioned = nodes(plan)
+          .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        // an unpartitioned window is acceptable when its input is bounded:
+        // a limit below it, a partitioned window CUT below it (each
+        // partition pre-trimmed to k rows — the two-phase top-k shape), or
+        // an aggregate grouped EXACTLY on spark_partition_id (one row per
+        // partition — the two-phase prefix-sum shape, O(partitions) rows)
+        val bad = unpartitioned.filterNot { w =>
+          nodes(w).exists {
+            case c: WindowExec => c.partitionSpec.nonEmpty
+            case _: GlobalLimitExec | _: LocalLimitExec => true
+            case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              agg.groupingExpressions.nonEmpty &&
+                agg.groupingExpressions.forall(_.toAttribute.name == "__pid")
+            case _ => false
+          }
+        }
+        if (bad.isEmpty || intentionalGlobalWindow.contains(name)) None
+        else Some(s"$name: ${bad.size} unbounded unpartitioned WindowExec")
+      }
+    assert(offenders.isEmpty,
+      "single-task global sorts over unbounded input (add a per-partition " +
+        s"cut or justify in intentionalGlobalWindow):\n${offenders.mkString("\n")}")
+  }
+
+  test("bm25_topk: the global rank window consumes only the per-partition cut") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
     def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
       case n => n
     }.flatMap {
