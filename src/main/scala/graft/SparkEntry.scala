@@ -739,6 +739,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — Unicode NFC normalization (the pre-hash canonicalization
+    // multilingual pipelines apply). ASCII-only synthetic corpus →
+    // deterministic enrichment: every 3rd doc gets DECOMPOSED sequences
+    // (e+U+0301, o+U+0308 → composed by NFC, changed=1), the rest get the
+    // PRECOMPOSED forms (already NFC, changed=0 — the passthrough branch).
+    "unicode_nfc" -> ((s, dir) => {
+      // decomposed: e + combining acute (U+0301), o + combining
+      // diaeresis (U+0308); precomposed: U+00E9 / U+00F6
+      val decomposed = " cafe\u0301 no\u0308el"
+      val precomposed = " caf\u00e9 n\u00f6el"
+      val enriched = t(s, dir, "documents")
+        .withColumn("text", concat(substring(col("text"), 1, 40),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(decomposed))
+            .otherwise(lit(precomposed))))
+      enriched.select(
+        col("doc_id"),
+        TextStats.nfcNormalize(col("text")).as("nfc_text"),
+        (col("text") =!= TextStats.nfcNormalize(col("text")))
+          .cast("int").as("changed"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(TextStats.nfcNormalize(col("text"))).cast("long").as("n_chars_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — in-document repeated-line trim (doc-level boilerplate
     // removal; the corpus-level pass is line_dedup). Shuffle-free
     // per-row projection.
@@ -2006,6 +2030,19 @@ object SparkEntry {
     "csv_roundtrip_docs" ->
       s"""SELECT doc_id, $csvEnrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "unicode_nfc" ->
+      """WITH e AS (
+        |  SELECT doc_id, substring(text, 1, 40) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' cafe' || chr(769) || ' no' || chr(776) || 'el'
+        |      ELSE ' caf' || chr(233) || ' n' || chr(246) || 'el' END AS text
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  CAST(text <> nfc_normalize(text) AS INTEGER) AS changed,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+        |FROM e ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "sentence_split" ->
       s"""WITH e AS (

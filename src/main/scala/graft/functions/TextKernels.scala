@@ -599,6 +599,20 @@ object TextKernels {
   def cleanWhitespaceU(s: UTF8String): UTF8String =
     UTF8String.fromString(cleanWhitespace(s.toString))
 
+  /** Unicode NFC canonical composition (e + U+0301 → é): the
+    * normalization every multilingual corpus pipeline applies before
+    * hashing/dedup, since byte-different decompositions of the same text
+    * would never collide. Fast path: `Normalizer.isNormalized` is a scan
+    * with NO allocation, and real-world corpora are overwhelmingly
+    * already-NFC — the original UTF8String is returned untouched then.
+    */
+  def nfcNormalizeU(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def textMetricsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val m = textMetrics(s.toString)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -206,6 +206,22 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC canonical composition
+    * ([[TextKernels.nfcNormalizeU]]) — allocation-free passthrough for
+    * already-normalized text.
+    */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc_normalize"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.nfcNormalizeU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.nfcNormalizeU($c)")
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   /** One-pass language ID ([[TextKernels.langId]]): the language with the
     * most stopword hits, "und" when none match. Replaces five
     * `regexp_count` scans (one per language) per row.

@@ -89,6 +89,12 @@ package object functions {
   def clean_whitespace(text: Column): Column =
     c(expressions.CleanWhitespace(e(text)))
 
+  /** Unicode NFC canonical composition (no-alloc passthrough when already
+    * normalized).
+    */
+  def nfc_normalize(text: Column): Column =
+    c(expressions.NfcNormalize(e(text)))
+
   /** One-pass stopword-based language ID ("und" when nothing matches). */
   def lang_id(text: Column): Column =
     c(expressions.LangId(e(text)))
@@ -163,6 +169,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.LangId(args(0))),
     "graft_clean_whitespace" ->
       ((args: Seq[Expression]) => expressions.CleanWhitespace(args(0))),
+    "graft_nfc_normalize" ->
+      ((args: Seq[Expression]) => expressions.NfcNormalize(args(0))),
     "graft_bpe_token_count" ->
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
     "graft_compression_ratio" ->

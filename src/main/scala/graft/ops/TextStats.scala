@@ -145,6 +145,17 @@ object TextStats {
   def normalizeText(text: Column): Column =
     lower(graft.functions.clean_whitespace(text))
 
+  /** Unicode NFC canonical composition (e + combining acute → é) — the
+    * normalization multilingual pipelines apply BEFORE hashing/dedup so
+    * byte-different decompositions of identical text collide. Codegen'd
+    * kernel ([[graft.functions.expressions.NfcNormalize]]) with a
+    * zero-allocation passthrough for already-NFC text (the overwhelming
+    * majority of real corpora). Composes with [[normalizeText]]: NFC
+    * first, then whitespace/case canonicalization.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.nfc_normalize(text)
+
   /** The three-regex formulation the [[normalizeText]] kernel replaced —
     * retained as the executable spec (TextStatsSpec) and the shape the
     * DuckDB oracle mirrors.

@@ -89,6 +89,22 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.rollingFingerprint(emoji) != TextKernels.rollingFingerprint("a b c"))
   }
 
+  test("nfcNormalizeU: composes decomposed sequences, identity passthrough when already NFC") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = UTF8String.fromString("café nöel")
+    val precomposed = UTF8String.fromString("café nöel")
+    val got = TextKernels.nfcNormalizeU(decomposed)
+    assert(got == precomposed)
+    assert(got.numChars() == decomposed.numChars() - 2)
+    // idempotent
+    assert(TextKernels.nfcNormalizeU(got) == got)
+    // already-normalized input returns the SAME instance — the
+    // zero-allocation fast path real (overwhelmingly-NFC) corpora take
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextKernels.nfcNormalizeU(ascii) eq ascii)
+    assert(TextKernels.nfcNormalizeU(precomposed) eq precomposed)
+  }
+
   test("jaccardSorted: exact merge intersection") {
     val a = Array(1L, 3L, 5L, 7L)
     val b = Array(3L, 5L, 9L)
