@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
 import graft.fhir.FhirFixtures
-import graft.ops.{Curation, Dedup, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Domains, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -761,6 +761,23 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars_raw"),
         length(TextStats.nfcNormalize(col("text"))).cast("long").as("n_chars_nfc"))
         .orderBy("doc_id")
+    }),
+
+    // §2.11 — URL host + registrable-domain profile (the grouping key
+    // behind per-domain quotas/blocklists in crawl curation). URLs
+    // synthesized deterministically from (source, doc_id): www. on every
+    // 5th doc exercises the 3-label host path, .co.uk on every 7th
+    // exercises the multi-label public-suffix rule.
+    "domain_profile" -> ((s, dir) => {
+      val urls = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .withColumn("url", concat(
+          lit("https://"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(".co.uk")).otherwise(lit(".com")),
+          lit("/doc/"), col("doc_id"), lit("?ref=x")))
+      Domains.domainProfile(urls, "url").orderBy("domain")
     }),
 
     // §2.11 — in-document repeated-line trim (doc-level boilerplate
@@ -2030,6 +2047,28 @@ object SparkEntry {
     "csv_roundtrip_docs" ->
       s"""SELECT doc_id, $csvEnrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "domain_profile" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+        |    source || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END ||
+        |    '/doc/' || doc_id || '?ref=x' AS url
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |h AS (
+        |  SELECT lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host FROM u),
+        |d AS (
+        |  SELECT host,
+        |    CASE WHEN len(s) <= 2 THEN host
+        |         WHEN s[-2] || '.' || s[-1] IN
+        |           ('co.uk','ac.uk','org.uk','co.jp','com.au','com.br','co.in')
+        |           THEN s[-3] || '.' || s[-2] || '.' || s[-1]
+        |         ELSE s[-2] || '.' || s[-1] END AS domain
+        |  FROM (SELECT host, string_split(host, '.') AS s FROM h)
+        |  WHERE host IS NOT NULL AND host <> '')
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
     "unicode_nfc" ->
       """WITH e AS (

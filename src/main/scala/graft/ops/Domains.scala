@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain operators for web-corpus curation: host extraction and
+  * registrable-domain grouping — the keys behind per-domain quotas,
+  * blocklists, and source-mix profiles in every large crawl pipeline.
+  * All pure column expressions (codegen'd built-ins), shuffle-free until
+  * the caller aggregates.
+  */
+object Domains {
+
+  /** Multi-label public suffixes the registrable-domain rule recognizes.
+    * A deliberate SUBSET: the real public-suffix list is ~10k entries and
+    * revisioned; production deployments should load the full PSL into
+    * this seq (it broadcasts as expression literals either way). The rule
+    * itself — take 3 labels when the last 2 form a listed suffix, else
+    * 2 — is the standard PSL algorithm restricted to one wildcard-free
+    * level.
+    */
+  val MultiLabelSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "org.uk", "co.jp", "com.au", "com.br", "co.in")
+
+  /** Lowercased host of a URL via Spark's native `try_parse_url`; null
+    * for null, hostless, or MALFORMED inputs — the strict `parse_url`
+    * throws on the first bad URL, which at corpus scale means one
+    * mangled crawl record kills the job.
+    */
+  def urlHost(url: Column): Column =
+    lower(try_parse_url(url, lit("HOST")))
+
+  /** Registrable domain of a host: last two labels, or last three when
+    * the last two are a listed multi-label public suffix
+    * ([[MultiLabelSuffixes]]); hosts with ≤ 2 labels pass through. IPs
+    * and ports are out of scope (crawl frontiers canonicalize those
+    * upstream).
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(last2.isin(MultiLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Per-registrable-domain corpus profile: document count and distinct
+    * host count. One shuffle on the domain key (partial-aggregated
+    * map-side); the distinct-host count shuffles (domain, host) pairs —
+    * bounded by distinct hosts, not documents.
+    */
+  def domainProfile(df: DataFrame, urlCol: String): DataFrame = {
+    val host = urlHost(col(urlCol))
+    df.filter(col(urlCol).isNotNull)
+      .select(host.as("host"))
+      .filter(col("host").isNotNull)
+      .select(registrableDomain(col("host")).as("domain"), col("host"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+  }
+}
