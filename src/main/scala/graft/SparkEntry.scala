@@ -780,6 +780,28 @@ object SparkEntry {
       Domains.domainProfile(urls, "url").orderBy("domain")
     }),
 
+    // §2.11 — URL canonicalization (the exact-dedup key for crawls):
+    // messy synthesized URLs — uppercase scheme/host every 7th doc,
+    // default :443 port every 5th, tracking params every 3rd, fragment
+    // every 2nd, query params deliberately out of order — must all
+    // collapse to one canonical form per doc.
+    "url_canonical" -> ((s, dir) => {
+      val messy = concat(
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"), lit(".com"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Doc/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("?utm_source=x&b=2&a=1")).otherwise(lit("?b=2&a=1")),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("#frag")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"),
+          Domains.normalizeUrl(messy).as("url_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — in-document repeated-line trim (doc-level boilerplate
     // removal; the corpus-level pass is line_dedup). Shuffle-free
     // per-row projection.
@@ -2069,6 +2091,46 @@ object SparkEntry {
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END ||
+        |    source || '.com' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/Doc/' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '?b=2&a=1' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |s1 AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+        |s2 AS (
+        |  SELECT doc_id, nofrag,
+        |    regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS prefix
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(lower(prefix), '^(http://[^/:]*):80$', '\1'),
+        |      '^(https://[^/:]*):443$', '\1') AS lp,
+        |    substring(nofrag, length(prefix) + 1, 1000000) AS rest
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, lp,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substring(rest, 1, strpos(rest, '?') - 1) ELSE rest END AS path,
+        |    CASE WHEN strpos(rest, '?') > 0
+        |      THEN substring(rest, strpos(rest, '?') + 1, 1000000) ELSE '' END AS q
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT doc_id, lp, path,
+        |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)='))), '&') AS canq
+        |  FROM s4)
+        |SELECT doc_id,
+        |  lp || path || CASE WHEN canq = '' THEN '' ELSE '?' || canq END AS url_canonical
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "unicode_nfc" ->
       """WITH e AS (

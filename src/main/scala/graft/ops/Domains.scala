@@ -49,6 +49,41 @@ object Domains {
       .otherwise(last2)
   }
 
+  /** Tracking query parameters stripped by [[normalizeUrl]] — the
+    * standard crawl-canonicalization set (marketing attribution params
+    * carry no content identity).
+    */
+  private val TrackingParamPattern = "^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)="
+
+  /** Canonical URL for exact dedup keys: fragment stripped,
+    * scheme+authority lowercased, default ports (:80 http / :443 https)
+    * dropped, tracking params removed, surviving query params SORTED so
+    * param order never splits a dedup group. Path case and trailing
+    * slashes are preserved (paths are case-significant on most servers).
+    *
+    * Built entirely from regexp/array primitives — NOT `parse_url` — so
+    * the DuckDB oracle replays every step with the same semantics;
+    * non-URL input degrades to (input minus fragment) rather than null,
+    * and nulls pass through. One codegen'd projection, shuffle-free.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = substr(noFrag, length(prefix) + lit(1), lit(1000000))
+    val lp = regexp_replace(
+      regexp_replace(lower(prefix), "^(http://[^/:]*):80$", "$1"),
+      "^(https://[^/:]*):443$", "$1")
+    val qpos = instr(rest, "?")
+    val path = when(qpos > 0, substr(rest, lit(1), qpos - 1)).otherwise(rest)
+    val q = when(qpos > 0, substr(rest, qpos + 1, lit(1000000))).otherwise(lit(""))
+    val params = filter(split(q, "&"),
+      x => x =!= "" && !x.rlike(TrackingParamPattern))
+    val canq = array_join(array_sort(params), "&")
+    when(url.isNull, lit(null).cast("string"))
+      .otherwise(concat(lp, path,
+        when(canq === "", lit("")).otherwise(concat(lit("?"), canq))))
+  }
+
   /** Per-registrable-domain corpus profile: document count and distinct
     * host count. One shuffle on the domain key (partial-aggregated
     * map-side); the distinct-host count shuffles (domain, host) pairs —

@@ -31,6 +31,31 @@ class DomainsSpec extends SparkSpec {
     cases.foreach { case (h, want) => assert(got(h) == want, s"$h → ${got(h)}, want $want") }
   }
 
+  test("normalizeUrl: canonical dedup key — case, port, fragment, tracking params, param order") {
+    val cases = Seq(
+      // every messy axis at once
+      "HTTPS://WWW.Site.COM:443/Path/X?utm_source=a&b=2&a=1#frag" ->
+        "https://www.site.com/Path/X?a=1&b=2",
+      // http default port; path case preserved
+      "HTTP://host.org:80/CaseSensitive" -> "http://host.org/CaseSensitive",
+      // non-default port kept
+      "https://host.org:8443/x" -> "https://host.org:8443/x",
+      // all params tracking → no '?'
+      "https://h.co/p?utm_campaign=x&gclid=1&ref=z" -> "https://h.co/p",
+      // stable when already canonical (idempotent on its own output)
+      "https://h.co/p?a=1&b=2" -> "https://h.co/p?a=1&b=2",
+      // non-URL degrades to input-minus-fragment, never null
+      "not a url#x" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Domains.normalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"$in → ${got(in)}") }
+    // null passthrough
+    val n = Seq(null: String).toDF("url")
+      .select(Domains.normalizeUrl(col("url"))).as[Option[String]].collect()
+    assert(n.toSeq == Seq(None))
+  }
+
   test("domainProfile: counts docs and distinct hosts per registrable domain") {
     val docs = Seq(
       "https://www.a.com/1", "https://a.com/2", "https://b.a.com/3",
