@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Curation, Dedup, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Domains, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -70,6 +70,14 @@ object syntax {
       df.withColumn(textCol, TextStats.scrubPii(org.apache.spark.sql.functions.col(textCol)))
     def normalizeText(textCol: String): DataFrame =
       df.withColumn(textCol, TextStats.normalizeText(org.apache.spark.sql.functions.col(textCol)))
+    def nfcNormalize(textCol: String): DataFrame =
+      df.withColumn(textCol, TextStats.nfcNormalize(org.apache.spark.sql.functions.col(textCol)))
+
+    // --- URLs -------------------------------------------------------------
+    def canonicalizeUrls(urlCol: String): DataFrame =
+      df.withColumn(urlCol, Domains.normalizeUrl(org.apache.spark.sql.functions.col(urlCol)))
+    def domainProfile(urlCol: String): DataFrame =
+      Domains.domainProfile(df, urlCol)
     def bm25TopK(idCol: String, textCol: String,
         terms: Seq[String], k: Int = 10): DataFrame =
       TextStats.bm25TopK(df, idCol, textCol, terms, k)

@@ -72,4 +72,15 @@ class SyntaxSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cl == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
   }
+
+  test("round-5 wrappers delegate: nfcNormalize / canonicalizeUrls / domainProfile") {
+    val nfc = Seq("café").toDF("text").nfcNormalize("text")
+      .as[String].head()
+    assert(nfc == "café")
+    val urls = Seq("HTTPS://A.COM:443/x?utm_source=1&b=2#f").toDF("url")
+    assert(urls.canonicalizeUrls("url").as[String].head() == "https://a.com/x?b=2")
+    val prof = Seq("https://www.a.com/1", "https://a.com/2").toDF("url")
+      .domainProfile("url").as[(String, Long, Long)].collect().toSeq
+    assert(prof == Seq(("a.com", 2L, 2L)))
+  }
 }
