@@ -655,6 +655,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // §2.11 — leakage-safe split: train/val/test keyed by near-dup
+    // CLUSTER (same 0.5-Jaccard components as dedup_clusters), so no
+    // near-duplicate pair straddles splits — per-row splitting leaks
+    // paraphrases of training docs into eval.
+    "leakage_split" -> ((s, dir) =>
+      Curation.leakageSafeSplit(
+        t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+        trainPerMyriad = 8000, valPerMyriad = 1000, n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")),
+
     // §2.11 — train/eval decontamination: cross-corpus contamination pairs
     // (train = doc_id % 7 ≠ 0, eval = the rest) at ≥ 0.8 exact Jaccard.
     "contamination" -> ((s, dir) => {
@@ -1514,6 +1525,29 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |""".stripMargin
+
+  /** The dedup_clusters transitive-closure query (recursive CTE over
+    * ≥0.5-Jaccard pairs), WITHOUT a trailing ORDER BY — shared between
+    * the dedup_clusters gate and leakage_split (which buckets the cluster
+    * through the split arithmetic), so the two oracles cannot drift.
+    */
+  private lazy val docClustersSqlBody: String =
+    shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+      """, pairs AS (
+        |  SELECT id_a, id_b FROM pair_inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
+        |FROM reach GROUP BY a""".stripMargin
 
   private def jaccardSql(threshold: Double): String =
     shingleCte +
@@ -2930,23 +2964,18 @@ object SparkEntry {
     "dedup_minhash" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
 
-    "dedup_clusters" ->
-      (shingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
-        """, pairs AS (
-          |  SELECT id_a, id_b FROM pair_inter
-          |  JOIN sz sa ON sa.doc_id = id_a
-          |  JOIN sz sb ON sb.doc_id = id_b
-          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
-          |), edges AS (
-          |  SELECT id_a AS a, id_b AS b FROM pairs
-          |  UNION ALL SELECT id_b, id_a FROM pairs
-          |), reach AS (
-          |  SELECT doc_id AS a, doc_id AS b FROM documents
-          |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-          |)
-          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster
-          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    "dedup_clusters" -> (docClustersSqlBody + " ORDER BY doc_id"),
+
+    "leakage_split" ->
+      (s"""SELECT doc_id, cluster,
+          |  CASE WHEN doc_id IS NULL THEN NULL
+          |       WHEN __bucket < 8000 THEN 'train'
+          |       WHEN __bucket < 9000 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM """.stripMargin +
+        Curation.bucketSqlCte("(" + docClustersSqlBody + ")", "cluster",
+          Curation.SplitSalt) +
+        "\nORDER BY doc_id NULLS FIRST"),
 
     "contamination" ->
       (shingleInvCte +

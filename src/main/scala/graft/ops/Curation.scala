@@ -127,6 +127,40 @@ object Curation {
     * routed to a split — a null-id row in 'test' would contaminate the
     * eval set with exactly the malformed rows).
     */
+  /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER
+    * (min-id over ≥threshold Jaccard components, [[Dedup.nearDupClusters]])
+    * instead of the row id, so no near-duplicate pair ever straddles
+    * train/eval — per-ROW splitting silently leaks paraphrases of
+    * training documents into the eval set, the classic benchmark-
+    * contamination failure. Clusters move as units; singletons (the vast
+    * majority) split exactly as [[hashSplit]] would since their cluster
+    * IS their id. Output: input columns + `cluster` + `split`; null-id
+    * rows get null cluster/split (surfaced, never routed). Cost: one
+    * near-dup clustering pass (bucketed LSH + min-label CC — this runs
+    * CC's per-round actions eagerly) on top of hashSplit's free
+    * arithmetic; reuse an already-computed cluster frame via
+    * [[hashSplit]] on its cluster column when running several splits.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, textCol: String, idCol: String,
+      trainPerMyriad: Int, valPerMyriad: Int,
+      n: Int = 3, threshold: Double = 0.8,
+      salt: Long = SplitSalt): DataFrame = {
+    require(trainPerMyriad >= 0 && valPerMyriad >= 0
+      && trainPerMyriad.toLong + valPerMyriad.toLong <= Myriad,
+      s"shares out of range: train=$trainPerMyriad val=$valPerMyriad")
+    val clusters = Dedup.nearDupClusters(df, textCol, idCol, n, threshold)
+      .withColumnRenamed("id", "__lsid")
+    val b = hashBucket(col("cluster"), salt)
+    df.join(clusters, col(idCol) === col("__lsid"), "left")
+      .drop("__lsid")
+      .withColumn("split",
+        when(col(idCol).isNull, lit(null).cast("string"))
+          .when(b < trainPerMyriad, lit("train"))
+          .when(b < trainPerMyriad.toLong + valPerMyriad, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   def hashSplit(
       df: DataFrame, idCol: String,
       trainPerMyriad: Int, valPerMyriad: Int,

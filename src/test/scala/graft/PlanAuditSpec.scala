@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   private val eagerBuilders =
     Set("stream_dedup", "stream_windows", "stream_sessions", "stream_seen",
       "dedup_clusters",
+      // builder runs the same min-label CC loop (per-round actions)
+      "leakage_split",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
       // builders run Lloyd codebook training (K×dim codebook to driver,

@@ -19,6 +19,36 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(counts("test") - 1000L) <= 200)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; singletons match hashSplit") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = (0L until 60L).map { i =>
+      // every 10th doc gets a near-verbatim copy at id i+1000 — a
+      // ≥0.8-Jaccard pair that per-row splitting could tear apart
+      (i, s"doc $i $base unique token$i")
+    } ++ (0L until 60L by 10L).map(i => (i + 1000L, s"doc $i $base unique token$i extra"))
+    val df = docs.toDF("doc_id", "text")
+    val out = Curation.leakageSafeSplit(df, "text", "doc_id", 8000, 1000)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect()
+    // the planted pairs share a cluster AND a split
+    (0L until 60L by 10L).foreach { i =>
+      val a = out.find(_._1 == i).get
+      val b = out.find(_._1 == i + 1000L).get
+      assert(a._2 == b._2, s"pair $i not clustered: $a $b")
+      assert(a._3 == b._3, s"near-dup pair $i straddles splits: $a $b")
+    }
+    // no cluster anywhere straddles splits
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, s"cluster $c straddles: ${rows.toSeq}")
+    }
+    // singleton docs (cluster == own id) get exactly the hashSplit label
+    val plain = Curation.hashSplit(df, "doc_id", 8000, 1000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.filter(r => r._1 == r._2).foreach { case (id, _, s) =>
+      assert(plain(id) == s, s"singleton $id diverged from hashSplit")
+    }
+  }
+
   test("hashSplit: strided/structured ids still split at the nominal shares") {
     // a bare multiplicative hash mod 10^4 is LINEAR in (id mod 10^4):
     // ids that are multiples of 10000 would all share one bucket and land
