@@ -2247,7 +2247,7 @@ object SparkEntry {
          |       ELSE count(*) OVER (PARTITION BY rolling_fp) END AS BIGINT) AS n_exact_dups,
          |  CAST(CASE WHEN content_fp IS NULL THEN 1
          |       ELSE count(*) OVER (PARTITION BY content_fp) END AS BIGINT) AS content_bucket_size
-         |FROM fp ORDER BY doc_id""".stripMargin,
+         |FROM fp ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "compression_profile" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -119,14 +119,6 @@ object Curation {
        |FROM __m5)""".stripMargin
   }
 
-  /** Deterministic train/val/test assignment: adds a `split` column.
-    * `trainPerMyriad`/`valPerMyriad` are shares out of 10000 (e.g.
-    * 8000/1000 → 80% train, 10% val, 10% test). A row's split depends
-    * only on its id — re-running over a grown corpus never reassigns an
-    * existing row. A NULL id gets a NULL split (surfaced, never silently
-    * routed to a split — a null-id row in 'test' would contaminate the
-    * eval set with exactly the malformed rows).
-    */
   /** Leakage-safe split: [[hashSplit]] keyed by the near-dup CLUSTER
     * (min-id over ≥threshold Jaccard components, [[Dedup.nearDupClusters]])
     * instead of the row id, so no near-duplicate pair ever straddles
@@ -161,6 +153,14 @@ object Curation {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic train/val/test assignment: adds a `split` column.
+    * `trainPerMyriad`/`valPerMyriad` are shares out of 10000 (e.g.
+    * 8000/1000 → 80% train, 10% val, 10% test). A row's split depends
+    * only on its id — re-running over a grown corpus never reassigns an
+    * existing row. A NULL id gets a NULL split (surfaced, never silently
+    * routed to a split — a null-id row in 'test' would contaminate the
+    * eval set with exactly the malformed rows).
+    */
   def hashSplit(
       df: DataFrame, idCol: String,
       trainPerMyriad: Int, valPerMyriad: Int,

@@ -377,6 +377,12 @@ object Dedup {
       sketch: Array[Byte],
       history: DataFrame, historyTextCol: String,
       incoming: DataFrame, textCol: String): DataFrame = {
+    // a null sketch means the history had ZERO non-null-text rows (the
+    // Bloom aggregate returns null over empty input — the bootstrap batch
+    // against a not-yet-populated snapshot): nothing can have been seen,
+    // and broadcasting the null would NPE in every task instead
+    if (sketch == null)
+      return incoming.withColumn("in_history", lit(false))
     val bcast = incoming.sparkSession.sparkContext.broadcast(sketch)
     val candidate = col(textCol).isNotNull &&
       graft.functions.might_contain_broadcast(bcast, xxhash64(col(textCol)))

@@ -25,10 +25,13 @@ object Domains {
   /** Lowercased host of a URL via Spark's native `try_parse_url`; null
     * for null, hostless, or MALFORMED inputs — the strict `parse_url`
     * throws on the first bad URL, which at corpus scale means one
-    * mangled crawl record kills the job.
+    * mangled crawl record kills the job. A trailing root-label dot
+    * (`example.com.` — legal FQDN form) is stripped: left in place it
+    * would both split the host from its dotless twin AND derail the
+    * suffix rule below into a bare `com.` registrable domain.
     */
   def urlHost(url: Column): Column =
-    lower(try_parse_url(url, lit("HOST")))
+    regexp_replace(lower(try_parse_url(url, lit("HOST"))), "\\.$", "")
 
   /** Registrable domain of a host: last two labels, or last three when
     * the last two are a listed multi-label public suffix

@@ -241,39 +241,47 @@ object Similarity {
     * replayed bit-exactly by the DuckDB oracle.
     */
   private[graft] def ivfTrainCentroids(
-      c: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
-    val spark = c.sparkSession
-    var codebook: Seq[(Long, Seq[Double])] =
-      ivfCentroids(c, numCentroids)
-        .select(col("centroid_id"), col("__cent").cast("array<double>"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
-    def frame(cb: Seq[(Long, Seq[Double])]): DataFrame = {
-      import spark.implicits._
-      cb.toDF("centroid_id", "__cent")
-    }
-    for (_ <- 1 to iters) {
-      val assigned = ivfAssign(c, "neighbor_id", "__cv", frame(codebook))
-      codebook = c.join(assigned, "neighbor_id")
-        .select(col("centroid_id"),
-          posexplode(col("__cv")).as(Seq("__d", "__x")))
-        .groupBy("centroid_id", "__d")
-        .agg(
-          sum(floor(col("__x") * LloydScale).cast("long")).as("__s"),
-          count(lit(1)).as("__n"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          val dim = rows.map(_.getInt(1)).max + 1
-          val v = new Array[Double](dim)
-          // same IEEE ops as the oracle's s / (n * 1048576.0)
-          rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / (r.getLong(3) * LloydScale))
-          (cid, v.toSeq)
-        }
-        .toSeq.sortBy(_._1)
-    }
-    frame(codebook)
+      c0: DataFrame, numCentroids: Int, iters: Int): DataFrame = {
+    val spark = c0.sparkSession
+    // the corpus plan is evaluated ~2× per round (assignment + mean join)
+    // plus once for the seed — persist it for the duration of training so
+    // an expensive derived corpus isn't recomputed 2·iters+1 times, and
+    // release it before returning (the returned codebook is a local frame
+    // with no lineage into c)
+    val c = c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var codebook: Seq[(Long, Seq[Double])] =
+        ivfCentroids(c, numCentroids)
+          .select(col("centroid_id"), col("__cent").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .toSeq
+      def frame(cb: Seq[(Long, Seq[Double])]): DataFrame = {
+        import spark.implicits._
+        cb.toDF("centroid_id", "__cent")
+      }
+      for (_ <- 1 to iters) {
+        val assigned = ivfAssign(c, "neighbor_id", "__cv", frame(codebook))
+        codebook = c.join(assigned, "neighbor_id")
+          .select(col("centroid_id"),
+            posexplode(col("__cv")).as(Seq("__d", "__x")))
+          .groupBy("centroid_id", "__d")
+          .agg(
+            sum(floor(col("__x") * LloydScale).cast("long")).as("__s"),
+            count(lit(1)).as("__n"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            // same IEEE ops as the oracle's s / (n * 1048576.0)
+            rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / (r.getLong(3) * LloydScale))
+            (cid, v.toSeq)
+          }
+          .toSeq.sortBy(_._1)
+      }
+      frame(codebook)
+    } finally c.unpersist(blocking = false)
   }
 
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,

@@ -85,7 +85,7 @@ object Sinks {
     */
   def readJsonlWithCorrupt(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{col, from_json, substring, trim}
+    import org.apache.spark.sql.functions.{col, from_json, substring}
     // DROPMALFORMED keeps exactly the parseable rows with no corrupt
     // column in the plan — a corrupt-filtered PERMISSIVE read would trip
     // Spark's corrupt-column-only restriction under aggressive pruning
@@ -102,8 +102,10 @@ object Sinks {
     val corrupt = spark.read.textFile(path).toDF("__line")
       // blank/whitespace-only lines are silently SKIPPED by Spark's JSON
       // reader (neither row nor malformed record) — exclude them here too
-      // so rows + corrupt exactly partitions the non-blank input
-      .filter(trim(col("__line")) =!= "")
+      // so rows + corrupt exactly partitions the non-blank input. Full
+      // whitespace class, not trim(): trim strips only ASCII spaces, so a
+      // tab-padded blank line would still reach the corrupt probe
+      .filter(!col("__line").rlike("^\\s*$"))
       .filter(from_json(col("__line"),
           schema.add("_corrupt_record", "string"),
           java.util.Map.of("columnNameOfCorruptRecord", "_corrupt_record"))

@@ -224,6 +224,22 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("bloom_filter_might_contain"), plan.take(2000))
   }
 
+  test("dedupAgainstHistory: empty/all-null history flags nothing (bootstrap batch, no NPE)") {
+    val incoming = Seq((1L, "a doc"), (2L, "another")).toDF("doc_id", "text")
+    Seq(
+      Seq.empty[String].toDF("text"),             // empty history
+      Seq(null: String).toDF("text"))             // all-null-text history
+      .foreach { history =>
+        // the Bloom aggregate returns a NULL sketch over zero rows — the
+        // first incremental batch against an unpopulated snapshot must
+        // degrade to "nothing seen", not crash every task
+        assert(Dedup.historyBloomSketch(history, "text") == null)
+        val got = Dedup.dedupAgainstHistory(history, "text", incoming, "text")
+          .select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
+        assert(got == Map(1L -> false, 2L -> false))
+      }
+  }
+
   test("exactNgramContamination: full, partial, zero hit fractions; short/null-id eval docs excluded") {
     val train = Seq("alpha beta gamma delta epsilon").toDF("text")
     val eval = Seq(

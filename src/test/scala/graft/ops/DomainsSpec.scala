@@ -10,12 +10,16 @@ class DomainsSpec extends SparkSpec {
     val got = Seq(
       "https://WWW.Example.COM/path?q=1",
       "http://sub.host.co.uk/",
+      // legal trailing-dot FQDN — must fold into its dotless twin, not
+      // split the host group or derail the suffix rule into bare "com."
+      "https://Example.COM./x",
       "not a url",
       null: String)
       .toDF("url")
       .select(Domains.urlHost(col("url")).as("h"))
       .as[Option[String]].collect().toSeq
-    assert(got == Seq(Some("www.example.com"), Some("sub.host.co.uk"), None, None))
+    assert(got == Seq(Some("www.example.com"), Some("sub.host.co.uk"),
+      Some("example.com"), None, None))
   }
 
   test("registrableDomain: PSL rule on the listed suffixes, short hosts pass through") {

@@ -204,7 +204,9 @@ class SinksSpec extends SparkSpec {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val dir = Files.createTempDirectory("jsonl_blank_spec")
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
-      "{\"doc_id\": 1, \"text\": \"a\"}\n\n   \t\n{\"doc_id\": 2, \"text\"")
+      // blank variants: empty, space+tab, tab-only — trim() catches only
+      // the first two; the \s-class filter must catch all three
+      "{\"doc_id\": 1, \"text\": \"a\"}\n\n   \t\n\t\n{\"doc_id\": 2, \"text\"")
     val (rows, corrupt) = Sinks.readJsonlWithCorrupt(spark, s"$dir/in.json", schema)
     // the JSON reader silently skips blank lines; the corrupt probe must
     // agree, or rows+corrupt stops being a partition of the input
