@@ -58,6 +58,8 @@ object SparkEntry {
     jsonlScratchRoot + "/docs-" + pathKey(dir)
   private def csvScratchDir(dir: String): String =
     jsonlScratchRoot + "/csv-" + pathKey(dir)
+  private def orcScratchDir(dir: String): String =
+    jsonlScratchRoot + "/orc-" + pathKey(dir)
 
   /** Deterministic structure enrichment shared by the jsonl/line/sentence
     * gates AND their oracles: the synthetic documents corpus is
@@ -746,6 +748,23 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("text", csvEnrichedTextExpr("text")),
         scratch)
       graft.sinks.Sinks.readCsv(s, scratch, docsSchema)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ORC sink/source round-trip — same source-fidelity contract as
+    // jsonl_roundtrip: export the enriched documents table as ORC, read it
+    // back with the schema'd reader, hash-compare against the source
+    // recomputed in DuckDB. DuckDB has no ORC reader, so (unlike CSV) the
+    // oracle checks the VALUES survive the ORC layer byte-exactly, not an
+    // independent parse of the same files; the format layer itself is
+    // exercised by writing through Spark's OrcFileFormat and reading back
+    // through the vectorized ORC scan.
+    "orc_roundtrip" -> ((s, dir) => {
+      val scratch = orcScratchDir(dir)
+      graft.sinks.Sinks.writeOrc(
+        t(s, dir, "documents").withColumn("text", enrichedTextExpr("text")), scratch)
+      graft.sinks.Sinks.readOrc(s, scratch, docsSchema)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -2102,6 +2121,10 @@ object SparkEntry {
 
     "csv_roundtrip_docs" ->
       s"""SELECT doc_id, $csvEnrichedTextSql AS text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "orc_roundtrip" ->
+      s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "domain_profile" ->

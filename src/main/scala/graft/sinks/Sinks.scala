@@ -242,6 +242,16 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** ORC source — schema'd read-back of [[writeOrc]] output. An explicit
+    * schema (same contract as [[readCsv]]/[[readJsonl]]) skips footer
+    * inference over thousands of part files and pins column types, so a
+    * round-trip compares values rather than whatever types inference
+    * guessed.
+    */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at
     * write time so every later equi-join or aggregation on the bucket
     * keys is co-located and shuffle-free — the 100 TB answer to

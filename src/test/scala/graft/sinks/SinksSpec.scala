@@ -126,8 +126,11 @@ class SinksSpec extends SparkSpec {
     val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
       .toDF("id", "k", "v")
     Sinks.writeOrc(df, s"$dir/t")
-    val back = spark.read.orc(s"$dir/t")
+    val back = Sinks.readOrc(spark, s"$dir/t", df.schema)
     assert(back.count() == 3)
+    // schema'd read-back preserves values and types exactly
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
     val filtered = back.filter(col("id") > 1L)
     assert(filtered.count() == 2)
     // the filter must reach the ORC scan, not evaluate post-scan only
