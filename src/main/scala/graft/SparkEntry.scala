@@ -964,6 +964,18 @@ object SparkEntry {
         .select(col("doc_id") +: TextStats.qualityMetrics(col("text")): _*)
         .orderBy("doc_id")),
 
+    // §2.11 — fastText-style hashed linear quality classifier: unigram +
+    // bigram features hashed into 2^20 buckets, exact-int64 mean-pooled
+    // logit, keep/drop label — the corpus-scale classifier-filtering
+    // shape (CCNet/DCLM/FineWeb-Edu). Gate uses the md5 bucket hash so
+    // DuckDB mirrors bucket ids bit-for-bit; production default is
+    // xxhash64 (same algebra, cheaper hash — equivalence spec-pinned).
+    "classifier_score" -> ((s, dir) =>
+      TextStats.classifierScore(
+        t(s, dir, "documents"), "doc_id", "text",
+        dim = 1 << 20, bucketHash = TextStats.md5BucketHash)
+        .orderBy("doc_id")),
+
     // §2.11 — token counting (whitespace + BPE-ish pretokenizer).
     "token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3056,6 +3068,29 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), w -> w <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, w || CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w) - 1),
+        |             i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END AS feats
+        |  FROM toks),
+        |s AS (
+        |  SELECT doc_id, len(feats) AS n,
+        |    list_sum(list_transform(feats,
+        |      x -> ((('0x' || substr(md5(x), 1, 15))::BIGINT % 1048576)
+        |            * 2654435761) % 2000001)) AS wsum
+        |  FROM f WHERE len(feats) > 0)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+        |  round((wsum - n * 1000000) / (n * 1000000.0), 6) AS quality_logit,
+        |  CAST(wsum >= n * 1000000 AS INT) AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""SELECT doc_id, lang_pred FROM $langPredSql ORDER BY doc_id""",

@@ -404,4 +404,82 @@ object TextStats {
       .filter(col("rnk") <= k)
       .withColumnRenamed("__id", idCol)
   }
+
+  // --- hashed linear classifier scoring ------------------------------------
+
+  /** Hashed bag-of-features for the linear scorer: word unigrams plus
+    * adjacent-word bigrams (fastText's feature set), built with
+    * codegen-friendly HOFs only. Duplicates are KEPT — a linear model
+    * counts each occurrence.
+    */
+  def hashedFeatures(text: Column): Column = {
+    val words = whitespaceTokens(text)
+    val bigrams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    concat(words, bigrams)
+  }
+
+  /** Production feature hash: `xxhash64` — native, codegen'd, one pass
+    * per feature string. The gate swaps in [[md5BucketHash]] solely so
+    * DuckDB can mirror the bucket ids bit-for-bit (no xxhash64 there);
+    * the scoring algebra is hash-agnostic.
+    */
+  def xxBucketHash(dim: Int)(f: Column): Column =
+    pmod(xxhash64(f), lit(dim.toLong))
+
+  /** Oracle-mirrorable feature hash: top 60 bits of md5 mod dim —
+    * DuckDB-side `('0x' || substr(md5(f),1,15))::BIGINT % dim` (the
+    * established hash-shingle idiom, see Dedup.groupOverlapExact).
+    */
+  def md5BucketHash(dim: Int)(f: Column): Column =
+    pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Micro-scaled pseudo-weight for feature bucket `b`: Knuth
+    * multiplicative hash folded into [0, 2e6], read as
+    * weight = w_micro/1e6 − 1 ∈ [−1, 1]. A stand-in for trained fastText
+    * weights with the properties that matter to the ENGINE (dense int64
+    * lookup-free arithmetic, deterministic across engines); swapping in a
+    * learned table is a broadcast-array lookup with the same plan shape.
+    */
+  private def weightMicro(bucket: Column): Column =
+    pmod(bucket * lit(2654435761L), lit(2000001L))
+
+  /** FastText-style linear document scorer: hash unigram+bigram features
+    * into `dim` buckets, mean-pool the bucket weights into a logit,
+    * threshold at 0 for the keep/drop label — the shape of every
+    * production quality/toxicity/domain classifier applied at corpus
+    * scale (CCNet, DCLM, FineWeb-Edu filtering).
+    *
+    * Determinism across engines: the weight sum is EXACT int64 arithmetic
+    * (micro-scaled weights, one float division at the end), and the label
+    * is an integer comparison — no float accumulation order, no exp. The
+    * logit is the mean weight in [−1, 1]; sigmoid would be a monotone
+    * re-scale of it, so thresholding the logit at 0 IS thresholding the
+    * probability at 0.5.
+    *
+    * Scale shape: shuffle-free narrow projection — one mapper pass,
+    * whole-stage codegen around the HOF fold; at 100 TB it rides the same
+    * scan as the rest of the per-doc text kernels. Docs with no tokens
+    * are dropped (no features → no defined score).
+    */
+  def classifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1 << 20,
+      bucketHash: Int => Column => Column = xxBucketHash): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val buckets = transform(col("__f"), bucketHash(dim))
+    val wsum = aggregate(buckets, lit(0L), (acc, b) => acc + weightMicro(b))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), hashedFeatures(col(textCol)).as("__f"))
+      .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
+        wsum.as("__wsum"))
+      .filter(col("n_feats") > 0)
+      .select(col(idCol), col("n_feats"),
+        round((col("__wsum") - col("n_feats") * lit(1000000L)).cast("double") /
+          (col("n_feats") * lit(1000000L)).cast("double"), 6).as("quality_logit"),
+        (col("__wsum") >= col("n_feats") * lit(1000000L)).cast("int").as("label"))
+  }
 }

@@ -348,4 +348,49 @@ class TextStatsSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect().toSeq
     assert(all.map(_._1).toSet == Set(1L, 2L, 3L))
   }
+
+  test("classifierScore: exact match vs naive scalar recomputation (md5 path)") {
+    val texts = Map(
+      1L -> "alpha beta gamma alpha",
+      2L -> "beta",
+      5L -> "delta epsilon zeta eta theta iota")
+    val docs = (texts.toSeq ++ Seq(3L -> "   \t  ", 4L -> ""))
+      .toDF("doc_id", "text")
+      .unionByName(Seq("orphan text").toDF("text")
+        .withColumn("doc_id", lit(null).cast("long"))
+        .select("doc_id", "text"))
+    val dim = 1 << 20
+    val res = TextStats.classifierScore(docs, "doc_id", "text", dim,
+      bucketHash = TextStats.md5BucketHash)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naive(text: String): (Long, Double, Int) = {
+      val w = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val wsum = feats.map { f =>
+        val b = java.lang.Long.parseLong(md5hex(f).take(15), 16) % dim
+        (b * 2654435761L) % 2000001L
+      }.sum
+      val n = feats.size.toLong
+      val logit = BigDecimal((wsum - n * 1000000L).toDouble / (n * 1000000L).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, logit, if (wsum >= n * 1000000L) 1 else 0)
+    }
+    val expected = texts.toSeq.sortBy(_._1).map { case (id, tx) =>
+      val (n, logit, label) = naive(tx)
+      (id, n, logit, label)
+    }
+    // whitespace-only (3), empty (4), and null-id docs never score
+    assert(res == expected, s"engine $res vs naive $expected")
+
+    // production xxhash64 path: same feature counts, labels still binary,
+    // logits still mean-weights in [-1, 1] — only the bucket ids differ
+    val xx = TextStats.classifierScore(docs, "doc_id", "text", dim)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(xx.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    assert(xx.forall(r => r._3 >= -1.0 && r._3 <= 1.0 && (r._4 == 0 || r._4 == 1)))
+  }
 }
