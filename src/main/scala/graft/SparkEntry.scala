@@ -1181,6 +1181,22 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"), col("n_events"))
         .orderBy("user_id", "bucket")),
 
+    // SCD Type-2 historization of the per-customer order state: collapse
+    // each customer's (status, priority) change log into validity
+    // intervals with valid_from/valid_to/is_current/version — the
+    // dimension-table materialization behind point-in-time joins.
+    // (o_orderdate, o_orderkey) totally orders each customer's history
+    // (dates alone tie), and `version` gives the output a total order.
+    "scd2_history" -> ((s, dir) =>
+      TimeSeries.scd2(
+        t(s, dir, "orders")
+          .select("o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate", "o_orderkey"),
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderstatus", "o_orderpriority"),
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+        .orderBy("o_custkey", "version")),
+
     // Hour-over-hour retention: distinct active users per hour bucket and
     // how many of them are active again in the NEXT hour. Self-join of
     // the (hour, user) distinct set on (hour+1, user) — both sides
@@ -2496,6 +2512,29 @@ object SparkEntry {
         |    AND e.tus > s1.t1 AND e.tus <= s1.t1 + 1800000000
         |  GROUP BY s1.user_id, s1.t0, s1.t1)
         |SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |    o_orderdate, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |flag AS (
+        |  SELECT *, (rn = 1
+        |    OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+        |    OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS chg
+        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY rn)),
+        |runs AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |    o_orderdate AS valid_from, rn
+        |  FROM flag WHERE chg)
+        |SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  CAST(lead(valid_from) OVER w2 IS NULL AS INT) AS is_current,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version
+        |FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)
+        |ORDER BY o_custkey, version""".stripMargin,
 
     "resample_fill" ->
       """WITH c AS (

@@ -72,4 +72,54 @@ object TimeSeries {
       .withColumn("last_active_bucket",
         max(when(col("n_events") > 0L, col("bucket"))).over(w))
   }
+
+  /** SCD Type-2 historization: collapse a per-key change log into
+    * validity intervals — one row per (key, attribute-state) RUN, with
+    * `valid_from` (first order value of the run), `valid_to` (start of
+    * the next run, null while current) and an `is_current` flag. The
+    * standard dimension-table materialization every warehouse keeps for
+    * "what did this row look like on date X" queries; half-open
+    * intervals `[valid_from, valid_to)` chain with no gaps or overlaps
+    * by construction.
+    *
+    * Change detection is null-safe (`<=>` per attribute) and the FIRST
+    * row of every key always opens a run. `orderCols` must totally order
+    * rows within a key (include a unique tiebreaker — equal-timestamp
+    * updates would otherwise make run boundaries nondeterministic).
+    *
+    * Scale shape: both windows (change-flag lag and valid_to lead) share
+    * one partitioning over `keyCols` — a single hash shuffle, one sort,
+    * two window passes over it; nothing global, nothing driver-side.
+    * Skewed keys are bounded by per-key history length, not corpus size.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    require(attrCols.nonEmpty, "scd2 needs at least one tracked attribute")
+    require(orderCols.nonEmpty, "scd2 needs at least one order column")
+    val key = keyCols.map(c => col(s"`$c`"))
+    val ord = orderCols.map(c => col(s"`$c`"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key: _*).orderBy(ord: _*)
+    val changed = attrCols
+      .map(a => !(col(s"`$a`") <=> lag(col(s"`$a`"), 1).over(w)))
+      .reduce(_ || _) || col("__rn") === 1L
+    // __rn carries the ORIGINAL within-key order through the run filter,
+    // so the valid_to lead chains runs exactly as the change log ordered
+    // them (re-sorting kept rows by valid_from alone would be ambiguous
+    // under equal timestamps)
+    val runs = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .select((keyCols ++ attrCols).map(c => col(s"`$c`"))
+        :+ ord.head.as("valid_from") :+ col("__rn"): _*)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(key: _*).orderBy(col("__rn"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .withColumn("version", row_number().over(wRun).cast("long"))
+      .drop("__rn")
+  }
 }

@@ -68,4 +68,39 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 0L, false, 0L), (1L, 1L, true, 0L), (1L, 2L, false, 2L),
       (2L, 5L, false, 5L)))
   }
+
+  test("scd2: runs collapse, half-open intervals chain, nulls and ties handled") {
+    // key 1: A,A,B,B,A — three runs (A,B,A); re-appearing A reopens a run
+    // key 2: null,null,X — null attr is a run (null-safe compare), then X
+    // key 3: two changes at the SAME ts, tiebroken by seq — two runs
+    val log = Seq(
+      (1L, 10L, 100L, Some("A")), (1L, 11L, 200L, Some("A")),
+      (1L, 12L, 300L, Some("B")), (1L, 13L, 400L, Some("B")),
+      (1L, 14L, 500L, Some("A")),
+      (2L, 20L, 100L, None), (2L, 21L, 200L, None), (2L, 22L, 300L, Some("X")),
+      (3L, 30L, 100L, Some("P")), (3L, 31L, 100L, Some("Q"))
+    ).toDF("k", "seq", "ts", "state")
+    val out = TimeSeries.scd2(log, Seq("k"), Seq("state"), Seq("ts", "seq"))
+      .select("k", "state", "valid_from", "valid_to", "is_current", "version")
+      .as[(Long, Option[String], Long, Option[Long], Int, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, Some("A"), 100L, Some(300L), 0, 1L),
+      (1L, Some("B"), 300L, Some(500L), 0, 2L),
+      (1L, Some("A"), 500L, None, 1, 3L),
+      (2L, None, 100L, Some(300L), 0, 1L),
+      (2L, Some("X"), 300L, None, 1, 2L),
+      (3L, Some("P"), 100L, Some(100L), 0, 1L),
+      (3L, Some("Q"), 100L, None, 1, 2L)))
+    // intervals are gapless: every non-current valid_to == next valid_from
+    val byKey = out.groupBy(_._1).values
+    byKey.foreach { rows =>
+      val sorted = rows.toSeq.sortBy(_._6)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap between $a and $b")
+        case _ =>
+      }
+      assert(sorted.last._5 == 1 && sorted.init.forall(_._5 == 0))
+    }
+  }
 }
