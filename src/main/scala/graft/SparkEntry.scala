@@ -1405,6 +1405,16 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // §2.11 — k-means topic clustering: per-vector cluster assignment +
+    // centroid cosine (the input to domain discovery, cluster-balanced
+    // sampling, SemDeDup pruning). Same seeded init + exact-arithmetic
+    // Lloyd rounds as the IVF build, so the oracle replays training
+    // bit-exactly through the shared ivfLloydCtes fragment.
+    "embed_kmeans" -> ((s, dir) =>
+      Similarity.kmeansClusters(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
+        .orderBy("vec_id")),
+
     // §2.11 — per-source corpus overlap, EXACT set-algebra form (full
     // DuckDB oracle). The MinHash-union sketch path (groupOverlap — the
     // k-longs-per-group 100 TB profile) stays spec-gated: DedupSpec bounds
@@ -2053,6 +2063,13 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "embed_kmeans" ->
+      ("WITH e AS (\n  " + embeddingsESrc + "),\n" + ivfLloydCtes + "\n" +
+      """SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+        |  round(list_cosine_similarity(e.v, c.cv), 6) AS centroid_cos
+        |FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cid = a.cid
+        |ORDER BY a.vec_id""".stripMargin),
 
     "ann_ivf" ->
       ("WITH e AS (\n  " + embeddingsESrc + "),\n" + ivfLloydCtes + ",\n" +

@@ -300,7 +300,36 @@ object Similarity {
           (-col("centroid_id")).as("nc")).as("__s"))
       .groupBy(col(idCol))
       .agg(max(col("__s")).as("__best"))
-      .select(col(idCol), (-col("__best.nc")).cast("long").as("centroid_id"))
+      .select(col(idCol), (-col("__best.nc")).cast("long").as("centroid_id"),
+        col("__best.c").as("__ccos"))
+
+  /** K-means topic clustering over an embedding column, exposed as a
+    * first-class curation op (domain discovery, cluster-balanced
+    * sampling, SemDeDup-style pruning all start from this assignment).
+    * Same deterministic machinery as the IVF index build — seeded-by-id
+    * init, `iters` exact-arithmetic Lloyd rounds ([[ivfTrainCentroids]]),
+    * broadcast-argmax assignment — so the DuckDB oracle replays training
+    * bit-exactly via the shared grid-scaled-mean CTE fragment.
+    *
+    * Output: one row per vector — (id, `cluster_id`, `centroid_cos` =
+    * rounded cosine to its centroid, the confidence/margin signal).
+    * Scale shape: codebook is K×dim KB-scale broadcast; each Lloyd round
+    * and the final assignment shuffle ONE row per vector; nothing
+    * driver-side but the codebook itself.
+    */
+  def kmeansClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val c = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val cents =
+      if (iters <= 0) ivfCentroids(c, k) else ivfTrainCentroids(c, k, iters)
+    ivfAssign(c, "neighbor_id", "__cv", cents)
+      .select(col("neighbor_id").as(idCol), col("centroid_id").as("cluster_id"),
+        col("__ccos").as("centroid_cos"))
+  }
 
   /** Approximate NN via IVF: corpus vectors are bucketed under their
     * nearest centroid (the inverted file); each query probes its `nProbe`

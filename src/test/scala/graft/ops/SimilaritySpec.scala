@@ -236,4 +236,33 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((0L, 1L)))
   }
+
+  test("kmeansClusters: separated direction groups recover their clusters; iters=0 seeds self-assign") {
+    // three well-separated directions, 4 noisy members each (axis + small
+    // off-axis component, all positive cosine ≈ 0.97 within group, ≈ 0.2
+    // across groups)
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array(0f, 0f, 0f); a(axis) = 1f; a((axis + 1) % 3) += eps; a
+    }
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, v(i % 3, 0.05f + 0.05f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(vecs, "vec_id", "embedding", k = 3, iters = 2)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 12)
+    // same-direction vectors land in the same cluster, different directions apart
+    val byAxis = out.groupBy(_._1 % 3).values.map(_.map(_._2).toSet).toSeq
+    assert(byAxis.forall(_.size == 1), s"split cluster: $out")
+    assert(byAxis.flatten.toSet.size == 3, s"merged clusters: $out")
+    // cosine to own centroid is high and within [-1, 1]
+    assert(out.forall(r => r._3 > 0.9 && r._3 <= 1.0))
+
+    // iters=0: codebook = the k smallest ids; those vectors self-assign at cos 1.0
+    val seeded = Similarity.kmeansClusters(vecs, "vec_id", "embedding", k = 3, iters = 0)
+      .as[(Long, Long, Double)].collect().toSeq
+    (0L to 2L).foreach { id =>
+      val r = seeded.find(_._1 == id).get
+      assert(r._2 == id && r._3 == 1.0, s"seed $id: $r")
+    }
+  }
 }
