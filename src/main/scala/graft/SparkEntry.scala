@@ -204,6 +204,15 @@ object SparkEntry {
         TextStats.compressionRatio(col("text")).as("comp_ratio"))
   }
 
+  /** Where the schema_merge gate writes its two evolving-schema parquet
+    * snapshots (v1 lacks `n_chars`/`lang`; v2 has the full schema).
+    * Static absolute path so the oracle can `read_parquet(..,
+    * union_by_name=true)` the very files the engine wrote — both engines
+    * must agree that pre-evolution rows surface the new columns as null.
+    */
+  val MergeExportDir: String =
+    new java.io.File("target/verify-schema-merge").getAbsolutePath
+
   /** Where the csv_roundtrip gate writes the cleaned patient table as CSV
     * (S4, `json_pipeline.py:1058-1076`). Static absolute path: the oracle
     * DuckDB-`read_csv`s the very files the engine wrote, so both parsers
@@ -752,6 +761,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Schema-evolution read: two parquet snapshots of the documents
+    // table — v1 written before `lang`/`n_chars` existed (even doc_ids,
+    // 3 columns), v2 with the full schema (odd doc_ids) — merged back
+    // into one frame via mergeSchema. Pre-evolution rows must surface
+    // the late columns as null in BOTH engines (DuckDB union_by_name
+    // reads the same files), pinning the backfill contract end-to-end.
+    "schema_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      graft.sinks.Sinks.writeParquet(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "text", "source"),
+        s"$MergeExportDir/v1")
+      graft.sinks.Sinks.writeParquet(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select("doc_id", "text", "source", "lang", "n_chars"),
+        s"$MergeExportDir/v2")
+      graft.sinks.Sinks.readParquetMerged(s, s"$MergeExportDir/v1", s"$MergeExportDir/v2")
+        .select("doc_id", "text", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // ORC sink/source round-trip — same source-fidelity contract as
     // jsonl_roundtrip: export the enriched documents table as ORC, read it
     // back with the schema'd reader, hash-compare against the source
@@ -1136,6 +1166,16 @@ object SparkEntry {
         Map("en" -> 0.5, "zh" -> 2.0, "de" -> 1.25, "fr" -> 1.0))
         .select("doc_id", "lang", "copy_id")
         .orderBy("doc_id", "copy_id")),
+
+    // §2.11 curation — temperature (α = 0.5) rebalancing across the
+    // skewed per-language counts: each language keeps
+    // floor(sqrt(n_lang·n_min)) rows (en ≈ 218 → 118 at sf0.01), chosen
+    // by the salted-mix order — exact int64·sqrt arithmetic, replayed
+    // bit-for-bit by the oracle.
+    "temperature_mixture" -> ((s, dir) =>
+      Curation.temperatureMixture(t(s, dir, "documents"), "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
 
     // §2.11 curation — deterministic corpus shuffle: stable pseudo-random
     // training order as a rank over the full 60-bit salted mix (id
@@ -2172,6 +2212,13 @@ object SparkEntry {
       s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
+    "schema_merge" ->
+      s"""SELECT doc_id, text, source, lang, n_chars
+         |FROM read_parquet(
+         |  ['$MergeExportDir/v1/*.parquet', '$MergeExportDir/v2/*.parquet'],
+         |  union_by_name=true)
+         |ORDER BY doc_id""".stripMargin,
+
     "domain_profile" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -2479,6 +2526,25 @@ object SparkEntry {
          |  FROM m WHERE copies > 0)
          |SELECT doc_id, lang, CAST(copy_id AS BIGINT) AS copy_id
          |FROM e ORDER BY doc_id, copy_id""".stripMargin,
+
+    "temperature_mixture" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, __mix60
+         |  FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.MixtureSalt)}
+         |  WHERE doc_id IS NOT NULL),
+         |c AS (SELECT lang, count(*) AS n FROM b GROUP BY lang),
+         |m AS (
+         |  SELECT lang, CAST(floor(sqrt(CAST(n * (SELECT min(n) FROM c) AS DOUBLE)))
+         |    AS BIGINT) AS mg
+         |  FROM c),
+         |r AS (
+         |  SELECT b.doc_id, b.lang,
+         |    row_number() OVER (PARTITION BY b.lang ORDER BY b.__mix60, b.doc_id) AS rn
+         |  FROM b)
+         |SELECT r.doc_id, r.lang
+         |FROM r JOIN m ON r.lang IS NOT DISTINCT FROM m.lang
+         |WHERE r.rn <= m.mg
+         |ORDER BY r.doc_id""".stripMargin,
 
     // NULLS FIRST pins DuckDB to Spark's asc ordering (Spark asc =
     // nulls first; DuckDB's default is nulls last) — a NULL id mixes to

@@ -446,6 +446,51 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Temperature-rebalanced group downsampling — the multilingual /
+    * multi-source α-sampling of XLM-R/mT5 applied as corpus curation:
+    * keep `floor(n_g^α · n_min^(1−α))` rows of each group, so effective
+    * counts follow the temperature curve p_g ∝ n_g^α anchored at the
+    * smallest group (α = 1 keeps everything; α → 0 flattens every group
+    * to ~n_min). Within a group the kept rows are the first
+    * `m_g` under the salted-mix total order ([[groupQuota]]'s machinery)
+    * — deterministic across runs and engines, no RNG.
+    *
+    * α = 0.5 (default) is EXACT cross-engine arithmetic: the target is
+    * `floor(sqrt(n_g · n_min))` — an int64 product under IEEE
+    * correctly-rounded sqrt — so a hash oracle replays it bit-for-bit.
+    * Other α route through `pow`, whose last ulp may differ across libm
+    * builds: fine in production, not for a hash gate.
+    *
+    * Scale shape: per-group counts are a tiny aggregate (rows = number
+    * of groups) broadcast back; the only data-sized move is ONE hash
+    * shuffle on the group for the quota window. A null group is a real
+    * group (null-safe join); null ids are excluded (no stable identity,
+    * same contract as [[groupQuota]]).
+    */
+  def temperatureMixture(
+      df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double = 0.5, salt: Long = MixtureSalt): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0, 1]: $alpha")
+    val rows = df.filter(col(s"`$idCol`").isNotNull)
+    val counts = rows.groupBy(col(s"`$groupCol`").as("__tg"))
+      .agg(count(lit(1)).as("__ng"))
+    val withMin = counts.crossJoin(broadcast(counts.agg(min(col("__ng")).as("__nmin"))))
+    val target =
+      if (alpha == 0.5)
+        floor(sqrt((col("__ng") * col("__nmin")).cast("double"))).cast("long")
+      else
+        floor(pow(col("__ng").cast("double"), lit(alpha)) *
+          pow(col("__nmin").cast("double"), lit(1.0 - alpha))).cast("long")
+    val targets = withMin.select(col("__tg"), target.as("__mg"))
+    val w = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(mix60(col(s"`$idCol`"), salt).asc, col(s"`$idCol`").asc)
+    rows
+      .join(broadcast(targets), col(s"`$groupCol`") <=> col("__tg"), "inner")
+      .withColumn("__trn", row_number().over(w))
+      .filter(col("__trn") <= col("__mg"))
+      .drop("__trn", "__mg", "__tg")
+  }
+
   /** Deterministic corpus shuffle: a stable pseudo-random total order
     * with the global position exposed as `shuffle_rank`. Reproducible
     * across runs/engines — the property a training-order shuffle needs

@@ -252,6 +252,19 @@ object Sinks {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Schema-evolution read: union the schemas of every parquet snapshot
+    * under `paths` (`mergeSchema`) — files written before a column was
+    * added surface it as null, the standard contract for a corpus that
+    * gains columns across ingestion batches. Cost model at 100 TB:
+    * merging reads every file FOOTER (parallelized as a Spark job), not
+    * the data; for a stable production schema pass an explicit schema
+    * instead and skip the footer sweep — this entry point is for the
+    * exploratory/backfill path where the union is the point.
+    */
+  def readParquetMerged(spark: org.apache.spark.sql.SparkSession,
+      paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at
     * write time so every later equi-join or aggregation on the bucket
     * keys is co-located and shuffle-free — the 100 TB answer to

@@ -387,4 +387,28 @@ class CurationSpec extends SparkSpec {
     assert(bySrc("big") != (1L to 10L).toSet,
       "quota must hash-select, not take the lowest ids")
   }
+
+  test("temperatureMixture: per-group targets follow floor(sqrt(n·nmin)); α=1 keeps all; deterministic") {
+    // A=9, B=4, C=1 → nmin=1 → targets 3, 2, 1
+    val rows = ((1L to 9L).map(i => (i, "A")) ++ (10L to 13L).map(i => (i, "B")) ++
+      Seq((14L, "C"))).toDF("id", "g")
+    val out = Curation.temperatureMixture(rows, "g", "id")
+      .as[(Long, String)].collect().toSeq
+    val sizes = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes == Map("A" -> 3, "B" -> 2, "C" -> 1), s"got $sizes")
+    // deterministic rerun, and hash-selected (not simply the lowest ids)
+    val again = Curation.temperatureMixture(rows, "g", "id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    assert(out.filter(_._2 == "A").map(_._1).toSet != Set(1L, 2L, 3L),
+      "must hash-select, not take the lowest ids")
+    // α = 1 keeps every row; null ids are excluded; null group is real
+    val withNulls = rows.unionByName(
+      Seq((java.lang.Long.valueOf(20L), null.asInstanceOf[String]),
+        (null.asInstanceOf[java.lang.Long], "A")).toDF("id", "g"))
+    assert(Curation.temperatureMixture(withNulls, "g", "id", alpha = 1.0).count() == 15)
+    val nullGroup = Curation.temperatureMixture(withNulls, "g", "id")
+      .filter(col("g").isNull).as[(Long, String)].collect()
+    assert(nullGroup.map(_._1).toSeq == Seq(20L))
+  }
 }

@@ -138,6 +138,16 @@ class SinksSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), plan)
   }
 
+  test("readParquetMerged: late columns surface as null on pre-evolution rows") {
+    val dir = Files.createTempDirectory("merge_out")
+    Sinks.writeParquet(Seq((1L, "a")).toDF("id", "x"), s"$dir/v1")
+    Sinks.writeParquet(Seq((2L, "b", 9L)).toDF("id", "x", "extra"), s"$dir/v2")
+    val merged = Sinks.readParquetMerged(spark, s"$dir/v1", s"$dir/v2")
+      .select("id", "x", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(merged == Set((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
   test("bucketed tables: equi-join on bucket keys runs with NO shuffle") {
     val dir = Files.createTempDirectory("bucketed")
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
