@@ -997,13 +997,11 @@ object SparkEntry {
     // §2.11 — fastText-style hashed linear quality classifier: unigram +
     // bigram features hashed into 2^20 buckets, exact-int64 mean-pooled
     // logit, keep/drop label — the corpus-scale classifier-filtering
-    // shape (CCNet/DCLM/FineWeb-Edu). Gate uses the md5 bucket hash so
-    // DuckDB mirrors bucket ids bit-for-bit; production default is
-    // xxhash64 (same algebra, cheaper hash — equivalence spec-pinned).
+    // shape (CCNet/DCLM/FineWeb-Edu). The fold is one codegen'd kernel
+    // pass over md5-top-60 buckets, which DuckDB mirrors bit-for-bit;
+    // kernel ≡ HOF-md5 ≡ naive-scalar equivalences are spec-pinned.
     "classifier_score" -> ((s, dir) =>
-      TextStats.classifierScore(
-        t(s, dir, "documents"), "doc_id", "text",
-        dim = 1 << 20, bucketHash = TextStats.md5BucketHash)
+      TextStats.classifierScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
     // §2.11 — token counting (whitespace + BPE-ish pretokenizer).

@@ -190,6 +190,30 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** One-pass hashed-linear classifier fold
+    * ([[TextKernels.hashedLinearRow]]): `{n_feats, wsum}` of the
+    * md5-bucketed unigram+bigram feature weights. The logit/label
+    * arithmetic stays declarative on top (`TextStats.classifierScore`).
+    */
+  case class HashedLinearFold(child: Expression, dim: Long)
+      extends UnaryExpression {
+    require(dim > 0, s"dim must be positive: $dim")
+    override def dataType: DataType = HashedLinearFold.schema
+    override def prettyName: String = "graft_hashed_linear"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.hashedLinearRow(input.asInstanceOf[UTF8String], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.hashedLinearRow($c, ${dim}L)")
+    override protected def withNewChildInternal(newChild: Expression): HashedLinearFold =
+      copy(child = newChild)
+  }
+
+  object HashedLinearFold {
+    val schema: StructType = StructType(Seq(
+      StructField("n_feats", LongType, nullable = false),
+      StructField("wsum", LongType, nullable = false)))
+  }
+
   /** One-pass whitespace canonicalization
     * ([[TextKernels.cleanWhitespace]]): controls → space, runs collapsed,
     * edges trimmed. Replaces three regexp_replace passes.

@@ -103,6 +103,12 @@ package object functions {
   def bpe_token_count(text: Column): Column =
     c(expressions.BpeTokenCount(e(text)))
 
+  /** `{n_feats, wsum}` of the md5-bucketed hashed-linear classifier fold
+    * (unigrams + bigrams mod `dim`, micro-scaled Knuth weights).
+    */
+  def hashed_linear(text: Column, dim: Long): Column =
+    c(expressions.HashedLinearFold(e(text), dim))
+
   /** Deflate compression ratio (compressed/raw UTF-8 bytes, 6 dp). */
   def compression_ratio(text: Column): Column =
     c(expressions.CompressionRatio(e(text)))

@@ -451,7 +451,12 @@ object TextStats {
     * into `dim` buckets, mean-pool the bucket weights into a logit,
     * threshold at 0 for the keep/drop label — the shape of every
     * production quality/toxicity/domain classifier applied at corpus
-    * scale (CCNet, DCLM, FineWeb-Edu filtering).
+    * scale (CCNet, DCLM, FineWeb-Edu filtering). The tokenize→hash→fold
+    * hot loop is ONE codegen'd kernel pass
+    * ([[graft.functions.TextKernels.hashedLinearRow]] — md5-top-60
+    * buckets, so the DuckDB oracle mirrors them bit-for-bit via
+    * `('0x' || substr(md5(f),1,15))::BIGINT`); only the logit/label
+    * arithmetic stays declarative on top.
     *
     * Determinism across engines: the weight sum is EXACT int64 arithmetic
     * (micro-scaled weights, one float division at the end), and the label
@@ -460,26 +465,52 @@ object TextStats {
     * re-scale of it, so thresholding the logit at 0 IS thresholding the
     * probability at 0.5.
     *
-    * Scale shape: shuffle-free narrow projection — one mapper pass,
-    * whole-stage codegen around the HOF fold; at 100 TB it rides the same
-    * scan as the rest of the per-doc text kernels. Docs with no tokens
-    * are dropped (no features → no defined score).
+    * Scale shape: shuffle-free narrow projection — one mapper pass inside
+    * whole-stage codegen; at 100 TB it rides the same scan as the rest of
+    * the per-doc text kernels. Docs with no tokens are dropped (no
+    * features → no defined score).
     */
   def classifierScore(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1 << 20): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    scoreFromFold(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol),
+          graft.functions.hashed_linear(col(textCol), dim).as("__s"))
+        .select(col(idCol), col("__s.n_feats").as("n_feats"),
+          col("__s.wsum").as("__wsum")),
+      idCol)
+  }
+
+  /** The declarative HOF + `md5`/`conv` (or `xxhash64`) formulation
+    * [[classifierScore]]'s kernel replaced — retained as the executable
+    * spec (TextStatsSpec pins kernel ≡ this form on the corpus) and as
+    * the production entry point for a CHEAPER hash: `xxBucketHash`
+    * (default here) is native codegen'd xxhash64, the right choice when
+    * no SQL-mirrorable bucket ids are needed.
+    */
+  def classifierScoreHof(
       df: DataFrame, idCol: String, textCol: String,
       dim: Int = 1 << 20,
       bucketHash: Int => Column => Column = xxBucketHash): DataFrame = {
     require(dim > 0, s"dim must be positive: $dim")
     val buckets = transform(col("__f"), bucketHash(dim))
     val wsum = aggregate(buckets, lit(0L), (acc, b) => acc + weightMicro(b))
-    df.filter(col(idCol).isNotNull)
-      .select(col(idCol), hashedFeatures(col(textCol)).as("__f"))
-      .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
-        wsum.as("__wsum"))
+    scoreFromFold(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol), hashedFeatures(col(textCol)).as("__f"))
+        .select(col(idCol), size(col("__f")).cast("long").as("n_feats"),
+          wsum.as("__wsum")),
+      idCol)
+  }
+
+  /** Shared logit/label arithmetic over a `(id, n_feats, __wsum)` fold. */
+  private def scoreFromFold(folded: DataFrame, idCol: String): DataFrame =
+    folded
       .filter(col("n_feats") > 0)
       .select(col(idCol), col("n_feats"),
         round((col("__wsum") - col("n_feats") * lit(1000000L)).cast("double") /
           (col("n_feats") * lit(1000000L)).cast("double"), 6).as("quality_logit"),
         (col("__wsum") >= col("n_feats") * lit(1000000L)).cast("int").as("label"))
-  }
 }

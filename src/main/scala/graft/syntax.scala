@@ -129,6 +129,18 @@ object syntax {
     def epochMixture(idCol: String, strataCol: String,
         weights: Map[String, Double]): DataFrame =
       Curation.epochMixture(df, idCol, strataCol, weights)
+    def temperatureMixture(groupCol: String, idCol: String,
+        alpha: Double = 0.5): DataFrame =
+      Curation.temperatureMixture(df, groupCol, idCol, alpha)
+    def classifierScore(idCol: String, textCol: String,
+        dim: Int = 1 << 20): DataFrame =
+      TextStats.classifierScore(df, idCol, textCol, dim)
+    def kmeansClusters(idCol: String, vecCol: String,
+        k: Int = 16, iters: Int = 2): DataFrame =
+      Similarity.kmeansClusters(df, idCol, vecCol, k, iters)
+    def scd2History(keyCols: Seq[String], attrCols: Seq[String],
+        orderCols: Seq[String]): DataFrame =
+      TimeSeries.scd2(df, keyCols, attrCols, orderCols)
     def shuffleOrder(idCol: String): DataFrame = Curation.shuffleOrder(df, idCol)
     def topFractionByGroup(groupCol: String, score: Column, idCol: String,
         keepPerMyriad: Long): DataFrame =

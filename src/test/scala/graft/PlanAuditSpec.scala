@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_recall" -> "both of the above",
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
     "source_overlap" -> "group-pair size cross: rows = #groups², two longs each",
-    "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row")
+    "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row",
+    "embed_kmeans" -> "centroid assignment: corpus × broadcast codebook (same as ann_ivf)",
+    "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)")
 
   test("every oracle key names a registry query (a typo silently demotes the gate)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -360,8 +360,7 @@ class TextStatsSpec extends SparkSpec {
         .withColumn("doc_id", lit(null).cast("long"))
         .select("doc_id", "text"))
     val dim = 1 << 20
-    val res = TextStats.classifierScore(docs, "doc_id", "text", dim,
-      bucketHash = TextStats.md5BucketHash)
+    val res = TextStats.classifierScore(docs, "doc_id", "text", dim)
       .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
 
     def md5hex(s: String): String =
@@ -386,11 +385,29 @@ class TextStatsSpec extends SparkSpec {
     // whitespace-only (3), empty (4), and null-id docs never score
     assert(res == expected, s"engine $res vs naive $expected")
 
+    // the kernel ≡ the declarative HOF-md5 formulation (the executable
+    // spec of the bucket hash) — exact row equality
+    val hof = TextStats.classifierScoreHof(docs, "doc_id", "text", dim,
+      bucketHash = TextStats.md5BucketHash)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(hof == res, s"kernel $res vs HOF $hof")
+
     // production xxhash64 path: same feature counts, labels still binary,
     // logits still mean-weights in [-1, 1] — only the bucket ids differ
-    val xx = TextStats.classifierScore(docs, "doc_id", "text", dim)
+    val xx = TextStats.classifierScoreHof(docs, "doc_id", "text", dim)
       .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
     assert(xx.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
     assert(xx.forall(r => r._3 >= -1.0 && r._3 <= 1.0 && (r._4 == 0 || r._4 == 1)))
+  }
+
+  test("classifierScore kernel ≡ HOF-md5 formulation on the sf0.01 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val kernel = TextStats.classifierScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    val hof = TextStats.classifierScoreHof(docs, "doc_id", "text",
+      bucketHash = TextStats.md5BucketHash)
+      .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(kernel.size == 500 && kernel == hof)
   }
 }
