@@ -167,6 +167,33 @@ object ScaleProbe {
         Curation.groupQuota(d, "source", "doc_id", maxPerGroup = 15))
     }
 
+    // round-5 operator family. classifierScore is the kernel linear-scan
+    // bound (expect ~k×); temperatureMixture one group shuffle (~k×);
+    // kmeansClusters grows the per-round assignment linearly while the
+    // codebook cost is fixed; scd2 windows scale with rows at fixed
+    // per-key history growth.
+    Seq(1, k).foreach { times =>
+      val d = replicate(times)
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+      println(s"--- round-5 ops ${times}x (${d.count()} docs) ---")
+      time("classifierScore",
+        graft.ops.TextStats.classifierScore(d, "doc_id", "text"))
+      time("temperatureMixture",
+        Curation.temperatureMixture(d, "lang", "doc_id"))
+    }
+    Seq(1, k).foreach { times =>
+      val e = replicateEmb(times)
+      println(s"--- round-5 embeddings ${times}x (${e.count()} vecs) ---")
+      time("kmeansClusters(64)",
+        Similarity.kmeansClusters(e, "vec_id", "embedding", k = 64, iters = 2))
+    }
+    Seq(1, k).foreach { times =>
+      val e = replicateEv(times)
+      println(s"--- round-5 events ${times}x (${e.count()} events) ---")
+      time("scd2(user_id,event_type)",
+        graft.ops.TimeSeries.scd2(e, Seq("user_id"), Seq("event_type"), Seq("ts")))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
