@@ -552,6 +552,28 @@ object SparkEntry {
           TextStats.piiCounts(col("text")): _*)
         .orderBy("doc_id")),
 
+    // §2.11 — checksum-validated card PII: digit runs enriched onto the
+    // corpus (valid Luhn card / same number with a flipped check digit /
+    // short runs), the kernel counts candidates vs Luhn-valid and masks
+    // only the valid one. The oracle recomputes the FULL Luhn checksum
+    // per run in SQL and cross-checks the masked length arithmetically —
+    // the kernel's masking is pinned by byte math, not trusted.
+    "pii_luhn" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(" card 4532015112830366 end"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" card 4532015112830367 end"))
+            .otherwise(lit(" num 123 456"))))
+      enriched
+        .select(col("doc_id"),
+          TextStats.luhnStats(col("text")).as("__l"),
+          length(TextStats.scrubCreditCards(col("text"))).cast("long").as("masked_len"))
+        .select(col("doc_id"), col("__l.n_candidates").as("n_candidates"),
+          col("__l.n_valid").as("n_valid"), col("masked_len"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — repetition profile (duplicate-line fraction per document).
     "repetition_profile" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1002,6 +1024,16 @@ object SparkEntry {
     // kernel ≡ HOF-md5 ≡ naive-scalar equivalences are spec-pinned.
     "classifier_score" -> ((s, dir) =>
       TextStats.classifierScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // §2.11 — whole-word blockterm (dirty-word) ratio profile: the
+    // UT1-blocklist filtering shape of RefinedWeb/FineWeb. Terms chosen
+    // from the corpus vocabulary ("slow"/"stale"/"corrupt") plus one
+    // absent term (zero branch); keep-threshold compared by exact
+    // integer cross-multiplication.
+    "blockterm_profile" -> ((s, dir) =>
+      TextStats.blocktermProfile(t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "stale", "corrupt", "zzznotaword"), maxPerMyriad = 150)
         .orderBy("doc_id")),
 
     // §2.11 — token counting (whitespace + BPE-ish pretokenizer).
@@ -1573,6 +1605,30 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Complete(),
           statePartitions = Some(8))
         .orderBy("user_id", "start_us")
+    }),
+
+    // §7.6 — fifth streaming gate: windowed corpus-quality monitor over
+    // a document stream (event time synthesized from doc_id, one doc a
+    // minute → hourly windows). Per (window × lang): doc count, exact
+    // token sum, Gopher-keep count — the crawl-drift alarm, value-parity
+    // with the batch GROUP BY oracle because every aggregate is an exact
+    // int64 sum of deterministic kernel metrics.
+    "stream_quality" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val src = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id").isNotNull)
+        .withColumn("event_time", timestamp_micros(col("doc_id") * lit(60000000L)))
+      val prof = Streams.windowedQualityProfile(
+        src, "event_time", "30 minutes", "1 hour", Seq("lang"), "text")
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("lang"), col("n_docs"), col("n_tokens"), col("n_keep"))
+      val name = "stream_quality_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(prof, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))
+        .orderBy("win_start_us", "lang")
     }),
 
     // §2.11 — stubbed decode / feature extraction over binary payloads.
@@ -2762,6 +2818,37 @@ object SparkEntry {
         |    '^ | $', '', 'g')) AS text_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pii_luhn" ->
+      """WITH e AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366 end'
+        |         WHEN doc_id % 3 = 1 THEN ' card 4532015112830367 end'
+        |         ELSE ' num 123 456' END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |runs AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS r FROM e),
+        |cand AS (
+        |  SELECT doc_id, r,
+        |    list_sum(list_transform(generate_series(1, length(r)), i ->
+        |      CASE WHEN (length(r) - i) % 2 = 1
+        |        THEN CASE WHEN 2 * (unicode(r[i]) - 48) > 9
+        |               THEN 2 * (unicode(r[i]) - 48) - 9
+        |               ELSE 2 * (unicode(r[i]) - 48) END
+        |        ELSE unicode(r[i]) - 48 END)) % 10 = 0 AS ok
+        |  FROM runs WHERE length(r) BETWEEN 13 AND 19),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_candidates,
+        |    sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,
+        |    sum(CASE WHEN ok THEN length(r) ELSE 0 END) AS masked_chars
+        |  FROM cand GROUP BY doc_id)
+        |SELECT e.doc_id,
+        |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_valid,
+        |  CAST(length(e.text) - coalesce(a.masked_chars, 0)
+        |    + 4 * coalesce(a.n_valid, 0) AS BIGINT) AS masked_len
+        |FROM e LEFT JOIN agg a ON a.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
+
     "pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -2782,6 +2869,18 @@ object SparkEntry {
         |  round((len(lines) - len(list_distinct(lines))) * 1.0
         |    / greatest(len(lines), 1), 4) AS dup_line_frac
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    "stream_quality" ->
+      s"""SELECT (doc_id // 60) * 3600000000 AS win_start_us, lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum($tok0Sql) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN $tok0Sql BETWEEN 50 AND 100000
+         |    AND 3 * $tok0Sql <= length(text) AND length(text) <= 10 * $tok0Sql
+         |    AND 5 * $punctSql <= length(text)
+         |    AND 10 * $digitSql <= 3 * length(text)
+         |    AND $stopSql >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM documents WHERE doc_id IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY win_start_us, lang NULLS FIRST""".stripMargin,
 
     "gopher_filter" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
@@ -3188,6 +3287,27 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "blockterm_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    len(list_filter(w, x ->
+        |      list_contains(['slow','stale','corrupt','zzznotaword'], x))) AS n_flagged,
+        |    len(list_intersect(list_distinct(w),
+        |      ['slow','stale','corrupt','zzznotaword'])) AS n_distinct_flagged
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_flagged AS BIGINT) AS n_flagged,
+        |  CAST(n_distinct_flagged AS BIGINT) AS n_distinct_flagged,
+        |  CASE WHEN n_tokens > 0 THEN round(n_flagged * 1.0 / n_tokens, 6)
+        |       ELSE 0.0 END AS flag_ratio,
+        |  CAST(n_flagged * 10000 <= n_tokens * 150 AS INT) AS keep
+        |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "classifier_score" ->
       """WITH toks AS (

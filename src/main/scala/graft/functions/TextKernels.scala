@@ -661,6 +661,78 @@ object TextKernels {
 
   def compressionRatioU(s: UTF8String): Double = compressionRatio(s.getBytes)
 
+  // --- Luhn-validated payment-card masking ---------------------------------
+
+  /** Luhn checksum over `text[start, end)` (all digits; digit detection
+    * is the ASCII [[isAsciiDigit]] — the oracle's `[0-9]+` — NOT
+    * Character.isDigit, which also fires on Unicode digit blocks):
+    * double every
+    * second digit from the right, fold >9 back by −9, valid iff the sum
+    * is ≡ 0 mod 10 — the ISO/IEC 7812 check every real payment card
+    * passes, which is what separates a card number from a 16-digit
+    * order id (the regex-only PII scrubber's false-positive class).
+    */
+  private def luhnValid(text: String, start: Int, end: Int): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = end - 1
+    while (i >= start) {
+      var d = text.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Per-document card scan in one pass over maximal ASCII digit runs:
+    * a run is a CANDIDATE when its length is 13–19 (the issued card
+    * range), VALID when it also passes [[luhnValid]]. Returns
+    * `{n_candidates, n_valid}`.
+    */
+  def luhnStatsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val text = s.toString
+    var nCand = 0L
+    var nValid = 0L
+    var i = 0
+    while (i < text.length) {
+      while (i < text.length && !isAsciiDigit(text.charAt(i))) i += 1
+      val start = i
+      while (i < text.length && isAsciiDigit(text.charAt(i))) i += 1
+      val len = i - start
+      if (len >= 13 && len <= 19) {
+        nCand += 1
+        if (luhnValid(text, start, i)) nValid += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nCand, nValid))
+  }
+
+  /** Masked text: every Luhn-VALID 13–19-digit run replaced by `<CC>`;
+    * candidate runs failing the checksum (and any other digits) pass
+    * through untouched. Digit detection is ASCII `[0-9]` runs,
+    * identical to [[luhnStatsRow]]'s scan.
+    */
+  def maskLuhnU(s: UTF8String): UTF8String = {
+    val text = s.toString
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!isAsciiDigit(c)) { out.append(c); i += 1 }
+      else {
+        val start = i
+        while (i < text.length && isAsciiDigit(text.charAt(i))) i += 1
+        val len = i - start
+        if (len >= 13 && len <= 19 && luhnValid(text, start, i)) out.append("<CC>")
+        else out.append(text, start, i)
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   // --- hashed-linear classifier fold ---------------------------------------
 
   private val md5s = new ThreadLocal[java.security.MessageDigest] {

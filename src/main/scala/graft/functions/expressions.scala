@@ -214,6 +214,43 @@ object expressions {
       StructField("wsum", LongType, nullable = false)))
   }
 
+  /** Per-document payment-card scan ([[TextKernels.luhnStatsRow]]):
+    * `{n_candidates, n_valid}` over maximal ASCII digit runs of length
+    * 13–19, Luhn-checked.
+    */
+  case class LuhnStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LuhnStats.schema
+    override def prettyName: String = "graft_luhn_stats"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.luhnStatsRow(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.luhnStatsRow($c)")
+    override protected def withNewChildInternal(newChild: Expression): LuhnStats =
+      copy(child = newChild)
+  }
+
+  object LuhnStats {
+    val schema: StructType = StructType(Seq(
+      StructField("n_candidates", LongType, nullable = false),
+      StructField("n_valid", LongType, nullable = false)))
+  }
+
+  /** Luhn-validated card masking ([[TextKernels.maskLuhnU]]): valid
+    * 13–19-digit runs → `<CC>`, everything else untouched.
+    */
+  case class MaskLuhn(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_mask_luhn"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.maskLuhnU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.maskLuhnU($c)")
+    override protected def withNewChildInternal(newChild: Expression): MaskLuhn =
+      copy(child = newChild)
+  }
+
   /** One-pass whitespace canonicalization
     * ([[TextKernels.cleanWhitespace]]): controls → space, runs collapsed,
     * edges trimmed. Replaces three regexp_replace passes.

@@ -109,6 +109,14 @@ package object functions {
   def hashed_linear(text: Column, dim: Long): Column =
     c(expressions.HashedLinearFold(e(text), dim))
 
+  /** `{n_candidates, n_valid}` of the Luhn payment-card scan. */
+  def luhn_stats(text: Column): Column =
+    c(expressions.LuhnStats(e(text)))
+
+  /** Luhn-valid 13–19-digit runs masked to `<CC>`. */
+  def mask_luhn(text: Column): Column =
+    c(expressions.MaskLuhn(e(text)))
+
   /** Deflate compression ratio (compressed/raw UTF-8 bytes, 6 dp). */
   def compression_ratio(text: Column): Column =
     c(expressions.CompressionRatio(e(text)))
@@ -190,6 +198,12 @@ package object functions {
     "graft_lsh_keys" ->
       ((args: Seq[Expression]) => expressions.LshKeys(
         args(0), intLitArg(args(1)), intLitArg(args(2)), intLitArg(args(3)))),
+    "graft_hashed_linear" ->
+      ((args: Seq[Expression]) => expressions.HashedLinearFold(args(0), intLitArg(args(1)).toLong)),
+    "graft_luhn_stats" ->
+      ((args: Seq[Expression]) => expressions.LuhnStats(args(0))),
+    "graft_mask_luhn" ->
+      ((args: Seq[Expression]) => expressions.MaskLuhn(args(0))),
     "graft_minhash_union" ->
       ((args: Seq[Expression]) => MinHashUnionAgg(args(0), intLitArg(args(1))).toAggregateExpression()))
 

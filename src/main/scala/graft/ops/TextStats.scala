@@ -186,6 +186,18 @@ object TextStats {
     coalesce(regexp_count(text, lit(EmailPattern)), lit(0)).cast("long").as("n_emails"),
     coalesce(regexp_count(text, lit(PhonePattern)), lit(0)).cast("long").as("n_phones"))
 
+  /** Checksum-validated payment-card masking — the PII class a pure
+    * regex CANNOT scrub safely: a 16-digit order id matches any card
+    * regex, so regex-only masking either leaks cards (too narrow) or
+    * destroys non-PII ids (too broad). The `mask_luhn` kernel masks a
+    * 13–19-digit run only when it passes the ISO 7812 Luhn checksum
+    * (`<CC>`); [[luhnStats]] exposes `{n_candidates, n_valid}` for the
+    * audit profile. One codegen'd pass, shuffle-free.
+    */
+  def scrubCreditCards(text: Column): Column = graft.functions.mask_luhn(text)
+
+  def luhnStats(text: Column): Column = graft.functions.luhn_stats(text)
+
   /** Repetition profile (the Gopher duplicate-line fraction): of the
     * non-empty lines, what share are repeats of an earlier line. High
     * values flag boilerplate/templated documents for pretraining filters.
@@ -403,6 +415,47 @@ object TextStats {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .withColumnRenamed("__id", idCol)
+  }
+
+  // --- blockterm (dirty-word) profiling ------------------------------------
+
+  /** Whole-word blockterm profile + keep flag — the UT1-blocklist-style
+    * NSFW/spam-term ratio filter of RefinedWeb/FineWeb pipelines, on the
+    * engine's standard whitespace tokenization (whole TOKENS equal to a
+    * term — substring hits like "class" ⊅ "ass" never fire, the classic
+    * blocklist false-positive). Output adds `n_tokens`, `n_flagged`
+    * (total occurrences), `n_distinct_flagged`, `flag_ratio` (6 dp) and
+    * `keep` = [flagged share ≤ `maxPerMyriad`/10⁴] as an EXACT integer
+    * cross-multiplication (no float threshold compare to drift across
+    * engines). Zero-token docs keep (vacuously clean, ratio 0).
+    *
+    * Scale shape: shuffle-free narrow projection; the term set rides the
+    * HOF membership test as a constant — for curated lists (10²–10⁴
+    * terms) that's a hash-set probe per token. Lists beyond literal-size
+    * comfort become a broadcast join on an exploded token frame instead.
+    */
+  def blocktermProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], maxPerMyriad: Int = 100): DataFrame = {
+    require(terms.nonEmpty, "blocktermProfile needs at least one term")
+    require(maxPerMyriad >= 0 && maxPerMyriad <= 10000,
+      s"maxPerMyriad out of [0, 10000]: $maxPerMyriad")
+    val flagged = aggregate(col("__t"), lit(0L),
+      (acc, t) => acc + when(t.isInCollection(terms), 1L).otherwise(0L))
+    df.select(col(s"`$idCol`"), whitespaceTokens(col(s"`$textCol`")).as("__t"))
+      .select(
+        col(s"`$idCol`"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        flagged.as("n_flagged"),
+        size(array_intersect(array_distinct(col("__t")),
+          array(terms.map(lit): _*))).cast("long").as("n_distinct_flagged"))
+      .withColumn("flag_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_flagged").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("n_flagged") * lit(10000L) <= col("n_tokens") * lit(maxPerMyriad.toLong))
+          .cast("int"))
   }
 
   // --- hashed linear classifier scoring ------------------------------------

@@ -78,6 +78,26 @@ object Streams {
         min(col(eventTimeCol)).as("start_time"),
         max(col(eventTimeCol)).as("end_time"))
 
+  /** Windowed corpus-quality monitor — the drift alarm of a continuous
+    * ingest: per (event-time window × group), document count, total
+    * token count and how many documents pass the Gopher rule battery.
+    * A window whose keep-share or tokens-per-doc lurches is a crawl
+    * regression caught while it lands, not at the next full-corpus
+    * profile. All three aggregates are EXACT int64 sums (the per-doc
+    * inputs are the deterministic kernel metrics), so streaming
+    * accumulation order can never wobble the results — the property that
+    * lets the same numbers hash-match a batch oracle.
+    */
+  def windowedQualityProfile(
+      docs: DataFrame, eventTimeCol: String, watermark: String,
+      windowDuration: String, groupCols: Seq[String], textCol: String): DataFrame =
+    docs.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDuration) +: groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(graft.ops.TextStats.gopherKeep(col(textCol)).cast("long")).as("n_keep"))
+
   /** Stream-static "seen before" flag: every incoming micro-batch joins
     * the STATIC history frame (Structured Streaming's stream-static join —
     * stateless on the stream side; the static side is incrementally

@@ -66,6 +66,11 @@ object syntax {
       TextStats.gopherFilter(df, textCol)
     def withLangId(textCol: String, outCol: String = "lang_pred"): DataFrame =
       df.withColumn(outCol, TextStats.langIdExpr(org.apache.spark.sql.functions.col(textCol)))
+    def blocktermProfile(idCol: String, textCol: String, terms: Seq[String],
+        maxPerMyriad: Int = 100): DataFrame =
+      TextStats.blocktermProfile(df, idCol, textCol, terms, maxPerMyriad)
+    def scrubCreditCards(textCol: String): DataFrame =
+      df.withColumn(textCol, TextStats.scrubCreditCards(df(textCol)))
     def scrubPii(textCol: String): DataFrame =
       df.withColumn(textCol, TextStats.scrubPii(org.apache.spark.sql.functions.col(textCol)))
     def normalizeText(textCol: String): DataFrame =

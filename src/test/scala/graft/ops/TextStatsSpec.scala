@@ -400,6 +400,57 @@ class TextStatsSpec extends SparkSpec {
     assert(xx.forall(r => r._3 >= -1.0 && r._3 <= 1.0 && (r._4 == 0 || r._4 == 1)))
   }
 
+  test("blocktermProfile: whole-token matches only, exact threshold, empty doc keeps") {
+    val docs = Seq(
+      (1L, "bad bad word here"),         // 2 of 4 flagged → ratio 0.5, drop at 25%
+      (2L, "badge embadded notbad"),     // substrings never fire → keep
+      (3L, "bad"),                       // 1 of 1 → drop
+      (4L, "clean text only here"),      // keep
+      (5L, " \t ")                       // zero tokens → vacuous keep, ratio 0
+    ).toDF("doc_id", "text")
+    val out = TextStats.blocktermProfile(docs, "doc_id", "text",
+      Seq("bad", "word"), maxPerMyriad = 2500)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 4L, 3L, 2L, 0.75, 0),
+      (2L, 3L, 0L, 0L, 0.0, 1),
+      (3L, 1L, 1L, 1L, 1.0, 0),
+      (4L, 4L, 0L, 0L, 0.0, 1),
+      (5L, 0L, 0L, 0L, 0.0, 1)), s"got $out")
+    // exact boundary: ratio == threshold keeps (<=, cross-multiplied)
+    val boundary = TextStats.blocktermProfile(
+      Seq((1L, "bad a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq("bad"), maxPerMyriad = 2500)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().head
+    assert(boundary._6 == 1, s"boundary must keep: $boundary")
+  }
+
+  test("Luhn card masking: checksum decides, 13/19 length bounds, non-card digits survive") {
+    val cases = Seq(
+      // valid 16-digit masked; the same number with a flipped check digit is not
+      (1L, "pay 4532015112830366 now", "pay <CC> now", 1L, 1L),
+      (2L, "pay 4532015112830367 now", "pay 4532015112830367 now", 1L, 0L),
+      // boundary lengths: 13 and 19 digit valid cards mask
+      (3L, "a 4222222222222 b", "a <CC> b", 1L, 1L),
+      (4L, "a 6221267890123456780 b", "a <CC> b", 1L, 1L),
+      // Luhn-valid but OUTSIDE 13..19 → never a candidate
+      (5L, "id 422222222222 x", "id 422222222222 x", 0L, 0L),
+      (6L, "id 42222222222222222228 x", "id 42222222222222222228 x", 0L, 0L),
+      // run boundaries are digit runs, not word boundaries; two runs count twice
+      (7L, "x4532015112830366y 4222222222222", "x<CC>y <CC>", 2L, 2L),
+      (8L, "no digits at all", "no digits at all", 0L, 0L),
+      (9L, "", "", 0L, 0L))
+    val out = TextStats.luhnStats(col("text"))
+    val res = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select(col("id"), TextStats.scrubCreditCards(col("text")).as("masked"),
+        out.getField("n_candidates").as("nc"), out.getField("n_valid").as("nv"))
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    cases.zip(res).foreach { case (exp, got) =>
+      assert(got == ((exp._1, exp._3, exp._4, exp._5)),
+        s"case ${exp._1}: got $got expected ${(exp._1, exp._3, exp._4, exp._5)}")
+    }
+  }
+
   test("classifierScore kernel ≡ HOF-md5 formulation on the sf0.01 corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")

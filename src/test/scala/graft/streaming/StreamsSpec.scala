@@ -119,4 +119,30 @@ class StreamsSpec extends SparkSpec {
     val rows = out.select("doc_id", "in_history").as[(Long, Boolean)].collect().toMap
     assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
+
+  test("windowedQualityProfile: per-window exact counts match a batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two hourly windows × one group; second doc of window 0 fails Gopher
+    // (token count 3 < 50), the long docs pass everything but stopwords —
+    // so n_keep counts only docs with >= 2 stopwords among the long ones
+    val longText = ("the and of words mixed " * 20).trim // 100 tokens, stopword-rich
+    val shortText = "tiny doc here"
+    val in = MemoryStream[(Long, String)]
+    in.addData((0L, longText), (30L, shortText), (70L, longText), (80L, longText))
+    val docs = in.toDF.toDF("doc_id", "text")
+      .withColumn("event_time",
+        timestamp_micros(col("doc_id") * lit(60000000L)))
+    val out = Streams.runToMemory(
+      Streams.windowedQualityProfile(docs, "event_time", "30 minutes", "1 hour",
+        Nil, "text"),
+      "quality_out", org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+      .select(unix_micros(col("window.start")).as("ws"), col("n_docs"),
+        col("n_tokens"), col("n_keep"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (0L, 2L, 103L, 1L),
+      (3600000000L, 2L, 200L, 2L)), s"got $out")
+  }
 }
