@@ -574,6 +574,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — the composed curation pipeline as ONE lazy plan: Gopher
+    // filter → projected exact dedup → hash split. The integration
+    // contract of the library's flagship path; every stage is also
+    // individually oracled. The raw corpus has no exact duplicates, so
+    // every 7th doc is unioned back under an offset id — the dedup stage
+    // must drop exactly those copies (min-id survivor) or the hash
+    // diverges.
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val copies = docs
+        .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      Curation.curateCorpus(docs.unionByName(copies), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars", "split")
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — repetition profile (duplicate-line fraction per document).
     "repetition_profile" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1741,6 +1758,17 @@ object SparkEntry {
   // true token count: split of an empty string yields [''] (len 1), the
   // Spark side yields 0 — guard like TextStats does
   private val tok0Sql = s"CASE WHEN length($strippedSql) = 0 THEN 0 ELSE $ntokSql END"
+  /** The Gopher rule battery as one SQL predicate — shared by the
+    * gopher_filter / stream_quality / corpus_pipeline oracles so they
+    * cannot drift from each other (and must stay in lock-step with
+    * TextStats.gopherKeep).
+    */
+  private lazy val gopherKeepSql: String =
+    s"""$tok0Sql BETWEEN 50 AND 100000
+       |  AND 3 * $tok0Sql <= length(text) AND length(text) <= 10 * $tok0Sql
+       |  AND 5 * $punctSql <= length(text)
+       |  AND 10 * $digitSql <= 3 * length(text)
+       |  AND $stopSql >= 2""".stripMargin
   // single exact-integer division with the same 1e5/1e6 caps as
   // TextStats.qualityMetrics (overflow safety under int64)
   private val scoreSql = {
@@ -2874,21 +2902,30 @@ object SparkEntry {
       s"""SELECT (doc_id // 60) * 3600000000 AS win_start_us, lang,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum($tok0Sql) AS BIGINT) AS n_tokens,
-         |  CAST(sum(CASE WHEN $tok0Sql BETWEEN 50 AND 100000
-         |    AND 3 * $tok0Sql <= length(text) AND length(text) <= 10 * $tok0Sql
-         |    AND 5 * $punctSql <= length(text)
-         |    AND 10 * $digitSql <= 3 * length(text)
-         |    AND $stopSql >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  CAST(sum(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
          |FROM documents WHERE doc_id IS NOT NULL
          |GROUP BY 1, 2 ORDER BY win_start_us, lang NULLS FIRST""".stripMargin,
 
     "gopher_filter" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE $tok0Sql BETWEEN 50 AND 100000
-         |  AND 3 * $tok0Sql <= length(text) AND length(text) <= 10 * $tok0Sql
-         |  AND 5 * $punctSql <= length(text)
-         |  AND 10 * $digitSql <= 3 * length(text)
-         |  AND $stopSql >= 2
+         |WHERE $gopherKeepSql
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pipeline" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  CASE WHEN __bucket < 9800 THEN 'train'
+         |       WHEN __bucket < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM ${Curation.bucketSqlCte(
+              "(SELECT doc_id, lang, source, n_chars FROM (" +
+                "SELECT doc_id, lang, source, n_chars, text FROM (" +
+                "SELECT * FROM documents UNION ALL " +
+                "SELECT doc_id + 10000000, text, lang, source, n_chars " +
+                "FROM documents WHERE doc_id % 7 = 0) " +
+                "WHERE doc_id IS NOT NULL AND " +
+                gopherKeepSql.replace('\n', ' ') +
+                ") QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)",
+              "doc_id", Curation.SplitSalt)}
          |ORDER BY doc_id""".stripMargin,
 
     "neardup_filter" ->

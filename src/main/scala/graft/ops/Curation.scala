@@ -491,6 +491,28 @@ object Curation {
       .drop("__trn", "__mg", "__tg")
   }
 
+  /** End-to-end curation driver — the composed "raw crawl in, training
+    * corpus out" path a user of the library actually runs, as ONE lazy
+    * plan: Gopher rule filter → exact content dedup (projected form: the
+    * dedup shuffle carries (hash, id) pairs, never document bodies) →
+    * deterministic train/val/test split. Each stage is an
+    * individually-oracled operator; composing them here adds no new
+    * semantics, just the integration contract (stage order, null-id
+    * exclusion up front) — and ONE plan means Catalyst pushes the filter
+    * into the scan and the whole thing runs without materializing
+    * intermediates.
+    */
+  def curateCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      trainPerMyriad: Int = 9800, valPerMyriad: Int = 100,
+      salt: Long = SplitSalt): DataFrame =
+    hashSplit(
+      graft.ops.Dedup.exactByContentProjected(
+        graft.ops.TextStats.gopherFilter(
+          df.filter(col(s"`$idCol`").isNotNull), textCol),
+        textCol, idCol),
+      idCol, trainPerMyriad, valPerMyriad, salt)
+
   /** Deterministic corpus shuffle: a stable pseudo-random total order
     * with the global position exposed as `shuffle_rank`. Reproducible
     * across runs/engines — the property a training-order shuffle needs

@@ -137,6 +137,9 @@ object syntax {
     def temperatureMixture(groupCol: String, idCol: String,
         alpha: Double = 0.5): DataFrame =
       Curation.temperatureMixture(df, groupCol, idCol, alpha)
+    def curateCorpus(idCol: String, textCol: String,
+        trainPerMyriad: Int = 9800, valPerMyriad: Int = 100): DataFrame =
+      Curation.curateCorpus(df, idCol, textCol, trainPerMyriad, valPerMyriad)
     def classifierScore(idCol: String, textCol: String,
         dim: Int = 1 << 20): DataFrame =
       TextStats.classifierScore(df, idCol, textCol, dim)

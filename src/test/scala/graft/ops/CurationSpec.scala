@@ -411,4 +411,46 @@ class CurationSpec extends SparkSpec {
       .filter(col("g").isNull).as[(Long, String)].collect()
     assert(nullGroup.map(_._1).toSeq == Seq(20L))
   }
+
+  test("randomized: temperatureMixture targets = floor(sqrt(n·nmin)) on 20 seeded distributions") {
+    (1 to 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val groups = (0 until 2 + rnd.nextInt(5)).map(g => (s"g$g", 1 + rnd.nextInt(40)))
+      var nextId = 0L
+      val rows = groups.flatMap { case (g, n) =>
+        (0 until n).map { _ => nextId += 1; (nextId, g) }
+      }
+      val out = Curation.temperatureMixture(rows.toDF("id", "g"), "g", "id")
+        .as[(Long, String)].collect().toSeq
+      val nmin = groups.map(_._2).min.toLong
+      val sizes = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      groups.foreach { case (g, n) =>
+        val expect = math.floor(math.sqrt((n.toLong * nmin).toDouble)).toLong
+        assert(sizes.getOrElse(g, 0L) == expect,
+          s"seed $seed group $g (n=$n, nmin=$nmin): got ${sizes.getOrElse(g, 0L)}, want $expect")
+      }
+      // kept rows are a subset of the group's own rows
+      val byGroup = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      assert(out.forall { case (id, g) => byGroup(g)(id) })
+    }
+  }
+
+  test("curateCorpus: filter → dedup(min id) → split composes as one plan") {
+    val good = ("the and of words mixed " * 20).trim // passes every Gopher rule
+    val rows = Seq(
+      (10L, good), (3L, good),       // exact dups: min id 3 survives
+      (7L, "too short"),             // fails Gopher
+      (5L, good + " unique tail the and")
+    ).toDF("doc_id", "text")
+      .unionByName(Seq(good).toDF("text")
+        .withColumn("doc_id", lit(null).cast("long")).select("doc_id", "text"))
+    val out = Curation.curateCorpus(rows, "doc_id", "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(3L, 5L), s"got $out")
+    assert(out.values.forall(Set("train", "val", "test")))
+    // the split matches hashSplit on the same ids (stage composition only)
+    val direct = Curation.hashSplit(rows.filter(col("doc_id").isin(3L, 5L)),
+      "doc_id", 9800, 100).select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out == direct)
+  }
 }

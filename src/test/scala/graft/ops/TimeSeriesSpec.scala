@@ -103,4 +103,36 @@ class TimeSeriesSpec extends SparkSpec {
       assert(sorted.last._5 == 1 && sorted.init.forall(_._5 == 0))
     }
   }
+
+  test("randomized: scd2 ≡ naive per-key fold on 30 seeded change logs") {
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val states = Seq(Some("A"), Some("B"), Some("C"), None)
+      val log = (1L to 5L).flatMap { k =>
+        (0 until rnd.nextInt(15)).map { i =>
+          // ts collides often (mod 6) — seq is the unique tiebreaker
+          (k, i.toLong, rnd.nextInt(6).toLong, states(rnd.nextInt(states.size)))
+        }
+      }
+      if (log.nonEmpty) {
+        val out = TimeSeries.scd2(log.toDF("k", "seq", "ts", "state"),
+          Seq("k"), Seq("state"), Seq("ts", "seq"))
+          .select("k", "state", "valid_from", "valid_to", "is_current", "version")
+          .as[(Long, Option[String], Long, Option[Long], Int, Long)]
+          .collect().toSet
+        val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+          val ordered = rows.sortBy(r => (r._3, r._2))
+          val runs = ordered.foldLeft(Vector.empty[(Option[String], Long)]) {
+            case (acc, (_, _, ts, st)) =>
+              if (acc.isEmpty || acc.last._1 != st) acc :+ (st, ts) else acc
+          }
+          runs.zipWithIndex.map { case ((st, vf), i) =>
+            val vt = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+            (k, st, vf, vt, if (vt.isEmpty) 1 else 0, (i + 1).toLong)
+          }
+        }.toSet
+        assert(out == expected, s"seed $seed: engine $out vs naive $expected")
+      }
+    }
+  }
 }
