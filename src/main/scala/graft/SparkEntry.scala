@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.clean.Cleaners
 import graft.fhir.FhirFixtures
-import graft.ops.{Curation, Dedup, Domains, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Domains, Funnel, FuzzyJoin, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -203,6 +203,13 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         TextStats.compressionRatio(col("text")).as("comp_ratio"))
   }
+
+  /** The input dir of the current Verify run, captured by the provenance
+    * gate when it executes so the (def-evaluated, dumped-last) oracle SQL
+    * can `read_parquet(filename=true)` the very file the engine scanned —
+    * dir-agnostic, unlike a hardcoded sf path.
+    */
+  @volatile private var verifySfDir: String = "/root/testdata/sf0.01"
 
   /** Where the schema_merge gate writes its two evolving-schema parquet
     * snapshots (v1 lacks `n_chars`/`lang`; v2 has the full schema).
@@ -797,6 +804,18 @@ object SparkEntry {
         scratch)
       graft.sinks.Sinks.readCsv(s, scratch, docsSchema)
         .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Audit/provenance read: the scan plus file-lineage (`_src_file`
+    // from input_file_name — populated by the scan, zero extra I/O) and
+    // a row content hash. Oracle re-reads the same file with
+    // read_parquet(filename=true) and recomputes both columns.
+    "provenance" -> ((s, dir) => {
+      verifySfDir = dir
+      graft.sinks.Sinks
+        .readParquetWithProvenance(s, s"$dir/documents.parquet", Seq("text"))
+        .select("doc_id", "_src_file", "_content_md5")
         .orderBy("doc_id")
     }),
 
@@ -1501,6 +1520,26 @@ object SparkEntry {
       Similarity.kmeansClusters(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
         .orderBy("vec_id")),
+
+    // §2.11 — fuzzy (edit-distance ≤ 2) record-linkage join: 24-char
+    // name keys from each doc, typo'd copies (two deletions) unioned
+    // under offset ids, q-gram-blocked join must find every pair the
+    // all-pairs levenshtein oracle finds — the q-gram lemma guarantees
+    // blocking completeness at these lengths (22 ≥ n·(k+1) = 12), which
+    // is exactly what lets a BLOCKED engine hash-match an ALL-PAIRS
+    // oracle.
+    "fuzzy_join" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 11, 24).as("name"))
+        .filter(length(col("name")) === 24)
+      val typos = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(substring(col("name"), 1, 4), substring(col("name"), 6, 9),
+            substring(col("name"), 16, 9)).as("name"))
+      FuzzyJoin.editDistanceJoin(
+        typos, "doc_id", "name", base, "doc_id", "name", maxDist = 2, n = 4)
+        .orderBy("left_id", "right_id")
+    }),
 
     // §2.11 — per-source corpus overlap, EXACT set-algebra form (full
     // DuckDB oracle). The MinHash-union sketch path (groupOverlap — the
@@ -2294,6 +2333,12 @@ object SparkEntry {
       s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
+    "provenance" ->
+      s"""SELECT doc_id, regexp_extract(filename, '([^/]+)$$', 1) AS _src_file,
+         |  md5(concat_ws('', text)) AS _content_md5
+         |FROM read_parquet('$verifySfDir/documents.parquet', filename=true)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
     "schema_merge" ->
       s"""SELECT doc_id, text, source, lang, n_chars
          |FROM read_parquet(
@@ -2463,6 +2508,20 @@ object SparkEntry {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "fuzzy_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 11, 24) AS name FROM documents
+        |  WHERE doc_id IS NOT NULL AND length(substring(text, 11, 24)) = 24),
+        |typos AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    substring(name, 1, 4) || substring(name, 6, 9) || substring(name, 16, 9) AS name
+        |  FROM base WHERE doc_id % 5 = 0)
+        |SELECT t.doc_id AS left_id, b.doc_id AS right_id,
+        |  CAST(levenshtein(t.name, b.name) AS BIGINT) AS edit_dist
+        |FROM typos t CROSS JOIN base b
+        |WHERE levenshtein(t.name, b.name) <= 2
+        |ORDER BY left_id, right_id""".stripMargin,
 
     "source_overlap" ->
       """WITH toks AS (

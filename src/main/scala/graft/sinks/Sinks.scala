@@ -265,6 +265,25 @@ object Sinks {
       paths: String*): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** Provenance read: the parquet scan plus `_src_file` (basename of the
+    * physical file each row came from) and `_content_md5` (row payload
+    * hash over `hashCols`) — the audit columns an incremental lake
+    * pipeline carries so any row can be traced to its ingest file and
+    * byte-identical re-ingests are detectable. `input_file_name()` is
+    * populated by the scan itself: zero extra I/O, and the projection
+    * stays codegen'd.
+    */
+  def readParquetWithProvenance(spark: org.apache.spark.sql.SparkSession,
+      path: String, hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "readParquetWithProvenance needs hash columns")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .withColumn("_src_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .withColumn("_content_md5",
+        md5(concat_ws("", hashCols.map(col): _*)))
+  }
+
   /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at
     * write time so every later equi-join or aggregation on the bucket
     * keys is co-located and shuffle-free — the 100 TB answer to

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Curation, Dedup, Domains, Funnel, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{Curation, Dedup, Domains, Funnel, FuzzyJoin, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -153,6 +153,9 @@ object syntax {
     def topFractionByGroup(groupCol: String, score: Column, idCol: String,
         keepPerMyriad: Long): DataFrame =
       Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)
+    def fuzzyJoin(right: DataFrame, idCol: String, strCol: String,
+        rightId: String, rightCol: String, maxDist: Int, n: Int = 4): DataFrame =
+      FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist, n)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,
         compareCols: Seq[String]): DataFrame =
       Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)
