@@ -1537,7 +1537,7 @@ object SparkEntry {
           concat(substring(col("name"), 1, 4), substring(col("name"), 6, 9),
             substring(col("name"), 16, 9)).as("name"))
       FuzzyJoin.editDistanceJoin(
-        typos, "doc_id", "name", base, "doc_id", "name", maxDist = 2, n = 4)
+        typos, "doc_id", "name", base, "doc_id", "name", maxDist = 2)
         .orderBy("left_id", "right_id")
     }),
 

@@ -154,8 +154,8 @@ object syntax {
         keepPerMyriad: Long): DataFrame =
       Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)
     def fuzzyJoin(right: DataFrame, idCol: String, strCol: String,
-        rightId: String, rightCol: String, maxDist: Int, n: Int = 4): DataFrame =
-      FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist, n)
+        rightId: String, rightCol: String, maxDist: Int): DataFrame =
+      FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,
         compareCols: Seq[String]): DataFrame =
       Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)

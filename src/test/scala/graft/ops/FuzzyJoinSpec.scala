@@ -16,11 +16,11 @@ class FuzzyJoinSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
-  test("editDistanceJoin: two deletions found at the q-gram completeness boundary") {
+  test("editDistanceJoin: two deletions found via surviving-segment blocking") {
     val right = Seq((1L, "abcdefghijkl"), (2L, "zzzzzzzzzzzz")).toDF("id", "s")
     val left = Seq((10L, "abdefghijl")).toDF("id", "s") // dropped 'c' and 'k'
     val out = FuzzyJoin.editDistanceJoin(left, "id", "s", right, "id", "s",
-      maxDist = 2, n = 4)
+      maxDist = 2)
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((10L, 1L, 2L)))
   }
@@ -28,14 +28,15 @@ class FuzzyJoinSpec extends SparkSpec {
   test("randomized: blocked join ≡ all-pairs levenshtein on 20 seeded string sets") {
     (1 to 20).foreach { seed =>
       val rnd = new scala.util.Random(seed)
-      // ≥ 12 chars (n·(k+1) with n=4, k=2) keeps blocking complete; a
-      // 3-letter alphabet forces both real matches and near-misses
-      def str() = (0 until 12 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      // PassJoin segments are complete from length k+1 = 3, so lengths
+      // span 3..16; a 3-letter alphabet forces both real matches and
+      // near-misses
+      def str() = (0 until 3 + rnd.nextInt(14)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
       val ls = (1L to 15L).map(i => (i, str()))
       val rs = (101L to 115L).map(i => (i, str()))
       val out = FuzzyJoin.editDistanceJoin(
         ls.toDF("id", "s"), "id", "s", rs.toDF("id", "s"), "id", "s",
-        maxDist = 2, n = 4)
+        maxDist = 2)
         .as[(Long, Long, Long)].collect().toSet
       val expected = (for {
         (li, lsr) <- ls; (ri, rsr) <- rs
@@ -51,7 +52,7 @@ class FuzzyJoinSpec extends SparkSpec {
       (java.lang.Long.valueOf(3L), null.asInstanceOf[String])).toDF("id", "s")
     val r = Seq((9L, "abcdefghijkl")).toDF("id", "s")
     val out = FuzzyJoin.editDistanceJoin(l, "id", "s", r, "id", "s",
-      maxDist = 0, n = 4)
+      maxDist = 0)
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 9L, 0L)))
   }
