@@ -1287,6 +1287,45 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"), col("n_events"))
         .orderBy("user_id", "bucket")),
 
+    // Incremental aggregate maintenance: profile(base slice) merged with
+    // profile(delta slice) must equal a direct full-corpus aggregation —
+    // the algebra that lets a 100 TB nightly stats job read one day
+    // instead of the lake. Prices scale to int64 cents first (double
+    // sums are order-dependent; exact sums are what make merge ≡ direct
+    // bit-identical).
+    "incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("__d",
+          coalesce(pmod(abs(hash(col("o_orderpriority"), col("cents"))), lit(3)), lit(0)) === 0)
+      val prof = (d: DataFrame) =>
+        graft.ops.Incremental.groupProfile(d, Seq("o_orderpriority"), "cents")
+      graft.ops.Incremental.mergeProfiles(
+        prof(o.filter(!col("__d")).drop("__d")),
+        prof(o.filter(col("__d")).drop("__d")),
+        Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // CDC upsert: last-write-wins apply of a delta (updates to existing
+    // keys + brand-new keys) onto the base snapshot — MERGE INTO
+    // semantics as one anti-join. Oracle rebuilds the same final state
+    // set-algebraically.
+    "cdc_upsert" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+        .filter(col("o_orderkey").isNotNull)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("price_cents") + 1).as("price_cents"))
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select((col("o_orderkey") + lit(50000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("price_cents"))
+      graft.ops.Incremental.applyUpsert(o, updates.unionByName(inserts),
+        Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type-2 historization of the per-customer order state: collapse
     // each customer's (status, priority) change log into validity
     // intervals with valid_from/valid_to/is_current/version — the
@@ -2736,6 +2775,34 @@ object SparkEntry {
         |    AND e.tus > s1.t1 AND e.tus <= s1.t1 + 1800000000
         |  GROUP BY s1.user_id, s1.t0, s1.t1)
         |SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id""".stripMargin,
+
+    "incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_value,
+        |  min(cents) AS min_value, max(cents) AS max_value
+        |FROM o GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    "cdc_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey IS NOT NULL),
+        |delta AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, price_cents + 1 AS price_cents
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_orderstatus, price_cents
+        |  FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT * FROM delta
+        |UNION ALL
+        |SELECT b.* FROM o b LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey
+        |WHERE d.o_orderkey IS NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "scd2_history" ->
       """WITH base AS (

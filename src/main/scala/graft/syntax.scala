@@ -156,6 +156,10 @@ object syntax {
     def fuzzyJoin(right: DataFrame, idCol: String, strCol: String,
         rightId: String, rightCol: String, maxDist: Int): DataFrame =
       FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist)
+    def groupProfile(groupCols: Seq[String], valueCol: String): DataFrame =
+      graft.ops.Incremental.groupProfile(df, groupCols, valueCol)
+    def applyUpsert(delta: DataFrame, keyCols: Seq[String]): DataFrame =
+      graft.ops.Incremental.applyUpsert(df, delta, keyCols)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,
         compareCols: Seq[String]): DataFrame =
       Curation.snapshotDiff(df, newSnapshot, idCol, compareCols)
