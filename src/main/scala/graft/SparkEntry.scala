@@ -1422,6 +1422,28 @@ object SparkEntry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    // Distribution profiling: fixed-bin histogram with underflow (-1) /
+    // overflow (bins) buckets so no value is silently dropped; lo=10
+    // exercises the underflow branch on this corpus (min value 0.01).
+    "value_histogram" -> ((s, dir) =>
+      graft.ops.Profiling.histogram(t(s, dir, "events"), "value",
+        lo = 10.0, hi = 110.0, bins = 20)
+        .orderBy("bin")),
+
+    // Snapshot drift (PSI): even-user events vs odd-user events under a
+    // synthetic 1.1x+5 shift — per-bin smoothed shares and PSI terms;
+    // the total (sum of psi_term) is the drift alarm. Laplace smoothing
+    // keeps empty bins defined on both sides.
+    "drift_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Profiling.psi(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1)
+          .withColumn("value", col("value") * 1.1 + 5),
+        "value", lo = 10.0, hi = 110.0, bins = 20)
+        .orderBy("bin")
+    }),
+
     // Heavy hitters: top-10 users by event volume (deterministic tiebreak).
     "heavy_hitters" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2775,6 +2797,44 @@ object SparkEntry {
         |    AND e.tus > s1.t1 AND e.tus <= s1.t1 + 1800000000
         |  GROUP BY s1.user_id, s1.t0, s1.t1)
         |SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT CASE WHEN value < 10.0 THEN -1
+        |            WHEN value >= 110.0 THEN 20
+        |            ELSE least(CAST(floor((value - 10.0) / 5.0) AS BIGINT), 19)
+        |       END AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "drift_psi" ->
+      """WITH bv AS (
+        |  SELECT value FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |cv AS (
+        |  SELECT value * 1.1 + 5 AS value FROM events
+        |  WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |hb AS (
+        |  SELECT CASE WHEN value < 10.0 THEN -1 WHEN value >= 110.0 THEN 20
+        |    ELSE least(CAST(floor((value - 10.0) / 5.0) AS BIGINT), 19) END AS bin,
+        |    count(*) AS n
+        |  FROM bv GROUP BY 1),
+        |hc AS (
+        |  SELECT CASE WHEN value < 10.0 THEN -1 WHEN value >= 110.0 THEN 20
+        |    ELSE least(CAST(floor((value - 10.0) / 5.0) AS BIGINT), 19) END AS bin,
+        |    count(*) AS n
+        |  FROM cv GROUP BY 1),
+        |shares AS (
+        |  SELECT b.bin,
+        |    CAST(coalesce(hb.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hb) AS DOUBLE) + 22) AS p,
+        |    CAST(coalesce(hc.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hc) AS DOUBLE) + 22) AS q
+        |  FROM (SELECT unnest(range(-1, 21)) AS bin) b
+        |  LEFT JOIN hb ON hb.bin = b.bin
+        |  LEFT JOIN hc ON hc.bin = b.bin)
+        |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
+        |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM shares ORDER BY bin""".stripMargin,
 
     "incremental_agg" ->
       """WITH o AS (

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution profiling: fixed-bin histograms and snapshot-drift
+  * scoring (PSI) — the monitoring primitives that catch a corpus whose
+  * value distribution moved between ingests.
+  */
+object Profiling {
+
+  /** Fixed-bin histogram of `valueCol` over [lo, hi): `bins` equal-width
+    * bins plus underflow (−1) and overflow (`bins`) bins, so no value is
+    * silently dropped and the bin count is data-independent (the
+    * property that makes two snapshots' histograms comparable — and the
+    * whole thing one map-side-combined aggregation, rows = bins + 2 at
+    * any corpus size). Bin edges are derived arithmetically from the bin
+    * id downstream, not stored per row. Null values are excluded (they
+    * are a missingness stat, not a distribution stat — see
+    * missingProfile).
+    */
+  def histogram(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be positive: $bins")
+    require(lo < hi, s"empty range: [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val v = col(s"`$valueCol`")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(bins.toLong))
+      .otherwise(least(floor((v - lo) / w).cast("long"), lit(bins.toLong - 1)))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Population Stability Index between a BASE and a CURRENT snapshot of
+    * `valueCol`, over the shared [lo, hi) histogram: per bin,
+    * `(q_i − p_i) · ln(q_i / p_i)` with Laplace-smoothed shares
+    * (`(n_i + 1) / (N + bins + 2)` — empty bins would otherwise make the
+    * log undefined and the smoothing is identical on both snapshots, so
+    * a no-drift pair still scores ≈ 0). The industry-standard drift
+    * alarm: PSI < 0.1 stable, > 0.25 investigate. Emits one row per bin
+    * (shares rounded to 6, term rounded to 6); the total is the
+    * downstream SUM. Two bins+2-row aggregates and a tiny outer join —
+    * nothing data-sized moves after the scans.
+    */
+  def psi(base: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    def hist(df: DataFrame, nOut: String, tOut: String): (DataFrame, DataFrame) = {
+      val h = histogram(df, valueCol, lo, hi, bins)
+      (h.select(col("bin"), col("n").as(nOut)),
+        h.agg(sum(col("n")).as(tOut)))
+    }
+    val (p, pt) = hist(base, "__pn", "__pt")
+    val (q, qt) = hist(current, "__qn", "__qt")
+    // every bin appears in the output (absent bins carry their smoothed
+    // floor share), and the totals ride along as one-row broadcasts —
+    // no driver-side actions, the whole score is one lazy plan
+    base.sparkSession.range(-1, bins + 1).select(col("id").as("bin"))
+      .join(p, Seq("bin"), "left")
+      .join(q, Seq("bin"), "left")
+      .crossJoin(broadcast(pt))
+      .crossJoin(broadcast(qt))
+      .select(col("bin"),
+        ((coalesce(col("__pn"), lit(0L)) + 1).cast("double") /
+          (col("__pt").cast("double") + (bins + 2))).as("__p"),
+        ((coalesce(col("__qn"), lit(0L)) + 1).cast("double") /
+          (col("__qt").cast("double") + (bins + 2))).as("__q"))
+      .select(col("bin"),
+        round(col("__p"), 6).as("base_share"),
+        round(col("__q"), 6).as("cur_share"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
+          .as("psi_term"))
+  }
+}

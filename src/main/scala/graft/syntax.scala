@@ -158,6 +158,12 @@ object syntax {
       FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist)
     def groupProfile(groupCols: Seq[String], valueCol: String): DataFrame =
       graft.ops.Incremental.groupProfile(df, groupCols, valueCol)
+    def valueHistogram(valueCol: String, lo: Double, hi: Double,
+        bins: Int): DataFrame =
+      graft.ops.Profiling.histogram(df, valueCol, lo, hi, bins)
+    def driftAgainst(current: DataFrame, valueCol: String,
+        lo: Double, hi: Double, bins: Int): DataFrame =
+      graft.ops.Profiling.psi(df, current, valueCol, lo, hi, bins)
     def applyUpsert(delta: DataFrame, keyCols: Seq[String]): DataFrame =
       graft.ops.Incremental.applyUpsert(df, delta, keyCols)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,
