@@ -1584,11 +1584,11 @@ object SparkEntry {
 
     // §2.11 — fuzzy (edit-distance ≤ 2) record-linkage join: 24-char
     // name keys from each doc, typo'd copies (two deletions) unioned
-    // under offset ids, q-gram-blocked join must find every pair the
-    // all-pairs levenshtein oracle finds — the q-gram lemma guarantees
-    // blocking completeness at these lengths (22 ≥ n·(k+1) = 12), which
-    // is exactly what lets a BLOCKED engine hash-match an ALL-PAIRS
-    // oracle.
+    // under offset ids. PassJoin segment blocking is COMPLETE for
+    // strings of length ≥ maxDist+1 (pigeonhole: one of the k+1
+    // segments survives the ≤k edits verbatim — see FuzzyJoin scaladoc),
+    // which is exactly what lets the BLOCKED engine hash-match an
+    // ALL-PAIRS levenshtein oracle.
     "fuzzy_join" -> ((s, dir) => {
       val base = t(s, dir, "documents").filter(col("doc_id").isNotNull)
         .select(col("doc_id"), substring(col("text"), 11, 24).as("name"))
@@ -2736,7 +2736,8 @@ object SparkEntry {
          |  WHERE doc_id IS NOT NULL),
          |c AS (SELECT lang, count(*) AS n FROM b GROUP BY lang),
          |m AS (
-         |  SELECT lang, CAST(floor(sqrt(CAST(n * (SELECT min(n) FROM c) AS DOUBLE)))
+         |  SELECT lang, CAST(floor(sqrt(
+         |      CAST(n AS DOUBLE) * CAST((SELECT min(n) FROM c) AS DOUBLE)))
          |    AS BIGINT) AS mg
          |  FROM c),
          |r AS (

@@ -477,7 +477,14 @@ object Curation {
     val withMin = counts.crossJoin(broadcast(counts.agg(min(col("__ng")).as("__nmin"))))
     val target =
       if (alpha == 0.5)
-        floor(sqrt((col("__ng") * col("__nmin")).cast("double"))).cast("long")
+        // multiply as doubles: the int64 product n_g·n_min overflows
+        // (wrapping to a negative → sqrt NaN → target 0, silently
+        // emptying the group) once both groups pass ~3e9 rows — exactly
+        // the scale this op targets. Exact below 2^53, sub-ulp above;
+        // sqrt+floor is insensitive to that. Oracle multiplies the same
+        // way.
+        floor(sqrt(col("__ng").cast("double") * col("__nmin").cast("double")))
+          .cast("long")
       else
         floor(pow(col("__ng").cast("double"), lit(alpha)) *
           pow(col("__nmin").cast("double"), lit(1.0 - alpha))).cast("long")

@@ -223,8 +223,15 @@ object TextStats {
     * rounded ratio), so the predicate cannot drift between engines — and
     * all five counts come from ONE `text_metrics` kernel scan.
     */
-  def gopherKeep(text: Column): Column = {
-    val m = graft.functions.text_metrics(text)
+  def gopherKeep(text: Column): Column =
+    gopherKeepFromMetrics(graft.functions.text_metrics(text))
+
+  /** [[gopherKeep]] as a predicate over an ALREADY-computed
+    * `text_metrics` struct — for callers that also consume other fields
+    * of the same struct (e.g. the streaming quality monitor), so one
+    * kernel pass serves both instead of re-scanning the text.
+    */
+  def gopherKeepFromMetrics(m: Column): Column = {
     val nChars = m.getField("n_chars")
     val nTok = m.getField("n_tokens")
     val nPunct = m.getField("n_punct")
@@ -447,7 +454,8 @@ object TextStats {
         col(s"`$idCol`"),
         size(col("__t")).cast("long").as("n_tokens"),
         flagged.as("n_flagged"),
-        size(array_intersect(array_distinct(col("__t")),
+        // array_intersect already returns de-duplicated elements
+        size(array_intersect(col("__t"),
           array(terms.map(lit): _*))).cast("long").as("n_distinct_flagged"))
       .withColumn("flag_ratio",
         when(col("n_tokens") > 0,

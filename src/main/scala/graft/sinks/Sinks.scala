@@ -266,7 +266,7 @@ object Sinks {
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
 
   /** Provenance read: the parquet scan plus `_src_file` (basename of the
-    * physical file each row came from) and `_content_md5` (row payload
+    * physical file each row came from) and `_content_md5` (separator/null-sentinel-framed row payload
     * hash over `hashCols`) — the audit columns an incremental lake
     * pipeline carries so any row can be traced to its ingest file and
     * byte-identical re-ingests are detectable. `input_file_name()` is
@@ -281,7 +281,12 @@ object Sinks {
       .withColumn("_src_file",
         regexp_extract(input_file_name(), "([^/]+)$", 1))
       .withColumn("_content_md5",
-        md5(concat_ws("", hashCols.map(col): _*)))
+        // \u0001-separated with a \u0000 null sentinel: a bare concat
+        // would hash ("ab","c") and ("a","bc") -- or a null and an empty
+        // string -- identically, and an audit hash that cannot tell rows
+        // apart is worse than none
+        md5(concat_ws("\u0001",
+          hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
   }
 
   /** Bucketed (hash-clustered) parquet table: pay the shuffle ONCE at

@@ -92,11 +92,18 @@ object Streams {
       docs: DataFrame, eventTimeCol: String, watermark: String,
       windowDuration: String, groupCols: Seq[String], textCol: String): DataFrame =
     docs.withWatermark(eventTimeCol, watermark)
+      // ONE text_metrics kernel pass feeds both the token sum and the
+      // Gopher predicate (tokenCount + gopherKeep separately would scan
+      // every document twice in the continuous-ingest hot path)
+      .withColumn("__m", graft.functions.text_metrics(col(textCol)))
       .groupBy(window(col(eventTimeCol), windowDuration) +: groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(graft.ops.TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
-        sum(graft.ops.TextStats.gopherKeep(col(textCol)).cast("long")).as("n_keep"))
+        sum(col("__m").getField("n_tokens")).as("n_tokens"),
+        // when/otherwise (not a bare cast-sum): an all-null-text group
+        // must report 0 kept — matching the oracle's CASE — not NULL
+        sum(when(graft.ops.TextStats.gopherKeepFromMetrics(col("__m")), 1L)
+          .otherwise(0L)).as("n_keep"))
 
   /** Stream-static "seen before" flag: every incoming micro-batch joins
     * the STATIC history frame (Structured Streaming's stream-static join —
