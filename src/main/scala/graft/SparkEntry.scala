@@ -1444,6 +1444,23 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Categorical drift (PSI over the source MIX): doc_id%3 splits the
+    // corpus (mod 3 is coprime with the 20-source cycle, so every source
+    // lands on BOTH sides — a parity split would make every category
+    // one-sided); src0 is remapped to src_new in the current side, so
+    // one source vanishes and one appears — the appear/vanish signal the
+    // union-of-categories smoothing exists to score.
+    "category_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Profiling.categoricalPsi(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("source"),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(when(col("source") === "src0", lit("src_new"))
+            .otherwise(col("source")).as("source")),
+        "source")
+        .orderBy("category")
+    }),
+
     // Heavy hitters: top-10 users by event volume (deterministic tiebreak).
     "heavy_hitters" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2836,6 +2853,32 @@ object SparkEntry {
         |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
         |  round((q - p) * ln(q / p), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin,
+
+    "category_drift" ->
+      """WITH b AS (
+        |  SELECT source AS category FROM documents WHERE doc_id % 3 = 0),
+        |c AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 'src_new' ELSE source END AS category
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |hb AS (SELECT category, count(*) AS n FROM b GROUP BY 1),
+        |hc AS (SELECT category, count(*) AS n FROM c GROUP BY 1),
+        |cats AS (
+        |  SELECT DISTINCT category FROM (
+        |    SELECT category FROM hb UNION ALL SELECT category FROM hc)),
+        |shares AS (
+        |  SELECT cats.category,
+        |    CAST(coalesce(hb.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hb) AS DOUBLE)
+        |        + (SELECT count(*) FROM cats) + 1) AS p,
+        |    CAST(coalesce(hc.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hc) AS DOUBLE)
+        |        + (SELECT count(*) FROM cats) + 1) AS q
+        |  FROM cats
+        |  LEFT JOIN hb ON hb.category IS NOT DISTINCT FROM cats.category
+        |  LEFT JOIN hc ON hc.category IS NOT DISTINCT FROM cats.category)
+        |SELECT category, round(p, 6) AS base_share, round(q, 6) AS cur_share,
+        |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM shares ORDER BY category NULLS FIRST""".stripMargin,
 
     "incremental_agg" ->
       """WITH o AS (

@@ -72,4 +72,50 @@ object Profiling {
         round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
           .as("psi_term"))
   }
+
+  /** [[psi]] for a CATEGORICAL column (source, language, domain): drift
+    * of the category MIX between two snapshots. Categories are the union
+    * observed across both snapshots (a category that appears or vanishes
+    * is precisely the drift signal — it gets the smoothed floor share on
+    * the side that lacks it); a null category is a real category.
+    * Smoothing denominator is N + D + 1 with D = the union's category
+    * count (computed in-plan — the categorical analog of bins + 2).
+    * Output: one row per category with smoothed shares and the PSI term;
+    * total = downstream SUM. All frames after the two scans are
+    * categories-sized.
+    */
+  def categoricalPsi(base: DataFrame, current: DataFrame,
+      catCol: String): DataFrame = {
+    def counts(df: DataFrame, nOut: String, tOut: String): (DataFrame, DataFrame) = {
+      val h = df.groupBy(col(s"`$catCol`").as("category"))
+        .agg(count(lit(1)).as(nOut))
+      (h, h.agg(sum(col(nOut)).as(tOut)))
+    }
+    val (p, pt) = counts(base, "__pn", "__pt")
+    val (q, qt) = counts(current, "__qn", "__qt")
+    // fresh attribute for the union's category column — joining cats
+    // back against the frames it was derived from would otherwise be
+    // ambiguous (both sides carry the same resolved attribute)
+    val cats = p.select(col("category").as("__cat"))
+      .unionByName(q.select(col("category").as("__cat")))
+      .distinct()
+    val d = cats.agg(count(lit(1)).as("__d"))
+    cats
+      .join(p, col("__cat") <=> p("category"), "left").drop("category")
+      .join(q, col("__cat") <=> q("category"), "left").drop("category")
+      .withColumnRenamed("__cat", "category")
+      .crossJoin(broadcast(pt))
+      .crossJoin(broadcast(qt))
+      .crossJoin(broadcast(d))
+      .select(col("category"),
+        ((coalesce(col("__pn"), lit(0L)) + 1).cast("double") /
+          (col("__pt").cast("double") + col("__d") + 1)).as("__p"),
+        ((coalesce(col("__qn"), lit(0L)) + 1).cast("double") /
+          (col("__qt").cast("double") + col("__d") + 1)).as("__q"))
+      .select(col("category"),
+        round(col("__p"), 6).as("base_share"),
+        round(col("__q"), 6).as("cur_share"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
+          .as("psi_term"))
+  }
 }

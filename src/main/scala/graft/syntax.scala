@@ -164,6 +164,8 @@ object syntax {
     def driftAgainst(current: DataFrame, valueCol: String,
         lo: Double, hi: Double, bins: Int): DataFrame =
       graft.ops.Profiling.psi(df, current, valueCol, lo, hi, bins)
+    def categoryDriftAgainst(current: DataFrame, catCol: String): DataFrame =
+      graft.ops.Profiling.categoricalPsi(df, current, catCol)
     def applyUpsert(delta: DataFrame, keyCols: Seq[String]): DataFrame =
       graft.ops.Incremental.applyUpsert(df, delta, keyCols)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row",
     "embed_kmeans" -> "centroid assignment: corpus × broadcast codebook (same as ann_ivf)",
     "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)",
-    "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals")
+    "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
+    "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)")
 
   test("every oracle key names a registry query (a typo silently demotes the gate)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -30,4 +30,30 @@ class ProfilingSpec extends SparkSpec {
       .agg(sum("psi_term")).as[Double].head
     assert(drift > 0.1, s"shift must alarm, got $drift")
   }
+
+  test("categoricalPsi: identical mixes score zero; appear/vanish categories carry floor shares") {
+    val base = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .map(Tuple1(_)).toDF("cat")
+    val same = Profiling.categoricalPsi(base, base, "cat")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(same.size == 3 && same.forall(_._4 == 0.0), s"got $same")
+    // c vanishes, d appears; every category of EITHER side is a row
+    val cur = (Seq.fill(55)("a") ++ Seq.fill(35)("b") ++ Seq.fill(10)("d"))
+      .map(Tuple1(_)).toDF("cat")
+    val out = Profiling.categoricalPsi(base, cur, "cat")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    // vanished c: current share is the smoothed floor 1/(100+4+1); the
+    // appeared d mirrors it on the base side
+    assert(math.abs(out("c")._3 - 1.0 / 105) < 1e-6)
+    assert(math.abs(out("d")._2 - 1.0 / 105) < 1e-6)
+    assert(out.values.map(_._4).sum > 0.1, "appear/vanish must alarm")
+    // a null category is a real category, not dropped
+    val withNull = base.unionByName(
+      Seq(Tuple1(null.asInstanceOf[String])).toDF("cat"))
+    val cats = Profiling.categoricalPsi(withNull, withNull, "cat")
+      .as[(Option[String], Double, Double, Double)].collect().map(_._1).toSet
+    assert(cats.contains(None))
+  }
 }
