@@ -1461,6 +1461,20 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // Per-group winsorization (outlier repair): events clamped into each
+    // event_type's [p05, p95] band, rolled up per type — count, clamped
+    // count, post-clamp min/max. Exact interpolated percentiles mirror
+    // quantile_cont (the numeric_profile-proven pairing).
+    "winsorize" -> ((s, dir) =>
+      graft.ops.Profiling.winsorize(t(s, dir, "events"), "event_type", "value")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("was_clamped")).cast("long").as("n_clamped"),
+          round(min(col("value_w")), 6).as("min_w"),
+          round(max(col("value_w")), 6).as("max_w"))
+        .orderBy("event_type")),
+
     // Heavy hitters: top-10 users by event volume (deterministic tiebreak).
     "heavy_hitters" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2853,6 +2867,24 @@ object SparkEntry {
         |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
         |  round((q - p) * ln(q / p), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin,
+
+    "winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type),
+        |w AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN e.value IS NULL THEN NULL
+        |         ELSE least(greatest(e.value, b.lo), b.hi) END AS vw,
+        |    CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END AS cl
+        |  FROM events e
+        |  LEFT JOIN b ON b.event_type IS NOT DISTINCT FROM e.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cl) AS BIGINT) AS n_clamped,
+        |  round(min(vw), 6) AS min_w, round(max(vw), 6) AS max_w
+        |FROM w GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "category_drift" ->
       """WITH b AS (

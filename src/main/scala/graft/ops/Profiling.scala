@@ -73,6 +73,37 @@ object Profiling {
           .as("psi_term"))
   }
 
+  /** Per-group winsorization: clamp `valueCol` into its group's
+    * [loQ, hiQ] percentile band — the distribution-aware outlier repair
+    * applied before numeric features reach training (a fat-finger value
+    * stops dominating the loss without dropping the row). Adds
+    * `<valueCol>_w` (clamped; null stays null — least/greatest would
+    * silently resurrect nulls AT the bound) and `was_clamped` (0/1).
+    * Scale shape: one groups-sized percentile aggregate broadcast back;
+    * the data-sized pass is a narrow projection. Exact interpolated
+    * percentiles (Spark `percentile`, not approx) keep the bounds
+    * deterministic and oracle-mirrorable (`quantile_cont`); swap in
+    * `percentile_approx` at extreme group cardinality where an exact
+    * sort-based percentile is the bottleneck.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad band: [$loQ, $hiQ]")
+    val v = col(s"`$valueCol`")
+    val bounds = df
+      .groupBy(col(s"`$groupCol`").as("__g"))
+      .agg(
+        expr(s"percentile(`$valueCol`, $loQ)").as("__lo"),
+        expr(s"percentile(`$valueCol`, $hiQ)").as("__hi"))
+    df.join(broadcast(bounds), col(s"`$groupCol`") <=> col("__g"), "left")
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .withColumn("was_clamped",
+        when(v < col("__lo") || v > col("__hi"), 1).otherwise(0))
+      .drop("__g", "__lo", "__hi")
+  }
+
   /** [[psi]] for a CATEGORICAL column (source, language, domain): drift
     * of the category MIX between two snapshots. Categories are the union
     * observed across both snapshots (a category that appears or vanishes

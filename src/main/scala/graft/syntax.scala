@@ -166,6 +166,9 @@ object syntax {
       graft.ops.Profiling.psi(df, current, valueCol, lo, hi, bins)
     def categoryDriftAgainst(current: DataFrame, catCol: String): DataFrame =
       graft.ops.Profiling.categoricalPsi(df, current, catCol)
+    def winsorize(groupCol: String, valueCol: String,
+        loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame =
+      graft.ops.Profiling.winsorize(df, groupCol, valueCol, loQ, hiQ)
     def applyUpsert(delta: DataFrame, keyCols: Seq[String]): DataFrame =
       graft.ops.Incremental.applyUpsert(df, delta, keyCols)
     def diffAgainst(newSnapshot: DataFrame, idCol: String,

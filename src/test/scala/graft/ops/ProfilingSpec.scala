@@ -31,6 +31,25 @@ class ProfilingSpec extends SparkSpec {
     assert(drift > 0.1, s"shift must alarm, got $drift")
   }
 
+  test("winsorize: clamps into the group band, flags only clamped rows, nulls stay null") {
+    // group g: values 1..10 → p0..p100 span; with [0.1, 0.9] the bounds
+    // are the interpolated 1.9 and 9.1
+    val rows = ((1 to 10).map(i => ("g", Some(i.toDouble))) ++
+      Seq(("g", None), ("h", Some(100.0)))).toDF("grp", "v")
+    val out = Profiling.winsorize(rows, "grp", "v", 0.1, 0.9)
+      .select("grp", "v", "v_w", "was_clamped")
+      .as[(String, Option[Double], Option[Double], Int)].collect().toSeq
+    val g = out.filter(_._1 == "g")
+    assert(g.find(_._2.contains(1.0)).get._3.get == 1.9)
+    assert(g.find(_._2.contains(10.0)).get._3.get == 9.1)
+    assert(g.find(_._2.contains(5.0)).get._3.get == 5.0)
+    assert(g.count(_._4 == 1) == 2, s"exactly the two tail rows clamp: $g")
+    // null value: stays null, not resurrected at the bound
+    assert(g.find(_._2.isEmpty).get._3.isEmpty)
+    // singleton group: its own value is every percentile → untouched
+    assert(out.find(_._1 == "h").get._3.contains(100.0))
+  }
+
   test("categoricalPsi: identical mixes score zero; appear/vanish categories carry floor shares") {
     val base = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
       .map(Tuple1(_)).toDF("cat")
