@@ -559,18 +559,23 @@ object SparkEntry {
           TextStats.piiCounts(col("text")): _*)
         .orderBy("doc_id")),
 
-    // §2.11 — checksum-validated card PII: digit runs enriched onto the
-    // corpus (valid Luhn card / same number with a flipped check digit /
-    // short runs), the kernel counts candidates vs Luhn-valid and masks
-    // only the valid one. The oracle recomputes the FULL Luhn checksum
-    // per run in SQL and cross-checks the masked length arithmetically —
-    // the kernel's masking is pinned by byte math, not trusted.
+    // §2.11 — checksum-validated card PII: card-shaped spans enriched
+    // onto the corpus (valid Luhn card contiguous AND space/dash
+    // separator-formatted — the common real-world form — / same number
+    // with a flipped check digit / short runs), the kernel counts
+    // candidates vs Luhn-valid and masks only the valid ones. The
+    // oracle extracts the SAME maximal digit-group spans with RE2,
+    // recomputes the FULL Luhn checksum per span in SQL and
+    // cross-checks the masked length arithmetically — the kernel's
+    // masking is pinned by byte math, not trusted.
     "pii_luhn" -> ((s, dir) => {
       val enriched = t(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .withColumn("text", concat(col("text"),
-          when(pmod(col("doc_id"), lit(3)) === 0, lit(" card 4532015112830366 end"))
-            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" card 4532015112830367 end"))
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" card 4532015112830366 end"))
+            .when(pmod(col("doc_id"), lit(5)) === 1, lit(" card 4532015112830367 end"))
+            .when(pmod(col("doc_id"), lit(5)) === 2, lit(" card 4532 0151 1283 0366 end"))
+            .when(pmod(col("doc_id"), lit(5)) === 3, lit(" card 4532-0151-1283-0367 end"))
             .otherwise(lit(" num 123 456"))))
       enriched
         .select(col("doc_id"),
@@ -2427,7 +2432,7 @@ object SparkEntry {
 
     "provenance" ->
       s"""SELECT doc_id, regexp_extract(filename, '([^/]+)$$', 1) AS _src_file,
-         |  md5(concat_ws('', text)) AS _content_md5
+         |  md5(concat_ws(chr(1), coalesce(text, chr(0)))) AS _content_md5
          |FROM read_parquet('$verifySfDir/documents.parquet', filename=true)
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
@@ -3111,21 +3116,24 @@ object SparkEntry {
     "pii_luhn" ->
       """WITH e AS (
         |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366 end'
-        |         WHEN doc_id % 3 = 1 THEN ' card 4532015112830367 end'
+        |    CASE WHEN doc_id % 5 = 0 THEN ' card 4532015112830366 end'
+        |         WHEN doc_id % 5 = 1 THEN ' card 4532015112830367 end'
+        |         WHEN doc_id % 5 = 2 THEN ' card 4532 0151 1283 0366 end'
+        |         WHEN doc_id % 5 = 3 THEN ' card 4532-0151-1283-0367 end'
         |         ELSE ' num 123 456' END AS text
         |  FROM documents WHERE doc_id IS NOT NULL),
         |runs AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS r FROM e),
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+(?:[ -][0-9]+)*')) AS r FROM e),
         |cand AS (
-        |  SELECT doc_id, r,
-        |    list_sum(list_transform(generate_series(1, length(r)), i ->
-        |      CASE WHEN (length(r) - i) % 2 = 1
-        |        THEN CASE WHEN 2 * (unicode(r[i]) - 48) > 9
-        |               THEN 2 * (unicode(r[i]) - 48) - 9
-        |               ELSE 2 * (unicode(r[i]) - 48) END
-        |        ELSE unicode(r[i]) - 48 END)) % 10 = 0 AS ok
-        |  FROM runs WHERE length(r) BETWEEN 13 AND 19),
+        |  SELECT doc_id, r, d,
+        |    list_sum(list_transform(generate_series(1, length(d)), i ->
+        |      CASE WHEN (length(d) - i) % 2 = 1
+        |        THEN CASE WHEN 2 * (unicode(d[i]) - 48) > 9
+        |               THEN 2 * (unicode(d[i]) - 48) - 9
+        |               ELSE 2 * (unicode(d[i]) - 48) END
+        |        ELSE unicode(d[i]) - 48 END)) % 10 = 0 AS ok
+        |  FROM (SELECT doc_id, r, regexp_replace(r, '[ -]', '', 'g') AS d FROM runs)
+        |  WHERE length(d) BETWEEN 13 AND 19),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_candidates,
         |    sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid,

@@ -663,33 +663,63 @@ object TextKernels {
 
   // --- Luhn-validated payment-card masking ---------------------------------
 
-  /** Luhn checksum over `text[start, end)` (all digits; digit detection
-    * is the ASCII [[isAsciiDigit]] — the oracle's `[0-9]+` — NOT
-    * Character.isDigit, which also fires on Unicode digit blocks):
-    * double every
-    * second digit from the right, fold >9 back by −9, valid iff the sum
-    * is ≡ 0 mod 10 — the ISO/IEC 7812 check every real payment card
-    * passes, which is what separates a card number from a 16-digit
-    * order id (the regex-only PII scrubber's false-positive class).
+  /** Luhn checksum over the DIGITS of `text[start, end)`, skipping the
+    * single-char group separators a card-shaped span may contain (digit
+    * detection is the ASCII [[isAsciiDigit]] — the oracle's `[0-9]` —
+    * NOT Character.isDigit, which also fires on Unicode digit blocks):
+    * double every second digit from the right, fold >9 back by −9,
+    * valid iff the sum is ≡ 0 mod 10 — the ISO/IEC 7812 check every
+    * real payment card passes, which is what separates a card number
+    * from a 16-digit order id (the regex-only PII scrubber's
+    * false-positive class).
     */
   private def luhnValid(text: String, start: Int, end: Int): Boolean = {
     var sum = 0
     var alt = false
     var i = end - 1
     while (i >= start) {
-      var d = text.charAt(i) - '0'
-      if (alt) { d *= 2; if (d > 9) d -= 9 }
-      sum += d
-      alt = !alt
+      val c = text.charAt(i)
+      if (isAsciiDigit(c)) {
+        var d = c - '0'
+        if (alt) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        alt = !alt
+      }
       i -= 1
     }
     sum % 10 == 0
   }
 
-  /** Per-document card scan in one pass over maximal ASCII digit runs:
-    * a run is a CANDIDATE when its length is 13–19 (the issued card
-    * range), VALID when it also passes [[luhnValid]]. Returns
-    * `{n_candidates, n_valid}`.
+  /** Advance over one card-shaped span starting at the digit at `i`: a
+    * maximal sequence of ASCII digit groups joined by SINGLE space or
+    * dash separators — the regex `[0-9]+(?:[ -][0-9]+)*`, the form real
+    * cards are written in ('4532 0151 1283 0366', '4532-0151-…').
+    * Returns `(spanEnd << 32) | digitCount` packed in one long.
+    * Known limitation (documented on `scrubCreditCards`): two distinct
+    * numbers one separator apart merge into a single span, so a card
+    * glued to a phone number by one space can exceed 19 digits and
+    * escape — the price of the greedy maximal match both the kernel and
+    * the RE2 oracle pattern share.
+    */
+  private def cardSpan(text: String, i0: Int): Long = {
+    var i = i0
+    var nDigits = 0L
+    while (i < text.length && isAsciiDigit(text.charAt(i))) { i += 1; nDigits += 1 }
+    var done = false
+    while (!done) {
+      if (i + 1 < text.length && (text.charAt(i) == ' ' || text.charAt(i) == '-') &&
+          isAsciiDigit(text.charAt(i + 1))) {
+        i += 1
+        while (i < text.length && isAsciiDigit(text.charAt(i))) { i += 1; nDigits += 1 }
+      } else done = true
+    }
+    (i.toLong << 32) | nDigits
+  }
+
+  /** Per-document card scan in one pass over maximal card-shaped spans
+    * (see [[cardSpan]]): a span is a CANDIDATE when its DIGIT count is
+    * 13–19 (the issued card range), VALID when the digits also pass
+    * [[luhnValid]]. Returns `{n_candidates, n_valid}`.
     */
   def luhnStatsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val text = s.toString
@@ -698,22 +728,27 @@ object TextKernels {
     var i = 0
     while (i < text.length) {
       while (i < text.length && !isAsciiDigit(text.charAt(i))) i += 1
-      val start = i
-      while (i < text.length && isAsciiDigit(text.charAt(i))) i += 1
-      val len = i - start
-      if (len >= 13 && len <= 19) {
-        nCand += 1
-        if (luhnValid(text, start, i)) nValid += 1
+      if (i < text.length) {
+        val start = i
+        val packed = cardSpan(text, i)
+        val end = (packed >>> 32).toInt
+        val nDigits = packed & 0xffffffffL
+        if (nDigits >= 13 && nDigits <= 19) {
+          nCand += 1
+          if (luhnValid(text, start, end)) nValid += 1
+        }
+        i = end
       }
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nCand, nValid))
   }
 
-  /** Masked text: every Luhn-VALID 13–19-digit run replaced by `<CC>`;
-    * candidate runs failing the checksum (and any other digits) pass
-    * through untouched. Digit detection is ASCII `[0-9]` runs,
-    * identical to [[luhnStatsRow]]'s scan.
+  /** Masked text: every Luhn-VALID card-shaped span with 13–19 digits
+    * (including its internal space/dash separators) replaced by `<CC>`;
+    * candidate spans failing the checksum (and any other digits) pass
+    * through untouched. Span detection is [[cardSpan]], identical to
+    * [[luhnStatsRow]]'s scan.
     */
   def maskLuhnU(s: UTF8String): UTF8String = {
     val text = s.toString
@@ -724,10 +759,12 @@ object TextKernels {
       if (!isAsciiDigit(c)) { out.append(c); i += 1 }
       else {
         val start = i
-        while (i < text.length && isAsciiDigit(text.charAt(i))) i += 1
-        val len = i - start
-        if (len >= 13 && len <= 19 && luhnValid(text, start, i)) out.append("<CC>")
-        else out.append(text, start, i)
+        val packed = cardSpan(text, i)
+        val end = (packed >>> 32).toInt
+        val nDigits = packed & 0xffffffffL
+        if (nDigits >= 13 && nDigits <= 19 && luhnValid(text, start, end)) out.append("<CC>")
+        else out.append(text, start, end)
+        i = end
       }
     }
     UTF8String.fromString(out.toString)
@@ -777,7 +814,10 @@ object TextKernels {
     var wsum = 0L
     def fold(digest: Array[Byte]): Unit = {
       val bucket = java.lang.Long.remainderUnsigned(md5Top60(digest), dim)
-      wsum += bucket * 2654435761L % 2000001L
+      // floorMod: for dim ≳ 2^32 the product overflows int64 and plain %
+      // would yield a negative residue, diverging from the declarative
+      // pmod spec; below that bound floorMod ≡ % bit-for-bit.
+      wsum += java.lang.Math.floorMod(bucket * 2654435761L, 2000001L)
       nFeats += 1
     }
     var i = 0

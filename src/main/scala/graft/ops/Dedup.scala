@@ -146,14 +146,25 @@ object Dedup {
     * persisted loser frame is id-only (bounded by the pair count) and
     * stays cached for the caller's actions — `spark.catalog.clearCache()`
     * releases it, same contract as [[minhashNearDups]]'s signature frame.
+    *
+    * `eager = false` skips the persist+count and returns a fully LAZY
+    * plan — for callers that only explain/inspect the plan or compose it
+    * behind a conditional that may never execute (the eager form runs
+    * the whole minhash pair pipeline at call time). EXECUTING the lazy
+    * form pays the concurrent-stage recompute race described above; flip
+    * back to eager (or persist upstream) before running it for real.
     */
   def nearDupFilter(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val losers = minhashNearDups(df, textCol, idCol, n, threshold)
+      n: Int = 3, threshold: Double = 0.8, eager: Boolean = true): DataFrame = {
+    val loserIds = minhashNearDups(df, textCol, idCol, n, threshold)
       .select(col("id_b").as(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count()
+    val losers =
+      if (eager) {
+        val p = loserIds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else loserIds
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -395,7 +406,28 @@ object Dedup {
     // and broadcasting the null would NPE in every task instead
     if (sketch == null)
       return incoming.withColumn("in_history", lit(false))
-    val bcast = incoming.sparkSession.sparkContext.broadcast(sketch)
+    dedupAgainstHistory(
+      incoming.sparkSession.sparkContext.broadcast(sketch),
+      history, historyTextCol, incoming, textCol)
+  }
+
+  /** [[dedupAgainstHistory]] with the sketch already broadcast — the
+    * per-batch reuse form: this overload broadcasts NOTHING, so a
+    * long-lived session looping over batches ships the ~MB sketch to
+    * executors once (`val bc = sc.broadcast(historyBloomSketch(...))`),
+    * passes `bc` to every batch, and `bc.destroy()`s it when the history
+    * snapshot rolls — the Array[Byte] convenience overload above
+    * broadcasts per call and leaves reclamation to ContextCleaner GC,
+    * which accumulates in exactly that loop. The handle's value must be
+    * the non-null bytes of [[historyBloomSketch]].
+    */
+  def dedupAgainstHistory(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      history: DataFrame, historyTextCol: String,
+      incoming: DataFrame, textCol: String): DataFrame = {
+    require(bcast != null && bcast.value != null,
+      "sketch broadcast must carry non-null bytes; for an empty history " +
+        "call the Array[Byte] overload, which short-circuits a null sketch")
     val candidate = col(textCol).isNotNull &&
       graft.functions.might_contain_broadcast(bcast, xxhash64(col(textCol)))
     // split-union so bloom-negatives never reach the verify join's shuffle

@@ -190,9 +190,15 @@ object TextStats {
     * regex CANNOT scrub safely: a 16-digit order id matches any card
     * regex, so regex-only masking either leaks cards (too narrow) or
     * destroys non-PII ids (too broad). The `mask_luhn` kernel masks a
-    * 13–19-digit run only when it passes the ISO 7812 Luhn checksum
-    * (`<CC>`); [[luhnStats]] exposes `{n_candidates, n_valid}` for the
-    * audit profile. One codegen'd pass, shuffle-free.
+    * card-shaped span — a maximal run of digit groups joined by single
+    * space/dash separators ('4532015112830366' and the common
+    * '4532 0151 1283 0366' / '4532-0151-…' forms alike) — only when its
+    * 13–19 digits pass the ISO 7812 Luhn checksum (`<CC>`);
+    * [[luhnStats]] exposes `{n_candidates, n_valid}` for the audit
+    * profile. Limitation: two distinct numbers one separator apart
+    * merge into a single span (greedy maximal match), so a card glued
+    * to a phone number by one space can exceed 19 digits and escape.
+    * One codegen'd pass, shuffle-free.
     */
   def scrubCreditCards(text: Column): Column = graft.functions.mask_luhn(text)
 

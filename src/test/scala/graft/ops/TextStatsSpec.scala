@@ -451,6 +451,36 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("Luhn card masking: separator-formatted cards (space/dash groups) mask as one span") {
+    val cases = Seq(
+      // the common real-world grouping forms — masked as ONE span
+      (1L, "pay 4532 0151 1283 0366 now", "pay <CC> now", 1L, 1L),
+      (2L, "pay 4532-0151-1283-0366 now", "pay <CC> now", 1L, 1L),
+      // flipped check digit: candidate, not valid, untouched
+      (3L, "pay 4532-0151-1283-0367 now", "pay 4532-0151-1283-0367 now", 1L, 0L),
+      // mixed separators still one span
+      (4L, "a 4532 0151-1283 0366 b", "a <CC> b", 1L, 1L),
+      // small groups merge into one sub-13-digit span → not a candidate
+      (5L, "num 123 456", "num 123 456", 0L, 0L),
+      // DOUBLE separator breaks the span (single-separator rule)
+      (6L, "a 4532  0151 1283 0366 b", "a 4532  0151 1283 0366 b", 0L, 0L),
+      // trailing separator is not absorbed into the span
+      (7L, "a 4532 0151 1283 0366- b", "a <CC>- b", 1L, 1L),
+      // documented limitation: adjacent numbers one separator apart merge
+      // past 19 digits and the card escapes (greedy maximal match)
+      (8L, "t 555-123-4567 4532015112830366 u",
+           "t 555-123-4567 4532015112830366 u", 0L, 0L))
+    val out = TextStats.luhnStats(col("text"))
+    val res = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select(col("id"), TextStats.scrubCreditCards(col("text")).as("masked"),
+        out.getField("n_candidates").as("nc"), out.getField("n_valid").as("nv"))
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    cases.zip(res).foreach { case (exp, got) =>
+      assert(got == ((exp._1, exp._3, exp._4, exp._5)),
+        s"case ${exp._1}: got $got expected ${(exp._1, exp._3, exp._4, exp._5)}")
+    }
+  }
+
   test("classifierScore kernel ≡ HOF-md5 formulation on the sf0.01 corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
