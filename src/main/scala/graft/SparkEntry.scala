@@ -1501,21 +1501,28 @@ object SparkEntry {
         .orderBy("resource_id")
     }),
 
-    // All six FHIR tables in one deterministic gate: every cleaned table's
-    // rows serialize to canonical JSON, so a regression in ANY extractor
-    // (A6–A12) or per-table cleaning composition moves this output.
-    // Rows-only (to_json composite) — the per-table fhir_*_oracle gates
-    // below carry the hash compare for the same semantics.
+    // All six FHIR tables in ONE cross-table hash gate: per table, the
+    // row count, distinct-patient count, and total non-null cell count
+    // over every column — so a regression in any extractor (A6–A12), FK
+    // derivation, dedup, or a cleaning step that nullifies values
+    // (C1–C3) moves this output, across all tables at once. The oracle
+    // re-derives each table with the SAME per-table SQL bodies the six
+    // fhir_*_oracle gates hash-match, then counts cells column-generically
+    // (UNPIVOT over CAST(COLUMNS(*) AS VARCHAR) — excludes NULLs), so no
+    // column list is duplicated; full per-value hashing stays with the
+    // per-table gates.
     "fhir_tables" -> ((s, _) => {
-      val entries = graft.fhir.BundleReader
-        .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
-      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
-      tables.toSeq.sortBy(_._1).map { case (name, df) =>
-        val u = graft.sinks.Sinks.underscored(df)
-        u.select(
-          lit(name).as("table_name"),
-          to_json(struct(u.columns.toIndexedSeq.map(c => col(c)): _*)).as("row_json"))
-      }.reduce(_.unionByName(_)).orderBy("table_name", "row_json")
+      Seq("careplan", "condition", "encounter", "immunization",
+          "observation", "patient").map { name =>
+        val u = fhirCleanedTable(s, name)
+        u.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("patient_id")).cast("long").as("n_patients"),
+          u.columns.toIndexedSeq.map(c => count(col(c))).reduce(_ + _)
+            .cast("long").as("n_nonnull_cells"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("n_patients"), col("n_nonnull_cells"))
+      }.reduce(_.unionByName(_)).orderBy("table_name")
     }),
 
     // Each FHIR table's full extraction (A1–A12) + table-specific cleaning
@@ -2232,7 +2239,36 @@ object SparkEntry {
        |    ${duckSwapPair("resource_period_start", "resource_period_end")}) FROM c2
        |ORDER BY patient_id, resource_period_start""".stripMargin
 
+  /** One table's row of the `fhir_tables` cross-table summary: rows /
+    * distinct patients / non-null cells, computed column-generically from
+    * the SAME SQL body the table's `fhir_*_oracle` gate hash-matches.
+    * A `__rid` row number rides along so one UNPIVOT pass yields all
+    * three metrics (UNPIVOT drops NULL cells, giving the cell count;
+    * max(__rid) is the row count; `__rid` itself is excluded from cells).
+    * Plain concatenation, NOT stripMargin: the fragment is already
+    * margin-stripped.
+    */
+  private def fhirTableSummarySql(name: String, frag: String): String =
+    s"SELECT '$name' AS table_name,\n" +
+      "  CAST(coalesce(max(CASE WHEN n = '__rid' THEN CAST(v AS BIGINT) END), 0) AS BIGINT) AS n_rows,\n" +
+      "  CAST(count(DISTINCT CASE WHEN n = 'patient_id' THEN v END) AS BIGINT) AS n_patients,\n" +
+      "  CAST(count(*) FILTER (WHERE n <> '__rid') AS BIGINT) AS n_nonnull_cells\n" +
+      "FROM (UNPIVOT (SELECT CAST(COLUMNS(*) AS VARCHAR)\n" +
+      "  FROM (SELECT *, row_number() OVER () AS __rid FROM (\n" +
+      frag + "\n))) ON COLUMNS(*) INTO NAME n VALUE v)"
+
   def oracleSql: Map[String, String] = Map(
+
+    "fhir_tables" ->
+      (Seq(
+        "careplan" -> fhirCareplanOracleSql,
+        "condition" -> fhirConditionOracleSql,
+        "encounter" -> fhirEncounterOracleSql,
+        "immunization" -> fhirImmunizationOracleSql,
+        "observation" -> fhirObservationOracleSql,
+        "patient" -> fhirPatientOracleSql)
+        .map { case (n, f) => fhirTableSummarySql(n, f) }
+        .mkString("\nUNION ALL\n") + "\nORDER BY table_name"),
 
     // the flagship composite is a 5-column projection of the cleaned
     // patient table — reuse its oracle as a subquery (plain concat: a
