@@ -88,6 +88,16 @@ object SparkEntry {
   val SimhashDumpDir: String =
     new java.io.File("target/verify-simhash-sigs").getAbsolutePath
 
+  /** Where Verify materializes the ACTIVE PSL rule table
+    * `(kind, pattern)` — the psl_domains oracle replays the full
+    * public-suffix algorithm (exception > longest exact/wildcard >
+    * default) in SQL from this parquet, so engine and oracle resolve the
+    * SAME rules whether the embedded snapshot or a file-driven full list
+    * is active.
+    */
+  val PslDumpDir: String =
+    new java.io.File("target/verify-psl-rules").getAbsolutePath
+
   /** Where Verify materializes (vec_id, keys) — the kernel-computed LSH
     * bucket keys of every embedding at the ann_lsh registry config. The
     * ann_lsh oracle replays candidate generation (bucket equi-join), exact
@@ -901,6 +911,33 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(7)) === 0, lit(".co.uk")).otherwise(lit(".com")),
           lit("/doc/"), col("doc_id"), lit("?ref=x")))
       Domains.domainProfile(urls, "url").orderBy("domain")
+    }),
+
+    // §2.11 — full-PSL registrable domain: hosts synthesized to exercise
+    // every rule class — exact multi-label (.com.au), private-section
+    // (github.io), wildcard (*.ck — both a registrable 3-label host and
+    // a bare 2-label suffix), exception (!www.ck, !city.kawasaki.jp),
+    // and an unlisted TLD falling to the default rule. The oracle
+    // replays the complete algorithm (exception > longest exact/wildcard
+    // match > default) in SQL against the rule table Verify dumps from
+    // the live Psl rule set.
+    "psl_domains" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(8))
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("source").isNotNull)
+        .withColumn("host",
+          when(m === 0, concat(col("source"), lit(".com.au")))
+            .when(m === 1, concat(lit("sub."), col("source"), lit(".com.au")))
+            .when(m === 2, concat(col("source"), lit(".github.io")))
+            .when(m === 3, concat(lit("a."), col("source"), lit(".ck")))
+            .when(m === 4, lit("www.ck"))
+            .when(m === 5, concat(col("source"), lit(".ck")))
+            .when(m === 6, lit("x.city.kawasaki.jp"))
+            .otherwise(concat(col("source"), lit(".zz"))))
+        .select(col("doc_id"), col("host"),
+          Domains.registrableDomain(col("host")).as("domain"),
+          Domains.publicSuffix(col("host")).as("suffix"))
+        .orderBy("doc_id")
     }),
 
     // §2.11 — URL canonicalization (the exact-dedup key for crawls):
@@ -2500,6 +2537,42 @@ object SparkEntry {
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "psl_domains" ->
+      s"""WITH rules AS (
+         |  SELECT kind, pattern FROM read_parquet('$PslDumpDir/*.parquet')),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN source || '.com.au'
+         |      WHEN 1 THEN 'sub.' || source || '.com.au'
+         |      WHEN 2 THEN source || '.github.io'
+         |      WHEN 3 THEN 'a.' || source || '.ck'
+         |      WHEN 4 THEN 'www.ck'
+         |      WHEN 5 THEN source || '.ck'
+         |      WHEN 6 THEN 'x.city.kawasaki.jp'
+         |      ELSE source || '.zz' END AS host
+         |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+         |labs AS (SELECT doc_id, host, string_split(host, '.') AS l FROM hosts),
+         |cand AS (
+         |  SELECT doc_id, host, len(l) AS nl, k,
+         |    array_to_string(l[len(l)-k+1:], '.') AS suf,
+         |    CASE WHEN k >= 2 THEN array_to_string(l[len(l)-k+2:], '.') END AS par
+         |  FROM labs, unnest(generate_series(1, len(l))) AS g(k)),
+         |m AS (
+         |  SELECT c.doc_id, c.host, c.nl,
+         |    min(CASE WHEN r.kind = 'exception' AND r.pattern = c.suf THEN c.k - 1 END) AS exc,
+         |    max(CASE WHEN (r.kind = 'exact' AND r.pattern = c.suf)
+         |              OR (r.kind = 'wildcard' AND r.pattern = c.par) THEN c.k END) AS reg
+         |  FROM cand c LEFT JOIN rules r ON r.pattern = c.suf OR r.pattern = c.par
+         |  GROUP BY 1, 2, 3),
+         |sel AS (
+         |  SELECT m.doc_id, m.host, m.nl, l.l, coalesce(exc, reg, 1) AS ps
+         |  FROM m JOIN labs l ON l.doc_id = m.doc_id)
+         |SELECT doc_id, host,
+         |  CASE WHEN nl > ps THEN array_to_string(l[nl-ps:], '.') END AS domain,
+         |  array_to_string(l[nl-ps+1:], '.') AS suffix
+         |FROM sel ORDER BY doc_id""".stripMargin,
 
     "url_canonical" ->
       """WITH u AS (

@@ -24,6 +24,10 @@ object Verify {
     // fhir_*_oracle DuckDB SQL re-derives every cleaned table from this
     // parquet, so the oracle and the engine share one input.
     graft.fhir.FhirFixtures.dumpNormalizedEntries(spark)
+    // ... and the active PSL rule table, so psl_domains' oracle replays
+    // the public-suffix algorithm against the SAME rules the engine uses.
+    graft.ops.Domains.pslRulesFrame(spark)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.PslDumpDir)
     // ... and the simhash signatures, so dedup_simhash's pair stage gets a
     // bit_count(xor()) oracle (the kernel stays spec-pinned).
     SparkEntry.simhashSignatures(spark, sfDir)

@@ -283,6 +283,44 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** PSL registrable domain ([[Psl.registrableDomain]]): public suffix
+    * plus one label under the active Public Suffix List rules (wildcard
+    * and exception rules included); null when the host IS a public
+    * suffix. Hash-set lookup per label suffix — no join.
+    */
+  case class PslRegistrableDomain(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_psl_registrable_domain"
+    override protected def nullSafeEval(input: Any): Any =
+      Psl.registrableDomainU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.Psl.registrableDomainU($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): PslRegistrableDomain =
+      copy(child = newChild)
+  }
+
+  /** PSL public suffix ([[Psl.publicSuffix]]) of a lowercased host. */
+  case class PslPublicSuffix(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_psl_public_suffix"
+    override protected def nullSafeEval(input: Any): Any =
+      Psl.publicSuffixU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.Psl.publicSuffixU($c);
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+           |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): PslPublicSuffix =
+      copy(child = newChild)
+  }
+
   /** One-pass language ID ([[TextKernels.langId]]): the language with the
     * most stopword hits, "und" when none match. Replaces five
     * `regexp_count` scans (one per language) per row.

@@ -117,6 +117,16 @@ package object functions {
   def mask_luhn(text: Column): Column =
     c(expressions.MaskLuhn(e(text)))
 
+  /** PSL registrable domain of a lowercased host (null for bare public
+    * suffixes); rules from [[Psl.rules]].
+    */
+  def psl_registrable_domain(host: Column): Column =
+    c(expressions.PslRegistrableDomain(e(host)))
+
+  /** PSL public suffix of a lowercased host. */
+  def psl_public_suffix(host: Column): Column =
+    c(expressions.PslPublicSuffix(e(host)))
+
   /** Deflate compression ratio (compressed/raw UTF-8 bytes, 6 dp). */
   def compression_ratio(text: Column): Column =
     c(expressions.CompressionRatio(e(text)))

@@ -11,13 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Domains {
 
-  /** Multi-label public suffixes the registrable-domain rule recognizes.
-    * A deliberate SUBSET: the real public-suffix list is ~10k entries and
-    * revisioned; production deployments should load the full PSL into
-    * this seq (it broadcasts as expression literals either way). The rule
-    * itself — take 3 labels when the last 2 form a listed suffix, else
-    * 2 — is the standard PSL algorithm restricted to one wildcard-free
-    * level.
+  /** Multi-label public suffixes the EXPRESSION-ONLY fallback rule
+    * ([[registrableDomainLite]]) recognizes — a tiny subset for callers
+    * that must stay on pure built-in expressions (e.g. a DuckDB-mirrored
+    * differential check). The canonical path is [[registrableDomain]],
+    * which runs the full PSL algorithm (wildcards + exceptions) over the
+    * file-driven rule set in [[graft.functions.Psl]].
     */
   val MultiLabelSuffixes: Seq[String] =
     Seq("co.uk", "ac.uk", "org.uk", "co.jp", "com.au", "com.br", "co.in")
@@ -33,13 +32,30 @@ object Domains {
   def urlHost(url: Column): Column =
     regexp_replace(lower(try_parse_url(url, lit("HOST"))), "\\.$", "")
 
-  /** Registrable domain of a host: last two labels, or last three when
-    * the last two are a listed multi-label public suffix
-    * ([[MultiLabelSuffixes]]); hosts with ≤ 2 labels pass through. IPs
-    * and ports are out of scope (crawl frontiers canonicalize those
+  /** Registrable domain of a lowercased host under the full Public
+    * Suffix List algorithm ([[graft.functions.Psl]]): public suffix plus
+    * one label, with wildcard (`*.ck`) and exception (`!www.ck`) rules
+    * honored; null when the host is itself a public suffix. Rule data is
+    * the embedded PSL snapshot unless a full list file is loaded
+    * (`Psl.loadFile` / `-Dgraft.psl.path`). A codegen'd hash-set lookup
+    * per host — no join, no broadcast of rule literals into the plan.
+    * IPs and ports are out of scope (crawl frontiers canonicalize those
     * upstream).
     */
-  def registrableDomain(host: Column): Column = {
+  def registrableDomain(host: Column): Column =
+    graft.functions.psl_registrable_domain(host)
+
+  /** The prevailing PSL public suffix of a lowercased host. */
+  def publicSuffix(host: Column): Column =
+    graft.functions.psl_public_suffix(host)
+
+  /** Expression-only FALLBACK registrable-domain rule: last two labels,
+    * or last three when the last two are a listed multi-label suffix
+    * ([[MultiLabelSuffixes]]); hosts with ≤ 2 labels pass through —
+    * including bare suffixes, which the PSL form maps to null. Kept for
+    * differential checks and for callers that cannot carry the kernel.
+    */
+  def registrableDomainLite(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val last2 = concat_ws(".",
@@ -50,6 +66,22 @@ object Domains {
       .when(n <= 2, host)
       .when(last2.isin(MultiLabelSuffixes: _*), last3)
       .otherwise(last2)
+  }
+
+  /** The active PSL rule set as a DataFrame `(kind, pattern)` — kind ∈
+    * exact|wildcard|exception, wildcard stored as its parent suffix.
+    * Verify dumps this so the DuckDB oracle replays the SAME rules the
+    * engine resolved (embedded or file-driven).
+    */
+  def pslRulesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val r = graft.functions.Psl.rules
+    val rows =
+      r.exact.asScala.toSeq.sorted.map(("exact", _)) ++
+      r.wildcardParents.asScala.toSeq.sorted.map(("wildcard", _)) ++
+      r.exceptions.asScala.toSeq.sorted.map(("exception", _))
+    import spark.implicits._
+    rows.toDF("kind", "pattern")
   }
 
   /** Tracking query parameters stripped by [[normalizeUrl]] — the

@@ -22,17 +22,59 @@ class DomainsSpec extends SparkSpec {
       Some("example.com"), None, None))
   }
 
-  test("registrableDomain: PSL rule on the listed suffixes, short hosts pass through") {
+  test("registrableDomain: full PSL algorithm — exact, wildcard, exception, private, default") {
+    val cases: Seq[(String, Option[String])] = Seq(
+      "www.example.com" -> Some("example.com"),
+      "a.b.site.co.uk" -> Some("site.co.uk"),      // exact multi-label rule
+      "example.com" -> Some("example.com"),
+      "sub.x.com.au" -> Some("x.com.au"),          // .com.au exact rule
+      "user.github.io" -> Some("user.github.io"),  // private-section rule
+      "pages.user.github.io" -> Some("user.github.io"),
+      "a.b.ck" -> Some("a.b.ck"),                  // *.ck wildcard: b.ck is the suffix
+      "b.ck" -> None,                              // bare wildcard suffix → no registrant
+      "www.ck" -> Some("www.ck"),                  // !www.ck exception
+      "x.city.kawasaki.jp" -> Some("city.kawasaki.jp"), // !city exception under *.kawasaki.jp
+      "other.kawasaki.jp" -> None,                 // wildcard suffix itself
+      "foo.zz" -> Some("foo.zz"),                  // unlisted TLD → default rule
+      "deep.sub.tree.example.org" -> Some("example.org"),
+      "localhost" -> None,                         // bare label IS the default suffix
+      "com" -> None)
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), Domains.registrableDomain(col("host")).as("d"),
+        Domains.publicSuffix(col("host")).as("s"))
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r._2).toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"$h → ${got(h)}, want $want") }
+    // null passthrough
+    val n = Seq(null: String).toDF("host")
+      .select(Domains.registrableDomain(col("host"))).as[Option[String]].collect()
+    assert(n.toSeq == Seq(None))
+  }
+
+  test("registrableDomainLite fallback: subset rule, short hosts pass through") {
     val cases = Seq(
       "www.example.com" -> "example.com",
-      "a.b.site.co.uk" -> "site.co.uk",   // multi-label suffix → 3 labels
-      "example.com" -> "example.com",      // 2 labels pass through
-      "localhost" -> "localhost",          // 1 label passes through
+      "a.b.site.co.uk" -> "site.co.uk",
+      "example.com" -> "example.com",
+      "localhost" -> "localhost",          // lite passthrough (PSL form → null)
       "deep.sub.tree.example.org" -> "example.org")
     val got = cases.map(_._1).toDF("host")
-      .select(col("host"), Domains.registrableDomain(col("host")).as("d"))
+      .select(col("host"), Domains.registrableDomainLite(col("host")).as("d"))
       .as[(String, String)].collect().toMap
     cases.foreach { case (h, want) => assert(got(h) == want, s"$h → ${got(h)}, want $want") }
+  }
+
+  test("Psl parser: full upstream format — comments, sections, wildcard and exception prefixes") {
+    val r = graft.functions.Psl.parse(Seq(
+      "// comment", "", "com", "co.uk", "*.ck", "!www.ck",
+      "  padded.example  ", "UPPER.CASE").iterator)
+    assert(r.exact.contains("com") && r.exact.contains("co.uk"))
+    assert(r.exact.contains("padded.example") && r.exact.contains("upper.case"))
+    assert(r.wildcardParents.contains("ck") && r.exceptions.contains("www.ck"))
+    assert(r.maxLabels == 2)
+    // embedded resource loads and carries all three rule classes
+    val emb = graft.functions.Psl.rules
+    assert(emb.exact.size > 100 && !emb.wildcardParents.isEmpty && !emb.exceptions.isEmpty)
   }
 
   test("normalizeUrl: canonical dedup key — case, port, fragment, tracking params, param order") {
