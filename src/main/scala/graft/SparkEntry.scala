@@ -1699,6 +1699,28 @@ object SparkEntry {
           sha2(col("payload"), 256).as("payload_sha256"))
         .orderBy("media_id")),
 
+    // §2.11 — REAL codec round trip through javax.imageio: deterministic
+    // grayscale PNGs (pixel formula keyed by doc_id) encoded with the
+    // actual PNG writer, decoded back with the actual PNG reader (dims +
+    // pixel stats), and nearest-neighbor-resized (decode → integer
+    // resample → re-encode → decode again). PNG is lossless and the
+    // resample is integer arithmetic, so the oracle recomputes EVERY
+    // value — original and resized — from the pixel formula alone in
+    // SQL; nothing about the codec is trusted.
+    "multimodal_imageio" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val media = Multimodal.syntheticPngTable(ids, "doc_id")
+      val orig = Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("decoded").cast("int").as("decoded"),
+          col("width"), col("height"), col("pixel_sum"),
+          col("pixel_min"), col("pixel_max"))
+      val resized = Multimodal.decodeImages(
+          Multimodal.resizeImages(media, targetW = 8, targetH = 6)).toDF()
+        .select(col("media_id"), col("width").as("r_width"),
+          col("height").as("r_height"), col("pixel_sum").as("r_pixel_sum"))
+      orig.join(resized, Seq("media_id")).orderBy("media_id")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -3785,6 +3807,38 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Real-codec round trip: every value recomputed from the pixel
+    // formula v(x,y) = (id*31 + x*7 + y*13) % 256 alone — the engine got
+    // them by writing and reading actual PNGs; nearest-neighbor resample
+    // replayed as integer index arithmetic (sx = x*w//8, sy = y*h//6).
+    "multimodal_imageio" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |px AS (
+        |  SELECT media_id, w, h, (media_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS v
+        |  FROM ids, unnest(generate_series(0, w - 1)) AS xx(x),
+        |       unnest(generate_series(0, h - 1)) AS yy(y)),
+        |o AS (
+        |  SELECT media_id, CAST(1 AS INTEGER) AS decoded,
+        |    CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |    CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |    CAST(min(v) AS INTEGER) AS pixel_min, CAST(max(v) AS INTEGER) AS pixel_max
+        |  FROM px GROUP BY media_id),
+        |rpx AS (
+        |  SELECT media_id,
+        |    (media_id * 31 + ((xx.x * w) // 8) * 7 + ((yy.y * h) // 6) * 13) % 256 AS v
+        |  FROM ids, unnest(generate_series(0, 7)) AS xx(x),
+        |       unnest(generate_series(0, 5)) AS yy(y)),
+        |r AS (
+        |  SELECT media_id, CAST(8 AS INTEGER) AS r_width, CAST(6 AS INTEGER) AS r_height,
+        |    CAST(sum(v) AS BIGINT) AS r_pixel_sum
+        |  FROM rpx GROUP BY media_id)
+        |SELECT o.media_id, o.decoded, o.width, o.height, o.pixel_sum,
+        |  o.pixel_min, o.pixel_max, r.r_width, r.r_height, r.r_pixel_sum
+        |FROM o JOIN r ON r.media_id = o.media_id
+        |ORDER BY o.media_id""".stripMargin,
 
     // Stride-decimation resize, reconstructed in SQL from the hex payload:
     // output byte j = input byte (j*n)//rn, rn = min(n, 64); exact int64

@@ -9,11 +9,18 @@ import org.apache.spark.sql.types._
   * extraction runs batch-at-a-time inside `mapPartitions` so a real codec
   * drops in without touching the plumbing.
   *
-  * The decode step itself is STUBBED (this environment ships no image or
-  * audio libraries): [[stubDecode]] produces deterministic fake features
-  * derived from the payload bytes. Everything around it — schema, batch
-  * iteration, partition-level reuse of a (would-be) decoder handle,
-  * output shape — is the real, tested scale path.
+  * Two codec tiers share the seam:
+  *  - REAL image path via the JVM's built-in `javax.imageio` (PNG/JPEG —
+  *    no external deps): [[syntheticPngTable]] encodes, [[decodeImages]]
+  *    decodes dimensions + pixel statistics, [[resizeImages]] decodes →
+  *    nearest-neighbor resamples → re-encodes. PNG is lossless, so pixel
+  *    arithmetic survives the round trip bit-exactly and the oracle can
+  *    check it in SQL.
+  *  - STUB byte-level path for media with no in-JVM codec (audio/video):
+  *    deterministic fake features derived from payload bytes. The
+  *    surrounding shape — schema, batch iteration, per-partition decoder
+  *    reuse, executor-side fan-out — is identical, so a native codec
+  *    drops in without touching the plumbing.
   */
 object Multimodal {
 
@@ -40,6 +47,161 @@ object Multimodal {
         (pmod(xxhash64(col(textCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
         (pmod(xxhash64(col(textCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes")).as("meta"))
+
+  // --- real javax.imageio path ------------------------------------------
+
+  /** Deterministic 8-bit grayscale PNG: pixel(x,y) = (id·31 + x·7 + y·13)
+    * mod 256, encoded through the REAL ImageIO PNG writer. PNG is
+    * lossless, so the decode side recovers exactly these samples — the
+    * formula is the SQL oracle's ground truth.
+    */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "png", bos)
+    require(ok, "no PNG writer available in this JVM")
+    bos.toByteArray
+  }
+
+  /** Synthetic PNG corpus keyed by a non-negative id column: dimensions
+    * (4 + id mod 13) × (4 + id mod 7), pixels per [[syntheticPng]]. The
+    * encode runs executor-side in `mapPartitions` — the same place a real
+    * pipeline's `binaryFile` scan or parquet binary column lands.
+    */
+  def syntheticPngTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 4 + (id % 7).toInt
+          (id, syntheticPng(id, w, h))
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  final case class DecodedImage(
+      media_id: Long, n_bytes: Long, decoded: Boolean, width: Int, height: Int,
+      pixel_sum: Long, pixel_min: Int, pixel_max: Int)
+
+  /** REAL image decode at the codec seam: `javax.imageio.ImageIO.read`
+    * per payload (PNG/JPEG/GIF/BMP — whatever the JVM's registered
+    * readers handle), emitting dimensions and band-0 pixel statistics
+    * (band 0 = gray for grayscale, red for RGB; callers needing luma
+    * combine bands here). Per-partition seam: the in-memory-only cache
+    * setting and reader lookup happen once per partition, rows stream
+    * through. Undecodable/null payloads degrade to `decoded = false`
+    * zero-stat rows rather than failing the job — at corpus scale one
+    * corrupt blob must not kill the scan.
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null)
+            DecodedImage(id, bytes.length.toLong, decoded = false, 0, 0, 0L, 0, 0)
+          else {
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var min = Int.MaxValue
+            var max = Int.MinValue
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0)
+                sum += v
+                if (v < min) min = v
+                if (v > max) max = v
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(id, bytes.length.toLong, decoded = true, w, h, sum, min, max)
+          }
+        }
+      }
+  }
+
+  /** REAL resize at the same seam: ImageIO decode → exact nearest-neighbor
+    * resample (src index = ⌊dst·srcDim/dstDim⌋ — integer arithmetic, so
+    * the oracle replays it in SQL; `java.awt` interpolating scalers are
+    * not arithmetic-reproducible) → ImageIO PNG re-encode. Grayscale
+    * band-0 resample; output schema matches [[syntheticPngTable]] so
+    * resize chains into [[decodeImages]]. Undecodable payloads are
+    * dropped here (flagged upstream by [[decodeImages]] if the caller
+    * audits first — the curation-pipeline composition).
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+          val img =
+            if (bytes.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          if (img == null) Iterator.empty
+          else {
+            val src = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val dst = out.getRaster
+            var y = 0
+            while (y < targetH) {
+              val sy = (y.toLong * h / targetH).toInt
+              var x = 0
+              while (x < targetW) {
+                val sx = (x.toLong * w / targetW).toInt
+                dst.setSample(x, y, 0, src.getSample(sx, sy, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Iterator.single((id, bos.toByteArray))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  // --- byte-level stub path (no in-JVM codec: audio/video) ---------------
 
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, byte_mean: Double, byte_entropy_q: Long,

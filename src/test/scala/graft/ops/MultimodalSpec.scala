@@ -69,4 +69,44 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(2L).resized, "UTF-8") == "ab" && out(2L).resized_n == 2L)
     assert(out(3L).resized_n == 0L && out(3L).resized_sum == 0L)
   }
+
+  test("decodeImages: real ImageIO PNG round trip recovers exact pixels; corrupt degrades") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 12L).toDF("doc_id")
+    val got = Multimodal.decodeImages(Multimodal.syntheticPngTable(ids, "doc_id"))
+      .collect().map(d => d.media_id -> d).toMap
+    ids.as[Long].collect().foreach { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val d = got(id)
+      assert(d.decoded && d.width == w && d.height == h, s"id=$id dims")
+      assert(d.pixel_sum == px.map(_.toLong).sum, s"id=$id sum")
+      assert(d.pixel_min == px.min && d.pixel_max == px.max, s"id=$id min/max")
+      // PNG actually compressed something, i.e. a real encoder ran
+      assert(d.n_bytes > 0 && d.n_bytes != w.toLong * h)
+    }
+    // corrupt payload: decoded=false zero-stat row, job survives
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val b = Multimodal.decodeImages(bad).collect().head
+    assert(!b.decoded && b.width == 0 && b.pixel_sum == 0L && b.n_bytes == 3L)
+  }
+
+  test("resizeImages: decode -> nearest-neighbor -> re-encode matches integer resample arithmetic") {
+    import spark.implicits._
+    val ids = Seq(3L, 10L).toDF("doc_id")
+    val media = Multimodal.syntheticPngTable(ids, "doc_id")
+    val got = Multimodal.decodeImages(Multimodal.resizeImages(media, 8, 6))
+      .collect().map(d => d.media_id -> d).toMap
+    ids.as[Long].collect().foreach { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val px = for { y <- 0 until 6; x <- 0 until 8 }
+        yield ((id * 31 + (x * w / 8) * 7 + (y * h / 6) * 13) % 256).toLong
+      val d = got(id)
+      assert(d.decoded && d.width == 8 && d.height == 6, s"id=$id dims")
+      assert(d.pixel_sum == px.sum, s"id=$id resized sum")
+    }
+  }
 }
