@@ -1114,6 +1114,22 @@ object SparkEntry {
         Seq("slow", "stale", "corrupt", "zzznotaword"), maxPerMyriad = 150)
         .orderBy("doc_id")),
 
+    // §2.11 — broadcast-join blockterm profile for LARGE lists: 10⁴
+    // generated terms (plan must stay flat — PlanAuditSpec asserts
+    // BroadcastHashJoin and no literal collection) plus common words so
+    // the flag branches are non-vacuous; oracle replays the same
+    // explode → join → per-doc aggregation in SQL.
+    "blockterm_join" -> ((s, dir) => {
+      import s.implicits._
+      val gen = s.range(0, 10000)
+        .select(concat(lit("zzterm"), col("id")).as("term"))
+      val real = Seq("the", "and", "of", "to", "in", "a", "is", "data",
+        "with", "for").toDF("term")
+      TextStats.blocktermProfileJoined(t(s, dir, "documents"), "doc_id", "text",
+        gen.unionByName(real), maxPerMyriad = 150)
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — token counting (whitespace + BPE-ish pretokenizer).
     "token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3746,6 +3762,35 @@ object SparkEntry {
         |       ELSE 0.0 END AS flag_ratio,
         |  CAST(n_flagged * 10000 <= n_tokens * 150 AS INT) AS keep
         |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "blockterm_join" ->
+      """WITH terms AS (
+        |  SELECT 'zzterm' || i AS term FROM generate_series(0, 9999) AS g(i)
+        |  UNION ALL
+        |  SELECT unnest(['the','and','of','to','in','a','is','data','with','for'])),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+        |tok AS (SELECT doc_id, n_tokens, unnest(w) AS tok FROM t2),
+        |agg AS (
+        |  SELECT tok.doc_id, tok.n_tokens,
+        |    count(terms.term) AS n_flagged,
+        |    count(DISTINCT CASE WHEN terms.term IS NOT NULL THEN tok.tok END)
+        |      AS n_distinct_flagged
+        |  FROM tok LEFT JOIN terms ON terms.term = tok.tok
+        |  GROUP BY 1, 2)
+        |SELECT t2.doc_id, t2.n_tokens,
+        |  CAST(coalesce(a.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  CAST(coalesce(a.n_distinct_flagged, 0) AS BIGINT) AS n_distinct_flagged,
+        |  CASE WHEN t2.n_tokens > 0
+        |       THEN round(coalesce(a.n_flagged, 0) * 1.0 / t2.n_tokens, 6)
+        |       ELSE 0.0 END AS flag_ratio,
+        |  CAST(coalesce(a.n_flagged, 0) * 10000 <= t2.n_tokens * 150 AS INT) AS keep
+        |FROM t2 LEFT JOIN agg a ON a.doc_id IS NOT DISTINCT FROM t2.doc_id
+        |ORDER BY t2.doc_id NULLS FIRST""".stripMargin,
 
     "classifier_score" ->
       """WITH toks AS (

@@ -472,6 +472,45 @@ object TextStats {
           .cast("int"))
   }
 
+  /** [[blocktermProfile]] for term lists past literal-expression comfort
+    * (≳10⁴ entries — full UT1 categories, merged multilingual lists):
+    * the terms arrive as a DataFrame (one `term` column, deduplicated
+    * here) and meet the corpus through a BROADCAST hash join on exploded
+    * tokens instead of riding the plan as a constant collection — plan
+    * size stays flat in the list size, and the list can itself be read
+    * from parquet/CSV. Same output contract as [[blocktermProfile]].
+    *
+    * Scale shape: explode → BroadcastHashJoin (left) → one aggregation
+    * keyed by (id, n_tokens) with map-side partial combine, so the
+    * shuffle carries one row per document, not per token. The HOF form
+    * stays preferable for small curated lists (no explode, no shuffle).
+    */
+  def blocktermProfileJoined(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, maxPerMyriad: Int = 100): DataFrame = {
+    require(maxPerMyriad >= 0 && maxPerMyriad <= 10000,
+      s"maxPerMyriad out of [0, 10000]: $maxPerMyriad")
+    val termSet = broadcast(
+      terms.select(col("term").cast("string").as("__term")).distinct()
+        .withColumn("__hit", lit(1)))
+    df.select(col(s"`$idCol`"), whitespaceTokens(col(s"`$textCol`")).as("__t"))
+      .select(col(s"`$idCol`"), size(col("__t")).cast("long").as("n_tokens"),
+        explode_outer(col("__t")).as("__tok"))
+      .join(termSet, col("__tok") === col("__term"), "left")
+      .groupBy(col(s"`$idCol`"), col("n_tokens"))
+      .agg(
+        count(col("__hit")).as("n_flagged"),
+        countDistinct(when(col("__hit").isNotNull, col("__tok")))
+          .as("n_distinct_flagged"))
+      .withColumn("flag_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_flagged").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("n_flagged") * lit(10000L) <= col("n_tokens") * lit(maxPerMyriad.toLong))
+          .cast("int"))
+  }
+
   // --- hashed linear classifier scoring ------------------------------------
 
   /** Hashed bag-of-features for the linear scorer: word unigrams plus

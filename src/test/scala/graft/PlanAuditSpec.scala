@@ -139,6 +139,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("blockterm_join: large term list meets the corpus as a broadcast join, not a plan literal") {
+    val plan = SparkEntry.queries("blockterm_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 10k-term list behind a BroadcastHashJoin:\n${plan.take(2000)}")
+    // no literal-collection blowup: none of the generated terms may be
+    // embedded in the plan text (the HOF form would inline all 10k)
+    assert(!plan.contains("zzterm42"),
+      "generated terms leaked into the plan as literals")
+    assert(plan.length < 100000, s"plan string blew up: ${plan.length} chars")
+  }
+
   test("no registry query plans a cartesian product; nested-loop joins only where designed") {
     val sfDir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq
