@@ -490,16 +490,19 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang", "source")),
 
-    // Corpus length distribution: exact percentiles of document length.
+    // Corpus length distribution: exact percentiles of document length
+    // (accuracy=0 exact form of distributionProfile; the approx lever is
+    // the same op with accuracy>0, error-bounded in ProfilingSpec).
     "doc_length_profile" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"),
-          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
-          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
-          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))),
+      graft.ops.Profiling.distributionProfile(
+          t(s, dir, "documents"), "n_chars", Seq(0.25, 0.5, 0.95))
+        .select(
+          col("n").as("n_docs"),
+          col("min_val").as("min_chars"),
+          col("max_val").as("max_chars"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"))),
 
     // Per-language quality rollup: kernel metrics aggregated exactly
     // (DECIMAL sums — a double sum's partition order would flip the hash).

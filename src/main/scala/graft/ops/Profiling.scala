@@ -80,21 +80,29 @@ object Profiling {
     * `<valueCol>_w` (clamped; null stays null — least/greatest would
     * silently resurrect nulls AT the bound) and `was_clamped` (0/1).
     * Scale shape: one groups-sized percentile aggregate broadcast back;
-    * the data-sized pass is a narrow projection. Exact interpolated
-    * percentiles (Spark `percentile`, not approx) keep the bounds
-    * deterministic and oracle-mirrorable (`quantile_cont`); swap in
-    * `percentile_approx` at extreme group cardinality where an exact
-    * sort-based percentile is the bottleneck.
+    * the data-sized pass is a narrow projection. `accuracy = 0` (the
+    * default) uses EXACT interpolated percentiles (Spark `percentile` —
+    * deterministic, oracle-mirrorable via `quantile_cont`) at the cost of
+    * buffering every group value in the aggregate: the per-group sort
+    * buffer is the bottleneck once single groups reach 10⁸+ rows.
+    * `accuracy > 0` is the scale lever: `approx_percentile` with that
+    * accuracy — aggregation state is O(accuracy · log n) per group
+    * (a Greenwald-Khanna sketch, merged map-side) instead of
+    * O(group size), with rank error ≤ n/accuracy (spec-bounded in
+    * ProfilingSpec). Bounds become rank-approximate; clamping semantics
+    * are otherwise identical.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
-      loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame = {
+      loQ: Double = 0.05, hiQ: Double = 0.95, accuracy: Int = 0): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad band: [$loQ, $hiQ]")
+    require(accuracy >= 0, s"accuracy must be >= 0 (0 = exact): $accuracy")
     val v = col(s"`$valueCol`")
+    def pct(q: Double): Column =
+      if (accuracy == 0) expr(s"percentile(`$valueCol`, $q)")
+      else expr(s"approx_percentile(`$valueCol`, $q, $accuracy)").cast("double")
     val bounds = df
       .groupBy(col(s"`$groupCol`").as("__g"))
-      .agg(
-        expr(s"percentile(`$valueCol`, $loQ)").as("__lo"),
-        expr(s"percentile(`$valueCol`, $hiQ)").as("__hi"))
+      .agg(pct(loQ).as("__lo"), pct(hiQ).as("__hi"))
     df.join(broadcast(bounds), col(s"`$groupCol`") <=> col("__g"), "left")
       .withColumn(s"${valueCol}_w",
         when(v.isNull, lit(null).cast("double"))
@@ -102,6 +110,38 @@ object Profiling {
       .withColumn("was_clamped",
         when(v < col("__lo") || v > col("__hi"), 1).otherwise(0))
       .drop("__g", "__lo", "__hi")
+  }
+
+  /** Whole-corpus distribution profile of a numeric column: count, min,
+    * max and the requested quantiles (`p5`, `p25`, … — names derived
+    * from the quantile ×100, fractional points keep one decimal as
+    * `p99_9`). `accuracy = 0` (default) = exact interpolated
+    * `percentile` — one aggregate whose buffer holds EVERY value, fine
+    * to ~10⁸ rows per aggregation, oracle-mirrorable (`quantile_cont`).
+    * `accuracy > 0` = `approx_percentile`: O(accuracy · log n) sketch
+    * state merged map-side, rank error ≤ n/accuracy (spec-bounded) —
+    * the 100 TB form, where an exact global percentile would buffer the
+    * corpus in one aggregate.
+    */
+  def distributionProfile(df: DataFrame, valueCol: String,
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.95),
+      accuracy: Int = 0): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles out of [0,1]: $quantiles")
+    require(accuracy >= 0, s"accuracy must be >= 0 (0 = exact): $accuracy")
+    def pName(q: Double): String = {
+      val centi = q * 100
+      if (centi == centi.floor) s"p${centi.toLong}"
+      else s"p${centi.toString.replace('.', '_')}"
+    }
+    def pct(q: Double): Column =
+      if (accuracy == 0) expr(s"percentile(`$valueCol`, $q)")
+      else expr(s"approx_percentile(`$valueCol`, $q, $accuracy)").cast("double")
+    df.agg(
+      count(lit(1)).as("n"),
+      min(col(s"`$valueCol`")).as("min_val") +:
+        max(col(s"`$valueCol`")).as("max_val") +:
+        quantiles.map(q => pct(q).as(pName(q))): _*)
   }
 
   /** [[psi]] for a CATEGORICAL column (source, language, domain): drift

@@ -75,4 +75,42 @@ class ProfilingSpec extends SparkSpec {
       .as[(Option[String], Double, Double, Double)].collect().map(_._1).toSet
     assert(cats.contains(None))
   }
+
+  test("distributionProfile approx lever: rank error bounded by n/accuracy vs the exact form") {
+    import spark.implicits._
+    // values ARE ranks (1..n), so |approx - exact quantile value| is the
+    // rank error directly; approx_percentile contracts it to n/accuracy
+    val n = 20000
+    val acc = 1000
+    val df = spark.range(1, n + 1).toDF("v")
+    val qs = Seq(0.05, 0.5, 0.95)
+    val exact = Profiling.distributionProfile(df, "v", qs)
+      .select("p5", "p50", "p95").as[(Double, Double, Double)].head()
+    val approx = Profiling.distributionProfile(df, "v", qs, accuracy = acc)
+      .select("p5", "p50", "p95").as[(Double, Double, Double)].head()
+    val tol = n.toDouble / acc + 1
+    Seq(exact._1 -> approx._1, exact._2 -> approx._2, exact._3 -> approx._3)
+      .foreach { case (e, a) =>
+        assert(math.abs(e - a) <= tol, s"approx $a drifted from exact $e beyond $tol")
+      }
+    assert(
+      Profiling.distributionProfile(df, "v", Seq(0.999)).columns.contains("p99_9"),
+      "fractional quantile name")
+  }
+
+  test("winsorize approx lever: approximate band clamps within rank tolerance of the exact band") {
+    import spark.implicits._
+    val n = 10000
+    val acc = 500
+    val df = spark.range(1, n + 1).toDF("v").withColumn("g", lit("all"))
+    def clampedCount(accuracy: Int): Long =
+      Profiling.winsorize(df, "g", "v", accuracy = accuracy)
+        .agg(sum(col("was_clamped"))).as[Long].head()
+    val exact = clampedCount(0)
+    val approx = clampedCount(acc)
+    // each bound may drift by at most n/acc ranks → clamped-row count
+    // drifts by at most 2·n/acc (+2 for interpolation rounding)
+    assert(math.abs(exact - approx) <= 2L * n / acc + 2,
+      s"clamped counts diverged: exact=$exact approx=$approx")
+  }
 }
