@@ -194,6 +194,70 @@ object ScaleProbe {
         graft.ops.TimeSeries.scd2(e, Seq("user_id"), Seq("event_type"), Seq("ts")))
     }
 
+    // round-6 iterative-path family (the 64× decade): run with
+    // SPARK_GRAFT_PROBE_ONLY=ccCadence,leakageSafeSplit,historyDedup and
+    // k=64. ccCadence isolates the CC loop on a SYNTHETIC diameter-32
+    // chain graph (k-scaled vertex count) so the checkpoint-cadence
+    // amortization curve is measured without the minhash pair stage in
+    // front; leakageSafeSplit runs the full iterative composition;
+    // historyDedup contrasts per-batch sketch rebuild vs one prebuilt
+    // broadcast sketch over 3 batches.
+    {
+      val chainLen = 32
+      val chains = 2048L * k
+      def chainGraph(): (DataFrame, DataFrame) = {
+        val verts = spark.range(chains * chainLen).select(col("id"))
+        val edges = verts
+          .filter(pmod(col("id"), lit(chainLen.toLong)) =!= (chainLen - 1).toLong)
+          .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        (verts, edges)
+      }
+      println(s"--- cc cadence (${chains * chainLen} vertices, diameter $chainLen) ---")
+      // warm the CC code paths (codegen, shuffle setup) so the first
+      // measured cadence doesn't absorb JVM warmup — the k=2 smoke run
+      // showed cadence 1 inflated ~1.5× purely by running first
+      if (!probeOnly.exists(f => !f.exists("ccCadence".startsWith))) {
+        val wv = spark.range(1000).select(col("id"))
+        val we = wv.filter(pmod(col("id"), lit(10L)) =!= 9L)
+          .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        Dedup.connectedComponents(wv, "id", we, "src", "dst").count()
+      }
+      Seq(1, 2, 4, 8).foreach { every =>
+        val (v, e) = chainGraph()
+        time(s"ccCadence($every)",
+          Dedup.connectedComponents(v, "id", e, "src", "dst", checkpointEvery = every))
+      }
+    }
+    Seq(1, k).foreach { times =>
+      val d = replicate(times)
+      println(s"--- leakage split ${times}x (${d.count()} docs) ---")
+      time("leakageSafeSplit",
+        Curation.leakageSafeSplit(d, "text", "doc_id", 9800, 100))
+    }
+    Seq(1, k).foreach { times =>
+      val incoming = replicate(times)
+      val history = docs.select(col("doc_id"), col("text"))
+      println(s"--- history dedup ${times}x incoming (${incoming.count()} docs) ---")
+      val batches = 3
+      val t0 = System.nanoTime()
+      if (!probeOnly.exists(f => !f.exists("historyDedup".startsWith))) {
+        (1 to batches).foreach { _ =>
+          spark.catalog.clearCache()
+          Dedup.dedupAgainstHistory(history, "text", incoming, "text").count()
+        }
+        println(f"historyDedup(rebuild x$batches)   ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        val t1 = System.nanoTime()
+        val sketch = Dedup.historyBloomSketch(history, "text")
+        val bc = spark.sparkContext.broadcast(sketch)
+        (1 to batches).foreach { _ =>
+          spark.catalog.clearCache()
+          Dedup.dedupAgainstHistory(bc, history, "text", incoming, "text").count()
+        }
+        println(f"historyDedup(reuse x$batches)     ${(System.nanoTime() - t1) / 1e9}%7.2f s")
+        bc.destroy()
+      }
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

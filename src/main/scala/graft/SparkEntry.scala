@@ -1117,6 +1117,24 @@ object SparkEntry {
         Seq("slow", "stale", "corrupt", "zzznotaword"), maxPerMyriad = 150)
         .orderBy("doc_id")),
 
+    // §2.11 — C4-style line cleanup (Raffel et al. preprocessing): lines
+    // enriched per doc to exercise every branch — a javascript
+    // boilerplate line, a sub-3-word line, a no-terminal-punctuation
+    // line, a brace/code line, a lorem-ipsum line, and proper sentences
+    // that survive. Oracle replays the rules with the same
+    // trim/split/regex semantics.
+    "c4_line_filter" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(m === 0, lit("\nPlease enable Javascript to continue.\nA proper closing sentence survives here."))
+            .when(m === 1, lit("\nok\nlorem ipsum dolor sit amet, consectetur."))
+            .when(m === 2, lit("\nfunction f() { return 1; }\nThis line ends properly."))
+            .otherwise(lit("\nNo terminal punctuation on this line"))))
+        .select(col("doc_id") +: TextStats.c4LineFilter(col("text")): _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — broadcast-join blockterm profile for LARGE lists: 10⁴
     // generated terms (plan must stay flat — PlanAuditSpec asserts
     // BroadcastHashJoin and no literal collection) plus common words so
@@ -3765,6 +3783,41 @@ object SparkEntry {
         |       ELSE 0.0 END AS flag_ratio,
         |  CAST(n_flagged * 10000 <= n_tokens * 150 AS INT) AS keep
         |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "c4_line_filter" ->
+      """WITH e AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN chr(10) || 'Please enable Javascript to continue.' ||
+        |        chr(10) || 'A proper closing sentence survives here.'
+        |      WHEN 1 THEN chr(10) || 'ok' ||
+        |        chr(10) || 'lorem ipsum dolor sit amet, consectetur.'
+        |      WHEN 2 THEN chr(10) || 'function f() { return 1; }' ||
+        |        chr(10) || 'This line ends properly.'
+        |      ELSE chr(10) || 'No terminal punctuation on this line' END AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+        |  FROM e),
+        |k AS (
+        |  SELECT doc_id, text, lines,
+        |    list_filter(lines, x ->
+        |      len(list_filter(string_split_regex(
+        |        regexp_replace(x, '^\s+|\s+$', '', 'g'), '\s+'), w -> w <> '')) >= 3
+        |      AND regexp_matches(regexp_replace(x, '^\s+|\s+$', '', 'g'), '[.!?"]$')
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l)
+        |SELECT doc_id,
+        |  -- empty kept list must be '', not NULL (Spark array_join([]) = '');
+        |  -- a NULL text (NULL kept) must stay NULL
+        |  CASE WHEN kept IS NULL THEN NULL
+        |       ELSE coalesce(array_to_string(kept, chr(10)), '') END AS text_clean,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(contains(text, '{') AS INT) AS has_brace,
+        |  CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem
+        |FROM k ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "blockterm_join" ->
       """WITH terms AS (

@@ -180,7 +180,8 @@ object Dedup {
     * to cut lineage — not needed for the shallow graphs dedup produces.
     */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String, checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     // persist the symmetrized edge list: it feeds EVERY round's join, and
     // without it the whole upstream pipeline (for near-dup edges, the LSH
     // band join + verify) re-executes once per round — measured 3× the
@@ -206,10 +207,11 @@ object Dedup {
         least(col("__src"), col("__mind")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
-    // the superseded round's localCheckpoint blocks are released
-    // explicitly each round — RDD-level persists are invisible to
-    // catalog.clearCache, and leaving them to the ContextCleaner's GC
-    // race makes cache accounting nondeterministic
+    var round = 0
+    // the superseded checkpoint's blocks are released explicitly —
+    // RDD-level persists are invisible to catalog.clearCache, and
+    // leaving them to the ContextCleaner's GC race makes cache
+    // accounting nondeterministic
     var prevCheckpoint: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
@@ -234,23 +236,35 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       labels.unpersist()
+      round += 1
       converged = obs.get("shrunk").asInstanceOf[Long] == 0L
-      // truncate lineage EVERY round: the label plan feeds both the
-      // propagation and the merge, so its tree DOUBLES per round —
-      // measured on a 12-vertex chain, planning hits 12 s/round by round
-      // 7 and 155 s by round 8 (6k plan nodes); convergence takes
-      // O(graph diameter) rounds, so any long chain dies in planning, not
-      // execution. The eager localCheckpoint pins the (tiny) label frame
-      // as materialized blocks and restarts the plan from a LogicalRDD —
-      // 0.3 s/round FLAT on a diameter-24 chain. Cost: one extra
-      // cache-read job per round, noise next to the round's own shuffle.
+      // truncate lineage at the checkpoint cadence (default EVERY round):
+      // the label plan feeds both the propagation and the merge, so its
+      // tree DOUBLES per non-checkpointed round — measured on a 12-vertex
+      // chain, planning hits 12 s/round by round 7 and 155 s by round 8
+      // (6k plan nodes); convergence takes O(graph diameter) rounds, so
+      // any long chain dies in planning, not execution. The eager
+      // localCheckpoint pins the (tiny) label frame as materialized
+      // blocks and restarts the plan from a LogicalRDD — 0.3 s/round FLAT
+      // on a diameter-24 chain. Cost: one extra cache-read job per
+      // round, noise next to the round's own shuffle — the 64× probe
+      // (SCALING.md) measured cadence 2/4 within noise of cadence 1 and
+      // cadence ∞ catastrophically worse, so the safe default stays 1.
+      // A previous checkpoint's blocks are released only when the NEXT
+      // checkpoint exists: intermediate (non-checkpointed) rounds'
+      // persisted frames still trace their lineage to it, and local
+      // checkpoints are non-recoverable once dropped.
       // (The checkpoint must come AFTER obs.get: the metric rides the
       // count; the checkpoint job is an RDD action observe never sees.)
-      val cp = next.localCheckpoint(eager = true)
-      next.unpersist()
-      prevCheckpoint.foreach(_.unpersist(blocking = false))
-      prevCheckpoint = checkpointRdd(cp)
-      labels = cp
+      if (round % checkpointEvery == 0 || converged) {
+        val cp = next.localCheckpoint(eager = true)
+        next.unpersist()
+        prevCheckpoint.foreach(_.unpersist(blocking = false))
+        prevCheckpoint = checkpointRdd(cp)
+        labels = cp
+      } else {
+        labels = next
+      }
     }
     // the FINAL round's checkpoint stays: it is the data behind the
     // returned (lazy) result — local checkpoints are non-recoverable, so

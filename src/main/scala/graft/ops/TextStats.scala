@@ -218,6 +218,39 @@ object TextStats {
       round((n - d) * lit(1.0) / greatest(n, lit(1L)), 4).as("dup_line_frac"))
   }
 
+  /** C4-style line-level cleanup (the public Raffel et al. 2020
+    * preprocessing rules, restated declaratively): keep a line iff it
+    *   - has ≥ `minWords` whitespace words,
+    *   - ends in a terminal punctuation mark (`.` `!` `?` or a closing
+    *     `"` — C4's "end quotation mark"),
+    *   - does not contain "javascript" (case-insensitive) — the classic
+    *     cookie/JS-warning boilerplate line;
+    * and flag (for the caller's DOC-level drop, C4 drops them outright)
+    *   - `has_brace`: text contains `{` (code, not prose),
+    *   - `has_lorem`: contains "lorem ipsum" (case-insensitive).
+    * Output: `text_clean` (kept lines rejoined with `\n` — empty string
+    * when nothing survives), `n_lines` (non-empty input lines),
+    * `n_kept`, plus the two doc flags as 0/1 ints. One narrow
+    * projection, HOF-only (shuffle-free); null text passes through null.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 3): Seq[Column] = {
+    require(minWords >= 1, s"minWords must be >= 1: $minWords")
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    def lineKeep(l: Column): Column = {
+      val t = regexp_replace(l, "^\\s+|\\s+$", "")
+      (size(split(t, "\\s+")) >= minWords) &&
+        t.rlike("[.!?\"]$") &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, l => lineKeep(l))
+    Seq(
+      array_join(kept, "\n").as("text_clean"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      text.contains("{").cast("int").as("has_brace"),
+      lower(text).contains("lorem ipsum").cast("int").as("has_lorem"))
+  }
+
   /** Gopher-style rule predicate (the public Rae et al. 2021 heuristics,
     * restated over this engine's metrics): keep a document iff
     *   - 50 ≤ tokens ≤ 100 000

@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
   }
 
+  test("connectedComponents: every checkpoint cadence yields identical labels on a deep chain") {
+    // cadence > 1 lets the label plan double between truncations; the
+    // result must not depend on WHEN lineage is cut, and the final
+    // returned frame must still be checkpoint-backed (non-cadence-aligned
+    // convergence round forces one)
+    val n = 17
+    val vdf = (0 until n).map(_.toLong).toDF("id")
+    val edf = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val expected = (0 until n).map(_.toLong -> 0L).toMap
+    Seq(2, 4, 7).foreach { every =>
+      val got = Dedup.connectedComponents(vdf, "id", edf, "a", "b",
+        checkpointEvery = every)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"cadence $every diverged: $got")
+    }
+  }
+
   test("crossCorpusContamination: only cross-side pairs, overlapping id spaces safe") {
     // eval doc 1 duplicates train docs 1 and (nearly) 3 — note the eval id
     // COLLIDES with a train id, which the separate-column output must keep apart

@@ -481,6 +481,33 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("c4LineFilter: word floor, terminal punctuation, javascript lines, doc flags") {
+    val cases = Seq(
+      // survives: >=3 words, ends in period
+      (1L, "This sentence survives fine.", "This sentence survives fine.", 1L, 1L, 0, 0),
+      // dropped: two words
+      (2L, "Too short.", "", 1L, 0L, 0, 0),
+      // dropped: no terminal punctuation
+      (3L, "No punctuation at the end", "", 1L, 0L, 0, 0),
+      // javascript line dropped (case-insensitive), good line kept
+      (4L, "Enable JavaScript to proceed.\nA real sentence stays here.",
+           "A real sentence stays here.", 2L, 1L, 0, 0),
+      // closing quote counts as terminal punctuation
+      (5L, "He said \"this is fine.\"", "He said \"this is fine.\"", 1L, 1L, 0, 0),
+      // doc flags: brace and lorem ipsum
+      (6L, "int f() { return 1; }\nLorem Ipsum dolor sits here.",
+           "Lorem Ipsum dolor sits here.", 2L, 1L, 1, 1),
+      // empty lines don't count
+      (7L, "\n\nOnly this one counts here.\n\n", "Only this one counts here.", 1L, 1L, 0, 0))
+    val res = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select(col("id") +: TextStats.c4LineFilter(col("text")): _*)
+      .as[(Long, String, Long, Long, Int, Int)].collect().toSeq.sortBy(_._1)
+    cases.zip(res).foreach { case (exp, got) =>
+      assert(got == ((exp._1, exp._3, exp._4, exp._5, exp._6, exp._7)),
+        s"case ${exp._1}: got $got")
+    }
+  }
+
   test("classifierScore kernel ≡ HOF-md5 formulation on the sf0.01 corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
