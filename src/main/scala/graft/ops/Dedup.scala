@@ -180,7 +180,7 @@ object Dedup {
     * to cut lineage — not needed for the shallow graphs dedup produces.
     */
   def connectedComponents(vertices: DataFrame, idCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, checkpointEvery: Int = 1): DataFrame = {
+      srcCol: String, dstCol: String, checkpointEvery: Int = 2): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1: $checkpointEvery")
     // persist the symmetrized edge list: it feeds EVERY round's join, and
     // without it the whole upstream pipeline (for near-dup edges, the LSH
@@ -238,18 +238,22 @@ object Dedup {
       labels.unpersist()
       round += 1
       converged = obs.get("shrunk").asInstanceOf[Long] == 0L
-      // truncate lineage at the checkpoint cadence (default EVERY round):
-      // the label plan feeds both the propagation and the merge, so its
-      // tree DOUBLES per non-checkpointed round — measured on a 12-vertex
-      // chain, planning hits 12 s/round by round 7 and 155 s by round 8
-      // (6k plan nodes); convergence takes O(graph diameter) rounds, so
-      // any long chain dies in planning, not execution. The eager
-      // localCheckpoint pins the (tiny) label frame as materialized
-      // blocks and restarts the plan from a LogicalRDD — 0.3 s/round FLAT
-      // on a diameter-24 chain. Cost: one extra cache-read job per
-      // round, noise next to the round's own shuffle — the 64× probe
-      // (SCALING.md) measured cadence 2/4 within noise of cadence 1 and
-      // cadence ∞ catastrophically worse, so the safe default stays 1.
+      // truncate lineage at the checkpoint cadence (default every 2nd
+      // round): the label plan feeds both the propagation and the merge,
+      // so its tree DOUBLES per non-checkpointed round — measured on a
+      // 12-vertex chain, planning hits 12 s/round by round 7 and 155 s by
+      // round 8 (6k plan nodes); convergence takes O(graph diameter)
+      // rounds, so any long chain dies in planning, not execution. The
+      // eager localCheckpoint pins the (tiny) label frame as materialized
+      // blocks and restarts the plan from a LogicalRDD. The checkpoint
+      // job itself costs ~a round of useful work, so cadence trades
+      // checkpoint count against plan growth 2^cadence inside the
+      // window: the 64× probe (4.2 M vertices, diameter 32 — SCALING.md)
+      // measured 152.6 s at cadence 1, 94.8 s at 2, 80.2 s at 4, and
+      // 658.5 s at 8 (the 256×-node plans hit Catalyst's superlinear
+      // analysis cliff). Default 2 takes the 1.6× win with a 16×
+      // plan-size margin from that cliff; pass 4 for long-diameter
+      // graphs where the extra 15% matters.
       // A previous checkpoint's blocks are released only when the NEXT
       // checkpoint exists: intermediate (non-checkpointed) rounds'
       // persisted frames still trace their lineage to it, and local
