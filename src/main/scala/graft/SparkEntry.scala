@@ -721,6 +721,23 @@ object SparkEntry {
         Seq("hash", "vector", "data"), k = 10)
         .orderBy("rnk")),
 
+    // §2.11 — hybrid retrieval: BM25 lexical top-20 ⊕ exact-cosine
+    // semantic top-20 (query vector 0) fused by reciprocal rank
+    // (1/(60+rank) per side) — the standard RAG retrieval combiner.
+    // Oracle replays both rankings AND the fusion; the lexical side
+    // shares the k-parameterized bm25 SQL body with bm25_topk.
+    "hybrid_topk" -> ((s, dir) => {
+      val lex = TextStats.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "vector", "data"), k = 20)
+        .select(col("doc_id"), col("rnk"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+      Similarity.rrfFuse(lex, sem, "doc_id", k0 = 60, k = 15)
+        .orderBy("rrf_rank")
+    }),
+
     // §2.11 — transitive near-dup clustering: every doc labeled with the
     // min doc id reachable through ≥0.5-Jaccard pairs (connected
     // components; oracle = recursive-CTE transitive closure).
@@ -3648,8 +3665,40 @@ object SparkEntry {
     // idf/saturation written in the SAME operation sequence as
     // TextStats.bm25TopK: ln on doubles, saturation as one division of
     // exact int64 products, terms summed left-to-right in fixed order.
-    "bm25_topk" ->
-      s"""WITH toks AS (
+    "bm25_topk" -> bm25OracleSql(10),
+
+    // RRF hybrid retrieval: the BM25 lexical top-20 (same body as
+    // bm25_topk) fused with the exact cosine top-20 for query vector 0
+    // by reciprocal-rank fusion — 1/(60+rank) per side, absent side
+    // contributes 0, 6 dp round before the deterministic rank.
+    "hybrid_topk" ->
+      ("WITH lex AS (\n" + bm25OracleSql(20) + "\n),\n" +
+        """sem AS (
+          |  SELECT e.vec_id AS doc_id,
+          |    CAST(row_number() OVER (
+          |      ORDER BY round(list_cosine_similarity(
+          |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+          |        e.vec_id) AS BIGINT) AS rnk
+          |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          |  WHERE e.vec_id <> 0
+          |  QUALIFY rnk <= 20),
+          |f AS (
+          |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+          |    l.rnk AS rank_a, s.rnk AS rank_b,
+          |    round(coalesce(1.0 / (60 + l.rnk), 0)
+          |        + coalesce(1.0 / (60 + s.rnk), 0), 6) AS rrf_score
+          |  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+          |SELECT doc_id, rank_a, rank_b, rrf_score,
+          |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
+          |FROM f QUALIFY rrf_rank <= 15 ORDER BY rrf_rank""".stripMargin),
+
+    "__last" -> "") - "__last" ++ oracleSqlRest
+
+  /** The bm25_topk oracle body, k-parameterized so hybrid_topk can embed
+    * the same scoring at its own depth.
+    */
+  private def bm25OracleSql(k: Int): String =
+    s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split_regex($strippedSql, '\\s+')) AS token
          |  FROM documents WHERE doc_id IS NOT NULL AND length($strippedSql) > 0),
          |dl AS (
@@ -3688,7 +3737,12 @@ object SparkEntry {
          |  CROSS JOIN stats s CROSS JOIN dfreq f)
          |SELECT doc_id, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-         |FROM scored QUALIFY rnk <= 10 ORDER BY rnk""".stripMargin,
+         |FROM scored QUALIFY rnk <= $k ORDER BY rnk""".stripMargin
+
+  /** Continuation of [[oracleSql]] (split around the bm25 body helper —
+    * one Map literal would swallow the def).
+    */
+  private def oracleSqlRest: Map[String, String] = Map(
 
     "dedup_minhash" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),

@@ -31,6 +31,37 @@ object Similarity {
     when(nn > 0, d / nn)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): merge two
+    * top-k rankings of one id space into a hybrid ranking with NO score
+    * calibration — `rrf_score = Σ_r 1/(k0 + rank_r)`, standard k0 = 60,
+    * an id absent from a ranking contributes 0 from it. The canonical
+    * BM25 ⊕ embedding-ANN hybrid-retrieval combiner: raw lexical and
+    * cosine scores live on incomparable scales, ranks always compare.
+    *
+    * Inputs are (id, `rankCol`) top-k frames; fusion is one full-outer
+    * join plus a global rank over ≤ |a| + |b| rows — both sides are
+    * k-bounded by construction, nothing corpus-sized moves. Scores are
+    * rounded (6 dp) BEFORE ranking with the id tiebreak, so the order is
+    * stable across engines.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String = "rnk", k0: Int = 60, k: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    require(k > 0, s"k must be positive: $k")
+    val ra = a.select(col(s"`$idCol`"), col(s"`$rankCol`").cast("long").as("__ra"))
+    val rb = b.select(col(s"`$idCol`"), col(s"`$rankCol`").cast("long").as("__rb"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(k0.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toLong) + col("__rb")), lit(0.0)), 6))
+      .withColumn("rrf_rank",
+        row_number().over(Window.orderBy(desc("rrf_score"), asc(idCol)))
+          .cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col(s"`$idCol`"), col("__ra").as("rank_a"),
+        col("__rb").as("rank_b"), col("rrf_score"), col("rrf_rank"))
+  }
+
   /** Exact top-k nearest neighbors for each query vector.
     *
     * `queries` (small: user queries, centroids, probe sets) is broadcast;

@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
     "source_overlap" -> "group-pair size cross: rows = #groups², two longs each",
     "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row",
+    "hybrid_topk" -> "embeds both: bm25 stats cross + exact-cosine corpus × broadcast query",
     "embed_kmeans" -> "centroid assignment: corpus × broadcast codebook (same as ann_ivf)",
     "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)",
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",

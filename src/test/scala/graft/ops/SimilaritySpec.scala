@@ -265,4 +265,32 @@ class SimilaritySpec extends SparkSpec {
       assert(r._2 == id && r._3 == 1.0, s"seed $id: $r")
     }
   }
+
+  test("rrfFuse: reciprocal-rank arithmetic, one-sided ids, deterministic tiebreak") {
+    import spark.implicits._
+    // a: ids 1,2,3 ranked 1,2,3; b: ids 3,4 ranked 1,2
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rnk")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("id", "rnk")
+    val got = Similarity.rrfFuse(a, b, "id", k0 = 60, k = 10)
+      .as[(Long, Option[Long], Option[Long], Double, Long)]
+      .collect().sortBy(_._5).toSeq
+    def r(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // id 3 appears in both: 1/63 + 1/61 — must rank first
+    assert(got.head._1 == 3L && got.head._4 == r(1.0 / 63 + 1.0 / 61))
+    assert(got.head._2 == Some(3L) && got.head._3 == Some(1L))
+    // one-sided ids keep a null rank on the absent side
+    val id1 = got.find(_._1 == 1L).get
+    assert(id1._3.isEmpty && id1._4 == r(1.0 / 61))
+    // 1/61 (id 1) > 1/62 (ids 2 and 4, equal scores → id tiebreak)
+    val order = got.map(_._1)
+    assert(order == Seq(3L, 1L, 2L, 4L),
+      s"fusion order wrong: $order")
+    // equal scores tiebreak on id ascending: two ids with identical
+    // single-side rank
+    val ta = Seq((7L, 1L)).toDF("id", "rnk")
+    val tb = Seq((5L, 1L)).toDF("id", "rnk")
+    val tie = Similarity.rrfFuse(ta, tb, "id", k0 = 60, k = 10)
+      .as[(Long, Option[Long], Option[Long], Double, Long)].collect().sortBy(_._5)
+    assert(tie.map(_._1).toSeq == Seq(5L, 7L))
+  }
 }
