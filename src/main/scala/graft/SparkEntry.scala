@@ -1603,9 +1603,14 @@ object SparkEntry {
     // column list is duplicated; full per-value hashing stays with the
     // per-table gates.
     "fhir_tables" -> ((s, _) => {
+      // one normalized-entry scan feeds all six tables (per-table
+      // fhirCleanedTable calls would re-read + re-extract 6×)
+      val entries = graft.fhir.BundleReader
+        .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
+      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
       Seq("careplan", "condition", "encounter", "immunization",
           "observation", "patient").map { name =>
-        val u = fhirCleanedTable(s, name)
+        val u = graft.sinks.Sinks.underscored(tables(name))
         u.agg(
           count(lit(1)).cast("long").as("n_rows"),
           countDistinct(col("patient_id")).cast("long").as("n_patients"),
