@@ -616,6 +616,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — the Gopher REPETITION rule family (top-2-gram coverage,
+    // duplicate-5-gram coverage, duplicate-line chars): every 3rd doc
+    // gets a 6×-repeated phrase appended so the duplicate branches are
+    // non-vacuous; the oracle replays the explode → count → top-1/dup
+    // aggregation per signal.
+    "gopher_repetition" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" the quick brown fox jumps over" * 6)))
+            .otherwise(col("text")))
+      TextStats.gopherRepetition(enriched, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // §2.11 — repetition profile (duplicate-line fraction per document).
     "repetition_profile" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3345,6 +3360,53 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gopher_repetition" ->
+      """WITH e AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN repeat(' the quick brown fox jumps over', 6) ELSE '' END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, text, length(text) AS nc,
+        |    list_filter(string_split_regex(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), w -> w <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+        |  FROM e),
+        |lf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+        |      THEN round(coalesce(list_sum(list_transform(list_distinct(lines), l ->
+        |        (len(list_filter(lines, x -> x = l)) - 1) * length(l))), 0) * 1.0
+        |        / list_sum(list_transform(lines, l -> length(l))), 6)
+        |      ELSE 0.0 END AS dup_line_char_frac
+        |  FROM b),
+        |g2 AS (
+        |  SELECT doc_id, nc, unnest(list_transform(
+        |    generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM b WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, nc, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (
+        |  SELECT doc_id, round(least(c * length(g) * 1.0 / nc, 1.0), 6) AS top2gram_char_frac
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |        FROM c2)
+        |  WHERE rn = 1 AND nc > 0),
+        |g5 AS (
+        |  SELECT doc_id, nc, unnest(list_transform(
+        |    generate_series(1, len(w) - 4), i -> array_to_string(w[i:i+4], ' '))) AS g
+        |  FROM b WHERE len(w) >= 5),
+        |c5 AS (SELECT doc_id, nc, g, count(*) AS c FROM g5 GROUP BY 1, 2, 3),
+        |d5 AS (
+        |  SELECT doc_id, round(least(sum(c * length(g)) * 1.0 / max(nc), 1.0), 6)
+        |    AS dup5gram_char_frac
+        |  FROM c5 WHERE c >= 2 GROUP BY doc_id HAVING max(nc) > 0)
+        |SELECT b.doc_id, lf.dup_line_char_frac,
+        |  coalesce(t2.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+        |  coalesce(d5.dup5gram_char_frac, 0.0) AS dup5gram_char_frac
+        |FROM b
+        |JOIN lf ON lf.doc_id = b.doc_id
+        |LEFT JOIN t2 ON t2.doc_id = b.doc_id
+        |LEFT JOIN d5 ON d5.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "repetition_profile" ->
       """WITH l AS (

@@ -218,6 +218,84 @@ object TextStats {
       round((n - d) * lit(1.0) / greatest(n, lit(1L)), 4).as("dup_line_frac"))
   }
 
+  /** Gopher REPETITION signals (the Rae et al. 2021 repetition family,
+    * complementing [[gopherKeep]]'s length/character rules and
+    * [[dupLineStats]]'s line counts): per document,
+    *  - `dup_line_char_frac` — fraction of line characters inside
+    *    duplicate lines (occurrences beyond each line's first),
+    *  - `top2gram_char_frac` — fraction of text characters covered by
+    *    the most frequent word 2-gram (occurrences × gram length /
+    *    text chars; ties broken lexicographically),
+    *  - `dup5gram_char_frac` — fraction covered by ALL word 5-grams
+    *    occurring ≥ 2× (Σ count·len, overlaps counted per occurrence as
+    *    in the published implementations, capped at 1).
+    * High values flag templated/boilerplate documents that pass
+    * length-based rules.
+    *
+    * Scale shape: the line fraction is a shuffle-free per-row HOF; each
+    * n-gram fraction is one explode → (id, gram) count with map-side
+    * combine (shuffle bounded by DISTINCT (doc, gram) pairs, not
+    * occurrences) → per-doc window/aggregate, joined back id-keyed.
+    * Docs with too few tokens for an n-gram score 0.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(s"`$idCol`")
+    val base = df
+      .filter(id.isNotNull)
+      .select(id, col(s"`$textCol`").as("__text"),
+        whitespaceTokens(col(s"`$textCol`")).as("__t"),
+        length(coalesce(col(s"`$textCol`"), lit(""))).cast("long").as("__nc"))
+    // duplicate-line chars: per-row quadratic over DISTINCT lines — fine
+    // for document-sized line counts, zero shuffle
+    val lines = filter(split(col("__text"), "\n"), l => length(l) > 0)
+    val lineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val dupChars = aggregate(array_distinct(lines), lit(0L), (acc, l) =>
+      acc + (size(filter(lines, x => x === l)) - 1).cast("long") * length(l))
+    val lineFrac = base.select(id,
+      when(lineChars > 0, round(dupChars.cast("double") / lineChars.cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_line_char_frac"))
+    // word 2-grams: top-1 coverage
+    val g2 = base.select(id, col("__nc"),
+      explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("__g"))
+      .groupBy(id, col("__nc"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val w2 = Window.partitionBy(id).orderBy(desc("__c"), asc("__g"))
+    val top2 = g2
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") === 1)
+      .select(id,
+        when(col("__nc") > 0, round(
+          least((col("__c") * length(col("__g"))).cast("double") / col("__nc").cast("double"),
+            lit(1.0)), 6))
+          .otherwise(lit(0.0)).as("top2gram_char_frac"))
+    // word 5-grams occurring >= 2x: total coverage
+    val g5 = base.select(id, col("__nc"),
+      // CASE guard, not greatest(): Spark sequence(1, 0) DESCENDS to
+      // [1, 0] instead of yielding empty, which would fabricate grams
+      // from sub-5-token docs
+      explode(expr(
+        "CASE WHEN size(__t) >= 5 THEN transform(sequence(1, size(__t) - 4), " +
+          "i -> array_join(slice(__t, i, 5), ' ')) ELSE array() END"))
+        .as("__g"))
+      .groupBy(id, col("__nc"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val dup5 = g5
+      .filter(col("__c") >= 2)
+      .groupBy(id, col("__nc"))
+      .agg(sum(col("__c") * length(col("__g")).cast("long")).as("__dupc"))
+      .select(id,
+        when(col("__nc") > 0, round(
+          least(col("__dupc").cast("double") / col("__nc").cast("double"), lit(1.0)), 6))
+          .otherwise(lit(0.0)).as("dup5gram_char_frac"))
+    lineFrac
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top2gram_char_frac", "dup5gram_char_frac"))
+  }
+
   /** C4-style line-level cleanup (the public Raffel et al. 2020
     * preprocessing rules, restated declaratively): keep a line iff it
     *   - has ≥ `minWords` whitespace words,

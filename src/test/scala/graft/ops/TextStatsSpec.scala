@@ -481,6 +481,26 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRepetition: top-2-gram coverage, duplicate-5-gram coverage, duplicate-line chars") {
+    val cases = Seq(
+      // "a b" ×3 of 5 bigrams; len 11 → 3·3/11; no dup 5-grams, one line
+      (1L, "a b a b a b", 0.0, 0.818182, 0.0),
+      // dup line "x": 1 of 4 line chars; top bigram tie → lexicographic
+      // "x x" (count 1, len 3) over len-6 text
+      (2L, "x\nx\nyy", 0.25, 0.5, 0.0),
+      // period-3 repeat: every 5-gram duplicated (Σ c·len = 72 > len 23
+      // → capped 1.0); top bigram "p q" ×4 → 12/23
+      (3L, "p q r p q r p q r p q r", 0.0, 0.521739, 1.0),
+      // sub-5-token doc: no 5-grams, no bigram dups, single line
+      (4L, "just four words here", 0.0, 0.5, 0.0))
+    val got = TextStats.gopherRepetition(
+      cases.map(c => (c._1, c._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    cases.zip(got).foreach { case (exp, g) =>
+      assert(g == ((exp._1, exp._3, exp._4, exp._5)), s"case ${exp._1}: got $g")
+    }
+  }
+
   test("c4LineFilter: word floor, terminal punctuation, javascript lines, doc flags") {
     val cases = Seq(
       // survives: >=3 words, ends in period
