@@ -616,6 +616,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — encoding-corruption (mojibake) profile: replacement chars,
+    // C1 controls, and the Ã©-style double-encoding signature planted on
+    // 3 of 4 doc classes; the oracle runs the LITERALLY identical
+    // \x{hhhh} regex patterns (valid in both Java regex and RE2) and
+    // builds the planted bytes with chr().
+    "encoding_profile" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(m === 0, lit(" caf\uFFFDe mojibake"))
+            .when(m === 1, lit(" S\u00C3\u00A3o Paulo"))
+            .when(m === 2, lit(" broken\u0085line"))
+            .otherwise(lit(""))))
+        .select(col("doc_id") +: TextStats.encodingProfile(col("text")): _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — the Gopher REPETITION rule family (top-2-gram coverage,
     // duplicate-5-gram coverage, duplicate-line chars): every 3rd doc
     // gets a 6×-repeated phrase appended so the duplicate branches are
@@ -3360,6 +3377,27 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "encoding_profile" ->
+      """WITH e AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' caf' || chr(65533) || 'e mojibake'
+        |      WHEN 1 THEN ' S' || chr(195) || chr(163) || 'o Paulo'
+        |      WHEN 2 THEN ' broken' || chr(133) || 'line'
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS BIGINT) AS n_c1_controls,
+        |  CAST(len(regexp_extract_all(text, '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]')) AS BIGINT) AS n_double_encoded,
+        |  CASE WHEN length(text) > 0
+        |    THEN round((len(regexp_extract_all(text, '\x{FFFD}'))
+        |      + len(regexp_extract_all(text, '[\x{0080}-\x{009F}]'))
+        |      + len(regexp_extract_all(text, '[\x{00C2}\x{00C3}][\x{0080}-\x{00FF}]'))) * 1.0
+        |      / length(text), 6)
+        |    ELSE 0.0 END AS mojibake_score
+        |FROM e ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "gopher_repetition" ->
       """WITH e AS (

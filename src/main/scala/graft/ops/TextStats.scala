@@ -218,6 +218,33 @@ object TextStats {
       round((n - d) * lit(1.0) / greatest(n, lit(1L)), 4).as("dup_line_frac"))
   }
 
+  /** Encoding-corruption (mojibake) profile — the curation signal for
+    * text that survived a bad decode: counts of
+    *  - U+FFFD replacement characters (a decoder already gave up),
+    *  - C1 control characters U+0080–U+009F (valid in no sane text;
+    *    the classic cp1252-bytes-read-as-latin1 tell),
+    *  - `Ã`/`Â` followed by a Latin-1 supplement char (the UTF-8-bytes-
+    *    decoded-as-Latin-1 double-encoding signature: 'é' → 'Ã©'),
+    * plus `mojibake_score` = their sum over characters (6 dp). Patterns
+    * are written in `\x{hhhh}` escapes valid in BOTH Java regex and RE2,
+    * so the DuckDB oracle runs the literally identical pattern. One
+    * shuffle-free projection.
+    */
+  def encodingProfile(text: Column): Seq[Column] = {
+    val nRepl = coalesce(regexp_count(text, lit("\\x{FFFD}")), lit(0)).cast("long")
+    val nC1 = coalesce(regexp_count(text, lit("[\\x{0080}-\\x{009F}]")), lit(0))
+      .cast("long")
+    val nDouble = coalesce(
+      regexp_count(text, lit("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00FF}]")), lit(0))
+      .cast("long")
+    val nChars = length(text).cast("long")
+    val score = when(nChars > 0, round(
+      (nRepl + nC1 + nDouble).cast("double") / nChars.cast("double"), 6))
+      .otherwise(lit(0.0))
+    Seq(nRepl.as("n_replacement"), nC1.as("n_c1_controls"),
+      nDouble.as("n_double_encoded"), score.as("mojibake_score"))
+  }
+
   /** Gopher REPETITION signals (the Rae et al. 2021 repetition family,
     * complementing [[gopherKeep]]'s length/character rules and
     * [[dupLineStats]]'s line counts): per document,

@@ -481,6 +481,26 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("encodingProfile: replacement chars, C1 controls, double-encoding signature") {
+    val cases = Seq(
+      (1L, "clean text here", 0L, 0L, 0L, 0.0),
+      // one replacement char in 6 chars
+      (2L, "caf�e!", 1L, 0L, 0L, 0.166667),
+      // Ã£ double-encoding pair (Ã itself is NOT C1)
+      (3L, "SÃ£o", 0L, 0L, 1L, 0.25),
+      // C1 control (NEL)
+      (4L, "ab", 0L, 1L, 0L, 0.333333),
+      // ÃÃ© : first match consumes ÃÃ (leftmost, non-overlapping) → 1
+      (5L, "ÃÃéx", 0L, 0L, 1L, 0.25),
+      (6L, "", 0L, 0L, 0L, 0.0))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select(col("id") +: TextStats.encodingProfile(col("text")): _*)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    cases.zip(got).foreach { case (exp, g) =>
+      assert(g == ((exp._1, exp._3, exp._4, exp._5, exp._6)), s"case ${exp._1}: got $g")
+    }
+  }
+
   test("gopherRepetition: top-2-gram coverage, duplicate-5-gram coverage, duplicate-line chars") {
     val cases = Seq(
       // "a b" ×3 of 5 bigrams; len 11 → 3·3/11; no dup 5-grams, one line
