@@ -2629,27 +2629,46 @@ object SparkEntry {
          |  union_by_name=true)
          |ORDER BY doc_id""".stripMargin,
 
+    // the registrable-domain stage replays the FULL PSL algorithm from
+    // the dumped rule table (same CTE shape as psl_domains), since the
+    // engine's domainProfile now runs the full algorithm — a lite-rule
+    // mirror would pass only while no source value collides with a PSL
+    // label (e.g. source = "blogspot" would break it)
     "domain_profile" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
-        |    source || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END ||
-        |    '/doc/' || doc_id || '?ref=x' AS url
-        |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
-        |h AS (
-        |  SELECT lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host FROM u),
-        |d AS (
-        |  SELECT host,
-        |    CASE WHEN len(s) <= 2 THEN host
-        |         WHEN s[-2] || '.' || s[-1] IN
-        |           ('co.uk','ac.uk','org.uk','co.jp','com.au','com.br','co.in')
-        |           THEN s[-3] || '.' || s[-2] || '.' || s[-1]
-        |         ELSE s[-2] || '.' || s[-1] END AS domain
-        |  FROM (SELECT host, string_split(host, '.') AS s FROM h)
-        |  WHERE host IS NOT NULL AND host <> '')
-        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
-        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+         |    source || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END ||
+         |    '/doc/' || doc_id || '?ref=x' AS url
+         |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+         |h AS (
+         |  SELECT lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host FROM u),
+         |hh AS (
+         |  SELECT host, count(*) AS n FROM h
+         |  WHERE host IS NOT NULL AND host <> '' GROUP BY host),
+         |rules AS (
+         |  SELECT kind, pattern FROM read_parquet('$PslDumpDir/*.parquet')),
+         |labs AS (SELECT host, string_split(host, '.') AS l FROM hh),
+         |cand AS (
+         |  SELECT host, len(l) AS nl, k,
+         |    array_to_string(l[len(l)-k+1:], '.') AS suf,
+         |    CASE WHEN k >= 2 THEN array_to_string(l[len(l)-k+2:], '.') END AS par
+         |  FROM labs, unnest(generate_series(1, len(l))) AS g(k)),
+         |m AS (
+         |  SELECT c.host, c.nl,
+         |    min(CASE WHEN r.kind = 'exception' AND r.pattern = c.suf THEN c.k - 1 END) AS exc,
+         |    max(CASE WHEN (r.kind = 'exact' AND r.pattern = c.suf)
+         |              OR (r.kind = 'wildcard' AND r.pattern = c.par) THEN c.k END) AS reg
+         |  FROM cand c LEFT JOIN rules r ON r.pattern = c.suf OR r.pattern = c.par
+         |  GROUP BY 1, 2),
+         |dom AS (
+         |  SELECT m.host, CASE WHEN m.nl > coalesce(exc, reg, 1)
+         |    THEN array_to_string(l.l[m.nl - coalesce(exc, reg, 1):], '.') END AS domain
+         |  FROM m JOIN labs l ON l.host = m.host)
+         |SELECT d.domain, CAST(sum(hh.n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_hosts
+         |FROM hh JOIN dom d ON d.host = hh.host
+         |GROUP BY d.domain ORDER BY d.domain NULLS FIRST""".stripMargin,
 
     "psl_domains" ->
       s"""WITH rules AS (

@@ -98,6 +98,19 @@ object Multimodal {
       media_id: Long, n_bytes: Long, decoded: Boolean, width: Int, height: Int,
       pixel_sum: Long, pixel_min: Int, pixel_max: Int)
 
+  /** The shared decode prologue of [[decodeImages]]/[[resizeImages]]:
+    * null/empty-safe ImageIO read, null on ANY decoder failure — JDK
+    * image readers throw unchecked exceptions on malformed payloads
+    * (ArrayIndexOutOfBounds, NegativeArraySize, CMMException, …), not
+    * just IOException, and at corpus scale one crafted blob must not
+    * kill the scan.
+    */
+  private def tryDecode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
   /** REAL image decode at the codec seam: `javax.imageio.ImageIO.read`
     * per payload (PNG/JPEG/GIF/BMP — whatever the JVM's registered
     * readers handle), emitting dimensions and band-0 pixel statistics
@@ -117,11 +130,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytesOrNull) =>
           val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
-          val img =
-            if (bytes.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+          val img = tryDecode(bytes)
           if (img == null)
             DecodedImage(id, bytes.length.toLong, decoded = false, 0, 0, 0L, 0, 0)
           else {
@@ -167,12 +176,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytesOrNull) =>
-          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
-          val img =
-            if (bytes.isEmpty) null
-            else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+          val img = tryDecode(bytesOrNull)
           if (img == null) Iterator.empty
           else {
             val src = img.getRaster

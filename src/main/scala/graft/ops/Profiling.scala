@@ -92,17 +92,23 @@ object Profiling {
     * ProfilingSpec). Bounds become rank-approximate; clamping semantics
     * are otherwise identical.
     */
+  /** Exact (`accuracy = 0`) or sketch-approximate percentile aggregate —
+    * the single definition both [[winsorize]] and [[distributionProfile]]
+    * build on, so the exact/approx semantics cannot fork.
+    */
+  private def percentileExpr(valueCol: String, q: Double, accuracy: Int): Column =
+    if (accuracy == 0) expr(s"percentile(`$valueCol`, $q)")
+    else expr(s"approx_percentile(`$valueCol`, $q, $accuracy)").cast("double")
+
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       loQ: Double = 0.05, hiQ: Double = 0.95, accuracy: Int = 0): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad band: [$loQ, $hiQ]")
     require(accuracy >= 0, s"accuracy must be >= 0 (0 = exact): $accuracy")
     val v = col(s"`$valueCol`")
-    def pct(q: Double): Column =
-      if (accuracy == 0) expr(s"percentile(`$valueCol`, $q)")
-      else expr(s"approx_percentile(`$valueCol`, $q, $accuracy)").cast("double")
     val bounds = df
       .groupBy(col(s"`$groupCol`").as("__g"))
-      .agg(pct(loQ).as("__lo"), pct(hiQ).as("__hi"))
+      .agg(percentileExpr(valueCol, loQ, accuracy).as("__lo"),
+        percentileExpr(valueCol, hiQ, accuracy).as("__hi"))
     df.join(broadcast(bounds), col(s"`$groupCol`") <=> col("__g"), "left")
       .withColumn(s"${valueCol}_w",
         when(v.isNull, lit(null).cast("double"))
@@ -128,20 +134,20 @@ object Profiling {
       accuracy: Int = 0): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
       s"quantiles out of [0,1]: $quantiles")
+    require(quantiles.distinct == quantiles, s"duplicate quantiles: $quantiles")
     require(accuracy >= 0, s"accuracy must be >= 0 (0 = exact): $accuracy")
     def pName(q: Double): String = {
-      val centi = q * 100
-      if (centi == centi.floor) s"p${centi.toLong}"
-      else s"p${centi.toString.replace('.', '_')}"
+      // decimal, not double, arithmetic: 0.07 * 100 in floating point is
+      // 7.000000000000001 and would name the column p7_000000000000001
+      val centi = (BigDecimal(q) * 100).underlying.stripTrailingZeros
+      if (centi.scale <= 0) s"p${centi.toBigInteger}"
+      else s"p${centi.toPlainString.replace('.', '_')}"
     }
-    def pct(q: Double): Column =
-      if (accuracy == 0) expr(s"percentile(`$valueCol`, $q)")
-      else expr(s"approx_percentile(`$valueCol`, $q, $accuracy)").cast("double")
     df.agg(
       count(lit(1)).as("n"),
       min(col(s"`$valueCol`")).as("min_val") +:
         max(col(s"`$valueCol`")).as("max_val") +:
-        quantiles.map(q => pct(q).as(pName(q))): _*)
+        quantiles.map(q => percentileExpr(valueCol, q, accuracy).as(pName(q))): _*)
   }
 
   /** [[psi]] for a CATEGORICAL column (source, language, domain): drift

@@ -259,11 +259,13 @@ object TextStats {
     * High values flag templated/boilerplate documents that pass
     * length-based rules.
     *
-    * Scale shape: the line fraction is a shuffle-free per-row HOF; each
-    * n-gram fraction is one explode → (id, gram) count with map-side
-    * combine (shuffle bounded by DISTINCT (doc, gram) pairs, not
-    * occurrences) → per-doc window/aggregate, joined back id-keyed.
-    * Docs with too few tokens for an n-gram score 0.
+    * Scale shape: the line fraction is a shuffle-free per-row HOF; both
+    * n-gram fractions share ONE tagged explode → (id, n, gram) count
+    * with map-side combine (shuffle bounded by DISTINCT (doc, gram)
+    * pairs, not occurrences), persisted so the top-2 window and the
+    * dup-5 aggregate read it from cache → per-doc window/aggregate,
+    * joined back id-keyed. Docs with too few tokens for an n-gram
+    * score 0.
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
@@ -281,16 +283,31 @@ object TextStats {
     val lineFrac = base.select(id,
       when(lineChars > 0, round(dupChars.cast("double") / lineChars.cast("double"), 6))
         .otherwise(lit(0.0)).as("dup_line_char_frac"))
-    // word 2-grams: top-1 coverage
-    val g2 = base.select(id, col("__nc"),
-      explode(zip_with(
-        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b))).as("__g"))
-      .groupBy(id, col("__nc"), col("__g"))
+    // BOTH gram families ride ONE tagged explode (the expensive
+    // tokenize + fan-out scan runs once, not per family), and the
+    // (id, n, gram)-distinct count frame persists so the top-2 window
+    // and the dup-5 aggregate read it from cache instead of each
+    // re-exploding the corpus
+    val bigrams = zip_with(
+      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+      slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    // CASE guard, not greatest(): Spark sequence(1, 0) DESCENDS to
+    // [1, 0] instead of yielding empty, which would fabricate grams
+    // from sub-5-token docs
+    val fivegrams = expr(
+      "CASE WHEN size(__t) >= 5 THEN transform(sequence(1, size(__t) - 4), " +
+        "i -> array_join(slice(__t, i, 5), ' ')) ELSE array() END")
+    val counts = base.select(id, col("__nc"),
+      explode(concat(
+        transform(bigrams, g => struct(lit(2).as("n"), g.as("g"))),
+        transform(fivegrams, g => struct(lit(5).as("n"), g.as("g"))))).as("__tg"))
+      .select(id, col("__nc"), col("__tg.n").as("__n"), col("__tg.g").as("__g"))
+      .groupBy(id, col("__nc"), col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w2 = Window.partitionBy(id).orderBy(desc("__c"), asc("__g"))
-    val top2 = g2
+    val top2 = counts.filter(col("__n") === 2)
       .withColumn("__rn", row_number().over(w2))
       .filter(col("__rn") === 1)
       .select(id,
@@ -298,18 +315,7 @@ object TextStats {
           least((col("__c") * length(col("__g"))).cast("double") / col("__nc").cast("double"),
             lit(1.0)), 6))
           .otherwise(lit(0.0)).as("top2gram_char_frac"))
-    // word 5-grams occurring >= 2x: total coverage
-    val g5 = base.select(id, col("__nc"),
-      // CASE guard, not greatest(): Spark sequence(1, 0) DESCENDS to
-      // [1, 0] instead of yielding empty, which would fabricate grams
-      // from sub-5-token docs
-      explode(expr(
-        "CASE WHEN size(__t) >= 5 THEN transform(sequence(1, size(__t) - 4), " +
-          "i -> array_join(slice(__t, i, 5), ' ')) ELSE array() END"))
-        .as("__g"))
-      .groupBy(id, col("__nc"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val dup5 = g5
+    val dup5 = counts.filter(col("__n") === 5)
       .filter(col("__c") >= 2)
       .groupBy(id, col("__nc"))
       .agg(sum(col("__c") * length(col("__g")).cast("long")).as("__dupc"))
