@@ -648,6 +648,29 @@ object SparkEntry {
       TextStats.gopherRepetition(enriched, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // §2.11 — the composed WEB-curation pipeline (curateWebCorpus):
+    // C4 line cleanup → doc-rule drops → Gopher filter → exact dedup →
+    // split, ONE lazy plan. Docs are rebuilt as multi-line web-ish
+    // content: the original text inside a kept line (so the Gopher
+    // token floor still discriminates), a too-short line, a javascript
+    // boilerplate line on every 5th doc, a lorem-ipsum marker (whole-doc
+    // drop) on others. Oracle replays line cleanup + every downstream
+    // stage from shared fragments.
+    "web_pipeline" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val enriched = t(s, dir, "documents")
+        .withColumn("text", concat(
+          col("text"), lit(" and the line ends here.\n"),
+          lit("short\n"),
+          when(m === 0, lit("Please enable javascript to continue the test.\n"))
+            .otherwise(lit("")),
+          lit("A second proper sentence closes this document."),
+          when(m === 1, lit(" lorem ipsum")).otherwise(lit(""))))
+      Curation.curateWebCorpus(enriched, "doc_id", "text")
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — repetition profile (duplicate-line fraction per document).
     "repetition_profile" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3396,6 +3419,41 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "web_pipeline" ->
+      (s"""WITH e AS (
+          |  SELECT doc_id, lang, source, text || ' and the line ends here.' || chr(10) ||
+          |    'short' || chr(10) ||
+          |    CASE WHEN doc_id % 5 = 0
+          |      THEN 'Please enable javascript to continue the test.' || chr(10) ELSE '' END ||
+          |    'A second proper sentence closes this document.' ||
+          |    CASE WHEN doc_id % 5 = 1 THEN ' lorem ipsum' ELSE '' END AS text
+          |  FROM documents),
+          |cl AS (
+          |  SELECT doc_id, lang, source,
+          |    array_to_string(list_filter(
+          |      list_filter(string_split(text, chr(10)), x -> len(x) > 0), x ->
+          |      len(list_filter(string_split_regex(
+          |        regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '\\s+'), w -> w <> '')) >= 3
+          |      AND regexp_matches(regexp_replace(x, '^\\s+|\\s+$$', '', 'g'), '[.!?"]$$')
+          |      AND NOT contains(lower(x), 'javascript')), chr(10)) AS text
+          |  FROM e
+          |  WHERE NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')),
+          |base AS (
+          |  SELECT doc_id, lang, source, text FROM cl
+          |  WHERE length(coalesce(text, '')) > 0 AND doc_id IS NOT NULL)
+          |SELECT doc_id, lang, source,
+          |  CASE WHEN __bucket < 9800 THEN 'train'
+          |       WHEN __bucket < 9900 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM """.stripMargin +
+        Curation.bucketSqlCte(
+          "(SELECT doc_id, lang, source FROM (" +
+            "SELECT doc_id, lang, source, text FROM base WHERE " +
+            gopherKeepSql.replace('\n', ' ') +
+            ") QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)",
+          "doc_id", Curation.SplitSalt) +
+        "\nORDER BY doc_id"),
 
     "encoding_profile" ->
       """WITH e AS (

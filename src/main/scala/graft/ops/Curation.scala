@@ -520,6 +520,33 @@ object Curation {
         textCol, idCol),
       idCol, trainPerMyriad, valPerMyriad, salt)
 
+  /** FineWeb/C4-style WEB-curation pipeline as one lazy plan, one stage
+    * deeper than [[curateCorpus]]: C4 line-level cleanup first
+    * ([[graft.ops.TextStats.c4LineFilter]] — boilerplate/short/
+    * punctuation-less lines dropped, brace and lorem-ipsum documents
+    * dropped whole, per the published C4 rules), then the standard
+    * Gopher filter → projected exact dedup → hash split over the
+    * CLEANED text. Line cleanup before dedup matters: boilerplate-only
+    * differences (cookie banners) stop splitting duplicate groups.
+    * `textCol` is replaced by the cleaned text in the output; documents
+    * whose every line is dropped are removed (nothing left to train
+    * on). The input must not already carry the c4LineFilter output
+    * column names (`text_clean`, `n_lines`, `n_kept`, `has_brace`,
+    * `has_lorem`).
+    */
+  def curateWebCorpus(df: DataFrame, idCol: String, textCol: String,
+      trainPerMyriad: Int = 9800, valPerMyriad: Int = 100,
+      salt: Long = SplitSalt): DataFrame = {
+    val c4 = graft.ops.TextStats.c4LineFilter(col(s"`$textCol`"))
+    val cleaned = df
+      .select(col("*") +: c4: _*)
+      .filter(col("has_brace") === 0 && col("has_lorem") === 0 &&
+        length(col("text_clean")) > 0)
+      .drop(textCol, "n_lines", "n_kept", "has_brace", "has_lorem")
+      .withColumnRenamed("text_clean", textCol)
+    curateCorpus(cleaned, idCol, textCol, trainPerMyriad, valPerMyriad, salt)
+  }
+
   /** Deterministic corpus shuffle: a stable pseudo-random total order
     * with the global position exposed as `shuffle_rank`. Reproducible
     * across runs/engines — the property a training-order shuffle needs

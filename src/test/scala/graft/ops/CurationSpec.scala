@@ -453,4 +453,33 @@ class CurationSpec extends SparkSpec {
       "doc_id", 9800, 100).select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(out == direct)
   }
+
+  test("curateWebCorpus: line cleanup feeds the standard pipeline; doc rules drop whole docs") {
+    // a line that passes C4 (>=3 words, terminal punct) AND — alone —
+    // passes every Gopher rule
+    val goodLine = ("the and of words mixed " * 20).trim + " and ends."
+    val rows = Seq(
+      // kept line + dropped boilerplate lines → survives with cleaned text
+      (1L, goodLine + "\nshort\nPlease enable javascript now.\n"),
+      // same CLEANED content as doc 1 (raw differs by boilerplate only)
+      // → dedup collapses to min id 1: line cleanup BEFORE dedup
+      (2L, goodLine + "\nEnable JAVASCRIPT here today.\n"),
+      // lorem ipsum → whole doc dropped despite a good line
+      (3L, goodLine + "\nlorem ipsum dolor"),
+      // brace → whole doc dropped
+      (4L, goodLine + "\nint f() { return 1; }"),
+      // every line dropped → nothing left to train on
+      (5L, "short\nno punct line here\n"),
+      // distinct good content survives
+      (6L, goodLine + " extra the and tail.\nshort\n"))
+      .toDF("doc_id", "text")
+    val out = Curation.curateWebCorpus(rows, "doc_id", "text")
+      .select("doc_id", "text", "split").as[(Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 6L), s"got ${out.keySet}")
+    // cleaned text: only the surviving lines, rejoined
+    assert(out(1L)._2 == goodLine, s"doc 1 cleaned: ${out(1L)._2}")
+    assert(out(6L)._2 == goodLine + " extra the and tail.")
+    assert(out.values.forall(r => Set("train", "val", "test")(r._3)))
+  }
 }
