@@ -262,10 +262,9 @@ object TextStats {
     * Scale shape: the line fraction is a shuffle-free per-row HOF; both
     * n-gram fractions share ONE tagged explode → (id, n, gram) count
     * with map-side combine (shuffle bounded by DISTINCT (doc, gram)
-    * pairs, not occurrences), persisted so the top-2 window and the
-    * dup-5 aggregate read it from cache → per-doc window/aggregate,
-    * joined back id-keyed. Docs with too few tokens for an n-gram
-    * score 0.
+    * pairs, not occurrences) → ONE second-level per-doc aggregate
+    * (struct-min replaces the rank window), joined back id-keyed. Docs
+    * with too few tokens for an n-gram score 0.
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(s"`$idCol`")
@@ -284,10 +283,11 @@ object TextStats {
       when(lineChars > 0, round(dupChars.cast("double") / lineChars.cast("double"), 6))
         .otherwise(lit(0.0)).as("dup_line_char_frac"))
     // BOTH gram families ride ONE tagged explode (the expensive
-    // tokenize + fan-out scan runs once, not per family), and the
-    // (id, n, gram)-distinct count frame persists so the top-2 window
-    // and the dup-5 aggregate read it from cache instead of each
-    // re-exploding the corpus
+    // tokenize + fan-out scan runs once, not per family); both fractions
+    // then come out of ONE second-level aggregation — the top-2-gram is
+    // min(struct(-count, gram)), the struct's field-wise ordering giving
+    // exactly (count desc, gram asc) without a window, so there is no
+    // rank shuffle, no persisted intermediate, and no consumer race
     val bigrams = zip_with(
       slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
       slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
@@ -298,34 +298,29 @@ object TextStats {
     val fivegrams = expr(
       "CASE WHEN size(__t) >= 5 THEN transform(sequence(1, size(__t) - 4), " +
         "i -> array_join(slice(__t, i, 5), ' ')) ELSE array() END")
-    val counts = base.select(id, col("__nc"),
+    val gramStats = base.select(id, col("__nc"),
       explode(concat(
         transform(bigrams, g => struct(lit(2).as("n"), g.as("g"))),
         transform(fivegrams, g => struct(lit(5).as("n"), g.as("g"))))).as("__tg"))
       .select(id, col("__nc"), col("__tg.n").as("__n"), col("__tg.g").as("__g"))
       .groupBy(id, col("__nc"), col("__n"), col("__g"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w2 = Window.partitionBy(id).orderBy(desc("__c"), asc("__g"))
-    val top2 = counts.filter(col("__n") === 2)
-      .withColumn("__rn", row_number().over(w2))
-      .filter(col("__rn") === 1)
-      .select(id,
-        when(col("__nc") > 0, round(
-          least((col("__c") * length(col("__g"))).cast("double") / col("__nc").cast("double"),
-            lit(1.0)), 6))
-          .otherwise(lit(0.0)).as("top2gram_char_frac"))
-    val dup5 = counts.filter(col("__n") === 5)
-      .filter(col("__c") >= 2)
       .groupBy(id, col("__nc"))
-      .agg(sum(col("__c") * length(col("__g")).cast("long")).as("__dupc"))
+      .agg(
+        min(when(col("__n") === 2,
+          struct((-col("__c")).as("negc"), col("__g").as("g")))).as("__top2"),
+        sum(when(col("__n") === 5 && col("__c") >= 2,
+          col("__c") * length(col("__g")).cast("long"))).as("__dupc"))
       .select(id,
-        when(col("__nc") > 0, round(
+        when(col("__nc") > 0 && col("__top2").isNotNull, round(
+          least((-col("__top2.negc") * length(col("__top2.g"))).cast("double")
+            / col("__nc").cast("double"), lit(1.0)), 6))
+          .otherwise(lit(0.0)).as("top2gram_char_frac"),
+        when(col("__nc") > 0 && col("__dupc").isNotNull, round(
           least(col("__dupc").cast("double") / col("__nc").cast("double"), lit(1.0)), 6))
           .otherwise(lit(0.0)).as("dup5gram_char_frac"))
     lineFrac
-      .join(top2, Seq(idCol), "left")
-      .join(dup5, Seq(idCol), "left")
+      .join(gramStats, Seq(idCol), "left")
       .na.fill(0.0, Seq("top2gram_char_frac", "dup5gram_char_frac"))
   }
 
