@@ -258,6 +258,28 @@ object ScaleProbe {
       }
     }
 
+    // round-6 text-op family: repetition signals (tagged-explode
+    // aggregate), the composed web pipeline, and the broadcast blockterm
+    // join — the per-doc fan-out ops whose shuffles are bounded by
+    // distinct (doc, gram)/(doc, token) pairs.
+    Seq(1, k).foreach { times =>
+      val d = replicate(times)
+        .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      println(s"--- round-6 text ops ${times}x (${d.count()} docs) ---")
+      time("gopherRepetition",
+        graft.ops.TextStats.gopherRepetition(d, "doc_id", "text"))
+      time("curateWebCorpus",
+        Curation.curateWebCorpus(
+          d.withColumn("text", concat(col("text"), lit(" and this line ends here."))),
+          "doc_id", "text"))
+      time("blocktermProfileJoined", {
+        val terms = spark.range(0, 10000)
+          .select(concat(lit("zzterm"), col("id")).as("term"))
+        graft.ops.TextStats.blocktermProfileJoined(d, "doc_id", "text", terms)
+      })
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
