@@ -1835,6 +1835,24 @@ object SparkEntry {
       orig.join(resized, Seq("media_id")).orderBy("media_id")
     }),
 
+    // §2.11 — perceptual image dedup over the REAL codec tier: every
+    // 9th image gets a one-pixel-perturbed near-copy (no mod-wrap, so
+    // the copy stays within a few aHash bits); decode → 8×8 aHash →
+    // 4-chunk pigeonhole pair join → exact Hamming verify. The oracle
+    // recomputes the hashes from the pixel formula alone (the engine
+    // got them through actual PNG encode/decode) and checks ALL pairs —
+    // proving the pigeonhole candidate join is complete at maxHamming 3.
+    "multimodal_ahash" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val base = Multimodal.syntheticPngTable(ids, "doc_id")
+      val copies = Multimodal.syntheticPngTable(
+        ids.filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id",
+        perturb00 = true, idOffset = 10000000L)
+      Multimodal.ahashNearDups(
+        Multimodal.imageAHash(base.unionByName(copies)).toDF())
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -4144,6 +4162,44 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Perceptual-hash pairs recomputed from the pixel formula: nearest-
+    // neighbor 8×8 samples, integer-compare bits (64·v > Σv), bit 63 as
+    // the signed literal (DuckDB refuses 1<<63), ALL-pairs Hamming — the
+    // engine's pigeonhole join must find exactly these.
+    "multimodal_ahash" ->
+      """WITH srcs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS pert
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 9 = 0),
+        |dims AS (
+        |  SELECT media_id, src, pert, 4 + src % 13 AS w, 4 + src % 7 AS h
+        |  FROM srcs),
+        |px AS (
+        |  SELECT media_id, yy.y * 8 + xx.x AS i,
+        |    CASE WHEN pert = 1 AND ((xx.x * w) // 8) = 0 AND ((yy.y * h) // 8) = 0
+        |      THEN CASE WHEN (src * 31) % 256 < 248
+        |           THEN (src * 31) % 256 + 8 ELSE (src * 31) % 256 - 8 END
+        |      ELSE (src * 31 + ((xx.x * w) // 8) * 7 + ((yy.y * h) // 8) * 13) % 256
+        |      END AS v
+        |  FROM dims, unnest(generate_series(0, 7)) AS xx(x),
+        |       unnest(generate_series(0, 7)) AS yy(y)),
+        |sums AS (SELECT media_id, sum(v) AS s FROM px GROUP BY media_id),
+        |bits AS (
+        |  SELECT p.media_id,
+        |    CAST(sum(CASE WHEN 64 * p.v > m.s THEN
+        |      CASE WHEN p.i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST(CAST(1 AS BIGINT) << p.i AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px p JOIN sums m ON m.media_id = p.media_id
+        |  GROUP BY p.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Real-codec round trip: every value recomputed from the pixel
     // formula v(x,y) = (id*31 + x*7 + y*13) % 256 alone — the engine got

@@ -55,7 +55,8 @@ object Multimodal {
     * lossless, so the decode side recovers exactly these samples — the
     * formula is the SQL oracle's ground truth.
     */
-  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+  def syntheticPng(id: Long, width: Int, height: Int,
+      perturb00: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -64,7 +65,12 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+        var v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        // near-copy perturbation for dedup tests: nudge ONE pixel by ±8
+        // WITHOUT mod-wrap (a wrap would shift the image mean by ~250 and
+        // scatter the perceptual hash instead of staying a near-dup)
+        if (perturb00 && x == 0 && y == 0) v = if (v < 248) v + 8 else v - 8
+        raster.setSample(x, y, 0, v)
         x += 1
       }
       y += 1
@@ -80,7 +86,8 @@ object Multimodal {
     * encode runs executor-side in `mapPartitions` — the same place a real
     * pipeline's `binaryFile` scan or parquet binary column lands.
     */
-  def syntheticPngTable(df: DataFrame, idCol: String): DataFrame = {
+  def syntheticPngTable(df: DataFrame, idCol: String,
+      perturb00: Boolean = false, idOffset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
@@ -88,7 +95,9 @@ object Multimodal {
         it.map { id =>
           val w = 4 + (id % 13).toInt
           val h = 4 + (id % 7).toInt
-          (id, syntheticPng(id, w, h))
+          // dims/pixels keyed by the SOURCE id; idOffset relabels the
+          // output row (near-copy corpora for dedup tests)
+          (id + idOffset, syntheticPng(id, w, h, perturb00))
         }
       }
       .toDF("media_id", "payload")
@@ -203,6 +212,90 @@ object Multimodal {
         }
       }
       .toDF("media_id", "payload")
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over the REAL codec tier: decode →
+    * exact nearest-neighbor 8×8 resample (`s(x,y) = ⌊x·w/8⌋,⌊y·h/8⌋` —
+    * the same integer resample as [[resizeImages]]) → 64-bit hash with
+    * bit `y·8+x` set iff `64·v > Σv` (cross-multiplied integer compare,
+    * no division, so the bits are engine-exact and the oracle replays
+    * them arithmetically). Visually-near images land within a few bits
+    * of Hamming distance regardless of original resolution — the
+    * standard image near-dup key. Undecodable payloads are dropped
+    * (audit first with [[decodeImages]]'s decoded flag). Shuffle-free.
+    */
+  def imageAHash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytesOrNull) =>
+          val img = tryDecode(bytesOrNull)
+          if (img == null) Iterator.empty
+          else {
+            val r = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val v = new Array[Int](64)
+            var s = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = (y.toLong * h / 8).toInt
+              var x = 0
+              while (x < 8) {
+                val sx = (x.toLong * w / 8).toInt
+                val px = r.getSample(sx, sy, 0)
+                v(y * 8 + x) = px
+                s += px
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 64) {
+              if (64L * v(i) > s) hash |= (1L << i)
+              i += 1
+            }
+            Iterator.single(ImageHash(id, hash))
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs over [[imageAHash]] hashes: the 4-chunk
+    * pigeonhole band join (any pair within `maxHamming ≤ 3` bits shares
+    * at least one identical 16-bit chunk), then the exact
+    * `bit_count(xor)` verify — the same never-all-pairs shape as the
+    * SimHash text path; candidates are bounded by bucket collisions,
+    * not n². Output: `(id_a, id_b, hamming)` with `id_a < id_b`.
+    */
+  def ahashNearDups(hashes: DataFrame, idCol: String = "media_id",
+      hashCol: String = "ahash", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-chunk pigeonhole is complete only to maxHamming 3: $maxHamming")
+    val chunks = hashes.select(
+      col(s"`$idCol`").as("__id"), col(s"`$hashCol`").as("__h"),
+      explode(array((0 until 4).map(j => struct(
+        lit(j).as("j"),
+        (shiftrightunsigned(col(s"`$hashCol`"), 16 * j) bitwiseAND lit(0xFFFFL))
+          .as("ck"))): _*)).as("__c"))
+      .select(col("__id"), col("__h"),
+        col("__c.j").as("__j"), col("__c.ck").as("__ck"))
+    val a = chunks.select(col("__id").as("id_a"), col("__h").as("__ha"),
+      col("__j"), col("__ck"))
+    val b = chunks.select(col("__id").as("id_b"), col("__h").as("__hb"),
+      col("__j"), col("__ck"))
+    a.join(b, Seq("__j", "__ck"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   // --- byte-level stub path (no in-JVM codec: audio/video) ---------------

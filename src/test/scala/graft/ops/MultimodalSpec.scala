@@ -93,6 +93,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!b.decoded && b.width == 0 && b.pixel_sum == 0L && b.n_bytes == 3L)
   }
 
+  test("imageAHash: bits match the integer arithmetic; perturbed copy stays within Hamming 3") {
+    import spark.implicits._
+    val ids = Seq(2L, 7L, 11L).toDF("doc_id")
+    val base = Multimodal.syntheticPngTable(ids, "doc_id")
+    val got = Multimodal.imageAHash(base).collect().map(h => h.media_id -> h.ahash).toMap
+    ids.as[Long].collect().foreach { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val v = for { y <- 0 until 8; x <- 0 until 8 }
+        yield ((id * 31 + (x * w / 8) * 7 + (y * h / 8) * 13) % 256).toInt
+      val s = v.map(_.toLong).sum
+      val expected = v.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        if (64L * p > s) acc | (1L << i) else acc
+      }
+      assert(got(id) == expected, s"id=$id: ${got(id)} != $expected")
+    }
+    // planted near-copy pairs within Hamming 3; no cross-image noise in
+    // this tiny set
+    val copies = Multimodal.syntheticPngTable(ids, "doc_id",
+      perturb00 = true, idOffset = 1000L)
+    val pairs = Multimodal.ahashNearDups(
+      Multimodal.imageAHash(base.unionByName(copies)).toDF())
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 1002L), (7L, 1007L), (11L, 1011L)),
+      s"pairs: $pairs")
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("resizeImages: decode -> nearest-neighbor -> re-encode matches integer resample arithmetic") {
     import spark.implicits._
     val ids = Seq(3L, 10L).toDF("doc_id")
