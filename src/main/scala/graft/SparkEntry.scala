@@ -704,6 +704,29 @@ object SparkEntry {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
+    // §2.11 — exact repeated-substring dedup (Lee et al. 2022): every
+    // ≥8-token span whose grams occur elsewhere in the corpus is cut
+    // except at its first (id, pos) occurrence. Corpus enriched with a
+    // prefixed cross-doc copy (%17, ids -id-1 — negative ids sort FIRST,
+    // so the copy wins and the original is cut) and an in-doc self
+    // repeat (%23, ids -id-500000000 — disjoint negative range at any
+    // scale factor); the base table's natural dup grams (vocabulary is
+    // small) exercise the organic path.
+    "substring_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val enriched = docs
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("copied passage follows : "), col("text"),
+              lit(" : end marker tail")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 23 === 0)
+          .select((-col("doc_id") - 500000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      Dedup.exactSubstringDedup(enriched, "text", "doc_id", n = 8)
+        .select("doc_id", "text", "n_tokens_cut")
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — corpus snapshot diff: the audit step of incremental
     // ingestion. "New" snapshot is derived deterministically from the
     // same table (drop %7, edit %11 text, re-id %13 as additions) so the
@@ -3796,6 +3819,62 @@ object SparkEntry {
         |  SELECT doc_id, pos, line FROM lines WHERE length(line) < 1)
         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors exactSubstringDedup keep-first semantics: same enrichment,
+    // same tokenization (regex \s+ split, empties filtered), same
+    // md5-of-space-joined-gram key, row_number over (doc_id, pos) for
+    // the first occurrence, [pos, pos+8) token coverage, ordered
+    // string_agg rebuild. Fully-covered docs rebuild to ''. NB `key` is
+    // reserved in DuckDB — alias `gk`.
+    "substring_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1,
+        |    'copied passage follows : ' || text || ' : end marker tail'
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT -doc_id - 500000000, text || ' ' || text
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM src WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |occ AS (
+        |  SELECT doc_id, p AS pos,
+        |    md5(array_to_string(toks[p + 1:p + 8], ' ')) AS gk
+        |  FROM tk, unnest(range(0, len(toks) - 7)) AS u(p)
+        |  WHERE len(toks) >= 8),
+        |red AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn,
+        |      count(*) OVER (PARTITION BY gk) AS c
+        |    FROM occ)
+        |  WHERE c >= 2 AND rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS t
+        |  FROM red, unnest(range(0, 8)) AS u(o)),
+        |ncut AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_cut
+        |  FROM cov GROUP BY doc_id),
+        |toku AS (
+        |  SELECT tk.doc_id, unnest(toks) AS tok,
+        |    generate_subscripts(toks, 1) - 1 AS t
+        |  FROM tk WHERE tk.doc_id IN (SELECT doc_id FROM ncut)),
+        |reb AS (
+        |  SELECT toku.doc_id, string_agg(tok, ' ' ORDER BY toku.t) AS text2
+        |  FROM toku LEFT JOIN cov ON cov.doc_id = toku.doc_id AND cov.t = toku.t
+        |  WHERE cov.t IS NULL
+        |  GROUP BY toku.doc_id)
+        |SELECT s.doc_id,
+        |  CASE WHEN n.doc_id IS NOT NULL THEN coalesce(reb.text2, '')
+        |       ELSE s.text END AS text,
+        |  coalesce(n.n_tokens_cut, 0) AS n_tokens_cut
+        |FROM src s
+        |LEFT JOIN ncut n ON n.doc_id = s.doc_id
+        |LEFT JOIN reb ON reb.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "familiarity_score" ->
       s"""WITH toks AS (

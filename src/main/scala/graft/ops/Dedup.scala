@@ -805,6 +805,76 @@ object Dedup {
     * join back + groupBy(id) folds the profile. Everything is bounded by
     * total token count — no pairwise doc joins.
     */
+  /** Exact repeated-substring dedup — the span-REMOVAL operator behind
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed set-orientedly (the paper builds a suffix
+    * array; a corpus-wide sort-based index and a gram groupBy find the
+    * same repeated spans, and the groupBy is what a 1000-executor shuffle
+    * does natively). Token n-gram occurrences (whitespace tokens) are
+    * keyed by the md5 of the space-joined gram; every occurrence of a
+    * gram that appears ≥2 times in the corpus is REDUNDANT unless it is
+    * the gram's first occurrence in (id, pos) order. Tokens covered by
+    * any redundant occurrence's [pos, pos+n) window are cut and the
+    * document is rebuilt from the kept tokens (single-space joined — a
+    * rewritten doc's whitespace is normalized; UNTOUCHED docs keep their
+    * original text byte-exact). Adjacent/overlapping redundant grams
+    * merge naturally because coverage is per-token. Docs with fewer than
+    * n tokens, null ids, and null text pass through unchanged. Adds
+    * `n_tokens_cut` (BIGINT, 0 for untouched docs).
+    *
+    * Scale shape: the only corpus-sized shuffles are the gram groupBy
+    * (map-side combined, fixed 32-byte md5 keys regardless of gram
+    * width) and the occurrence↔winner equi-join, both bounded by total
+    * token count — never pairwise in docs. Coverage folds to ONE array
+    * per rewritten doc, so the rebuild is a doc-count-sized join plus a
+    * narrow per-row HOF filter (O(tokens × cut positions) per doc —
+    * fine for real documents; a doc that is mostly duplicated text is
+    * mostly being deleted anyway).
+    */
+  def exactSubstringDedup(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span width must be >= 2 tokens: $n")
+    val toks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    // persist: occurrences feed both the winner aggregate and the join
+    // probe (library caching contract, see object doc).
+    val occ = toks
+      .filter(size(col("__toks")) >= n)
+      .select(col("__id"),
+        explode(sequence(lit(0), size(col("__toks")) - n)).as("__pos"),
+        col("__toks"))
+      .select(col("__id"), col("__pos"),
+        md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(n)), " "))
+          .as("__key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grams occurring once drop out at this inner join — only duplicated
+    // grams' occurrences flow downstream.
+    val dupFirst = occ.groupBy("__key")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .drop("__c")
+    val redundant = occ.join(dupFirst, Seq("__key"))
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+    val cut = redundant
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__t"))
+      .groupBy("__id")
+      .agg(collect_set(col("__t")).as("__cut"))
+    val rebuilt = toks.join(cut, Seq("__id"))
+      .select(col("__id"),
+        array_join(
+          filter(col("__toks"), (_, i) => !array_contains(col("__cut"), i)),
+          " ").as("__newtext"),
+        size(col("__cut")).cast("long").as("__ncut"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
+      .withColumn(textCol,
+        when(col("__newtext").isNotNull, col("__newtext")).otherwise(col(textCol)))
+      .withColumn("n_tokens_cut", coalesce(col("__ncut"), lit(0L)))
+      .drop("__id", "__newtext", "__ncut")
+  }
+
   def crossDocShingleProfile(
       df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle width must be positive: $n")

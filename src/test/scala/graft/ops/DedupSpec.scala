@@ -199,6 +199,32 @@ class DedupSpec extends SparkSpec {
     assert(trimmed == "c\nxx\nc")
   }
 
+  test("exactSubstringDedup: keep-first span cut, in-doc repeats, short/null passthrough") {
+    val corpus = Seq(
+      (Some(1L), Some("a b c d e f")),           // all its grams are firsts
+      (Some(2L), Some("x y a b c d e f z")),     // mid-span copy of doc 1
+      (Some(3L), Some("p q r s p q r s")),       // in-doc self repeat
+      (Some(4L), Some("t  u v")),                // < n tokens: byte-exact passthrough
+      (Some(5L), None: Option[String]),          // null text passthrough
+      (None: Option[Long], Some("a b c d e f"))) // null id: exempt entirely
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(corpus, "text", "doc_id", n = 4)
+      .select("doc_id", "text", "n_tokens_cut")
+      .as[(Option[Long], Option[String], Long)].collect()
+    val byId = got.flatMap(r => r._1.map(id => id -> (r._2, r._3))).toMap
+    // doc 1 holds every first occurrence -> untouched
+    assert(byId(1L) == (Some("a b c d e f"), 0L))
+    // doc 2: grams at pos 2,3,4 are redundant -> tokens 2..7 cut
+    assert(byId(2L) == (Some("x y z"), 6L))
+    // doc 3: second "p q r s" (pos 4) redundant -> tokens 4..7 cut
+    assert(byId(3L) == (Some("p q r s"), 4L))
+    // short doc: original whitespace preserved byte-exact
+    assert(byId(4L) == (Some("t  u v"), 0L))
+    assert(byId(5L) == (None, 0L))
+    // null-id row kept unchanged
+    assert(got.exists(r => r._1.isEmpty && r._2.contains("a b c d e f") && r._3 == 0L))
+  }
+
   test("dedupAgainstHistory: exact flags (no bloom false positives survive), null text never flagged") {
     val history = Seq("seen one", "seen two", "seen three").toDF("text")
     val incoming = Seq(
