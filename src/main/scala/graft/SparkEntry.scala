@@ -1230,6 +1230,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — HTML → text extraction: each doc wrapped in a
+    // deterministic HTML scaffold (style/script blocks with tag-bait
+    // contents, comment, h1/p/div structure, entity zoo incl. the
+    // double-encoded &amp;amp;); the oracle replays the identical
+    // Java≡RE2 regex chain in DuckDB.
+    "html_extract" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>d"), col("doc_id"), lit("</title>"),
+        lit("<style type=\"text/css\">body {margin: 0}</style>"),
+        lit("<script>if (1 < 2) { alert(\"x\"); }</script></head><body>"),
+        lit("<!-- id "), col("doc_id"),
+        lit(" --><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">&quot;footer&quot; &amp;amp; " +
+          "&lt;end&gt;&nbsp;tail</div></body></html>")).as("html"))
+      html.select(col("doc_id") +: TextStats.htmlExtract(col("html")): _*)
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — broadcast-join blockterm profile for LARGE lists: 10⁴
     // generated terms (plan must stay flat — PlanAuditSpec asserts
     // BroadcastHashJoin and no literal collection) plus common words so
@@ -4116,6 +4134,45 @@ object SparkEntry {
         |       ELSE 0.0 END AS flag_ratio,
         |  CAST(n_flagged * 10000 <= n_tokens * 150 AS INT) AS keep
         |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // replays htmlExtract's exact regex chain (all patterns Java≡RE2);
+    // regexp_replace needs the 'g' flag in DuckDB; '' escapes a quote.
+    "html_extract" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || doc_id || '</title>' ||
+        |    '<style type="text/css">body {margin: 0}</style>' ||
+        |    '<script>if (1 < 2) { alert("x"); }</script></head><body>' ||
+        |    '<!-- id ' || doc_id || ' --><h1>Doc ' || doc_id || '</h1><p>' ||
+        |    text ||
+        |    '</p><div class="f">&quot;footer&quot; &amp;amp; &lt;end&gt;&nbsp;tail</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, html,
+        |  regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS s FROM src),
+        |c2 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '(?is)<script[^>]*>.*?</script>', '', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '(?is)<style[^>]*>.*?</style>', '', 'g') AS s FROM c2),
+        |c4 AS (SELECT doc_id, html, regexp_replace(s,
+        |  '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)\b[^>]*>',
+        |  chr(10), 'g') AS s FROM c3),
+        |c5 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '</?[a-zA-Z][^>]*>', '', 'g') AS s FROM c4),
+        |c6 AS (SELECT doc_id, html,
+        |  replace(replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS s FROM c5),
+        |c7 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '[ \t\r\x{00a0}]+', ' ', 'g') AS s FROM c6),
+        |c8 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '(?m)^ +| +$', '', 'g') AS s FROM c7),
+        |c9 AS (SELECT doc_id, html,
+        |  regexp_replace(s, '\n+', chr(10), 'g') AS s FROM c8)
+        |SELECT doc_id,
+        |  regexp_replace(s, '^\n+|\n+$', '', 'g') AS text_clean,
+        |  CAST(regexp_matches(html, '(?s)</?[a-zA-Z][^>]*>|<!--') AS INT) AS had_html
+        |FROM c9 ORDER BY doc_id""".stripMargin,
 
     "c4_line_filter" ->
       """WITH e AS (

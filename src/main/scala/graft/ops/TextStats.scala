@@ -339,6 +339,54 @@ object TextStats {
     * `n_kept`, plus the two doc flags as 0/1 ints. One narrow
     * projection, HOF-only (shuffle-free); null text passes through null.
     */
+  /** HTML → plain-text extraction — the step BEFORE [[c4LineFilter]] in a
+    * web-crawl curation pipeline. A deliberately rule-based (lexer-free)
+    * extractor in the C4/CCNet tradition: comments, `<script>`/`<style>`
+    * blocks (with their contents) are removed; block-level tags become
+    * newlines so paragraph structure survives; remaining tags are
+    * stripped (only tag-SHAPED runs, `</?[a-zA-Z]…>` — a stray `a < b`
+    * less-than survives); the common entities are decoded AFTER tag
+    * stripping (escaped markup stays literal text) with `&amp;` decoded
+    * LAST (so `&amp;lt;` yields the literal string `&lt;`, per HTML
+    * semantics); horizontal whitespace (incl. NBSP) collapses to single
+    * spaces, line edges trim, newline runs collapse, and the result is
+    * trimmed. Output: `text_clean` plus `had_html` (0/1 int — whether
+    * any tag/comment was present). Null text → null/null.
+    *
+    * Every pattern is valid and identical in Java regex AND RE2, so a
+    * DuckDB oracle replays the chain verbatim (same discipline as
+    * [[encodingProfile]]). Whitespace is normalized even for tag-free
+    * input — this is an extractor, not a validator. Pure per-row
+    * projection: shuffle-free, whole-stage-codegen'd, scales linearly.
+    */
+  def htmlExtract(text: Column): Seq[Column] = {
+    val tagShaped = "</?[a-zA-Z][^>]*>"
+    val stripped = Seq[Column => Column](
+      regexp_replace(_, "(?s)<!--.*?-->", ""),
+      regexp_replace(_, "(?is)<script[^>]*>.*?</script>", ""),
+      regexp_replace(_, "(?is)<style[^>]*>.*?</style>", ""),
+      regexp_replace(_,
+        "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)\\b[^>]*>",
+        "\n"),
+      regexp_replace(_, tagShaped, ""))
+      .foldLeft(text)((c, f) => f(c))
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    val cleaned = Seq[Column => Column](
+      regexp_replace(_, "[ \t\r\\x{00a0}]+", " "),
+      regexp_replace(_, "(?m)^ +| +$", ""),
+      regexp_replace(_, "\n+", "\n"),
+      // NB Spark/DuckDB trim() strips spaces only — edge newlines need
+      // an explicit regex trim.
+      regexp_replace(_, "^\n+|\n+$", ""))
+      .foldLeft(decoded)((c, f) => f(c))
+    Seq(
+      cleaned.as("text_clean"),
+      text.rlike("(?s)" + tagShaped + "|<!--").cast("int").as("had_html"))
+  }
+
   def c4LineFilter(text: Column, minWords: Int = 3): Seq[Column] = {
     require(minWords >= 1, s"minWords must be >= 1: $minWords")
     val lines = filter(split(text, "\n"), l => length(l) > 0)

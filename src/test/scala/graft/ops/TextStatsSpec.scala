@@ -548,6 +548,33 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("htmlExtract: scripts/styles/comments gone, block tags break lines, entities decode in order") {
+    def ext(s: String): (String, Int) =
+      Seq(s).toDF("t").select(TextStats.htmlExtract(col("t")): _*)
+        .as[(String, Int)].collect().head
+    // full wrapper: script/style CONTENTS removed, h1/p/div break lines
+    assert(ext("<html><head><style type=\"text/css\">body {color: red}</style>" +
+      "<script>var x = 1 < 2;</script></head><body><!-- note -->" +
+      "<h1>Title</h1><p>Body text here.</p><div>footer</div></body></html>") ==
+      ("Title\nBody text here.\nfooter", 1))
+    // entity decode after tag strip; &amp; last so &amp;lt; -> literal &lt;
+    assert(ext("<p>a &lt;b&gt; &quot;q&quot; &#39;s&#39; 1 &amp; 2 &amp;lt;raw</p>") ==
+      ("a <b> \"q\" 's' 1 & 2 &lt;raw", 1))
+    // stray less-than is not a tag; nbsp + runs collapse; edges trim
+    assert(ext("  a < b    and\t\tmore  ") == ("a < b and more", 0))
+    // escaped markup stays literal text, never re-stripped
+    assert(ext("&lt;script&gt;alert(1)&lt;/script&gt;") == ("<script>alert(1)</script>", 0))
+    // self-closing + attributes; blank-line collapse
+    assert(ext("one<br/>two<br />three\n\n\nfour") == ("one\ntwo\nthree\nfour", 1))
+    // comment flags had_html even without tags
+    assert(ext("plain <!-- hidden --> text") == ("plain text", 1))
+    // null passes through
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextStats.htmlExtract(col("t")): _*)
+      .as[(Option[String], Option[Int])].collect().head
+    assert(n == ((None, None)))
+  }
+
   test("classifierScore kernel ≡ HOF-md5 formulation on the sf0.01 corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
