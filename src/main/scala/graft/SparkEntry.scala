@@ -1931,6 +1931,32 @@ object SparkEntry {
     // stateless on the stream side, deterministic run-to-completion, so
     // the result is exactly the batch dedup_incremental and shares its
     // oracle shape.
+    // §7.6 — stream-STREAM watermarked interval join: view→click
+    // attribution (clicks within 6 h of a same-user view), both sides
+    // fed from the file-source event stream. Exact event-id pairs with
+    // µs delays — the batch inequality join is the full oracle.
+    "stream_join" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val src = s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = Streams.withEventTime(src, "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("event_time").as("view_time"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("event_time").as("click_time"))
+      val joined = Streams.intervalJoinStreams(
+        views, clicks, Seq("user_id"), "view_time", "click_time",
+        watermark = "1 hour", within = "6 hours")
+        .select(col("l.user_id").as("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("click_time")) - unix_micros(col("view_time")))
+            .as("delay_us"))
+      val name = "stream_join_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(joined, name, statePartitions = Some(8))
+        .orderBy("view_id", "click_id")
+    }),
+
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
       val src = s.readStream.schema(docsSchema)
@@ -3727,6 +3753,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, start_us""".stripMargin,
+
+    // DuckDB ts is already µs-truncated and the engine's event_time is
+    // ts DIV 1000 — µs-exact on both sides, so delays compare exactly.
+    "stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+        |ORDER BY view_id, click_id""".stripMargin,
 
     "stream_windows" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,

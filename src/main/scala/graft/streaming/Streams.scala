@@ -120,6 +120,34 @@ object Streams {
       history: DataFrame, historyTextCol: String): DataFrame =
     graft.ops.Dedup.flagAgainstSeenSet(stream, textCol, history, historyTextCol)
 
+  /** Watermarked STREAM-STREAM interval join — the two-sided stateful
+    * join (attribution: every right event within `[left time, left time
+    * + within]` of a matching-key left event). Both sides carry the
+    * watermark AND the join condition bounds the event-time distance —
+    * that pair is what lets Structured Streaming evict join state: each
+    * side retains only ~`watermark + within` of history instead of
+    * growing forever (an unbounded-state stream-stream join is the
+    * classic production OOM). Frames are aliased `l`/`r`; callers
+    * disambiguate shared column names as `l.<col>` / `r.<col>`.
+    *
+    * Inner join only here: outer stream-stream joins emit null-padded
+    * rows on watermark expiry, making results depend on ingestion
+    * timing — the opposite of this library's oracle-reproducibility
+    * contract.
+    */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      watermark: String, within: String): DataFrame = {
+    require(keyCols.nonEmpty, "stream-stream join needs at least one equality key")
+    val l = left.withWatermark(leftTimeCol, watermark).alias("l")
+    val r = right.withWatermark(rightTimeCol, watermark).alias("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val rt = col(s"r.$rightTimeCol")
+    val lt = col(s"l.$leftTimeCol")
+    l.join(r, keyCond && rt >= lt && rt <= lt + expr(s"INTERVAL $within"), "inner")
+  }
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_event_id: Long)
 

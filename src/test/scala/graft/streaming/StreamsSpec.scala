@@ -107,6 +107,34 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Seq(("c1", "Condition", "p1"), ("p1", "Patient", "p1")))
   }
 
+  test("intervalJoinStreams: clicks join same-user views inside the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vin = MemoryStream[(Long, Long, Long)] // user, view_id, ts
+    val cin = MemoryStream[(Long, Long, Long)] // user, click_id, ts
+    // base offset: rows whose event time EQUALS the initial watermark (0)
+    // are dropped as late — epoch-0 data is a degenerate corner, so keep
+    // test times strictly above it like any real corpus
+    val d = 24L * 60
+    vin.addData((1L, 10L, ns(d)), (1L, 11L, ns(d + 60)), (2L, 20L, ns(d)))
+    cin.addData(
+      (1L, 100L, ns(d + 20)),  // in window of view 10 (+20m)
+      (1L, 101L, ns(d + 70)),  // in window of BOTH views (10: +70m; 11: +10m)
+      (2L, 200L, ns(d + 200)), // outside view 20's 2h window
+      (3L, 300L, ns(d + 5)))   // no matching-user view
+    val views = Streams.withEventTime(
+      vin.toDF.toDF("user_id", "view_id", "ts"), "ts", "view_time").drop("ts")
+    val clicks = Streams.withEventTime(
+      cin.toDF.toDF("user_id", "click_id", "ts"), "ts", "click_time").drop("ts")
+    val out = Streams.runToMemory(
+      Streams.intervalJoinStreams(views, clicks, Seq("user_id"),
+        "view_time", "click_time", watermark = "10 minutes", within = "2 hours")
+        .select(col("view_id"), col("click_id")),
+      "ssj_out")
+    val pairs = out.as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs == Seq((10L, 100L), (10L, 101L), (11L, 101L)))
+  }
+
   test("flagSeenInStatic: stream-static join flags history dups, null text never flagged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
