@@ -1142,6 +1142,31 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // §2.11 — Johnson–Lindenstrauss random-sign projection 64 → 16
+    // (long-form components; the md5-derived sign matrix lets the oracle
+    // rebuild the whole projection in pure SQL).
+    "dim_reduce" -> ((s, dir) =>
+      Similarity.reduceDims(t(s, dir, "embeddings"), "embedding",
+          dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("reduced")).as(Seq("j", "r")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          round(col("r"), 6).as("r"))
+        .orderBy("vec_id", "j")),
+
+    // §2.11 — recall of reduced-space (16-dim) brute-force top-10 vs the
+    // full 64-dim ranking, floor-certified in-gate; full pure-SQL oracle
+    // (projection + both rankings + recall all replayed).
+    "ann_rp_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.certifyRecallFloor(
+        Similarity.rpRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, outDim = 16, k = 10),
+        floor = 0.0)
+        .orderBy("query_id")
+    }),
+
     // §2.11 — brute-force cosine top-k (exact baseline).
     "similarity_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2236,6 +2261,16 @@ object SparkEntry {
        |    FROM cand JOIN e eq ON eq.vec_id = qid JOIN e en ON en.vec_id = nid)
        |  WHERE rn <= 10)""".stripMargin
 
+  /** The JL sign matrix (16×64) as a SQL CTE body — mirrors
+    * `Similarity.rpSign`: +0.25 when the first md5 hex nibble of
+    * "rp j i" is 0–7, else −0.25 (±1/√16 folded in).
+    */
+  private val rpSignsCte =
+    """SELECT j, i,
+      |    CASE WHEN strpos('01234567', substr(md5('rp ' || j || ' ' || i), 1, 1)) > 0
+      |         THEN 0.25 ELSE -0.25 END AS w
+      |  FROM range(16) t1(j), range(64) t2(i)""".stripMargin
+
   private val embeddingsESrc =
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL""".stripMargin
@@ -2541,6 +2576,39 @@ object SparkEntry {
     "fhir_observation_oracle" -> fhirObservationOracleSql,
     "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
     "fhir_careplan_oracle" -> fhirCareplanOracleSql,
+
+    // JL sign matrix rebuilt from md5 in SQL (no dump needed): weight
+    // ±1/√16 = ±0.25 per (j, i) from the first md5 hex nibble.
+    "dim_reduce" ->
+      s"""WITH signs AS ($rpSignsCte),
+         |comp AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)
+         |SELECT c.vec_id, s.j, round(sum(s.w * c.x), 6) AS r
+         |FROM comp c JOIN signs s ON s.i = c.i
+         |GROUP BY c.vec_id, s.j
+         |ORDER BY vec_id, j""".stripMargin,
+
+    "ann_rp_recall" -> recallOracleSql(
+      embeddingsESrc,
+      s"""signs AS ($rpSignsCte),
+         |comp AS (
+         |  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+         |  FROM e),
+         |red AS (
+         |  SELECT c.vec_id, s.j, sum(s.w * c.x) AS r
+         |  FROM comp c JOIN signs s ON s.i = c.i GROUP BY c.vec_id, s.j),
+         |rv AS (SELECT vec_id, list(r ORDER BY j) AS v FROM red GROUP BY vec_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.v, e2.v), 6) DESC, e2.vec_id) AS rn
+         |    FROM rv e2 CROSS JOIN (SELECT vec_id, v FROM rv WHERE vec_id < 20) q
+         |    WHERE e2.vec_id <> q.vec_id) WHERE rn <= 10)""".stripMargin,
+      floor = 0.0),
 
     "ann_recall" -> recallOracleSql(
       embeddingsESrc, lshApproxCtes(LshKeysDumpDir), floor = 0.5),

@@ -226,6 +226,59 @@ object Similarity {
       lshTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, dim, k,
         numPlanes, numTables))
 
+  // --- random-projection (Johnson–Lindenstrauss) dim reduction --------------
+
+  /** Deterministic ±1 sign for projection component (j, i): high nibble
+    * of the first md5 byte of `"rp j i"`. md5-derived (not SplitMix64
+    * like the LSH planes) so an oracle can rebuild the ENTIRE sign
+    * matrix in SQL — `md5('rp ' || j || ' ' || i)` — with no
+    * engine-side dump and no int64-overflow arithmetic.
+    */
+  private[graft] def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp $j $i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random-SIGN projection (Achlioptas 2003:
+    * ±1/√k entries preserve pairwise distances with the same guarantee
+    * as Gaussian projections): dim → outDim with r[j] = Σᵢ sign(j,i)·
+    * v[i]/√outDim. THE scale lever for the vector ops: reduce 1536-dim
+    * embeddings to 16–64 before LSH/IVF/brute-force and every downstream
+    * shuffle, cache, and dot product shrinks by dim/outDim — at 100 TB
+    * the projection is a narrow per-row map (no shuffle) that pays for
+    * itself in the first join. The sign matrix lives in the plan as
+    * outDim literal arrays (same plan-size regime as
+    * [[hyperplaneBucket]]'s literals — fine to ~10⁴ entries; derive a
+    * kernel à la [[graft.functions.expressions.LshKeys]] beyond that).
+    * Null vectors project to null.
+    */
+  def reduceDims(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+      outCol: String = "reduced"): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"bad dims: $dim -> $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planes = (0 until outDim).map { j =>
+      array((0 until dim).map(i => lit(rpSign(j, i) * scale)): _*)
+    }
+    df.withColumn(outCol, array(planes.map(p => dot(col(vecCol), p)): _*))
+  }
+
+  /** Recall of brute-force top-k in the REDUCED space vs the full space —
+    * the quantitative check that an outDim choice keeps enough geometry.
+    * Both rankings are [[bruteForceTopK]] (rounded-cosine + id tiebreak,
+    * fully oracle-replayable since the sign matrix is md5-derived).
+    */
+  def rpRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, outDim: Int, k: Int): DataFrame = {
+    val rc = reduceDims(corpus, corpusVec, dim, outDim, "__rv")
+    val rq = reduceDims(queries, queryVec, dim, outDim, "__rv")
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      bruteForceTopK(rc, corpusId, "__rv", rq, queryId, "__rv", k))
+  }
+
   // --- IVF (inverted-file) ANN — the bucketed alternative to LSH -----------
 
   /** Deterministic IVF seed centroids: the `numCentroids` corpus vectors

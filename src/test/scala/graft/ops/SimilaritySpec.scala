@@ -266,6 +266,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("reduceDims: md5-sign JL projection components; null vector projects to null") {
+    val df = Seq(
+      (1L, Some(Array(1f, 2f, 3f))),
+      (2L, None: Option[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.reduceDims(df, "embedding", dim = 3, outDim = 4)
+      .select("vec_id", "reduced")
+      .as[(Long, Option[Array[Double]])].collect().toMap
+    val v = Array(1.0, 2.0, 3.0)
+    val expected = (0 until 4).map(j =>
+      (0 until 3).map(i => Similarity.rpSign(j, i) * v(i)).sum / 2.0) // 1/sqrt(4)
+    val r = got(1L).get
+    assert(r.length == 4)
+    r.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // the sign function is genuinely mixed (not all +1)
+    val signs = for { j <- 0 until 4; i <- 0 until 3 } yield Similarity.rpSign(j, i)
+    assert(signs.contains(1.0) && signs.contains(-1.0))
+    assert(got(2L).isEmpty)
+  }
+
+  test("rpRecall: near-copy structure survives 16 -> 8 reduction at top-1") {
+    // 40 deterministic pseudo-random 16-dim vectors + a +1% scaled copy
+    // of each: the copy is its original's exact top-1 (cos ~ 1) and must
+    // stay top-1 in the reduced space.
+    val base = (0 until 40).map { n =>
+      (n.toLong, Array.tabulate(16)(i =>
+        (((n * 31 + i * 17) % 19) - 9).toFloat / 3f))
+    }
+    val copies = base.map { case (id, v) => (id + 1000L, v.map(_ * 1.01f)) }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val queries = base.toDF("vec_id", "embedding")
+    val rec = Similarity.rpRecall(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", dim = 16, outDim = 8, k = 1)
+      .select("query_id", "recall").as[(Long, Double)].collect()
+    assert(rec.length == 40)
+    assert(rec.forall(_._2 == 1.0),
+      s"top-1 lost under reduction: ${rec.filter(_._2 < 1.0).mkString(",")}")
+  }
+
   test("rrfFuse: reciprocal-rank arithmetic, one-sided ids, deterministic tiebreak") {
     import spark.implicits._
     // a: ids 1,2,3 ranked 1,2,3; b: ids 3,4 ranked 1,2
