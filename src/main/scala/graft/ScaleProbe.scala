@@ -41,6 +41,12 @@ object ScaleProbe {
     val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // a whole family (banner counts included) is skipped when the filter
+    // names none of its probes — keeps targeted PROBE_ONLY runs from
+    // paying corpus-replication counts for families they skip
+    def familyOn(names: String*): Boolean =
+      probeOnly.forall(f => names.exists(n => f.exists(n.startsWith)))
+
     def time(name: String, df: => DataFrame): Double = {
       if (probeOnly.exists(f => !f.exists(name.startsWith))) return 0.0
       // isolate measurements: the dedup ops persist their kernel-pass
@@ -228,13 +234,13 @@ object ScaleProbe {
           Dedup.connectedComponents(v, "id", e, "src", "dst", checkpointEvery = every))
       }
     }
-    Seq(1, k).foreach { times =>
+    if (familyOn("leakageSafeSplit")) Seq(1, k).foreach { times =>
       val d = replicate(times)
       println(s"--- leakage split ${times}x (${d.count()} docs) ---")
       time("leakageSafeSplit",
         Curation.leakageSafeSplit(d, "text", "doc_id", 9800, 100))
     }
-    Seq(1, k).foreach { times =>
+    if (familyOn("historyDedup")) Seq(1, k).foreach { times =>
       val incoming = replicate(times)
       val history = docs.select(col("doc_id"), col("text"))
       println(s"--- history dedup ${times}x incoming (${incoming.count()} docs) ---")
@@ -262,6 +268,7 @@ object ScaleProbe {
     // aggregate), the composed web pipeline, and the broadcast blockterm
     // join — the per-doc fan-out ops whose shuffles are bounded by
     // distinct (doc, gram)/(doc, token) pairs.
+    if (familyOn("gopherRepetition", "curateWebCorpus", "blocktermProfileJoined"))
     Seq(1, k).foreach { times =>
       val d = replicate(times)
         .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))

@@ -3996,7 +3996,7 @@ object SparkEntry {
         |FROM src s
         |LEFT JOIN ncut n ON n.doc_id = s.doc_id
         |LEFT JOIN reb ON reb.doc_id = s.doc_id
-        |ORDER BY s.doc_id""".stripMargin,
+        |ORDER BY s.doc_id NULLS FIRST""".stripMargin,
 
     "familiarity_score" ->
       s"""WITH toks AS (
