@@ -36,8 +36,27 @@ object Psl {
       val exact: java.util.HashSet[String],
       val wildcardParents: java.util.HashSet[String],
       val exceptions: java.util.HashSet[String],
-      val maxLabels: Int) {
+      val maxLabels: Int,
+      val source: String = "explicit") {
     def size: Int = exact.size + wildcardParents.size + exceptions.size
+
+    /** Stable content fingerprint of the rule set: md5 over the sorted
+      * `kind:pattern` lines plus the rule count. Two JVMs computing
+      * registrable domains agree iff their fingerprints agree —
+      * production jobs assert driver/executor agreement by comparing
+      * this value (driver-side) against `psl_fingerprint()` (evaluated
+      * in executor tasks).
+      */
+    lazy val fingerprint: String = {
+      import scala.jdk.CollectionConverters._
+      val lines =
+        exact.asScala.toSeq.sorted.map("exact:" + _) ++
+        wildcardParents.asScala.toSeq.sorted.map("wildcard:" + _) ++
+        exceptions.asScala.toSeq.sorted.map("exception:" + _)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      lines.foreach(l => d.update((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      s"$size-" + d.digest().map(b => f"$b%02x").mkString
+    }
   }
 
   /** Parse rule lines in the upstream format: `//` comments and blanks
@@ -45,7 +64,7 @@ object Psl {
     * the parent suffix), anything else exact. Only the first
     * whitespace-delimited token of a line is the rule (upstream spec).
     */
-  def parse(lines: Iterator[String]): Rules = {
+  def parse(lines: Iterator[String], source: String = "explicit"): Rules = {
     val exact = new java.util.HashSet[String]()
     val wild = new java.util.HashSet[String]()
     val exc = new java.util.HashSet[String]()
@@ -70,20 +89,25 @@ object Psl {
         }
       }
     }
-    new Rules(exact, wild, exc, maxLabels)
+    new Rules(exact, wild, exc, maxLabels, source)
   }
 
   private def loadEmbedded(): Rules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "embedded PSL resource missing from jar")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    try parse(src.getLines()) finally src.close()
+    try parse(src.getLines(), "embedded:graft/public_suffix_list.dat")
+    finally src.close()
   }
 
   @volatile private var active: Rules = null
 
   /** The active rule set: `-Dgraft.psl.path` file if set, else the
-    * embedded subset. Loaded once per JVM; read-only thereafter.
+    * embedded subset. Loaded once per JVM; read-only thereafter. The
+    * resolution is logged ONCE per JVM (source + size + fingerprint) —
+    * on a cluster, grep executor stderr for `graft PSL:` lines to see
+    * which JVMs silently fell back to the embedded subset because the
+    * `-Dgraft.psl.path` file was only visible to the driver.
     */
   def rules: Rules = {
     var r = active
@@ -95,6 +119,8 @@ object Psl {
           case None => loadEmbedded()
         }
         active = r
+        System.err.println(
+          s"graft PSL: resolved ${r.source} (${r.size} rules, fingerprint ${r.fingerprint})")
       }
     }
     r
@@ -102,7 +128,7 @@ object Psl {
 
   private def parseFile(path: String): Rules = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try parse(src.getLines()) finally src.close()
+    try parse(src.getLines(), s"file:$path") finally src.close()
   }
 
   /** Replace the active rules with a full PSL file (production path).
@@ -206,4 +232,10 @@ object Psl {
     val r = publicSuffix(host.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
+
+  /** Fingerprint of THIS JVM's active rule set as a UTF8String — the
+    * executor-side half of the driver/executor agreement check (called
+    * by the `psl_fingerprint()` expression from generated code).
+    */
+  def fingerprintU(): UTF8String = UTF8String.fromString(rules.fingerprint)
 }

@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -319,6 +321,28 @@ object expressions {
            |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): PslPublicSuffix =
       copy(child = newChild)
+  }
+
+  /** Fingerprint of the EVALUATING JVM's active PSL rule set
+    * ([[Psl.Rules.fingerprint]]). Deliberately NOT foldable: folding
+    * would evaluate it on the driver at plan time, but its whole point
+    * is to run inside executor tasks so a production job can assert
+    * driver/executor rule agreement —
+    * `df.select(psl_fingerprint()).distinct()` must yield exactly the
+    * driver's `Psl.rules.fingerprint`, or some executor JVM resolved
+    * different rules (e.g. `-Dgraft.psl.path` visible only to the
+    * driver) and is silently computing divergent registrable domains.
+    */
+  case class PslFingerprint() extends LeafExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override def prettyName: String = "graft_psl_fingerprint"
+    override def eval(input: InternalRow): Any = Psl.fingerprintU()
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      ev.copy(
+        code = code"UTF8String ${ev.value} = graft.functions.Psl.fingerprintU();",
+        isNull = FalseLiteral)
   }
 
   /** One-pass language ID ([[TextKernels.langId]]): the language with the

@@ -127,6 +127,12 @@ package object functions {
   def psl_public_suffix(host: Column): Column =
     c(expressions.PslPublicSuffix(e(host)))
 
+  /** Fingerprint of the evaluating JVM's active PSL rule set (executor
+    * side of the driver/executor agreement check; non-foldable).
+    */
+  def psl_fingerprint(): Column =
+    c(expressions.PslFingerprint())
+
   /** Deflate compression ratio (compressed/raw UTF-8 bytes, 6 dp). */
   def compression_ratio(text: Column): Column =
     c(expressions.CompressionRatio(e(text)))

@@ -791,20 +791,6 @@ object Dedup {
           "\n")))
   }
 
-  /** Cross-document n-gram repetition profile — the diagnostic behind
-    * exact-substring dedup (Lee et al., "Deduplicating Training Data
-    * Makes Language Models Better"): for each document, how many of its
-    * DISTINCT token n-grams also occur in at least one other document
-    * (`n_shared` of `n_shingles`, plus the ratio `shared_frac`). High
-    * fractions flag boilerplate/template docs that survive exact and
-    * near dedup. Documents with fewer than n tokens (no shingles) and
-    * null-id documents are excluded.
-    *
-    * Scale shape: distinct shingles explode to (id, shingle) pairs; one
-    * groupBy(shingle) with map-side combine counts carrier docs; one
-    * join back + groupBy(id) folds the profile. Everything is bounded by
-    * total token count — no pairwise doc joins.
-    */
   /** Exact repeated-substring dedup — the span-REMOVAL operator behind
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"), re-expressed set-orientedly (the paper builds a suffix
@@ -821,6 +807,12 @@ object Dedup {
     * merge naturally because coverage is per-token. Docs with fewer than
     * n tokens, null ids, and null text pass through unchanged. Adds
     * `n_tokens_cut` (BIGINT, 0 for untouched docs).
+    *
+    * PRECONDITION: `idCol` must be unique (like every id-keyed op here —
+    * run [[exactDedup]] first if unsure). The keep-first semantics rank
+    * occurrences by (id, pos), and the final rebuild join is id-keyed —
+    * duplicate ids would silently fan rows out and multiply
+    * `n_tokens_cut`.
     *
     * Scale shape: the only corpus-sized shuffles are the gram groupBy
     * (map-side combined, fixed 32-byte md5 keys regardless of gram
@@ -875,6 +867,20 @@ object Dedup {
       .drop("__id", "__newtext", "__ncut")
   }
 
+  /** Cross-document n-gram repetition profile — the diagnostic behind
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how many of its
+    * DISTINCT token n-grams also occur in at least one other document
+    * (`n_shared` of `n_shingles`, plus the ratio `shared_frac`). High
+    * fractions flag boilerplate/template docs that survive exact and
+    * near dedup. Documents with fewer than n tokens (no shingles) and
+    * null-id documents are excluded.
+    *
+    * Scale shape: distinct shingles explode to (id, shingle) pairs; one
+    * groupBy(shingle) with map-side combine counts carrier docs; one
+    * join back + groupBy(id) folds the profile. Everything is bounded by
+    * total token count — no pairwise doc joins.
+    */
   def crossDocShingleProfile(
       df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"shingle width must be positive: $n")

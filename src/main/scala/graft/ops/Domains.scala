@@ -68,10 +68,16 @@ object Domains {
       .otherwise(last2)
   }
 
-  /** The active PSL rule set as a DataFrame `(kind, pattern)` — kind ∈
-    * exact|wildcard|exception, wildcard stored as its parent suffix.
-    * Verify dumps this so the DuckDB oracle replays the SAME rules the
-    * engine resolved (embedded or file-driven).
+  /** The active PSL rule set as a DataFrame `(kind, pattern, source,
+    * fingerprint)` — kind ∈ exact|wildcard|exception, wildcard stored as
+    * its parent suffix; `source`/`fingerprint` are constant across rows
+    * and identify WHICH rule set the driver resolved
+    * ([[graft.functions.Psl.Rules.fingerprint]]), so a production job
+    * can assert executor agreement:
+    * `df.select(graft.functions.psl_fingerprint()).distinct()` must
+    * equal this frame's `fingerprint`. Verify dumps this so the DuckDB
+    * oracle replays the SAME rules the engine resolved (embedded or
+    * file-driven).
     */
   def pslRulesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import scala.jdk.CollectionConverters._
@@ -82,6 +88,8 @@ object Domains {
       r.exceptions.asScala.toSeq.sorted.map(("exception", _))
     import spark.implicits._
     rows.toDF("kind", "pattern")
+      .withColumn("source", lit(r.source))
+      .withColumn("fingerprint", lit(r.fingerprint))
   }
 
   /** Tracking query parameters stripped by [[normalizeUrl]] — the

@@ -102,6 +102,29 @@ class DomainsSpec extends SparkSpec {
     assert(n.toSeq == Seq(None))
   }
 
+  test("psl fingerprint: executor expression agrees with driver rules; frame carries source") {
+    import graft.functions.Psl
+    // the task-evaluated expression must yield exactly the driver-side
+    // fingerprint (the agreement check production jobs run)
+    val distinctFp = spark.range(64).repartition(8)
+      .select(graft.functions.psl_fingerprint().as("fp"))
+      .distinct().as[String].collect().toSeq
+    assert(distinctFp == Seq(Psl.rules.fingerprint))
+    // non-foldable: the plan must NOT constant-fold it away on the driver
+    val analyzed = spark.range(1)
+      .select(graft.functions.psl_fingerprint()).queryExecution.optimizedPlan
+    assert(analyzed.toString.contains("graft_psl_fingerprint"))
+    // frame metadata: constant source + fingerprint columns on every row
+    val meta = Domains.pslRulesFrame(spark)
+      .select("source", "fingerprint").distinct().as[(String, String)].collect()
+    assert(meta.length == 1)
+    assert(meta.head._1 == Psl.rules.source && meta.head._2 == Psl.rules.fingerprint)
+    // fingerprint tracks content: a different rule set fingerprints differently
+    val other = Psl.parse(Iterator("com", "co.uk"), "test")
+    assert(other.fingerprint != Psl.rules.fingerprint)
+    assert(other.fingerprint.startsWith("2-"))
+  }
+
   test("domainProfile: counts docs and distinct hosts per registrable domain") {
     val docs = Seq(
       "https://www.a.com/1", "https://a.com/2", "https://b.a.com/3",
