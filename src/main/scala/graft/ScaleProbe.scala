@@ -119,8 +119,8 @@ object ScaleProbe {
     // user_id, so KEY cardinality grows k× while each key's span stays
     // fixed — the axis that matters for the dense-grid explode (Σ per-key
     // spans) and the funnel's per-key joins.
-    val ev = spark.read.schema(SparkEntry.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    // canonical read: ts is epoch-µs LongType whatever the file stored
+    val ev = SparkEntry.events(spark, sfDir)
       .select("user_id", "ts", "event_type")
     def replicateEv(times: Int): DataFrame = {
       val n = 100000000L
@@ -132,10 +132,10 @@ object ScaleProbe {
       val e = replicateEv(times)
       println(s"--- events ${times}x (${e.count()} events) ---")
       time("denseCounts(hourly)",
-        graft.ops.TimeSeries.denseCounts(e, "user_id", "ts", 3600L * 1000000000L))
+        graft.ops.TimeSeries.denseCounts(e, "user_id", "ts", 3600L * 1000000L))
       time("funnelSteps(view,click,purchase)",
         graft.ops.Funnel.funnelSteps(
-          e.withColumn("tus", expr("ts DIV 1000")),
+          e.withColumn("tus", col("ts")),
           "user_id", "tus", "event_type",
           Seq("view", "click", "purchase"), 1800000000L))
     }
@@ -295,7 +295,7 @@ object ScaleProbe {
     val guardOk =
       try {
         graft.ops.TimeSeries.denseCounts(
-          corrupt, "user_id", "ts", 3600L * 1000000000L,
+          corrupt, "user_id", "ts", 3600L * 1000000L,
           maxBucketsPerKey = 100000L).count()
         false
       } catch {

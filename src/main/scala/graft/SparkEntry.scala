@@ -20,21 +20,80 @@ import graft.quality.QualityChecker
   */
 object SparkEntry {
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright — an explicit schema reading it as epoch-nanos LongType is
-    * the only session-independent way in (verified empirically; the
-    * `nanosAsLong` legacy flag would tie us to session config the driver's
-    * smoke harness doesn't set). All `ts` arithmetic downstream is integer
-    * nanos; the DuckDB oracles use `epoch_ns`.
+  /** `events.ts` unit-proofing. The testdata generator has shipped `ts`
+    * as different parquet types across regenerations — TIMESTAMP(NANOS)
+    * (which Spark's reader rejects outright; only a forced LongType
+    * schema reads the raw int64) and TIMESTAMP(MICROS) (plain
+    * TimestampType). Hardcoding either assumption silently corrupts all
+    * time arithmetic by 1000× when the other shows up, so the unit is
+    * resolved from the file itself at read time and every consumer sees
+    * ONE canonical shape: `ts` as LongType epoch-MICROSECONDS. µs is
+    * what the DuckDB oracles compute (`epoch_us(ts)`) and also the max
+    * precision DuckDB's parquet reader keeps, so nothing finer can
+    * cross the compare boundary anyway.
+    *
+    * Resolution: schema inference succeeds → dispatch on the inferred
+    * `ts` type (TimestampType/NTZ → force TimestampType and
+    * `unix_micros`; LongType → raw epoch-nanos, integral `DIV 1000`).
+    * Inference THROWS → the file is TIMESTAMP(NANOS) (the one parquet
+    * timestamp Spark cannot map to a Catalyst type), which the forced
+    * LongType schema reads as raw nanos. One footer read per testdata
+    * dir per JVM (cached — the physical type is a property of the file).
     */
   private[graft] val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val eventsTsTypes = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  private[graft] def eventsTsType(spark: SparkSession, dir: String): DataType =
+    eventsTsTypes.computeIfAbsent(dir, _ =>
+      scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+        .getOrElse(LongType)) // inference throws ⇔ TIMESTAMP(NANOS) → forced-Long read
+
+  /** The schema to force on an events read (batch or readStream — the
+    * streaming file source REQUIRES an explicit schema, so resolution
+    * cannot be left to inference there).
+    */
+  private[graft] def eventsReadSchema(spark: SparkSession, dir: String): StructType =
+    eventsTsType(spark, dir) match {
+      case TimestampType | TimestampNTZType =>
+        StructType(eventsSchema.fields.map(f =>
+          if (f.name == "ts") StructField("ts", TimestampType) else f))
+      case _ => eventsSchema
+    }
+
+  /** Normalize a just-read events frame so `ts` is LongType epoch-µs
+    * regardless of what the file stored. `unix_micros` returns the raw
+    * stored int64 for a forced-TimestampType read (no tz conversion
+    * happens on the read path), which is exactly DuckDB's `epoch_us` of
+    * the same naive timestamp.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case TimestampType    => df.withColumn("ts", unix_micros(col("ts")))
+      case TimestampNTZType => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      // integral DIV — `/` would round-trip through double and lose
+      // precision above 2^53 (epoch-nanos ≈ 1.7e18)
+      case LongType         => df.withColumn("ts", expr("ts DIV 1000"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other — expected timestamp or epoch-nanos long")
+    }
+
+  /** Canonical events read: `ts` is ALWAYS epoch-µs LongType downstream. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(
+      spark.read.schema(eventsReadSchema(spark, dir)).parquet(s"$dir/events.parquet"))
+
+  /** Canonical streaming events read — same unit resolution as [[events]]. */
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(
+      spark.readStream.schema(eventsReadSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
   private[graft] val docsSchema = StructType(Seq(
@@ -446,17 +505,13 @@ object SparkEntry {
     }),
 
     // Sessionization — gap-based (30 min) event sessions per user.
-    // ts is epoch-nanos (see eventsSchema); all gap math in int64 nanos.
+    // ts is canonical epoch-µs (see eventsReadSchema); gap math runs in
+    // µs on BOTH sides (identical grouping vs the epoch_us oracle).
     "sessionize" -> ((s, dir) => {
-      // Truncate nanos → micros up front: DuckDB's parquet reader only
-      // keeps microsecond precision, so the oracle can't see nanos. Gap
-      // math therefore runs in µs on BOTH sides (identical grouping).
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val gapUs = 30L * 60 * 1000000L
       t(s, dir, "events")
-        // integral DIV — `/` would round-trip through double and lose
-        // precision above 2^53 (epoch-nanos ≈ 1.7e18).
-        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("tus", col("ts"))
         .withColumn("__prev", lag(col("tus"), 1).over(wOrd))
         .withColumn("__new",
           when(col("__prev").isNull || col("tus") - col("__prev") > gapUs, 1L)
@@ -1478,7 +1533,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
         .rangeBetween(-3600000000L, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("tus", expr("ts DIV 1000"))
+        .withColumn("tus", col("ts"))
         .select(
           col("event_id"), col("user_id"), col("tus"),
           count(lit(1)).over(w).as("n_1h"),
@@ -1490,17 +1545,17 @@ object SparkEntry {
     // per-user earliest completion times, partial funnels kept as nulls.
     "funnel_steps" -> ((s, dir) =>
       Funnel.funnelSteps(
-        t(s, dir, "events").withColumn("tus", expr("ts DIV 1000")),
+        t(s, dir, "events").withColumn("tus", col("ts")),
         "user_id", "tus", "event_type",
         Seq("view", "click", "purchase"), 1800000000L)
         .orderBy("user_id")),
 
     // Time-series gap fill: dense per-user hourly grid with zero-filled
-    // buckets. Engine buckets raw NANOS (ts DIV 3.6e12); the oracle
-    // buckets µs — integral division composes, so boundaries agree.
+    // buckets. ts is canonical epoch-µs, bucket = hour index (µs DIV
+    // 3.6e9) — the same integral division the oracle does.
     "resample_fill" -> ((s, dir) =>
       TimeSeries.denseCounts(t(s, dir, "events"), "user_id", "ts",
-        3600L * 1000000000L)
+        3600L * 1000000L)
         .select(col("user_id"), col("bucket"), col("n_events"))
         .orderBy("user_id", "bucket")),
 
@@ -1566,7 +1621,7 @@ object SparkEntry {
     "retention" -> ((s, dir) => {
       val hourUs = 3600000000L
       val active = t(s, dir, "events")
-        .select(expr(s"(ts DIV 1000) DIV $hourUs").as("hour"), col("user_id"))
+        .select(expr(s"ts DIV $hourUs").as("hour"), col("user_id"))
         .distinct()
       val nxt = active.select((col("hour") - 1).as("hour"), col("user_id"))
         .withColumn("__r", lit(1L))
@@ -1584,7 +1639,7 @@ object SparkEntry {
     // within 30 minutes after one. Equi-join on user + range predicate
     // (AQE handles per-user skew); one exact summary row.
     "funnel_conversion" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events").withColumn("tus", col("ts"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("tus").as("vus"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -1612,9 +1667,9 @@ object SparkEntry {
     }),
 
     // As-of (point-in-time) join: for each click, the latest prior-or-equal
-    // view's value per user. µs-truncated on both sides (DuckDB precision).
+    // view's value per user. Canonical epoch-µs on both sides.
     "asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("tus", expr("ts DIV 1000"))
+      val ev = t(s, dir, "events").withColumn("tus", col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "tus")
       val views = Cleaners.dedupKeepFirst(
@@ -1937,11 +1992,10 @@ object SparkEntry {
     // SELECT DISTINCT — giving a streaming operator a full value oracle.
     "stream_dedup" -> ((s, dir) => {
       import graft.streaming.Streams
-      // the streaming file source demands a DIRECTORY basePath; testdata
-      // ships events.parquet as a single file, so list the sf dir and
-      // glob-filter down to it
-      val src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // eventsStream lists the sf DIRECTORY (the streaming file source
+      // demands a directory basePath) glob-filtered to events.parquet,
+      // with the same ts-unit resolution as the batch read
+      val src = eventsStream(s, dir)
       val deduped = Streams.dedupWithinWatermark(
         Streams.withEventTime(src, "ts"),
         "event_time", "30 minutes", Seq("user_id", "event_type"))
@@ -1962,9 +2016,7 @@ object SparkEntry {
     // µs delays — the batch inequality join is the full oracle.
     "stream_join" -> ((s, dir) => {
       import graft.streaming.Streams
-      val src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = Streams.withEventTime(src, "ts")
+      val ev = Streams.withEventTime(eventsStream(s, dir), "ts")
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("event_time").as("view_time"))
@@ -2011,10 +2063,8 @@ object SparkEntry {
     // the result is exactly the batch GROUP BY — full value oracle.
     "stream_windows" -> ((s, dir) => {
       import graft.streaming.Streams
-      val src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
       val counts = Streams.windowedCounts(
-        Streams.withEventTime(src, "ts"),
+        Streams.withEventTime(eventsStream(s, dir), "ts"),
         "event_time", "30 minutes", "1 hour", Seq("event_type"))
         .select(
           unix_micros(col("window.start")).as("win_start_us"),
@@ -2034,10 +2084,8 @@ object SparkEntry {
     // parity, value-checked.
     "stream_sessions" -> ((s, dir) => {
       import graft.streaming.Streams
-      val src = s.readStream.schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
       val sessions = Streams.sessionWindows(
-        Streams.withEventTime(src, "ts"),
+        Streams.withEventTime(eventsStream(s, dir), "ts"),
         "event_time", "30 minutes", "30 minutes", Seq("user_id"))
         .select(
           col("user_id"),

@@ -57,6 +57,11 @@ object Psl {
       lines.foreach(l => d.update((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       s"$size-" + d.digest().map(b => f"$b%02x").mkString
     }
+
+    /** [[fingerprint]] pre-encoded as UTF8String — shared (immutable) so
+      * the per-row `psl_fingerprint()` hot path never re-encodes.
+      */
+    lazy val fingerprintU8: UTF8String = UTF8String.fromString(fingerprint)
   }
 
   /** Parse rule lines in the upstream format: `//` comments and blanks
@@ -102,6 +107,15 @@ object Psl {
 
   @volatile private var active: Rules = null
 
+  /** Every path that activates a rule set logs through here, so "grep
+    * executor stderr for `graft PSL:`" audits ALL of them — the lazy
+    * default, [[loadFile]], and [[setRules]] alike (a loadFile that went
+    * unlogged would hide exactly the drift the fingerprint check hunts).
+    */
+  private def logResolved(r: Rules): Unit =
+    System.err.println(
+      s"graft PSL: resolved ${r.source} (${r.size} rules, fingerprint ${r.fingerprint})")
+
   /** The active rule set: `-Dgraft.psl.path` file if set, else the
     * embedded subset. Loaded once per JVM; read-only thereafter. The
     * resolution is logged ONCE per JVM (source + size + fingerprint) —
@@ -119,8 +133,7 @@ object Psl {
           case None => loadEmbedded()
         }
         active = r
-        System.err.println(
-          s"graft PSL: resolved ${r.source} (${r.size} rules, fingerprint ${r.fingerprint})")
+        logResolved(r)
       }
     }
     r
@@ -136,12 +149,19 @@ object Psl {
     * cluster, from the same init that runs on each executor, or ship the
     * full file as the embedded resource instead.
     */
-  def loadFile(path: String): Unit = synchronized { active = parseFile(path) }
+  def loadFile(path: String): Unit = synchronized {
+    val r = parseFile(path)
+    active = r
+    logResolved(r)
+  }
 
   /** Test/bootstrap hook: swap in explicit rules (null = back to lazy
     * default resolution).
     */
-  def setRules(r: Rules): Unit = synchronized { active = r }
+  def setRules(r: Rules): Unit = synchronized {
+    active = r
+    if (r != null) logResolved(r)
+  }
 
   /** Number of labels of the prevailing public suffix for `labels`
     * (1-based from the right). Exceptions win outright; else the longest
@@ -237,5 +257,5 @@ object Psl {
     * executor-side half of the driver/executor agreement check (called
     * by the `psl_fingerprint()` expression from generated code).
     */
-  def fingerprintU(): UTF8String = UTF8String.fromString(rules.fingerprint)
+  def fingerprintU(): UTF8String = rules.fingerprintU8
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, LeafExpression, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -324,21 +324,26 @@ object expressions {
   }
 
   /** Fingerprint of the EVALUATING JVM's active PSL rule set
-    * ([[Psl.Rules.fingerprint]]). Deliberately NOT foldable: folding
-    * would evaluate it on the driver at plan time, but its whole point
-    * is to run inside executor tasks so a production job can assert
-    * driver/executor rule agreement —
+    * ([[Psl.Rules.fingerprint]]). Marked [[Nondeterministic]] — the same
+    * treatment Spark gives its environment-dependent leaves
+    * (SparkPartitionID, InputFileName): the value depends on WHICH JVM
+    * evaluates it, and its whole point is to run inside executor tasks
+    * so a production job can assert driver/executor rule agreement —
     * `df.select(psl_fingerprint()).distinct()` must yield exactly the
     * driver's `Psl.rules.fingerprint`, or some executor JVM resolved
     * different rules (e.g. `-Dgraft.psl.path` visible only to the
     * driver) and is silently computing divergent registrable domains.
+    * `foldable=false` alone is NOT enough: optimizer rules that evaluate
+    * deterministic projections driver-side (ConvertToLocalRelation over
+    * a `Seq(...).toDF`) would still compute it on the driver and make
+    * the agreement check vacuous for local-relation inputs.
     */
-  case class PslFingerprint() extends LeafExpression {
+  case class PslFingerprint() extends LeafExpression with Nondeterministic {
     override def dataType: DataType = StringType
     override def nullable: Boolean = false
-    override def foldable: Boolean = false
     override def prettyName: String = "graft_psl_fingerprint"
-    override def eval(input: InternalRow): Any = Psl.fingerprintU()
+    override protected def initializeInternal(partitionIndex: Int): Unit = ()
+    override protected def evalInternal(input: InternalRow): Any = Psl.fingerprintU()
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       ev.copy(
         code = code"UTF8String ${ev.value} = graft.functions.Psl.fingerprintU();",

@@ -260,7 +260,11 @@ object Similarity {
     val planes = (0 until outDim).map { j =>
       array((0 until dim).map(i => lit(rpSign(j, i) * scale)): _*)
     }
-    df.withColumn(outCol, array(planes.map(p => dot(col(vecCol), p)): _*))
+    // null IN → null OUT (a bare array(dot...) would yield an array OF
+    // nulls, which blows up non-nullable-element encoders downstream)
+    df.withColumn(outCol,
+      when(col(vecCol).isNull, lit(null))
+        .otherwise(array(planes.map(p => dot(col(vecCol), p)): _*)))
   }
 
   /** Recall of brute-force top-k in the REDUCED space vs the full space —

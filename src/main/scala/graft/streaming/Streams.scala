@@ -37,12 +37,12 @@ object Streams {
         .select(explode(col("entry")).as("entry"))
         .select(col("entry.fullUrl").as("fullUrl"), col("entry.resource").as("resource")))
 
-  /** Attach an event-time timestamp column derived from an epoch-nanos
-    * long (the testdata `events.ts` shape). Integral DIV: see
-    * SparkEntry.eventsSchema for why nanos never go through double.
+  /** Attach an event-time timestamp column derived from an epoch-MICROS
+    * long (the canonical `ts` shape every graft events read produces —
+    * see SparkEntry.normalizeEventTs for the unit resolution).
     */
-  def withEventTime(df: DataFrame, nanosCol: String, eventTimeCol: String = "event_time"): DataFrame =
-    df.withColumn(eventTimeCol, timestamp_micros(expr(s"$nanosCol DIV 1000")))
+  def withEventTime(df: DataFrame, microsCol: String, eventTimeCol: String = "event_time"): DataFrame =
+    df.withColumn(eventTimeCol, timestamp_micros(col(microsCol)))
 
   /** Streaming D1 — exact dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state for keys older than

@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk" -> "exact baseline: corpus × broadcast query set",
     "ann_recall" -> "contains the exact ground-truth side (corpus × broadcast queries)",
     "ann_lsh_scaled" -> "same: recall gate carries the exact ground-truth side",
+    "ann_rp_recall" -> "two bruteForceTopK passes (full + reduced space), each corpus × broadcast queries",
     "ann_ivf" -> "centroid assignment: corpus × broadcast codebook",
     "ann_ivf_recall" -> "both of the above",
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",

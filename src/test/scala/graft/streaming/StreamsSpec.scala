@@ -8,13 +8,13 @@ import java.nio.file.Files
 
 class StreamsSpec extends SparkSpec {
 
-  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
 
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
-    in.addData((1L, ns(1), "click"), (1L, ns(2), "click"), (2L, ns(2), "view"), (1L, ns(3), "click"))
+    in.addData((1L, us(1), "click"), (1L, us(2), "click"), (2L, us(2), "view"), (1L, us(3), "click"))
     val events = Streams.withEventTime(
       in.toDF.toDF("user_id", "ts", "event_type"), "ts")
     val out = Streams.runToMemory(
@@ -29,8 +29,8 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
     in.addData(
-      (1L, ns(1), "click"), (2L, ns(2), "click"), (3L, ns(3), "view"),
-      (4L, ns(11), "click"))
+      (1L, us(1), "click"), (2L, us(2), "click"), (3L, us(3), "view"),
+      (4L, us(11), "click"))
     val events = Streams.withEventTime(in.toDF.toDF("event_id", "ts", "event_type"), "ts")
     val out = Streams.runToMemory(
       Streams.windowedCounts(events, "event_time", "1 minute", "10 minutes", Seq("event_type")),
@@ -45,7 +45,7 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
-    in.addData((1L, ns(0)), (1L, ns(10)), (1L, ns(60)), (2L, ns(0)))
+    in.addData((1L, us(0)), (1L, us(10)), (1L, us(60)), (2L, us(0)))
     val events = Streams.withEventTime(in.toDF.toDF("user_id", "ts"), "ts")
     val out = Streams.runToMemory(
       Streams.sessionWindows(events, "event_time", "1 minute", "30 minutes", Seq("user_id")),
@@ -77,9 +77,9 @@ class StreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, String)]
     in.addData(
-      (1L, ns(1), "the same document text"),
-      (2L, ns(2), "the same document text"),     // exact dup of 1
-      (3L, ns(3), "a different document entirely"))
+      (1L, us(1), "the same document text"),
+      (2L, us(2), "the same document text"),     // exact dup of 1
+      (3L, us(3), "a different document entirely"))
     val docs = Streams.withEventTime(in.toDF.toDF("doc_id", "ts", "text"), "ts")
       .withColumn("__fp", graft.functions.rolling_fingerprint(org.apache.spark.sql.functions.col("text")))
     val out = Streams.runToMemory(
@@ -116,12 +116,12 @@ class StreamsSpec extends SparkSpec {
     // are dropped as late — epoch-0 data is a degenerate corner, so keep
     // test times strictly above it like any real corpus
     val d = 24L * 60
-    vin.addData((1L, 10L, ns(d)), (1L, 11L, ns(d + 60)), (2L, 20L, ns(d)))
+    vin.addData((1L, 10L, us(d)), (1L, 11L, us(d + 60)), (2L, 20L, us(d)))
     cin.addData(
-      (1L, 100L, ns(d + 20)),  // in window of view 10 (+20m)
-      (1L, 101L, ns(d + 70)),  // in window of BOTH views (10: +70m; 11: +10m)
-      (2L, 200L, ns(d + 200)), // outside view 20's 2h window
-      (3L, 300L, ns(d + 5)))   // no matching-user view
+      (1L, 100L, us(d + 20)),  // in window of view 10 (+20m)
+      (1L, 101L, us(d + 70)),  // in window of BOTH views (10: +70m; 11: +10m)
+      (2L, 200L, us(d + 200)), // outside view 20's 2h window
+      (3L, 300L, us(d + 5)))   // no matching-user view
     val views = Streams.withEventTime(
       vin.toDF.toDF("user_id", "view_id", "ts"), "ts", "view_time").drop("ts")
     val clicks = Streams.withEventTime(
