@@ -138,6 +138,33 @@ object ScaleProbe {
           e.withColumn("tus", col("ts")),
           "user_id", "tus", "event_type",
           Seq("view", "click", "purchase"), 1800000000L))
+      // lag-gap sessionization: two window passes over ONE (user_id)
+      // hash shuffle + sort — Σ per-key events, never keys × span
+      time("sessionizeGap(30min)", {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        e.withColumn("__prev", lag(col("ts"), 1).over(wOrd))
+          .withColumn("__new",
+            when(col("__prev").isNull || col("ts") - col("__prev") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("__new")).over(
+            wOrd.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+      })
+      // as-of join: union-tag + one window over the same (user) shuffle
+      // class — per-key linear, no range-join candidate blowup
+      time("asofJoin(click<-view)", {
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("tus"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts"),
+            col("ts").cast("double").as("view_value"))
+        graft.ops.AsofJoin.asofJoin(
+          clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value"))
+      })
     }
 
     // zorderBy: one range exchange + in-partition sort — ratio should be
