@@ -79,6 +79,24 @@ class TestdataDriftSpec extends SparkSpec {
     assert(nulls == 0L, s"$nulls embeddings rows carry null vectors/elements")
   }
 
+  test("forced streaming schemas still match the files (docsSchema, eventsReadSchema)") {
+    assume(have, s"$sfDir not present")
+    // the streaming file source REQUIRES a user-supplied schema; these
+    // constants must track the generator's output or stream gates read
+    // garbage without erroring
+    val docsInferred = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    for (f <- SparkEntry.docsSchema.fields) {
+      val actual = docsInferred.find(_.name == f.name)
+      assert(actual.isDefined, s"documents lost column ${f.name}")
+      assert(actual.get.dataType == f.dataType,
+        s"documents.${f.name} drifted: forced ${f.dataType}, file has ${actual.get.dataType}")
+    }
+    val evForced = SparkEntry.eventsReadSchema(spark, sfDir)
+    val evRead = spark.read.schema(evForced).parquet(s"$sfDir/events.parquet")
+    assert(evRead.limit(1).count() == 1L,
+      "events unreadable under the resolved forced schema")
+  }
+
   test("lineitem/orders: key columns survive with plausible domains") {
     assume(have, s"$sfDir not present")
     val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
