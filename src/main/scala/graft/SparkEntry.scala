@@ -101,6 +101,23 @@ object SparkEntry {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Canonical streaming documents read. The streaming file source
+    * requires an explicit schema; forcing the `docsSchema` CONSTANT on a
+    * driver-regenerated file is the same landmine the events table
+    * already stepped on (a type change reads garbage without erroring),
+    * so the forced schema is the file's OWN inferred one, then cast to
+    * the canonical column types — drift becomes an analysis error or a
+    * well-defined cast, never silent corruption. (Engine-written scratch
+    * files — jsonl/csv/orc round-trips — keep using the constant; the
+    * engine controls both sides there.)
+    */
+  private[graft] def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val inferred = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(inferred)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(docsSchema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   // per-JVM scratch root for the jsonl_roundtrip gate's write half; keyed
   // by the input dir so two frames built before execution can't clobber
   // each other's export
@@ -2036,8 +2053,7 @@ object SparkEntry {
 
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
-      val src = s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val src = docsStream(s, dir)
         .filter(pmod(col("doc_id"), lit(7)) === 0)
       val history = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(7)) =!= 0)
       val flagged = Streams.flagSeenInStatic(src, "text", history, "text")
@@ -2106,8 +2122,7 @@ object SparkEntry {
     // int64 sum of deterministic kernel metrics.
     "stream_quality" -> ((s, dir) => {
       import graft.streaming.Streams
-      val src = s.readStream.schema(docsSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val src = docsStream(s, dir)
         .filter(col("doc_id").isNotNull)
         .withColumn("event_time", timestamp_micros(col("doc_id") * lit(60000000L)))
       val prof = Streams.windowedQualityProfile(
