@@ -826,6 +826,14 @@ object SparkEntry {
         oovBelow = 3L)
         .orderBy("doc_id")),
 
+    // §2.11 — bigram corpus-familiarity (the CCNet-style LM filter's
+    // 2-gram evidence): per-doc continuation rate Σc(w1,w2)/Σc(w1·) and
+    // rare-bigram count, int64-exact until one final division.
+    "bigram_familiarity" -> ((s, dir) =>
+      TextStats.bigramFamiliarity(t(s, dir, "documents"), "doc_id", "text",
+        rareBelow = 3L)
+        .orderBy("doc_id")),
+
     // §2.11 — z-order (Morton) clustering value: the multi-dimensional
     // data-skipping layout key, as pure bit arithmetic with an exact
     // oracle. 10 bits per dimension over (doc_id, n_chars) buckets.
@@ -4074,6 +4082,31 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE), 6) AS familiarity
          |FROM toks t JOIN freqs f ON f.token = t.token
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "bigram_familiarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+         |  FROM (SELECT doc_id, string_split_regex($strippedSql, '\\s+') AS l
+         |        FROM documents
+         |        WHERE doc_id IS NOT NULL AND length($strippedSql) > 0)),
+         |bg AS (
+         |  SELECT doc_id, w1, w2 FROM (
+         |    SELECT doc_id, token AS w1,
+         |      lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |    FROM toks) WHERE w2 IS NOT NULL),
+         |c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c12.c12 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  round(CAST(sum(least(c12.c12, ${TextStats.FreqCap})) AS DOUBLE)
+         |    / CAST(sum(least(c1.c1, ${TextStats.FreqCap})) AS DOUBLE), 6) AS bigram_cond
+         |FROM bg b
+         |JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+         |JOIN c1 ON c1.w1 = b.w1
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "zorder_layout" ->
       s"""SELECT doc_id, n_chars,

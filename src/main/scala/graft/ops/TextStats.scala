@@ -533,6 +533,63 @@ object TextStats {
       .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"), col("familiarity"))
   }
 
+  /** Bigram corpus-familiarity — the 2-gram extension of
+    * [[unigramFamiliarity]] (the CCNet-style LM-perplexity filter,
+    * re-expressed in exact arithmetic): per document,
+    *  - `n_bigrams`: consecutive token pairs,
+    *  - `n_rare`: bigrams whose corpus count is below `rareBelow` — the
+    *    2-gram OOV analog; unseen continuations are exactly where an LM
+    *    perplexity spikes,
+    *  - `bigram_cond`: Σ c(w1,w2) / Σ c(w1·) over the doc's bigrams,
+    *    the aggregate continuation rate (c(w1,w2) = corpus bigram count,
+    *    c(w1·) = count of w1 as a bigram LEFT — the conditional
+    *    probability's denominator). Both sums are exact int64 (capped at
+    *    [[FreqCap]] like the unigram op) with ONE final division — a
+    *    per-bigram Σ log P(w2|w1) would be an order-dependent float sum
+    *    no oracle could replay bit-exactly, and the ratio ranks
+    *    documents the same way (monotone in the same evidence).
+    * Documents with fewer than 2 tokens have no bigrams and drop out;
+    * null ids are excluded.
+    *
+    * Scale shape: each doc's bigram array is built in one NARROW pass
+    * (transform over the token array — no shuffle, no self-join on
+    * position); the exploded bigrams persist and feed (a) the
+    * groupBy(w1,w2) count table, (b) the groupBy(w1) left-count table —
+    * both map-side combined, Zipf-small vs the stream — and (c) the
+    * probe side of the two equi-joins back; then one groupBy(id) fold.
+    * Hot bigrams ("of the") skew the joins, not the aggregates — AQE
+    * skew-split territory, never a candidate explosion.
+    */
+  def bigramFamiliarity(
+      df: DataFrame, idCol: String, textCol: String,
+      rareBelow: Long = 2L): DataFrame = {
+    require(rareBelow >= 1, s"rareBelow must be at least 1: $rareBelow")
+    val bi = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"),
+        whitespaceTokens(col(s"`$textCol`")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2), i =>
+          struct(
+            element_at(col("__toks"), i + 1).as("w1"),
+            element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val leftCounts = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    bi.join(pairCounts, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c12") < rareBelow, 1L).otherwise(0L)).as("n_rare"),
+        sum(least(col("__c12"), lit(FreqCap))).as("__s12"),
+        sum(least(col("__c1"), lit(FreqCap))).as("__s1"))
+      .withColumn("bigram_cond",
+        round(col("__s12").cast("double") / col("__s1").cast("double"), 6))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("n_rare"), col("bigram_cond"))
+  }
+
   /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) top-k ranked retrieval for a
     * fixed term list: adds `score` (rounded to 4 decimals) and `rnk`,
     * keeping the k best documents (score desc, id asc tiebreak). Only

@@ -311,6 +311,20 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.contains(4L), "token-less docs have no score")
   }
 
+  test("bigramFamiliarity: continuation rate and rare-bigram count, hand-computed") {
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus bigrams: (a,b)=3, (b,a)=1, (b,c)=1; left counts a=3, b=2
+    val out = TextStats.bigramFamiliarity(corpus, "doc_id", "text", rareBelow = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 1L, 0.875)), "s12=3+1+3=7 over s1=3+2+3=8; (b,a) is rare")
+    assert(out(2L) == ((2L, 1L, 0.8)), "s12=3+1=4 over s1=3+2=5; (b,c) is rare")
+    assert(!out.contains(3L), "single-token docs have no bigrams")
+    assert(!out.contains(4L), "empty docs have no bigrams")
+  }
+
   test("bm25TopK matches a naive reference computation") {
     val docs = Map(
       1L -> Seq("apple", "banana", "apple"),
