@@ -213,6 +213,10 @@ object ScaleProbe {
         graft.ops.TextStats.classifierScore(d, "doc_id", "text"))
       time("temperatureMixture",
         Curation.temperatureMixture(d, "lang", "doc_id"))
+      // bigram counts: shuffle bounded by distinct (w1,w2) pairs, joins
+      // back by key — should track token volume, never pair out
+      time("bigramFamiliarity",
+        graft.ops.TextStats.bigramFamiliarity(d, "doc_id", "text"))
     }
     Seq(1, k).foreach { times =>
       val e = replicateEmb(times)
