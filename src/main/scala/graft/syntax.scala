@@ -89,6 +89,9 @@ object syntax {
     def unigramFamiliarity(idCol: String, textCol: String,
         oovBelow: Long = 2L): DataFrame =
       TextStats.unigramFamiliarity(df, idCol, textCol, oovBelow)
+    def bigramFamiliarity(idCol: String, textCol: String,
+        rareBelow: Long = 2L): DataFrame =
+      TextStats.bigramFamiliarity(df, idCol, textCol, rareBelow)
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

@@ -83,4 +83,11 @@ class SyntaxSpec extends SparkSpec {
       .domainProfile("url").as[(String, Long, Long)].collect().toSeq
     assert(prof == Seq(("a.com", 2L, 2L)))
   }
+
+  test("round-8 wrapper delegates: bigramFamiliarity") {
+    val out = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .bigramFamiliarity("doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(out.keySet == Set(1L, 2L))
+  }
 }
