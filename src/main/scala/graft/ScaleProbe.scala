@@ -139,10 +139,13 @@ object ScaleProbe {
           "user_id", "tus", "event_type",
           Seq("view", "click", "purchase"), 1800000000L))
       // lag-gap sessionization: two window passes over ONE (user_id)
-      // hash shuffle + sort — Σ per-key events, never keys × span
+      // hash shuffle + sort — Σ per-key events, never keys × span.
+      // Probe-only shape (the gate's version in SparkEntry additionally
+      // tiebreaks the ordering on event_id for determinism; the probe's
+      // replicated frame carries no event_id and only timing matters)
       time("sessionizeGap(30min)", {
         val wOrd = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"))
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_type"))
         e.withColumn("__prev", lag(col("ts"), 1).over(wOrd))
           .withColumn("__new",
             when(col("__prev").isNull || col("ts") - col("__prev") > 1800000000L, 1L)

@@ -47,10 +47,26 @@ object SparkEntry {
 
   private val eventsTsTypes = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
 
+  /** True iff `e` is Spark's parquet→Catalyst conversion rejection —
+    * the one failure that MEANS "TIMESTAMP(NANOS)" (the only parquet
+    * timestamp Spark cannot map to a Catalyst type). Everything else
+    * (missing file, half-written part during a testdata regeneration,
+    * corrupt footer, IO error) must PROPAGATE: falling back to the
+    * forced-Long read on those would misread a later TIMESTAMP_MICROS
+    * file as nanos — the silent 1000× corruption this resolution exists
+    * to prevent — and a cached wrong answer would outlive the transient
+    * failure. (computeIfAbsent caches nothing when the fn throws.)
+    */
+  private def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = String.valueOf(t.getMessage)
+      m.contains("Parquet") && (m.contains("NANOS") || m.contains("Illegal Parquet type"))
+    }
+
   private[graft] def eventsTsType(spark: SparkSession, dir: String): DataType =
     eventsTsTypes.computeIfAbsent(dir, _ =>
-      scala.util.Try(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
-        .getOrElse(LongType)) // inference throws ⇔ TIMESTAMP(NANOS) → forced-Long read
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case e: Throwable if isNanosRejection(e) => LongType })
 
   /** The schema to force on an events read (batch or readStream — the
     * streaming file source REQUIRES an explicit schema, so resolution
@@ -73,7 +89,17 @@ object SparkEntry {
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case TimestampType    => df.withColumn("ts", unix_micros(col("ts")))
-      case TimestampNTZType => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+      case TimestampNTZType =>
+        // NTZ carries no zone, and the NTZ→LTZ cast below interprets the
+        // wall clock in the SESSION zone — correct only when that zone
+        // is UTC (DuckDB's epoch_us treats naive timestamps as UTC).
+        // Enforce rather than silently shift every epoch by a zone
+        // offset. Internal reads never hit this branch (eventsReadSchema
+        // forces TimestampType); it exists for externally-read frames.
+        require(df.sparkSession.sessionState.conf.sessionLocalTimeZone == "UTC",
+          "NTZ events.ts requires spark.sql.session.timeZone=UTC — " +
+            "the NTZ cast is session-zone-dependent")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
       // integral DIV — `/` would round-trip through double and lose
       // precision above 2^53 (epoch-nanos ≈ 1.7e18)
       case LongType         => df.withColumn("ts", expr("ts DIV 1000"))
@@ -111,8 +137,13 @@ object SparkEntry {
     * files — jsonl/csv/orc round-trips — keep using the constant; the
     * engine controls both sides there.)
     */
+  private val docsSchemas = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   private[graft] def docsStream(spark: SparkSession, dir: String): DataFrame = {
-    val inferred = spark.read.parquet(s"$dir/documents.parquet").schema
+    // per-dir cache, same as eventsTsTypes: the inferred schema is a
+    // property of the file; one footer read per dir per JVM
+    val inferred = docsSchemas.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/documents.parquet").schema)
     spark.readStream.schema(inferred)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(docsSchema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)

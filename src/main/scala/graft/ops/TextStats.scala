@@ -553,7 +553,11 @@ object TextStats {
     *
     * Scale shape: each doc's bigram array is built in one NARROW pass
     * (transform over the token array — no shuffle, no self-join on
-    * position); the exploded bigrams persist and feed (a) the
+    * position); the exploded bigrams persist (library caching contract,
+    * same as [[unigramFamiliarity]]: the cache outlives the call —
+    * Verify/Bench clearCache between queries; long-lived sessions
+    * should `spark.catalog.clearCache()` after corpus-wide scoring) and
+    * feed (a) the
     * groupBy(w1,w2) count table, (b) the groupBy(w1) left-count table —
     * both map-side combined, Zipf-small vs the stream — and (c) the
     * probe side of the two equi-joins back; then one groupBy(id) fold.

@@ -41,6 +41,16 @@ class TestdataDriftSpec extends SparkSpec {
       s"events span $spanDays days — expected ~30; ts unit drifted?")
   }
 
+  test("eventsTsType: non-NANOS failures propagate instead of poisoning the cache") {
+    // a missing file (mid-regeneration window) must NOT silently resolve
+    // to the forced-Long nanos read — that would misread the regenerated
+    // TIMESTAMP_MICROS file 1000x off for the rest of the JVM
+    val bogus = "/nonexistent/graft_drift_dir"
+    intercept[Throwable] { SparkEntry.eventsTsType(spark, bogus) }
+    // still throws on retry: the failure was not cached
+    intercept[Throwable] { SparkEntry.eventsTsType(spark, bogus) }
+  }
+
   test("normalizeEventTs dispatches on the stored type (µs timestamp vs raw ns long)") {
     import spark.implicits._
     val usVal = 1700000000000000L // 2023-11-14T22:13:20Z in µs
