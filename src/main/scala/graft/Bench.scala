@@ -24,6 +24,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // wide FHIR structs (21-column to_json) exceed the default 25-field
       // print cap; raise it so every plan stays printable/inspectable
       .config("spark.sql.debug.maxToStringFields", "2000")

@@ -19,6 +19,7 @@ object PlanDump {
     val mode = if (args.length > 2 && args(2) == "formatted") FormattedMode else ExtendedMode
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
