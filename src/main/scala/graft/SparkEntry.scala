@@ -1738,6 +1738,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for each click, the EARLIEST at-or-after view's
+    // value per user (merge_asof direction='forward') — same dedup'd
+    // right side as asof_join, mirrored window direction.
+    "asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      val views = Cleaners.dedupKeepFirst(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "tus", "value", "event_id"),
+          Seq("user_id", "tus"), Seq(col("event_id")))
+        .select(col("user_id"), col("tus").as("vts"), col("value").as("view_value"))
+      graft.ops.AsofJoin.asofJoinForward(clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("tus").as("ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // G-family numeric profiling: exact distribution stats.
     "numeric_profile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3543,6 +3560,20 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.vts <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+
+    "asof_forward" ->
+      """WITH vd AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, value AS view_value,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), v AS (SELECT user_id, vts, view_value FROM vd WHERE rn = 1),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.vts >= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
 
     "range_join" ->

@@ -46,6 +46,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Seq((None, Some("late"))), "no mixing of rows across payload columns")
   }
 
+  test("forward asof: earliest quote at or after each trade; tie inclusive; no-later → null") {
+    val out = AsofJoin.asofJoinForward(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select("sym", "t", "trade_id", "px")
+      .as[(String, Long, Int, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      ("A", 10L, 1, Some(101.0)),   // next quote@20
+      ("A", 20L, 2, Some(101.0)),   // tie: quote@20 included (>=)
+      ("A", 25L, 3, None),          // no quote after 25
+      ("B", 5L, 4, Some(50.0)),     // quote@9 is after
+      ("C", 7L, 5, None)))          // no quotes for key
+  }
+
+  test("forward asof: null payload on the earliest later row attaches as NULL") {
+    val q = Seq(("A", 30L, None: Option[Double]), ("A", 40L, Some(200.0)))
+      .toDF("sym", "qt", "px")
+    val out = AsofJoin.asofJoinForward(
+      trades.filter($"t" === 25L), q, Seq("sym"), "t", "qt", Seq("px"))
+      .select("trade_id", "px").as[(Int, Option[Double])].collect().toSeq
+    assert(out == Seq((3, None)), "earliest later row wins even when its payload is null")
+  }
+
   test("left row count preserved; payload collision rejected") {
     assert(AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px")).count()
       == trades.count())
