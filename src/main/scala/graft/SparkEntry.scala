@@ -1755,6 +1755,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Nearest as-of with a 30 min staleness tolerance (merge_asof
+    // direction='nearest', tolerance=...): prior vs next view, whichever
+    // is closer, equidistant → prior, null beyond the bound.
+    "asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("tus", col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus")
+      val views = Cleaners.dedupKeepFirst(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "tus", "value", "event_id"),
+          Seq("user_id", "tus"), Seq(col("event_id")))
+        .select(col("user_id"), col("tus").as("vts"), col("value").as("view_value"))
+      graft.ops.AsofJoin.asofJoinNearest(
+          clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value"),
+          tolerance = Some(1800000000L))
+        .select(col("event_id"), col("user_id"), col("tus").as("ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // G-family numeric profiling: exact distribution stats.
     "numeric_profile" -> ((s, dir) =>
       t(s, dir, "events")
@@ -3575,6 +3594,36 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.vts >= c.ts_us
         |ORDER BY c.event_id""".stripMargin,
+
+    // two ASOF passes (<= and >=) + the same closest-with-tie-to-prior
+    // CASE the engine's nearest window computes; 1800000000 µs = 30 min
+    "asof_nearest" ->
+      """WITH vd AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, value AS view_value,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), v AS (SELECT user_id, vts, view_value FROM vd WHERE rn = 1),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, v.vts AS bt, v.view_value AS bv
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND v.vts <= c.ts_us),
+        |f AS (
+        |  SELECT c.event_id, v.vts AS ft, v.view_value AS fv
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND v.vts >= c.ts_us)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  CASE
+        |    WHEN b.bt IS NOT NULL AND b.ts_us - b.bt <= 1800000000
+        |         AND (f.ft IS NULL OR f.ft - b.ts_us > 1800000000
+        |              OR b.ts_us - b.bt <= f.ft - b.ts_us) THEN b.bv
+        |    WHEN f.ft IS NOT NULL AND f.ft - b.ts_us <= 1800000000 THEN f.fv
+        |    ELSE NULL
+        |  END AS view_value
+        |FROM b JOIN f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin,
 
     "range_join" ->
       """SELECT o_orderkey AS interval_id, CAST(count(*) AS BIGINT) AS n_shipments

@@ -6,19 +6,25 @@ import org.apache.spark.sql.functions._
 
 /** Point-in-time (as-of) join — for each left row, attach the payload of
   * the latest right row with `rightTime <= leftTime` on the same key
-  * ([[asofJoin]]), or the earliest right row with `rightTime >= leftTime`
-  * ([[asofJoinForward]] — pandas `merge_asof(direction='forward')`).
+  * ([[asofJoin]]), the earliest right row with `rightTime >= leftTime`
+  * ([[asofJoinForward]]), or the closest in either direction
+  * ([[asofJoinNearest]]) — the full pandas `merge_asof` direction
+  * surface, each with an optional staleness `tolerance`.
   *
   * Spark has no native ASOF JOIN; the naive formulation (range join +
   * per-left-row max) explodes to |L|×|R| per key. This implementation is
   * the scalable union-and-carry form: tag both sides, union, one
-  * shuffle on the key, then a single ordered window pass carries the
-  * nearest right payload into each left row —
-  * O((|L|+|R|) log) per key, no pair materialization, AQE-friendly.
+  * shuffle on the key, then ordered window passes carry the nearest
+  * right payload into each left row — O((|L|+|R|) log) per key, no pair
+  * materialization, AQE-friendly. `nearest` runs BOTH frames over the
+  * same sort (one exchange, one sort, two window passes).
   *
   * Semantics: inclusive (`<=` / `>=`); ties on time resolve to the right
-  * row (the tag ordering places the right row inside the window frame at
-  * equal time, in both directions). If the right side can hold multiple
+  * row, and `nearest`'s equidistant ties resolve to the PRIOR row.
+  * `tolerance` (in the time column's own units — µs for the canonical
+  * event reads; requires a numeric time column) null-outs matches
+  * farther than the bound, bounding staleness the way
+  * `merge_asof(tolerance=...)` does. If the right side can hold multiple
   * rows per (key, time), pre-dedup it (e.g.
   * [[graft.clean.Cleaners.dedupKeepFirst]]) — the window would otherwise
   * pick the physically-nearest one nondeterministically.
@@ -27,8 +33,9 @@ object AsofJoin {
 
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
-    directed(left, right, keys, leftTime, rightTime, payload, backward = true)
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    directed(left, right, keys, leftTime, rightTime, payload, backward = true, tolerance)
 
   /** Forward as-of: for each left row, the payload of the EARLIEST right
     * row with `rightTime >= leftTime` — "the next reading after this
@@ -36,21 +43,48 @@ object AsofJoin {
     */
   def asofJoinForward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
-    directed(left, right, keys, leftTime, rightTime, payload, backward = false)
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    directed(left, right, keys, leftTime, rightTime, payload, backward = false, tolerance)
+
+  /** Nearest as-of: whichever of the prior / next right rows is closer
+    * in time (equidistant → prior). One shuffle + sort; both direction
+    * frames ride the same ordered partition.
+    */
+  def asofJoinNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val (unioned, leftCols) =
+      tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag = 1, rTag = 0)
+    val ordered = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__tag"))
+    // right (0) sorts before left (1) at equal time: the backward frame
+    // sees the equal-time right at distance 0, which nearest prefers
+    // anyway — the forward frame deliberately starts after it.
+    val b = last(col("__pay"), ignoreNulls = true)
+      .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val f = first(col("__pay"), ignoreNulls = true)
+      .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val db = col("__t") - col("__b").getField("__rt")
+    val df = col("__f").getField("__rt") - col("__t")
+    val bOk = col("__b").isNotNull && tolerance.map(t => db <= t).getOrElse(lit(true))
+    val fOk = col("__f").isNotNull && tolerance.map(t => df <= t).getOrElse(lit(true))
+    unioned
+      .withColumn("__b", b)
+      .withColumn("__f", f)
+      .filter(col("__tag") === 1)
+      .withColumn("__pick",
+        when(bOk && (!fOk || db <= df), col("__b"))
+          .when(fOk, col("__f")))
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        payload.map(c => col("__pick").getField(c).as(c)): _*)
+  }
 
   private def directed(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      backward: Boolean): DataFrame = {
-    require(payload.nonEmpty, "payload columns required")
-    val leftCols = left.columns.toSeq
-    require(payload.intersect(leftCols).isEmpty,
-      s"payload ${payload.intersect(leftCols)} collide with left columns")
-    val reserved = Seq("__t", "__tag", "__pay").filter(leftCols.contains)
-    require(reserved.isEmpty,
-      s"left columns $reserved collide with asofJoin working columns")
-
+      backward: Boolean, tolerance: Option[Long]): DataFrame = {
     // Tag choice IS the inclusive-tie rule: ordering is (__t, __tag), and
     // the side sorting first at equal time must be the one the frame
     // still covers. Backward ([unboundedPreceding, current] + last):
@@ -58,24 +92,8 @@ object AsofJoin {
     // inside the frame. Forward ([current, unboundedFollowing] + first):
     // left (0) sorts before right (1), same property mirrored.
     val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
-    val lTagged = left
-      .withColumn("__t", col(leftTime))
-      .withColumn("__tag", lit(lTag))
-    // payload travels as ONE struct per right row: the ignoreNulls pick
-    // must skip left rows but NOT right rows whose payload value is null —
-    // and with several payload columns carried independently, one output
-    // row could otherwise mix values from different right rows.
-    // Null keys / null timestamps on the right can never match any left
-    // row under join-equality (= ASOF) semantics — and unfiltered they
-    // WOULD match: nulls-first ordering sorts a null-time right row before
-    // everything, and partitionBy groups null keys together.
-    val rTagged = right
-      .filter((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
-      .select(
-        keys.map(col) :+ col(rightTime).as("__t") :+ lit(rTag).as("__tag") :+
-          struct(payload.map(col): _*).as("__pay"): _*)
-    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-
+    val (unioned, leftCols) =
+      tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag, rTag)
     val ordered = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
     val (w, pick) =
@@ -85,10 +103,54 @@ object AsofJoin {
       else
         (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
           first(col("__pay"), ignoreNulls = true))
-    unioned
+    val dist =
+      if (backward) col("__t") - col("__pay").getField("__rt")
+      else col("__pay").getField("__rt") - col("__t")
+    val withPick = unioned
       .withColumn("__pay", pick.over(w))
       .filter(col("__tag") === lTag)
-      .select(leftCols.map(c => col(s"`$c`")) ++
-        payload.map(c => col("__pay").getField(c).as(c)): _*)
+    val bounded = tolerance match {
+      case Some(t) => withPick.withColumn("__pay", when(dist <= t, col("__pay")))
+      case None    => withPick
+    }
+    bounded.select(leftCols.map(c => col(s"`$c`")) ++
+      payload.map(c => col("__pay").getField(c).as(c)): _*)
+  }
+
+  /** Shared tag-and-union prologue. The right payload travels as ONE
+    * struct per right row — the ignoreNulls pick must skip left rows but
+    * NOT right rows whose payload value is null, and with several
+    * payload columns carried independently one output row could mix
+    * values from different right rows. The struct leads with `__rt` (the
+    * matched right time) so tolerance/nearest can measure distance to
+    * the PICKED row, not the current one. Null keys / null timestamps on
+    * the right are filtered: they can never match under join-equality
+    * semantics, but unfiltered they WOULD (nulls-first ordering sorts a
+    * null-time right row before everything; partitionBy groups null
+    * keys).
+    */
+  private def tagAndUnion(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      lTag: Int, rTag: Int): (DataFrame, Seq[String]) = {
+    require(payload.nonEmpty, "payload columns required")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collide with left columns")
+    require(!payload.contains("__rt"),
+      "payload column __rt collides with asofJoin working columns")
+    val reserved = Seq("__t", "__tag", "__pay", "__b", "__f", "__pick")
+      .filter(leftCols.contains)
+    require(reserved.isEmpty,
+      s"left columns $reserved collide with asofJoin working columns")
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(lTag))
+    val rTagged = right
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) :+ col(rightTime).as("__t") :+ lit(rTag).as("__tag") :+
+          struct(col(rightTime).as("__rt") +: payload.map(col): _*).as("__pay"): _*)
+    (lTagged.unionByName(rTagged, allowMissingColumns = true), leftCols)
   }
 }

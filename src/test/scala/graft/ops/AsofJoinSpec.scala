@@ -67,6 +67,46 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Seq((3, None)), "earliest later row wins even when its payload is null")
   }
 
+  test("nearest asof: closest side wins; equidistant goes to prior; no-match null") {
+    val out = AsofJoin.asofJoinNearest(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select("sym", "t", "trade_id", "px")
+      .as[(String, Long, Int, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out == Seq(
+      ("A", 10L, 1, Some(100.0)),   // prior@8 (d=2) beats next@20 (d=10)
+      ("A", 20L, 2, Some(101.0)),   // exact hit
+      ("A", 25L, 3, Some(102.0)),   // prior@22 (d=3), no next
+      ("B", 5L, 4, Some(50.0)),     // only a next@9
+      ("C", 7L, 5, None)))
+    // equidistant: quote@18 and quote@22 around trade@20 → prior wins
+    val eq = AsofJoin.asofJoinNearest(
+      Seq(("A", 20L, 9)).toDF("sym", "t", "trade_id"),
+      Seq(("A", 18L, 1.0), ("A", 22L, 2.0)).toDF("sym", "qt", "px"),
+      Seq("sym"), "t", "qt", Seq("px"))
+      .select("px").as[Double].collect().toSeq
+    assert(eq == Seq(1.0), "equidistant tie resolves to the prior row")
+  }
+
+  test("tolerance null-outs stale matches in every direction") {
+    val t1 = Seq(("A", 100L, 1)).toDF("sym", "t", "trade_id")
+    val q = Seq(("A", 90L, 1.0), ("A", 140L, 2.0)).toDF("sym", "qt", "px")
+    def px(df: org.apache.spark.sql.DataFrame): Option[Double] =
+      df.select("px").as[Option[Double]].head()
+    assert(px(AsofJoin.asofJoin(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(10L))) == Some(1.0))
+    assert(px(AsofJoin.asofJoin(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(5L))) == None)
+    assert(px(AsofJoin.asofJoinForward(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(40L))) == Some(2.0))
+    assert(px(AsofJoin.asofJoinForward(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(39L))) == None)
+    // nearest: prior (d=10) within tol, next (d=40) not → prior even
+    // though a smaller-tol run drops both
+    assert(px(AsofJoin.asofJoinNearest(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(10L))) == Some(1.0))
+    assert(px(AsofJoin.asofJoinNearest(t1, q, Seq("sym"), "t", "qt", Seq("px"),
+      tolerance = Some(5L))) == None)
+  }
+
   test("left row count preserved; payload collision rejected") {
     assert(AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px")).count()
       == trades.count())
