@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{Curation, Dedup, Domains, Funnel, FuzzyJoin, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, Multimodal, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -92,6 +92,20 @@ object syntax {
     def bigramFamiliarity(idCol: String, textCol: String,
         rareBelow: Long = 2L): DataFrame =
       TextStats.bigramFamiliarity(df, idCol, textCol, rareBelow)
+
+    // --- point-in-time joins (df is the left / event side) ----------------
+    def asofJoin(right: DataFrame, keys: Seq[String],
+        leftTime: String, rightTime: String, payload: Seq[String],
+        tolerance: Option[Long] = None): DataFrame =
+      AsofJoin.asofJoin(df, right, keys, leftTime, rightTime, payload, tolerance)
+    def asofJoinForward(right: DataFrame, keys: Seq[String],
+        leftTime: String, rightTime: String, payload: Seq[String],
+        tolerance: Option[Long] = None): DataFrame =
+      AsofJoin.asofJoinForward(df, right, keys, leftTime, rightTime, payload, tolerance)
+    def asofJoinNearest(right: DataFrame, keys: Seq[String],
+        leftTime: String, rightTime: String, payload: Seq[String],
+        tolerance: Option[Long] = None): DataFrame =
+      AsofJoin.asofJoinNearest(df, right, keys, leftTime, rightTime, payload, tolerance)
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

@@ -90,4 +90,14 @@ class SyntaxSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
     assert(out.keySet == Set(1L, 2L))
   }
+
+  test("round-8 wrappers delegate: asofJoin family") {
+    val trades = Seq(("A", 10L, 1)).toDF("sym", "t", "trade_id")
+    val quotes = Seq(("A", 8L, 100.0), ("A", 13L, 101.0)).toDF("sym", "qt", "px")
+    def px(d: org.apache.spark.sql.DataFrame): Option[Double] =
+      d.select("px").as[Option[Double]].head()
+    assert(px(trades.asofJoin(quotes, Seq("sym"), "t", "qt", Seq("px"))) == Some(100.0))
+    assert(px(trades.asofJoinForward(quotes, Seq("sym"), "t", "qt", Seq("px"))) == Some(101.0))
+    assert(px(trades.asofJoinNearest(quotes, Seq("sym"), "t", "qt", Seq("px"))) == Some(100.0))
+  }
 }
