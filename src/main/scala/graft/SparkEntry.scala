@@ -1615,6 +1615,16 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"), col("n_events"))
         .orderBy("user_id", "bucket")),
 
+    // LOCF resample: the EHR vital-signs shape — per-user hourly grid
+    // with the last observed value carried across gaps (event_id
+    // tiebreaks equal-µs observations deterministically).
+    "resample_locf" -> ((s, dir) =>
+      TimeSeries.resampleLocf(t(s, dir, "events"), "user_id", "ts", "value",
+        3600L * 1000000L, Seq(col("event_id")))
+        .select(col("user_id"), col("bucket"), col("n_events"),
+          col("is_observed"), col("value"))
+        .orderBy("user_id", "bucket")),
+
     // Incremental aggregate maintenance: profile(base slice) merged with
     // profile(delta slice) must equal a direct full-corpus aggregation —
     // the algebra that lets a 100 TB nightly stats job read one day
@@ -3537,6 +3547,37 @@ object SparkEntry {
         |SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
         |  CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
         |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "resample_locf" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, bucket, value FROM (
+        |    SELECT user_id, epoch_us(ts) // 3600000000 AS bucket, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+        |  WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM c GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s)
+        |SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+        |  o.value IS NOT NULL AS is_observed,
+        |  last_value(o.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM g
+        |LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+        |LEFT JOIN o ON o.user_id = g.user_id AND o.bucket = g.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "retention" ->

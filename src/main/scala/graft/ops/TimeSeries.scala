@@ -58,6 +58,54 @@ object TimeSeries {
       .na.fill(0L, Seq("n_events"))
   }
 
+  /** Dense per-key grid with the VALUE carried forward — LOCF
+    * (last-observation-carried-forward) resampling, the canonical EHR
+    * vital-signs shape ("the patient's last known heart rate in every
+    * hour"): [[denseCounts]]'s guarded dense grid, plus per bucket the
+    * last non-null observation (latest `(tsCol, tiebreak)` wins —
+    * supply a unique tiebreak or equal-timestamp picks are
+    * nondeterministic) carried across gap buckets. Output per
+    * (key, bucket): `n_events`, `value` (null until the key's first
+    * observation), `is_observed` (this bucket has ≥1 non-null
+    * observation). Null observations are not observations: they neither
+    * set `value` nor `is_observed`, and the carry skips them.
+    *
+    * Scale shape: ONE extra groupBy vs [[denseCounts]] (per-bucket
+    * struct-max, map-side combined — the raw event volume never reaches
+    * the shuffle), a (key, bucket)-keyed join onto the grid, and one
+    * carry window over the same (key, bucket-ordered) partitioning the
+    * grid already has. maxBucketsPerKey fail-fast inherited.
+    */
+  def resampleLocf(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketWidth: Long, tiebreak: Seq[Column],
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(tiebreak.nonEmpty,
+      "tiebreak columns required: equal-timestamp observations would " +
+        "otherwise resolve nondeterministically")
+    val key = col(s"`$keyCol`")
+    val obs = df
+      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull &&
+        col(s"`$valueCol`").isNotNull)
+      .groupBy(key.as(keyCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
+          .as("bucket"))
+      // struct max: field-wise (ts, tiebreak..., value) ordering picks the
+      // bucket's latest observation in one map-side-combinable aggregate —
+      // no per-bucket row_number shuffle
+      .agg(max(struct(col(s"`$tsCol`") +: tiebreak :+ col(s"`$valueCol`").as("__v"): _*))
+        .as("__last"))
+      .select(col(s"`$keyCol`"), col("bucket"), col("__last.__v").as("__bv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$keyCol`")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
+      .join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_observed", col("__bv").isNotNull)
+      .withColumn("value", last(col("__bv"), ignoreNulls = true).over(w))
+      .drop("__bv")
+  }
+
   /** [[denseCounts]] plus a gap flag and a carried-forward "last active
     * bucket" per row — the usual inputs to staleness/liveness features.
     */

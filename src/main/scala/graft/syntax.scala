@@ -93,6 +93,10 @@ object syntax {
         rareBelow: Long = 2L): DataFrame =
       TextStats.bigramFamiliarity(df, idCol, textCol, rareBelow)
 
+    def resampleLocf(keyCol: String, tsCol: String, valueCol: String,
+        bucketWidth: Long, tiebreak: Seq[Column]): DataFrame =
+      TimeSeries.resampleLocf(df, keyCol, tsCol, valueCol, bucketWidth, tiebreak)
+
     // --- point-in-time joins (df is the left / event side) ----------------
     def asofJoin(right: DataFrame, keys: Seq[String],
         leftTime: String, rightTime: String, payload: Seq[String],

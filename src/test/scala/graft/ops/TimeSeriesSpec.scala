@@ -59,6 +59,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resampleLocf carries the last non-null value across gaps; null values are not observations") {
+    import org.apache.spark.sql.functions.col
+    // width 10. user 1: bucket 0 has obs at ts=3 (v=1.0) and ts=7 (v=2.0)
+    // → latest wins (2.0); bucket 1 empty → carried 2.0, not observed;
+    // bucket 2 has ONLY a null-value event → n_events=1 but not observed,
+    // carried 2.0; bucket 3 observed 9.0. user 2: first bucket unobserved
+    // (null value) → value null until nothing follows.
+    val ev = Seq(
+      (1L, 3L, 10L, Option(1.0)), (1L, 7L, 11L, Option(2.0)),
+      (1L, 25L, 12L, Option.empty[Double]),
+      (1L, 33L, 13L, Option(9.0)),
+      (2L, 5L, 20L, Option.empty[Double]))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.resampleLocf(ev, "user_id", "ts", "value", 10L,
+      Seq(col("event_id")))
+      .select("user_id", "bucket", "n_events", "is_observed", "value")
+      .as[(Long, Long, Long, Boolean, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 2L, true, Some(2.0)),
+      (1L, 1L, 0L, false, Some(2.0)),
+      (1L, 2L, 1L, false, Some(2.0)),
+      (1L, 3L, 1L, true, Some(9.0)),
+      (2L, 0L, 1L, false, None)))
+  }
+
+  test("resampleLocf tiebreaks equal timestamps by the tiebreak column") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 5L, 100L, Option(1.0)), (1L, 5L, 200L, Option(7.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.resampleLocf(ev, "user_id", "ts", "value", 10L,
+      Seq(col("event_id")))
+      .select("value").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(7.0)), "higher event_id wins at equal ts")
+  }
+
   test("denseCountsWithStaleness flags gaps and carries the last active bucket") {
     val out = TimeSeries
       .denseCountsWithStaleness(events, "user_id", "ts", 10L)
