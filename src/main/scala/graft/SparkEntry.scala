@@ -1670,6 +1670,34 @@ object SparkEntry {
     // dimension-table materialization behind point-in-time joins.
     // (o_orderdate, o_orderkey) totally orders each customer's history
     // (dates alone tie), and `version` gives the output a total order.
+    // Point-in-time dimension lookup (feature-store correctness,
+    // composed from scd2 + as-of): each order, looked up 2 days after
+    // its date against the SCD2 customer dimension — the training-serving
+    // consistency primitive ("what did this dimension row look like WHEN
+    // the example was generated", never a leaked future state). Same-day
+    // state changes share valid_from, so the day's FINAL version (max) is
+    // what a PIT lookup must see — dedup'd identically on both sides.
+    "pit_lookup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dim0 = TimeSeries.scd2(
+        o.select("o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate", "o_orderkey"),
+        keyCols = Seq("o_custkey"),
+        attrCols = Seq("o_orderstatus", "o_orderpriority"),
+        orderCols = Seq("o_orderdate", "o_orderkey"))
+      val dim = Cleaners.dedupKeepFirst(
+          dim0.select(col("o_custkey"), col("valid_from"),
+            col("o_orderstatus").as("d_status"),
+            col("o_orderpriority").as("d_priority"), col("version")),
+          Seq("o_custkey", "valid_from"), Seq(col("version").desc))
+      val ev = o.select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("__lt"))
+      graft.ops.AsofJoin.asofJoin(ev, dim, Seq("o_custkey"), "__lt", "valid_from",
+          Seq("d_status", "d_priority", "version"))
+        .select("o_orderkey", "o_custkey", "d_status", "d_priority", "version")
+        .orderBy("o_orderkey")
+    }),
+
     "scd2_history" -> ((s, dir) =>
       TimeSeries.scd2(
         t(s, dir, "orders")
@@ -3509,6 +3537,42 @@ object SparkEntry {
         |SELECT b.* FROM o b LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey
         |WHERE d.o_orderkey IS NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the scd2 oracle's run derivation + max-version-per-day dedup +
+    // DuckDB ASOF on valid_from <= lookup time
+    "pit_lookup" ->
+      """WITH base AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |    o_orderdate, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |flag AS (
+        |  SELECT *, (rn = 1
+        |    OR o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+        |    OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w) AS chg
+        |  FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY rn)),
+        |runs AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+        |    o_orderdate AS valid_from, rn
+        |  FROM flag WHERE chg),
+        |dim0 AS (
+        |  SELECT o_custkey, o_orderstatus AS d_status,
+        |    o_orderpriority AS d_priority, valid_from,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)),
+        |dim AS (
+        |  SELECT o_custkey, valid_from, d_status, d_priority, version FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY o_custkey, valid_from ORDER BY version DESC) AS rn2
+        |    FROM dim0) WHERE rn2 = 1),
+        |ev AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_orderdate + INTERVAL 2 DAY AS lt FROM orders)
+        |SELECT e.o_orderkey, e.o_custkey, d.d_status, d.d_priority, d.version
+        |FROM ev e ASOF LEFT JOIN dim d
+        |  ON e.o_custkey = d.o_custkey AND d.valid_from <= e.lt
+        |ORDER BY e.o_orderkey""".stripMargin,
 
     "scd2_history" ->
       """WITH base AS (
