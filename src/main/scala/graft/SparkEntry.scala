@@ -60,7 +60,11 @@ object SparkEntry {
   private def isNanosRejection(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
       val m = String.valueOf(t.getMessage)
-      m.contains("Parquet") && (m.contains("NANOS") || m.contains("Illegal Parquet type"))
+      // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))" — require the
+      // NANOS token so a DIFFERENT unsupported parquet type in some other
+      // events column propagates instead of silently selecting the
+      // forced epoch-nanos LongType fallback.
+      m.contains("Illegal Parquet type") && m.contains("NANOS")
     }
 
   private[graft] def eventsTsType(spark: SparkSession, dir: String): DataType =
@@ -101,8 +105,20 @@ object SparkEntry {
             "the NTZ cast is session-zone-dependent")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
       // integral DIV — `/` would round-trip through double and lose
-      // precision above 2^53 (epoch-nanos ≈ 1.7e18)
-      case LongType         => df.withColumn("ts", expr("ts DIV 1000"))
+      // precision above 2^53 (epoch-nanos ≈ 1.7e18). The CASE is a
+      // runtime unit guard: a raw int64 ts is only divided when its
+      // magnitude is plausible epoch-NANOS (1990..2100 ≈ 6.3e17..4.1e18);
+      // if a regeneration ships raw epoch-µs/ms/s int64 instead
+      // (~1.6e15/1.6e12/1.6e9), every row trips raise_error at scan time
+      // rather than silently shifting all time arithmetic 1000×. Plan-
+      // embedded (two comparisons per row inside codegen) so the guard
+      // also fires in gate/bench runs, not just when the test suite runs.
+      case LongType         => df.withColumn("ts", expr(
+        "CASE WHEN ts IS NULL THEN CAST(NULL AS BIGINT) " +
+          "WHEN ts BETWEEN 631152000000000000 AND 4102444800000000000 THEN ts DIV 1000 " +
+          "ELSE raise_error(concat('events.ts LongType value ', CAST(ts AS STRING), " +
+          "' is outside the plausible epoch-nanos range [1990, 2100] — the testdata " +
+          "generator changed the ts unit; extend SparkEntry.normalizeEventTs')) END"))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other — expected timestamp or epoch-nanos long")
     }
@@ -4109,8 +4125,9 @@ object SparkEntry {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, start_us""".stripMargin,
 
-    // DuckDB ts is already µs-truncated and the engine's event_time is
-    // ts DIV 1000 — µs-exact on both sides, so delays compare exactly.
+    // DuckDB ts is already µs-truncated and the engine's canonical ts is
+    // epoch-µs (event_time = timestamp_micros(ts), no division) —
+    // µs-exact on both sides, so delays compare exactly.
     "stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
         |  epoch_us(c.ts) - epoch_us(v.ts) AS delay_us

@@ -86,9 +86,16 @@ object syntax {
     def bm25TopK(idCol: String, textCol: String,
         terms: Seq[String], k: Int = 10): DataFrame =
       TextStats.bm25TopK(df, idCol, textCol, terms, k)
+    /** Caching contract (both familiarity ops): the exploded token/bigram
+      * frame is persisted (MEMORY_AND_DISK) and the cache OUTLIVES the
+      * call — it's ~token-count-sized, so long-lived sessions doing
+      * corpus-wide scoring should `spark.catalog.clearCache()` (or
+      * unpersist the returned lineage) after consuming the result.
+      */
     def unigramFamiliarity(idCol: String, textCol: String,
         oovBelow: Long = 2L): DataFrame =
       TextStats.unigramFamiliarity(df, idCol, textCol, oovBelow)
+    /** See the caching contract on [[unigramFamiliarity]]. */
     def bigramFamiliarity(idCol: String, textCol: String,
         rareBelow: Long = 2L): DataFrame =
       TextStats.bigramFamiliarity(df, idCol, textCol, rareBelow)

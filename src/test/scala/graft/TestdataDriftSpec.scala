@@ -61,6 +61,23 @@ class TestdataDriftSpec extends SparkSpec {
     assert(SparkEntry.normalizeEventTs(asNs).select("ts").as[Long].head() == usVal)
   }
 
+  test("normalizeEventTs: a raw int64 outside epoch-ns magnitude fails fast, not 1000x off") {
+    import spark.implicits._
+    // if a regeneration ships raw epoch-µs int64 (what the ns DIV 1000
+    // would silently corrupt), the plan-embedded guard must raise
+    val asRawUs = Seq(Tuple1(1700000000000000L)).toDF("ts") // µs magnitude, LongType
+    val e = intercept[Exception] {
+      SparkEntry.normalizeEventTs(asRawUs).select("ts").as[Long].head()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msgs.contains("epoch-nanos range"), s"unexpected failure: $msgs")
+    // nulls pass through; in-range ns still divides
+    val mixed = Seq(Option(1700000000000000000L), None).toDF("ts")
+    val out = SparkEntry.normalizeEventTs(mixed).select("ts").as[Option[Long]].collect().toSet
+    assert(out == Set(Some(1700000000000000L), None))
+  }
+
   test("documents: text/doc_id populated, n_chars consistent with text") {
     assume(have, s"$sfDir not present")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
