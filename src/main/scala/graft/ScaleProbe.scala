@@ -322,6 +322,68 @@ object ScaleProbe {
       })
     }
 
+    // round-8/9 events family: LOCF resampling, forward/nearest as-of,
+    // and the SCD2∘as-of point-in-time composition. Replication grows
+    // KEY cardinality (user_id offset) at fixed per-key span — the LOCF
+    // grid is Σ per-key buckets (linear in keys) and every as-of variant
+    // is one union shuffle + window, so all four should track ~k×.
+    if (familyOn("resampleLocf", "asofForward", "asofNearest", "pitLookup"))
+    Seq(1, k).foreach { times =>
+      val e = replicateEv(times)
+      println(s"--- round-8 events ${times}x (${e.count()} events) ---")
+      time("resampleLocf(hourly)",
+        graft.ops.TimeSeries.resampleLocf(
+          e.withColumn("value", (col("ts") % 1000L).cast("double")),
+          "user_id", "ts", "value", 3600L * 1000000L, Seq(col("event_type"))))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("tus"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          (col("ts") % 1000L).cast("double").as("view_value"))
+      time("asofForward(click->view)",
+        graft.ops.AsofJoin.asofJoinForward(
+          clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value")))
+      time("asofNearest(click->view)",
+        graft.ops.AsofJoin.asofJoinNearest(
+          clicks, views, Seq("user_id"), "tus", "vts", Seq("view_value")))
+      // point-in-time: SCD2 versions from the event stream's attr changes,
+      // then a backward as-of of each event against its key's dim history
+      time("pitLookup(scd2+asof)", {
+        val dim = graft.ops.TimeSeries.scd2(
+          e, Seq("user_id"), Seq("event_type"), Seq("ts"))
+          .select(col("user_id"), col("valid_from"),
+            col("event_type").as("d_type"), col("version"))
+        graft.ops.AsofJoin.asofJoin(
+          clicks, dim, Seq("user_id"), "tus", "valid_from",
+          Seq("d_type", "version"))
+      })
+    }
+
+    // FHIR bundle-directory ingest (the reference's core workload,
+    // json_pipeline.py:100-118): N small multiLine JSON files → explode →
+    // route → extract → clean, counted across all six tables off ONE
+    // cached entry parse. The interesting axis is FILE COUNT — multiLine
+    // JSON is whole-file-per-record, so this measures the small-files
+    // listing + per-file parse overhead that dominates bulk EHR ingest.
+    // Corpora persist under target/ (deterministic, marker-gated), so
+    // re-probes skip generation.
+    if (familyOn("fhirIngest")) Seq(1, k).foreach { times =>
+      val n = 500 * times
+      val dir = java.nio.file.Paths.get(s"target/probe-fhir-$n").toAbsolutePath
+      val tGen = System.nanoTime()
+      graft.fhir.FhirCorpus.generate(dir, n)
+      println(f"--- fhir ingest ${times}x ($n bundles, gen ${(System.nanoTime() - tGen) / 1e9}%.1f s) ---")
+      // cache built INSIDE the timed block (time() clears the cache
+      // first): the measurement covers one parse + six table derivations,
+      // the same shape the fhir_scale gate and a real bulk load use
+      time("fhirIngest(6 tables)", {
+        val entries = graft.fhir.BundleReader.normalizedEntries(spark, dir.toString).cache()
+        val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+        tables.values.map(_.select(lit(1L).as("one"))).reduce(_.unionByName(_))
+      })
+      spark.catalog.clearCache()
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

@@ -395,6 +395,38 @@ object SparkEntry {
     graft.sinks.Sinks.underscored(cleaned)
   }
 
+  /** One expected-aggregate row per cleaned FHIR table for the
+    * `fhir_scale` gate — the engine side of
+    * [[graft.fhir.FhirCorpus.ExpectedRow]]. Metrics a table doesn't carry
+    * are constant 0 (same convention as the generator's ground truth).
+    * One shuffle-free scan per table: every metric is a conditional-sum
+    * over the cleaned frame, so the whole gate is 6 partial-aggregates
+    * over one cached entry parse.
+    */
+  private def fhirScaleAgg(df: DataFrame, table: String,
+      dateCol: String, pair: Option[(String, String)],
+      patientMetrics: Boolean, obsVal: Boolean): DataFrame = {
+    def q(c: String): Column = col(s"`$c`")
+    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L)).cast("long")
+    def zero: Column = coalesce(sum(lit(0L)), lit(0L)).cast("long")
+    df.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      countDistinct(col("patient_id")).cast("long").as("n_patients"),
+      cnt(q(dateCol).isNull).as("n_date_null"),
+      pair.map { case (a, b) =>
+        cnt(q(a).isNotNull && q(b).isNotNull && q(a) <= q(b))
+      }.getOrElse(zero).as("n_pairs_ordered"),
+      (if (patientMetrics) cnt(q("contact_number").isNull) else zero).as("n_phone_null"),
+      (if (patientMetrics) cnt(q("latitude").isNull) else zero).as("n_geo_null"),
+      (if (patientMetrics) cnt(q("resource.multipleBirthInteger") === 0) else zero).as("n_mb_zero"),
+      (if (patientMetrics) cnt(q("race").isNotNull) else zero).as("n_race"),
+      (if (obsVal) coalesce(sum(q("resource.valueQuantity.value")), lit(0d)).cast("long")
+       else zero).as("sum_obs_value"))
+      .select(lit(table).as("table"), col("n_rows"), col("n_patients"),
+        col("n_date_null"), col("n_pairs_ordered"), col("n_phone_null"),
+        col("n_geo_null"), col("n_mb_zero"), col("n_race"), col("sum_obs_value"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → JSON flatten → validity filter → dedup → profile
     * (SURVEY.md §7.3) in one plan.
@@ -1969,6 +2001,37 @@ object SparkEntry {
     "fhir_careplan_oracle" -> ((s, _) =>
       fhirCleanedTable(s, "careplan").orderBy("patient_id", "resource_period_start")),
 
+    // FHIR pipeline AT SCALE: the full read→route→extract→clean path over
+    // a deterministic ~5k-bundle synthetic corpus (sharded small files,
+    // recursive listing — the reference's actual workload shape,
+    // json_pipeline.py:100-118), hash-compared against aggregates the
+    // GENERATOR predicted with plain arithmetic (FhirCorpus.expectedRows —
+    // never through Spark's JSON reader). Catches multiLine-scan, explode,
+    // extractor, cleaner, dropna, dedup, and parity-FK regressions that
+    // the 2-bundle fixture gates would only see one instance of.
+    "fhir_scale" -> ((s, _) => {
+      val entries = graft.fhir.BundleReader
+        .normalizedEntries(s, graft.fhir.FhirCorpus.corpusDir).cache()
+      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+      Seq(
+        fhirScaleAgg(tables("patient"), "patient", "resource.birthDate",
+          None, patientMetrics = true, obsVal = false),
+        fhirScaleAgg(tables("encounter"), "encounter", "resource.period.end",
+          Some(("resource.period.start", "resource.period.end")),
+          patientMetrics = false, obsVal = false),
+        fhirScaleAgg(tables("condition"), "condition", "resource.abatementDateTime",
+          Some(("resource.onsetDateTime", "resource.abatementDateTime")),
+          patientMetrics = false, obsVal = false),
+        fhirScaleAgg(tables("observation"), "observation", "resource.effectiveDateTime",
+          None, patientMetrics = false, obsVal = true),
+        fhirScaleAgg(tables("immunization"), "immunization", "resource.date",
+          None, patientMetrics = false, obsVal = false),
+        fhirScaleAgg(tables("careplan"), "careplan", "resource.period.end",
+          Some(("resource.period.start", "resource.period.end")),
+          patientMetrics = false, obsVal = false))
+        .reduce(_.unionByName(_)).orderBy("table")
+    }),
+
     // §2.11 — ANN quality gate: deterministic recall of the LSH path vs
     // the exact brute-force ground truth (both sides pinned elsewhere:
     // similarity_topk carries the DuckDB oracle for the exact side).
@@ -2768,6 +2831,16 @@ object SparkEntry {
     "fhir_observation_oracle" -> fhirObservationOracleSql,
     "fhir_immunization_oracle" -> fhirImmunizationOracleSql,
     "fhir_careplan_oracle" -> fhirCareplanOracleSql,
+
+    // The expected side is the GENERATOR's arithmetic prediction
+    // (FhirCorpus.expectedRows, dumped by Verify) — not a re-derivation
+    // through any JSON reader — so this is an independent ground-truth
+    // compare of the whole scale pipeline.
+    "fhir_scale" ->
+      s"""SELECT "table", n_rows, n_patients, n_date_null, n_pairs_ordered,
+         |  n_phone_null, n_geo_null, n_mb_zero, n_race, sum_obs_value
+         |FROM read_parquet('${graft.fhir.FhirCorpus.expectedDumpDir}/*.parquet')
+         |ORDER BY "table"""".stripMargin,
 
     // JL sign matrix rebuilt from md5 in SQL (no dump needed): weight
     // ±1/√16 = ±0.25 per (j, i) from the first md5 hex nibble.

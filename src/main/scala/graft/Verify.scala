@@ -24,6 +24,9 @@ object Verify {
     // fhir_*_oracle DuckDB SQL re-derives every cleaned table from this
     // parquet, so the oracle and the engine share one input.
     graft.fhir.FhirFixtures.dumpNormalizedEntries(spark)
+    // ... and the scale-corpus ground truth: fhir_scale's oracle reads
+    // ONLY this parquet (generator-predicted aggregates, no JSON parse).
+    graft.fhir.FhirCorpus.dumpExpected(spark)
     // ... and the active PSL rule table, so psl_domains' oracle replays
     // the public-suffix algorithm against the SAME rules the engine uses.
     graft.ops.Domains.pslRulesFrame(spark)

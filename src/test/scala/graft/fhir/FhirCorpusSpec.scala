@@ -1,0 +1,80 @@
+package graft.fhir
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The scale-corpus generator and its ground-truth fold
+  * (`FhirCorpus.expectedRows`) vs the REAL pipeline — the in-process twin
+  * of the `fhir_scale` gate, at a size cheap enough for every test run.
+  */
+class FhirCorpusSpec extends SparkSpec {
+
+  private val N = 300
+
+  private lazy val dir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_fhir_corpus_spec")
+    FhirCorpus.generate(p, N)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("bundles are well-formed JSON and shard across subdirectories") {
+    // every file parses under the PERMISSIVE corrupt-capturing read
+    val (entries, corrupt) = BundleReader.readEntriesWithCorrupt(spark, dir)
+    assert(corrupt.count() == 0, "generator emitted unparseable JSON")
+    assert(entries.count() > N * 4L, "suspiciously few entries per bundle")
+    val shards = new java.io.File(dir).listFiles().count(_.isDirectory)
+    assert(shards == 16, s"expected 16 shard dirs, got $shards")
+  }
+
+  test("full pipeline over the corpus matches the generator's arithmetic prediction") {
+    val entries = BundleReader.normalizedEntries(spark, dir).cache()
+    val tables = Cleaning.all(Extractors.allTables(entries))
+    val expected = FhirCorpus.expectedRows(N).map(r => r.table -> r).toMap
+
+    def q(c: String) = col(s"`$c`")
+    for ((name, df) <- tables) {
+      val e = expected(name)
+      val n = df.count()
+      assert(n == e.n_rows, s"$name rows: engine $n vs predicted ${e.n_rows}")
+      val nPat = df.agg(countDistinct(col("patient_id"))).head.getLong(0)
+      assert(nPat == e.n_patients, s"$name patients: $nPat vs ${e.n_patients}")
+    }
+    // spot-check the cleaner-specific counters on patient
+    val p = tables("patient")
+    val ep = expected("patient")
+    val row = p.agg(
+      sum(when(q("resource.birthDate").isNull, 1L).otherwise(0L)),
+      sum(when(q("contact_number").isNull, 1L).otherwise(0L)),
+      sum(when(q("latitude").isNull, 1L).otherwise(0L)),
+      sum(when(q("resource.multipleBirthInteger") === 0, 1L).otherwise(0L)),
+      sum(when(q("race").isNotNull, 1L).otherwise(0L))).head
+    assert(row.getLong(0) == ep.n_date_null, "C1 birthDate nullify count drifted")
+    assert(row.getLong(1) == ep.n_phone_null, "C2 phone nullify count drifted")
+    assert(row.getLong(2) == ep.n_geo_null, "C3 latitude nullify count drifted")
+    assert(row.getLong(3) == ep.n_mb_zero, "C6 multipleBirth fill count drifted")
+    assert(row.getLong(4) == ep.n_race, "A4 race extraction count drifted")
+    // and the C4-swap evidence on encounter: every complete pair is ordered
+    val enc = tables("encounter")
+    val pairs = enc.agg(
+      sum(when(q("resource.period.start").isNotNull && q("resource.period.end").isNotNull
+        && q("resource.period.start") <= q("resource.period.end"), 1L).otherwise(0L)),
+      sum(when(q("resource.period.start").isNotNull && q("resource.period.end").isNotNull
+        && q("resource.period.start") > q("resource.period.end"), 1L).otherwise(0L))).head
+    assert(pairs.getLong(0) == expected("encounter").n_pairs_ordered)
+    assert(pairs.getLong(1) == 0L, "C4 left an inverted period pair")
+    entries.unpersist()
+  }
+
+  test("generation is deterministic and idempotent") {
+    assert(FhirCorpus.bundleJson(7) == FhirCorpus.bundleJson(7))
+    // marker short-circuits: a second generate must not rewrite files
+    val p = java.nio.file.Paths.get(dir)
+    val before = java.nio.file.Files.getLastModifiedTime(
+      p.resolve("shard-00").resolve("p000000.json"))
+    FhirCorpus.generate(p, N)
+    val after = java.nio.file.Files.getLastModifiedTime(
+      p.resolve("shard-00").resolve("p000000.json"))
+    assert(before == after, "idempotent generate rewrote an existing corpus")
+  }
+}
