@@ -1673,6 +1673,17 @@ object SparkEntry {
           col("is_observed"), col("value"))
         .orderBy("user_id", "bucket")),
 
+    // Linear-interpolation resample: gap buckets blend the surrounding
+    // observations at the bucket start time; no extrapolation outside
+    // the key's observed range. round(6) on BOTH sides (the blend is
+    // bit-identical double arithmetic, rounding just pins the compare).
+    "resample_interp" -> ((s, dir) =>
+      TimeSeries.resampleInterp(t(s, dir, "events"), "user_id", "ts", "value",
+        3600L * 1000000L, Seq(col("event_id")))
+        .select(col("user_id"), col("bucket"), col("n_events"),
+          col("is_observed"), round(col("value"), 6).as("value"))
+        .orderBy("user_id", "bucket")),
+
     // Incremental aggregate maintenance: profile(base slice) merged with
     // profile(delta slice) must equal a direct full-corpus aggregation —
     // the algebra that lets a 100 TB nightly stats job read one day
@@ -3732,6 +3743,51 @@ object SparkEntry {
         |LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
         |LEFT JOIN o ON o.user_id = g.user_id AND o.bucket = g.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "resample_interp" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, bucket, ots, value FROM (
+        |    SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+        |      epoch_us(ts) AS ots, value,
+        |      row_number() OVER (
+        |        PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events
+        |    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+        |  WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM c GROUP BY user_id),
+        |g AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s),
+        |j AS (
+        |  SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |    CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events,
+        |    o.ots, o.value,
+        |    last_value(CASE WHEN o.value IS NOT NULL
+        |        THEN struct_pack(ot := o.ots, v := o.value) END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    first_value(CASE WHEN o.value IS NOT NULL
+        |        THEN struct_pack(ot := o.ots, v := o.value) END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |  FROM g
+        |  LEFT JOIN c ON c.user_id = g.user_id AND c.bucket = g.bucket
+        |  LEFT JOIN o ON o.user_id = g.user_id AND o.bucket = g.bucket)
+        |SELECT user_id, bucket, n_events,
+        |  value IS NOT NULL AS is_observed,
+        |  round(CASE WHEN value IS NOT NULL THEN value
+        |    WHEN p IS NOT NULL AND n IS NOT NULL THEN
+        |      p.v + (n.v - p.v) * (CAST(bucket * 3600000000 - p.ot AS DOUBLE)
+        |        / CAST(n.ot - p.ot AS DOUBLE))
+        |    END, 6) AS value
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
 
     "retention" ->
       """WITH active AS (

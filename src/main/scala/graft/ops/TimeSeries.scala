@@ -106,6 +106,70 @@ object TimeSeries {
       .drop("__bv")
   }
 
+  /** Dense per-key grid with LINEAR interpolation between observations —
+    * the value-resampling companion to [[resampleLocf]] (EHR vitals:
+    * "estimate the patient's heart rate at every hour boundary, blending
+    * the surrounding readings"). Per (key, bucket):
+    *  - an OBSERVED bucket (≥1 non-null observation) keeps its last
+    *    observation's value (latest `(tsCol, tiebreak)` wins — same
+    *    deterministic anchor as LOCF);
+    *  - a gap bucket BETWEEN two observations gets the straight-line
+    *    blend of the previous/next observations evaluated at the bucket
+    *    START time `bucket * bucketWidth`:
+    *    `v_p + (v_n − v_p) · (t_b − t_p) / (t_n − t_p)`;
+    *  - buckets before the key's first / after its last observation stay
+    *    null (no extrapolation — an estimate with one anchor is a guess,
+    *    and LOCF already covers the carry-forward contract).
+    *
+    * Scale shape: identical to [[resampleLocf]] plus ONE more window pass
+    * over the same (key, bucket-ordered) partitioning (the
+    * next-observation carry) — raw events still never reach a shuffle
+    * (per-bucket struct-max is map-side combined), and the grid is
+    * fail-fast bounded by `maxBucketsPerKey`. The blend is pure
+    * double arithmetic inside whole-stage codegen.
+    */
+  def resampleInterp(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      bucketWidth: Long, tiebreak: Seq[Column],
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(tiebreak.nonEmpty,
+      "tiebreak columns required: equal-timestamp observations would " +
+        "otherwise resolve nondeterministically")
+    val key = col(s"`$keyCol`")
+    val obs = df
+      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull &&
+        col(s"`$valueCol`").isNotNull)
+      .groupBy(key.as(keyCol),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
+          .as("bucket"))
+      .agg(max(struct(col(s"`$tsCol`").as("__ot") +: tiebreak :+
+        col(s"`$valueCol`").as("__v"): _*)).as("__last"))
+      .select(col(s"`$keyCol`"), col("bucket"),
+        col("__last.__ot").as("__ot"), col("__last.__v").as("__bv"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("bucket"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val anchor = when(col("__bv").isNotNull, struct(col("__ot"), col("__bv")))
+    val tB = col("bucket") * lit(bucketWidth)
+    val p = col("__p"); val n = col("__n")
+    val blend = p.getField("__bv") +
+      (n.getField("__bv") - p.getField("__bv")) *
+        ((tB - p.getField("__ot")).cast("double") /
+          (n.getField("__ot") - p.getField("__ot")).cast("double"))
+    denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
+      .join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("__p", last(anchor, ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(anchor, ignoreNulls = true).over(wNext))
+      .withColumn("is_observed", col("__bv").isNotNull)
+      .withColumn("value",
+        when(col("__bv").isNotNull, col("__bv"))
+          .otherwise(when(p.isNotNull && n.isNotNull, blend)))
+      .drop("__bv", "__ot", "__p", "__n")
+  }
+
   /** [[denseCounts]] plus a gap flag and a carried-forward "last active
     * bucket" per row — the usual inputs to staleness/liveness features.
     */

@@ -103,6 +103,9 @@ object syntax {
     def resampleLocf(keyCol: String, tsCol: String, valueCol: String,
         bucketWidth: Long, tiebreak: Seq[Column]): DataFrame =
       TimeSeries.resampleLocf(df, keyCol, tsCol, valueCol, bucketWidth, tiebreak)
+    def resampleInterp(keyCol: String, tsCol: String, valueCol: String,
+        bucketWidth: Long, tiebreak: Seq[Column]): DataFrame =
+      TimeSeries.resampleInterp(df, keyCol, tsCol, valueCol, bucketWidth, tiebreak)
 
     // --- point-in-time joins (df is the left / event side) ----------------
     def asofJoin(right: DataFrame, keys: Seq[String],

@@ -84,6 +84,49 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 0L, 1L, false, None)))
   }
 
+  test("resampleInterp blends gap buckets linearly; no extrapolation outside the range") {
+    import org.apache.spark.sql.functions.col
+    // width 10. user 1: obs at ts=5 v=10.0 (bucket 0) and ts=35 v=40.0
+    // (bucket 3). Gap buckets 1, 2 interpolate at bucket START time:
+    //   t=10 → 10 + 30·(10−5)/(35−5) = 15.0
+    //   t=20 → 10 + 30·(20−5)/(35−5) = 25.0
+    // bucket 0/3 keep their observed values. Null-value event at ts=25
+    // counts events but is not an anchor. user 2: single obs → leading
+    // bucket (null-value event only) stays null — no extrapolation.
+    val ev = Seq(
+      (1L, 5L, 10L, Option(10.0)), (1L, 35L, 11L, Option(40.0)),
+      (1L, 25L, 12L, Option.empty[Double]),
+      (2L, 3L, 20L, Option.empty[Double]), (2L, 15L, 21L, Option(5.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.resampleInterp(ev, "user_id", "ts", "value", 10L,
+      Seq(col("event_id")))
+      .select("user_id", "bucket", "n_events", "is_observed", "value")
+      .as[(Long, Long, Long, Boolean, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 1L, true, Some(10.0)),
+      (1L, 1L, 0L, false, Some(15.0)),
+      (1L, 2L, 1L, false, Some(25.0)),
+      (1L, 3L, 1L, true, Some(40.0)),
+      (2L, 0L, 1L, false, None),
+      (2L, 1L, 1L, true, Some(5.0))))
+  }
+
+  test("resampleInterp keeps the latest observation in an observed bucket (LOCF anchor)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, 3L, 100L, Option(1.0)), (1L, 7L, 101L, Option(3.0)),
+      (1L, 27L, 102L, Option(9.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.resampleInterp(ev, "user_id", "ts", "value", 10L,
+      Seq(col("event_id")))
+      .select("bucket", "value").as[(Long, Option[Double])].collect().toMap
+    assert(out(0L) == Some(3.0), "observed bucket keeps its last observation")
+    // gap bucket 1 blends from the bucket-0 anchor (ts=7, v=3.0):
+    // 3 + 6·(10−7)/(27−7) = 3.9
+    assert(math.abs(out(1L).get - 3.9) < 1e-12)
+    assert(out(2L) == Some(9.0))
+  }
+
   test("resampleLocf tiebreaks equal timestamps by the tiebreak column") {
     import org.apache.spark.sql.functions.col
     val ev = Seq(
