@@ -35,7 +35,10 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame =
-    directed(left, right, keys, leftTime, rightTime, payload, backward = true, tolerance)
+    if (broadcastable(right))
+      broadcastDirected(left, right, keys, leftTime, rightTime, payload,
+        backward = true, tolerance)
+    else directed(left, right, keys, leftTime, rightTime, payload, backward = true, tolerance)
 
   /** Forward as-of: for each left row, the payload of the EARLIEST right
     * row with `rightTime >= leftTime` — "the next reading after this
@@ -45,7 +48,109 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame =
-    directed(left, right, keys, leftTime, rightTime, payload, backward = false, tolerance)
+    if (broadcastable(right))
+      broadcastDirected(left, right, keys, leftTime, rightTime, payload,
+        backward = false, tolerance)
+    else directed(left, right, keys, leftTime, rightTime, payload, backward = false, tolerance)
+
+  /** Whether the right side is estimated under the session's
+    * autoBroadcastJoinThreshold — the same size heuristic Spark's own
+    * join planner uses, so "dimension-sized" means the same thing here
+    * as everywhere else in the session. Threshold -1 disables the
+    * broadcast path entirely (and with it this extra optimize pass).
+    */
+  private def broadcastable(right: DataFrame): Boolean = {
+    val thr = right.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && right.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+  }
+
+  /** Broadcast-dim as-of: when the right side is dimension-sized (the
+    * `pit_lookup` shape — an SCD2 history vs an event stream), the union
+    * path's full `|L|+|R|` key shuffle is pure waste: the LEFT side only
+    * needed the exchange to meet its dim rows. Here the dim collapses to
+    * one SORTED history array per key (one dim-sized shuffle), broadcast
+    * hash-joins onto the left — the event stream never shuffles or
+    * sorts — and the pick is an array scan + `try_element_at` inside
+    * whole-stage codegen. Per left row that is O(|history|) work against
+    * a local array; histories are short by the broadcast-small
+    * precondition, and no window/sort state exists at all.
+    *
+    * Auto-selected by [[asofJoin]]/[[asofJoinForward]] via the session's
+    * autoBroadcastJoinThreshold; call directly to force the choice when
+    * the stats estimate is wrong in either direction. Same semantics and
+    * tie/tolerance contract as the union path (pre-dedup the right side
+    * on (key, time)).
+    */
+  def asofJoinBroadcast(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None, backward: Boolean = true): DataFrame =
+    broadcastDirected(left, right, keys, leftTime, rightTime, payload, backward, tolerance)
+
+  private def broadcastDirected(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      backward: Boolean, tolerance: Option[Long]): DataFrame = {
+    val (joined, leftCols) = broadcastHist(left, right, keys, rightTime, payload)
+    val lt = col(s"`$leftTime`")
+    val elig = filter(col("__hist"), x =>
+      (if (backward) x.getField("__rt") <= lt else x.getField("__rt") >= lt) &&
+        tolerance.map { t =>
+          if (backward) lt - x.getField("__rt") <= t else x.getField("__rt") - lt <= t
+        }.getOrElse(lit(true)))
+    // ascending sort ⇒ backward wants the LAST eligible, forward the FIRST
+    val pick = try_element_at(elig, lit(if (backward) -1 else 1))
+    joined.select(leftCols.map(c => col(s"`$c`")) ++
+      payload.map(c => pick.getField(c).as(c)): _*)
+  }
+
+  /** Nearest-direction twin of [[asofJoinBroadcast]]: both directional
+    * picks come from the SAME broadcast array (no second exchange or
+    * sort anywhere), equidistant resolves to the prior row — identical
+    * contract to [[asofJoinNearest]].
+    */
+  def asofJoinBroadcastNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val (joined, leftCols) = broadcastHist(left, right, keys, rightTime, payload)
+    val lt = col(s"`$leftTime`")
+    def bounded(d: Column): Column = tolerance.map(t => d <= t).getOrElse(lit(true))
+    val b = try_element_at(
+      filter(col("__hist"), x => x.getField("__rt") <= lt &&
+        bounded(lt - x.getField("__rt"))), lit(-1))
+    val f = try_element_at(
+      filter(col("__hist"), x => x.getField("__rt") >= lt &&
+        bounded(x.getField("__rt") - lt)), lit(1))
+    val pick = when(b.isNotNull &&
+        (f.isNull || lt - b.getField("__rt") <= f.getField("__rt") - lt), b)
+      .otherwise(f)
+    joined.select(leftCols.map(c => col(s"`$c`")) ++
+      payload.map(c => pick.getField(c).as(c)): _*)
+  }
+
+  /** Shared broadcast prologue: per-key sorted history array (struct
+    * leads with `__rt`, so the sort is by time then payload — the same
+    * deterministic greatest-tuple tie rule the union path's pre-dedup
+    * contract assumes) broadcast-joined onto the untouched left.
+    */
+  private def broadcastHist(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      rightTime: String, payload: Seq[String]): (DataFrame, Seq[String]) = {
+    require(payload.nonEmpty, "payload columns required")
+    val leftCols = left.columns.toSeq
+    require(payload.intersect(leftCols).isEmpty,
+      s"payload ${payload.intersect(leftCols)} collide with left columns")
+    require(!leftCols.contains("__hist") && !payload.contains("__rt"),
+      "left/payload columns collide with asofJoinBroadcast working columns")
+    val hist = right
+      .filter((keys.map(col(_).isNotNull) :+ col(s"`$rightTime`").isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(s"`$rightTime`").as("__rt") +: payload.map(c => col(s"`$c`")): _*)))
+        .as("__hist"))
+    (left.join(broadcast(hist), keys, "left"), leftCols)
+  }
 
   /** Nearest as-of: whichever of the prior / next right rows is closer
     * in time (equidistant → prior). One shuffle + sort; both direction
@@ -55,6 +160,8 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    if (broadcastable(right))
+      return asofJoinBroadcastNearest(left, right, keys, leftTime, rightTime, payload, tolerance)
     val (unioned, leftCols) =
       tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag = 1, rTag = 0)
     val ordered = Window.partitionBy(keys.map(col): _*)

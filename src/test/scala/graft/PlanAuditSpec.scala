@@ -52,6 +52,22 @@ class PlanAuditSpec extends SparkSpec {
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
     "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)")
 
+  test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("pit_lookup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      "pit_lookup no longer plans a BroadcastHashJoin — the SCD2 dim " +
+        "stopped qualifying for the broadcast as-of path")
+    // the event/probe side of the as-of must not shuffle; the only
+    // exchanges allowed under the join are on the dim aggregation side
+    val streamShuffles = bhj.head.left.collect { case e: ShuffleExchangeExec => e }
+    assert(streamShuffles.isEmpty,
+      s"probe side of the broadcast as-of is exchanged:\n${bhj.head.left}")
+  }
+
   test("every oracle key names a registry query (a typo silently demotes the gate)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")

@@ -107,6 +107,63 @@ class AsofJoinSpec extends SparkSpec {
       tolerance = Some(5L))) == None)
   }
 
+  /** Run `body` with the union path forced (auto-broadcast disabled). */
+  private def unionPath[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("randomized: broadcast ≡ union path for backward/forward/nearest, with and without tolerance") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // unique (key, rt) on the right per the pre-dedup contract
+      val right = (for {
+        k <- 1 to 5
+        rt <- rnd.shuffle((1 to 60).toList).take(rnd.nextInt(12))
+      } yield (s"k$k", rt.toLong, rnd.nextInt(1000).toDouble)).toDF("k", "rt", "v")
+      val left = (for (i <- 1 to 40) yield
+        (s"k${1 + rnd.nextInt(7)}", rnd.nextInt(70).toLong, i)).toDF("k", "lt", "row_id")
+      val tol = if (seed % 2 == 0) Some(7L) else None
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Option[Double])] =
+        df.select("row_id", "v").as[(Int, Option[Double])].collect().toSet
+      val (ub, uf, un) = unionPath {(
+        rows(AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("v"), tol)),
+        rows(AsofJoin.asofJoinForward(left, right, Seq("k"), "lt", "rt", Seq("v"), tol)),
+        rows(AsofJoin.asofJoinNearest(left, right, Seq("k"), "lt", "rt", Seq("v"), tol)))}
+      assert(rows(AsofJoin.asofJoinBroadcast(
+        left, right, Seq("k"), "lt", "rt", Seq("v"), tol)) == ub, s"backward seed=$seed")
+      assert(rows(AsofJoin.asofJoinBroadcast(
+        left, right, Seq("k"), "lt", "rt", Seq("v"), tol, backward = false)) == uf,
+        s"forward seed=$seed")
+      assert(rows(AsofJoin.asofJoinBroadcastNearest(
+        left, right, Seq("k"), "lt", "rt", Seq("v"), tol)) == un, s"nearest seed=$seed")
+    }
+  }
+
+  test("broadcast path: the left side is never exchanged (only the dim aggregation shuffles)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val left = spark.range(1000).select(
+      (col("id") % 10).cast("string").as("k"), col("id").as("lt"))
+    val right = spark.range(50).select(
+      (col("id") % 10).cast("string").as("k"), col("id").as("rt"),
+      col("id").cast("double").as("v"))
+    val out = AsofJoin.asofJoinBroadcast(left, right, Seq("k"), "lt", "rt", Seq("v"))
+    val plan = out.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a BroadcastHashJoin, got:\n$plan")
+    val leftShuffles = bhj.head.left.collect { case e: ShuffleExchangeExec => e }
+    assert(leftShuffles.isEmpty,
+      s"left (stream) side must not shuffle:\n${bhj.head.left}")
+    // ... and the small-dim heuristic actually routes asofJoin there
+    val routed = AsofJoin.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("v"))
+    assert(routed.queryExecution.sparkPlan
+      .collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "auto-routing did not select the broadcast path for a tiny dim")
+  }
+
   test("left row count preserved; payload collision rejected") {
     assert(AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt", Seq("px")).count()
       == trades.count())
