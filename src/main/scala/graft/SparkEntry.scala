@@ -2254,6 +2254,29 @@ object SparkEntry {
         .orderBy("view_id", "click_id")
     }),
 
+    // §7.6 — stream-static POINT-IN-TIME enrichment (the streaming twin
+    // of pit_lookup): the click stream is as-of joined to a static
+    // dedup'd view-history dim via the broadcast as-of path — stateless
+    // on the stream, no watermark needed, dim re-planned per batch. Same
+    // DuckDB ASOF oracle shape as the batch asof_join gate.
+    "stream_asof" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = Cleaners.dedupKeepFirst(
+          events(s, dir).filter(col("event_type") === "view")
+            .select("user_id", "ts", "value", "event_id"),
+          Seq("user_id", "ts"), Seq(col("event_id")))
+        .select(col("user_id"), col("ts").as("vts"), col("value").as("view_value"))
+      val enriched = Streams.asofEnrichStatic(
+        clicks, views, Seq("user_id"), "ts", "vts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("view_value"))
+      val name = "stream_asof_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(enriched, name, statePartitions = Some(8))
+        .orderBy("event_id")
+    }),
+
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
       val src = docsStream(s, dir)
@@ -4264,6 +4287,22 @@ object SparkEntry {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // identical ASOF shape to the batch asof_join oracle — streaming
+    // must change nothing about the answer
+    "stream_asof" ->
+      """WITH vd AS (
+        |  SELECT user_id, epoch_us(ts) AS vts, value AS view_value,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), v AS (SELECT user_id, vts, view_value FROM vd WHERE rn = 1),
+        |c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts_us, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.vts <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
 
     "stream_windows" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,

@@ -120,6 +120,32 @@ object Streams {
       history: DataFrame, historyTextCol: String): DataFrame =
     graft.ops.Dedup.flagAgainstSeenSet(stream, textCol, history, historyTextCol)
 
+  /** Stream-static POINT-IN-TIME enrichment — the streaming twin of the
+    * batch `pit_lookup` composition: each stream row is matched to the
+    * latest dimension version with `rightTime <= leftTime` on its key
+    * (backward as-of; [[graft.ops.AsofJoin.asofJoinBroadcast]]).
+    *
+    * This rides the broadcast as-of path DELIBERATELY: the dim collapses
+    * to one sorted history array per key on the STATIC side, and the
+    * stream side is then a stateless broadcast hash join + per-row array
+    * pick — no stream state, no watermark requirement, no shuffle of the
+    * stream, and the static side is incrementally re-planned per
+    * micro-batch (a dim refresh is picked up on the next batch). The
+    * union-and-carry batch form is NOT streamable (its window would need
+    * the whole key history per trigger); the broadcast form is, which is
+    * why batch/streaming parity lands exactly here. The dim must be
+    * broadcast-sized — the same precondition its batch caller already
+    * carries, and SCD2 dims are versions-per-key, not event-sized.
+    *
+    * `tolerance` (left-time units) bounds staleness like the batch op.
+    */
+  def asofEnrichStatic(
+      stream: DataFrame, dim: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    graft.ops.AsofJoin.asofJoinBroadcast(
+      stream, dim, keys, leftTime, rightTime, payload, tolerance)
+
   /** Watermarked STREAM-STREAM interval join — the two-sided stateful
     * join (attribution: every right event within `[left time, left time
     * + within]` of a matching-key left event). Both sides carry the

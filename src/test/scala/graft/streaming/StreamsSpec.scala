@@ -135,6 +135,36 @@ class StreamsSpec extends SparkSpec {
     assert(pairs == Seq((10L, 100L), (10L, 101L), (11L, 101L)))
   }
 
+  test("asofEnrichStatic: stream rows pick the latest at-or-before dim version, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(
+      (1L, us(0), "v1"), (1L, us(10), "v2"), (2L, us(5), "w1"))
+      .toDF("user_id", "valid_from", "d_state")
+    val in = MemoryStream[(Long, Long)]
+    in.addData((1L, us(4)), (1L, us(10)), (1L, us(25)), (2L, us(1)), (3L, us(9)))
+    val stream = in.toDF.toDF("user_id", "ts")
+    val out = Streams.runToMemory(
+      Streams.asofEnrichStatic(stream, dim, Seq("user_id"), "ts", "valid_from", Seq("d_state")),
+      "asof_out")
+    val rows = out.select("user_id", "ts", "d_state")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, us(4), Some("v1")),   // before the v2 version opens
+      (1L, us(10), Some("v2")),  // inclusive tie: the new version
+      (1L, us(25), Some("v2")),
+      (2L, us(1), None),         // dim's first version is later
+      (3L, us(9), None)))        // key absent from the dim
+    // a second batch arriving later still enriches (stateless re-plan)
+    in.addData((1L, us(11)))
+    Streams.runToMemory(
+      Streams.asofEnrichStatic(stream, dim, Seq("user_id"), "ts", "valid_from", Seq("d_state")),
+      "asof_out2")
+    val again = spark.table("asof_out2").select("user_id", "ts", "d_state")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(again.contains((1L, us(11), Some("v2"))))
+  }
+
   test("flagSeenInStatic: stream-static join flags history dups, null text never flagged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
