@@ -327,12 +327,16 @@ object ScaleProbe {
     // KEY cardinality (user_id offset) at fixed per-key span — the LOCF
     // grid is Σ per-key buckets (linear in keys) and every as-of variant
     // is one union shuffle + window, so all four should track ~k×.
-    if (familyOn("resampleLocf", "asofForward", "asofNearest", "pitLookup"))
+    if (familyOn("resampleLocf", "resampleInterp", "asofForward", "asofNearest", "pitLookup"))
     Seq(1, k).foreach { times =>
       val e = replicateEv(times)
       println(s"--- round-8 events ${times}x (${e.count()} events) ---")
       time("resampleLocf(hourly)",
         graft.ops.TimeSeries.resampleLocf(
+          e.withColumn("value", (col("ts") % 1000L).cast("double")),
+          "user_id", "ts", "value", 3600L * 1000000L, Seq(col("event_type"))))
+      time("resampleInterp(hourly)",
+        graft.ops.TimeSeries.resampleInterp(
           e.withColumn("value", (col("ts") % 1000L).cast("double")),
           "user_id", "ts", "value", 3600L * 1000000L, Seq(col("event_type"))))
       val clicks = e.filter(col("event_type") === "click")
