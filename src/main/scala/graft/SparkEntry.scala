@@ -2277,6 +2277,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §7.6 — stateful streaming LOCF: every event emitted with its key's
+    // last non-null value (flatMapGroupsWithState; per-key state = one
+    // double). First ORACLE gate over the custom-state surface — the
+    // single-file source runs in one batch, where the op is exactly the
+    // batch IGNORE NULLS carry window.
+    "stream_locf" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[Streams.ObsEvent]
+      val name = "stream_locf_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(Streams.locfEnrich(ev).toDF(), name,
+          statePartitions = Some(8))
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"), col("carried"))
+        .orderBy("event_id")
+    }),
+
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
       val src = docsStream(s, dir)
@@ -4287,6 +4308,14 @@ object SparkEntry {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
         |ORDER BY view_id, click_id""".stripMargin,
+
+    "stream_locf" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     // identical ASOF shape to the batch asof_join oracle — streaming
     // must change nothing about the answer

@@ -199,6 +199,46 @@ object Streams {
       }
   }
 
+  final case class ObsEvent(user_id: Long, event_id: Long, ts: Long, value: Option[Double])
+  final case class ObsCarry(user_id: Long, event_id: Long, ts: Long,
+      value: Option[Double], carried: Option[Double])
+
+  /** Streaming LOCF enrichment (`flatMapGroupsWithState`) — the stateful
+    * twin of [[graft.ops.TimeSeries.resampleLocf]]'s carry: every event
+    * is emitted with its key's latest non-null observation at-or-before
+    * it (including itself), and the carry survives across micro-batches
+    * in per-key state (ONE double per key — state-store size = #keys,
+    * not #events). The stateful-streaming shape a vitals monitor needs:
+    * "each reading, plus the last known value at that moment".
+    *
+    * Determinism contract: events are processed in `(ts, event_id)`
+    * order WITHIN each (key, micro-batch) — the group's batch iterator
+    * is sorted here, so arrival order inside a batch never matters —
+    * and across batches the carry only rolls forward, so results equal
+    * the batch window exactly when per-key event time is monotone
+    * ACROSS batches (the standard watermark/file-ordering contract;
+    * a single-batch run — e.g. one input file — is always exact).
+    * Memory: one (key, batch) group is buffered to sort — bounded by
+    * per-key per-trigger volume, the quantity `maxFilesPerTrigger`
+    * already throttles.
+    */
+  def locfEnrich(events: Dataset[ObsEvent]): Dataset[ObsCarry] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, ObsCarry](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
+          var carry: Option[Double] = state.getOption
+          val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            if (e.value.isDefined) carry = e.value
+            ObsCarry(userId, e.event_id, e.ts, e.value, carry)
+          }
+          carry.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).

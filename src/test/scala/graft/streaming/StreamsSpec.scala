@@ -72,6 +72,35 @@ class StreamsSpec extends SparkSpec {
     assert(last == Streams.UserStats(1L, 3L, 10.0, 12L))
   }
 
+  test("locfEnrich: (ts, event_id) order within a batch; carry crosses micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    val q = Streams.locfEnrich(in.toDS()).writeStream
+      .format("memory").queryName("locf_out").outputMode(OutputMode.Append()).start()
+    try {
+      // arrival order scrambled vs event time: the batch must sort
+      in.addData(
+        Streams.ObsEvent(1L, 3L, us(3), None),
+        Streams.ObsEvent(1L, 1L, us(1), Some(5.0)),
+        Streams.ObsEvent(1L, 2L, us(2), None),
+        Streams.ObsEvent(2L, 4L, us(1), None))
+      q.processAllAvailable()
+      // next batch: key 1's carry must come from per-key state
+      in.addData(
+        Streams.ObsEvent(1L, 5L, us(10), None),
+        Streams.ObsEvent(2L, 6L, us(9), Some(7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("locf_out")
+      .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(
+      1L -> Some(5.0), 2L -> Some(5.0), 3L -> Some(5.0), // in-batch carry, sorted
+      4L -> None,                                        // key 2: nothing observed yet
+      5L -> Some(5.0),                                   // cross-batch state carry
+      6L -> Some(7.0)))                                  // own observation
+  }
+
   test("streaming content dedup: custom fingerprint expression inside a watermarked stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
