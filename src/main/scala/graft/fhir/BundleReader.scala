@@ -112,4 +112,35 @@ object BundleReader {
     entries
       .withColumn("patient_id", patientIdParity)
       .withColumn("fullUrl", stripUrnUuid(col("fullUrl")))
+
+  /** Staging compaction — the 100 TB answer to per-patient bundle files.
+    * multiLine JSON is whole-file-per-record and unsplittable: every
+    * downstream pass over a raw bundle directory re-pays listing + one
+    * JSON parse per small file (ScaleProbe `fhirIngest`: the small-files
+    * tax is sublinear but real). Compacting once to columnar parquet of
+    * NORMALIZED entries makes every later read splittable, predicate/
+    * projection-prunable (each extractor reads only its resource
+    * branches), and ~10× smaller on the wire. Run it at ingest time —
+    * the parse happens exactly once per file ever — and point the
+    * pipeline at [[entriesFromCompacted]] afterwards; the routed
+    * extraction is oblivious to which reader produced the frame.
+    *
+    * `partitions` sizes the output files (compaction that writes one
+    * tiny parquet per input partition would recreate the problem it
+    * solves).
+    */
+  def compactEntries(
+      spark: SparkSession, bundleDir: String, outDir: String,
+      partitions: Int = 0): Unit = {
+    val entries = normalizedEntries(spark, bundleDir)
+    val sized = if (partitions > 0) entries.repartition(partitions) else entries
+    sized.write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Read back a [[compactEntries]] staging area — schema-identical to
+    * [[normalizedEntries]], so `Extractors.allTables` / `Cleaning.all`
+    * compose unchanged on top of either.
+    */
+  def entriesFromCompacted(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 }

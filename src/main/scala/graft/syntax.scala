@@ -120,6 +120,15 @@ object syntax {
         leftTime: String, rightTime: String, payload: Seq[String],
         tolerance: Option[Long] = None): DataFrame =
       AsofJoin.asofJoinNearest(df, right, keys, leftTime, rightTime, payload, tolerance)
+    /** Force the broadcast sorted-history path (the auto-routing in the
+      * methods above uses the session's autoBroadcastJoinThreshold; call
+      * this when the stats estimate is wrong in either direction).
+      */
+    def asofJoinBroadcast(right: DataFrame, keys: Seq[String],
+        leftTime: String, rightTime: String, payload: Seq[String],
+        tolerance: Option[Long] = None, backward: Boolean = true): DataFrame =
+      AsofJoin.asofJoinBroadcast(df, right, keys, leftTime, rightTime, payload,
+        tolerance, backward)
 
     // --- similarity -------------------------------------------------------
     def cosineNearDups(idCol: String, vecCol: String, threshold: Double,

@@ -66,6 +66,21 @@ class FhirCorpusSpec extends SparkSpec {
     entries.unpersist()
   }
 
+  test("compacted staging read == direct bundle read, table by table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fhir_compact").toString
+    BundleReader.compactEntries(spark, dir, out, partitions = 2)
+    val direct = Cleaning.all(Extractors.allTables(
+      BundleReader.normalizedEntries(spark, dir)))
+    val staged = Cleaning.all(Extractors.allTables(
+      BundleReader.entriesFromCompacted(spark, out)))
+    for ((name, d) <- direct) {
+      val s = staged(name)
+      assert(s.schema == d.schema, s"$name schema drifted through compaction")
+      assert(d.exceptAll(s).isEmpty && s.exceptAll(d).isEmpty,
+        s"$name rows differ between direct and compacted reads")
+    }
+  }
+
   test("generation is deterministic and idempotent") {
     assert(FhirCorpus.bundleJson(7) == FhirCorpus.bundleJson(7))
     // marker short-circuits: a second generate must not rewrite files
