@@ -327,7 +327,8 @@ object ScaleProbe {
     // KEY cardinality (user_id offset) at fixed per-key span — the LOCF
     // grid is Σ per-key buckets (linear in keys) and every as-of variant
     // is one union shuffle + window, so all four should track ~k×.
-    if (familyOn("resampleLocf", "resampleInterp", "asofForward", "asofNearest", "pitLookup"))
+    if (familyOn("resampleLocf", "resampleInterp", "asofForward", "asofNearest",
+        "pitLookup", "asofUnionPath", "asofBcastPath"))
     Seq(1, k).foreach { times =>
       val e = replicateEv(times)
       println(s"--- round-8 events ${times}x (${e.count()} events) ---")
@@ -361,6 +362,20 @@ object ScaleProbe {
           clicks, dim, Seq("user_id"), "tus", "valid_from",
           Seq("d_type", "version"))
       })
+      // broadcast-vs-union head-to-head on the SAME probe/dim pair: the
+      // delta is the left-side exchange+sort the broadcast path deletes
+      time("asofUnionPath(events->dim)", {
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try graft.ops.AsofJoin.asofJoin(
+          e.select(col("user_id"), col("ts").as("tus")), views,
+          Seq("user_id"), "tus", "vts", Seq("view_value"))
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      })
+      time("asofBcastPath(events->dim)",
+        graft.ops.AsofJoin.asofJoinBroadcast(
+          e.select(col("user_id"), col("ts").as("tus")), views,
+          Seq("user_id"), "tus", "vts", Seq("view_value")))
     }
 
     // FHIR bundle-directory ingest (the reference's core workload,

@@ -66,6 +66,33 @@ class FhirCorpusSpec extends SparkSpec {
     entries.unpersist()
   }
 
+  test("a truncated bundle in the corpus is quarantined, not fatal, and costs only itself") {
+    // copy the corpus and wound one file — the PERMISSIVE read must keep
+    // every other bundle and name the bad one
+    val wounded = java.nio.file.Files.createTempDirectory("graft_fhir_wounded")
+    val src = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.filter(p =>
+      java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".json")).foreach { p =>
+      val rel = src.relativize(p)
+      val dst = wounded.resolve(rel.toString)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.copy(p, dst)
+    }
+    val victim = wounded.resolve("shard-03").resolve("p000003.json")
+    val full = java.nio.file.Files.readString(victim)
+    java.nio.file.Files.writeString(victim, full.take(full.length / 2))
+    val (entries, corrupt) = BundleReader.readEntriesWithCorrupt(spark, wounded.toString)
+    val bad = corrupt.collect()
+    assert(bad.length == 1, s"expected exactly one quarantined file, got ${bad.length}")
+    assert(bad.head.getAs[String]("file").endsWith("p000003.json"))
+    val healthy = BundleReader.readEntries(spark, dir).count()
+    val healthyMinusVictim = healthy -
+      BundleReader.readEntries(spark, src.resolve("shard-03").resolve("p000003.json").toString).count()
+    assert(entries.count() == healthyMinusVictim,
+      "quarantine cost more than the one wounded bundle")
+  }
+
   test("compacted staging read == direct bundle read, table by table") {
     val out = java.nio.file.Files.createTempDirectory("graft_fhir_compact").toString
     BundleReader.compactEntries(spark, dir, out, partitions = 2)
