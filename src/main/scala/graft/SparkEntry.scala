@@ -1704,6 +1704,39 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Mergeable distinct-count sketches: the incremental-agg story for
+    // the one aggregate exact partials can't merge. Two disjoint slices
+    // are sketched separately, HLL-union'd, and the merged estimate must
+    // (a) EQUAL the direct whole-corpus sketch's estimate (register-max
+    // union is exact — asserted in IncrementalSpec) and (b) land within
+    // the configured error of the true distinct count. The gate pins the
+    // exact count (DuckDB-matchable) + the within-bound flag + the
+    // merged-equals-direct flag, all deterministic.
+    "hll_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderpriority"), col("o_custkey"))
+        .withColumn("__d",
+          coalesce(pmod(abs(hash(col("o_custkey"))), lit(3)), lit(0)) === 0)
+      val sk = (d: DataFrame) =>
+        graft.ops.Incremental.distinctSketch(d, Seq("o_orderpriority"), "o_custkey")
+      val merged = graft.ops.Incremental.estimateDistinct(
+        graft.ops.Incremental.mergeDistinctSketches(
+          sk(o.filter(!col("__d")).drop("__d")),
+          sk(o.filter(col("__d")).drop("__d")),
+          Seq("o_orderpriority")))
+        .select(col("o_orderpriority"), col("n_distinct_est").as("n_merged"))
+      val direct = graft.ops.Incremental.estimateDistinct(
+        sk(o.drop("__d")))
+        .select(col("o_orderpriority"), col("n_distinct_est").as("n_direct"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      exact.join(merged, Seq("o_orderpriority")).join(direct, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (col("n_merged") === col("n_direct")).as("merge_exact"),
+          (abs(col("n_merged") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.03).as("within_3pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CDC upsert: last-write-wins apply of a delta (updates to existing
     // keys + brand-new keys) onto the base snapshot — MERGE INTO
     // semantics as one anti-join. Oracle rebuilds the same final state
@@ -3663,6 +3696,16 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS sum_value,
         |  min(cents) AS min_value, max(cents) AS max_value
         |FROM o GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    // the sketch estimates are engine-deterministic, so the two flags
+    // are constants the oracle states outright; the exact count is the
+    // real cross-engine compare
+    "hll_profile" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  true AS merge_exact, true AS within_3pct
+        |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 
     "cdc_upsert" ->

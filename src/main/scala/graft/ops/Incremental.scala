@@ -45,6 +45,41 @@ object Incremental {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  /** Mergeable per-group DISTINCT-count sketches (Apache DataSketches
+    * HLL via Spark's `hll_sketch_agg`) — the piece exact profiles can't
+    * give you: `countDistinct` partials don't merge (distinct of a union
+    * ≠ sum of distincts), so an incremental pipeline either reships full
+    * key sets or sketches. An HLL register array is a few KB per group
+    * whatever the cardinality, its union is register-wise max (exact,
+    * order-independent — merged slices give the SAME sketch state as a
+    * direct pass), and the estimate is deterministic for deterministic
+    * input sets. Default `lgK = 14` → ~0.8% standard relative error;
+    * raise it for tighter bounds at 4 KB × 2^Δ per group.
+    *
+    * Contract mirror of [[groupProfile]]/[[mergeProfiles]]: sketch the
+    * slices, [[mergeDistinctSketches]] them group-wise, read estimates
+    * with [[estimateDistinct]] — no rescan of history, ever.
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lgK: Int = 14): DataFrame = {
+    require(groupCols.nonEmpty, "distinctSketch needs at least one group column")
+    df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(hll_sketch_agg(col(s"`$valueCol`"), lit(lgK)).as("distinct_sketch"))
+  }
+
+  /** Merge two [[distinctSketch]] frames into the sketch of the union —
+    * groups-sized shuffle, register-wise-max union semantics.
+    */
+  def mergeDistinctSketches(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(hll_union_agg(col("distinct_sketch"), lit(true)).as("distinct_sketch"))
+
+  /** Read the distinct-count estimate off a sketch frame. */
+  def estimateDistinct(df: DataFrame): DataFrame =
+    df.withColumn("n_distinct_est", hll_sketch_estimate(col("distinct_sketch")))
+
   /** CDC upsert (last-write-wins apply): the new state of `base` after
     * applying `delta` keyed by `keyCols` — delta rows replace same-key
     * base rows, brand-new keys append, untouched base rows pass through.

@@ -33,6 +33,33 @@ class IncrementalSpec extends SparkSpec {
     assert(m == Set(("x", 2L, 6L, 1L, 5L), ("y", 1L, 7L, 7L, 7L)))
   }
 
+  test("distinctSketch: merged-slice estimate ≡ direct estimate; error inside the HLL bound") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 5000).map(_ => (s"g${rnd.nextInt(3)}", rnd.nextInt(2000).toLong))
+      val df = rows.toDF("g", "v")
+      val mask = rows.map(_ => rnd.nextBoolean())
+      val a = rows.zip(mask).filter(_._2).map(_._1).toDF("g", "v")
+      val b = rows.zip(mask).filterNot(_._2).map(_._1).toDF("g", "v")
+      val direct = Incremental.estimateDistinct(
+        Incremental.distinctSketch(df, Seq("g"), "v"))
+        .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
+      val merged = Incremental.estimateDistinct(
+        Incremental.mergeDistinctSketches(
+          Incremental.distinctSketch(a, Seq("g"), "v"),
+          Incremental.distinctSketch(b, Seq("g"), "v"), Seq("g")))
+        .select("g", "n_distinct_est").as[(String, Long)].collect().toMap
+      assert(merged == direct,
+        s"seed $seed: register-max union must equal the direct sketch")
+      val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+        .as[(String, Long)].collect().toMap
+      for ((g, n) <- exact) {
+        val err = math.abs(direct(g).toDouble - n) / n
+        assert(err <= 0.03, s"seed $seed group $g: estimate ${direct(g)} vs $n (err $err)")
+      }
+    }
+  }
+
   test("applyUpsert: updates replace, inserts append, untouched and null-keyed base pass through") {
     val base = Seq(
       (java.lang.Long.valueOf(1L), "a"), (java.lang.Long.valueOf(2L), "b"),
