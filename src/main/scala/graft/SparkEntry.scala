@@ -2310,6 +2310,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §7.6 — STREAMING bulk-FHIR ingest at corpus scale: the 5k-bundle
+    // directory through the streaming reader in bounded micro-batches
+    // (maxFilesPerTrigger=1000 → 5 batches), Complete-mode per-type
+    // counts. The oracle is the GENERATOR's literal entry-count
+    // prediction — micro-batching must not lose or duplicate a bundle.
+    "stream_fhir" -> ((s, _) => {
+      import graft.streaming.Streams
+      val entries = Streams.readBundleStream(s, graft.fhir.FhirCorpus.corpusDir)
+      val counts = entries
+        .groupBy(col("resource.resourceType").as("resource_type"))
+        .agg(count(lit(1)).as("n_entries"))
+      val name = "stream_fhir_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(counts, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))
+        .orderBy("resource_type")
+    }),
+
     // §7.6 — stateful streaming LOCF: every event emitted with its key's
     // last non-null value (flatMapGroupsWithState; per-key state = one
     // double). First ORACLE gate over the custom-state surface — the
@@ -4351,6 +4369,16 @@ object SparkEntry {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
         |ORDER BY view_id, click_id""".stripMargin,
+
+    // generator-predicted literals — no parquet, no JSON parse anywhere
+    // on the oracle side
+    "stream_fhir" -> {
+      val rows = graft.fhir.FhirCorpus
+        .expectedEntryCounts(graft.fhir.FhirCorpus.DefaultPatients)
+        .map { case (t, n) => s"('$t', CAST($n AS BIGINT))" }.mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(resource_type, n_entries)
+         |ORDER BY resource_type""".stripMargin
+    },
 
     "stream_locf" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,

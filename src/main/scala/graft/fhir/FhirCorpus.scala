@@ -249,6 +249,28 @@ object FhirCorpus {
       ExpectedRow("careplan", cpRows, cpRows, 0L, cpPairs, 0L, 0L, 0L, 0L, 0L))
   }
 
+  /** RAW per-resource-type entry counts (pre-routing, pre-cleaning —
+    * id-duplicates included), predicted from the trait flags. The
+    * `stream_fhir` gate embeds these as oracle literals: the streaming
+    * bundle reader's multi-batch ingest must land the same totals.
+    */
+  def expectedEntryCounts(n: Int): Seq[(String, Long)] = {
+    var pat, enc, con, obs, imm, cp = 0L
+    var i = 0
+    while (i < n) {
+      val t = Traits(i)
+      pat += (if (t.dupPatient) 2 else 1)
+      enc += t.nEnc + (if (t.dupEnc) 1 else 0)
+      if (t.hasCond) con += 1
+      obs += t.nObs
+      imm += 1
+      if (t.hasCp) cp += 1
+      i += 1
+    }
+    Seq("CarePlan" -> cp, "Condition" -> con, "Encounter" -> enc,
+      "Immunization" -> imm, "Observation" -> obs, "Patient" -> pat)
+  }
+
   // -- materialization ------------------------------------------------------
 
   private val Shards = 16
