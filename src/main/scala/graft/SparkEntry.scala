@@ -407,7 +407,10 @@ object SparkEntry {
       dateCol: String, pair: Option[(String, String)],
       patientMetrics: Boolean, obsVal: Boolean): DataFrame = {
     def q(c: String): Column = col(s"`$c`")
-    def cnt(cond: Column): Column = sum(when(cond, 1L).otherwise(0L)).cast("long")
+    // coalesce: an EMPTY cleaned table (the failure class this gate
+    // localizes) must report the predicted 0s, not a wall of NULLs
+    def cnt(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).cast("long")
     def zero: Column = coalesce(sum(lit(0L)), lit(0L)).cast("long")
     df.agg(
       count(lit(1)).cast("long").as("n_rows"),
@@ -1729,8 +1732,15 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("n_distinct_est").as("n_direct"))
       val exact = o.groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("n_exact"))
-      exact.join(merged, Seq("o_orderpriority")).join(direct, Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n_exact"),
+      // null-SAFE joins: groupBy keeps a null priority group and the
+      // oracle's GROUP BY emits it — an equi-join would silently drop it
+      // if a testdata regeneration ever ships null priorities
+      exact.as("e")
+        .join(merged.as("m"),
+          col("e.o_orderpriority") <=> col("m.o_orderpriority"))
+        .join(direct.as("d"),
+          col("e.o_orderpriority") <=> col("d.o_orderpriority"))
+        .select(col("e.o_orderpriority").as("o_orderpriority"), col("n_exact"),
           (col("n_merged") === col("n_direct")).as("merge_exact"),
           (abs(col("n_merged") - col("n_exact")).cast("double") /
             col("n_exact").cast("double") <= 0.03).as("within_3pct"))
@@ -2054,26 +2064,36 @@ object SparkEntry {
     // extractor, cleaner, dropna, dedup, and parity-FK regressions that
     // the 2-bundle fixture gates would only see one instance of.
     "fhir_scale" -> ((s, _) => {
+      // eager: the 33k-entry parse is cached for the six table passes and
+      // UNPERSISTED before returning — the result is 6 rows, so collect
+      // them rather than pin a corpus-sized cache for the rest of the JVM
+      // (the persist-outlives-call contract is fine for library ops, not
+      // for a gate that runs inside every Verify/bench pass)
       val entries = graft.fhir.BundleReader
         .normalizedEntries(s, graft.fhir.FhirCorpus.corpusDir).cache()
-      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
-      Seq(
-        fhirScaleAgg(tables("patient"), "patient", "resource.birthDate",
-          None, patientMetrics = true, obsVal = false),
-        fhirScaleAgg(tables("encounter"), "encounter", "resource.period.end",
-          Some(("resource.period.start", "resource.period.end")),
-          patientMetrics = false, obsVal = false),
-        fhirScaleAgg(tables("condition"), "condition", "resource.abatementDateTime",
-          Some(("resource.onsetDateTime", "resource.abatementDateTime")),
-          patientMetrics = false, obsVal = false),
-        fhirScaleAgg(tables("observation"), "observation", "resource.effectiveDateTime",
-          None, patientMetrics = false, obsVal = true),
-        fhirScaleAgg(tables("immunization"), "immunization", "resource.date",
-          None, patientMetrics = false, obsVal = false),
-        fhirScaleAgg(tables("careplan"), "careplan", "resource.period.end",
-          Some(("resource.period.start", "resource.period.end")),
-          patientMetrics = false, obsVal = false))
-        .reduce(_.unionByName(_)).orderBy("table")
+      try {
+        val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+        val agg = Seq(
+          fhirScaleAgg(tables("patient"), "patient", "resource.birthDate",
+            None, patientMetrics = true, obsVal = false),
+          fhirScaleAgg(tables("encounter"), "encounter", "resource.period.end",
+            Some(("resource.period.start", "resource.period.end")),
+            patientMetrics = false, obsVal = false),
+          fhirScaleAgg(tables("condition"), "condition", "resource.abatementDateTime",
+            Some(("resource.onsetDateTime", "resource.abatementDateTime")),
+            patientMetrics = false, obsVal = false),
+          fhirScaleAgg(tables("observation"), "observation", "resource.effectiveDateTime",
+            None, patientMetrics = false, obsVal = true),
+          fhirScaleAgg(tables("immunization"), "immunization", "resource.date",
+            None, patientMetrics = false, obsVal = false),
+          fhirScaleAgg(tables("careplan"), "careplan", "resource.period.end",
+            Some(("resource.period.start", "resource.period.end")),
+            patientMetrics = false, obsVal = false))
+          .reduce(_.unionByName(_)).orderBy("table")
+        val schema = agg.schema
+        s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), schema)
+          .orderBy("table")
+      } finally entries.unpersist()
     }),
 
     // §2.11 — ANN quality gate: deterministic recall of the LSH path vs

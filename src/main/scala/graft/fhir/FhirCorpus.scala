@@ -286,7 +286,9 @@ object FhirCorpus {
     if (Files.exists(marker)) return
     if (Files.exists(dir)) { // stale or partial corpus of a different size
       import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(dir) // stream holds directory handles — close it
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
     for (s <- 0 until Shards) Files.createDirectories(dir.resolve(f"shard-$s%02d"))
     var i = 0

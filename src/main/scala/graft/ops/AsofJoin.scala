@@ -35,7 +35,7 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame =
-    if (broadcastable(right))
+    if (broadcastEligible(right, rightTime, payload))
       broadcastDirected(left, right, keys, leftTime, rightTime, payload,
         backward = true, tolerance)
     else directed(left, right, keys, leftTime, rightTime, payload, backward = true, tolerance)
@@ -48,7 +48,7 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame =
-    if (broadcastable(right))
+    if (broadcastEligible(right, rightTime, payload))
       broadcastDirected(left, right, keys, leftTime, rightTime, payload,
         backward = false, tolerance)
     else directed(left, right, keys, leftTime, rightTime, payload, backward = false, tolerance)
@@ -63,6 +63,22 @@ object AsofJoin {
     val thr = right.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     thr > 0 && right.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
   }
+
+  /** The broadcast path sorts (rightTime, payload…) structs, so every
+    * payload type must be ORDERABLE (maps are not). The union path never
+    * orders payloads — auto-routing must not turn a working call into an
+    * AnalysisException just because the dim shrank, so non-orderable
+    * payloads stay on the union path (a direct asofJoinBroadcast call
+    * still surfaces the analysis error, documented there).
+    */
+  private def broadcastEligible(right: DataFrame, rightTime: String,
+      payload: Seq[String]): Boolean =
+    broadcastable(right) && {
+      val fields = right.schema
+      (rightTime +: payload).forall(c =>
+        fields.find(_.name == c).forall(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType)))
+    }
 
   /** Broadcast-dim as-of: when the right side is dimension-sized (the
     * `pit_lookup` shape — an SCD2 history vs an event stream), the union
@@ -160,7 +176,7 @@ object AsofJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
-    if (broadcastable(right))
+    if (broadcastEligible(right, rightTime, payload))
       return asofJoinBroadcastNearest(left, right, keys, leftTime, rightTime, payload, tolerance)
     val (unioned, leftCols) =
       tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag = 1, rTag = 0)
@@ -176,8 +192,14 @@ object AsofJoin {
     // scratch per row in Spark (O(rows²) per key) — the reversed-order
     // running frame is the O(n) form, costing one extra sort over the
     // exchange both windows already share.
+    // desc_nulls_first (not plain desc): a NULL left time must see an
+    // EMPTY frame and get a null payload — the same "no match" answer
+    // the ascending backward frame (nulls first) and the broadcast
+    // path's null-propagating filter already give. Plain desc sorts
+    // nulls last, where the running frame would span every right row
+    // and hand the null-time row the key's earliest payload.
     val orderedRev = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").desc, col("__tag").desc)
+      .orderBy(col("__t").desc_nulls_first, col("__tag").desc_nulls_first)
     val b = last(col("__pay"), ignoreNulls = true)
       .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val f = last(col("__pay"), ignoreNulls = true)
@@ -215,11 +237,15 @@ object AsofJoin {
     val (lTag, rTag) = if (backward) (1, 0) else (0, 1)
     val (unioned, leftCols) =
       tagAndUnion(left, right, keys, leftTime, rightTime, payload, lTag, rTag)
+    // forward uses desc_nulls_first so a NULL left time sees an empty
+    // frame (null payload) — consistent with backward's nulls-first
+    // ascending order and with the broadcast path (see asofJoinNearest)
     val ordered =
       if (backward)
         Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__tag"))
       else
-        Window.partitionBy(keys.map(col): _*).orderBy(col("__t").desc, col("__tag").desc)
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("__t").desc_nulls_first, col("__tag").desc_nulls_first)
     val (w, pick) =
       (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
         last(col("__pay"), ignoreNulls = true))

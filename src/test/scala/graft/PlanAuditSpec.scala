@@ -16,6 +16,9 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val eagerBuilders =
     Set("stream_dedup", "stream_windows", "stream_sessions", "stream_seen",
+      // round-9 streaming gates (runToMemory in the builder) + the
+      // fhir_scale gate (eager collect + unpersist of the corpus cache)
+      "stream_asof", "stream_locf", "stream_fhir", "stream_join", "fhir_scale",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",

@@ -72,13 +72,14 @@ class FhirCorpusSpec extends SparkSpec {
     val wounded = java.nio.file.Files.createTempDirectory("graft_fhir_wounded")
     val src = java.nio.file.Paths.get(dir)
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(src).iterator().asScala.filter(p =>
+    val walk = java.nio.file.Files.walk(src)
+    try walk.iterator().asScala.filter(p =>
       java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".json")).foreach { p =>
       val rel = src.relativize(p)
       val dst = wounded.resolve(rel.toString)
       java.nio.file.Files.createDirectories(dst.getParent)
       java.nio.file.Files.copy(p, dst)
-    }
+    } finally walk.close()
     val victim = wounded.resolve("shard-03").resolve("p000003.json")
     val full = java.nio.file.Files.readString(victim)
     java.nio.file.Files.writeString(victim, full.take(full.length / 2))

@@ -142,6 +142,37 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("a NULL left time matches nothing, identically on both paths and all directions") {
+    val left = Seq(("A", Option(20L), 1), ("A", Option.empty[Long], 2))
+      .toDF("sym", "t", "trade_id")
+    val right = Seq(("A", 10L, 1.0), ("A", 30L, 2.0)).toDF("sym", "qt", "px")
+    def px(df: org.apache.spark.sql.DataFrame): Map[Int, Option[Double]] =
+      df.select("trade_id", "px").as[(Int, Option[Double])].collect().toMap
+    val variants = Seq[org.apache.spark.sql.DataFrame](
+      unionPath(AsofJoin.asofJoin(left, right, Seq("sym"), "t", "qt", Seq("px"))),
+      unionPath(AsofJoin.asofJoinForward(left, right, Seq("sym"), "t", "qt", Seq("px"))),
+      unionPath(AsofJoin.asofJoinNearest(left, right, Seq("sym"), "t", "qt", Seq("px"))),
+      AsofJoin.asofJoinBroadcast(left, right, Seq("sym"), "t", "qt", Seq("px")),
+      AsofJoin.asofJoinBroadcast(left, right, Seq("sym"), "t", "qt", Seq("px"), backward = false),
+      AsofJoin.asofJoinBroadcastNearest(left, right, Seq("sym"), "t", "qt", Seq("px")))
+    for ((v, i) <- variants.zipWithIndex) {
+      val m = px(v)
+      assert(m(2).isEmpty, s"variant $i: null left time must match nothing")
+      assert(m(1).nonEmpty, s"variant $i: the non-null row still matches")
+    }
+  }
+
+  test("auto-routing stays on the union path for non-orderable (map) payloads") {
+    val left = Seq(("A", 20L, 1)).toDF("sym", "t", "trade_id")
+    val right = Seq(("A", 10L, Map("k" -> 1.0))).toDF("sym", "qt", "attrs")
+    // tiny dim → size-eligible, but map payload is not orderable; the
+    // call must succeed via the union path instead of failing analysis
+    val out = AsofJoin.asofJoin(left, right, Seq("sym"), "t", "qt", Seq("attrs"))
+      .select("trade_id", "attrs")
+      .as[(Int, Option[Map[String, Double]])].collect().toSeq
+    assert(out == Seq((1, Some(Map("k" -> 1.0)))))
+  }
+
   test("broadcast path: the left side is never exchanged (only the dim aggregation shuffles)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
