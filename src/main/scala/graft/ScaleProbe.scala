@@ -378,6 +378,37 @@ object ScaleProbe {
           Seq("user_id"), "tus", "vts", Seq("view_value")))
     }
 
+    // round-9b family: KS drift (distinct-value axis — the per-value
+    // groupBy and the two-phase prefix sum both scale with distinct
+    // values, which here grow ~k× with events), DSIR weighting (token
+    // axis, familiarity shape), and the triangle census (replicas form
+    // k-cliques per base doc, so edges grow C(k,2)× and triangles
+    // C(k,3)× — the adversarial motif-density axis; the degree
+    // orientation keeps outdeg ≤ k−1).
+    if (familyOn("ksDrift", "dsirWeights", "triangleStats")) {
+      Seq(1, k).foreach { times =>
+        val e = replicateEv(times)
+          .withColumn("value", (col("ts") + pmod(col("user_id"), lit(97L))).cast("double"))
+        println(s"--- round-9b events ${times}x (${e.count()} events) ---")
+        time("ksDrift(parity split)",
+          graft.ops.Profiling.ksDrift(
+            e.filter(pmod(col("user_id"), lit(2)) === 0),
+            e.filter(pmod(col("user_id"), lit(2)) === 1)
+              .withColumn("value", col("value") * 1.1 + 5),
+            "value"))
+      }
+      Seq(1, k).foreach { times =>
+        val d = replicate(times)
+        println(s"--- round-9b docs ${times}x (${d.count()} docs) ---")
+        time("dsirWeights",
+          graft.ops.TextStats.dsirWeights(d, "doc_id", "text",
+            isTarget = pmod(col("doc_id"), lit(4)) === 0))
+        time("triangleStats(jaccard 0.5)",
+          Dedup.triangleStats(
+            Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5), "id_a", "id_b"))
+      }
+    }
+
     // FHIR bundle-directory ingest (the reference's core workload,
     // json_pipeline.py:100-118): N small multiLine JSON files → explode →
     // route → extract → clean, counted across all six tables off ONE

@@ -916,6 +916,26 @@ object SparkEntry {
         rareBelow = 3L)
         .orderBy("doc_id")),
 
+    // §2.11 — DSIR-style importance weighting (Xie et al., NeurIPS'23):
+    // per-doc target-vs-raw token-evidence ratio, int64-exact sums with
+    // one final division. Target slice = English docs from the four
+    // "curated" sources.
+    "dsir_weights" -> ((s, dir) =>
+      TextStats.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en" &&
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy("doc_id")),
+
+    // §2.11 — DSIR selection: the top-50 documents by importance weight
+    // (weight desc, id asc) — the "resample the target-like slice" step,
+    // as a TakeOrderedAndProject (per-partition heads, no global sort).
+    "dsir_select" -> ((s, dir) =>
+      TextStats.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en" &&
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy(desc("dsir_weight"), asc("doc_id"))
+        .limit(50)),
+
     // §2.11 — z-order (Morton) clustering value: the multi-dimensional
     // data-skipping layout key, as pure bit arithmetic with an exact
     // oracle. 10 bits per dimension over (doc_id, n_chars) buckets.
@@ -1948,6 +1968,31 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // KS drift on the SAME synthetic shift as drift_psi (user parity
+    // split, current side scaled+shifted): binning-free complement —
+    // top-10 ECDF gap points localize where the distributions diverge;
+    // row 1's ks_gap is the KS statistic. Distributed two-phase prefix
+    // sum, never a single-task global window.
+    "ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Profiling.ksDrift(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1)
+          .withColumn("value", col("value") * 1.1 + 5),
+        "value", topGaps = 10)
+    }),
+
+    // Triangle census of the ≥0.5-Jaccard near-dup graph: motif profile
+    // (wedges, triangles, global clustering coefficient) that tells
+    // clique-shaped duplicate clusters from triangle-free template
+    // chains. Degree-oriented count — wedge join bounded by m^1.5, hub-
+    // safe at corpus scale.
+    "neardup_triangles" -> ((s, dir) =>
+      graft.ops.Dedup.triangleStats(
+        graft.ops.Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
+        "id_a", "id_b")),
+
     // Categorical drift (PSI over the source MIX): doc_id%3 splits the
     // corpus (mod 3 is coprime with the 20-source cycle, so every source
     // lands on BOTH sides — a parity split would make every category
@@ -2533,6 +2578,34 @@ object SparkEntry {
          |JOIN sz sb ON sb.doc_id = id_b
          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared SQL body for the DSIR gates (importance weights without the
+    * final ORDER BY — `dsir_weights` orders by id, `dsir_select` takes
+    * the top-50 by weight). The target-slice predicate must stay in
+    * lock-step with the Spark side of both gate queries.
+    */
+  private lazy val dsirSqlBody: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' AND source IN ('src0', 'src1', 'src2', 'src3')
+       |         THEN 1 ELSE 0 END AS tgt,
+       |    $strippedSql AS st
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |toks AS (
+       |  SELECT doc_id, tgt, unnest(string_split_regex(st, '\\s+')) AS token
+       |  FROM docs WHERE length(st) > 0),
+       |ct AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks WHERE tgt = 1 GROUP BY token),
+       |cr AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token)
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(least(coalesce(ct.c, 0) + 1, ${TextStats.FreqCap})) AS DOUBLE)
+       |    / CAST(sum(least(cr.c + 1, ${TextStats.FreqCap})) AS DOUBLE), 6) AS dsir_weight
+       |FROM toks t
+       |LEFT JOIN ct ON ct.token = t.token
+       |JOIN cr ON cr.token = t.token
+       |GROUP BY t.doc_id""".stripMargin
 
   // Shared SQL fragments for the documents quality formula (must stay in
   // lock-step with TextStats.qualityMetrics).
@@ -3681,6 +3754,54 @@ object SparkEntry {
         |  round((q - p) * ln(q / p), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin,
 
+    "ks_drift" ->
+      """WITH bv AS (
+        |  SELECT value AS v FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |cv AS (
+        |  SELECT value * 1.1 + 5 AS v FROM events
+        |  WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v, sum(nb) AS nb, sum(nc) AS nc FROM (
+        |    SELECT v, 1 AS nb, 0 AS nc FROM bv
+        |    UNION ALL SELECT v, 0 AS nb, 1 AS nc FROM cv)
+        |  GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    sum(nb) OVER (ORDER BY v) AS cb,
+        |    sum(nc) OVER (ORDER BY v) AS cc
+        |  FROM g),
+        |tot AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM g)
+        |SELECT v AS value,
+        |  round(CAST(cb AS DOUBLE) / tb, 6) AS base_cdf,
+        |  round(CAST(cc AS DOUBLE) / tc, 6) AS cur_cdf,
+        |  round(abs(CAST(cb AS DOUBLE) / tb - CAST(cc AS DOUBLE) / tc), 6) AS ks_gap
+        |FROM cum, tot
+        |ORDER BY ks_gap DESC, value LIMIT 10""".stripMargin,
+
+    "neardup_triangles" ->
+      (shingleCte +
+        """, e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pair_inter
+          |  JOIN sz sa ON sa.doc_id = id_a
+          |  JOIN sz sb ON sb.doc_id = id_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
+          |deg AS (
+          |  SELECT v, count(*) AS d FROM (
+          |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+          |tri AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS t
+          |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+          |nd AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          |    CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+          |  FROM deg),
+          |eg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+          |SELECT nd.n_nodes, eg.n_edges, nd.n_wedges, tri.t AS n_triangles,
+          |  round(CASE WHEN nd.n_wedges = 0 THEN 0.0
+          |        ELSE 3.0 * tri.t / nd.n_wedges END, 6) AS global_clustering
+          |FROM nd, eg, tri""".stripMargin),
+
     "winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -4628,6 +4749,11 @@ object SparkEntry {
          |JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
          |JOIN c1 ON c1.w1 = b.w1
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "dsir_weights" -> (dsirSqlBody + "\nORDER BY t.doc_id"),
+
+    "dsir_select" ->
+      (dsirSqlBody + "\nORDER BY dsir_weight DESC, t.doc_id LIMIT 50"),
 
     "zorder_layout" ->
       s"""SELECT doc_id, n_chars,

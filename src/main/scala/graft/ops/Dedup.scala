@@ -279,6 +279,69 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Triangle census of an undirected edge list (near-dup pair graphs,
+    * citation/link graphs): one summary row with `n_nodes` (vertices
+    * with ≥ 1 edge), `n_edges` (canonical undirected edges),
+    * `n_wedges` (unordered 2-paths, Σ d(d−1)/2), `n_triangles`, and the
+    * global clustering coefficient 3·triangles / wedges — the motif
+    * profile that tells a near-dup graph's SHAPE apart: duplicate
+    * clusters are cliques (coefficient → 1), template chains are
+    * triangle-free (→ 0), and a drift between ingests shows up here
+    * before cluster counts move. Complements [[connectedComponents]],
+    * which sees only reachability.
+    *
+    * Scale shape: the naive wedge join explodes at hub vertices
+    * (Σ d² with d unbounded). This is the degree-oriented count (the
+    * standard distributed formulation, cf. Suri & Vassilvitskii,
+    * WWW'11): orient every edge from its lower (degree, id) endpoint —
+    * each triangle is then counted EXACTLY once, at its minimum-degree
+    * corner, and oriented out-degrees are O(√m), so the wedge join is
+    * bounded by Σ outdeg² ≤ m^1.5 regardless of hubs. Three shuffles
+    * (degree aggregate, wedge self-join, closing-edge semi-join), all
+    * on edge keys; nothing quadratic in a vertex's raw degree.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // orient a–b from its lower (degree, id) endpoint; carry the HEAD
+    // endpoint's (degree, id) so the wedge join can order its two heads
+    // by the same total order without a third degree join
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("__db")), Seq("b"))
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.u") === col("e2.u") &&
+        struct(col("e1.__dw"), col("e1.w")) < struct(col("e2.__dw"), col("e2.w")))
+    // a closing edge v–w (v ≺ w in the (deg, id) order) is stored
+    // oriented v→w, so one equi-join probe closes the wedge
+    val triangles = wedges.join(oriented.as("e3"),
+        col("e3.u") === col("e1.w") && col("e3.w") === col("e2.w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") === 0L, lit(0d))
+          .otherwise(col("n_triangles") * lit(3d) / col("n_wedges")), 6)
+          .as("global_clustering"))
+  }
+
   /** Transitive near-dup clustering: [[minhashNearDups]] pairs as edges,
     * then [[connectedComponents]] — every document labeled with its
     * cluster's smallest doc id (docs with no near-dup form singleton

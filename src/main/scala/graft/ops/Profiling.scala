@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution profiling: fixed-bin histograms and snapshot-drift
@@ -148,6 +149,78 @@ object Profiling {
       min(col(s"`$valueCol`")).as("min_val") +:
         max(col(s"`$valueCol`")).as("max_val") +:
         quantiles.map(q => percentileExpr(valueCol, q, accuracy).as(pName(q))): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift between a BASE and a CURRENT
+    * snapshot of `valueCol`: the largest vertical gap between the two
+    * empirical CDFs — the nonparametric complement to [[psi]] (PSI needs
+    * a binning choice and saturates on shape-preserving shifts; KS is
+    * binning-free and maximal exactly at the crossing point). Emits the
+    * `topGaps` evaluation points with the LARGEST gap (gap desc, value
+    * asc — row 1's `ks_gap` IS the KS statistic) with both CDF values,
+    * so the output localizes WHERE the distributions diverge, not just
+    * how much. Null values are excluded (missingness is a different
+    * stat); either side empty → empty output (no CDF to compare).
+    *
+    * Scale shape: the ECDFs need a global cumulative count in value
+    * order — the naive window is one task holding the whole corpus. This
+    * runs the same distributed two-phase prefix sum as the curation
+    * family (Curation.packSequences): per-value counts first (groupBy —
+    * map-side combined, so the shuffle carries distinct values, not
+    * rows), range-partition by value, in-partition running sums in
+    * parallel, then an exclusive prefix over the O(partitions)
+    * per-partition totals broadcast back. The final top-k is
+    * TakeOrderedAndProject (per-partition heads, never a global sort
+    * materialization). Output depends only on the data's total order by
+    * value, not the partitioning.
+    */
+  def ksDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      topGaps: Int = 10): DataFrame = {
+    require(topGaps >= 1, s"topGaps must be positive: $topGaps")
+    val v = col(s"`$valueCol`")
+    def side(df: DataFrame, nb: Int, nc: Int) =
+      df.filter(v.isNotNull).select(v.cast("double").as("__v"),
+        lit(nb.toLong).as("__nb"), lit(nc.toLong).as("__nc"))
+    val grp = side(base, 1, 0).unionByName(side(current, 0, 1))
+      .groupBy("__v")
+      .agg(sum(col("__nb")).as("__nb"), sum(col("__nc")).as("__nc"))
+    val parts = base.sparkSession.sessionState.conf.numShufflePartitions
+    // persist: the cumsum branch and the per-partition-totals branch both
+    // read the ranged frame; without the cache each would re-shuffle AND
+    // re-derive __pid from an independent range sampling (same contract
+    // as Curation.exclusivePrefixSum)
+    val ranged = grp.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = ranged
+      .withColumn("__cb_in", sum(col("__nb")).over(withinW))
+      .withColumn("__cc_in", sum(col("__nc")).over(withinW))
+    val ptotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__nb")).as("__tb"), sum(col("__nc")).as("__tc"))
+    val offsets = ptotals
+      .withColumn("__ob", coalesce(sum(col("__tb")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__oc", coalesce(sum(col("__tc")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__ob"), col("__oc"))
+    val totals = ptotals.agg(
+      sum(col("__tb")).as("__totb"), sum(col("__tc")).as("__totc"))
+    within.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(totals))
+      .filter(col("__totb") > 0 && col("__totc") > 0)
+      .select(col("__v").as("value"),
+        round(((col("__ob") + col("__cb_in")).cast("double") / col("__totb")), 6)
+          .as("base_cdf"),
+        round(((col("__oc") + col("__cc_in")).cast("double") / col("__totc")), 6)
+          .as("cur_cdf"),
+        round(abs(
+          (col("__ob") + col("__cb_in")).cast("double") / col("__totb") -
+          (col("__oc") + col("__cc_in")).cast("double") / col("__totc")), 6)
+          .as("ks_gap"))
+      .orderBy(desc("ks_gap"), asc("value"))
+      .limit(topGaps)
   }
 
   /** [[psi]] for a CATEGORICAL column (source, language, domain): drift

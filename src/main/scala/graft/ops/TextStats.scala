@@ -594,6 +594,60 @@ object TextStats {
       .select(col("__id").as(idCol), col("n_bigrams"), col("n_rare"), col("bigram_cond"))
   }
 
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al., NeurIPS 2023) in exact arithmetic: score
+    * every document by how much its token distribution looks like a
+    * TARGET subcorpus (the `isTarget` predicate — e.g. curated
+    * wiki-like sources) relative to the raw corpus, then keep the
+    * highest-weight documents. The published method weights by
+    * Π p_target(tok)/p_raw(tok) over a hashed-ngram bag; a per-token
+    * log-sum is an order-dependent float fold no oracle can replay
+    * bit-exactly, so — same trade as [[unigramFamiliarity]] — this
+    * computes the aggregate evidence ratio with exact int64 sums and ONE
+    * final division:
+    *   `dsir_weight` = Σ min(c_target(tok)+smooth, cap) /
+    *                   Σ min(c_raw(tok)+smooth, cap)
+    * (c_target = token count inside the target slice, c_raw = count in
+    * the whole corpus, add-`smooth` so target-unseen tokens contribute
+    * floor evidence instead of zeroing the document). Ranks documents by
+    * the same evidence as the likelihood ratio: target-typical tokens
+    * push the ratio toward the target share, target-alien tokens toward
+    * the smoothing floor. Documents with no tokens (or null ids) drop.
+    *
+    * Scale shape: one token explode persisted (it feeds the two
+    * frequency aggregates AND the join probe), two groupBy(token)
+    * frequency tables (map-side combined, Zipf-small vs the stream), a
+    * left join (target table misses are the floor case) + an equi-join
+    * back, one groupBy(id) fold. Hot tokens skew the joins — AQE
+    * skew-split territory, never a candidate explosion. Selection
+    * composes downstream: `orderBy(weight desc).limit(k)` is
+    * TakeOrderedAndProject (per-partition heads), or feed the weights to
+    * Curation.epochMixture for soft resampling.
+    */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      smooth: Long = 1L): DataFrame = {
+    require(smooth >= 1, s"smooth must be at least 1: $smooth")
+    val toks = df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`").as("__id"),
+        when(isTarget, lit(1L)).otherwise(lit(0L)).as("__tgt"),
+        explode(whitespaceTokens(col(s"`$textCol`"))).as("__tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val targetFreq = toks.filter(col("__tgt") === 1L)
+      .groupBy("__tok").agg(count(lit(1)).as("__ct"))
+    val rawFreq = toks.groupBy("__tok").agg(count(lit(1)).as("__cr"))
+    toks.join(targetFreq, Seq("__tok"), "left")
+      .join(rawFreq, Seq("__tok"))
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(least(coalesce(col("__ct"), lit(0L)) + smooth, lit(FreqCap))).as("__st"),
+        sum(least(col("__cr") + smooth, lit(FreqCap))).as("__sr"))
+      .withColumn("dsir_weight",
+        round(col("__st").cast("double") / col("__sr").cast("double"), 6))
+      .select(col("__id").as(idCol), col("n_tokens"), col("dsir_weight"))
+  }
+
   /** BM25 (k1 = 1.2, b = 0.75, Lucene idf) top-k ranked retrieval for a
     * fixed term list: adds `score` (rounded to 4 decimals) and `rnk`,
     * keeping the k best documents (score desc, id asc tiebreak). Only

@@ -42,6 +42,9 @@ object syntax {
     def keepClusterRepresentatives(textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.nearDupClusterKeepers(df, textCol, idCol, n, threshold)
+    /** df is an edge list; see [[Dedup.triangleStats]]. */
+    def triangleStats(srcCol: String, dstCol: String): DataFrame =
+      Dedup.triangleStats(df, srcCol, dstCol)
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)
@@ -99,6 +102,12 @@ object syntax {
     def bigramFamiliarity(idCol: String, textCol: String,
         rareBelow: Long = 2L): DataFrame =
       TextStats.bigramFamiliarity(df, idCol, textCol, rareBelow)
+    /** Same caching contract as [[unigramFamiliarity]] (the exploded
+      * token frame persists past the call).
+      */
+    def dsirWeights(idCol: String, textCol: String, isTarget: Column,
+        smooth: Long = 1L): DataFrame =
+      TextStats.dsirWeights(df, idCol, textCol, isTarget, smooth)
 
     def resampleLocf(keyCol: String, tsCol: String, valueCol: String,
         bucketWidth: Long, tiebreak: Seq[Column]): DataFrame =
@@ -206,6 +215,9 @@ object syntax {
       graft.ops.Profiling.psi(df, current, valueCol, lo, hi, bins)
     def categoryDriftAgainst(current: DataFrame, catCol: String): DataFrame =
       graft.ops.Profiling.categoricalPsi(df, current, catCol)
+    def ksDriftAgainst(current: DataFrame, valueCol: String,
+        topGaps: Int = 10): DataFrame =
+      graft.ops.Profiling.ksDrift(df, current, valueCol, topGaps)
     def winsorize(groupCol: String, valueCol: String,
         loQ: Double = 0.05, hiQ: Double = 0.95): DataFrame =
       graft.ops.Profiling.winsorize(df, groupCol, valueCol, loQ, hiQ)

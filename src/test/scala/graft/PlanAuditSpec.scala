@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     "embed_kmeans" -> "centroid assignment: corpus × broadcast codebook (same as ann_ivf)",
     "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)",
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
-    "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)")
+    "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)",
+    "ks_drift" -> "distinct values × ONE one-row broadcast totals frame (the prefix-sum offsets join is hash, not cross)",
+    "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -104,6 +104,56 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats: hand-built graph — dups, reversals, and self-loops canonicalized") {
+    // triangle 1-2-3, pendant 3-4, separate pair 5-6; edge 1-2 repeated
+    // reversed, self-loop 7-7 dropped
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L),
+      (2L, 1L), (7L, 7L)).toDF("s", "d")
+    val out = Dedup.triangleStats(edges, "s", "d")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // degrees: 1:2, 2:2, 3:3, 4:1, 5:1, 6:1 → wedges 1+1+3 = 5
+    assert(out.toSeq == Seq((6L, 5L, 5L, 1L, 0.6)), out.toSeq.toString)
+  }
+
+  test("triangleStats: disjoint cliques count C(k,3) each; empty graph is a zero row") {
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(1L to 4L) ++ clique(10L to 12L)).toDF("s", "d")
+    val out = Dedup.triangleStats(edges, "s", "d")
+      .as[(Long, Long, Long, Long, Double)].head()
+    // K4: 6 edges, 12 wedges, 4 triangles; K3: 3 edges, 3 wedges, 1
+    assert(out == ((7L, 9L, 15L, 5L, 1.0)), out.toString)
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val zero = Dedup.triangleStats(empty, "s", "d")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(zero == ((0L, 0L, 0L, 0L, 0.0)), zero.toString)
+  }
+
+  test("triangleStats: 30 seeded random graphs match a local brute-force census") {
+    val rnd = new scala.util.Random(23)
+    (1 to 30).foreach { trial =>
+      val nV = 3 + rnd.nextInt(10)
+      val nE = rnd.nextInt(20)
+      val raw = (0 until nE).map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val es = canon.toSet
+      val verts = canon.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tri = (for {
+        a <- verts; b <- verts if a < b && es((a, b))
+        c <- verts if b < c && es((b, c)) && es((a, c))
+      } yield 1).size.toLong
+      val deg = canon.flatMap(e => Seq(e._1, e._2)).groupBy(identity).map(_._2.size.toLong)
+      val wedges = deg.map(d => d * (d - 1) / 2).sum
+      val got = Dedup.triangleStats(raw.toDF("s", "d"), "s", "d")
+        .as[(Long, Long, Long, Long, Double)].head()
+      val wantCc = if (wedges == 0) 0.0
+        else BigDecimal(tri * 3d / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == ((verts.size.toLong, canon.size.toLong, wedges, tri, wantCc)),
+        s"trial $trial: $canon → $got, want tri=$tri wedges=$wedges")
+    }
+  }
+
   test("connectedComponents: deep chain (diameter > 20) converges through per-round lineage checkpoints") {
     // a path graph converges in O(diameter) min-label rounds, so 25
     // vertices force ~2 dozen rounds. The label plan DOUBLES per round

@@ -31,6 +31,49 @@ class ProfilingSpec extends SparkSpec {
     assert(drift > 0.1, s"shift must alarm, got $drift")
   }
 
+  test("ksDrift: identical samples gap 0; hand-checked max gap at the right value") {
+    val base = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
+    val same = Profiling.ksDrift(base, base, "v", topGaps = 10)
+      .select("ks_gap").as[Double].collect()
+    assert(same.nonEmpty && same.forall(_ == 0.0), same.toSeq.toString)
+    // base {1,2,3,4} vs current {3,4,5,6}: gap peaks at 0.5, first at v=2
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).map(Tuple1(_)).toDF("v")
+    val out = Profiling.ksDrift(base, cur, "v")
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(out.head == ((2.0, 0.5, 0.0, 0.5)), out.toString)
+    assert(out.map(_._1).toSet == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // gap column is sorted descending, value ascending within ties
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse, out.toString)
+  }
+
+  test("ksDrift: partitioning-independent (two-phase prefix == single-task ECDF)") {
+    val rng = new scala.util.Random(7)
+    val base = (1 to 400).map(_ => rng.nextGaussian()).map(Tuple1(_)).toDF("v")
+    val cur = (1 to 300).map(_ => rng.nextGaussian() * 1.4 + 0.3).map(Tuple1(_)).toDF("v")
+    val a = Profiling.ksDrift(base, cur, "v", topGaps = 5)
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    val b = Profiling.ksDrift(base.repartition(7), cur.coalesce(1), "v", topGaps = 5)
+      .as[(Double, Double, Double, Double)].collect().toSeq
+    assert(a == b, s"$a vs $b")
+    // cross-check the statistic against a driver-side exact ECDF scan
+    val bs = base.as[Double].collect().sorted
+    val cs = cur.as[Double].collect().sorted
+    val pts = (bs ++ cs).distinct.sorted
+    val ks = pts.map { x =>
+      math.abs(bs.count(_ <= x).toDouble / bs.length - cs.count(_ <= x).toDouble / cs.length)
+    }.max
+    assert(math.abs(a.head._4 - ks) < 1e-6, s"${a.head._4} vs $ks")
+  }
+
+  test("ksDrift: nulls excluded; an empty side yields no rows") {
+    val base = Seq(Some(1.0), None, Some(2.0)).map(Tuple1(_)).toDF("v")
+    val cur = Seq(Some(1.5), None).map(Tuple1(_)).toDF("v")
+    val out = Profiling.ksDrift(base, cur, "v").select("value").as[Double].collect()
+    assert(out.toSet == Set(1.0, 1.5, 2.0))
+    val empty = Seq.empty[Option[Double]].map(Tuple1(_)).toDF("v")
+    assert(Profiling.ksDrift(base, empty, "v").isEmpty)
+  }
+
   test("winsorize: clamps into the group band, flags only clamped rows, nulls stay null") {
     // group g: values 1..10 → p0..p100 span; with [0.1, 0.9] the bounds
     // are the interpolated 1.9 and 9.1

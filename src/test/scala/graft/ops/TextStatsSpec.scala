@@ -325,6 +325,27 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.contains(4L), "empty docs have no bigrams")
   }
 
+  test("dsirWeights: target-vs-raw evidence ratio, hand-computed") {
+    val corpus = Seq(
+      (Some(1L), "a a", "t"), (Some(2L), "a b", "t"),
+      (Some(3L), "c c", "r"), (Some(4L), "a c", "r"),
+      (Some(5L), "", "r"), (None, "a", "t"))
+      .toDF("doc_id", "text", "slice")
+    // target tokens (docs 1, 2): a=3, b=1; raw (all): a=4, b=1, c=3
+    val out = TextStats.dsirWeights(corpus, "doc_id", "text",
+        isTarget = col("slice") === "t")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, 0.8)), "st=(3+1)*2, sr=(4+1)*2")
+    assert(out(2L) == ((2L, 0.857143)), "st=4+2, sr=5+2")
+    assert(out(3L) == ((2L, 0.25)), "target-unseen c gets the smoothing floor")
+    assert(out(4L) == ((2L, 0.555556)), "st=4+1, sr=5+4")
+    assert(!out.contains(5L), "token-less docs have no weight")
+    assert(out.size == 4, "null ids are excluded")
+    // the ranking DSIR needs: target-like docs outrank target-alien ones
+    assert(out(2L)._2 > out(4L)._2 && out(4L)._2 > out(3L)._2)
+  }
+
   test("bm25TopK matches a naive reference computation") {
     val docs = Map(
       1L -> Seq("apple", "banana", "apple"),
