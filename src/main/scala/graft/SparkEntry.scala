@@ -1294,6 +1294,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")),
 
+    // §2.11 — embedding centroid drift between snapshot slices (label
+    // parity split): per-dimension fixed-point-exact means + shift — the
+    // embedding-space analog of drift_psi. Quantized int64 sums (the
+    // Lloyd-codebook trade) keep engine and oracle bit-identical.
+    "embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        emb.filter(pmod(col("label"), lit(2)) === 0),
+        emb.filter(pmod(col("label"), lit(2)) === 1),
+        "embedding")
+    }),
+
     // §2.11 — int8 embedding quantization (4× memory at 100 TB): scalar
     // projections of the code carry a full oracle (scale + code sum and
     // extremes reconstruct in SQL from the float vector exactly).
@@ -4946,6 +4958,30 @@ object SparkEntry {
         |  CAST(list_min(code) AS BIGINT) AS q_min,
         |  CAST(list_max(code) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "embed_drift" ->
+      """WITH b AS (
+        |  SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 0 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |c AS (
+        |  SELECT embedding AS v FROM embeddings
+        |  WHERE label % 2 = 1 AND embedding IS NOT NULL AND len(embedding) > 0),
+        |ab AS (
+        |  SELECT d AS dim, sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM (SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM b)
+        |  GROUP BY d),
+        |ac AS (
+        |  SELECT d AS dim, sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM (SELECT generate_subscripts(v, 1) AS d, unnest(v) AS x FROM c)
+        |  GROUP BY d)
+        |SELECT CAST(coalesce(ab.dim, ac.dim) AS BIGINT) AS dim,
+        |  round(ab.s / (ab.n * 1048576.0), 6) AS base_mean,
+        |  round(ac.s / (ac.n * 1048576.0), 6) AS cur_mean,
+        |  round(ac.s / (ac.n * 1048576.0) - ab.s / (ab.n * 1048576.0), 6) AS mean_diff
+        |FROM ab FULL JOIN ac ON ac.dim = ab.dim
+        |ORDER BY dim""".stripMargin,
 
     "similarity_topk" ->
       """WITH q AS (

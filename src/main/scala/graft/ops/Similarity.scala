@@ -70,6 +70,43 @@ object Similarity {
     * Ranking uses the ROUNDED similarity (6 dp) with the item id as a
     * tiebreak, so results are stable across engines and runs.
     */
+  /** Per-dimension centroid drift between a BASE and a CURRENT embedding
+    * snapshot — the embedding-space analog of [[Profiling.psi]]: one row
+    * per dimension (1-based, matching SQL subscripts) with both means
+    * and the signed shift, so a retrained encoder, a corrupted batch, or
+    * a population change shows up as WHICH dimensions moved, not just a
+    * scalar alarm. Null/empty vectors are excluded; ragged dimensions
+    * (from mixed-width corpora) each aggregate over the vectors that
+    * have them.
+    *
+    * Determinism at scale: a float mean is an order-dependent sum, so
+    * two runs (or engine vs oracle) disagree in the low bits. Same trade
+    * as the IVF/Lloyd codebook: values are quantized to 1/2²⁰ fixed
+    * point (`floor(x · 2²⁰)` — exact for the float inputs' magnitude)
+    * and summed as int64 — commutative, overflow-safe to ~8.8 T values
+    * per dimension — with ONE double division at the end. Shuffle is
+    * bounded by dims × partitions (map-side combine); nothing else
+    * moves.
+    */
+  def embeddingDrift(base: DataFrame, current: DataFrame,
+      vecCol: String): DataFrame = {
+    val Q = 1048576.0 // 2^20, the codebook quantum (ivfTrainCentroids)
+    def side(df: DataFrame, sOut: String, nOut: String): DataFrame =
+      df.filter(col(s"`$vecCol`").isNotNull && size(col(s"`$vecCol`")) > 0)
+        .select(posexplode(col(s"`$vecCol`")).as(Seq("__d0", "__x")))
+        .groupBy((col("__d0") + 1).cast("long").as("dim"))
+        .agg(sum(floor(col("__x").cast("double") * Q).cast("long")).as(sOut),
+          count(lit(1)).as(nOut))
+    side(base, "__sb", "__nb")
+      .join(side(current, "__sc", "__nc"), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        round(col("__sb").cast("double") / (col("__nb") * Q), 6).as("base_mean"),
+        round(col("__sc").cast("double") / (col("__nc") * Q), 6).as("cur_mean"),
+        round(col("__sc").cast("double") / (col("__nc") * Q) -
+          col("__sb").cast("double") / (col("__nb") * Q), 6).as("mean_diff"))
+      .orderBy("dim")
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

@@ -148,6 +148,9 @@ object syntax {
       Similarity.cosineClusters(df, idCol, vecCol, threshold, numBlocks)
     def topKNeighbors(queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, idCol, vecCol, queries, idCol, vecCol, k)
+    /** df is the BASE snapshot; see [[Similarity.embeddingDrift]]. */
+    def embeddingDriftAgainst(current: DataFrame, vecCol: String): DataFrame =
+      Similarity.embeddingDrift(df, current, vecCol)
 
     // --- cleaning / profiling --------------------------------------------
     def dropNullKeys(keys: Seq[String]): DataFrame = Cleaners.dropNullKeys(df, keys)

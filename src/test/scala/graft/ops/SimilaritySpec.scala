@@ -305,6 +305,27 @@ class SimilaritySpec extends SparkSpec {
       s"top-1 lost under reduction: ${rec.filter(_._2 < 1.0).mkString(",")}")
   }
 
+  test("embeddingDrift: fixed-point-exact per-dimension means; ragged dims go one-sided") {
+    val base = Seq(
+      (1L, Some(Array(1f, 2f))), (2L, Some(Array(3f, 4f))),
+      (3L, Some(Array.empty[Float])), (4L, None))
+      .toDF("id", "v")
+    val cur = Seq((10L, Some(Array(0f, 0f, 5f)))).toDF("id", "v")
+    val out = Similarity.embeddingDrift(base, cur, "v")
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, Some(2.0), Some(0.0), Some(-2.0)),
+      (2L, Some(3.0), Some(0.0), Some(-3.0)),
+      (3L, None, Some(5.0), None)), out.toString)
+    // quantization floor: 0.1f sums as floor(0.1f·2^20) = 104857 —
+    // deterministic regardless of aggregation order
+    val tiny = Seq(Tuple1(Array(0.1f))).toDF("v")
+    val q = Similarity.embeddingDrift(tiny, tiny, "v")
+      .select("base_mean").as[Double].head()
+    assert(q == 0.099999, q.toString)
+  }
+
   test("rrfFuse: reciprocal-rank arithmetic, one-sided ids, deterministic tiebreak") {
     import spark.implicits._
     // a: ids 1,2,3 ranked 1,2,3; b: ids 3,4 ranked 1,2
