@@ -2512,6 +2512,29 @@ object SparkEntry {
         .orderBy("win_start_us", "lang")
     }),
 
+    // §7.6 — streaming drift monitor: per-day windowed value histogram
+    // (stateful state = windows × bins+2 rows, data-independent) scored
+    // as PSI against the whole-corpus reference batch-side — the
+    // streaming twin of drift_psi. Counting is exact int64 in the
+    // stream; the score arithmetic runs on the windows×bins sink table.
+    "stream_drift" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val (lo, hi, bins) = (0.0, 500.0, 20)
+      val counts = Streams.windowedValueHistogram(
+        Streams.withEventTime(eventsStream(s, dir), "ts"),
+        "event_time", "1 hour", "1 day", "value", lo, hi, bins)
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("bin"), col("n"))
+      val name = "stream_drift_" + java.lang.Long.toHexString(System.nanoTime())
+      val sink = Streams.runToMemory(counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(8))
+      val ref = graft.ops.Profiling.histogram(events(s, dir), "value", lo, hi, bins)
+      graft.ops.Profiling.psiFromCounts(sink, ref, Seq("win_start_us"), bins)
+        .orderBy("win_start_us", "bin")
+    }),
+
     // §2.11 — stubbed decode / feature extraction over binary payloads.
     // Scalar columns only: the driver's pandas comparator cannot sort/hash
     // an array column, and the byte stats ARE DuckDB-expressible (hex
@@ -3765,6 +3788,34 @@ object SparkEntry {
         |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
         |  round((q - p) * ln(q / p), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin,
+
+    "stream_drift" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS win_start_us,
+        |    CASE WHEN value < 0.0 THEN -1 WHEN value >= 500.0 THEN 20
+        |      ELSE least(CAST(floor(value / 25.0) AS BIGINT), 19) END AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |wb AS (SELECT win_start_us, bin, count(*) AS n FROM ev GROUP BY 1, 2),
+        |ref AS (SELECT bin, count(*) AS n FROM ev GROUP BY 1),
+        |wins AS (SELECT DISTINCT win_start_us FROM wb),
+        |grid AS (
+        |  SELECT w.win_start_us, b.bin FROM wins w
+        |  CROSS JOIN (SELECT unnest(range(-1, 21)) AS bin) b),
+        |wt AS (SELECT win_start_us, sum(n) AS wt FROM wb GROUP BY 1),
+        |rt AS (SELECT sum(n) AS rt FROM ref),
+        |shares AS (
+        |  SELECT g.win_start_us, g.bin,
+        |    CAST(coalesce(r.n, 0) + 1 AS DOUBLE) / (CAST(rt.rt AS DOUBLE) + 22) AS p,
+        |    CAST(coalesce(wb.n, 0) + 1 AS DOUBLE) / (CAST(wt.wt AS DOUBLE) + 22) AS q
+        |  FROM grid g
+        |  LEFT JOIN wb ON wb.win_start_us = g.win_start_us AND wb.bin = g.bin
+        |  LEFT JOIN ref r ON r.bin = g.bin
+        |  JOIN wt ON wt.win_start_us = g.win_start_us
+        |  CROSS JOIN rt)
+        |SELECT win_start_us, bin, round(p, 6) AS base_share,
+        |  round(q, 6) AS cur_share,
+        |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM shares ORDER BY win_start_us, bin""".stripMargin,
 
     "ks_drift" ->
       """WITH bv AS (

@@ -20,17 +20,24 @@ object Profiling {
     * are a missingness stat, not a distribution stat — see
     * missingProfile).
     */
-  def histogram(df: DataFrame, valueCol: String,
-      lo: Double, hi: Double, bins: Int): DataFrame = {
+  /** The shared bin id expression — the single definition [[histogram]]
+    * and the streaming windowed histogram build on, so batch and stream
+    * binning cannot fork.
+    */
+  private[graft] def binColumn(v: Column, lo: Double, hi: Double, bins: Int): Column = {
     require(bins >= 1, s"bins must be positive: $bins")
     require(lo < hi, s"empty range: [$lo, $hi)")
     val w = (hi - lo) / bins
-    val v = col(s"`$valueCol`")
-    val bin = when(v < lo, lit(-1L))
+    when(v < lo, lit(-1L))
       .when(v >= hi, lit(bins.toLong))
       .otherwise(least(floor((v - lo) / w).cast("long"), lit(bins.toLong - 1)))
+  }
+
+  def histogram(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val v = col(s"`$valueCol`")
     df.filter(v.isNotNull)
-      .groupBy(bin.as("bin"))
+      .groupBy(binColumn(v, lo, hi, bins).as("bin"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -149,6 +156,58 @@ object Profiling {
       min(col(s"`$valueCol`")).as("min_val") +:
         max(col(s"`$valueCol`")).as("max_val") +:
         quantiles.map(q => percentileExpr(valueCol, q, accuracy).as(pName(q))): _*)
+  }
+
+  /** [[psi]] replayed over PRE-AGGREGATED bin counts, one score set per
+    * group (e.g. per stream window): `cur` carries (groupCols..., bin, n)
+    * — the shape a Complete-mode windowed histogram sink emits — and
+    * `ref` carries the reference (bin, n). Every group × bin cell of the
+    * dense grid appears in the output with the same Laplace smoothing as
+    * [[psi]], so a bin that never arrived in a window still contributes
+    * its floor share. This is the batch half of the streaming drift
+    * monitor: the stateful windowed COUNTING runs in the stream (state =
+    * windows × bins+2 rows, data-independent), the groups×bins-sized
+    * score arithmetic runs on the sink table.
+    */
+  def psiFromCounts(cur: DataFrame, ref: DataFrame,
+      groupCols: Seq[String], bins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "psiFromCounts needs at least one group column")
+    val gcols = groupCols.map(c => col(s"`$c`"))
+    // every frame here descends from the same `cur` plan, so joining
+    // them by the ORIGINAL attributes is a self-join Catalyst rejects as
+    // ambiguous — each derived frame re-aliases its columns to fresh
+    // attributes (the categoricalPsi fresh-attribute contract)
+    val grid = cur.select(groupCols.map(c => col(s"`$c`").as(s"__g_$c")): _*)
+      .distinct()
+      .crossJoin(broadcast(
+        cur.sparkSession.range(-1, bins + 1).select(col("id").as("__gbin"))))
+    val counts = cur.select(
+      groupCols.map(c => col(s"`$c`").as(s"__c_$c")) ++
+        Seq(col("bin").as("__cbin"), col("n").as("__wn")): _*)
+    val wtot = cur.groupBy(gcols: _*).agg(sum(col("n")).as("__wt"))
+      .select(groupCols.map(c => col(s"`$c`").as(s"__t_$c")) :+ col("__wt"): _*)
+    val rtot = ref.agg(sum(col("n")).as("__rt"))
+    val onCounts = groupCols.map(c => col(s"`__g_$c`") <=> col(s"`__c_$c`"))
+      .reduce(_ && _) && col("__gbin") === col("__cbin")
+    val onTot = groupCols.map(c => col(s"`__g_$c`") <=> col(s"`__t_$c`"))
+      .reduce(_ && _)
+    grid
+      .join(counts, onCounts, "left")
+      .join(ref.select(col("bin").as("__rbin"), col("n").as("__rn")),
+        col("__gbin") === col("__rbin"), "left")
+      .join(wtot, onTot)
+      .crossJoin(broadcast(rtot))
+      .select(groupCols.map(c => col(s"`__g_$c`").as(c)) ++ Seq(
+        col("__gbin").as("bin"),
+        ((coalesce(col("__rn"), lit(0L)) + 1).cast("double") /
+          (col("__rt").cast("double") + (bins + 2))).as("__p"),
+        ((coalesce(col("__wn"), lit(0L)) + 1).cast("double") /
+          (col("__wt").cast("double") + (bins + 2))).as("__q")): _*)
+      .select(gcols ++ Seq(col("bin"),
+        round(col("__p"), 6).as("base_share"),
+        round(col("__q"), 6).as("cur_share"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
+          .as("psi_term")): _*)
   }
 
   /** Two-sample Kolmogorov–Smirnov drift between a BASE and a CURRENT

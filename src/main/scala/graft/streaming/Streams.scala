@@ -65,6 +65,27 @@ object Streams {
       .groupBy(window(col(eventTimeCol), windowDuration) +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"))
 
+  /** Windowed value-histogram counts — the stateful half of the streaming
+    * drift monitor: per (event-time window × bin), how many values
+    * arrived. Bins come from the SAME expression as the batch
+    * `Profiling.histogram` ([[graft.ops.Profiling.binColumn]]), so batch
+    * and stream binning cannot fork; null values are excluded on both
+    * sides. State is windows × (bins + 2) rows — data-independent, the
+    * property that makes a drift monitor safe to leave running against
+    * an unbounded ingest. Score the sink table against a reference
+    * histogram with `Profiling.psiFromCounts` (counts are exact int64,
+    * so accumulation order can never wobble the hash).
+    */
+  def windowedValueHistogram(
+      df: DataFrame, eventTimeCol: String, watermark: String,
+      windowDuration: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowDuration),
+        graft.ops.Profiling.binColumn(col(valueCol), lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Gap-based sessionization via the built-in `session_window` — the
     * streaming twin of the batch `sessionize` registry query.
     */

@@ -41,6 +41,35 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Seq((0L, "click", 2L), (0L, "view", 1L), (600L, "click", 1L)))
   }
 
+  test("windowedValueHistogram + psiFromCounts: streaming drift ≡ batch psi per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 0: values 1,1,12 — window 1 (minute 10+): 12,25(overflow),-3(underflow)
+    val in = MemoryStream[(Long, Double)]
+    in.addData((us(1), 1.0), (us(2), 1.0), (us(3), 12.0),
+      (us(11), 12.0), (us(12), 25.0), (us(13), -3.0))
+    val events = Streams.withEventTime(in.toDF.toDF("ts", "value"), "ts")
+    val sink = Streams.runToMemory(
+      Streams.windowedValueHistogram(
+        events, "event_time", "1 minute", "10 minutes", "value", 0.0, 20.0, 2),
+      "drift_out_" + java.lang.Long.toHexString(System.nanoTime()),
+      OutputMode.Complete())
+      .select((col("window.start").cast("long") / 600).cast("long").as("win"),
+        col("bin"), col("n"))
+    // reference: the full value set, binned the same way
+    val all = Seq(1.0, 1.0, 12.0, 12.0, 25.0, -3.0).toDF("value")
+    val ref = graft.ops.Profiling.histogram(all, "value", 0.0, 20.0, 2)
+    val got = graft.ops.Profiling.psiFromCounts(sink, ref, Seq("win"), 2)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    // batch psi of each window slice against the same reference must
+    // agree cell-for-cell (same smoothing, same arithmetic)
+    val w0 = graft.ops.Profiling.psi(all, Seq(1.0, 1.0, 12.0).toDF("value"), "value", 0.0, 20.0, 2)
+      .as[(Long, Double, Double, Double)].collect().map(r => (0L, r._1, r._2, r._3, r._4))
+    val w1 = graft.ops.Profiling.psi(all, Seq(12.0, 25.0, -3.0).toDF("value"), "value", 0.0, 20.0, 2)
+      .as[(Long, Double, Double, Double)].collect().map(r => (1L, r._1, r._2, r._3, r._4))
+    assert(got == (w0 ++ w1).toSet, s"got $got")
+  }
+
   test("sessionWindows: 30-minute gap splits sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
