@@ -291,7 +291,13 @@ object SparkEntry {
     * min-shingle content fingerprint usually survives the rotation,
     * exercising the rolling/content divergence.
     */
-  def fingerprintFrame(s: SparkSession, dir: String): DataFrame = {
+  /** documents plus planted exact (%7, +10M ids) and rotated (%11, +20M
+    * ids) copies — the fingerprint family's shared demo corpus. The
+    * rotation DEFEATS the whole-document rolling fingerprint
+    * (doc_fingerprint shows the miss) and is exactly what winnowed
+    * local fingerprints survive (winnow_overlap shows the catch).
+    */
+  private def copiesEnrichedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val exactCopies = docs
       .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(7)) === 0)
@@ -303,11 +309,14 @@ object SparkEntry {
       .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(11)) === 0)
       .select((col("doc_id") + lit(20000000L)).as("doc_id"), rotated.as("text"))
     docs.unionByName(exactCopies).unionByName(rotatedCopies)
+  }
+
+  def fingerprintFrame(s: SparkSession, dir: String): DataFrame =
+    copiesEnrichedDocs(s, dir)
       .select(
         col("doc_id"),
         TextStats.rollingFingerprint(col("text")).as("rolling_fp"),
         TextStats.contentFingerprint(col("text")).as("content_fp"))
-  }
 
   /** Where Verify materializes (doc_id, source, comp_ratio) — the deflate
     * compression-ratio kernel output per document of the enriched corpus.
@@ -1491,6 +1500,17 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
           TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
+
+    // §2.11 — winnowed-fingerprint partial-overlap detection (MOSS):
+    // pairs sharing ≥3 selected 4-gram fingerprints over the same
+    // copies-enriched corpus as doc_fingerprint. The rotated copies the
+    // rolling fingerprint MISSES are caught here — the robustness pair
+    // the two gates demonstrate together. Fully SQL-replayed oracle
+    // (60-bit truncated-md5 hashes, window minima, inverted-index join).
+    "winnow_overlap" -> ((s, dir) =>
+      graft.ops.Dedup.winnowOverlapPairs(
+        copiesEnrichedDocs(s, dir), "text", "doc_id", k = 4, w = 4, minShared = 3)
+        .orderBy("id_a", "id_b")),
 
     // §2.11 — document fingerprinting (rolling + content hashes), gated on
     // its DOWNSTREAM duplicate-group stage: per doc, the canonical (min)
@@ -3503,6 +3523,42 @@ object SparkEntry {
          |  CAST(CASE WHEN content_fp IS NULL THEN 1
          |       ELSE count(*) OVER (PARTITION BY content_fp) END AS BIGINT) AS content_bucket_size
          |FROM fp ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "winnow_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |src AS (
+        |  SELECT doc_id, w FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, w FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, list_concat(w[2:], w[1:1])
+        |  FROM base WHERE doc_id % 11 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(w) - 3),
+        |      i -> ('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3])), 1, 15))::BIGINT) AS h
+        |  FROM src WHERE len(w) >= 4),
+        |fps AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(h) >= 4
+        |      THEN list_transform(generate_series(1, len(h) - 3), j -> list_min(h[j:j+3]))
+        |      ELSE h END) AS f
+        |  FROM grams),
+        |inv AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+        |sz AS (SELECT doc_id, len(f) AS n FROM fps),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+        |FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n_shared >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "compression_profile" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

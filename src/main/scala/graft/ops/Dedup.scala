@@ -767,6 +767,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Partial-overlap detection via winnowed fingerprints
+    * ([[TextStats.winnowFingerprints]] — the MOSS algorithm): pairs of
+    * documents sharing at least `minShared` selected fingerprints, with
+    * the share count and `overlap` = n_shared / min(|A|, |B|). Where the
+    * Jaccard family scores WHOLE-document similarity, this catches a
+    * paragraph lifted into an otherwise-different document — any common
+    * token run of ≥ w + k − 1 tokens is guaranteed to share a
+    * fingerprint, robust to reordering (which defeats
+    * [[TextStats.rollingFingerprint]]).
+    *
+    * Scale shape: the fingerprint frame persists (it feeds the inverted
+    * index AND the size join); the index join shuffles (id, fp) pairs
+    * whose volume is winnowing-thinned to ~2/(w+1) of full shingling;
+    * pair volume is Σ df² over fingerprints — corpus-wide boilerplate
+    * runs are the hot-key caveat (same as every exact inverted index
+    * here): drop fingerprints above a document-frequency cap upstream,
+    * or route bulk near-dup work through MinHash and keep this as the
+    * partial-overlap evidence pass.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive: $minShared")
+    val fps = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        TextStats.winnowFingerprints(col(s"`$textCol`"), k, w).as("__f"))
+      .filter(size(col("__f")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = fps.select(col("__id"), explode(col("__f")).as("__fp"))
+    val sizes = fps.select(col("__id"), size(col("__f")).cast("long").as("__n"))
+    val shared = inv.as("l").join(inv.as("r"),
+        col("l.__fp") === col("r.__fp") && col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+  }
+
   /** Corpus-level line dedup (the C4/RefinedWeb boilerplate pass): any
     * line occurring more than once ANYWHERE in the corpus survives only
     * at its first occurrence — smallest (id, line position) — and is

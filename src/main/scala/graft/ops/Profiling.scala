@@ -231,7 +231,10 @@ object Profiling {
     * per-partition totals broadcast back. The final top-k is
     * TakeOrderedAndProject (per-partition heads, never a global sort
     * materialization). Output depends only on the data's total order by
-    * value, not the partitioning.
+    * value, not the partitioning. Caching contract (same as the
+    * curation prefix-sum family): the ranged per-value frame persists
+    * past the call — batch-scoring sessions should
+    * `spark.catalog.clearCache()` between corpus-wide runs.
     */
   def ksDrift(base: DataFrame, current: DataFrame, valueCol: String,
       topGaps: Int = 10): DataFrame = {

@@ -45,6 +45,9 @@ object syntax {
     /** df is an edge list; see [[Dedup.triangleStats]]. */
     def triangleStats(srcCol: String, dstCol: String): DataFrame =
       Dedup.triangleStats(df, srcCol, dstCol)
+    def winnowOverlapPairs(textCol: String, idCol: String,
+        k: Int = 4, w: Int = 4, minShared: Int = 3): DataFrame =
+      Dedup.winnowOverlapPairs(df, textCol, idCol, k, w, minShared)
     def contaminationAgainst(eval: DataFrame, textCol: String, idCol: String,
         n: Int = 3, threshold: Double = 0.8): DataFrame =
       Dedup.crossCorpusContamination(df, textCol, idCol, eval, textCol, idCol, n, threshold)

@@ -104,6 +104,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowOverlapPairs: lifted paragraph detected across different contexts; rotation survives") {
+    val lifted = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $lifted delta epsilon zeta eta theta"),
+      (2L, s"one two three four five $lifted six seven eight nine"),
+      (3L, "entirely different words nothing shared here at all today"),
+      // rotation of doc 3 (first token to the end) — the case the
+      // whole-document rolling fingerprint misses
+      (4L, "different words nothing shared here at all today entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapPairs(docs, "text", "doc_id", k = 4, w = 4, minShared = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the ≥ w+k-1 = 7-token shared run guarantees ≥1 common fingerprint
+    assert(out.contains((1L, 2L)), s"lifted paragraph not detected: $out")
+    assert(out.contains((3L, 4L)), s"rotated copy not detected: $out")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)), out.toString)
+    // overlap fraction is bounded and the share count is positive
+    assert(out((1L, 2L)) >= 1L)
+  }
+
   test("triangleStats: hand-built graph — dups, reversals, and self-loops canonicalized") {
     // triangle 1-2-3, pendant 3-4, separate pair 5-6; edge 1-2 repeated
     // reversed, self-loop 7-7 dropped

@@ -325,6 +325,32 @@ class TextStatsSpec extends SparkSpec {
     assert(!out.contains(4L), "empty docs have no bigrams")
   }
 
+  test("winnowFingerprints: window minima of 60-bit gram hashes; guarantee + degenerate cases") {
+    // reference hash: same truncated-md5 the operator computes
+    def h60(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val words = (1 to 20).map(i => s"w$i")
+    val text = words.mkString(" ")
+    val fps = TextStats.winnowFingerprints(col("text"), 4, 4)
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(fps.as("f")).as[Seq[Long]].head()
+    // replay: 17 4-gram hashes, window-4 minima, distinct
+    val hashes = words.sliding(4).map(g => h60(g.mkString(" "))).toSeq
+    val want = hashes.sliding(4).map(_.min).toSeq.distinct
+    assert(got == want, s"$got vs $want")
+    // guarantee: every window's min is selected; selected ⊆ gram hashes
+    assert(got.toSet.subsetOf(hashes.toSet))
+    // short docs: fewer than w grams keep every gram hash; < k tokens → []
+    val short = Seq(Tuple1("a b c d e")).toDF("text")
+      .select(fps.as("f")).as[Seq[Long]].head()
+    assert(short == Seq("a b c d", "b c d e").map(h60))
+    assert(Seq(Tuple1("a b c")).toDF("text")
+      .select(fps.as("f")).as[Seq[Long]].head().isEmpty)
+  }
+
   test("dsirWeights: target-vs-raw evidence ratio, hand-computed") {
     val corpus = Seq(
       (Some(1L), "a a", "t"), (Some(2L), "a b", "t"),
