@@ -385,7 +385,7 @@ object ScaleProbe {
     // k-cliques per base doc, so edges grow C(k,2)× and triangles
     // C(k,3)× — the adversarial motif-density axis; the degree
     // orientation keeps outdeg ≤ k−1).
-    if (familyOn("ksDrift", "dsirWeights", "triangleStats")) {
+    if (familyOn("ksDrift", "dsirWeights", "triangleStats", "winnowOverlap")) {
       Seq(1, k).foreach { times =>
         val e = replicateEv(times)
           .withColumn("value", (col("ts") + pmod(col("user_id"), lit(97L))).cast("double"))
@@ -406,6 +406,11 @@ object ScaleProbe {
         time("triangleStats(jaccard 0.5)",
           Dedup.triangleStats(
             Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5), "id_a", "id_b"))
+        // replicas share their full base text, so every base doc's k
+        // replicas pairwise-share fingerprints — the pair axis explodes
+        // like the jaccard probes; wall should track pair volume
+        time("winnowOverlapPairs",
+          Dedup.winnowOverlapPairs(d, "text", "doc_id", 4, 4, 3))
       }
     }
 

@@ -78,13 +78,26 @@ object TextStats {
     */
   def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k and w must be positive: k=$k w=$w")
-    val hashes = transform(shingles(text, k),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
-    array_distinct(
-      when(size(hashes) >= w,
-        transform(sequence(lit(1), size(hashes) - (w - 1)),
-          j => array_min(slice(hashes, j, lit(w)))))
-      .otherwise(hashes))
+    // let-binding via a one-element transform: an ordinary expression
+    // referenced inside a HOF lambda is RE-EVALUATED per element (the
+    // naive form re-tokenized the document at every shingle position —
+    // O(len²) regex work per doc, measured grinding at 8× probe scale);
+    // binding it as a lambda variable evaluates it exactly once per row
+    def let(bound: Column)(body: Column => Column): Column =
+      element_at(transform(array(bound), body), 1)
+    let(whitespaceTokens(text)) { toks =>
+      val grams = when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+      let(transform(grams,
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))) { hashes =>
+        array_distinct(
+          when(size(hashes) >= w,
+            transform(sequence(lit(1), size(hashes) - (w - 1)),
+              j => array_min(slice(hashes, j, lit(w)))))
+          .otherwise(hashes))
+      }
+    }
   }
 
   // --- quality scoring -----------------------------------------------------
