@@ -43,16 +43,21 @@ object TextStats {
     coalesce(regexp_count(text, lit(BpePretokenPattern)), lit(0))
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
-    * higher-order functions only (sequence/transform/slice) so the whole
-    * shingling stays inside whole-stage codegen.
+    * higher-order functions only (sequence/transform/slice) — one
+    * expression, no shuffle. The token array is LET-BOUND through a
+    * one-element `transform` before the per-position lambda touches it:
+    * an ordinary expression referenced inside a HOF lambda is
+    * re-evaluated per element, so the unbound form re-tokenizes the
+    * document at every shingle position — O(len²) regex work per doc
+    * (measured: the winnow probe ground at 8× until this binding).
+    * Hot bulk paths use the native kernels (`shingle_hash_set`) instead.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = whitespaceTokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    element_at(transform(array(whitespaceTokens(text)), toks =>
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))), 1)
 
   /** Distinct shingle set (the unit of Jaccard similarity). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
