@@ -2565,7 +2565,51 @@ object SparkEntry {
         Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
         .select("media_id", "n_bytes", "byte_mean", "byte_entropy_q")
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // §2.11 — centrality over the ≥0.5-Jaccard near-dup graph: int64
+    // fixed-point PageRank (3 unrolled damped iterations, d = 17/20) —
+    // stationary-mass representative election for dedup neighborhoods,
+    // exact-arithmetic so the oracle replays it bit-for-bit.
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.GraphOps.pageRank(
+        graft.ops.Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
+        "id_a", "id_b", iters = 3)
+        .orderBy("id")),
+
+    // §2.11 — corpus collocation mining: top-50 bigrams by exact-
+    // arithmetic lift (linear-space PMI), min pair count 5. The null-id
+    // filter keeps the doc-boundary definition identical to the oracle's
+    // PARTITION BY doc_id.
+    "pmi_collocations" -> ((s, dir) =>
+      TextStats.pmiCollocations(
+        t(s, dir, "documents").filter(col("doc_id").isNotNull),
+        "text", minCount = 5L, topK = 50)),
+
+    // G-family per-entity outlier scoring: every event z-scored against
+    // its own user's value distribution (null where the group has no
+    // variance evidence); thresholding is caller policy, so the gate
+    // hashes the scores, not a float-boundary flag.
+    "anomaly_zscore" -> ((s, dir) =>
+      graft.ops.Profiling.groupZscores(t(s, dir, "events"), "user_id", "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("group_n"), col("zscore"))
+        .orderBy("event_id")),
+
+    // Time-series cadence profile: per-user inter-event gap stats in
+    // exact µs arithmetic (discrete lower-middle median, rank
+    // (n+1) DIV 2) — the bucket-width chooser for the resample family.
+    "gap_profile" -> ((s, dir) =>
+      TimeSeries.gapProfile(t(s, dir, "events"), "user_id", "ts")
+        .orderBy("user_id")),
+
+    // G-family Benford first-digit profile of the value column: digit
+    // taken from the integer-cents decimal string (engine-identical),
+    // observed share vs the log10(1+1/d) expectation.
+    "benford_profile" -> ((s, dir) =>
+      graft.ops.Profiling.benfordProfile(t(s, dir, "events"), "value")
+        .orderBy("digit"))
   )
 
   // ---------------------------------------------------------------------
@@ -5398,6 +5442,105 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_bytes,
         |  CASE WHEN n = 0 THEN 0.0 ELSE round(byte_sum * 1.0 / n, 4) END AS byte_mean,
         |  CAST(CASE WHEN n = 0 THEN 0 ELSE trunc((byte_sum * 1.0 / n) / 16) END AS BIGINT) AS byte_entropy_q
-        |FROM s ORDER BY media_id""".stripMargin
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // Int64 fixed-point power iteration replayed literally: same edge
+    // derivation as neardup_triangles, then three unrolled damped steps
+    // with `//` integer division (positive operands — identical to
+    // Spark's DIV truncation).
+    "graph_pagerank" ->
+      (shingleCte +
+        """, e AS (
+          |  SELECT id_a AS a, id_b AS b FROM pair_inter
+          |  JOIN sz sa ON sa.doc_id = id_a
+          |  JOIN sz sb ON sb.doc_id = id_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
+          |adj AS (
+          |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+          |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+          |r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+          |r1 AS (
+          |  SELECT adj.u AS v,
+          |    CAST(150000000000 + sum((r0.r * 17) // (deg.d * 20)) AS BIGINT) AS r
+          |  FROM adj JOIN r0 ON r0.v = adj.v JOIN deg ON deg.v = adj.v
+          |  GROUP BY adj.u),
+          |r2 AS (
+          |  SELECT adj.u AS v,
+          |    CAST(150000000000 + sum((r1.r * 17) // (deg.d * 20)) AS BIGINT) AS r
+          |  FROM adj JOIN r1 ON r1.v = adj.v JOIN deg ON deg.v = adj.v
+          |  GROUP BY adj.u),
+          |r3 AS (
+          |  SELECT adj.u AS v,
+          |    CAST(150000000000 + sum((r2.r * 17) // (deg.d * 20)) AS BIGINT) AS r
+          |  FROM adj JOIN r2 ON r2.v = adj.v JOIN deg ON deg.v = adj.v
+          |  GROUP BY adj.u)
+          |SELECT deg.v AS id, deg.d AS degree, r3.r AS pr
+          |FROM deg JOIN r3 ON r3.v = deg.v ORDER BY id""".stripMargin),
+
+    "pmi_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+         |  FROM (SELECT doc_id, string_split_regex($strippedSql, '\\s+') AS l
+         |        FROM documents
+         |        WHERE doc_id IS NOT NULL AND length($strippedSql) > 0)),
+         |bg AS (
+         |  SELECT w1, w2 FROM (
+         |    SELECT token AS w1,
+         |      lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |    FROM toks) WHERE w2 IS NOT NULL),
+         |p AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg)
+         |SELECT p.w1, p.w2, p.c12,
+         |  round(CAST(p.c12 * nb.nb AS DOUBLE)
+         |    / CAST(m1.c1 * m2.c2 AS DOUBLE), 6) AS lift
+         |FROM p JOIN m1 ON m1.w1 = p.w1 JOIN m2 ON m2.w2 = p.w2 CROSS JOIN nb
+         |ORDER BY lift DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
+
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(value) AS BIGINT) AS group_n,
+        |    avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value, s.group_n,
+        |  CASE WHEN s.sd > 0 AND e.value IS NOT NULL
+        |       THEN round((e.value - s.m) / s.sd, 6) END AS zscore
+        |FROM events e JOIN s ON s.user_id = e.user_id
+        |ORDER BY event_id""".stripMargin,
+
+    "gap_profile" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id,
+        |    tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS gap
+        |  FROM e),
+        |g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, gap,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY gap) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM g2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT) AS med_gap
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "benford_profile" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
+        |    1, 1) AS INT) AS digit
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

@@ -330,4 +330,76 @@ object Profiling {
         round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
           .as("psi_term"))
   }
+
+  /** Per-group z-score profiling: every row scored against ITS group's
+    * mean/stddev — the per-entity outlier primitive (a $400 event is an
+    * anomaly for a user whose events average $4, and unremarkable for a
+    * whale), complementing the corpus-global [[winsorize]] clamp. Rows
+    * whose group has fewer than two non-null values (or zero variance)
+    * get a null `zscore` — no evidence, no verdict — rather than being
+    * dropped, so the output stays row-aligned with the input for
+    * downstream joins. `zscore` is rounded to 6 dp: the group mean is a
+    * float fold whose last-ulp depends on aggregation order, and the
+    * rounding is what makes the score engine-portable (the
+    * numeric_profile contract). Callers filter `abs(zscore) > k` for
+    * flagging; the threshold deliberately stays OUT of this operator so
+    * the (engine-noise-sensitive) comparison is a caller policy, not a
+    * baked-in boundary.
+    *
+    * Scale shape: one map-side-combined groupBy(key) for the moment
+    * stats, one equi-join back on the key (the stats side is one row
+    * per key — AQE broadcasts it when small, sort-merge otherwise; no
+    * window sort over the raw rows). Null keys are excluded — they have
+    * no group to be scored against.
+    */
+  def groupZscores(
+      df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val v = col(s"`$valueCol`")
+    val stats = df.filter(k.isNotNull)
+      .groupBy(k.as("__k"))
+      .agg(count(v).as("group_n"), avg(v).as("__m"), stddev_samp(v).as("__sd"))
+    df.filter(k.isNotNull)
+      .join(stats, k === col("__k"))
+      .drop("__k")
+      .withColumn("zscore",
+        when(col("__sd") > 0d && v.isNotNull,
+          round((v - col("__m")) / col("__sd"), 6)))
+      .drop("__m", "__sd")
+  }
+
+  /** Benford first-significant-digit profile of a positive fixed-point
+    * column: observed digit counts and shares next to the Benford
+    * expectation log10(1 + 1/d) — the classic fabricated-data /
+    * truncated-feed tripwire for financial-style value columns (a
+    * uniform or single-spike digit profile on an organically-generated
+    * amount column means a generator, a cap, or a unit bug upstream).
+    *
+    * The value is converted to integer hundredths FIRST
+    * (`round(v·100)` — exact for the 2-decimal amounts this targets)
+    * and the leading digit is taken from the integer's decimal string:
+    * integer→string is engine-identical, whereas floor(v/10^floor(log10
+    * v)) sits one libm-ulp from the wrong digit at every power of ten.
+    * Non-positive and null values are excluded (Benford's law is a
+    * statement about positive magnitudes).
+    *
+    * Scale shape: a 9-row map-side-combined aggregation — one pass, no
+    * shuffle beyond the 9-group exchange — plus a broadcast of the
+    * 1-row total for shares.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`")
+    val cents = round(v * 100d, 0).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df.filter(v.isNotNull && v > 0d)
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("share"),
+        round(log10(lit(1d) + lit(1d) / col("digit").cast("double")), 6)
+          .as("benford_share"))
+  }
 }

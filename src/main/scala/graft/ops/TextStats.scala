@@ -969,4 +969,63 @@ object TextStats {
         round((col("__wsum") - col("n_feats") * lit(1000000L)).cast("double") /
           (col("n_feats") * lit(1000000L)).cast("double"), 6).as("quality_logit"),
         (col("__wsum") >= col("n_feats") * lit(1000000L)).cast("int").as("label"))
+
+  /** Corpus-level collocation mining: the top-K bigrams by pointwise
+    * association strength ("lift" — the linear-space core of PMI:
+    * `p(w1,w2) / (p(w1·)·p(·w2))`, Manning & Schütze ch. 5, using
+    * bigram-position marginals so all three probabilities share the
+    * bigram-count denominator). Collocations are the phrase-level twin
+    * of [[topTerms]]: a corpus whose top collocations are boilerplate
+    * ("click here", "all rights") is template-heavy even when unigram
+    * stats look clean, and the mined list feeds phrase blocklists and
+    * boilerplate strippers.
+    *
+    * Exactness: with c12 = count(w1,w2), c1 = count(w1, ·),
+    * c2 = count(·, w2), NB = total bigrams,
+    * `lift = (c12·NB) / (c1·c2)` — both products are int64-exact AND
+    * below 2^53 for any corpus under ~9e15·minCount bigrams, so the
+    * single double division is IEEE-identical in every engine; a
+    * log-space PMI would pin the result to one engine's `ln`. The
+    * `minCount` floor is the standard guard against the lift statistic's
+    * hapax bias (a 1-occurrence pair has unbounded lift).
+    *
+    * Scale shape: one bigram explode feeding three map-side-combined
+    * frequency aggregates; the pair-count frame is filtered to
+    * `c12 ≥ minCount` BEFORE the two marginal joins (Zipf: that filter
+    * is what keeps the join probe side small); final top-K is a
+    * TakeOrdered (per-partition heap + driver merge of K), never a
+    * global sort. Like [[unigramFamiliarity]], the exploded bigram
+    * frame is persisted (it feeds four aggregates) and the cache
+    * outlives the call — `spark.catalog.clearCache()` reclaims it in
+    * long-lived sessions.
+    */
+  def pmiCollocations(
+      df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be at least 1: $minCount")
+    require(topK >= 1, s"topK must be at least 1: $topK")
+    val bi = df
+      .select(whitespaceTokens(col(s"`$textCol`")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2), i =>
+        struct(
+          element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val leftCounts = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val rightCounts = bi.groupBy("w2").agg(count(lit(1)).as("__c2"))
+    val total = bi.agg(count(lit(1)).as("__nb"))
+    pairCounts
+      .join(leftCounts, Seq("w1"))
+      .join(rightCounts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((col("c12") * col("__nb")).cast("double") /
+          (col("__c1") * col("__c2")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -241,4 +241,50 @@ object TimeSeries {
       .withColumn("version", row_number().over(wRun).cast("long"))
       .drop("__rn")
   }
+
+  /** Per-key inter-event gap profile: count, min, max, and exact
+    * discrete median of the consecutive-timestamp differences — the
+    * cadence fingerprint that separates heartbeat-regular feeds from
+    * bursty humans (and the input to choosing [[denseCounts]] /
+    * [[resampleLocf]] bucket widths: a grid finer than the median gap
+    * is mostly fill). Keys with fewer than two timestamped events have
+    * no gaps and are excluded.
+    *
+    * Everything is int64: `tsCol` must be the canonical integral epoch
+    * column, and the median is the DISCRETE lower-middle order statistic
+    * (rank `(n+1) DIV 2` of the sorted gaps) — an interpolated median
+    * would average two int64s into an engine-noise double for nothing.
+    * The gap MULTISET is tie-order-invariant (any ordering of equal
+    * timestamps yields the same sorted sequence, hence the same
+    * consecutive differences), so no tiebreak column is needed for
+    * correctness.
+    *
+    * Scale shape: one shuffle by key feeding both window passes (lag by
+    * ts, then rank by gap — same partitioning, two in-partition sorts)
+    * and the final map-side-combinable groupBy(key). Per-key data never
+    * leaves its partition after the first exchange; no global sort, no
+    * percentile sketch.
+    */
+  def gapProfile(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val ts = col(s"`$tsCol`")
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(k).orderBy(ts)
+    val gaps = df.filter(k.isNotNull && ts.isNotNull)
+      .withColumn("__gap", ts - lag(ts, 1).over(wLag))
+      .filter(col("__gap").isNotNull)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(k).orderBy(col("__gap"))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(k)
+    gaps
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .groupBy(k.as(keyCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap"),
+        max(col("__gap")).as("max_gap"),
+        max(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__gap")))
+          .as("med_gap"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, Multimodal, Similarity, TextStats, TimeSeries}
+import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -244,5 +244,22 @@ object syntax {
     def funnelSteps(keyCol: String, tsCol: String, typeCol: String,
         steps: Seq[String], window: Long): DataFrame =
       Funnel.funnelSteps(df, keyCol, tsCol, typeCol, steps, window)
+    def gapProfile(keyCol: String, tsCol: String): DataFrame =
+      TimeSeries.gapProfile(df, keyCol, tsCol)
+    def groupZscores(keyCol: String, valueCol: String): DataFrame =
+      Profiling.groupZscores(df, keyCol, valueCol)
+    def benfordProfile(valueCol: String): DataFrame =
+      Profiling.benfordProfile(df, valueCol)
+    /** Top-K collocations by exact-arithmetic lift; the exploded bigram
+      * cache outlives the call (see [[ops.TextStats.pmiCollocations]]).
+      */
+    def pmiCollocations(textCol: String,
+        minCount: Long = 5L, topK: Int = 50): DataFrame =
+      TextStats.pmiCollocations(df, textCol, minCount, topK)
+    /** Int64 fixed-point PageRank over this frame read as an edge list
+      * (see [[ops.GraphOps.pageRank]]).
+      */
+    def pageRank(srcCol: String, dstCol: String, iters: Int = 3): DataFrame =
+      GraphOps.pageRank(df, srcCol, dstCol, iters)
   }
 }

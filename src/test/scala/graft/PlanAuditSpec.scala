@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
     "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)",
     "ks_drift" -> "distinct values × ONE one-row broadcast totals frame (the prefix-sum offsets join is hash, not cross)",
-    "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row")
+    "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row",
+    "pmi_collocations" -> "filtered pair counts × ONE broadcast bigram-total row",
+    "benford_profile" -> "9 digit rows × ONE broadcast total row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = GraphOps.RankScale
+
+  test("pageRank: regular graphs are fixed points of the update") {
+    // path a-b (both degree 1) and triangle c-d-e (all degree 2): every
+    // node's in-mass equals its out-mass, so rank stays exactly S
+    val edges = Seq((1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .select("id", "pr").as[(Long, Long)].collect().toMap
+    assert(ranks == Map(1L -> S, 2L -> S, 10L -> S, 11L -> S, 12L -> S),
+      s"got $ranks")
+  }
+
+  test("pageRank: star graph — hand-computed int64 fixed-point values") {
+    // star 1-{2,3}: deg(1)=2, deg(2)=deg(3)=1, base=150e9
+    // it1: r(1)=150e9+2*(S*17 DIV 20)=1850e9; r(leaf)=150e9+(S*17 DIV 40)=575e9
+    // it2: r(1)=150e9+2*((575e9*17) DIV 20)=1_127_500e6
+    //      r(leaf)=150e9+(1850e9*17) DIV 40=936_250e6
+    // it3: r(1)=150e9+2*((936_250e6*17) DIV 20)=1_741_625e6
+    //      r(leaf)=150e9+(1_127_500e6*17) DIV 40=629_187_500_000
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, d, r) => id -> ((d, r)) }.toMap
+    assert(out(1L) == (2L, 1741625000000L), s"hub: ${out(1L)}")
+    assert(out(2L) == (1L, 629187500000L), s"leaf: ${out(2L)}")
+    assert(out(3L) == out(2L), "leaves symmetric")
+  }
+
+  test("pageRank: edge canonicalization — dups, reversals, self-loops, nulls") {
+    val edges = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(1L)), // reversal
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)), // dup
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(3L)), // self-loop
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(4L))
+    ).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, "src", "dst", iters = 2)
+      .select("id", "degree", "pr").as[(Long, Long, Long)].collect()
+    // only the canonical 1-2 edge survives: two degree-1 nodes at rank S
+    assert(out.toSet == Set((1L, 1L, S), (2L, 1L, S)), out.toSeq.toString)
+  }
+
+  test("pageRank: mass is conserved up to truncation and hubs outrank leaves") {
+    // barbell-ish: hub 1 connected to 2..6, plus an edge 2-3
+    val edges = (2L to 6L).map((1L, _)) :+ (2L, 3L)
+    val out = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst")
+      .select("id", "pr").as[(Long, Long)].collect().toMap
+    val total = out.values.sum
+    // Σ ranks ≤ n·S (DIV truncates mass away, never creates it), and
+    // within 0.1% of it for a graph this small
+    assert(total <= 6L * S && total > (6L * S) / 1000L * 999L, s"total $total")
+    assert(out(1L) > out(4L), "hub must outrank a pure leaf")
+    assert(out(2L) > out(4L), "higher-degree node must outrank a pure leaf")
+    assert(out(4L) == out(5L) && out(5L) == out(6L), "symmetric leaves tie")
+  }
+}

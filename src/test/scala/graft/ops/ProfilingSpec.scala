@@ -156,4 +156,51 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(exact - approx) <= 2L * n / acc + 2,
       s"clamped counts diverged: exact=$exact approx=$approx")
   }
+
+  test("groupZscores: hand-checked scores; no-evidence groups stay null") {
+    val df = Seq(
+      (1L, 1L, Some(1.0)), (2L, 1L, Some(2.0)), (3L, 1L, Some(3.0)),
+      (4L, 2L, Some(5.0)),                      // single value: sd null
+      (5L, 3L, Some(7.0)), (6L, 3L, Some(7.0)), // zero variance
+      (7L, 1L, None)                            // null value in a live group
+    ).toDF("event_id", "user_id", "value")
+    val out = Profiling.groupZscores(df, "user_id", "value")
+      .select("event_id", "group_n", "zscore")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 1: mean 2, stddev_samp 1 -> z = -1, 0, 1; count excludes null
+    assert(out(1L) == ((3L, Some(-1.0))) && out(2L) == ((3L, Some(0.0))) &&
+      out(3L) == ((3L, Some(1.0))), out.toString)
+    assert(out(4L) == ((1L, None)), "single-value group must not be scored")
+    assert(out(5L) == ((2L, None)), "zero-variance group must not be scored")
+    assert(out(7L) == ((3L, None)), "null value gets no score but keeps its row")
+  }
+
+  test("groupZscores: null keys are excluded, rows stay aligned otherwise") {
+    val df = Seq(
+      (1L, Some(1L), 1.0), (2L, Some(1L), 3.0),
+      (3L, None: Option[Long], 9.0)
+    ).toDF("event_id", "user_id", "value")
+    val out = Profiling.groupZscores(df, "user_id", "value")
+    assert(out.count() == 2L)
+    assert(out.columns.toSet ==
+      Set("event_id", "user_id", "value", "group_n", "zscore"))
+  }
+
+  test("benfordProfile: digit extraction from integer cents, shares sum to 1") {
+    // 123.45 -> 12345 -> 1; 0.07 -> 7 -> 7; 19.17 (inexact double) -> 1917 -> 1
+    val df = Seq(123.45, 0.07, 19.17, 2.0, 250.0, 9.99, -5.0, 0.0)
+      .map(Tuple1(_)).toDF("v")
+    val out = Profiling.benfordProfile(df, "v")
+      .select("digit", "n").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 2, 7 -> 1, 2 -> 2, 9 -> 1), s"got $out")
+    val shares = Profiling.benfordProfile(df, "v")
+      .agg(sum("share")).as[Double].head
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to ~1: $shares")
+    // benford_share for digit 1 is log10(2)
+    val b1 = Profiling.benfordProfile(df, "v")
+      .filter(col("digit") === 1).select("benford_share").as[Double].head
+    assert(b1 == BigDecimal(math.log10(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $b1")
+  }
 }

@@ -646,4 +646,29 @@ class TextStatsSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
     assert(kernel.size == 500 && kernel == hof)
   }
+
+  test("pmiCollocations: exact lift arithmetic and minCount floor") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // bigrams: (a,b) x2, (a,c) x1; NB=3; c1(a)=3; c2(b)=2, c2(c)=1
+    val all = TextStats.pmiCollocations(docs, "text", minCount = 1L, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(all == Seq(("a", "b", 2L, 1.0), ("a", "c", 1L, 1.0)),
+      s"lift ties break on (w1, w2): $all")
+    val floored = TextStats.pmiCollocations(docs, "text", minCount = 2L, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(floored == Seq(("a", "b", 2L, 1.0)), floored.toString)
+  }
+
+  test("pmiCollocations: a glued pair outlifts a promiscuous one") {
+    // "p q" always together (c12=4, NB=10: lift 4*10/(4*4)=2.5) vs "the *"
+    // spreading over three partners (lift(the,x) = 2*10/(6*2) = 1.667)
+    val docs = (1 to 4).map(i => (i.toLong, "p q")) ++
+      Seq((5L, "the x"), (6L, "the x"), (7L, "the y"), (8L, "the y"),
+        (9L, "the z"), (10L, "the z"))
+    val out = TextStats.pmiCollocations(
+      docs.toDF("doc_id", "text"), "text", minCount = 2L, topK = 2)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(out.head == (("p", "q")), out.toSeq.toString)
+  }
 }

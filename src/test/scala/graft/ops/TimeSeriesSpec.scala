@@ -214,4 +214,28 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("gapProfile: hand-checked gaps; discrete lower-middle median") {
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 30L), (1L, 100L), // gaps 10, 20, 70
+      (2L, 5L), (2L, 10L), (2L, 30L),             // gaps 5, 20 (even count)
+      (3L, 42L)                                   // single event: no gaps
+    ).toDF("user_id", "ts")
+    val m = TimeSeries.gapProfile(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) == ((3L, 10L, 70L, 20L)), s"odd-count median: ${m(1L)}")
+    assert(m(2L) == ((2L, 5L, 20L, 5L)), s"even count takes lower middle: ${m(2L)}")
+    assert(!m.contains(3L), "single-event keys have no gap row")
+  }
+
+  test("gapProfile: equal timestamps yield zero gaps deterministically") {
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 25L))
+      .toDF("user_id", "ts")
+    val m = TimeSeries.gapProfile(df, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // sorted ts [10,10,10,25] -> gaps {0,0,15} under ANY tie order
+    assert(m(1L) == ((3L, 0L, 15L, 0L)), m.toString)
+  }
 }
