@@ -414,6 +414,58 @@ object ScaleProbe {
       }
     }
 
+    // round-9c additions. pageRank rides the same replica-clique edge
+    // axis as triangleStats (edges C(k,2)× per base doc) — wall should
+    // track EDGES × iterations, never node-pair volume; the profiling
+    // trio rides the events axis (key-cardinality growth).
+    if (familyOn("pageRank", "pmiCollocations", "groupZscores",
+        "gapProfile", "benfordProfile")) {
+      Seq(1, k).foreach { times =>
+        val d = replicate(times)
+        println(s"--- round-9c docs ${times}x (${d.count()} docs) ---")
+        time("pageRank(jaccard 0.5)",
+          graft.ops.GraphOps.pageRank(
+            Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5),
+            "id_a", "id_b", iters = 3))
+        time("pmiCollocations",
+          graft.ops.TextStats.pmiCollocations(d, "text", minCount = 5L, topK = 50))
+      }
+      Seq(1, k).foreach { times =>
+        val e = replicateEv(times)
+          .withColumn("value", (pmod(col("ts"), lit(997L)) +
+            pmod(col("user_id"), lit(97L))).cast("double"))
+          .withColumn("event_id", col("ts") * 1000L + pmod(col("user_id"), lit(1000L)))
+        println(s"--- round-9c events ${times}x (${e.count()} events) ---")
+        time("groupZscores(user)",
+          graft.ops.Profiling.groupZscores(e, "user_id", "value"))
+        time("gapProfile(user)",
+          graft.ops.TimeSeries.gapProfile(e, "user_id", "ts"))
+        time("benfordProfile",
+          graft.ops.Profiling.benfordProfile(e, "value"))
+        time("pivotLatest(3 types)",
+          graft.ops.TimeSeries.pivotLatest(e, "user_id", "event_type",
+            "ts", "value", Seq("view", "click", "purchase"), "event_id"))
+        time("cohortRetention(daily)",
+          graft.ops.TimeSeries.cohortRetention(e, "user_id", "ts",
+            86400L * 1000000L))
+      }
+      // basket axis: replicate lineitem by ORDER offset — items stay
+      // fixed (Zipf head unchanged), baskets grow k×, so pair volume
+      // must scale ~linearly in baskets, never quadratically in items
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      Seq(1, k).foreach { times =>
+        val b = (0 until times).map { i =>
+          li.select((col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+            col("l_partkey"))
+        }.reduce(_.unionByName(_))
+        println(s"--- round-9c baskets ${times}x (${b.count()} rows) ---")
+        time("cooccurrenceLift(order,part)",
+          graft.ops.GraphOps.cooccurrenceLift(b, "l_orderkey", "l_partkey",
+            minCount = 2L))
+      }
+    }
+
     // FHIR bundle-directory ingest (the reference's core workload,
     // json_pipeline.py:100-118): N small multiLine JSON files → explode →
     // route → extract → clean, counted across all six tables off ONE

@@ -2609,7 +2609,33 @@ object SparkEntry {
     // observed share vs the log10(1+1/d) expectation.
     "benford_profile" -> ((s, dir) =>
       graft.ops.Profiling.benfordProfile(t(s, dir, "events"), "value")
-        .orderBy("digit"))
+        .orderBy("digit")),
+
+    // §2.11 — market-basket co-occurrence lift (the comorbidity-mining
+    // shape: basket = patient, item = condition code) over (order,
+    // part) membership: A-priori-pruned pair generation, exact-int64
+    // counts, one rounded division.
+    "basket_lift" -> ((s, dir) =>
+      graft.ops.GraphOps.cooccurrenceLift(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCount = 2L)
+        .orderBy("item_a", "item_b")),
+
+    // Latest-value pivot (the "current vitals" wide table): newest value
+    // per user × event_type under a (ts, event_id) struct-max —
+    // deterministic ties, no window sort over the raw stream.
+    "pivot_latest" -> ((s, dir) =>
+      TimeSeries.pivotLatest(t(s, dir, "events"), "user_id", "event_type",
+        "ts", "value", Seq("view", "click", "purchase"), "event_id")
+        .orderBy("user_id")),
+
+    // Cohort retention triangle: users bucketed by first-seen DAY,
+    // counted per later active day offset; int64 buckets + one rounded
+    // rate against the offset-0 cohort size.
+    "cohort_matrix" -> ((s, dir) =>
+      TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts",
+        86400L * 1000000L)
+        .orderBy("cohort", "offset"))
   )
 
   // ---------------------------------------------------------------------
@@ -5541,6 +5567,55 @@ object SparkEntry {
         |SELECT digit, n,
         |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
         |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share
-        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "basket_lift" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY i),
+        |f AS (SELECT m.b, m.i, ic.c FROM m JOIN ic ON ic.i = m.i WHERE ic.c >= 2),
+        |p AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, a.c AS ca, b.c AS cb
+        |  FROM f a JOIN f b ON a.b = b.b AND a.i < b.i),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM m),
+        |g AS (
+        |  SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_ab,
+        |    max(ca) AS ca, max(cb) AS cb
+        |  FROM p GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, n_ab,
+        |  round(CAST(n_ab * n.n AS DOUBLE) / CAST(ca * cb AS DOUBLE), 6) AS lift
+        |FROM g CROSS JOIN n ORDER BY item_a, item_b""".stripMargin,
+
+    "pivot_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id, value
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY tus DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' AND rn = 1 THEN value END) AS view_value,
+        |  max(CASE WHEN event_type = 'click' AND rn = 1 THEN value END) AS click_value,
+        |  max(CASE WHEN event_type = 'purchase' AND rn = 1 THEN value END) AS purchase_value
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "cohort_matrix" ->
+      """WITH kb AS (
+        |  SELECT DISTINCT user_id AS k, epoch_us(ts) // 86400000000 AS bucket
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT k, min(bucket) AS cohort FROM kb GROUP BY k),
+        |a AS (
+        |  SELECT c.cohort, kb.bucket - c.cohort AS "offset",
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM kb JOIN c ON c.k = kb.k GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, max(CASE WHEN "offset" = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort) AS n_cohort FROM a)
+        |SELECT cohort, "offset", n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
+        |FROM w ORDER BY cohort, "offset"""".stripMargin
   )
 }

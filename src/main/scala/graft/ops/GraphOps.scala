@@ -96,4 +96,64 @@ object GraphOps {
     deg.join(ranks, Seq("v"))
       .select(col("v").as("id"), col("d").as("degree"), col("r").as("pr"))
   }
+
+  /** Market-basket co-occurrence lift: which item pairs appear together
+    * in the same basket more often than their popularities predict. The
+    * EHR reading is comorbidity mining — basket = patient, item =
+    * condition code, and `lift > 1` pairs are the co-morbid conditions
+    * (the classic shape of Finlayson et al.'s medical-concept
+    * co-occurrence analyses); the same operator over (order, part) is
+    * retail affinity, and over (doc, near-dup-cluster) it scores
+    * template co-injection.
+    *
+    * With `n_a` = baskets containing a, `n_ab` = baskets containing
+    * both, and N total baskets:
+    * {{{ lift(a,b) = (n_ab · N) / (n_a · n_b) }}}
+    * — int64 counts, both products < 2^53 for any corpus with
+    * < ~9e15·minCount basket-item rows, ONE double division (the
+    * [[Dedup]]-family exactness contract: no engine-ordered float
+    * folds).
+    *
+    * Scale shape: membership is deduplicated to distinct (basket, item)
+    * FIRST (multiplicity within a basket is not co-occurrence
+    * evidence), then A-priori pruning — an item in fewer than
+    * `minCount` baskets cannot form a `≥ minCount` pair, so infrequent
+    * items (the Zipf tail, most of the volume) never reach the
+    * pair-generating self-join. That join shuffles by basket; its
+    * output is Σ_b C(k_b, 2) over FREQUENT items per basket — the
+    * quadratic term is bounded by the pruning and by real basket
+    * sizes, and a hot basket (one patient with hundreds of frequent
+    * codes) is AQE skew-split territory, not a cross join. The final
+    * pair count is map-side combinable.
+    */
+  def cooccurrenceLift(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minCount: Long = 2L): DataFrame = {
+    require(minCount >= 1, s"minCount must be at least 1: $minCount")
+    val b = col(s"`$basketCol`")
+    val it = col(s"`$itemCol`")
+    val membership = df.filter(b.isNotNull && it.isNotNull)
+      .select(b.as("__b"), it.as("__i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemCounts = membership.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val frequent = itemCounts.filter(col("__c") >= minCount)
+    val fm = membership.join(frequent, Seq("__i"))
+    val pairs = fm.select(col("__b"), col("__i").as("item_a"), col("__c").as("__ca"))
+      .join(fm.select(col("__b"), col("__i").as("item_b"), col("__c").as("__cb")),
+        Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+    val nBaskets = membership.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    pairs
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        // __ca/__cb are functionally determined by the group key; max is
+        // the deterministic way to carry them through the fold
+        max(col("__ca")).as("__ca"), max(col("__cb")).as("__cb"))
+      .filter(col("n_ab") >= minCount)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round((col("n_ab") * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double"), 6).as("lift"))
+  }
 }

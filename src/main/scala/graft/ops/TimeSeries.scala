@@ -242,6 +242,84 @@ object TimeSeries {
       .drop("__rn")
   }
 
+  /** Latest-value pivot: the long (entity, attribute, ts, value) shape
+    * folded into one wide row per entity with each attribute's most
+    * recent value — the "current vitals" table every EHR feature store
+    * materializes (patient × {HbA1c, SBP, BMI…} from the observation
+    * stream), and the feature-vector shape model training joins
+    * against. Attributes are an EXPLICIT list: the output schema must
+    * be data-independent (a schema that grows when a new attribute
+    * appears upstream breaks every downstream consumer), and the list
+    * keeps Spark's pivot from running its distinct-scan job.
+    *
+    * Latest = max (ts, tiebreak) struct per (entity, attribute) — one
+    * map-side-combinable aggregate, no window sort over the raw
+    * stream; `tiebreakCol` (a unique event id) makes equal-timestamp
+    * winners deterministic. Entities appear if they have ANY listed
+    * attribute; unobserved attributes are null.
+    */
+  def pivotLatest(
+      df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+      valueCol: String, attrs: Seq[String], tiebreakCol: String): DataFrame = {
+    require(attrs.nonEmpty, "attrs must list at least one attribute")
+    val k = col(s"`$keyCol`")
+    val a = col(s"`$attrCol`")
+    val ts = col(s"`$tsCol`")
+    val pivoted = df
+      .filter(k.isNotNull && ts.isNotNull && a.isin(attrs.map(x => x: Any): _*))
+      .groupBy(k.as(keyCol))
+      .pivot(attrCol, attrs)
+      .agg(max(struct(ts, col(s"`$tiebreakCol`"),
+        col(s"`$valueCol`").as("__v"))))
+    attrs.foldLeft(pivoted) { (acc, at) =>
+      acc.withColumn(s"${at}_value", col(s"`$at`").getField("__v"))
+        .drop(at)
+    }
+  }
+
+  /** Cohort retention matrix: users bucketed by their FIRST-seen period
+    * (the cohort), then counted in every later period they were active
+    * in — the (cohort, offset) triangle behind every retention chart,
+    * and, read clinically, treatment-cohort follow-up attendance. All
+    * arithmetic is int64 (the [[denseCounts]] floor-division bucket),
+    * plus one rounded division for the retention rate against the
+    * cohort's offset-0 size (offset 0 contains every cohort member by
+    * construction, so the denominator is never missing).
+    *
+    * Scale shape: activity dedups to distinct (key, bucket) first —
+    * one shuffle by (key, bucket) — then the per-key first bucket is a
+    * map-side-combinable min re-using the key grouping, a
+    * co-partitioned join back, and a groupBy over (cohort, offset)
+    * whose cardinality is the triangle size (periods²/2), not the
+    * event count. The rate lookup is a window over the tiny triangle,
+    * partitioned by cohort.
+    */
+  def cohortRetention(
+      df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val k = col(s"`$keyCol`")
+    val ts = col(s"`$tsCol`")
+    val kb = df.filter(k.isNotNull && ts.isNotNull)
+      .select(k.as("__k"),
+        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
+          .as("__bucket"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cohorts = kb.groupBy(col("__k")).agg(min(col("__bucket")).as("cohort"))
+    val active = kb.join(cohorts, Seq("__k"))
+      .groupBy(col("cohort"), (col("__bucket") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wCohort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort"))
+    active
+      .withColumn("n_cohort",
+        max(when(col("offset") === 0L, col("n_active"))).over(wCohort))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+  }
+
   /** Per-key inter-event gap profile: count, min, max, and exact
     * discrete median of the consecutive-timestamp differences — the
     * cadence fingerprint that separates heartbeat-regular feeds from

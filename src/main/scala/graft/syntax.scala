@@ -246,6 +246,15 @@ object syntax {
       Funnel.funnelSteps(df, keyCol, tsCol, typeCol, steps, window)
     def gapProfile(keyCol: String, tsCol: String): DataFrame =
       TimeSeries.gapProfile(df, keyCol, tsCol)
+    def pivotLatest(keyCol: String, attrCol: String, tsCol: String,
+        valueCol: String, attrs: Seq[String], tiebreakCol: String): DataFrame =
+      TimeSeries.pivotLatest(df, keyCol, attrCol, tsCol, valueCol, attrs, tiebreakCol)
+    def cohortRetention(keyCol: String, tsCol: String,
+        bucketWidth: Long): DataFrame =
+      TimeSeries.cohortRetention(df, keyCol, tsCol, bucketWidth)
+    def cooccurrenceLift(basketCol: String, itemCol: String,
+        minCount: Long = 2L): DataFrame =
+      GraphOps.cooccurrenceLift(df, basketCol, itemCol, minCount)
     def groupZscores(keyCol: String, valueCol: String): DataFrame =
       Profiling.groupZscores(df, keyCol, valueCol)
     def benfordProfile(valueCol: String): DataFrame =

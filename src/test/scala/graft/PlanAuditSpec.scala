@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     "ks_drift" -> "distinct values × ONE one-row broadcast totals frame (the prefix-sum offsets join is hash, not cross)",
     "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row",
     "pmi_collocations" -> "filtered pair counts × ONE broadcast bigram-total row",
+    "basket_lift" -> "floored pair counts × ONE broadcast basket-total row",
     "benford_profile" -> "9 digit rows × ONE broadcast total row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {

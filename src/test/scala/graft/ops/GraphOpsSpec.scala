@@ -62,4 +62,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(2L) > out(4L), "higher-degree node must outrank a pure leaf")
     assert(out(4L) == out(5L) && out(5L) == out(6L), "symmetric leaves tie")
   }
+
+  test("cooccurrenceLift: hand-checked lift; A-priori floor prunes; dedup within basket") {
+    // baskets: {1:(a,b,c)}, {2:(a,b)}, {3:(a)}, {4:(d, d)} -> N=4
+    // n_a=3, n_b=2, n_c=1, n_d=1; pairs: (a,b)x2, (a,c)x1, (b,c)x1
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "d"), (4L, "d") // duplicate membership must not double-count
+    ).toDF("basket", "item")
+    val out = GraphOps.cooccurrenceLift(df, "basket", "item", minCount = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (a,b) survives both floors: lift = 2*4/(3*2) = 1.333333
+    assert(out == Seq(("a", "b", 2L, 1.333333)), out.toString)
+    // minCount=1 keeps every co-occurring pair; d never pairs
+    val all = GraphOps.cooccurrenceLift(df, "basket", "item", minCount = 1L)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(all.map(r => (r._1, r._2, r._3)) ==
+      Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)), all.toString)
+    // lift(a,c) = 1*4/(3*1) = 1.333333; lift(b,c) = 1*4/(2*1) = 2.0
+    assert(all.map(_._4) == Seq(1.333333, 1.333333, 2.0), all.toString)
+  }
+
+  test("cooccurrenceLift: independence baseline scores lift 1") {
+    // a and b in every basket: n_ab = N -> lift = N*N/(N*N) = 1
+    val df = (1L to 6L).flatMap(b => Seq((b, "a"), (b, "b"))).toDF("basket", "item")
+    val out = GraphOps.cooccurrenceLift(df, "basket", "item")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 6L, 1.0)), out.toString)
+  }
 }

@@ -238,4 +238,43 @@ class TimeSeriesSpec extends SparkSpec {
     // sorted ts [10,10,10,25] -> gaps {0,0,15} under ANY tie order
     assert(m(1L) == ((3L, 0L, 15L, 0L)), m.toString)
   }
+
+  test("pivotLatest: newest value per attribute; struct-max tiebreak; nulls for unobserved") {
+    val df = Seq(
+      (1L, "hr", 10L, 60.0, 100L),
+      (1L, "hr", 20L, 72.0, 101L),   // newer wins
+      (1L, "bp", 20L, 120.0, 102L),
+      (2L, "hr", 5L, 55.0, 103L),    // no bp for user 2
+      (3L, "spo2", 9L, 0.97, 104L),  // unlisted attribute only -> no row
+      (1L, "hr", 20L, 99.0, 90L)     // ts tie: larger event_id (101) wins
+    ).toDF("user_id", "attr", "ts", "value", "event_id")
+    val out = TimeSeries.pivotLatest(df, "user_id", "attr", "ts", "value",
+      Seq("hr", "bp"), "event_id")
+      .orderBy("user_id")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(72.0), Some(120.0)),
+      (2L, Some(55.0), None)), out.toString)
+    val cols = TimeSeries.pivotLatest(df, "user_id", "attr", "ts", "value",
+      Seq("hr", "bp"), "event_id").columns.toSeq
+    assert(cols == Seq("user_id", "hr_value", "bp_value"), cols.toString)
+  }
+
+  test("cohortRetention: hand-checked triangle; rates against offset-0 size") {
+    // width 10: u1 first bucket 0 active {0,1,2}; u2 first 0 active {0,2};
+    // u3 first 1 active {1}
+    val df = Seq(
+      (1L, 0L), (1L, 12L), (1L, 25L),
+      (2L, 3L), (2L, 21L),
+      (3L, 15L)
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.cohortRetention(df, "user_id", "ts", 10L)
+      .orderBy("cohort", "offset")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 2L, 2L, 2L, 1.0),
+      (1L, 0L, 1L, 1L, 1.0)), out.toString)
+  }
 }
