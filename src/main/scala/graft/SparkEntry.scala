@@ -2635,7 +2635,32 @@ object SparkEntry {
     "cohort_matrix" -> ((s, dir) =>
       TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts",
         86400L * 1000000L)
-        .orderBy("cohort", "offset"))
+        .orderBy("cohort", "offset")),
+
+    // Streaming twin of anomaly_zscore: profile trained batch-side,
+    // stream scored via a STATELESS stream-static join through the
+    // shared scoring definition — ingestion order cannot matter, so the
+    // oracle is literally the batch gate's SQL.
+    "stream_anomaly" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val profile = graft.ops.Profiling.groupStats(
+        events(s, dir), "user_id", "value")
+      val scored = Streams.zscoreEnrichStatic(
+        eventsStream(s, dir), "user_id", "value", profile)
+        .select("event_id", "user_id", "value", "group_n", "zscore")
+      val name = "stream_anomaly_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(scored, name, statePartitions = Some(8))
+        .orderBy("event_id")
+    }),
+
+    // §2.11 — bigram continuation table (count-based Markov
+    // autocomplete): per frequent prefix, the argmax successor with its
+    // exact conditional probability; ties break lexicographically.
+    "ngram_next" -> ((s, dir) =>
+      TextStats.ngramNextTable(
+        t(s, dir, "documents").filter(col("doc_id").isNotNull),
+        "text", minPrefixCount = 10L)
+        .orderBy("w1"))
   )
 
   // ---------------------------------------------------------------------
@@ -5616,6 +5641,43 @@ object SparkEntry {
         |    OVER (PARTITION BY cohort) AS n_cohort FROM a)
         |SELECT cohort, "offset", n_active, n_cohort,
         |  round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6) AS retention
-        |FROM w ORDER BY cohort, "offset"""".stripMargin
+        |FROM w ORDER BY cohort, "offset"""".stripMargin,
+
+    // The batch anomaly_zscore SQL verbatim: the stream path is a
+    // stateless static-profile join, so batch ≡ stream by construction.
+    "stream_anomaly" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(count(value) AS BIGINT) AS group_n,
+        |    avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value, s.group_n,
+        |  CASE WHEN s.sd > 0 AND e.value IS NOT NULL
+        |       THEN round((e.value - s.m) / s.sd, 6) END AS zscore
+        |FROM events e JOIN s ON s.user_id = e.user_id
+        |ORDER BY event_id""".stripMargin,
+
+    "ngram_next" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos
+         |  FROM (SELECT doc_id, string_split_regex($strippedSql, '\\s+') AS l
+         |        FROM documents
+         |        WHERE doc_id IS NOT NULL AND length($strippedSql) > 0)),
+         |bg AS (
+         |  SELECT w1, w2 FROM (
+         |    SELECT token AS w1,
+         |      lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |    FROM toks) WHERE w2 IS NOT NULL),
+         |p AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM bg GROUP BY 1, 2),
+         |r AS (
+         |  SELECT w1, w2, n_pair,
+         |    CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT) AS n_prefix,
+         |    row_number() OVER (PARTITION BY w1
+         |      ORDER BY n_pair DESC, w2) AS rn
+         |  FROM p)
+         |SELECT w1, w2 AS next, n_pair, n_prefix,
+         |  round(CAST(n_pair AS DOUBLE) / CAST(n_prefix AS DOUBLE), 6) AS p_next
+         |FROM r WHERE rn = 1 AND n_prefix >= 10 ORDER BY w1""".stripMargin
   )
 }

@@ -353,12 +353,33 @@ object Profiling {
     * no group to be scored against.
     */
   def groupZscores(
-      df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+      df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    scoreAgainstStats(df, keyCol, valueCol, groupStats(df, keyCol, valueCol))
+
+  /** The per-group moment profile [[groupZscores]] scores against —
+    * public so the SAME profile can be trained batch-side and applied
+    * to a STREAM ([[graft.streaming.Streams.zscoreEnrichStatic]]): the
+    * train-once/score-forever split every production anomaly monitor
+    * uses (a profile recomputed inside the stream would score each
+    * event against a moving target and make results ingestion-order-
+    * dependent).
+    */
+  def groupStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`")
+    df.filter(col(s"`$keyCol`").isNotNull)
+      .groupBy(col(s"`$keyCol`").as("__k"))
+      .agg(count(v).as("group_n"), avg(v).as("__m"), stddev_samp(v).as("__sd"))
+  }
+
+  /** Shared scoring join — the single definition both the batch and
+    * streaming z-score paths go through, so their score arithmetic
+    * cannot fork. `stats` must be a [[groupStats]]-shaped frame.
+    */
+  private[graft] def scoreAgainstStats(
+      df: DataFrame, keyCol: String, valueCol: String,
+      stats: DataFrame): DataFrame = {
     val k = col(s"`$keyCol`")
     val v = col(s"`$valueCol`")
-    val stats = df.filter(k.isNotNull)
-      .groupBy(k.as("__k"))
-      .agg(count(v).as("group_n"), avg(v).as("__m"), stddev_samp(v).as("__sd"))
     df.filter(k.isNotNull)
       .join(stats, k === col("__k"))
       .drop("__k")

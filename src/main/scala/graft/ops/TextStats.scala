@@ -999,6 +999,52 @@ object TextStats {
     * outlives the call — `spark.catalog.clearCache()` reclaims it in
     * long-lived sessions.
     */
+  /** Bigram continuation table: for every prefix token seen at least
+    * `minPrefixCount` times, its most likely successor and the exact
+    * conditional probability — the argmax row of a count-based bigram
+    * LM (the Markov autocomplete table, and the evidence behind
+    * boilerplate detectors: a corpus where `p(next|prefix)` is
+    * near 1.0 for many prefixes is template text, the same signal
+    * [[gopherRepetition]] reads at the document level, measured here
+    * corpus-wide).
+    *
+    * Ties on the pair count break to the lexicographically smallest
+    * successor, so the argmax is total-order deterministic. Counts are
+    * int64-exact; `p_next` is one rounded division.
+    *
+    * Scale shape: one bigram explode → map-side-combined pair counts
+    * (the Zipf-small pair vocabulary, not the corpus), then one window
+    * by prefix over that count frame for both the prefix total and the
+    * argmax rank — a single exchange of the PAIR table. Skew lives on
+    * stopword prefixes ("the" has many successors) — thousands of rows
+    * per partition key, not a candidate explosion.
+    */
+  def ngramNextTable(
+      df: DataFrame, textCol: String,
+      minPrefixCount: Long = 10L): DataFrame = {
+    require(minPrefixCount >= 1,
+      s"minPrefixCount must be at least 1: $minPrefixCount")
+    val pairCounts = df
+      .select(whitespaceTokens(col(s"`$textCol`")).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - 2), i =>
+        struct(
+          element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val ranked = pairCounts
+      .withColumn("n_prefix", sum(col("n_pair")).over(w))
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("n_pair").desc, col("w2"))))
+    ranked
+      .filter(col("__rn") === 1 && col("n_prefix") >= minPrefixCount)
+      .select(col("w1"), col("w2").as("next"), col("n_pair"), col("n_prefix"),
+        round(col("n_pair").cast("double") / col("n_prefix").cast("double"), 6)
+          .as("p_next"))
+  }
+
   def pmiCollocations(
       df: DataFrame, textCol: String,
       minCount: Long = 5L, topK: Int = 50): DataFrame = {

@@ -167,6 +167,24 @@ object Streams {
     graft.ops.AsofJoin.asofJoinBroadcast(
       stream, dim, keys, leftTime, rightTime, payload, tolerance)
 
+  /** Streaming per-entity anomaly scoring against a STATIC trained
+    * profile — the streaming twin of the batch
+    * [[graft.ops.Profiling.groupZscores]], completing batch/stream
+    * parity for the profiling family the way [[asofEnrichStatic]] did
+    * for the time-series family. The profile (per-key n/mean/stddev,
+    * [[graft.ops.Profiling.groupStats]]) is trained batch-side over
+    * history; the stream side is then a STATELESS stream-static join +
+    * per-row arithmetic — no watermark requirement, no state store, and
+    * the static side is re-planned per micro-batch so a profile refresh
+    * lands on the next trigger. Scoring goes through the same shared
+    * join/score definition as the batch path, so the two cannot drift;
+    * thresholding stays caller policy there and here.
+    */
+  def zscoreEnrichStatic(
+      stream: DataFrame, keyCol: String, valueCol: String,
+      profile: DataFrame): DataFrame =
+    graft.ops.Profiling.scoreAgainstStats(stream, keyCol, valueCol, profile)
+
   /** Watermarked STREAM-STREAM interval join — the two-sided stateful
     * join (attribution: every right event within `[left time, left time
     * + within]` of a matching-key left event). Both sides carry the

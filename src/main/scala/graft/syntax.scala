@@ -265,6 +265,10 @@ object syntax {
     def pmiCollocations(textCol: String,
         minCount: Long = 5L, topK: Int = 50): DataFrame =
       TextStats.pmiCollocations(df, textCol, minCount, topK)
+    def ngramNextTable(textCol: String, minPrefixCount: Long = 10L): DataFrame =
+      TextStats.ngramNextTable(df, textCol, minPrefixCount)
+    def groupStats(keyCol: String, valueCol: String): DataFrame =
+      Profiling.groupStats(df, keyCol, valueCol)
     /** Int64 fixed-point PageRank over this frame read as an edge list
       * (see [[ops.GraphOps.pageRank]]).
       */

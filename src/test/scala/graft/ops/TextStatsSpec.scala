@@ -671,4 +671,20 @@ class TextStatsSpec extends SparkSpec {
       .select("w1", "w2").as[(String, String)].collect()
     assert(out.head == (("p", "q")), out.toSeq.toString)
   }
+
+  test("ngramNextTable: argmax successor, lexicographic ties, prefix floor") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "x z"), (5L, "x y")   // tie on count: y < z wins
+    ).toDF("doc_id", "text")
+    val out = TextStats.ngramNextTable(docs, "text", minPrefixCount = 1L)
+      .orderBy("w1")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 3L, 0.666667),
+      ("x", "y", 1L, 2L, 0.5)), out.toString)
+    val floored = TextStats.ngramNextTable(docs, "text", minPrefixCount = 3L)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(floored.map(_._1) == Seq("a"), floored.toString)
+  }
 }

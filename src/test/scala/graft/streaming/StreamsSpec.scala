@@ -261,4 +261,41 @@ class StreamsSpec extends SparkSpec {
       (0L, 2L, 103L, 1L),
       (3600000000L, 2L, 200L, 2L)), s"got $out")
   }
+
+  test("zscoreEnrichStatic: stream scores equal the batch groupZscores on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (1L, 1L, Some(1.0)), (2L, 1L, Some(2.0)), (3L, 1L, Some(3.0)),
+      (4L, 2L, Some(5.0))
+    ).toDF("event_id", "user_id", "value")
+    val profile = graft.ops.Profiling.groupStats(history, "user_id", "value")
+    val in = MemoryStream[(Long, Long, Option[Double])]
+    in.addData((10L, 1L, Some(4.0)), (11L, 1L, None), (12L, 2L, Some(9.9)),
+      (13L, 3L, Some(1.0)))
+    val out = Streams.runToMemory(
+      Streams.zscoreEnrichStatic(
+        in.toDF.toDF("event_id", "user_id", "value"), "user_id", "value", profile),
+      "zscore_out")
+    val m = out.select("event_id", "group_n", "zscore")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // user 1 profile: mean 2, sd 1 -> z(4.0) = 2; null value scores null
+    assert(m(10L) == ((3L, Some(2.0))), m.toString)
+    assert(m(11L) == ((3L, None)), "null value keeps its row, no score")
+    assert(m(12L) == ((1L, None)), "single-obs profile gives no verdict")
+    assert(!m.contains(13L), "key absent from the profile is dropped (inner join)")
+    // parity: batch scoring of the same stream rows through groupZscores'
+    // shared definition gives identical results
+    val streamRows = Seq(
+      (10L, 1L, Some(4.0)), (11L, 1L, Option.empty[Double]),
+      (12L, 2L, Some(9.9)), (13L, 3L, Some(1.0))
+    ).toDF("event_id", "user_id", "value")
+    val batch = graft.ops.Profiling
+      .scoreAgainstStats(streamRows, "user_id", "value", profile)
+      .select("event_id", "group_n", "zscore")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch == m, s"batch $batch vs stream $m")
+  }
 }
