@@ -419,7 +419,8 @@ object ScaleProbe {
     // track EDGES × iterations, never node-pair volume; the profiling
     // trio rides the events axis (key-cardinality growth).
     if (familyOn("pageRank", "pmiCollocations", "groupZscores",
-        "gapProfile", "benfordProfile")) {
+        "gapProfile", "benfordProfile", "pivotLatest", "cohortRetention",
+        "cooccurrenceLift", "equidepthBins", "minmaxScale")) {
       Seq(1, k).foreach { times =>
         val d = replicate(times)
         println(s"--- round-9c docs ${times}x (${d.count()} docs) ---")
@@ -448,6 +449,11 @@ object ScaleProbe {
         time("cohortRetention(daily)",
           graft.ops.TimeSeries.cohortRetention(e, "user_id", "ts",
             86400L * 1000000L))
+        time("equidepthBins(10)",
+          graft.ops.Profiling.equidepthBins(
+            e.select(col("value"), col("event_id")), "value", "event_id", 10))
+        time("minmaxScale(type)",
+          graft.ops.Profiling.minmaxScale(e, "event_type", "value"))
       }
       // basket axis: replicate lineitem by ORDER offset — items stay
       // fixed (Zipf head unchanged), baskets grow k×, so pair volume

@@ -2660,7 +2660,26 @@ object SparkEntry {
       TextStats.ngramNextTable(
         t(s, dir, "documents").filter(col("doc_id").isNotNull),
         "text", minPrefixCount = 10L)
-        .orderBy("w1"))
+        .orderBy("w1")),
+
+    // Exact equi-depth binning: decile summary under the total order
+    // (value, event_id) — integer rank arithmetic to the bin id via the
+    // distributed prefix sum, never a quantile sketch or a single-task
+    // global window.
+    "equidepth_bins" -> ((s, dir) =>
+      graft.ops.Profiling.equidepthBins(
+        t(s, dir, "events").select(col("value"), col("event_id")),
+        "value", "event_id", bins = 10)
+        .orderBy("bin")),
+
+    // Per-group min-max feature scaling: [0,1] position within the
+    // event_type's observed span; zero-span groups and null values
+    // yield null scaled (no evidence, no verdict — the groupZscores
+    // contract).
+    "feature_scale" -> ((s, dir) =>
+      graft.ops.Profiling.minmaxScale(t(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("scaled"))
+        .orderBy("event_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -5678,6 +5697,28 @@ object SparkEntry {
          |  FROM p)
          |SELECT w1, w2 AS next, n_pair, n_prefix,
          |  round(CAST(n_pair AS DOUBLE) / CAST(n_prefix AS DOUBLE), 6) AS p_next
-         |FROM r WHERE rn = 1 AND n_prefix >= 10 ORDER BY w1""".stripMargin
+         |FROM r WHERE rn = 1 AND n_prefix >= 10 ORDER BY w1""".stripMargin,
+
+    "equidepth_bins" ->
+      """WITH e AS (
+        |  SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT value,
+        |    row_number() OVER (ORDER BY value, event_id) - 1 AS rk,
+        |    count(*) OVER () AS total
+        |  FROM e)
+        |SELECT (rk * 10) // total AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "feature_scale" ->
+      """WITH s AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN s.hi > s.lo AND e.value IS NOT NULL
+        |       THEN round((e.value - s.lo) / (s.hi - s.lo), 6) END AS scaled
+        |FROM events e JOIN s ON s.event_type = e.event_type
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -420,6 +420,21 @@ object Curation {
       .drop("__pid", "__cum_in", "__poffset", "__val")
   }
 
+  /** 0-based dense global rank under `orderCols` (which must be a TOTAL
+    * order — include a unique tiebreak column), via the same two-phase
+    * distributed prefix sum as [[shuffleOrder]]: range-partition on the
+    * order, cumsum within partitions, broadcast the per-partition
+    * offsets. No single-task global window at any size. Same caching
+    * contract as [[shuffleOrder]] (the ranged frame persists past the
+    * call). Public seam for rank-based derivations — equi-depth binning
+    * ([[Profiling.equidepthBins]]), exact ECDF positions, curriculum
+    * ordering by a score column.
+    */
+  def rankByOrder(
+      df: DataFrame, orderCols: Seq[Column],
+      outCol: String = "rank"): DataFrame =
+    exclusivePrefixSum(df, orderCols, lit(1L), numPartitions = 0, outCol)
+
   /** Epoch-mixture replication: repeat each row `weights(stratum)` times
     * (fractional part resolved deterministically per id — a weight of 2.3
     * gives every row 2 copies and 30% of rows a third). The standard

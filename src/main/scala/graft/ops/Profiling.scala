@@ -389,6 +389,71 @@ object Profiling {
       .drop("__m", "__sd")
   }
 
+  /** Exact equi-depth (quantile) binning: every non-null value ranked
+    * under the TOTAL order (value, tiebreak) by the distributed
+    * two-phase prefix sum ([[Curation.rankByOrder]] — no single-task
+    * global window), then assigned `bin = rank·k DIV n` — k near-equal
+    * buckets whose sizes differ by at most one, the feature-engineering
+    * binning that a fixed-width [[histogram]] can't give on skewed
+    * columns. All integer arithmetic to the bin id, so two engines
+    * agree bit-exactly even where a quantile-sketch approach would
+    * waver at bucket boundaries. Output is the bin summary — count and
+    * [min, max] value span per bin (the bin "edges" downstream feature
+    * transforms need); join the ranked frame yourself when per-row bin
+    * labels are wanted.
+    *
+    * Scale shape: one range-exchange + in-partition cumsums + a
+    * broadcast of per-partition offsets (the [[Curation.shuffleOrder]]
+    * machinery), then a k-row map-side-combined aggregation. The
+    * 1-row total frame rides the same broadcast pattern as the other
+    * profile ops.
+    */
+  def equidepthBins(
+      df: DataFrame, valueCol: String, tiebreakCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be positive: $bins")
+    val v = col(s"`$valueCol`")
+    val ranked = Curation.rankByOrder(
+      df.filter(v.isNotNull).select(v.as("__v"), col(s"`$tiebreakCol`").as("__t")),
+      Seq(col("__v"), col("__t")), outCol = "__rank")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .select(expr(s"(__rank * ${bins}L) DIV __n").as("bin"), col("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__v")), 6).as("min_v"),
+        round(max(col("__v")), 6).as("max_v"))
+  }
+
+  /** Per-group min-max feature scaling: each value mapped to
+    * `(v − min) / (max − min)` within ITS group — the [0, 1]
+    * normalization step feature pipelines run per entity type or per
+    * source, complementing [[groupZscores]] (standardization) and
+    * [[winsorize]] (clamping). Zero-span groups (max = min) and null
+    * values scale to null — no evidence of spread, no position in it;
+    * rows keep their place either way. `scaled` is rounded 6 dp under
+    * the same engine-portability contract as the rest of the family.
+    *
+    * Scale shape: one map-side-combined groupBy(group) for the span +
+    * one equi-join back (AQE broadcasts the group-count-sized stats
+    * side when small).
+    */
+  def minmaxScale(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val stats = df.filter(g.isNotNull)
+      .groupBy(g.as("__g"))
+      .agg(min(v).as("__lo"), max(v).as("__hi"))
+    df.filter(g.isNotNull)
+      .join(stats, g === col("__g"))
+      .drop("__g")
+      .withColumn("scaled",
+        when(col("__hi") > col("__lo") && v.isNotNull,
+          round((v - col("__lo")) / (col("__hi") - col("__lo")), 6)))
+      .drop("__lo", "__hi")
+  }
+
   /** Benford first-significant-digit profile of a positive fixed-point
     * column: observed digit counts and shares next to the Benford
     * expectation log10(1 + 1/d) — the classic fabricated-data /

@@ -269,6 +269,11 @@ object syntax {
       TextStats.ngramNextTable(df, textCol, minPrefixCount)
     def groupStats(keyCol: String, valueCol: String): DataFrame =
       Profiling.groupStats(df, keyCol, valueCol)
+    def equidepthBins(valueCol: String, tiebreakCol: String,
+        bins: Int): DataFrame =
+      Profiling.equidepthBins(df, valueCol, tiebreakCol, bins)
+    def minmaxScale(groupCol: String, valueCol: String): DataFrame =
+      Profiling.minmaxScale(df, groupCol, valueCol)
     /** Int64 fixed-point PageRank over this frame read as an edge list
       * (see [[ops.GraphOps.pageRank]]).
       */

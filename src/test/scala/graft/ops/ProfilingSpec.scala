@@ -203,4 +203,41 @@ class ProfilingSpec extends SparkSpec {
     assert(b1 == BigDecimal(math.log10(2.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $b1")
   }
+
+  test("equidepthBins: near-equal sizes, contiguous value spans, null exclusion") {
+    // 10 values into 3 bins: sizes under rank*k DIV n = 4,3,3 from the
+    // low end (rank r -> bin r*3 DIV 10)
+    val df = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .union(Seq((99L, Option.empty[Double])).toDF("id", "v"))
+    val out = Profiling.equidepthBins(df, "v", "id", bins = 3)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 1.0, 4.0), (1L, 3L, 5.0, 7.0), (2L, 3L, 8.0, 10.0)), out.toString)
+    assert(out.map(_._2).sum == 10L, "null value excluded from ranking")
+  }
+
+  test("equidepthBins: skewed data still lands near-equal counts (the histogram can't)") {
+    // 90 identical small values + 10 spread large ones: fixed-width bins
+    // would put 90% in one bucket; equi-depth ties split by the id
+    val df = ((1 to 90).map(i => (i.toLong, 1.0)) ++
+      (91 to 100).map(i => (i.toLong, i * 100.0))).toDF("id", "v")
+    val sizes = Profiling.equidepthBins(df, "v", "id", bins = 10)
+      .select("n").as[Long].collect().toSeq
+    assert(sizes.forall(_ == 10L), sizes.toString)
+  }
+
+  test("minmaxScale: hand-checked [0,1] positions; zero-span and null verdicts") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(15.0)),
+      (4L, "b", Some(7.0)), (5L, "b", Some(7.0)), // zero span
+      (6L, "a", None)
+    ).toDF("id", "g", "v")
+    val out = Profiling.minmaxScale(df, "g", "v")
+      .select("id", "scaled").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(0.0) && out(2L) == Some(1.0) && out(3L) == Some(0.5),
+      out.toString)
+    assert(out(4L).isEmpty && out(5L).isEmpty, "zero-span group scores null")
+    assert(out(6L).isEmpty, "null value keeps its row, no position")
+  }
 }
