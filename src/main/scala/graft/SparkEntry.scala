@@ -2679,7 +2679,20 @@ object SparkEntry {
     "feature_scale" -> ((s, dir) =>
       graft.ops.Profiling.minmaxScale(t(s, dir, "events"), "event_type", "value")
         .select(col("event_id"), col("event_type"), col("value"), col("scaled"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Two-proportion A/B readout: user-level conversion (any purchase)
+    // under a parity assignment, exact counts → rates/lift/pooled z
+    // from correctly-rounded IEEE scalar ops only.
+    "ab_test" -> ((s, dir) => {
+      val users = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      graft.ops.Profiling.abTest(users, "variant", "converted")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5719,6 +5732,39 @@ object SparkEntry {
         |  CASE WHEN s.hi > s.lo AND e.value IS NOT NULL
         |       THEN round((e.value - s.lo) / (s.hi - s.lo), 6) END AS scaled
         |FROM events e JOIN s ON s.event_type = e.event_type
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Exact-count arithmetic replayed with the IDENTICAL operation order
+    // (divides, multiply chain, sqrt) so the doubles agree bit-for-bit
+    // before the final round(6).
+    "ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM u),
+        |d AS (
+        |  SELECT *,
+        |    CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+        |  FROM c)
+        |SELECT n0, c0, n1, c1,
+        |  CASE WHEN n0 > 0 THEN round(p0, 6) END AS rate0,
+        |  CASE WHEN n1 > 0 THEN round(p1, 6) END AS rate1,
+        |  CASE WHEN n0 > 0 AND n1 > 0 THEN round(p1 - p0, 6) END AS abs_lift,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND c0 > 0
+        |       THEN round((p1 - p0) / p0, 6) END AS rel_lift,
+        |  CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1
+        |       THEN round((p1 - p0) / sqrt(pp * (1 - pp) *
+        |         (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |          + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) END AS z_pooled
+        |FROM d""".stripMargin
   )
 }

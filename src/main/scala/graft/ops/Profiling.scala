@@ -454,6 +454,53 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Two-proportion A/B summary: one row comparing conversion between
+    * variant 0 (control) and variant 1 (treatment) of a USER-level
+    * frame — the experimentation readout (and, read clinically, a
+    * treated-vs-control outcome comparison). Input rows are one per
+    * unit with `variantCol` ∈ {0, 1} and `convertedCol` ∈ {0, 1};
+    * aggregation is exact int64, and the derived statistics (rates,
+    * absolute/relative lift, pooled two-proportion z) are computed from
+    * those exact counts with only correctly-rounded IEEE ops
+    * (divide/multiply/sqrt) before ONE final 6 dp rounding each — no
+    * engine-ordered float fold anywhere, so two engines agree despite
+    * the statistics being "real" floats. The z is the classic pooled
+    * test: `(p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1))`, null when either
+    * arm is empty or the pooled rate is degenerate (0 or 1 — no
+    * variance, no test).
+    *
+    * Scale shape: one map-side-combined aggregation to FOUR counters;
+    * everything after is scalar arithmetic on one row.
+    */
+  def abTest(
+      df: DataFrame, variantCol: String, convertedCol: String): DataFrame = {
+    val vr = col(s"`$variantCol`")
+    val cv = col(s"`$convertedCol`")
+    val counts = df.filter(vr.isin(0, 1) && cv.isNotNull)
+      .agg(
+        sum(when(vr === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(vr === 0 && cv === 1, 1L).otherwise(0L)).as("c0"),
+        sum(when(vr === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(vr === 1 && cv === 1, 1L).otherwise(0L)).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    val se = sqrt(pp * (lit(1d) - pp) *
+      (lit(1d) / col("n0").cast("double") + lit(1d) / col("n1").cast("double")))
+    counts.select(
+      col("n0"), col("c0"), col("n1"), col("c1"),
+      when(col("n0") > 0, round(p0, 6)).as("rate0"),
+      when(col("n1") > 0, round(p1, 6)).as("rate1"),
+      when(col("n0") > 0 && col("n1") > 0, round(p1 - p0, 6)).as("abs_lift"),
+      when(col("n0") > 0 && col("n1") > 0 && col("c0") > 0,
+        round((p1 - p0) / p0, 6)).as("rel_lift"),
+      when(col("n0") > 0 && col("n1") > 0 &&
+        col("c0") + col("c1") > 0 &&
+        col("c0") + col("c1") < col("n0") + col("n1"),
+        round((p1 - p0) / se, 6)).as("z_pooled"))
+  }
+
   /** Benford first-significant-digit profile of a positive fixed-point
     * column: observed digit counts and shares next to the Benford
     * expectation log10(1 + 1/d) — the classic fabricated-data /

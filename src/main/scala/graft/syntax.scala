@@ -274,6 +274,8 @@ object syntax {
       Profiling.equidepthBins(df, valueCol, tiebreakCol, bins)
     def minmaxScale(groupCol: String, valueCol: String): DataFrame =
       Profiling.minmaxScale(df, groupCol, valueCol)
+    def abTest(variantCol: String, convertedCol: String): DataFrame =
+      Profiling.abTest(df, variantCol, convertedCol)
     /** Int64 fixed-point PageRank over this frame read as an edge list
       * (see [[ops.GraphOps.pageRank]]).
       */

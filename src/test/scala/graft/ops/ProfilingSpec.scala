@@ -240,4 +240,30 @@ class ProfilingSpec extends SparkSpec {
     assert(out(4L).isEmpty && out(5L).isEmpty, "zero-span group scores null")
     assert(out(6L).isEmpty, "null value keeps its row, no position")
   }
+
+  test("abTest: hand-checked rates, lifts, and pooled z; degenerate guards") {
+    // control: 4 users, 1 converted; treatment: 4 users, 2 converted
+    val df = Seq(
+      (0, 1), (0, 0), (0, 0), (0, 0),
+      (1, 1), (1, 1), (1, 0), (1, 0)
+    ).toDF("variant", "converted")
+    val r = Profiling.abTest(df, "variant", "converted").collect()(0)
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("c0") == 1L)
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("c1") == 2L)
+    assert(r.getAs[Double]("rate0") == 0.25 && r.getAs[Double]("rate1") == 0.5)
+    assert(r.getAs[Double]("abs_lift") == 0.25)
+    assert(r.getAs[Double]("rel_lift") == 1.0)
+    // p̂ = 3/8; z = 0.25 / sqrt(0.375·0.625·0.5) = 0.730297
+    assert(r.getAs[Double]("z_pooled") == 0.730297, r.toString)
+    // all-converted pool: no variance, no test
+    val deg = Seq((0, 1), (1, 1)).toDF("variant", "converted")
+    val d = Profiling.abTest(deg, "variant", "converted").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("z_pooled")), "degenerate pool must be null")
+    assert(d.getAs[Double]("abs_lift") == 0.0)
+    // empty control arm: rates guard, no lift
+    val oneArm = Seq((1, 1), (1, 0)).toDF("variant", "converted")
+    val o = Profiling.abTest(oneArm, "variant", "converted").collect()(0)
+    assert(o.isNullAt(o.fieldIndex("rate0")) && o.isNullAt(o.fieldIndex("abs_lift")))
+    assert(o.getAs[Double]("rate1") == 0.5)
+  }
 }
