@@ -2681,6 +2681,22 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"), col("scaled"))
         .orderBy("event_id")),
 
+    // Comorbidity mining over the SCALE corpus: the full FHIR path (read
+    // → route → extract → clean) feeding cooccurrenceLift on (patient,
+    // condition display) — the reference-domain reading of basket_lift,
+    // hash-compared against the generator's independent driver-side
+    // arithmetic (FhirCorpus.expectedComorbidity), never a round-trip.
+    "fhir_comorbidity" -> ((s, _) => {
+      val cond = graft.fhir.Cleaning.all(
+        graft.fhir.Extractors.allTables(
+          graft.fhir.BundleReader.normalizedEntries(
+            s, graft.fhir.FhirCorpus.corpusDir)))("condition")
+      graft.ops.GraphOps.cooccurrenceLift(
+        cond.select(col("patient_id"), col("condition_display")),
+        "patient_id", "condition_display", minCount = 2L)
+        .orderBy("item_a", "item_b")
+    }),
+
     // Two-proportion A/B readout: user-level conversion (any purchase)
     // under a parity assignment, exact counts → rates/lift/pooled z
     // from correctly-rounded IEEE scalar ops only.
@@ -5765,6 +5781,14 @@ object SparkEntry {
         |       THEN round((p1 - p0) / sqrt(pp * (1 - pp) *
         |         (CAST(1 AS DOUBLE) / CAST(n0 AS DOUBLE)
         |          + CAST(1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) END AS z_pooled
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // Generator-predicted comorbidity lift table (driver-side naive
+    // arithmetic, FhirCorpus.expectedComorbidity) — same independence
+    // pattern as fhir_scale: the oracle never parses JSON.
+    "fhir_comorbidity" ->
+      s"""SELECT item_a, item_b, n_ab, lift
+         |FROM read_parquet('${graft.fhir.FhirCorpus.comorbidityDumpDir}/*.parquet')
+         |ORDER BY item_a, item_b""".stripMargin
   )
 }

@@ -52,6 +52,20 @@ object FhirCorpus {
     val hasCond: Boolean = i % 2 == 1
     val condBadAbate: Boolean = hasCond && i % 17 == 0 // abatement invalid → C1
     val condInvert: Boolean = hasCond && i % 31 == 0 && !condBadAbate // → C4
+    /** Extra CLEAN comorbid conditions (display, code) beyond the primary
+      * Diabetes — only on `hasCond` patients, so the condition "basket"
+      * population stays exactly the hasCond set. The modular conditions
+      * build real co-occurrence structure for the comorbidity gate:
+      * CKD (i%8==5) is a strict subset of Hypertension (i%4==1), so
+      * lift(CKD, HTN) is maximal; Asthma (i%10==3) overlaps partially.
+      */
+    val extraConds: Seq[(String, String)] =
+      if (!hasCond) Nil
+      else Seq(
+        (i % 4 == 1) -> (("Hypertension", "38341003")),
+        (i % 8 == 5) -> (("Chronic kidney disease", "709044004")),
+        (i % 10 == 3) -> (("Asthma", "195967001"))
+      ).collect { case (true, c) => c }
     val nObs: Int = 1 + i % 2
     val obsBadDate: Boolean = i % 47 == 0 // observation 0 effectiveDateTime invalid
     def obsValue(j: Int): Long = (i.toLong * 7 + j) % 100
@@ -138,6 +152,18 @@ object FhirCorpus {
            |"code":{"coding":[{"display":"Diabetes","code":"44054006"}]}}}""".stripMargin.replace("\n", "")
     }
 
+    t.extraConds.zipWithIndex.foreach { case ((disp, code), k) =>
+      // clean comorbid conditions: valid ordered dates, no dirt — the
+      // comorbidity gate measures co-occurrence, the dirty branches are
+      // the PRIMARY condition's job
+      entries +=
+        s"""{"fullUrl":"urn:uuid:con-$i-x$k","resource":{"resourceType":"Condition","id":"con-$i-x$k",
+           |"clinicalStatus":"active","verificationStatus":"confirmed",
+           |"subject":{"reference":"urn:uuid:${t.pid}"},"context":{"reference":"urn:uuid:enc-$i-0"},
+           |"onsetDateTime":"${dt(2014, i + k, 0)}","abatementDateTime":"${dt(2015, i + k, 0)}",
+           |"code":{"coding":[{"display":"$disp","code":"$code"}]}}}""".stripMargin.replace("\n", "")
+    }
+
     for (j <- 0 until t.nObs) {
       val eff = if (j == 0 && t.obsBadDate) "13/01/2015" else dt(2015, i + j, 11)
       entries +=
@@ -204,7 +230,7 @@ object FhirCorpus {
   def expectedRows(n: Int): Seq[ExpectedRow] = {
     var patRows, patDateNull, patPhoneNull, patGeoNull, patMbZero, patRace = 0L
     var encRows, encDateNull, encPairs = 0L
-    var conRows, conDateNull, conPairs = 0L
+    var conRows, conPatients, conDateNull, conPairs = 0L
     var obsRows, obsDateNull, obsSum = 0L
     var immRows, immDateNull = 0L
     var cpRows, cpPairs = 0L
@@ -224,7 +250,12 @@ object FhirCorpus {
       else encPairs += t.nEnc
       if (t.hasCond) {
         conRows += 1
+        conPatients += 1
         if (t.condBadAbate) conDateNull += 1 else conPairs += 1
+        // extra comorbid conditions are clean: each adds one row with an
+        // ordered date pair, same patient
+        conRows += t.extraConds.size
+        conPairs += t.extraConds.size
       }
       obsRows += t.nObs
       if (t.obsBadDate) obsDateNull += 1
@@ -243,7 +274,7 @@ object FhirCorpus {
         patGeoNull, patMbZero, patRace, 0L),
       // encounter/immunization: patient_id is null on every row (parity quirk)
       ExpectedRow("encounter", encRows, 0L, encDateNull, encPairs, 0L, 0L, 0L, 0L, 0L),
-      ExpectedRow("condition", conRows, conRows, conDateNull, conPairs, 0L, 0L, 0L, 0L, 0L),
+      ExpectedRow("condition", conRows, conPatients, conDateNull, conPairs, 0L, 0L, 0L, 0L, 0L),
       ExpectedRow("observation", obsRows, nL, obsDateNull, 0L, 0L, 0L, 0L, 0L, obsSum),
       ExpectedRow("immunization", immRows, 0L, immDateNull, 0L, 0L, 0L, 0L, 0L, 0L),
       ExpectedRow("careplan", cpRows, cpRows, 0L, cpPairs, 0L, 0L, 0L, 0L, 0L))
@@ -261,7 +292,7 @@ object FhirCorpus {
       val t = Traits(i)
       pat += (if (t.dupPatient) 2 else 1)
       enc += t.nEnc + (if (t.dupEnc) 1 else 0)
-      if (t.hasCond) con += 1
+      if (t.hasCond) con += 1 + t.extraConds.size
       obs += t.nObs
       imm += 1
       if (t.hasCp) cp += 1
@@ -282,7 +313,9 @@ object FhirCorpus {
     * (generation is deterministic, so the bytes are identical).
     */
   def generate(dir: Path, n: Int): Unit = {
-    val marker = dir.resolve(s"_complete_$n")
+    // v2: comorbid-condition entries added — the version in the marker
+    // name invalidates corpora generated by earlier builders
+    val marker = dir.resolve(s"_complete_v2_$n")
     if (Files.exists(marker)) return
     if (Files.exists(dir)) { // stale or partial corpus of a different size
       import scala.jdk.CollectionConverters._
@@ -314,14 +347,59 @@ object FhirCorpus {
   lazy val expectedDumpDir: String =
     new java.io.File("target/verify-fhir-expected").getAbsolutePath
 
+  /** Comorbidity ground truth: the co-occurrence lift table over
+    * (patient, condition display) predicted by a NAIVE driver-side fold
+    * of the trait flags — the same definition as
+    * [[graft.ops.GraphOps.cooccurrenceLift]] (distinct membership,
+    * A-priori floor on items AND pairs, lift = n_ab·N/(n_a·n_b) with one
+    * HALF_UP 6 dp rounding), implemented as plain Scala loops so the
+    * `fhir_comorbidity` gate compares the distributed operator against
+    * independent arithmetic. Condition rows always survive cleaning
+    * (both dropna keys are emitted for every condition, ids are unique),
+    * so basket membership is exactly the generator's sets.
+    */
+  final case class ComorbidityRow(item_a: String, item_b: String, n_ab: Long, lift: Double)
+
+  def expectedComorbidity(n: Int, minCount: Long = 2L): Seq[ComorbidityRow] = {
+    val baskets: Seq[Seq[String]] = (0 until n).flatMap { i =>
+      val t = Traits(i)
+      if (!t.hasCond) None
+      else Some(("Diabetes" +: t.extraConds.map(_._1)).distinct)
+    }
+    val nBaskets = baskets.size.toLong
+    val itemCounts = scala.collection.mutable.Map.empty[String, Long]
+    baskets.foreach(_.foreach(c => itemCounts(c) = itemCounts.getOrElse(c, 0L) + 1))
+    val frequent = itemCounts.filter(_._2 >= minCount).keySet
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    baskets.foreach { b =>
+      val f = b.filter(frequent).sorted
+      for (x <- f.indices; y <- x + 1 until f.size)
+        pairCounts((f(x), f(y))) = pairCounts.getOrElse((f(x), f(y)), 0L) + 1
+    }
+    pairCounts.toSeq
+      .filter(_._2 >= minCount)
+      .map { case ((a, b), nab) =>
+        val lift = (nab * nBaskets).toDouble / (itemCounts(a) * itemCounts(b)).toDouble
+        ComorbidityRow(a, b, nab,
+          BigDecimal(lift).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy(r => (r.item_a, r.item_b))
+  }
+
+  /** Where Verify materializes [[expectedComorbidity]] for its oracle. */
+  lazy val comorbidityDumpDir: String =
+    new java.io.File("target/verify-fhir-comorbidity").getAbsolutePath
+
   /** Dump the ground-truth aggregates as parquet — the ONLY thing the
-    * `fhir_scale` oracle reads. The rows come from the trait fold above,
-    * never from Spark's JSON reader, so the gate is an independent
-    * prediction, not a round-trip.
+    * `fhir_scale` / `fhir_comorbidity` oracles read. The rows come from
+    * the trait folds above, never from Spark's JSON reader, so the gates
+    * are independent predictions, not round-trips.
     */
   def dumpExpected(spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
     expectedRows(DefaultPatients).toDF()
       .coalesce(1).write.mode("overwrite").parquet(expectedDumpDir)
+    expectedComorbidity(DefaultPatients).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(comorbidityDumpDir)
   }
 }

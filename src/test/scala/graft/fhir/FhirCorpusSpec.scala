@@ -120,4 +120,24 @@ class FhirCorpusSpec extends SparkSpec {
       p.resolve("shard-00").resolve("p000000.json"))
     assert(before == after, "idempotent generate rewrote an existing corpus")
   }
+
+  test("comorbidity: distributed lift over the corpus == naive trait-fold prediction") {
+    val cond = Cleaning.all(Extractors.allTables(
+      BundleReader.normalizedEntries(spark, dir)))("condition")
+    val engine = graft.ops.GraphOps.cooccurrenceLift(
+      cond.select(col("patient_id"), col("condition_display")),
+      "patient_id", "condition_display", minCount = 2L)
+      .orderBy("item_a", "item_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val predicted = FhirCorpus.expectedComorbidity(N)
+      .map(r => (r.item_a, r.item_b, r.n_ab, r.lift))
+    assert(engine == predicted, s"engine $engine vs predicted $predicted")
+    // the designed structure: CKD is a strict subset of Hypertension, so
+    // that pair must show the highest lift in the table
+    val top = engine.maxBy(_._4)
+    assert(Set(top._1, top._2) == Set("Chronic kidney disease", "Hypertension"),
+      s"nested comorbidity must dominate: $top")
+  }
 }
