@@ -2697,6 +2697,26 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // "Current vitals" wide row over the SCALE corpus: the cleaned
+    // observation stream pivoted to each patient's latest valid-dated
+    // HbA1c via pivotLatest — C1-nullified dates can't win (ts-null rows
+    // are excluded), which the generator's prediction encodes.
+    "fhir_obs_pivot" -> ((s, _) => {
+      val obs = graft.fhir.Cleaning.all(
+        graft.fhir.Extractors.allTables(
+          graft.fhir.BundleReader.normalizedEntries(
+            s, graft.fhir.FhirCorpus.corpusDir)))("observation")
+      TimeSeries.pivotLatest(
+        obs.select(col("patient_id"), col("observation_type"),
+          col("`resource.effectiveDateTime`").as("eff"),
+          col("`resource.valueQuantity.value`").as("v"),
+          col("`resource.id`").as("rid")),
+        "patient_id", "observation_type", "eff", "v",
+        Seq("HbA1c"), "rid")
+        .withColumnRenamed("HbA1c_value", "hba1c_value")
+        .orderBy("patient_id")
+    }),
+
     // Two-proportion A/B readout: user-level conversion (any purchase)
     // under a parity assignment, exact counts → rates/lift/pooled z
     // from correctly-rounded IEEE scalar ops only.
@@ -5789,6 +5809,11 @@ object SparkEntry {
     "fhir_comorbidity" ->
       s"""SELECT item_a, item_b, n_ab, lift
          |FROM read_parquet('${graft.fhir.FhirCorpus.comorbidityDumpDir}/*.parquet')
-         |ORDER BY item_a, item_b""".stripMargin
+         |ORDER BY item_a, item_b""".stripMargin,
+
+    "fhir_obs_pivot" ->
+      s"""SELECT patient_id, hba1c_value
+         |FROM read_parquet('${graft.fhir.FhirCorpus.latestObsDumpDir}/*.parquet')
+         |ORDER BY patient_id""".stripMargin
   )
 }

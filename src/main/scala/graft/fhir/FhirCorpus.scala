@@ -390,6 +390,37 @@ object FhirCorpus {
   lazy val comorbidityDumpDir: String =
     new java.io.File("target/verify-fhir-comorbidity").getAbsolutePath
 
+  /** Latest-observation ground truth (the "current vitals" row): per
+    * patient, the HbA1c value of the newest VALID-dated observation —
+    * the [[graft.ops.TimeSeries.pivotLatest]] prediction, folded from
+    * the trait flags. Observation j carries effectiveDateTime
+    * dt(2015, i+j, 11) (strictly increasing in j) and value
+    * obsValue(j); C1 nullifies observation 0's date when `obsBadDate`,
+    * and a null-dated observation can't win a latest-by-time pivot. A
+    * single-observation patient whose only date is invalid has NO
+    * pivot row. Values arrive as doubles through the JSON path, so the
+    * prediction emits doubles.
+    */
+  final case class LatestObsRow(patient_id: String, hba1c_value: Double)
+
+  def expectedLatestObs(n: Int): Seq[LatestObsRow] =
+    (0 until n).flatMap { i =>
+      val t = Traits(i)
+      // argmax by the ACTUAL (date string, resource id) pair the pivot
+      // compares — month/day wrap with the index, so j order is NOT
+      // date order (i ≡ 11 mod 12 has obs 0 in December, obs 1 in
+      // January of the same year)
+      val valid = (0 until t.nObs)
+        .filterNot(j => j == 0 && t.obsBadDate)
+        .map(j => ((dt(2015, i + j, 11), s"obs-$i-$j"), j))
+      if (valid.isEmpty) None
+      else Some(LatestObsRow(t.pid, t.obsValue(valid.max._2).toDouble))
+    }
+
+  /** Where Verify materializes [[expectedLatestObs]] for its oracle. */
+  lazy val latestObsDumpDir: String =
+    new java.io.File("target/verify-fhir-latest-obs").getAbsolutePath
+
   /** Dump the ground-truth aggregates as parquet — the ONLY thing the
     * `fhir_scale` / `fhir_comorbidity` oracles read. The rows come from
     * the trait folds above, never from Spark's JSON reader, so the gates
@@ -401,5 +432,7 @@ object FhirCorpus {
       .coalesce(1).write.mode("overwrite").parquet(expectedDumpDir)
     expectedComorbidity(DefaultPatients).toDF()
       .coalesce(1).write.mode("overwrite").parquet(comorbidityDumpDir)
+    expectedLatestObs(DefaultPatients).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(latestObsDumpDir)
   }
 }

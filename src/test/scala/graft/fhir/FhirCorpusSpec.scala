@@ -140,4 +140,27 @@ class FhirCorpusSpec extends SparkSpec {
     assert(Set(top._1, top._2) == Set("Chronic kidney disease", "Hypertension"),
       s"nested comorbidity must dominate: $top")
   }
+
+  test("latest-obs pivot over the corpus == naive trait-fold prediction") {
+    val obs = Cleaning.all(Extractors.allTables(
+      BundleReader.normalizedEntries(spark, dir)))("observation")
+    val engine = graft.ops.TimeSeries.pivotLatest(
+      obs.select(col("patient_id"), col("observation_type"),
+        col("`resource.effectiveDateTime`").as("eff"),
+        col("`resource.valueQuantity.value`").as("v"),
+        col("`resource.id`").as("rid")),
+      "patient_id", "observation_type", "eff", "v", Seq("HbA1c"), "rid")
+      .orderBy("patient_id")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val predicted = FhirCorpus.expectedLatestObs(N)
+      .map(r => (r.patient_id, r.hba1c_value))
+    assert(engine == predicted,
+      s"first diffs: ${engine.zip(predicted).filter(p => p._1 != p._2).take(3)}")
+    // the obsBadDate single-observation patient (i=47*k with nObs==1,
+    // i.e. i even) must be ABSENT — its only date was C1-nullified
+    val absent = (0 until N).filter(i =>
+      i % 47 == 0 && (1 + i % 2) == 1).map(i => f"pat-$i%06d")
+    val present = engine.map(_._1).toSet
+    absent.foreach(p => assert(!present.contains(p), s"$p must have no pivot row"))
+  }
 }
