@@ -420,7 +420,7 @@ object ScaleProbe {
     // trio rides the events axis (key-cardinality growth).
     if (familyOn("pageRank", "pmiCollocations", "groupZscores",
         "gapProfile", "benfordProfile", "pivotLatest", "cohortRetention",
-        "cooccurrenceLift", "equidepthBins", "minmaxScale")) {
+        "cooccurrenceLift", "equidepthBins", "minmaxScale", "robustZscores")) {
       Seq(1, k).foreach { times =>
         val d = replicate(times)
         println(s"--- round-9c docs ${times}x (${d.count()} docs) ---")
@@ -454,6 +454,8 @@ object ScaleProbe {
             e.select(col("value"), col("event_id")), "value", "event_id", 10))
         time("minmaxScale(type)",
           graft.ops.Profiling.minmaxScale(e, "event_type", "value"))
+        time("robustZscores(user)",
+          graft.ops.Profiling.robustZscores(e, "user_id", "value"))
       }
       // basket axis: replicate lineitem by ORDER offset — items stay
       // fixed (Zipf head unchanged), baskets grow k×, so pair volume

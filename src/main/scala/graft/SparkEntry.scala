@@ -2717,6 +2717,28 @@ object SparkEntry {
         .orderBy("patient_id")
     }),
 
+    // Robust (median/MAD) per-user outlier scores: order-statistic
+    // centers (value SELECTION, no float folds) + one rounded division;
+    // the heavy-tail-safe twin of anomaly_zscore.
+    "robust_zscore" -> ((s, dir) =>
+      graft.ops.Profiling.robustZscores(t(s, dir, "events"), "user_id", "value")
+        .select(col("event_id"), col("user_id"), col("value"), col("robust_z"))
+        .orderBy("event_id")),
+
+    // Streaming heavy hitters: Complete-mode running counts per user in
+    // the stream, top-10 taken batch-side — the streaming twin of
+    // heavy_hitters, sharing its oracle verbatim.
+    "stream_topk" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val counts = eventsStream(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val name = "stream_topk_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(counts, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete(),
+          statePartitions = Some(8))
+        .orderBy(col("n_events").desc, col("user_id")).limit(10)
+    }),
+
     // Two-proportion A/B readout: user-level conversion (any purchase)
     // under a parity assignment, exact counts → rates/lift/pooled z
     // from correctly-rounded IEEE scalar ops only.
@@ -5814,6 +5836,38 @@ object SparkEntry {
     "fhir_obs_pivot" ->
       s"""SELECT patient_id, hba1c_value
          |FROM read_parquet('${graft.fhir.FhirCorpus.latestObsDumpDir}/*.parquet')
-         |ORDER BY patient_id""".stripMargin
+         |ORDER BY patient_id""".stripMargin,
+
+    // The batch heavy_hitters SQL verbatim: Complete-mode streaming
+    // counts converge to the same totals regardless of batching.
+    "stream_topk" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "robust_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |    count(value) OVER (PARTITION BY user_id) AS nn
+        |  FROM e),
+        |m AS (
+        |  SELECT *, max(CASE WHEN rn = (nn + 1) // 2 AND value IS NOT NULL
+        |    THEN value END) OVER (PARTITION BY user_id) AS med
+        |  FROM r),
+        |d AS (SELECT *, abs(value - med) AS dv FROM m),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dv) AS rd
+        |  FROM d),
+        |mm AS (
+        |  SELECT *, max(CASE WHEN rd = (nn + 1) // 2 THEN dv END)
+        |    OVER (PARTITION BY user_id) AS mad
+        |  FROM r2)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN mad > 0 AND value IS NOT NULL
+        |       THEN round((value - med) / (mad * 1.4826), 6) END AS robust_z
+        |FROM mm ORDER BY event_id""".stripMargin
   )
 }

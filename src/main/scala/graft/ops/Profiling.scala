@@ -454,6 +454,48 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** Robust (median/MAD) per-group outlier scores — the
+    * heavy-tail-safe twin of [[groupZscores]]: one fat outlier inflates
+    * a mean/stddev profile enough to mask every other anomaly in its
+    * group, while the median and the median-absolute-deviation ignore
+    * it. `robust_z = (v − med) / (MAD · 1.4826)` (the Gaussian
+    * consistency constant, so thresholds transfer from the classical
+    * score). Both centers are DISCRETE order statistics (rank
+    * `(n+1) DIV 2` among the group's non-null values, nulls ordered
+    * last) — value SELECTION, not arithmetic folding, so the doubles
+    * are engine-exact before the single rounded division. Groups with
+    * zero MAD (≥ half the group at one value) and null values get a
+    * null verdict; rows stay aligned.
+    *
+    * Scale shape: ONE hash exchange by key feeding two in-partition
+    * sorts (by value, then by |v − med|) and their full-partition
+    * window aggregates — no joins, no global sort.
+    */
+  def robustZscores(
+      df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val v = col(s"`$valueCol`")
+    val wk = Window.partitionBy(k)
+    val wRank = wk.orderBy(v.asc_nulls_last)
+    val withMed = df.filter(k.isNotNull)
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__nn", count(v).over(wk))
+      .withColumn("__med",
+        max(when(col("__rn") === expr("(__nn + 1) DIV 2") && v.isNotNull, v))
+          .over(wk))
+      .withColumn("__dv", abs(v - col("__med")))
+    val wDev = wk.orderBy(col("__dv").asc_nulls_last)
+    withMed
+      .withColumn("__rd", row_number().over(wDev).cast("long"))
+      .withColumn("__mad",
+        max(when(col("__rd") === expr("(__nn + 1) DIV 2"), col("__dv")))
+          .over(wk))
+      .withColumn("robust_z",
+        when(col("__mad") > 0d && v.isNotNull,
+          round((v - col("__med")) / (col("__mad") * lit(1.4826)), 6)))
+      .drop("__rn", "__nn", "__med", "__dv", "__rd", "__mad")
+  }
+
   /** Two-proportion A/B summary: one row comparing conversion between
     * variant 0 (control) and variant 1 (treatment) of a USER-level
     * frame — the experimentation readout (and, read clinically, a

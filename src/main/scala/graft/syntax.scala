@@ -276,6 +276,8 @@ object syntax {
       Profiling.minmaxScale(df, groupCol, valueCol)
     def abTest(variantCol: String, convertedCol: String): DataFrame =
       Profiling.abTest(df, variantCol, convertedCol)
+    def robustZscores(keyCol: String, valueCol: String): DataFrame =
+      Profiling.robustZscores(df, keyCol, valueCol)
     /** Int64 fixed-point PageRank over this frame read as an edge list
       * (see [[ops.GraphOps.pageRank]]).
       */

@@ -266,4 +266,39 @@ class ProfilingSpec extends SparkSpec {
     assert(o.isNullAt(o.fieldIndex("rate0")) && o.isNullAt(o.fieldIndex("abs_lift")))
     assert(o.getAs[Double]("rate1") == 0.5)
   }
+
+  test("robustZscores: order-statistic centers; outlier cannot mask itself") {
+    // group values 1..9 plus one wild outlier 1000:
+    // n=10, med = 5th smallest = 5; |v-med| sorted: 0,1,1,2,2,3,3,4,995
+    // -> wait n=10: values 1..9 + 1000; deviations 4,3,2,1,0,1,2,3,4,995
+    // sorted: 0,1,1,2,2,3,3,4,4,995; rank (10+1) DIV 2 = 5 -> MAD = 2
+    val df = ((1 to 9).map(x => (x.toLong, 1L, x.toDouble)) :+
+      (10L, 1L, 1000.0)).toDF("id", "k", "v")
+    val out = Profiling.robustZscores(df, "k", "v")
+      .select("id", "robust_z").as[(Long, Option[Double])].collect().toMap
+    // z(1000) = (1000-5)/(2*1.4826) = 335.559153
+    assert(out(10L) == Some(BigDecimal(995.0 / (2.0 * 1.4826))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), out.toString)
+    // the classical z of the same point would be ~2.8 (masked by itself);
+    // the robust score must be enormous
+    assert(out(10L).get > 100.0)
+    assert(out(5L) == Some(0.0), "the median scores zero")
+  }
+
+  test("robustZscores: zero MAD and null values get null verdicts, rows kept") {
+    val df = Seq(
+      (1L, 1L, Some(5.0)), (2L, 1L, Some(5.0)), (3L, 1L, Some(5.0)),
+      (4L, 1L, Some(9.0)),                     // minority outlier, MAD 0
+      (5L, 2L, Some(1.0)), (6L, 2L, Some(2.0)), (7L, 2L, Some(4.0)),
+      (8L, 2L, None)
+    ).toDF("id", "k", "v")
+    val out = Profiling.robustZscores(df, "k", "v")
+      .select("id", "robust_z").as[(Long, Option[Double])].collect().toMap
+    assert(out.size == 8, "all rows kept")
+    assert((1L to 4L).forall(out(_).isEmpty), "zero-MAD group: no verdict")
+    // group 2: med = 2, deviations 1,0,2 sorted 0,1,2, rank 2 -> MAD 1
+    assert(out(5L) == Some(BigDecimal(-1.0 / 1.4826)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), out.toString)
+    assert(out(8L).isEmpty, "null value: no verdict")
+  }
 }
