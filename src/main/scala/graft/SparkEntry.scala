@@ -2717,6 +2717,15 @@ object SparkEntry {
         .orderBy("patient_id")
     }),
 
+    // Stride-interleaved mixture order: per-source mix60 shuffle, then
+    // round-robin across sources via the distributed prefix-sum rank —
+    // consecutive same-source runs bounded by the live-source count.
+    "interleave_order" -> ((s, dir) =>
+      Curation.interleaveBySource(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source")
+        .orderBy("interleave_rank")),
+
     // Robust (median/MAD) per-user outlier scores: order-statistic
     // centers (value SELECTION, no float folds) + one rounded division;
     // the heavy-tail-safe twin of anomaly_zscore.
@@ -5837,6 +5846,18 @@ object SparkEntry {
       s"""SELECT patient_id, hba1c_value
          |FROM read_parquet('${graft.fhir.FhirCorpus.latestObsDumpDir}/*.parquet')
          |ORDER BY patient_id""".stripMargin,
+
+    "interleave_order" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY __mix60 ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS pos
+         |  FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.ShuffleSalt)})
+         |SELECT doc_id, source,
+         |  CAST(row_number() OVER (
+         |      ORDER BY pos, source ASC NULLS FIRST, doc_id ASC NULLS FIRST) - 1
+         |    AS BIGINT) AS interleave_rank
+         |FROM p ORDER BY interleave_rank""".stripMargin,
 
     // The batch heavy_hitters SQL verbatim: Complete-mode streaming
     // counts converge to the same totals regardless of batching.

@@ -435,6 +435,37 @@ object Curation {
       outCol: String = "rank"): DataFrame =
     exclusivePrefixSum(df, orderCols, lit(1L), numPartitions = 0, outCol)
 
+  /** Source-interleaved training order: every source's documents are
+    * shuffled WITHIN the source ([[mix60]], same machinery as
+    * [[shuffleOrder]]), then the streams are round-robined — all
+    * sources' position-1 docs first, then position-2, and so on. This
+    * is the stride-interleave mixture order: a plain global shuffle
+    * makes same-source runs of length ~n_src/n statistically common,
+    * while interleaving bounds the gap between consecutive same-source
+    * docs at ≈ the number of live sources — the property curriculum
+    * and mixture schedules actually want. Sources of different sizes
+    * simply drop out of the rotation when exhausted (position > n_s).
+    * Output: input columns + `interleave_rank` (0-based, total).
+    *
+    * Scale shape: one window by source (hash exchange + in-partition
+    * sort) for positions, then the [[rankByOrder]] distributed prefix
+    * sum over (position, source, id) — no single-task global window;
+    * same caching contract as [[shuffleOrder]].
+    */
+  def interleaveBySource(
+      df: DataFrame, idCol: String, sourceCol: String,
+      salt: Long = ShuffleSalt): DataFrame = {
+    val wSrc = Window.partitionBy(col(s"`$sourceCol`"))
+      .orderBy(col("__mix"), col(s"`$idCol`"))
+    val positioned = df
+      .withColumn("__mix", mix60(col(s"`$idCol`"), salt))
+      .withColumn("__pos", row_number().over(wSrc).cast("long"))
+    rankByOrder(positioned,
+      Seq(col("__pos"), col(s"`$sourceCol`"), col(s"`$idCol`")),
+      outCol = "interleave_rank")
+      .drop("__mix", "__pos")
+  }
+
   /** Epoch-mixture replication: repeat each row `weights(stratum)` times
     * (fractional part resolved deterministically per id — a weight of 2.3
     * gives every row 2 copies and 30% of rows a third). The standard

@@ -205,6 +205,8 @@ object syntax {
         orderCols: Seq[String]): DataFrame =
       TimeSeries.scd2(df, keyCols, attrCols, orderCols)
     def shuffleOrder(idCol: String): DataFrame = Curation.shuffleOrder(df, idCol)
+    def interleaveBySource(idCol: String, sourceCol: String): DataFrame =
+      Curation.interleaveBySource(df, idCol, sourceCol)
     def topFractionByGroup(groupCol: String, score: Column, idCol: String,
         keepPerMyriad: Long): DataFrame =
       Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)

@@ -482,4 +482,30 @@ class CurationSpec extends SparkSpec {
     assert(out(6L)._2 == goodLine + " extra the and tail.")
     assert(out.values.forall(r => Set("train", "val", "test")(r._3)))
   }
+
+  test("interleaveBySource: round-robin across sources, bounded same-source runs") {
+    // 3 sources x uneven sizes (6, 3, 1): the first positions of every
+    // source precede ANY second position; exhausted sources drop out
+    val df = ((1 to 6).map(i => (i.toLong, "a")) ++
+      (11 to 13).map(i => (i.toLong, "b")) :+ (21L, "c"))
+      .toDF("doc_id", "source")
+    val out = Curation.interleaveBySource(df, "doc_id", "source")
+      .orderBy("interleave_rank")
+      .select("source", "interleave_rank")
+      .as[(String, Long)].collect().toSeq
+    assert(out.map(_._2) == (0L until 10L), "rank is a total 0-based order")
+    val srcOrder = out.map(_._1)
+    // first 3 ranks: one doc from each of the 3 sources (position 1 round)
+    assert(srcOrder.take(3).toSet == Set("a", "b", "c"), srcOrder.toString)
+    // next round: c is exhausted -> only a and b
+    assert(srcOrder.slice(3, 5).toSet == Set("a", "b"), srcOrder.toString)
+    // the tail is all-a (the only source with positions 4..6)
+    assert(srcOrder.drop(7).forall(_ == "a"), srcOrder.toString)
+    // deterministic across runs
+    val again = Curation.interleaveBySource(df, "doc_id", "source")
+      .orderBy("interleave_rank").select("doc_id").as[Long].collect().toSeq
+    val first = Curation.interleaveBySource(df, "doc_id", "source")
+      .orderBy("interleave_rank").select("doc_id").as[Long].collect().toSeq
+    assert(again == first)
+  }
 }
