@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row",
     "pmi_collocations" -> "filtered pair counts × ONE broadcast bigram-total row",
     "basket_lift" -> "floored pair counts × ONE broadcast basket-total row",
+    "fhir_comorbidity" -> "same cooccurrenceLift shape: pair counts × ONE broadcast basket-total row",
     "equidepth_bins" -> "ranked rows × ONE broadcast total-count row",
     "benford_profile" -> "9 digit rows × ONE broadcast total row")
 
