@@ -128,8 +128,10 @@ object GraphOps {
     */
   def cooccurrenceLift(
       df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, maxFrequentPerBasket: Long = 10000L): DataFrame = {
     require(minCount >= 1, s"minCount must be at least 1: $minCount")
+    require(maxFrequentPerBasket >= 2,
+      s"maxFrequentPerBasket must be at least 2: $maxFrequentPerBasket")
     val b = col(s"`$basketCol`")
     val it = col(s"`$itemCol`")
     val membership = df.filter(b.isNotNull && it.isNotNull)
@@ -137,7 +139,31 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val itemCounts = membership.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     val frequent = itemCounts.filter(col("__c") >= minCount)
+    // fail fast on a hot basket BEFORE the self-join fans it out: a
+    // single basket with k frequent items contributes C(k,2) pairs — one
+    // degenerate "basket" (a catch-all patient id, an ETL sentinel order
+    // key) with 10^5 items would emit ~10^10 rows from one task. Same
+    // guard philosophy as TimeSeries.denseCounts.maxBucketsPerKey: name
+    // the offending key in the error instead of melting an executor.
+    // Plan-embedded (a windowed count + raise_error), so it fires in
+    // gate/bench runs, not just tests, and costs nothing extra — the
+    // count rides the same by-basket exchange the self-join needs.
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
     val fm = membership.join(frequent, Seq("__i"))
+      .withColumn("__bn", count(lit(1)).over(wB))
+      // the guard wraps the ITEM column itself (the denseCounts pattern:
+      // an expression the plan consumes cannot be pruned away), so it
+      // fires in gate/bench runs too; the windowed count rides the same
+      // by-basket exchange the self-join needs anyway
+      .withColumn("__i",
+        when(col("__bn") > maxFrequentPerBasket,
+          raise_error(concat(
+            lit("cooccurrenceLift: basket "), col("__b").cast("string"),
+            lit(" has "), col("__bn").cast("string"),
+            lit(s" frequent items > maxFrequentPerBasket=$maxFrequentPerBasket" +
+              " — pre-filter degenerate baskets or raise the cap"))))
+          .otherwise(col("__i")))
+      .drop("__bn")
     val pairs = fm.select(col("__b"), col("__i").as("item_a"), col("__c").as("__ca"))
       .join(fm.select(col("__b"), col("__i").as("item_b"), col("__c").as("__cb")),
         Seq("__b"))

@@ -93,4 +93,23 @@ class GraphOpsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(out == Seq(("a", "b", 6L, 1.0)), out.toString)
   }
+
+  test("cooccurrenceLift: hot-basket guard fails fast and names the basket") {
+    // one degenerate basket holding every item (each item also appears in
+    // a second basket so all pass the frequency floor)
+    val rows = (1 to 20).flatMap(i => Seq((999L, s"i$i"), (i.toLong, s"i$i")))
+    val e = intercept[Exception] {
+      GraphOps.cooccurrenceLift(rows.toDF("basket", "item"),
+        "basket", "item", minCount = 2L, maxFrequentPerBasket = 10L).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    assert(messages(e).contains("999") &&
+      messages(e).contains("maxFrequentPerBasket"), messages(e))
+    // under the cap: runs clean (minCount=1 so the hot basket's 190
+    // singleton pairs survive the pair floor)
+    assert(GraphOps.cooccurrenceLift(rows.toDF("basket", "item"),
+      "basket", "item", minCount = 1L, maxFrequentPerBasket = 25L)
+      .count() == 190L)
+  }
 }
