@@ -2324,6 +2324,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.11 — the dHash twin of multimodal_ahash: gradient-sign hash
+    // over the same real-codec tier (brightness-shift-invariant where
+    // aHash is not), banded-hamming pair join, arithmetic oracle.
+    "multimodal_dhash" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val base = Multimodal.syntheticPngTable(ids, "doc_id")
+      val copies = Multimodal.syntheticPngTable(
+        ids.filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id",
+        perturb00 = true, idOffset = 10000000L)
+      Multimodal.ahashNearDups(
+        Multimodal.imageDHash(base.unionByName(copies)).toDF(),
+        hashCol = "dhash")
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -5519,6 +5534,44 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         |FROM bits a JOIN bits b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // dHash: 9×8 sampled grid, bit y·8+x set iff v(x) < v(x+1) in the
+    // row — adjacent-sample self-join replays the gradient signs; the
+    // i=63 bit rides the same HUGEINT two's-complement trick as ahash.
+    "multimodal_dhash" ->
+      """WITH srcs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS pert
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 9 = 0),
+        |dims AS (
+        |  SELECT media_id, src, pert, 4 + src % 13 AS w, 4 + src % 7 AS h
+        |  FROM srcs),
+        |px AS (
+        |  SELECT media_id, xx.x AS x, yy.y AS y,
+        |    CASE WHEN pert = 1 AND ((xx.x * w) // 9) = 0 AND ((yy.y * h) // 8) = 0
+        |      THEN CASE WHEN (src * 31) % 256 < 248
+        |           THEN (src * 31) % 256 + 8 ELSE (src * 31) % 256 - 8 END
+        |      ELSE (src * 31 + ((xx.x * w) // 9) * 7 + ((yy.y * h) // 8) * 13) % 256
+        |      END AS v
+        |  FROM dims, unnest(generate_series(0, 8)) AS xx(x),
+        |       unnest(generate_series(0, 7)) AS yy(y)),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.v < b.v THEN
+        |      CASE WHEN a.y * 8 + a.x = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST(CAST(1 AS BIGINT) << (a.y * 8 + a.x) AS HUGEINT) END
+        |      ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM px a JOIN px b
+        |    ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |  GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Real-codec round trip: every value recomputed from the pixel

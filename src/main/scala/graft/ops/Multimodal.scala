@@ -267,6 +267,55 @@ object Multimodal {
       }
   }
 
+  final case class ImageDHash(media_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over the same REAL codec tier as
+    * [[imageAHash]]: decode → exact nearest-neighbor resample onto a
+    * 9×8 grid (`sx = ⌊x·w/9⌋`, `sy = ⌊y·h/8⌋`) → 64-bit hash with bit
+    * `y·8+x` set iff the pixel is DARKER than its right neighbor
+    * (`v(x,y) < v(x+1,y)`). Pure integer compares between sampled
+    * pixels — no mean, no division — so a uniform brightness shift
+    * flips NO bits (every gradient sign survives), where aHash can flip
+    * up to half its bits: the two hashes catch different edit classes,
+    * which is why image dedup pipelines run both. Engine-exact; the
+    * oracle replays the grid arithmetic. Undecodable payloads drop.
+    * Shuffle-free.
+    */
+  def imageDHash(media: DataFrame): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytesOrNull) =>
+          val img = tryDecode(bytesOrNull)
+          if (img == null) Iterator.empty
+          else {
+            val r = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = (y.toLong * h / 8).toInt
+              var x = 0
+              var prev = r.getSample(0, sy, 0)
+              while (x < 8) {
+                val sx = ((x + 1).toLong * w / 9).toInt
+                val next = r.getSample(sx, sy, 0)
+                if (prev < next) hash |= (1L << (y * 8 + x))
+                prev = next
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(ImageDHash(id, hash))
+          }
+        }
+      }
+  }
+
   /** Image near-dup pairs over [[imageAHash]] hashes: the 4-chunk
     * pigeonhole band join (any pair within `maxHamming ≤ 3` bits shares
     * at least one identical 16-bit chunk), then the exact

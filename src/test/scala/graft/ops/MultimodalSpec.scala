@@ -137,4 +137,41 @@ class MultimodalSpec extends SparkSpec {
       assert(d.pixel_sum == px.sum, s"id=$id resized sum")
     }
   }
+
+  test("imageDHash: gradient bits match arithmetic; brightness shift flips nothing") {
+    import spark.implicits._
+    val ids = Seq(2L, 7L, 11L).toDF("doc_id")
+    val base = Multimodal.syntheticPngTable(ids, "doc_id")
+    val got = Multimodal.imageDHash(base).collect().map(h => h.media_id -> h.dhash).toMap
+    ids.as[Long].collect().foreach { id =>
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      def v(x: Int, y: Int): Int =
+        ((id * 31 + (x * w / 9) * 7 + (y * h / 8) * 13) % 256).toInt
+      val expected = (for { y <- 0 until 8; x <- 0 until 8 } yield (x, y))
+        .foldLeft(0L) { case (acc, (x, y)) =>
+          if (v(x, y) < v(x + 1, y)) acc | (1L << (y * 8 + x)) else acc
+        }
+      assert(got(id) == expected, s"id=$id: ${got(id)} != $expected")
+    }
+    // brightness invariance: add a constant to EVERY pixel of a real
+    // PNG — every gradient sign survives, so the dhash is bit-identical
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val shifted = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val p = (x * 17 + y * 29) % 200
+      img.getRaster.setSample(x, y, 0, p)
+      shifted.getRaster.setSample(x, y, 0, p + 55)
+    }
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos)
+      bos.toByteArray
+    }
+    val two = Seq((1L, png(img)), (2L, png(shifted))).toDF("media_id", "payload")
+    val hs = Multimodal.imageDHash(two).collect().map(h => h.media_id -> h.dhash).toMap
+    assert(hs(1L) == hs(2L), "uniform brightness shift must not flip any gradient bit")
+  }
 }
