@@ -2328,7 +2328,13 @@ object SparkEntry {
     // over the same real-codec tier (brightness-shift-invariant where
     // aHash is not), banded-hamming pair join, arithmetic oracle.
     "multimodal_dhash" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      // 1-in-5 subset: the synthetic corpus has only 91 (w,h) classes, so
+      // gradient hashes collide heavily by construction and the full
+      // corpus's pair list is quadratic-in-class-size noise (2.5M rows at
+      // sf0.1) — the subset exercises the identical machinery at 1/25th
+      // the pair volume
+      val ids = t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && pmod(col("doc_id"), lit(5)) === 0)
       val base = Multimodal.syntheticPngTable(ids, "doc_id")
       val copies = Multimodal.syntheticPngTable(
         ids.filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id",
@@ -5542,10 +5548,11 @@ object SparkEntry {
     "multimodal_dhash" ->
       """WITH srcs AS (
         |  SELECT doc_id AS media_id, doc_id AS src, 0 AS pert
-        |  FROM documents WHERE doc_id IS NOT NULL
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 0
         |  UNION ALL
         |  SELECT doc_id + 10000000, doc_id, 1
-        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 9 = 0),
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND doc_id % 5 = 0 AND doc_id % 9 = 0),
         |dims AS (
         |  SELECT media_id, src, pert, 4 + src % 13 AS w, 4 + src % 7 AS h
         |  FROM srcs),
