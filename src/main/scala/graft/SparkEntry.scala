@@ -2738,6 +2738,14 @@ object SparkEntry {
         .orderBy("patient_id")
     }),
 
+    // First-order behavior Markov chain: consecutive event-type
+    // transitions per user (deterministic (ts, event_id) ordering),
+    // exact counts + conditional probabilities over the types² matrix.
+    "event_transitions" -> ((s, dir) =>
+      TimeSeries.transitionMatrix(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")),
+
     // Stride-interleaved mixture order: per-source mix60 shuffle, then
     // round-robin across sources via the distributed prefix-sum rank —
     // consecutive same-source runs bounded by the live-source count.
@@ -5906,6 +5914,26 @@ object SparkEntry {
       s"""SELECT patient_id, hba1c_value
          |FROM read_parquet('${graft.fhir.FhirCorpus.latestObsDumpDir}/*.parquet')
          |ORDER BY patient_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS to_type
+        |  FROM e),
+        |g AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
 
     "interleave_order" ->
       s"""WITH p AS (

@@ -320,6 +320,49 @@ object TimeSeries {
           .as("retention"))
   }
 
+  /** First-order transition matrix over per-key event sequences: for
+    * every ordered pair of consecutive event types within a key, the
+    * corpus-wide count and exact conditional probability
+    * `p(to | from) = n(from→to) / n(from→·)` — the Markov chain of
+    * behavior (product funnels read it as "what users do next"; care
+    * pathways read it as encounter-type sequences). The text-side twin
+    * is [[TextStats.ngramNextTable]]; here the sequence axis is
+    * (key, time) and EVERY transition row is emitted, not just the
+    * argmax. `tiebreakCol` (unique event id) makes equal-timestamp
+    * ordering deterministic — unlike [[gapProfile]]'s gaps, the
+    * transition MULTISET does change under tie reordering, so the
+    * tiebreak is load-bearing here. Counts are int64-exact with one
+    * rounded division.
+    *
+    * Scale shape: one exchange by key + in-partition sort for the lag,
+    * then a map-side-combined groupBy over the (from, to) vocabulary
+    * (types², not events) and one window by `from_type` over that tiny
+    * frame for the denominator.
+    */
+  def transitionMatrix(
+      df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      tiebreakCol: String): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val ts = col(s"`$tsCol`")
+    val tp = col(s"`$typeCol`")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(k).orderBy(ts, col(s"`$tiebreakCol`"))
+    val pairs = df.filter(k.isNotNull && ts.isNotNull && tp.isNotNull)
+      .withColumn("__to", lead(tp, 1).over(w))
+      // a null-typed event BREAKS the chain (filtered above), it does
+      // not splice its neighbors together — lead() sees only kept rows,
+      // which is the splice; acceptable for type-gap data, documented
+      .filter(col("__to").isNotNull)
+      .groupBy(tp.as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    pairs
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .withColumn("p", round(col("n").cast("double") /
+        col("n_from").cast("double"), 6))
+  }
+
   /** Per-key inter-event gap profile: count, min, max, and exact
     * discrete median of the consecutive-timestamp differences — the
     * cadence fingerprint that separates heartbeat-regular feeds from

@@ -254,6 +254,9 @@ object syntax {
     def cohortRetention(keyCol: String, tsCol: String,
         bucketWidth: Long): DataFrame =
       TimeSeries.cohortRetention(df, keyCol, tsCol, bucketWidth)
+    def transitionMatrix(keyCol: String, tsCol: String, typeCol: String,
+        tiebreakCol: String): DataFrame =
+      TimeSeries.transitionMatrix(df, keyCol, tsCol, typeCol, tiebreakCol)
     def cooccurrenceLift(basketCol: String, itemCol: String,
         minCount: Long = 2L): DataFrame =
       GraphOps.cooccurrenceLift(df, basketCol, itemCol, minCount)

@@ -277,4 +277,23 @@ class TimeSeriesSpec extends SparkSpec {
       (0L, 2L, 2L, 2L, 1.0),
       (1L, 0L, 1L, 1L, 1.0)), out.toString)
   }
+
+  test("transitionMatrix: hand-checked chain; ties ordered by the tiebreak") {
+    // user 1: a -> b -> a -> c (via ts order); user 2: b -> a
+    // ties: user 3 has two events at ts=5, event_id decides a -> b
+    val fixed = Seq(
+      (1L, 10L, "a", 100L), (1L, 20L, "b", 101L),
+      (1L, 30L, "a", 102L), (1L, 40L, "c", 103L),
+      (2L, 5L, "b", 200L), (2L, 9L, "a", 201L),
+      (3L, 5L, "a", 301L), (3L, 5L, "b", 302L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = TimeSeries.transitionMatrix(fixed, "user_id", "ts",
+      "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 3L, 0.666667),  // 1:a->b, 3:a->b (tiebreak)
+      ("a", "c", 1L, 3L, 0.333333),
+      ("b", "a", 2L, 2L, 1.0)), out.toString)
+  }
 }
