@@ -65,6 +65,10 @@ object GraphOps {
     * Output: `(id, degree, pr)` — `pr` is the fixed-point rank
     * (divide by [[RankScale]].toDouble for the conventional unit-mass
     * reading; kept integral here so oracles hash-match).
+    *
+    * Caching contract (same as the [[Dedup]] family): the degree table
+    * and degree-attached adjacency are persisted and outlive the call —
+    * `spark.catalog.clearCache()` reclaims them in long-lived sessions.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -123,8 +127,13 @@ object GraphOps {
     * output is Σ_b C(k_b, 2) over FREQUENT items per basket — the
     * quadratic term is bounded by the pruning and by real basket
     * sizes, and a hot basket (one patient with hundreds of frequent
-    * codes) is AQE skew-split territory, not a cross join. The final
-    * pair count is map-side combinable.
+    * codes) is AQE skew-split territory up to `maxFrequentPerBasket`,
+    * where the plan-embedded guard fails fast with the basket named
+    * (the [[TimeSeries.denseCounts]] philosophy) rather than fanning
+    * C(k,2) pairs out of one task. The final pair count is map-side
+    * combinable. The deduplicated membership frame is persisted and
+    * outlives the call (it feeds three consumers) — the same
+    * clearCache contract as the [[Dedup]] family.
     */
   def cooccurrenceLift(
       df: DataFrame, basketCol: String, itemCol: String,
