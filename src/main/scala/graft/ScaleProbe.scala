@@ -420,7 +420,8 @@ object ScaleProbe {
     // trio rides the events axis (key-cardinality growth).
     if (familyOn("pageRank", "pmiCollocations", "groupZscores",
         "gapProfile", "benfordProfile", "pivotLatest", "cohortRetention",
-        "cooccurrenceLift", "equidepthBins", "minmaxScale", "robustZscores")) {
+        "cooccurrenceLift", "equidepthBins", "minmaxScale", "robustZscores",
+        "transitionMatrix", "interleaveBySource")) {
       Seq(1, k).foreach { times =>
         val d = replicate(times)
         println(s"--- round-9c docs ${times}x (${d.count()} docs) ---")
@@ -430,6 +431,10 @@ object ScaleProbe {
             "id_a", "id_b", iters = 3))
         time("pmiCollocations",
           graft.ops.TextStats.pmiCollocations(d, "text", minCount = 5L, topK = 50))
+        time("interleaveBySource",
+          Curation.interleaveBySource(
+            d.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L)))),
+            "doc_id", "source"))
       }
       Seq(1, k).foreach { times =>
         val e = replicateEv(times)
@@ -456,6 +461,11 @@ object ScaleProbe {
           graft.ops.Profiling.minmaxScale(e, "event_type", "value"))
         time("robustZscores(user)",
           graft.ops.Profiling.robustZscores(e, "user_id", "value"))
+        time("transitionMatrix(type)",
+          graft.ops.TimeSeries.transitionMatrix(
+            e.withColumn("event_id", col("ts") * 1000L +
+              pmod(col("user_id"), lit(1000L))),
+            "user_id", "ts", "event_type", "event_id"))
       }
       // basket axis: replicate lineitem by ORDER offset — items stay
       // fixed (Zipf head unchanged), baskets grow k×, so pair volume
