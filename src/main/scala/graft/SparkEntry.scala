@@ -2746,6 +2746,30 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id")
         .orderBy("from_type", "to_type")),
 
+    // Stateful-streaming twin: per-key previous-event state emits the
+    // transition pairs incrementally (flatMapGroupsWithState, in-batch
+    // (ts, event_id) sort), batch-side fold to the same matrix — the
+    // event_transitions oracle verbatim.
+    "stream_transitions" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[Streams.TypedEvent]
+      val name = "stream_transitions_" + java.lang.Long.toHexString(System.nanoTime())
+      val sink = Streams.runToMemory(
+        Streams.transitionsStateful(ev).toDF(), name, statePartitions = Some(8))
+      val wFrom = Window.partitionBy(col("from_type"))
+      sink.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from", sum(col("n")).over(wFrom))
+        .withColumn("p",
+          round(col("n").cast("double") / col("n_from").cast("double"), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Stride-interleaved mixture order: per-source mix60 shuffle, then
     // round-robin across sources via the distributed prefix-sum rank —
     // consecutive same-source runs bounded by the live-source count.
@@ -5934,6 +5958,28 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE)
         |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
         |FROM g ORDER BY from_type, to_type""".stripMargin,
+
+        // single-batch file source: stateful pairing == the batch lag window.
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS to_type
+        |  FROM e),
+        |g AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin,
+
 
     "interleave_order" ->
       s"""WITH p AS (

@@ -278,6 +278,44 @@ object Streams {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming event transitions — the stateful twin of
+    * [[graft.ops.TimeSeries.transitionMatrix]]'s pair stage: every
+    * event is paired with its key's PREVIOUS event type, and the
+    * previous-event marker survives across micro-batches in per-key
+    * state (one (ts, event_id, type) triple per key — state-store size
+    * = #keys). Downstream aggregation to the (from, to) matrix is
+    * batch-side arithmetic over the emitted pairs.
+    *
+    * Same determinism contract as [[locfEnrich]]: the (key, batch)
+    * group is sorted by `(ts, event_id)` before folding, so arrival
+    * order inside a batch never matters, and results equal the batch
+    * lag-window exactly when per-key event time is monotone across
+    * batches (always true for a single-batch run).
+    */
+  def transitionsStateful(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[TypedEvent],
+         state: GroupState[(Long, Long, String)]) =>
+          var prev: Option[(Long, Long, String)] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            prev.foreach { case (_, _, fromType) =>
+              out += Transition(userId, fromType, e.event_type)
+            }
+            prev = Some((e.ts, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).

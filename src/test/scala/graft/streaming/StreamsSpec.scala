@@ -298,4 +298,26 @@ class StreamsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(batch == m, s"batch $batch vs stream $m")
   }
+
+  test("transitionsStateful: state carries the previous event across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    // batch 1: user 1 sees a (ts 10) then b (ts 20) — order scrambled in
+    // the batch to prove the in-batch sort; user 2 sees x only
+    in.addData((1L, 101L, 20L, "b"), (1L, 100L, 10L, "a"), (2L, 200L, 5L, "x"))
+    val ds = in.toDF.toDF("user_id", "event_id", "ts", "event_type")
+      .as[Streams.TypedEvent]
+    val out1 = Streams.runToMemory(
+      Streams.transitionsStateful(ds).toDF(), "trans_out")
+    val r1 = out1.as[(Long, String, String)].collect().toSet
+    assert(r1 == Set((1L, "a", "b")), s"batch 1: $r1")
+    // batch 2: the carried state (b for user 1, x for user 2) pairs with
+    // the new arrivals
+    in.addData((1L, 102L, 30L, "c"), (2L, 201L, 9L, "y"))
+    Streams.runToMemory(Streams.transitionsStateful(ds).toDF(), "trans_out2")
+    val r2 = spark.table("trans_out2").as[(Long, String, String)].collect().toSet
+    assert(r2.contains((1L, "b", "c")) && r2.contains((2L, "x", "y")),
+      s"cross-batch carry: $r2")
+  }
 }
