@@ -2779,6 +2779,13 @@ object SparkEntry {
         "doc_id", "source")
         .orderBy("interleave_rank")),
 
+    // RFM behavioral segmentation: per-user recency/frequency/monetary
+    // terciles (equidepth rank arithmetic, exact cents), "333" = best.
+    "rfm_segments" -> ((s, dir) =>
+      graft.ops.Profiling.rfmSegments(t(s, dir, "events"),
+        "user_id", "ts", "value")
+        .orderBy("user_id")),
+
     // Robust (median/MAD) per-user outlier scores: order-statistic
     // centers (value SELECTION, no float folds) + one rounded division;
     // the heavy-tail-safe twin of anomaly_zscore.
@@ -5999,6 +6006,32 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS recency_us,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0)
+        |      AS BIGINT) AS monetary_cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |r AS (
+        |  SELECT u.*,
+        |    row_number() OVER (ORDER BY recency_us, user_id) - 1 AS rr,
+        |    row_number() OVER (ORDER BY frequency, user_id) - 1 AS rf,
+        |    row_number() OVER (ORDER BY monetary_cents, user_id) - 1 AS rm
+        |  FROM u),
+        |s AS (
+        |  SELECT user_id, recency_us, frequency, monetary_cents,
+        |    CAST((rr * 3) // n.n + 1 AS INT) AS r_score,
+        |    CAST((rf * 3) // n.n + 1 AS INT) AS f_score,
+        |    CAST((rm * 3) // n.n + 1 AS INT) AS m_score
+        |  FROM r CROSS JOIN n)
+        |SELECT *, concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+        |  CAST(m_score AS VARCHAR)) AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "robust_zscore" ->
       """WITH e AS (

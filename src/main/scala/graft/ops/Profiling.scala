@@ -454,6 +454,56 @@ object Profiling {
       .drop("__lo", "__hi")
   }
 
+  /** RFM segmentation: every entity scored 1–3 on Recency (latest
+    * event time), Frequency (event count), and Monetary (exact value
+    * cents), each score an equi-depth TERCILE of the entity population
+    * — the classic behavioral-segmentation composite (and, clinically,
+    * an engagement stratification: last-seen / visit-count / total
+    * utilization). Score 3 = top tercile on every axis; `segment`
+    * concatenates the three digits ("333" = best customers).
+    *
+    * Exactness: recency and frequency are int64; monetary sums
+    * integer cents (`round(v·100)` — the [[benfordProfile]] cents
+    * convention) so no float fold exists anywhere; null-value-only
+    * entities get monetary 0, not null (a null would sort
+    * engine-differently). Terciles come from the same
+    * `rank·k DIV n` arithmetic as [[equidepthBins]], ranked by the
+    * TOTAL order (value, key) through [[Curation.rankByOrder]]'s
+    * distributed prefix sum — three range exchanges over the
+    * ENTITY-sized frame (not the event stream), no single-task window,
+    * no quantile sketch.
+    */
+  def rfmSegments(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val k = col(s"`$keyCol`")
+    val users = df.filter(k.isNotNull && col(s"`$tsCol`").isNotNull)
+      .groupBy(k.as(keyCol))
+      .agg(
+        max(col(s"`$tsCol`")).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(round(col(s"`$valueCol`") * 100d, 0).cast("long")), lit(0L))
+          .as("monetary_cents"))
+    val kk = col(s"`$keyCol`")
+    val ranked = Curation.rankByOrder(
+      Curation.rankByOrder(
+        Curation.rankByOrder(users,
+          Seq(col("recency_us"), kk), "__rr"),
+        Seq(col("frequency"), kk), "__rf"),
+      Seq(col("monetary_cents"), kk), "__rm")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    def score(rank: String): Column =
+      (expr(s"($rank * 3) DIV __n") + 1L).cast("int")
+    ranked.crossJoin(broadcast(total))
+      .select(kk, col("recency_us"), col("frequency"), col("monetary_cents"),
+        score("__rr").as("r_score"),
+        score("__rf").as("f_score"),
+        score("__rm").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
   /** Robust (median/MAD) per-group outlier scores — the
     * heavy-tail-safe twin of [[groupZscores]]: one fat outlier inflates
     * a mean/stddev profile enough to mask every other anomaly in its

@@ -283,6 +283,8 @@ object syntax {
       Profiling.abTest(df, variantCol, convertedCol)
     def robustZscores(keyCol: String, valueCol: String): DataFrame =
       Profiling.robustZscores(df, keyCol, valueCol)
+    def rfmSegments(keyCol: String, tsCol: String, valueCol: String): DataFrame =
+      Profiling.rfmSegments(df, keyCol, tsCol, valueCol)
     /** Int64 fixed-point PageRank over this frame read as an edge list
       * (see [[ops.GraphOps.pageRank]]).
       */

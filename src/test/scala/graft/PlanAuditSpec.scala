@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
     "basket_lift" -> "floored pair counts × ONE broadcast basket-total row",
     "fhir_comorbidity" -> "same cooccurrenceLift shape: pair counts × ONE broadcast basket-total row",
     "equidepth_bins" -> "ranked rows × ONE broadcast total-count row",
+    "rfm_segments" -> "entity-sized ranked frame × ONE broadcast total-count row",
     "benford_profile" -> "9 digit rows × ONE broadcast total row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {

@@ -301,4 +301,27 @@ class ProfilingSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), out.toString)
     assert(out(8L).isEmpty, "null value: no verdict")
   }
+
+  test("rfmSegments: tercile scores from hand-built entities; exact cents") {
+    // 6 users with strictly increasing R, F, M on the same axis order:
+    // terciles must come out 1,1,2,2,3,3 on every dimension
+    val rows = (1 to 6).flatMap { u =>
+      (1 to u).map(j => (u.toLong, (u * 100 + j).toLong, Some(u * 1.5)))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = Profiling.rfmSegments(df, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .collect()
+    assert(out.map(_.getAs[Int]("r_score")).toSeq == Seq(1, 1, 2, 2, 3, 3))
+    assert(out.map(_.getAs[Int]("f_score")).toSeq == Seq(1, 1, 2, 2, 3, 3))
+    assert(out.map(_.getAs[Int]("m_score")).toSeq == Seq(1, 1, 2, 2, 3, 3))
+    assert(out.last.getAs[String]("segment") == "333")
+    // exact cents: user 4 has 4 events of 6.0 -> 2400
+    assert(out(3).getAs[Long]("monetary_cents") == 2400L)
+    // null-value-only users get monetary 0, not null
+    val withNull = Seq((9L, 5L, Option.empty[Double])).toDF("user_id", "ts", "value")
+    val m0 = Profiling.rfmSegments(withNull, "user_id", "ts", "value")
+      .select("monetary_cents").collect()(0).getLong(0)
+    assert(m0 == 0L)
+  }
 }
