@@ -421,7 +421,7 @@ object ScaleProbe {
     if (familyOn("pageRank", "pmiCollocations", "groupZscores",
         "gapProfile", "benfordProfile", "pivotLatest", "cohortRetention",
         "cooccurrenceLift", "equidepthBins", "minmaxScale", "robustZscores",
-        "transitionMatrix", "interleaveBySource")) {
+        "transitionMatrix", "interleaveBySource", "rfmSegments")) {
       Seq(1, k).foreach { times =>
         val d = replicate(times)
         println(s"--- round-9c docs ${times}x (${d.count()} docs) ---")
@@ -461,6 +461,11 @@ object ScaleProbe {
           graft.ops.Profiling.minmaxScale(e, "event_type", "value"))
         time("robustZscores(user)",
           graft.ops.Profiling.robustZscores(e, "user_id", "value"))
+        time("rfmSegments(user)",
+          graft.ops.Profiling.rfmSegments(
+            e.withColumn("value", (pmod(col("ts"), lit(997L)) +
+              pmod(col("user_id"), lit(97L))).cast("double")),
+            "user_id", "ts", "value"))
         time("transitionMatrix(type)",
           graft.ops.TimeSeries.transitionMatrix(
             e.withColumn("event_id", col("ts") * 1000L +
