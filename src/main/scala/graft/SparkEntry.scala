@@ -2779,6 +2779,16 @@ object SparkEntry {
         "doc_id", "source")
         .orderBy("interleave_rank")),
 
+    // Quality-proportional Bernoulli sampling: keep-probability is a
+    // COLUMN (here doc length per-myriad, clamped by the op) against the
+    // deterministic salted id-bucket — monotone in the weight, so a
+    // recalibrated-upward quality model only ADDS rows.
+    "weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id",
+        length(col("text")))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")),
+
     // RFM behavioral segmentation: per-user recency/frequency/monetary
     // terciles (equidepth rank arithmetic, exact cents), "333" = best.
     "rfm_segments" -> ((s, dir) =>
@@ -6006,6 +6016,13 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "weighted_sample" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |FROM ${Curation.bucketSqlCte("documents", "doc_id", Curation.SampleSalt)}
+         |WHERE doc_id IS NOT NULL
+         |  AND __bucket < least(greatest(length(text), 0), 10000)
+         |ORDER BY doc_id""".stripMargin,
 
     "rfm_segments" ->
       """WITH u AS (

@@ -195,6 +195,28 @@ object Curation {
     df.filter(hashBucket(col(idCol), salt) < rate)
   }
 
+  /** Deterministic PER-ROW weighted (Bernoulli) sampling: keep each row
+    * with probability `weightPerMyriad / 10000`, where the weight is a
+    * COLUMN — quality-proportional downsampling ("keep high-quality
+    * docs at 100%, tail quality at 5%"), the continuous generalization
+    * of [[stratifiedSample]]'s per-stratum rates. The coin is the same
+    * salted id-hash bucket as the split/sample family, so the kept set
+    * is deterministic, rerun-stable, and NESTED in the weight: raising
+    * a row's weight can only ADD it, never drop a previously kept row
+    * (monotone selection — the property incremental curation needs when
+    * a quality model is recalibrated upward). Weights are clamped to
+    * [0, 10000]; null ids and null weights drop (no coin, no keep —
+    * surfaced by row-count accounting, not silently routed). Stateless
+    * filter: pushes to the scan, zero shuffles.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightPerMyriad: Column,
+      salt: Long = SampleSalt): DataFrame = {
+    val w = least(greatest(weightPerMyriad.cast("long"), lit(0L)), lit(Myriad))
+    df.filter(col(s"`$idCol`").isNotNull &&
+      hashBucket(col(s"`$idCol`"), salt) < w)
+  }
+
   /** Per-group document quota: keep at most `maxPerGroup` rows of each
     * group, chosen by the salted 60-bit mix of the id — a deterministic
     * "random" sample with no RNG, so reruns select identical rows. The

@@ -174,6 +174,8 @@ object syntax {
       Curation.chunkBySentences(df, textCol, idCol, maxChars)
     def hashSplit(idCol: String, trainPerMyriad: Int, valPerMyriad: Int): DataFrame =
       Curation.hashSplit(df, idCol, trainPerMyriad, valPerMyriad)
+    def weightedSample(idCol: String, weightPerMyriad: Column): DataFrame =
+      Curation.weightedSample(df, idCol, weightPerMyriad)
     def stratifiedSample(idCol: String, strataCol: String,
         ratesPerMyriad: Map[String, Int], defaultPerMyriad: Int = 0): DataFrame =
       Curation.stratifiedSample(df, idCol, strataCol, ratesPerMyriad, defaultPerMyriad)

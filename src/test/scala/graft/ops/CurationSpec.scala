@@ -508,4 +508,27 @@ class CurationSpec extends SparkSpec {
       .orderBy("interleave_rank").select("doc_id").as[Long].collect().toSeq
     assert(again == first)
   }
+
+  test("weightedSample: monotone in the weight; clamps; nulls drop") {
+    val df = (1L to 2000L).map(i => (i, (i % 300).toInt)).toDF("id", "w")
+    def kept(scale: Int): Set[Long] =
+      Curation.weightedSample(df, "id", col("w") * scale)
+        .select("id").as[Long].collect().toSet
+    val k1 = kept(1)
+    val k10 = kept(10)
+    assert(k1.nonEmpty && k1.size < 2000, s"partial keep expected: ${k1.size}")
+    assert(k1.subsetOf(k10), "raising every weight must only ADD rows")
+    // weight 0 keeps nothing; weight >= 10000 keeps everything non-null
+    assert(Curation.weightedSample(df, "id", lit(0)).count() == 0L)
+    assert(Curation.weightedSample(df, "id", lit(999999)).count() == 2000L)
+    assert(Curation.weightedSample(df, "id", lit(-5)).count() == 0L,
+      "negative weights clamp to 0")
+    // null id and null weight both drop
+    val withNulls = Seq(
+      (Some(1L), Some(10000)), (Option.empty[Long], Some(10000)),
+      (Some(2L), Option.empty[Int])).toDF("id", "w")
+    assert(Curation.weightedSample(withNulls, "id", col("w")).count() == 1L)
+    // determinism: same salt, same kept set
+    assert(kept(1) == kept(1))
+  }
 }
