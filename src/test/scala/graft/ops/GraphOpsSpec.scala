@@ -112,4 +112,53 @@ class GraphOpsSpec extends SparkSpec {
       "basket", "item", minCount = 1L, maxFrequentPerBasket = 25L)
       .count() == 190L)
   }
+
+  test("randomized: pageRank == naive driver-side power iteration on 10 seeded graphs") {
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(20)
+      val edges = Seq.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = edges.map { case (a, b) => (a.min(b), a.max(b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val adj = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+      var r: Map[Long, Long] = deg.map { case (v, _) => v -> GraphOps.RankScale }
+      (1 to 3).foreach { _ =>
+        r = adj.map { case (u, ns) =>
+          u -> (150000000000L + ns.map(v => (r(v) * 17L) / (deg(v) * 20L)).sum)
+        }
+      }
+      val engine = GraphOps.pageRank(
+        edges.toDF("src", "dst"), "src", "dst", iters = 3)
+        .select("id", "pr").as[(Long, Long)].collect().toMap
+      assert(engine == r, s"seed=$seed: engine $engine vs naive $r")
+    }
+  }
+
+  test("randomized: cooccurrenceLift == naive driver-side fold on 10 seeded corpora") {
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(200)(
+        (rnd.nextInt(25).toLong, s"i${rnd.nextInt(12)}"))
+      val membership = rows.distinct
+      val nB = membership.map(_._1).distinct.size.toLong
+      val ic = membership.groupBy(_._2).map { case (i, m) => i -> m.size.toLong }
+      val frequent = ic.filter(_._2 >= 2L).keySet
+      val pairCounts = membership.groupBy(_._1).toSeq.flatMap { case (_, m) =>
+        val f = m.map(_._2).filter(frequent).distinct.sorted
+        for (x <- f.indices; y <- x + 1 until f.size) yield (f(x), f(y))
+      }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+        .filter(_._2 >= 2L)
+      val naive = pairCounts.map { case ((a, b), nab) =>
+        (a, b, nab, BigDecimal((nab * nB).toDouble / (ic(a) * ic(b)).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val engine = GraphOps.cooccurrenceLift(
+        rows.toDF("basket", "item"), "basket", "item", minCount = 2L)
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(engine == naive, s"seed=$seed: engine $engine vs naive $naive")
+    }
+  }
 }
