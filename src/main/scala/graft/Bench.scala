@@ -20,7 +20,11 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    // repo-root default (round-9 verdict: BENCH_r*.json tail-capture
+    // truncates the per-query dict — 81 of 177 gates visible — making
+    // cross-round per-gate regression analysis lossy; a working-tree file
+    // is committed by the driver's end-of-round sweep and survives intact)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,15 +112,16 @@ object Bench {
     val total = minSecs.map(_._2).sum
     val runTotals = runs.map(r => f3(r.values.map(_._1).sum)).mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_runs":$nRuns,"run_totals":$runTotals,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"bench_detail","unit":"sec","n_runs":$nRuns,"run_totals":$runTotals,"per_run":$perRun}"""
     // canonical line FIRST (head-capture) and LAST (tail-capture), detail in
     // between, plus a file copy immune to either
     println(compact)
-    println(s"""{"metric":"bench_detail","unit":"sec","n_runs":$nRuns,"run_totals":$runTotals,"per_run":$perRun}""")
+    println(detail)
     println(compact)
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (compact + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (compact + "\n" + detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: $e")
     }

@@ -5760,14 +5760,23 @@ object SparkEntry {
          |ORDER BY lift DESC, p.w1, p.w2 LIMIT 50""".stripMargin,
 
     "anomaly_zscore" ->
-      """WITH s AS (
+      """WITH x AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS xv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (
         |  SELECT user_id, CAST(count(value) AS BIGINT) AS group_n,
-        |    avg(value) AS m, stddev_samp(value) AS sd
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
-        |SELECT e.event_id, e.user_id, e.value, s.group_n,
-        |  CASE WHEN s.sd > 0 AND e.value IS NOT NULL
-        |       THEN round((e.value - s.m) / s.sd, 6) END AS zscore
-        |FROM events e JOIN s ON s.user_id = e.user_id
+        |    sum(CAST(xv AS HUGEINT)) AS sx,
+        |    sum(CAST(xv AS HUGEINT) * xv) AS qx
+        |  FROM x GROUP BY user_id)
+        |SELECT x.event_id, x.user_id, x.value, s.group_n,
+        |  CASE WHEN s.group_n >= 2 AND x.value IS NOT NULL
+        |        AND (s.group_n * s.qx - s.sx * s.sx) > 0
+        |       THEN round(CAST(x.xv * s.group_n - s.sx AS DOUBLE)
+        |         / sqrt(CAST((s.group_n * s.qx - s.sx * s.sx) * s.group_n
+        |                     AS DOUBLE)
+        |                / CAST(s.group_n - 1 AS DOUBLE)), 6) END AS zscore
+        |FROM x JOIN s ON s.user_id = x.user_id
         |ORDER BY event_id""".stripMargin,
 
     "gap_profile" ->
@@ -5794,7 +5803,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR),
         |    1, 1) AS INT) AS digit
-        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |  FROM events WHERE value IS NOT NULL AND value > 0
+        |    AND CAST(round(value * 100, 0) AS BIGINT) >= 1),
         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
         |SELECT digit, n,
@@ -5854,14 +5864,23 @@ object SparkEntry {
     // The batch anomaly_zscore SQL verbatim: the stream path is a
     // stateless static-profile join, so batch ≡ stream by construction.
     "stream_anomaly" ->
-      """WITH s AS (
+      """WITH x AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS xv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |s AS (
         |  SELECT user_id, CAST(count(value) AS BIGINT) AS group_n,
-        |    avg(value) AS m, stddev_samp(value) AS sd
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
-        |SELECT e.event_id, e.user_id, e.value, s.group_n,
-        |  CASE WHEN s.sd > 0 AND e.value IS NOT NULL
-        |       THEN round((e.value - s.m) / s.sd, 6) END AS zscore
-        |FROM events e JOIN s ON s.user_id = e.user_id
+        |    sum(CAST(xv AS HUGEINT)) AS sx,
+        |    sum(CAST(xv AS HUGEINT) * xv) AS qx
+        |  FROM x GROUP BY user_id)
+        |SELECT x.event_id, x.user_id, x.value, s.group_n,
+        |  CASE WHEN s.group_n >= 2 AND x.value IS NOT NULL
+        |        AND (s.group_n * s.qx - s.sx * s.sx) > 0
+        |       THEN round(CAST(x.xv * s.group_n - s.sx AS DOUBLE)
+        |         / sqrt(CAST((s.group_n * s.qx - s.sx * s.sx) * s.group_n
+        |                     AS DOUBLE)
+        |                / CAST(s.group_n - 1 AS DOUBLE)), 6) END AS zscore
+        |FROM x JOIN s ON s.user_id = x.user_id
         |ORDER BY event_id""".stripMargin,
 
     "ngram_next" ->

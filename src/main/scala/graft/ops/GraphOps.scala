@@ -32,6 +32,13 @@ object GraphOps {
   val DampNum: Long = 17L
   val DampDen: Long = 20L
 
+  /** Largest per-node rank the next iteration can safely multiply by
+    * [[DampNum]] without wrapping int64 — the fail-fast ceiling for
+    * [[pageRank]]'s plan-embedded overflow guard (≈5.4e17, i.e. a
+    * single node concentrating ≈5.4e5 unit masses of rank).
+    */
+  val MaxSafeRank: Long = Long.MaxValue / DampNum
+
   /** Undirected PageRank via `iters` unrolled power-iteration steps in
     * exact int64 fixed-point arithmetic.
     *
@@ -58,9 +65,21 @@ object GraphOps {
     * needs), so total cost is `iters` edge-bounded shuffles; for long
     * chains at cluster scale, checkpoint the rank frame every few
     * iterations the same way [[Dedup.connectedComponents]] does.
-    * Overflow headroom: Σ ranks ≈ n·S conserves mass, so `r·17`
-    * stays far inside int64 for any corpus that fits an int64 node
-    * count.
+    *
+    * Overflow contract: mass conservation bounds the TOTAL (Σ ranks ≈
+    * n·S), but a single hub concentrates up to the damped mass of its
+    * whole neighborhood — a star center over D unit-rank leaves holds
+    * ≈ D·0.85·S after one step, so a per-node rank can reach
+    * [[MaxSafeRank]] = Long.MaxValue/17 (≈5.4e17, ≈5.4e5 unit masses)
+    * on exactly the template-heavy near-dup graphs this targets. Each
+    * iteration therefore (a) folds the neighbor sum in decimal(38,0) —
+    * the sum itself can never silently wrap, matching the DuckDB
+    * oracle's HUGEINT fold — and (b) wraps the result in a
+    * plan-embedded fail-fast guard (the [[cooccurrenceLift]]
+    * `raise_error` pattern): a node whose rank exceeds [[MaxSafeRank]]
+    * names itself in the error instead of feeding a wrapped `r·17`
+    * into the next step. The guard is an always-true branch on healthy
+    * graphs — it costs one codegen comparison per edge, never a pass.
     *
     * Output: `(id, degree, pr)` — `pr` is the fixed-point rank
     * (divide by [[RankScale]].toDouble for the conventional unit-mass
@@ -91,11 +110,34 @@ object GraphOps {
     val base = RankScale / DampDen * (DampDen - DampNum) // (1-d)·S exact
     var ranks = deg.select(col("v"), lit(RankScale).as("r"))
     for (_ <- 1 to iters) {
-      ranks = adjd.join(ranks, Seq("v"))
+      // fold the neighbor sum in decimal(38,0): a hub's incoming damped
+      // mass is bounded only by its neighborhood's TOTAL rank, so an
+      // int64 sum could silently wrap on hub-concentrated graphs (and
+      // the DuckDB oracle folds in HUGEINT — this keeps the two engines'
+      // accumulators equally exact). The decimal total is then gated
+      // back to int64 through the fail-fast guard below.
+      val folded = adjd.join(ranks, Seq("v"))
         .groupBy(col("u"))
-        .agg((lit(base) +
-          sum(expr(s"(r * ${DampNum}L) DIV (d * ${DampDen}L)"))).as("r"))
-        .select(col("u").as("v"), col("r"))
+        .agg((lit(base).cast("decimal(38,0)") +
+          sum(expr(s"CAST((r * ${DampNum}L) DIV (d * ${DampDen}L)" +
+            " AS DECIMAL(38,0))"))).as("rd"))
+      // plan-embedded fail-fast (the cooccurrenceLift raise_error
+      // pattern): a rank above MaxSafeRank would wrap r·DampNum next
+      // step — name the node and die instead of emitting wrong ranks.
+      // The guard wraps the node-id column (every downstream consumer
+      // joins on it, so column pruning can never elide the check — a
+      // guard on the rank value alone would vanish under a count()).
+      ranks = folded.select(
+        when(col("rd") > lit(java.math.BigDecimal.valueOf(MaxSafeRank)),
+          raise_error(concat(
+            lit("pageRank: node "), col("u").cast("string"),
+            lit(" rank "), col("rd").cast("string"),
+            lit(s" exceeds MaxSafeRank=$MaxSafeRank (int64 headroom for" +
+              " the x17 damping multiply) — the graph concentrates >~5.4e5" +
+              " unit masses on one hub; split the hub neighborhood or" +
+              " rescale RankScale down"))))
+          .otherwise(col("u")).as("v"),
+        col("rd").cast("long").as("r"))
     }
     deg.join(ranks, Seq("v"))
       .select(col("v").as("id"), col("d").as("degree"), col("r").as("pr"))

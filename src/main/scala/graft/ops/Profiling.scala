@@ -338,13 +338,28 @@ object Profiling {
     * whose group has fewer than two non-null values (or zero variance)
     * get a null `zscore` — no evidence, no verdict — rather than being
     * dropped, so the output stays row-aligned with the input for
-    * downstream joins. `zscore` is rounded to 6 dp: the group mean is a
-    * float fold whose last-ulp depends on aggregation order, and the
-    * rounding is what makes the score engine-portable (the
-    * numeric_profile contract). Callers filter `abs(zscore) > k` for
-    * flagging; the threshold deliberately stays OUT of this operator so
-    * the (engine-noise-sensitive) comparison is a caller policy, not a
-    * baked-in boundary.
+    * downstream joins.
+    *
+    * Exactness contract (the [[Dedup]]-family rule, upgraded here from
+    * the earlier avg/stddev formulation whose float folds were only
+    * probabilistically engine-portable): values are snapped to the
+    * fixed-point grid `x = round(v·scale)` and the group moments are
+    * EXACT integer sums — S = Σx and Q = Σx², folded in decimal(38,0)
+    * so no aggregation order and no engine can perturb them (the
+    * DuckDB twin folds in HUGEINT). The score is then the
+    * algebraically identical
+    * {{{ z = (x·n − S) / sqrt( ((n·Q − S²)·n) / (n−1) ) }}}
+    * — exact integers up to ONE double division, one sqrt, one final
+    * division (all IEEE-correctly-rounded, hence bit-identical across
+    * engines), then round(6). `scale` must cover the column's real
+    * precision (default 100 = currency cents; sub-grid precision is
+    * deliberately snapped away — that is what makes the score exact).
+    * Headroom: the decimal(38,0) products need `n·max|x| < ~1e19`
+    * per group; beyond that Spark's decimal math nulls the score
+    * rather than silently wrapping. Callers filter `abs(zscore) > k`
+    * for flagging; the threshold deliberately stays OUT of this
+    * operator so the comparison is a caller policy, not a baked-in
+    * boundary.
     *
     * Scale shape: one map-side-combined groupBy(key) for the moment
     * stats, one equi-join back on the key (the stats side is one row
@@ -353,8 +368,10 @@ object Profiling {
     * no group to be scored against.
     */
   def groupZscores(
-      df: DataFrame, keyCol: String, valueCol: String): DataFrame =
-    scoreAgainstStats(df, keyCol, valueCol, groupStats(df, keyCol, valueCol))
+      df: DataFrame, keyCol: String, valueCol: String,
+      scale: Long = 100L): DataFrame =
+    scoreAgainstStats(df, keyCol, valueCol,
+      groupStats(df, keyCol, valueCol, scale), scale)
 
   /** The per-group moment profile [[groupZscores]] scores against —
     * public so the SAME profile can be trained batch-side and applied
@@ -364,29 +381,42 @@ object Profiling {
     * event against a moving target and make results ingestion-order-
     * dependent).
     */
-  def groupStats(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+  def groupStats(
+      df: DataFrame, keyCol: String, valueCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
     val v = col(s"`$valueCol`")
+    val xd = round(v * lit(scale.toDouble), 0).cast("long")
+      .cast("decimal(38,0)")
     df.filter(col(s"`$keyCol`").isNotNull)
       .groupBy(col(s"`$keyCol`").as("__k"))
-      .agg(count(v).as("group_n"), avg(v).as("__m"), stddev_samp(v).as("__sd"))
+      .agg(count(v).as("group_n"),
+        sum(xd).as("__s"), sum(xd * xd).as("__q"))
   }
 
   /** Shared scoring join — the single definition both the batch and
     * streaming z-score paths go through, so their score arithmetic
-    * cannot fork. `stats` must be a [[groupStats]]-shaped frame.
+    * cannot fork. `stats` must be a [[groupStats]]-shaped frame
+    * trained at the SAME `scale`.
     */
   private[graft] def scoreAgainstStats(
       df: DataFrame, keyCol: String, valueCol: String,
-      stats: DataFrame): DataFrame = {
+      stats: DataFrame, scale: Long = 100L): DataFrame = {
     val k = col(s"`$keyCol`")
     val v = col(s"`$valueCol`")
+    val xd = round(v * lit(scale.toDouble), 0).cast("long")
+      .cast("decimal(38,0)")
+    val nd = col("group_n").cast("decimal(38,0)")
+    val varNum = (nd * col("__q") - col("__s") * col("__s")) * nd
     df.filter(k.isNotNull)
       .join(stats, k === col("__k"))
       .drop("__k")
       .withColumn("zscore",
-        when(col("__sd") > 0d && v.isNotNull,
-          round((v - col("__m")) / col("__sd"), 6)))
-      .drop("__m", "__sd")
+        when(col("group_n") >= 2L && v.isNotNull && varNum > 0,
+          round((xd * nd - col("__s")).cast("double") /
+            sqrt(varNum.cast("double") /
+              (col("group_n") - 1L).cast("double")), 6)))
+      .drop("__s", "__q")
   }
 
   /** Exact equi-depth (quantile) binning: every non-null value ranked
@@ -606,7 +636,14 @@ object Profiling {
     * integer→string is engine-identical, whereas floor(v/10^floor(log10
     * v)) sits one libm-ulp from the wrong digit at every power of ten.
     * Non-positive and null values are excluded (Benford's law is a
-    * statement about positive magnitudes).
+    * statement about positive magnitudes), and so are values whose
+    * hundredths round to zero (v < 0.005): those have no first digit at
+    * the cent grain — without the floor they would emit a degenerate
+    * digit-0 row whose Benford expectation log10(1 + 1/0) is a
+    * division by zero (Infinity in Spark, error in a strict engine).
+    * Sub-cent magnitudes that survive rounding still profile at the
+    * CENT grain (0.08 → digit 8): the operator's unit is hundredths by
+    * contract, not the value's own leading significant digit.
     *
     * Scale shape: a 9-row map-side-combined aggregation — one pass, no
     * shuffle beyond the 9-group exchange — plus a broadcast of the
@@ -616,7 +653,10 @@ object Profiling {
     val v = col(s"`$valueCol`")
     val cents = round(v * 100d, 0).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val counts = df.filter(v.isNotNull && v > 0d)
+    // cents >= 1, not just v > 0: a value in (0, 0.005) rounds to zero
+    // hundredths and has no first digit (digit '0' would divide by zero
+    // in the Benford expectation)
+    val counts = df.filter(v.isNotNull && v > 0d && cents >= 1L)
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("__t"))

@@ -171,8 +171,9 @@ object Streams {
     * profile — the streaming twin of the batch
     * [[graft.ops.Profiling.groupZscores]], completing batch/stream
     * parity for the profiling family the way [[asofEnrichStatic]] did
-    * for the time-series family. The profile (per-key n/mean/stddev,
-    * [[graft.ops.Profiling.groupStats]]) is trained batch-side over
+    * for the time-series family. The profile (per-key exact fixed-point
+    * moments, [[graft.ops.Profiling.groupStats]] — train it at the SAME
+    * `scale` passed here) is trained batch-side over
     * history; the stream side is then a STATELESS stream-static join +
     * per-row arithmetic — no watermark requirement, no state store, and
     * the static side is re-planned per micro-batch so a profile refresh
@@ -182,8 +183,9 @@ object Streams {
     */
   def zscoreEnrichStatic(
       stream: DataFrame, keyCol: String, valueCol: String,
-      profile: DataFrame): DataFrame =
-    graft.ops.Profiling.scoreAgainstStats(stream, keyCol, valueCol, profile)
+      profile: DataFrame, scale: Long = 100L): DataFrame =
+    graft.ops.Profiling.scoreAgainstStats(
+      stream, keyCol, valueCol, profile, scale)
 
   /** Watermarked STREAM-STREAM interval join — the two-sided stateful
     * join (attribution: every right event within `[left time, left time

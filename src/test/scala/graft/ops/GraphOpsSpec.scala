@@ -35,6 +35,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(3L) == out(2L), "leaves symmetric")
   }
 
+  test("pageRank: overflow guard fails fast on a hub past MaxSafeRank") {
+    // mega-star: hub 0 over n degree-1 leaves concentrates ≈ n·0.85·S
+    // after one step — n=700k puts the hub at ~5.95e17 > MaxSafeRank
+    // ≈5.42e17, exactly the silent int64 wrap the guard exists to stop
+    // (without it, iteration 2's r·17 would exceed Long.MaxValue and
+    // produce wrong ranks with no error)
+    val n = 700000L
+    assert(n * (GraphOps.RankScale / 20L * 17L) > GraphOps.MaxSafeRank,
+      "test graph must exceed the guard ceiling")
+    val edges = spark.range(1L, n + 1L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val e = intercept[Exception] {
+      GraphOps.pageRank(edges, "src", "dst", iters = 2).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    assert(messages(e).contains("MaxSafeRank") && messages(e).contains("node 0"),
+      messages(e))
+    // one node under the ceiling: runs clean and the hub holds the mass
+    val ok = GraphOps.pageRank(
+      spark.range(1L, 1001L).select(lit(0L).as("src"), col("id").as("dst")),
+      "src", "dst", iters = 3)
+    assert(ok.filter(col("id") === 0L).select("pr").as[Long].head() >
+      1000L * GraphOps.RankScale / 2L, "hub concentrates mass")
+  }
+
   test("pageRank: edge canonicalization — dups, reversals, self-loops, nulls") {
     val edges = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),

@@ -176,6 +176,28 @@ class ProfilingSpec extends SparkSpec {
     assert(out(7L) == ((3L, None)), "null value gets no score but keeps its row")
   }
 
+  test("groupZscores: exact fixed-point moments — grid snap and engine-order independence") {
+    // values snap to the cent grid BEFORE the moments: 1.004 and 0.996
+    // both score as 1.00 (their z's are identical), which is the price
+    // of exactness the docstring states. Grid values 100,200,300 cents:
+    // S=600, Q=140000 -> z = (x·3−600)/sqrt((3·140000−600²)·3/2) = ±1, 0
+    val df = Seq(
+      (1L, 1L, 1.004), (2L, 1L, 2.0), (3L, 1L, 2.996),
+      (4L, 2L, 0.996), (5L, 2L, 1.004)) // same cent -> zero variance
+      .toDF("event_id", "user_id", "value")
+    val out = Profiling.groupZscores(df, "user_id", "value")
+      .select("event_id", "zscore").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(-1.0) && out(2L) == Some(0.0) &&
+      out(3L) == Some(1.0), out.toString)
+    assert(out(4L).isEmpty && out(5L).isEmpty,
+      "same-cent group has zero grid variance: " + out)
+    // a coarser scale coarsens the verdict: at scale=1 all of group 1
+    // snaps to 1,2,3 units -> same z's (scale cancels algebraically)
+    val unit = Profiling.groupZscores(df, "user_id", "value", scale = 1L)
+      .select("event_id", "zscore").as[(Long, Option[Double])].collect().toMap
+    assert(unit(1L) == Some(-1.0) && unit(3L) == Some(1.0), unit.toString)
+  }
+
   test("groupZscores: null keys are excluded, rows stay aligned otherwise") {
     val df = Seq(
       (1L, Some(1L), 1.0), (2L, Some(1L), 3.0),
@@ -188,8 +210,10 @@ class ProfilingSpec extends SparkSpec {
   }
 
   test("benfordProfile: digit extraction from integer cents, shares sum to 1") {
-    // 123.45 -> 12345 -> 1; 0.07 -> 7 -> 7; 19.17 (inexact double) -> 1917 -> 1
-    val df = Seq(123.45, 0.07, 19.17, 2.0, 250.0, 9.99, -5.0, 0.0)
+    // 123.45 -> 12345 -> 1; 0.07 -> 7 -> 7; 19.17 (inexact double) -> 1917 -> 1;
+    // 0.004 rounds to ZERO cents — excluded (digit-0 would put 1/0 in the
+    // Benford expectation), not emitted as a degenerate row
+    val df = Seq(123.45, 0.07, 19.17, 2.0, 250.0, 9.99, -5.0, 0.0, 0.004)
       .map(Tuple1(_)).toDF("v")
     val out = Profiling.benfordProfile(df, "v")
       .select("digit", "n").as[(Int, Long)].collect().toMap
