@@ -2345,6 +2345,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §2.11 — REAL audio codec tier (javax.sound.sampled): synthetic
+    // 16-bit PCM corpus encoded through the actual WAV writer (1 in 10
+    // ids deliberately corrupt), decoded back (format meta, exact int64
+    // sample moments, integral µs duration), and nearest-neighbor
+    // frame-resampled to 8 kHz (decode → integer resample → re-encode →
+    // decode again). PCM is lossless and the resample is integer
+    // arithmetic, so the oracle recomputes EVERY value — original,
+    // corrupt-degraded, and resampled — from the sample formula alone
+    // in SQL; nothing about the codec is trusted.
+    "multimodal_audio" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val media = Multimodal.syntheticWavTable(ids, "doc_id", corruptMod = 10L)
+      val orig = Multimodal.decodeAudio(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("decoded").cast("int").as("decoded"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("duration_us"),
+          col("sample_sum"), col("sample_sqsum"),
+          col("sample_min"), col("sample_max"))
+      val res = Multimodal.decodeAudio(
+          Multimodal.resampleAudio(media, targetRate = 8000)).toDF()
+        .select(col("media_id"), col("n_frames").as("r_frames"),
+          col("sample_rate").as("r_rate"), col("sample_sum").as("r_sum"))
+      // left join: corrupt payloads decode nowhere, so they carry null
+      // resample columns — the degradation the oracle predicts
+      orig.join(res, Seq("media_id"), "left").orderBy("media_id")
+    }),
+
+    // §2.11 — windowed audio energy over the same REAL codec tier: one
+    // WAV fans out to per-window exact sample moments (count / sum /
+    // sum-of-squares — the RMS numerators), executor-side flatMap.
+    "multimodal_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(
+        Multimodal.syntheticWavTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+        windowFrames = 32)
+        .toDF()
+        .orderBy("media_id", "window_idx")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -5661,6 +5699,81 @@ object SparkEntry {
         |  o.pixel_min, o.pixel_max, r.r_width, r.r_height, r.r_pixel_sum
         |FROM o JOIN r ON r.media_id = o.media_id
         |ORDER BY o.media_id""".stripMargin,
+
+    // The audio twin of multimodal_imageio's arithmetic replay: every
+    // decoded value — container size (canonical 44-byte RIFF + PCM
+    // data), format meta, integral µs duration, exact int64 sample
+    // moments, corrupt-row degradation, and the 8 kHz nearest-neighbor
+    // resample — recomputed from the PCM sample formula alone.
+    "multimodal_audio" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 50 + doc_id % 101 AS n,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |      ELSE 16000 END AS rate,
+        |    (doc_id % 10 = 0) AS corrupt
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sm AS (
+        |  SELECT media_id, sum(v) AS s, sum(v * v) AS q,
+        |    min(v) AS mn, max(v) AS mx
+        |  FROM (
+        |    SELECT i.media_id,
+        |      ((i.media_id * 31 + ii.i * 7 + cc.c * 131) % 65536) - 32768 AS v
+        |    FROM ids i, unnest(generate_series(0, i.n - 1)) AS ii(i),
+        |         unnest(generate_series(0, i.ch - 1)) AS cc(c)
+        |    WHERE NOT i.corrupt)
+        |  GROUP BY media_id),
+        |rs AS (
+        |  SELECT media_id, rn, sum(v) AS rsum
+        |  FROM (
+        |    SELECT i.media_id, greatest(1, (i.n * 8000) // i.rate) AS rn,
+        |      ((i.media_id * 31
+        |        + ((ii.i * i.n) // greatest(1, (i.n * 8000) // i.rate)) * 7
+        |        + cc.c * 131) % 65536) - 32768 AS v
+        |    FROM ids i,
+        |      unnest(generate_series(0,
+        |        greatest(1, (i.n * 8000) // i.rate) - 1)) AS ii(i),
+        |      unnest(generate_series(0, i.ch - 1)) AS cc(c)
+        |    WHERE NOT i.corrupt)
+        |  GROUP BY media_id, rn)
+        |SELECT i.media_id,
+        |  CAST(CASE WHEN i.corrupt THEN 8
+        |    ELSE 44 + i.n * i.ch * 2 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN i.corrupt THEN 0 ELSE 1 END AS INTEGER) AS decoded,
+        |  CAST(CASE WHEN i.corrupt THEN 0 ELSE i.ch END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN i.corrupt THEN 0 ELSE i.rate END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN i.corrupt THEN 0 ELSE i.n END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN i.corrupt THEN 0
+        |    ELSE (i.n * 1000000) // i.rate END AS BIGINT) AS duration_us,
+        |  CAST(coalesce(sm.s, 0) AS BIGINT) AS sample_sum,
+        |  CAST(coalesce(sm.q, 0) AS BIGINT) AS sample_sqsum,
+        |  CAST(coalesce(sm.mn, 0) AS INTEGER) AS sample_min,
+        |  CAST(coalesce(sm.mx, 0) AS INTEGER) AS sample_max,
+        |  CAST(rs.rn AS BIGINT) AS r_frames,
+        |  CAST(CASE WHEN i.corrupt THEN NULL ELSE 8000 END AS INTEGER) AS r_rate,
+        |  CAST(rs.rsum AS BIGINT) AS r_sum
+        |FROM ids i LEFT JOIN sm ON sm.media_id = i.media_id
+        |  LEFT JOIN rs ON rs.media_id = i.media_id
+        |ORDER BY i.media_id""".stripMargin,
+
+    // Windowed audio energy replayed arithmetically: window w covers
+    // frames [w·32, min((w+1)·32, n)), moments summed over channels.
+    "multimodal_audio_windows" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 50 + doc_id % 101 AS n,
+        |    1 + doc_id % 2 AS ch
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (
+        |  SELECT i.media_id, ii.i // 32 AS window_idx,
+        |    ((i.media_id * 31 + ii.i * 7 + cc.c * 131) % 65536) - 32768 AS v
+        |  FROM ids i, unnest(generate_series(0, i.n - 1)) AS ii(i),
+        |       unnest(generate_series(0, i.ch - 1)) AS cc(c))
+        |SELECT media_id, CAST(window_idx AS INTEGER) AS window_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(sum(v * v) AS BIGINT) AS sample_sqsum
+        |FROM s GROUP BY media_id, window_idx
+        |ORDER BY media_id, window_idx""".stripMargin,
 
     // Stride-decimation resize, reconstructed in SQL from the hex payload:
     // output byte j = input byte (j*n)//rn, rn = min(n, 64); exact int64

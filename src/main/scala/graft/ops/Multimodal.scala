@@ -9,14 +9,23 @@ import org.apache.spark.sql.types._
   * extraction runs batch-at-a-time inside `mapPartitions` so a real codec
   * drops in without touching the plumbing.
   *
-  * Two codec tiers share the seam:
+  * Three codec tiers share the seam:
   *  - REAL image path via the JVM's built-in `javax.imageio` (PNG/JPEG —
   *    no external deps): [[syntheticPngTable]] encodes, [[decodeImages]]
   *    decodes dimensions + pixel statistics, [[resizeImages]] decodes →
   *    nearest-neighbor resamples → re-encodes. PNG is lossless, so pixel
   *    arithmetic survives the round trip bit-exactly and the oracle can
   *    check it in SQL.
-  *  - STUB byte-level path for media with no in-JVM codec (audio/video):
+  *  - REAL audio path via the JVM's built-in `javax.sound.sampled`
+  *    (WAV/PCM — no external deps): [[syntheticWavTable]] encodes
+  *    deterministic 16-bit PCM through the real WAV writer,
+  *    [[decodeAudio]] decodes format metadata + exact integer sample
+  *    statistics, [[resampleAudio]] decodes → nearest-neighbor
+  *    resamples frames → re-encodes, [[audioWindows]] fans one payload
+  *    out to per-window sample moments (the RMS/loudness feature
+  *    primitive). PCM is lossless, so sample arithmetic survives the
+  *    round trip bit-exactly and the oracle replays it in SQL.
+  *  - STUB byte-level path for media with no in-JVM codec (video):
   *    deterministic fake features derived from payload bytes. The
   *    surrounding shape — schema, batch iteration, per-partition decoder
   *    reuse, executor-side fan-out — is identical, so a native codec
@@ -347,7 +356,268 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  // --- byte-level stub path (no in-JVM codec: audio/video) ---------------
+  // --- real javax.sound.sampled path (WAV / 16-bit PCM audio) ------------
+
+  /** Deterministic 16-bit PCM WAV: interleaved
+    * `sample(frame i, channel c) = ((id·31 + i·7 + c·131) mod 65536) − 32768`
+    * (full int16 swing), encoded through the REAL `javax.sound.sampled`
+    * WAV writer. PCM WAV is lossless, so the decode side recovers
+    * exactly these samples — the formula is the SQL oracle's ground
+    * truth (the [[syntheticPng]] contract, audio tier). The canonical
+    * WAVE container is a 44-byte RIFF header + `nFrames·channels·2`
+    * data bytes, so even `n_bytes` is oracle-predictable.
+    */
+  def syntheticWav(id: Long, nFrames: Int, sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(nFrames > 0 && sampleRate > 0 && channels > 0,
+      s"bad wav params frames=$nFrames rate=$sampleRate ch=$channels")
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id * 31 + i.toLong * 7 + c.toLong * 131) % 65536L) - 32768L).toInt
+        val off = (i * channels + c) * 2
+        pcm(off) = (v & 0xff).toByte // WAV PCM is little-endian
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic WAV corpus keyed by a non-negative id column: per id,
+    * `nFrames = 50 + id mod 101`, `channels = 1 + id mod 2`, sample rate
+    * 8000/11025/16000 by `id mod 3`, samples per [[syntheticWav]]. Ids
+    * with `corruptMod > 0 && id mod corruptMod == 0` get a deliberately
+    * non-WAV payload (the bytes "NOTAWAVE") so downstream decode must
+    * exercise its corrupt-blob degradation. Encode runs executor-side in
+    * `mapPartitions` — the same seam as [[syntheticPngTable]].
+    */
+  def syntheticWavTable(df: DataFrame, idCol: String,
+      corruptMod: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (corruptMod > 0 && id % corruptMod == 0)
+            (id, "NOTAWAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          else {
+            val n = 50 + (id % 101).toInt
+            val ch = 1 + (id % 2).toInt
+            val rate = (id % 3) match {
+              case 0 => 8000
+              case 1 => 11025
+              case _ => 16000
+            }
+            (id, syntheticWav(id, n, rate, ch))
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  final case class DecodedAudio(
+      media_id: Long, n_bytes: Long, decoded: Boolean, channels: Int,
+      sample_rate: Int, bits: Int, n_frames: Long, duration_us: Long,
+      sample_sum: Long, sample_sqsum: Long, sample_min: Int, sample_max: Int)
+
+  /** Raw interleaved 16-bit PCM little-endian samples of a decodable
+    * 16-bit PCM WAV payload, or null on any decode failure — the shared
+    * decode prologue of the audio tier (the [[tryDecode]] contract:
+    * audio parsers throw unchecked exceptions on malformed containers,
+    * and one crafted blob must not kill a corpus scan). Returns the
+    * format and the PCM data; callers parse samples from the bytes.
+    */
+  private def tryDecodePcm(bytes: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Array[Byte]) =
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+          else (fmt, ais.readAllBytes())
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** REAL audio decode at the codec seam:
+    * `javax.sound.sampled.AudioSystem.getAudioInputStream` per payload
+    * (16-bit PCM WAV — the JVM's built-in reader), emitting container
+    * metadata (channels, rate, bit depth, frame count), the exact
+    * integral duration `n_frames·1e6 DIV rate` in µs, and EXACT int64
+    * sample moments over all channels — sum, sum-of-squares (the RMS
+    * numerator: `rms = sqrt(sqsum/n)` is one caller-side float op),
+    * min, max. All-integer outputs, so a SQL oracle replays every value
+    * from the sample formula; no float fold anywhere. Undecodable,
+    * null, or non-PCM16 payloads degrade to `decoded = false` zero-stat
+    * rows rather than failing the job — at corpus scale one corrupt
+    * blob must not kill the scan. Shuffle-free; per-partition seam as
+    * [[decodeImages]].
+    */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+          val dec = tryDecodePcm(bytes)
+          if (dec == null)
+            DecodedAudio(id, bytes.length.toLong, decoded = false,
+              0, 0, 0, 0L, 0L, 0L, 0L, 0, 0)
+          else {
+            val (fmt, pcm) = dec
+            val ch = fmt.getChannels
+            val rate = fmt.getSampleRate.toInt
+            val nSamples = pcm.length / 2
+            val nFrames = (nSamples / ch).toLong
+            var sum = 0L
+            var sq = 0L
+            var min = Int.MaxValue
+            var max = Int.MinValue
+            var s = 0
+            while (s < nSamples) {
+              val v = ((pcm(2 * s) & 0xff) | (pcm(2 * s + 1) << 8)).toShort.toInt
+              sum += v
+              sq += v.toLong * v
+              if (v < min) min = v
+              if (v > max) max = v
+              s += 1
+            }
+            if (nSamples == 0) { min = 0; max = 0 }
+            DecodedAudio(id, bytes.length.toLong, decoded = true, ch, rate, 16,
+              nFrames, nFrames * 1000000L / rate, sum, sq, min, max)
+          }
+        }
+      }
+  }
+
+  /** REAL audio resample at the same seam: decode → exact
+    * nearest-neighbor frame resample (`dst frame i` copies `src frame
+    * ⌊i·srcFrames/dstFrames⌋`, every channel — integer arithmetic, so
+    * the oracle replays it in SQL; interpolating resamplers are not
+    * arithmetic-reproducible) → WAV re-encode at `targetRate` with
+    * `dstFrames = max(1, srcFrames·targetRate DIV srcRate)`. Output
+    * schema matches [[syntheticWavTable]] so resample chains into
+    * [[decodeAudio]] — the audio twin of [[resizeImages]]. Undecodable
+    * payloads are dropped (flag upstream with [[decodeAudio]]'s
+    * `decoded` first — the curation-pipeline composition).
+    */
+  def resampleAudio(media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive: $targetRate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val dec = tryDecodePcm(bytesOrNull)
+          if (dec == null) Iterator.empty
+          else {
+            val (fmt, pcm) = dec
+            val ch = fmt.getChannels
+            val srcRate = fmt.getSampleRate.toInt
+            val srcN = pcm.length / (2 * ch)
+            if (srcN == 0) Iterator.empty
+            else {
+              val dstN = math.max(1L, srcN.toLong * targetRate / srcRate).toInt
+              val out = new Array[Byte](dstN * ch * 2)
+              var i = 0
+              while (i < dstN) {
+                val si = (i.toLong * srcN / dstN).toInt
+                var c = 0
+                while (c < ch) {
+                  out((i * ch + c) * 2) = pcm((si * ch + c) * 2)
+                  out((i * ch + c) * 2 + 1) = pcm((si * ch + c) * 2 + 1)
+                  c += 1
+                }
+                i += 1
+              }
+              val ofmt = new javax.sound.sampled.AudioFormat(
+                targetRate.toFloat, 16, ch, true, false)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(out), ofmt, dstN.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              Iterator.single((id, bos.toByteArray))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
+
+  final case class AudioWindow(
+      media_id: Long, window_idx: Int, n_samples: Long,
+      sample_sum: Long, sample_sqsum: Long)
+
+  /** Per-window sample moments over the REAL audio tier — the
+    * RMS/loudness feature primitive (windowed energy is the first
+    * feature every audio-quality filter computes): one payload fans out
+    * to ⌈frames/windowFrames⌉ typed rows, each carrying EXACT int64
+    * count/sum/sum-of-squares over all channels of its frame window
+    * (`rms = sqrt(sqsum/n)` is one caller-side float op away; kept
+    * integral here so oracles hash-match). The fan-out happens
+    * executor-side via `flatMap` inside `mapPartitions` — the
+    * [[sampleFrames]] shape with a REAL decoder. Undecodable payloads
+    * emit no rows.
+    */
+  def audioWindows(media: DataFrame, windowFrames: Int): Dataset[AudioWindow] = {
+    require(windowFrames > 0, s"windowFrames must be positive: $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val dec = tryDecodePcm(bytesOrNull)
+          if (dec == null) Iterator.empty
+          else {
+            val (fmt, pcm) = dec
+            val ch = fmt.getChannels
+            val nFrames = pcm.length / (2 * ch)
+            val nWin = (nFrames + windowFrames - 1) / windowFrames
+            (0 until nWin).iterator.map { w =>
+              val from = w * windowFrames
+              val until = math.min(from + windowFrames, nFrames)
+              var sum = 0L
+              var sq = 0L
+              var f = from
+              while (f < until) {
+                var c = 0
+                while (c < ch) {
+                  val s = f * ch + c
+                  val v = ((pcm(2 * s) & 0xff) | (pcm(2 * s + 1) << 8)).toShort.toInt
+                  sum += v
+                  sq += v.toLong * v
+                  c += 1
+                }
+                f += 1
+              }
+              AudioWindow(id, w, (until - from).toLong * ch, sum, sq)
+            }
+          }
+        }
+      }
+  }
+
+  // --- byte-level stub path (no in-JVM codec: video) ---------------------
 
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, byte_mean: Double, byte_entropy_q: Long,
@@ -358,7 +628,8 @@ object Multimodal {
 
   /** Frame sampling over video-like payloads: emit one feature vector per
     * sampled frame (every `strideBytes` of payload, up to `maxFrames`).
-    * The frame decode is STUBBED (no codecs in this environment) as a
+    * The frame decode is STUBBED (no in-JVM video codec exists — unlike
+    * the image/audio tiers, which decode for real above) as a
     * deterministic digest of the frame's byte window; the Spark shape —
     * one input row fanning out to N typed frame rows via `flatMap` inside
     * `mapPartitions`, decoder handle reused per partition — is the real

@@ -174,4 +174,77 @@ class MultimodalSpec extends SparkSpec {
     val hs = Multimodal.imageDHash(two).collect().map(h => h.media_id -> h.dhash).toMap
     assert(hs(1L) == hs(2L), "uniform brightness shift must not flip any gradient bit")
   }
+
+  test("decodeAudio: real WAV round trip recovers exact PCM samples; corrupt degrades") {
+    val ids = Seq(0L, 1L, 2L, 7L, 30L).toDF("doc_id") // 30 -> corrupt (mod 10)
+    val media = Multimodal.syntheticWavTable(ids, "doc_id", corruptMod = 10L)
+    val got = Multimodal.decodeAudio(media).collect()
+      .map(d => d.media_id -> d).toMap
+    for (id <- Seq(1L, 2L, 7L)) {
+      val n = 50 + (id % 101).toInt
+      val ch = 1 + (id % 2).toInt
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 11025; case _ => 16000 }
+      val samples = for { i <- 0 until n; c <- 0 until ch }
+        yield (((id * 31 + i * 7 + c * 131) % 65536L) - 32768L).toInt
+      val d = got(id)
+      assert(d.decoded && d.channels == ch && d.sample_rate == rate &&
+        d.bits == 16 && d.n_frames == n.toLong, s"meta for $id: $d")
+      assert(d.n_bytes == 44L + n * ch * 2, s"canonical RIFF size for $id: $d")
+      assert(d.duration_us == n.toLong * 1000000L / rate, s"duration for $id: $d")
+      assert(d.sample_sum == samples.map(_.toLong).sum &&
+        d.sample_sqsum == samples.map(v => v.toLong * v).sum &&
+        d.sample_min == samples.min && d.sample_max == samples.max,
+        s"moments for $id: $d")
+    }
+    // corrupt payloads (0 and 30) degrade, never throw
+    for (id <- Seq(0L, 30L)) {
+      val d = got(id)
+      assert(!d.decoded && d.n_bytes == 8L && d.n_frames == 0L &&
+        d.sample_sum == 0L, s"corrupt row for $id: $d")
+    }
+  }
+
+  test("resampleAudio: decode -> nearest-neighbor frames -> re-encode matches integer arithmetic") {
+    // id=5: 55 frames @ 16000 Hz stereo -> 8000 Hz keeps floor(55/2)=27 frames
+    val media = Multimodal.syntheticWavTable(Seq(5L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.decodeAudio(Multimodal.resampleAudio(media, 8000))
+      .collect().head
+    val srcN = 55
+    val dstN = srcN * 8000 / 16000
+    assert(out.decoded && out.sample_rate == 8000 && out.channels == 2 &&
+      out.n_frames == dstN.toLong, s"resampled meta: $out")
+    val expected = for { i <- 0 until dstN; c <- 0 until 2 } yield {
+      val si = i * srcN / dstN
+      (((5L * 31 + si * 7 + c * 131) % 65536L) - 32768L).toInt
+    }
+    assert(out.sample_sum == expected.map(_.toLong).sum &&
+      out.sample_min == expected.min && out.sample_max == expected.max,
+      s"resampled moments: $out")
+    // corrupt payloads drop (audit with decodeAudio first)
+    val corrupt = Seq((9L, "NOTAWAVE".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    assert(Multimodal.resampleAudio(corrupt, 8000).count() == 0L)
+  }
+
+  test("audioWindows: per-window exact moments tile the full sample stream") {
+    val media = Multimodal.syntheticWavTable(Seq(3L).toDF("doc_id"), "doc_id")
+    // id=3: 53 frames, 2 channels -> windows of 20 frames: 20/20/13
+    val ws = Multimodal.audioWindows(media, windowFrames = 20)
+      .collect().sortBy(_.window_idx)
+    assert(ws.map(w => (w.window_idx, w.n_samples)).toSeq ==
+      Seq((0, 40L), (1, 40L), (2, 26L)), ws.toSeq.toString)
+    def sample(i: Int, c: Int): Long =
+      ((3L * 31 + i * 7 + c * 131) % 65536L) - 32768L
+    for (w <- ws) {
+      val range = (w.window_idx * 20) until math.min((w.window_idx + 1) * 20, 53)
+      val vs = for { i <- range; c <- 0 until 2 } yield sample(i, c)
+      assert(w.sample_sum == vs.sum && w.sample_sqsum == vs.map(v => v * v).sum,
+        s"window ${w.window_idx}: $w")
+    }
+    // windows reconstruct the whole-payload moments exactly
+    val whole = Multimodal.decodeAudio(media).collect().head
+    assert(ws.map(_.sample_sum).sum == whole.sample_sum &&
+      ws.map(_.sample_sqsum).sum == whole.sample_sqsum,
+      "window tiling must cover every sample exactly once")
+  }
 }
