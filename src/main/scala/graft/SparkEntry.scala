@@ -1501,6 +1501,22 @@ object SparkEntry {
           TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // §2.11 — TRUE vocab-merge BPE token count: the pre-tokenizer's
+    // words, each greedily merged against the code-literal merge-rank
+    // table (lowest rank first, leftmost on ties) — real merge-table
+    // accounting next to token_count's pre-tokenizer proxy. The oracle
+    // replays the entire greedy loop per word as a recursive CTE over
+    // the SAME table, so every merge decision is verified, not trusted.
+    "bpe_merge_count" -> ((s, dir) =>
+      TextStats.bpeCustomCounts(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "text")
+        .select(col("doc_id"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("n_pretokens"),
+          col("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // §2.11 — winnowed-fingerprint partial-overlap detection (MOSS):
     // pairs sharing ≥3 selected 4-gram fingerprints over the same
     // copies-enriched corpus as doc_fingerprint. The rotated copies the
@@ -5584,6 +5600,62 @@ object SparkEntry {
         |    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The full greedy merge loop replayed as a recursive CTE: per word,
+    // each step scores adjacent pairs against the SAME literal merge
+    // table (list_position = rank+1, 999999 = not in vocab), merges the
+    // leftmost lowest-ranked pair, and recurses until no pair is in the
+    // table; the final state is the min-length one (each merge strictly
+    // shrinks the list). Every merge decision is verified in SQL.
+    "bpe_merge_count" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, wid,
+        |    CASE WHEN tok[1:1] = ' ' THEN tok[2:] ELSE tok END AS word
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(text,
+        |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS tok,
+        |      generate_subscripts(regexp_extract_all(text,
+        |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'), 1) AS wid
+        |    FROM d)),
+        |st AS (
+        |  SELECT doc_id, wid,
+        |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+        |  FROM w
+        |  UNION ALL
+        |  SELECT doc_id, wid,
+        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT doc_id, wid, syms,
+        |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS mr
+        |    FROM (
+        |      SELECT s.doc_id, s.wid, s.syms,
+        |        list_transform(range(1, len(s.syms)),
+        |          i -> coalesce(nullif(list_position(
+        |            ['t h','th e','i n','in g','a n','an d','e r','o n',
+        |             'r e','a t','e n','e s','o r','t e','e d','i s',
+        |             'i t','a l','a r','s t','t o','en t','o u','l e',
+        |             'c h','s e','m e','n e','l l','c e','u r','r o',
+        |             'u n','r i','th i','thi s','w h','wh a','wha t',
+        |             'f o','fo r','w i','wi th','b e','h a','ha t',
+        |             'y o','yo u'],
+        |            s.syms[i] || ' ' || s.syms[i+1]), 0), 999999)) AS rks
+        |      FROM st s) u) v
+        |  WHERE v.mr < 999999),
+        |fin AS (
+        |  SELECT doc_id, wid, min(len(syms)) AS n_toks
+        |  FROM st GROUP BY doc_id, wid)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(w2.npre, 0) AS BIGINT) AS n_pretokens,
+        |  CAST(coalesce(w2.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS npre, sum(n_toks) AS nbpe
+        |  FROM fin GROUP BY doc_id) w2 ON w2.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -479,6 +479,139 @@ object TextKernels {
     count
   }
 
+  // --- vocab-merge BPE kernel ---------------------------------------------
+
+  /** Default merge-rank vocabulary for [[bpeMergeCount]] — rank =
+    * position, lower merges first (the merges.txt convention of
+    * Sennrich et al. 2016 / GPT-2). Pairs compose multi-level English
+    * merges (t+h→th, th+e→the, w+i→wi, wi+th→with …) so the greedy
+    * loop exercises real depth — including rank preemption (i+s at
+    * rank 15 beats th+i at 34, so "this" lands as [th,is]: exactly the
+    * priority behavior trained tables exhibit) — and the list is a small
+    * code literal so the DuckDB oracle embeds the SAME table verbatim.
+    * A production vocabulary (a trained 50k-merge table) goes through
+    * [[graft.ops.TextStats.bpeCustomCounts]]'s broadcast path instead.
+    */
+  val BpeMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("e", "n"), ("e", "s"), ("o", "r"), ("t", "e"), ("e", "d"),
+    ("i", "s"), ("i", "t"), ("a", "l"), ("a", "r"), ("s", "t"),
+    ("t", "o"), ("en", "t"), ("o", "u"), ("l", "e"), ("c", "h"),
+    ("s", "e"), ("m", "e"), ("n", "e"), ("l", "l"), ("c", "e"),
+    ("u", "r"), ("r", "o"), ("u", "n"), ("r", "i"), ("th", "i"),
+    ("thi", "s"), ("w", "h"), ("wh", "a"), ("wha", "t"), ("f", "o"),
+    ("fo", "r"), ("w", "i"), ("wi", "th"), ("b", "e"), ("h", "a"),
+    ("ha", "t"), ("y", "o"), ("yo", "u"))
+
+  /** Rank lookup key: `left + " " + right`. The space separator is
+    * unambiguous — symbols never contain whitespace (pre-token runs
+    * exclude `\s` and the leading space is stripped before merging).
+    */
+  def bpeRankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    for (((a, b), r) <- merges.zipWithIndex) m.put(a + " " + b, Integer.valueOf(r))
+    m
+  }
+
+  private val defaultBpeRanks = bpeRankMap(BpeMerges.toSeq)
+
+  /** Greedy merged-symbol count of ONE pre-token (leading space already
+    * stripped): symbols start as single code points (code points, not
+    * UTF-16 units — the oracle's char slicing is code-point-based);
+    * each step merges the LEFTMOST occurrence of the LOWEST-RANKED
+    * adjacent pair present in the vocabulary; stops when no adjacent
+    * pair is in the table. Deterministic: ranks are unique by
+    * construction and positional ties resolve leftmost. (This is the
+    * one-merge-per-step variant of the BPE apply loop — same priority
+    * rule as GPT-2's `bpe()`, stepping one occurrence at a time so an
+    * engine-independent replay is a pure fold.)
+    */
+  def bpeMergedSymbols(word: String,
+      ranks: java.util.HashMap[String, Integer]): Int = {
+    val syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      syms.add(word.substring(i, i + cc))
+      i += cc
+    }
+    var live = syms.size >= 2
+    while (live) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestI = j
+        }
+        j += 1
+      }
+      if (bestI < 0) live = false
+      else {
+        syms.set(bestI, syms.get(bestI) + syms.get(bestI + 1))
+        syms.remove(bestI + 1)
+        live = syms.size >= 2
+      }
+    }
+    syms.size
+  }
+
+  /** Vocab-merge BPE token count: the SAME pre-tokenizer scan as
+    * [[bpeTokenCount]], but each pre-token (leading space dropped — the
+    * byte-level Ġ-join is implicit in this char-level formulation) is
+    * greedily merged against the rank table and its surviving symbol
+    * count summed. With an empty table this equals summed pre-token
+    * code-point lengths; with [[BpeMerges]] it is a true
+    * merge-compressed count — the token accounting `token_budget` /
+    * `sequence_pack`-style budgeting wants.
+    */
+  def bpeMergeCountWith(s: String,
+      ranks: java.util.HashMap[String, Integer]): Long = {
+    val n = s.length
+    var i = 0
+    var count = 0L
+    @inline def runEnd(from: Int, cls: Char => Boolean): Int = {
+      var j = from
+      while (j < n && cls(s.charAt(j))) j += 1
+      j
+    }
+    @inline def word(from: Int, until: Int): Unit =
+      count += bpeMergedSymbols(s.substring(from, until), ranks)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val d = if (i + 1 < n) s.charAt(i + 1) else ' '
+        val e = if (i + 2 < n) s.charAt(i + 2) else ' '
+        val len =
+          if (d == 's' || d == 't' || d == 'm' || d == 'd') 2
+          else if ((d == 'r' || d == 'v') && e == 'e') 3
+          else if (d == 'l' && e == 'l') 3
+          else 0
+        if (len > 0) { word(i, i + len); i += len }
+        else { val j = runEnd(i, isBpePunct); word(i, j); i = j }
+      }
+      else if (isAsciiLetter(c)) { val j = runEnd(i, isAsciiLetter); word(i, j); i = j }
+      else if (isAsciiDigit(c)) { val j = runEnd(i, isAsciiDigit); word(i, j); i = j }
+      else if (c == ' ' && i + 1 < n && !isWs(s.charAt(i + 1))) {
+        // ` ?X+`: the space prefixes the run but is NOT a merge symbol
+        val d = s.charAt(i + 1)
+        val j = if (isAsciiLetter(d)) runEnd(i + 1, isAsciiLetter)
+          else if (isAsciiDigit(d)) runEnd(i + 1, isAsciiDigit)
+          else runEnd(i + 1, isBpePunct)
+        word(i + 1, j)
+        i = j
+      }
+      else if (isBpePunct(c)) { val j = runEnd(i, isBpePunct); word(i, j); i = j }
+      else i += 1 // whitespace: no alternative matches, engine advances one
+    }
+    count
+  }
+
+  /** [[bpeMergeCountWith]] over the default [[BpeMerges]] table. */
+  def bpeMergeCount(s: String): Long = bpeMergeCountWith(s, defaultBpeRanks)
+
   // --- language-ID kernel --------------------------------------------------
 
   /** Lang codes ascending — index aligns with [[LangStopwords]]. */
@@ -595,6 +728,8 @@ object TextKernels {
   def langIdU(s: UTF8String): UTF8String = UTF8String.fromString(langId(s.toString))
 
   def bpeTokenCountU(s: UTF8String): Long = bpeTokenCount(s.toString)
+
+  def bpeMergeCountU(s: UTF8String): Long = bpeMergeCount(s.toString)
 
   def cleanWhitespaceU(s: UTF8String): UTF8String =
     UTF8String.fromString(cleanWhitespace(s.toString))

@@ -192,6 +192,24 @@ object expressions {
       copy(child = newChild)
   }
 
+  /** Vocab-merge BPE token count over the default merge-rank table
+    * ([[TextKernels.bpeMergeCount]]): pre-tokenize, then greedy
+    * lowest-rank-leftmost pair merging per word — real merge-table BPE
+    * accounting (not just the pre-tokenizer proxy), still inside
+    * whole-stage codegen.
+    */
+  case class BpeMergeCount(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bpe_merge_count"
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.bpeMergeCountU(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bpeMergeCountU($c)")
+    override protected def withNewChildInternal(newChild: Expression): BpeMergeCount =
+      copy(child = newChild)
+  }
+
   /** One-pass hashed-linear classifier fold
     * ([[TextKernels.hashedLinearRow]]): `{n_feats, wsum}` of the
     * md5-bucketed unigram+bigram feature weights. The logit/label

@@ -103,6 +103,13 @@ package object functions {
   def bpe_token_count(text: Column): Column =
     c(expressions.BpeTokenCount(e(text)))
 
+  /** Vocab-merge BPE token count (greedy merge-rank application over
+    * the default code-literal table; custom vocabularies go through
+    * `TextStats.bpeCustomCounts`'s broadcast path).
+    */
+  def bpe_merge_count(text: Column): Column =
+    c(expressions.BpeMergeCount(e(text)))
+
   /** `{n_feats, wsum}` of the md5-bucketed hashed-linear classifier fold
     * (unigrams + bigrams mod `dim`, micro-scaled Knuth weights).
     */
@@ -203,6 +210,8 @@ package object functions {
       ((args: Seq[Expression]) => expressions.NfcNormalize(args(0))),
     "graft_bpe_token_count" ->
       ((args: Seq[Expression]) => expressions.BpeTokenCount(args(0))),
+    "graft_bpe_merge_count" ->
+      ((args: Seq[Expression]) => expressions.BpeMergeCount(args(0))),
     "graft_compression_ratio" ->
       ((args: Seq[Expression]) => expressions.CompressionRatio(args(0))),
     "graft_shingle_string_set" ->

@@ -42,6 +42,35 @@ object TextStats {
   def bpeishTokenCountRegex(text: Column): Column =
     coalesce(regexp_count(text, lit(BpePretokenPattern)), lit(0))
 
+  /** TRUE vocab-merge BPE token count (not the pretokenizer proxy):
+    * each pre-token is greedily merged against the rank table —
+    * lowest-ranked adjacent pair first, leftmost on positional ties —
+    * and the surviving symbol counts are summed
+    * ([[graft.functions.TextKernels.bpeMergeCountWith]]). The default
+    * code-literal table rides whole-stage codegen via the
+    * `graft_bpe_merge_count` expression; `merges` switches to a
+    * BROADCAST rank map — the 100 TB shape for a real trained
+    * vocabulary (GPT-2's 50k merges ≈ 1 MB: executor-cached once per
+    * node, never shipped per row or per task; the lookup loop is the
+    * same kernel either way). Null text counts 0.
+    *
+    * Output: the input plus `n_bpe_tokens`.
+    */
+  def bpeCustomCounts(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)] = Nil): DataFrame = {
+    if (merges.isEmpty)
+      df.withColumn("n_bpe_tokens",
+        coalesce(graft.functions.bpe_merge_count(col(s"`$textCol`")), lit(0L)))
+    else {
+      val bc = df.sparkSession.sparkContext.broadcast(
+        graft.functions.TextKernels.bpeRankMap(merges))
+      val f = udf((s: String) =>
+        if (s == null) 0L
+        else graft.functions.TextKernels.bpeMergeCountWith(s, bc.value))
+      df.withColumn("n_bpe_tokens", f(col(s"`$textCol`")))
+    }
+  }
+
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
     * higher-order functions only (sequence/transform/slice) — one
     * expression, no shuffle. The token array is LET-BOUND through a

@@ -128,8 +128,8 @@ class FunctionsSpec extends SparkSpec {
       .select(simhash64(col("text")), rolling_fingerprint(col("text")),
         minhash_signature(shingle_hash_set(col("text"), 3), 8),
         text_metrics(col("text")), graft.functions.lang_id(col("text")),
-        bpe_token_count(col("text")), clean_whitespace(col("text")),
-        compression_ratio(col("text")))
+        bpe_token_count(col("text")), bpe_merge_count(col("text")),
+        clean_whitespace(col("text")), compression_ratio(col("text")))
     val plan = real.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"expected codegen'd project, got:\n$plan")
     assert(real.count() > 0)

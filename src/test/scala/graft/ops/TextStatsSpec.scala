@@ -23,6 +23,77 @@ class TextStatsSpec extends SparkSpec {
     assert(one[Long](TextStats.bpeishTokenCount(col("t")), "") == 0L)
   }
 
+  test("bpeMergeCount: hand-checked greedy merges over the default table") {
+    import graft.functions.TextKernels
+    // full three-level chain: "with" = [w,i,t,h] -> t+h(r0) -> [w,i,th]
+    // -> w+i(r41) -> [wi,th] -> wi+th(r42) -> [with] = 1 token
+    // greedy preemption: "this" = [t,h,i,s] -> t+h(r0) -> [th,i,s] ->
+    // i+s(r15) BEATS th+i(r34) -> [th,is], no (th,is) entry -> 2 tokens
+    // (exactly the rank-priority behavior trained BPE tables exhibit)
+    for ((w, n) <- Seq("with" -> 1L, "this" -> 2L, "and" -> 1L,
+        "the" -> 1L, "what" -> 2L, "you" -> 2L, "forest" -> 3L)) {
+      assert(TextKernels.bpeMergeCount(w) == n, s"'$w'")
+      assert(one[Long](graft.functions.bpe_merge_count(col("t")), w) == n, s"expr '$w'")
+    }
+    // uppercase stays per-char (lowercase-only vocab): THIS -> 4 symbols
+    assert(TextKernels.bpeMergeCount("THIS") == 4L)
+    // leading space is never a symbol: [What][ is][ this][?] merge
+    // independently — What=[W,h,at]=3 (uppercase W pairs with nothing),
+    // is=[is]=1, this=[th,is]=2, ?=1 — total 7
+    assert(TextKernels.bpeMergeCount("What is this?") == 7L)
+    // contraction pre-tokens merge independently: [it]['s] -> it(r16)=1, 's=2
+    assert(TextKernels.bpeMergeCount("it's") == 3L)
+    assert(TextKernels.bpeMergeCount("") == 0L)
+  }
+
+  test("bpeCustomCounts: broadcast vocab path ≡ codegen expression on the default table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").isNotNull)
+    val viaExpr = TextStats.bpeCustomCounts(docs, "text")
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val viaBroadcast = TextStats.bpeCustomCounts(docs, "text",
+      graft.functions.TextKernels.BpeMerges.toSeq)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_udf"))
+    val diff = viaExpr.join(viaBroadcast, Seq("doc_id"))
+      .filter(col("n_bpe_tokens") =!= col("n_udf")).count()
+    assert(diff == 0L, "broadcast path must equal the compiled-table kernel")
+    // merging can only shrink the pre-token char totals, never below word count
+    val bad = TextStats.bpeCustomCounts(docs, "text")
+      .select(TextStats.bpeishTokenCount(col("text")).as("pre"), col("n_bpe_tokens"))
+      .filter(col("n_bpe_tokens") < col("pre")).count()
+    assert(bad == 0L, "merged count can never undercut the pre-token count")
+  }
+
+  test("randomized: bpeMergeCount ≡ naive list-fold reference on 300 seeded strings") {
+    import graft.functions.TextKernels
+    val ranks = TextKernels.BpeMerges.zipWithIndex
+      .map { case ((a, b), r) => (a + " " + b) -> r }.toMap
+    def naive(text: String): Long = {
+      val pat = TextStats.BpePretokenPattern.r
+      pat.findAllIn(text).map { tok =>
+        val w = if (tok.startsWith(" ")) tok.substring(1) else tok
+        var syms = w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
+        var go = true
+        while (go && syms.length >= 2) {
+          val scored = syms.zip(syms.tail).zipWithIndex
+            .flatMap { case ((a, b), i) => ranks.get(a + " " + b).map(r => (r, i)) }
+          if (scored.isEmpty) go = false
+          else {
+            val (_, i) = scored.minBy { case (r, i) => (r, i) }
+            syms = syms.take(i) ++ ((syms(i) + syms(i + 1)) :: syms.drop(i + 2))
+          }
+        }
+        syms.length.toLong
+      }.sum
+    }
+    val rnd = new scala.util.Random(77)
+    val alphabet = "the inas dortwy?!'THE éß7"
+    (1 to 300).foreach { _ =>
+      val s = Seq.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(TextKernels.bpeMergeCount(s) == naive(s), s"diverged on '$s'")
+    }
+  }
+
   test("shingles: n=3 over 5 tokens → 3 shingles, short text → empty") {
     val got = one[scala.collection.Seq[String]](TextStats.shingles(col("t"), 3), "a b c d e")
     assert(got.toSeq == Seq("a b c", "b c d", "c d e"))
