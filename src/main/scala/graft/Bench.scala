@@ -32,6 +32,14 @@ object Bench {
       // wide FHIR structs (21-column to_json) exceed the default 25-field
       // print cap; raise it so every plan stays printable/inspectable
       .config("spark.sql.debug.maxToStringFields", "2000")
+      // list file batches driver-side: the default threshold (32 paths)
+      // makes every streaming getBatch over a many-small-file source
+      // launch a parallel-discovery Spark JOB per micro-batch — ~1.7 ms
+      // per file of pure job overhead on a local FS (measured: 1700 ms →
+      // 60 ms getBatch on the 5k-bundle FHIR corpus). On a cloud object
+      // store with high-latency metadata, drop this back toward the
+      // default so listing parallelizes across executors.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

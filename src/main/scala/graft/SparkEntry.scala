@@ -2484,8 +2484,11 @@ object SparkEntry {
 
     // §7.6 — STREAMING bulk-FHIR ingest at corpus scale: the 5k-bundle
     // directory through the streaming reader in bounded micro-batches
-    // (maxFilesPerTrigger=1000 → 5 batches), Complete-mode per-type
-    // counts. The oracle is the GENERATOR's literal entry-count
+    // (maxFilesPerTrigger=1000 → 5 batches) under Trigger.AvailableNow
+    // (ONE source listing for the whole backlog — the bulk-backfill
+    // trigger; the default trigger re-lists 5k files per batch and that
+    // listing, not the parse, dominated the gate), Complete-mode
+    // per-type counts. The oracle is the GENERATOR's literal entry-count
     // prediction — micro-batching must not lose or duplicate a bundle.
     "stream_fhir" -> ((s, _) => {
       import graft.streaming.Streams
@@ -2496,7 +2499,7 @@ object SparkEntry {
       val name = "stream_fhir_" + java.lang.Long.toHexString(System.nanoTime())
       Streams.runToMemory(counts, name,
           org.apache.spark.sql.streaming.OutputMode.Complete(),
-          statePartitions = Some(8))
+          statePartitions = Some(8), availableNow = true)
         .orderBy("resource_type")
     }),
 

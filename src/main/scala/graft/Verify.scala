@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // wide FHIR structs exceed the default 25-field print cap
       .config("spark.sql.debug.maxToStringFields", "2000")
+      // driver-side listing for small path batches (see Bench.scala)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -332,19 +332,31 @@ object Streams {
     */
   def runToMemory(df: DataFrame, name: String,
       outputMode: OutputMode = OutputMode.Append(),
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      availableNow: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
     try {
-      val q = df.writeStream
+      val w = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      // AvailableNow: plan the WHOLE backlog from one source listing,
+      // drain it in maxFilesPerTrigger-bounded batches, self-terminate.
+      // The default trigger instead re-lists the source per micro-batch —
+      // over a 5k-file directory that listing dominates the run, and over
+      // a 100 TB lake backfill it is the difference between one metadata
+      // pass and one per batch. Semantics are identical for a bounded
+      // input (same batches, same results); keep the default for the
+      // MemoryStream-fed gates, which have no listing to amortize.
+      val q = (if (availableNow)
+          w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        else w).start()
+      try {
+        if (availableNow) q.awaitTermination() else q.processAllAvailable()
+      } finally q.stop()
     } finally spark.conf.set(key, prior)
     spark.table(name)
   }
