@@ -164,18 +164,50 @@ object Sinks {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try keys.foreach { case (table, cols) =>
-        // Spark's JDBC writer quotes COLUMN identifiers (they come back
-        // case-exact, e.g. "patient_id") but passes the TABLE name through
-        // unquoted — mirror that or the ALTER misses the columns
-        val q = cols.map(c => "\"" + c + "\"")
-        val notNull =
-          if (url.startsWith("jdbc:derby")) "ALTER COLUMN %s NOT NULL"
-          else "ALTER COLUMN %s SET NOT NULL"
-        q.foreach(c => st.executeUpdate(s"ALTER TABLE $table ${notNull.format(c)}"))
-        st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY (${q.mkString(", ")})")
-      } finally st.close()
+      try primaryKeyStatements(url, keys).foreach(st.executeUpdate)
+      finally st.close()
     } finally conn.close()
+  }
+
+  /** The exact statements [[applyPrimaryKeys]] issues, dialect-keyed on
+    * the url — separated so the PostgreSQL statement stream is
+    * golden-pinnable without a live server (SinksSpec) while Derby
+    * executes the same generator end-to-end.
+    */
+  def primaryKeyStatements(url: String,
+      keys: Map[String, Seq[String]] = ReferenceDdl.primaryKeys): Seq[String] =
+    keys.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      // Spark's JDBC writer quotes COLUMN identifiers (they come back
+      // case-exact, e.g. "patient_id") but passes the TABLE name through
+      // unquoted — mirror that or the ALTER misses the columns
+      val q = cols.map(c => "\"" + c + "\"")
+      val notNull =
+        if (url.startsWith("jdbc:derby")) "ALTER COLUMN %s NOT NULL"
+        else "ALTER COLUMN %s SET NOT NULL" // SQL standard: Postgres et al.
+      q.map(c => s"ALTER TABLE $table ${notNull.format(c)}") :+
+        s"ALTER TABLE $table ADD PRIMARY KEY (${q.mkString(", ")})"
+    }
+
+  /** The exact `CREATE TABLE` DDL Spark's JDBC writer would issue for
+    * `table` on a PostgreSQL connection: the REAL dialect resolution
+    * (`JdbcDialects.get` on a postgres url) + the REAL writer schema
+    * renderer (`JdbcUtils.schemaString`, the same call `createTable`
+    * makes) over the same date-coerced, underscored frame
+    * [[writeAllJdbcReference]] loads. No live server exists in this
+    * environment, so this is the executable evidence for the
+    * Postgres-dialect path: SinksSpec golden-pins the emitted DDL
+    * column-for-column against the reference's CREATE TABLEs
+    * (`json_pipeline.py:743-850`), with [[ReferenceDdl]]'s documented
+    * TEXT→VARCHAR mapping as the one deviation.
+    */
+  def postgresCreateTableDdl(table: String, df: DataFrame,
+      url: String = "jdbc:postgresql://localhost:5432/graft"): String = {
+    val dialect = JdbcDialects.get(url)
+    val frame = ReferenceDdl.coerceDates(table, underscored(df))
+    val cols = org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+      .schemaString(dialect, frame.schema, caseSensitive = false,
+        ReferenceDdl.columnTypes.get(table))
+    s"CREATE TABLE $table ($cols)"
   }
 
   /** Embedded-Derby compatibility: Spark's Derby dialect maps `StringType`

@@ -45,6 +45,79 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("PostgreSQL dialect golden DDL: emitted CREATE TABLEs pin to json_pipeline.py:743-850") {
+    // No live Postgres exists offline, so the evidence is the exact DDL
+    // stream: the REAL PostgresDialect (JdbcDialects.get on a postgres
+    // url) + the REAL writer renderer (JdbcUtils.schemaString) over the
+    // same frames writeAllJdbcReference loads. Pinned verbatim — any
+    // drift in dialect mapping, column order, date coercion, or
+    // quoting fails here. Documented deviations from the reference's
+    // literal DDL (see ReferenceDdl scaladoc): TEXT → bounded VARCHAR
+    // (255 ids / 4096 free text), Postgres FLOAT (=FLOAT8) → FLOAT4 via
+    // the declared Spark FloatType, and NOT NULL where the cleaned
+    // frame's schema proves the column never null (constant-fill C6).
+    val dir = Files.createTempDirectory("fhir_pg_ddl")
+    Files.writeString(dir.resolve("b1.json"), graft.fhir.FhirFixtures.bundle1)
+    Files.writeString(dir.resolve("b2.json"), graft.fhir.FhirFixtures.bundle2)
+    val entries = graft.fhir.BundleReader.normalizedEntries(spark, dir.toString)
+    val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+    val expected = Map(
+      "patient" ->
+        ("""CREATE TABLE patient ("fullUrl" VARCHAR(255) , "resource_id" VARCHAR(255) , """ +
+          """"resource_gender" VARCHAR(4096) , "resource_birthDate" DATE , """ +
+          """"resource_multipleBirthBoolean" BOOLEAN , "patient_id" VARCHAR(255) , """ +
+          """"resource_deceasedDateTime" VARCHAR(4096) , "resource_multipleBirthInteger" INTEGER NOT NULL, """ +
+          """"latitude" FLOAT4 , "longitude" FLOAT4 , "full_address" VARCHAR(4096) , """ +
+          """"contact_number" VARCHAR(4096) , "first_name" VARCHAR(4096) , "last_name" VARCHAR(4096) , """ +
+          """"full_name" VARCHAR(4096) , "race" VARCHAR(4096) , "race_code" VARCHAR(4096) , """ +
+          """"ethnicity" VARCHAR(4096) , "ethnicity_code" VARCHAR(4096) , "birthplace" VARCHAR(4096) , """ +
+          """"maritalStatus" VARCHAR(4096) )"""),
+      "encounter" ->
+        ("""CREATE TABLE encounter ("fullUrl" VARCHAR(255) , "resource_id" VARCHAR(255) , """ +
+          """"resource_status" VARCHAR(4096) , "resource_class_code" VARCHAR(4096) , """ +
+          """"resource_patient_reference" VARCHAR(255) , "resource_period_start" VARCHAR(4096) , """ +
+          """"resource_period_end" VARCHAR(4096) , "patient_id" VARCHAR(255) , """ +
+          """"encounter_type_code" VARCHAR(4096) , "encounter_text" VARCHAR(4096) , """ +
+          """"reason_code" VARCHAR(4096) , "reason_display" VARCHAR(4096) )"""),
+      "condition" ->
+        ("""CREATE TABLE condition ("fullUrl" VARCHAR(255) , "resource_id" VARCHAR(255) , """ +
+          """"resource_clinicalStatus" VARCHAR(4096) , "resource_verificationStatus" VARCHAR(4096) , """ +
+          """"resource_subject_reference" VARCHAR(255) , "resource_context_reference" VARCHAR(255) , """ +
+          """"resource_onsetDateTime" VARCHAR(4096) , "patient_id" VARCHAR(255) , """ +
+          """"resource_abatementDateTime" VARCHAR(4096) , "condition_display" VARCHAR(4096) , """ +
+          """"condition_code" VARCHAR(4096) )"""),
+      "observation" ->
+        ("""CREATE TABLE observation ("fullUrl" VARCHAR(255) , "resource_id" VARCHAR(255) , """ +
+          """"resource_status" VARCHAR(4096) , "resource_subject_reference" VARCHAR(255) , """ +
+          """"resource_encounter_reference" VARCHAR(255) , "resource_effectiveDateTime" VARCHAR(4096) , """ +
+          """"resource_valueQuantity_value" FLOAT4 , "resource_valueQuantity_unit" VARCHAR(4096) , """ +
+          """"patient_id" VARCHAR(255) , "observation_type" VARCHAR(4096) , """ +
+          """"observation_code" VARCHAR(4096) )"""),
+      "immunization" ->
+        ("""CREATE TABLE immunization ("resource_status" VARCHAR(4096) , "resource_date" DATE , """ +
+          """"resource_patient_reference" VARCHAR(255) , "resource_wasNotGiven" BOOLEAN , """ +
+          """"resource_primarySource" BOOLEAN , "resource_encounter_reference" VARCHAR(255) , """ +
+          """"patient_id" VARCHAR(255) , "vaccine_type" VARCHAR(4096) , "vaccine_code" VARCHAR(4096) )"""),
+      "careplan" ->
+        ("""CREATE TABLE careplan ("resource_status" VARCHAR(4096) , "resource_subject_reference" VARCHAR(255) , """ +
+          """"resource_context_reference" VARCHAR(255) , "resource_period_start" VARCHAR(4096) , """ +
+          """"patient_id" VARCHAR(255) , "resource_period_end" VARCHAR(4096) , "careplan_name" VARCHAR(4096) , """ +
+          """"careplan_code" VARCHAR(4096) , "careplan_activity" VARCHAR(4096) , """ +
+          """"careplan_activity_code" VARCHAR(4096) )"""))
+    Sinks.LoadOrder.foreach { n =>
+      assert(Sinks.postgresCreateTableDdl(n, tables(n)) == expected(n), s"table $n")
+    }
+    // every DATE the reference declares (json_pipeline.py:748,824) is a
+    // real DATE in the emitted DDL — the coercion happened, not a VARCHAR
+    assert(expected("patient").contains("\"resource_birthDate\" DATE") &&
+      expected("immunization").contains("\"resource_date\" DATE"))
+    // the PRIMARY KEY statement stream for Postgres (json_pipeline.py:750):
+    // SQL-standard SET NOT NULL (vs Derby's dialect) then ADD PRIMARY KEY
+    assert(Sinks.primaryKeyStatements("jdbc:postgresql://localhost/graft") ==
+      Seq("""ALTER TABLE patient ALTER COLUMN "patient_id" SET NOT NULL""",
+        """ALTER TABLE patient ADD PRIMARY KEY ("patient_id")"""))
+  }
+
   test("ReferenceDdl: column sets match the cleaned tables; reference type quirks encoded") {
     // the DDL column lists must track the actual pipeline output schemas
     val dir = Files.createTempDirectory("fhir_ddl")
