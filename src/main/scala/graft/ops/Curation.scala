@@ -420,12 +420,12 @@ object Curation {
     // range-sampling pass, silently corrupting offsets if the two
     // partitionings ever diverged. Same documented caching contract as
     // the near-dup family (Dedup.scala): callers batch-running many ops
-    // should `spark.catalog.clearCache()` between them.
+    // should `graft.CachedFrames.releaseAll()` between them.
     val ranged = df
       .repartitionByRange(parts, orderCols: _*)
       .withColumn("__val", value)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val withinW = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = ranged.withColumn("__cum_in", sum(col("__val")).over(withinW))

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * Caching contract: the near-dup operators persist their kernel-pass
   * projections (MEMORY_AND_DISK) because each feeds 2–4 plan subtrees; a
   * library function cannot know when the caller's final action runs, so
-  * nothing is unpersisted here. Long-running sessions composing MANY
-  * dedup calls should `spark.catalog.clearCache()` between batches —
-  * accumulated entries otherwise cause eviction thrash (measured 3×
-  * slowdown when four ops' caches stack on one small executor).
+  * nothing is unpersisted here. Every internal persist routes through
+  * [[graft.CachedFrames]], so long-running sessions composing MANY
+  * dedup calls release exactly the engine's caches with
+  * `CachedFrames.releaseAll()` (or scope a batch in
+  * `CachedFrames.withCached {}`) — user persists survive, unlike the
+  * blunt `spark.catalog.clearCache()`. Accumulated entries otherwise
+  * cause eviction thrash (measured 3× slowdown when four ops' caches
+  * stack on one small executor).
   */
 object Dedup {
 
@@ -124,7 +128,7 @@ object Dedup {
       col(idCol),
       graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
       .withColumn("__sig", minhashSignature(col("__shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val cands = lshCandidates(signed, idCol, "__sig")
     verifyJaccard(cands, signed, idCol, "__shingles")
       .filter(col("jaccard") >= threshold)
@@ -161,7 +165,7 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     val losers =
       if (eager) {
-        val p = loserIds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val p = loserIds.transform(graft.CachedFrames.cached)
         p.count()
         p
       } else loserIds
@@ -188,7 +192,7 @@ object Dedup {
     // operator's whole cost at bench scale
     val sym = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // materialize the cache BEFORE the loop: the first round's job reads
     // sym from several parallel subtrees (seed labels, propagation, both
     // sides of the convergence join), and concurrent subtrees of ONE job
@@ -205,7 +209,7 @@ object Dedup {
     var labels = sym.groupBy("__src").agg(min("__dst").as("__mind"))
       .select(col("__src").as("id"),
         least(col("__src"), col("__mind")).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     var converged = false
     var round = 0
     // the superseded checkpoint's blocks are released explicitly —
@@ -233,7 +237,7 @@ object Dedup {
           (col("__pmin") < col("cluster")).cast("long").as("__shrank"))
         .observe(obs, coalesce(sum(col("__shrank")), lit(0L)).as("shrunk"))
         .select("id", "cluster")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CachedFrames.cached)
       next.count()
       labels.unpersist()
       round += 1
@@ -306,10 +310,10 @@ object Dedup {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // orient a–b from its lower (degree, id) endpoint; carry the HEAD
     // endpoint's (degree, id) so the wedge join can order its two heads
     // by the same total order without a third degree join
@@ -322,7 +326,7 @@ object Dedup {
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"),
         when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val wedges = oriented.as("e1").join(oriented.as("e2"),
       col("e1.u") === col("e2.u") &&
         struct(col("e1.__dw"), col("e1.w")) < struct(col("e2.__dw"), col("e2.w")))
@@ -355,7 +359,7 @@ object Dedup {
     // persist the pair list: symmetrization reads it from TWO union
     // branches, which would otherwise run the band join + verify twice
     val pairs = minhashNearDups(df, textCol, idCol, n, threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     connectedComponents(df, idCol, pairs, "id_a", "id_b")
   }
 
@@ -392,7 +396,7 @@ object Dedup {
         col(idCol).as("__id"),
         graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
       .withColumn("__sig", minhashSignature(col("__shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     def bands(d: DataFrame): DataFrame = d
       .filter(col("__sig").isNotNull)
       .select(col("__id"),
@@ -638,7 +642,7 @@ object Dedup {
   def groupOverlapExactEager(
       df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
     val (result, sh) = groupOverlapExactWithShingles(df, groupCol, textCol, n)
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = result.transform(graft.CachedFrames.cached)
     try out.count()
     catch {
       case t: Throwable => out.unpersist(blocking = false); throw t
@@ -662,7 +666,7 @@ object Dedup {
         conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("__h"))
       .distinct()
       // feeds the size aggregate and BOTH sides of the intersection join
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val sizes = sh.groupBy("__grp").agg(count(lit(1)).as("__n"))
     val inter = sh.as("l")
       .join(sh.as("r"), col("l.__h") === col("r.__h") && col("l.__grp") < col("r.__grp"))
@@ -705,7 +709,7 @@ object Dedup {
     // pairing all blank docs quadratically (same contract as MinHash).
     val signed = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sh"))
       .filter(col("__sh").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val chunks = signed.select(
       col("__id"), col("__sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -743,7 +747,7 @@ object Dedup {
     val sets = df.select(
       col(idCol),
       graft.functions.shingle_hash_set(col(textCol), n).as("__shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // prefix length: sz − ceil(t·sz) + 1 (0 for empty sets)
     val sz = size(col("__shingles"))
     val prefixLen = greatest(
@@ -794,7 +798,7 @@ object Dedup {
       .select(col(idCol).as("__id"),
         TextStats.winnowFingerprints(col(s"`$textCol`"), k, w).as("__f"))
       .filter(size(col("__f")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val inv = fps.select(col("__id"), explode(col("__f")).as("__fp"))
     val sizes = fps.select(col("__id"), size(col("__f")).cast("long").as("__n"))
     val shared = inv.as("l").join(inv.as("r"),
@@ -841,7 +845,7 @@ object Dedup {
     val lines = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val dedupable = lines.filter(length(col("__line")) >= minLineLen)
     val winners = dedupable
       .groupBy("__line")
@@ -945,7 +949,7 @@ object Dedup {
       .select(col("__id"), col("__pos"),
         md5(array_join(slice(col("__toks"), col("__pos") + 1, lit(n)), " "))
           .as("__key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // grams occurring once drop out at this inner join — only duplicated
     // grams' occurrences flow downstream.
     val dupFirst = occ.groupBy("__key")
@@ -999,7 +1003,7 @@ object Dedup {
     val pairs = df.filter(col(idCol).isNotNull).select(
       col(idCol).as("__id"),
       explode(graft.functions.shingle_string_set(col(textCol), n)).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val carriers = pairs.groupBy("__sh").agg(count(lit(1)).as("__docs"))
     pairs.join(carriers, Seq("__sh"))
       .groupBy("__id")

@@ -41,7 +41,7 @@ object Funnel {
     val sliced = df
       .filter(typ.isin(steps: _*) && key.isNotNull && ts.isNotNull)
       .select(key.as("__fk"), ts.as("__fts"), typ.as("__ftp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     def slice(stepType: String): DataFrame =
       sliced.filter(col("__ftp") === stepType)
     val base = slice(steps.head)

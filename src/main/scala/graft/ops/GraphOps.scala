@@ -87,7 +87,8 @@ object GraphOps {
     *
     * Caching contract (same as the [[Dedup]] family): the degree table
     * and degree-attached adjacency are persisted and outlive the call —
-    * `spark.catalog.clearCache()` reclaims them in long-lived sessions.
+    * `graft.CachedFrames.releaseAll()` (or a `withCached {}` scope)
+    * reclaims them in long-lived sessions without touching user caches.
     */
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -101,12 +102,12 @@ object GraphOps {
     val adj = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // attach the NEIGHBOR's degree once — each iteration then needs only
     // the rank join, not a second degree join
     val adjd = adj
       .join(deg, Seq("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val base = RankScale / DampDen * (DampDen - DampNum) // (1-d)·S exact
     var ranks = deg.select(col("v"), lit(RankScale).as("r"))
     for (_ <- 1 to iters) {
@@ -187,7 +188,7 @@ object GraphOps {
     val it = col(s"`$itemCol`")
     val membership = df.filter(b.isNotNull && it.isNotNull)
       .select(b.as("__b"), it.as("__i")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val itemCounts = membership.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     val frequent = itemCounts.filter(col("__c") >= minCount)
     // fail fast on a hot basket BEFORE the self-join fans it out: a

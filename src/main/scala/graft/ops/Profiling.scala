@@ -234,7 +234,7 @@ object Profiling {
     * value, not the partitioning. Caching contract (same as the
     * curation prefix-sum family): the ranged per-value frame persists
     * past the call — batch-scoring sessions should
-    * `spark.catalog.clearCache()` between corpus-wide runs.
+    * `graft.CachedFrames.releaseAll()` between corpus-wide runs.
     */
   def ksDrift(base: DataFrame, current: DataFrame, valueCol: String,
       topGaps: Int = 10): DataFrame = {
@@ -253,7 +253,7 @@ object Profiling {
     // as Curation.exclusivePrefixSum)
     val ranged = grp.repartitionByRange(parts, col("__v"))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val withinW = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = ranged

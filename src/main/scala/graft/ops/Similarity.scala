@@ -373,7 +373,7 @@ object Similarity {
     // an expensive derived corpus isn't recomputed 2·iters+1 times, and
     // release it before returning (the returned codebook is a local frame
     // with no lineage into c)
-    val c = c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = c0.transform(graft.CachedFrames.cached)
     try {
       var codebook: Seq[(Long, Seq[Double])] =
         ivfCentroids(c, numCentroids)
@@ -587,8 +587,8 @@ object Similarity {
     * chunks persist for the lifetime of the lazy result — they feed both
     * sides of the chunk-pair join, and unpersisting before the caller's
     * action would recompute the group+pack twice. Long-lived sessions
-    * issuing many calls should `spark.catalog.clearCache()` between
-    * batches (the Verify/Bench harnesses do) — or use
+    * issuing many calls should `graft.CachedFrames.releaseAll()` between
+    * batches (Verify/Bench use the blunter clearCache) — or use
     * [[cosineNearDupPairsEager]], which releases the chunk cache itself.
     */
   def cosineNearDupPairs(
@@ -607,7 +607,7 @@ object Similarity {
       numBlocks: Int = 16): DataFrame = {
     val (result, chunks) =
       cosineNearDupPairsWithChunks(df, idCol, vecCol, threshold, numBlocks)
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = result.transform(graft.CachedFrames.cached)
     try out.count()
     catch {
       // on failure the caller never gets the handle — release it too, or
@@ -635,7 +635,7 @@ object Similarity {
     // union branches, which would otherwise run the O(n²) block-pair
     // cosine kernel twice (same contract as nearDupClusters)
     val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, numBlocks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val vertices = df
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol))
@@ -666,7 +666,7 @@ object Similarity {
       .agg(collect_list(struct(col("__id").as("_1"), col("__v").as("_2"))).as("__rows"))
       // feeds both sides of the chunk-pair join; persist or the
       // shingle-of-this-op (group + pack) runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     // tiny driver-side list of ordered block pairs — joined by equi-key so
     // Catalyst broadcasts it; the corpus itself is never broadcast
     val blockPairs = spark

@@ -593,7 +593,7 @@ object TextStats {
     val toks = df.filter(col(s"`$idCol`").isNotNull)
       .select(col(s"`$idCol`").as("__id"),
         explode(whitespaceTokens(col(s"`$textCol`"))).as("__tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
     toks.join(freqs, Seq("__tok"))
       .groupBy("__id")
@@ -633,8 +633,9 @@ object TextStats {
     * position); the exploded bigrams persist (library caching contract,
     * same as [[unigramFamiliarity]]: the cache outlives the call —
     * Verify/Bench clearCache between queries; long-lived sessions
-    * should `spark.catalog.clearCache()` after corpus-wide scoring) and
-    * feed (a) the
+    * release it with `graft.CachedFrames.releaseAll()` after
+    * corpus-wide scoring, or scope the call in
+    * `CachedFrames.withCached {}`) and feed (a) the
     * groupBy(w1,w2) count table, (b) the groupBy(w1) left-count table —
     * both map-side combined, Zipf-small vs the stream — and (c) the
     * probe side of the two equi-joins back; then one groupBy(id) fold.
@@ -655,7 +656,7 @@ object TextStats {
             element_at(col("__toks"), i + 1).as("w1"),
             element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
       .select(col("__id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val pairCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
     val leftCounts = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))
     bi.join(pairCounts, Seq("w1", "w2"))
@@ -709,7 +710,7 @@ object TextStats {
       .select(col(s"`$idCol`").as("__id"),
         when(isTarget, lit(1L)).otherwise(lit(0L)).as("__tgt"),
         explode(whitespaceTokens(col(s"`$textCol`"))).as("__tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val targetFreq = toks.filter(col("__tgt") === 1L)
       .groupBy("__tok").agg(count(lit(1)).as("__ct"))
     val rawFreq = toks.groupBy("__tok").agg(count(lit(1)).as("__cr"))
@@ -1025,7 +1026,7 @@ object TextStats {
     * TakeOrdered (per-partition heap + driver merge of K), never a
     * global sort. Like [[unigramFamiliarity]], the exploded bigram
     * frame is persisted (it feeds four aggregates) and the cache
-    * outlives the call — `spark.catalog.clearCache()` reclaims it in
+    * outlives the call — `graft.CachedFrames.releaseAll()` reclaims it in
     * long-lived sessions.
     */
   /** Bigram continuation table: for every prefix token seen at least
@@ -1087,7 +1088,7 @@ object TextStats {
           element_at(col("__toks"), i + 1).as("w1"),
           element_at(col("__toks"), i + 2).as("w2")))).as("__bg"))
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val pairCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     val leftCounts = bi.groupBy("w1").agg(count(lit(1)).as("__c1"))

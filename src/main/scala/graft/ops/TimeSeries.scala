@@ -305,7 +305,7 @@ object TimeSeries {
         expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
           .as("__bucket"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CachedFrames.cached)
     val cohorts = kb.groupBy(col("__k")).agg(min(col("__bucket")).as("cohort"))
     val active = kb.join(cohorts, Seq("__k"))
       .groupBy(col("cohort"), (col("__bucket") - col("cohort")).as("offset"))
