@@ -2565,6 +2565,29 @@ object SparkEntry {
         .orderBy("win_start_us", "event_type")
     }),
 
+    // The UPDATE-output twin of stream_windows (the same
+    // 100×-cardinality argument as stream_topk_update: per trigger,
+    // only windows whose count CHANGED are emitted — Complete rewrites
+    // every window ever seen). Window counts are monotone under
+    // accumulation, so the max-per-window fold on the update stream is
+    // the KV-sink upsert and converges to the Complete-mode table.
+    "stream_windows_update" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val counts = Streams.windowedCounts(
+        Streams.withEventTime(eventsStream(s, dir), "ts"),
+        "event_time", "30 minutes", "1 hour", Seq("event_type"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"))
+      val name = "stream_winu_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(counts, name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
+        .groupBy(col("win_start_us"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy("win_start_us", "event_type")
+    }),
+
     // §7.6 — third streaming gate: gap-based session windows over the
     // event stream (Complete mode). session_window's merge semantics
     // (events within the gap coalesce) are exactly the batch sessionize
@@ -2872,6 +2895,30 @@ object SparkEntry {
       Streams.runToMemory(counts, name,
           org.apache.spark.sql.streaming.OutputMode.Complete(),
           statePartitions = Some(8))
+        .orderBy(col("n_events").desc, col("user_id")).limit(10)
+    }),
+
+    // The UPDATE-output twin of stream_topk — the 100×-cardinality-safe
+    // shape: Complete mode rewrites the ENTIRE result table every
+    // trigger (fine at 2.5k users, hostile at 250M keys), Update mode
+    // emits only the keys whose count changed in that micro-batch.
+    // State is identical (one count per key, bounded by distinct keys);
+    // what shrinks is the per-trigger OUTPUT. A per-key running count is
+    // monotonically nondecreasing, so the final total = max over the
+    // emitted updates — the fold the memory-sink readback applies here,
+    // and exactly the upsert a real KV/Delta sink would perform per
+    // update row. Oracle: the same batch SQL as stream_topk — output
+    // mode must not change what the totals converge to.
+    "stream_topk_update" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val counts = eventsStream(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val name = "stream_topku_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(counts, name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"))
         .orderBy(col("n_events").desc, col("user_id")).limit(10)
     }),
 
@@ -4991,6 +5038,14 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2
         |ORDER BY win_start_us, event_type NULLS FIRST""".stripMargin,
 
+    // Identical window totals under Update output: per-trigger emission
+    // of changed windows only must not change what they converge to.
+    "stream_windows_update" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start_us, event_type NULLS FIRST""".stripMargin,
+
     "dedup_first" ->
       """SELECT event_id, user_id, event_type FROM (
         |  SELECT event_id, user_id, event_type,
@@ -6220,6 +6275,13 @@ object SparkEntry {
     // The batch heavy_hitters SQL verbatim: Complete-mode streaming
     // counts converge to the same totals regardless of batching.
     "stream_topk" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    // Identical totals under Update output: emitting only changed keys
+    // per trigger must not change what the counts converge to.
+    "stream_topk_update" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id
         |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,

@@ -41,6 +41,31 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Seq((0L, "click", 2L), (0L, "view", 1L), (600L, "click", 1L)))
   }
 
+  test("update-mode counts: only changed keys emitted per trigger; upsert fold converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Long]
+    val counts = in.toDF.toDF("user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val name = "upd_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(1L, 1L, 2L); q.processAllAvailable()
+      assert(spark.table(name).count() == 2L, "batch 1 emits both keys")
+      in.addData(1L); q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long)].collect().toSeq.sorted
+      // batch 2 emitted ONLY key 1 (key 2's count did not change) — the
+      // per-trigger output Complete mode would have rewritten in full
+      assert(rows == Seq((1L, 2L), (1L, 3L), (2L, 1L)), rows.toString)
+      // running counts are monotone, so max-per-key IS the upsert fold a
+      // KV/Delta sink applies — and it recovers the batch totals exactly
+      val fin = spark.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events"))).as[(Long, Long)].collect().toSet
+      assert(fin == Set((1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("windowedValueHistogram + psiFromCounts: streaming drift ≡ batch psi per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
