@@ -514,6 +514,49 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // round-10: the 256× octave for the quadratic-adjacent trio (verdict
+    // item 7). cooccurrenceLift rides its LINEAR basket axis at full
+    // corpus. The doc-replica corpus is edge-quadratic in the replica
+    // count by construction (every base doc becomes a K_k clique —
+    // C(256,2) ≈ 32.6k edges per base doc), so a full-corpus 256× run
+    // would be ~2.8e10 wedge rows of corpus generation, not curve
+    // evidence; instead the 256× octave holds the BASE-DOC set to 1/32
+    // (triangles) and 1/8 (winnow), which still pushes the pair/edge
+    // axis 30–60× past the earlier 8× full-corpus probes — the curve
+    // being confirmed is wall vs EDGES/PAIRS, and that axis grows.
+    if (familyOn("probe256")) {
+      val k256 = 256
+      // baskets: linear axis, full corpus
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val b = (0 until k256).map { i =>
+        li.select((col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+          col("l_partkey"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe256 baskets 256x (${b.count()} rows) ---")
+      time("probe256:cooccurrenceLift(order,part)",
+        graft.ops.GraphOps.cooccurrenceLift(b, "l_orderkey", "l_partkey",
+          minCount = 2L))
+      def replicateSubset(mod: Int, times: Int): DataFrame = {
+        val base = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+        val n = 1000000L
+        (0 until times).map { i =>
+          base.select((col("doc_id") + lit(i * n)).as("doc_id"),
+            (if (i == 0) col("text")
+             else concat(col("text"), lit(s" replica$i"))).as("text"))
+        }.reduce(_.unionByName(_))
+      }
+      val d8 = replicateSubset(8, k256)
+      println(s"--- probe256 winnow docs 256x of 1/8 base (${d8.count()} docs) ---")
+      time("probe256:winnowOverlapPairs",
+        Dedup.winnowOverlapPairs(d8, "text", "doc_id", 4, 4, 3))
+      val d32 = replicateSubset(32, k256)
+      println(s"--- probe256 triangle docs 256x of 1/32 base (${d32.count()} docs) ---")
+      time("probe256:triangleStats(jaccard 0.5)",
+        Dedup.triangleStats(
+          Dedup.ngramJaccardPairs(d32, "text", "doc_id", 3, 0.5), "id_a", "id_b"))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
