@@ -211,6 +211,31 @@ object SparkEntry {
   val SimhashDumpDir: String =
     new java.io.File("target/verify-simhash-sigs").getAbsolutePath
 
+  /** Where Verify materializes the CORPUS-LEARNED BPE merge table
+    * `(rank, l, r)` — the `bpe_learned_count` oracle replays the greedy
+    * merge application from this parquet (the same recursive-CTE loop
+    * as `bpe_merge_count`, table-driven instead of literal), so the
+    * APPLICATION of a trained vocabulary is fully SQL-verified; the
+    * trainer itself stays spec-pinned (TextStatsSpec's Sennrich
+    * worked example) — the [[SimhashDumpDir]] soundness pattern.
+    */
+  val BpeMergesDumpDir: String =
+    new java.io.File("target/verify-bpe-merges").getAbsolutePath
+
+  /** The merge table the `bpe_learned_count` gate trains and applies:
+    * 12 merges learned on the 1-in-4 corpus slice (the
+    * subsample-then-apply-corpus-wide shape production tokenizers use),
+    * pair floor 10. Deterministic for a given corpus — ties break
+    * lexicographically, so Verify's dump and the gate's in-query
+    * training always agree.
+    */
+  def bpeLearnedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    TextStats.bpeTrainMerges(
+      t(s, dir, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          pmod(col("doc_id"), lit(4)) === 0),
+      "text", numMerges = 12, minPairCount = 10L)
+
   /** Where Verify materializes the ACTIVE PSL rule table
     * `(kind, pattern)` — the psl_domains oracle replays the full
     * public-suffix algorithm (exception > longest exact/wildcard >
@@ -1515,6 +1540,21 @@ object SparkEntry {
         .select(col("doc_id"),
           TextStats.bpeishTokenCount(col("text")).cast("long").as("n_pretokens"),
           col("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // §2.11 — BPE TRAINING end-to-end: learn 12 merges from the 1-in-4
+    // corpus slice (Sennrich's learner on the engine's own pre-token
+    // definition; trainer spec-pinned on the textbook worked example),
+    // then apply them corpus-wide through the broadcast-vocab path. The
+    // oracle replays the APPLICATION from Verify's dumped merge table —
+    // the same recursive-CTE greedy loop as bpe_merge_count, driven by
+    // the learned table instead of the code literal.
+    "bpe_learned_count" -> ((s, dir) =>
+      TextStats.bpeCustomCounts(
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull),
+        "text", bpeLearnedMerges(s, dir))
+        .select(col("doc_id"), col("n_bpe_tokens"))
         .orderBy("doc_id")),
 
     // §2.11 — winnowed-fingerprint partial-overlap detection (MOSS):
@@ -5714,6 +5754,54 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS npre, sum(n_toks) AS nbpe
         |  FROM fin GROUP BY doc_id) w2 ON w2.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The same greedy-loop replay, driven by the LEARNED merge table
+    // Verify dumps (rank order = merge priority) instead of the code
+    // literal — SQL-verifies the application of a trained vocabulary.
+    "bpe_learned_count" ->
+      s"""WITH RECURSIVE
+         |ml AS (
+         |  SELECT list(l || ' ' || r ORDER BY rank) AS m
+         |  FROM read_parquet('$BpeMergesDumpDir/*.parquet')),
+         |d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |w AS (
+         |  SELECT doc_id, wid,
+         |    CASE WHEN tok[1:1] = ' ' THEN tok[2:] ELSE tok END AS word
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_extract_all(text,
+         |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')) AS tok,
+         |      generate_subscripts(regexp_extract_all(text,
+         |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'), 1) AS wid
+         |    FROM d)),
+         |st AS (
+         |  SELECT doc_id, wid,
+         |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, wid,
+         |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+         |  FROM (
+         |    SELECT doc_id, wid, syms,
+         |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS mr
+         |    FROM (
+         |      SELECT s.doc_id, s.wid, s.syms,
+         |        list_transform(range(1, len(s.syms)),
+         |          i -> coalesce(nullif(list_position(ml.m,
+         |            s.syms[i] || ' ' || s.syms[i+1]), 0), 999999)) AS rks
+         |      FROM st s, ml) u) v
+         |  WHERE v.mr < 999999),
+         |fin AS (
+         |  SELECT doc_id, wid, min(len(syms)) AS n_toks
+         |  FROM st GROUP BY doc_id, wid)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(w2.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM d LEFT JOIN (
+         |  SELECT doc_id, sum(n_toks) AS nbpe
+         |  FROM fin GROUP BY doc_id) w2 ON w2.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

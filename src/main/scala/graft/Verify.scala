@@ -33,6 +33,16 @@ object Verify {
     // the public-suffix algorithm against the SAME rules the engine uses.
     graft.ops.Domains.pslRulesFrame(spark)
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.PslDumpDir)
+    // ... and the corpus-learned BPE merge table, so bpe_learned_count's
+    // greedy application gets a table-driven recursive-CTE oracle (the
+    // trainer stays spec-pinned on the Sennrich worked example).
+    locally {
+      import spark.implicits._
+      SparkEntry.bpeLearnedMerges(spark, sfDir).zipWithIndex
+        .map { case ((l, r), rank) => (rank, l, r) }
+        .toDF("rank", "l", "r")
+        .coalesce(1).write.mode("overwrite").parquet(SparkEntry.BpeMergesDumpDir)
+    }
     // ... and the simhash signatures, so dedup_simhash's pair stage gets a
     // bit_count(xor()) oracle (the kernel stays spec-pinned).
     SparkEntry.simhashSignatures(spark, sfDir)

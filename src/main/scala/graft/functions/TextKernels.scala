@@ -528,7 +528,15 @@ object TextKernels {
     * engine-independent replay is a pure fold.)
     */
   def bpeMergedSymbols(word: String,
-      ranks: java.util.HashMap[String, Integer]): Int = {
+      ranks: java.util.HashMap[String, Integer]): Int =
+    bpeMergeSymbolList(word, ranks).size
+
+  /** The surviving symbol list itself (the greedy loop of
+    * [[bpeMergedSymbols]], exposed for pair-statistics consumers —
+    * notably [[bpeAdjacentPairs]], the training-side counting pass).
+    */
+  def bpeMergeSymbolList(word: String,
+      ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     val syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) {
@@ -555,7 +563,71 @@ object TextKernels {
         live = syms.size >= 2
       }
     }
-    syms.size
+    syms
+  }
+
+  /** The pre-tokenizer's words (leading space stripped — the same word
+    * definition every BPE entry point uses). Shared by the training
+    * counting pass; the counting kernels keep their fused scanners.
+    */
+  def bpeWords(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val n = s.length
+    var i = 0
+    @inline def runEnd(from: Int, cls: Char => Boolean): Int = {
+      var j = from
+      while (j < n && cls(s.charAt(j))) j += 1
+      j
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val d = if (i + 1 < n) s.charAt(i + 1) else ' '
+        val e = if (i + 2 < n) s.charAt(i + 2) else ' '
+        val len =
+          if (d == 's' || d == 't' || d == 'm' || d == 'd') 2
+          else if ((d == 'r' || d == 'v') && e == 'e') 3
+          else if (d == 'l' && e == 'l') 3
+          else 0
+        if (len > 0) { out.add(s.substring(i, i + len)); i += len }
+        else { val j = runEnd(i, isBpePunct); out.add(s.substring(i, j)); i = j }
+      }
+      else if (isAsciiLetter(c)) { val j = runEnd(i, isAsciiLetter); out.add(s.substring(i, j)); i = j }
+      else if (isAsciiDigit(c)) { val j = runEnd(i, isAsciiDigit); out.add(s.substring(i, j)); i = j }
+      else if (c == ' ' && i + 1 < n && !isWs(s.charAt(i + 1))) {
+        val d = s.charAt(i + 1)
+        val j = if (isAsciiLetter(d)) runEnd(i + 1, isAsciiLetter)
+          else if (isAsciiDigit(d)) runEnd(i + 1, isAsciiDigit)
+          else runEnd(i + 1, isBpePunct)
+        out.add(s.substring(i + 1, j))
+        i = j
+      }
+      else if (isBpePunct(c)) { val j = runEnd(i, isBpePunct); out.add(s.substring(i, j)); i = j }
+      else i += 1
+    }
+    out
+  }
+
+  /** Adjacent symbol pairs (`"left right"` keys) of every pre-token
+    * after greedy merging under `ranks` — ONE training-iteration
+    * counting pass of Sennrich et al.'s BPE learner: the argmax of
+    * these pair counts over the corpus is the next merge.
+    */
+  def bpeAdjacentPairs(s: String,
+      ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    val words = bpeWords(s)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var w = 0
+    while (w < words.size) {
+      val syms = bpeMergeSymbolList(words.get(w), ranks)
+      var j = 0
+      while (j < syms.size - 1) {
+        out += syms.get(j) + " " + syms.get(j + 1)
+        j += 1
+      }
+      w += 1
+    }
+    out.toArray
   }
 
   /** Vocab-merge BPE token count: the SAME pre-tokenizer scan as

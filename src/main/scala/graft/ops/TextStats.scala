@@ -71,6 +71,58 @@ object TextStats {
     }
   }
 
+  /** TRAIN a BPE merge table from the corpus — Sennrich et al. 2016's
+    * learner on the engine's own pre-tokenizer/word definition: per
+    * round, symbolize every word under the merges learned so far
+    * (the SAME greedy kernel application uses, so train and apply can
+    * never disagree on symbolization), count adjacent symbol pairs
+    * corpus-wide, and adopt the most frequent pair as the next merge —
+    * ties broken lexicographically on the pair key, so the learned
+    * table is deterministic for a given corpus regardless of
+    * partitioning. Stops early when no pair reaches `minPairCount`
+    * (merging noise below that count memorizes the corpus tail).
+    *
+    * Scale shape: `numMerges` passes, each ONE map-side-combined
+    * pair-count aggregation + a `TakeOrderedAndProject` argmax (a
+    * 1-row collect per round — driver traffic is the merge pair
+    * itself). The per-round broadcast ships the table learned so far
+    * (≤ numMerges entries). Cost is numMerges linear passes — the
+    * textbook learner; at 100 TB train on a sampled slice
+    * ([[graft.ops.Curation.stratifiedSample]]) exactly as production
+    * tokenizers are trained on corpus subsets, then apply the learned
+    * table corpus-wide through [[bpeCustomCounts]]'s broadcast path.
+    */
+  def bpeTrainMerges(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")
+    val sc = df.sparkSession.sparkContext
+    val text = df.select(col(s"`$textCol`").as("__t")).filter(col("__t").isNotNull)
+    var merges = Vector.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val bc = sc.broadcast(
+        graft.functions.TextKernels.bpeRankMap(merges))
+      val pairsOf = udf((s: String) =>
+        graft.functions.TextKernels.bpeAdjacentPairs(s, bc.value))
+      val best = text
+        .select(explode(pairsOf(col("__t"))).as("__p"))
+        .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minPairCount)
+        .orderBy(col("__n").desc, col("__p").asc)
+        .limit(1)
+        .collect()
+      bc.destroy()
+      if (best.isEmpty) exhausted = true
+      else {
+        val key = best(0).getString(0)
+        val sep = key.indexOf(' ')
+        merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+      }
+    }
+    merges
+  }
+
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
     * higher-order functions only (sequence/transform/slice) — one
     * expression, no shuffle. The token array is LET-BOUND through a

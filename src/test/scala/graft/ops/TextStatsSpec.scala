@@ -64,6 +64,29 @@ class TextStatsSpec extends SparkSpec {
     assert(bad == 0L, "merged count can never undercut the pre-token count")
   }
 
+  test("bpeTrainMerges: the classic Sennrich corpus learns the textbook merges") {
+    // low ×5, lower ×2, newest ×6, widest ×3 — the worked example from
+    // Sennrich et al. 2016. Pair counts round 1: es=9, st=9 (tie → the
+    // lexicographically smaller 'e s'), then es+t=9, then lo=7 / ow=7
+    // (tie → 'l o'), then lo+w=7.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = TextStats.bpeTrainMerges(corpus, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      merges.toString)
+    // applying the learned table: "lowest" = [low, est] -> 2 tokens;
+    // "newest" = [n, e, w, est] -> ne? no ('n e' unlearned) -> 4
+    val counts = TextStats.bpeCustomCounts(
+      Seq((1L, "lowest newest")).toDF("id", "text"), "text", merges)
+      .select("n_bpe_tokens").as[Long].head()
+    assert(counts == 2L + 4L, s"got $counts")
+    // minPairCount floor stops before memorizing the tail: with an
+    // impossible floor nothing is learned
+    assert(TextStats.bpeTrainMerges(corpus, "text", 4, minPairCount = 100L).isEmpty)
+  }
+
   test("randomized: bpeMergeCount ≡ naive list-fold reference on 300 seeded strings") {
     import graft.functions.TextKernels
     val ranks = TextKernels.BpeMerges.zipWithIndex
