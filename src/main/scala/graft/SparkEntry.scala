@@ -2428,6 +2428,26 @@ object SparkEntry {
       orig.join(res, Seq("media_id"), "left").orderBy("media_id")
     }),
 
+    // §2.11 — perceptual AUDIO dedup over the real codec tier (the
+    // audio twin of multimodal_dhash): every 9th id gets a one-sample-
+    // perturbed near-copy (no int16 wrap, so at most the first window's
+    // two adjacent energy comparisons flip); decode → 65-window exact
+    // energy envelope → gradient-sign 64-bit hash → 4-chunk pigeonhole
+    // pair join → exact Hamming verify. The oracle recomputes every
+    // hash from the PCM formula alone and checks ALL pairs — candidate
+    // completeness proved, codec untrusted.
+    "multimodal_audio_dhash" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val base = Multimodal.syntheticWavTable(ids, "doc_id")
+      val copies = Multimodal.syntheticWavTable(
+        ids.filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id",
+        perturb0 = true, idOffset = 10000000L)
+      Multimodal.ahashNearDups(
+        Multimodal.audioEnergyHash(base.unionByName(copies)).toDF(),
+        hashCol = "ehash")
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.11 — windowed audio energy over the same REAL codec tier: one
     // WAV fans out to per-window exact sample moments (count / sum /
     // sum-of-squares — the RMS numerators), executor-side flatMap.
@@ -5936,7 +5956,7 @@ object SparkEntry {
         |    min(v) AS mn, max(v) AS mx
         |  FROM (
         |    SELECT i.media_id,
-        |      ((i.media_id * 31 + ii.i * 7 + cc.c * 131) % 65536) - 32768 AS v
+        |      ((i.media_id * 31 + ii.i * 7919 + cc.c * 131) % 65536) - 32768 AS v
         |    FROM ids i, unnest(generate_series(0, i.n - 1)) AS ii(i),
         |         unnest(generate_series(0, i.ch - 1)) AS cc(c)
         |    WHERE NOT i.corrupt)
@@ -5946,7 +5966,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT i.media_id, greatest(1, (i.n * 8000) // i.rate) AS rn,
         |      ((i.media_id * 31
-        |        + ((ii.i * i.n) // greatest(1, (i.n * 8000) // i.rate)) * 7
+        |        + ((ii.i * i.n) // greatest(1, (i.n * 8000) // i.rate)) * 7919
         |        + cc.c * 131) % 65536) - 32768 AS v
         |    FROM ids i,
         |      unnest(generate_series(0,
@@ -5974,6 +5994,55 @@ object SparkEntry {
         |  LEFT JOIN rs ON rs.media_id = i.media_id
         |ORDER BY i.media_id""".stripMargin,
 
+    // The audio-dHash oracle: per media, 65-window exact energies from
+    // the PCM formula (empty windows zero-filled), gradient-sign bits
+    // assembled with the same HUGEINT two's-complement bit-63 trick as
+    // multimodal_ahash, then an ALL-PAIRS Hamming check — proving the
+    // engine's pigeonhole candidate join complete at maxHamming 3.
+    "multimodal_audio_dhash" ->
+      """WITH srcs AS (
+        |  SELECT doc_id AS media_id, doc_id AS src, 0 AS pert
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id, 1
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 9 = 0),
+        |prm AS (
+        |  SELECT media_id, src, pert, 50 + src % 101 AS n, 1 + src % 2 AS ch
+        |  FROM srcs),
+        |s AS (
+        |  SELECT p.media_id, p.n, ii.i,
+        |    CASE WHEN p.pert = 1 AND ii.i = 0 AND cc.c = 0 THEN
+        |      CASE WHEN ((p.src * 31) % 65536) - 32768 <= 32759
+        |           THEN ((p.src * 31) % 65536) - 32768 + 8
+        |           ELSE ((p.src * 31) % 65536) - 32768 - 8 END
+        |      ELSE ((p.src * 31 + ii.i * 7919 + cc.c * 131) % 65536) - 32768
+        |    END AS v
+        |  FROM prm p, unnest(generate_series(0, p.n - 1)) AS ii(i),
+        |       unnest(generate_series(0, p.ch - 1)) AS cc(c)),
+        |ew AS (
+        |  SELECT media_id, (i * 65) // n AS w, CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM s GROUP BY media_id, (i * 65) // n),
+        |wg AS (
+        |  SELECT p.media_id, ww.w
+        |  FROM prm p, unnest(generate_series(0, 64)) AS ww(w)),
+        |ez AS (
+        |  SELECT wg.media_id, wg.w, coalesce(ew.e, 0) AS e
+        |  FROM wg LEFT JOIN ew ON ew.media_id = wg.media_id AND ew.w = wg.w),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CAST(coalesce(sum(CASE WHEN a.e < b.e THEN
+        |      CASE WHEN a.w = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |           ELSE CAST(CAST(1 AS BIGINT) << a.w AS HUGEINT) END
+        |      ELSE 0 END), 0) AS BIGINT) AS ehash
+        |  FROM ez a JOIN ez b ON b.media_id = a.media_id AND b.w = a.w + 1
+        |  WHERE a.w < 64
+        |  GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Windowed audio energy replayed arithmetically: window w covers
     // frames [w·32, min((w+1)·32, n)), moments summed over channels.
     "multimodal_audio_windows" ->
@@ -5983,7 +6052,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id IS NOT NULL),
         |s AS (
         |  SELECT i.media_id, ii.i // 32 AS window_idx,
-        |    ((i.media_id * 31 + ii.i * 7 + cc.c * 131) % 65536) - 32768 AS v
+        |    ((i.media_id * 31 + ii.i * 7919 + cc.c * 131) % 65536) - 32768 AS v
         |  FROM ids i, unnest(generate_series(0, i.n - 1)) AS ii(i),
         |       unnest(generate_series(0, i.ch - 1)) AS cc(c))
         |SELECT media_id, CAST(window_idx AS INTEGER) AS window_idx,

@@ -359,8 +359,11 @@ object Multimodal {
   // --- real javax.sound.sampled path (WAV / 16-bit PCM audio) ------------
 
   /** Deterministic 16-bit PCM WAV: interleaved
-    * `sample(frame i, channel c) = ((id·31 + i·7 + c·131) mod 65536) − 32768`
-    * (full int16 swing), encoded through the REAL `javax.sound.sampled`
+    * `sample(frame i, channel c) = ((id·31 + i·7919 + c·131) mod 65536) − 32768`
+    * (full int16 swing; the 7919 frame stride wraps the int16 range
+    * every ~8 frames, so adjacent-window energies are decorrelated —
+    * a slow ramp would hand every pair of docs a near-identical
+    * energy-gradient fingerprint), encoded through the REAL `javax.sound.sampled`
     * WAV writer. PCM WAV is lossless, so the decode side recovers
     * exactly these samples — the formula is the SQL oracle's ground
     * truth (the [[syntheticPng]] contract, audio tier). The canonical
@@ -376,7 +379,7 @@ object Multimodal {
     while (i < nFrames) {
       var c = 0
       while (c < channels) {
-        val v = (((id * 31 + i.toLong * 7 + c.toLong * 131) % 65536L) - 32768L).toInt
+        val v = (((id * 31 + i.toLong * 7919 + c.toLong * 131) % 65536L) - 32768L).toInt
         val off = (i * channels + c) * 2
         pcm(off) = (v & 0xff).toByte // WAV PCM is little-endian
         pcm(off + 1) = ((v >> 8) & 0xff).toByte
@@ -403,14 +406,16 @@ object Multimodal {
     * `mapPartitions` — the same seam as [[syntheticPngTable]].
     */
   def syntheticWavTable(df: DataFrame, idCol: String,
-      corruptMod: Long = 0L): DataFrame = {
+      corruptMod: Long = 0L, perturb0: Boolean = false,
+      idOffset: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(s"`$idCol`").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           if (corruptMod > 0 && id % corruptMod == 0)
-            (id, "NOTAWAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            (id + idOffset,
+              "NOTAWAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           else {
             val n = 50 + (id % 101).toInt
             val ch = 1 + (id % 2).toInt
@@ -419,7 +424,19 @@ object Multimodal {
               case 1 => 11025
               case _ => 16000
             }
-            (id, syntheticWav(id, n, rate, ch))
+            val wav = syntheticWav(id, n, rate, ch)
+            if (perturb0) {
+              // near-copy perturbation for dedup tests: nudge SAMPLE 0
+              // by ±8 without int16 wrap (a wrap would swing one window's
+              // energy by ~4e9 and scatter the perceptual hash instead of
+              // staying a near-dup). Sample 0 lives in the canonical
+              // 44-byte header's shadow: data offset 44, little-endian.
+              val v = (((id * 31) % 65536L) - 32768L).toInt
+              val nv = if (v <= 32759) v + 8 else v - 8
+              wav(44) = (nv & 0xff).toByte
+              wav(45) = ((nv >> 8) & 0xff).toByte
+            }
+            (id + idOffset, wav)
           }
         }
       }
@@ -611,6 +628,63 @@ object Multimodal {
                 f += 1
               }
               AudioWindow(id, w, (until - from).toLong * ch, sum, sq)
+            }
+          }
+        }
+      }
+  }
+
+  final case class AudioEnergyHash(media_id: Long, ehash: Long)
+
+  /** Perceptual audio fingerprint over the REAL codec tier — the audio
+    * twin of [[imageDHash]]: decode, bucket frames into 65 equal-share
+    * windows (`frame i → window ⌊i·65/n⌋` — the SQL-replayable
+    * assignment; empty windows carry zero energy), compute each
+    * window's EXACT int64 energy `E_w = Σ v²` over all channels, and
+    * set bit `w` iff `E_w < E_{w+1}` — the energy-envelope GRADIENT
+    * signature. Pure integer compares between exact sums, so uniform
+    * volume scaling (energies scale by the square of the gain) flips
+    * NO bits — the edit class that defeats absolute-energy signatures;
+    * a localized edit perturbs one window's energy and at most its two
+    * adjacent comparisons. Near-dups land within a few Hamming bits:
+    * feed [[ahashNearDups]] (`hashCol = "ehash"`) for the banded pair
+    * join. Undecodable payloads drop. Shuffle-free.
+    */
+  def audioEnergyHash(media: DataFrame): Dataset[AudioEnergyHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytesOrNull) =>
+          val dec = tryDecodePcm(bytesOrNull)
+          if (dec == null) Iterator.empty
+          else {
+            val (fmt, pcm) = dec
+            val ch = fmt.getChannels
+            val nF = pcm.length / (2 * ch)
+            if (nF == 0) Iterator.empty
+            else {
+              val e = new Array[Long](65)
+              var i = 0
+              while (i < nF) {
+                val w = (i.toLong * 65 / nF).toInt
+                var c = 0
+                while (c < ch) {
+                  val s = i * ch + c
+                  val v = ((pcm(2 * s) & 0xff) | (pcm(2 * s + 1) << 8)).toShort.toLong
+                  e(w) += v * v
+                  c += 1
+                }
+                i += 1
+              }
+              var hash = 0L
+              var w = 0
+              while (w < 64) {
+                if (e(w) < e(w + 1)) hash |= (1L << w)
+                w += 1
+              }
+              Iterator.single(AudioEnergyHash(id, hash))
             }
           }
         }

@@ -185,7 +185,7 @@ class MultimodalSpec extends SparkSpec {
       val ch = 1 + (id % 2).toInt
       val rate = (id % 3) match { case 0 => 8000; case 1 => 11025; case _ => 16000 }
       val samples = for { i <- 0 until n; c <- 0 until ch }
-        yield (((id * 31 + i * 7 + c * 131) % 65536L) - 32768L).toInt
+        yield (((id * 31 + i * 7919 + c * 131) % 65536L) - 32768L).toInt
       val d = got(id)
       assert(d.decoded && d.channels == ch && d.sample_rate == rate &&
         d.bits == 16 && d.n_frames == n.toLong, s"meta for $id: $d")
@@ -215,7 +215,7 @@ class MultimodalSpec extends SparkSpec {
       out.n_frames == dstN.toLong, s"resampled meta: $out")
     val expected = for { i <- 0 until dstN; c <- 0 until 2 } yield {
       val si = i * srcN / dstN
-      (((5L * 31 + si * 7 + c * 131) % 65536L) - 32768L).toInt
+      (((5L * 31 + si * 7919 + c * 131) % 65536L) - 32768L).toInt
     }
     assert(out.sample_sum == expected.map(_.toLong).sum &&
       out.sample_min == expected.min && out.sample_max == expected.max,
@@ -226,6 +226,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resampleAudio(corrupt, 8000).count() == 0L)
   }
 
+  test("audioEnergyHash: bits match the window-energy arithmetic; volume scaling flips nothing") {
+    val ids = Seq(1L, 2L, 6L).toDF("doc_id")
+    val media = Multimodal.syntheticWavTable(ids, "doc_id")
+    val got = Multimodal.audioEnergyHash(media).collect()
+      .map(h => h.media_id -> h.ehash).toMap
+    for (id <- Seq(1L, 2L, 6L)) {
+      val n = 50 + (id % 101).toInt
+      val ch = 1 + (id % 2).toInt
+      val e = new Array[Long](65)
+      for (i <- 0 until n; c <- 0 until ch) {
+        val v = ((id * 31 + i * 7919 + c * 131) % 65536L) - 32768L
+        e((i * 65 / n).toInt) += v * v
+      }
+      val expected = (0 until 64).foldLeft(0L) { (acc, w) =>
+        if (e(w) < e(w + 1)) acc | (1L << w) else acc
+      }
+      assert(got(id) == expected, s"id=$id")
+    }
+    // the perturbed near-copy flips at most bit 0 (sample 0 lives in
+    // window 0, whose energy feeds only the w=0 comparison)
+    val copy = Multimodal.syntheticWavTable(Seq(6L).toDF("doc_id"), "doc_id",
+      perturb0 = true, idOffset = 100L)
+    val ch = Multimodal.audioEnergyHash(copy).collect().head.ehash
+    assert(java.lang.Long.bitCount(got(6L) ^ ch) <= 1,
+      s"perturbed copy drifted: ${got(6L)} vs $ch")
+    // volume invariance: halve every sample of a REAL wav — all window
+    // energies scale by 1/4, every gradient sign survives, hash identical
+    val pcm = new Array[Byte](130 * 2)
+    val half = new Array[Byte](130 * 2)
+    for (i <- 0 until 130) {
+      val v = (((i * 1997 + 11) % 65536) - 32768).toShort
+      val h = (v / 2).toShort
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      half(2 * i) = (h & 0xff).toByte; half(2 * i + 1) = ((h >> 8) & 0xff).toByte
+    }
+    def wav(data: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 130L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val two = Seq((1L, wav(pcm)), (2L, wav(half))).toDF("media_id", "payload")
+    val hs = Multimodal.audioEnergyHash(two).collect()
+      .map(h => h.media_id -> h.ehash).toMap
+    assert(hs(1L) == hs(2L),
+      "uniform volume scaling must not flip any energy-gradient bit")
+  }
+
   test("audioWindows: per-window exact moments tile the full sample stream") {
     val media = Multimodal.syntheticWavTable(Seq(3L).toDF("doc_id"), "doc_id")
     // id=3: 53 frames, 2 channels -> windows of 20 frames: 20/20/13
@@ -234,7 +285,7 @@ class MultimodalSpec extends SparkSpec {
     assert(ws.map(w => (w.window_idx, w.n_samples)).toSeq ==
       Seq((0, 40L), (1, 40L), (2, 26L)), ws.toSeq.toString)
     def sample(i: Int, c: Int): Long =
-      ((3L * 31 + i * 7 + c * 131) % 65536L) - 32768L
+      ((3L * 31 + i * 7919 + c * 131) % 65536L) - 32768L
     for (w <- ws) {
       val range = (w.window_idx * 20) until math.min((w.window_idx + 1) * 20, 53)
       val vs = for { i <- range; c <- 0 until 2 } yield sample(i, c)
