@@ -1653,6 +1653,19 @@ object SparkEntry {
         .select("source", "doc_id", "n_tokens", "cum_tokens")
         .orderBy("source", "cum_tokens", "doc_id")),
 
+    // token_budget on TRUE merge-table BPE accounting (the verdict's
+    // "make the token budgets real" follow-through): identical budget
+    // machinery, token column = the greedy-merge kernel's count.
+    "token_budget_bpe" -> ((s, dir) =>
+      Curation.tokenBudget(
+        TextStats.bpeCustomCounts(
+          t(s, dir, "documents")
+            .filter(col("doc_id").isNotNull && col("text").isNotNull),
+          "text"),
+        "source", "n_bpe_tokens", col("n_chars"), "doc_id", budget = 1000L)
+        .select("source", "doc_id", "n_bpe_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")),
+
     // §2.11 curation — sliding-window chunking (size 256, stride 192 →
     // 64-char overlap): explode(sequence) fan-out, executor-side only.
     // Byte-exact chunk text compared against DuckDB's substr.
@@ -3098,6 +3111,63 @@ object SparkEntry {
   // strip ALL leading/trailing whitespace (trim() is space-only), matching
   // TextStats.whitespaceTokens / TextKernels.tokenBounds
   private val strippedSql = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
+
+  /** Shared recursive-CTE body replaying the default-table greedy BPE
+    * merge loop per word (see the `bpe_merge_count` oracle for the
+    * step-by-step reading) — ends in `bpecnt(doc_id, n_pretokens,
+    * n_bpe_tokens)` over non-null (doc_id, text) rows. Prepend
+    * `WITH RECURSIVE`. Shared by `bpe_merge_count` and
+    * `token_budget_bpe` so the two oracles' merge arithmetic cannot
+    * fork.
+    */
+  private val bpeApplyCte: String =
+    """d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, wid,
+      |    CASE WHEN tok[1:1] = ' ' THEN tok[2:] ELSE tok END AS word
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(text,
+      |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS tok,
+      |      generate_subscripts(regexp_extract_all(text,
+      |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'), 1) AS wid
+      |    FROM d)),
+      |st AS (
+      |  SELECT doc_id, wid,
+      |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+      |  FROM w
+      |  UNION ALL
+      |  SELECT doc_id, wid,
+      |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+      |  FROM (
+      |    SELECT doc_id, wid, syms,
+      |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS mr
+      |    FROM (
+      |      SELECT s.doc_id, s.wid, s.syms,
+      |        list_transform(range(1, len(s.syms)),
+      |          i -> coalesce(nullif(list_position(
+      |            ['t h','th e','i n','in g','a n','an d','e r','o n',
+      |             'r e','a t','e n','e s','o r','t e','e d','i s',
+      |             'i t','a l','a r','s t','t o','en t','o u','l e',
+      |             'c h','s e','m e','n e','l l','c e','u r','r o',
+      |             'u n','r i','th i','thi s','w h','wh a','wha t',
+      |             'f o','fo r','w i','wi th','b e','h a','ha t',
+      |             'y o','yo u'],
+      |            s.syms[i] || ' ' || s.syms[i+1]), 0), 999999)) AS rks
+      |      FROM st s) u) v
+      |  WHERE v.mr < 999999),
+      |fin AS (
+      |  SELECT doc_id, wid, min(len(syms)) AS n_toks
+      |  FROM st GROUP BY doc_id, wid),
+      |bpecnt AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(w2.npre, 0) AS BIGINT) AS n_pretokens,
+      |    CAST(coalesce(w2.nbpe, 0) AS BIGINT) AS n_bpe_tokens
+      |  FROM d LEFT JOIN (
+      |    SELECT doc_id, count(*) AS npre, sum(n_toks) AS nbpe
+      |    FROM fin GROUP BY doc_id) w2 ON w2.doc_id = d.doc_id)""".stripMargin
 
   /** Language-prediction subquery shared by `lang_id`/`lang_confusion` —
     * generated from TextStats.Stopwords so the two sides cannot drift.
@@ -5726,54 +5796,26 @@ object SparkEntry {
     // table; the final state is the min-length one (each merge strictly
     // shrinks the list). Every merge decision is verified in SQL.
     "bpe_merge_count" ->
-      """WITH RECURSIVE
-        |d AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
-        |w AS (
-        |  SELECT doc_id, wid,
-        |    CASE WHEN tok[1:1] = ' ' THEN tok[2:] ELSE tok END AS word
-        |  FROM (
-        |    SELECT doc_id,
-        |      unnest(regexp_extract_all(text,
-        |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS tok,
-        |      generate_subscripts(regexp_extract_all(text,
-        |        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'), 1) AS wid
-        |    FROM d)),
-        |st AS (
-        |  SELECT doc_id, wid,
-        |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
-        |  FROM w
-        |  UNION ALL
-        |  SELECT doc_id, wid,
-        |    syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
-        |  FROM (
-        |    SELECT doc_id, wid, syms,
-        |      list_position(rks, list_min(rks)) AS bi, list_min(rks) AS mr
-        |    FROM (
-        |      SELECT s.doc_id, s.wid, s.syms,
-        |        list_transform(range(1, len(s.syms)),
-        |          i -> coalesce(nullif(list_position(
-        |            ['t h','th e','i n','in g','a n','an d','e r','o n',
-        |             'r e','a t','e n','e s','o r','t e','e d','i s',
-        |             'i t','a l','a r','s t','t o','en t','o u','l e',
-        |             'c h','s e','m e','n e','l l','c e','u r','r o',
-        |             'u n','r i','th i','thi s','w h','wh a','wha t',
-        |             'f o','fo r','w i','wi th','b e','h a','ha t',
-        |             'y o','yo u'],
-        |            s.syms[i] || ' ' || s.syms[i+1]), 0), 999999)) AS rks
-        |      FROM st s) u) v
-        |  WHERE v.mr < 999999),
-        |fin AS (
-        |  SELECT doc_id, wid, min(len(syms)) AS n_toks
-        |  FROM st GROUP BY doc_id, wid)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(w2.npre, 0) AS BIGINT) AS n_pretokens,
-        |  CAST(coalesce(w2.nbpe, 0) AS BIGINT) AS n_bpe_tokens
-        |FROM d LEFT JOIN (
-        |  SELECT doc_id, count(*) AS npre, sum(n_toks) AS nbpe
-        |  FROM fin GROUP BY doc_id) w2 ON w2.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      (s"WITH RECURSIVE\n$bpeApplyCte\n" +
+        """SELECT doc_id, n_pretokens, n_bpe_tokens
+          |FROM bpecnt ORDER BY doc_id""".stripMargin),
+
+    // token_budget re-parameterized on REAL merge-table BPE counts: the
+    // same greedy-loop CTE feeds the same budget window as token_budget,
+    // so the token accounting the budget enforces is the trained-vocab
+    // number, not the pre-tokenizer proxy.
+    "token_budget_bpe" ->
+      (s"WITH RECURSIVE\n$bpeApplyCte,\n" +
+        """tb AS (
+          |  SELECT d2.source, b.doc_id, b.n_bpe_tokens,
+          |    CAST(SUM(b.n_bpe_tokens) OVER (PARTITION BY d2.source
+          |      ORDER BY d2.n_chars DESC, b.doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM bpecnt b JOIN documents d2 ON d2.doc_id = b.doc_id)
+          |SELECT source, doc_id, n_bpe_tokens, cum_tokens FROM tb
+          |WHERE cum_tokens <= 1000
+          |ORDER BY source NULLS FIRST, cum_tokens, doc_id""".stripMargin),
 
     // The same greedy-loop replay, driven by the LEARNED merge table
     // Verify dumps (rank order = merge priority) instead of the code
