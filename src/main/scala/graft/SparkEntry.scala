@@ -1533,7 +1533,7 @@ object SparkEntry {
     // replays the entire greedy loop per word as a recursive CTE over
     // the SAME table, so every merge decision is verified, not trusted.
     "bpe_merge_count" -> ((s, dir) =>
-      TextStats.bpeCustomCounts(
+      TextStats.bpeCounts(
         t(s, dir, "documents")
           .filter(col("doc_id").isNotNull && col("text").isNotNull),
         "text")
@@ -1658,7 +1658,7 @@ object SparkEntry {
     // machinery, token column = the greedy-merge kernel's count.
     "token_budget_bpe" -> ((s, dir) =>
       Curation.tokenBudget(
-        TextStats.bpeCustomCounts(
+        TextStats.bpeCounts(
           t(s, dir, "documents")
             .filter(col("doc_id").isNotNull && col("text").isNotNull),
           "text"),

@@ -46,29 +46,37 @@ object TextStats {
     * each pre-token is greedily merged against the rank table —
     * lowest-ranked adjacent pair first, leftmost on positional ties —
     * and the surviving symbol counts are summed
-    * ([[graft.functions.TextKernels.bpeMergeCountWith]]). The default
-    * code-literal table rides whole-stage codegen via the
-    * `graft_bpe_merge_count` expression; `merges` switches to a
-    * BROADCAST rank map — the 100 TB shape for a real trained
-    * vocabulary (GPT-2's 50k merges ≈ 1 MB: executor-cached once per
-    * node, never shipped per row or per task; the lookup loop is the
-    * same kernel either way). Null text counts 0.
+    * ([[graft.functions.TextKernels.bpeMergeCountWith]]). [[bpeCounts]]
+    * rides the default code-literal table through whole-stage codegen
+    * (the `graft_bpe_merge_count` expression); [[bpeCustomCounts]]
+    * switches to a BROADCAST rank map — the 100 TB shape for a real
+    * trained vocabulary (GPT-2's 50k merges ≈ 1 MB: executor-cached
+    * once per node, never shipped per row or per task; the lookup loop
+    * is the same kernel either way). Null text counts 0.
     *
     * Output: the input plus `n_bpe_tokens`.
     */
+  def bpeCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_bpe_tokens",
+      coalesce(graft.functions.bpe_merge_count(col(s"`$textCol`")), lit(0L)))
+
+  /** [[bpeCounts]] under a CUSTOM vocabulary (trained or imported) via
+    * the broadcast rank map. `merges` must be non-empty — an
+    * accidentally empty trained table silently falling back to the
+    * default vocabulary would mis-account every budget downstream, so
+    * that is an error, not a default.
+    */
   def bpeCustomCounts(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)] = Nil): DataFrame = {
-    if (merges.isEmpty)
-      df.withColumn("n_bpe_tokens",
-        coalesce(graft.functions.bpe_merge_count(col(s"`$textCol`")), lit(0L)))
-    else {
-      val bc = df.sparkSession.sparkContext.broadcast(
-        graft.functions.TextKernels.bpeRankMap(merges))
-      val f = udf((s: String) =>
-        if (s == null) 0L
-        else graft.functions.TextKernels.bpeMergeCountWith(s, bc.value))
-      df.withColumn("n_bpe_tokens", f(col(s"`$textCol`")))
-    }
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty,
+      "bpeCustomCounts needs a non-empty merge table (use bpeCounts for" +
+        " the built-in default vocabulary)")
+    val bc = df.sparkSession.sparkContext.broadcast(
+      graft.functions.TextKernels.bpeRankMap(merges))
+    val f = udf((s: String) =>
+      if (s == null) 0L
+      else graft.functions.TextKernels.bpeMergeCountWith(s, bc.value))
+    df.withColumn("n_bpe_tokens", f(col(s"`$textCol`")))
   }
 
   /** TRAIN a BPE merge table from the corpus — Sennrich et al. 2016's

@@ -49,7 +49,7 @@ class TextStatsSpec extends SparkSpec {
   test("bpeCustomCounts: broadcast vocab path ≡ codegen expression on the default table") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").isNotNull)
-    val viaExpr = TextStats.bpeCustomCounts(docs, "text")
+    val viaExpr = TextStats.bpeCounts(docs, "text")
       .select(col("doc_id"), col("n_bpe_tokens"))
     val viaBroadcast = TextStats.bpeCustomCounts(docs, "text",
       graft.functions.TextKernels.BpeMerges.toSeq)
@@ -58,7 +58,7 @@ class TextStatsSpec extends SparkSpec {
       .filter(col("n_bpe_tokens") =!= col("n_udf")).count()
     assert(diff == 0L, "broadcast path must equal the compiled-table kernel")
     // merging can only shrink the pre-token char totals, never below word count
-    val bad = TextStats.bpeCustomCounts(docs, "text")
+    val bad = TextStats.bpeCounts(docs, "text")
       .select(TextStats.bpeishTokenCount(col("text")).as("pre"), col("n_bpe_tokens"))
       .filter(col("n_bpe_tokens") < col("pre")).count()
     assert(bad == 0L, "merged count can never undercut the pre-token count")
