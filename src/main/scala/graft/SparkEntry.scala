@@ -2472,6 +2472,24 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id", "window_idx")),
 
+    // §2.11 — REAL video-frame tier: multi-frame PNG stream payloads
+    // (the in-JVM stand-in for a codec container — no H.264 decoder
+    // ships with the JDK, but container scanning / frame boundaries /
+    // stride sampling / per-frame decode are all real here), every 2nd
+    // frame sampled and decoded through the actual ImageIO reader. The
+    // oracle recomputes each sampled frame's dimensions and exact pixel
+    // sum from the frame-seed formula alone.
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticFrameStreamTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+        stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("decoded").cast("int").as("decoded"),
+          col("width"), col("height"), col("pixel_sum"))
+        .orderBy("media_id", "frame_idx")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -6035,6 +6053,31 @@ object SparkEntry {
         |FROM ids i LEFT JOIN sm ON sm.media_id = i.media_id
         |  LEFT JOIN rs ON rs.media_id = i.media_id
         |ORDER BY i.media_id""".stripMargin,
+
+    // Sampled video frames replayed arithmetically: media id has
+    // 2 + id%4 frames at (4 + id%13) × (4 + id%7); stride 2 keeps
+    // frame indices 0 and 2; frame f's pixels key off seed id·1000 + f.
+    "multimodal_video" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+        |    4 + doc_id % 7 AS h, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |fr AS (
+        |  SELECT media_id, w, h, ff.f AS frame_idx,
+        |    media_id * 1000 + ff.f AS seed
+        |  FROM ids, unnest(generate_series(0, nf - 1)) AS ff(f)
+        |  WHERE ff.f % 2 = 0),
+        |px AS (
+        |  SELECT media_id, frame_idx, w, h,
+        |    (seed * 31 + xx.x * 7 + yy.y * 13) % 256 AS v
+        |  FROM fr, unnest(generate_series(0, w - 1)) AS xx(x),
+        |       unnest(generate_series(0, h - 1)) AS yy(y))
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(1 AS INTEGER) AS decoded,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY media_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
     // the PCM formula (empty windows zero-filled), gradient-sign bits

@@ -634,6 +634,112 @@ object Multimodal {
       }
   }
 
+  // --- real frame-stream (video) path -------------------------------------
+
+  /** Deterministic multi-frame media payload: `2 + id mod 4` PNG frames
+    * (frame f's pixels keyed by seed `id·1000 + f`, dimensions constant
+    * per media — `(4 + id mod 13) × (4 + id mod 7)`) concatenated into
+    * one binary stream, MJPEG-style. This is the honest in-JVM stand-in
+    * for a video container: there is no H.264/VP9 codec in the JDK, but
+    * a frame STREAM with real per-frame image decoding exercises every
+    * piece of real video plumbing — container scanning, frame
+    * boundaries, stride sampling, per-frame decode, executor-side
+    * fan-out — and PNG frames keep the pixel arithmetic lossless, so
+    * the SQL oracle replays every sampled frame's stats exactly.
+    */
+  def syntheticFrameStream(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 4 + (id % 7).toInt
+    val n = 2 + (id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      bos.write(syntheticPng(id * 1000 + f, w, h))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def syntheticFrameStreamTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticFrameStream(id))))
+      .toDF("media_id", "payload")
+  }
+
+  final case class VideoFrame(
+      media_id: Long, frame_idx: Int, decoded: Boolean,
+      width: Int, height: Int, pixel_sum: Long)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL frame extraction from a frame-stream payload: scan the bytes
+    * for PNG signatures (the container parse — the same boundary scan an
+    * MJPEG splitter does on JPEG SOI markers), take every `stride`-th
+    * frame up to `maxFrames` (sampling WITHOUT decoding the skipped
+    * frames — the property that makes frame sampling cheap on real
+    * video), and decode each sampled frame through the real ImageIO
+    * reader for dimensions + exact band-0 pixel sum. A frame that fails
+    * to decode degrades to a flagged row (`decoded = false`); payloads
+    * with no signature at all emit nothing. One input row fans out to
+    * its sampled frames via `flatMap` inside `mapPartitions` —
+    * executor-side only, the [[sampleFrames]] shape with a REAL decoder
+    * behind it.
+    */
+  def sampleVideoFrames(media: DataFrame, stride: Int = 1,
+      maxFrames: Int = 64): Dataset[VideoFrame] = {
+    require(stride >= 1 && maxFrames >= 1,
+      s"invalid params: stride=$stride maxFrames=$maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def sigAt(b: Array[Byte], off: Int): Boolean = {
+          if (off + PngSignature.length > b.length) return false
+          var k = 0
+          while (k < PngSignature.length) {
+            if (b(off + k) != PngSignature(k)) return false
+            k += 1
+          }
+          true
+        }
+        it.flatMap { case (id, bytesOrNull) =>
+          val bytes = if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
+          // container parse: frame starts = signature offsets
+          val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < bytes.length) {
+            if (sigAt(bytes, i)) { starts += i; i += PngSignature.length }
+            else i += 1
+          }
+          starts.indices.iterator
+            .filter(_ % stride == 0)
+            .take(maxFrames)
+            .map { fi =>
+              val from = starts(fi)
+              val until = if (fi + 1 < starts.length) starts(fi + 1) else bytes.length
+              val img = tryDecode(java.util.Arrays.copyOfRange(bytes, from, until))
+              if (img == null) VideoFrame(id, fi, decoded = false, 0, 0, 0L)
+              else {
+                val r = img.getRaster
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) { sum += r.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                VideoFrame(id, fi, decoded = true, img.getWidth, img.getHeight, sum)
+              }
+            }
+        }
+      }
+  }
+
   final case class AudioEnergyHash(media_id: Long, ehash: Long)
 
   /** Perceptual audio fingerprint over the REAL codec tier — the audio

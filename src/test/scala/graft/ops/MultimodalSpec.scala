@@ -226,6 +226,43 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resampleAudio(corrupt, 8000).count() == 0L)
   }
 
+  test("sampleVideoFrames: real container scan + per-frame decode; stride skips; corrupt frame degrades") {
+    import spark.implicits._
+    val ids = Seq(1L, 6L, 11L).toDF("doc_id") // 3, 4, 5 frames
+    val media = Multimodal.syntheticFrameStreamTable(ids, "doc_id")
+    val all = Multimodal.sampleVideoFrames(media, stride = 1).collect()
+      .groupBy(_.media_id)
+    assert(all(1L).length == 3 && all(6L).length == 4 && all(11L).length == 5,
+      "every container frame found at stride 1")
+    for (id <- Seq(1L, 6L, 11L); fr <- all(id)) {
+      val w = 4 + (id % 13).toInt
+      val h = 4 + (id % 7).toInt
+      val seed = id * 1000 + fr.frame_idx
+      val expected = (for { y <- 0 until h; x <- 0 until w }
+        yield (seed * 31 + x * 7 + y * 13) % 256).sum
+      assert(fr.decoded && fr.width == w && fr.height == h &&
+        fr.pixel_sum == expected, s"id=$id frame=${fr.frame_idx}: $fr")
+    }
+    // stride 2: indices 0 and 2 only (sampling never decodes skipped frames)
+    val sampled = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+      .filter(_.media_id == 6L).map(_.frame_idx).sorted.toSeq
+    assert(sampled == Seq(0, 2), sampled.toString)
+    // a corrupt middle frame (signature + garbage) degrades to a flagged
+    // row; its neighbors still decode
+    val good = Multimodal.syntheticFrameStream(1L)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val corrupt = good ++ sig ++ Array[Byte](1, 2, 3) ++
+      Multimodal.syntheticPng(9L, 5, 5)
+    val rows = Multimodal.sampleVideoFrames(
+      Seq((7L, corrupt)).toDF("media_id", "payload"), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 5 && rows.count(!_.decoded) == 1 &&
+      !rows(3).decoded && rows(4).decoded, rows.mkString("; "))
+    // empty payload: no signatures, no rows
+    assert(Multimodal.sampleVideoFrames(
+      Seq((8L, Array.emptyByteArray)).toDF("media_id", "payload")).count() == 0L)
+  }
+
   test("audioEnergyHash: bits match the window-energy arithmetic; volume scaling flips nothing") {
     val ids = Seq(1L, 2L, 6L).toDF("doc_id")
     val media = Multimodal.syntheticWavTable(ids, "doc_id")
