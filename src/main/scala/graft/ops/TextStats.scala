@@ -105,30 +105,37 @@ object TextStats {
     require(numMerges >= 1, s"numMerges must be positive: $numMerges")
     require(minPairCount >= 1, s"minPairCount must be positive: $minPairCount")
     val sc = df.sparkSession.sparkContext
-    val text = df.select(col(s"`$textCol`").as("__t")).filter(col("__t").isNotNull)
-    var merges = Vector.empty[(String, String)]
-    var exhausted = false
-    while (merges.length < numMerges && !exhausted) {
-      val bc = sc.broadcast(
-        graft.functions.TextKernels.bpeRankMap(merges))
-      val pairsOf = udf((s: String) =>
-        graft.functions.TextKernels.bpeAdjacentPairs(s, bc.value))
-      val best = text
-        .select(explode(pairsOf(col("__t"))).as("__p"))
-        .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= minPairCount)
-        .orderBy(col("__n").desc, col("__p").asc)
-        .limit(1)
-        .collect()
-      bc.destroy()
-      if (best.isEmpty) exhausted = true
-      else {
-        val key = best(0).getString(0)
-        val sep = key.indexOf(' ')
-        merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+    // the training slice is scanned once per round — cache it for the
+    // loop's duration and release before returning (the learner owns
+    // this intermediate outright; nothing returned depends on it)
+    val text = df.select(col(s"`$textCol`").as("__t"))
+      .filter(col("__t").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.length < numMerges && !exhausted) {
+        val bc = sc.broadcast(
+          graft.functions.TextKernels.bpeRankMap(merges))
+        val pairsOf = udf((s: String) =>
+          graft.functions.TextKernels.bpeAdjacentPairs(s, bc.value))
+        val best = text
+          .select(explode(pairsOf(col("__t"))).as("__p"))
+          .groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minPairCount)
+          .orderBy(col("__n").desc, col("__p").asc)
+          .limit(1)
+          .collect()
+        bc.destroy()
+        if (best.isEmpty) exhausted = true
+        else {
+          val key = best(0).getString(0)
+          val sep = key.indexOf(' ')
+          merges :+= ((key.substring(0, sep), key.substring(sep + 1)))
+        }
       }
-    }
-    merges
+      merges
+    } finally text.unpersist(blocking = false)
   }
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]` for n=3. Built with
