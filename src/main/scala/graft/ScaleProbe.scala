@@ -557,6 +557,40 @@ object ScaleProbe {
           Dedup.ngramJaccardPairs(d32, "text", "doc_id", 3, 0.5), "id_a", "id_b"))
     }
 
+    // round-10 operator family: the real-codec tiers and the BPE kernels
+    // all ride the doc-id axis (payloads/text per id), so replication
+    // scales corpus size while per-item cost stays fixed — wall should
+    // track rows with no superlinear term anywhere.
+    if (familyOn("probe10")) Seq(1, k).foreach { times =>
+      val n = 1000000L
+      val ids = (0 until times).map { i =>
+        docs.select((col("doc_id") + lit(i * n)).as("doc_id"))
+      }.reduce(_.unionByName(_)).filter(col("doc_id").isNotNull)
+      val d = replicate(times)
+      println(s"--- probe10 ${times}x (${ids.count()} ids) ---")
+      time("probe10:decodeAudio",
+        graft.ops.Multimodal.decodeAudio(
+          graft.ops.Multimodal.syntheticWavTable(ids, "doc_id")).toDF())
+      time("probe10:audioEnergyHash",
+        graft.ops.Multimodal.audioEnergyHash(
+          graft.ops.Multimodal.syntheticWavTable(ids, "doc_id")).toDF())
+      time("probe10:sampleVideoFrames",
+        graft.ops.Multimodal.sampleVideoFrames(
+          graft.ops.Multimodal.syntheticFrameStreamTable(ids, "doc_id"),
+          stride = 2).toDF())
+      time("probe10:bpeCounts(kernel)",
+        graft.ops.TextStats.bpeCounts(d, "text")
+          .select(col("doc_id"), col("n_bpe_tokens")))
+      // training cost = rounds × one pass over the slice; rounds fixed,
+      // slice grows k× — wall should track the slice linearly
+      time("probe10:bpeTrainMerges(8 rounds)", {
+        val m = graft.ops.TextStats.bpeTrainMerges(
+          d.filter(pmod(col("doc_id"), lit(4)) === 0), "text",
+          numMerges = 8, minPairCount = 10L)
+        spark.range(m.length.toLong).toDF("id")
+      })
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
