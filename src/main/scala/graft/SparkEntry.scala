@@ -236,6 +236,24 @@ object SparkEntry {
           pmod(col("doc_id"), lit(4)) === 0),
       "text", numMerges = 12, minPairCount = 10L)
 
+  /** Where Verify materializes the trained PQ codebooks
+    * `(subspace, centroid_id, cv)` — the `ann_pq`/`ann_pq_recall`
+    * oracles replay encode + ADC + re-rank from this parquet (the
+    * trainer is the SAME exact-Lloyd machinery the ann_ivf oracle
+    * replays bit-exactly, so training stays verified there).
+    */
+  val PqDumpDir: String =
+    new java.io.File("target/verify-pq-codebooks").getAbsolutePath
+
+  /** The PQ codebooks the ann_pq gates train: 4 subspaces × 16
+    * centroids, 2 Lloyd rounds over the embeddings corpus —
+    * deterministic, so Verify's dump and the gates' in-query training
+    * always agree.
+    */
+  def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, numSubspaces = 4, numCentroids = 16, iters = 2)
+
   /** Where Verify materializes the ACTIVE PSL rule table
     * `(kind, pattern)` — the psl_domains oracle replays the full
     * public-suffix algorithm (exception > longest exact/wildcard >
@@ -2306,6 +2324,37 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // §2.11 — PQ ANN (Jégou et al.: per-subspace codebooks compress 64
+    // floats to 4 codes; ADC scores corpus CODES against a per-query
+    // lookup table in exact grid-int64 arithmetic; the top-candK
+    // candidates get an exact cosine re-rank). Codebooks come from the
+    // same exact-Lloyd trainer the IVF oracle already replays; the
+    // oracle here replays encode + LUT + ADC + re-rank from Verify's
+    // codebook dump.
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, numSubspaces = 4, numCentroids = 16, candK = 50)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2.11 — PQ quality gate: deterministic recall vs the exact side
+    // (what 64x compression + ADC candidate generation costs after the
+    // exact re-rank).
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.certifyRecallFloor(
+        Similarity.pqRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, k = 10, numSubspaces = 4, numCentroids = 16, candK = 50),
+        floor = 0.5)
+        .orderBy("query_id")
+    }),
+
     // §2.11 — k-means topic clustering: per-vector cluster assignment +
     // centroid cosine (the input to domain discovery, cluster-balanced
     // sampling, SemDeDup pruning). Same seeded init + exact-arithmetic
@@ -3267,6 +3316,52 @@ object SparkEntry {
        |  round(avg(recall) OVER (), 4) >= $floor AS pass
        |FROM rec ORDER BY query_id""".stripMargin
 
+  /** Approx-side CTEs replaying the PQ pipeline from Verify's codebook
+    * dump: encode every vector per subspace (max rounded cosine,
+    * centroid-id tiebreak — the shared assignment convention), build
+    * the per-query LUT of grid-floored partial dot products, ADC-score
+    * codes (exact int64 sums — order-independent), cut to `candK`
+    * candidates, exact-cosine re-rank to top-10. Ends in
+    * `approx(query_id, neighbor_id, cosine_sim, rank)`.
+    */
+  private def pqApproxCtes(dumpDir: String, nQueries: Int, candK: Int): String =
+    s"""cb AS (SELECT subspace, centroid_id, cv
+       |  FROM read_parquet('$dumpDir/*.parquet')),
+       |pieces AS (
+       |  SELECT vec_id, ss.s AS subspace,
+       |    v[ss.s * 16 + 1 : ss.s * 16 + 16] AS sv
+       |  FROM e, unnest(generate_series(0, 3)) AS ss(s)),
+       |enc AS (
+       |  SELECT vec_id, subspace, cid AS code FROM (
+       |    SELECT p.vec_id, p.subspace, c.centroid_id AS cid,
+       |      row_number() OVER (PARTITION BY p.vec_id, p.subspace
+       |        ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC,
+       |          c.centroid_id) AS rn
+       |    FROM pieces p JOIN cb c ON c.subspace = p.subspace) WHERE rn = 1),
+       |lut AS (
+       |  SELECT p.vec_id AS qid, p.subspace, c.centroid_id AS code,
+       |    CAST(floor(list_inner_product(p.sv, c.cv) * 1048576.0) AS BIGINT) AS part
+       |  FROM pieces p JOIN cb c ON c.subspace = p.subspace
+       |  WHERE p.vec_id < $nQueries),
+       |adc AS (
+       |  SELECT l.qid, en.vec_id AS nid, sum(l.part) AS score
+       |  FROM enc en JOIN lut l ON l.subspace = en.subspace AND l.code = en.code
+       |  WHERE en.vec_id <> l.qid GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rn FROM adc) WHERE rn <= $candK),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT c.qid AS query_id, c.nid AS neighbor_id,
+       |      round(list_cosine_similarity(eq.v, en.v), 6) AS cosine_sim,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC,
+       |          c.nid) AS rn
+       |    FROM cand c JOIN e eq ON eq.vec_id = c.qid
+       |      JOIN e en ON en.vec_id = c.nid) WHERE rn <= 10)""".stripMargin
+
   /** Approx-side CTEs for an LSH recall oracle over a (vec_id, embedding,
     * keys) dump: bucket equi-join candidates → exact-score → top-10.
     */
@@ -3652,6 +3747,18 @@ object SparkEntry {
       s"""SELECT vec_id, embedding AS v
          |  FROM read_parquet('$ScaledLshDumpDir/*.parquet')""".stripMargin,
       lshApproxCtes(ScaledLshDumpDir), floor = 0.8),
+
+    // PQ top-k lists replayed from the codebook dump: encode + LUT +
+    // exact-int64 ADC + exact re-rank, all in SQL.
+    "ann_pq" ->
+      (s"WITH e AS (\n  $embeddingsESrc),\n" +
+        pqApproxCtes(PqDumpDir, nQueries = 5, candK = 50) + "\n" +
+        """SELECT query_id, neighbor_id, cosine_sim, rank
+          |FROM approx ORDER BY query_id, rank""".stripMargin),
+
+    "ann_pq_recall" -> recallOracleSql(
+      embeddingsESrc,
+      pqApproxCtes(PqDumpDir, nQueries = 20, candK = 50), floor = 0.5),
 
     "ann_ivf_recall" -> recallOracleSql(
       embeddingsESrc,

@@ -33,6 +33,13 @@ object Verify {
     // the public-suffix algorithm against the SAME rules the engine uses.
     graft.ops.Domains.pslRulesFrame(spark)
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.PslDumpDir)
+    // ... and the trained PQ codebooks, so ann_pq/ann_pq_recall replay
+    // encode + ADC + re-rank from the SAME tables the gates train.
+    SparkEntry.pqCodebooks(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("subspace"),
+        org.apache.spark.sql.functions.col("centroid_id"),
+        org.apache.spark.sql.functions.col("__cent").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.PqDumpDir)
     // ... and the corpus-learned BPE merge table, so bpe_learned_count's
     // greedy application gets a table-driven recursive-CTE oracle (the
     // trainer stays spec-pinned on the Sennrich worked example).

@@ -560,6 +560,163 @@ object Similarity {
       ivfTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
         numCentroids, nProbe, trainIters))
 
+  // --- product quantization (PQ) ----------------------------------------
+
+  /** Per-subvector slices `(subspace, __sv)` of a vector column — the
+    * shared decomposition every PQ stage uses (`dim` must divide evenly
+    * into `numSubspaces` contiguous pieces).
+    */
+  private def pqPieces(vecCol: String, dim: Int, numSubspaces: Int) = {
+    val sub = dim / numSubspaces
+    explode(array((0 until numSubspaces).map(s => struct(
+      lit(s).as("subspace"),
+      expr(s"slice(`$vecCol`, ${s * sub + 1}, $sub)")
+        .cast("array<double>").as("__sv"))): _*))
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI'11):
+    * the vector space is split into `numSubspaces` contiguous
+    * subspaces and each gets its OWN `numCentroids`-entry codebook,
+    * trained with the SAME seeded-by-id, exact-grid-int64 Lloyd
+    * machinery as the IVF index ([[ivfTrainCentroids]] — deterministic
+    * under any aggregation order, replayable by an external engine).
+    * A vector then compresses to `numSubspaces` small codes —
+    * `numCentroids ≤ 256` means ONE BYTE per subspace, e.g. 64 floats
+    * (256 bytes) → 4 bytes at m=4: the memory lever beyond int8's 4×,
+    * at the cost of quantization recall (measure with [[pqRecall]]).
+    * Output: `(subspace, centroid_id, __cent)` — m·k rows, KB-scale,
+    * broadcast-footprint by construction.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numSubspaces: Int, numCentroids: Int,
+      iters: Int = 2): DataFrame = {
+    require(numSubspaces >= 1 && dim % numSubspaces == 0,
+      s"dim=$dim must split evenly into numSubspaces=$numSubspaces")
+    val sub = dim / numSubspaces
+    (0 until numSubspaces).map { s =>
+      val c = df
+        .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull &&
+          size(col(s"`$vecCol`")) === dim)
+        .select(col(s"`$idCol`").cast("long").as("neighbor_id"),
+          expr(s"slice(`$vecCol`, ${s * sub + 1}, $sub)")
+            .cast("array<double>").as("__cv"))
+      ivfTrainCentroids(c, numCentroids, iters)
+        .withColumn("subspace", lit(s))
+    }.reduce(_.unionByName(_))
+      .select(col("subspace"), col("centroid_id"), col("__cent"))
+  }
+
+  /** PQ encoding: per (vector, subspace), the nearest codebook entry
+    * (max rounded cosine, centroid-id tiebreak — the [[ivfTopK]]
+    * assignment convention). Codebooks broadcast; the only shuffle
+    * carries one row per (vector, subspace). Output:
+    * `(<idCol>, subspace, code)`.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSubspaces: Int, codebooks: DataFrame): DataFrame = {
+    df.filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull &&
+        size(col(s"`$vecCol`")) === dim)
+      .select(col(s"`$idCol`").cast("long").as("__pqid"),
+        pqPieces(vecCol, dim, numSubspaces).as("__e"))
+      .select(col("__pqid"), col("__e.subspace").as("subspace"),
+        col("__e.__sv").as("__sv"))
+      .join(broadcast(codebooks), Seq("subspace"))
+      .select(col("__pqid"), col("subspace"),
+        struct(round(cosine(col("__sv"), col("__cent")), 6).as("c"),
+          (-col("centroid_id")).as("nc")).as("__s"))
+      .groupBy(col("__pqid"), col("subspace"))
+      .agg(max(col("__s")).as("__best"))
+      .select(col("__pqid").as(idCol), col("subspace"),
+        (-col("__best.nc")).cast("long").as("code"))
+  }
+
+  /** Approximate NN via PQ asymmetric distance computation (ADC) with
+    * exact re-ranking — the production PQ pipeline:
+    *
+    *  1. train per-subspace codebooks ([[pqTrain]]), encode the corpus
+    *     to `numSubspaces` codes per vector ([[pqEncode]]);
+    *  2. per query, a LOOKUP TABLE of partial dot products
+    *     `dot(q_sub, centroid)` for every (subspace, centroid) — `m·k`
+    *     values per query, broadcast-tiny;
+    *  3. ADC scan: each corpus code row joins its LUT entry and the
+    *     per-(query, vector) score is the SUM of partials — dot
+    *     products decompose over contiguous subspaces, so ADC
+    *     approximates `dot(q, x)` with the corpus side never touching
+    *     floats. Partials are floored to the 2⁻²⁰ grid and summed as
+    *     int64 — exact under any aggregation order (the Lloyd-mean
+    *     determinism contract), so candidate ranking is engine-exact;
+    *  4. exact re-rank: the top `candK` ADC candidates per query (and
+    *     only those) are re-scored with full-precision cosine; top `k`
+    *     emitted in [[ivfTopK]]'s output shape.
+    *
+    * Scale shape: codebooks and LUT broadcast (m·k and Q·m·k rows);
+    * the ADC scan shuffles one (query, vector) partial row per corpus
+    * code — map-side combinable sum, corpus floats scanned ONCE at
+    * encode time and never again until the candK·Q re-rank join. The
+    * compressed corpus (m bytes/vector at k ≤ 256) is the scan-memory
+    * lever beyond [[quantizedTopK]]'s int8; recall costs are measured,
+    * not assumed ([[pqRecall]] — re-ranking recovers most of them).
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numSubspaces: Int = 4, numCentroids: Int = 16,
+      candK: Int = 50, trainIters: Int = 2): DataFrame = {
+    require(candK >= k, s"candK=$candK must cover k=$k")
+    val cb = pqTrain(corpus, corpusId, corpusVec, dim, numSubspaces,
+      numCentroids, trainIters)
+    val codes = pqEncode(corpus, corpusId, corpusVec, dim, numSubspaces, cb)
+      .withColumnRenamed(corpusId, "neighbor_id")
+    val q = queries
+      .filter(col(s"`$queryId`").isNotNull && col(s"`$queryVec`").isNotNull &&
+        size(col(s"`$queryVec`")) === dim)
+      .select(col(s"`$queryId`").cast("long").as("query_id"),
+        col(s"`$queryVec`").as("__qv"))
+    val lut = q
+      .select(col("query_id"), pqPieces("__qv", dim, numSubspaces).as("__e"))
+      .select(col("query_id"), col("__e.subspace").as("subspace"),
+        col("__e.__sv").as("__sqv"))
+      .join(broadcast(cb), Seq("subspace"))
+      .select(col("query_id"), col("subspace"),
+        col("centroid_id").as("code"),
+        floor(dot(col("__sqv"), col("__cent")) * lit(LloydScale))
+          .cast("long").as("__part"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__adc"), asc("neighbor_id"))
+    val cand = codes
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__part")).as("__adc"))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= candK)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(s"`$corpusId`").cast("long").as("neighbor_id"),
+      col(s"`$corpusVec`").as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    cand
+      .join(cv, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of [[pqTopK]] vs exact ground truth — what m-byte
+    * compression plus ADC candidate generation costs after re-ranking.
+    */
+  def pqRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numSubspaces: Int = 4, numCentroids: Int = 16,
+      candK: Int = 50, trainIters: Int = 2): DataFrame =
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      pqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+        dim, k, numSubspaces, numCentroids, candK, trainIters))
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *
     * Exact all-pairs is inherently O(n²) in similarity computations; the

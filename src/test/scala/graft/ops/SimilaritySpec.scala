@@ -194,6 +194,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall collapsed: $recall")
   }
 
+  test("pqTopK: corpus-covering candK degrades to exact brute force; ADC candK meets a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    // candK >= corpus size ⇒ the exact re-rank scores EVERY vector ⇒
+    // identical to brute force whatever the codes said
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.pqTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, numSubspaces = 4, numCentroids = 8, candK = n)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == exact, "corpus-covering candK must equal brute force")
+    // real ADC candidate generation: quantitative recall floor
+    val recall = Similarity.pqRecall(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, numSubspaces = 4, numCentroids = 16, candK = 50)
+      .agg(avg("recall")).as[Double].collect()(0)
+    info(f"PQ mean recall (m=4, k=16, candK=50) = $recall%.4f")
+    assert(recall >= 0.6, s"PQ recall collapsed: $recall")
+  }
+
+  test("pqTrain/pqEncode: per-subspace codebooks; a vector sitting ON a centroid encodes to it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      dim = 64, numSubspaces = 4, numCentroids = 8, iters = 1)
+    val bySub = cb.groupBy("subspace").count()
+      .as[(Int, Long)].collect().toMap
+    assert(bySub.keySet == Set(0, 1, 2, 3), bySub.toString)
+    assert(bySub.values.forall(c => c >= 1 && c <= 8), bySub.toString)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", 64, 4, cb)
+    // every vector gets exactly one code per subspace, codes from the book
+    assert(codes.count() == emb.count() * 4)
+    val orphan = codes.join(cb,
+      codes("subspace") === cb("subspace") && codes("code") === cb("centroid_id"),
+      "left_anti").count()
+    assert(orphan == 0L, "every code must reference a codebook entry")
+    // determinism: re-train + re-encode is bit-identical
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding", 64, 4,
+      Similarity.pqTrain(emb, "vec_id", "embedding", 64, 4, 8, iters = 1))
+    assert(codes.exceptAll(again).count() == 0L &&
+      again.exceptAll(codes).count() == 0L, "PQ must be deterministic")
+  }
+
   test("quantizedTopK: int8-code search recall vs exact meets a high floor") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val recall = Similarity.quantizedRecall(
