@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf" -> "centroid assignment: corpus × broadcast codebook",
     "ann_ivf_recall" -> "both of the above",
     "ann_quantized_recall" -> "compressed-domain brute force × broadcast queries, plus the exact side",
+    "ann_pq_recall" -> "exact ground-truth side (corpus × broadcast queries); the ADC scan itself is a hash join on (subspace, code)",
     "source_overlap" -> "group-pair size cross: rows = #groups², two longs each",
     "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row",
     "hybrid_topk" -> "embeds both: bm25 stats cross + exact-cosine corpus × broadcast query",
