@@ -2350,7 +2350,7 @@ object SparkEntry {
         Similarity.pqRecall(
           emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 20), "vec_id", "embedding",
-          dim = 64, k = 10, numSubspaces = 4, numCentroids = 16, candK = 50),
+          dim = 64, k = 10, numSubspaces = 4, numCentroids = 16, candK = 100),
         floor = 0.5)
         .orderBy("query_id")
     }),
@@ -3758,7 +3758,7 @@ object SparkEntry {
 
     "ann_pq_recall" -> recallOracleSql(
       embeddingsESrc,
-      pqApproxCtes(PqDumpDir, nQueries = 20, candK = 50), floor = 0.5),
+      pqApproxCtes(PqDumpDir, nQueries = 20, candK = 100), floor = 0.5),
 
     "ann_ivf_recall" -> recallOracleSql(
       embeddingsESrc,
