@@ -2365,6 +2365,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
         .orderBy("vec_id")),
 
+    // SemDeDup proper (Abbas et al. 2023): k-means partition → pairwise
+    // cosine ONLY within a cluster → keep the vector farther from its
+    // centroid. The Lloyd trainer is the same exact-int64 one embed_kmeans
+    // replays, so the oracle re-derives the whole pipeline (codebook →
+    // assignment → within-cell prune) bit-exactly. Contrast embed_clusters
+    // (exact all-pairs CC): this is the ~linear published curation shape.
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, k = 16, iters = 2)
+        .orderBy("vec_id")),
+
     // §2.11 — fuzzy (edit-distance ≤ 2) record-linkage join: 24-char
     // name keys from each doc, typo'd copies (two deletions) unioned
     // under offset ids. PassJoin segment blocking is COMPLETE for
@@ -3831,6 +3843,23 @@ object SparkEntry {
       """SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
         |  round(list_cosine_similarity(e.v, c.cv), 6) AS centroid_cos
         |FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cid = a.cid
+        |ORDER BY a.vec_id""".stripMargin),
+
+    "semdedup" ->
+      ("WITH e AS (\n  " + embeddingsESrc + "),\n" + ivfLloydCtes + ",\n" +
+      """asg AS (
+        |  SELECT a.vec_id, a.cid,
+        |    round(list_cosine_similarity(e.v, c.cv), 6) AS ccos
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN cents c ON c.cid = a.cid),
+        |pruned AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id <> a.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+        |    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+        |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id, a.ccos AS centroid_cos,
+        |  (p.vec_id IS NOT NULL) AS pruned
+        |FROM asg a LEFT JOIN pruned p ON p.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin),
 
     "ann_ivf" ->

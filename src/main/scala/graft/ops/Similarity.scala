@@ -799,6 +799,78 @@ object Similarity {
     Dedup.connectedComponents(vertices, idCol, pairs, "id_a", "id_b")
   }
 
+  /** SemDeDup proper (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup at the published SCALE shape — k-means partitions the corpus
+    * ([[kmeansClusters]], the exact-int64 Lloyd trainer the oracle
+    * replays bit-exactly), pairwise cosine runs ONLY within a cluster,
+    * and of each duplicate pair the vector FARTHER from its centroid
+    * survives (the paper's keep-low-centroid-similarity rule, §3; the
+    * (centroid_cos, id) lexicographic tiebreak makes the keeper total
+    * and engine-portable). Contrast [[cosineClusters]]: that one is
+    * exact over ALL pairs (the O(n²) block kernel); this is the
+    * linear-ish curation step — pair volume is Σ_c C(|c|,2), and with k
+    * grown ∝ n the per-cluster population n/k stays fixed, so compute
+    * scales ~linearly in the corpus. The price is the paper's: a
+    * near-dup pair split across two cells is never compared (recall
+    * loss the k/|c| trade controls).
+    *
+    * Output: one row PER input vector (id, cluster_id, centroid_cos,
+    * pruned) — `pruned` = ∃ b in the same cluster with
+    * round(cos(a,b),6) ≥ `threshold` and (b.centroid_cos, b.id) <
+    * (a.centroid_cos, a.id). Callers drop `pruned` rows to curate.
+    *
+    * Scale shape: the codebook is a k×dim broadcast; assignment
+    * shuffles one row per vector; the within-cluster self-join is an
+    * equi-join on cluster_id whose fan-out a degenerate codebook (one
+    * hot cell swallowing the corpus) would turn quadratic — the
+    * plan-embedded guard (the [[GraphOps.cooccurrenceLift]]
+    * raise_error pattern, wrapping the id column so no consumer can
+    * prune it away) names the cluster and fails fast at
+    * `maxClusterSize` instead of fanning C(|c|,2) from few tasks.
+    * The assigned+vector frame is persisted and feeds both join sides
+    * plus the output — it outlives the call (the [[Dedup]]-family
+    * clearCache/[[graft.CachedFrames]] contract).
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      k: Int = 16, iters: Int = 2, maxClusterSize: Long = 100000L): DataFrame = {
+    require(maxClusterSize >= 2,
+      s"maxClusterSize must be at least 2: $maxClusterSize")
+    val assigned = kmeansClusters(df, idCol, vecCol, k, iters)
+    val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val wc = Window.partitionBy(col("cluster_id"))
+    // guard wraps the id column: every downstream consumer (both join
+    // sides, the output row) reads it, so column pruning can never elide
+    // the check even under a bare count()
+    val sides = assigned
+      .select(col(idCol).as("__id"), col("cluster_id"), col("centroid_cos"))
+      .withColumn("__csz", count(lit(1)).over(wc))
+      .select(
+        when(col("__csz") > maxClusterSize,
+          raise_error(concat(
+            lit("semDedup: cluster "), col("cluster_id").cast("string"),
+            lit(" holds "), col("__csz").cast("string"),
+            lit(s" vectors (> maxClusterSize=$maxClusterSize) — the" +
+              " within-cluster self-join would fan C(n,2) pairs from few" +
+              " tasks; raise k, retrain, or split the hot cell"))))
+          .otherwise(col("__id")).as("__id"),
+        col("cluster_id"), col("centroid_cos"))
+      .join(vecs, Seq("__id"))
+      .transform(graft.CachedFrames.cached)
+    val b = sides.select(col("__id").as("__idb"), col("cluster_id"),
+      col("centroid_cos").as("__cb"), col("__v").as("__vb"))
+    val prunedIds = sides.join(b, Seq("cluster_id"))
+      .filter(col("__idb") =!= col("__id"))
+      .filter(round(cosine(col("__v"), col("__vb")), 6) >= threshold)
+      .filter(col("__cb") < col("centroid_cos") ||
+        (col("__cb") === col("centroid_cos") && col("__idb") < col("__id")))
+      .select(col("__id").as("__pruned_id")).distinct()
+    sides.join(prunedIds, col("__id") === col("__pruned_id"), "left")
+      .select(col("__id").as(idCol), col("cluster_id"), col("centroid_cos"),
+        col("__pruned_id").isNotNull.as("pruned"))
+  }
+
   private def cosineNearDupPairsWithChunks(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numBlocks: Int): (DataFrame, DataFrame) = {

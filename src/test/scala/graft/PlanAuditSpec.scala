@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk" -> "corpus-stats cross: matching docs × ONE broadcast stats row",
     "hybrid_topk" -> "embeds both: bm25 stats cross + exact-cosine corpus × broadcast query",
     "embed_kmeans" -> "centroid assignment: corpus × broadcast codebook (same as ann_ivf)",
+    "semdedup" -> "centroid assignment: corpus × broadcast codebook; the within-cluster prune join itself is a hash join on cluster_id",
     "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)",
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
     "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)",

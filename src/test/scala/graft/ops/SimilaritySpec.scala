@@ -311,6 +311,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup: within-cluster dups prune toward low centroid-cos keeper; cross-cluster dups never compared") {
+    // cluster A (x-axis): 0 is dead-on the centroid direction, 1/2 are
+    // noisy near-dups of each other and of 0; cluster B (y-axis): 3/4
+    // near-identical. 5 is a lone z-axis vector (own cell, no pair).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.98f, 0.02f, 0f, 0f)),
+      (2L, Array(0.97f, 0.03f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0.01f, 0f)),
+      (4L, Array(0f, 0.99f, 0.02f, 0f)),
+      (5L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.99, k = 3, iters = 2)
+      .select("vec_id", "cluster_id", "centroid_cos", "pruned")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L to 5L), s"one row per vector: $out")
+    val byId = out.map(r => r._1 -> r).toMap
+    // x-group shares a cluster, y-group shares a cluster, z is elsewhere
+    assert(Set(0L, 1L, 2L).map(byId(_)._2).size == 1)
+    assert(Set(3L, 4L).map(byId(_)._2).size == 1)
+    assert(byId(5L)._2 != byId(0L)._2 && byId(5L)._2 != byId(3L)._2)
+    // of each dup group exactly the lowest-(centroid_cos, id) survives:
+    // the kept member must be unpruned, every other group member whose
+    // pair-cos clears 0.99 prunes toward it
+    val xs = Seq(0L, 1L, 2L).map(byId(_))
+    val keeperX = xs.minBy(r => (r._3, r._1))
+    assert(!keeperX._4, s"keeper pruned: $keeperX")
+    val ys = Seq(3L, 4L).map(byId(_))
+    val keeperY = ys.minBy(r => (r._3, r._1))
+    assert(!keeperY._4 && ys.exists(_._4), s"y group: $ys")
+    // singleton never prunes
+    assert(!byId(5L)._4)
+    // x group: 1 and 2 are ≥0.99-close to each other and to 0, so the two
+    // non-keepers are both pruned
+    assert(xs.count(_._4) == 2, s"x group: $xs")
+  }
+
+  test("semDedup: hot-cluster guard fails fast past maxClusterSize") {
+    val many = (0 until 40).map(i => (i.toLong, Array(1f, i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.semDedup(many, "vec_id", "embedding",
+        threshold = 0.999, k = 1, iters = 0, maxClusterSize = 10L).count()
+    }
+    assert(e.getMessage.contains("maxClusterSize"), e.getMessage)
+  }
+
   test("reduceDims: md5-sign JL projection components; null vector projects to null") {
     val df = Seq(
       (1L, Some(Array(1f, 2f, 3f))),
