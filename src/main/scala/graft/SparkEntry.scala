@@ -968,6 +968,25 @@ object SparkEntry {
         rareBelow = 3L)
         .orderBy("doc_id")),
 
+    // §2.11 curation — CCNet head/middle/tail staging (Wenzek et al.,
+    // LREC 2020): per-language rank terciles over the exact-arithmetic
+    // familiarity score (the LM-perplexity proxy — high familiarity =
+    // low perplexity = head). Exact integer slice edges, no ntile.
+    "ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextStats
+        .unigramFamiliarity(docs, "doc_id", "text", oovBelow = 3L)
+        .select("doc_id", "familiarity")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Curation.rankBuckets(scored, "lang", col("familiarity"), "doc_id",
+          buckets = 3)
+        .select(col("doc_id"), col("lang"), col("familiarity"), col("bucket"),
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail").as("tier"))
+        .orderBy("doc_id")
+    }),
+
     // §2.11 — DSIR-style importance weighting (Xie et al., NeurIPS'23):
     // per-doc target-vs-raw token-evidence ratio, int64-exact sums with
     // one final division. Target slice = English docs from the four
@@ -5503,6 +5522,29 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE), 6) AS familiarity
          |FROM toks t JOIN freqs f ON f.token = t.token
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex($strippedSql, '\\s+')) AS token
+         |  FROM documents WHERE doc_id IS NOT NULL AND length($strippedSql) > 0),
+         |freqs AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token),
+         |fam AS (
+         |  SELECT t.doc_id,
+         |    round(CAST(sum(least(f.freq, ${TextStats.FreqCap})) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 6) AS familiarity
+         |  FROM toks t JOIN freqs f ON f.token = t.token GROUP BY t.doc_id),
+         |rk AS (
+         |  SELECT f.doc_id, d.lang, f.familiarity,
+         |    CAST(row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY f.familiarity DESC, f.doc_id) AS BIGINT) AS rnk,
+         |    CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+         |  FROM fam f JOIN documents d ON d.doc_id = f.doc_id)
+         |SELECT doc_id, lang, familiarity,
+         |  CAST(1 + ((rnk - 1) * 3) // n AS BIGINT) AS bucket,
+         |  CASE 1 + ((rnk - 1) * 3) // n
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     "bigram_familiarity" ->
       s"""WITH toks AS (

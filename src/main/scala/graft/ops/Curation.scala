@@ -371,6 +371,37 @@ object Curation {
       .drop("__rank", "__n")
   }
 
+  /** CCNet-style rank bucketing (Wenzek et al., LREC 2020 §4.3): rank
+    * every row within its group by `score` (desc — best first; `idCol`
+    * the deterministic tiebreak) and cut each group into `buckets`
+    * contiguous rank slices — bucket 1 is CCNet's "head" (the
+    * best-scoring third at buckets=3), the last its "tail". CCNet runs
+    * this per language over document LM perplexity to stage training
+    * data by quality; composed in the registry with
+    * [[TextStats.unigramFamiliarity]], whose exact-arithmetic
+    * familiarity is the low-perplexity proxy (high = head). Exact rank
+    * arithmetic, not ntile: `bucket = 1 + ((rank−1)·buckets) DIV n` —
+    * every slice edge is one int64 expression, so engine and oracle can
+    * never disagree on a boundary row.
+    *
+    * Scale shape: ONE hash shuffle on the group key; each group ranks
+    * through one window task (the [[topFractionByGroup]] contract —
+    * groups are language/source-grained by design). If a single
+    * language outgrows a task at 100 TB, swap the in-group window for
+    * [[rankByOrder]]'s two-phase distributed rank, run per group.
+    */
+  def rankBuckets(
+      df: DataFrame, groupCol: String, score: Column, idCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val rankW = Window.partitionBy(col(groupCol)).orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(rankW).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
+      .withColumn("bucket", expr(s"1L + ((__rank - 1L) * ${buckets}L) DIV __n"))
+      .drop("__rank", "__n")
+  }
+
   /** Sequence packing: assign every document a global token offset in the
     * id-ordered concatenated token stream, and the training-sequence id it
     * starts in (`seq_id = start_offset DIV capacity`). This is the layout

@@ -180,6 +180,29 @@ class CurationSpec extends SparkSpec {
     assert(Curation.topFractionByGroup(df, "g", col("score"), "id", 0L).count() == 0)
   }
 
+  test("rankBuckets: per-group tercile slices with exact integer edges; best score = bucket 1") {
+    // group a: 7 rows → slices of 3/2/2 by the (rank-1)*3 DIV n edge;
+    // group b: 2 rows → buckets 1 and 2 (tail empty) — the exact-DIV
+    // edge on n < buckets, same shape ntile(3) would give
+    val df = (1L to 7L).map(i => ("a", i, 100.0 - i)) ++ Seq(("b", 8L, 5.0), ("b", 9L, 9.0))
+    val out = Curation.rankBuckets(
+      df.toDF("g", "id", "score"), "g", col("score"), "id", buckets = 3)
+      .select("g", "id", "bucket").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a: score desc = ids 1..7; ranks 1-3 → 1, 4-5 → 2, 6-7 → 3
+    assert(Seq(1L, 2L, 3L).forall(out("a", _) == 1L), out.toString)
+    assert(Seq(4L, 5L).forall(out("a", _) == 2L), out.toString)
+    assert(Seq(6L, 7L).forall(out("a", _) == 3L), out.toString)
+    // b: best (id 9, score 9) → bucket 1; worst → bucket 2
+    assert(out(("b", 9L)) == 1L && out(("b", 8L)) == 2L, out.toString)
+    // ties break by id: equal scores rank id-ascending
+    val tied = Curation.rankBuckets(
+      Seq(("g", 1L, 1.0), ("g", 2L, 1.0), ("g", 3L, 1.0)).toDF("g", "id", "score"),
+      "g", col("score"), "id", buckets = 3)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(tied == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), tied.toString)
+  }
+
   test("packSequences: offsets equal the naive global cumsum, any partitioning") {
     val rows = (0L until 500L).map(i => (i, 1L + (i * 37) % 90)) // varied token counts
     val naiveOffsets = rows.map(_._2).scanLeft(0L)(_ + _).init
