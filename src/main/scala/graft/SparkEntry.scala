@@ -2601,6 +2601,26 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // §7.6 — streaming NEAR-dup: MinHash-LSH candidate detection as
+    // per-bucket flatMapGroupsWithState (state = the banded index
+    // itself), batch-side exact-Jaccard verify over the streamed
+    // candidate set. Run-to-completion makes the candidate set exactly
+    // the batch lshCandidates' — so the whole operator hash-matches
+    // dedup_minhash's ALL-PAIRS exact-jaccard oracle (candidate
+    // completeness across the stream/state path verified, not assumed).
+    "stream_neardup" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val cands = Streams.neardupCandidates(docsStream(s, dir), "doc_id", "text", n = 3)
+      val name = "stream_neardup_" + java.lang.Long.toHexString(System.nanoTime())
+      val sunk = Streams.runToMemory(cands.toDF(), name, statePartitions = Some(8))
+      val signed = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.shingle_hash_set(col("text"), 3).as("__shingles"))
+      Dedup.verifyJaccard(sunk.distinct(), signed, "doc_id", "__shingles")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §7.6 — fourth streaming gate: stream-static join. The incoming
     // document stream is flagged against the STATIC history split —
     // stateless on the stream side, deterministic run-to-completion, so
@@ -5710,6 +5730,8 @@ object SparkEntry {
   private def oracleSqlRest: Map[String, String] = Map(
 
     "dedup_minhash" -> jaccardSql(0.8),
+    // the streaming candidate path must land on the same verified pairs
+    "stream_neardup" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
 
     "dedup_clusters" -> (docClustersSqlBody + " ORDER BY doc_id"),

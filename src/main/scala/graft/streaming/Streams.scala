@@ -318,6 +318,79 @@ object Streams {
       }
   }
 
+  final case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash-LSH near-dup CANDIDATE detection — the streaming
+    * twin of [[graft.ops.Dedup.lshCandidates]]: each arriving document's
+    * text runs the same shingle→minhash→band kernel chain
+    * ([[graft.functions.shingle_hash_set]] → signature →
+    * [[graft.functions.band_hashes]], identical constants), explodes to
+    * (band_idx, band_hash) bucket keys, and probes a per-bucket state of
+    * every doc id seen in that bucket so far: a new doc emits one
+    * candidate pair per bucket-mate (id_a < id_b normalized; cross-batch
+    * mates come from state, same-batch mates from the group iterator,
+    * id-sorted so emission is arrival-order-independent). Downstream, a
+    * batch-side [[graft.ops.Dedup.verifyJaccard]] over the streamed
+    * candidate set completes the operator — candidates stream with
+    * bounded latency; exact verification is the cheap follow-up join
+    * (the candidate set is tiny relative to the corpus).
+    *
+    * State shape: per (band, hash) bucket, the id array of its members —
+    * total state = the banded index itself (n·Bands entries corpus-wide,
+    * the same footprint the batch self-join shuffles). A hot bucket (a
+    * boilerplate band shared corpus-wide) concentrates both state and
+    * C(k,2) emission on one key — the same hot-bucket caveat as batch
+    * LSH; production streams should expire buckets via a TTL timeout or
+    * band-key salting. Pairs are emitted exactly once (each doc is added
+    * to state once; re-deliveries of a known id emit nothing), but two
+    * docs sharing SEVERAL bands emit once per shared band — run
+    * `.distinct()` on the sink like the batch op does.
+    */
+  def neardupCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.Dedup
+    val bands = docs.filter(col(idCol).isNotNull)
+      .select(
+        posexplode(graft.functions.band_hashes(
+          Dedup.minhashSignature(
+            graft.functions.shingle_hash_set(col(textCol), n)),
+          Dedup.Bands, Dedup.RowsPerBand)).as(Seq("band_idx", "band_hash")),
+        col(idCol).cast("long").as("doc_id"))
+      .select("band_idx", "band_hash", "doc_id")
+      .as[BandDoc]
+    bands.groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState[Array[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[BandDoc],
+         state: GroupState[Array[Long]]) =>
+          val seen = state.getOption.getOrElse(Array.empty[Long])
+          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+            .filterNot(seen.contains)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          var i = 0
+          while (i < fresh.length) {
+            val a = fresh(i)
+            var j = 0
+            while (j < seen.length) {
+              val b = seen(j)
+              out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+              j += 1
+            }
+            var k = i + 1
+            while (k < fresh.length) {
+              out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
+              k += 1
+            }
+            i += 1
+          }
+          if (fresh.nonEmpty) state.update(seen ++ fresh)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).

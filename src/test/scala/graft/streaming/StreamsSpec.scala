@@ -126,6 +126,33 @@ class StreamsSpec extends SparkSpec {
     assert(last == Streams.UserStats(1L, 3L, 10.0, 12L))
   }
 
+  test("neardupCandidates: bucket-mates pair across AND within micro-batches, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content with no shared shingles at all here"
+    val in = MemoryStream[(Long, String)]
+    val cands = Streams.neardupCandidates(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    val q = cands.toDF().writeStream.format("memory").queryName("nd_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, dup), (2L, dup)) // same batch: identical docs share every band
+      q.processAllAvailable()
+      in.addData((3L, dup), (4L, other)) // later batch: 3 pairs 1 AND 2 via state
+      q.processAllAvailable()
+      in.addData((3L, dup)) // re-delivery of a known id emits nothing new
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_out").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    // identical docs share all 32 bands — each pair emitted once per band
+    val perBand = spark.table("nd_out").groupBy("id_a", "id_b").count()
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(perBand.values.toSet == Set(32L), perBand.toString)
+  }
+
   test("locfEnrich: (ts, event_id) order within a batch; carry crosses micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
