@@ -2903,6 +2903,16 @@ object SparkEntry {
       graft.ops.Profiling.benfordProfile(t(s, dir, "events"), "value")
         .orderBy("digit")),
 
+    // §2.8 extension — shuffle-skew pre-flight: simulated hash-partition
+    // load profile for keying a shuffle on user_id at P=32 (per-bucket
+    // rows / distinct keys / heaviest key, load ratio). Oracle-portable
+    // Feistel bucketing (the hashSplit mix), not Murmur3, so DuckDB
+    // replays the assignment bit-exactly.
+    "skew_profile" -> ((s, dir) =>
+      graft.ops.Profiling.shuffleSkewProfile(
+        events(s, dir), "user_id", numPartitions = 32)
+        .orderBy("bucket")),
+
     // §2.11 — market-basket co-occurrence lift (the comorbidity-mining
     // shape: basket = patient, item = condition code) over (order,
     // part) membership: A-priori-pruned pair generation, exact-int64
@@ -6496,6 +6506,23 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
         |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "skew_profile" ->
+      (s"""WITH pk AS (
+          |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS kc
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+          |bk AS (
+          |  SELECT (__bucket % 32) AS bucket, kc
+          |  FROM ${Curation.bucketSqlCte("pk", "k", Curation.SplitSalt)}),
+          |pb AS (
+          |  SELECT bucket, CAST(sum(kc) AS BIGINT) AS n_rows,
+          |    CAST(count(*) AS BIGINT) AS n_keys,
+          |    CAST(max(kc) AS BIGINT) AS max_key_rows
+          |  FROM bk GROUP BY bucket),
+          |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM pb)
+          |SELECT bucket, n_rows, n_keys, max_key_rows,
+          |  round(CAST(n_rows AS DOUBLE) * 32 / CAST(t.t AS DOUBLE), 6) AS load_ratio
+          |FROM pb CROSS JOIN t ORDER BY bucket""".stripMargin),
 
     "basket_lift" ->
       """WITH m AS (

@@ -667,4 +667,50 @@ object Profiling {
         round(log10(lit(1d) + lit(1d) / col("digit").cast("double")), 6)
           .as("benford_share"))
   }
+
+  /** Shuffle-skew pre-flight: simulate hash-partitioning `df` on
+    * `keyCol` into `numPartitions` buckets and profile each simulated
+    * partition's load — the diagnostic you run BEFORE keying a 100 TB
+    * shuffle on a column, answering "which executor melts, and why".
+    * Per bucket: `n_rows` (total load), `n_keys` (distinct keys
+    * landing there), `max_key_rows` (the heaviest single key's
+    * contribution — `max_key_rows ≈ n_rows` means one hot key no
+    * repartitioning fixes, [[SkewJoin]]-salting territory; many keys ≈
+    * crowding, a partition-count problem), and `load_ratio` =
+    * n_rows·P/total (1.0 = perfectly balanced). The bucket function is
+    * the engine's oracle-portable Feistel mix ([[Curation.hashBucket]]
+    * mod P — deliberately NOT Spark's Murmur3, so any ANSI engine
+    * replays the assignment bit-exactly; as a proxy for the real
+    * partitioner it answers the distributional question, which depends
+    * on key multiplicity, not on which uniform hash is in play).
+    *
+    * Scale shape: groupBy(key) with map-side combine (the per-key
+    * frame is distinct-key-sized), then a P-row aggregation; the 1-row
+    * total broadcasts back (the profile-family cross pattern). Null
+    * keys are excluded (they hash-partition arbitrarily in real plans;
+    * profile them via [[graft.quality.QualityChecker.missingProfile]]).
+    */
+  def shuffleSkewProfile(
+      df: DataFrame, keyCol: String, numPartitions: Int = 32,
+      salt: Long = Curation.SplitSalt): DataFrame = {
+    require(numPartitions >= 1 && numPartitions <= Curation.Myriad,
+      s"numPartitions out of [1, ${Curation.Myriad}]: $numPartitions")
+    val key = col(s"`$keyCol`")
+    val perKey = df.filter(key.isNotNull)
+      .groupBy(key.as("__k"))
+      .agg(count(lit(1)).as("__kc"))
+      .select(
+        pmod(Curation.hashBucket(col("__k"), salt), lit(numPartitions.toLong))
+          .as("bucket"),
+        col("__kc"))
+    val perBucket = perKey.groupBy("bucket")
+      .agg(sum(col("__kc")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("__kc")).as("max_key_rows"))
+    val total = perBucket.agg(sum(col("n_rows")).as("__t"))
+    perBucket.crossJoin(broadcast(total))
+      .withColumn("load_ratio",
+        round(col("n_rows").cast("double") * numPartitions /
+          col("__t").cast("double"), 6))
+      .drop("__t")
+  }
 }

@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "fhir_comorbidity" -> "same cooccurrenceLift shape: pair counts × ONE broadcast basket-total row",
     "equidepth_bins" -> "ranked rows × ONE broadcast total-count row",
     "rfm_segments" -> "entity-sized ranked frame × ONE broadcast total-count row",
-    "benford_profile" -> "9 digit rows × ONE broadcast total row")
+    "benford_profile" -> "9 digit rows × ONE broadcast total row",
+    "skew_profile" -> "P bucket rows × ONE broadcast total row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -228,6 +228,28 @@ class ProfilingSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $b1")
   }
 
+  test("shuffleSkewProfile: hot key surfaces as max_key_rows; totals and ratios reconcile") {
+    // key 7 carries 91 of 100 rows (90 hot + its 1..10 slot) — the
+    // one-hot-key shape salting fixes; the other nine keys carry one row
+    // each (crowding); null keys excluded
+    val rows = Seq.fill(90)(7L) ++ (1L to 10L)
+    val df = rows.map(k => (Some(k), "x")).toDF("k", "payload")
+      .union(Seq((Option.empty[Long], "x")).toDF("k", "payload"))
+    val out = Profiling.shuffleSkewProfile(df, "k", numPartitions = 4)
+      .select("bucket", "n_rows", "n_keys", "max_key_rows", "load_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).sum == 100L, s"row conservation: $out")
+    assert(out.map(_._3).sum == 10L, s"key conservation: $out")
+    // the hot key's bucket reports it: exactly one bucket has max_key_rows=90
+    assert(out.count(_._4 == 91L) == 1, s"hot key visible: $out")
+    // load_ratio = n_rows*P/total for every bucket
+    out.foreach { r =>
+      assert(math.abs(r._5 - r._2 * 4.0 / 100.0) < 1e-6, r.toString)
+    }
+    // buckets are in [0, P)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 4), out.toString)
+  }
+
   test("equidepthBins: near-equal sizes, contiguous value spans, null exclusion") {
     // 10 values into 3 bins: sizes under rank*k DIV n = 4,3,3 from the
     // low end (rank r -> bin r*3 DIV 10)
