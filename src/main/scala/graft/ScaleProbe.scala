@@ -591,6 +591,30 @@ object ScaleProbe {
       })
     }
 
+    // round-10 session-3 family: SemDeDup proper (embeddings axis — both
+    // the FIXED-k shape, where per-cell population grows with the corpus
+    // and the pair term with its square, and the paper's lever, k grown
+    // ∝ corpus, which holds per-cell cost fixed), CCNet rank staging
+    // (docs axis) and the shuffle-skew pre-flight (events key axis).
+    if (familyOn("probe10b")) Seq(1, k).foreach { times =>
+      val e = replicateEmb(times)
+      println(s"--- probe10b ${times}x (${e.count()} vecs) ---")
+      time("probe10b:semDedup(fixed k=16)",
+        Similarity.semDedup(e, "vec_id", "embedding", 0.35, k = 16))
+      time(s"probe10b:semDedup(k=16*$times)",
+        Similarity.semDedup(e, "vec_id", "embedding", 0.35, k = 16 * times))
+      val d = replicate(times)
+      time("probe10b:rankBuckets(7 groups)", {
+        val scored = graft.ops.TextStats
+          .unigramFamiliarity(d, "doc_id", "text", oovBelow = 3L)
+          .withColumn("grp", pmod(col("doc_id"), lit(7L)))
+        Curation.rankBuckets(scored, "grp", col("familiarity"), "doc_id", 3)
+      })
+      val evR = replicateEv(times)
+      time("probe10b:shuffleSkewProfile(P=32)",
+        graft.ops.Profiling.shuffleSkewProfile(evR, "user_id", 32))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
