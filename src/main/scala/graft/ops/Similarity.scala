@@ -808,11 +808,14 @@ object Similarity {
     * (centroid_cos, id) lexicographic tiebreak makes the keeper total
     * and engine-portable). Contrast [[cosineClusters]]: that one is
     * exact over ALL pairs (the O(n²) block kernel); this is the
-    * linear-ish curation step — pair volume is Σ_c C(|c|,2), and with k
-    * grown ∝ n the per-cluster population n/k stays fixed, so compute
-    * scales ~linearly in the corpus. The price is the paper's: a
-    * near-dup pair split across two cells is never compared (recall
-    * loss the k/|c| trade controls).
+    * subquadratic curation step — pair volume is Σ_c C(|c|,2) ≈ n²/k,
+    * against which assignment costs n·k (the broadcast argmax over the
+    * codebook), so total work n·k + n²/k is minimized at k* ≈ √n:
+    * grow k toward √n as the corpus grows (O(n^1.5) total), NOT ∝ n —
+    * the 64× probe measured the ∝-n choice 5× slower than even fixed-k
+    * because the Lloyd argmax came to dominate (SCALING.md probe10b).
+    * The price is the paper's: a near-dup pair split across two cells
+    * is never compared (recall loss the k/√n trade controls).
     *
     * Output: one row PER input vector (id, cluster_id, centroid_cos,
     * pruned) — `pruned` = ∃ b in the same cluster with
