@@ -349,6 +349,58 @@ class SimilaritySpec extends SparkSpec {
     assert(xs.count(_._4) == 2, s"x group: $xs")
   }
 
+  test("randomized: semDedup == naive driver-side Lloyd + in-cell prune on 10 seeded corpora") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    (1 to 10).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(30)
+      val dim = 6
+      val k = 4
+      val vecs = (0 until n).map(i => i.toLong -> Array.fill(dim)(rnd.nextDouble()))
+      val byId = vecs.toMap
+      // independent reimplementation of the exact-int64 Lloyd trainer:
+      // seeded centroids = the k smallest ids; assignment = rounded-cos
+      // argmax with cid tiebreak; means = floor(x·2^20) int64 sums
+      def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+        vecs.map { case (id, v) =>
+          id -> cents.map { case (cid, cv) => (r6(cos(v, cv)), cid) }
+            .sortBy { case (c, cid) => (-c, cid) }.head._2
+        }.toMap
+      def mean(asg: Map[Long, Long]): Seq[(Long, Array[Double])] =
+        vecs.groupBy { case (id, _) => asg(id) }.toSeq.map { case (cid, vs) =>
+          cid -> Array.tabulate(dim) { d =>
+            vs.map { case (_, v) => math.floor(v(d) * 1048576.0).toLong }.sum /
+              (vs.size * 1048576.0)
+          }
+        }
+      val c2 = mean(assign(mean(assign(vecs.take(k)))))
+      val af = assign(c2)
+      val ccos = vecs.map { case (id, v) =>
+        id -> r6(cos(v, c2.find(_._1 == af(id)).get._2))
+      }.toMap
+      val thr = 0.9
+      val naive = vecs.map { case (a, va) =>
+        val pruned = vecs.exists { case (b, vb) =>
+          af(b) == af(a) && b != a && r6(cos(va, vb)) >= thr &&
+            (ccos(b) < ccos(a) || (ccos(b) == ccos(a) && b < a))
+        }
+        (a, af(a), ccos(a), pruned)
+      }.toSet
+      val engine = Similarity.semDedup(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = thr, k = k, iters = 2)
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(engine == naive, s"seed=$seed:\n engine ${engine.toSeq.sortBy(_._1)}\n naive  ${naive.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("semDedup: hot-cluster guard fails fast past maxClusterSize") {
     val many = (0 until 40).map(i => (i.toLong, Array(1f, i * 1e-4f)))
       .toDF("vec_id", "embedding")
