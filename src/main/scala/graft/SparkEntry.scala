@@ -1442,6 +1442,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // §2.11 — hard-negative mining (contrastive-training curation): per
+    // query the top-10 most-similar vectors BELOW the 0.3 near-positive
+    // cut — informative negatives with duplicates/unlabeled positives
+    // banded out. Same broadcast/rank plan as similarity_topk.
+    "hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, dupCut = 0.3)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // §2.11 — LSH-bucketed ANN (the 100 TB scale SHAPE; approximate).
     // 4-bit × 16-table config suits this near-random synthetic corpus
     // (neighbors at ~75°) but is near-brute-force on candidates — a random
@@ -5823,6 +5837,20 @@ object SparkEntry {
         |  round(ac.s / (ac.n * 1048576.0) - ab.s / (ab.n * 1048576.0), 6) AS mean_diff
         |FROM ab FULL JOIN ac ON ac.dim = ab.dim
         |ORDER BY dim""".stripMargin,
+
+    "hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT qid AS query_id, vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, CAST(embedding AS DOUBLE[])), 6) AS cosine_sim
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> qid)
+        |SELECT query_id, neighbor_id, cosine_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM scored WHERE cosine_sim < 0.3
+        |QUALIFY rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "similarity_topk" ->
       """WITH q AS (

@@ -125,6 +125,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining (the contrastive-training curation step —
+    * DPR/SimCSE-style): for each query, the top-k MOST similar corpus
+    * vectors whose similarity stays BELOW `dupCut` — similar enough to
+    * be informative negatives, not so similar that they are duplicates
+    * or unlabeled positives (the false-negative poisoning the cut
+    * exists to avoid). Same plan as [[bruteForceTopK]] — queries
+    * broadcast, corpus scanned once, one query-keyed rank shuffle —
+    * with the near-positive band excluded before ranking; at corpus
+    * scale route candidates through the LSH/IVF/PQ paths first and
+    * apply the same cut to their candidate sets.
+    */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int, dupCut: Double): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") < dupCut)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // --- random-hyperplane LSH (the 100 TB path) -------------------------------
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):

@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val intentionalBroadcastCross = Map(
     "similarity_topk" -> "exact baseline: corpus × broadcast query set",
+    "hard_negatives" -> "same broadcast/rank plan as similarity_topk with the near-positive band filtered",
     "ann_recall" -> "contains the exact ground-truth side (corpus × broadcast queries)",
     "ann_lsh_scaled" -> "same: recall gate carries the exact ground-truth side",
     "ann_rp_recall" -> "two bruteForceTopK passes (full + reduced space), each corpus × broadcast queries",

@@ -349,6 +349,28 @@ class SimilaritySpec extends SparkSpec {
     assert(xs.count(_._4) == 2, s"x group: $xs")
   }
 
+  test("hardNegatives: near-positive band excluded, rank re-packs below the cut") {
+    // query 0: identical 1 (cos 1.0) and close 2 (cos≈0.994) fall in the
+    // dup band at 0.9; orthogonal 3 (0.0) ranks 1; opposite 4 (−1) ranks 2
+    val out = Similarity.hardNegatives(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, dupCut = 0.9)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq((3L, 1L), (4L, 2L)), out.toString)
+    // dupCut above every similarity degrades to bruteForceTopK exactly
+    val all = Similarity.hardNegatives(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 4, dupCut = 1.1)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(
+      vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 4)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(all == bf, s"$all vs $bf")
+  }
+
   test("randomized: semDedup == naive driver-side Lloyd + in-cell prune on 10 seeded corpora") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
