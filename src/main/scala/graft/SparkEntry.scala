@@ -2917,6 +2917,18 @@ object SparkEntry {
       graft.ops.Profiling.benfordProfile(t(s, dir, "events"), "value")
         .orderBy("digit")),
 
+    // §2.8 extension — k-anonymity release audit (Sweeney 2002):
+    // equivalence-class-size histogram over the (lang, source,
+    // length-centile) quasi-identifier tuple; classes smaller than k=5
+    // are the re-identification risk, row_share the headline number.
+    "k_anonymity" -> ((s, dir) =>
+      graft.ops.Profiling.kAnonymity(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("n_chars DIV 100").as("len_band")),
+        Seq("lang", "source", "len_band"), k = 5L)
+        .orderBy("class_size")),
+
     // §2.8 extension — shuffle-skew pre-flight: simulated hash-partition
     // load profile for keying a shuffle on user_id at P=32 (per-bucket
     // rows / distinct keys / heaviest key, load ratio). Oracle-portable
@@ -6534,6 +6546,22 @@ object SparkEntry {
         |  round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS share,
         |  round(log10(1.0 + 1.0 / digit), 6) AS benford_share
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT lang, source, n_chars // 100 AS len_band FROM documents),
+        |cls AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY lang, source, len_band),
+        |sz AS (
+        |  SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(class_size * count(*) AS BIGINT) AS n_rows
+        |  FROM cls GROUP BY class_size),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM sz)
+        |SELECT class_size, n_classes, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS row_share,
+        |  (class_size < 5) AS at_risk
+        |FROM sz CROSS JOIN t ORDER BY class_size""".stripMargin,
 
     "skew_profile" ->
       (s"""WITH pk AS (

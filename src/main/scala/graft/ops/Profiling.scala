@@ -668,6 +668,45 @@ object Profiling {
           .as("benford_share"))
   }
 
+  /** k-anonymity re-identification profile (Sweeney 2002): group rows
+    * by their quasi-identifier tuple and histogram the equivalence-class
+    * sizes — a row in a class of size s is re-identifiable among s
+    * candidates, so classes with `class_size < k` are the release risk
+    * (`at_risk = true` rows; their `row_share` is the headline "fraction
+    * of records failing k-anonymity" number). The privacy audit a
+    * training-data release runs before shipping an EHR-derived or
+    * user-attributed corpus. Null QI values group as their own value
+    * (SQL GROUP BY semantics — null is a disclosure-relevant state, not
+    * an exclusion).
+    *
+    * Output: one row per distinct class SIZE (bounded by √(2·rows) at
+    * any corpus): (class_size, n_classes, n_rows, row_share, at_risk).
+    *
+    * Scale shape: one map-side-combined groupBy over the QI tuple
+    * (class-count-sized), a second over class sizes (distinct-size-
+    * sized), the 1-row total broadcast back — nothing data-sized moves
+    * after the scan. Generalization search (coarsening QIs until risk
+    * clears) is the caller's loop: re-run with bucketed/truncated QI
+    * columns and compare `row_share` at the same k.
+    */
+  def kAnonymity(
+      df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(k >= 2, s"k must be at least 2: $k")
+    val classes = df
+      .groupBy(qiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val sizes = classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+    val total = sizes.agg(sum(col("n_rows")).as("__t"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t").cast("double"), 6)
+          .as("row_share"),
+        (col("class_size") < k).as("at_risk"))
+  }
+
   /** Shuffle-skew pre-flight: simulate hash-partitioning `df` on
     * `keyCol` into `numPartitions` buckets and profile each simulated
     * partition's load — the diagnostic you run BEFORE keying a 100 TB

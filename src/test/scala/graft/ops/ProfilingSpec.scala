@@ -228,6 +228,29 @@ class ProfilingSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $b1")
   }
 
+  test("kAnonymity: class-size histogram, risk flag at k, null QI is its own class") {
+    // QI (g, b): class sizes — ("a",1)×3, ("a",2)×1, ("b",1)×2, (null,1)×2
+    val df = Seq(
+      (Some("a"), 1), (Some("a"), 1), (Some("a"), 1), (Some("a"), 2),
+      (Some("b"), 1), (Some("b"), 1),
+      (None, 1), (None, 1)).toDF("g", "b")
+    val out = Profiling.kAnonymity(df, Seq("g", "b"), k = 3L)
+      .orderBy("class_size")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // sizes: 1 → 1 class (1 row), 2 → 2 classes (4 rows), 3 → 1 class (3 rows)
+    assert(out == Seq(
+      (1L, 1L, 1L, 0.125, true),
+      (2L, 2L, 4L, 0.5, true),
+      (3L, 1L, 3L, 0.375, false)), out.toString)
+    // row conservation
+    assert(out.map(_._3).sum == 8L)
+    // coarsening the QI (drop b) clears the risk: every class ≥ 2 rows,
+    // at k=2 nothing is at risk
+    val coarse = Profiling.kAnonymity(df, Seq("g"), k = 2L)
+      .filter(col("at_risk")).count()
+    assert(coarse == 0L, "coarsened QI must clear k=2 risk")
+  }
+
   test("shuffleSkewProfile: hot key surfaces as max_key_rows; totals and ratios reconcile") {
     // key 7 carries 91 of 100 rows (90 hot + its 1..10 slot) — the
     // one-hot-key shape salting fixes; the other nine keys carry one row
