@@ -2929,6 +2929,17 @@ object SparkEntry {
         Seq("lang", "source", "len_band"), k = 5L)
         .orderBy("class_size")),
 
+    // §2.8 extension — l-diversity companion audit (homogeneity attack):
+    // per (lang, length-band) class, distinct `source` values; classes
+    // below l=3 distinct sensitive values are at risk even if k-anonymous.
+    "l_diversity" -> ((s, dir) =>
+      graft.ops.Profiling.lDiversity(
+        t(s, dir, "documents")
+          .select(col("lang"), expr("n_chars DIV 100").as("len_band"),
+            col("source")),
+        Seq("lang", "len_band"), "source", l = 3L)
+        .orderBy("diversity")),
+
     // §2.8 extension — shuffle-skew pre-flight: simulated hash-partition
     // load profile for keying a shuffle on user_id at P=32 (per-bucket
     // rows / distinct keys / heaviest key, load ratio). Oracle-portable
@@ -6562,6 +6573,26 @@ object SparkEntry {
         |  round(CAST(n_rows AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS row_share,
         |  (class_size < 5) AS at_risk
         |FROM sz CROSS JOIN t ORDER BY class_size""".stripMargin,
+
+    "l_diversity" ->
+      """WITH qi AS (
+        |  SELECT lang, n_chars // 100 AS len_band, source FROM documents),
+        |ds AS (
+        |  SELECT lang, len_band, source, CAST(count(*) AS BIGINT) AS r
+        |  FROM qi GROUP BY 1, 2, 3),
+        |cls AS (
+        |  SELECT lang, len_band, CAST(count(*) AS BIGINT) AS diversity,
+        |    CAST(sum(r) AS BIGINT) AS csz
+        |  FROM ds GROUP BY 1, 2),
+        |lv AS (
+        |  SELECT diversity, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(csz) AS BIGINT) AS n_rows
+        |  FROM cls GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM lv)
+        |SELECT diversity, n_classes, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS row_share,
+        |  (diversity < 3) AS at_risk
+        |FROM lv CROSS JOIN t ORDER BY diversity""".stripMargin,
 
     "skew_profile" ->
       (s"""WITH pk AS (

@@ -707,6 +707,49 @@ object Profiling {
         (col("class_size") < k).as("at_risk"))
   }
 
+  /** l-diversity release audit (Machanavajjhala et al. 2007) — the
+    * companion to [[kAnonymity]]: k-anonymity bounds how many CANDIDATES
+    * an attacker must choose among, but a class whose rows all share one
+    * sensitive value discloses that value without re-identification (the
+    * homogeneity attack). Here each quasi-identifier equivalence class
+    * is scored by its count of DISTINCT sensitive values; classes with
+    * `diversity < l` are at risk. Output histograms classes by their
+    * diversity level: (diversity, n_classes, n_rows, row_share,
+    * at_risk) — `row_share` of at-risk rows is the headline number.
+    * Null sensitive values count as a distinct value (null IS a
+    * disclosure-relevant state), null QI values group as their own
+    * class, both per SQL GROUP BY/COUNT DISTINCT semantics.
+    *
+    * Scale shape: one groupBy over (QI tuple, sensitive) — the
+    * distinct pre-collapse, map-side combined — then (QI tuple) and
+    * diversity-level aggregates, each strictly smaller; 1-row total
+    * broadcast back. Same nothing-data-sized-after-the-scan contract
+    * as [[kAnonymity]].
+    */
+  def lDiversity(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column required")
+    require(l >= 2, s"l must be at least 2: $l")
+    val qi = qiCols.map(c => col(s"`$c`"))
+    // distinct (QI, sensitive) pre-collapse: exact COUNT(DISTINCT) via
+    // two cheap aggregations, no Expand blow-up over wide QI tuples
+    val distinctSens = df
+      .groupBy(qi :+ col(s"`$sensitiveCol`").as("__s"): _*)
+      .agg(count(lit(1)).as("__rows"))
+    val classes = distinctSens
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("diversity"), sum(col("__rows")).as("__csz"))
+    val levels = classes.groupBy("diversity")
+      .agg(count(lit(1)).as("n_classes"), sum(col("__csz")).as("n_rows"))
+    val total = levels.agg(sum(col("n_rows")).as("__t"))
+    levels.crossJoin(broadcast(total))
+      .select(col("diversity"), col("n_classes"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t").cast("double"), 6)
+          .as("row_share"),
+        (col("diversity") < l).as("at_risk"))
+  }
+
   /** Shuffle-skew pre-flight: simulate hash-partitioning `df` on
     * `keyCol` into `numPartitions` buckets and profile each simulated
     * partition's load — the diagnostic you run BEFORE keying a 100 TB

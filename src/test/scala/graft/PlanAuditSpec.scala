@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "rfm_segments" -> "entity-sized ranked frame × ONE broadcast total-count row",
     "benford_profile" -> "9 digit rows × ONE broadcast total row",
     "skew_profile" -> "P bucket rows × ONE broadcast total row",
-    "k_anonymity" -> "distinct-class-size rows × ONE broadcast total row")
+    "k_anonymity" -> "distinct-class-size rows × ONE broadcast total row",
+    "l_diversity" -> "diversity-level rows × ONE broadcast total row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

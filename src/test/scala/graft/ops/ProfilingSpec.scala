@@ -251,6 +251,24 @@ class ProfilingSpec extends SparkSpec {
     assert(coarse == 0L, "coarsened QI must clear k=2 risk")
   }
 
+  test("lDiversity: homogeneous k-anonymous class flagged; null sensitive is a distinct value") {
+    // class A: 4 rows, all sensitive "x" → diversity 1 (k-anonymous at
+    // k=4, still at risk); class B: 3 rows, sensitive {x, y, null} →
+    // diversity 3 (null counts); class C: 2 rows {x, y} → diversity 2
+    val df = Seq(
+      ("A", Some("x")), ("A", Some("x")), ("A", Some("x")), ("A", Some("x")),
+      ("B", Some("x")), ("B", Some("y")), ("B", None),
+      ("C", Some("x")), ("C", Some("y"))).toDF("g", "s")
+    val out = Profiling.lDiversity(df, Seq("g"), "s", l = 3L)
+      .orderBy("diversity")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 4L, 0.444444, true),
+      (2L, 1L, 2L, 0.222222, true),
+      (3L, 1L, 3L, 0.333333, false)), out.toString)
+    assert(out.map(_._3).sum == 9L, "row conservation")
+  }
+
   test("shuffleSkewProfile: hot key surfaces as max_key_rows; totals and ratios reconcile") {
     // key 7 carries 91 of 100 rows (90 hot + its 1..10 slot) — the
     // one-hot-key shape salting fixes; the other nine keys carry one row
