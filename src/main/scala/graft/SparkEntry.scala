@@ -2729,6 +2729,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §7.6 — streaming CDC state table: latest row per key upserted in
+    // state (mapGroupsWithState, Update output) — the stream side of
+    // cdc_upsert, where the state store is the base table and each
+    // micro-batch emits only changed keys. Single-batch run-to-
+    // completion makes the sink exactly the batch latest-per-key rank.
+    "stream_cdc" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[Streams.ObsEvent]
+      val name = "stream_cdc_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(Streams.latestState(ev).toDF(), name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
+        .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
       val src = docsStream(s, dir)
@@ -5377,6 +5399,14 @@ object SparkEntry {
       s"""SELECT * FROM (VALUES $rows) AS t(resource_type, n_entries)
          |ORDER BY resource_type""".stripMargin
     },
+
+    "stream_cdc" ->
+      """SELECT user_id, ts_us, event_id, value FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "stream_locf" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,

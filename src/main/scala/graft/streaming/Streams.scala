@@ -318,6 +318,39 @@ object Streams {
       }
   }
 
+  final case class KeyLatest(
+    user_id: Long, ts: Long, event_id: Long, value: Option[Double])
+
+  /** Streaming CDC state-table maintenance: the latest row per key,
+    * upserted as events arrive — the stream side of
+    * [[graft.ops.Incremental.applyUpsert]] (there the delta is a batch;
+    * here it drips in and the state store IS the base table). One
+    * [[KeyLatest]] struct per key in state; each micro-batch emits the
+    * keys it changed (Update-output semantics — the sink is an upsert
+    * feed, latest-wins by (ts, event_id)). Late rows older than the
+    * held state never emit downstream churn — the winner is resolved
+    * IN state, deterministically, by the same (ts, event_id) total
+    * order the batch twin ranks on.
+    *
+    * Scale shape: state = one small struct per distinct key;
+    * production streams bound key cardinality with a TTL timeout
+    * (dead keys expire) — unbounded-new-keys is the same caveat as
+    * every keyed state op here.
+    */
+  def latestState(events: Dataset[ObsEvent]): Dataset[KeyLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyLatest, KeyLatest](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ObsEvent], state: GroupState[KeyLatest]) =>
+          val best = (state.getOption.iterator ++
+            rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
+            .maxBy(k => (k.ts, k.event_id))
+          state.update(best)
+          best
+      }
+  }
+
   final case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(id_a: Long, id_b: Long)
 

@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSpec {
       // fhir_scale gate (eager collect + unpersist of the corpus cache)
       "stream_asof", "stream_locf", "stream_fhir", "stream_join", "fhir_scale",
       "stream_drift", "stream_anomaly", "stream_topk", "stream_transitions",
-      "stream_neardup",
+      "stream_neardup", "stream_cdc",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",

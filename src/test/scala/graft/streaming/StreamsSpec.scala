@@ -126,6 +126,40 @@ class StreamsSpec extends SparkSpec {
     assert(last == Streams.UserStats(1L, 3L, 10.0, 12L))
   }
 
+  test("latestState: newer rows upsert state across batches; late rows never regress it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    val q = Streams.latestState(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 100L, Some(1.0)),
+        Streams.ObsEvent(1L, 11L, 200L, Some(2.0)))
+      q.processAllAvailable()
+      // batch 2: a NEWER row advances key 1; a LATE row (ts 50) must not
+      // regress it; key 2 appears
+      in.addData(Streams.ObsEvent(1L, 12L, 300L, Some(3.0)),
+        Streams.ObsEvent(1L, 9L, 50L, None),
+        Streams.ObsEvent(2L, 20L, 150L, Some(9.0)))
+      q.processAllAvailable()
+      // batch 3: only late rows → key 1 re-emits its UNCHANGED state
+      in.addData(Streams.ObsEvent(1L, 8L, 40L, Some(0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last emission per key is the final state: ties impossible (each
+    // batch emits once per touched key, in batch order)
+    val ems = spark.table("cdc_out")
+      .as[Streams.KeyLatest].collect().toSeq
+    val finalByKey = ems.zipWithIndex.groupBy(_._1.user_id)
+      .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+    assert(finalByKey(1L) == Streams.KeyLatest(1L, 300L, 12L, Some(3.0)), finalByKey.toString)
+    assert(finalByKey(2L) == Streams.KeyLatest(2L, 150L, 20L, Some(9.0)), finalByKey.toString)
+    // key 1 emitted three times (once per batch that touched it), key 2 once
+    assert(ems.count(_.user_id == 1L) == 3 && ems.count(_.user_id == 2L) == 1,
+      ems.toString)
+  }
+
   test("neardupCandidates: bucket-mates pair across AND within micro-batches, exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
