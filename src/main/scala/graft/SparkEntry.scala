@@ -2951,6 +2951,23 @@ object SparkEntry {
         Seq("lang", "source", "len_band"), k = 5L)
         .orderBy("class_size")),
 
+    // §2.7 extension — deterministic keyed pseudonymization: customer
+    // and order FKs tokenized with the same salt; the per-token order
+    // count proves the join SURVIVES tokenization (same counts raw keys
+    // would give), while raw keys never appear in the output.
+    "pseudonymize" -> ((s, dir) => {
+      val salt = "graft-pseudo-v1"
+      val c = Cleaners.pseudonymize(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        Seq("c_custkey"), salt)
+      val o = Cleaners.pseudonymize(
+        t(s, dir, "orders").select(col("o_custkey")), Seq("o_custkey"), salt)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
     // §2.8 extension — l-diversity companion audit (homogeneity attack):
     // per (lang, length-band) class, distinct `source` values; classes
     // below l=3 distinct sensitive values are at risk even if k-anonymous.
@@ -6603,6 +6620,21 @@ object SparkEntry {
         |  round(CAST(n_rows AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS row_share,
         |  (class_size < 5) AS at_risk
         |FROM sz CROSS JOIN t ORDER BY class_size""".stripMargin,
+
+    "pseudonymize" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN c_custkey IS NULL THEN NULL
+        |    ELSE md5('graft-pseudo-v1' || CAST(c_custkey AS VARCHAR)) END AS c_custkey,
+        |    c_nationkey
+        |  FROM customer),
+        |o AS (
+        |  SELECT CASE WHEN o_custkey IS NULL THEN NULL
+        |    ELSE md5('graft-pseudo-v1' || CAST(o_custkey AS VARCHAR)) END AS o_custkey
+        |  FROM orders)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |  CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+        |FROM c LEFT JOIN o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
 
     "l_diversity" ->
       """WITH qi AS (

@@ -123,4 +123,32 @@ object Cleaners {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Deterministic keyed pseudonymization: each listed column's value is
+    * replaced by `md5(salt ‖ value)` — the release-pipeline step that
+    * strips identifying keys (patient ids, customer keys, user handles)
+    * while PRESERVING JOINS: the same (salt, value) maps to the same
+    * token in every table, so FK relationships survey-wide survive
+    * tokenization, while without the salt the mapping is not enumerable
+    * from the released data. Nulls stay null (absence is not an
+    * identity). This is pseudonymization, not anonymization — the salt
+    * holder can re-link, and k-anonymity/l-diversity of the REMAINING
+    * columns still needs auditing ([[graft.ops.Profiling.kAnonymity]]).
+    * Values are canonicalized through `cast(string)` before hashing, so
+    * numerically-equal keys of different widths (int 42, bigint 42)
+    * tokenize identically.
+    *
+    * Scale shape: a narrow codegen'd projection — shuffle-free; joins
+    * on the token behave exactly like joins on the raw key (same
+    * distinctness, same skew).
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "at least one column to pseudonymize")
+    require(salt.nonEmpty, "empty salt defeats the purpose")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(qcol(c).isNotNull,
+          md5(concat(lit(salt), qcol(c).cast("string")))))
+    }
+  }
 }

@@ -92,4 +92,22 @@ class CleanersSpec extends SparkSpec {
       .as[(Long, String, Int)].collect().toSeq.sorted
     assert(out == Seq((1L, "a", 10), (1L, "b", 1), (2L, "a", 5)))
   }
+
+  test("pseudonymize: deterministic, join-preserving, salt-sensitive, null-preserving") {
+    val a = Seq((Some(42L), "x"), (Some(7L), "y"), (None, "z")).toDF("k", "p")
+    val b = Seq(Tuple1(42L), Tuple1(42L), Tuple1(7L)).toDF("k")
+    val ta = Cleaners.pseudonymize(a, Seq("k"), "s1")
+    val tb = Cleaners.pseudonymize(b, Seq("k"), "s1")
+    // raw keys are gone, tokens are md5-hex
+    val toks = ta.select("k").as[Option[String]].collect().toSeq
+    assert(toks.flatten.forall(_.matches("[0-9a-f]{32}")), toks.toString)
+    assert(toks.contains(None), "null stays null")
+    // the FK join survives tokenization with raw-key multiplicity
+    val joined = ta.join(tb, Seq("k")).count()
+    assert(joined == 3L, s"42 twice + 7 once: $joined")
+    // a different salt yields disjoint tokens (no cross-release linkage)
+    val other = Cleaners.pseudonymize(a, Seq("k"), "s2")
+      .select("k").as[Option[String]].collect().flatten.toSet
+    assert(other.intersect(toks.flatten.toSet).isEmpty)
+  }
 }
