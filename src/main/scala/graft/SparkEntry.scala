@@ -3007,6 +3007,26 @@ object SparkEntry {
         "ts", "value", Seq("view", "click", "purchase"), "event_id")
         .orderBy("user_id")),
 
+    // §2.11 EHR analytics — Kaplan–Meier survival per cohort: subject =
+    // user, duration = active-span hours, event = ever purchased
+    // (censored otherwise). The survival curve is an exact int64
+    // fixed-point recurrence (PageRank's exactness identity), replayed
+    // by a DuckDB recursive CTE — no float cumulative product crosses
+    // the engine boundary.
+    "survival_km" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.kaplanMeier(perUser, "cohort", "duration", "observed")
+        .orderBy("cohort", "duration")
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
     // rate against the offset-0 cohort size.
@@ -6690,6 +6710,37 @@ object SparkEntry {
         |SELECT item_a, item_b, n_ab,
         |  round(CAST(n_ab * n.n AS DOUBLE) / CAST(ca * cb AS DOUBLE), 6) AS lift
         |FROM g CROSS JOIN n ORDER BY item_a, item_b""".stripMargin,
+
+    "survival_km" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pt AS (
+        |  SELECT cohort, duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d_events
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM pt GROUP BY 1),
+        |rr AS (
+        |  SELECT p.cohort, p.duration, p.d_events,
+        |    CAST(t.n - coalesce(sum(p.m) OVER (PARTITION BY p.cohort ORDER BY p.duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+        |    row_number() OVER (PARTITION BY p.cohort ORDER BY p.duration) AS rn
+        |  FROM pt p JOIN tot t ON t.cohort = p.cohort),
+        |km AS (
+        |  SELECT cohort, duration, rn, n_at_risk, d_events,
+        |    (1000000000000 * (n_at_risk - d_events)) // n_at_risk AS s
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.cohort, r.duration, r.rn, r.n_at_risk, r.d_events,
+        |    (km.s * (r.n_at_risk - r.d_events)) // r.n_at_risk AS s
+        |  FROM rr r JOIN km ON km.cohort = r.cohort AND r.rn = km.rn + 1)
+        |SELECT cohort, duration, n_at_risk, d_events,
+        |  CAST(s AS BIGINT) AS survival_fp,
+        |  round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS survival
+        |FROM km ORDER BY cohort, duration""".stripMargin,
 
     "pivot_latest" ->
       """WITH e AS (

@@ -408,4 +408,81 @@ object TimeSeries {
         max(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__gap")))
           .as("med_gap"))
   }
+
+  /** Fixed-point scale of [[kaplanMeier]]'s survival estimate: 1e12, so
+    * S=1 is exactly 10^12 and the per-step multiply `s·(n−d)` stays
+    * inside int64 for any stratum with `n_at_risk < 9.2e6` (rescale S
+    * down one decade per extra decade of cohort size at 100 TB).
+    */
+  val SurvivalScale = 1000000000000L
+
+  /** Kaplan–Meier survival estimator per stratum — THE classic EHR
+    * time-to-event analysis (time from diagnosis to outcome with
+    * censored patients), in the engine's exact-arithmetic identity:
+    * {{{ S(t_i) = Π_{j ≤ i} (n_j − d_j) / n_j }}}
+    * computed as an int64 fixed-point recurrence
+    * `s_i = (s_{i−1} · (n_i − d_i)) DIV n_i` (scale [[SurvivalScale]])
+    * — a float cumulative product would be an order-dependent fold
+    * whose windowed replay differs across engines (segment-tree vs
+    * sequential summation); the integer recurrence is bit-exact on
+    * both, so a DuckDB recursive CTE replays the whole curve. Input:
+    * one row per subject with a duration and an observed/censored
+    * flag; censored subjects leave the risk set at their duration
+    * without an event (the standard right-censoring treatment — they
+    * contribute a time point row with `d_events` possibly 0 and a
+    * factor of 1).
+    *
+    * Output: one row per (stratum, distinct duration): `n_at_risk`
+    * (subjects with duration ≥ t), `d_events`, `survival_fp` (the
+    * fixed-point S(t)) and `survival` (S(t) as a rounded double for
+    * reading — derived from the SAME int64 by one division, so it
+    * cannot drift).
+    *
+    * Scale shape: subject rows collapse to per-(stratum, duration)
+    * counts map-side; the risk set is a PARTITIONED running window
+    * over those distinct-duration rows (bounded by distinct durations,
+    * not subjects); the sequential product folds per stratum over the
+    * same bounded rows in one `flatMapGroups` task per stratum — the
+    * one genuinely order-dependent recurrence in the operator, run on
+    * the smallest possible relation. Strata are cohort-grained by
+    * design (the [[Curation.rankBuckets]] contract).
+    */
+  def kaplanMeier(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(s"`$groupCol`")
+    val perT = df
+      .filter(g.isNotNull && col(s"`$durationCol`").isNotNull &&
+        col(s"`$observedCol`").isNotNull)
+      .select(g.cast("string").as("__g"),
+        col(s"`$durationCol`").cast("long").as("duration"),
+        col(s"`$observedCol`").cast("long").as("__obs"))
+      .groupBy(col("__g"), col("duration"))
+      .agg(count(lit(1)).as("__m"), sum(col("__obs")).as("d_events"))
+    val totals = perT.groupBy(col("__g").as("__tg"))
+      .agg(sum(col("__m")).as("__n"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("duration"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perT.join(totals, col("__g") === col("__tg")).drop("__tg")
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .select(col("__g"), col("duration"), col("n_at_risk"), col("d_events"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, rows) =>
+        var s = SurvivalScale
+        rows.toIndexedSeq.sortBy(_._2).iterator.map {
+          case (_, t, n, d) =>
+            s = s * (n - d) / n // exact int64: s ≤ 1e12, n−d < 9.2e6
+            (grp, t, n, d, s)
+        }
+      }
+      .toDF("__g", "duration", "n_at_risk", "d_events", "survival_fp")
+      .withColumn("survival",
+        round(col("survival_fp").cast("double") / SurvivalScale.toDouble, 6))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

@@ -296,4 +296,32 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", "c", 1L, 3L, 0.333333),
       ("b", "a", 2L, 2L, 1.0)), out.toString)
   }
+
+  test("kaplanMeier: textbook curve — censoring shrinks the risk set without an event step") {
+    // stratum g: 6 subjects, events at 1,2,4,6; censored at 3,5
+    val subjects = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L), ("g", 6L, 1L),
+      // stratum h: tie — two events at the same duration fold into one step
+      ("h", 2L, 1L), ("h", 2L, 1L), ("h", 7L, 0L))
+      .toDF("cohort", "duration", "observed")
+    val out = TimeSeries.kaplanMeier(subjects, "cohort", "duration", "observed")
+      .orderBy("cohort", "duration")
+      .select("cohort", "duration", "n_at_risk", "d_events", "survival_fp", "survival")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val g = out.filter(_._1 == "g")
+    // S: 5/6, 2/3, 2/3 (censor: no step), 4/9, 4/9, 0
+    assert(g == Seq(
+      ("g", 1L, 6L, 1L, 833333333333L, 0.833333),
+      ("g", 2L, 5L, 1L, 666666666666L, 0.666667),
+      ("g", 3L, 4L, 0L, 666666666666L, 0.666667),
+      ("g", 4L, 3L, 1L, 444444444444L, 0.444444),
+      ("g", 5L, 2L, 0L, 444444444444L, 0.444444),
+      ("g", 6L, 1L, 1L, 0L, 0.0)), g.toString)
+    val h = out.filter(_._1 == "h")
+    // tie at t=2: n=3, d=2 → S = 1/3; censor tail holds it
+    assert(h == Seq(
+      ("h", 2L, 3L, 2L, 333333333333L, 0.333333),
+      ("h", 7L, 1L, 0L, 333333333333L, 0.333333)), h.toString)
+  }
 }
