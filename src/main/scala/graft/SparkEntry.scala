@@ -3027,6 +3027,23 @@ object SparkEntry {
         .orderBy("cohort", "duration")
     }),
 
+    // §2.11 EHR analytics — two-group log-rank test over the same
+    // subject frame as survival_km (cohort = user parity): exact int64/
+    // decimal expectation+variance sums, ONE double division at the end.
+    "logrank_test" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(2L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.logRank(perUser, "cohort", "duration", "observed",
+        groupOne = "0")
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
     // rate against the offset-0 cohort size.
@@ -6710,6 +6727,43 @@ object SparkEntry {
         |SELECT item_a, item_b, n_ab,
         |  round(CAST(n_ab * n.n AS DOUBLE) / CAST(ca * cb AS DOUBLE), 6) AS lift
         |FROM g CROSS JOIN n ORDER BY item_a, item_b""".stripMargin,
+
+    "logrank_test" ->
+      """WITH per_user AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pt AS (
+        |  SELECT duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cohort = '0' THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN cohort = '0' THEN observed ELSE 0 END) AS BIGINT) AS d1
+        |  FROM per_user GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cohort = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM per_user),
+        |ar AS (
+        |  SELECT p.*, CAST(t.n - coalesce(sum(p.m) OVER w, 0) AS BIGINT) AS na,
+        |    CAST(t.n1 - coalesce(sum(p.m1) OVER w, 0) AS BIGINT) AS n1a
+        |  FROM pt p CROSS JOIN tot t
+        |  WINDOW w AS (ORDER BY p.duration ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |ev AS (
+        |  SELECT *, (d * n1a * 1000000000) // na AS e1,
+        |    CASE WHEN na <= 1 THEN 0
+        |      ELSE CAST((CAST(d AS HUGEINT) * n1a * (na - n1a) * (na - d) * 1000000000)
+        |        // (CAST(na AS HUGEINT) * na * (na - 1)) AS BIGINT) END AS v
+        |  FROM ar WHERE d >= 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+        |  CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(e1) AS BIGINT) AS e1_fp,
+        |  CAST(sum(v) AS BIGINT) AS v_fp,
+        |  CASE WHEN sum(v) > 0 THEN
+        |    round((CAST(sum(d1) AS DOUBLE) * 1000000000 - CAST(sum(e1) AS DOUBLE))
+        |      * (CAST(sum(d1) AS DOUBLE) * 1000000000 - CAST(sum(e1) AS DOUBLE))
+        |      / (1000000000.0 * CAST(sum(v) AS DOUBLE)), 6) END AS chi2
+        |FROM ev""".stripMargin,
 
     "survival_km" ->
       """WITH RECURSIVE per_user AS (

@@ -447,6 +447,80 @@ object TimeSeries {
     * the smallest possible relation. Strata are cohort-grained by
     * design (the [[Curation.rankBuckets]] contract).
     */
+  /** Fixed-point scale for [[logRank]]'s expectation/variance terms. */
+  val LogRankScale = 1000000000L
+
+  /** Two-group log-rank test (Mantel–Cox) — "do these two survival
+    * curves differ?", the hypothesis test that accompanies
+    * [[kaplanMeier]] in every EHR time-to-event study. At each pooled
+    * event time: observed group-one events `d1`, expectation
+    * `E1 = d·n1/n` under the null (events distribute by risk-set
+    * share), hypergeometric variance
+    * `V = d·n1·(n−n1)·(n−d) / (n²·(n−1))`; the statistic is
+    * `χ² = (ΣO1 − ΣE1)² / ΣV` (1 df). Everything up to the FINAL
+    * division is exact: E1 and V are int64 fixed-point (scale
+    * [[LogRankScale]]; V's 5-factor numerator runs in decimal(38,0) —
+    * the [[graft.ops.GraphOps.pageRank]] precedent — because it
+    * overflows int64 past ~3e3 at-risk), and their SUMS are
+    * order-independent integer folds, so both engines reach χ² from
+    * the same two integers with one double division each.
+    *
+    * Output: ONE row — (n_event_times, o1, e1_fp, v_fp, chi2); χ²
+    * null when ΣV = 0 (a degenerate single-arm comparison has no
+    * sampling variance to test against).
+    *
+    * Scale shape: subject rows collapse map-side to distinct-duration
+    * counts; the at-risk prefix is a window over those bounded rows
+    * (unpartitioned BY DESIGN — its input is the distinct pooled event
+    * times, not subjects; stratified variants partition it); the
+    * result is a 1-row aggregate with the totals frame broadcast.
+    */
+  def logRank(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, groupOne: String): DataFrame = {
+    val g = col(s"`$groupCol`").cast("string")
+    val base = df
+      .filter(g.isNotNull && col(s"`$durationCol`").isNotNull &&
+        col(s"`$observedCol`").isNotNull)
+      .select(g.as("__g"),
+        col(s"`$durationCol`").cast("long").as("__t"),
+        col(s"`$observedCol`").cast("long").as("__obs"))
+    val perT = base.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__obs")).as("__d"),
+        sum(when(col("__g") === groupOne, 1L).otherwise(0L)).as("__m1"),
+        sum(when(col("__g") === groupOne, col("__obs")).otherwise(0L)).as("__d1"))
+    val totals = base.agg(count(lit(1)).as("__n"),
+      sum(when(col("__g") === groupOne, 1L).otherwise(0L)).as("__n1"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val S = LogRankScale
+    val atRisk = perT.crossJoin(broadcast(totals))
+      .withColumn("__na", col("__n") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .withColumn("__n1a", col("__n1") - coalesce(sum(col("__m1")).over(wPrev), lit(0L)))
+      .filter(col("__d") >= 1L)
+      .withColumn("__e1",
+        expr(s"(__d * __n1a * ${S}L) DIV __na"))
+      .withColumn("__v",
+        when(col("__na") <= 1L, lit(0L)).otherwise(
+          expr(("CAST((CAST(__d AS DECIMAL(38,0)) * __n1a * (__na - __n1a)" +
+            s" * (__na - __d) * ${S}L)" +
+            " DIV (CAST(__na AS DECIMAL(38,0)) * __na * (__na - 1)) AS LONG)"))))
+    atRisk.agg(
+        count(lit(1)).as("n_event_times"),
+        sum(col("__d1")).as("o1"),
+        sum(col("__e1")).as("e1_fp"),
+        sum(col("__v")).as("v_fp"))
+      .withColumn("chi2", {
+        // explicit square, not pow(x, 2): libm pow may differ across
+        // engines at the last ulp; x·x is one IEEE multiply on both
+        val diff = col("o1").cast("double") * S - col("e1_fp").cast("double")
+        when(col("v_fp") > 0L,
+          round(diff * diff / (lit(S.toDouble) * col("v_fp").cast("double")), 6))
+      })
+  }
+
   def kaplanMeier(
       df: DataFrame, groupCol: String, durationCol: String,
       observedCol: String): DataFrame = {

@@ -69,7 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     "benford_profile" -> "9 digit rows × ONE broadcast total row",
     "skew_profile" -> "P bucket rows × ONE broadcast total row",
     "k_anonymity" -> "distinct-class-size rows × ONE broadcast total row",
-    "l_diversity" -> "diversity-level rows × ONE broadcast total row")
+    "l_diversity" -> "diversity-level rows × ONE broadcast total row",
+    "logrank_test" -> "distinct-event-time rows × ONE broadcast totals row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -103,7 +104,8 @@ class PlanAuditSpec extends SparkSpec {
     * fails the audit below.
     */
   private val intentionalGlobalWindow = Map(
-    "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)")
+    "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)",
+    "logrank_test" -> "at-risk prefix over DISTINCT pooled event times (an aggregate of durations, bounded far below subjects); stratified variants partition it")
 
   test("no registry query plans an unpartitioned window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

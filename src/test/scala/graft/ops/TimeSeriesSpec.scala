@@ -297,6 +297,31 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 1.0)), out.toString)
   }
 
+  test("logRank: hand-checked hypergeometric terms; degenerate single-arm yields null chi2") {
+    // a: events at 1, 3, censored 5; b: events at 2, 4, censored 6
+    val subjects = Seq(
+      ("a", 1L, 1L), ("a", 3L, 1L), ("a", 5L, 0L),
+      ("b", 2L, 1L), ("b", 4L, 1L), ("b", 6L, 0L))
+      .toDF("grp", "duration", "observed")
+    val S = TimeSeries.LogRankScale
+    val out = TimeSeries.logRank(subjects, "grp", "duration", "observed", "a")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    // per pooled event time (na, n1a): t1 (6,3), t2 (5,2), t3 (4,2), t4 (3,1)
+    val e1 = 1L*3*S/6 + 1L*2*S/5 + 1L*2*S/4 + 1L*1*S/3
+    val v = 1L*3*3*5*S/(36L*5) + 1L*2*3*4*S/(25L*4) +
+      1L*2*2*3*S/(16L*3) + 1L*1*2*2*S/(9L*2)
+    assert(out._1 == 4L && out._2 == 2L && out._3 == e1 && out._4 == v, out.toString)
+    val diff = 2.0 * S - e1.toDouble
+    val expected = BigDecimal(diff * diff / (S.toDouble * v.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._5.contains(expected), s"${out._5} vs $expected")
+    // one-arm data: every event is group-one's, variance 0 → chi2 null
+    val single = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("grp", "duration", "observed")
+    val deg = TimeSeries.logRank(single, "grp", "duration", "observed", "a")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(deg._5.isEmpty, deg.toString)
+  }
+
   test("kaplanMeier: textbook curve — censoring shrinks the risk set without an event step") {
     // stratum g: 6 subjects, events at 1,2,4,6; censored at 3,5
     val subjects = Seq(
