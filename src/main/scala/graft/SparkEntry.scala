@@ -3044,6 +3044,24 @@ object SparkEntry {
         groupOne = "0")
     }),
 
+    // §2.11 EHR analytics — restricted mean survival time to τ=800h per
+    // cohort: the area under the fixed-point KM curve as a PURE integer
+    // sum (curve × step widths), fully exact end to end.
+    "survival_rmst" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.restrictedMeanSurvival(perUser, "cohort", "duration",
+          "observed", tau = 800L)
+        .orderBy("cohort")
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
     // rate against the offset-0 cohort size.
@@ -6795,6 +6813,47 @@ object SparkEntry {
         |  CAST(s AS BIGINT) AS survival_fp,
         |  round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS survival
         |FROM km ORDER BY cohort, duration""".stripMargin,
+
+    "survival_rmst" ->
+      ("""WITH RECURSIVE per_user AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pt AS (
+        |  SELECT cohort, duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d_events
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM pt GROUP BY 1),
+        |rr AS (
+        |  SELECT p.cohort, p.duration, p.d_events,
+        |    CAST(t.n - coalesce(sum(p.m) OVER (PARTITION BY p.cohort ORDER BY p.duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+        |    row_number() OVER (PARTITION BY p.cohort ORDER BY p.duration) AS rn
+        |  FROM pt p JOIN tot t ON t.cohort = p.cohort),
+        |km AS (
+        |  SELECT cohort, duration, rn, n_at_risk, d_events,
+        |    (1000000000000 * (n_at_risk - d_events)) // n_at_risk AS s
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.cohort, r.duration, r.rn, r.n_at_risk, r.d_events,
+        |    (km.s * (r.n_at_risk - r.d_events)) // r.n_at_risk AS s
+        |  FROM rr r JOIN km ON km.cohort = r.cohort AND r.rn = km.rn + 1),
+        |seg AS (
+        |  SELECT cohort, duration, s,
+        |    least(coalesce(lead(duration) OVER (PARTITION BY cohort ORDER BY duration), 800), 800) AS nx
+        |  FROM km),
+        |sg AS (
+        |  SELECT cohort,
+        |    CAST(sum(CASE WHEN duration < 800 THEN s * (nx - duration) ELSE 0 END) AS BIGINT) AS segs
+        |  FROM seg GROUP BY 1),
+        |b AS (SELECT cohort, min(duration) AS tmin FROM km GROUP BY 1)
+        |SELECT b.cohort,
+        |  CAST(least(b.tmin, 800) * 1000000000000 + sg.segs AS BIGINT) AS rmst_fp,
+        |  round(CAST(least(b.tmin, 800) * 1000000000000 + sg.segs AS DOUBLE)
+        |    / 1000000000000.0, 6) AS rmst
+        |FROM b JOIN sg ON sg.cohort = b.cohort ORDER BY b.cohort""".stripMargin),
 
     "pivot_latest" ->
       """WITH e AS (

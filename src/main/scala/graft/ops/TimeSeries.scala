@@ -521,6 +521,42 @@ object TimeSeries {
       })
   }
 
+  /** Restricted mean survival time (RMST) per stratum — the area under
+    * the [[kaplanMeier]] step curve up to horizon `tau`, the
+    * model-free "average event-free time in the first τ hours" effect
+    * measure clinicians quote when hazards aren't proportional. FULLY
+    * exact: the curve is already int64 fixed-point, the step widths
+    * are int64 durations, so the area is an integer sum —
+    * {{{ rmst_fp = min(t₁,τ)·SCALE + Σ_{tᵢ<τ} sᵢ·(min(tᵢ₊₁,τ) − tᵢ) }}}
+    * (the leading S=1 segment plus one rectangle per step; the last
+    * step extends to τ). `rmst` = the same integer over SCALE, as a
+    * rounded double in duration units. Bound: SCALE·τ per segment —
+    * keep τ below ~9e6 duration units at the default scale.
+    *
+    * Scale shape: [[kaplanMeier]]'s profile plus one partitioned lead
+    * window and a strata-sized aggregate.
+    */
+  def restrictedMeanSurvival(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, tau: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    val km = kaplanMeier(df, groupCol, durationCol, observedCol)
+    val wLead = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$groupCol`")).orderBy(col("duration"))
+    km.withColumn("__nx",
+        least(coalesce(lead(col("duration"), 1).over(wLead), lit(tau)), lit(tau)))
+      .groupBy(col(s"`$groupCol`"))
+      .agg(min(col("duration")).as("__tmin"),
+        sum(when(col("duration") < tau,
+          col("survival_fp") * (col("__nx") - col("duration")))
+          .otherwise(0L)).as("__segs"))
+      .select(col(s"`$groupCol`"),
+        (least(col("__tmin"), lit(tau)) * SurvivalScale + col("__segs"))
+          .as("rmst_fp"))
+      .withColumn("rmst",
+        round(col("rmst_fp").cast("double") / SurvivalScale.toDouble, 6))
+  }
+
   def kaplanMeier(
       df: DataFrame, groupCol: String, durationCol: String,
       observedCol: String): DataFrame = {

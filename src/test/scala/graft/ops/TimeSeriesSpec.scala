@@ -297,6 +297,26 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 1.0)), out.toString)
   }
 
+  test("restrictedMeanSurvival: exact area under the step curve; horizon clamps the tail") {
+    val S = TimeSeries.SurvivalScale
+    // g: events at 2 (n=3, S→2/3), 4 (n=2, S→1/3); censored 6
+    val subjects = Seq(
+      ("g", 2L, 1L), ("g", 4L, 1L), ("g", 6L, 0L)).toDF("c", "duration", "observed")
+    // τ=5: S=1 on [0,2) → 2·S; 2/3 on [2,4) → 2·(2S/3); 1/3 on [4,5) → 1·(S/3)
+    val s1 = S * 2 / 3
+    val s2 = s1 * 1 / 2 // (n−d)/n at t=4: (2−1)/2
+    val expected = 2 * S + 2 * s1 + 1 * s2
+    val out = TimeSeries.restrictedMeanSurvival(subjects, "c", "duration", "observed", tau = 5L)
+      .select("rmst_fp", "rmst").as[(Long, Double)].collect().head
+    assert(out._1 == expected, s"${out._1} vs $expected")
+    assert(out._2 == BigDecimal(expected.toDouble / S)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // τ at/below the first time point: the whole window survives → τ·S
+    val early = TimeSeries.restrictedMeanSurvival(subjects, "c", "duration", "observed", tau = 2L)
+      .select("rmst_fp").as[Long].collect().head
+    assert(early == 2L * S, early.toString)
+  }
+
   test("logRank: hand-checked hypergeometric terms; degenerate single-arm yields null chi2") {
     // a: events at 1, 3, censored 5; b: events at 2, 4, censored 6
     val subjects = Seq(
