@@ -3062,6 +3062,32 @@ object SparkEntry {
         .orderBy("cohort")
     }),
 
+    // §2.11 EHR analytics — competing-risks cumulative incidence
+    // (one-sample Aalen–Johansen): purchase vs error as competing
+    // first events per user; 1−KM of either alone would overstate its
+    // risk. All three accumulators (both CIFs + all-cause S) are the
+    // same exact int64 fixed-point recurrence, CTE-replayed.
+    "cum_incidence" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val span = ev.groupBy("user_id")
+        .agg(min(col("ts")).as("__t0"), max(col("ts")).as("__tmax"))
+      val firstCause = ev
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("__f"))
+        .select(col("user_id"), col("__f.ts").as("__tc"),
+          col("__f.event_type").as("cause"))
+      val perUser = span.join(firstCause, Seq("user_id"), "left")
+        .select(pmod(col("user_id"), lit(2L)).cast("string").as("cohort"),
+          expr("(coalesce(__tc, __tmax) - __t0) DIV 3600000000").as("duration"),
+          col("cause"))
+      TimeSeries.cumulativeIncidence(perUser, "cohort", "duration", "cause",
+          causeA = "purchase", causeB = "error")
+        .orderBy("cohort", "duration")
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
     // rate against the offset-0 cohort size.
@@ -6813,6 +6839,51 @@ object SparkEntry {
         |  CAST(s AS BIGINT) AS survival_fp,
         |  round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS survival
         |FROM km ORDER BY cohort, duration""".stripMargin,
+
+    "cum_incidence" ->
+      """WITH RECURSIVE ue AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sp AS (SELECT user_id, min(tus) AS t0, max(tus) AS tmax FROM ue GROUP BY 1),
+        |fc AS (
+        |  SELECT user_id, tus AS tc, event_type AS cause FROM (
+        |    SELECT user_id, tus, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+        |    FROM ue WHERE event_type IN ('purchase', 'error')) WHERE rn = 1),
+        |per_user AS (
+        |  SELECT CAST(s.user_id % 2 AS VARCHAR) AS cohort,
+        |    (coalesce(f.tc, s.tmax) - s.t0) // 3600000000 AS duration,
+        |    f.cause
+        |  FROM sp s LEFT JOIN fc f ON f.user_id = s.user_id),
+        |pt AS (
+        |  SELECT cohort, duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN cause = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+        |    CAST(sum(CASE WHEN cause = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS d_b
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM pt GROUP BY 1),
+        |rr AS (
+        |  SELECT p.cohort, p.duration, p.d_a, p.d_b,
+        |    CAST(t.n - coalesce(sum(p.m) OVER (PARTITION BY p.cohort ORDER BY p.duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+        |    row_number() OVER (PARTITION BY p.cohort ORDER BY p.duration) AS rn
+        |  FROM pt p JOIN tot t ON t.cohort = p.cohort),
+        |aj AS (
+        |  SELECT cohort, duration, rn, n_at_risk, d_a, d_b,
+        |    (1000000000000 * d_a) // n_at_risk AS ca,
+        |    (1000000000000 * d_b) // n_at_risk AS cb,
+        |    (1000000000000 * (n_at_risk - d_a - d_b)) // n_at_risk AS s
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.cohort, r.duration, r.rn, r.n_at_risk, r.d_a, r.d_b,
+        |    aj.ca + (aj.s * r.d_a) // r.n_at_risk,
+        |    aj.cb + (aj.s * r.d_b) // r.n_at_risk,
+        |    (aj.s * (r.n_at_risk - r.d_a - r.d_b)) // r.n_at_risk
+        |  FROM rr r JOIN aj ON aj.cohort = r.cohort AND r.rn = aj.rn + 1)
+        |SELECT cohort, duration, n_at_risk, d_a, d_b,
+        |  CAST(ca AS BIGINT) AS cif_a_fp, CAST(cb AS BIGINT) AS cif_b_fp,
+        |  round(CAST(ca AS DOUBLE) / 1000000000000.0, 6) AS cif_a,
+        |  round(CAST(cb AS DOUBLE) / 1000000000000.0, 6) AS cif_b
+        |FROM aj ORDER BY cohort, duration""".stripMargin,
 
     "survival_rmst" ->
       ("""WITH RECURSIVE per_user AS (

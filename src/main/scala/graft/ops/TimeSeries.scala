@@ -521,6 +521,77 @@ object TimeSeries {
       })
   }
 
+  /** Competing-risks cumulative incidence (the one-sample
+    * Aalen–Johansen estimator) per stratum: when two event types
+    * compete (relapse vs death, purchase vs churn), 1−KM of either
+    * cause alone OVERSTATES its risk — the correct cause-k incidence
+    * at t is
+    * {{{ CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ₋₁) · d_{k,i} / nᵢ }}}
+    * with S the ALL-cause survival. Same exactness contract as
+    * [[kaplanMeier]]: S is the int64 fixed-point recurrence, each
+    * increment is `(s_prev · d_k) DIV n` and the CIFs are integer
+    * running sums — a DuckDB recursive CTE replays all three
+    * accumulators bit-exactly. Subjects whose cause is neither
+    * `causeA` nor `causeB` (null included) are right-censored.
+    *
+    * Output: one row per (stratum, distinct duration) with the risk
+    * set, both cause event counts, both fixed-point CIFs and their
+    * rounded-double readings. CIF_A + CIF_B + S ≤ SCALE (mass
+    * conservation, modulo per-step floors).
+    *
+    * Scale shape: identical to [[kaplanMeier]] — map-side collapse to
+    * distinct-duration rows, partitioned risk-set window, per-stratum
+    * fold over the bounded rows.
+    */
+  def cumulativeIncidence(
+      df: DataFrame, groupCol: String, durationCol: String,
+      causeCol: String, causeA: String, causeB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(causeA != causeB, "causes must differ")
+    val g = col(s"`$groupCol`")
+    val perT = df
+      .filter(g.isNotNull && col(s"`$durationCol`").isNotNull)
+      .select(g.cast("string").as("__g"),
+        col(s"`$durationCol`").cast("long").as("duration"),
+        col(s"`$causeCol`").cast("string").as("__c"))
+      .groupBy(col("__g"), col("duration"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col("__c") === causeA, 1L).otherwise(0L)).as("d_a"),
+        sum(when(col("__c") === causeB, 1L).otherwise(0L)).as("d_b"))
+    val totals = perT.groupBy(col("__g").as("__tg"))
+      .agg(sum(col("__m")).as("__n"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("duration"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perT.join(totals, col("__g") === col("__tg")).drop("__tg")
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .select(col("__g"), col("duration"), col("n_at_risk"),
+        col("d_a"), col("d_b"))
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, rows) =>
+        var s = SurvivalScale
+        var cifA = 0L
+        var cifB = 0L
+        rows.toIndexedSeq.sortBy(_._2).iterator.map {
+          case (_, t, n, da, db) =>
+            cifA += s * da / n
+            cifB += s * db / n
+            s = s * (n - da - db) / n
+            (grp, t, n, da, db, cifA, cifB)
+        }
+      }
+      .toDF("__g", "duration", "n_at_risk", "d_a", "d_b",
+        "cif_a_fp", "cif_b_fp")
+      .withColumn("cif_a",
+        round(col("cif_a_fp").cast("double") / SurvivalScale.toDouble, 6))
+      .withColumn("cif_b",
+        round(col("cif_b_fp").cast("double") / SurvivalScale.toDouble, 6))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** Restricted mean survival time (RMST) per stratum — the area under
     * the [[kaplanMeier]] step curve up to horizon `tau`, the
     * model-free "average event-free time in the first τ hours" effect

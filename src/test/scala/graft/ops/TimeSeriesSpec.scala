@@ -297,6 +297,27 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 1.0)), out.toString)
   }
 
+  test("cumulativeIncidence: Aalen–Johansen hand check; CIF_A + CIF_B + S conserves mass") {
+    val S = TimeSeries.SurvivalScale
+    // A at 1, B at 2, censored 3, A at 4
+    val subjects = Seq(
+      ("g", 1L, Some("A")), ("g", 2L, Some("B")),
+      ("g", 3L, None: Option[String]), ("g", 4L, Some("A")))
+      .toDF("c", "duration", "cause")
+    val out = TimeSeries.cumulativeIncidence(subjects, "c", "duration", "cause", "A", "B")
+      .orderBy("duration")
+      .select("duration", "n_at_risk", "d_a", "d_b", "cif_a_fp", "cif_b_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 1L, 0L, S / 4, 0L),            // cifA = S/4
+      (2L, 3L, 0L, 1L, S / 4, S / 4),         // cifB = (3S/4)/3
+      (3L, 2L, 0L, 0L, S / 4, S / 4),         // censor: no step
+      (4L, 1L, 1L, 0L, 3 * S / 4, S / 4)),    // cifA += S/2 (s was S/2)
+      out.toString)
+    // mass conservation at the end: both CIFs absorb everything (s = 0)
+    assert(out.last._5 + out.last._6 == S)
+  }
+
   test("restrictedMeanSurvival: exact area under the step curve; horizon clamps the tail") {
     val S = TimeSeries.SurvivalScale
     // g: events at 2 (n=3, S→2/3), 4 (n=2, S→1/3); censored 6
