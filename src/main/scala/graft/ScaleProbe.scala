@@ -615,6 +615,35 @@ object ScaleProbe {
         graft.ops.Profiling.shuffleSkewProfile(evR, "user_id", 32))
     }
 
+    // round-10 session-4 family: the survival-analysis battery (events
+    // key axis — subjects grow 64×, distinct durations sublinearly) and
+    // the privacy battery (docs axis — QI class counts grow with rows).
+    if (familyOn("probe10c")) Seq(1, k).foreach { times =>
+      val evR = replicateEv(times)
+      val perUser = evR.groupBy("user_id")
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"), col("observed"))
+      println(s"--- probe10c ${times}x ---")
+      time("probe10c:kaplanMeier(4 strata)",
+        graft.ops.TimeSeries.kaplanMeier(perUser, "cohort", "duration", "observed"))
+      time("probe10c:logRank",
+        graft.ops.TimeSeries.logRank(
+          perUser.withColumn("cohort",
+            pmod(col("cohort").cast("long"), lit(2L)).cast("string")),
+          "cohort", "duration", "observed", groupOne = "0"))
+      val d = replicate(times)
+      val qi = d.select(pmod(col("doc_id"), lit(97L)).as("q1"),
+        expr("length(text) DIV 100").as("q2"),
+        pmod(col("doc_id"), lit(7L)).as("q3"))
+      time("probe10c:kAnonymity(3 QI)",
+        graft.ops.Profiling.kAnonymity(qi, Seq("q1", "q2", "q3"), 5L))
+      time("probe10c:lDiversity",
+        graft.ops.Profiling.lDiversity(qi, Seq("q1", "q2"), "q3", 3L))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
