@@ -155,12 +155,40 @@ object syntax {
     /** df is the BASE snapshot; see [[Similarity.embeddingDrift]]. */
     def embeddingDriftAgainst(current: DataFrame, vecCol: String): DataFrame =
       Similarity.embeddingDrift(df, current, vecCol)
+    def semDedup(idCol: String, vecCol: String, threshold: Double,
+        k: Int = 16, iters: Int = 2): DataFrame =
+      Similarity.semDedup(df, idCol, vecCol, threshold, k, iters)
+    def hardNegatives(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int, dupCut: Double): DataFrame =
+      Similarity.hardNegatives(df, idCol, vecCol, queries, idCol, vecCol, k, dupCut)
 
     // --- cleaning / profiling --------------------------------------------
     def dropNullKeys(keys: Seq[String]): DataFrame = Cleaners.dropNullKeys(df, keys)
     def dedupKeepFirst(keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
       Cleaners.dedupKeepFirst(df, keys, tiebreak)
     def missingProfile(): DataFrame = QualityChecker.missingProfile(df)
+    def pseudonymize(cols: Seq[String], salt: String): DataFrame =
+      Cleaners.pseudonymize(df, cols, salt)
+    def kAnonymity(qiCols: Seq[String], k: Long): DataFrame =
+      graft.ops.Profiling.kAnonymity(df, qiCols, k)
+    def lDiversity(qiCols: Seq[String], sensitiveCol: String, l: Long): DataFrame =
+      graft.ops.Profiling.lDiversity(df, qiCols, sensitiveCol, l)
+    def shuffleSkewProfile(keyCol: String, numPartitions: Int = 32): DataFrame =
+      graft.ops.Profiling.shuffleSkewProfile(df, keyCol, numPartitions)
+
+    // --- survival analysis -------------------------------------------------
+    def kaplanMeier(groupCol: String, durationCol: String,
+        observedCol: String): DataFrame =
+      TimeSeries.kaplanMeier(df, groupCol, durationCol, observedCol)
+    def logRank(groupCol: String, durationCol: String, observedCol: String,
+        groupOne: String): DataFrame =
+      TimeSeries.logRank(df, groupCol, durationCol, observedCol, groupOne)
+    def restrictedMeanSurvival(groupCol: String, durationCol: String,
+        observedCol: String, tau: Long): DataFrame =
+      TimeSeries.restrictedMeanSurvival(df, groupCol, durationCol, observedCol, tau)
+    def cumulativeIncidence(groupCol: String, durationCol: String,
+        causeCol: String, causeA: String, causeB: String): DataFrame =
+      TimeSeries.cumulativeIncidence(df, groupCol, durationCol, causeCol, causeA, causeB)
 
     // --- multimodal -------------------------------------------------------
     def asMediaTable(idCol: String, textCol: String): DataFrame =
@@ -210,6 +238,9 @@ object syntax {
     def shuffleOrder(idCol: String): DataFrame = Curation.shuffleOrder(df, idCol)
     def interleaveBySource(idCol: String, sourceCol: String): DataFrame =
       Curation.interleaveBySource(df, idCol, sourceCol)
+    def rankBuckets(groupCol: String, score: Column, idCol: String,
+        buckets: Int): DataFrame =
+      Curation.rankBuckets(df, groupCol, score, idCol, buckets)
     def topFractionByGroup(groupCol: String, score: Column, idCol: String,
         keepPerMyriad: Long): DataFrame =
       Curation.topFractionByGroup(df, groupCol, score, idCol, keepPerMyriad)

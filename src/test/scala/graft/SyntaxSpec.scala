@@ -32,6 +32,26 @@ class SyntaxSpec extends SparkSpec {
     assert(clusters(2L) == 1L && clusters(3L) == 3L)
   }
 
+  test("fluent survival/privacy surface delegates to the library operators") {
+    val subjects = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 0L))
+      .toDF("c", "duration", "observed")
+    val km = subjects.kaplanMeier("c", "duration", "observed")
+    assert(km.columns.contains("survival_fp") && km.count() == 3)
+    val rmst = subjects.restrictedMeanSurvival("c", "duration", "observed", tau = 3L)
+    assert(rmst.count() == 1 && rmst.columns.contains("rmst_fp"))
+    val qi = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("g", "s")
+    assert(qi.kAnonymity(Seq("g"), 2L).columns.contains("at_risk"))
+    assert(qi.lDiversity(Seq("g"), "s", 2L).columns.contains("diversity"))
+    val tok = qi.pseudonymize(Seq("g"), "salt")
+      .select("g").as[String].collect()
+    assert(tok.forall(_.matches("[0-9a-f]{32}")))
+    assert(qi.shuffleSkewProfile("g", 4).columns.contains("load_ratio"))
+    val buckets = Seq(("g", 1L, 3.0), ("g", 2L, 2.0), ("g", 3L, 1.0))
+      .toDF("grp", "id", "score")
+      .rankBuckets("grp", col("score"), "id", buckets = 3)
+    assert(buckets.columns.contains("bucket"))
+  }
+
   test("fluent curation chain delegates end-to-end") {
     val split = docs.hashSplit("doc_id", 8000, 1000)
     assert(split.columns.contains("split") && split.count() == 4)
