@@ -644,6 +644,29 @@ object ScaleProbe {
         graft.ops.Profiling.lDiversity(qi, Seq("q1", "q2"), "q3", 3L))
     }
 
+    // round-10 session-5 family: interval algebra (events key axis —
+    // keys grow k×, per-key interval count fixed, so each key's window
+    // sort stays constant-size and wall time should track rows
+    // ~linearly; census doubles the sorted rows via the ±1 delta union).
+    if (familyOn("probe10d")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evV = (0 until times).map { i =>
+        ev.select((col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"))
+      }.reduce(_.unionByName(_))
+      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(30L))
+      val sDay = expr("ts DIV 86400000000")
+      val ivd = evV.filter(col("value").isNotNull)
+        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+      println(s"--- probe10d ${times}x ---")
+      time("probe10d:mergeIntervals",
+        graft.ops.Intervals.mergeIntervals(ivd, "user_id", "ivs", "ive"))
+      time("probe10d:intervalCensus",
+        graft.ops.Intervals.intervalCensus(ivd, "user_id", "ivs", "ive"))
+      time("probe10d:coverageRatio",
+        graft.ops.Intervals.coverageRatio(ivd, "user_id", "ivs", "ive", 365L))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

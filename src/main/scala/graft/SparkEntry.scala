@@ -3088,6 +3088,53 @@ object SparkEntry {
         .orderBy("cohort", "duration")
     }),
 
+    // Interval algebra §A — gaps-and-islands merge: supplier ship
+    // spans [ship_day, ship_day + quantity) on the epoch-day grid,
+    // coalesced into maximal overlapping-or-touching runs with dense
+    // 1-based island ids. ONE shuffle on the key, window sort within
+    // it — never an interval self-join.
+    "interval_merge" -> ((s, dir) => {
+      val day0 = datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+        .cast("long")
+      val iv = t(s, dir, "lineitem").select(
+        col("l_suppkey"),
+        day0.as("ivs"),
+        (day0 + col("l_quantity").cast("long")).as("ive"))
+      graft.ops.Intervals.mergeIntervals(iv, "l_suppkey", "ivs", "ive")
+        .orderBy("l_suppkey", "island")
+    }),
+
+    // Interval algebra §B — sweep-line concurrency census: each event
+    // opens a half-open span of (1 + ⌊|value|⌋ mod 30) minutes; per
+    // user, the peak simultaneously-open count and the earliest µs
+    // instant it is first reached (ends sort before starts at equal
+    // instants — half-open, so back-to-back spans never double-count).
+    "interval_census" -> ((s, dir) => {
+      val dur = (lit(1L) + (abs(floor(col("value"))).cast("long") % lit(30L))) *
+        lit(60000000L)
+      val iv = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("ts").as("ivs"), (col("ts") + dur).as("ive"))
+      graft.ops.Intervals.intervalCensus(iv, "user_id", "ivs", "ive")
+        .orderBy("user_id")
+    }),
+
+    // Interval algebra §C — proportion-of-days-covered adherence: each
+    // event covers [ts_day, ts_day + 1 + ⌊|value|⌋ mod 30) epoch days;
+    // merged-island coverage of the 365-day window anchored at each
+    // user's first covered day, reported in exact basis points
+    // (covered·10000 DIV 365 — integer floor division, no float fold).
+    "adherence_pdc" -> ((s, dir) => {
+      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(30L))
+      val sDay = expr("ts DIV 86400000000")
+      val iv = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+      graft.ops.Intervals.coverageRatio(iv, "user_id", "ivs", "ive",
+          windowLen = 365L)
+        .orderBy("user_id")
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
     // rate against the offset-0 cohort size.
@@ -6884,6 +6931,93 @@ object SparkEntry {
         |  round(CAST(ca AS DOUBLE) / 1000000000000.0, 6) AS cif_a,
         |  round(CAST(cb AS DOUBLE) / 1000000000000.0, 6) AS cif_b
         |FROM aj ORDER BY cohort, duration""".stripMargin,
+
+    // Islands via running-max-end over strictly preceding rows; the
+    // island partition is tie-order invariant, so the grouped output
+    // is a pure function of the interval multiset on both engines.
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS ivs,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+        |      + CAST(floor(l_quantity) AS BIGINT) AS ive
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
+        |m AS (
+        |  SELECT l_suppkey, ivs, ive,
+        |    max(ive) OVER (PARTITION BY l_suppkey ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv WHERE ive >= ivs),
+        |g AS (
+        |  SELECT l_suppkey, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT l_suppkey, CAST(island AS BIGINT) AS island,
+        |  CAST(min(ivs) AS BIGINT) AS mstart,
+        |  CAST(max(ive) AS BIGINT) AS mend,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY l_suppkey, island
+        |ORDER BY l_suppkey, island""".stripMargin,
+
+    // +1/-1 deltas, ends before starts at equal t (ORDER BY t, delta);
+    // peak and its earliest instant are invariant to tie order among
+    // equal (t, delta) rows (equal deltas commute in the running sum).
+    "interval_census" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS ivs,
+        |    epoch_us(ts) + (1 + (CAST(abs(floor(value)) AS BIGINT) % 30)) * 60000000 AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (
+        |  SELECT user_id, ivs AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT user_id, ive AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |r AS (
+        |  SELECT user_id, t,
+        |    sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |mm AS (SELECT user_id, t, run, max(run) OVER (PARTITION BY user_id) AS mx FROM r)
+        |SELECT user_id, CAST(max(run) AS BIGINT) AS peak,
+        |  CAST(min(CASE WHEN run = mx THEN t END) AS BIGINT) AS peak_t
+        |FROM mm GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Merge islands (§A shape), clip to [min_start, min_start+365),
+    // exact basis points via integer floor division on both engines
+    // (Spark DIV ≡ DuckDB // for the non-negative covered sums here).
+    "adherence_pdc" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS ivs,
+        |    epoch_us(ts) // 86400000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 30) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, island, min(ivs) AS mstart, max(ive) AS mend
+        |  FROM g GROUP BY user_id, island),
+        |win AS (
+        |  SELECT user_id, mstart, mend,
+        |    min(mstart) OVER (PARTITION BY user_id) AS ws
+        |  FROM isl)
+        |SELECT user_id,
+        |  CAST(min(ws) AS BIGINT) AS win_start,
+        |  CAST(sum(greatest(0, least(mend, ws + 365) - greatest(mstart, ws))) AS BIGINT) AS covered,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  (CAST(sum(greatest(0, least(mend, ws + 365) - greatest(mstart, ws))) AS BIGINT) * 10000) // 365 AS ratio_scaled
+        |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "survival_rmst" ->
       ("""WITH RECURSIVE per_user AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
+import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Intervals, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -324,5 +324,21 @@ object syntax {
       */
     def pageRank(srcCol: String, dstCol: String, iters: Int = 3): DataFrame =
       GraphOps.pageRank(df, srcCol, dstCol, iters)
+    /** Gaps-and-islands merge of keyed `[start, end)` integer intervals
+      * (see [[ops.Intervals.mergeIntervals]]).
+      */
+    def mergeIntervals(keyCol: String, startCol: String, endCol: String): DataFrame =
+      Intervals.mergeIntervals(df, keyCol, startCol, endCol)
+    /** Peak concurrent-interval census per key (see
+      * [[ops.Intervals.intervalCensus]]).
+      */
+    def intervalCensus(keyCol: String, startCol: String, endCol: String): DataFrame =
+      Intervals.intervalCensus(df, keyCol, startCol, endCol)
+    /** Window-coverage (PDC adherence) ratio in exact fixed-point (see
+      * [[ops.Intervals.coverageRatio]]).
+      */
+    def coverageRatio(keyCol: String, startCol: String, endCol: String,
+        windowLen: Long, scale: Long = 10000L): DataFrame =
+      Intervals.coverageRatio(df, keyCol, startCol, endCol, windowLen, scale)
   }
 }
