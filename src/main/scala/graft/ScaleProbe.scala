@@ -650,8 +650,11 @@ object ScaleProbe {
     // ~linearly; census doubles the sorted rows via the ±1 delta union).
     if (familyOn("probe10d")) Seq(1, k).foreach { times =>
       val n = 100000000L
+      // fresh read: the shared `ev` projection drops `value`
+      val evWithValue = SparkEntry.events(spark, sfDir)
+        .select("user_id", "ts", "value")
       val evV = (0 until times).map { i =>
-        ev.select((col("user_id") + lit(i * n)).as("user_id"),
+        evWithValue.select((col("user_id") + lit(i * n)).as("user_id"),
           col("ts"), col("value"))
       }.reduce(_.unionByName(_))
       val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(30L))
@@ -665,6 +668,42 @@ object ScaleProbe {
         graft.ops.Intervals.intervalCensus(ivd, "user_id", "ivs", "ive"))
       time("probe10d:coverageRatio",
         graft.ops.Intervals.coverageRatio(ivd, "user_id", "ivs", "ive", 365L))
+    }
+
+    // round-10 session-5 clinical battery: episodes/readmissions ride
+    // the same key axis as probe10d (per-key window size fixed, keys
+    // grow k×); incidenceRate doubles the sweep rows via the outcome
+    // union; rankSumTest's window runs over DISTINCT grid values —
+    // bounded by the value domain, so its cost should be FLAT in k
+    // after the map-side collapse, the whole point of the design.
+    if (familyOn("probe10e")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      // fresh read: the shared `ev` projection drops `value`
+      val evWithValue = SparkEntry.events(spark, sfDir)
+        .select("user_id", "ts", "value")
+      val evV = (0 until times).map { i =>
+        evWithValue.select((col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"))
+      }.reduce(_.unionByName(_))
+      val sDay = expr("ts DIV 86400000000")
+      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(14L))
+      val ivd = evV.filter(col("value").isNotNull)
+        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+      val exposure = evV.filter(col("value") >= 0d)
+        .select(col("user_id"), sDay.as("ivs"),
+          (sDay + lit(1L) + floor(col("value")).cast("long") % lit(30L)).as("ive"))
+      val outcomes = evV.filter(col("value") < 0d)
+        .select(col("user_id").as("ouid"), sDay.as("ot"))
+      println(s"--- probe10e ${times}x ---")
+      time("probe10e:readmissions",
+        graft.ops.Intervals.readmissions(ivd, "user_id", "ivs", "ive", 30L, 7L))
+      time("probe10e:incidenceRate",
+        graft.ops.Intervals.incidenceRate(exposure, outcomes,
+          "user_id", "ivs", "ive", "ouid", "ot"))
+      time("probe10e:rankSumTest",
+        graft.ops.Profiling.rankSumTest(
+          evV.select((col("user_id") % 2L).cast("string").as("g"), col("value")),
+          "g", "value", "1"))
     }
 
     // guard probe: one epoch-0 sentinel next to current-epoch data must

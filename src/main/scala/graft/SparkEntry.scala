@@ -3027,6 +3027,24 @@ object SparkEntry {
         .orderBy("cohort", "duration")
     }),
 
+    // §2.11 EHR analytics — the headline readings off the same KM
+    // curves: median/quartile survival times (min duration whose EXACT
+    // fixed-point S crosses the exact threshold — null when the curve
+    // never falls that far), stratum size and event total.
+    "survival_quantiles" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.survivalQuantiles(perUser, "cohort", "duration", "observed")
+        .orderBy("cohort")
+    }),
+
     // §2.11 EHR analytics — two-group log-rank test over the same
     // subject frame as survival_km (cohort = user parity): exact int64/
     // decimal expectation+variance sums, ONE double division at the end.
@@ -3134,6 +3152,76 @@ object SparkEntry {
           windowLen = 365L)
         .orderBy("user_id")
     }),
+
+    // Interval algebra §D — episodes of care: per-user day spans
+    // [ts_day, ts_day + 1 + ⌊|value|⌋ mod 14) coalesced with a 7-day
+    // gap tolerance (visits under a week apart are one episode — the
+    // standard index-admission construction rule).
+    "episodes_of_care" -> ((s, dir) => {
+      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(14L))
+      val sDay = expr("ts DIV 86400000000")
+      val iv = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+      graft.ops.Intervals.mergeIntervals(iv, "user_id", "ivs", "ive", gap = 7L)
+        .orderBy("user_id", "island")
+    }),
+
+    // Interval algebra §E — 30-day readmission profile over the §D
+    // episodes: each episode with a successor is an index case,
+    // readmitted iff the next episode starts within 30 days of its end.
+    "readmission_30d" -> ((s, dir) => {
+      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(14L))
+      val sDay = expr("ts DIV 86400000000")
+      val iv = events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+      graft.ops.Intervals.readmissions(iv, "user_id", "ivs", "ive",
+          within = 30L, gap = 7L)
+        .orderBy("user_id")
+    }),
+
+    // Interval algebra §F — incidence rate: non-negative-value events
+    // open exposure day spans; negative-value events are the outcomes;
+    // rate = outcomes inside merged exposure per 1000 covered days
+    // (exact floor division, half-open membership via the sweep line).
+    "incidence_rate" -> ((s, dir) => {
+      val sDay = expr("ts DIV 86400000000")
+      val ev = events(s, dir)
+      val exposure = ev
+        .filter(col("value") >= 0d)
+        .select(col("user_id"), sDay.as("ivs"),
+          (sDay + lit(1L) + floor(col("value")).cast("long") % lit(30L))
+            .as("ive"))
+      val outcomes = ev
+        .filter(col("value") < 0d)
+        .select(col("user_id").as("ouid"), sDay.as("ot"))
+      graft.ops.Intervals.incidenceRate(exposure, outcomes,
+          "user_id", "ivs", "ive", "ouid", "ot")
+        .orderBy("user_id")
+    }),
+
+    // Mann–Whitney U rank-sum: do odd and even users draw `value`
+    // from the same distribution? Exact doubled-midrank components
+    // (int64) + tie correction; one double division + sqrt for z —
+    // the logrank_test exactness budget.
+    "ranksum_test" -> ((s, dir) =>
+      graft.ops.Profiling.rankSumTest(
+        events(s, dir)
+          .select((col("user_id") % 2L).cast("string").as("grp"),
+            col("value")),
+        "grp", "value", groupOne = "1")),
+
+    // Exposure-outcome 2×2: odd users "exposed", positive value the
+    // "outcome"; exact cells + RR/OR/risk difference, each one
+    // correctly-rounded IEEE division chain over exact counts.
+    "epi_2x2" -> ((s, dir) =>
+      graft.ops.Profiling.epi2x2(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select((col("user_id") % 2L).as("expd"),
+            when(col("value") > 0d, 1L).otherwise(0L).as("outc")),
+        "expd", "outc")),
 
     // Cohort retention triangle: users bucketed by first-seen DAY,
     // counted per later active day offset; int64 buckets + one rounded
@@ -6887,6 +6975,43 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS survival
         |FROM km ORDER BY cohort, duration""".stripMargin,
 
+    // The survival_km recursive replay, folded to the quantile
+    // readings: min duration whose exact fixed-point S crosses each
+    // exact threshold (SCALE is divisible by 4 — no float boundary).
+    "survival_quantiles" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pt AS (
+        |  SELECT cohort, duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d_events
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM pt GROUP BY 1),
+        |rr AS (
+        |  SELECT p.cohort, p.duration, p.d_events,
+        |    CAST(t.n - coalesce(sum(p.m) OVER (PARTITION BY p.cohort ORDER BY p.duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+        |    row_number() OVER (PARTITION BY p.cohort ORDER BY p.duration) AS rn
+        |  FROM pt p JOIN tot t ON t.cohort = p.cohort),
+        |km AS (
+        |  SELECT cohort, duration, rn, n_at_risk, d_events,
+        |    (1000000000000 * (n_at_risk - d_events)) // n_at_risk AS s
+        |  FROM rr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.cohort, r.duration, r.rn, r.n_at_risk, r.d_events,
+        |    (km.s * (r.n_at_risk - r.d_events)) // r.n_at_risk AS s
+        |  FROM rr r JOIN km ON km.cohort = r.cohort AND r.rn = km.rn + 1)
+        |SELECT cohort,
+        |  CAST(max(n_at_risk) AS BIGINT) AS n_subjects,
+        |  CAST(sum(d_events) AS BIGINT) AS n_events,
+        |  CAST(min(CASE WHEN s <= 750000000000 THEN duration END) AS BIGINT) AS q25,
+        |  CAST(min(CASE WHEN s <= 500000000000 THEN duration END) AS BIGINT) AS median,
+        |  CAST(min(CASE WHEN s <= 250000000000 THEN duration END) AS BIGINT) AS q75
+        |FROM km GROUP BY cohort ORDER BY cohort""".stripMargin,
+
     "cum_incidence" ->
       """WITH RECURSIVE ue AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
@@ -7018,6 +7143,192 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_islands,
         |  (CAST(sum(greatest(0, least(mend, ws + 365) - greatest(mstart, ws))) AS BIGINT) * 10000) // 365 AS ratio_scaled
         |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // §A island algebra with the gap-tolerant start condition
+    // (ivs > pmax + 7); merged end stays the true covered reach.
+    "episodes_of_care" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS ivs,
+        |    epoch_us(ts) // 86400000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 14) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  CAST(min(ivs) AS BIGINT) AS mstart,
+        |  CAST(max(ive) AS BIGINT) AS mend,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM g GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+
+    // Episodes (gap 7) then lead(mstart) per user: index cases are
+    // episodes with a successor; readmitted iff next start is within
+    // 30 days of this episode's end.
+    "readmission_30d" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS ivs,
+        |    epoch_us(ts) // 86400000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 14) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 7 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, island, min(ivs) AS mstart, max(ive) AS mend
+        |  FROM g GROUP BY user_id, island),
+        |led AS (
+        |  SELECT user_id, mend,
+        |    lead(mstart, 1) OVER (PARTITION BY user_id ORDER BY island) AS nxt
+        |  FROM isl)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_episodes,
+        |  CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+        |  CAST(sum(CASE WHEN nxt IS NOT NULL AND nxt - mend <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_readmit,
+        |  CAST(min(nxt - mend) AS BIGINT) AS min_gap
+        |FROM led GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Merged exposure islands → person-time; outcome membership by the
+    // ends(0) < starts(1) < events(2) sweep, half-open; rate in exact
+    // floor division per 1000 covered days.
+    "incidence_rate" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS ivs,
+        |    epoch_us(ts) // 86400000000 + 1 + (CAST(floor(value) AS BIGINT) % 30) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, island, min(ivs) AS mstart, max(ive) AS mend
+        |  FROM g GROUP BY user_id, island),
+        |pt AS (
+        |  SELECT user_id, sum(mend - mstart) AS person_time,
+        |    count(*) AS n_islands
+        |  FROM isl GROUP BY user_id),
+        |ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value < 0),
+        |d AS (
+        |  SELECT user_id, mend AS t, 0 AS o, CAST(-1 AS BIGINT) AS dl FROM isl
+        |  UNION ALL
+        |  SELECT user_id, mstart AS t, 1 AS o, CAST(1 AS BIGINT) AS dl FROM isl
+        |  UNION ALL
+        |  SELECT user_id, t, 2 AS o, CAST(0 AS BIGINT) AS dl FROM ev),
+        |r AS (
+        |  SELECT user_id, o,
+        |    sum(dl) OVER (PARTITION BY user_id ORDER BY t, o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |c AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(CASE WHEN run > 0 THEN 1 ELSE 0 END) AS n_in
+        |  FROM r WHERE o = 2 GROUP BY user_id)
+        |SELECT pt.user_id,
+        |  CAST(person_time AS BIGINT) AS person_time,
+        |  CAST(n_islands AS BIGINT) AS n_islands,
+        |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_in_exposure,
+        |  CAST(CASE WHEN person_time > 0
+        |    THEN (CAST(coalesce(n_in, 0) AS BIGINT) * 1000) // person_time
+        |  END AS BIGINT) AS rate_scaled
+        |FROM pt LEFT JOIN c USING (user_id)
+        |ORDER BY pt.user_id""".stripMargin,
+
+    // Doubled-midrank components are exact int64; z replays the same
+    // decimal(38,0)→double / sqrt / round(6) chain as the Spark side.
+    "ranksum_test" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |perv AS (
+        |  SELECT x, count(*) AS t,
+        |    sum(CASE WHEN g = '1' THEN 1 ELSE 0 END) AS t1
+        |  FROM base GROUP BY x),
+        |r AS (
+        |  SELECT t, t1,
+        |    coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM perv),
+        |agg AS (
+        |  SELECT CAST(sum(t1) AS BIGINT) AS n1,
+        |    CAST(sum(t) - sum(t1) AS BIGINT) AS n2,
+        |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        |  FROM r)
+        |SELECT n1, n2,
+        |  r1x2 - n1 * (n1 + 1) AS u1_x2,
+        |  n1 * n2 AS mu_x2,
+        |  tie_sum,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 AND
+        |      CAST(CAST(n1 AS DECIMAL(38,0)) * n2 *
+        |        (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 + 1) * (n1 + n2 - 1) - tie_sum) AS DOUBLE)
+        |        / (3.0 * CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)) > 0
+        |    THEN round(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) /
+        |      sqrt(CAST(CAST(n1 AS DECIMAL(38,0)) * n2 *
+        |        (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 + 1) * (n1 + n2 - 1) - tie_sum) AS DOUBLE)
+        |        / (3.0 * CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
+        |  END AS z
+        |FROM agg""".stripMargin,
+
+    // Exact 2x2 cells; each derived measure is the identical single
+    // IEEE division chain over the same exact counts.
+    "epi_2x2" ->
+      """WITH base AS (
+        |  SELECT user_id % 2 AS e,
+        |    CASE WHEN value > 0 THEN 1 ELSE 0 END AS o
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |k AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM base)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a + b > 0
+        |    THEN round(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE), 6) END AS risk_exposed,
+        |  CASE WHEN c + d > 0
+        |    THEN round(CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE), 6) END AS risk_unexposed,
+        |  CASE WHEN a + b > 0 AND c > 0
+        |    THEN round((CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)) /
+        |      (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)), 6) END AS rr,
+        |  CASE WHEN b * c > 0
+        |    THEN round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) END AS "or",
+        |  CASE WHEN a + b > 0 AND c + d > 0
+        |    THEN round(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE) -
+        |      CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE), 6) END AS risk_diff
+        |FROM k""".stripMargin,
 
     "survival_rmst" ->
       ("""WITH RECURSIVE per_user AS (

@@ -46,9 +46,16 @@ object Intervals {
     * island partition of the input is order-independent (equal
     * (start,end) rows are interchangeable), so the output set is a
     * pure function of the input multiset.
+    *
+    * `gap` > 0 turns the merge EPISODE-grained (episodes-of-care
+    * construction): intervals whose gap to the running island reach is
+    * ≤ `gap` still coalesce — e.g. encounters under a week apart form
+    * one care episode. `mend` stays the true covered reach (no gap
+    * padding), so coverage sums remain exact.
     */
   def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
-      endCol: String): DataFrame = {
+      endCol: String, gap: Long = 0L): DataFrame = {
+    require(gap >= 0, s"gap must be non-negative: $gap")
     val w = Window.partitionBy(col("__ik")).orderBy(col("__is"), col("__ie"))
     base(df, keyCol, startCol, endCol)
       // running max end over STRICTLY preceding rows: null on the
@@ -56,7 +63,7 @@ object Intervals {
       .withColumn("__pmax",
         max(col("__ie")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
-        when(col("__pmax").isNull || col("__is") > col("__pmax"), 1L)
+        when(col("__pmax").isNull || col("__is") > col("__pmax") + lit(gap), 1L)
           .otherwise(0L))
       .withColumn("island",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -117,5 +124,100 @@ object Intervals {
         count(lit(1)).as("n_islands"))
       .withColumn("ratio_scaled",
         expr(s"covered * ${scale}L DIV ${windowLen}L"))
+  }
+
+  /** Readmission profile over merged episodes — the 30-day-readmission
+    * shape: intervals are first coalesced into episodes
+    * ([[mergeIntervals]] with `gap` — transfers/continuations under
+    * `gap` apart are ONE stay, the standard index-admission rule), then
+    * each episode with a successor is an INDEX case, readmitted iff
+    * `next_start − end ≤ within`. Per key: episode count, index count,
+    * readmission count and the minimum gap between consecutive
+    * episodes (all exact int64; a trailing episode with no successor
+    * is never an index case — it is still at risk, the standard
+    * right-edge convention).
+    *
+    * Scale shape: the merge's one key shuffle, then a lead() window
+    * over the (already episode-grained, hence small) island rows in
+    * the SAME partitioning — Spark reuses the exchange; no second
+    * shuffle, no self-join.
+    */
+  def readmissions(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, within: Long, gap: Long = 0L): DataFrame = {
+    require(within >= 0, s"within must be non-negative: $within")
+    val w = Window.partitionBy(col(s"`$keyCol`")).orderBy(col("island"))
+    mergeIntervals(df, keyCol, startCol, endCol, gap)
+      .withColumn("__nxt", lead(col("mstart"), 1).over(w))
+      .groupBy(col(s"`$keyCol`"))
+      .agg(
+        count(lit(1)).as("n_episodes"),
+        sum(when(col("__nxt").isNotNull, 1L).otherwise(0L)).as("n_index"),
+        sum(when(col("__nxt").isNotNull &&
+          col("__nxt") - col("mend") <= within, 1L).otherwise(0L))
+          .as("n_readmit"),
+        min(col("__nxt") - col("mend")).as("min_gap"))
+  }
+
+  /** Incidence rate over exposure person-time — events per unit of
+    * covered time, the epidemiological denominator done right: the
+    * denominator is the MERGED exposure coverage (double-counting
+    * overlapping spans inflates person-time and deflates the rate),
+    * and an event counts toward the numerator only if it falls inside
+    * a covered `[mstart, mend)` span. Coverage membership is decided
+    * by the same sweep-line as [[intervalCensus]] — island ends sort
+    * before island starts before events at equal instants, so an event
+    * AT an island start is in, AT an island end is out (half-open),
+    * with no interval×event join anywhere. Output per key: exact
+    * `person_time`, `n_islands`, `n_events` (all of the key's events),
+    * `n_in_exposure`, and `rate_scaled = n_in_exposure·scale DIV
+    * person_time` (events per `scale` time units, exact floor
+    * division; null for zero person-time). Keys with events but no
+    * exposure are OUT by definition — the rate is a statement about
+    * the exposed cohort.
+    *
+    * Scale shape: one key shuffle for the merge, one for the
+    * delta∪event sweep, one broadcast-class join of two per-key 1-row
+    * aggregates. Never an equi-join of events onto islands (that
+    * duplicates each event by its key's island count).
+    */
+  def incidenceRate(intervals: DataFrame, events: DataFrame,
+      keyCol: String, startCol: String, endCol: String,
+      eventKeyCol: String, eventTimeCol: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val isl = mergeIntervals(intervals, keyCol, startCol, endCol)
+    val personTime = isl.groupBy(col(s"`$keyCol`").as("__ik"))
+      .agg(sum(col("mend") - col("mstart")).as("person_time"),
+        count(lit(1)).as("n_islands"))
+    val ek = col(s"`$eventKeyCol`")
+    val et = col(s"`$eventTimeCol`").cast("long")
+    // ord 0: island end (coverage drops BEFORE an event at mend),
+    // ord 1: island start (coverage holds FOR an event at mstart),
+    // ord 2: the event itself
+    val deltas =
+      isl.select(col(s"`$keyCol`").as("__ik"), col("mend").as("__t"),
+          lit(0).as("__o"), lit(-1L).as("__d"))
+        .union(isl.select(col(s"`$keyCol`").as("__ik"),
+          col("mstart").as("__t"), lit(1).as("__o"), lit(1L).as("__d")))
+        .union(events.filter(ek.isNotNull && et.isNotNull)
+          .select(ek.as("__ik"), et.as("__t"), lit(2).as("__o"),
+            lit(0L).as("__d")))
+    val w = Window.partitionBy(col("__ik")).orderBy(col("__t"), col("__o"))
+    val counts = deltas
+      .withColumn("__run",
+        sum(col("__d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__o") === 2)
+      .groupBy(col("__ik"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__run") > 0L, 1L).otherwise(0L)).as("n_in_exposure"))
+    personTime.join(counts, Seq("__ik"), "left")
+      .select(
+        col("__ik").as(keyCol),
+        col("person_time"), col("n_islands"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_in_exposure"), lit(0L)).as("n_in_exposure"))
+      .withColumn("rate_scaled",
+        when(col("person_time") > 0L,
+          expr(s"n_in_exposure * ${scale}L DIV person_time")))
   }
 }

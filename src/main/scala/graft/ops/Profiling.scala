@@ -623,6 +623,119 @@ object Profiling {
         round((p1 - p0) / se, 6)).as("z_pooled"))
   }
 
+  /** Two-group Mann–Whitney U rank-sum test — the nonparametric
+    * companion to [[abTest]] for CONTINUOUS outcomes (lab values,
+    * lengths of stay) whose distributions are skewed enough that a
+    * t-style mean comparison misleads. Values are snapped to the
+    * fixed-point grid first (`round(v·scale)` — ties must be a
+    * property of the DATA, not of float representation), then ranked
+    * with midrank tie handling in DOUBLED units so every rank is
+    * int64: a run of `t` equal values occupying ranks
+    * `c+1 … c+t` has midrank `c + (t+1)/2`, i.e. doubled midrank
+    * `2c + t + 1` — exact for any tie width. From the doubled
+    * group-one rank sum `r1_x2`:
+    * {{{ 2·U1 = r1_x2 − n1·(n1+1),   2·E[U1] = n1·n2 }}}
+    * and the tie-corrected null variance (doubled statistic, hence 4×)
+    * {{{ 4·Var = n1·n2·( n·(n+1)·(n−1) − Σ(t³−t) ) / (3·n·(n−1)) }}}
+    * whose numerator runs exact in decimal(38,0) (the [[logRank]] /
+    * pageRank precedent — n³·n1·n2 overflows int64 past tiny cohorts).
+    * `tie_sum` itself stays int64: exact while Σ(t³−t) < 9.2e18, i.e.
+    * until a single grid value collects ~2.1e6 rows — pick `scale` so
+    * the grid actually separates values long before that.
+    * Everything through the variance NUMERATOR and `tie_sum` is exact
+    * integer; z spends ONE double division + sqrt (correctly-rounded
+    * IEEE on both engines) before a final round(6) — the same
+    * exactness budget as [[graft.ops.TimeSeries.logRank]]'s χ².
+    *
+    * Output: ONE row — (n1, n2, u1_x2, mu_x2, tie_sum, z). z is null
+    * when either arm is empty or every value is tied (zero variance).
+    *
+    * Scale shape: rows collapse map-side to one row per DISTINCT grid
+    * value (count + group-one count); the rank prefix is a window over
+    * those bounded rows (unpartitioned BY DESIGN — its input is the
+    * distinct-value relation, not subjects; cf. [[logRank]]'s at-risk
+    * prefix); the result is a 1-row aggregate.
+    */
+  def rankSumTest(
+      df: DataFrame, groupCol: String, valueCol: String,
+      groupOne: String, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val v = col(s"`$valueCol`")
+    val xd = round(v * lit(scale.toDouble), 0).cast("long")
+    val perV = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), xd.as("__x"))
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__g") === groupOne, 1L).otherwise(0L)).as("__t1"))
+    val wPrev = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perV
+      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      // doubled midrank of this tie run, times its group-one members
+      .withColumn("__r1x2",
+        col("__t1") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
+      .agg(
+        sum(col("__t1")).as("n1"),
+        (sum(col("__t")) - sum(col("__t1"))).as("n2"),
+        sum(col("__r1x2")).as("__r1x2s"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_sum"))
+      .withColumn("u1_x2", col("__r1x2s") - col("n1") * (col("n1") + 1L))
+      .withColumn("mu_x2", col("n1") * col("n2"))
+      .withColumn("z", {
+        val n = col("n1") + col("n2")
+        // 4·Var numerator, exact in decimal(38,0) on both engines
+        val varNum = expr(
+          "CAST(n1 AS DECIMAL(38,0)) * n2 * " +
+            "(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 + 1) * " +
+            "(n1 + n2 - 1) - tie_sum)")
+        val var4 = varNum.cast("double") /
+          (lit(3d) * n.cast("double") * (n.cast("double") - 1d))
+        when(col("n1") > 0L && col("n2") > 0L && n > 1L && var4 > 0d,
+          round((col("u1_x2") - col("mu_x2")).cast("double") / sqrt(var4), 6))
+      })
+      .select("n1", "n2", "u1_x2", "mu_x2", "tie_sum", "z")
+  }
+
+  /** Exposure-outcome 2×2 contingency measures — the epidemiological
+    * readout (cohort-study flavor) next to [[abTest]]'s experimentation
+    * one: exact cell counts a/b/c/d (exposed×outcome) plus relative
+    * risk `RR = (a/(a+b)) / (c/(c+d))`, odds ratio `OR = a·d / (b·c)`
+    * and risk difference — each a single correctly-rounded IEEE
+    * division chain over exact int64 counts, round(6), null where the
+    * classical measure is undefined (empty margin, zero unexposed
+    * risk, zero b·c denominator). No log-scale confidence intervals BY
+    * DESIGN: ln() is a libm call whose last ulp differs across
+    * engines; callers who need Woolf CIs take the exact counts.
+    *
+    * Scale shape: one map-side-combined aggregation to four counters.
+    */
+  def epi2x2(
+      df: DataFrame, exposedCol: String, outcomeCol: String): DataFrame = {
+    val e = col(s"`$exposedCol`").cast("long")
+    val o = col(s"`$outcomeCol`").cast("long")
+    val counts = df
+      .filter(e.isin(0L, 1L) && o.isin(0L, 1L))
+      .agg(
+        sum(when(e === 1L && o === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(e === 1L && o === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(e === 0L && o === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(e === 0L && o === 0L, 1L).otherwise(0L)).as("d"))
+    val riskE = col("a").cast("double") / (col("a") + col("b")).cast("double")
+    val riskU = col("c").cast("double") / (col("c") + col("d")).cast("double")
+    counts.select(
+      col("a"), col("b"), col("c"), col("d"),
+      when(col("a") + col("b") > 0L, round(riskE, 6)).as("risk_exposed"),
+      when(col("c") + col("d") > 0L, round(riskU, 6)).as("risk_unexposed"),
+      when(col("a") + col("b") > 0L && col("c") > 0L,
+        round(riskE / riskU, 6)).as("rr"),
+      when(col("b") * col("c") > 0L,
+        round((col("a") * col("d")).cast("double") /
+          (col("b") * col("c")).cast("double"), 6)).as("or"),
+      when(col("a") + col("b") > 0L && col("c") + col("d") > 0L,
+        round(riskE - riskU, 6)).as("risk_diff"))
+  }
+
   /** Benford first-significant-digit profile of a positive fixed-point
     * column: observed digit counts and shares next to the Benford
     * expectation log10(1 + 1/d) — the classic fabricated-data /

@@ -666,4 +666,39 @@ object TimeSeries {
         round(col("survival_fp").cast("double") / SurvivalScale.toDouble, 6))
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** Survival quantiles per stratum — the headline numbers a clinician
+    * reads off a [[kaplanMeier]] curve: median survival time and the
+    * 25th/75th-percentile times, plus stratum size and event total.
+    * The p-quantile is the standard step-curve reading `min{ t :
+    * S(t) ≤ 1−p }` — q25 at S ≤ 0.75, median at S ≤ 0.5, q75 at
+    * S ≤ 0.25 — null when the curve never falls that far (heavily
+    * censored strata have no defined median; that NULL is the correct
+    * clinical answer, not a missing value). Thresholds compare the
+    * EXACT fixed-point `survival_fp` against exact int64 constants
+    * ([[SurvivalScale]] is divisible by 4), so the quantile durations
+    * inherit the KM recurrence's bit-exactness — no float S crosses a
+    * boundary differently per engine.
+    *
+    * Scale shape: [[kaplanMeier]]'s cost plus one groupBy over the
+    * distinct-duration curve rows (bounded by distinct durations, not
+    * subjects). `n_subjects` is the risk set at the earliest duration
+    * — max over the stratum, since risk sets only shrink.
+    */
+  def survivalQuantiles(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val S = SurvivalScale
+    kaplanMeier(df, groupCol, durationCol, observedCol)
+      .groupBy(col(s"`$groupCol`"))
+      .agg(
+        max(col("n_at_risk")).as("n_subjects"),
+        sum(col("d_events")).as("n_events"),
+        min(when(col("survival_fp") <= lit(S / 4L * 3L), col("duration")))
+          .as("q25"),
+        min(when(col("survival_fp") <= lit(S / 2L), col("duration")))
+          .as("median"),
+        min(when(col("survival_fp") <= lit(S / 4L), col("duration")))
+          .as("q75"))
+  }
 }

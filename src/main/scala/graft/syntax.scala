@@ -183,6 +183,9 @@ object syntax {
     def logRank(groupCol: String, durationCol: String, observedCol: String,
         groupOne: String): DataFrame =
       TimeSeries.logRank(df, groupCol, durationCol, observedCol, groupOne)
+    def survivalQuantiles(groupCol: String, durationCol: String,
+        observedCol: String): DataFrame =
+      TimeSeries.survivalQuantiles(df, groupCol, durationCol, observedCol)
     def restrictedMeanSurvival(groupCol: String, durationCol: String,
         observedCol: String, tau: Long): DataFrame =
       TimeSeries.restrictedMeanSurvival(df, groupCol, durationCol, observedCol, tau)
@@ -324,11 +327,38 @@ object syntax {
       */
     def pageRank(srcCol: String, dstCol: String, iters: Int = 3): DataFrame =
       GraphOps.pageRank(df, srcCol, dstCol, iters)
-    /** Gaps-and-islands merge of keyed `[start, end)` integer intervals
-      * (see [[ops.Intervals.mergeIntervals]]).
+    /** Gaps-and-islands merge of keyed `[start, end)` integer intervals;
+      * `gap` > 0 makes it episode-grained (see
+      * [[ops.Intervals.mergeIntervals]]).
       */
-    def mergeIntervals(keyCol: String, startCol: String, endCol: String): DataFrame =
-      Intervals.mergeIntervals(df, keyCol, startCol, endCol)
+    def mergeIntervals(keyCol: String, startCol: String, endCol: String,
+        gap: Long = 0L): DataFrame =
+      Intervals.mergeIntervals(df, keyCol, startCol, endCol, gap)
+    /** Readmission profile over merged episodes (see
+      * [[ops.Intervals.readmissions]]).
+      */
+    def readmissions(keyCol: String, startCol: String, endCol: String,
+        within: Long, gap: Long = 0L): DataFrame =
+      Intervals.readmissions(df, keyCol, startCol, endCol, within, gap)
+    /** Incidence rate of `events` over this frame's merged exposure
+      * person-time (see [[ops.Intervals.incidenceRate]]).
+      */
+    def incidenceRate(events: DataFrame, keyCol: String, startCol: String,
+        endCol: String, eventKeyCol: String, eventTimeCol: String,
+        scale: Long = 1000L): DataFrame =
+      Intervals.incidenceRate(df, events, keyCol, startCol, endCol,
+        eventKeyCol, eventTimeCol, scale)
+    /** Exact tie-corrected Mann–Whitney U rank-sum test (see
+      * [[ops.Profiling.rankSumTest]]).
+      */
+    def rankSumTest(groupCol: String, valueCol: String, groupOne: String,
+        scale: Long = 100L): DataFrame =
+      Profiling.rankSumTest(df, groupCol, valueCol, groupOne, scale)
+    /** Exposure-outcome 2×2 contingency measures (see
+      * [[ops.Profiling.epi2x2]]).
+      */
+    def epi2x2(exposedCol: String, outcomeCol: String): DataFrame =
+      Profiling.epi2x2(df, exposedCol, outcomeCol)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

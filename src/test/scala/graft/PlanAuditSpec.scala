@@ -105,7 +105,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val intentionalGlobalWindow = Map(
     "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)",
-    "logrank_test" -> "at-risk prefix over DISTINCT pooled event times (an aggregate of durations, bounded far below subjects); stratified variants partition it")
+    "logrank_test" -> "at-risk prefix over DISTINCT pooled event times (an aggregate of durations, bounded far below subjects); stratified variants partition it",
+    "ranksum_test" -> "rank prefix over DISTINCT snapped grid values (an aggregate bounded by the value domain at the chosen scale, not by subjects — the logrank_test argument); probe10e measures the flat-in-k curve")
 
   test("no registry query plans an unpartitioned window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

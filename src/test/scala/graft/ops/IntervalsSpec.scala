@@ -54,4 +54,45 @@ class IntervalsSpec extends SparkSpec {
     val b = Intervals.mergeIntervals(shuffled, "k", "s", "e").orderBy("k", "island").collect().toSeq
     assert(a == b)
   }
+
+  test("gap-tolerant merge coalesces episodes; mend stays the true reach") {
+    // key 1: gap between [0,15) and [20,25) is 5 → one episode at gap=5,
+    // two at gap=4; merged end is 25 (true reach), not 25+gap
+    val g5 = Intervals.mergeIntervals(iv, "k", "s", "e", gap = 5L)
+      .filter($"k" === 1L).orderBy("island")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g5 == Seq((1L, 1L, 0L, 25L, 5L)))
+    val g4 = Intervals.mergeIntervals(iv, "k", "s", "e", gap = 4L)
+      .filter($"k" === 1L).orderBy("island")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(g4 == Seq((1L, 1L, 0L, 15L, 3L), (1L, 2L, 20L, 25L, 2L)))
+  }
+
+  test("readmissions: index cases, within-threshold counts, trailing episode never indexed") {
+    // key 1 episodes [0,15),[20,25): gap 5; key 2 [3,3),[4,8): gap 1
+    val w5 = Intervals.readmissions(iv, "k", "s", "e", within = 5L)
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(w5 == Seq((1L, 2L, 1L, 1L, 5L), (2L, 2L, 1L, 1L, 1L)))
+    val w4 = Intervals.readmissions(iv, "k", "s", "e", within = 4L)
+      .orderBy("k").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(w4 == Seq((1L, 2L, 1L, 0L, 5L), (2L, 2L, 1L, 1L, 1L)))
+  }
+
+  test("incidenceRate: merged person-time, half-open event membership, exposed-cohort spine") {
+    val ev = Seq(
+      (1L, 0L),  // at island start → in
+      (1L, 15L), // at island end → out (half-open)
+      (1L, 17L), // in the gap → out
+      (1L, 20L), // in
+      (1L, 24L), // in
+      (2L, 3L),  // zero-length island covers nothing → out
+      (2L, 5L),  // in [4,8)
+      (9L, 1L)   // no exposure for key 9 → dropped entirely
+    ).toDF("k", "t")
+    val out = Intervals.incidenceRate(iv, ev, "k", "s", "e", "k", "t")
+      .orderBy("k").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, 2L, 5L, 3L, 3L * 1000L / 20L),
+      (2L, 4L, 2L, 2L, 1L, 1L * 1000L / 4L)))
+  }
 }

@@ -354,6 +354,50 @@ class ProfilingSpec extends SparkSpec {
     assert(o.getAs[Double]("rate1") == 0.5)
   }
 
+  test("rankSumTest: midrank ties, exact integer components, hand-checked z") {
+    // A: 1,2,2,5  B: 2,3,4 → sorted 1A 2A 2A 2B 3B 4B 5A (n=7)
+    // doubled midranks: 1→2, 2-run(t=3, ranks 2..4)→6, 3→10, 4→12, 5→14
+    // R1·2 = 2 + 6 + 6 + 14 = 28; 2U1 = 28 − 4·5 = 8; 2E = 12
+    // tie_sum = 3³−3 = 24; 4Var = 4·3·(7·8·6 − 24)/(3·7·6) = 3744/126
+    val df = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 5.0),
+      ("B", 2.0), ("B", 3.0), ("B", 4.0)
+    ).toDF("g", "v")
+    val r = Profiling.rankSumTest(df, "g", "v", "A", scale = 1L).collect()(0)
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("u1_x2") == 8L && r.getAs[Long]("mu_x2") == 12L)
+    assert(r.getAs[Long]("tie_sum") == 24L)
+    val expZ = (8.0 - 12.0) / math.sqrt(3744.0 / 126.0)
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 2e-6, r.toString)
+    // all values tied: zero variance → null z, exact parts still emitted
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    val t = Profiling.rankSumTest(tied, "g", "v", "A", scale = 1L).collect()(0)
+    assert(t.isNullAt(t.fieldIndex("z")) && t.getAs[Long]("tie_sum") == 24L)
+    // one-arm input: no comparison
+    val one = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val o = Profiling.rankSumTest(one, "g", "v", "A", scale = 1L).collect()(0)
+    assert(o.getAs[Long]("n2") == 0L && o.isNullAt(o.fieldIndex("z")))
+  }
+
+  test("epi2x2: exact cells, RR/OR/risk difference, undefined guards") {
+    val rows = Seq.fill(30)((1, 1)) ++ Seq.fill(70)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(90)((0, 0)) ++ Seq((2, 1), (1, 5))
+    val r = Profiling.epi2x2(rows.toDF("e", "o"), "e", "o").collect()(0)
+    // the (2,1) and (1,5) rows are out-of-domain and must be ignored
+    assert(r.getAs[Long]("a") == 30L && r.getAs[Long]("b") == 70L)
+    assert(r.getAs[Long]("c") == 10L && r.getAs[Long]("d") == 90L)
+    assert(r.getAs[Double]("risk_exposed") == 0.3)
+    assert(r.getAs[Double]("risk_unexposed") == 0.1)
+    assert(r.getAs[Double]("rr") == 3.0)
+    assert(r.getAs[Double]("or") == 3.857143)
+    assert(math.abs(r.getAs[Double]("risk_diff") - 0.2) < 1e-9)
+    // zero unexposed events: RR undefined, OR undefined (b·c = 0 path)
+    val z = Profiling.epi2x2(
+      Seq((1, 1), (1, 0), (0, 0)).toDF("e", "o"), "e", "o").collect()(0)
+    assert(z.isNullAt(z.fieldIndex("rr")) && z.isNullAt(z.fieldIndex("or")))
+    assert(z.getAs[Double]("risk_diff") == 0.5)
+  }
+
   test("robustZscores: order-statistic centers; outlier cannot mask itself") {
     // group values 1..9 plus one wild outlier 1000:
     // n=10, med = 5th smallest = 5; |v-med| sorted: 0,1,1,2,2,3,3,4,995

@@ -390,4 +390,25 @@ class TimeSeriesSpec extends SparkSpec {
       ("h", 2L, 3L, 2L, 333333333333L, 0.333333),
       ("h", 7L, 1L, 0L, 333333333333L, 0.333333)), h.toString)
   }
+
+  test("survivalQuantiles: step-curve readings; undefined quantile is null, not zero") {
+    val subjects = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L), ("g", 6L, 1L),
+      ("h", 2L, 1L), ("h", 2L, 1L), ("h", 7L, 0L))
+      .toDF("cohort", "duration", "observed")
+    val out = TimeSeries.survivalQuantiles(subjects, "cohort", "duration", "observed")
+      .orderBy("cohort").collect().toSeq
+    // g curve: .833@1, .667@2, .444@4, 0@6 → q25=2 (S≤.75), med=4 (S≤.5), q75=6 (S≤.25)
+    val g = out(0)
+    assert(g.getAs[String]("cohort") == "g" && g.getAs[Long]("n_subjects") == 6L)
+    assert(g.getAs[Long]("n_events") == 4L)
+    assert(g.getAs[Long]("q25") == 2L && g.getAs[Long]("median") == 4L &&
+      g.getAs[Long]("q75") == 6L, g.toString)
+    // h curve drops to 1/3 at t=2 and never below .25: q75 undefined → null
+    val h = out(1)
+    assert(h.getAs[Long]("n_subjects") == 3L && h.getAs[Long]("n_events") == 2L)
+    assert(h.getAs[Long]("q25") == 2L && h.getAs[Long]("median") == 2L, h.toString)
+    assert(h.isNullAt(h.fieldIndex("q75")), "censored tail has no q75")
+  }
 }
