@@ -3212,6 +3212,32 @@ object SparkEntry {
             col("value")),
         "grp", "value", groupOne = "1")),
 
+    // χ² independence: is the event-type mix the same across the three
+    // user terciles? Fully fixed-point per-cell terms (zero-observed
+    // grid cells included), ONE double division at the end.
+    "chisq_independence" -> ((s, dir) =>
+      graft.ops.Profiling.chiSquareTest(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(3L)).cast("string").as("ubin")),
+        "event_type", "ubin")),
+
+    // Indirectly standardized event ratio: per-site purchase SMR
+    // against the pooled per-value-band reference rates — exact int64
+    // expectations, one IEEE division per site.
+    "smr_ratio" -> ((s, dir) =>
+      graft.ops.Profiling.standardizedRatio(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).cast("string").as("site"),
+            (abs(floor(col("value"))).cast("long") % lit(5L)).cast("string")
+              .as("band"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("ev")),
+        "site", "band", "ev")
+        .orderBy("site")),
+
     // Exposure-outcome 2×2: odd users "exposed", positive value the
     // "outcome"; exact cells + RR/OR/risk difference, each one
     // correctly-rounded IEEE division chain over exact counts.
@@ -7300,6 +7326,64 @@ object SparkEntry {
         |        / (3.0 * CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
         |  END AS z
         |FROM agg""".stripMargin,
+
+    // Full r×c grid (zero cells kept by the CROSS JOIN + LEFT JOIN),
+    // HUGEINT replaying Spark's decimal(38,0) per-cell terms exactly.
+    "chisq_independence" ->
+      """WITH base AS (
+        |  SELECT event_type AS a, CAST(user_id % 3 AS VARCHAR) AS b
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc),
+        |grid AS (
+        |  SELECT rt.ra, ct.cb, coalesce(obs.o, 0) AS o, tot.n, dims.nr, dims.nc
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b
+        |  CROSS JOIN tot CROSS JOIN dims),
+        |terms AS (
+        |  SELECT n, nr, nc, o,
+        |    CAST((CAST(ra AS HUGEINT) * cb * 1000000000000) // n AS BIGINT) AS e
+        |  FROM grid),
+        |t2 AS (
+        |  SELECT n, nr, nc,
+        |    CAST((CAST(o * 1000000000000 - e AS HUGEINT) * (o * 1000000000000 - e))
+        |      // e AS BIGINT) AS t
+        |  FROM terms)
+        |SELECT max(n) AS n, max(nr) AS n_rows, max(nc) AS n_cols,
+        |  (max(nr) - 1) * (max(nc) - 1) AS dof,
+        |  CAST(sum(t) AS BIGINT) AS chi2_fp,
+        |  round(CAST(sum(t) AS DOUBLE) / 1000000000000.0, 6) AS chi2
+        |FROM t2""".stripMargin,
+
+    // Pooled per-band reference rates in exact fixed point; each
+    // site's expectation is an exact int64 sum, SMR one division.
+    "smr_ratio" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS site,
+        |    CAST(CAST(abs(floor(value)) AS BIGINT) % 5 AS VARCHAR) AS band,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT site, band, CAST(count(*) AS BIGINT) AS p,
+        |    CAST(sum(ev) AS BIGINT) AS e
+        |  FROM base GROUP BY 1, 2),
+        |ref AS (
+        |  SELECT band, CAST((sum(e) * 1000000) // sum(p) AS BIGINT) AS rate
+        |  FROM cells GROUP BY 1)
+        |SELECT site,
+        |  CAST(sum(p) AS BIGINT) AS n_subjects,
+        |  CAST(sum(e) AS BIGINT) AS observed,
+        |  CAST(sum(p * rate) AS BIGINT) AS expected_fp,
+        |  CASE WHEN sum(p * rate) > 0
+        |    THEN round(CAST(sum(e) * 1000000 AS DOUBLE) /
+        |      CAST(sum(p * rate) AS DOUBLE), 6) END AS smr
+        |FROM cells JOIN ref USING (band)
+        |GROUP BY site ORDER BY site""".stripMargin,
 
     // Exact 2x2 cells; each derived measure is the identical single
     // IEEE division chain over the same exact counts.

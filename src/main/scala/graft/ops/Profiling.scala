@@ -736,6 +736,143 @@ object Profiling {
         round(riskE - riskU, 6)).as("risk_diff"))
   }
 
+  /** Fixed-point scale for [[chiSquareTest]]'s expected counts and
+    * per-cell terms: 1e12 (the [[graft.ops.TimeSeries.SurvivalScale]]
+    * convention). Exactness bounds: `n < 9.2e6` keeps `o·S` inside
+    * int64, and the per-cell term needs `n·(min(r,c)−1)·S < 9.2e18`
+    * (the χ² decomposition bound: no single cell can contribute more
+    * than the whole statistic's `n·(min(r,c)−1)` ceiling) — rescale S
+    * down one decade per extra decade of n, exactly as SurvivalScale
+    * documents. The plan-embedded guard fails fast if `n ≥ S` (an
+    * expected count could floor to zero and the per-cell division
+    * would divide by it).
+    */
+  val ChiSquareScale = 1000000000000L
+
+  /** χ² test of independence over two categorical columns — "is the
+    * outcome mix different across sources/arms/sites?", the r×c
+    * companion to [[abTest]]'s 2-proportion z. The textbook statistic
+    * `Σ (O−E)²/E` is a SUM of float divisions — an engine-ordered
+    * fold — so this runs the engine's exact identity instead: with
+    * `S` = [[ChiSquareScale]],
+    * {{{ E_fp = (rowTotal · colTotal · S) DIV n
+    *     t_fp = (O·S − E_fp)² DIV E_fp   // = ((O−E)²/E)·S, exact int64
+    *     χ²   = (Σ t_fp) / S              // ONE division }}}
+    * — every `t_fp` is an exact integer (the squared diff runs in
+    * decimal(38,0)/int128), their sum is order-independent, and both
+    * engines reach χ² from the same int64 with one correctly-rounded
+    * IEEE division. The two floors cost ~1e-12 relative vs the real-
+    * valued statistic and are replayed identically per engine.
+    * Zero-observed cells of the full r×c grid are INCLUDED (they
+    * contribute E_fp·S-floored mass — dropping them understates χ²).
+    *
+    * Output: ONE row — (n, n_rows, n_cols, dof, chi2_fp, chi2).
+    *
+    * Scale shape: one (a,b) groupBy collapses rows to observed cells;
+    * row/col totals re-aggregate the CELLS (bounded by r·c, not n);
+    * the full grid is rowTotals × colTotals — a deliberate small×small
+    * nested-loop join, plan-guarded by `maxCells` (the
+    * [[graft.ops.GraphOps.cooccurrenceLift]] raise_error pattern: a
+    * runaway-cardinality column fails fast with the size named instead
+    * of fanning r·c from one task).
+    */
+  def chiSquareTest(
+      df: DataFrame, aCol: String, bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be positive: $maxCells")
+    val S = ChiSquareScale
+    val base = df
+      .filter(col(s"`$aCol`").isNotNull && col(s"`$bCol`").isNotNull)
+      .select(col(s"`$aCol`").cast("string").as("__a"),
+        col(s"`$bCol`").cast("string").as("__b"))
+    val obs = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val ct = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = obs.agg(sum(col("__o")).as("__n"))
+    val dims = rt.agg(count(lit(1)).as("__nr"))
+      .crossJoin(ct.agg(count(lit(1)).as("__nc")))
+    // full grid, zero cells included; both sides are category-sized
+    val grid = rt.crossJoin(ct)
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dims))
+      // guards ride the observed column every term consumes
+      .withColumn("__o",
+        when(col("__nr") * col("__nc") > maxCells,
+          raise_error(concat(
+            lit("chiSquareTest: contingency grid "), col("__nr").cast("string"),
+            lit("x"), col("__nc").cast("string"),
+            lit(s" exceeds maxCells=$maxCells — these columns are not" +
+              " categorical at this grain; bucket them first or raise the cap"))))
+          .when(lit(S) <= col("__n"),
+            raise_error(concat(
+              lit(s"chiSquareTest: n="), col("__n").cast("string"),
+              lit(s" >= ChiSquareScale=$S — an expected count could floor" +
+                " to zero; rescale S up or shard the test"))))
+          .otherwise(col("__o")))
+    grid
+      .withColumn("__e",
+        expr(s"CAST(CAST(__ra AS DECIMAL(38,0)) * __cb * ${S}L DIV __n AS LONG)"))
+      .withColumn("__t",
+        expr(s"CAST(__o * ${S}L - __e AS DECIMAL(38,0)) * (__o * ${S}L - __e)" +
+          " DIV __e"))
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__nr")).as("n_rows"),
+        max(col("__nc")).as("n_cols"),
+        ((max(col("__nr")) - lit(1L)) * (max(col("__nc")) - lit(1L))).as("dof"),
+        sum(col("__t")).as("chi2_fp"))
+      .withColumn("chi2",
+        round(col("chi2_fp").cast("double") / lit(S.toDouble), 6))
+  }
+
+  /** Indirectly standardized event ratio — the SMR shape: observed
+    * events in each group vs the events EXPECTED if the group had the
+    * whole population's per-stratum rates (age bands, case-mix tiers).
+    * The classic answer to "site B has more readmissions — or just
+    * older patients?". With `S` = `scale`,
+    * {{{ rate_fp(s)    = (events_s · S) DIV persons_s      // reference
+    *     expected_fp(g) = Σ_s persons_{g,s} · rate_fp(s)    // int64 sum
+    *     smr(g)         = (observed_g · S) / expected_fp(g) // ONE division }}}
+    * — the reference rates and expectations are exact integers
+    * (order-independent sums), so both engines reach each group's SMR
+    * from the same two int64s with one correctly-rounded IEEE
+    * division, round(6). Null when a group's expectation floors to
+    * zero (no reference mass — nothing to standardize against).
+    * Exactness bound: `persons · S` must stay inside int64 — the
+    * default 1e6 covers 9.2e12 subjects; rescale down past that.
+    *
+    * Scale shape: one (group, stratum) groupBy collapses subject rows;
+    * the per-stratum reference re-aggregates those CELLS; the rates
+    * frame is stratum-sized and broadcast back onto the cells.
+    */
+  def standardizedRatio(
+      df: DataFrame, groupCol: String, stratumCol: String,
+      eventCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val st = col(s"`$stratumCol`").cast("string")
+    val e = col(s"`$eventCol`").cast("long")
+    val cells = df.filter(g.isNotNull && st.isNotNull && e.isNotNull)
+      .select(g.as("__g"), st.as("__s"), e.as("__e"))
+      .groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__p"), sum(col("__e")).as("__ev"))
+    val ref = cells.groupBy(col("__s"))
+      .agg(expr(s"sum(__ev) * ${scale}L DIV sum(__p)").as("__rate"))
+    cells.join(broadcast(ref), Seq("__s"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(col("__p")).as("n_subjects"),
+        sum(col("__ev")).as("observed"),
+        sum(col("__p") * col("__rate")).as("expected_fp"))
+      .withColumn("smr",
+        when(col("expected_fp") > 0L,
+          round((col("observed") * lit(scale)).cast("double") /
+            col("expected_fp").cast("double"), 6)))
+  }
+
   /** Benford first-significant-digit profile of a positive fixed-point
     * column: observed digit counts and shares next to the Benford
     * expectation log10(1 + 1/d) — the classic fabricated-data /

@@ -359,6 +359,18 @@ object syntax {
       */
     def epi2x2(exposedCol: String, outcomeCol: String): DataFrame =
       Profiling.epi2x2(df, exposedCol, outcomeCol)
+    /** Exact fixed-point χ² test of independence (see
+      * [[ops.Profiling.chiSquareTest]]).
+      */
+    def chiSquareTest(aCol: String, bCol: String,
+        maxCells: Long = 100000L): DataFrame =
+      Profiling.chiSquareTest(df, aCol, bCol, maxCells)
+    /** Indirectly standardized event ratio, the SMR shape (see
+      * [[ops.Profiling.standardizedRatio]]).
+      */
+    def standardizedRatio(groupCol: String, stratumCol: String,
+        eventCol: String, scale: Long = 1000000L): DataFrame =
+      Profiling.standardizedRatio(df, groupCol, stratumCol, eventCol, scale)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "skew_profile" -> "P bucket rows × ONE broadcast total row",
     "k_anonymity" -> "distinct-class-size rows × ONE broadcast total row",
     "l_diversity" -> "diversity-level rows × ONE broadcast total row",
-    "logrank_test" -> "distinct-event-time rows × ONE broadcast totals row")
+    "logrank_test" -> "distinct-event-time rows × ONE broadcast totals row",
+    "chisq_independence" -> "the full r×c contingency grid (rowTotals × colTotals, both category-sized) plus two one-row broadcast totals/dims frames; maxCells guard fails fast on runaway grids")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

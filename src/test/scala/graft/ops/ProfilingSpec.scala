@@ -398,6 +398,46 @@ class ProfilingSpec extends SparkSpec {
     assert(z.getAs[Double]("risk_diff") == 0.5)
   }
 
+  test("chiSquareTest: exact fixed-point cells; zero-observed grid cells included; grid guard") {
+    // 2x2 with exact expectations: E = 20/80/20/80 → χ² = 5+1.25+5+1.25 = 12.5
+    val rows = Seq.fill(30)((1, 1)) ++ Seq.fill(70)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(90)((0, 0))
+    val r = Profiling.chiSquareTest(rows.toDF("e", "o"), "e", "o").collect()(0)
+    assert(r.getAs[Long]("n") == 200L && r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_cols") == 2L)
+    assert(r.getAs[Long]("chi2_fp") == 12500000000000L, r.toString)
+    assert(r.getAs[Double]("chi2") == 12.5)
+    // absent (y,q) cell must still contribute expected mass:
+    // 2x2 shortcut χ² = 6·(0−4)²/(4·2·4·2) = 1.5
+    val sparse = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("x", "q"),
+      ("y", "p"), ("y", "p")).toDF("a", "b")
+    val z = Profiling.chiSquareTest(sparse, "a", "b").collect()(0)
+    assert(z.getAs[Long]("n") == 6L)
+    assert(math.abs(z.getAs[Double]("chi2") - 1.5) < 1e-9, z.toString)
+    // runaway grid fails fast with the size named
+    val err = intercept[Exception] {
+      Profiling.chiSquareTest(sparse, "a", "b", maxCells = 1L).collect()
+    }
+    assert(err.getMessage.contains("maxCells"), err.getMessage)
+  }
+
+  test("standardizedRatio: reference rates, exact expectations, hand-checked SMRs") {
+    def arm(g: String, s: String, ev: Int, n: Int) =
+      Seq.fill(ev)((g, s, 1L)) ++ Seq.fill(n - ev)((g, s, 0L))
+    // stratum s1 pooled rate 6/20 = .3, s2 pooled 2/20 = .1
+    val df = (arm("A", "s1", 4, 10) ++ arm("A", "s2", 1, 10) ++
+      arm("B", "s1", 2, 10) ++ arm("B", "s2", 1, 10)).toDF("g", "s", "e")
+    val out = Profiling.standardizedRatio(df, "g", "s", "e")
+      .orderBy("g").collect().toSeq
+    val a = out(0)
+    assert(a.getAs[Long]("n_subjects") == 20L && a.getAs[Long]("observed") == 5L)
+    assert(a.getAs[Long]("expected_fp") == 4000000L)
+    assert(a.getAs[Double]("smr") == 1.25, a.toString)
+    val b = out(1)
+    assert(b.getAs[Long]("observed") == 3L && b.getAs[Long]("expected_fp") == 4000000L)
+    assert(b.getAs[Double]("smr") == 0.75)
+  }
+
   test("robustZscores: order-statistic centers; outlier cannot mask itself") {
     // group values 1..9 plus one wild outlier 1000:
     // n=10, med = 5th smallest = 5; |v-med| sorted: 0,1,1,2,2,3,3,4,995
