@@ -3153,49 +3153,75 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
-    // Interval algebra §D — episodes of care: per-user day spans
-    // [ts_day, ts_day + 1 + ⌊|value|⌋ mod 14) coalesced with a 7-day
-    // gap tolerance (visits under a week apart are one episode — the
-    // standard index-admission construction rule).
+    // Interval algebra §D — episodes of care: per-user HOUR spans
+    // [ts_hour, ts_hour + 1 + ⌊|value|⌋ mod 6) coalesced with a 2-hour
+    // gap tolerance (encounters under two hours apart are one episode
+    // — the index-admission construction rule at this corpus's grain:
+    // the events table spans 30 days, so day-grain spans would merge
+    // every user into ONE island and the gate would prove nothing).
     "episodes_of_care" -> ((s, dir) => {
-      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(14L))
-      val sDay = expr("ts DIV 86400000000")
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
       val iv = events(s, dir)
         .filter(col("value").isNotNull)
-        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
-      graft.ops.Intervals.mergeIntervals(iv, "user_id", "ivs", "ive", gap = 7L)
+        .select(col("user_id"), sH.as("ivs"), (sH + durH).as("ive"))
+      graft.ops.Intervals.mergeIntervals(iv, "user_id", "ivs", "ive", gap = 2L)
         .orderBy("user_id", "island")
     }),
 
-    // Interval algebra §E — 30-day readmission profile over the §D
-    // episodes: each episode with a successor is an index case,
-    // readmitted iff the next episode starts within 30 days of its end.
+    // Interval algebra §D-stream — the same episode construction as a
+    // stateful stream (one open episode per key in state; Append emits
+    // only CLOSED episodes). Oracle = the batch merge minus each key's
+    // trailing island.
+    "stream_episodes" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
+      val iv = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), sH.as("ivs"), (sH + durH).as("ive"))
+        .as[Streams.IntervalRow]
+      val name = "stream_episodes_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(Streams.episodeState(iv, gap = 2L).toDF(), name,
+          statePartitions = Some(8))
+        .orderBy("user_id", "mstart")
+    }),
+
+    // Interval algebra §E — readmission profile over the §D episodes:
+    // each episode with a successor is an index case, readmitted iff
+    // the next episode starts within 30 HOURS of its end (the 30-day
+    // rule transposed to this corpus's 30-day span — see §D).
     "readmission_30d" -> ((s, dir) => {
-      val durDays = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(14L))
-      val sDay = expr("ts DIV 86400000000")
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
       val iv = events(s, dir)
         .filter(col("value").isNotNull)
-        .select(col("user_id"), sDay.as("ivs"), (sDay + durDays).as("ive"))
+        .select(col("user_id"), sH.as("ivs"), (sH + durH).as("ive"))
       graft.ops.Intervals.readmissions(iv, "user_id", "ivs", "ive",
-          within = 30L, gap = 7L)
+          within = 30L, gap = 2L)
         .orderBy("user_id")
     }),
 
     // Interval algebra §F — incidence rate: non-negative-value events
-    // open exposure day spans; negative-value events are the outcomes;
-    // rate = outcomes inside merged exposure per 1000 covered days
-    // (exact floor division, half-open membership via the sweep line).
+    // open exposure HOUR spans; negative-value events are the
+    // outcomes; rate = outcomes inside merged exposure per 1000
+    // covered hours (exact floor division, half-open membership via
+    // the sweep line). Hour grain for the same reason as §D: the
+    // corpus spans 30 days, so day-grain exposure would be one
+    // island per user and membership would be near-vacuous.
     "incidence_rate" -> ((s, dir) => {
-      val sDay = expr("ts DIV 86400000000")
+      val sH = expr("ts DIV 3600000000")
       val ev = events(s, dir)
       val exposure = ev
         .filter(col("value") >= 0d)
-        .select(col("user_id"), sDay.as("ivs"),
-          (sDay + lit(1L) + floor(col("value")).cast("long") % lit(30L))
+        .select(col("user_id"), sH.as("ivs"),
+          (sH + lit(1L) + floor(col("value")).cast("long") % lit(30L))
             .as("ive"))
       val outcomes = ev
         .filter(col("value") < 0d)
-        .select(col("user_id").as("ouid"), sDay.as("ot"))
+        .select(col("user_id").as("ouid"), sH.as("ot"))
       graft.ops.Intervals.incidenceRate(exposure, outcomes,
           "user_id", "ivs", "ive", "ouid", "ot")
         .orderBy("user_id")
@@ -3237,6 +3263,21 @@ object SparkEntry {
             when(col("event_type") === "purchase", 1L).otherwise(0L).as("ev")),
         "site", "band", "ev")
         .orderBy("site")),
+
+    // CMH pooled odds ratio: parity-exposure vs purchase-outcome,
+    // stratified by value band — exact per-stratum fixed-point mass,
+    // crude vs adjusted OR on one row.
+    "cmh_odds" -> ((s, dir) =>
+      graft.ops.Profiling.cmhOddsRatio(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(
+            (abs(floor(col("value"))).cast("long") % lit(5L)).cast("string")
+              .as("band"),
+            pmod(col("user_id"), lit(2L)).as("expd"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("outc")),
+        "band", "expd", "outc")),
 
     // Exposure-outcome 2×2: odd users "exposed", positive value the
     // "outcome"; exact cells + RR/OR/risk difference, each one
@@ -7171,12 +7212,12 @@ object SparkEntry {
         |FROM win GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // §A island algebra with the gap-tolerant start condition
-    // (ivs > pmax + 7); merged end stays the true covered reach.
+    // (ivs > pmax + 2); merged end stays the true covered reach.
     "episodes_of_care" ->
       """WITH iv AS (
         |  SELECT user_id,
-        |    epoch_us(ts) // 86400000000 AS ivs,
-        |    epoch_us(ts) // 86400000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 14) AS ive
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 6) AS ive
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
         |m AS (
@@ -7186,7 +7227,7 @@ object SparkEntry {
         |  FROM iv),
         |g AS (
         |  SELECT user_id, ivs, ive,
-        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 7 THEN 1 ELSE 0 END)
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 2 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ivs, ive
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM m)
@@ -7197,14 +7238,13 @@ object SparkEntry {
         |FROM g GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
 
-    // Episodes (gap 7) then lead(mstart) per user: index cases are
-    // episodes with a successor; readmitted iff next start is within
-    // 30 days of this episode's end.
-    "readmission_30d" ->
+    // The §D merge (gap 7) MINUS each user's trailing island — the
+    // stream's open episode never emitted in Append mode.
+    "stream_episodes" ->
       """WITH iv AS (
         |  SELECT user_id,
-        |    epoch_us(ts) // 86400000000 AS ivs,
-        |    epoch_us(ts) // 86400000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 14) AS ive
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 6) AS ive
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
         |m AS (
@@ -7214,7 +7254,41 @@ object SparkEntry {
         |  FROM iv),
         |g AS (
         |  SELECT user_id, ivs, ive,
-        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 7 THEN 1 ELSE 0 END)
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 2 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, island, min(ivs) AS mstart, max(ive) AS mend,
+        |    count(*) AS n_merged
+        |  FROM g GROUP BY user_id, island),
+        |mx AS (SELECT user_id, max(island) AS mi FROM isl GROUP BY user_id)
+        |SELECT isl.user_id,
+        |  CAST(mstart AS BIGINT) AS mstart,
+        |  CAST(mend AS BIGINT) AS mend,
+        |  CAST(n_merged AS BIGINT) AS n_merged
+        |FROM isl JOIN mx ON mx.user_id = isl.user_id
+        |WHERE isl.island < mx.mi
+        |ORDER BY isl.user_id, mstart""".stripMargin,
+
+    // Episodes (gap 7) then lead(mstart) per user: index cases are
+    // episodes with a successor; readmitted iff next start is within
+    // 30 days of this episode's end.
+    "readmission_30d" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 + (CAST(abs(floor(value)) AS BIGINT) % 6) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax + 2 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ivs, ive
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM m),
@@ -7238,8 +7312,8 @@ object SparkEntry {
     "incidence_rate" ->
       """WITH iv AS (
         |  SELECT user_id,
-        |    epoch_us(ts) // 86400000000 AS ivs,
-        |    epoch_us(ts) // 86400000000 + 1 + (CAST(floor(value) AS BIGINT) % 30) AS ive
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 + (CAST(floor(value) AS BIGINT) % 30) AS ive
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0),
         |m AS (
@@ -7261,7 +7335,7 @@ object SparkEntry {
         |    count(*) AS n_islands
         |  FROM isl GROUP BY user_id),
         |ev AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS t
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS t
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value < 0),
         |d AS (
@@ -7384,6 +7458,38 @@ object SparkEntry {
         |      CAST(sum(p * rate) AS DOUBLE), 6) END AS smr
         |FROM cells JOIN ref USING (band)
         |GROUP BY site ORDER BY site""".stripMargin,
+
+    // Per-stratum fixed-point MH mass (exact floor division), pooled
+    // crude cells, one IEEE division each for the two ORs.
+    "cmh_odds" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(abs(floor(value)) AS BIGINT) % 5 AS VARCHAR) AS s,
+        |    user_id % 2 AS e,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT s,
+        |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM base GROUP BY s),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    CAST(sum((a * d * 1000000) // (a + b + c + d)) AS BIGINT) AS num_fp,
+        |    CAST(sum((b * c * 1000000) // (a + b + c + d)) AS BIGINT) AS den_fp,
+        |    CAST(sum(a) AS BIGINT) AS a, CAST(sum(b) AS BIGINT) AS b,
+        |    CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d
+        |  FROM cells)
+        |SELECT k_strata, num_fp, den_fp, a, b, c, d,
+        |  CASE WHEN den_fp > 0
+        |    THEN round(CAST(num_fp AS DOUBLE) / CAST(den_fp AS DOUBLE), 6)
+        |  END AS or_mh,
+        |  CASE WHEN b * c > 0
+        |    THEN round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+        |  END AS or_crude
+        |FROM agg""".stripMargin,
 
     // Exact 2x2 cells; each derived measure is the identical single
     // IEEE division chain over the same exact counts.

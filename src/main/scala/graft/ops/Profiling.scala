@@ -736,6 +736,60 @@ object Profiling {
         round(riskE - riskU, 6)).as("risk_diff"))
   }
 
+  /** Cochran–Mantel–Haenszel pooled odds ratio — the stratified
+    * companion to [[epi2x2]]: "is exposure associated with outcome
+    * AFTER holding the confounder constant?" (the Simpson's-paradox
+    * guard every observational readout needs). Per stratum i with
+    * cells aᵢ/bᵢ/cᵢ/dᵢ and nᵢ rows, the MH estimator
+    * {{{ OR_MH = Σᵢ (aᵢ·dᵢ/nᵢ) / Σᵢ (bᵢ·cᵢ/nᵢ) }}}
+    * runs in exact fixed point: `r_fp = (a·d·S) DIV n` and
+    * `s_fp = (b·c·S) DIV n` are exact int64 per stratum, their sums
+    * are order-independent folds, and OR_MH spends ONE correctly-
+    * rounded IEEE division, round(6) — null when the denominator sum
+    * is zero (no discordant mass to estimate from). Also emitted:
+    * the crude (collapsed) OR from the pooled cells, so the
+    * confounding READ — crude vs adjusted — is one row. Exactness
+    * bound: `a·d·S < 9.2e18` per stratum — the default S=1e6 covers
+    * strata up to ~3e6 rows; rescale down past that.
+    *
+    * Scale shape: one (stratum, exposed, outcome) groupBy collapses
+    * rows map-side; everything after is arithmetic over the
+    * strata-sized cell relation into a 1-row aggregate.
+    */
+  def cmhOddsRatio(
+      df: DataFrame, stratumCol: String, exposedCol: String,
+      outcomeCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val st = col(s"`$stratumCol`").cast("string")
+    val e = col(s"`$exposedCol`").cast("long")
+    val o = col(s"`$outcomeCol`").cast("long")
+    val cells = df
+      .filter(st.isNotNull && e.isin(0L, 1L) && o.isin(0L, 1L))
+      .groupBy(st.as("__s"))
+      .agg(
+        sum(when(e === 1L && o === 1L, 1L).otherwise(0L)).as("__a"),
+        sum(when(e === 1L && o === 0L, 1L).otherwise(0L)).as("__b"),
+        sum(when(e === 0L && o === 1L, 1L).otherwise(0L)).as("__c"),
+        sum(when(e === 0L && o === 0L, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+    cells
+      .agg(
+        count(lit(1)).as("k_strata"),
+        sum(expr(s"__a * __d * ${scale}L DIV __n")).as("num_fp"),
+        sum(expr(s"__b * __c * ${scale}L DIV __n")).as("den_fp"),
+        sum(col("__a")).as("a"), sum(col("__b")).as("b"),
+        sum(col("__c")).as("c"), sum(col("__d")).as("d"))
+      .select(
+        col("k_strata"), col("num_fp"), col("den_fp"),
+        col("a"), col("b"), col("c"), col("d"),
+        when(col("den_fp") > 0L,
+          round(col("num_fp").cast("double") / col("den_fp").cast("double"), 6))
+          .as("or_mh"),
+        when(col("b") * col("c") > 0L,
+          round((col("a") * col("d")).cast("double") /
+            (col("b") * col("c")).cast("double"), 6)).as("or_crude"))
+  }
+
   /** Fixed-point scale for [[chiSquareTest]]'s expected counts and
     * per-cell terms: 1e12 (the [[graft.ops.TimeSeries.SurvivalScale]]
     * convention). Exactness bounds: `n < 9.2e6` keeps `o·S` inside

@@ -318,6 +318,54 @@ object Streams {
       }
   }
 
+  final case class IntervalRow(user_id: Long, ivs: Long, ive: Long)
+  final case class Episode(user_id: Long, mstart: Long, mend: Long, n_merged: Long)
+
+  /** Streaming episodes-of-care construction — the stream side of
+    * [[graft.ops.Intervals.mergeIntervals]] with a gap tolerance: one
+    * open episode per key in state; an arriving interval either
+    * extends it (`start ≤ reach + gap`) or CLOSES it (the closed
+    * episode is emitted, the new interval opens the next). Append
+    * output: only closed episodes flow downstream — the per-key
+    * trailing episode stays open in state, which is the honest
+    * streaming answer (it may still grow; production streams close it
+    * with an event-time timeout). Within a batch the (key, batch)
+    * group is sorted by `(ivs, ive)` before folding, so arrival order
+    * inside a batch never matters; results equal the batch merge
+    * minus each key's LAST island exactly when per-key starts are
+    * monotone across batches (always true for a single-batch run —
+    * the [[transitionsStateful]] determinism contract).
+    *
+    * Scale shape: state = one 3-long struct per key with an open
+    * episode — bounded by key cardinality, not event volume.
+    */
+  def episodeState(iv: Dataset[IntervalRow], gap: Long): Dataset[Episode] = {
+    require(gap >= 0, s"gap must be non-negative: $gap")
+    import iv.sparkSession.implicits._
+    iv.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), Episode](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[IntervalRow],
+         state: GroupState[(Long, Long, Long)]) =>
+          var cur: Option[(Long, Long, Long)] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
+          rows.toIndexedSeq.filter(r => r.ive >= r.ivs)
+            .sortBy(r => (r.ivs, r.ive)).foreach { r =>
+              cur match {
+                case Some((ms, me, n)) if r.ivs <= me + gap =>
+                  cur = Some((ms, math.max(me, r.ive), n + 1L))
+                case Some((ms, me, n)) =>
+                  out += Episode(uid, ms, me, n)
+                  cur = Some((r.ivs, r.ive, 1L))
+                case None =>
+                  cur = Some((r.ivs, r.ive, 1L))
+              }
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class KeyLatest(
     user_id: Long, ts: Long, event_id: Long, value: Option[Double])
 

@@ -421,6 +421,28 @@ class ProfilingSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"), err.getMessage)
   }
 
+  test("cmhOddsRatio: exact per-stratum fixed point; crude vs adjusted on one row") {
+    def cell(s: String, e: Int, o: Int, n: Int) = Seq.fill(n)((s, e, o))
+    // stratum s1: a=4 b=6 c=2 d=8 → ad/n=1.6, bc/n=0.6
+    // stratum s2: a=1 b=9 c=1 d=9 → ad/n=0.45, bc/n=0.45
+    val df = (cell("s1", 1, 1, 4) ++ cell("s1", 1, 0, 6) ++
+      cell("s1", 0, 1, 2) ++ cell("s1", 0, 0, 8) ++
+      cell("s2", 1, 1, 1) ++ cell("s2", 1, 0, 9) ++
+      cell("s2", 0, 1, 1) ++ cell("s2", 0, 0, 9)).toDF("s", "e", "o")
+    val r = Profiling.cmhOddsRatio(df, "s", "e", "o").collect()(0)
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Long]("num_fp") == 2050000L && r.getAs[Long]("den_fp") == 1050000L)
+    // OR_MH = 2.05/1.05 = 1.952381
+    assert(r.getAs[Double]("or_mh") == 1.952381, r.toString)
+    // crude from pooled cells: a=5 b=15 c=3 d=17 → 85/45 = 1.888889
+    assert(r.getAs[Long]("a") == 5L && r.getAs[Long]("d") == 17L)
+    assert(r.getAs[Double]("or_crude") == 1.888889)
+    // all-concordant stratum set: zero denominator → null OR_MH
+    val deg = (cell("s1", 1, 1, 3) ++ cell("s1", 0, 0, 3)).toDF("s", "e", "o")
+    val d = Profiling.cmhOddsRatio(deg, "s", "e", "o").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("or_mh")) && d.isNullAt(d.fieldIndex("or_crude")))
+  }
+
   test("standardizedRatio: reference rates, exact expectations, hand-checked SMRs") {
     def arm(g: String, s: String, ev: Int, n: Int) =
       Seq.fill(ev)((g, s, 1L)) ++ Seq.fill(n - ev)((g, s, 0L))

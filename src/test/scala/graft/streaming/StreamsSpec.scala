@@ -406,4 +406,26 @@ class StreamsSpec extends SparkSpec {
     assert(r2.contains((1L, "b", "c")) && r2.contains((2L, "x", "y")),
       s"cross-batch carry: $r2")
   }
+
+  test("episodeState: closed episodes emit, the trailing open episode stays in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    // user 1 scrambled in-batch: (0,10) absorbs nested (5,8); (12,15)
+    // breaks the gap=1 tolerance (12 > 10+1) and closes the first.
+    // user 2: zero-length (3,3) closes against (4,8) at gap=1? 4 <= 3+1
+    // → extends instead (touch-plus-gap), so nothing emits for user 2.
+    in.addData((1L, 12L, 15L), (1L, 0L, 10L), (1L, 5L, 8L), (2L, 3L, 3L), (2L, 4L, 8L))
+    val ds = in.toDF.toDF("user_id", "ivs", "ive").as[Streams.IntervalRow]
+    val out1 = Streams.runToMemory(
+      Streams.episodeState(ds, gap = 1L).toDF(), "epi_out")
+    val r1 = out1.as[(Long, Long, Long, Long)].collect().toSet
+    assert(r1 == Set((1L, 0L, 10L, 2L)), s"batch 1: $r1")
+    // second pass replays all data plus extenders/breakers: (16,20)
+    // extends user 1's open (12,15); (30,31) closes the extended run
+    in.addData((1L, 16L, 20L), (1L, 30L, 31L))
+    Streams.runToMemory(Streams.episodeState(ds, gap = 1L).toDF(), "epi_out2")
+    val r2 = spark.table("epi_out2").as[(Long, Long, Long, Long)].collect().toSet
+    assert(r2 == Set((1L, 0L, 10L, 2L), (1L, 12L, 20L, 2L)), s"after batch 2: $r2")
+  }
 }
