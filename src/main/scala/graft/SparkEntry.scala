@@ -3358,6 +3358,24 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // Charlson comorbidity index over the SCALE corpus: the cleaned
+    // condition table scored against the public 1987 category weights
+    // via the broadcast weighted-index join (Hypertension is NOT a
+    // Charlson category — it must count as a condition but score 0).
+    // Oracle = the generator's independent per-patient arithmetic
+    // (FhirCorpus.expectedCharlson), never a round-trip.
+    "fhir_charlson" -> ((s, _) => {
+      val cond = graft.fhir.Cleaning.all(
+        graft.fhir.Extractors.allTables(
+          graft.fhir.BundleReader.normalizedEntries(
+            s, graft.fhir.FhirCorpus.corpusDir)))("condition")
+      graft.ops.Profiling.weightedIndex(
+        cond.select(col("patient_id"), col("condition_display")),
+        "patient_id", "condition_display",
+        graft.fhir.FhirCorpus.CharlsonWeights)
+        .orderBy("patient_id")
+    }),
+
     // "Current vitals" wide row over the SCALE corpus: the cleaned
     // observation stream pivoted to each patient's latest valid-dated
     // HbA1c via pivotLatest — C1-nullified dates can't win (ts-null rows
@@ -7704,6 +7722,11 @@ object SparkEntry {
     "fhir_obs_pivot" ->
       s"""SELECT patient_id, hba1c_value
          |FROM read_parquet('${graft.fhir.FhirCorpus.latestObsDumpDir}/*.parquet')
+         |ORDER BY patient_id""".stripMargin,
+
+    "fhir_charlson" ->
+      s"""SELECT patient_id, n_items, n_weighted, score
+         |FROM read_parquet('${graft.fhir.FhirCorpus.charlsonDumpDir}/*.parquet')
          |ORDER BY patient_id""".stripMargin,
 
     "event_transitions" ->

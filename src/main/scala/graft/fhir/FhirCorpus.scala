@@ -421,6 +421,46 @@ object FhirCorpus {
   lazy val latestObsDumpDir: String =
     new java.io.File("target/verify-fhir-latest-obs").getAbsolutePath
 
+  /** Charlson weights for the corpus's condition vocabulary — the
+    * public 1987 category weights for the categories the generator
+    * emits: Diabetes 1, moderate/severe renal disease 2, chronic
+    * pulmonary disease (Asthma) 1. Hypertension is NOT a Charlson
+    * category — it stays out of the map and must score zero while
+    * still counting as a condition (that asymmetry is what the gate
+    * proves about the weighted-index join).
+    */
+  val CharlsonWeights: Map[String, Long] = Map(
+    "Diabetes" -> 1L,
+    "Chronic kidney disease" -> 2L,
+    "Asthma" -> 1L)
+
+  /** Per-patient Charlson prediction folded from the trait flags:
+    * every `hasCond` patient carries Diabetes plus the modular extras,
+    * condition rows always survive cleaning (see
+    * [[expectedComorbidity]]), so the index is plain arithmetic on i.
+    */
+  final case class CharlsonRow(
+    patient_id: String, n_items: Long, n_weighted: Long, score: Long)
+
+  def expectedCharlson(n: Int): Seq[CharlsonRow] =
+    (0 until n).flatMap { i =>
+      val t = Traits(i)
+      if (!t.hasCond) None
+      else {
+        val htn = i % 4 == 1
+        val ckd = i % 8 == 5
+        val asthma = i % 10 == 3
+        val nItems = 1L + Seq(htn, ckd, asthma).count(identity)
+        val nWeighted = 1L + Seq(ckd, asthma).count(identity)
+        val score = 1L + (if (ckd) 2L else 0L) + (if (asthma) 1L else 0L)
+        Some(CharlsonRow(t.pid, nItems, nWeighted, score))
+      }
+    }
+
+  /** Where Verify materializes [[expectedCharlson]] for its oracle. */
+  lazy val charlsonDumpDir: String =
+    new java.io.File("target/verify-fhir-charlson").getAbsolutePath
+
   /** Dump the ground-truth aggregates as parquet — the ONLY thing the
     * `fhir_scale` / `fhir_comorbidity` oracles read. The rows come from
     * the trait folds above, never from Spark's JSON reader, so the gates
@@ -434,5 +474,7 @@ object FhirCorpus {
       .coalesce(1).write.mode("overwrite").parquet(comorbidityDumpDir)
     expectedLatestObs(DefaultPatients).toDF()
       .coalesce(1).write.mode("overwrite").parquet(latestObsDumpDir)
+    expectedCharlson(DefaultPatients).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(charlsonDumpDir)
   }
 }

@@ -736,6 +736,41 @@ object Profiling {
         round(riskE - riskU, 6)).as("risk_diff"))
   }
 
+  /** Weighted distinct-item index per key — the Charlson-comorbidity
+    * shape (score = Σ weights of the patient's DISTINCT condition
+    * categories; public 1987 weights), and equally a risk/tag score
+    * over any (entity, category) relation. Items are deduplicated per
+    * key FIRST (a condition recorded twice is one comorbidity), items
+    * absent from the weight map score zero but still count in
+    * `n_items`, and everything is exact int64 — no float anywhere.
+    *
+    * Scale shape: one distinct on (key, item), a BROADCAST join
+    * against the weight table (weights are dozens of rows — never a
+    * shuffle side), one map-side-combined groupBy(key). The weight map
+    * rides the plan as a broadcast relation, not a giant CASE literal,
+    * so 10k-entry code maps don't bloat the plan (the
+    * [[graft.ops.FuzzyJoin]] blockterm precedent).
+    */
+  def weightedIndex(
+      df: DataFrame, keyCol: String, itemCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toSeq.toDF("__item", "__w"))
+    df.filter(col(s"`$keyCol`").isNotNull && col(s"`$itemCol`").isNotNull)
+      .select(col(s"`$keyCol`").as("__k"),
+        col(s"`$itemCol`").cast("string").as("__item"))
+      .distinct()
+      .join(w, Seq("__item"), "left")
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(coalesce(col("__w"), lit(0L)) > 0L, 1L).otherwise(0L))
+          .as("n_weighted"),
+        sum(coalesce(col("__w"), lit(0L))).as("score"))
+  }
+
   /** Cochran–Mantel–Haenszel pooled odds ratio — the stratified
     * companion to [[epi2x2]]: "is exposure associated with outcome
     * AFTER holding the confounder constant?" (the Simpson's-paradox

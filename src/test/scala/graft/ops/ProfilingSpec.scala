@@ -421,6 +421,16 @@ class ProfilingSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"), err.getMessage)
   }
 
+  test("weightedIndex: per-key distinct items, unmapped items count but score zero") {
+    val df = Seq(
+      ("k1", "a"), ("k1", "a"), ("k1", "b"), ("k1", "x"),
+      ("k2", "x"), ("k2", null)
+    ).toDF("k", "item")
+    val out = Profiling.weightedIndex(df, "k", "item", Map("a" -> 2L, "b" -> 1L))
+      .orderBy("k").as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("k1", 3L, 2L, 3L), ("k2", 1L, 0L, 0L)), out.toString)
+  }
+
   test("cmhOddsRatio: exact per-stratum fixed point; crude vs adjusted on one row") {
     def cell(s: String, e: Int, o: Int, n: Int) = Seq.fill(n)((s, e, o))
     // stratum s1: a=4 b=6 c=2 d=8 → ad/n=1.6, bc/n=0.6
