@@ -371,6 +371,18 @@ object syntax {
     def standardizedRatio(groupCol: String, stratumCol: String,
         eventCol: String, scale: Long = 1000000L): DataFrame =
       Profiling.standardizedRatio(df, groupCol, stratumCol, eventCol, scale)
+    /** CMH pooled odds ratio across strata (see
+      * [[ops.Profiling.cmhOddsRatio]]).
+      */
+    def cmhOddsRatio(stratumCol: String, exposedCol: String,
+        outcomeCol: String, scale: Long = 1000000L): DataFrame =
+      Profiling.cmhOddsRatio(df, stratumCol, exposedCol, outcomeCol, scale)
+    /** Weighted distinct-item index per key, the Charlson shape (see
+      * [[ops.Profiling.weightedIndex]]).
+      */
+    def weightedIndex(keyCol: String, itemCol: String,
+        weights: Map[String, Long]): DataFrame =
+      Profiling.weightedIndex(df, keyCol, itemCol, weights)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */
