@@ -706,6 +706,40 @@ object ScaleProbe {
           "g", "value", "1"))
     }
 
+    // round-10 session-5 statistical battery: chiSquare/cmh collapse to
+    // category-sized cells (cost = the scan), weightedIndex is distinct
+    // + broadcast join + groupBy (linear in rows, state in keys).
+    if (familyOn("probe10f")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evWithValue = SparkEntry.events(spark, sfDir)
+        .select("user_id", "ts", "value", "event_type")
+      val evV = (0 until times).map { i =>
+        evWithValue.select((col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"), col("event_type"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe10f ${times}x ---")
+      time("probe10f:chiSquareTest",
+        graft.ops.Profiling.chiSquareTest(
+          evV.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+            .select(col("event_type"),
+              pmod(col("user_id"), lit(3L)).cast("string").as("b")),
+          "event_type", "b"))
+      time("probe10f:cmhOddsRatio",
+        graft.ops.Profiling.cmhOddsRatio(
+          evV.filter(col("value").isNotNull && col("event_type").isNotNull)
+            .select(
+              (abs(floor(col("value"))).cast("long") % lit(5L)).cast("string")
+                .as("s"),
+              pmod(col("user_id"), lit(2L)).as("e"),
+              when(col("event_type") === "purchase", 1L).otherwise(0L).as("o")),
+          "s", "e", "o"))
+      time("probe10f:weightedIndex",
+        graft.ops.Profiling.weightedIndex(
+          evV.select(col("user_id"), col("event_type")),
+          "user_id", "event_type",
+          Map("purchase" -> 2L, "error" -> 1L)))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

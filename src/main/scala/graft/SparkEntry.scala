@@ -3227,6 +3227,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Interval algebra §G — two-cohort rate ratio: §F's per-user
+    // incidence rows folded to parity cohorts; exact totals and floor
+    // rates, ONE IEEE division for the ratio.
+    "rate_ratio" -> ((s, dir) => {
+      val sH = expr("ts DIV 3600000000")
+      val ev = events(s, dir)
+      val exposure = ev
+        .filter(col("value") >= 0d)
+        .select(col("user_id"), sH.as("ivs"),
+          (sH + lit(1L) + floor(col("value")).cast("long") % lit(30L))
+            .as("ive"))
+      val outcomes = ev
+        .filter(col("value") < 0d)
+        .select(col("user_id").as("ouid"), sH.as("ot"))
+      val perUser = graft.ops.Intervals.incidenceRate(exposure, outcomes,
+        "user_id", "ivs", "ive", "ouid", "ot")
+      graft.ops.Profiling.rateRatio(
+        perUser.select(
+          pmod(col("user_id"), lit(2L)).cast("string").as("grp"),
+          col("n_in_exposure"), col("person_time")),
+        "grp", "n_in_exposure", "person_time", groupOne = "1")
+    }),
+
     // Mann–Whitney U rank-sum: do odd and even users draw `value`
     // from the same distribution? Exact doubled-midrank components
     // (int64) + tie correction; one double division + sqrt for z —
@@ -7381,6 +7404,70 @@ object SparkEntry {
         |  END AS BIGINT) AS rate_scaled
         |FROM pt LEFT JOIN c USING (user_id)
         |ORDER BY pt.user_id""".stripMargin,
+
+    // §F's sweep replayed, folded to parity cohorts; exact floor
+    // rates, one IEEE division for the ratio.
+    "rate_ratio" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 + (CAST(floor(value) AS BIGINT) % 30) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value >= 0),
+        |m AS (
+        |  SELECT user_id, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, island, min(ivs) AS mstart, max(ive) AS mend
+        |  FROM g GROUP BY user_id, island),
+        |pt AS (
+        |  SELECT user_id, sum(mend - mstart) AS person_time
+        |  FROM isl GROUP BY user_id),
+        |ev AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS t
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value < 0),
+        |d AS (
+        |  SELECT user_id, mend AS t, 0 AS o, CAST(-1 AS BIGINT) AS dl FROM isl
+        |  UNION ALL
+        |  SELECT user_id, mstart AS t, 1 AS o, CAST(1 AS BIGINT) AS dl FROM isl
+        |  UNION ALL
+        |  SELECT user_id, t, 2 AS o, CAST(0 AS BIGINT) AS dl FROM ev),
+        |r AS (
+        |  SELECT user_id, o,
+        |    sum(dl) OVER (PARTITION BY user_id ORDER BY t, o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |c AS (
+        |  SELECT user_id, sum(CASE WHEN run > 0 THEN 1 ELSE 0 END) AS n_in
+        |  FROM r WHERE o = 2 GROUP BY user_id),
+        |per AS (
+        |  SELECT pt.user_id, person_time, coalesce(n_in, 0) AS n_in
+        |  FROM pt LEFT JOIN c USING (user_id)),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN n_in ELSE 0 END) AS BIGINT) AS e1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN person_time ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN n_in ELSE 0 END) AS BIGINT) AS e0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN person_time ELSE 0 END) AS BIGINT) AS t0
+        |  FROM per)
+        |SELECT e1, t1, e0, t0,
+        |  CAST(CASE WHEN t1 > 0 THEN (e1 * 1000) // t1 END AS BIGINT) AS rate1_scaled,
+        |  CAST(CASE WHEN t0 > 0 THEN (e0 * 1000) // t0 END AS BIGINT) AS rate0_scaled,
+        |  CAST(CASE WHEN t1 > 0 AND t0 > 0
+        |    THEN (e1 * 1000) // t1 - (e0 * 1000) // t0 END AS BIGINT) AS rate_diff_scaled,
+        |  CASE WHEN t1 > 0 AND t0 > 0 AND e0 > 0
+        |    THEN round(CAST(e1 * t0 AS DOUBLE) / CAST(e0 * t1 AS DOUBLE), 6)
+        |  END AS rate_ratio
+        |FROM agg""".stripMargin,
 
     // Doubled-midrank components are exact int64; z replays the same
     // decimal(38,0)→double / sqrt / round(6) chain as the Spark side.

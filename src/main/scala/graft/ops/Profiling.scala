@@ -736,6 +736,49 @@ object Profiling {
         round(riskE - riskU, 6)).as("risk_diff"))
   }
 
+  /** Two-group incidence rate ratio over person-time — the comparative
+    * readout on top of [[graft.ops.Intervals.incidenceRate]]'s per-key
+    * rows (or any frame with an event count and an exposure-time
+    * column per entity): exposed-vs-reference events per unit of
+    * covered time. Totals are exact int64 sums; the per-group rates
+    * are exact floor divisions at `scale`; the ratio spends ONE
+    * correctly-rounded IEEE division over the exact cross products
+    * {{{ RR = (e1 · t0) / (e0 · t1) }}}
+    * (null when either group has zero person-time or the reference
+    * has zero events — no rate to compare against). The difference
+    * `rate1 − rate0` is exact int64 at `scale`. Exactness bound:
+    * `events · personTime < 9.2e18` across groups — far beyond any
+    * real cohort at the default per-1000 scale.
+    *
+    * Scale shape: one map-side-combined aggregation to six counters;
+    * scalar arithmetic on one row after.
+    */
+  def rateRatio(
+      df: DataFrame, groupCol: String, eventsCol: String,
+      timeCol: String, groupOne: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val e = col(s"`$eventsCol`").cast("long")
+    val t = col(s"`$timeCol`").cast("long")
+    df.filter(g.isNotNull && e.isNotNull && t.isNotNull && t >= 0L && e >= 0L)
+      .agg(
+        sum(when(g === groupOne, e).otherwise(0L)).as("e1"),
+        sum(when(g === groupOne, t).otherwise(0L)).as("t1"),
+        sum(when(g =!= groupOne, e).otherwise(0L)).as("e0"),
+        sum(when(g =!= groupOne, t).otherwise(0L)).as("t0"))
+      .select(
+        col("e1"), col("t1"), col("e0"), col("t0"),
+        when(col("t1") > 0L, expr(s"e1 * ${scale}L DIV t1")).as("rate1_scaled"),
+        when(col("t0") > 0L, expr(s"e0 * ${scale}L DIV t0")).as("rate0_scaled"),
+        when(col("t1") > 0L && col("t0") > 0L,
+          expr(s"e1 * ${scale}L DIV t1") - expr(s"e0 * ${scale}L DIV t0"))
+          .as("rate_diff_scaled"),
+        when(col("t1") > 0L && col("t0") > 0L && col("e0") > 0L,
+          round((col("e1") * col("t0")).cast("double") /
+            (col("e0") * col("t1")).cast("double"), 6)).as("rate_ratio"))
+  }
+
   /** Weighted distinct-item index per key — the Charlson-comorbidity
     * shape (score = Σ weights of the patient's DISTINCT condition
     * categories; public 1987 weights), and equally a risk/tag score

@@ -383,6 +383,12 @@ object syntax {
     def weightedIndex(keyCol: String, itemCol: String,
         weights: Map[String, Long]): DataFrame =
       Profiling.weightedIndex(df, keyCol, itemCol, weights)
+    /** Two-group incidence rate ratio over person-time (see
+      * [[ops.Profiling.rateRatio]]).
+      */
+    def rateRatio(groupCol: String, eventsCol: String, timeCol: String,
+        groupOne: String, scale: Long = 1000L): DataFrame =
+      Profiling.rateRatio(df, groupCol, eventsCol, timeCol, groupOne, scale)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

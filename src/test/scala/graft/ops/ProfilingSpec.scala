@@ -421,6 +421,26 @@ class ProfilingSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"), err.getMessage)
   }
 
+  test("rateRatio: exact totals and floor rates, one IEEE division for the ratio") {
+    // exposed: 6 events / 200 time; reference: 2 events / 400 time
+    val df = Seq(
+      ("1", 4L, 120L), ("1", 2L, 80L),
+      ("0", 1L, 150L), ("0", 1L, 250L)
+    ).toDF("g", "ev", "pt")
+    val r = Profiling.rateRatio(df, "g", "ev", "pt", groupOne = "1").collect()(0)
+    assert(r.getAs[Long]("e1") == 6L && r.getAs[Long]("t1") == 200L)
+    assert(r.getAs[Long]("e0") == 2L && r.getAs[Long]("t0") == 400L)
+    assert(r.getAs[Long]("rate1_scaled") == 30L && r.getAs[Long]("rate0_scaled") == 5L)
+    assert(r.getAs[Long]("rate_diff_scaled") == 25L)
+    // RR = (6·400)/(2·200) = 6.0
+    assert(r.getAs[Double]("rate_ratio") == 6.0, r.toString)
+    // zero reference events: ratio undefined, rates still emitted
+    val z = Profiling.rateRatio(
+      Seq(("1", 3L, 100L), ("0", 0L, 100L)).toDF("g", "ev", "pt"),
+      "g", "ev", "pt", "1").collect()(0)
+    assert(z.isNullAt(z.fieldIndex("rate_ratio")) && z.getAs[Long]("rate1_scaled") == 30L)
+  }
+
   test("weightedIndex: per-key distinct items, unmapped items count but score zero") {
     val df = Seq(
       ("k1", "a"), ("k1", "a"), ("k1", "b"), ("k1", "x"),
