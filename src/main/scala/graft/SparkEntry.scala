@@ -3261,6 +3261,17 @@ object SparkEntry {
             col("value")),
         "grp", "value", groupOne = "1")),
 
+    // Kruskal–Wallis H: do the four user cohorts draw `value` from the
+    // same distribution? Doubled-midrank int64 components over the
+    // distinct grid values; tie-corrected H with the rankSumTest float
+    // budget.
+    "kruskal_test" -> ((s, dir) =>
+      graft.ops.Profiling.kruskalWallis(
+        events(s, dir)
+          .select(pmod(col("user_id"), lit(4L)).cast("string").as("grp"),
+            col("value")),
+        "grp", "value")),
+
     // χ² independence: is the event-type mix the same across the three
     // user terciles? Fully fixed-point per-cell terms (zero-observed
     // grid cells included), ONE double division at the end.
@@ -7504,6 +7515,60 @@ object SparkEntry {
         |        (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 + 1) * (n1 + n2 - 1) - tie_sum) AS DOUBLE)
         |        / (3.0 * CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
         |  END AS z
+        |FROM agg""".stripMargin,
+
+    // Doubled-midrank cells, HUGEINT squares, per-group floor division;
+    // the H / tie-correction float tail is written identically.
+    "kruskal_test" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |pvg AS (
+        |  SELECT x, g, CAST(count(*) AS BIGINT) AS tg
+        |  FROM base GROUP BY 1, 2),
+        |pv AS (SELECT x, CAST(sum(tg) AS BIGINT) AS t FROM pvg GROUP BY 1),
+        |rk AS (
+        |  SELECT x, t,
+        |    coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM pv),
+        |pg AS (
+        |  SELECT pvg.g,
+        |    CAST(sum(pvg.tg) AS BIGINT) AS ng,
+        |    CAST(sum(pvg.tg * (2 * rk.c + rk.t + 1)) AS BIGINT) AS r2g
+        |  FROM pvg JOIN rk ON rk.x = pvg.x
+        |  GROUP BY pvg.g),
+        |hg AS (
+        |  SELECT CAST((CAST(r2g AS HUGEINT) * r2g) // ng AS BIGINT) AS hgv
+        |  FROM pg),
+        |tt AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        |  FROM pv),
+        |agg AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pg) AS k_groups,
+        |    (SELECT n FROM tt) AS n,
+        |    (SELECT tie_sum FROM tt) AS tie_sum,
+        |    (SELECT CAST(sum(hgv) AS BIGINT) FROM hg) AS hsum)
+        |SELECT k_groups, n, tie_sum, hsum,
+        |  k_groups - 1 AS dof,
+        |  CASE WHEN k_groups >= 2 AND n >= 2
+        |    THEN round(3.0 * CAST(hsum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+        |  END AS h,
+        |  CASE WHEN k_groups >= 2 AND n >= 2 AND
+        |      1.0 - CAST(tie_sum AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE)) > 0
+        |    THEN round(round(3.0 * CAST(hsum AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+        |      / (1.0 - CAST(tie_sum AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE))), 6)
+        |  END AS h_tied
         |FROM agg""".stripMargin,
 
     // Full r×c grid (zero cells kept by the CROSS JOIN + LEFT JOIN),

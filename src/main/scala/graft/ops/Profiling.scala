@@ -736,6 +736,79 @@ object Profiling {
         round(riskE - riskU, 6)).as("risk_diff"))
   }
 
+  /** Kruskal–Wallis H — the k-group generalization of [[rankSumTest]]
+    * (one-way ANOVA on ranks): "do these k cohorts draw the value from
+    * the same distribution?". Same grid-snap + doubled-midrank
+    * machinery; with `R2_g` the doubled rank sum and `n_g` the size of
+    * group g,
+    * {{{ hsum = Σ_g (R2_g² DIV n_g)                  // exact int64
+    *     H    = 3·hsum/(n(n+1)) − 3(n+1)             // one division
+    *     H'   = H / (1 − tie_sum/(n³−n))             // tie-corrected }}}
+    * — `R2_g²` runs in decimal(38,0), each group's floor costs ≤1 on a
+    * ~n³-sized term (1e-15 relative) and is replayed identically per
+    * engine; the float tail (one division for H, one more for the tie
+    * correction) is the same correctly-rounded-IEEE budget as
+    * [[rankSumTest]]'s z. Output: ONE row — (k_groups, n, tie_sum,
+    * hsum, dof, h, h_tied); h null for degenerate inputs (k < 2 or
+    * n < 2), h_tied null additionally when everything is one tie run
+    * (the correction divides by zero — no ranking information exists).
+    * Exactness bound: `hsum ≤ 4n³` must stay inside int64 → n < 1.3e6
+    * rows (snap `scale` coarser or shard past that).
+    *
+    * Scale shape: rows collapse map-side to per-(value, group) cells;
+    * the rank prefix is a window over the DISTINCT-value relation
+    * (bounded by the value domain — the [[rankSumTest]] argument);
+    * cells join back to the distinct-value frame on the value (both
+    * domain-sized); the result is a 1-row aggregate over the k-sized
+    * group relation.
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, valueCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val v = col(s"`$valueCol`")
+    val xd = round(v * lit(scale.toDouble), 0).cast("long")
+    val perVG = df.filter(g.isNotNull && v.isNotNull)
+      .select(g.as("__g"), xd.as("__x"))
+      .groupBy(col("__x"), col("__g"))
+      .agg(count(lit(1)).as("__tg"))
+    val perV = perVG.groupBy(col("__x")).agg(sum(col("__tg")).as("__t"))
+    val wPrev = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+    val perG = perVG.join(ranked, Seq("__x"))
+      .withColumn("__r2",
+        col("__tg") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
+      .groupBy(col("__g"))
+      .agg(sum(col("__tg")).as("__ng"), sum(col("__r2")).as("__r2g"))
+      .withColumn("__hg",
+        expr("CAST(__r2g AS DECIMAL(38,0)) * __r2g DIV __ng"))
+    val ties = perV.agg(
+      sum(col("__t")).as("__n"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_sum"))
+    perG
+      .agg(count(lit(1)).as("k_groups"), sum(col("__hg")).as("hsum"))
+      .crossJoin(broadcast(ties))
+      .select(
+        col("k_groups"), col("__n").as("n"), col("tie_sum"), col("hsum"),
+        (col("k_groups") - lit(1L)).as("dof"),
+        when(col("k_groups") >= 2L && col("__n") >= 2L, {
+          val nd = col("__n").cast("double")
+          // hsum squares DOUBLED rank sums: Σ R_g²/n_g = hsum/4, and
+          // 12/(n(n+1)) · hsum/4 = 3·hsum/(n(n+1))
+          round(lit(3.0) * col("hsum").cast("double") /
+            (nd * (nd + 1d)) - lit(3.0) * (nd + 1d), 6)
+        }).as("h"))
+      .withColumn("h_tied", {
+        val nd = col("n").cast("double")
+        val corr = lit(1.0) -
+          col("tie_sum").cast("double") / (nd * nd * nd - nd)
+        when(col("h").isNotNull && corr > 0d, round(col("h") / corr, 6))
+      })
+  }
+
   /** Two-group incidence rate ratio over person-time — the comparative
     * readout on top of [[graft.ops.Intervals.incidenceRate]]'s per-key
     * rows (or any frame with an event count and an exposure-time

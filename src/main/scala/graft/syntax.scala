@@ -389,6 +389,12 @@ object syntax {
     def rateRatio(groupCol: String, eventsCol: String, timeCol: String,
         groupOne: String, scale: Long = 1000L): DataFrame =
       Profiling.rateRatio(df, groupCol, eventsCol, timeCol, groupOne, scale)
+    /** Kruskal–Wallis k-group rank test (see
+      * [[ops.Profiling.kruskalWallis]]).
+      */
+    def kruskalWallis(groupCol: String, valueCol: String,
+        scale: Long = 100L): DataFrame =
+      Profiling.kruskalWallis(df, groupCol, valueCol, scale)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

@@ -71,7 +71,8 @@ class PlanAuditSpec extends SparkSpec {
     "k_anonymity" -> "distinct-class-size rows × ONE broadcast total row",
     "l_diversity" -> "diversity-level rows × ONE broadcast total row",
     "logrank_test" -> "distinct-event-time rows × ONE broadcast totals row",
-    "chisq_independence" -> "the full r×c contingency grid (rowTotals × colTotals, both category-sized) plus two one-row broadcast totals/dims frames; maxCells guard fails fast on runaway grids")
+    "chisq_independence" -> "the full r×c contingency grid (rowTotals × colTotals, both category-sized) plus two one-row broadcast totals/dims frames; maxCells guard fails fast on runaway grids",
+    "kruskal_test" -> "ONE one-row group aggregate × ONE one-row ties/totals frame")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -107,7 +108,8 @@ class PlanAuditSpec extends SparkSpec {
   private val intentionalGlobalWindow = Map(
     "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)",
     "logrank_test" -> "at-risk prefix over DISTINCT pooled event times (an aggregate of durations, bounded far below subjects); stratified variants partition it",
-    "ranksum_test" -> "rank prefix over DISTINCT snapped grid values (an aggregate bounded by the value domain at the chosen scale, not by subjects — the logrank_test argument); probe10e measures the flat-in-k curve")
+    "ranksum_test" -> "rank prefix over DISTINCT snapped grid values (an aggregate bounded by the value domain at the chosen scale, not by subjects — the logrank_test argument); probe10e measures the flat-in-k curve",
+    "kruskal_test" -> "the same distinct-grid-value rank prefix as ranksum_test, joined back to the (value, group) cells — both domain-sized")
 
   test("no registry query plans an unpartitioned window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -421,6 +421,31 @@ class ProfilingSpec extends SparkSpec {
     assert(err.getMessage.contains("maxCells"), err.getMessage)
   }
 
+  test("kruskalWallis: textbook H, tie correction, degenerate nulls") {
+    // A{1,2} B{3,4} C{5}: no ties — H = 3.6 (ranks 1..5, hsum = 216)
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0), ("C", 5.0))
+      .toDF("g", "v")
+    val r = Profiling.kruskalWallis(df, "g", "v", scale = 1L).collect()(0)
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("tie_sum") == 0L && r.getAs[Long]("hsum") == 216L)
+    assert(r.getAs[Long]("dof") == 2L)
+    assert(r.getAs[Double]("h") == 3.6 && r.getAs[Double]("h_tied") == 3.6, r.toString)
+    // ties: A{1,1} B{1,2} — H = 0.6, correction 0.6 → H' = 1.0
+    val t = Profiling.kruskalWallis(
+      Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v"),
+      "g", "v", scale = 1L).collect()(0)
+    assert(t.getAs[Long]("hsum") == 104L && t.getAs[Long]("tie_sum") == 24L)
+    assert(t.getAs[Double]("h") == 0.6 && t.getAs[Double]("h_tied") == 1.0, t.toString)
+    // one group: no comparison
+    val d = Profiling.kruskalWallis(
+      Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v"), "g", "v", scale = 1L).collect()(0)
+    assert(d.isNullAt(d.fieldIndex("h")) && d.isNullAt(d.fieldIndex("h_tied")))
+    // all one tie run: correction degenerates → h_tied null, h = 0
+    val o = Profiling.kruskalWallis(
+      Seq(("A", 1.0), ("B", 1.0)).toDF("g", "v"), "g", "v", scale = 1L).collect()(0)
+    assert(o.getAs[Double]("h") == 0.0 && o.isNullAt(o.fieldIndex("h_tied")), o.toString)
+  }
+
   test("rateRatio: exact totals and floor rates, one IEEE division for the ratio") {
     // exposed: 6 events / 200 time; reference: 2 events / 400 time
     val df = Seq(
