@@ -740,6 +740,53 @@ object ScaleProbe {
           Map("purchase" -> 2L, "error" -> 1L)))
     }
 
+    // round-10 session-7 model-eval battery: auc is one domain-sized
+    // rank window; spearman adds two value-keyed joins back to rows;
+    // concentration's distinct-total relation grows with KEYS (the
+    // documented coarse-grid lever); directStdRate collapses map-side
+    // to (group, stratum) cells.
+    if (familyOn("probe10g")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evWithValue = SparkEntry.events(spark, sfDir)
+        .select("event_id", "user_id", "value", "event_type")
+      val evV = (0 until times).map { i =>
+        evWithValue.select(
+          (col("event_id") + lit(i * n)).as("event_id"),
+          (col("user_id") + lit(i * n)).as("user_id"),
+          col("value"), col("event_type"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe10g ${times}x ---")
+      time("probe10g:aucScore",
+        graft.ops.ModelEval.aucScore(
+          evV.filter(col("value").isNotNull && col("event_type").isNotNull)
+            .select(
+              when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+              col("value")),
+          "y", "value"))
+      time("probe10g:spearmanCorr",
+        graft.ops.ModelEval.spearmanCorr(
+          evV.filter(col("value").isNotNull && col("event_id").isNotNull)
+            .select(col("value").as("x"),
+              (pmod(col("event_id"), lit(1000L)).cast("double") / lit(10d) +
+                col("value") / lit(2d)).as("yv")),
+          "x", "yv"))
+      time("probe10g:concentration",
+        graft.ops.Profiling.concentration(
+          evV.filter(col("user_id").isNotNull && col("value").isNotNull)
+            .select(col("user_id"), col("value")),
+          "user_id", "value"))
+      time("probe10g:directStdRate",
+        graft.ops.Profiling.directStdRate(
+          evV.filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+            .select(pmod(col("user_id"), lit(4L)).cast("string").as("g"),
+              (abs(floor(col("value"))).cast("long") % lit(5L)).cast("string")
+                .as("s"),
+              when(col("event_type") === "purchase", 1L).otherwise(0L)
+                .as("e")),
+          "g", "s", "e"))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

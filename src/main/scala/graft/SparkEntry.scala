@@ -3298,6 +3298,94 @@ object SparkEntry {
         "site", "band", "ev")
         .orderBy("site")),
 
+    // Directly standardized purchase rate per site — the mirror of
+    // smr_ratio: each site's own band-specific rates applied to the
+    // pooled band population; exact per-cell floor terms, one IEEE
+    // division per site for the readable rate.
+    "direct_std_rate" -> ((s, dir) =>
+      graft.ops.Profiling.directStdRate(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).cast("string").as("site"),
+            (abs(floor(col("value"))).cast("long") % lit(5L)).cast("string")
+              .as("band"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("ev")),
+        "site", "band", "ev")
+        .orderBy("site")),
+
+    // Cochran–Armitage trend: does the purchase rate rise across the
+    // ordered user quartile levels? Exact decimal numerators, one
+    // division + sqrt for z.
+    "trend_test" -> ((s, dir) =>
+      graft.ops.Profiling.trendTest(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).as("lvl"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y")),
+        "lvl", "y")),
+
+    // Lorenz/Gini spend concentration over per-user cent totals —
+    // exact doubled-rank gini plus tie-run-prorated bottom-share cuts
+    // at the default fractions.
+    "cost_concentration" -> ((s, dir) =>
+      graft.ops.Profiling.concentration(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("user_id"), col("value")),
+        "user_id", "value")
+        .orderBy("p_myriad")),
+
+    // ROC AUC of `value` as a purchase ranker — exact doubled-midrank
+    // Mann–Whitney components; auc/gini spend one IEEE division each.
+    "auc_score" -> ((s, dir) =>
+      graft.ops.ModelEval.aucScore(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "y", "value")),
+
+    // Calibration reliability bins of a synthetic well-calibrated-ish
+    // score ((event_id%100 + .5)/100) against its arithmetic label —
+    // exact per-bin int64 sums, fixed edges.
+    "calibration_bins" -> ((s, dir) =>
+      graft.ops.ModelEval.calibrationBins(
+        events(s, dir)
+          .filter(col("event_id").isNotNull)
+          .select(
+            when(pmod(col("event_id") * 37L, lit(100L)) <
+              pmod(col("event_id"), lit(100L)), 1L).otherwise(0L).as("y"),
+            ((pmod(col("event_id"), lit(100L)).cast("double") + lit(0.5d)) /
+              lit(100d)).as("s")),
+        "y", "s")
+        .orderBy("bin")),
+
+    // Cohen's κ between the raw event_type and a deterministically
+    // perturbed second rater (every 5th event relabelled 'purchase') —
+    // exact confusion mass and marginal products.
+    "kappa_agreement" -> ((s, dir) =>
+      graft.ops.ModelEval.kappaAgreement(
+        events(s, dir)
+          .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+          .select(col("event_type").as("r1"),
+            when(pmod(col("event_id"), lit(5L)) === 0L, lit("purchase"))
+              .otherwise(col("event_type")).as("r2")),
+        "r1", "r2")),
+
+    // Spearman ρ between `value` and an arithmetic half-coupled
+    // companion — exact per-axis midranks, decimal(38,0) rank moments,
+    // one division + sqrt.
+    "spearman_corr" -> ((s, dir) =>
+      graft.ops.ModelEval.spearmanCorr(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_id").isNotNull)
+          .select(col("value").as("x"),
+            (pmod(col("event_id"), lit(1000L)).cast("double") / lit(10d) +
+              col("value") / lit(2d)).as("yv")),
+        "x", "yv")),
+
     // CMH pooled odds ratio: parity-exposure vs purchase-outcome,
     // stratified by value band — exact per-stratum fixed-point mass,
     // crude vs adjusted OR on one row.
@@ -7628,6 +7716,247 @@ object SparkEntry {
         |      CAST(sum(p * rate) AS DOUBLE), 6) END AS smr
         |FROM cells JOIN ref USING (band)
         |GROUP BY site ORDER BY site""".stripMargin,
+
+    // Each site's own band rates over the pooled band population —
+    // exact per-cell floor terms, exact dsr_fp, one division for dsr.
+    "direct_std_rate" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS site,
+        |    CAST(CAST(abs(floor(value)) AS BIGINT) % 5 AS VARCHAR) AS band,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT site, band, CAST(count(*) AS BIGINT) AS p,
+        |    CAST(sum(ev) AS BIGINT) AS e
+        |  FROM base GROUP BY 1, 2),
+        |std AS (
+        |  SELECT band, CAST(sum(p) AS BIGINT) AS w FROM cells GROUP BY 1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS twv FROM std),
+        |pg AS (
+        |  SELECT site,
+        |    CAST(sum(p) AS BIGINT) AS n_subjects,
+        |    CAST(sum(e) AS BIGINT) AS observed,
+        |    CAST(sum((e * w * 1000000) // p) AS BIGINT) AS termsum
+        |  FROM cells JOIN std USING (band) GROUP BY site)
+        |SELECT site, n_subjects, observed,
+        |  (observed * 1000000) // n_subjects AS crude_fp,
+        |  termsum // twv AS dsr_fp,
+        |  round(CAST(termsum AS DOUBLE) / (CAST(twv AS DOUBLE) * 1000000.0), 6)
+        |    AS dsr
+        |FROM pg CROSS JOIN tw ORDER BY site""".stripMargin,
+
+    // Per-level exact sums; HUGEINT replays the decimal(38,0)
+    // numerators; one double division + sqrt for z.
+    "trend_test" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS w,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |lvl AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS r
+        |  FROM base GROUP BY w),
+        |agg AS (
+        |  SELECT CAST(sum(nn) AS BIGINT) AS n,
+        |    CAST(sum(r) AS BIGINT) AS n_events,
+        |    CAST(sum(w * nn) AS BIGINT) AS sw1,
+        |    CAST(sum(w * w * nn) AS BIGINT) AS sw2,
+        |    CAST(sum(w * r) AS BIGINT) AS swr
+        |  FROM lvl)
+        |SELECT n, n_events, sw1, sw2, swr,
+        |  CAST(CAST(n AS HUGEINT) * swr - CAST(n_events AS HUGEINT) * sw1
+        |    AS BIGINT) AS t_num,
+        |  CASE WHEN n_events > 0 AND n_events < n AND
+        |      CAST(CAST(n_events AS HUGEINT) * (n - n_events) *
+        |        (CAST(n AS HUGEINT) * sw2 - CAST(sw1 AS HUGEINT) * sw1)
+        |        AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |    THEN round(
+        |      CAST(CAST(n AS HUGEINT) * swr - CAST(n_events AS HUGEINT) * sw1
+        |        AS DOUBLE) /
+        |      sqrt(CAST(CAST(n_events AS HUGEINT) * (n - n_events) *
+        |        (CAST(n AS HUGEINT) * sw2 - CAST(sw1 AS HUGEINT) * sw1)
+        |        AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |  END AS z
+        |FROM agg""".stripMargin,
+
+    // Per-user cent totals (negatives excluded), tie-run Lorenz cuts
+    // with exact proration, HUGEINT doubled-rank gini numerator.
+    "cost_concentration" ->
+      """WITH pk AS (
+        |  SELECT user_id AS k,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |  HAVING sum(CAST(round(value * 100) AS BIGINT)) >= 0),
+        |runs AS (SELECT v AS x, CAST(count(*) AS BIGINT) AS t FROM pk GROUP BY v),
+        |rk AS (
+        |  SELECT x, t,
+        |    coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c,
+        |    coalesce(sum(x * t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumv
+        |  FROM runs),
+        |tot AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(x * t) AS BIGINT) AS tt,
+        |    sum(CAST(x AS HUGEINT) * (2 * t * c + t * t + t)) AS g2
+        |  FROM rk),
+        |ps AS (SELECT * FROM (VALUES (5000), (8000), (9000), (9500), (9900))
+        |  AS pv(p_myriad)),
+        |sel AS (
+        |  SELECT p_myriad, n, tt, g2, (n * p_myriad) // 10000 AS kcut,
+        |    x, t, c, cumv
+        |  FROM rk CROSS JOIN tot CROSS JOIN ps
+        |  WHERE c <= (n * p_myriad) // 10000
+        |    AND (n * p_myriad) // 10000 <= c + t
+        |    AND ((n * p_myriad) // 10000 > c OR c = 0))
+        |SELECT p_myriad, n AS n_keys, tt AS total_fp, kcut,
+        |  CAST(cumv + x * (kcut - c) AS BIGINT) AS bottom_fp,
+        |  CASE WHEN tt > 0
+        |    THEN round(CAST(cumv + x * (kcut - c) AS DOUBLE) /
+        |      CAST(tt AS DOUBLE), 6) END AS share_bottom,
+        |  CASE WHEN tt > 0
+        |    THEN round(1.0 - round(CAST(cumv + x * (kcut - c) AS DOUBLE) /
+        |      CAST(tt AS DOUBLE), 6), 6) END AS share_top,
+        |  CASE WHEN n > 0 AND tt > 0
+        |    THEN round((CAST(g2 AS DOUBLE) -
+        |      CAST(n + 1 AS DOUBLE) * CAST(tt AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE)), 6) END AS gini
+        |FROM sel ORDER BY p_myriad""".stripMargin,
+
+    // Doubled-midrank Mann–Whitney components over the score grid;
+    // auc/gini replay the identical one-division chains.
+    "auc_score" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |perv AS (
+        |  SELECT x, count(*) AS t, sum(y) AS t1 FROM base GROUP BY x),
+        |r AS (
+        |  SELECT t, t1,
+        |    coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM perv),
+        |agg AS (
+        |  SELECT CAST(sum(t1) AS BIGINT) AS n_pos,
+        |    CAST(sum(t) - sum(t1) AS BIGINT) AS n_neg,
+        |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  r1x2 - n_pos * (n_pos + 1) AS u_x2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |      (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) - 1.0, 6)
+        |  END AS gini
+        |FROM agg""".stripMargin,
+
+    // Fixed-width bins over the synthetic score; exact int64 per-bin
+    // sums; the gap subtracts the two already-rounded doubles.
+    "calibration_bins" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN (event_id * 37) % 100 < event_id % 100
+        |      THEN 1 ELSE 0 END AS y,
+        |    (CAST(event_id % 100 AS DOUBLE) + 0.5) / 100.0 AS s
+        |  FROM events WHERE event_id IS NOT NULL),
+        |b AS (
+        |  SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin, y, s
+        |  FROM base),
+        |agg AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(CAST(round(s * 1000000.0) AS BIGINT)) AS BIGINT)
+        |      AS sum_score_fp
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, n_pos, sum_score_fp,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+        |  round(CAST(sum_score_fp AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * 1000000.0), 6) AS pred_rate,
+        |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) -
+        |    round(CAST(sum_score_fp AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1000000.0), 6), 6) AS gap
+        |FROM agg ORDER BY bin""".stripMargin,
+
+    // Confusion mass + marginal-product chance term, all exact int64;
+    // po/pe/kappa one division each.
+    "kappa_agreement" ->
+      """WITH base AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN event_id % 5 = 0 THEN 'purchase' ELSE event_type END AS b
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+        |obs AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT a AS k, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        |ct AS (SELECT b AS k, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        |pe AS (
+        |  SELECT coalesce(CAST(sum(ra * cb) AS BIGINT), 0) AS pe_num
+        |  FROM rt JOIN ct USING (k)),
+        |ag AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM obs)
+        |SELECT n, n_agree, pe_num,
+        |  CASE WHEN n > 0
+        |    THEN round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS po,
+        |  CASE WHEN n > 0
+        |    THEN round(CAST(pe_num AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS pe,
+        |  CASE WHEN n * n - pe_num <> 0
+        |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
+        |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
+        |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Per-axis doubled midranks over each distinct-value grid, HUGEINT
+    // rank moments, one division + sqrt for rho.
+    "spearman_corr" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |    CAST(round((CAST(event_id % 1000 AS DOUBLE) / 10.0 +
+        |      value / 2.0) * 100.0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |rx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM rows_ GROUP BY x),
+        |rxr AS (
+        |  SELECT x,
+        |    2 * coalesce(sum(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |      AS xr,
+        |    t * t * t - t AS xtie
+        |  FROM rx),
+        |ry AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM rows_ GROUP BY y),
+        |ryr AS (
+        |  SELECT y,
+        |    2 * coalesce(sum(t) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |      AS yr,
+        |    t * t * t - t AS ytie
+        |  FROM ry),
+        |j AS (
+        |  SELECT xr, yr FROM rows_
+        |  JOIN rxr USING (x) JOIN ryr USING (y)),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(xr AS HUGEINT)) AS sx, sum(CAST(yr AS HUGEINT)) AS sy,
+        |    sum(CAST(xr AS HUGEINT) * xr) AS sxx,
+        |    sum(CAST(yr AS HUGEINT) * yr) AS syy,
+        |    sum(CAST(xr AS HUGEINT) * yr) AS sxy
+        |  FROM j),
+        |tx AS (SELECT CAST(sum(xtie) AS BIGINT) AS tie_x FROM rxr),
+        |ty AS (SELECT CAST(sum(ytie) AS BIGINT) AS tie_y FROM ryr)
+        |SELECT n, tie_x, tie_y,
+        |  CASE WHEN n > 1 AND
+        |      CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0 AND
+        |      CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+        |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM agg CROSS JOIN tx CROSS JOIN ty""".stripMargin,
 
     // Per-stratum fixed-point MH mass (exact floor division), pooled
     // crude cells, one IEEE division each for the two ORs.

@@ -1250,4 +1250,209 @@ object Profiling {
           col("__t").cast("double"), 6))
       .drop("__t")
   }
+
+  /** Cochran–Armitage trend test — "does the outcome rate RISE with
+    * the ordered exposure level?" (dose tiers, severity bands,
+    * quality deciles vs a keep/drop label). Stronger than
+    * [[chiSquareTest]] when the factor is ORDERED: one degree of
+    * freedom spent on the monotone alternative. `levelCol` is the
+    * integer level score w (its spacing IS the weighting — the classic
+    * formulation), `outcomeCol` ∈ {0,1}. With per-level n_i, r_i and
+    * totals N, R, Sw1 = Σw n_i, Sw2 = Σw² n_i, Swr = Σw r_i:
+    * {{{ t_num    = N·Swr − R·Sw1                        // exact
+    *     var_num  = R·(N−R)·(N·Sw2 − Sw1²)               // exact
+    *     z        = t_num / sqrt(var_num / N)            // ONE chain }}}
+    * Numerators run in decimal(38,0) (N·Sw2 reaches w²·N² — int64 dies
+    * at ~3e9·w⁻¹ rows; decimal holds to any real cohort) and are
+    * emitted as int64 components where they fit, with a documented
+    * bound: `|w|·N² < 9.2e18` for `t_num` (band-style levels ≤ 100 →
+    * N ≈ 3e8; shard or re-score coarser past that — the emission casts
+    * overflow to null rather than wrapping, per Spark decimal→long).
+    * z is null when the outcome is constant (R = 0 or R = N) or every
+    * row sits on one level (zero weight variance).
+    *
+    * Scale shape: rows collapse map-side to the per-level relation
+    * (level-domain-sized); everything after is a 1-row aggregate.
+    */
+  def trendTest(
+      df: DataFrame, levelCol: String, outcomeCol: String): DataFrame = {
+    val w = col(s"`$levelCol`").cast("long")
+    val y = col(s"`$outcomeCol`").cast("long")
+    df.filter(w.isNotNull && y.isin(0L, 1L))
+      .groupBy(w.as("__w"))
+      .agg(count(lit(1)).as("__n"), sum(y).as("__r"))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__r")).as("n_events"),
+        sum(col("__w") * col("__n")).as("sw1"),
+        sum(col("__w") * col("__w") * col("__n")).as("sw2"),
+        sum(col("__w") * col("__r")).as("swr"))
+      .withColumn("t_num",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * swr - " +
+          "CAST(n_events AS DECIMAL(38,0)) * sw1 AS LONG)"))
+      .withColumn("z", {
+        val varNum = expr(
+          "CAST(n_events AS DECIMAL(38,0)) * (n - n_events) * " +
+            "(CAST(n AS DECIMAL(38,0)) * sw2 - " +
+            "CAST(sw1 AS DECIMAL(38,0)) * sw1)")
+        val v = varNum.cast("double") / col("n").cast("double")
+        when(col("n_events") > 0L && col("n_events") < col("n") && v > 0d,
+          round(col("t_num").cast("double") / sqrt(v), 6))
+      })
+  }
+
+  /** Directly standardized event rate per group — the mirror image of
+    * [[standardizedRatio]]: instead of asking "how do this group's
+    * observed events compare to expectation under pooled rates?"
+    * (indirect / SMR), apply each group's OWN per-stratum rates to ONE
+    * standard population (the pooled stratum sizes) so every group's
+    * rate is comparable on the same case mix. With `S` = `scale`,
+    * pooled stratum weight `w_s = Σ_g persons_{g,s}` and `W = Σ w_s`:
+    * {{{ term_fp(g,s) = (events_{g,s} · w_s · S) DIV persons_{g,s}  // exact
+    *     dsr_fp(g)    = Σ_s term_fp(g,s) DIV W                     // exact
+    *     dsr(g)       = Σ_s term_fp / (W · S)                      // ONE division }}}
+    * — each stratum's floor costs ≤1 on an S-scaled term and is
+    * replayed identically per engine (the [[standardizedRatio]]
+    * budget). `crude_fp` (the group's unstandardized rate at S) rides
+    * along so the case-mix correction is visible. Strata where a group
+    * has no subjects contribute zero BY CONSTRUCTION (no cell exists —
+    * the convention that keeps the sum defined; a group missing a
+    * heavy stratum is standardized over the strata it serves).
+    * Exactness bound: `events · w · S < 9.2e18` per cell — at the
+    * default S = 1e6, events·w < 9.2e12.
+    *
+    * Scale shape: one (group, stratum) groupBy collapses subject rows;
+    * the standard weights re-aggregate those CELLS per stratum and
+    * broadcast back (stratum-sized, the [[standardizedRatio]] shape);
+    * one map-side-combined groupBy(group) finishes.
+    */
+  def directStdRate(
+      df: DataFrame, groupCol: String, stratumCol: String,
+      eventCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val st = col(s"`$stratumCol`").cast("string")
+    val e = col(s"`$eventCol`").cast("long")
+    val cells = df.filter(g.isNotNull && st.isNotNull && e.isNotNull)
+      .select(g.as("__g"), st.as("__s"), e.as("__e"))
+      .groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("__p"), sum(col("__e")).as("__ev"))
+    val std = cells.groupBy(col("__s"))
+      .agg(sum(col("__p")).as("__w"))
+    val totW = std.agg(sum(col("__w")).as("__tw"))
+    cells.join(broadcast(std), Seq("__s"))
+      .withColumn("__term",
+        expr(s"__ev * __w * ${scale}L DIV __p"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        sum(col("__p")).as("n_subjects"),
+        sum(col("__ev")).as("observed"),
+        sum(col("__term")).as("__termsum"))
+      .crossJoin(broadcast(totW))
+      .select(
+        col(groupCol), col("n_subjects"), col("observed"),
+        expr(s"observed * ${scale}L DIV n_subjects").as("crude_fp"),
+        expr("__termsum DIV __tw").as("dsr_fp"),
+        round(col("__termsum").cast("double") /
+          (col("__tw").cast("double") * lit(scale.toDouble)), 6).as("dsr"))
+  }
+
+  /** Concentration profile — Lorenz shares and the Gini coefficient
+    * over per-key totals: "the top 5% of patients hold what share of
+    * total cost?" (equally: of tokens per domain, of events per user).
+    * Values snap to integer units first (`round(v·scale)`), keys
+    * aggregate to exact int64 totals, and keys whose total is negative
+    * are EXCLUDED (a net-refund entity has no place on a concentration
+    * curve — Lorenz/Gini are statements about non-negative mass).
+    *
+    * The curve is computed over the DISTINCT-total relation with the
+    * [[graft.ops.ModelEval.aucScore]] doubled-rank machinery: a tie
+    * run of `t` keys at total `x` after `c` poorer keys contributes
+    * exactly `x·(2tc + t² + t)` to the doubled rank-weighted sum
+    * `g2 = 2·Σᵢ i·xᵢ` (ascending key order), and with `T = Σ x·t`
+    * {{{ gini = (g2 − (n+1)·T) / (n·T)             // ONE division }}}
+    * — every numerator term exact (g2 runs in decimal(38,0): cent
+    * totals × n² outgrow int64 at ~30k keys for 1e9-cent entities).
+    * Each requested bottom-fraction p (per myriad) yields one row: the
+    * poorest `kcut = (n·p) DIV 10000` keys hold
+    * `share_bottom = (cum_before + x·(kcut − c)) / T` — the cut always
+    * lands inside one tie run, where mass is linear in key count
+    * because every key in the run holds exactly `x`; the numerator is
+    * exact int64, one division + round(6), and `share_top` is its
+    * rounded complement. p = 10000 recovers the curve's endpoint
+    * (share 1) as a built-in self-check.
+    *
+    * Scale shape: groupBy(key) collapses rows to the key relation
+    * map-side; the distinct-TOTAL relation carries the window; the
+    * p-frame is a broadcast literal of a handful of rows range-matched
+    * against tie runs. CAVEAT the rank family's domain argument is
+    * weaker here: cent-grain totals of a continuous value are nearly
+    * all distinct, so the windowed relation is keys-sized, not
+    * domain-sized — at billions of keys run the curve on a coarser
+    * money grid (drop `scale`, e.g. whole currency units or hundreds),
+    * which caps the relation at the grid's domain and changes the
+    * result only below the chosen grain.
+    */
+  def concentration(
+      df: DataFrame, keyCol: String, valueCol: String,
+      bottomPerMyriad: Seq[Int] = Seq(5000, 8000, 9000, 9500, 9900),
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    require(bottomPerMyriad.nonEmpty &&
+      bottomPerMyriad.forall(p => p >= 0 && p <= 10000),
+      s"bottomPerMyriad out of [0, 10000]: $bottomPerMyriad")
+    val k = col(s"`$keyCol`")
+    val v = col(s"`$valueCol`")
+    val perKey = df.filter(k.isNotNull && v.isNotNull)
+      .groupBy(k.as("__k"))
+      .agg(sum(round(v * lit(scale.toDouble), 0).cast("long")).as("__v"))
+      .filter(col("__v") >= 0L)
+    val runs = perKey.groupBy(col("__v").as("__x"))
+      .agg(count(lit(1)).as("__t"))
+    val wPrev = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = runs
+      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      .withColumn("__cumv",
+        coalesce(sum(col("__x") * col("__t")).over(wPrev), lit(0L)))
+    val totals = ranked.agg(
+      sum(col("__t")).as("__n"),
+      sum(col("__x") * col("__t")).as("__tot"),
+      sum(col("__x").cast("decimal(38,0)") *
+        (lit(2L) * col("__t") * col("__c") +
+          col("__t") * col("__t") + col("__t"))).as("__g2"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = bottomPerMyriad.distinct.sorted.toDF("p_myriad")
+    ranked.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(ps))
+      // kcut = 0 keys hold share 0 — served by the first run's c = 0 row
+      .withColumn("__kcut", expr("__n * p_myriad DIV 10000"))
+      .filter(col("__c") <= col("__kcut") &&
+        col("__kcut") <= col("__c") + col("__t") &&
+        // ties between adjacent runs at the exact boundary: keep the
+        // run the cut ENTERS (or the first run for kcut = 0)
+        (col("__kcut") > col("__c") || col("__c") === 0L))
+      .select(
+        col("p_myriad"),
+        col("__n").as("n_keys"),
+        col("__tot").as("total_fp"),
+        col("__kcut").as("kcut"),
+        (col("__cumv") + col("__x") * (col("__kcut") - col("__c")))
+          .as("bottom_fp"),
+        when(col("__tot") > 0L,
+          round((col("__cumv") + col("__x") * (col("__kcut") - col("__c")))
+            .cast("double") / col("__tot").cast("double"), 6))
+          .as("share_bottom"),
+        when(col("__tot") > 0L,
+          round(lit(1d) -
+            round((col("__cumv") + col("__x") * (col("__kcut") - col("__c")))
+              .cast("double") / col("__tot").cast("double"), 6), 6))
+          .as("share_top"),
+        when(col("__n") > 0L && col("__tot") > 0L,
+          round((col("__g2").cast("double") -
+            (col("__n") + 1L).cast("double") * col("__tot").cast("double")) /
+            (col("__n").cast("double") * col("__tot").cast("double")), 6))
+          .as("gini"))
+  }
 }

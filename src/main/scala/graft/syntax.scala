@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Intervals, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
+import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Intervals, ModelEval, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -395,6 +395,47 @@ object syntax {
     def kruskalWallis(groupCol: String, valueCol: String,
         scale: Long = 100L): DataFrame =
       Profiling.kruskalWallis(df, groupCol, valueCol, scale)
+    /** Cochran–Armitage ordered-exposure trend test (see
+      * [[ops.Profiling.trendTest]]).
+      */
+    def trendTest(levelCol: String, outcomeCol: String): DataFrame =
+      Profiling.trendTest(df, levelCol, outcomeCol)
+    /** Directly standardized event rate per group (see
+      * [[ops.Profiling.directStdRate]]).
+      */
+    def directStdRate(groupCol: String, stratumCol: String,
+        eventCol: String, scale: Long = 1000000L): DataFrame =
+      Profiling.directStdRate(df, groupCol, stratumCol, eventCol, scale)
+    /** Lorenz shares and Gini over per-key totals (see
+      * [[ops.Profiling.concentration]]).
+      */
+    def concentration(keyCol: String, valueCol: String,
+        bottomPerMyriad: Seq[Int] = Seq(5000, 8000, 9000, 9500, 9900),
+        scale: Long = 100L): DataFrame =
+      Profiling.concentration(df, keyCol, valueCol, bottomPerMyriad, scale)
+    /** Exact midrank ROC AUC / c-statistic (see
+      * [[ops.ModelEval.aucScore]]).
+      */
+    def aucScore(labelCol: String, scoreCol: String,
+        scale: Long = 100L): DataFrame =
+      ModelEval.aucScore(df, labelCol, scoreCol, scale)
+    /** Fixed-width calibration reliability bins (see
+      * [[ops.ModelEval.calibrationBins]]).
+      */
+    def calibrationBins(labelCol: String, scoreCol: String,
+        nBins: Int = 10, scale: Long = 1000000L): DataFrame =
+      ModelEval.calibrationBins(df, labelCol, scoreCol, nBins, scale)
+    /** Cohen's κ chance-corrected agreement (see
+      * [[ops.ModelEval.kappaAgreement]]).
+      */
+    def kappaAgreement(rater1Col: String, rater2Col: String): DataFrame =
+      ModelEval.kappaAgreement(df, rater1Col, rater2Col)
+    /** Spearman rank correlation on exact midranks (see
+      * [[ops.ModelEval.spearmanCorr]]).
+      */
+    def spearmanCorr(xCol: String, yCol: String,
+        scaleX: Long = 100L, scaleY: Long = 100L): DataFrame =
+      ModelEval.spearmanCorr(df, xCol, yCol, scaleX, scaleY)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

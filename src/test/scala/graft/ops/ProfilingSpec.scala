@@ -572,4 +572,68 @@ class ProfilingSpec extends SparkSpec {
       .select("monetary_cents").collect()(0).getLong(0)
     assert(m0 == 0L)
   }
+
+  test("trendTest: hand-checked z on a rising dose curve; degenerate nulls") {
+    // levels 0,1,2 with n=10 each, r=(1,5,9): t_num=240, var_num/N=4500
+    val rows = (Seq.fill(1)((0L, 1)) ++ Seq.fill(9)((0L, 0)) ++
+      Seq.fill(5)((1L, 1)) ++ Seq.fill(5)((1L, 0)) ++
+      Seq.fill(9)((2L, 1)) ++ Seq.fill(1)((2L, 0))).toDF("lvl", "y")
+    val r = Profiling.trendTest(rows, "lvl", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 30L && r.getAs[Long]("n_events") == 15L)
+    assert(r.getAs[Long]("sw1") == 30L && r.getAs[Long]("sw2") == 50L)
+    assert(r.getAs[Long]("swr") == 23L && r.getAs[Long]("t_num") == 240L)
+    val expZ = 240.0 / math.sqrt(4500.0)
+    assert(math.abs(r.getAs[Double]("z") - expZ) < 2e-6, r.toString)
+    // constant outcome: no variance
+    val c = Profiling.trendTest(
+      Seq((0L, 0), (1L, 0), (2L, 0)).toDF("lvl", "y"), "lvl", "y").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("z")))
+    // single level: zero weight variance
+    val s = Profiling.trendTest(
+      Seq((1L, 0), (1L, 1)).toDF("lvl", "y"), "lvl", "y").collect()(0)
+    assert(s.isNullAt(s.fieldIndex("z")))
+  }
+
+  test("directStdRate: case-mix-corrected rates replay the hand example exactly") {
+    // A: rates 0.2/0.4 per stratum; B: 0.1/0.1; std pop w = (40, 60)
+    val df = (
+      Seq.fill(2)(("A", "s1", 1)) ++ Seq.fill(8)(("A", "s1", 0)) ++
+        Seq.fill(8)(("A", "s2", 1)) ++ Seq.fill(12)(("A", "s2", 0)) ++
+        Seq.fill(3)(("B", "s1", 1)) ++ Seq.fill(27)(("B", "s1", 0)) ++
+        Seq.fill(4)(("B", "s2", 1)) ++ Seq.fill(36)(("B", "s2", 0))
+      ).toDF("g", "s", "e")
+    val out = Profiling.directStdRate(df, "g", "s", "e", scale = 1000L)
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_subjects") == 30L && a.getAs[Long]("observed") == 10L)
+    assert(a.getAs[Long]("crude_fp") == 333L)
+    assert(a.getAs[Long]("dsr_fp") == 320L)
+    assert(a.getAs[Double]("dsr") == 0.32, a.toString) // 0.2·0.4 + 0.4·0.6
+    val b = out(1)
+    assert(b.getAs[Long]("crude_fp") == 100L && b.getAs[Long]("dsr_fp") == 100L)
+    assert(b.getAs[Double]("dsr") == 0.1, b.toString)
+  }
+
+  test("concentration: exact Lorenz cuts inside tie runs; textbook gini; negatives excluded") {
+    // totals 1,1,3,5 → gini (2·32)/(4·10) − 5/4 = 0.35
+    val df = Seq(("k1", 1.0), ("k2", 1.0), ("k3", 3.0), ("k4", 5.0),
+      ("k5", -5.0)) // net-refund key: excluded
+      .toDF("k", "v")
+    val out = Profiling.concentration(df, "k", "v",
+      bottomPerMyriad = Seq(0, 5000, 7500, 10000), scale = 1L)
+      .orderBy("p_myriad").collect()
+    assert(out.length == 4, out.mkString("; "))
+    assert(out.forall(_.getAs[Long]("n_keys") == 4L))
+    assert(out.forall(_.getAs[Long]("total_fp") == 10L))
+    assert(out.forall(_.getAs[Double]("gini") == 0.35), out.mkString("; "))
+    val byP = out.map(r => r.getAs[Int]("p_myriad") ->
+      (r.getAs[Long]("kcut"), r.getAs[Long]("bottom_fp"),
+        r.getAs[Double]("share_bottom"), r.getAs[Double]("share_top"))).toMap
+    assert(byP(0) == ((0L, 0L, 0.0, 1.0)))
+    // bottom half = the two 1s → share 0.2
+    assert(byP(5000) == ((2L, 2L, 0.2, 0.8)))
+    // kcut 3 → bottom {1,1,3} = 5
+    assert(byP(7500) == ((3L, 5L, 0.5, 0.5)))
+    assert(byP(10000) == ((4L, 10L, 1.0, 0.0)))
+  }
 }
