@@ -3386,6 +3386,100 @@ object SparkEntry {
               col("value") / lit(2d)).as("yv")),
         "x", "yv")),
 
+    // Brier score of the synthetic calibration score against its
+    // arithmetic label — exact fixed-point SSE, climatology
+    // uncertainty, and skill score on one row.
+    "brier_score" -> ((s, dir) =>
+      graft.ops.ModelEval.brierScore(
+        events(s, dir)
+          .filter(col("event_id").isNotNull)
+          .select(
+            when(pmod(col("event_id") * 37L, lit(100L)) <
+              pmod(col("event_id"), lit(100L)), 1L).otherwise(0L).as("y"),
+            ((pmod(col("event_id"), lit(100L)).cast("double") + lit(0.5d)) /
+              lit(100d)).as("sc")),
+        "y", "sc")),
+
+    // Precision–recall curve of integer-snapped `value` as a purchase
+    // ranker — one row per distinct threshold, exact descending
+    // cumulative confusion, integer-identity f1.
+    "pr_curve" -> ((s, dir) =>
+      graft.ops.ModelEval.prCurve(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "y", "value", scale = 1L)
+        .orderBy("score_fp")),
+
+    // Step-sum average precision over the same ranking — per-threshold
+    // integer DIV terms, exact int64 numerator, one division.
+    "avg_precision" -> ((s, dir) =>
+      graft.ops.ModelEval.averagePrecision(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "y", "value", scale = 1L)),
+
+    // Cumulative lift/gains of the synthetic score, top decile down —
+    // exact integer lift products, capture share per bin.
+    "lift_table" -> ((s, dir) =>
+      graft.ops.ModelEval.liftTable(
+        events(s, dir)
+          .filter(col("event_id").isNotNull)
+          .select(
+            when(pmod(col("event_id") * 37L, lit(100L)) <
+              pmod(col("event_id"), lit(100L)), 1L).otherwise(0L).as("y"),
+            ((pmod(col("event_id"), lit(100L)).cast("double") + lit(0.5d)) /
+              lit(100d)).as("sc")),
+        "y", "sc")
+        .orderBy("bin")),
+
+    // McNemar discordance between the purchase indicator and its
+    // every-5th-event perturbation — paired discordant cells, exact
+    // chi-square with continuity correction.
+    "mcnemar_test" -> ((s, dir) =>
+      graft.ops.ModelEval.mcnemarTest(
+        events(s, dir)
+          .filter(col("event_type").isNotNull && col("event_id").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("r1"),
+            when(col("event_type") === "purchase" ||
+              pmod(col("event_id"), lit(5L)) === 0L, 1L).otherwise(0L)
+              .as("r2")),
+        "r1", "r2")),
+
+    // Quadratic-weighted κ between the value band and its every-7th
+    // one-step perturbation — ordinal near-misses forgiven, exact
+    // decimal marginal products.
+    "weighted_kappa" -> ((s, dir) =>
+      graft.ops.ModelEval.weightedKappa(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_id").isNotNull)
+          .select(
+            (abs(floor(col("value"))).cast("long") % lit(5L)).as("b1"),
+            when(pmod(col("event_id"), lit(7L)) === 0L,
+              (abs(floor(col("value"))).cast("long") + 1L) % lit(5L))
+              .otherwise(abs(floor(col("value"))).cast("long") % lit(5L))
+              .as("b2")),
+        "b1", "b2")),
+
+    // Hosmer–Lemeshow fit of the synthetic score over 10 fixed bins —
+    // exact per-bin DIV terms, degenerate bins dropped and counted.
+    "hosmer_lemeshow" -> ((s, dir) =>
+      graft.ops.ModelEval.hosmerLemeshow(
+        events(s, dir)
+          .filter(col("event_id").isNotNull)
+          .select(
+            when(pmod(col("event_id") * 37L, lit(100L)) <
+              pmod(col("event_id"), lit(100L)), 1L).otherwise(0L).as("y"),
+            ((pmod(col("event_id"), lit(100L)).cast("double") + lit(0.5d)) /
+              lit(100d)).as("sc")),
+        "y", "sc")),
+
     // CMH pooled odds ratio: parity-exposure vs purchase-outcome,
     // stratified by value band — exact per-stratum fixed-point mass,
     // crude vs adjusted OR on one row.
@@ -7911,6 +8005,219 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Exact fixed-point SSE over the synthetic score; climatology
+    // uncertainty; bss divides the two already-rounded doubles.
+    "brier_score" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN (event_id * 37) % 100 < event_id % 100
+        |      THEN 1 ELSE 0 END AS y,
+        |    (CAST(event_id % 100 AS DOUBLE) + 0.5) / 100.0 AS sc
+        |  FROM events WHERE event_id IS NOT NULL),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum((CAST(round(sc * 10000.0) AS BIGINT) - y * 10000) *
+        |      (CAST(round(sc * 10000.0) AS BIGINT) - y * 10000)) AS BIGINT)
+        |      AS sse_fp
+        |  FROM base),
+        |r AS (
+        |  SELECT n, n_pos, sse_fp,
+        |    CASE WHEN n > 0 THEN round(CAST(sse_fp AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 10000.0 * 10000.0), 6) END AS brier,
+        |    CASE WHEN n > 0 THEN round(CAST(n_pos * (n - n_pos) AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS uncertainty
+        |  FROM agg)
+        |SELECT n, n_pos, sse_fp, brier, uncertainty,
+        |  CASE WHEN uncertainty > 0
+        |    THEN round(1.0 - brier / uncertainty, 6) END AS bss
+        |FROM r""".stripMargin,
+
+    // One row per distinct integer threshold, descending cumulative
+    // confusion; f1 via the exact 2·TP/(cum_n + n_pos) identity.
+    "pr_curve" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 1.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |perv AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(y) AS BIGINT) AS t1 FROM base GROUP BY x),
+        |c AS (
+        |  SELECT x, t, t1,
+        |    CAST(sum(t1) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ctp,
+        |    CAST(sum(t) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cn
+        |  FROM perv),
+        |tot AS (SELECT CAST(sum(t1) AS BIGINT) AS npos FROM perv)
+        |SELECT x AS score_fp, t AS n_at, t1 AS pos_at, ctp AS cum_tp,
+        |  cn AS cum_n,
+        |  round(CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS precision,
+        |  CASE WHEN npos > 0
+        |    THEN round(CAST(ctp AS DOUBLE) / CAST(npos AS DOUBLE), 6)
+        |  END AS recall,
+        |  CASE WHEN cn + npos > 0
+        |    THEN round(2.0 * CAST(ctp AS DOUBLE) /
+        |      CAST(cn + npos AS DOUBLE), 6) END AS f1
+        |FROM c CROSS JOIN tot ORDER BY score_fp""".stripMargin,
+
+    // Per-threshold integer DIV terms summed exactly; one division for
+    // the readable AP.
+    "avg_precision" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 1.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |perv AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(y) AS BIGINT) AS t1 FROM base GROUP BY x),
+        |c AS (
+        |  SELECT t, t1,
+        |    CAST(sum(t1) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS ctp,
+        |    CAST(sum(t) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cn
+        |  FROM perv),
+        |agg AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t1) AS BIGINT) AS n_pos,
+        |    CAST(sum((CAST(t1 AS HUGEINT) * ctp * 1000000) // cn) AS BIGINT)
+        |      AS ap_num
+        |  FROM c)
+        |SELECT n, n_pos, ap_num,
+        |  CASE WHEN n_pos > 0 THEN round(CAST(ap_num AS DOUBLE) /
+        |    (CAST(n_pos AS DOUBLE) * 1000000.0), 6) END AS ap
+        |FROM agg""".stripMargin,
+
+    // Fixed decile bins read top-down; exact integer lift products.
+    "lift_table" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN (event_id * 37) % 100 < event_id % 100
+        |      THEN 1 ELSE 0 END AS y,
+        |    (CAST(event_id % 100 AS DOUBLE) + 0.5) / 100.0 AS sc
+        |  FROM events WHERE event_id IS NOT NULL),
+        |pb AS (
+        |  SELECT least(CAST(floor(sc * 10.0) AS BIGINT), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM pb),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n_pos) AS BIGINT) AS rt FROM pb)
+        |SELECT bin, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN rt > 0
+        |    THEN round(CAST(cum_pos AS DOUBLE) / CAST(rt AS DOUBLE), 6)
+        |  END AS capture,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6)
+        |    AS cum_rate,
+        |  CASE WHEN rt > 0
+        |    THEN round(CAST(cum_pos * nt AS DOUBLE) /
+        |      CAST(cum_n * rt AS DOUBLE), 6) END AS lift
+        |FROM cum CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // Discordant-cell mass only; continuity correction clamps at zero.
+    "mcnemar_test" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN event_type = 'purchase' OR event_id % 5 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00
+        |  FROM base)
+        |SELECT n, n11, n10, n01, n00,
+        |  CASE WHEN n10 + n01 > 0
+        |    THEN round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE) /
+        |      CAST(n10 + n01 AS DOUBLE), 6) END AS chi2,
+        |  CASE WHEN n10 + n01 > 0
+        |    THEN round(CAST(greatest(abs(n10 - n01) - 1, 0) *
+        |        greatest(abs(n10 - n01) - 1, 0) AS DOUBLE) /
+        |      CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_cc
+        |FROM agg""".stripMargin,
+
+    // Quadratic (i−j)² weights over the cell relation and the marginal
+    // cross; kappa_w = (we − n·wo)/we exactly.
+    "weighted_kappa" ->
+      """WITH base AS (
+        |  SELECT CAST(abs(floor(value)) AS BIGINT) % 5 AS a,
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN (CAST(abs(floor(value)) AS BIGINT) + 1) % 5
+        |      ELSE CAST(abs(floor(value)) AS BIGINT) % 5 END AS b
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |obs AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+        |we AS (
+        |  SELECT coalesce(CAST(sum(CAST((a - b) * (a - b) AS HUGEINT) *
+        |    ra * cb) AS BIGINT), 0) AS we_num
+        |  FROM rt CROSS JOIN ct),
+        |wo AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum((a - b) * (a - b) * o) AS BIGINT) AS wo_num
+        |  FROM obs)
+        |SELECT n, wo_num, we_num,
+        |  CASE WHEN we_num > 0
+        |    THEN round(CAST(we_num - n * wo_num AS DOUBLE) /
+        |      CAST(we_num AS DOUBLE), 6) END AS kappa_w
+        |FROM wo CROSS JOIN we""".stripMargin,
+
+    // Per-bin exact DIV terms; degenerate bins dropped and counted;
+    // conventional bins−2 degrees of freedom.
+    "hosmer_lemeshow" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN (event_id * 37) % 100 < event_id % 100
+        |      THEN 1 ELSE 0 END AS y,
+        |    (CAST(event_id % 100 AS DOUBLE) + 0.5) / 100.0 AS sc
+        |  FROM events WHERE event_id IS NOT NULL),
+        |pb AS (
+        |  SELECT least(CAST(floor(sc * 10.0) AS BIGINT), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS o,
+        |    CAST(sum(CAST(round(sc * 10000.0) AS BIGINT)) AS BIGINT) AS e
+        |  FROM base GROUP BY 1),
+        |terms AS (
+        |  SELECT n, (e > 0 AND e < n * 10000) AS ok,
+        |    CASE WHEN e > 0 AND e < n * 10000
+        |      THEN CAST((CAST(o * 10000 - e AS HUGEINT) *
+        |          (o * 10000 - e) * n * 1000000) //
+        |        (CAST(e AS HUGEINT) * (n * 10000 - e)) AS BIGINT)
+        |    END AS term
+        |  FROM pb),
+        |agg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bins_used,
+        |    CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_bins_dropped,
+        |    CAST(sum(term) AS BIGINT) AS h_num
+        |  FROM terms)
+        |SELECT n, n_bins_used, n_bins_dropped, h_num,
+        |  CASE WHEN n_bins_used > 0
+        |    THEN round(CAST(h_num AS DOUBLE) / 1000000.0, 6) END AS h_stat,
+        |  CASE WHEN n_bins_used > 2 THEN n_bins_used - 2 END AS df_hl
+        |FROM agg""".stripMargin,
 
     // Per-axis doubled midranks over each distinct-value grid, HUGEINT
     // rank moments, one division + sqrt for rho.

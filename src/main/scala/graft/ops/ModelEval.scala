@@ -167,6 +167,336 @@ object ModelEval {
           .as("kappa"))
   }
 
+  /** Brier score — mean squared error of a probability forecast
+    * against its {0,1} outcome, the proper scoring rule that rewards
+    * calibration AND sharpness together (AUC only sees ranking).
+    * Scores snap to the grid `s_fp = round(score·scale)` so every
+    * per-row squared error `(s_fp − y·scale)²` is an exact integer;
+    * the sum runs in decimal(38,0) and lands back in int64 under the
+    * documented bound `n·scale² < 9.2e18` (default scale 1e4 → n ≤
+    * 9.2e10 rows; shard or coarsen past that):
+    * {{{ brier = sse_fp / (n·scale²)               // ONE division
+    *     unc   = n_pos·(n−n_pos) / n²              // ONE division
+    *     bss   = 1 − round(brier)/round(unc)       // on the rounded pair }}}
+    * `unc` is the climatology Brier score (always predict the base
+    * rate); `bss` > 0 means the model beats it. `bss` divides the two
+    * ALREADY-round(6) doubles (the [[calibrationBins]] gap precedent)
+    * — a deterministic chain, not a float fold; null when the outcome
+    * is constant (unc = 0). Out-of-[0,1] scores and non-{0,1} labels
+    * are excluded as malformed, matching [[calibrationBins]].
+    *
+    * Scale shape: ONE map-side-combined 1-row aggregate — no window,
+    * no join, nothing keyed on subjects.
+    */
+  def brierScore(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long = 10000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val y = col(s"`$labelCol`").cast("long")
+    val s = col(s"`$scoreCol`")
+    val sfp = round(s * lit(scale.toDouble), 0).cast("long")
+    val err = (sfp - y * lit(scale)).cast("decimal(38,0)")
+    df.filter(y.isin(0L, 1L) && s.isNotNull && s >= 0d && s <= 1d)
+      .select(y.as("__y"), err.as("__e"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__e") * col("__e")).cast("long").as("sse_fp"))
+      .withColumn("brier",
+        when(col("n") > 0L,
+          round(col("sse_fp").cast("double") /
+            (col("n").cast("double") * lit(scale.toDouble) *
+              lit(scale.toDouble)), 6)))
+      .withColumn("uncertainty",
+        when(col("n") > 0L,
+          round((col("n_pos") * (col("n") - col("n_pos"))).cast("double") /
+            (col("n").cast("double") * col("n").cast("double")), 6)))
+      .withColumn("bss",
+        when(col("uncertainty") > 0d,
+          round(lit(1d) - col("brier") / col("uncertainty"), 6)))
+  }
+
+  /** Precision–recall curve over the DISTINCT score thresholds,
+    * descending — one row per grid score with the exact cumulative
+    * confusion at "predict positive ⇔ score ≥ threshold":
+    * {{{ cum_tp, cum_n                      // exact int64 prefixes
+    *     precision = cum_tp / cum_n         // ONE division
+    *     recall    = cum_tp / n_pos         // ONE division
+    *     f1        = 2·cum_tp / (cum_n + n_pos)   // ONE division }}}
+    * (that f1 identity is exact on integers — no harmonic mean of
+    * rounded values). Ties share a threshold BY CONSTRUCTION: a tie
+    * run is one row, so no arbitrary within-tie ordering exists for
+    * engines to disagree on.
+    *
+    * Scale shape: rows collapse map-side to the distinct-score
+    * relation; the prefix is a window over that value-domain-sized
+    * frame (the [[aucScore]] argument); n_pos broadcasts back as a
+    * one-row literal join.
+    */
+  def prCurve(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val perV = prPerScore(df, labelCol, scoreCol, scale)
+    val tot = perV.agg(
+      sum(col("__t1")).as("__npos"), sum(col("__t")).as("__n"))
+    perV.crossJoin(broadcast(tot))
+      .select(
+        col("__x").as("score_fp"), col("__t").as("n_at"),
+        col("__t1").as("pos_at"), col("__ctp").as("cum_tp"),
+        col("__cn").as("cum_n"),
+        round(col("__ctp").cast("double") / col("__cn").cast("double"), 6)
+          .as("precision"),
+        when(col("__npos") > 0L,
+          round(col("__ctp").cast("double") / col("__npos").cast("double"), 6))
+          .as("recall"),
+        when(col("__cn") + col("__npos") > 0L,
+          round(lit(2d) * col("__ctp").cast("double") /
+            (col("__cn") + col("__npos")).cast("double"), 6)).as("f1"))
+  }
+
+  /** Average precision — the area under [[prCurve]] by the standard
+    * step sum `AP = Σ_k (ΔTP_k / n_pos) · P_k` over descending
+    * distinct thresholds. Each term is a rational, so the sum is NOT
+    * float-folded: every term floors once on an `apScale`-scaled
+    * integer and the integer sum is exact —
+    * {{{ term_fp = (ΔTP_k · cum_tp_k · S) DIV cum_n_k   // exact, ≤ ΔTP·S
+    *     ap      = Σ term_fp / (n_pos · S)              // ONE division }}}
+    * — total floor error ≤ K/(n_pos·S) for K distinct scores, and the
+    * DIV replays identically per engine (the
+    * [[Profiling.directStdRate]] budget). `Σ term_fp ≤ n_pos·S` keeps
+    * the emitted numerator int64 for any corpus; the per-term product
+    * runs in decimal(38,0). Output ONE row — (n, n_pos, ap_num, ap);
+    * ap null when no positives exist.
+    */
+  def averagePrecision(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long = 100L, apScale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    require(apScale >= 1, s"apScale must be positive: $apScale")
+    prPerScore(df, labelCol, scoreCol, scale)
+      .withColumn("__term",
+        expr(s"CAST(CAST(__t1 AS DECIMAL(38,0)) * __ctp * ${apScale}L " +
+          "DIV CAST(__cn AS DECIMAL(38,0)) AS LONG)"))
+      .agg(
+        sum(col("__t")).as("n"),
+        sum(col("__t1")).as("n_pos"),
+        sum(col("__term")).as("ap_num"))
+      .withColumn("ap",
+        when(col("n_pos") > 0L,
+          round(col("ap_num").cast("double") /
+            (col("n_pos").cast("double") * lit(apScale.toDouble)), 6)))
+  }
+
+  /** Shared [[prCurve]]/[[averagePrecision]] stage: the distinct-score
+    * relation with exact DESCENDING cumulative counts (`__ctp` = true
+    * positives, `__cn` = predicted positives at threshold `__x`).
+    */
+  private def prPerScore(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long): DataFrame = {
+    val y = col(s"`$labelCol`").cast("long")
+    val s = col(s"`$scoreCol`")
+    val xd = round(s * lit(scale.toDouble), 0).cast("long")
+    val wCum = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.filter(y.isin(0L, 1L) && s.isNotNull)
+      .select(y.as("__y"), xd.as("__x"))
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__t1"))
+      .withColumn("__ctp", sum(col("__t1")).over(wCum))
+      .withColumn("__cn", sum(col("__t")).over(wCum))
+  }
+
+  /** Cumulative lift/gains table — "if we act on everything scoring in
+    * the top bins, what share of the positives do we capture, and how
+    * much better than random is that?". Scores land in `nBins`
+    * FIXED-WIDTH bins over [0,1] (the [[calibrationBins]] edges —
+    * deterministic, no global sort), read TOP-DOWN with exact
+    * cumulative counts:
+    * {{{ capture  = cum_pos / R                  // ONE division
+    *     cum_rate = cum_pos / cum_n              // ONE division
+    *     lift     = (cum_pos·N) / (cum_n·R)      // ONE division, exact ints }}}
+    * Products stay int64 under `cum_pos·N < 9.2e18` (n ≈ 3e9).
+    * Malformed rows excluded as in [[calibrationBins]]; bins with no
+    * rows simply don't appear (their cumulative is carried by the next
+    * populated bin).
+    *
+    * Scale shape: one map-side-combined groupBy onto ≤ `nBins` rows;
+    * the cumulative window runs over that bin-sized relation.
+    */
+  def liftTable(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive: $nBins")
+    val y = col(s"`$labelCol`").cast("long")
+    val s = col(s"`$scoreCol`")
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val perBin = df
+      .filter(y.isin(0L, 1L) && s.isNotNull && s >= 0d && s <= 1d)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(y).as("n_pos"))
+    val tot = perBin.agg(
+      sum(col("n")).as("__nt"), sum(col("n_pos")).as("__rt"))
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBin
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        when(col("__rt") > 0L,
+          round(col("cum_pos").cast("double") / col("__rt").cast("double"), 6))
+          .as("capture"),
+        round(col("cum_pos").cast("double") / col("cum_n").cast("double"), 6)
+          .as("cum_rate"),
+        when(col("__rt") > 0L,
+          round((col("cum_pos") * col("__nt")).cast("double") /
+            (col("cum_n") * col("__rt")).cast("double"), 6)).as("lift"))
+  }
+
+  /** McNemar's test — do two paired binary raters (model A vs model B
+    * on the SAME rows, before/after labels) disagree symmetrically?
+    * Only the discordant cells carry information: with `b` = (1,0) and
+    * `c` = (0,1) counts (exact int64),
+    * {{{ chi2    = (b−c)² / (b+c)                    // ONE division
+    *     chi2_cc = max(|b−c|−1, 0)² / (b+c)          // continuity-corrected }}}
+    * both null when b+c = 0 (perfect concordance — no test exists).
+    * Rows where either label ∉ {0,1} are excluded. Exactness bound:
+    * (b−c)² < 9.2e18 → 3e9 discordant rows.
+    *
+    * Scale shape: ONE map-side-combined 1-row aggregate.
+    */
+  def mcnemarTest(
+      df: DataFrame, col1: String, col2: String): DataFrame = {
+    val a = col(s"`$col1`").cast("long")
+    val b = col(s"`$col2`").cast("long")
+    df.filter(a.isin(0L, 1L) && b.isin(0L, 1L))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a === 1L && b === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when(a === 1L && b === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when(a === 0L && b === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when(a === 0L && b === 0L, 1L).otherwise(0L)).as("n00"))
+      .withColumn("chi2",
+        when(col("n10") + col("n01") > 0L,
+          round(((col("n10") - col("n01")) * (col("n10") - col("n01")))
+            .cast("double") / (col("n10") + col("n01")).cast("double"), 6)))
+      .withColumn("chi2_cc",
+        when(col("n10") + col("n01") > 0L, {
+          val d = greatest(abs(col("n10") - col("n01")) - lit(1L), lit(0L))
+          round((d * d).cast("double") /
+            (col("n10") + col("n01")).cast("double"), 6)
+        }))
+  }
+
+  /** Weighted Cohen's κ — chance-corrected agreement for ORDINAL
+    * integer categories, where near-misses cost less than far misses:
+    * disagreement weight `w_ij = (i−j)²` (quadratic, the default) or
+    * `|i−j|` (linear). With observed cell mass O and marginals R, C
+    * (all exact, products in decimal(38,0)):
+    * {{{ wo = Σ w_ij·O_ij       we = Σ w_ij·R_i·C_j
+    *     κ_w = (we − n·wo) / we                     // ONE division }}}
+    * null when we = 0 (the marginal product mass carries no weighted
+    * disagreement — e.g. both raters constant). `wo_num`/`we_num`
+    * emit as int64 under the bound `maxw·n² < 9.2e18` (category span
+    * ≤ 100 → n ≈ 3e7; wider spans or corpora: the κ itself still
+    * computes exactly in decimal — only the emitted components cap).
+    *
+    * Scale shape: the [[kappaAgreement]] shape — cell relation at
+    * category², marginal join at category size, 1-row finish.
+    */
+  def weightedKappa(
+      df: DataFrame, rater1Col: String, rater2Col: String,
+      quadratic: Boolean = true): DataFrame = {
+    val a = col(s"`$rater1Col`").cast("long")
+    val b = col(s"`$rater2Col`").cast("long")
+    def w(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      if (quadratic) (i - j) * (i - j) else abs(i - j)
+    val obs = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val ct = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val weN = rt.crossJoin(broadcast(ct))
+      .agg(coalesce(sum(
+        w(col("__a"), col("__b")).cast("decimal(38,0)") *
+          col("__ra") * col("__cb")), lit(0L).cast("decimal(38,0)"))
+        .as("__we"))
+    obs.agg(
+      sum(col("__o")).as("n"),
+      sum(w(col("__a"), col("__b")).cast("decimal(38,0)") * col("__o"))
+        .as("__wo"))
+      .crossJoin(broadcast(weN))
+      .select(
+        col("n"),
+        col("__wo").cast("long").as("wo_num"),
+        col("__we").cast("long").as("we_num"),
+        when(col("__we") > 0L,
+          round((col("__we") - col("n") * col("__wo")).cast("double") /
+            col("__we").cast("double"), 6)).as("kappa_w"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit — does the model's predicted
+    * event mass match the observed count bin-by-bin? Uses the
+    * [[calibrationBins]] FIXED-WIDTH bins (deterministic edges, no
+    * quantile sort). Per populated bin g with n rows, O = observed
+    * positives and E_fp = Σ round(score·scale) (predicted mass at
+    * `scale`), the classic term (O−E)²·n / (E·(n−E)) becomes, exactly
+    * in fixed point,
+    * {{{ term_fp = ((O·S − E_fp)² · n · T) DIV (E_fp · (n·S − E_fp))
+    *     h_stat  = Σ term_fp / T                    // ONE division }}}
+    * — per-bin floor ≤ 1/T, replayed identically per engine. Bins
+    * with E_fp = 0 or E_fp = n·S (the statistic's denominator
+    * vanishes) are EXCLUDED and counted in `n_bins_dropped`; `df_hl`
+    * is the conventional used−2 (null when < 1). Products run in
+    * decimal(38,0): (O·S−E_fp)² ≤ (n·S)² then ×n·T stays inside
+    * decimal(38) for n·S < 3e12 at T = 1e6.
+    *
+    * Scale shape: one map-side-combined groupBy onto ≤ `nBins` rows;
+    * everything after is bin-domain-sized.
+    */
+  def hosmerLemeshow(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      nBins: Int = 10, scale: Long = 10000L,
+      termScale: Long = 1000000L): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive: $nBins")
+    require(scale >= 1 && termScale >= 1,
+      s"scales must be positive: $scale, $termScale")
+    val y = col(s"`$labelCol`").cast("long")
+    val s = col(s"`$scoreCol`")
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    df.filter(y.isin(0L, 1L) && s.isNotNull && s >= 0d && s <= 1d)
+      .groupBy(bin.as("__bin"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(y).as("__o"),
+        sum(round(s * lit(scale.toDouble), 0).cast("long")).as("__e"))
+      .withColumn("__ok",
+        col("__e") > 0L && col("__e") < col("__n") * lit(scale))
+      .withColumn("__dev",
+        (col("__o") * lit(scale) - col("__e")).cast("decimal(38,0)"))
+      .withColumn("__term",
+        when(col("__ok"),
+          expr(s"CAST(__dev * __dev * __n * ${termScale}L DIV " +
+            s"(CAST(__e AS DECIMAL(38,0)) * (__n * ${scale}L - __e)) " +
+            "AS LONG)")))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_bins_used"),
+        sum(when(!col("__ok"), 1L).otherwise(0L)).as("n_bins_dropped"),
+        sum(col("__term")).as("h_num"))
+      .withColumn("h_stat",
+        when(col("n_bins_used") > 0L,
+          round(col("h_num").cast("double") / lit(termScale.toDouble), 6)))
+      .withColumn("df_hl",
+        when(col("n_bins_used") > 2L, col("n_bins_used") - lit(2L)))
+  }
+
   /** Spearman rank correlation — monotone association between two
     * value columns (a quality score vs human ratings, length vs
     * perplexity), robust to any monotone transform. Both columns snap

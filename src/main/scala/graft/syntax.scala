@@ -436,6 +436,48 @@ object syntax {
     def spearmanCorr(xCol: String, yCol: String,
         scaleX: Long = 100L, scaleY: Long = 100L): DataFrame =
       ModelEval.spearmanCorr(df, xCol, yCol, scaleX, scaleY)
+    /** Brier score with climatology skill (see
+      * [[ops.ModelEval.brierScore]]).
+      */
+    def brierScore(labelCol: String, scoreCol: String,
+        scale: Long = 10000L): DataFrame =
+      ModelEval.brierScore(df, labelCol, scoreCol, scale)
+    /** Precision–recall curve over distinct thresholds (see
+      * [[ops.ModelEval.prCurve]]).
+      */
+    def prCurve(labelCol: String, scoreCol: String,
+        scale: Long = 100L): DataFrame =
+      ModelEval.prCurve(df, labelCol, scoreCol, scale)
+    /** Step-sum average precision, exact fixed point (see
+      * [[ops.ModelEval.averagePrecision]]).
+      */
+    def averagePrecision(labelCol: String, scoreCol: String,
+        scale: Long = 100L, apScale: Long = 1000000L): DataFrame =
+      ModelEval.averagePrecision(df, labelCol, scoreCol, scale, apScale)
+    /** Cumulative lift/gains table over fixed score bins (see
+      * [[ops.ModelEval.liftTable]]).
+      */
+    def liftTable(labelCol: String, scoreCol: String,
+        nBins: Int = 10): DataFrame =
+      ModelEval.liftTable(df, labelCol, scoreCol, nBins)
+    /** McNemar's paired-rater discordance test (see
+      * [[ops.ModelEval.mcnemarTest]]).
+      */
+    def mcnemarTest(col1: String, col2: String): DataFrame =
+      ModelEval.mcnemarTest(df, col1, col2)
+    /** Weighted κ for ordinal categories (see
+      * [[ops.ModelEval.weightedKappa]]).
+      */
+    def weightedKappa(rater1Col: String, rater2Col: String,
+        quadratic: Boolean = true): DataFrame =
+      ModelEval.weightedKappa(df, rater1Col, rater2Col, quadratic)
+    /** Hosmer–Lemeshow calibration goodness-of-fit (see
+      * [[ops.ModelEval.hosmerLemeshow]]).
+      */
+    def hosmerLemeshow(labelCol: String, scoreCol: String,
+        nBins: Int = 10, scale: Long = 10000L,
+        termScale: Long = 1000000L): DataFrame =
+      ModelEval.hosmerLemeshow(df, labelCol, scoreCol, nBins, scale, termScale)
     /** Peak concurrent-interval census per key (see
       * [[ops.Intervals.intervalCensus]]).
       */

@@ -70,6 +70,137 @@ class ModelEvalSpec extends SparkSpec {
     assert(s.getAs[Long]("pe_num") == 1L, s.toString) // only x·x = 1·1
   }
 
+  test("brierScore: exact fixed-point SSE; climatology and skill score; constant-outcome null bss") {
+    // scores .1/.9 on labels 0/1: sse = 2·0.01 → brier 0.01
+    val df = Seq((0, 0.1), (1, 0.9)).toDF("y", "s")
+    val r = ModelEval.brierScore(df, "y", "s", scale = 10L).collect()(0)
+    assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_pos") == 1L)
+    assert(r.getAs[Long]("sse_fp") == 2L) // (1-0)² + (9-10)²
+    assert(r.getAs[Double]("brier") == 0.01, r.toString)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("bss") == 0.96, r.toString)
+    // constant outcome: unc = 0, bss undefined; brier still real
+    val c = ModelEval.brierScore(
+      Seq((1, 0.5), (1, 0.5)).toDF("y", "s"), "y", "s", 10L).collect()(0)
+    assert(c.getAs[Double]("brier") == 0.25 &&
+      c.isNullAt(c.fieldIndex("bss")))
+    // malformed rows excluded
+    val m = ModelEval.brierScore(
+      Seq((1, 0.5), (2, 0.5), (1, 1.5)).toDF("y", "s"), "y", "s", 10L)
+      .collect()(0)
+    assert(m.getAs[Long]("n") == 1L)
+  }
+
+  test("prCurve + averagePrecision: tie runs share a threshold; exact step AP") {
+    // scores desc: 0.9(+), 0.8(−), 0.7(+), 0.7(+), 0.6(−)
+    val df = Seq((1, 0.9), (0, 0.8), (1, 0.7), (1, 0.7), (0, 0.6))
+      .toDF("y", "s")
+    val pr = ModelEval.prCurve(df, "y", "s", scale = 10L)
+      .orderBy(org.apache.spark.sql.functions.col("score_fp").desc).collect()
+    assert(pr.length == 4)
+    assert(pr(0).getAs[Long]("cum_tp") == 1L && pr(0).getAs[Long]("cum_n") == 1L)
+    assert(pr(0).getAs[Double]("precision") == 1.0)
+    val tie = pr(2) // threshold 0.7: cum_tp=3, cum_n=4
+    assert(tie.getAs[Long]("n_at") == 2L && tie.getAs[Long]("pos_at") == 2L)
+    assert(tie.getAs[Long]("cum_tp") == 3L && tie.getAs[Long]("cum_n") == 4L)
+    assert(tie.getAs[Double]("precision") == 0.75)
+    assert(tie.getAs[Double]("recall") == 1.0)
+    // f1 = 2·3/(4+3) = 6/7
+    assert(tie.getAs[Double]("f1") == 0.857143, tie.toString)
+    // AP = (1/3)·1 + 0 + (2/3)·(3/4) = 1/3 + 1/2 = 5/6
+    val ap = ModelEval.averagePrecision(df, "y", "s", 10L, 1000000L)
+      .collect()(0)
+    assert(ap.getAs[Long]("n_pos") == 3L)
+    // term_fp: 1·1·1e6 DIV 1 = 1e6 ; 2·3·1e6 DIV 4 = 1 500 000
+    assert(ap.getAs[Long]("ap_num") == 2500000L, ap.toString)
+    assert(ap.getAs[Double]("ap") == 0.833333, ap.toString)
+    // no positives: ap null
+    val z = ModelEval.averagePrecision(
+      Seq((0, 0.4)).toDF("y", "s"), "y", "s", 10L).collect()(0)
+    assert(z.isNullAt(z.fieldIndex("ap")))
+  }
+
+  test("liftTable: top-down cumulative capture and exact integer lift") {
+    // 2 bins: top half scores capture 3 of 4 positives
+    val df = Seq((1, 0.9), (1, 0.8), (1, 0.6), (0, 0.7),
+      (1, 0.3), (0, 0.2), (0, 0.1), (0, 0.4)).toDF("y", "s")
+    val out = ModelEval.liftTable(df, "y", "s", nBins = 2)
+      .orderBy(org.apache.spark.sql.functions.col("bin").desc).collect()
+    assert(out.length == 2)
+    val top = out(0)
+    assert(top.getAs[Long]("bin") == 1L && top.getAs[Long]("cum_n") == 4L)
+    assert(top.getAs[Long]("cum_pos") == 3L)
+    assert(top.getAs[Double]("capture") == 0.75)
+    assert(top.getAs[Double]("cum_rate") == 0.75)
+    // lift = (3·8)/(4·4) = 1.5
+    assert(top.getAs[Double]("lift") == 1.5, top.toString)
+    val bottom = out(1)
+    assert(bottom.getAs[Long]("cum_n") == 8L && bottom.getAs[Long]("cum_pos") == 4L)
+    assert(bottom.getAs[Double]("lift") == 1.0)
+  }
+
+  test("mcnemarTest: discordant-cell chi-square with continuity correction; concordant null") {
+    // b=n10=10, c=n01=4: chi2 = 36/14, cc = 25/14
+    val rows = Seq.fill(10)((1, 0)) ++ Seq.fill(4)((0, 1)) ++
+      Seq.fill(5)((1, 1)) ++ Seq.fill(3)((0, 0))
+    val r = ModelEval.mcnemarTest(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") == 22L && r.getAs[Long]("n10") == 10L &&
+      r.getAs[Long]("n01") == 4L)
+    assert(r.getAs[Double]("chi2") == 2.571429, r.toString)
+    assert(r.getAs[Double]("chi2_cc") == 1.785714, r.toString)
+    // perfectly concordant: no discordant mass, test undefined
+    val c = ModelEval.mcnemarTest(
+      Seq((1, 1), (0, 0)).toDF("a", "b"), "a", "b").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("chi2")))
+    // |b−c| ≤ 1 → cc clamps to zero, not negative
+    val e = ModelEval.mcnemarTest(
+      Seq((1, 0), (0, 1), (1, 0)).toDF("a", "b"), "a", "b").collect()(0)
+    assert(e.getAs[Double]("chi2_cc") == 0.0, e.toString)
+  }
+
+  test("weightedKappa: quadratic weights forgive near-misses; linear variant; constant null") {
+    // 3-level ordinal, raters differ by one step on 2 of 10 rows
+    val rows = Seq.fill(4)((0, 0)) ++ Seq.fill(4)((2, 2)) ++
+      Seq((0, 1), (2, 1))
+    val q = ModelEval.weightedKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(q.getAs[Long]("n") == 10L)
+    // wo = 2·1 = 2; we: R=(5,0,5), C=(4,2,4) → Σ(i−j)²RiCj
+    //   = 5·(0·4+1·2+4·4) + 5·(4·4+1·2+0·4) = 5·18 + 5·18 = 180
+    assert(q.getAs[Long]("wo_num") == 2L && q.getAs[Long]("we_num") == 180L)
+    // κ_w = (180 − 10·2)/180 = 8/9
+    assert(q.getAs[Double]("kappa_w") == 0.888889, q.toString)
+    val l = ModelEval.weightedKappa(rows.toDF("a", "b"), "a", "b",
+      quadratic = false).collect()(0)
+    assert(l.getAs[Long]("wo_num") == 2L && l.getAs[Long]("we_num") == 100L)
+    assert(l.getAs[Double]("kappa_w") == 0.8, l.toString)
+    // both raters constant equal: we = 0, undefined
+    val c = ModelEval.weightedKappa(
+      Seq((1, 1), (1, 1)).toDF("a", "b"), "a", "b").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("kappa_w")))
+  }
+
+  test("hosmerLemeshow: exact per-bin terms; degenerate bins dropped and counted") {
+    // 2 bins, scale 10, T 1e6.
+    // bin0: s=.2 ×4, O=2 → E=8, n·S=40, dev=2·10−8=12
+    //   term = 144·4·1e6 DIV (8·32) = 2 250 000
+    // bin1: s=.8 ×4, O=2 → E=32, dev=−12
+    //   term = 144·4·1e6 DIV (32·8) = 2 250 000
+    val df = Seq((1, 0.2), (1, 0.2), (0, 0.2), (0, 0.2),
+      (1, 0.8), (1, 0.8), (0, 0.8), (0, 0.8)).toDF("y", "s")
+    val r = ModelEval.hosmerLemeshow(df, "y", "s", nBins = 2, scale = 10L)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_bins_used") == 2L)
+    assert(r.getAs[Long]("h_num") == 4500000L, r.toString)
+    assert(r.getAs[Double]("h_stat") == 4.5, r.toString)
+    assert(r.isNullAt(r.fieldIndex("df_hl"))) // 2 bins − 2 = 0 → null
+    // an all-zero-score bin has E=0: dropped, not divided by zero
+    val d = ModelEval.hosmerLemeshow(
+      Seq((0, 0.0), (1, 0.75), (0, 0.75)).toDF("y", "s"),
+      "y", "s", nBins = 2, scale = 10L).collect()(0)
+    assert(d.getAs[Long]("n_bins_used") == 1L &&
+      d.getAs[Long]("n_bins_dropped") == 1L)
+  }
+
   test("spearmanCorr: monotone ±1, midrank ties match Pearson-on-ranks, zero-variance null") {
     val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
     val u = ModelEval.spearmanCorr(up, "x", "y", 1L, 1L).collect()(0)
