@@ -3386,6 +3386,55 @@ object SparkEntry {
               col("value") / lit(2d)).as("yv")),
         "x", "yv")),
 
+    // DDI-style co-exposure: per-user hour spans per event_type (the
+    // episodes_of_care construction, classed), merged per class, then
+    // key-equi island pairs with exact half-open overlap mass.
+    "concurrent_pairs" -> ((s, dir) => {
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
+      graft.ops.Intervals.concurrentPairs(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            sH.as("ivs"), (sH + durH).as("ive")),
+        "user_id", "event_type", "ivs", "ive")
+        .orderBy("class_a", "class_b")
+    }),
+
+    // Per-user deterministic date shift: every event of a user moves
+    // by the same Feistel-derived whole-day offset in [−30, 30] —
+    // intra-user gaps preserved exactly, calendar anchors destroyed.
+    "date_shift" -> ((s, dir) =>
+      graft.clean.Cleaners.dateShiftDeid(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", Seq("ts"))
+        .orderBy("event_id")),
+
+    // Hourly count-series autocorrelation per user-quartile series —
+    // dense guarded grid, exact decimal moments, one division + sqrt
+    // per (series, lag).
+    "autocorr" -> ((s, dir) =>
+      graft.ops.TimeSeries.autocorrelation(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).as("series"), col("ts")),
+        "series", "ts", bucketWidth = 3600000000L, maxLag = 3)
+        .orderBy("series", "lag")),
+
+    // CUSUM changepoint over the same hourly series — exact integer
+    // deviation scan, earliest-bucket tie break, one division for the
+    // normalized statistic.
+    "cusum_change" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusumChangepoint(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).as("series"), col("ts")),
+        "series", "ts", bucketWidth = 3600000000L)
+        .orderBy("series")),
+
     // Brier score of the synthetic calibration score against its
     // arithmetic label — exact fixed-point SSE, climatology
     // uncertainty, and skill score on one row.
@@ -8005,6 +8054,135 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Island pass per (user, class) then key-equi pairs; half-open
+    // overlap counted only when strictly positive.
+    "concurrent_pairs" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT user_id, event_type AS cl,
+        |    epoch_us(ts) // 3600000000 AS ivs,
+        |    epoch_us(ts) // 3600000000 + 1 +
+        |      (CAST(abs(floor(value)) AS BIGINT) % 6) AS ive
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, cl, ivs, ive,
+        |    max(ive) OVER (PARTITION BY user_id, cl ORDER BY ivs, ive
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, cl, ivs, ive,
+        |    sum(CASE WHEN pmax IS NULL OR ivs > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id, cl ORDER BY ivs, ive
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |isl AS (
+        |  SELECT user_id, cl, island, min(ivs) AS s, max(ive) AS e
+        |  FROM g GROUP BY 1, 2, 3),
+        |pr AS (
+        |  SELECT a.user_id, a.cl AS class_a, b.cl AS class_b,
+        |    least(a.e, b.e) - greatest(a.s, b.s) AS ov
+        |  FROM isl a JOIN isl b
+        |    ON a.user_id = b.user_id AND a.cl < b.cl)
+        |SELECT class_a, class_b,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(ov) AS BIGINT) AS overlap_total
+        |FROM pr WHERE ov > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The Feistel mix replayed arithmetically (bucketSqlCte), shift =
+    // mix % 61 − 30 whole days on the epoch-µs grid.
+    "date_shift" ->
+      s"""SELECT event_id, user_id,
+         |  ts + ((__mix60 % 61) - 30) * 86400000000 AS ts
+         |FROM ${graft.ops.Curation.bucketSqlCte(
+        "(SELECT event_id, user_id, epoch_us(ts) AS ts FROM events " +
+          "WHERE user_id IS NOT NULL AND ts IS NOT NULL)",
+        "user_id", graft.ops.Curation.DateShiftSalt)}
+         |ORDER BY event_id""".stripMargin,
+
+    // Dense per-series grid via generate_series; exact HUGEINT moments
+    // per (series, lag); one division + sqrt.
+    "autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS series, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cn AS (
+        |  SELECT series, (t - (t % 3600000000)) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM cn GROUP BY 1),
+        |grid AS (SELECT series, unnest(generate_series(lo, hi)) AS bucket
+        |  FROM sp),
+        |d AS (
+        |  SELECT g.series, g.bucket, coalesce(cn.n, 0) AS x
+        |  FROM grid g LEFT JOIN cn
+        |    ON cn.series = g.series AND cn.bucket = g.bucket),
+        |lags AS (SELECT unnest(generate_series(1, 3)) AS lag),
+        |p AS (
+        |  SELECT d.series, l.lag, d.x AS x, y.x AS y
+        |  FROM d CROSS JOIN lags l
+        |  JOIN d y ON y.series = d.series AND y.bucket = d.bucket + l.lag),
+        |agg AS (
+        |  SELECT series, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT series, CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs > 1 AND
+        |      CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE) > 0 AND
+        |      CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS DOUBLE) > 0
+        |    THEN round(
+        |      CAST(CAST(n_pairs AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+        |        CAST(CAST(n_pairs AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS r
+        |FROM agg ORDER BY series, lag""".stripMargin,
+
+    // Same dense grid; |n·P − k·T| scanned exactly; earliest-bucket
+    // tie break via the deterministic row_number ordering.
+    "cusum_change" ->
+      """WITH e AS (
+        |  SELECT user_id % 4 AS series, epoch_us(ts) AS t FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cn AS (
+        |  SELECT series, (t - (t % 3600000000)) // 3600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM cn GROUP BY 1),
+        |grid AS (SELECT series, unnest(generate_series(lo, hi)) AS bucket
+        |  FROM sp),
+        |d AS (
+        |  SELECT g.series, g.bucket, coalesce(cn.n, 0) AS x
+        |  FROM grid g LEFT JOIN cn
+        |    ON cn.series = g.series AND cn.bucket = g.bucket),
+        |s AS (
+        |  SELECT series, bucket,
+        |    row_number() OVER (PARTITION BY series ORDER BY bucket) AS k,
+        |    sum(x) OVER (PARTITION BY series ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    count(*) OVER (PARTITION BY series) AS n,
+        |    sum(x) OVER (PARTITION BY series) AS t
+        |  FROM d),
+        |st AS (
+        |  SELECT series, bucket, k, n, t,
+        |    abs(CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * t) AS stat
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY series
+        |    ORDER BY stat DESC, bucket) AS rn
+        |  FROM st)
+        |SELECT series, CAST(n AS BIGINT) AS n_buckets,
+        |  CAST(t AS BIGINT) AS total, bucket AS cp_bucket,
+        |  CAST(k AS BIGINT) AS cp_index, CAST(stat AS BIGINT) AS stat_num,
+        |  CASE WHEN t > 0 THEN round(CAST(stat AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) END AS cusum
+        |FROM r WHERE rn = 1 ORDER BY series""".stripMargin,
 
     // Exact fixed-point SSE over the synthetic score; climatology
     // uncertainty; bss divides the two already-rounded doubles.

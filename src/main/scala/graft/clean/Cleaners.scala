@@ -151,4 +151,48 @@ object Cleaners {
           md5(concat(lit(salt), qcol(c).cast("string")))))
     }
   }
+
+  /** Per-entity deterministic date shifting — the HIPAA-era
+    * de-identification companion to [[pseudonymize]]: every timestamp
+    * belonging to one key moves by the SAME pseudo-random number of
+    * days in `[−maxShiftDays, +maxShiftDays]`, so within-entity
+    * intervals (length of stay, dose gaps, readmission windows — the
+    * whole [[graft.ops.Intervals]] family) are EXACTLY preserved while
+    * absolute calendar positions are destroyed. The shift derives from
+    * the salted 60-bit Feistel mix ([[graft.ops.Curation.mix60]] —
+    * non-linear, so key residue structure does not leak into shifts,
+    * and bit-for-bit replayable by any ANSI-SQL engine via
+    * [[graft.ops.Curation.bucketSqlCte]]'s arithmetic):
+    * {{{ shift_days = mix60(key, salt) % (2·maxShiftDays + 1) − maxShiftDays }}}
+    * Shifted columns by type: epoch-µs LongType adds
+    * `shift_days·86_400_000_000` (integral — no float epoch math),
+    * DateType shifts by days, TimestampType by whole days via interval
+    * arithmetic (UTC sessions — the engine's contract — make this DST
+    * free). Null timestamps stay null; null keys get NO shift columns
+    * nulled — the row keeps its raw timestamps, so callers must drop
+    * or quarantine keyless rows BEFORE release (a silent 0-shift would
+    * masquerade as de-identified).
+    *
+    * Scale shape: a narrow codegen'd projection — shuffle-free.
+    */
+  def dateShiftDeid(df: DataFrame, keyCol: String, tsCols: Seq[String],
+      maxShiftDays: Int = 30,
+      salt: Long = graft.ops.Curation.DateShiftSalt): DataFrame = {
+    require(tsCols.nonEmpty, "at least one timestamp column to shift")
+    require(maxShiftDays >= 1, s"maxShiftDays must be positive: $maxShiftDays")
+    val span = 2L * maxShiftDays + 1L
+    val shift = pmod(graft.ops.Curation.mix60(qcol(keyCol), salt), lit(span)) -
+      lit(maxShiftDays.toLong)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    tsCols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      val shifted = types(c) match {
+        case org.apache.spark.sql.types.DateType =>
+          date_add(qcol(c), shift.cast("int"))
+        case org.apache.spark.sql.types.TimestampType =>
+          timestamp_micros(unix_micros(qcol(c)) + shift * lit(86400000000L))
+        case _ => qcol(c) + shift * lit(86400000000L)
+      }
+      d.withColumn(c, when(qcol(keyCol).isNotNull, shifted).otherwise(qcol(c)))
+    }
+  }
 }

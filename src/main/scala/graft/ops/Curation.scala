@@ -55,6 +55,7 @@ object Curation {
   val MixtureSalt = 3L
   val ShuffleSalt = 4L
   val QuotaSalt = 5L
+  val DateShiftSalt = 6L
 
   // 60-bit Feistel mix constants: the largest prime below 2^30 as the
   // round modulus, xxHash's public 32-bit primes as round multipliers.

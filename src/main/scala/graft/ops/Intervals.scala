@@ -220,4 +220,86 @@ object Intervals {
         when(col("person_time") > 0L,
           expr(s"n_in_exposure * ${scale}L DIV person_time")))
   }
+
+  /** Concurrent-class overlap pairs — the drug–drug-interaction /
+    * co-exposure shape: for every unordered pair of DISTINCT classes
+    * (med classes, device types) co-active on the same key, the exact
+    * co-exposure mass. Each (key, class)'s spans are first coalesced
+    * (the [[mergeIntervals]] island pass — duplicated or split
+    * prescriptions must not double-count co-exposure), then islands of
+    * different classes meet in a KEY-EQUI self-join restricted to
+    * `class_a < class_b`, overlap measured half-open:
+    * {{{ ov = min(e_a, e_b) − max(s_a, s_b)   // counted iff > 0 }}}
+    * Output per (class_a, class_b): `n_keys` (distinct keys with any
+    * positive overlap), `n_overlaps` (island pairs), `overlap_total`
+    * (exact summed grid units). Touching islands ([1,2) vs [2,3)) do
+    * NOT overlap — half-open is preserved end-to-end.
+    *
+    * Scale shape: one key shuffle for the island pass; the self-join
+    * is keyed on the SAME key (no cross-key pairs ever form), so its
+    * fanout per key is `islands_A·islands_B` per class pair — bounded
+    * by per-entity class diversity, not corpus size. `maxIslandsPerKey`
+    * fails fast (plan-embedded raise_error, the cooccurrenceLift
+    * pattern) when one key's island count says the fanout would
+    * degenerate (a sentinel id absorbing a feed).
+    */
+  def concurrentPairs(df: DataFrame, keyCol: String, classCol: String,
+      startCol: String, endCol: String,
+      maxIslandsPerKey: Long = 10000L): DataFrame = {
+    require(maxIslandsPerKey > 0,
+      s"maxIslandsPerKey must be positive: $maxIslandsPerKey")
+    val k = col(s"`$keyCol`")
+    val c = col(s"`$classCol`").cast("string")
+    val s0 = col(s"`$startCol`").cast("long")
+    val e0 = col(s"`$endCol`").cast("long")
+    // distinct FIRST: duplicate (key, class, s, e) spans are redundant
+    // for co-exposure, and removing them makes the island window's
+    // (start, end) order TOTAL per partition — without this, engines
+    // that sort each window function independently (DuckDB) can give
+    // the two ROWS-framed passes inconsistent tie orders and split one
+    // island in two. Also the usual pre-aggregation win: duplicates
+    // never reach the window sort.
+    val rows = df
+      .filter(k.isNotNull && c.isNotNull && s0.isNotNull && e0.isNotNull &&
+        e0 >= s0)
+      .select(k.as("__ik"), c.as("__cl"), s0.as("__is"), e0.as("__ie"))
+      .distinct()
+    val w = Window.partitionBy(col("__ik"), col("__cl"))
+      .orderBy(col("__is"), col("__ie"))
+    val islands = rows
+      .withColumn("__pmax",
+        max(col("__ie")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__is") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__ik"), col("__cl"), col("__isl"))
+      .agg(min(col("__is")).as("__s"), max(col("__ie")).as("__e"))
+      .withColumn("__nk",
+        count(lit(1)).over(Window.partitionBy(col("__ik"))))
+      .withColumn("__ik",
+        when(col("__nk") > maxIslandsPerKey,
+          raise_error(concat(
+            lit("concurrentPairs: key "), col("__ik").cast("string"),
+            lit(" has "), col("__nk").cast("string"),
+            lit(s" islands > maxIslandsPerKey=$maxIslandsPerKey — " +
+              "degenerate entity?"))))
+          .otherwise(col("__ik")))
+      .drop("__nk")
+    val a = islands.select(col("__ik"), col("__cl").as("class_a"),
+      col("__s").as("__sa"), col("__e").as("__ea"))
+    val b = islands.select(col("__ik"), col("__cl").as("class_b"),
+      col("__s").as("__sb"), col("__e").as("__eb"))
+    a.join(b, Seq("__ik"))
+      .filter(col("class_a") < col("class_b"))
+      .withColumn("__ov",
+        least(col("__ea"), col("__eb")) - greatest(col("__sa"), col("__sb")))
+      .filter(col("__ov") > 0L)
+      .groupBy(col("class_a"), col("class_b"))
+      .agg(
+        countDistinct(col("__ik")).as("n_keys"),
+        count(lit(1)).as("n_overlaps"),
+        sum(col("__ov")).as("overlap_total"))
+  }
 }

@@ -409,6 +409,110 @@ object TimeSeries {
           .as("med_gap"))
   }
 
+  /** Per-key autocorrelation of the event-count series at lags
+    * `1..maxLag` — "is this feed periodic / self-similar at bucket
+    * grain?" (daily-rhythm detection, feed-health monitoring). Counts
+    * land on [[denseCounts]]'s GUARDED dense grid (missing buckets are
+    * real zeros — skipping them would silently correlate non-adjacent
+    * periods), then each lag's pairs `(x_t, x_{t+lag})` meet in one
+    * (key, bucket)-equi join and Pearson runs on exact integer
+    * moments:
+    * {{{ r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)) }}}
+    * — sums in decimal(38,0) (counts² · buckets outgrow int64 on hot
+    * feeds), ONE division + sqrt, null when either side of a lag's
+    * pair set has zero variance. Output per (key, lag): `n_pairs`, `r`.
+    *
+    * Scale shape: the grid inherits [[denseCounts]]'s one key shuffle +
+    * per-key fail-fast; the lag explode inflates the grid ×maxLag
+    * BEFORE a (key, bucket)-keyed self-join (bucket-domain-sized per
+    * key, never subject-cardinality); one map-side-combined groupBy
+    * finishes.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long, maxLag: Int = 7,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val dense = denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
+    val x = dense.select(col(s"`$keyCol`"), col("bucket"),
+      col("n_events").as("__x"))
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("__tb", col("bucket") + col("lag"))
+    val y = dense.select(col(s"`$keyCol`"), col("bucket").as("__tb"),
+      col("n_events").as("__y"))
+    x.join(y, Seq(keyCol, "__tb"))
+      .groupBy(col(s"`$keyCol`"), col("lag"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"))
+      .select(col(s"`$keyCol`"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") > 1L, {
+          val n = col("n_pairs").cast("decimal(38,0)")
+          val num = (n * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double")
+          val dx = (n * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")
+          val dy = (n * col("__syy") - col("__sy") * col("__sy"))
+            .cast("double")
+          when(dx > 0d && dy > 0d, round(num / sqrt(dx * dy), 6))
+        }).as("r"))
+  }
+
+  /** CUSUM changepoint scan per key — "WHEN did this feed's rate
+    * change?": over the [[denseCounts]] grid, the classic cumulative-
+    * sum deviation from a constant-rate fit, exactly in integers. With
+    * `n` buckets, total mass `T`, 1-based index `k` and prefix `P_k`:
+    * {{{ stat_k = |n·P_k − k·T|      // exact (decimal(38,0) product)
+    *     cusum  = stat_max / (n·T)   // ONE division, ∈ [0,1] }}}
+    * The argmax bucket is the estimated changepoint (the level shift's
+    * last pre-break bucket under the standard CUSUM argument); ties
+    * break to the EARLIEST bucket, deterministically. `stat_num` emits
+    * int64 under `n·T < 9.2e18` (1e7 buckets × 9e11 events — beyond
+    * any real feed; the internal math is decimal regardless). `cusum`
+    * null when T = 0 (an all-empty grid has no rate to break).
+    *
+    * Scale shape: the grid's one key shuffle; prefix + argmax are
+    * windows over the SAME key partitioning (exchange reuse, no
+    * self-join); one map-side-combined groupBy(key) finishes.
+    */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
+      bucketWidth: Long,
+      maxBucketsPerKey: Long = 10000000L): DataFrame = {
+    val dense = denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
+    val k = col(s"`$keyCol`")
+    val Window = org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(k).orderBy(col("bucket"))
+    val wKey = Window.partitionBy(k)
+    dense
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__p",
+        sum(col("n_events")).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__t", sum(col("n_events")).over(wKey))
+      .withColumn("__stat",
+        abs((col("__n").cast("decimal(38,0)") * col("__p") -
+          col("__k").cast("decimal(38,0)") * col("__t"))))
+      .withColumn("__best",
+        max(struct(col("__stat"), (-col("bucket")).as("__nb"))).over(wKey))
+      .filter(col("__stat") === col("__best.__stat") &&
+        -col("bucket") === col("__best.__nb"))
+      .select(
+        k.as(keyCol),
+        col("__n").as("n_buckets"),
+        col("__t").as("total"),
+        col("bucket").as("cp_bucket"),
+        col("__k").as("cp_index"),
+        col("__stat").cast("long").as("stat_num"),
+        when(col("__t") > 0L,
+          round(col("__stat").cast("double") /
+            (col("__n").cast("double") * col("__t").cast("double")), 6))
+          .as("cusum"))
+  }
+
   /** Fixed-point scale of [[kaplanMeier]]'s survival estimate: 1e12, so
     * S=1 is exactly 10^12 and the per-step multiply `s·(n−d)` stays
     * inside int64 for any stratum with `n_at_risk < 9.2e6` (rescale S

@@ -173,6 +173,13 @@ object syntax {
       graft.ops.Profiling.kAnonymity(df, qiCols, k)
     def lDiversity(qiCols: Seq[String], sensitiveCol: String, l: Long): DataFrame =
       graft.ops.Profiling.lDiversity(df, qiCols, sensitiveCol, l)
+    /** Per-entity deterministic bounded date shifting (see
+      * [[clean.Cleaners.dateShiftDeid]]).
+      */
+    def dateShiftDeid(keyCol: String, tsCols: Seq[String],
+        maxShiftDays: Int = 30,
+        salt: Long = graft.ops.Curation.DateShiftSalt): DataFrame =
+      Cleaners.dateShiftDeid(df, keyCol, tsCols, maxShiftDays, salt)
     def shuffleSkewProfile(keyCol: String, numPartitions: Int = 32): DataFrame =
       graft.ops.Profiling.shuffleSkewProfile(df, keyCol, numPartitions)
 
@@ -334,6 +341,25 @@ object syntax {
     def mergeIntervals(keyCol: String, startCol: String, endCol: String,
         gap: Long = 0L): DataFrame =
       Intervals.mergeIntervals(df, keyCol, startCol, endCol, gap)
+    /** Concurrent-class co-exposure pairs, DDI-style (see
+      * [[ops.Intervals.concurrentPairs]]).
+      */
+    def concurrentPairs(keyCol: String, classCol: String, startCol: String,
+        endCol: String, maxIslandsPerKey: Long = 10000L): DataFrame =
+      Intervals.concurrentPairs(df, keyCol, classCol, startCol, endCol,
+        maxIslandsPerKey)
+    /** Per-key count-series autocorrelation at lags 1..maxLag (see
+      * [[ops.TimeSeries.autocorrelation]]).
+      */
+    def autocorrelation(keyCol: String, tsCol: String, bucketWidth: Long,
+        maxLag: Int = 7): DataFrame =
+      TimeSeries.autocorrelation(df, keyCol, tsCol, bucketWidth, maxLag)
+    /** Per-key CUSUM changepoint scan (see
+      * [[ops.TimeSeries.cusumChangepoint]]).
+      */
+    def cusumChangepoint(keyCol: String, tsCol: String,
+        bucketWidth: Long): DataFrame =
+      TimeSeries.cusumChangepoint(df, keyCol, tsCol, bucketWidth)
     /** Readmission profile over merged episodes (see
       * [[ops.Intervals.readmissions]]).
       */

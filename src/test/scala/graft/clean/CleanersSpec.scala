@@ -110,4 +110,44 @@ class CleanersSpec extends SparkSpec {
       .select("k").as[Option[String]].collect().flatten.toSet
     assert(other.intersect(toks.flatten.toSet).isEmpty)
   }
+
+  test("dateShiftDeid: per-key constant bounded shift preserves intervals; null key unshifted") {
+    val day = 86400000000L
+    val df = Seq(
+      (Some(42L), 100L * day, 103L * day),
+      (Some(42L), 110L * day, 110L * day),
+      (Some(7L), 100L * day, 100L * day),
+      (None, 100L * day, 100L * day))
+      .toDF("k", "t1", "t2")
+    val out = Cleaners.dateShiftDeid(df, "k", Seq("t1", "t2"),
+      maxShiftDays = 30)
+      .as[(Option[Long], Long, Long)].collect().toSeq
+    val by42 = out.filter(_._1.contains(42L))
+    // identify rows by their (preserved) intra-row gap: 3d vs 0d
+    val shifts42 = by42.map(r =>
+      (r._2 - (if (r._3 - r._2 == 3L * day) 100L * day else 110L * day)) / day)
+      .distinct
+    assert(shifts42.size == 1, s"one shift per key: $shifts42")
+    assert(math.abs(shifts42.head) <= 30, shifts42.toString)
+    // intra-key interval preserved exactly
+    val first42 = by42.find(r => r._3 - r._2 == 3L * day)
+    assert(first42.isDefined, by42.toString)
+    // whole-day shifts only
+    assert(out.filter(_._1.isDefined).forall(r => r._2 % day == 0L))
+    // a different key shifts differently (Feistel mixes 7 vs 42)
+    val s7 = out.filter(_._1.contains(7L)).map(r => (r._2 - 100L * day) / day)
+    assert(s7.nonEmpty && s7.head != shifts42.head)
+    // null key: row left untouched for the caller to quarantine
+    assert(out.exists(r => r._1.isEmpty && r._2 == 100L * day))
+    // DateType and TimestampType shift by the same day count
+    import org.apache.spark.sql.functions.{lit => flit, to_date, to_timestamp}
+    val dt = Seq((42L, "2020-06-15")).toDF("k", "d")
+      .select(col("k"), to_date(col("d")).as("d"),
+        to_timestamp(flit("2020-06-15 10:30:00")).as("ts"))
+    val sh = Cleaners.dateShiftDeid(dt, "k", Seq("d", "ts"), 30)
+      .selectExpr("datediff(d, DATE'2020-06-15')",
+        "CAST((unix_micros(ts) - unix_micros(TIMESTAMP'2020-06-15 10:30:00')) DIV 86400000000 AS INT)")
+      .as[(Int, Int)].collect()(0)
+    assert(sh._1 == sh._2 && sh._1 == shifts42.head.toInt, sh.toString)
+  }
 }

@@ -95,4 +95,33 @@ class IntervalsSpec extends SparkSpec {
       (1L, 20L, 2L, 5L, 3L, 3L * 1000L / 20L),
       (2L, 4L, 2L, 2L, 1L, 1L * 1000L / 4L)))
   }
+
+  test("concurrentPairs: per-class merge, half-open overlap, key-equi pairing only") {
+    val rx = Seq(
+      // key 1: A = [0,10) ∪ [12,20); B = [5,13); C = [25,30)
+      (1L, "A", 0L, 10L), (1L, "A", 12L, 20L),
+      (1L, "B", 5L, 13L), (1L, "C", 25L, 30L),
+      // key 2: duplicated/overlapping A rows merge to [0,5); B = [4,6)
+      (2L, "A", 0L, 5L), (2L, "A", 2L, 5L), (2L, "B", 4L, 6L),
+      // key 3: touching only — NOT co-exposure (half-open)
+      (3L, "A", 0L, 2L), (3L, "B", 2L, 4L)
+    ).toDF("k", "cl", "s", "e")
+    val out = Intervals.concurrentPairs(rx, "k", "cl", "s", "e")
+      .orderBy("class_a", "class_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // (A,B): key1 [0,10)∩[5,13)=5 and [12,20)∩[5,13)=1; key2 [0,5)∩[4,6)=1
+    assert(out == Seq(("A", "B", 2L, 3L, 7L)))
+    // same-class spans never pair; cross-key spans never pair
+    val solo = Seq((1L, "A", 0L, 9L), (2L, "B", 0L, 9L))
+      .toDF("k", "cl", "s", "e")
+    assert(Intervals.concurrentPairs(solo, "k", "cl", "s", "e").count() == 0L)
+    // island-count guard fails fast on a degenerate key
+    val hot = (0L until 50L).map(i => (1L, s"c$i", i * 10L, i * 10L + 5L))
+      .toDF("k", "cl", "s", "e")
+    val err = intercept[Exception] {
+      Intervals.concurrentPairs(hot, "k", "cl", "s", "e",
+        maxIslandsPerKey = 10L).count()
+    }
+    assert(err.getMessage.contains("maxIslandsPerKey"), err.getMessage)
+  }
 }

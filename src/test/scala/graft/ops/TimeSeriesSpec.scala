@@ -411,4 +411,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(h.getAs[Long]("q25") == 2L && h.getAs[Long]("median") == 2L, h.toString)
     assert(h.isNullAt(h.fieldIndex("q75")), "censored tail has no q75")
   }
+
+  test("autocorrelation: alternating series is −1 at lag 1, +1 at lag 2; flat series null") {
+    // key a: events at buckets 0,2,4 → dense [1,0,1,0,1]
+    // key b: one event per bucket 0..3 → dense [1,1,1,1] (zero variance)
+    val df = (Seq(0L, 2L, 4L).map(b => ("a", b)) ++
+      Seq(0L, 1L, 2L, 3L).map(b => ("b", b))).toDF("k", "t")
+    val out = TimeSeries.autocorrelation(df, "k", "t", bucketWidth = 1L,
+      maxLag = 2)
+      .orderBy("k", "lag").collect().toSeq
+    val aL1 = out(0)
+    assert(aL1.getAs[Long]("n_pairs") == 4L)
+    assert(aL1.getAs[Double]("r") == -1.0, aL1.toString)
+    val aL2 = out(1)
+    assert(aL2.getAs[Long]("n_pairs") == 3L)
+    assert(aL2.getAs[Double]("r") == 1.0, aL2.toString)
+    assert(out.drop(2).forall(r => r.isNullAt(r.fieldIndex("r"))),
+      "flat series has no variance at any lag")
+  }
+
+  test("cusumChangepoint: level shift found exactly; ties break earliest; empty-mass null") {
+    // key a: 3 events in each of buckets 3,4,5; none in 0..2 (present via
+    // bucket-0 event removed → grid starts at first event)... use explicit
+    // zeros: events only at 3,4,5 but one marker at 0 to anchor the grid.
+    val df = ((Seq.fill(3)(3L) ++ Seq.fill(3)(4L) ++ Seq.fill(3)(5L) :+ 0L)
+      .map(b => ("a", b)) ++
+      Seq(("b", 0L), ("b", 3L))) // symmetric: stat ties at k=1 and k=3
+      .toDF("k", "t")
+    val out = TimeSeries.cusumChangepoint(df, "k", "t", bucketWidth = 1L)
+      .orderBy("k").collect().toSeq
+    val a = out(0)
+    // dense [1,0,0,3,3,3]: n=6 T=10, P=(1,1,1,4,7,10)
+    // stat_k = |6P − 10k| = (4,14,24,16,8,0) → max 24 at k=3 (bucket 2,
+    // the last pre-break bucket)
+    assert(a.getAs[Long]("n_buckets") == 6L && a.getAs[Long]("total") == 10L)
+    assert(a.getAs[Long]("cp_bucket") == 2L && a.getAs[Long]("cp_index") == 3L)
+    assert(a.getAs[Long]("stat_num") == 24L)
+    assert(a.getAs[Double]("cusum") == 0.4, a.toString)
+    // key b dense [1,0,0,1]: n=4 T=2, stat=|4P−2k| = (2,0,2,0): tie k=1,k=3
+    val b = out(1)
+    assert(b.getAs[Long]("cp_index") == 1L && b.getAs[Long]("cp_bucket") == 0L,
+      b.toString)
+  }
 }
