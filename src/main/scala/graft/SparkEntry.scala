@@ -3386,6 +3386,48 @@ object SparkEntry {
               col("value") / lit(2d)).as("yv")),
         "x", "yv")),
 
+    // Fellegi–Sunter linkage of customers to a deterministically
+    // perturbed registry (every 7th name case-mangled, every 5th
+    // balance band bumped): blocked on (custkey%10, nation) so true
+    // pairs always co-block; literal fixed-point log2-odds weights;
+    // per-(class, score) census as the gate output.
+    "record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey").isNotNull && col("c_nationkey").isNotNull)
+      val blk = (pmod(col("c_custkey"), lit(10L)) * lit(100L) +
+        col("c_nationkey")).as("blk")
+      val left = c.select(col("c_custkey").as("ida"), blk,
+        col("c_name").as("name"),
+        floor(col("c_acctbal") / lit(100d)).cast("long").as("band"),
+        col("c_mktsegment").as("seg"))
+      val right = c.select((col("c_custkey") + lit(1000000L)).as("idb"), blk,
+        when(pmod(col("c_custkey"), lit(7L)) === 0L, upper(col("c_name")))
+          .otherwise(col("c_name")).as("name"),
+        (floor(col("c_acctbal") / lit(100d)).cast("long") +
+          when(pmod(col("c_custkey"), lit(5L)) === 0L, 1L).otherwise(0L))
+          .as("band"),
+        col("c_mktsegment").as("seg"))
+      graft.ops.Linkage.probabilisticLinkage(
+        left, right, "ida", "idb", "blk", "blk",
+        Seq(
+          graft.ops.Linkage.LinkField("name", "name", 0.95, 0.001),
+          graft.ops.Linkage.LinkField("band", "band", 0.9, 0.02),
+          graft.ops.Linkage.LinkField("seg", "seg", 0.95, 0.2)),
+        upper = 5.0, lower = 0.0)
+        .groupBy(col("link_class"), col("score_fp"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("link_class", "score_fp")
+    }),
+
+    // Chance-agreement (u) profile feeding the linkage weights — one
+    // exact value-histogram pass per field, u as one floor DIV + one
+    // division.
+    "linkage_u_profile" -> ((s, dir) =>
+      graft.ops.Linkage.uProfile(
+        t(s, dir, "customer"),
+        Seq("c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("field")),
+
     // DDI-style co-exposure: per-user hour spans per event_type (the
     // episodes_of_care construction, classed), merged per class, then
     // key-equi island pairs with exact half-open overlap mass.
@@ -8054,6 +8096,80 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Blocked pair join + literal integer weight sums (the SAME
+    // driver-computed constants as the engine plan); missing fields
+    // carry zero weight.
+    "record_linkage" -> {
+      import graft.ops.Linkage.{agreeWeight => aw, disagreeWeight => dw}
+      val (waN, wdN) = (aw(0.95, 0.001, 1000L), dw(0.95, 0.001, 1000L))
+      val (waB, wdB) = (aw(0.9, 0.02, 1000L), dw(0.9, 0.02, 1000L))
+      val (waS, wdS) = (aw(0.95, 0.2, 1000L), dw(0.95, 0.2, 1000L))
+      s"""WITH l AS (
+         |  SELECT c_custkey AS ida,
+         |    (c_custkey % 10) * 100 + c_nationkey AS blk,
+         |    c_name AS name,
+         |    CAST(floor(c_acctbal / 100.0) AS BIGINT) AS band,
+         |    c_mktsegment AS seg
+         |  FROM customer
+         |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+         |r AS (
+         |  SELECT c_custkey + 1000000 AS idb,
+         |    (c_custkey % 10) * 100 + c_nationkey AS blk,
+         |    CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) ELSE c_name END
+         |      AS name,
+         |    CAST(floor(c_acctbal / 100.0) AS BIGINT) +
+         |      CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS band,
+         |    c_mktsegment AS seg
+         |  FROM customer
+         |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+         |p AS (
+         |  SELECT
+         |    CASE WHEN l.name IS NOT NULL AND r.name IS NOT NULL
+         |      THEN CASE WHEN l.name = r.name THEN $waN ELSE $wdN END
+         |      ELSE 0 END +
+         |    CASE WHEN l.band IS NOT NULL AND r.band IS NOT NULL
+         |      THEN CASE WHEN l.band = r.band THEN $waB ELSE $wdB END
+         |      ELSE 0 END +
+         |    CASE WHEN l.seg IS NOT NULL AND r.seg IS NOT NULL
+         |      THEN CASE WHEN l.seg = r.seg THEN $waS ELSE $wdS END
+         |      ELSE 0 END AS score_fp
+         |  FROM l JOIN r USING (blk))
+         |SELECT
+         |  CASE WHEN score_fp >= 5000 THEN 'match'
+         |       WHEN score_fp <= 0 THEN 'nonmatch'
+         |       ELSE 'review' END AS link_class,
+         |  CAST(score_fp AS BIGINT) AS score_fp,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // One histogram per field, u_num = Σ n_v(n_v−1) exactly; floor DIV
+    // for u_fp, one division for u.
+    "linkage_u_profile" ->
+      """WITH f AS (
+        |  SELECT 'c_name' AS field, CAST(c_name AS VARCHAR) AS v
+        |  FROM customer WHERE c_name IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', CAST(c_mktsegment AS VARCHAR)
+        |  FROM customer WHERE c_mktsegment IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_nationkey IS NOT NULL),
+        |h AS (
+        |  SELECT field, v, CAST(count(*) AS BIGINT) AS nv
+        |  FROM f GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT field, CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(CAST(nv AS HUGEINT) * (nv - 1)) AS BIGINT) AS u_num
+        |  FROM h GROUP BY 1)
+        |SELECT field, n, n_distinct, u_num,
+        |  CASE WHEN n > 1 THEN CAST((CAST(u_num AS HUGEINT) * 1000000) //
+        |    (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END AS u_fp,
+        |  CASE WHEN n > 1 THEN round(CAST(u_num AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) END AS u
+        |FROM agg ORDER BY field""".stripMargin,
 
     // Island pass per (user, class) then key-equi pairs; half-open
     // overlap counted only when strictly positive.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.clean.Cleaners
-import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Intervals, ModelEval, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
+import graft.ops.{AsofJoin, Curation, Dedup, Domains, Funnel, FuzzyJoin, GraphOps, Intervals, Linkage, ModelEval, Multimodal, Profiling, Similarity, TextStats, TimeSeries}
 import graft.quality.QualityChecker
 
 /** Fluent corpus API — `import graft.syntax._` and chain the engine's
@@ -257,6 +257,21 @@ object syntax {
     def fuzzyJoin(right: DataFrame, idCol: String, strCol: String,
         rightId: String, rightCol: String, maxDist: Int): DataFrame =
       FuzzyJoin.editDistanceJoin(df, idCol, strCol, right, rightId, rightCol, maxDist)
+    /** Blocked Fellegi–Sunter probabilistic linkage (see
+      * [[ops.Linkage.probabilisticLinkage]]).
+      */
+    def probabilisticLinkage(right: DataFrame, leftId: String,
+        rightId: String, blockLeft: String, blockRight: String,
+        fields: Seq[Linkage.LinkField], upper: Double, lower: Double,
+        scale: Long = 1000L): DataFrame =
+      Linkage.probabilisticLinkage(df, right, leftId, rightId, blockLeft,
+        blockRight, fields, upper, lower, scale)
+    /** Per-field chance-agreement (u) profile (see
+      * [[ops.Linkage.uProfile]]).
+      */
+    def linkageUProfile(fields: Seq[String],
+        scale: Long = 1000000L): DataFrame =
+      Linkage.uProfile(df, fields, scale)
     def groupProfile(groupCols: Seq[String], valueCol: String): DataFrame =
       graft.ops.Incremental.groupProfile(df, groupCols, valueCol)
     def valueHistogram(valueCol: String, lo: Double, hi: Double,
