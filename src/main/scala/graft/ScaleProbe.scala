@@ -787,6 +787,81 @@ object ScaleProbe {
           "g", "s", "e"))
     }
 
+    // round-10 session-8 family: co-exposure pairs and the series scans
+    // replicate on the KEY axis (users/series ×k, per-key span fixed);
+    // linkage replicates customers with per-replica BLOCK offsets —
+    // more blocks of the same size, the honest "more entities at fixed
+    // blocking granularity" axis (denser blocks would be k²-quadratic
+    // BY DESIGN; that axis is what maxPairsPerBlock guards).
+    if (familyOn("probe10h")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evBase = SparkEntry.events(spark, sfDir)
+        .select("event_id", "user_id", "ts", "value", "event_type")
+      val evV = (0 until times).map { i =>
+        evBase.select(
+          (col("event_id") + lit(i * n)).as("event_id"),
+          (col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"), col("event_type"))
+      }.reduce(_.unionByName(_))
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val cV = (0 until times).map { i =>
+        cust.select(
+          (col("c_custkey") + lit(i * n)).as("c_custkey"),
+          (col("c_nationkey") + lit(i * 100L)).as("c_nationkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe10h ${times}x ---")
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
+      time("probe10h:concurrentPairs",
+        graft.ops.Intervals.concurrentPairs(
+          evV.filter(col("user_id").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+            .select(col("user_id"), col("event_type"),
+              sH.as("ivs"), (sH + durH).as("ive")),
+          "user_id", "event_type", "ivs", "ive"))
+      time("probe10h:autocorrelation",
+        graft.ops.TimeSeries.autocorrelation(
+          evV.filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select(pmod(col("user_id"), lit(512L)).as("series"), col("ts")),
+          "series", "ts", bucketWidth = 3600000000L, maxLag = 3))
+      time("probe10h:cusumChangepoint",
+        graft.ops.TimeSeries.cusumChangepoint(
+          evV.filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select(pmod(col("user_id"), lit(512L)).as("series"), col("ts")),
+          "series", "ts", bucketWidth = 3600000000L))
+      time("probe10h:dateShiftDeid",
+        graft.clean.Cleaners.dateShiftDeid(
+          evV.filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", Seq("ts")))
+      val blk = (pmod(col("c_custkey"), lit(10L)) * lit(10000L) +
+        col("c_nationkey")).as("blk")
+      val linkL = cV.filter(col("c_custkey").isNotNull &&
+        col("c_nationkey").isNotNull)
+        .select(col("c_custkey").as("ida"), blk, col("c_name").as("name"),
+          floor(col("c_acctbal") / lit(100d)).cast("long").as("band"),
+          col("c_mktsegment").as("seg"))
+      val linkR = cV.filter(col("c_custkey").isNotNull &&
+        col("c_nationkey").isNotNull)
+        .select((col("c_custkey") + lit(1000000000L)).as("idb"), blk,
+          when(pmod(col("c_custkey"), lit(7L)) === 0L, upper(col("c_name")))
+            .otherwise(col("c_name")).as("name"),
+          (floor(col("c_acctbal") / lit(100d)).cast("long") +
+            when(pmod(col("c_custkey"), lit(5L)) === 0L, 1L).otherwise(0L))
+            .as("band"),
+          col("c_mktsegment").as("seg"))
+      time("probe10h:probabilisticLinkage",
+        graft.ops.Linkage.probabilisticLinkage(
+          linkL, linkR, "ida", "idb", "blk", "blk",
+          Seq(
+            graft.ops.Linkage.LinkField("name", "name", 0.95, 0.001),
+            graft.ops.Linkage.LinkField("band", "band", 0.9, 0.02),
+            graft.ops.Linkage.LinkField("seg", "seg", 0.95, 0.2)),
+          upper = 5.0, lower = 0.0)
+          .groupBy(col("link_class")).agg(count(lit(1)).as("n")))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

@@ -3386,6 +3386,20 @@ object SparkEntry {
               col("value") / lit(2d)).as("yv")),
         "x", "yv")),
 
+    // Covariate balance (standardized mean differences) between the
+    // user-parity pseudo-exposure groups over value and hour-of-day —
+    // exact decimal moments per group, smd on the rounded chain.
+    "balance_table" -> ((s, dir) =>
+      graft.ops.Profiling.balanceTable(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(2L)).as("expd"),
+            col("value"),
+            (expr("ts DIV 3600000000") % lit(24L)).cast("double").as("hod")),
+        "expd", Seq("value", "hod"))
+        .orderBy("covariate")),
+
     // Fellegi–Sunter linkage of customers to a deterministically
     // perturbed registry (every 7th name case-mangled, every 5th
     // balance band bumped): blocked on (custkey%10, nation) so true
@@ -8096,6 +8110,53 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Per-covariate exact HUGEINT moments; means/vars one division
+    // each; smd divides the already-rounded pair.
+    "balance_table" -> {
+      def trio(name: String, xcol: String): String =
+        s"""m_$name AS (
+           |  SELECT CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n1,
+           |    CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           |    sum(CASE WHEN e = 1 THEN $xcol END) AS s1,
+           |    sum(CASE WHEN e = 0 THEN $xcol END) AS s0,
+           |    sum(CASE WHEN e = 1 THEN $xcol * $xcol END) AS q1,
+           |    sum(CASE WHEN e = 0 THEN $xcol * $xcol END) AS q0
+           |  FROM base),
+           |r_$name AS (
+           |  SELECT '$name' AS covariate, n1, n0,
+           |    CASE WHEN n1 > 0 THEN round(CAST(s1 AS DOUBLE) /
+           |      (CAST(n1 AS DOUBLE) * 100.0), 6) END AS mean_exposed,
+           |    CASE WHEN n0 > 0 THEN round(CAST(s0 AS DOUBLE) /
+           |      (CAST(n0 AS DOUBLE) * 100.0), 6) END AS mean_unexposed,
+           |    CASE WHEN n1 > 1 THEN round(CAST(n1 * q1 - s1 * s1 AS DOUBLE) /
+           |      (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE) * 10000.0), 6)
+           |      END AS var_exposed,
+           |    CASE WHEN n0 > 1 THEN round(CAST(n0 * q0 - s0 * s0 AS DOUBLE) /
+           |      (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE) * 10000.0), 6)
+           |      END AS var_unexposed
+           |  FROM m_$name),
+           |f_$name AS (
+           |  SELECT *, CASE WHEN var_exposed IS NOT NULL AND
+           |      var_unexposed IS NOT NULL AND
+           |      var_exposed + var_unexposed > 0
+           |    THEN round((mean_exposed - mean_unexposed) /
+           |      sqrt((var_exposed + var_unexposed) / 2.0), 6) END AS smd
+           |  FROM r_$name)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT user_id % 2 AS e,
+         |    CAST(round(value * 100.0) AS HUGEINT) AS xv,
+         |    CAST(round(CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)
+         |      * 100.0) AS HUGEINT) AS xh
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND value IS NOT NULL),
+         |${trio("hod", "xh")},
+         |${trio("value", "xv")}
+         |SELECT * FROM f_hod UNION ALL SELECT * FROM f_value
+         |ORDER BY covariate""".stripMargin
+    },
 
     // Blocked pair join + literal integer weight sums (the SAME
     // driver-computed constants as the engine plan); missing fields

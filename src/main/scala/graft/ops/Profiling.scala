@@ -1455,4 +1455,61 @@ object Profiling {
             (col("__n").cast("double") * col("__tot").cast("double")), 6))
           .as("gini"))
   }
+
+  /** Covariate balance table (standardized mean differences) — the
+    * propensity-matching / confounding pre-flight: per covariate, how
+    * far apart do the exposed and unexposed groups sit in pooled-SD
+    * units? The |SMD| < 0.1 convention is THE table-one balance
+    * readout. Values snap to the `round(x·scale)` grid; per group the
+    * count and the Σx / Σx² moments are exact (decimal(38,0)); then
+    * {{{ mean_g = Σx / (n_g·scale)                       // ONE division
+    *     var_g  = (n_g·Σx² − (Σx)²)/(n_g·(n_g−1)·scale²) // ONE division
+    *     smd    = (m1 − m0) / sqrt((v1 + v0)/2)          // rounded pair }}}
+    * — `smd` runs on the ALREADY-round(6) means/variances (the
+    * [[graft.ops.ModelEval.calibrationBins]] gap precedent): a
+    * deterministic chain, not a float fold. Null when either group has
+    * < 2 rows or the pooled variance is zero. Covariates are
+    * enumerated DRIVER-SIDE (the loop is over the schema, not data) —
+    * one map-side-combined two-row aggregate per covariate, unioned.
+    */
+  def balanceTable(df: DataFrame, exposedCol: String,
+      covariates: Seq[String], scale: Long = 100L): DataFrame = {
+    require(covariates.nonEmpty, "at least one covariate")
+    require(scale >= 1, s"scale must be positive: $scale")
+    val e = col(s"`$exposedCol`").cast("long")
+    covariates.map { cv =>
+      val x = col(s"`$cv`")
+      val xf = round(x * lit(scale.toDouble), 0).cast("decimal(38,0)")
+      val agg = df.filter(e.isin(0L, 1L) && x.isNotNull)
+        .select(e.as("__e"), xf.as("__x"))
+        .agg(
+          sum(when(col("__e") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("__e") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("__e") === 1L, col("__x"))).as("__s1"),
+          sum(when(col("__e") === 0L, col("__x"))).as("__s0"),
+          sum(when(col("__e") === 1L, col("__x") * col("__x"))).as("__q1"),
+          sum(when(col("__e") === 0L, col("__x") * col("__x"))).as("__q0"))
+      def meanOf(nc: String, sc: String) =
+        when(col(nc) > 0L,
+          round(col(sc).cast("double") /
+            (col(nc).cast("double") * lit(scale.toDouble)), 6))
+      def varOf(nc: String, sc: String, qc: String) =
+        when(col(nc) > 1L,
+          round((col(nc).cast("decimal(38,0)") * col(qc) -
+            col(sc) * col(sc)).cast("double") /
+            (col(nc).cast("double") * (col(nc) - 1L).cast("double") *
+              lit(scale.toDouble) * lit(scale.toDouble)), 6))
+      agg.select(
+        lit(cv).as("covariate"), col("n1"), col("n0"),
+        meanOf("n1", "__s1").as("mean_exposed"),
+        meanOf("n0", "__s0").as("mean_unexposed"),
+        varOf("n1", "__s1", "__q1").as("var_exposed"),
+        varOf("n0", "__s0", "__q0").as("var_unexposed"))
+        .withColumn("smd",
+          when(col("var_exposed").isNotNull && col("var_unexposed").isNotNull
+            && col("var_exposed") + col("var_unexposed") > 0d,
+            round((col("mean_exposed") - col("mean_unexposed")) /
+              sqrt((col("var_exposed") + col("var_unexposed")) / lit(2d)), 6)))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -436,6 +436,12 @@ object syntax {
     def kruskalWallis(groupCol: String, valueCol: String,
         scale: Long = 100L): DataFrame =
       Profiling.kruskalWallis(df, groupCol, valueCol, scale)
+    /** Covariate balance table (SMD) between exposure groups (see
+      * [[ops.Profiling.balanceTable]]).
+      */
+    def balanceTable(exposedCol: String, covariates: Seq[String],
+        scale: Long = 100L): DataFrame =
+      Profiling.balanceTable(df, exposedCol, covariates, scale)
     /** Cochran–Armitage ordered-exposure trend test (see
       * [[ops.Profiling.trendTest]]).
       */

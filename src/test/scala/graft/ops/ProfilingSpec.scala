@@ -636,4 +636,35 @@ class ProfilingSpec extends SparkSpec {
     assert(byP(7500) == ((3L, 5L, 0.5, 0.5)))
     assert(byP(10000) == ((4L, 10L, 1.0, 0.0)))
   }
+
+  test("balanceTable: exact moments per group; smd on the rounded chain; degenerate nulls") {
+    // exposed {1,2,3} (m=2, v=1), unexposed {5,7,9} (m=7, v=4)
+    // smd = (2−7)/sqrt(2.5) = −3.162278
+    val df = Seq(
+      (1, 1.0, 10.0), (1, 2.0, 10.0), (1, 3.0, 10.0),
+      (0, 5.0, 10.0), (0, 7.0, 10.0), (0, 9.0, 10.0),
+      (2, 99.0, 99.0) // out-of-domain exposure excluded
+    ).toDF("e", "x", "c")
+    val out = Profiling.balanceTable(df, "e", Seq("x", "c"), scale = 1L)
+      .orderBy("covariate").collect()
+    val cx = out(1)
+    assert(cx.getAs[String]("covariate") == "x")
+    assert(cx.getAs[Long]("n1") == 3L && cx.getAs[Long]("n0") == 3L)
+    assert(cx.getAs[Double]("mean_exposed") == 2.0 &&
+      cx.getAs[Double]("mean_unexposed") == 7.0)
+    assert(cx.getAs[Double]("var_exposed") == 1.0 &&
+      cx.getAs[Double]("var_unexposed") == 4.0)
+    assert(cx.getAs[Double]("smd") == -3.162278, cx.toString)
+    // constant covariate: pooled variance zero → smd undefined
+    val cc = out(0)
+    assert(cc.getAs[String]("covariate") == "c")
+    assert(cc.getAs[Double]("var_exposed") == 0.0 &&
+      cc.isNullAt(cc.fieldIndex("smd")), cc.toString)
+    // a one-row group has no sample variance
+    val tiny = Profiling.balanceTable(
+      Seq((1, 4.0), (0, 1.0), (0, 2.0)).toDF("e", "x"), "e", Seq("x"), 1L)
+      .collect()(0)
+    assert(tiny.isNullAt(tiny.fieldIndex("var_exposed")) &&
+      tiny.isNullAt(tiny.fieldIndex("smd")))
+  }
 }
