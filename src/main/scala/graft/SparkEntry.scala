@@ -3013,6 +3013,23 @@ object SparkEntry {
     // fixed-point recurrence (PageRank's exactness identity), replayed
     // by a DuckDB recursive CTE — no float cumulative product crosses
     // the engine boundary.
+    // Nelson–Aalen cumulative hazard over the same per-user duration
+    // construction as survival_km — additive exact floor increments,
+    // window-cumsum prefix, rows at event times only.
+    "survival_na" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.nelsonAalen(perUser, "cohort", "duration", "observed")
+        .orderBy("cohort", "duration")
+    }),
+
     "survival_km" -> ((s, dir) => {
       val perUser = events(s, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -7349,6 +7366,40 @@ object SparkEntry {
         |      * (CAST(sum(d1) AS DOUBLE) * 1000000000 - CAST(sum(e1) AS DOUBLE))
         |      / (1000000000.0 * CAST(sum(v) AS DOUBLE)), 6) END AS chi2
         |FROM ev""".stripMargin,
+
+    // Additive hazard: exact floor increments + a window cumsum — no
+    // recursion needed, unlike the KM product.
+    "survival_na" ->
+      """WITH per_user AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |pt AS (
+        |  SELECT cohort, duration, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d_events
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM pt GROUP BY 1),
+        |rr AS (
+        |  SELECT p.cohort, p.duration, p.m, p.d_events,
+        |    CAST(t.n - coalesce(sum(p.m) OVER (PARTITION BY p.cohort
+        |      ORDER BY p.duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM pt p JOIN tot t ON t.cohort = p.cohort),
+        |inc AS (
+        |  SELECT cohort, duration, n_at_risk, d_events,
+        |    CAST(sum((CAST(d_events AS HUGEINT) * 1000000000000) //
+        |        n_at_risk)
+        |      OVER (PARTITION BY cohort ORDER BY duration
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumhaz_fp
+        |  FROM rr)
+        |SELECT cohort, duration, n_at_risk, d_events, cumhaz_fp,
+        |  round(CAST(cumhaz_fp AS DOUBLE) / 1000000000000.0, 6) AS cumhaz
+        |FROM inc WHERE d_events > 0
+        |ORDER BY cohort, duration""".stripMargin,
 
     "survival_km" ->
       """WITH RECURSIVE per_user AS (

@@ -771,6 +771,63 @@ object TimeSeries {
       .withColumnRenamed("__g", groupCol)
   }
 
+  /** Nelson–Aalen cumulative hazard per stratum — the ADDITIVE
+    * companion to [[kaplanMeier]] (H(t) = Σ_{t_i ≤ t} d_i/n_i):
+    * preferred when hazards are the modelling target (piecewise-
+    * exponential fits, hazard-ratio eyeballing) and, being a plain
+    * prefix sum, needs NO per-stratum fold — each step's increment is
+    * an independent exact floor term:
+    * {{{ inc_fp    = d·S DIV n_at_risk      // exact, ≤ S per step
+    *     cumhaz_fp = Σ_{t' ≤ t} inc_fp      // exact int64 prefix
+    *     cumhaz    = cumhaz_fp / S          // ONE division }}}
+    * with S = [[SurvivalScale]]; per-step floor ≤ 1/S, and the prefix
+    * sum replays as a window cumsum in any SQL engine (no recursion —
+    * the reason this op has a simpler oracle than the KM product).
+    * Risk sets and event counts use the same distinct-duration
+    * machinery as [[kaplanMeier]]; output rows only at EVENT times
+    * (d > 0), right-censoring handled by the shrinking risk set.
+    * Exactness bound: `d·S < 9.2e18` per step inside decimal(38,0);
+    * the emitted cumhaz_fp is int64 under `H·S < 9.2e18` — H < 9.2e6
+    * cumulative hazard units, far past any survivable cohort.
+    *
+    * Scale shape: one (stratum, duration) groupBy, a stratum-keyed
+    * totals join, and two windows in the SAME stratum partitioning
+    * (exchange reuse) — bounded by distinct durations, never subjects.
+    */
+  def nelsonAalen(
+      df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val perT = df
+      .filter(g.isNotNull && col(s"`$durationCol`").isNotNull &&
+        col(s"`$observedCol`").isNotNull)
+      .select(g.cast("string").as("__g"),
+        col(s"`$durationCol`").cast("long").as("duration"),
+        col(s"`$observedCol`").cast("long").as("__obs"))
+      .groupBy(col("__g"), col("duration"))
+      .agg(count(lit(1)).as("__m"), sum(col("__obs")).as("d_events"))
+    val totals = perT.groupBy(col("__g").as("__tg"))
+      .agg(sum(col("__m")).as("__n"))
+    val Window = org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("__g")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perT.join(totals, col("__g") === col("__tg")).drop("__tg")
+      .withColumn("n_at_risk",
+        col("__n") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .withColumn("__inc",
+        expr(s"CAST(CAST(d_events AS DECIMAL(38,0)) * ${SurvivalScale}L " +
+          "DIV n_at_risk AS LONG)"))
+      .withColumn("cumhaz_fp", sum(col("__inc")).over(wCum))
+      .filter(col("d_events") > 0L)
+      .select(
+        col("__g").as(groupCol), col("duration"), col("n_at_risk"),
+        col("d_events"), col("cumhaz_fp"),
+        round(col("cumhaz_fp").cast("double") / lit(SurvivalScale.toDouble), 6)
+          .as("cumhaz"))
+  }
+
   /** Survival quantiles per stratum — the headline numbers a clinician
     * reads off a [[kaplanMeier]] curve: median survival time and the
     * 25th/75th-percentile times, plus stratum size and event total.

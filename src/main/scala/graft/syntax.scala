@@ -369,6 +369,12 @@ object syntax {
     def autocorrelation(keyCol: String, tsCol: String, bucketWidth: Long,
         maxLag: Int = 7): DataFrame =
       TimeSeries.autocorrelation(df, keyCol, tsCol, bucketWidth, maxLag)
+    /** Nelson–Aalen cumulative hazard per stratum (see
+      * [[ops.TimeSeries.nelsonAalen]]).
+      */
+    def nelsonAalen(groupCol: String, durationCol: String,
+        observedCol: String): DataFrame =
+      TimeSeries.nelsonAalen(df, groupCol, durationCol, observedCol)
     /** Per-key CUSUM changepoint scan (see
       * [[ops.TimeSeries.cusumChangepoint]]).
       */

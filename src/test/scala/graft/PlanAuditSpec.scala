@@ -72,7 +72,14 @@ class PlanAuditSpec extends SparkSpec {
     "l_diversity" -> "diversity-level rows × ONE broadcast total row",
     "logrank_test" -> "distinct-event-time rows × ONE broadcast totals row",
     "chisq_independence" -> "the full r×c contingency grid (rowTotals × colTotals, both category-sized) plus two one-row broadcast totals/dims frames; maxCells guard fails fast on runaway grids",
-    "kruskal_test" -> "ONE one-row group aggregate × ONE one-row ties/totals frame")
+    "kruskal_test" -> "ONE one-row group aggregate × ONE one-row ties/totals frame",
+    "cost_concentration" -> "distinct-total rank rows × ONE broadcast totals row",
+    "direct_std_rate" -> "(group,stratum) cell rows × ONE broadcast standard-weight total row",
+    "kappa_agreement" -> "ONE one-row confusion aggregate × ONE one-row marginal-product frame",
+    "weighted_kappa" -> "category-sized marginal cross (rt × broadcast ct) + the one-row wo × we frame",
+    "spearman_corr" -> "ONE one-row moments aggregate × TWO one-row tie frames",
+    "pr_curve" -> "distinct-threshold rows × ONE broadcast totals row",
+    "lift_table" -> "≤ nBins rows × ONE broadcast totals row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -109,7 +116,13 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_topk" -> "final k-row rank over the per-partition top-k cut survivors (cut asserted below)",
     "logrank_test" -> "at-risk prefix over DISTINCT pooled event times (an aggregate of durations, bounded far below subjects); stratified variants partition it",
     "ranksum_test" -> "rank prefix over DISTINCT snapped grid values (an aggregate bounded by the value domain at the chosen scale, not by subjects — the logrank_test argument); probe10e measures the flat-in-k curve",
-    "kruskal_test" -> "the same distinct-grid-value rank prefix as ranksum_test, joined back to the (value, group) cells — both domain-sized")
+    "kruskal_test" -> "the same distinct-grid-value rank prefix as ranksum_test, joined back to the (value, group) cells — both domain-sized",
+    "auc_score" -> "the ranksum_test distinct-grid-value prefix (the AUC is a Mann–Whitney readout of the same relation)",
+    "spearman_corr" -> "two per-axis distinct-grid-value rank prefixes (each the ranksum_test argument)",
+    "cost_concentration" -> "rank prefix over the DISTINCT per-key cent-total relation (key-domain-sized after the per-key collapse; the documented coarse-grid lever applies)",
+    "pr_curve" -> "descending cumulative over the DISTINCT score-threshold relation (value-domain-sized — the auc_score argument)",
+    "avg_precision" -> "the same distinct-threshold cumulative as pr_curve",
+    "lift_table" -> "cumulative over ≤ nBins fixed-width bin rows")
 
   test("no registry query plans an unpartitioned window over an unbounded relation") {
     import org.apache.spark.sql.execution.SparkPlan

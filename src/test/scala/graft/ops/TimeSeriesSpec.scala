@@ -412,6 +412,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(h.isNullAt(h.fieldIndex("q75")), "censored tail has no q75")
   }
 
+  test("nelsonAalen: additive exact floor increments; censoring shrinks the risk set; event rows only") {
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L), ("g", 6L, 1L))
+      .toDF("cohort", "duration", "observed")
+    val out = TimeSeries.nelsonAalen(df, "cohort", "duration", "observed")
+      .orderBy("duration").collect()
+    assert(out.length == 4, "rows at event times only (t=5 censored-only)")
+    val t1 = out(0)
+    assert(t1.getAs[Long]("n_at_risk") == 6L &&
+      t1.getAs[Long]("cumhaz_fp") == 166666666666L)
+    assert(t1.getAs[Double]("cumhaz") == 0.166667)
+    val t2 = out(1) // + 1e12 DIV 5: risk set 5 (one event, one censor at t2)
+    assert(t2.getAs[Long]("n_at_risk") == 5L &&
+      t2.getAs[Long]("cumhaz_fp") == 366666666666L)
+    val t4 = out(2) // + 1e12 DIV 3 (two left at t5 after t4's event... risk 3)
+    assert(t4.getAs[Long]("n_at_risk") == 3L &&
+      t4.getAs[Long]("cumhaz_fp") == 699999999999L)
+    val t6 = out(3) // + 1e12 DIV 1
+    assert(t6.getAs[Long]("n_at_risk") == 1L &&
+      t6.getAs[Long]("cumhaz_fp") == 1699999999999L)
+    assert(t6.getAs[Double]("cumhaz") == 1.7)
+  }
+
   test("autocorrelation: alternating series is −1 at lag 1, +1 at lag 2; flat series null") {
     // key a: events at buckets 0,2,4 → dense [1,0,1,0,1]
     // key b: one event per bucket 0..3 → dense [1,1,1,1] (zero variance)
