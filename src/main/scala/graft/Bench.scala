@@ -41,6 +41,26 @@ object Bench {
       // default so listing parallelizes across executors.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .config("spark.ui.enabled", "false")
+      // the status stores run even with the UI off (they back the status
+      // API) and their DEFAULT retention is sized for a monitoring UI, not
+      // a 239-query benchmark loop: up to 1000 SQL executions (each
+      // holding a full SparkPlanGraph + metric values for plans that here
+      // run to thousands of nodes) and 100k task wrappers. Over ~500
+      // gate executions per pass that retained state is hundreds of MB of
+      // old-gen garbage — measured as the late-run GC spikes in round
+      // 10's second pass (fhir_obs_pivot 2.8→28.6 s). A bench keeps its
+      // history in its own JSON, not the status store — retain almost
+      // nothing.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      // the generated-class cache defaults to 100 entries — a 239-gate
+      // registry blows through it within one pass, so run 2 re-Janino-
+      // compiles every stage it should have reused. ~1-2k codegen units
+      // per pass; size the cache to hold them all (metaspace cost is tens
+      // of MB against a 128 GiB heap).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // engine optimizer rules (length prefilter for jaccard thresholds)
@@ -66,6 +86,35 @@ object Bench {
         .writeStream.format("noop").outputMode("complete").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
+    // round-10 bench showed run-1 cold spikes concentrated on three
+    // one-time costs the original warmup missed (interval_merge 21.3→1.5 s,
+    // flatten_json 13.3→0.8 s): the WINDOW codegen path, the multiLine
+    // JSON reader (JacksonParser + schema-inference classes), and the
+    // broadcast-exchange machinery (thread pool + TorrentBroadcast).
+    // Touch each once so run 1 measures operators, not class loading.
+    try {
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions._
+      val base = spark.range(10000).selectExpr("id", "id % 7 as k", "id % 13 as v")
+      base.select(col("id"),
+          row_number().over(W.partitionBy(col("k")).orderBy(col("v"))).as("rn"),
+          sum(col("v")).over(W.partitionBy(col("k")).orderBy(col("id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)).as("cs"))
+        .write.format("noop").mode("overwrite").save()
+      base.join(broadcast(spark.range(7).selectExpr("id as k", "id * 2 as w")), "k")
+        .write.format("noop").mode("overwrite").save()
+      val tmp = java.nio.file.Files.createTempDirectory("bench-warm-json")
+      java.nio.file.Files.write(tmp.resolve("w.json"),
+        "{\n \"a\": 1,\n \"b\": [ {\"c\": \"x\"} ]\n}\n".getBytes("UTF-8"))
+      spark.read.option("multiLine", "true").json(tmp.toString).collect()
+      // javax.imageio plugin-registry scan — first decode in a multimodal
+      // gate otherwise pays it inside a task
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    } catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     // per-query (seconds, succeeded) for each full pass over the registry
     val registry = SparkEntry.queries
@@ -74,7 +123,12 @@ object Bench {
       registry.map { case (name, fn) =>
         // the near-dup operator family persists intermediates by design
         // (documented caching contract, Dedup.scala): drop them between
-        // queries so no query's time includes another's eviction thrash
+        // queries so no query's time includes another's eviction thrash.
+        // releaseAll FIRST: it clears the CachedFrames registry itself —
+        // clearCache alone unpersists but leaves hundreds of Dataset
+        // references (each pinning its analyzed plan) accumulating on the
+        // driver across the pass.
+        graft.CachedFrames.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop-format write: materializes every row end-to-end (projection

@@ -437,6 +437,28 @@ object Similarity {
     } finally c.unpersist(blocking = false)
   }
 
+  /** Standalone Lloyd-trained codebook over a raw (id, vector) frame —
+    * the shareable artifact behind every IVF-family consumer. Training a
+    * codebook is the expensive phase of [[ivfTopK]] / [[kmeansClusters]] /
+    * [[semDedup]] (each Lloyd round is a full corpus pass plus a driver
+    * collect of K×dim grid sums); when several queries index the SAME
+    * corpus with the SAME (k, iters) config, train ONCE here and inject
+    * the result through those operators' `centroids` parameter — the
+    * trainer is deterministic (seeded-by-id init, exact grid-int64
+    * means), so an injected codebook is bit-identical to the one each
+    * consumer would have trained itself, and every oracle replay stays
+    * valid. Output: `(centroid_id, __cent)` — K rows, KB-scale, a local
+    * frame safe to collect/memoize/broadcast.
+    */
+  def ivfCodebook(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val c = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    if (iters <= 0) ivfCentroids(c, k) else ivfTrainCentroids(c, k, iters)
+  }
+
   /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
     * score every vector against all centroids map-side, keep the argmax
     * via `max(struct(cos, −centroid_id))` — deterministic tiebreak, and
@@ -472,13 +494,14 @@ object Similarity {
     */
   def kmeansClusters(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 2): DataFrame = {
+      k: Int = 16, iters: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val c = df
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val cents =
-      if (iters <= 0) ivfCentroids(c, k) else ivfTrainCentroids(c, k, iters)
+    val cents = centroids.getOrElse(
+      if (iters <= 0) ivfCentroids(c, k) else ivfTrainCentroids(c, k, iters))
     ivfAssign(c, "neighbor_id", "__cv", cents)
       .select(col("neighbor_id").as(idCol), col("centroid_id").as("cluster_id"),
         col("__ccos").as("centroid_cos"))
@@ -503,16 +526,16 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      trainIters: Int = 2): DataFrame = {
+      trainIters: Int = 2, centroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus
       .filter(col(corpusId).isNotNull && col(corpusVec).isNotNull)
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val q = queries
       .filter(col(queryId).isNotNull && col(queryVec).isNotNull)
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-    val cents =
+    val cents = centroids.getOrElse(
       if (trainIters <= 0) ivfCentroids(c, numCentroids)
-      else ivfTrainCentroids(c, numCentroids, trainIters)
+      else ivfTrainCentroids(c, numCentroids, trainIters))
     val inverted = c.join(ivfAssign(c, "neighbor_id", "__cv", cents), "neighbor_id")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(desc("__ccos"), asc("centroid_id"))
@@ -582,11 +605,11 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      trainIters: Int = 2): DataFrame =
+      trainIters: Int = 2, centroids: Option[DataFrame] = None): DataFrame =
     recallAgainstExact(
       bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
       ivfTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k,
-        numCentroids, nProbe, trainIters))
+        numCentroids, nProbe, trainIters, centroids))
 
   // --- product quantization (PQ) ----------------------------------------
 
@@ -689,10 +712,11 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int, numSubspaces: Int = 4, numCentroids: Int = 16,
-      candK: Int = 50, trainIters: Int = 2): DataFrame = {
+      candK: Int = 50, trainIters: Int = 2,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     require(candK >= k, s"candK=$candK must cover k=$k")
-    val cb = pqTrain(corpus, corpusId, corpusVec, dim, numSubspaces,
-      numCentroids, trainIters)
+    val cb = codebooks.getOrElse(pqTrain(corpus, corpusId, corpusVec, dim,
+      numSubspaces, numCentroids, trainIters))
     val codes = pqEncode(corpus, corpusId, corpusVec, dim, numSubspaces, cb)
       .withColumnRenamed(corpusId, "neighbor_id")
     val q = queries
@@ -739,11 +763,12 @@ object Similarity {
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int, numSubspaces: Int = 4, numCentroids: Int = 16,
-      candK: Int = 50, trainIters: Int = 2): DataFrame =
+      candK: Int = 50, trainIters: Int = 2,
+      codebooks: Option[DataFrame] = None): DataFrame =
     recallAgainstExact(
       bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
       pqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
-        dim, k, numSubspaces, numCentroids, candK, trainIters))
+        dim, k, numSubspaces, numCentroids, candK, trainIters, codebooks))
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *
@@ -864,10 +889,11 @@ object Similarity {
     */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      k: Int = 16, iters: Int = 2, maxClusterSize: Long = 100000L): DataFrame = {
+      k: Int = 16, iters: Int = 2, maxClusterSize: Long = 100000L,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(maxClusterSize >= 2,
       s"maxClusterSize must be at least 2: $maxClusterSize")
-    val assigned = kmeansClusters(df, idCol, vecCol, k, iters)
+    val assigned = kmeansClusters(df, idCol, vecCol, k, iters, centroids)
     val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val wc = Window.partitionBy(col("cluster_id"))
