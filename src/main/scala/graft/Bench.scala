@@ -104,9 +104,14 @@ object Bench {
       base.join(broadcast(spark.range(7).selectExpr("id as k", "id * 2 as w")), "k")
         .write.format("noop").mode("overwrite").save()
       val tmp = java.nio.file.Files.createTempDirectory("bench-warm-json")
-      java.nio.file.Files.write(tmp.resolve("w.json"),
-        "{\n \"a\": 1,\n \"b\": [ {\"c\": \"x\"} ]\n}\n".getBytes("UTF-8"))
-      spark.read.option("multiLine", "true").json(tmp.toString).collect()
+      try {
+        java.nio.file.Files.write(tmp.resolve("w.json"),
+          "{\n \"a\": 1,\n \"b\": [ {\"c\": \"x\"} ]\n}\n".getBytes("UTF-8"))
+        spark.read.option("multiLine", "true").json(tmp.toString).collect()
+      } finally { // don't leak one temp dir per bench invocation
+        java.nio.file.Files.deleteIfExists(tmp.resolve("w.json"))
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
       // javax.imageio plugin-registry scan — first decode in a multimodal
       // gate otherwise pays it inside a task
       val img = new java.awt.image.BufferedImage(4, 4,
@@ -114,6 +119,16 @@ object Bench {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    } catch { case _: Throwable => () }
+    // pre-train the SHARED IVF/PQ codebooks (the training/inference
+    // split): without this, whichever ann gate runs first in pass 1
+    // absorbs the one-time training cost, making its time incomparable
+    // across rounds and mixing trained/untrained executions into its
+    // min. Training belongs to index build, not query serving — run it
+    // in warmup so every timed run measures serving only.
+    try {
+      SparkEntry.ivfCentroidsShared(spark, sfDir).collect()
+      SparkEntry.pqCodebooks(spark, sfDir).collect()
     } catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     // per-query (seconds, succeeded) for each full pass over the registry

@@ -256,25 +256,54 @@ object SparkEntry {
     * embed_kmeans and semdedup all index the same embeddings corpus
     * with the same (k=16, iters=2) config, and ann_pq/ann_pq_recall
     * share one PQ training. Only the collected codebook rows (K×dim
-    * doubles, KB) are held; the contract assumes the files under `dir`
-    * are immutable for the process lifetime (true for the bench/verify
-    * corpora; a live session that rewrites its input should
-    * [[clearTrainedMemo]]).
+    * doubles, KB) are held. Memo keys fold in an [[inputStamp]]
+    * (per-part-file name:mtime:size of the table's parquet), so an
+    * in-place rewrite of the input re-trains instead of serving a
+    * stale codebook; [[clearTrainedMemo]] remains for paths the stamp
+    * can't see (non-local filesystems).
     */
+  // the value is a LAZY holder, not the trained rows: computeIfAbsent
+  // only installs the thunk (cheap, never recursive), and the Spark
+  // training job runs OUTSIDE the map's bin lock on the holder's own
+  // lazy-val monitor — concurrent callers of the SAME key still train
+  // once, but bin-colliding keys never block each other and a nested
+  // memoTrained call can't violate the CHM recursive-update contract
   private val trainedMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType, Array[Row])]()
+    String, () => (org.apache.spark.sql.types.StructType, Array[Row])]()
 
   /** Drop every memoized trained artifact (for sessions whose input
     * files mutate in place).
     */
   def clearTrainedMemo(): Unit = trainedMemo.clear()
 
+  /** Snapshot stamp of a table's parquet files under `dir` (sorted
+    * name:mtime:size per part file) — folded into [[trainedMemo]] keys
+    * so an in-place rewrite of the input parquet invalidates the memo
+    * instead of silently serving a codebook trained on the old bytes.
+    * Local-FS stat only (the bench/verify corpora); non-statable paths
+    * (object stores in a real deployment) stamp as "unstat", falling
+    * back to the immutable-input contract documented above.
+    */
+  private def inputStamp(dir: String, table: String): String =
+    try {
+      val f = new java.io.File(dir, s"$table.parquet")
+      def stamp(x: java.io.File): String =
+        if (x.isDirectory)
+          x.listFiles().map(stamp).sorted.mkString(",")
+        else s"${x.getName}:${x.lastModified}:${x.length}"
+      if (f.exists) stamp(f) else "absent"
+    } catch { case _: Throwable => "unstat" }
+
   private def memoTrained(s: SparkSession, key: String)
       (train: => DataFrame): DataFrame = {
-    val (schema, rows) = trainedMemo.computeIfAbsent(key, _ => {
-      val df = train
-      (df.schema, df.collect())
+    val holder = trainedMemo.computeIfAbsent(key, _ => {
+      lazy val trained: (org.apache.spark.sql.types.StructType, Array[Row]) = {
+        val df = train
+        (df.schema, df.collect())
+      }
+      () => trained
     })
+    val (schema, rows) = holder()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -283,7 +312,7 @@ object SparkEntry {
     * indexes the corpus at this config.
     */
   def ivfCentroidsShared(s: SparkSession, dir: String): DataFrame =
-    memoTrained(s, s"$dir|ivf|k=16,iters=2") {
+    memoTrained(s, s"$dir|${inputStamp(dir, "embeddings")}|ivf|k=16,iters=2") {
       Similarity.ivfCodebook(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 16, iters = 2)
     }
@@ -295,7 +324,8 @@ object SparkEntry {
     * ann_pq_recall serve from ONE training pass.
     */
   def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    memoTrained(s, s"$dir|pq|dim=64,m=4,k=16,iters=2") {
+    memoTrained(s,
+        s"$dir|${inputStamp(dir, "embeddings")}|pq|dim=64,m=4,k=16,iters=2") {
       Similarity.pqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, numSubspaces = 4, numCentroids = 16, iters = 2)
     }

@@ -180,11 +180,18 @@ object Cleaners {
       salt: Long = graft.ops.Curation.DateShiftSalt): DataFrame = {
     require(tsCols.nonEmpty, "at least one timestamp column to shift")
     require(maxShiftDays >= 1, s"maxShiftDays must be positive: $maxShiftDays")
+    // fail FAST on a missing column: silently skipping a typo'd name
+    // would ship raw, unshifted timestamps out of a de-identification
+    // step — a privacy incident, not a usability nit
+    val missing = tsCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"dateShiftDeid: columns not in frame: ${missing.mkString(", ")} — " +
+        "refusing to emit partially de-identified output")
     val span = 2L * maxShiftDays + 1L
     val shift = pmod(graft.ops.Curation.mix60(qcol(keyCol), salt), lit(span)) -
       lit(maxShiftDays.toLong)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    tsCols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+    tsCols.foldLeft(df) { (d, c) =>
       val shifted = types(c) match {
         case org.apache.spark.sql.types.DateType =>
           date_add(qcol(c), shift.cast("int"))

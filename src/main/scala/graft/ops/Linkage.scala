@@ -84,6 +84,17 @@ object Linkage {
       scale: Long = 1000L,
       maxPairsPerBlock: Long = 100000000L): DataFrame = {
     require(fields.nonEmpty, "at least one comparison field")
+    // agreement bits are named agree_<rightCol>: two fields comparing
+    // different left columns against the SAME right column would
+    // collide (ambiguous reference or a silently wrong score sum) —
+    // refuse up front
+    val dupRight = fields.groupBy(_.rightCol).collect {
+      case (c, fs) if fs.size > 1 => c
+    }
+    require(dupRight.isEmpty,
+      s"probabilisticLinkage: duplicate rightCol in fields: " +
+        s"${dupRight.mkString(", ")} — agree_<rightCol> bit names must " +
+        "be distinct (alias the right-side columns apart)")
     require(upper >= lower, s"upper < lower: $upper, $lower")
     require(scale >= 1, s"scale must be positive: $scale")
     require(maxPairsPerBlock >= 1,

@@ -50,7 +50,10 @@ object ModelEval {
     val y = col(s"`$labelCol`").cast("long")
     val s = col(s"`$scoreCol`")
     val xd = round(s * lit(scale.toDouble), 0).cast("long")
-    val perV = df.filter(y.isin(0L, 1L) && s.isNotNull)
+    // NaN scores are malformed, not rank-0: round(NaN).cast(long) lands
+    // on grid value 0 (non-ANSI NaN→0) and would silently rank them —
+    // exclude, matching calibrationBins/brierScore's range filter
+    val perV = df.filter(y.isin(0L, 1L) && s.isNotNull && !isnan(s.cast("double")))
       .select(y.as("__y"), xd.as("__x"))
       .groupBy(col("__x"))
       .agg(count(lit(1)).as("__t"),
@@ -300,7 +303,9 @@ object ModelEval {
     val xd = round(s * lit(scale.toDouble), 0).cast("long")
     val wCum = Window.orderBy(col("__x").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.filter(y.isin(0L, 1L) && s.isNotNull)
+    // NaN scores excluded for the same reason as [[aucScore]]: the
+    // non-ANSI NaN→0 long cast would silently grid them at 0
+    df.filter(y.isin(0L, 1L) && s.isNotNull && !isnan(s.cast("double")))
       .select(y.as("__y"), xd.as("__x"))
       .groupBy(col("__x"))
       .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__t1"))
@@ -527,7 +532,9 @@ object ModelEval {
       s"scales must be positive: $scaleX, $scaleY")
     val vx = col(s"`$xCol`")
     val vy = col(s"`$yCol`")
-    val rows = df.filter(vx.isNotNull && vy.isNotNull)
+    // NaN on either axis is malformed, not grid-0 (non-ANSI NaN→0 cast)
+    val rows = df.filter(vx.isNotNull && vy.isNotNull &&
+        !isnan(vx.cast("double")) && !isnan(vy.cast("double")))
       .select(
         round(vx * lit(scaleX.toDouble), 0).cast("long").as("__x"),
         round(vy * lit(scaleY.toDouble), 0).cast("long").as("__y"))

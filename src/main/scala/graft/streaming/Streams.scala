@@ -373,12 +373,13 @@ object Streams {
     * upserted as events arrive — the stream side of
     * [[graft.ops.Incremental.applyUpsert]] (there the delta is a batch;
     * here it drips in and the state store IS the base table). One
-    * [[KeyLatest]] struct per key in state; each micro-batch emits the
-    * keys it changed (Update-output semantics — the sink is an upsert
-    * feed, latest-wins by (ts, event_id)). Late rows older than the
-    * held state never emit downstream churn — the winner is resolved
-    * IN state, deterministically, by the same (ts, event_id) total
-    * order the batch twin ranks on.
+    * [[KeyLatest]] struct per key in state; each micro-batch emits ONLY
+    * the keys whose winner actually changed (`flatMapGroupsWithState` —
+    * a batch of purely-late rows emits nothing, so stale arrivals never
+    * produce downstream churn; the sink is an upsert feed, latest-wins
+    * by (ts, event_id)). The winner is resolved IN state,
+    * deterministically, by the same (ts, event_id) total order the
+    * batch twin ranks on.
     *
     * Scale shape: state = one small struct per distinct key;
     * production streams bound key cardinality with a TTL timeout
@@ -389,13 +390,15 @@ object Streams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[KeyLatest, KeyLatest](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[KeyLatest, KeyLatest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[ObsEvent], state: GroupState[KeyLatest]) =>
-          val best = (state.getOption.iterator ++
+          val prev = state.getOption
+          val best = (prev.iterator ++
             rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
             .maxBy(k => (k.ts, k.event_id))
-          state.update(best)
-          best
+          if (prev.contains(best)) Iterator.empty // all-late batch: no churn
+          else { state.update(best); Iterator.single(best) }
       }
   }
 

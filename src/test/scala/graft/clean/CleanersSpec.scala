@@ -150,4 +150,13 @@ class CleanersSpec extends SparkSpec {
       .as[(Int, Int)].collect()(0)
     assert(sh._1 == sh._2 && sh._1 == shifts42.head.toInt, sh.toString)
   }
+
+  test("dateShiftDeid: typo'd column fails fast — never silently ships raw timestamps") {
+    val df = Seq((42L, 100L)).toDF("k", "t1")
+    val err = intercept[IllegalArgumentException] {
+      Cleaners.dateShiftDeid(df, "k", Seq("t1", "t1_typo"), 30)
+    }
+    assert(err.getMessage.contains("t1_typo"), err.getMessage)
+    assert(err.getMessage.contains("de-identified"), err.getMessage)
+  }
 }

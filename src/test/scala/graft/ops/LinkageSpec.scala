@@ -53,6 +53,16 @@ class LinkageSpec extends SparkSpec {
         maxPairsPerBlock = 3L).count()
     }
     assert(err.getMessage.contains("maxPairsPerBlock"), err.getMessage)
+    // duplicate rightCol would collide the agree_<rightCol> bit names
+    // (ambiguous reference or silently doubled score) — fail fast
+    val dup = intercept[IllegalArgumentException] {
+      Linkage.probabilisticLinkage(left, right, "ida", "idb",
+        "blk", "blk",
+        Seq(Linkage.LinkField("name", "city", 0.5, 0.25),
+          Linkage.LinkField("city", "city", 0.5, 0.25)),
+        1.5, -0.5, 1000L)
+    }
+    assert(dup.getMessage.contains("duplicate rightCol"), dup.getMessage)
   }
 
   test("uProfile: exact chance-agreement histogram; nulls out of both sides") {

@@ -29,6 +29,13 @@ class ModelEvalSpec extends SparkSpec {
       Seq((1, 9.0), (0, 1.0), (2, 5.0)).toDF("y", "s"), "y", "s", 1L)
       .collect()(0)
     assert(d.getAs[Long]("n_pos") + d.getAs[Long]("n_neg") == 2L)
+    // NaN scores are malformed, not grid-0: they must not rank at all
+    val nan = ModelEval.aucScore(
+      Seq((1, 9.0), (0, 1.0), (1, Double.NaN), (0, Double.NaN))
+        .toDF("y", "s"), "y", "s", 1L).collect()(0)
+    assert(nan.getAs[Long]("n_pos") == 1L && nan.getAs[Long]("n_neg") == 1L,
+      nan.toString)
+    assert(nan.getAs[Double]("auc") == 1.0, nan.toString)
   }
 
   test("calibrationBins: fixed edges, exact per-bin sums, score-1 lands in the top bin") {
@@ -219,5 +226,20 @@ class ModelEvalSpec extends SparkSpec {
       Seq((1.0, 5.0), (1.0, 6.0)).toDF("x", "y"), "x", "y", 1L, 1L)
       .collect()(0)
     assert(z.isNullAt(z.fieldIndex("rho")))
+    // NaN on either axis excludes the ROW (it is not grid value 0)
+    val nan = ModelEval.spearmanCorr(
+      Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0),
+        (Double.NaN, 40.0), (4.0, Double.NaN)).toDF("x", "y"),
+      "x", "y", 1L, 1L).collect()(0)
+    assert(nan.getAs[Long]("n") == 3L && nan.getAs[Double]("rho") == 1.0,
+      nan.toString)
+  }
+
+  test("prCurve: NaN scores excluded — no phantom threshold at grid 0") {
+    val pr = ModelEval.prCurve(
+      Seq((1, 0.9), (0, 0.1), (1, Double.NaN)).toDF("y", "s"),
+      "y", "s", scale = 10L).collect()
+    assert(pr.length == 2, pr.mkString(";"))
+    assert(pr.forall(_.getAs[Long]("score_fp") >= 1L), pr.mkString(";"))
   }
 }

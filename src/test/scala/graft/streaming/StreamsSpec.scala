@@ -143,20 +143,22 @@ class StreamsSpec extends SparkSpec {
         Streams.ObsEvent(1L, 9L, 50L, None),
         Streams.ObsEvent(2L, 20L, 150L, Some(9.0)))
       q.processAllAvailable()
-      // batch 3: only late rows → key 1 re-emits its UNCHANGED state
+      // batch 3: ONLY late rows → state unchanged → key 1 emits NOTHING
+      // (stale arrivals must not produce downstream churn)
       in.addData(Streams.ObsEvent(1L, 8L, 40L, Some(0.5)))
       q.processAllAvailable()
     } finally q.stop()
-    // last emission per key is the final state: ties impossible (each
-    // batch emits once per touched key, in batch order)
+    // last emission per key is the final state: ties impossible (a key
+    // emits at most once per batch, in batch order)
     val ems = spark.table("cdc_out")
       .as[Streams.KeyLatest].collect().toSeq
     val finalByKey = ems.zipWithIndex.groupBy(_._1.user_id)
       .map { case (k, v) => k -> v.maxBy(_._2)._1 }
     assert(finalByKey(1L) == Streams.KeyLatest(1L, 300L, 12L, Some(3.0)), finalByKey.toString)
     assert(finalByKey(2L) == Streams.KeyLatest(2L, 150L, 20L, Some(9.0)), finalByKey.toString)
-    // key 1 emitted three times (once per batch that touched it), key 2 once
-    assert(ems.count(_.user_id == 1L) == 3 && ems.count(_.user_id == 2L) == 1,
+    // key 1 emitted in batches 1 and 2 only (batch 3 changed nothing);
+    // key 2 once — churn-free upsert feed
+    assert(ems.count(_.user_id == 1L) == 2 && ems.count(_.user_id == 2L) == 1,
       ems.toString)
   }
 
