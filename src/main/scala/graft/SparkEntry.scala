@@ -2666,6 +2666,24 @@ object SparkEntry {
           col("width"), col("height"), col("pixel_sum"))
         .orderBy("media_id", "frame_idx")),
 
+    // §2.11 — REAL lossy-codec video tier: MJPEG payloads (concatenated
+    // real JPEG frames — the actual MJPEG container format) split on
+    // SOI markers and decoded through the platform JPEG reader. Frames
+    // are uniform-gray at quality 1.0, the one pixel content whose JPEG
+    // roundtrip is bit-exact (zero AC, DC quantizer 1, no chroma), so
+    // the oracle replays pixel_sum = w·h·gray with no codec model while
+    // the engine runs entropy-coded scan data through the real decoder.
+    "multimodal_mjpeg" -> ((s, dir) =>
+      Multimodal.sampleMjpegFrames(
+        Multimodal.syntheticMjpegTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+        stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("decoded").cast("int").as("decoded"),
+          col("width"), col("height"), col("pixel_sum"))
+        .orderBy("media_id", "frame_idx")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -7106,6 +7124,26 @@ object SparkEntry {
         |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
         |  CAST(sum(v) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY media_id, frame_idx
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // MJPEG sampled frames: the decoder must return exactly the uniform
+    // gray each frame was encoded at (bit-exact roundtrip class), so
+    // pixel_sum replays as w·h·gray from the generator formulas alone.
+    "multimodal_mjpeg" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 4 + doc_id % 13 AS w,
+        |    4 + doc_id % 7 AS h, 2 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |fr AS (
+        |  SELECT media_id, w, h, ff.f AS frame_idx,
+        |    (media_id * 31 + ff.f * 17) % 256 AS g
+        |  FROM ids, unnest(generate_series(0, nf - 1)) AS ff(f)
+        |  WHERE ff.f % 2 = 0)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(1 AS INTEGER) AS decoded,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h * g AS BIGINT) AS pixel_sum
+        |FROM fr
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from

@@ -668,12 +668,84 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** One REAL-JPEG frame: a uniform-gray `w`×`h` single-band image
+    * encoded through the platform JPEG writer at compression quality
+    * 1.0. Uniform gray is the one pixel content whose JPEG roundtrip is
+    * BIT-EXACT by construction: every AC coefficient is zero, the DC
+    * coefficient quantizes by 1 at quality 1.0, grayscale has no chroma
+    * subsampling, and edge-replication padding of partial blocks stays
+    * uniform — so decode returns exactly `gray` in every pixel and the
+    * SQL oracle replays `pixel_sum = w·h·gray` with no codec model.
+    * (MultimodalSpec asserts the roundtrip over every gray level.)
+    */
+  def syntheticJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && gray >= 0 && gray <= 255,
+      s"invalid frame: ${w}x$h gray=$gray")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG payload: `2 + id mod 4` REAL JPEG frames (the
+    * dimension formulas of [[syntheticFrameStream]]; frame f uniform at
+    * gray `(id·31 + f·17) mod 256`) concatenated into one binary
+    * stream — which IS the MJPEG container format (a bare JPEG frame
+    * concatenation, split on SOI markers). Unlike the PNG tier this
+    * exercises the actual lossy-codec path end-to-end: entropy-coded
+    * scan data, marker-escaped bytes, SOI boundary scanning.
+    */
+  def syntheticMjpegStream(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 4 + (id % 7).toInt
+    val n = 2 + (id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      bos.write(syntheticJpeg(w, h, ((id * 31 + f * 17) % 256).toInt))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def syntheticMjpegTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticMjpegStream(id))))
+      .toDF("media_id", "payload")
+  }
+
   final case class VideoFrame(
       media_id: Long, frame_idx: Int, decoded: Boolean,
       width: Int, height: Int, pixel_sum: Long)
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** JPEG SOI + marker intro (`FF D8 FF`) — the MJPEG frame-boundary
+    * scan key. Safe inside ImageIO-encoded streams: entropy-coded data
+    * escapes FF as FF 00, restart markers are FF D0–D7, and no marker
+    * segment payload the writer emits contains a raw FF D8.
+    */
+  private val JpegSoi: Array[Byte] =
+    Array(0xff, 0xd8, 0xff).map(_.toByte)
 
   /** REAL frame extraction from a frame-stream payload: scan the bytes
     * for PNG signatures (the container parse — the same boundary scan an
@@ -689,7 +761,21 @@ object Multimodal {
     * behind it.
     */
   def sampleVideoFrames(media: DataFrame, stride: Int = 1,
-      maxFrames: Int = 64): Dataset[VideoFrame] = {
+      maxFrames: Int = 64): Dataset[VideoFrame] =
+    sampleFrameStreamBy(media, PngSignature, stride, maxFrames)
+
+  /** [[sampleVideoFrames]] over MJPEG payloads: the same container
+    * scan / stride sample / per-frame ImageIO decode, keyed on the JPEG
+    * SOI marker — the REAL lossy-codec video tier
+    * ([[syntheticMjpegTable]] is the fixture generator; any true MJPEG
+    * byte stream splits the same way).
+    */
+  def sampleMjpegFrames(media: DataFrame, stride: Int = 1,
+      maxFrames: Int = 64): Dataset[VideoFrame] =
+    sampleFrameStreamBy(media, JpegSoi, stride, maxFrames)
+
+  private def sampleFrameStreamBy(media: DataFrame, signature: Array[Byte],
+      stride: Int, maxFrames: Int): Dataset[VideoFrame] = {
     require(stride >= 1 && maxFrames >= 1,
       s"invalid params: stride=$stride maxFrames=$maxFrames")
     val spark = media.sparkSession
@@ -699,10 +785,10 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         def sigAt(b: Array[Byte], off: Int): Boolean = {
-          if (off + PngSignature.length > b.length) return false
+          if (off + signature.length > b.length) return false
           var k = 0
-          while (k < PngSignature.length) {
-            if (b(off + k) != PngSignature(k)) return false
+          while (k < signature.length) {
+            if (b(off + k) != signature(k)) return false
             k += 1
           }
           true
@@ -713,7 +799,7 @@ object Multimodal {
           val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
           var i = 0
           while (i < bytes.length) {
-            if (sigAt(bytes, i)) { starts += i; i += PngSignature.length }
+            if (sigAt(bytes, i)) { starts += i; i += signature.length }
             else i += 1
           }
           starts.indices.iterator

@@ -169,6 +169,90 @@ object Sinks {
     } finally conn.close()
   }
 
+  /** JDBC read-back, single connection — the inverse of [[writeJdbc]].
+    * The reference's warehouse tables exist to be CONSUMED downstream
+    * (`json_pipeline.py:895-935` loads them in FK order for exactly
+    * that); a user wiring this engine in front of a warehouse needs the
+    * scan side too. This form opens ONE connection and streams the whole
+    * table through it — fine for dimension-sized tables, wrong for
+    * fact tables: use [[readJdbcPartitioned]] there. Filters and column
+    * pruning push down to the remote engine either way (Spark's JDBC
+    * source compiles `.filter`/`.select` into the generated SELECT).
+    */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partition-parallel JDBC read-back: `numPartitions` concurrent
+    * connections, each scanning one stride of `partitionColumn`'s
+    * `[lowerBound, upperBound]` range (Spark emits non-overlapping
+    * `WHERE col >= x AND col < y` clauses that cover ALL rows — rows
+    * outside the bounds land in the first/last stride, so bounds tune
+    * parallelism, never correctness; only NULL partition-column rows
+    * are excluded, per Spark's JDBC contract). This is the 100 TB shape:
+    * a single-connection read serializes the warehouse scan through one
+    * executor; a partitioned read spreads it across the cluster bounded
+    * only by what the database can serve. Choose an indexed, roughly
+    * uniform column (a surrogate key); a skewed column concentrates
+    * stride mass exactly like a skewed shuffle key.
+    */
+  def readJdbcPartitioned(spark: org.apache.spark.sql.SparkSession,
+      url: String, table: String, props: java.util.Properties,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be positive: $numPartitions")
+    require(lowerBound <= upperBound,
+      s"lowerBound > upperBound: $lowerBound, $upperBound")
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+  }
+
+  /** [[readJdbcPartitioned]] with bounds resolved by ONE driver-side
+    * `SELECT MIN(col), MAX(col)` over a plain connection — the idiom for
+    * tables whose key range isn't known a priori (an aggregate the
+    * warehouse answers from its index, not a scan). Falls back to a
+    * single-partition read when the table is empty or the column is
+    * all-NULL (no range exists to stride).
+    */
+  def readJdbcAutoBounds(spark: org.apache.spark.sql.SparkSession,
+      url: String, table: String, props: java.util.Properties,
+      partitionColumn: String, numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be positive: $numPartitions")
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val bounds =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT MIN("$partitionColumn"), MAX("$partitionColumn") FROM $table""")
+          try {
+            rs.next()
+            val lo = rs.getLong(1); val loNull = rs.wasNull()
+            val hi = rs.getLong(2); val hiNull = rs.wasNull()
+            if (loNull || hiNull) None else Some((lo, hi))
+          } finally rs.close()
+        } finally st.close()
+      } finally conn.close()
+    bounds match {
+      case Some((lo, hi)) if lo < hi =>
+        readJdbcPartitioned(spark, url, table, props, partitionColumn,
+          lo, hi, numPartitions)
+      case _ => readJdbc(spark, url, table, props) // empty / single value
+    }
+  }
+
+  /** FK-ordered multi-table read-back — the consumption twin of
+    * [[writeAllJdbc]], mirroring the reference's parent-first load walk
+    * (`json_pipeline.py:909-926`): the map iterates [[LoadOrder]] so a
+    * caller materializing tables downstream touches parents before
+    * children. Reads are lazy frames; ordering matters only to effects
+    * the caller sequences over them.
+    */
+  def readAllJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+      props: java.util.Properties): Seq[(String, DataFrame)] =
+    LoadOrder.map(name => name -> readJdbc(spark, url, name, props))
+
   /** The exact statements [[applyPrimaryKeys]] issues, dialect-keyed on
     * the url — separated so the PostgreSQL statement stream is
     * golden-pinnable without a live server (SinksSpec) while Derby

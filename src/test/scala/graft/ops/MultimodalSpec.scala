@@ -335,4 +335,53 @@ class MultimodalSpec extends SparkSpec {
       ws.map(_.sample_sqsum).sum == whole.sample_sqsum,
       "window tiling must cover every sample exactly once")
   }
+
+  test("syntheticJpeg: uniform-gray JPEG roundtrip is bit-exact at every gray level") {
+    // the invariant the MJPEG oracle rests on: quality-1.0 grayscale
+    // JPEG of a uniform image decodes to exactly that gray everywhere
+    // (DC quantizer 1, zero AC, no chroma) — including partial-block
+    // dimensions (5x7 forces edge padding)
+    for (g <- 0 to 255) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticJpeg(5, 7, g)))
+      val r = img.getRaster
+      val vals = for { y <- 0 until 7; x <- 0 until 5 } yield r.getSample(x, y, 0)
+      assert(vals.forall(_ == g), s"gray $g decoded as ${vals.distinct}")
+    }
+  }
+
+  test("sampleMjpegFrames: SOI-marker container scan + real lossy-codec decode") {
+    import spark.implicits._
+    val ids = Seq(1L, 6L, 11L, 255L).toDF("doc_id")
+    val media = Multimodal.syntheticMjpegTable(ids, "doc_id")
+    val all = Multimodal.sampleMjpegFrames(media, stride = 1).collect()
+      .groupBy(_.media_id)
+    for (id <- Seq(1L, 6L, 11L, 255L)) {
+      val n = 2 + (id % 4).toInt
+      assert(all(id).length == n,
+        s"id=$id: SOI scan must find all $n frames, got ${all(id).length} " +
+          "(a false SOI inside entropy-coded data would split a frame)")
+      for (fr <- all(id)) {
+        val w = 4 + (id % 13).toInt
+        val h = 4 + (id % 7).toInt
+        val g = (id * 31 + fr.frame_idx * 17) % 256
+        assert(fr.decoded && fr.width == w && fr.height == h &&
+          fr.pixel_sum == w.toLong * h * g, s"id=$id frame=${fr.frame_idx}: $fr")
+      }
+    }
+    // stride sampling skips without decoding, same as the PNG tier
+    val sampled = Multimodal.sampleMjpegFrames(media, stride = 2).collect()
+      .filter(_.media_id == 6L).map(_.frame_idx).sorted.toSeq
+    assert(sampled == Seq(0, 2), sampled.toString)
+    // a corrupt trailing frame (bare SOI + garbage — undecodable, unlike
+    // mere truncation, which JPEG readers partially decode) degrades to
+    // a flagged row; the real frames before it still decode
+    val good = Multimodal.syntheticMjpegStream(6L)
+    val soiGarbage = Array(0xff, 0xd8, 0xff, 0x00, 0x01, 0x02).map(_.toByte)
+    val rows = Multimodal.sampleMjpegFrames(
+      Seq((6L, good ++ soiGarbage)).toDF("media_id", "payload"), stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 5 && !rows.last.decoded && rows.init.forall(_.decoded),
+      rows.mkString("; "))
+  }
 }

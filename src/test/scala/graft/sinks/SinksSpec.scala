@@ -33,6 +33,55 @@ class SinksSpec extends SparkSpec {
     assert(back.filter($"resource_id" === "a-1").select("value").as[Double].head() == 1.5)
   }
 
+  test("JDBC partitioned read-back: stride scan covers all rows across >=2 input partitions") {
+    val dir = Files.createTempDirectory("derby_db_rb")
+    val url = s"jdbc:derby:$dir/testdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (1L to 100L).map(i => (i, s"doc-$i")).toDF("doc_id", "name")
+    Sinks.writeJdbc(df, url, "documents", props,
+      columnTypes = Some("name VARCHAR(64)"))
+    // explicit bounds: 4 strides over [1, 100]
+    val back = Sinks.readJdbcPartitioned(spark, url, "documents", props,
+      "doc_id", lowerBound = 1L, upperBound = 100L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4, "plan must carry 4 input partitions")
+    assert(back.count() == 100L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("doc_id"))
+      .as[Long].head() == 5050L, "strides must cover every row exactly once")
+    // rows OUTSIDE the bounds still land in the edge strides
+    val narrow = Sinks.readJdbcPartitioned(spark, url, "documents", props,
+      "doc_id", lowerBound = 40L, upperBound = 60L, numPartitions = 3)
+    assert(narrow.count() == 100L, "bounds tune parallelism, never drop rows")
+    // auto-bounds resolves MIN/MAX driver-side and strides the same scan
+    val auto = Sinks.readJdbcAutoBounds(spark, url, "documents", props,
+      "doc_id", numPartitions = 4)
+    assert(auto.rdd.getNumPartitions == 4)
+    assert(auto.count() == 100L)
+    // predicate pushdown: the generated remote SELECT carries the filter
+    val filtered = back.filter($"doc_id" <= 10L)
+    assert(filtered.count() == 10L)
+    // empty table: auto-bounds falls back to a single-connection read
+    Sinks.writeJdbc(df.limit(0), url, "empty_docs", props,
+      columnTypes = Some("name VARCHAR(64)"))
+    val empty = Sinks.readJdbcAutoBounds(spark, url, "empty_docs", props,
+      "doc_id", numPartitions = 4)
+    assert(empty.count() == 0L)
+  }
+
+  test("S7 FK-ordered multi-table read-back mirrors the load walk") {
+    val dir = Files.createTempDirectory("derby_db_rb2")
+    val url = s"jdbc:derby:$dir/testdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val tables = Sinks.LoadOrder.map(n => n -> Seq((s"$n-1", 1)).toDF("id", "v")).toMap
+    Sinks.writeAllJdbc(tables, url, props)
+    val back = Sinks.readAllJdbc(spark, url, props)
+    assert(back.map(_._1) == Sinks.LoadOrder, "parent-first order preserved")
+    back.foreach { case (n, d) =>
+      assert(d.select("id").as[String].head() == s"$n-1", s"table $n")
+    }
+  }
+
   test("S7 FK-ordered multi-table load") {
     val dir = Files.createTempDirectory("derby_db2")
     val url = s"jdbc:derby:$dir/testdb;create=true"
