@@ -862,6 +862,85 @@ object ScaleProbe {
           .groupBy(col("link_class")).agg(count(lit(1)).as("n")))
     }
 
+    // round-12 family: model-eval metrics replicate on the ROW axis
+    // (events ×k — every metric folds map-side to a metric-domain-sized
+    // relation: grid scores, calibration bins, rater categories — so the
+    // curve tests the fold, not output growth); survival estimators
+    // replicate on the SUBJECT axis (users ×k, per-user span fixed, so
+    // distinct durations stay bounded and the at-risk windows / per-
+    // stratum folds ride a fixed-size distinct-duration relation).
+    if (familyOn("probe12m")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evBase = SparkEntry.events(spark, sfDir)
+        .select("event_id", "user_id", "ts", "value", "event_type")
+      val evV = (0 until times).map { i =>
+        evBase.select(
+          (col("event_id") + lit(i * n)).as("event_id"),
+          (col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"), col("event_type"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe12m ${times}x ---")
+      import graft.ops.{ModelEval, TimeSeries}
+      val ys = evV.filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+          col("value").as("s"))
+      time("probe12m:aucScore", ModelEval.aucScore(ys, "y", "s"))
+      time("probe12m:prCurve", ModelEval.prCurve(ys, "y", "s"))
+      time("probe12m:averagePrecision", ModelEval.averagePrecision(ys, "y", "s"))
+      val cal = evV.filter(col("event_id").isNotNull).select(
+        when(pmod(col("event_id") * 11L, lit(100L)) <
+          pmod(col("event_id") * 37L, lit(100L)), 1L).otherwise(0L).as("y"),
+        ((pmod(col("event_id") * 37L, lit(100L)) + lit(0.5d)) / lit(100d))
+          .as("s"))
+      time("probe12m:calibrationBins", ModelEval.calibrationBins(cal, "y", "s"))
+      time("probe12m:brierScore", ModelEval.brierScore(cal, "y", "s"))
+      time("probe12m:hosmerLemeshow", ModelEval.hosmerLemeshow(cal, "y", "s"))
+      time("probe12m:liftTable", ModelEval.liftTable(cal, "y", "s"))
+      val raters = evV.filter(col("event_id").isNotNull).select(
+        pmod(col("event_id"), lit(5L)).as("r1"),
+        pmod(col("event_id") * 7L + lit(3L), lit(5L)).as("r2"))
+      time("probe12m:kappaAgreement", ModelEval.kappaAgreement(raters, "r1", "r2"))
+      time("probe12m:weightedKappa", ModelEval.weightedKappa(raters, "r1", "r2"))
+      time("probe12m:mcnemarTest", ModelEval.mcnemarTest(
+        evV.filter(col("event_id").isNotNull).select(
+          pmod(col("event_id"), lit(2L)).as("c1"),
+          pmod(col("event_id") * 3L + lit(1L), lit(2L)).as("c2")),
+        "c1", "c2"))
+      time("probe12m:spearmanCorr", ModelEval.spearmanCorr(
+        evV.filter(col("value").isNotNull && col("ts").isNotNull).select(
+          col("value").as("x"),
+          pmod(expr("ts DIV 3600000000"), lit(1000L)).cast("double").as("yv")),
+        "x", "yv"))
+      val perUser = evV.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      time("probe12m:kaplanMeier",
+        TimeSeries.kaplanMeier(perUser, "cohort", "duration", "observed"))
+      time("probe12m:nelsonAalen",
+        TimeSeries.nelsonAalen(perUser, "cohort", "duration", "observed"))
+      time("probe12m:logRank",
+        TimeSeries.logRank(perUser, "cohort", "duration", "observed",
+          groupOne = "0"))
+      time("probe12m:restrictedMean",
+        TimeSeries.restrictedMeanSurvival(perUser, "cohort", "duration",
+          "observed", tau = 200L))
+      time("probe12m:survivalQuantiles",
+        TimeSeries.survivalQuantiles(perUser, "cohort", "duration", "observed"))
+      time("probe12m:cumulativeIncidence",
+        TimeSeries.cumulativeIncidence(
+          perUser.select(col("cohort"), col("duration"),
+            when(col("observed") === 1L,
+              when(pmod(col("duration"), lit(2L)) === 0L, "a").otherwise("b"))
+              .as("cause")),
+          "cohort", "duration", "cause", "a", "b"))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

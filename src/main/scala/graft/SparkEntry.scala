@@ -772,6 +772,20 @@ object SparkEntry {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang", "source")),
 
+    // Smoothed target encoding of `lang` against a long-document label:
+    // each category's encoding shrinks toward the RATIONAL global mean
+    // by the prior weight, one common-denominator floor per category —
+    // the leakage-aware categorical feature table (built on the train
+    // fold in real use; here the whole corpus is the fixture).
+    "target_encode" -> ((s, dir) =>
+      graft.ops.Curation.targetEncode(
+        t(s, dir, "documents")
+          .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+          .select(col("lang"),
+            when(col("n_chars") > 500, 1L).otherwise(0L).as("y")),
+        "lang", "y", priorWeight = 10L)
+        .orderBy("lang")),
+
     // Corpus length distribution: exact percentiles of document length
     // (accuracy=0 exact form of distributionProfile; the approx lever is
     // the same op with accuracy>0, error-bounded in ProfilingSpec).
@@ -3464,6 +3478,46 @@ object SparkEntry {
             col("value")),
         "y", "value")),
 
+    // ROC curve points of the same ranker — exact int64 cumulative
+    // tp/fp per descending distinct grid score, tpr/fpr one IEEE
+    // division each against the broadcast class totals.
+    "roc_curve" -> ((s, dir) =>
+      graft.ops.ModelEval.rocCurve(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "y", "value")
+        .orderBy("score_fp")),
+
+    // KS score separation (the credit-scoring metric): max CDF gap as
+    // an EXACT integer argmax |cum_tp·N − cum_fp·P|, highest-threshold
+    // tiebreak, ONE division for the emitted ks.
+    "score_ks" -> ((s, dir) =>
+      graft.ops.ModelEval.scoreKs(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "y", "value")),
+
+    // Fairness audit: the exact rank AUC PER user cohort (pmod 4) —
+    // one row per subgroup, windows partitioned by the cohort so no
+    // global-ordering task appears at any corpus size.
+    "subgroup_auc" -> ((s, dir) =>
+      graft.ops.ModelEval.subgroupAuc(
+        events(s, dir)
+          .filter(col("value").isNotNull && col("event_type").isNotNull &&
+            col("user_id").isNotNull)
+          .select(
+            pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+            col("value")),
+        "cohort", "y", "value")
+        .orderBy("cohort")),
+
     // Calibration reliability bins of a synthetic well-calibrated-ish
     // score ((event_id%100 + .5)/100) against its arithmetic label —
     // exact per-bin int64 sums, fixed edges.
@@ -3596,6 +3650,19 @@ object SparkEntry {
           .select(pmod(col("user_id"), lit(4L)).as("series"), col("ts")),
         "series", "ts", bucketWidth = 3600000000L, maxLag = 3)
         .orderBy("series", "lag")),
+
+    // EWMA trailing smoothing over per-key hourly cent totals — exact
+    // power-of-two weights truncated at 8 lags, gaps renormalized
+    // (absent buckets drop from BOTH sums), ONE division per row.
+    "ewma_smooth" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewmaSmooth(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(64L)).as("key"), col("ts"),
+            col("value")),
+        "key", "ts", "value", bucketWidth = 3600000000L, lags = 8)
+        .orderBy("key", "bucket")),
 
     // CUSUM changepoint over the same hourly series — exact integer
     // deviation scan, earliest-bucket tie break, one division for the
@@ -5804,6 +5871,26 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Target encoding: common-denominator HUGEINT floor per category —
+    // (sum_y·N + m·T)·scale DIV (N·(n+m)), m=10, scale=1e6.
+    "target_encode" ->
+      """WITH base AS (
+        |  SELECT lang, CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |perc AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sum_y
+        |  FROM base GROUP BY lang),
+        |tot AS (SELECT sum(n) AS nt, sum(sum_y) AS tt FROM perc),
+        |enc AS (
+        |  SELECT p.lang, p.n, p.sum_y,
+        |    CAST((CAST(p.sum_y AS HUGEINT) * t.nt + 10 * t.tt) * 1000000 //
+        |      (CAST(t.nt AS HUGEINT) * (p.n + 10)) AS BIGINT) AS enc_fp
+        |  FROM perc p, tot t)
+        |SELECT lang, n, sum_y, enc_fp,
+        |  round(CAST(enc_fp AS DOUBLE) / 1000000.0, 6) AS enc
+        |FROM enc ORDER BY lang""".stripMargin,
 
     "corpus_cube" ->
       """SELECT coalesce(lang, '<all>') AS lang,
@@ -8225,6 +8312,92 @@ object SparkEntry {
         |  END AS gini
         |FROM agg""".stripMargin,
 
+    // ROC points: same grid, descending cumulatives, rates vs totals.
+    "roc_curve" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |perv AS (
+        |  SELECT x, count(*) AS t, sum(y) AS t1 FROM base GROUP BY x),
+        |r AS (
+        |  SELECT x, t, t1,
+        |    sum(t1) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+        |    sum(t) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM perv),
+        |tot AS (SELECT sum(t1) AS npos, sum(t) AS n FROM perv)
+        |SELECT r.x AS score_fp, CAST(r.t AS BIGINT) AS n_at,
+        |  CAST(r.t1 AS BIGINT) AS pos_at, CAST(r.ctp AS BIGINT) AS cum_tp,
+        |  CAST(r.cn - r.ctp AS BIGINT) AS cum_fp,
+        |  CASE WHEN tot.npos > 0 THEN
+        |    round(CAST(r.ctp AS DOUBLE) / CAST(tot.npos AS DOUBLE), 6)
+        |  END AS tpr,
+        |  CASE WHEN tot.n - tot.npos > 0 THEN
+        |    round(CAST(r.cn - r.ctp AS DOUBLE) /
+        |      CAST(tot.n - tot.npos AS DOUBLE), 6)
+        |  END AS fpr
+        |FROM r, tot
+        |ORDER BY score_fp""".stripMargin,
+
+    // KS: exact integer gap argmax with highest-threshold tiebreak.
+    "score_ks" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |perv AS (
+        |  SELECT x, count(*) AS t, sum(y) AS t1 FROM base GROUP BY x),
+        |r AS (
+        |  SELECT x,
+        |    sum(t1) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+        |    sum(t) OVER (ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM perv),
+        |tot AS (SELECT sum(t1) AS npos, sum(t) - sum(t1) AS nneg FROM perv),
+        |g AS (
+        |  SELECT r.x, abs(r.ctp * tot.nneg - (r.cn - r.ctp) * tot.npos) AS gap,
+        |    tot.npos, tot.nneg
+        |  FROM r, tot)
+        |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+        |  x AS ks_score_fp, CAST(gap AS BIGINT) AS ks_num,
+        |  CASE WHEN npos > 0 AND nneg > 0 THEN
+        |    round(CAST(gap AS DOUBLE) /
+        |      (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6)
+        |  END AS ks
+        |FROM g ORDER BY gap DESC, x DESC LIMIT 1""".stripMargin,
+
+    // Per-cohort AUC: the auc_score CTE chain with PARTITION BY cohort.
+    "subgroup_auc" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |perv AS (
+        |  SELECT cohort, x, count(*) AS t, sum(y) AS t1
+        |  FROM base GROUP BY cohort, x),
+        |r AS (
+        |  SELECT cohort, t, t1,
+        |    coalesce(sum(t) OVER (PARTITION BY cohort ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        |  FROM perv),
+        |agg AS (
+        |  SELECT cohort, CAST(sum(t1) AS BIGINT) AS n_pos,
+        |    CAST(sum(t) - sum(t1) AS BIGINT) AS n_neg,
+        |    CAST(sum(t1 * (2 * c + t + 1)) AS BIGINT) AS r1x2
+        |  FROM r GROUP BY cohort)
+        |SELECT cohort, n_pos, n_neg,
+        |  r1x2 - n_pos * (n_pos + 1) AS u_x2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(CAST(r1x2 - n_pos * (n_pos + 1) AS DOUBLE) /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM agg ORDER BY cohort""".stripMargin,
+
     // Fixed-width bins over the synthetic score; exact int64 per-bin
     // sums; the gap subtracts the two already-rounded doubles.
     "calibration_bins" ->
@@ -8452,6 +8625,29 @@ object SparkEntry {
 
     // Dense per-series grid via generate_series; exact HUGEINT moments
     // per (series, lag); one division + sqrt.
+    // EWMA: per-bucket cent sums fan to the next 8 buckets with weights
+    // 2^(7-j); only observed buckets emit; one division per row.
+    "ewma_smooth" ->
+      """WITH perb AS (
+        |  SELECT user_id % 64 AS key, epoch_us(ts) // 3600000000 AS bucket,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |fan AS (
+        |  SELECT p.key, p.bucket + j.j AS bucket,
+        |    p.v * (1 << (7 - j.j)) AS wv, 1 << (7 - j.j) AS w
+        |  FROM perb p, unnest(generate_series(0, 7)) AS j(j)),
+        |agg AS (
+        |  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_lags,
+        |    CAST(sum(wv) AS BIGINT) AS num, CAST(sum(w) AS BIGINT) AS den
+        |  FROM fan GROUP BY key, bucket)
+        |SELECT a.key, a.bucket, a.n_lags, a.num, a.den,
+        |  round(CAST(a.num AS DOUBLE) / (CAST(a.den AS DOUBLE) * 100.0), 6)
+        |    AS ewma
+        |FROM agg a JOIN perb p ON p.key = a.key AND p.bucket = a.bucket
+        |ORDER BY a.key, a.bucket""".stripMargin,
+
     "autocorr" ->
       """WITH e AS (
         |  SELECT user_id % 4 AS series, epoch_us(ts) AS t FROM events

@@ -598,6 +598,53 @@ object Curation {
       .drop("__trn", "__mg", "__tg")
   }
 
+  /** Smoothed target encoding — the category→value feature table for a
+    * high-cardinality categorical column: each category's encoding is
+    * its label mean SHRUNK toward the global mean by a prior weight `m`
+    * (micci-barreca 2001, the standard leakage-aware form when applied
+    * out-of-fold):
+    * {{{ enc_c = (Σ_c y + m·μ) / (n_c + m),  μ = T/N
+    *     enc_fp = (Σ_c y·N + m·T)·scale DIV (N·(n_c + m))  // ONE floor }}}
+    * The global-mean term is kept RATIONAL (μ never materializes as a
+    * float): the whole encoding floors once on the common denominator,
+    * so any ANSI engine replays it bit-for-bit. Products run in
+    * decimal(38,0) (`Σy·N ≤ N²` overflows int64 past ~3e9 rows); the
+    * emitted enc_fp ≤ scale. Output one row per category:
+    * (category, n, sum_y, enc_fp, enc). Null categories and labels are
+    * excluded. Apply by broadcast-joining the table to rows; for
+    * leakage-safe training features, compute on the TRAIN fold only and
+    * join to val/test — never on the full corpus (the doc'd contract;
+    * this op builds the table, the split discipline is [[hashSplit]]'s).
+    *
+    * Scale shape: one map-side-combined groupBy to the category
+    * relation + a 1-row totals broadcast. Nothing row-sized after.
+    */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      priorWeight: Long = 10L, scale: Long = 1000000L): DataFrame = {
+    require(priorWeight >= 0, s"priorWeight must be >= 0: $priorWeight")
+    require(scale >= 1, s"scale must be positive: $scale")
+    val c = col(s"`$catCol`").cast("string")
+    val y = col(s"`$labelCol`").cast("long")
+    val perC = df.filter(c.isNotNull && y.isNotNull)
+      .select(c.as(catCol), y.as("__y"))
+      .groupBy(col(s"`$catCol`"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"))
+    val tot = perC.agg(
+      sum(col("n")).as("__nt"), sum(col("sum_y")).as("__tt"))
+    val dec = "decimal(38,0)"
+    perC.crossJoin(broadcast(tot))
+      .withColumn("__num",
+        (col("sum_y").cast(dec) * col("__nt").cast(dec) +
+          lit(priorWeight).cast(dec) * col("__tt").cast(dec)) *
+          lit(scale).cast(dec))
+      .withColumn("__den",
+        col("__nt").cast(dec) * (col("n") + lit(priorWeight)).cast(dec))
+      .withColumn("enc_fp", expr("__num DIV __den"))
+      .select(col(s"`$catCol`"), col("n"), col("sum_y"), col("enc_fp"),
+        round(col("enc_fp").cast("double") / lit(scale.toDouble), 6)
+          .as("enc"))
+  }
+
   /** End-to-end curation driver — the composed "raw crawl in, training
     * corpus out" path a user of the library actually runs, as ONE lazy
     * plan: Gopher rule filter → exact content dedup (projected form: the

@@ -258,6 +258,123 @@ object ModelEval {
             (col("__cn") + col("__npos")).cast("double"), 6)).as("f1"))
   }
 
+  /** ROC curve points — (FPR, TPR) per descending distinct grid score,
+    * the [[prCurve]] twin on the false-positive axis. Counts are the
+    * same exact int64 cumulatives (`cum_fp = cum_n − cum_tp`); tpr/fpr
+    * spend one IEEE division each against the broadcast class totals
+    * (null when the class is empty — no rate exists). The trapezoid
+    * area over these points is [[aucScore]]'s exact rank form — use
+    * that for the scalar; this is the curve.
+    *
+    * Scale shape: identical to [[prCurve]] — rows collapse map-side to
+    * the distinct-grid-score relation, one window over it, a 1-row
+    * totals broadcast. Nothing subject-sized past the first aggregate.
+    */
+  def rocCurve(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val perV = prPerScore(df, labelCol, scoreCol, scale)
+    val tot = perV.agg(
+      sum(col("__t1")).as("__npos"), sum(col("__t")).as("__n"))
+    perV.crossJoin(broadcast(tot))
+      .select(
+        col("__x").as("score_fp"), col("__t").as("n_at"),
+        col("__t1").as("pos_at"), col("__ctp").as("cum_tp"),
+        (col("__cn") - col("__ctp")).as("cum_fp"),
+        when(col("__npos") > 0L,
+          round(col("__ctp").cast("double") / col("__npos").cast("double"), 6))
+          .as("tpr"),
+        when(col("__n") - col("__npos") > 0L,
+          round((col("__cn") - col("__ctp")).cast("double") /
+            (col("__n") - col("__npos")).cast("double"), 6)).as("fpr"))
+  }
+
+  /** Kolmogorov–Smirnov score separation — the credit-scoring KS: the
+    * maximum gap between the positive and negative score CDFs over
+    * descending thresholds, `KS = max_k |TPR_k − FPR_k|`. The argmax
+    * runs on the EXACT integer cross product
+    * {{{ gap_num_k = |cum_tp_k·n_neg − cum_fp_k·n_pos|   // int64-exact
+    *     ks       = max gap_num / (n_pos·n_neg)          // ONE division }}}
+    * so the winning threshold is a property of the counts, never of
+    * float rounding; ties break to the HIGHEST threshold (the earliest
+    * cut achieving the gap — the actionable one). Output ONE row:
+    * (n_pos, n_neg, ks_score_fp, ks_num, ks); null ks when either
+    * class is empty. Exactness bound: `cum·n < 9.2e18` → n ≈ 3e9 rows.
+    *
+    * Scale shape: the [[rocCurve]] relation (distinct grid scores) with
+    * a 1-row argmax `max_by` finish — no second pass.
+    */
+  def scoreKs(
+      df: DataFrame, labelCol: String, scoreCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val perV = prPerScore(df, labelCol, scoreCol, scale)
+    val tot = perV.agg(
+      sum(col("__t1")).as("__npos"), sum(col("__t")).as("__n"))
+    perV.crossJoin(broadcast(tot))
+      .select(col("__x"), col("__npos"),
+        (col("__n") - col("__npos")).as("__nneg"),
+        abs(col("__ctp") * (col("__n") - col("__npos")) -
+          (col("__cn") - col("__ctp")) * col("__npos")).as("__gap"))
+      .agg(
+        max(col("__npos")).as("n_pos"),
+        max(col("__nneg")).as("n_neg"),
+        max_by(col("__x"), struct(col("__gap"), col("__x"))).as("ks_score_fp"),
+        max(col("__gap")).as("ks_num"))
+      .select(col("n_pos"), col("n_neg"), col("ks_score_fp"), col("ks_num"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("ks_num").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("ks"))
+  }
+
+  /** Per-subgroup ROC AUC — the fairness audit companion to
+    * [[aucScore]]: the same exact doubled-midrank Mann–Whitney
+    * computation, every aggregate and window PARTITIONED by the
+    * subgroup column, one output row per subgroup. A model whose
+    * subgroup AUCs diverge ranks one cohort's positives worse than
+    * another's — the gap to audit before release (downstream diffs the
+    * rows; this op reports, it does not threshold).
+    *
+    * Scale shape: rows collapse map-side to (group, grid score) cells;
+    * the rank prefix window is partitioned by group (bounded by each
+    * group's score domain); output is groups-sized. Null groups are
+    * excluded — an unlabeled row belongs to no audit cohort.
+    */
+  def subgroupAuc(
+      df: DataFrame, groupCol: String, labelCol: String, scoreCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$groupCol`").cast("string")
+    val y = col(s"`$labelCol`").cast("long")
+    val s = col(s"`$scoreCol`")
+    val xd = round(s * lit(scale.toDouble), 0).cast("long")
+    val perV = df.filter(g.isNotNull && y.isin(0L, 1L) && s.isNotNull &&
+        !isnan(s.cast("double")))
+      .select(g.as(groupCol), y.as("__y"), xd.as("__x"))
+      .groupBy(col(s"`$groupCol`"), col("__x"))
+      .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__t1"))
+    val wPrev = Window.partitionBy(col(s"`$groupCol`")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perV
+      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      .withColumn("__r1x2",
+        col("__t1") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
+      .groupBy(col(s"`$groupCol`"))
+      .agg(
+        sum(col("__t1")).as("n_pos"),
+        (sum(col("__t")) - sum(col("__t1"))).as("n_neg"),
+        sum(col("__r1x2")).as("__r1x2s"))
+      .withColumn("u_x2", col("__r1x2s") - col("n_pos") * (col("n_pos") + 1L))
+      .select(
+        col(s"`$groupCol`"), col("n_pos"), col("n_neg"), col("u_x2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("u_x2").cast("double") /
+            (lit(2d) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 6)).as("auc"))
+  }
+
   /** Average precision — the area under [[prCurve]] by the standard
     * step sum `AP = Σ_k (ΔTP_k / n_pos) · P_k` over descending
     * distinct thresholds. Each term is a rational, so the sum is NOT

@@ -428,6 +428,62 @@ object TimeSeries {
     * key, never subject-cardinality); one map-side-combined groupBy
     * finishes.
     */
+  /** Exponentially-weighted trailing mean (EWMA, decay ½ per bucket)
+    * over the bucketed value series — EXACT, unlike every float-folded
+    * EWMA: weights are powers of two truncated at `lags`, values are
+    * grid-snapped cents, so the weighted numerator is a pure int64 sum
+    * and each output row spends ONE division:
+    * {{{ v_b     = Σ round(value·scale)           // per present bucket
+    *     num_t   = Σ_{j<lags, t−j present} v_{t−j}·2^(lags−1−j)
+    *     den_t   = Σ_{j<lags, t−j present} 2^(lags−1−j)
+    *     ewma_t  = num_t / (den_t·scale)          // ONE division }}}
+    * Gaps carry no phantom zeros — absent buckets drop out of BOTH
+    * sums (renormalized truncation, the standard `adjust=True` pandas
+    * semantics restricted to present observations). Output one row per
+    * OBSERVED (key, bucket): (key, bucket, n_lags, num, den, ewma).
+    * Exactness bound: `|v_b|·2^lags·lags < 9.2e18` — cents per bucket
+    * below ~4.5e15/2^lags.
+    *
+    * Scale shape: one map-side-combined groupBy to (key, bucket)
+    * cells; the lag fan-out is a ×lags explode BEFORE a second
+    * (key, bucket)-keyed combine; the present-bucket restriction is a
+    * (key, bucket) equi-semi-join. Nothing row-sized after the first
+    * aggregate; no windows, so no per-key serialization at all.
+    */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, bucketWidth: Long, lags: Int = 8,
+      scale: Long = 100L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    require(lags >= 1 && lags <= 62, s"lags must be in [1, 62]: $lags")
+    require(scale >= 1, s"scale must be positive: $scale")
+    val k = col(s"`$keyCol`")
+    val perB = df
+      .filter(k.isNotNull && col(s"`$tsCol`").isNotNull &&
+        col(s"`$valueCol`").isNotNull)
+      .select(k.as("key"),
+        expr(s"`$tsCol` DIV ${bucketWidth}L").as("bucket"),
+        round(col(s"`$valueCol`") * lit(scale.toDouble), 0).cast("long")
+          .as("__v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(sum(col("__v")).as("__v"))
+    val fan = perB
+      .select(col("key"), col("bucket"), col("__v"),
+        explode(sequence(lit(0), lit(lags - 1))).as("__j"))
+      .select(col("key"), (col("bucket") + col("__j")).as("bucket"),
+        expr(s"__v * shiftleft(1L, ${lags - 1} - __j)").as("__wv"),
+        expr(s"shiftleft(1L, ${lags - 1} - __j)").as("__w"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_lags"), sum(col("__wv")).as("num"),
+        sum(col("__w")).as("den"))
+    // only OBSERVED buckets emit (the fan-out also lands on the silent
+    // span after each observation; those targets are smoothing nothing)
+    fan.join(perB.select(col("key"), col("bucket")), Seq("key", "bucket"))
+      .select(col("key"), col("bucket"), col("n_lags"), col("num"),
+        col("den"),
+        round(col("num").cast("double") /
+          (col("den").cast("double") * lit(scale.toDouble)), 6).as("ewma"))
+  }
+
   def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
       bucketWidth: Long, maxLag: Int = 7,
       maxBucketsPerKey: Long = 10000000L): DataFrame = {

@@ -554,4 +554,24 @@ class CurationSpec extends SparkSpec {
     // determinism: same salt, same kept set
     assert(kept(1) == kept(1))
   }
+
+  test("targetEncode: exact smoothed means shrink toward the rational global mean") {
+    // cats: a = {1,1,0} (mean 2/3), b = {0} (mean 0); T=2, N=4, mu=1/2
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0),
+      (null.asInstanceOf[String], 1)).toDF("c", "y")
+    val by = Curation.targetEncode(df, "c", "y", priorWeight = 2L,
+      scale = 1000000L).collect().map(r => r.getAs[String]("c") -> r).toMap
+    assert(by.size == 2, "null category excluded")
+    // enc_a = (2 + 2·1/2)/(3+2) = 3/5; fp = (2·4 + 2·2)·1e6 DIV (4·5)
+    assert(by("a").getAs[Long]("n") == 3L && by("a").getAs[Long]("sum_y") == 2L)
+    assert(by("a").getAs[Long]("enc_fp") == 600000L, by("a").toString)
+    assert(by("a").getAs[Double]("enc") == 0.6)
+    // enc_b = (0 + 1)/(1+2) = 1/3 — pulled UP toward mu by the prior
+    assert(by("b").getAs[Long]("enc_fp") == 333333L, by("b").toString)
+    // priorWeight 0 = the raw category mean, no shrinkage
+    val raw = Curation.targetEncode(df, "c", "y", priorWeight = 0L,
+      scale = 1000000L).collect().map(r => r.getAs[String]("c") -> r).toMap
+    assert(raw("a").getAs[Long]("enc_fp") == 666666L)
+    assert(raw("b").getAs[Long]("enc_fp") == 0L)
+  }
 }

@@ -235,6 +235,56 @@ class ModelEvalSpec extends SparkSpec {
       nan.toString)
   }
 
+  test("rocCurve: exact cumulative counts, rates against class totals") {
+    // scores desc: 0.9(+), 0.8(−), 0.7(+), 0.6(−): P=2, N=2
+    val df = Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.6)).toDF("y", "s")
+    val pts = ModelEval.rocCurve(df, "y", "s", scale = 10L)
+      .orderBy(org.apache.spark.sql.functions.col("score_fp").desc).collect()
+    assert(pts.length == 4)
+    assert(pts(0).getAs[Long]("cum_tp") == 1L && pts(0).getAs[Long]("cum_fp") == 0L)
+    assert(pts(0).getAs[Double]("tpr") == 0.5 && pts(0).getAs[Double]("fpr") == 0.0)
+    assert(pts(1).getAs[Double]("tpr") == 0.5 && pts(1).getAs[Double]("fpr") == 0.5)
+    assert(pts(3).getAs[Double]("tpr") == 1.0 && pts(3).getAs[Double]("fpr") == 1.0)
+    // one-class input: the missing class's rate is null, not a /0
+    val one = ModelEval.rocCurve(
+      Seq((1, 0.9), (1, 0.1)).toDF("y", "s"), "y", "s", 10L).collect()
+    assert(one.forall(_.isNullAt(one(0).fieldIndex("fpr"))))
+  }
+
+  test("scoreKs: integer-exact max CDF gap, highest-threshold tiebreak, one-class null") {
+    // scores desc: 0.9(+), 0.8(+), 0.7(−), 0.6(+), 0.5(−), 0.4(−)
+    // P=3, N=3; gaps·9: t=.9:3, .8:6, .7:3, .6:6, .5:3, .4:0 → KS=6/9
+    val df = Seq((1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6), (0, 0.5), (0, 0.4))
+      .toDF("y", "s")
+    val r = ModelEval.scoreKs(df, "y", "s", scale = 10L).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 3L && r.getAs[Long]("n_neg") == 3L)
+    assert(r.getAs[Long]("ks_num") == 6L)
+    // tie between thresholds 0.8 and 0.6 → the HIGHEST (earliest) wins
+    assert(r.getAs[Long]("ks_score_fp") == 8L, r.toString)
+    assert(r.getAs[Double]("ks") == 0.666667, r.toString)
+    val one = ModelEval.scoreKs(
+      Seq((1, 0.9)).toDF("y", "s"), "y", "s", 10L).collect()(0)
+    assert(one.isNullAt(one.fieldIndex("ks")))
+  }
+
+  test("subgroupAuc: per-group exact rank AUC matches per-group aucScore") {
+    val df = Seq(
+      ("a", 1, 3.0), ("a", 1, 4.0), ("a", 0, 1.0), ("a", 0, 2.0),
+      ("b", 1, 1.0), ("b", 0, 2.0), ("b", 1, 3.0),
+      (null.asInstanceOf[String], 1, 9.0)).toDF("g", "y", "s")
+    val by = ModelEval.subgroupAuc(df, "g", "y", "s", 1L).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(by.size == 2, "null group excluded")
+    for (g <- Seq("a", "b")) {
+      val solo = ModelEval.aucScore(
+        df.filter(org.apache.spark.sql.functions.col("g") === g), "y", "s", 1L)
+        .collect()(0)
+      assert(by(g).getAs[Long]("u_x2") == solo.getAs[Long]("u_x2"), g)
+      assert(by(g).getAs[Double]("auc") == solo.getAs[Double]("auc"), g)
+    }
+    assert(by("a").getAs[Double]("auc") == 1.0)
+  }
+
   test("prCurve: NaN scores excluded — no phantom threshold at grid 0") {
     val pr = ModelEval.prCurve(
       Seq((1, 0.9), (0, 0.1), (1, Double.NaN)).toDF("y", "s"),

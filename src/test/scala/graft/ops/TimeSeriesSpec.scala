@@ -477,4 +477,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b.getAs[Long]("cp_index") == 1L && b.getAs[Long]("cp_bucket") == 0L,
       b.toString)
   }
+
+  test("ewmaSmooth: exact power-of-two trailing weights, gaps renormalize, one division") {
+    import org.apache.spark.sql.functions.col
+    // key k: buckets 0 (v=1.00), 1 (v=3.00), 3 (v=5.00) — bucket 2 absent
+    val df = Seq(("k", 5L, 1.0), ("k", 15L, 3.0), ("k", 35L, 5.0),
+      ("k", 36L, 2.0), // same bucket as 35 → cents sum 700
+      (null.asInstanceOf[String], 5L, 9.0)).toDF("key", "ts", "v")
+    val out = TimeSeries.ewmaSmooth(df, "key", "ts", "v",
+      bucketWidth = 10L, lags = 3, scale = 100L).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.size == 3, "only observed buckets emit; null key excluded")
+    // bucket 0: only itself → num=100·4, den=4, ewma=1.0
+    assert(out(0L).getAs[Long]("num") == 400L && out(0L).getAs[Long]("den") == 4L)
+    assert(out(0L).getAs[Double]("ewma") == 1.0)
+    // bucket 1: lags {1(w4), 0(w2)} → num=300·4+100·2=1400, den=6
+    assert(out(1L).getAs[Long]("n_lags") == 2L)
+    assert(out(1L).getAs[Long]("num") == 1400L && out(1L).getAs[Long]("den") == 6L)
+    assert(out(1L).getAs[Double]("ewma") == 2.333333, out(1L).toString)
+    // bucket 3: window {3,2,1}; 2 ABSENT → {3(w4), 1(w1)}: num=700·4+300·1
+    assert(out(3L).getAs[Long]("n_lags") == 2L)
+    assert(out(3L).getAs[Long]("num") == 3100L && out(3L).getAs[Long]("den") == 5L)
+    assert(out(3L).getAs[Double]("ewma") == 6.2, out(3L).toString)
+  }
 }
