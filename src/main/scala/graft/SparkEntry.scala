@@ -1642,6 +1642,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.11 — readability scoring per document: exact word/sentence/
+    // vowel-group counts + the Flesch and FK-grade fixed-order IEEE
+    // expressions — the cheap quality-filter axis Gopher rules miss.
+    "readability" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextStats.readabilityProfile(col("text")): _*)
+        .orderBy("doc_id")),
+
     // §2.11 — broadcast-join blockterm profile for LARGE lists: 10⁴
     // generated terms (plan must stay flat — PlanAuditSpec asserts
     // BroadcastHashJoin and no literal collection) plus common words so
@@ -2234,6 +2243,19 @@ object SparkEntry {
         graft.ops.Dedup.ngramJaccardPairs(
           t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
         "id_a", "id_b")),
+
+    // §2.11 graph analytics — PageRank over the same ≥0.5-Jaccard
+    // near-dup pair graph: 3 rounds of exact fixed-point power
+    // iteration, every term an int64 floor the oracle replays verbatim
+    // (rank centrality of boilerplate hubs — which template dominates).
+    "pagerank" -> ((s, dir) =>
+      graft.ops.Dedup.pageRank(
+        graft.ops.Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
+        "id_a", "id_b", iters = 3)
+        .select(col("id").as("doc_id"), col("degree"), col("rank_fp"),
+          col("rank"))
+        .orderBy("doc_id")),
 
     // Categorical drift (PSI over the source MIX): doc_id%3 splits the
     // corpus (mod 3 is coprime with the 20-source cycle, so every source
@@ -3156,6 +3178,25 @@ object SparkEntry {
           col("observed"))
       TimeSeries.kaplanMeier(perUser, "cohort", "duration", "observed")
         .orderBy("cohort", "duration")
+    }),
+
+    // §2.11 EHR analytics — actuarial life table over the same cohort
+    // durations at 24h intervals: the half-censoring q = 2d/(2n−c)
+    // exact floor + a HUGEINT-replayable product fold, occupied
+    // intervals only.
+    "life_table" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("__mx"), min(col("ts")).as("__mn"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("observed"))
+        .select(pmod(col("user_id"), lit(4L)).cast("string").as("cohort"),
+          expr("(__mx - __mn) DIV 3600000000").as("duration"),
+          col("observed"))
+      TimeSeries.lifeTable(perUser, "cohort", "duration", "observed",
+          intervalWidth = 24L)
+        .orderBy("cohort", "interval")
     }),
 
     // §2.11 EHR analytics — the headline readings off the same KM
@@ -5504,6 +5545,46 @@ object SparkEntry {
           |        ELSE 3.0 * tri.t / nd.n_wedges END, 6) AS global_clustering
           |FROM nd, eg, tri""".stripMargin),
 
+    // PageRank: the shingle pair graph symmetrized, then 3 unrolled
+    // exact-integer iterations — r' = (15S) // (100n) + (85·Σ r//deg) // 100.
+    "pagerank" ->
+      (shingleCte +
+        """, pe AS (
+          |  SELECT id_a, id_b FROM pair_inter
+          |  JOIN sz sa ON sa.doc_id = id_a
+          |  JOIN sz sb ON sb.doc_id = id_b
+          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
+          |und AS (
+          |  SELECT id_a AS id, id_b AS dst FROM pe
+          |  UNION
+          |  SELECT id_b, id_a FROM pe),
+          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+          |  FROM und GROUP BY id),
+          |nn AS (SELECT count(*) AS n FROM deg),
+          |r0 AS (SELECT d.id, d.degree, 1000000000000 // nn.n AS r
+          |  FROM deg d, nn),
+          |it1 AS (
+          |  SELECT u.dst AS id,
+          |    (15 * 1000000000000) // (100 * nn.n) +
+          |      (85 * sum(r0.r // r0.degree)) // 100 AS r
+          |  FROM und u JOIN r0 ON r0.id = u.id, nn GROUP BY u.dst, nn.n),
+          |r1 AS (SELECT i.id, d.degree, i.r FROM it1 i JOIN deg d ON d.id = i.id),
+          |it2 AS (
+          |  SELECT u.dst AS id,
+          |    (15 * 1000000000000) // (100 * nn.n) +
+          |      (85 * sum(r1.r // r1.degree)) // 100 AS r
+          |  FROM und u JOIN r1 ON r1.id = u.id, nn GROUP BY u.dst, nn.n),
+          |r2 AS (SELECT i.id, d.degree, i.r FROM it2 i JOIN deg d ON d.id = i.id),
+          |it3 AS (
+          |  SELECT u.dst AS id,
+          |    (15 * 1000000000000) // (100 * nn.n) +
+          |      (85 * sum(r2.r // r2.degree)) // 100 AS r
+          |  FROM und u JOIN r2 ON r2.id = u.id, nn GROUP BY u.dst, nn.n)
+          |SELECT d.id AS doc_id, d.degree, CAST(i.r AS BIGINT) AS rank_fp,
+          |  round(CAST(i.r AS DOUBLE) / 1000000000000.0, 9) AS "rank"
+          |FROM it3 i JOIN deg d ON d.id = i.id
+          |ORDER BY doc_id""".stripMargin),
+
     "winsorize" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -6785,6 +6866,30 @@ object SparkEntry {
 
     // replays htmlExtract's exact regex chain (all patterns Java≡RE2);
     // regexp_replace needs the 'g' flag in DuckDB; '' escapes a quote.
+    // Readability: identical count patterns (RE2-safe) + the same
+    // fixed-order float expressions, rounded at 4.
+    "readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS w,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents)
+        |SELECT doc_id, w AS n_words, s AS n_sentences,
+        |  syl AS n_syllable_groups,
+        |  CASE WHEN w > 0 THEN
+        |    round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
+        |      84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+        |  END AS flesch,
+        |  CASE WHEN w > 0 THEN
+        |    round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) +
+        |      11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 4)
+        |  END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "html_extract" ->
       """WITH src AS (
         |  SELECT doc_id,
@@ -7638,6 +7743,48 @@ object SparkEntry {
         |  CAST(s AS BIGINT) AS survival_fp,
         |  round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS survival
         |FROM km ORDER BY cohort, duration""".stripMargin,
+
+    // Life table: 24h-interval collapse, q = 2dS // (2n − c) per
+    // occupied interval, HUGEINT recursive product fold.
+    "life_table" ->
+      """WITH RECURSIVE per_user AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS cohort,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS duration,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS observed
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |li AS (
+        |  SELECT cohort, duration // 24 AS iv, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(observed) AS BIGINT) AS d
+        |  FROM per_user GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(m) AS BIGINT) AS n FROM li GROUP BY 1),
+        |rr AS (
+        |  SELECT l.cohort, l.iv, l.d, l.m - l.d AS c,
+        |    CAST(t.n - coalesce(sum(l.m) OVER (PARTITION BY l.cohort ORDER BY l.iv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ne,
+        |    row_number() OVER (PARTITION BY l.cohort ORDER BY l.iv) AS rn
+        |  FROM li l JOIN tot t ON t.cohort = l.cohort),
+        |qq AS (
+        |  SELECT cohort, iv, rn, ne, d, c,
+        |    CASE WHEN d = 0 THEN 0
+        |      ELSE CAST(2 * CAST(d AS HUGEINT) * 1000000000000 //
+        |        (2 * ne - c) AS BIGINT) END AS qfp
+        |  FROM rr),
+        |lt AS (
+        |  SELECT cohort, iv, rn, ne, d, c, qfp,
+        |    CAST(CAST(1000000000000 AS HUGEINT) * (1000000000000 - qfp) //
+        |      1000000000000 AS BIGINT) AS sfp
+        |  FROM qq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.cohort, q.iv, q.rn, q.ne, q.d, q.c, q.qfp,
+        |    CAST(CAST(lt.sfp AS HUGEINT) * (1000000000000 - q.qfp) //
+        |      1000000000000 AS BIGINT)
+        |  FROM qq q JOIN lt ON lt.cohort = q.cohort AND q.rn = lt.rn + 1)
+        |SELECT cohort, iv AS interval, CAST(iv * 24 AS BIGINT) AS t_start,
+        |  ne AS n_enter, d AS d_events, c AS c_censored, qfp AS q_fp,
+        |  sfp AS survival_fp,
+        |  round(CAST(sfp AS DOUBLE) / 1000000000000.0, 6) AS survival
+        |FROM lt ORDER BY cohort, interval""".stripMargin,
 
     // The survival_km recursive replay, folded to the quantile
     // readings: min duration whose exact fixed-point S crosses each

@@ -531,6 +531,35 @@ object TextStats {
       text.rlike("(?s)" + tagShaped + "|<!--").cast("int").as("had_html"))
   }
 
+  /** Readability profile — the Flesch reading-ease / Flesch–Kincaid
+    * grade heuristics over count features any engine can replay:
+    * words = non-empty whitespace tokens, sentences = terminal-
+    * punctuation runs (`[.!?]+`, floored at 1 — a fragment is one
+    * sentence), syllables ≈ vowel-group runs (`[aeiouy]+` on the
+    * lowercased text — the standard cheap proxy; systematic bias
+    * cancels when COMPARING documents, which is what a corpus filter
+    * does). The exact integer counts are emitted alongside the two
+    * standard scores (each a fixed-order IEEE expression, rounded):
+    * {{{ flesch   = 206.835 − 1.015·(w/s) − 84.6·(syl/w)
+    *     fk_grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59 }}}
+    * Wordless documents score null (no text to grade). Every pattern
+    * is Java-regex/RE2 identical, so the oracle replays verbatim.
+    * Pure per-row projection: shuffle-free, codegen'd, linear.
+    */
+  def readabilityProfile(text: Column): Seq[Column] = {
+    val w = size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+    val s = greatest(regexp_count(text, lit("[.!?]+")).cast("long"), lit(1L))
+    val syl = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val ws = w.cast("double") / s.cast("double")
+    val sw = syl.cast("double") / w.cast("double")
+    Seq(
+      w.as("n_words"), s.as("n_sentences"), syl.as("n_syllable_groups"),
+      when(w > 0L, round(lit(206.835) - lit(1.015) * ws - lit(84.6) * sw, 4))
+        .as("flesch"),
+      when(w > 0L, round(lit(0.39) * ws + lit(11.8) * sw - lit(15.59), 4))
+        .as("fk_grade"))
+  }
+
   def c4LineFilter(text: Column, minWords: Int = 3): Seq[Column] = {
     require(minWords >= 1, s"minWords must be >= 1: $minWords")
     val lines = filter(split(text, "\n"), l => length(l) > 0)

@@ -781,4 +781,28 @@ class TextStatsSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double)].collect().toSeq
     assert(floored.map(_._1) == Seq("a"), floored.toString)
   }
+
+  test("readabilityProfile: exact count features, fixed-order scores, wordless null") {
+    // "The cat sat. It ran!" → 5 words, 2 sentences,
+    // vowel groups: e, a, a, i, a = 5
+    val r = Seq("The cat sat. It ran!").toDF("t")
+      .select(TextStats.readabilityProfile(col("t")): _*).collect()(0)
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllable_groups") == 5L)
+    // flesch = 206.835 − 1.015·2.5 − 84.6·1.0; fk = 0.39·2.5 + 11.8·1.0 − 15.59
+    assert(r.getAs[Double]("flesch") ==
+      math.rint((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 10000) / 10000)
+    assert(r.getAs[Double]("fk_grade") ==
+      math.rint((0.39 * 2.5 + 11.8 * 1.0 - 15.59) * 10000) / 10000)
+    // no terminal punctuation: sentence floor of 1 (a fragment IS a sentence)
+    val frag = Seq("just a fragment").toDF("t")
+      .select(TextStats.readabilityProfile(col("t")): _*).collect()(0)
+    assert(frag.getAs[Long]("n_sentences") == 1L)
+    // wordless: counts zero, scores null
+    val empty = Seq("   ").toDF("t")
+      .select(TextStats.readabilityProfile(col("t")): _*).collect()(0)
+    assert(empty.getAs[Long]("n_words") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("flesch")))
+  }
 }

@@ -478,6 +478,36 @@ class TimeSeriesSpec extends SparkSpec {
       b.toString)
   }
 
+  test("lifeTable: actuarial half-censoring adjustment, exact product fold, occupied intervals only") {
+    // stratum x, width 10: interval 0 has 2 deaths (t=3,7) + 1 censor
+    // (t=5) of 6 subjects; interval 2 (t in [20,30)) has 1 death + 1
+    // censor of 3 remaining; interval 3 has 1 censor. interval 1 empty.
+    val df = Seq(
+      ("x", 3L, 1L), ("x", 7L, 1L), ("x", 5L, 0L),
+      ("x", 22L, 1L), ("x", 25L, 0L), ("x", 31L, 0L))
+      .toDF("g", "t", "obs")
+    val out = TimeSeries.lifeTable(df, "g", "t", "obs", intervalWidth = 10L)
+      .collect().map(r => r.getAs[Long]("interval") -> r).toMap
+    assert(out.keySet == Set(0L, 2L, 3L), "empty interval 1 never emits")
+    val S = 1000000000000L
+    // interval 0: n=6, d=2, c=1 → q = 4S DIV 11; s0 = (S−q) (exact)
+    val q0 = 4L * S / 11L
+    val i0 = out(0L)
+    assert(i0.getAs[Long]("n_enter") == 6L && i0.getAs[Long]("d_events") == 2L &&
+      i0.getAs[Long]("c_censored") == 1L)
+    assert(i0.getAs[Long]("q_fp") == q0)
+    assert(i0.getAs[Long]("survival_fp") == S - q0)
+    assert(i0.getAs[Long]("t_start") == 0L)
+    // interval 2: n=3, d=1, c=1 → q = 2S DIV 5; fold in BigInt
+    val q2 = 2L * S / 5L
+    val s2 = (BigInt(S - q0) * (S - q2) / S).toLong
+    assert(out(2L).getAs[Long]("q_fp") == q2)
+    assert(out(2L).getAs[Long]("survival_fp") == s2, out(2L).toString)
+    // interval 3: censor only → q = 0, survival unchanged
+    assert(out(3L).getAs[Long]("q_fp") == 0L)
+    assert(out(3L).getAs[Long]("survival_fp") == s2)
+  }
+
   test("ewmaSmooth: exact power-of-two trailing weights, gaps renormalize, one division") {
     import org.apache.spark.sql.functions.col
     // key k: buckets 0 (v=1.00), 1 (v=3.00), 3 (v=5.00) — bucket 2 absent
