@@ -2244,19 +2244,6 @@ object SparkEntry {
           t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
         "id_a", "id_b")),
 
-    // §2.11 graph analytics — PageRank over the same ≥0.5-Jaccard
-    // near-dup pair graph: 3 rounds of exact fixed-point power
-    // iteration, every term an int64 floor the oracle replays verbatim
-    // (rank centrality of boilerplate hubs — which template dominates).
-    "pagerank" -> ((s, dir) =>
-      graft.ops.Dedup.pageRank(
-        graft.ops.Dedup.ngramJaccardPairs(
-          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
-        "id_a", "id_b", iters = 3)
-        .select(col("id").as("doc_id"), col("degree"), col("rank_fp"),
-          col("rank"))
-        .orderBy("doc_id")),
-
     // Categorical drift (PSI over the source MIX): doc_id%3 splits the
     // corpus (mod 3 is coprime with the 20-source cycle, so every source
     // lands on BOTH sides — a parity split would make every category
@@ -5544,46 +5531,6 @@ object SparkEntry {
           |  round(CASE WHEN nd.n_wedges = 0 THEN 0.0
           |        ELSE 3.0 * tri.t / nd.n_wedges END, 6) AS global_clustering
           |FROM nd, eg, tri""".stripMargin),
-
-    // PageRank: the shingle pair graph symmetrized, then 3 unrolled
-    // exact-integer iterations — r' = (15S) // (100n) + (85·Σ r//deg) // 100.
-    "pagerank" ->
-      (shingleCte +
-        """, pe AS (
-          |  SELECT id_a, id_b FROM pair_inter
-          |  JOIN sz sa ON sa.doc_id = id_a
-          |  JOIN sz sb ON sb.doc_id = id_b
-          |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5),
-          |und AS (
-          |  SELECT id_a AS id, id_b AS dst FROM pe
-          |  UNION
-          |  SELECT id_b, id_a FROM pe),
-          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
-          |  FROM und GROUP BY id),
-          |nn AS (SELECT count(*) AS n FROM deg),
-          |r0 AS (SELECT d.id, d.degree, 1000000000000 // nn.n AS r
-          |  FROM deg d, nn),
-          |it1 AS (
-          |  SELECT u.dst AS id,
-          |    (15 * 1000000000000) // (100 * nn.n) +
-          |      (85 * sum(r0.r // r0.degree)) // 100 AS r
-          |  FROM und u JOIN r0 ON r0.id = u.id, nn GROUP BY u.dst, nn.n),
-          |r1 AS (SELECT i.id, d.degree, i.r FROM it1 i JOIN deg d ON d.id = i.id),
-          |it2 AS (
-          |  SELECT u.dst AS id,
-          |    (15 * 1000000000000) // (100 * nn.n) +
-          |      (85 * sum(r1.r // r1.degree)) // 100 AS r
-          |  FROM und u JOIN r1 ON r1.id = u.id, nn GROUP BY u.dst, nn.n),
-          |r2 AS (SELECT i.id, d.degree, i.r FROM it2 i JOIN deg d ON d.id = i.id),
-          |it3 AS (
-          |  SELECT u.dst AS id,
-          |    (15 * 1000000000000) // (100 * nn.n) +
-          |      (85 * sum(r2.r // r2.degree)) // 100 AS r
-          |  FROM und u JOIN r2 ON r2.id = u.id, nn GROUP BY u.dst, nn.n)
-          |SELECT d.id AS doc_id, d.degree, CAST(i.r AS BIGINT) AS rank_fp,
-          |  round(CAST(i.r AS DOUBLE) / 1000000000000.0, 9) AS "rank"
-          |FROM it3 i JOIN deg d ON d.id = i.id
-          |ORDER BY doc_id""".stripMargin),
 
     "winsorize" ->
       """WITH b AS (

@@ -346,68 +346,6 @@ object Dedup {
           .as("global_clustering"))
   }
 
-  /** PageRank over an undirected pair graph (e.g. the near-dup edge
-    * set) with EXACT fixed-point arithmetic — deterministic and
-    * SQL-replayable, no float fold anywhere:
-    * {{{ r_0(v)   = S DIV n
-    *     c_k(u)   = r_k(u) DIV deg(u)                   // per-edge contribution
-    *     r_k+1(v) = (p'·S) DIV (100·n) + (p·Σ_{u~v} c_k(u)) DIV 100 }}}
-    * with damping p/100 (default 85) and p' = 100−p, a FIXED `iters`
-    * rounds (power iteration truncated — rank ORDER stabilizes long
-    * before values; callers wanting convergence run more rounds). Every
-    * term floors once on int64 (`Σc ≤ S = 1e12`, so `p·Σc < 1e14`
-    * never overflows); the same DIVs replay in any ANSI engine. Output
-    * one row per node: (id, degree, rank_fp, rank). Isolated ids never
-    * appear (no edges → no rank mass to receive); self-loops and null
-    * endpoints are dropped.
-    *
-    * Scale shape: the symmetrized edge list persists once
-    * ([[graft.CachedFrames]] contract) and each round is ONE edge-keyed
-    * equi-join + ONE dst-keyed map-side-combinable sum — never a
-    * node-pair product. `iters` is fixed and small, so plan depth stays
-    * shallow (the [[connectedComponents]] checkpoint-cadence concern
-    * does not arise). A celebrity node concentrates its sum like any
-    * hot groupBy key — AQE skew handling applies; the contribution
-    * DIV happens BEFORE the join, so hub fan-out ships longs, not
-    * vectors.
-    */
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, dampingPerCent: Int = 85): DataFrame = {
-    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
-    require(dampingPerCent >= 0 && dampingPerCent <= 100,
-      s"dampingPerCent must be in [0, 100]: $dampingPerCent")
-    val S = 1000000000000L
-    val p = dampingPerCent.toLong
-    val a = col(s"`$srcCol`")
-    val b = col(s"`$dstCol`")
-    val half = edges.filter(a.isNotNull && b.isNotNull && a =!= b)
-      .select(a.as("id"), b.as("__dst"))
-    val und = half
-      .unionByName(half.select(col("__dst").as("id"), col("id").as("__dst")))
-      .distinct()
-      .transform(graft.CachedFrames.cached)
-    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("degree"))
-      .transform(graft.CachedFrames.cached)
-    val nDf = deg.agg(count(lit(1)).as("__n"))
-    val init = deg.crossJoin(broadcast(nDf))
-      .select(col("id"), col("degree"), col("__n"),
-        expr(s"${S}L DIV __n").as("rank_fp"))
-    val fin = (1 to iters).foldLeft(init) { (ranks, _) =>
-      val contrib = ranks
-        .select(col("id"), expr("rank_fp DIV degree").as("__c"))
-        .join(und, Seq("id"))
-        .groupBy(col("__dst").as("id"))
-        .agg(sum(col("__c")).as("__s"))
-      deg.crossJoin(broadcast(nDf))
-        .join(contrib, Seq("id")) // every node of an undirected graph has in-edges
-        .select(col("id"), col("degree"), col("__n"),
-          expr(s"((${100L - p} * ${S}L) DIV (100 * __n)) + " +
-            s"(${p} * __s) DIV 100").as("rank_fp"))
-    }
-    fin.select(col("id"), col("degree"), col("rank_fp"),
-      round(col("rank_fp").cast("double") / lit(S.toDouble), 9).as("rank"))
-  }
-
   /** Transitive near-dup clustering: [[minhashNearDups]] pairs as edges,
     * then [[connectedComponents]] — every document labeled with its
     * cluster's smallest doc id (docs with no near-dup form singleton

@@ -136,38 +136,6 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((6L, 5L, 5L, 1L, 0.6)), out.toSeq.toString)
   }
 
-  test("pageRank: exact fixed-point iteration matches the hand fold; hubs outrank leaves") {
-    // star 1-{2,3,4} plus pendant pair 5-6; self-loop and dup dropped
-    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L),
-      (2L, 1L), (7L, 7L)).toDF("s", "d")
-    val out = Dedup.pageRank(edges, "s", "d", iters = 2).collect()
-      .map(r => r.getAs[Long]("id") ->
-        (r.getAs[Long]("degree"), r.getAs[Long]("rank_fp"))).toMap
-    assert(out.size == 6 && !out.contains(7L), "self-loop node excluded")
-    assert(out(1L)._1 == 3L && out(2L)._1 == 1L && out(5L)._1 == 1L)
-    // replay the integer recurrence by hand: S=1e12, n=6, r0 = S DIV 6
-    val S = 1000000000000L
-    val r0 = S / 6
-    def step(rc: Map[Long, Long]): Map[Long, Long] = {
-      val c = Map(1L -> rc(1L) / 3, 2L -> rc(2L), 3L -> rc(3L),
-        4L -> rc(4L), 5L -> rc(5L), 6L -> rc(6L))
-      val base = (15L * S) / (100L * 6L)
-      Map(
-        1L -> (base + 85L * (c(2L) + c(3L) + c(4L)) / 100L),
-        2L -> (base + 85L * c(1L) / 100L),
-        3L -> (base + 85L * c(1L) / 100L),
-        4L -> (base + 85L * c(1L) / 100L),
-        5L -> (base + 85L * c(6L) / 100L),
-        6L -> (base + 85L * c(5L) / 100L))
-    }
-    val expect = step(step(Map(1L -> r0, 2L -> r0, 3L -> r0,
-      4L -> r0, 5L -> r0, 6L -> r0)))
-    for (v <- Seq(1L, 2L, 3L, 4L, 5L, 6L))
-      assert(out(v)._2 == expect(v), s"node $v: ${out(v)._2} vs ${expect(v)}")
-    // the hub outranks every leaf; symmetric pair nodes tie exactly
-    assert(out(1L)._2 > out(2L)._2 && out(5L)._2 == out(6L)._2)
-  }
-
   test("triangleStats: disjoint cliques count C(k,3) each; empty graph is a zero row") {
     def clique(ids: Seq[Long]) =
       for { a <- ids; b <- ids if a < b } yield (a, b)
