@@ -1436,6 +1436,44 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // §2.11 — cross-source duplication matrix: the ≥0.5-Jaccard
+    // near-dup pairs rolled up by (source, source), names sorted so
+    // the matrix is orientation-free. The corpus-curation view that
+    // shows WHICH feeds mirror each other — the per-pair list is
+    // ngram_jaccard; this is its contract with the mixture planner.
+    "source_copy_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+          "id_b")
+        .groupBy(least(col("__sa"), col("__sb")).as("source_1"),
+          greatest(col("__sa"), col("__sb")).as("source_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_1", "source_2")
+    }),
+
+    // §2.11 — containment (overlap-coefficient) pairs over a corpus
+    // enriched with wrapper copies: every 17th document re-appears
+    // embedded between boilerplate framing, the case Jaccard
+    // structurally misses (J → |small|/|large|) and containment nails
+    // at C ≈ 1. Smaller-side prefix probe vs the full inverted index.
+    "ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val enriched = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(17L)) === 0L)
+          .select((-col("doc_id") - 1L).as("doc_id"),
+            concat(lit("wrapper intro framing words before the body : "),
+              col("text"),
+              lit(" : wrapper trailer boilerplate after the body end"))
+              .as("text")))
+      Dedup.ngramContainmentPairs(enriched, "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.11 — SimHash near-dup (Hamming ≤ 3 over 64-bit signatures).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
@@ -1641,6 +1679,16 @@ object SparkEntry {
       html.select(col("doc_id") +: TextStats.htmlExtract(col("html")): _*)
         .orderBy("doc_id")
     }),
+
+    // §2.11 — hashing-trick featurization: the fixed-schema sparse
+    // (doc, bucket, count) term matrix, md5-top-60 buckets so the
+    // oracle replays every bucket id bit-for-bit. dim=64 keeps the
+    // fixture readable; production dims (2^18+) change nothing but a
+    // literal.
+    "feature_hash" -> ((s, dir) =>
+      TextStats.featureHash(t(s, dir, "documents"), "doc_id", "text",
+          dim = 64)
+        .orderBy("doc_id", "bucket")),
 
     // §2.11 — readability scoring per document: exact word/sentence/
     // vowel-group counts + the Flesch and FK-grade fixed-order IEEE
@@ -6682,6 +6730,57 @@ object SparkEntry {
     "stream_neardup" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
 
+    // Source copy matrix: threshold pairs joined to source labels,
+    // names sorted per pair.
+    "source_copy_matrix" ->
+      (shingleCte +
+        """SELECT least(da.source, db.source) AS source_1,
+          |  greatest(da.source, db.source) AS source_2,
+          |  CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM pair_inter
+          |JOIN sz sa ON sa.doc_id = id_a
+          |JOIN sz sb ON sb.doc_id = id_b
+          |JOIN documents da ON da.doc_id = id_a
+          |JOIN documents db ON db.doc_id = id_b
+          |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+          |GROUP BY 1, 2
+          |ORDER BY source_1, source_2""".stripMargin),
+
+    // Containment: the shingle pair machinery over the wrapper-enriched
+    // corpus, coefficient = i / least(|A|, |B|) at the 0.8 bar.
+    "ngram_containment" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1,
+        |    'wrapper intro framing words before the body : ' || text ||
+        |    ' : wrapper trailer boilerplate after the body end'
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w FROM docs2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w) - 2),
+        |                          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+        |      ELSE [] END) AS s
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), sz AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pair_inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(i AS BIGINT) AS n_shared,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+        |FROM pair_inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(i * 1.0 / least(sa.n, sb.n), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_clusters" -> (docClustersSqlBody + " ORDER BY doc_id"),
 
     "leakage_split" ->
@@ -6813,6 +6912,20 @@ object SparkEntry {
 
     // replays htmlExtract's exact regex chain (all patterns Java≡RE2);
     // regexp_replace needs the 'g' flag in DuckDB; '' escapes a quote.
+    // Feature hashing: identical tokenization + md5-top-60 bucket ids.
+    "feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+        |    w -> w <> '')) AS tok
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS BIGINT)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM toks GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+
     // Readability: identical count patterns (RE2-safe) + the same
     // fixed-order float expressions, rounded at 4.
     "readability" ->

@@ -771,6 +771,68 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs — the overlap coefficient
+    * `C = |A∩B| / min(|A|, |B|)` over n-gram shingle sets, thresholded.
+    * The containment twin of [[ngramJaccardPairs]]: a short document
+    * EMBEDDED in a long one scores C ≈ 1 while its Jaccard is dragged
+    * toward |small|/|large| and slips under every near-dup threshold —
+    * this is the wrapper-page / quoted-document / boilerplate-shell
+    * detector. Candidate generation is the containment form of the
+    * prefix filter: `|A∩B| ≥ t·|A|` forces the SMALLER set's first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles (global sorted-hash order) to hit the
+    * other document somewhere, so the join probes the smaller side's
+    * prefix against the full inverted index — no size-ratio pruning
+    * exists for containment BY CONSTRUCTION (any size gap is eligible),
+    * which is why the full index, token-bound, is the right-hand side.
+    * Verification is exact: `size(array_intersect)` over the two hashed
+    * sets, one division for the emitted coefficient.
+    *
+    * Scale shape: the shingle frame persists once; candidate volume is
+    * Σ over prefix shingles of document frequency — corpus-wide
+    * boilerplate shingles are the hot-key caveat (cap shingle document
+    * frequency upstream for boilerplate-heavy corpora, exactly the
+    * [[winnowOverlapPairs]] note).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0d && threshold <= 1d,
+      s"threshold must be in (0, 1]: $threshold")
+    val sets = df.filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.shingle_hash_set(col(s"`$textCol`"), n).as("__shingles"))
+      .filter(size(col("__shingles")) > 0)
+      .transform(graft.CachedFrames.cached)
+    val sz = size(col("__shingles"))
+    val prefixLen = greatest(
+      sz - ceil(sz * lit(threshold)).cast("int") + lit(1), lit(0))
+    val prefix = sets.select(
+      col(idCol).as("__id"), sz.as("__sz"),
+      explode(slice(col("__shingles"), lit(1), prefixLen)).as("__sh"))
+    val full = sets.select(
+      col(idCol).as("__id"), sz.as("__sz"),
+      explode(col("__shingles")).as("__sh"))
+    // the prefix condition holds on the smaller (or equal) side only
+    val cands = prefix.as("l").join(full.as("r"),
+        col("l.__sh") === col("r.__sh") && col("l.__id") =!= col("r.__id") &&
+        col("l.__sz") <= col("r.__sz"))
+      .select(least(col("l.__id"), col("r.__id")).as("id_a"),
+        greatest(col("l.__id"), col("r.__id")).as("id_b"))
+      .distinct()
+    val a = sets.select(col(idCol).as("id_a"), col("__shingles").as("__sa"))
+    val b = sets.select(col(idCol).as("id_b"), col("__shingles").as("__sb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        size(col("__sa")).cast("long").as("size_a"),
+        size(col("__sb")).cast("long").as("size_b"),
+        round(col("n_shared").cast("double") /
+          least(size(col("__sa")), size(col("__sb"))).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Partial-overlap detection via winnowed fingerprints
     * ([[TextStats.winnowFingerprints]] — the MOSS algorithm): pairs of
     * documents sharing at least `minShared` selected fingerprints, with

@@ -1029,6 +1029,38 @@ object TextStats {
   private def weightMicro(bucket: Column): Column =
     pmod(bucket * lit(2654435761L), lit(2000001L))
 
+  /** Hashing-trick featurization — the sparse (doc, bucket, count)
+    * term matrix with a FIXED feature space: each whitespace token
+    * hashes into one of `dim` buckets (md5-top-60 mod dim — the same
+    * SQL-mirrorable bucket id as [[classifierScore]]), so the matrix
+    * schema never depends on the vocabulary (the property that makes
+    * the hashing trick THE featurizer at corpus scale: no vocab build
+    * pass, no dictionary broadcast, new tokens land deterministically).
+    * Collisions are the accepted trade (Weinberger et al. 2009) — at
+    * dim ≫ distinct-tokens-per-doc they perturb counts negligibly.
+    * Feed the matrix to any linear model or use it as the join-ready
+    * bag-of-words; [[classifierScore]] is this op fused with a weight
+    * table when only the score is needed.
+    *
+    * Scale shape: explode to (id, bucket) → ONE map-side-combined
+    * groupBy; output bounded by docs × min(dim, doc tokens). No joins.
+    */
+  def featureHash(
+      df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val toks = filter(
+      split(regexp_replace(col(s"`$textCol`"), "^\\s+|\\s+$", ""), "\\s+"),
+      w => w =!= "")
+    df.filter(col(s"`$idCol`").isNotNull)
+      .select(col(s"`$idCol`"), explode(toks).as("__tok"))
+      .select(col(s"`$idCol`"),
+        pmod(conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy(col(s"`$idCol`"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** FastText-style linear document scorer: hash unigram+bigram features
     * into `dim` buckets, mean-pool the bucket weights into a logit,
     * threshold at 0 for the keep/drop label — the shape of every

@@ -29,8 +29,12 @@ class PlanAuditSpec extends SparkSpec {
       // builders run Lloyd codebook training (K×dim codebook to driver,
       // broadcast-footprint class — same pattern as the Bloom sketch)
       "ann_ivf", "ann_ivf_recall",
-      // builders write the JSONL/CSV exports before reading them back
+      // builders write the JSONL/CSV/parquet exports before reading them
+      // back; schema_merge's snapshots live at a STATIC path (the oracle
+      // reads the same files), so auditing it here would clobber a
+      // concurrent Verify run's export mid-compare
       "jsonl_roundtrip", "csv_roundtrip", "csv_roundtrip_docs",
+      "schema_merge",
       // builder iterates connected components (actions per round)
       "embed_clusters")
 
@@ -79,6 +83,9 @@ class PlanAuditSpec extends SparkSpec {
     "weighted_kappa" -> "category-sized marginal cross (rt × broadcast ct) + the one-row wo × we frame",
     "spearman_corr" -> "ONE one-row moments aggregate × TWO one-row tie frames",
     "pr_curve" -> "distinct-threshold rows × ONE broadcast totals row",
+    "roc_curve" -> "distinct-threshold rows × ONE broadcast totals row",
+    "score_ks" -> "distinct-threshold rows × ONE broadcast totals row",
+    "target_encode" -> "category rows × ONE broadcast totals row",
     "lift_table" -> "≤ nBins rows × ONE broadcast totals row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {
@@ -122,6 +129,8 @@ class PlanAuditSpec extends SparkSpec {
     "cost_concentration" -> "rank prefix over the DISTINCT per-key cent-total relation (key-domain-sized after the per-key collapse; the documented coarse-grid lever applies)",
     "pr_curve" -> "descending cumulative over the DISTINCT score-threshold relation (value-domain-sized — the auc_score argument)",
     "avg_precision" -> "the same distinct-threshold cumulative as pr_curve",
+    "roc_curve" -> "the same distinct-threshold cumulative as pr_curve",
+    "score_ks" -> "the same distinct-threshold cumulative as pr_curve, folded to a 1-row argmax",
     "lift_table" -> "cumulative over ≤ nBins fixed-width bin rows")
 
   test("no registry query plans an unpartitioned window over an unbounded relation") {

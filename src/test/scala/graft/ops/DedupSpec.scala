@@ -125,6 +125,35 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) >= 1L)
   }
 
+  test("ngramContainmentPairs: embedded document scores ~1 while its Jaccard fails the near-dup bar") {
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapper = s"intro line with framing words here : $body : " +
+      "closing boilerplate trailer sentence with extra words at the end"
+    val docs = Seq(
+      (1L, body), (2L, wrapper),
+      (3L, "totally unrelated content about spectral graph partitioning today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // body: 10 tokens → 8 shingles, ALL present in the wrapper
+    assert(r.getAs[Long]("n_shared") == 8L && r.getAs[Long]("size_a") == 8L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is INVISIBLE to the Jaccard detector at 0.8
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8).count() == 0L,
+      "Jaccard must miss the embedding — that gap is this op's reason to exist")
+    // symmetric orientation: wrapper listed first still finds the pair
+    val flipped = Seq((5L, wrapper), (9L, body), (3L, "other words entirely"))
+      .toDF("doc_id", "text")
+    val f = Dedup.ngramContainmentPairs(flipped, "text", "doc_id",
+      n = 3, threshold = 0.8).collect()
+    assert(f.length == 1 && f(0).getAs[Long]("id_a") == 5L &&
+      f(0).getAs[Long]("id_b") == 9L, f.mkString(";"))
+  }
+
   test("triangleStats: hand-built graph — dups, reversals, and self-loops canonicalized") {
     // triangle 1-2-3, pendant 3-4, separate pair 5-6; edge 1-2 repeated
     // reversed, self-loop 7-7 dropped

@@ -782,6 +782,24 @@ class TextStatsSpec extends SparkSpec {
     assert(floored.map(_._1) == Seq("a"), floored.toString)
   }
 
+  test("featureHash: fixed-schema buckets, token mass conserved, identical tokens collide") {
+    val df = Seq((Some(1L), "aa bb aa cc"), (Some(2L), "aa"), (Some(3L), "   "),
+      (Option.empty[Long], "dd")).toDF("doc_id", "text")
+    val rows = TextStats.featureHash(df, "doc_id", "text", dim = 8).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // mass conservation: doc 1 has 4 tokens across its buckets
+    assert(byDoc(1L).map(_.getAs[Long]("n")).sum == 4L)
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0L &&
+      r.getAs[Long]("bucket") < 8L))
+    // "aa" lands in the SAME bucket in both docs (vocab-free determinism)
+    val aaBucket1 = byDoc(1L).filter(_.getAs[Long]("n") == 2L)
+      .map(_.getAs[Long]("bucket")).toSet
+    val aaBucket2 = byDoc(2L).map(_.getAs[Long]("bucket")).toSet
+    assert(aaBucket2.subsetOf(aaBucket1), s"$aaBucket1 vs $aaBucket2")
+    // wordless doc and null id emit nothing
+    assert(!byDoc.contains(3L) && byDoc.keySet.forall(_ != null))
+  }
+
   test("readabilityProfile: exact count features, fixed-order scores, wordless null") {
     // "The cat sat. It ran!" → 5 words, 2 sentences,
     // vowel groups: e, a, a, i, a = 5
