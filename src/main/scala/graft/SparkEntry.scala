@@ -2267,6 +2267,19 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Jensen–Shannon drift on the SAME synthetic shift: the bounded
+    // symmetric companion to drift_psi over identical smoothed bins —
+    // the alarm that can't be dominated by one emptied bin.
+    "drift_jsd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Profiling.jsdDrift(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1)
+          .withColumn("value", col("value") * 1.1 + 5),
+        "value", lo = 10.0, hi = 110.0, bins = 20)
+        .orderBy("bin")
+    }),
+
     // KS drift on the SAME synthetic shift as drift_psi (user parity
     // split, current side scaled+shifted): binning-free complement —
     // top-10 ECDF gap points localize where the distributions diverge;
@@ -3646,6 +3659,20 @@ object SparkEntry {
             (expr("ts DIV 3600000000") % lit(24L)).cast("double").as("hod")),
         "expd", Seq("value", "hod"))
         .orderBy("covariate")),
+
+    // §2.11 causal — stratified IPW treatment-effect estimate: exact
+    // rational per-stratum propensities collapse the Horvitz–Thompson
+    // sums to integer terms (one floor per stratum per arm); strata
+    // with no overlap excluded AND counted (the positivity contract).
+    "ipw_estimate" -> ((s, dir) =>
+      graft.ops.Profiling.ipwEstimate(
+        events(s, dir)
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull)
+          .select(pmod(col("user_id"), lit(4L)).cast("string").as("stratum"),
+            (pmod(col("event_id"), lit(3L)) === 0L).cast("long").as("expd"),
+            col("value")),
+        "stratum", "expd", "value")),
 
     // Fellegi–Sunter linkage of customers to a deterministically
     // perturbed registry (every 7th name case-mangled, every 5th
@@ -5502,6 +5529,37 @@ object SparkEntry {
         |  LEFT JOIN hc ON hc.bin = b.bin)
         |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
         |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM shares ORDER BY bin""".stripMargin,
+
+    // JSD: the drift_psi share CTE with the mixture term.
+    "drift_jsd" ->
+      """WITH bv AS (
+        |  SELECT value FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |cv AS (
+        |  SELECT value * 1.1 + 5 AS value FROM events
+        |  WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |hb AS (
+        |  SELECT CASE WHEN value < 10.0 THEN -1 WHEN value >= 110.0 THEN 20
+        |    ELSE least(CAST(floor((value - 10.0) / 5.0) AS BIGINT), 19) END AS bin,
+        |    count(*) AS n
+        |  FROM bv GROUP BY 1),
+        |hc AS (
+        |  SELECT CASE WHEN value < 10.0 THEN -1 WHEN value >= 110.0 THEN 20
+        |    ELSE least(CAST(floor((value - 10.0) / 5.0) AS BIGINT), 19) END AS bin,
+        |    count(*) AS n
+        |  FROM cv GROUP BY 1),
+        |shares AS (
+        |  SELECT b.bin,
+        |    CAST(coalesce(hb.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hb) AS DOUBLE) + 22) AS p,
+        |    CAST(coalesce(hc.n, 0) + 1 AS DOUBLE) /
+        |      (CAST((SELECT sum(n) FROM hc) AS DOUBLE) + 22) AS q
+        |  FROM (SELECT unnest(range(-1, 21)) AS bin) b
+        |  LEFT JOIN hb ON hb.bin = b.bin
+        |  LEFT JOIN hc ON hc.bin = b.bin)
+        |SELECT bin, round(p, 6) AS base_share, round(q, 6) AS cur_share,
+        |  round(0.5 * p * ln(p / ((p + q) / 2)) +
+        |        0.5 * q * ln(q / ((p + q) / 2)), 6) AS jsd_term
         |FROM shares ORDER BY bin""".stripMargin,
 
     "stream_drift" ->
@@ -8661,6 +8719,49 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // IPW: per-stratum integer Horvitz–Thompson terms (HUGEINT floor),
+    // overlap restriction mirrored, one division per emitted rate.
+    "ipw_estimate" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 4 AS VARCHAR) AS s,
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pers AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS e,
+        |    CAST(sum(t * y) AS BIGINT) AS y1,
+        |    CAST(sum((1 - t) * y) AS BIGINT) AS y0
+        |  FROM base GROUP BY s),
+        |terms AS (
+        |  SELECT n, e,
+        |    e > 0 AND e < n AS ov,
+        |    CASE WHEN e > 0 AND e < n THEN
+        |      CAST(CAST(y1 AS HUGEINT) * n * 1000000 // e AS BIGINT) END AS t1,
+        |    CASE WHEN e > 0 AND e < n THEN
+        |      CAST(CAST(y0 AS HUGEINT) * n * 1000000 // (n - e) AS BIGINT) END AS t0
+        |  FROM pers)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN ov THEN n ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(CASE WHEN ov THEN 0 ELSE 1 END) AS BIGINT) AS n_strata_no_overlap,
+        |  CAST(sum(CASE WHEN ov THEN 0 ELSE n END) AS BIGINT) AS n_excluded,
+        |  CAST(sum(t1) AS BIGINT) AS mu1_num_fp,
+        |  CAST(sum(t0) AS BIGINT) AS mu0_num_fp,
+        |  CASE WHEN sum(CASE WHEN ov THEN n ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(t1) AS DOUBLE) /
+        |      (CAST(sum(CASE WHEN ov THEN n ELSE 0 END) AS DOUBLE) * 1000000.0 * 100.0), 6)
+        |  END AS mu1,
+        |  CASE WHEN sum(CASE WHEN ov THEN n ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(t0) AS DOUBLE) /
+        |      (CAST(sum(CASE WHEN ov THEN n ELSE 0 END) AS DOUBLE) * 1000000.0 * 100.0), 6)
+        |  END AS mu0,
+        |  CASE WHEN sum(CASE WHEN ov THEN n ELSE 0 END) > 0 THEN
+        |    round(CAST(sum(t1) - sum(t0) AS DOUBLE) /
+        |      (CAST(sum(CASE WHEN ov THEN n ELSE 0 END) AS DOUBLE) * 1000000.0 * 100.0), 6)
+        |  END AS ate
+        |FROM terms""".stripMargin,
 
     // Per-covariate exact HUGEINT moments; means/vars one division
     // each; smd divides the already-rounded pair.

@@ -81,6 +81,47 @@ object Profiling {
           .as("psi_term"))
   }
 
+  /** Jensen–Shannon drift terms — the BOUNDED, SYMMETRIC companion to
+    * [[psi]] over the same smoothed fixed-bin histograms: with
+    * `m = (p+q)/2`,
+    * {{{ jsd_term = ½·p·ln(p/m) + ½·q·ln(q/m)   // ≥ 0, Σ ≤ ln 2 }}}
+    * Where PSI is unbounded (one emptied bin dominates the score) and
+    * asymmetric (base↔current matters), JSD is a bounded metric-like
+    * divergence — the right alarm when snapshots swap roles across runs
+    * or heavy-tail bins empty out; `sqrt(Σ terms)` is a true metric.
+    * Same Laplace smoothing, same bins+2 under/overflow rows, same
+    * one-lazy-plan shape as [[psi]] (two histograms, two 1-row total
+    * broadcasts, per-bin arithmetic). Terms round(6) like every float
+    * here; Σ is the caller's one-line aggregate.
+    */
+  def jsdDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    def hist(df: DataFrame, nOut: String, tOut: String): (DataFrame, DataFrame) = {
+      val h = histogram(df, valueCol, lo, hi, bins)
+      (h.select(col("bin"), col("n").as(nOut)),
+        h.agg(sum(col("n")).as(tOut)))
+    }
+    val (p, pt) = hist(base, "__pn", "__pt")
+    val (q, qt) = hist(current, "__qn", "__qt")
+    base.sparkSession.range(-1, bins + 1).select(col("id").as("bin"))
+      .join(p, Seq("bin"), "left")
+      .join(q, Seq("bin"), "left")
+      .crossJoin(broadcast(pt))
+      .crossJoin(broadcast(qt))
+      .select(col("bin"),
+        ((coalesce(col("__pn"), lit(0L)) + 1).cast("double") /
+          (col("__pt").cast("double") + (bins + 2))).as("__p"),
+        ((coalesce(col("__qn"), lit(0L)) + 1).cast("double") /
+          (col("__qt").cast("double") + (bins + 2))).as("__q"))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2d))
+      .select(col("bin"),
+        round(col("__p"), 6).as("base_share"),
+        round(col("__q"), 6).as("cur_share"),
+        round(lit(0.5) * col("__p") * log(col("__p") / col("__m")) +
+          lit(0.5) * col("__q") * log(col("__q") / col("__m")), 6)
+          .as("jsd_term"))
+  }
+
   /** Per-group winsorization: clamp `valueCol` into its group's
     * [loQ, hiQ] percentile band — the distribution-aware outlier repair
     * applied before numeric features reach training (a fat-finger value
@@ -1472,6 +1513,78 @@ object Profiling {
     * enumerated DRIVER-SIDE (the loop is over the schema, not data) —
     * one map-side-combined two-row aggregate per covariate, unioned.
     */
+  /** Stratified inverse-propensity-weighted treatment-effect estimate —
+    * the causal companion to [[balanceTable]] (that op shows WHETHER
+    * strata balance; this one estimates the effect AFTER weighting).
+    * Within stratum s the propensity is the exact rational e_s/n_s, so
+    * the Horvitz–Thompson weighted outcome sums collapse to pure
+    * integer terms — no float propensity ever materializes:
+    * {{{ Σ_i∈s T·Y/p̂   = y1_s·n_s / e_s          // exact rational
+    *     Σ_i∈s (1−T)·Y/(1−p̂) = y0_s·n_s / (n_s−e_s)
+    *     term_fp = y·n·S DIV e                   // ONE floor per stratum
+    *     μ_t  = Σ term_fp / (N_ov·S·100)         // ONE division
+    *     ate  = (Σ term1 − Σ term0) / (N_ov·S·100) }}}
+    * with outcomes grid-snapped to cents. Strata with NO overlap (all
+    * exposed or all control) have an undefined weight on one arm — the
+    * positivity violation every IPW text warns about — and are
+    * EXCLUDED from both sums and from N_ov, with their row and subject
+    * counts reported (`n_strata_no_overlap`, `n_excluded`): the
+    * estimand silently becomes the overlap-population ATE, and the
+    * counts keep that restriction visible instead of buried. Output
+    * ONE row: (n, n_overlap, n_strata, n_strata_no_overlap, n_excluded,
+    * mu1_num_fp, mu0_num_fp, mu1, mu0, ate). Exactness bound:
+    * `|y_cents|·n_s·S` runs in decimal(38,0); emitted numerators cap
+    * at `|y|·N²·S/e` — int64 to ~1e5 subjects per stratum at S = 1e6
+    * (drop S a decade per decade past that).
+    *
+    * Scale shape: one map-side-combined stratum groupBy, then a
+    * strata-sized 1-row fold. Nothing subject-sized after the first
+    * aggregate; no windows, no joins.
+    */
+  def ipwEstimate(df: DataFrame, stratumCol: String, exposureCol: String,
+      outcomeCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be positive: $scale")
+    val g = col(s"`$stratumCol`").cast("string")
+    val t = col(s"`$exposureCol`").cast("long")
+    val y = round(col(s"`$outcomeCol`") * lit(100d), 0).cast("long")
+    val perS = df
+      .filter(g.isNotNull && t.isin(0L, 1L) && col(s"`$outcomeCol`").isNotNull &&
+        !isnan(col(s"`$outcomeCol`").cast("double")))
+      .select(g.as("__s"), t.as("__t"), y.as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__e"),
+        sum(col("__t") * col("__y")).as("__y1"),
+        sum((lit(1L) - col("__t")) * col("__y")).as("__y0"))
+    val dec = "decimal(38,0)"
+    val overlap = col("__e") > 0L && col("__e") < col("__n")
+    perS
+      .withColumn("__t1", when(overlap,
+        expr(s"CAST(CAST(__y1 AS $dec) * __n * ${scale}L DIV __e AS LONG)")))
+      .withColumn("__t0", when(overlap,
+        expr(s"CAST(CAST(__y0 AS $dec) * __n * ${scale}L DIV (__n - __e) AS LONG)")))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(when(overlap, col("__n")).otherwise(0L)).as("n_overlap"),
+        count(lit(1)).as("n_strata"),
+        sum(when(overlap, 0L).otherwise(1L)).as("n_strata_no_overlap"),
+        sum(when(overlap, 0L).otherwise(col("__n"))).as("n_excluded"),
+        sum(col("__t1")).as("mu1_num_fp"),
+        sum(col("__t0")).as("mu0_num_fp"))
+      .select(col("n"), col("n_overlap"), col("n_strata"),
+        col("n_strata_no_overlap"), col("n_excluded"),
+        col("mu1_num_fp"), col("mu0_num_fp"),
+        when(col("n_overlap") > 0L, round(col("mu1_num_fp").cast("double") /
+          (col("n_overlap").cast("double") * lit(scale.toDouble) * lit(100d)),
+          6)).as("mu1"),
+        when(col("n_overlap") > 0L, round(col("mu0_num_fp").cast("double") /
+          (col("n_overlap").cast("double") * lit(scale.toDouble) * lit(100d)),
+          6)).as("mu0"),
+        when(col("n_overlap") > 0L, round(
+          (col("mu1_num_fp") - col("mu0_num_fp")).cast("double") /
+          (col("n_overlap").cast("double") * lit(scale.toDouble) * lit(100d)),
+          6)).as("ate"))
+  }
+
   def balanceTable(df: DataFrame, exposedCol: String,
       covariates: Seq[String], scale: Long = 100L): DataFrame = {
     require(covariates.nonEmpty, "at least one covariate")

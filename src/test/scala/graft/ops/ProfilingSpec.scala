@@ -31,6 +31,54 @@ class ProfilingSpec extends SparkSpec {
     assert(drift > 0.1, s"shift must alarm, got $drift")
   }
 
+  test("ipwEstimate: exact stratified Horvitz-Thompson terms; no-overlap strata excluded, counted") {
+    // stratum a: n=4, e=2, exposed Y {10, 20}, control Y {2, 4}
+    //   term1 = 3000·4/2 = 6000 cents-weighted; term0 = 600·4/2 = 1200
+    // stratum b: n=3, e=1, exposed {30}, control {5, 7}
+    //   term1 = 3000·3/1 = 9000; term0 = 1200·3/2 = 1800
+    // stratum c: ALL exposed → no overlap, excluded but counted
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 1L, 20.0), ("a", 0L, 2.0), ("a", 0L, 4.0),
+      ("b", 1L, 30.0), ("b", 0L, 5.0), ("b", 0L, 7.0),
+      ("c", 1L, 99.0), ("c", 1L, 99.0)).toDF("s", "t", "y")
+    val r = Profiling.ipwEstimate(df, "s", "t", "y", scale = 1000L)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("n_overlap") == 7L)
+    assert(r.getAs[Long]("n_strata") == 3L &&
+      r.getAs[Long]("n_strata_no_overlap") == 1L &&
+      r.getAs[Long]("n_excluded") == 2L)
+    // fp numerators at S=1000: (6000+9000)·1000 and (1200+1800)·1000
+    assert(r.getAs[Long]("mu1_num_fp") == 15000000L, r.toString)
+    assert(r.getAs[Long]("mu0_num_fp") == 3000000L, r.toString)
+    // mu1 = 15000000/(7·1000·100) ≈ 21.428571; mu0 ≈ 4.285714
+    assert(r.getAs[Double]("mu1") == 21.428571, r.toString)
+    assert(r.getAs[Double]("mu0") == 4.285714, r.toString)
+    assert(r.getAs[Double]("ate") == 17.142857, r.toString)
+    // all-no-overlap input: counts emitted, estimates null
+    val z = Profiling.ipwEstimate(
+      Seq(("c", 1L, 1.0)).toDF("s", "t", "y"), "s", "t", "y").collect()(0)
+    assert(z.getAs[Long]("n_overlap") == 0L && z.isNullAt(z.fieldIndex("ate")))
+  }
+
+  test("jsdDrift: identical zero, symmetric, bounded by ln 2") {
+    val base = (1 to 500).map(i => Tuple1((i % 100).toDouble)).toDF("v")
+    val same = Profiling.jsdDrift(base, base, "v", 0.0, 100.0, 10)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(same.size == 12 && same.forall(_._4 == 0.0), same.toString)
+    val shifted = base.withColumn("v", col("v") * 1.5 + 10)
+    val fwd = Profiling.jsdDrift(base, shifted, "v", 0.0, 100.0, 10)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val rev = Profiling.jsdDrift(shifted, base, "v", 0.0, 100.0, 10)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(fwd == rev, "JSD must be symmetric — PSI's asymmetry is the gap it fills")
+    val total = fwd.values.sum
+    assert(total > 0.01 && total <= math.log(2.0) + 1e-9,
+      s"shift alarms within the ln 2 bound: $total")
+    assert(fwd.values.forall(_ >= 0.0), "terms are non-negative")
+  }
+
   test("ksDrift: identical samples gap 0; hand-checked max gap at the right value") {
     val base = Seq(1.0, 2.0, 3.0, 4.0).map(Tuple1(_)).toDF("v")
     val same = Profiling.ksDrift(base, base, "v", topGaps = 10)
