@@ -62,6 +62,7 @@ class PlanAuditSpec extends SparkSpec {
     "semdedup" -> "centroid assignment: corpus × broadcast codebook; the within-cluster prune join itself is a hash join on cluster_id",
     "temperature_mixture" -> "per-group targets × ONE broadcast n_min row (groups-sized, not data-sized)",
     "drift_psi" -> "bins+2 rows × TWO one-row broadcast histogram totals",
+    "drift_jsd" -> "bins+2 rows × TWO one-row broadcast histogram totals",
     "category_drift" -> "categories × THREE one-row broadcast totals (counts + union size)",
     "ks_drift" -> "distinct values × ONE one-row broadcast totals frame (the prefix-sum offsets join is hash, not cross)",
     "neardup_triangles" -> "THREE one-row aggregate frames crossed into the single summary row",
