@@ -3660,6 +3660,18 @@ object SparkEntry {
         "expd", Seq("value", "hod"))
         .orderBy("covariate")),
 
+    // §2.11 feature prep — quantile normalization: every source's
+    // doc-length distribution mapped onto the pooled order statistics
+    // by exact integer index selection (never interpolation), so
+    // "long for its source" means the same number corpus-wide.
+    "quantile_normalize" -> ((s, dir) =>
+      graft.ops.Profiling.quantileNormalize(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("v")),
+        "source", "v", "doc_id")
+        .orderBy("doc_id")),
+
     // §2.11 causal — stratified IPW treatment-effect estimate: exact
     // rational per-stratum propensities collapse the Horvitz–Thompson
     // sums to integer terms (one floor per stratum per arm); strata
@@ -8719,6 +8731,30 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Quantile normalization: per-source midrank → exact ceil index →
+    // pooled order-statistic selection, ties by id on both orders.
+    "quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |gr AS (
+        |  SELECT doc_id, source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng
+        |  FROM base),
+        |pl AS (
+        |  SELECT v AS norm_value,
+        |    row_number() OVER (ORDER BY v, doc_id) AS r1
+        |  FROM base),
+        |nn AS (SELECT count(*) AS n FROM base)
+        |SELECT g.doc_id, g.source, g.v,
+        |  p.norm_value
+        |FROM gr g, nn
+        |JOIN pl p ON p.r1 = ((2 * g.r - 1) * nn.n + 2 * g.ng - 1) // (2 * g.ng)
+        |ORDER BY g.doc_id""".stripMargin,
 
     // IPW: per-stratum integer Horvitz–Thompson terms (HUGEINT floor),
     // overlap restriction mirrored, one division per emitted rate.

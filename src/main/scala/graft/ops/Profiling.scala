@@ -1513,6 +1513,53 @@ object Profiling {
     * enumerated DRIVER-SIDE (the loop is over the schema, not data) —
     * one map-side-combined two-row aggregate per covariate, unioned.
     */
+  /** Quantile normalization across groups — map every group's value
+    * distribution onto the POOLED distribution (the microarray-era
+    * normalizer, and the cross-source feature aligner for training
+    * data: after it, "top decile of source A" and "top decile of
+    * source B" mean the same number). Each row's within-group midrank
+    * fraction `(2r−1)/(2n_g)` selects the pooled order statistic at
+    * the EXACT integer index
+    * {{{ idx = ((2r−1)·N + 2n_g − 1) DIV (2n_g)   // ceil, pure int64 }}}
+    * — value selection, never interpolation arithmetic, so the output
+    * is a VALUE THE POOL CONTAINS and every engine picks the same one
+    * (ties broken by id on both the group and pooled orders). Output:
+    * input id/group/value + `norm_value`. Null group/value/id rows are
+    * excluded. Exactness bound: `r·N < 9.2e18` → ~3e9 rows.
+    *
+    * Scale shape: one per-GROUP rank window (groups are source-grained
+    * by contract — the [[Curation.tokenBudget]] caveat), the pooled
+    * rank via [[Curation.rankByOrder]]'s distributed two-phase prefix
+    * sum (no single-task global window), a 1-row total broadcast, and
+    * one equi-join on the selected index.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val g = col(s"`$groupCol`")
+    val v = col(s"`$valueCol`")
+    val id = col(s"`$idCol`")
+    val base = df.filter(g.isNotNull && v.isNotNull && id.isNotNull &&
+        !isnan(v.cast("double")))
+      .select(id.as(idCol), g.as(groupCol), v.cast("double").as(valueCol))
+    val wg = Window.partitionBy(col(s"`$groupCol`"))
+      .orderBy(col(s"`$valueCol`"), col(s"`$idCol`"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng", count(lit(1))
+        .over(Window.partitionBy(col(s"`$groupCol`"))))
+    val pooled = graft.ops.Curation.rankByOrder(base,
+        Seq(col(s"`$valueCol`"), col(s"`$idCol`")), "__R")
+      .select((col("__R") + 1L).as("__R1"),
+        col(s"`$valueCol`").as("norm_value"))
+    val tot = base.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__idx",
+        expr("((2 * __r - 1) * __n + 2 * __ng - 1) DIV (2 * __ng)"))
+      .join(pooled, col("__idx") === col("__R1"))
+      .select(col(s"`$idCol`"), col(s"`$groupCol`"), col(s"`$valueCol`"),
+        col("norm_value"))
+  }
+
   /** Stratified inverse-propensity-weighted treatment-effect estimate —
     * the causal companion to [[balanceTable]] (that op shows WHETHER
     * strata balance; this one estimates the effect AFTER weighting).

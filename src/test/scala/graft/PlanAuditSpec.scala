@@ -87,6 +87,7 @@ class PlanAuditSpec extends SparkSpec {
     "roc_curve" -> "distinct-threshold rows × ONE broadcast totals row",
     "score_ks" -> "distinct-threshold rows × ONE broadcast totals row",
     "target_encode" -> "category rows × ONE broadcast totals row",
+    "quantile_normalize" -> "ranked rows × ONE broadcast pooled-count row",
     "lift_table" -> "≤ nBins rows × ONE broadcast totals row")
 
   test("pit_lookup rides the broadcast as-of path (dim-sized right side, left never exchanged)") {

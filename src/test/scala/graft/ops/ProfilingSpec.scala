@@ -31,6 +31,32 @@ class ProfilingSpec extends SparkSpec {
     assert(drift > 0.1, s"shift must alarm, got $drift")
   }
 
+  test("quantileNormalize: groups map onto pooled order statistics; identical shapes align exactly") {
+    // group a: {10, 20, 30}; group b: {100, 200, 300} — same shape,
+    // different scale. Pool sorted: 10,20,30,100,200,300 (N=6).
+    // midrank fractions (2r−1)/6 → idx = ceil((2r−1)·6/6) = 1, 3, 5:
+    // BOTH groups normalize to (10, 30, 200)
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 100.0), (5L, "b", 200.0), (6L, "b", 300.0))
+      .toDF("id", "g", "v")
+    val out = Profiling.quantileNormalize(df, "g", "v", "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("norm_value")).toMap
+    assert(out(1L) == 10.0 && out(2L) == 30.0 && out(3L) == 200.0, out.toString)
+    assert(out(4L) == 10.0 && out(5L) == 30.0 && out(6L) == 200.0, out.toString)
+    // after normalization the groups' distributions are IDENTICAL
+    assert(Seq(1L, 2L, 3L).map(out) == Seq(4L, 5L, 6L).map(out))
+    // unequal group sizes: a singleton group lands at the pooled median
+    // position idx = ceil(N/2)
+    val df2 = Seq((1L, "a", 5.0), (2L, "a", 6.0), (3L, "a", 7.0),
+      (4L, "s", 999.0)).toDF("id", "g", "v")
+    val o2 = Profiling.quantileNormalize(df2, "g", "v", "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("norm_value")).toMap
+    assert(o2(4L) == 6.0, s"singleton → pooled idx ceil(4/2)=2 → 6.0: $o2")
+    // every output value is a member of the pool (selection, not math)
+    assert(o2.values.toSet.subsetOf(Set(5.0, 6.0, 7.0, 999.0)))
+  }
+
   test("ipwEstimate: exact stratified Horvitz-Thompson terms; no-overlap strata excluded, counted") {
     // stratum a: n=4, e=2, exposed Y {10, 20}, control Y {2, 4}
     //   term1 = 3000·4/2 = 6000 cents-weighted; term0 = 600·4/2 = 1200
