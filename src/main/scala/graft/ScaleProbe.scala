@@ -862,6 +862,32 @@ object ScaleProbe {
           .groupBy(col("link_class")).agg(count(lit(1)).as("n")))
     }
 
+    // round-12 containment probe: replicas share their full base text
+    // (each replica CONTAINS the base), so every base doc's k copies
+    // pairwise-contain — the pair axis grows C(k,2)× per base doc BY
+    // CONSTRUCTION, same adversarial shape as the jaccard/winnow
+    // probes. The honest reading is pairs-normalized wall: the
+    // prefix×full-index candidate join should track Σ prefix-shingle
+    // document frequency (≈ pair volume here), never corpus².
+    if (familyOn("probe12c")) Seq(1, 8).foreach { times =>
+      val d = replicate(times)
+      println(s"--- probe12c docs ${times}x (${d.count()} docs) ---")
+      time("probe12c:ngramContainment",
+        Dedup.ngramContainmentPairs(d, "text", "doc_id", 3, 0.8))
+      time("probe12c:sourceCopyMatrix", {
+        val src = d.select(col("doc_id"),
+          pmod(col("doc_id"), lit(20L)).cast("string").as("source"))
+        Dedup.ngramJaccardPairs(d, "text", "doc_id", 3, 0.5)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+            "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+            "id_b")
+          .groupBy(least(col("__sa"), col("__sb")).as("s1"),
+            greatest(col("__sa"), col("__sb")).as("s2"))
+          .agg(count(lit(1)).as("n"))
+      })
+    }
+
     // round-12 family: model-eval metrics replicate on the ROW axis
     // (events ×k — every metric folds map-side to a metric-domain-sized
     // relation: grid scores, calibration bins, rater categories — so the
