@@ -253,6 +253,47 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Seq(("c1", "Condition", "p1"), ("p1", "Patient", "p1")))
   }
 
+  test("readBundleStream: checkpointed restart ingests only NEW bundles, exactly once") {
+    // the operational recovery contract: a crashed/stopped ingest
+    // restarted with the SAME checkpoint must neither reprocess files
+    // already committed (duplicate rows) nor skip files that arrived
+    // while it was down
+    val src = Files.createTempDirectory("fhir_ckpt_src")
+    val out = Files.createTempDirectory("fhir_ckpt_out")
+    val ckpt = Files.createTempDirectory("fhir_ckpt_loc")
+    def bundle(pid: String) =
+      s"""{"resourceType":"Bundle","type":"collection","entry":[
+         |{"fullUrl":"urn:uuid:$pid","resource":{"resourceType":"Patient","id":"$pid","gender":"male"}}
+         |]}""".stripMargin
+    def runOnce(): Unit = {
+      val q = Streams.readBundleStream(spark, src.toString)
+        .select(col("fullUrl"), col("resource.resourceType").as("rt"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.writeString(src.resolve("b1.json"), bundle("p1"))
+    Files.writeString(src.resolve("b2.json"), bundle("p2"))
+    runOnce()
+    import spark.implicits._
+    val first = spark.read.parquet(out.toString)
+      .select("fullUrl").as[String].collect().toSeq.sorted
+    assert(first == Seq("p1", "p2"), first.toString)
+    // downtime: two new bundles land
+    Files.writeString(src.resolve("b3.json"), bundle("p3"))
+    Files.writeString(src.resolve("b4.json"), bundle("p4"))
+    runOnce()
+    val all = spark.read.parquet(out.toString)
+      .select("fullUrl").as[String].collect().toSeq
+    assert(all.sorted == Seq("p1", "p2", "p3", "p4"),
+      s"restart must add exactly the new bundles: $all")
+    assert(all.distinct.size == all.size,
+      s"no bundle may be reprocessed across the restart: $all")
+  }
+
   test("intervalJoinStreams: clicks join same-user views inside the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
