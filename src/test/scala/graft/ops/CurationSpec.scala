@@ -555,6 +555,28 @@ class CurationSpec extends SparkSpec {
     assert(kept(1) == kept(1))
   }
 
+  test("targetEncode: 20 random tables match local rational arithmetic exactly") {
+    val rnd = new scala.util.Random(41)
+    (1 to 20).foreach { trial =>
+      val rows = (1 to 15 + rnd.nextInt(50)).map { _ =>
+        (s"c${rnd.nextInt(5)}", rnd.nextInt(2).toLong)
+      }
+      val m = rnd.nextInt(20).toLong
+      val got = Curation.targetEncode(rows.toDF("c", "y"), "c", "y",
+          priorWeight = m, scale = 1000000L)
+        .collect().map(r => r.getAs[String]("c") ->
+          r.getAs[Long]("enc_fp")).toMap
+      val nT = rows.size.toLong
+      val tT = rows.map(_._2).sum
+      val expect = rows.groupBy(_._1).map { case (c, rs) =>
+        val n = rs.size.toLong
+        val sy = rs.map(_._2).sum
+        c -> (BigInt(sy) * nT + BigInt(m) * tT) * 1000000L / (BigInt(nT) * (n + m))
+      }.map { case (c, v) => c -> v.toLong }
+      assert(got == expect, s"trial $trial (m=$m)")
+    }
+  }
+
   test("targetEncode: exact smoothed means shrink toward the rational global mean") {
     // cats: a = {1,1,0} (mean 2/3), b = {0} (mean 0); T=2, N=4, mu=1/2
     val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0),

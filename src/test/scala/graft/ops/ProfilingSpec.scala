@@ -57,6 +57,31 @@ class ProfilingSpec extends SparkSpec {
     assert(o2.values.toSet.subsetOf(Set(5.0, 6.0, 7.0, 999.0)))
   }
 
+  test("quantileNormalize: 20 random corpora match a local reference selection exactly") {
+    val rnd = new scala.util.Random(31)
+    (1 to 20).foreach { trial =>
+      val rows = (1L to (10L + rnd.nextInt(60))).map { i =>
+        (i, s"s${rnd.nextInt(4)}", rnd.nextInt(20).toDouble)
+      }
+      val got = Profiling.quantileNormalize(rows.toDF("id", "g", "v"),
+          "g", "v", "id")
+        .collect().map(r => r.getAs[Long]("id") ->
+          r.getAs[Double]("norm_value")).toMap
+      val pool = rows.sortBy(r => (r._3, r._1)).map(_._3)
+      val n = rows.size.toLong
+      val expect = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(r => (r._3, r._1))
+        val ng = sorted.size.toLong
+        sorted.zipWithIndex.map { case (row, i) =>
+          val r = i + 1L
+          val idx = ((2 * r - 1) * n + 2 * ng - 1) / (2 * ng)
+          row._1 -> pool((idx - 1).toInt)
+        }
+      }
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("ipwEstimate: exact stratified Horvitz-Thompson terms; no-overlap strata excluded, counted") {
     // stratum a: n=4, e=2, exposed Y {10, 20}, control Y {2, 4}
     //   term1 = 3000·4/2 = 6000 cents-weighted; term0 = 600·4/2 = 1200

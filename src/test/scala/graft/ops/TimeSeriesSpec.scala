@@ -508,6 +508,66 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("survival_fp") == s2)
   }
 
+  test("ewmaSmooth: 20 random series match a local reference fold exactly") {
+    val rnd = new scala.util.Random(12)
+    (1 to 20).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(3)
+      val rows = (1 to 30 + rnd.nextInt(40)).map { _ =>
+        (s"k${rnd.nextInt(nKeys)}",
+          rnd.nextInt(200).toLong * 10L,
+          math.rint(rnd.nextDouble() * 1000) / 100)
+      }
+      val lags = 1 + rnd.nextInt(7)
+      val got = TimeSeries.ewmaSmooth(rows.toDF("key", "ts", "v"),
+          "key", "ts", "v", bucketWidth = 10L, lags = lags, scale = 100L)
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("bucket")) ->
+          (r.getAs[Long]("num"), r.getAs[Long]("den"))).toMap
+      // local reference: cents per (key, bucket), then the windowed sums
+      val cents = rows.groupBy(r => (r._1, r._2 / 10L))
+        .map { case (k, rs) => k -> rs.map(r => math.round(r._3 * 100)).sum }
+      val expect = cents.keys.map { case (k, b) =>
+        val terms = (0 until lags).flatMap { j =>
+          cents.get((k, b - j)).map(v => (v * (1L << (lags - 1 - j)),
+            1L << (lags - 1 - j)))
+        }
+        (k, b) -> (terms.map(_._1).sum, terms.map(_._2).sum)
+      }.toMap
+      assert(got == expect, s"trial $trial (lags=$lags)")
+    }
+  }
+
+  test("lifeTable: 20 random cohorts match a local reference fold exactly") {
+    val rnd = new scala.util.Random(21)
+    (1 to 20).foreach { trial =>
+      val rows = (1 to 20 + rnd.nextInt(60)).map { _ =>
+        ("c", rnd.nextInt(80).toLong, rnd.nextInt(2).toLong)
+      }
+      val w = 5L + rnd.nextInt(10)
+      val got = TimeSeries.lifeTable(rows.toDF("g", "t", "obs"),
+          "g", "t", "obs", intervalWidth = w)
+        .collect().map(r => r.getAs[Long]("interval") ->
+          (r.getAs[Long]("n_enter"), r.getAs[Long]("q_fp"),
+            r.getAs[Long]("survival_fp"))).toMap
+      // local reference
+      val S = 1000000000000L
+      val perI = rows.groupBy(_._2 / w).toSeq.sortBy(_._1)
+        .map { case (iv, rs) =>
+          (iv, rs.size.toLong, rs.count(_._3 == 1L).toLong) }
+      var at = rows.size.toLong
+      var s = S
+      val expect = perI.map { case (iv, m, d) =>
+        val c = m - d
+        val q = if (d == 0L) 0L else (BigInt(d) * 2 * S / (2 * at - c)).toLong
+        s = (BigInt(s) * (S - q) / S).toLong
+        val out = iv -> (at, q, s)
+        at -= m
+        out
+      }.toMap
+      assert(got == expect, s"trial $trial (w=$w)")
+    }
+  }
+
   test("ewmaSmooth: exact power-of-two trailing weights, gaps renormalize, one division") {
     import org.apache.spark.sql.functions.col
     // key k: buckets 0 (v=1.00), 1 (v=3.00), 3 (v=5.00) — bucket 2 absent
