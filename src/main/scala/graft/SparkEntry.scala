@@ -1505,6 +1505,18 @@ object SparkEntry {
         "embedding")
     }),
 
+    // §2.11 — source semantic-redundancy matrix: pairwise cosine
+    // between per-group embedding centroids on EXACT integer quantized
+    // sums (scale cancels in the cosine, so no float folds across
+    // dims); groups here are the label buckets standing in for feeds.
+    "source_centroid_sim" -> ((s, dir) =>
+      Similarity.groupCentroidSim(
+        t(s, dir, "embeddings")
+          .select(pmod(col("vec_id"), lit(8L)).cast("string").as("grp"),
+            col("embedding")),
+        "grp", "embedding")
+        .orderBy("group_a", "group_b")),
+
     // §2.11 — int8 embedding quantization (4× memory at 100 TB): scalar
     // projections of the code carry a full oracle (scale + code sum and
     // extremes reconstruct in SQL from the float vector exactly).
@@ -1723,6 +1735,28 @@ object SparkEntry {
           TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
           TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
+
+    // §2.11 — tokenizer fertility per language: BPE-ish pieces per
+    // whitespace word, the number that decides how much of a token
+    // budget each language actually consumes (a high-fertility language
+    // at equal document share costs proportionally more compute) — one
+    // map-side-combined rollup of the token_count kernels.
+    "tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("__w"),
+          TextStats.bpeishTokenCount(col("text")).cast("long").as("__b"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("n_ws_tokens"),
+          sum(col("__b")).as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+          col("n_bpe_tokens"),
+          when(col("n_ws_tokens") > 0L,
+            round(col("n_bpe_tokens").cast("double") /
+              col("n_ws_tokens").cast("double"), 6)).as("fertility"))
+        .orderBy("lang")),
 
     // §2.11 — TRUE vocab-merge BPE token count: the pre-tokenizer's
     // words, each greedily merged against the code-literal merge-rank
@@ -6907,6 +6941,36 @@ object SparkEntry {
         |  CAST(list_max(code) AS BIGINT) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // Centroid cosine: HUGEINT dot/norms over the quantized sums, one
+    // division + two sqrts per pair.
+    "source_centroid_sim" ->
+      """WITH sums AS (
+        |  SELECT CAST(vec_id % 8 AS VARCHAR) AS grp, d,
+        |    CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS HUGEINT) AS s,
+        |    count(*) AS n
+        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |          unnest(embedding) AS x
+        |        FROM embeddings
+        |        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        |          AND len(embedding) > 0)
+        |  GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT grp, sum(s * s) AS n2, CAST(max(n) AS BIGINT) AS n_vecs
+        |  FROM sums GROUP BY grp),
+        |dots AS (
+        |  SELECT a.grp AS group_a, b.grp AS group_b, sum(a.s * b.s) AS dt
+        |  FROM sums a JOIN sums b ON a.d = b.d AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT d.group_a, d.group_b, na.n_vecs AS n_vecs_a,
+        |  nb.n_vecs AS n_vecs_b,
+        |  round(CAST(d.dt AS DOUBLE) /
+        |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+        |    AS centroid_cosine
+        |FROM dots d
+        |JOIN norms na ON na.grp = d.group_a
+        |JOIN norms nb ON nb.grp = d.group_b
+        |ORDER BY d.group_a, d.group_b""".stripMargin,
+
     "embed_drift" ->
       """WITH b AS (
         |  SELECT embedding AS v FROM embeddings
@@ -7175,6 +7239,22 @@ object SparkEntry {
         |    ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Fertility: the token_count expressions rolled up per language.
+    "tokenizer_fertility" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+        |      ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS BIGINT) AS b
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_ws_tokens,
+        |  CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    round(CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+        |  END AS fertility
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The full greedy merge loop replayed as a recursive CTE: per word,
     // each step scores adjacent pairs against the SAME literal merge

@@ -107,6 +107,58 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Pairwise cosine between per-GROUP embedding centroids — "which
+    * sources say the same thing": two feeds whose centroids sit at
+    * cosine ≈ 1 are semantically redundant and a mixture planner
+    * should treat their token budgets as one pool. Exactness: each
+    * group's centroid is the vector of exact int64 quantized
+    * coordinate sums ([[embeddingDrift]]'s quantum), and because
+    * cosine is scale-invariant the 1/(n·Q) mean factors CANCEL — the
+    * dot and both norms are computed on the RAW integer sums in
+    * decimal(38,0), so no float ever folds across dimensions; each
+    * pair spends exactly one division and two correctly-rounded IEEE
+    * sqrts at the end. Output one row per unordered group pair:
+    * (group_a < group_b, n_vecs_a, n_vecs_b, centroid_cosine).
+    *
+    * Scale shape: one (group, dim)-keyed combine (the sums frame
+    * persists — it feeds the norms and both sides of the pair join),
+    * then a dim-keyed join whose output is groups²·dims rows — groups
+    * are source-grained (tens), so the pair stage is tiny at any
+    * corpus size; the corpus is touched exactly once.
+    */
+  def groupCentroidSim(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val Q = 1048576.0 // 2^20, the codebook quantum (ivfTrainCentroids)
+    val dec = "decimal(38,0)"
+    val g = col(s"`$groupCol`")
+    val sums = df
+      .filter(g.isNotNull && col(s"`$vecCol`").isNotNull &&
+        size(col(s"`$vecCol`")) > 0)
+      .select(g.cast("string").as("grp"),
+        posexplode(col(s"`$vecCol`")).as(Seq("__d", "__x")))
+      .groupBy(col("grp"), col("__d"))
+      .agg(sum(floor(col("__x").cast("double") * Q).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .transform(graft.CachedFrames.cached)
+    val norms = sums.groupBy(col("grp"))
+      .agg(sum(expr(s"CAST(__s AS $dec) * CAST(__s AS $dec)")).as("__n2"),
+        max(col("__n")).as("n_vecs"))
+    val dots = sums.as("a").join(sums.as("b"),
+        col("a.__d") === col("b.__d") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(sum(col("a.__s").cast(dec) * col("b.__s").cast(dec)).as("__dot"))
+    dots
+      .join(norms.select(col("grp").as("group_a"), col("__n2").as("__na2"),
+        col("n_vecs").as("n_vecs_a")), Seq("group_a"))
+      .join(norms.select(col("grp").as("group_b"), col("__n2").as("__nb2"),
+        col("n_vecs").as("n_vecs_b")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("n_vecs_a"),
+        col("n_vecs_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na2").cast("double")) *
+            sqrt(col("__nb2").cast("double"))), 6).as("centroid_cosine"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,

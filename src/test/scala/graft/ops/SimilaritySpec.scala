@@ -520,4 +520,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Long], Double, Long)].collect().sortBy(_._5)
     assert(tie.map(_._1).toSeq == Seq(5L, 7L))
   }
+
+  test("groupCentroidSim: aligned/opposite/orthogonal centroids score 1/-1/0; scale cancels") {
+    // groups: a and a2 point along +x (a2 at 3x the magnitude — cosine
+    // must ignore scale), o along -x, z along +y
+    val df = Seq(
+      ("a", Array(1.0, 0.0)), ("a", Array(1.0, 0.0)),
+      ("a2", Array(3.0, 0.0)),
+      ("o", Array(-1.0, 0.0)),
+      ("z", Array(0.0, 1.0)))
+      .toDF("g", "vec")
+    val out = Similarity.groupCentroidSim(df, "g", "vec").collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) ->
+        r.getAs[Double]("centroid_cosine")).toMap
+    assert(out.size == 6, "C(4,2) unordered pairs")
+    assert(out(("a", "a2")) == 1.0, out.toString)
+    assert(out(("a", "o")) == -1.0 && out(("a2", "o")) == -1.0, out.toString)
+    assert(out(("a", "z")) == 0.0 && out(("o", "z")) == 0.0, out.toString)
+    // n_vecs rides along
+    val na = Similarity.groupCentroidSim(df, "g", "vec").collect()
+      .find(r => r.getAs[String]("group_a") == "a" &&
+        r.getAs[String]("group_b") == "a2").get
+    assert(na.getAs[Long]("n_vecs_a") == 2L && na.getAs[Long]("n_vecs_b") == 1L)
+  }
 }
