@@ -967,6 +967,48 @@ object ScaleProbe {
           "cohort", "duration", "cause", "a", "b"))
     }
 
+    // round-12 session-2: feature-prep trio. quantileNormalize rides
+    // the ROW axis (ranks: per-group windows + the two-phase pooled
+    // prefix sum); targetEncode collapses to categories; centroid
+    // similarity replicates VECTORS with groups fixed (the sums frame
+    // is groups×dims at any scale).
+    if (familyOn("probe12f")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val evBase = SparkEntry.events(spark, sfDir)
+        .select("event_id", "user_id", "value", "event_type")
+      val evV = (0 until times).map { i =>
+        evBase.select(
+          (col("event_id") + lit(i * n)).as("event_id"),
+          (col("user_id") + lit(i * n)).as("user_id"),
+          col("value"), col("event_type"))
+      }.reduce(_.unionByName(_))
+      val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val embV = (0 until times).map { i =>
+        embBase.select((col("vec_id") + lit(i * n)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe12f ${times}x ---")
+      time("probe12f:quantileNormalize",
+        graft.ops.Profiling.quantileNormalize(
+          evV.filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+            col("value").isNotNull)
+            .select(col("event_id"), pmod(col("user_id"), lit(8L)).as("g"),
+              col("value")),
+          "g", "value", "event_id"))
+      time("probe12f:targetEncode",
+        graft.ops.Curation.targetEncode(
+          evV.filter(col("event_type").isNotNull && col("event_id").isNotNull)
+            .select(col("event_type"),
+              pmod(col("event_id"), lit(2L)).as("y")),
+          "event_type", "y"))
+      time("probe12f:groupCentroidSim",
+        graft.ops.Similarity.groupCentroidSim(
+          embV.select(pmod(col("vec_id"), lit(8L)).cast("string").as("grp"),
+            col("embedding")),
+          "grp", "embedding"))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
