@@ -3694,6 +3694,18 @@ object SparkEntry {
         "expd", Seq("value", "hod"))
         .orderBy("covariate")),
 
+    // §2.11 split discipline — leave-last-out temporal split: each
+    // user's 2 most recent events held out as test, ties broken by
+    // event id desc; short histories go entirely to test (visible
+    // cold-start population, never silent training data).
+    "leave_last_out" -> ((s, dir) =>
+      graft.ops.Curation.leaveLastOut(
+        events(s, dir).select("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", k = 2)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("split"))
+        .orderBy("event_id")),
+
     // §2.11 feature prep — quantile normalization: every source's
     // doc-length distribution mapped onto the pooled order statistics
     // by exact integer index selection (never interpolation), so
@@ -8811,6 +8823,19 @@ object SparkEntry {
         |    THEN round(CAST(n * n_agree - pe_num AS DOUBLE) /
         |      CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa
         |FROM ag CROSS JOIN pe""".stripMargin,
+
+    // Leave-last-out: recency rank per user, ties by event id desc.
+    "leave_last_out" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN rn <= 2 THEN 'test' ELSE 'train' END AS split
+        |FROM r ORDER BY event_id""".stripMargin,
 
     // Quantile normalization: per-source midrank → exact ceil index →
     // pooled order-statistic selection, ties by id on both orders.

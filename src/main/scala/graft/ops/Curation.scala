@@ -598,6 +598,39 @@ object Curation {
       .drop("__trn", "__mg", "__tg")
   }
 
+  /** Leave-last-out temporal split — the per-entity evaluation protocol
+    * for sequential data (recsys / next-event prediction): each
+    * entity's `k` MOST RECENT events become `test`, everything earlier
+    * is `train`. This is the split [[hashSplit]] cannot express: a
+    * random split leaks the future into training (a model sees a
+    * user's later events while predicting their earlier ones), and a
+    * single global time cutoff starves recently-arrived entities of
+    * training history — leave-last-out holds time out PER ENTITY.
+    * Recency ranks by `(ts, id)` descending, so equal-timestamp events
+    * split deterministically. Entities with ≤ k events go entirely to
+    * `test` (they have no trainable past — downstream either drops
+    * them or treats them as cold-start cases; the split makes that
+    * population visible instead of silently training on it).
+    *
+    * Scale shape: ONE hash shuffle on the entity key + a per-entity
+    * window — partitions bounded by per-entity history length, never
+    * corpus size. Null key/ts/id rows are excluded (they belong to no
+    * entity timeline).
+    */
+  def leaveLastOut(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, k: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val key = col(s"`$keyCol`")
+    val ts = col(s"`$tsCol`")
+    val id = col(s"`$idCol`")
+    val w = Window.partitionBy(key).orderBy(ts.desc, id.desc)
+    df.filter(key.isNotNull && ts.isNotNull && id.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("split",
+        when(col("__rn") <= k, lit("test")).otherwise(lit("train")))
+      .drop("__rn")
+  }
+
   /** Smoothed target encoding — the category→value feature table for a
     * high-cardinality categorical column: each category's encoding is
     * its label mean SHRUNK toward the global mean by a prior weight `m`

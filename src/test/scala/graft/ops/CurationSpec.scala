@@ -555,6 +555,32 @@ class CurationSpec extends SparkSpec {
     assert(kept(1) == kept(1))
   }
 
+  test("leaveLastOut: k most recent per entity test, ties split by id, short histories all-test") {
+    val df = Seq(
+      (1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 300L), (1L, 13L, 300L),
+      (2L, 20L, 50L),
+      (3L, 30L, 10L), (3L, 31L, 20L)).toDF("user", "ev", "ts")
+    val out = Curation.leaveLastOut(df, "user", "ts", "ev", k = 2)
+      .collect().map(r => r.getAs[Long]("ev") -> r.getAs[String]("split")).toMap
+    // user 1: ts 300 twice → ev 13 and 12 (id desc breaks the tie) test
+    assert(out(13L) == "test" && out(12L) == "test")
+    assert(out(10L) == "train" && out(11L) == "train")
+    // user 2: single event → entirely test (no trainable past)
+    assert(out(20L) == "test")
+    // user 3: exactly k events → both test
+    assert(out(30L) == "test" && out(31L) == "test")
+    // within every entity, every train ts ≤ every test ts (no future leak)
+    val rows = Curation.leaveLastOut(df, "user", "ts", "ev", k = 1)
+      .collect().map(r => (r.getAs[Long]("user"), r.getAs[Long]("ts"),
+        r.getAs[String]("split")))
+    rows.groupBy(_._1).values.foreach { g =>
+      val trainMax = g.filter(_._3 == "train").map(_._2)
+      val testMin = g.filter(_._3 == "test").map(_._2)
+      if (trainMax.nonEmpty && testMin.nonEmpty)
+        assert(trainMax.max <= testMin.min, g.toSeq.toString)
+    }
+  }
+
   test("targetEncode: 20 random tables match local rational arithmetic exactly") {
     val rnd = new scala.util.Random(41)
     (1 to 20).foreach { trial =>
