@@ -256,20 +256,27 @@ object SparkEntry {
     * embed_kmeans and semdedup all index the same embeddings corpus
     * with the same (k=16, iters=2) config, and ann_pq/ann_pq_recall
     * share one PQ training. Only the collected codebook rows (K×dim
-    * doubles, KB) are held. Memo keys fold in an [[inputStamp]]
-    * (per-part-file name:mtime:size of the table's parquet), so an
-    * in-place rewrite of the input re-trains instead of serving a
-    * stale codebook; [[clearTrainedMemo]] remains for paths the stamp
-    * can't see (non-local filesystems).
+    * doubles, KB) are held. Each entry carries an [[inputStamp]]
+    * (per-part-file name:mtime:size of the table's parquet) and is
+    * REPLACED on stamp mismatch, so an in-place rewrite of the input
+    * re-trains instead of serving a stale codebook — and repeated
+    * rewrites can't accumulate superseded holders (one entry per
+    * dir|op|config, not per stamp); [[clearTrainedMemo]] remains for
+    * paths the stamp can't see (non-local filesystems).
     */
-  // the value is a LAZY holder, not the trained rows: computeIfAbsent
-  // only installs the thunk (cheap, never recursive), and the Spark
-  // training job runs OUTSIDE the map's bin lock on the holder's own
-  // lazy-val monitor — concurrent callers of the SAME key still train
-  // once, but bin-colliding keys never block each other and a nested
-  // memoTrained call can't violate the CHM recursive-update contract
+  // the value is (stamp, LAZY holder), not the trained rows: compute()
+  // only installs/replaces the thunk (cheap, never recursive), and the
+  // Spark training job runs OUTSIDE the map's bin lock on the holder's
+  // own lazy-val monitor — concurrent callers of the SAME key still
+  // train once, but bin-colliding keys never block each other and a
+  // nested memoTrained call can't violate the CHM recursive-update
+  // contract. The input stamp lives in the VALUE (keyed replacement on
+  // mismatch), not the key: a session that repeatedly rewrites its
+  // input parquet replaces the one entry instead of accumulating a
+  // stale holder (with its collected codebook rows) per rewrite
   private val trainedMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, () => (org.apache.spark.sql.types.StructType, Array[Row])]()
+    String,
+    (String, () => (org.apache.spark.sql.types.StructType, Array[Row]))]()
 
   /** Drop every memoized trained artifact (for sessions whose input
     * files mutate in place).
@@ -294,15 +301,19 @@ object SparkEntry {
       if (f.exists) stamp(f) else "absent"
     } catch { case _: Throwable => "unstat" }
 
-  private def memoTrained(s: SparkSession, key: String)
+  private def memoTrained(s: SparkSession, key: String, stamp: String)
       (train: => DataFrame): DataFrame = {
-    val holder = trainedMemo.computeIfAbsent(key, _ => {
-      lazy val trained: (org.apache.spark.sql.types.StructType, Array[Row]) = {
-        val df = train
-        (df.schema, df.collect())
-      }
-      () => trained
-    })
+    val (_, holder) = trainedMemo.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else {
+        // new key OR superseded stamp: (re)install a fresh lazy holder —
+        // the stale entry (and its collected rows) is dropped here
+        lazy val trained: (org.apache.spark.sql.types.StructType, Array[Row]) = {
+          val df = train
+          (df.schema, df.collect())
+        }
+        (stamp, () => trained)
+      })
     val (schema, rows) = holder()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
@@ -312,7 +323,7 @@ object SparkEntry {
     * indexes the corpus at this config.
     */
   def ivfCentroidsShared(s: SparkSession, dir: String): DataFrame =
-    memoTrained(s, s"$dir|${inputStamp(dir, "embeddings")}|ivf|k=16,iters=2") {
+    memoTrained(s, s"$dir|ivf|k=16,iters=2", inputStamp(dir, "embeddings")) {
       Similarity.ivfCodebook(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 16, iters = 2)
     }
@@ -324,8 +335,8 @@ object SparkEntry {
     * ann_pq_recall serve from ONE training pass.
     */
   def pqCodebooks(s: SparkSession, dir: String): DataFrame =
-    memoTrained(s,
-        s"$dir|${inputStamp(dir, "embeddings")}|pq|dim=64,m=4,k=16,iters=2") {
+    memoTrained(s, s"$dir|pq|dim=64,m=4,k=16,iters=2",
+        inputStamp(dir, "embeddings")) {
       Similarity.pqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, numSubspaces = 4, numCentroids = 16, iters = 2)
     }

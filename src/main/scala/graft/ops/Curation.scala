@@ -643,8 +643,8 @@ object Curation {
     * so any ANSI engine replays it bit-for-bit. Products run in
     * decimal(38,0) (`Σy·N ≤ N²` overflows int64 past ~3e9 rows); the
     * emitted enc_fp ≤ scale. Output one row per category:
-    * (category, n, sum_y, enc_fp, enc). Null categories and labels are
-    * excluded. Apply by broadcast-joining the table to rows; for
+    * (category, n, sum_y, enc_fp, enc). Null categories and null/NaN
+    * labels are excluded. Apply by broadcast-joining the table to rows; for
     * leakage-safe training features, compute on the TRAIN fold only and
     * join to val/test — never on the full corpus (the doc'd contract;
     * this op builds the table, the split discipline is [[hashSplit]]'s).
@@ -658,7 +658,11 @@ object Curation {
     require(scale >= 1, s"scale must be positive: $scale")
     val c = col(s"`$catCol`").cast("string")
     val y = col(s"`$labelCol`").cast("long")
-    val perC = df.filter(c.isNotNull && y.isNotNull)
+    // NaN labels are malformed, not negatives: cast(long) would grid NaN
+    // to 0 under non-ANSI casts, silently counting it in n/sum_y — same
+    // exclusion policy as ipwEstimate's outcome filter
+    val perC = df.filter(c.isNotNull && y.isNotNull &&
+        !isnan(col(s"`$labelCol`").cast("double")))
       .select(c.as(catCol), y.as("__y"))
       .groupBy(col(s"`$catCol`"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"))

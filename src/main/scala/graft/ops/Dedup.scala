@@ -789,15 +789,22 @@ object Dedup {
     *
     * Scale shape: the shingle frame persists once; candidate volume is
     * Σ over prefix shingles of document frequency — corpus-wide
-    * boilerplate shingles are the hot-key caveat (cap shingle document
-    * frequency upstream for boilerplate-heavy corpora, exactly the
-    * [[winnowOverlapPairs]] note).
+    * boilerplate shingles are the hot-key caveat, and `maxShingleDf`
+    * fail-fasts on it IN-OP (the [[graft.ops.Similarity.semDedup]]
+    * `maxClusterSize` discipline): any shingle whose document frequency
+    * exceeds the cap raise_errors with the shingle named, instead of
+    * silently fanning df_prefix × df candidate pairs from few tasks.
+    * Strip boilerplate upstream (the [[winnowOverlapPairs]] note) or
+    * raise the cap deliberately. The df window rides the same `__sh`
+    * hash partitioning the index join shuffles on anyway.
     */
   def ngramContainmentPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 100000L): DataFrame = {
     require(threshold > 0d && threshold <= 1d,
       s"threshold must be in (0, 1]: $threshold")
+    require(maxShingleDf >= 1, s"maxShingleDf must be positive: $maxShingleDf")
     val sets = df.filter(col(idCol).isNotNull)
       .select(col(idCol),
         graft.functions.shingle_hash_set(col(s"`$textCol`"), n).as("__shingles"))
@@ -809,9 +816,25 @@ object Dedup {
     val prefix = sets.select(
       col(idCol).as("__id"), sz.as("__sz"),
       explode(slice(col("__shingles"), lit(1), prefixLen)).as("__sh"))
+    // guard wraps the join key on the index side: the join must read it,
+    // so column pruning can never elide the check even under a bare
+    // count(); shingle sets are sets, so per-shingle row count IS
+    // document frequency
+    val wsh = Window.partitionBy(col("__sh"))
     val full = sets.select(
       col(idCol).as("__id"), sz.as("__sz"),
       explode(col("__shingles")).as("__sh"))
+      .withColumn("__df", count(lit(1)).over(wsh))
+      .select(col("__id"), col("__sz"),
+        when(col("__df") > maxShingleDf,
+          raise_error(concat(
+            lit("ngramContainmentPairs: shingle "), col("__sh").cast("string"),
+            lit(" occurs in "), col("__df").cast("string"),
+            lit(s" documents (> maxShingleDf=$maxShingleDf) — a corpus-wide" +
+              " boilerplate shingle would fan df_prefix × df candidate" +
+              " pairs from few tasks; strip boilerplate upstream or raise" +
+              " the cap deliberately"))))
+          .otherwise(col("__sh")).as("__sh"))
     // the prefix condition holds on the smaller (or equal) side only
     val cands = prefix.as("l").join(full.as("r"),
         col("l.__sh") === col("r.__sh") && col("l.__id") =!= col("r.__id") &&

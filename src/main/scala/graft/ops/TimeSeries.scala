@@ -439,7 +439,8 @@ object TimeSeries {
     *     ewma_t  = num_t / (den_t·scale)          // ONE division }}}
     * Gaps carry no phantom zeros — absent buckets drop out of BOTH
     * sums (renormalized truncation, the standard `adjust=True` pandas
-    * semantics restricted to present observations). Output one row per
+    * semantics restricted to present observations). Null and NaN
+    * values are excluded as malformed. Output one row per
     * OBSERVED (key, bucket): (key, bucket, n_lags, num, den, ewma).
     * Exactness bound: `|v_b|·2^lags·lags < 9.2e18` — cents per bucket
     * below ~4.5e15/2^lags.
@@ -459,7 +460,11 @@ object TimeSeries {
     val k = col(s"`$keyCol`")
     val perB = df
       .filter(k.isNotNull && col(s"`$tsCol`").isNotNull &&
-        col(s"`$valueCol`").isNotNull)
+        col(s"`$valueCol`").isNotNull &&
+        // NaN is malformed input, same policy as aucScore/quantileNormalize:
+        // round(NaN·scale).cast(long) grids to 0 cents under non-ANSI casts,
+        // silently corrupting the bucket sum
+        !isnan(col(s"`$valueCol`").cast("double")))
       .select(k.as("key"),
         expr(s"`$tsCol` DIV ${bucketWidth}L").as("bucket"),
         round(col(s"`$valueCol`") * lit(scale.toDouble), 0).cast("long")

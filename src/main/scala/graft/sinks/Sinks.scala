@@ -213,11 +213,32 @@ object Sinks {
     * warehouse answers from its index, not a scan). Falls back to a
     * single-partition read when the table is empty or the column is
     * all-NULL (no range exists to stride).
+    *
+    * Contracts (checked where checkable):
+    *  - `partitionColumn` must be an INTEGRAL SQL type (the stride API is
+    *    long-based); the probe verifies the result-set type up front and
+    *    fails with the offending type name rather than silently
+    *    truncating a date/decimal key at `getLong`.
+    *  - `partitionColumn` is quoted through the url's [[JdbcDialect]]
+    *    (`quoteIdentifier`: double quotes ANSI, backticks MySQL — the
+    *    same resolution Spark's own JDBC source uses), so mixed-case
+    *    column names survive any engine's folding.
+    *  - `table` is a SQL FRAGMENT, exactly as in Spark's
+    *    `spark.read.jdbc`: a bare name (folded by the engine the same
+    *    way the unquoting writer created it), a pre-quoted
+    *    `"MixedCase"` identifier, or a `(subquery) alias` all pass
+    *    through verbatim to both the probe and the partitioned read. It
+    *    is therefore TRUSTED INPUT (pipeline code, not end users); a
+    *    statement-breaking fragment is rejected up front.
     */
   def readJdbcAutoBounds(spark: org.apache.spark.sql.SparkSession,
       url: String, table: String, props: java.util.Properties,
       partitionColumn: String, numPartitions: Int): DataFrame = {
     require(numPartitions >= 1, s"numPartitions must be positive: $numPartitions")
+    require(!table.contains(";") && !table.contains("--"),
+      s"table must be an identifier or subquery fragment, not a statement: $table")
+    val dialect = JdbcDialects.get(url)
+    val qCol = dialect.quoteIdentifier(partitionColumn)
     Option(props.getProperty("driver")).foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url, props)
     val bounds =
@@ -225,8 +246,15 @@ object Sinks {
         val st = conn.createStatement()
         try {
           val rs = st.executeQuery(
-            s"""SELECT MIN("$partitionColumn"), MAX("$partitionColumn") FROM $table""")
+            s"SELECT MIN($qCol), MAX($qCol) FROM $table")
           try {
+            val integral = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
+              java.sql.Types.INTEGER, java.sql.Types.BIGINT)
+            val sqlType = rs.getMetaData.getColumnType(1)
+            require(integral.contains(sqlType),
+              s"partitionColumn $partitionColumn must be an integral type; " +
+                s"probe returned ${rs.getMetaData.getColumnTypeName(1)} " +
+                s"(java.sql.Types $sqlType)")
             rs.next()
             val lo = rs.getLong(1); val loNull = rs.wasNull()
             val hi = rs.getLong(2); val hiNull = rs.wasNull()

@@ -154,6 +154,23 @@ class DedupSpec extends SparkSpec {
       f(0).getAs[Long]("id_b") == 9L, f.mkString(";"))
   }
 
+  test("ngramContainmentPairs: corpus-wide boilerplate shingle trips the maxShingleDf fail-fast") {
+    val boiler = "cookie consent banner text" // shared 4-token head → shared shingles
+    val docs = (1L to 6L)
+      .map(i => (i, s"$boiler unique tail $i alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    // the boilerplate head's shingles occur in all 6 documents: df=6 > cap
+    val e = intercept[Exception] {
+      Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.9, maxShingleDf = 5L).count()
+    }
+    assert(e.getMessage.contains("maxShingleDf"), e.getMessage)
+    // a deliberate raise passes: same corpus, permissive cap, runs clean —
+    // even a bare count() (the guard wraps the join key, pruning-proof)
+    assert(Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.9, maxShingleDf = 6L).count() >= 0L)
+  }
+
   test("triangleStats: hand-built graph — dups, reversals, and self-loops canonicalized") {
     // triangle 1-2-3, pendant 3-4, separate pair 5-6; edge 1-2 repeated
     // reversed, self-loop 7-7 dropped

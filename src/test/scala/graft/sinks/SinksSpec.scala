@@ -68,6 +68,39 @@ class SinksSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("JDBC auto-bounds: dialect-quoted identifiers round-trip mixed case; bad keys/fragments fail fast") {
+    val dir = Files.createTempDirectory("derby_db_mc")
+    val url = s"jdbc:derby:$dir/testdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = (1L to 20L).map(i => (i, s"doc-$i")).toDF("docId", "name")
+    // pre-quoted table fragment: CREATE TABLE "MixedDocs" — Derby folds
+    // unquoted names to UPPER case, so the probe only finds this table
+    // if it passes the fragment through verbatim (Spark's own contract)
+    Sinks.writeJdbc(df, url, "\"MixedDocs\"", props,
+      columnTypes = Some("name VARCHAR(64)"))
+    // the probe's COLUMN quoting must match Spark's case-exact writer
+    // quoting ("docId", not DOCID) or the MIN/MAX probe can't resolve it
+    val auto = Sinks.readJdbcAutoBounds(spark, url, "\"MixedDocs\"", props,
+      "docId", numPartitions = 3)
+    assert(auto.rdd.getNumPartitions == 3)
+    assert(auto.agg(org.apache.spark.sql.functions.sum("docId"))
+      .as[Long].head() == 210L, "strides must cover every row exactly once")
+    // non-integral partition key: up-front type check, not a silent
+    // getLong truncation at runtime
+    val e = intercept[IllegalArgumentException] {
+      Sinks.readJdbcAutoBounds(spark, url, "\"MixedDocs\"", props,
+        "name", numPartitions = 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // statement-breaking fragment rejected before any connection opens
+    val frag = intercept[IllegalArgumentException] {
+      Sinks.readJdbcAutoBounds(spark, url, "docs; DROP TABLE docs", props,
+        "docId", numPartitions = 2)
+    }
+    assert(frag.getMessage.contains("fragment"), frag.getMessage)
+  }
+
   test("S7 FK-ordered multi-table read-back mirrors the load walk") {
     val dir = Files.createTempDirectory("derby_db_rb2")
     val url = s"jdbc:derby:$dir/testdb;create=true"
