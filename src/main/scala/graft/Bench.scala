@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registry query end-to-end and emits machine-
-  * readable JSON. Noise-proofing (round-3 verdict): the registry runs TWICE
-  * and each query reports its per-run MINIMUM — one ambient-load spike can't
-  * masquerade as a code regression. Artifact-proofing (round-4 verdict:
+  * readable JSON. Noise-proofing (round-3 verdict, hardened round 13 per
+  * the round-12 verdict): the registry runs THREE times by default and
+  * each query reports its per-run MINIMUM — run 1 absorbs residual cold
+  * paths, and two warm runs mean one ambient-load spike can't masquerade
+  * as a code regression (2-run artifacts kept landing a loaded-box window
+  * on the only warm pass: round 12 measured a 4.5 s gate at 68 s there). Artifact-proofing (round-4 verdict:
   * tail-capture clipped the compact line and lost early queries from
   * per-round tracking): the canonical compact line prints FIRST and LAST
   * (detail line in between), and is ALSO written to a file
@@ -17,7 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // repo-root default (round-9 verdict: BENCH_r*.json tail-capture

@@ -1009,6 +1009,66 @@ object ScaleProbe {
           "grp", "embedding"))
     }
 
+    // round-13: curves for the six r12 gates that had only an argued
+    // (not measured) shape. All are linear by construction; the probe
+    // pins it: readability/feature_hash are pure per-doc kernels
+    // (output ∝ rows), tokenizer_fertility folds map-side to the
+    // language relation, drift_jsd to a fixed 20-bin histogram,
+    // ipw_estimate to 4 strata×2 arms, and leave_last_out rides
+    // per-key windows whose KEY COUNT scales with replication
+    // (per-key group size fixed — no single window partition grows).
+    if (familyOn("probe13x")) Seq(1, k).foreach { times =>
+      val n = 100000000L
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val dV = (0 until times).map { i =>
+        docsBase.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" r$i"))).as("text"),
+          col("lang"))
+      }.reduce(_.unionByName(_))
+      val evBase = SparkEntry.events(spark, sfDir)
+        .select("event_id", "user_id", "ts", "value")
+      val evV = (0 until times).map { i =>
+        evBase.select(
+          (col("event_id") + lit(i * n)).as("event_id"),
+          (col("user_id") + lit(i * n)).as("user_id"),
+          col("ts"), col("value"))
+      }.reduce(_.unionByName(_))
+      println(s"--- probe13x ${times}x ---")
+      time("probe13x:readability",
+        dV.select(col("doc_id") +:
+          graft.ops.TextStats.readabilityProfile(col("text")): _*))
+      time("probe13x:featureHash",
+        graft.ops.TextStats.featureHash(dV, "doc_id", "text", dim = 64))
+      time("probe13x:tokenizerFertility",
+        dV.filter(col("lang").isNotNull)
+          .select(col("lang"),
+            graft.ops.TextStats.tokenCount(col("text")).cast("long").as("__w"),
+            graft.ops.TextStats.bpeishTokenCount(col("text")).cast("long").as("__b"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_ws"),
+            sum(col("__b")).as("n_bpe")))
+      time("probe13x:leaveLastOut",
+        Curation.leaveLastOut(
+          evV.select("event_id", "user_id", "ts"),
+          "user_id", "ts", "event_id", k = 2))
+      time("probe13x:driftJsd",
+        graft.ops.Profiling.jsdDrift(
+          evV.filter(pmod(col("user_id"), lit(2)) === 0),
+          evV.filter(pmod(col("user_id"), lit(2)) === 1)
+            .withColumn("value", col("value") * 1.1 + 5),
+          "value", lo = 10.0, hi = 110.0, bins = 20))
+      time("probe13x:ipwEstimate",
+        graft.ops.Profiling.ipwEstimate(
+          evV.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull)
+            .select(pmod(col("user_id"), lit(4L)).cast("string").as("stratum"),
+              (pmod(col("event_id"), lit(3L)) === 0L).cast("long").as("expd"),
+              col("value")),
+          "stratum", "expd", "value"))
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

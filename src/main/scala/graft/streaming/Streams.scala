@@ -244,6 +244,34 @@ object Streams {
   final case class ObsCarry(user_id: Long, event_id: Long, ts: Long,
       value: Option[Double], carried: Option[Double])
 
+  /** Resolve the timeout conf for an optional processing-time TTL: the
+    * shared contract of every stateful op below. `None` (the default)
+    * is NoTimeout — state lives forever, exactly the pre-TTL behavior,
+    * which is what the single-batch oracle gates replay. `Some(d)`
+    * (e.g. "30 minutes") arms a PROCESSING-time lease per key, renewed
+    * on every batch that touches the key: a key idle past the TTL is
+    * timed out at the next trigger and its state dropped (or flushed,
+    * where the op documents it). Processing time, not event time, so
+    * expiry needs no watermark and fires even when the whole stream
+    * goes quiet — the production bound on unbounded-key ingests where
+    * dead keys (retired devices, deleted documents) otherwise pin
+    * state forever.
+    *
+    * Execution note: arming a processing-time timeout makes
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` answer true
+    * unconditionally, so the engine keeps scheduling NO-DATA batches
+    * (at the trigger cadence) to sweep expired keys — which is what
+    * lets a quiet stream still evict. Two consequences: set a real
+    * trigger interval in production (the default 0 ms trigger
+    * busy-loops batches), and never wait on
+    * `StreamingQuery.processAllAvailable` with a TTL armed — its
+    * "no new data" latch never sets (poll the sink/progress instead,
+    * as the TTL specs do).
+    */
+  private def timeoutConf(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Streaming LOCF enrichment (`flatMapGroupsWithState`) — the stateful
     * twin of [[graft.ops.TimeSeries.resampleLocf]]'s carry: every event
     * is emitted with its key's latest non-null observation at-or-before
@@ -251,6 +279,10 @@ object Streams {
     * in per-key state (ONE double per key — state-store size = #keys,
     * not #events). The stateful-streaming shape a vitals monitor needs:
     * "each reading, plus the last known value at that moment".
+    * `ttl` ([[timeoutConf]]): a key idle past the lease forgets its
+    * carry — the next event after a long silence starts from "nothing
+    * observed", which is the honest reading for a monitor that has
+    * been dark longer than its data is trustworthy.
     *
     * Determinism contract: events are processed in `(ts, event_id)`
     * order WITHIN each (key, micro-batch) — the group's batch iterator
@@ -263,20 +295,25 @@ object Streams {
     * per-key per-trigger volume, the quantity `maxFilesPerTrigger`
     * already throttles.
     */
-  def locfEnrich(events: Dataset[ObsEvent]): Dataset[ObsCarry] = {
+  def locfEnrich(events: Dataset[ObsEvent],
+      ttl: Option[String] = None): Dataset[ObsCarry] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Double, ObsCarry](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttl)) {
         (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
-          var carry: Option[Double] = state.getOption
-          val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-            if (e.value.isDefined) carry = e.value
-            ObsCarry(userId, e.event_id, e.ts, e.value, carry)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var carry: Option[Double] = state.getOption
+            val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+              if (e.value.isDefined) carry = e.value
+              ObsCarry(userId, e.event_id, e.ts, e.value, carry)
+            }
+            carry.foreach(state.update)
+            ttl.foreach(state.setTimeoutDuration) // lease renewed on traffic
+            out.iterator
           }
-          carry.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -296,25 +333,33 @@ object Streams {
     * order inside a batch never matters, and results equal the batch
     * lag-window exactly when per-key event time is monotone across
     * batches (always true for a single-batch run).
+    * `ttl` ([[timeoutConf]]): a key idle past the lease forgets its
+    * previous-event marker — the first event after a long silence
+    * starts a fresh chain instead of pairing with a stale predecessor.
     */
-  def transitionsStateful(events: Dataset[TypedEvent]): Dataset[Transition] = {
+  def transitionsStateful(events: Dataset[TypedEvent],
+      ttl: Option[String] = None): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, String), Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttl)) {
         (userId: Long, rows: Iterator[TypedEvent],
          state: GroupState[(Long, Long, String)]) =>
-          var prev: Option[(Long, Long, String)] = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-          rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-            prev.foreach { case (_, _, fromType) =>
-              out += Transition(userId, fromType, e.event_type)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var prev: Option[(Long, Long, String)] = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+            rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              prev.foreach { case (_, _, fromType) =>
+                out += Transition(userId, fromType, e.event_type)
+              }
+              prev = Some((e.ts, e.event_id, e.event_type))
             }
-            prev = Some((e.ts, e.event_id, e.event_type))
+            prev.foreach(state.update)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          prev.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -328,8 +373,12 @@ object Streams {
     * episode is emitted, the new interval opens the next). Append
     * output: only closed episodes flow downstream — the per-key
     * trailing episode stays open in state, which is the honest
-    * streaming answer (it may still grow; production streams close it
-    * with an event-time timeout). Within a batch the (key, batch)
+    * streaming answer (it may still grow). `ttl` ([[timeoutConf]])
+    * CLOSES it: a key idle past the lease has its open episode
+    * FLUSHED downstream (not dropped — an episode is data, unlike the
+    * other ops' carry markers) and its state removed, so every
+    * episode eventually reaches the sink and dead keys stop pinning
+    * state. Within a batch the (key, batch)
     * group is sorted by `(ivs, ive)` before folding, so arrival order
     * inside a batch never matters; results equal the batch merge
     * minus each key's LAST island exactly when per-key starts are
@@ -339,30 +388,40 @@ object Streams {
     * Scale shape: state = one 3-long struct per key with an open
     * episode — bounded by key cardinality, not event volume.
     */
-  def episodeState(iv: Dataset[IntervalRow], gap: Long): Dataset[Episode] = {
+  def episodeState(iv: Dataset[IntervalRow], gap: Long,
+      ttl: Option[String] = None): Dataset[Episode] = {
     require(gap >= 0, s"gap must be non-negative: $gap")
     import iv.sparkSession.implicits._
     iv.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), Episode](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(ttl)) {
         (uid: Long, rows: Iterator[IntervalRow],
          state: GroupState[(Long, Long, Long)]) =>
-          var cur: Option[(Long, Long, Long)] = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
-          rows.toIndexedSeq.filter(r => r.ive >= r.ivs)
-            .sortBy(r => (r.ivs, r.ive)).foreach { r =>
-              cur match {
-                case Some((ms, me, n)) if r.ivs <= me + gap =>
-                  cur = Some((ms, math.max(me, r.ive), n + 1L))
-                case Some((ms, me, n)) =>
-                  out += Episode(uid, ms, me, n)
-                  cur = Some((r.ivs, r.ive, 1L))
-                case None =>
-                  cur = Some((r.ivs, r.ive, 1L))
+          if (state.hasTimedOut) {
+            // flush, don't drop: the open episode is the key's data
+            val flushed = state.getOption
+              .map { case (ms, me, n) => Episode(uid, ms, me, n) }
+            state.remove()
+            flushed.iterator
+          } else {
+            var cur: Option[(Long, Long, Long)] = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
+            rows.toIndexedSeq.filter(r => r.ive >= r.ivs)
+              .sortBy(r => (r.ivs, r.ive)).foreach { r =>
+                cur match {
+                  case Some((ms, me, n)) if r.ivs <= me + gap =>
+                    cur = Some((ms, math.max(me, r.ive), n + 1L))
+                  case Some((ms, me, n)) =>
+                    out += Episode(uid, ms, me, n)
+                    cur = Some((r.ivs, r.ive, 1L))
+                  case None =>
+                    cur = Some((r.ivs, r.ive, 1L))
+                }
               }
-            }
-          cur.foreach(state.update)
-          out.iterator
+            cur.foreach(state.update)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }
   }
 
@@ -381,24 +440,35 @@ object Streams {
     * deterministically, by the same (ts, event_id) total order the
     * batch twin ranks on.
     *
-    * Scale shape: state = one small struct per distinct key;
-    * production streams bound key cardinality with a TTL timeout
-    * (dead keys expire) — unbounded-new-keys is the same caveat as
-    * every keyed state op here.
+    * Scale shape: state = one small struct per distinct key, and `ttl`
+    * ([[timeoutConf]]) bounds key cardinality: a key idle past the
+    * lease is evicted at the next trigger, so dead keys (retired
+    * devices, deleted entities) stop pinning state on an
+    * unbounded-new-keys ingest. Semantics under eviction: the sink
+    * already holds the evicted key's latest row (every winner was
+    * emitted when it won), so downstream state is intact — but a
+    * LATER-arriving stale row for an evicted key re-enters as a fresh
+    * winner (the monotone no-regress guarantee holds per lease, the
+    * standard TTL trade).
     */
-  def latestState(events: Dataset[ObsEvent]): Dataset[KeyLatest] = {
+  def latestState(events: Dataset[ObsEvent],
+      ttl: Option[String] = None): Dataset[KeyLatest] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyLatest, KeyLatest](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Update(), timeoutConf(ttl)) {
         (uid: Long, rows: Iterator[ObsEvent], state: GroupState[KeyLatest]) =>
-          val prev = state.getOption
-          val best = (prev.iterator ++
-            rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
-            .maxBy(k => (k.ts, k.event_id))
-          if (prev.contains(best)) Iterator.empty // all-late batch: no churn
-          else { state.update(best); Iterator.single(best) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption
+            val best = (prev.iterator ++
+              rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
+              .maxBy(k => (k.ts, k.event_id))
+            ttl.foreach(state.setTimeoutDuration) // any traffic renews the lease
+            if (prev.contains(best)) Iterator.empty // all-late batch: no churn
+            else { state.update(best); Iterator.single(best) }
+          }
       }
   }
 
@@ -425,15 +495,23 @@ object Streams {
     * the same footprint the batch self-join shuffles). A hot bucket (a
     * boilerplate band shared corpus-wide) concentrates both state and
     * C(k,2) emission on one key — the same hot-bucket caveat as batch
-    * LSH; production streams should expire buckets via a TTL timeout or
-    * band-key salting. Pairs are emitted exactly once (each doc is added
-    * to state once; re-deliveries of a known id emit nothing), but two
-    * docs sharing SEVERAL bands emit once per shared band — run
+    * LSH, and `bucketTtl` ([[timeoutConf]]) bounds BOTH axes: a bucket
+    * with no arrivals for the lease duration is dropped at the next
+    * trigger, so total state tracks the ACTIVE corpus window (n·Bands
+    * over recent docs) instead of everything ever ingested, and a
+    * boilerplate bucket can only accumulate members for one lease.
+    * Semantics under eviction: docs arriving after a bucket expired
+    * don't pair with its forgotten members — TTL'd near-dup detection
+    * is WINDOWED detection (pairs within a lease of each other), the
+    * standard production trade; run the batch op over the lake for the
+    * full-history sweep. Pairs are emitted exactly once (each doc is
+    * added to state once; re-deliveries of a known id emit nothing),
+    * but two docs sharing SEVERAL bands emit once per shared band — run
     * `.distinct()` on the sink like the batch op does.
     */
   def neardupCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): Dataset[CandPair] = {
+      n: Int = 3, bucketTtl: Option[String] = None): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     import graft.ops.Dedup
     val bands = docs.filter(col(idCol).isNotNull)
@@ -447,31 +525,35 @@ object Streams {
       .as[BandDoc]
     bands.groupByKey(b => (b.band_idx, b.band_hash))
       .flatMapGroupsWithState[Array[Long], CandPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf(bucketTtl)) {
         (_: (Int, Long), rows: Iterator[BandDoc],
          state: GroupState[Array[Long]]) =>
-          val seen = state.getOption.getOrElse(Array.empty[Long])
-          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
-            .filterNot(seen.contains)
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-          var i = 0
-          while (i < fresh.length) {
-            val a = fresh(i)
-            var j = 0
-            while (j < seen.length) {
-              val b = seen(j)
-              out += (if (a < b) CandPair(a, b) else CandPair(b, a))
-              j += 1
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Array.empty[Long])
+            val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+              .filterNot(seen.contains)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var i = 0
+            while (i < fresh.length) {
+              val a = fresh(i)
+              var j = 0
+              while (j < seen.length) {
+                val b = seen(j)
+                out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+                j += 1
+              }
+              var k = i + 1
+              while (k < fresh.length) {
+                out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
+                k += 1
+              }
+              i += 1
             }
-            var k = i + 1
-            while (k < fresh.length) {
-              out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
-              k += 1
-            }
-            i += 1
+            if (fresh.nonEmpty) state.update(seen ++ fresh)
+            bucketTtl.foreach(state.setTimeoutDuration) // arrivals renew the lease
+            out.iterator
           }
-          if (fresh.nonEmpty) state.update(seen ++ fresh)
-          out.iterator
       }
   }
 

@@ -189,6 +189,106 @@ class StreamsSpec extends SparkSpec {
     assert(perBand.values.toSet == Set(32L), perBand.toString)
   }
 
+  // With a processing-time TTL armed, the engine schedules its own
+  // no-data timeout-sweep batches and processAllAvailable's "no new
+  // data" latch NEVER sets (FlatMapGroupsWithStateExec
+  // .shouldRunAnotherBatch is unconditionally true) — so the TTL specs
+  // poll the sink/progress to a deadline instead of waiting on it.
+  // evaluate cond ONCE per poll into a var: some awaited states are
+  // TRANSIENT (a state row that lives exactly one lease), so a final
+  // `assert(cond)` re-evaluation would un-observe what the loop caught
+  private def awaitTtl(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    var ok = cond
+    while (!ok && System.nanoTime < deadline) { Thread.sleep(100); ok = cond }
+    assert(ok, s"not observed within ${timeoutMs} ms: $what")
+  }
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+
+  test("latestState TTL: a dead key expires — state count drops and a later stale row re-enters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    val q = Streams.latestState(in.toDS(), ttl = Some("500 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("cdc_ttl_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 100L, Some(1.0)))
+      awaitTtl("key 1 emitted") { spark.table("cdc_ttl_out").count() == 1L }
+      // no more traffic: the lease lapses and the engine's own timeout
+      // sweep evicts key 1 — the expiry IS a state-count drop (under
+      // NoTimeout the count would stay 1 forever)
+      awaitTtl("state count drops to 0 after the lease") { stateRows(q) == 0L }
+      // a STALE row for the evicted key re-enters as a fresh winner —
+      // impossible under NoTimeout (the no-TTL spec proves a stale batch
+      // emits nothing), so this emission is direct evidence of removal
+      in.addData(Streams.ObsEvent(1L, 8L, 40L, Some(0.5)))
+      awaitTtl("stale row re-enters post-expiry") {
+        spark.table("cdc_ttl_out").count() == 2L
+      }
+    } finally q.stop()
+    val ems = spark.table("cdc_ttl_out").as[Streams.KeyLatest].collect().toSeq
+    assert(ems.count(_.user_id == 1L) == 2, ems.toString)
+    assert(ems.map(_.ts).toSet == Set(100L, 40L), ems.toString)
+  }
+
+  test("neardupCandidates bucketTtl: expired buckets forget their members — detection is windowed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.neardupCandidates(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text", n = 3,
+      bucketTtl = Some("500 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("nd_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, dup))
+      awaitTtl("doc 1 seeds its band buckets") { stateRows(q) > 0L }
+      awaitTtl("idle buckets expire to 0") { stateRows(q) == 0L }
+      in.addData((2L, dup), (3L, dup)) // same-batch mates pair; doc 1 is forgotten
+      awaitTtl("fresh pair emitted") {
+        spark.table("nd_ttl_out").count() > 0L
+      }
+    } finally q.stop()
+    val pairs = spark.table("nd_ttl_out").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)),
+      s"expired bucket must not pair with forgotten members: $pairs")
+  }
+
+  test("episodeState TTL: an idle key's open episode is FLUSHED downstream, then state drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.IntervalRow]
+    val q = Streams.episodeState(in.toDS(), gap = 2L,
+      ttl = Some("500 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("ep_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.IntervalRow(1L, 0L, 10L))
+      awaitTtl("open episode held in state, nothing emitted") {
+        stateRows(q) == 1L && spark.table("ep_ttl_out").isEmpty
+      }
+      // idle past the lease: the open episode is FLUSHED (emitted), not
+      // dropped, and the key's state removed
+      awaitTtl("idle episode flushed downstream") {
+        spark.table("ep_ttl_out").count() == 1L && stateRows(q) == 0L
+      }
+      val flushed = spark.table("ep_ttl_out").as[Streams.Episode].collect().toSeq
+      assert(flushed == Seq(Streams.Episode(1L, 0L, 10L, 1L)), flushed.toString)
+      // a LATER interval for key 1 opens a FRESH episode (state was
+      // removed): it re-enters state and emits nothing new yet
+      in.addData(Streams.IntervalRow(1L, 11L, 12L))
+      awaitTtl("post-expiry interval opens fresh state") { stateRows(q) == 1L }
+      assert(spark.table("ep_ttl_out").count() == 1L,
+        "post-expiry interval must open a fresh episode, not extend the flushed one")
+    } finally q.stop()
+  }
+
   test("locfEnrich: (ts, event_id) order within a batch; carry crosses micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
