@@ -183,6 +183,11 @@ object SparkEntry {
     jsonlScratchRoot + "/csv-" + pathKey(dir)
   private def orcScratchDir(dir: String): String =
     jsonlScratchRoot + "/orc-" + pathKey(dir)
+  // embedded-Derby scratch database for the jdbc_roundtrip gate — one DB
+  // per (JVM, input dir), same clobber-isolation contract as the
+  // csv/jsonl/orc scratch dirs
+  private def jdbcScratchUrl(dir: String): String =
+    s"jdbc:derby:$jsonlScratchRoot/derby-${pathKey(dir)}/gatedb;create=true"
 
   /** Deterministic structure enrichment shared by the jsonl/line/sentence
     * gates AND their oracles: the synthetic documents corpus is
@@ -1272,6 +1277,26 @@ object SparkEntry {
       graft.sinks.Sinks.readCsv(s, scratch, docsSchema)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // S5–S7 ORACLE-GATED (round 13): the full JDBC warehouse round-trip —
+    // typed write into embedded Derby (real CREATE TABLE + batch insert
+    // through the registered DerbyCompat dialect) then PARTITION-PARALLEL
+    // read-back with driver-resolved MIN/MAX bounds (readJdbcAutoBounds:
+    // 4 stride connections on s_suppkey, the 100 TB consumption shape).
+    // The read-back must hash-equal the SOURCE table as DuckDB reads it
+    // from parquet: values survive the warehouse layer exactly AND the
+    // strides cover every row exactly once. Lifts Derby from spec-only
+    // evidence to a first-class differential gate.
+    "jdbc_roundtrip" -> ((s, dir) => {
+      graft.sinks.Sinks.DerbyCompat.register()
+      val url = jdbcScratchUrl(dir)
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      graft.sinks.Sinks.writeJdbc(t(s, dir, "supplier"), url, "supplier_rt", props)
+      graft.sinks.Sinks.readJdbcAutoBounds(s, url, "supplier_rt", props,
+        "s_suppkey", numPartitions = 4)
+        .orderBy("s_suppkey")
     }),
 
     // Audit/provenance read: the scan plus file-lineage (`_src_file`
@@ -5065,6 +5090,12 @@ object SparkEntry {
     "orc_roundtrip" ->
       s"""SELECT doc_id, $enrichedTextSql AS text, lang, source, n_chars
          |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // source-fidelity oracle: the Derby write→stride-read round-trip
+    // must reproduce the parquet source exactly
+    "jdbc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "provenance" ->
       s"""SELECT doc_id, regexp_extract(filename, '([^/]+)$$', 1) AS _src_file,

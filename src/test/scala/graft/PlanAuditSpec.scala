@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
       // concurrent Verify run's export mid-compare
       "jsonl_roundtrip", "csv_roundtrip", "csv_roundtrip_docs",
       "schema_merge",
+      // builder writes the supplier table into embedded Derby (JDBC DDL
+      // + batch insert) before the stride read-back
+      "jdbc_roundtrip",
       // builder iterates connected components (actions per round)
       "embed_clusters")
 
