@@ -281,6 +281,46 @@ object Sinks {
       props: java.util.Properties): Seq[(String, DataFrame)] =
     LoadOrder.map(name => name -> readJdbc(spark, url, name, props))
 
+  /** Catalog-backed registration — the WAREHOUSE-facing twin of
+    * [[writeAllJdbcReference]] (round 13): each cleaned FHIR table is
+    * materialized as an EXTERNAL parquet table at `baseDir/<name>` and
+    * registered in the session catalog (the Hive metastore when the
+    * session enables one; Spark's in-memory catalog otherwise), walked
+    * in the same FK parent-first [[LoadOrder]] and through the same
+    * [[ReferenceDdl.coerceDates]] typing contract as the JDBC load.
+    * Downstream consumers then address tables by NAME (`spark.table`,
+    * `spark.sql`) with the layout owned by the catalog — which is what
+    * makes bucketing ([[writeBucketed]]) and CBO statistics usable at
+    * all: a bare `spark.read.parquet` sees files and loses both.
+    * `analyze` runs `ANALYZE TABLE … COMPUTE STATISTICS` per table so
+    * the cost-based optimizer sees row/byte counts (broadcast-side
+    * election on the dimension tables, the 100 TB join lever).
+    * `database` must be a plain identifier (it names a metastore
+    * object, not a SQL fragment).
+    */
+  def registerAllCatalog(spark: org.apache.spark.sql.SparkSession,
+      tables: Map[String, DataFrame], database: String, baseDir: String,
+      analyze: Boolean = false): Unit = {
+    require(database.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"database must be a plain identifier: $database")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$database`")
+    LoadOrder.foreach { name =>
+      ReferenceDdl.coerceDates(name, underscored(tables(name)))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$baseDir/$name")
+        .saveAsTable(s"`$database`.`$name`") // `condition` is a keyword
+      if (analyze)
+        spark.sql(s"ANALYZE TABLE `$database`.`$name` COMPUTE STATISTICS")
+    }
+  }
+
+  /** FK-ordered catalog read-back, mirroring [[readAllJdbc]]: lazy
+    * frames by catalog name, parents first.
+    */
+  def readAllCatalog(spark: org.apache.spark.sql.SparkSession,
+      database: String): Seq[(String, DataFrame)] =
+    LoadOrder.map(n => n -> spark.table(s"`$database`.`$n`"))
+
   /** The exact statements [[applyPrimaryKeys]] issues, dialect-keyed on
     * the url — separated so the PostgreSQL statement stream is
     * golden-pinnable without a live server (SinksSpec) while Derby

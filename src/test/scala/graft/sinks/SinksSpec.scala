@@ -127,6 +127,43 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("catalog registration: FHIR tables as external parquet tables, FK order, SQL-addressable, stats") {
+    val dir = Files.createTempDirectory("fhir_cat")
+    Files.writeString(dir.resolve("b1.json"), graft.fhir.FhirFixtures.bundle1)
+    Files.writeString(dir.resolve("b2.json"), graft.fhir.FhirFixtures.bundle2)
+    val entries = graft.fhir.BundleReader.normalizedEntries(spark, dir.toString)
+    val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+    val wh = Files.createTempDirectory("fhir_wh")
+    Sinks.registerAllCatalog(spark, tables, "graft_wh", wh.toString, analyze = true)
+    // FK-ordered read-back by catalog NAME
+    val back = Sinks.readAllCatalog(spark, "graft_wh")
+    assert(back.map(_._1) == Sinks.LoadOrder, "parent-first order preserved")
+    back.foreach { case (n, d) =>
+      assert(d.count() == tables(n).count(), s"table $n row count through catalog")
+    }
+    // cross-table FK join addressed purely through the catalog (note
+    // `condition` needs quoting — a keyword table name must round-trip)
+    val joined = spark.sql(
+      """SELECT count(*) FROM graft_wh.patient p
+        |JOIN graft_wh.`condition` c ON p.patient_id = c.patient_id""".stripMargin)
+      .as[Long].head()
+    assert(joined >= 1L, "FK join through catalog names must hit")
+    // EXTERNAL: the data lives at the caller's path, not the warehouse
+    assert(new java.io.File(wh.toFile, "patient").exists, "external location honored")
+    // ANALYZE ran: catalog-level statistics exist for the optimizer
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_wh.patient")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("Statistics"), s"expected catalog stats, got:\n$desc")
+    // re-registration overwrites idempotently (the daily-load shape)
+    Sinks.registerAllCatalog(spark, tables, "graft_wh", wh.toString)
+    assert(spark.table("graft_wh.patient").count() == tables("patient").count())
+    // bad database names are rejected before any SQL is issued
+    val e = intercept[IllegalArgumentException] {
+      Sinks.registerAllCatalog(spark, tables, "bad db; drop", wh.toString)
+    }
+    assert(e.getMessage.contains("identifier"), e.getMessage)
+  }
+
   test("PostgreSQL dialect golden DDL: emitted CREATE TABLEs pin to json_pipeline.py:743-850") {
     // No live Postgres exists offline, so the evidence is the exact DDL
     // stream: the REAL PostgresDialect (JdbcDialects.get on a postgres
