@@ -289,6 +289,75 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // transformWithState refuses the default HDFS-backed provider; scope
+  // the RocksDB provider to the TWS tests and restore the session after
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("latestStateTws: transformWithState CDC on RocksDB — upserts and late-row no-churn match the legacy op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.latestStateTws(in.toDS()).toDF() // TimeMode.None: processAllAvailable is safe
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 100L, Some(1.0)),
+          Streams.ObsEvent(1L, 11L, 200L, Some(2.0)))
+        q.processAllAvailable()
+        in.addData(Streams.ObsEvent(1L, 12L, 300L, Some(3.0)),
+          Streams.ObsEvent(1L, 9L, 50L, None),
+          Streams.ObsEvent(2L, 20L, 150L, Some(9.0)))
+        q.processAllAvailable()
+        in.addData(Streams.ObsEvent(1L, 8L, 40L, Some(0.5))) // all-late: no churn
+        q.processAllAvailable()
+      } finally q.stop()
+      val ems = spark.table("tws_out").as[Streams.KeyLatest].collect().toSeq
+      val finalByKey = ems.zipWithIndex.groupBy(_._1.user_id)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+      assert(finalByKey(1L) == Streams.KeyLatest(1L, 300L, 12L, Some(3.0)), finalByKey.toString)
+      assert(finalByKey(2L) == Streams.KeyLatest(2L, 150L, 20L, Some(9.0)), finalByKey.toString)
+      assert(ems.count(_.user_id == 1L) == 2 && ems.count(_.user_id == 2L) == 1,
+        ems.toString)
+    }
+  }
+
+  test("latestStateTws native TTLConfig: an expired value reads as absent and a stale row re-enters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.latestStateTws(in.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(500))).toDF()
+        .writeStream.format("memory").queryName("tws_ttl_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 100L, Some(1.0)))
+        awaitTtl("key 1 emitted") { spark.table("tws_ttl_out").count() == 1L }
+        Thread.sleep(1200) // value TTL (re-armed on update only) lapses
+        // a STALE row re-enters as a fresh winner: the expired value
+        // reads as absent in state — impossible under the no-TTL op
+        in.addData(Streams.ObsEvent(1L, 8L, 40L, Some(0.5)))
+        awaitTtl("stale row re-enters post-expiry") {
+          spark.table("tws_ttl_out").count() == 2L
+        }
+      } finally q.stop()
+      val ems = spark.table("tws_ttl_out").as[Streams.KeyLatest].collect().toSeq
+      assert(ems.size == 2 && ems.map(_.ts).toSet == Set(100L, 40L), ems.toString)
+    }
+  }
+
   test("locfEnrich: (ts, event_id) order within a batch; carry crosses micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
