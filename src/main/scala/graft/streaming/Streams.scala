@@ -620,6 +620,158 @@ object Streams {
       }
   }
 
+  /** [[neardupCandidates]] on the arbitrary-state API: bucket members
+    * live in a `ListState[Long]` — the structurally RIGHT store for an
+    * append-only member set. The legacy op rewrites the WHOLE member
+    * array on every update (`state.update(seen ++ fresh)` — O(|bucket|)
+    * serialization per arrival, quadratic over a bucket's lifetime);
+    * `ListState.appendList` appends in O(|fresh|), which is the
+    * difference between a hot boilerplate bucket being slow and being
+    * quadratic. With `memberTtl`, TTL applies PER ELEMENT: each member
+    * expires `ttl` after ITS OWN insertion (finer than the legacy
+    * whole-bucket lease, which a busy bucket renews forever) — windowed
+    * detection where "window" means each doc pairs with docs ingested
+    * at most one TTL before it. Same exactly-once pair emission and
+    * RocksDB-provider requirement as the other TWS ops; same
+    * `.distinct()` per-shared-band note as the legacy op.
+    */
+  def neardupCandidatesTws(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3,
+      memberTtl: Option[java.time.Duration] = None): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    import graft.ops.Dedup
+    val bands = docs.filter(col(idCol).isNotNull)
+      .select(
+        posexplode(graft.functions.band_hashes(
+          Dedup.minhashSignature(
+            graft.functions.shingle_hash_set(col(textCol), n)),
+          Dedup.Bands, Dedup.RowsPerBand)).as(Seq("band_idx", "band_hash")),
+        col(idCol).cast("long").as("doc_id"))
+      .select("band_idx", "band_hash", "doc_id")
+      .as[BandDoc]
+    bands.groupByKey(b => (b.band_idx, b.band_hash))
+      .transformWithState(new BucketPairProcessor(memberTtl),
+        if (memberTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Processor backing [[neardupCandidatesTws]]: per bucket, the
+    * member-id list; a fresh doc pairs with every live member, then
+    * appends (never rewrites) the list.
+    */
+  private[streaming] class BucketPairProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandDoc, CandPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong, cfg)
+    }
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CandPair] = {
+      val seen = members.get().toArray // expired elements already absent
+      val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+        .filterNot(seen.contains)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      var i = 0
+      while (i < fresh.length) {
+        val a = fresh(i)
+        var j = 0
+        while (j < seen.length) {
+          val b = seen(j)
+          out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+          j += 1
+        }
+        var k = i + 1
+        while (k < fresh.length) {
+          out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
+          k += 1
+        }
+        i += 1
+      }
+      if (fresh.nonEmpty) members.appendList(fresh)
+      out.iterator
+    }
+  }
+
+  /** [[episodeState]] on the arbitrary-state API, with the idle-key
+    * flush driven by REAL per-key TIMERS (`registerTimer` /
+    * `handleExpiredTimer`) instead of the legacy timeout lease: every
+    * batch that touches a key re-arms its flush timer to now +
+    * `idleFlush`; when the timer fires, the open episode is EMITTED
+    * and the key's state cleared — the episode always reaches the
+    * sink. Timers are the right primitive here because expiry produces
+    * OUTPUT (value TTL would silently drop the open episode — data
+    * loss, not cleanup). No `idleFlush` → `TimeMode.None`, no timers,
+    * exact legacy semantics.
+    */
+  def episodeStateTws(iv: Dataset[IntervalRow], gap: Long,
+      idleFlush: Option[java.time.Duration] = None): Dataset[Episode] = {
+    require(gap >= 0, s"gap must be non-negative: $gap")
+    import iv.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    iv.groupByKey(_.user_id)
+      .transformWithState(new EpisodeProcessor(gap, idleFlush),
+        if (idleFlush.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Processor backing [[episodeStateTws]]: one open (start, reach, n)
+    * per key; arriving intervals extend or close it; the per-key timer
+    * flushes it after `idleFlush` of silence.
+    */
+  private[streaming] class EpisodeProcessor(gap: Long,
+      idleFlush: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, IntervalRow, Episode] {
+    @transient private var cur: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      // TTLConfig.NONE deliberately: expiry must FLUSH (emit), which
+      // only a timer can do — a value TTL would drop the episode
+      cur = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[IntervalRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Episode] = {
+      var open: Option[(Long, Long, Long)] = if (cur.exists()) Some(cur.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Episode]
+      rows.toIndexedSeq.filter(r => r.ive >= r.ivs)
+        .sortBy(r => (r.ivs, r.ive)).foreach { r =>
+          open match {
+            case Some((ms, me, n)) if r.ivs <= me + gap =>
+              open = Some((ms, math.max(me, r.ive), n + 1L))
+            case Some((ms, me, n)) =>
+              out += Episode(uid, ms, me, n)
+              open = Some((r.ivs, r.ive, 1L))
+            case None =>
+              open = Some((r.ivs, r.ive, 1L))
+          }
+        }
+      open.foreach(cur.update)
+      idleFlush.foreach { d =>
+        // re-arm: at most one live flush timer per key
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs + d.toMillis)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Episode] = {
+      if (cur.exists()) {
+        val (ms, me, n) = cur.get()
+        cur.clear()
+        Iterator.single(Episode(uid, ms, me, n))
+      } else Iterator.empty
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).

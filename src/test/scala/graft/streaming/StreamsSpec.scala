@@ -358,6 +358,95 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("neardupCandidatesTws: ListState buckets pair across and within batches, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      val other = "completely different content with no shared shingles at all here"
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.neardupCandidatesTws(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text", n = 3).toDF()
+        .writeStream.format("memory").queryName("ndtws_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((1L, dup), (2L, dup))
+        q.processAllAvailable()
+        in.addData((3L, dup), (4L, other))
+        q.processAllAvailable()
+        in.addData((3L, dup)) // re-delivery of a known id emits nothing new
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.table("ndtws_out").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+      val perBand = spark.table("ndtws_out").groupBy("id_a", "id_b").count()
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(perBand.values.toSet == Set(32L), perBand.toString)
+    }
+  }
+
+  test("neardupCandidatesTws memberTtl: per-element expiry — old members are forgotten individually") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.neardupCandidatesTws(
+        in.toDS().toDF("doc_id", "text"), "doc_id", "text", n = 3,
+        memberTtl = Some(java.time.Duration.ofMillis(500))).toDF()
+        .writeStream.format("memory").queryName("ndtws_ttl_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData((1L, dup))
+        awaitTtl("doc 1 ingested (no pairs yet)") {
+          Option(q.lastProgress).exists(_.numInputRows >= 0L) &&
+            spark.table("ndtws_ttl_out").count() == 0L
+        }
+        Thread.sleep(1200) // doc 1's list elements expire individually
+        in.addData((2L, dup), (3L, dup)) // pair with each other, not with 1
+        awaitTtl("fresh same-batch pair emitted") {
+          spark.table("ndtws_ttl_out").count() > 0L
+        }
+      } finally q.stop()
+      val pairs = spark.table("ndtws_ttl_out").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((2L, 3L)),
+        s"expired members must not pair: $pairs")
+    }
+  }
+
+  test("episodeStateTws: closed episodes emit; timer flushes the idle open episode downstream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.IntervalRow]
+      val q = Streams.episodeStateTws(in.toDS(), gap = 2L,
+        idleFlush = Some(java.time.Duration.ofMillis(500))).toDF()
+        .writeStream.format("memory").queryName("eptws_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // a gap-breaking second interval CLOSES the first episode (the
+        // batch-semantics half), the second stays open in state
+        in.addData(Streams.IntervalRow(1L, 0L, 10L),
+          Streams.IntervalRow(1L, 20L, 30L))
+        awaitTtl("closed episode emitted") {
+          spark.table("eptws_out").count() == 1L
+        }
+        assert(spark.table("eptws_out").as[Streams.Episode].head() ==
+          Streams.Episode(1L, 0L, 10L, 1L))
+        // then the flush timer fires on the idle key: the OPEN episode
+        // (20, 30) is emitted too and state cleared
+        awaitTtl("idle open episode flushed by timer") {
+          spark.table("eptws_out").count() == 2L
+        }
+        val eps = spark.table("eptws_out").as[Streams.Episode].collect().toSet
+        assert(eps == Set(Streams.Episode(1L, 0L, 10L, 1L),
+          Streams.Episode(1L, 20L, 30L, 1L)), eps.toString)
+      } finally q.stop()
+    }
+  }
+
   test("locfEnrich: (ts, event_id) order within a batch; carry crosses micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
