@@ -624,10 +624,12 @@ object Streams {
     * live in a `ListState[Long]` — the structurally RIGHT store for an
     * append-only member set. The legacy op rewrites the WHOLE member
     * array on every update (`state.update(seen ++ fresh)` — O(|bucket|)
-    * serialization per arrival, quadratic over a bucket's lifetime);
-    * `ListState.appendList` appends in O(|fresh|), which is the
-    * difference between a hot boilerplate bucket being slow and being
-    * quadratic. With `memberTtl`, TTL applies PER ELEMENT: each member
+    * serialization per arrival, Σi ≈ k²/2 state bytes over a hot
+    * bucket's lifetime); `ListState.appendList` writes O(|fresh|), k
+    * total. (Pair EMISSION stays C(k,2) in both forms by construction —
+    * the hot-bucket caveat and its TTL/salting levers are unchanged;
+    * what the list store removes is the state-write amplification on
+    * top of it.) With `memberTtl`, TTL applies PER ELEMENT: each member
     * expires `ttl` after ITS OWN insertion (finer than the legacy
     * whole-bucket lease, which a busy bucket renews forever) — windowed
     * detection where "window" means each doc pairs with docs ingested

@@ -476,6 +476,53 @@ class StreamsSpec extends SparkSpec {
       6L -> Some(7.0)))                                  // own observation
   }
 
+  test("locfEnrich/transitionsStateful TTL: idle keys forget their carry/marker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // LOCF: after the lease lapses, the next event carries NOTHING
+    val lin = MemoryStream[Streams.ObsEvent]
+    val lq = Streams.locfEnrich(lin.toDS(), ttl = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("locf_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lin.addData(Streams.ObsEvent(1L, 1L, 100L, Some(5.0)))
+      awaitTtl("observation emitted with its own carry") {
+        spark.table("locf_ttl_out").count() == 1L
+      }
+      Thread.sleep(1200)
+      lin.addData(Streams.ObsEvent(1L, 2L, 200L, None))
+      awaitTtl("post-expiry event emitted") {
+        spark.table("locf_ttl_out").count() == 2L
+      }
+    } finally lq.stop()
+    val carries = spark.table("locf_ttl_out")
+      .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+    assert(carries(1L) == Some(5.0), carries.toString)
+    assert(carries(2L) == None,
+      s"expired key must forget its carry (None, not stale 5.0): $carries")
+    // transitions: after the lease lapses, the next event starts a fresh
+    // chain — NO pair with the stale predecessor
+    val tin = MemoryStream[Streams.TypedEvent]
+    val tq = Streams.transitionsStateful(tin.toDS(), ttl = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("trans_ttl_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      tin.addData(Streams.TypedEvent(1L, 1L, 100L, "login"))
+      awaitTtl("marker armed (no pair yet)") {
+        Option(tq.lastProgress).exists(_.stateOperators.headOption.exists(_.numRowsTotal == 1L))
+      }
+      awaitTtl("idle marker expires") {
+        Option(tq.lastProgress).exists(_.stateOperators.headOption.exists(_.numRowsTotal == 0L))
+      }
+      tin.addData(Streams.TypedEvent(1L, 2L, 200L, "view"))
+      awaitTtl("fresh chain opens") {
+        Option(tq.lastProgress).exists(_.stateOperators.headOption.exists(_.numRowsTotal == 1L))
+      }
+    } finally tq.stop()
+    assert(spark.table("trans_ttl_out").isEmpty,
+      "post-expiry event must not pair with the stale predecessor")
+  }
+
   test("streaming content dedup: custom fingerprint expression inside a watermarked stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
