@@ -358,6 +358,51 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("latestStateTws: RocksDB state survives a checkpointed restart — restored state suppresses stale rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = Files.createTempDirectory("tws_ckpt").toString
+      val out = Files.createTempDirectory("tws_ckpt_sink").toString
+      val in = MemoryStream[Streams.ObsEvent]
+      // foreachBatch → append parquet: a RECOVERABLE sink (the memory
+      // sink refuses checkpoint restart), accumulating every emission
+      def start() = Streams.latestStateTws(in.toDS()).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      def sink(): Seq[Streams.KeyLatest] =
+        try spark.read.parquet(out).as[Streams.KeyLatest].collect().toSeq
+        catch { case _: Throwable => Seq.empty }
+      val q1 = start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 100L, Some(1.0)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(sink() == Seq(Streams.KeyLatest(1L, 100L, 10L, Some(1.0))))
+      // restart from the same checkpoint
+      val q2 = start()
+      try {
+        // a LATE row is suppressed ONLY if the pre-restart winner
+        // (ts 100) was restored from the RocksDB checkpoint
+        in.addData(Streams.ObsEvent(1L, 9L, 50L, None))
+        q2.processAllAvailable()
+        assert(sink().size == 1,
+          "restored state must suppress the stale row across restart")
+        // and a genuinely newer row still advances it
+        in.addData(Streams.ObsEvent(1L, 12L, 300L, Some(3.0)))
+        q2.processAllAvailable()
+        val ems = sink().sortBy(_.ts)
+        assert(ems == Seq(
+          Streams.KeyLatest(1L, 100L, 10L, Some(1.0)),
+          Streams.KeyLatest(1L, 300L, 12L, Some(3.0))), ems.toString)
+      } finally q2.stop()
+    }
+  }
+
   test("neardupCandidatesTws: ListState buckets pair across and within batches, exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
