@@ -2909,6 +2909,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // stream_neardup on the transformWithState tier (round 13):
+    // ListState bucket membership on the RocksDB provider, same
+    // candidate semantics run-to-completion — so the whole TWS path
+    // (list append, RocksDB store, provider scoping) hash-matches the
+    // SAME all-pairs exact-jaccard oracle as the legacy gate.
+    "stream_neardup_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val cands = Streams.neardupCandidatesTws(docsStream(s, dir), "doc_id", "text", n = 3)
+      val name = "stream_neardup_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      val sunk = Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(cands.toDF(), name, statePartitions = Some(8))
+      }
+      val signed = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.shingle_hash_set(col("text"), 3).as("__shingles"))
+      Dedup.verifyJaccard(sunk.distinct(), signed, "doc_id", "__shingles")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §7.6 — fourth streaming gate: stream-static join. The incoming
     // document stream is flagged against the STATIC history split —
     // stateless on the stream side, deterministic run-to-completion, so
@@ -3020,6 +3040,29 @@ object SparkEntry {
       Streams.runToMemory(Streams.latestState(ev).toDF(), name,
           org.apache.spark.sql.streaming.OutputMode.Update(),
           statePartitions = Some(8))
+        .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+          col("value"))
+        .orderBy("user_id")
+    }),
+
+    // stream_cdc on the transformWithState tier (round 13): the same
+    // latest-wins upsert held in a typed ValueState on RocksDB —
+    // identical single-batch answer, so the legacy gate's rank oracle
+    // verifies the whole new-API path end to end.
+    "stream_cdc_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[Streams.ObsEvent]
+      val name = "stream_cdc_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(Streams.latestStateTws(ev).toDF(), name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8))
+      }
         .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
           col("value"))
         .orderBy("user_id")
@@ -3496,6 +3539,28 @@ object SparkEntry {
       val name = "stream_episodes_" + java.lang.Long.toHexString(System.nanoTime())
       Streams.runToMemory(Streams.episodeState(iv, gap = 2L).toDF(), name,
           statePartitions = Some(8))
+        .orderBy("user_id", "mstart")
+    }),
+
+    // stream_episodes on the transformWithState tier (round 13): same
+    // fold in a ValueState on RocksDB, timer machinery dormant (no
+    // idleFlush) — Append emits exactly the legacy gate's closed
+    // episodes, so the merge-minus-trailing oracle verifies the path.
+    "stream_episodes_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val durH = lit(1L) + (abs(floor(col("value"))).cast("long") % lit(6L))
+      val sH = expr("ts DIV 3600000000")
+      val iv = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), sH.as("ivs"), (sH + durH).as("ive"))
+        .as[Streams.IntervalRow]
+      val name = "stream_episodes_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(Streams.episodeStateTws(iv, gap = 2L).toDF(), name,
+          statePartitions = Some(8))
+      }
         .orderBy("user_id", "mstart")
     }),
 
@@ -4830,7 +4895,18 @@ object SparkEntry {
       "  FROM (SELECT *, row_number() OVER () AS __rid FROM (\n" +
       frag + "\n))) ON COLUMNS(*) INTO NAME n VALUE v)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlMain
+    base ++ Map(
+      // the transformWithState gates answer the SAME question as their
+      // legacy twins on a different state backend (round 13) — one
+      // oracle body each, aliased rather than duplicated
+      "stream_cdc_tws" -> base("stream_cdc"),
+      "stream_neardup_tws" -> base("stream_neardup"),
+      "stream_episodes_tws" -> base("stream_episodes"))
+  }
+
+  private def oracleSqlMain: Map[String, String] = Map(
 
     "fhir_tables" ->
       (Seq(

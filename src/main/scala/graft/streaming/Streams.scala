@@ -774,6 +774,26 @@ object Streams {
     }
   }
 
+  /** Scope the RocksDB state-store provider (required by every
+    * `transformWithState` op) to `body`, restoring the session's prior
+    * provider after — so a mixed pipeline can run legacy
+    * flatMapGroupsWithState streams on the default provider and TWS
+    * streams on RocksDB from one session. The conf is read at QUERY
+    * START, so wrap the `start()` call (runToMemory / writeStream),
+    * not the transform construction.
+    */
+  def withRocksDbProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).
