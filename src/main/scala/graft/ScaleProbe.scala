@@ -1069,6 +1069,46 @@ object ScaleProbe {
           "stratum", "expd", "value"))
     }
 
+    // round-13 streaming-state probe: state-store WRITE throughput per
+    // provider on the same op and data — the measurement behind
+    // SCALING.md's provider guidance. Two batches per run: nKeys
+    // inserts (state creation) then nKeys updates (state rewrite);
+    // legacy latestState runs the default HDFS-backed store,
+    // latestStateTws the required RocksDB store. Key axis capped at
+    // 16× (160k keys) — enough to expose any superlinear store
+    // behavior without a multi-minute probe.
+    if (familyOn("probe13t")) Seq(1, math.min(k, 16)).foreach { times =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.Streams
+      val nKeys = 10000 * times
+      def drain(tws: Boolean): Double = {
+        val in = MemoryStream[Streams.ObsEvent]
+        val ds = in.toDS()
+        val out = (if (tws) Streams.latestStateTws(ds) else Streams.latestState(ds)).toDF()
+        def body(): Double = {
+          val q = out.writeStream.format("noop")
+            .outputMode("update").start()
+          try {
+            val t0 = System.nanoTime()
+            in.addData((0 until nKeys).map(i =>
+              Streams.ObsEvent(i.toLong, i.toLong, 100L, Some(1.0))))
+            q.processAllAvailable()
+            in.addData((0 until nKeys).map(i =>
+              Streams.ObsEvent(i.toLong, (nKeys + i).toLong, 200L, Some(2.0))))
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          } finally q.stop()
+        }
+        if (tws) Streams.withRocksDbProvider(spark)(body()) else body()
+      }
+      val h = drain(tws = false)
+      val r = drain(tws = true)
+      println(f"probe13t:latestState[hdfs]   ${h}%7.2f s  rows=$nKeys")
+      println(f"probe13t:latestStateTws[rocks]${r}%7.2f s  rows=$nKeys")
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
