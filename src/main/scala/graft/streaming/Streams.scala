@@ -496,8 +496,11 @@ object Streams {
     *
     * Session requirement: `spark.sql.streaming.stateStore.providerClass`
     * = `org.apache.spark.sql.execution.streaming.state
-    * .RocksDBStateStoreProvider` — transformWithState refuses the
-    * HDFS-backed provider by design.
+    * .RocksDBStateStoreProvider` — on the HDFS-backed provider the
+    * query fails at its first batch with UNSUPPORTED_FEATURE.
+    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES (transformWithState stores
+    * each state variable in its own column family, which only RocksDB
+    * supports). Scope it with [[withRocksDbProvider]].
     */
   def latestStateTws(events: Dataset[ObsEvent],
       ttl: Option[java.time.Duration] = None): Dataset[KeyLatest] = {

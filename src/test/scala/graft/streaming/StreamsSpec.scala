@@ -304,6 +304,34 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sharp edges: wrong-provider refusal is actionable; provider scope restores on exception") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // on the DEFAULT (HDFS-backed) provider the query must refuse with
+    // the incompatible provider NAMED (UNSUPPORTED_FEATURE.STATE_STORE_
+    // MULTIPLE_COLUMN_FAMILIES names HDFSBackedStateStoreProvider) —
+    // not fail obscurely mid-batch
+    val in = MemoryStream[Streams.ObsEvent]
+    val e = intercept[Exception] {
+      val q = Streams.latestStateTws(in.toDS()).toDF()
+        .writeStream.format("noop").outputMode(OutputMode.Update()).start()
+      try { in.addData(Streams.ObsEvent(1L, 1L, 1L, None)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    assert(e.getMessage.contains("HDFSBackedStateStoreProvider"),
+      s"refusal must name the incompatible provider: ${e.getMessage.take(300)}")
+    // the scoping helper must restore the session provider even when
+    // the body throws (a failed gate must not leak RocksDB onto
+    // subsequent legacy streams)
+    val prior = spark.conf.getOption(key)
+    intercept[RuntimeException] {
+      Streams.withRocksDbProvider(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.getOption(key) == prior,
+      "provider conf must be restored after an exception")
+  }
+
   test("latestStateTws: transformWithState CDC on RocksDB — upserts and late-row no-churn match the legacy op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
