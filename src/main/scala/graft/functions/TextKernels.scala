@@ -12,9 +12,12 @@ package graft.functions
   * kernel is a pure deterministic function of its input string, so the
   * operators stay shuffle-free narrow projections and scale linearly.
   *
-  * Hashing: FNV-1a 64 over UTF-8 bytes finalized with SplitMix64, and the
-  * i-th MinHash permutation derives from the base hash with one SplitMix64
-  * round per i — standard "hash once, permute cheaply" MinHash practice.
+  * Hashing: FNV-1a 64 over UTF-16 code units (both bytes of each char —
+  * see [[hashRange]]; NOT UTF-8: encoding would cost an allocation per
+  * token for identical determinism/uniformity after the final mix),
+  * finalized with SplitMix64, and the i-th MinHash permutation derives
+  * from the base hash with one SplitMix64 round per i — standard "hash
+  * once, permute cheaply" MinHash practice.
   */
 object TextKernels {
 
@@ -31,7 +34,9 @@ object TextKernels {
     z ^ (z >>> 31)
   }
 
-  /** FNV-1a 64 over the UTF-8 bytes of `s[from, until)`, SplitMix64-mixed. */
+  /** FNV-1a 64 over the UTF-16 code units of `s[from, until)` (low byte
+    * then high byte of each char), SplitMix64-mixed.
+    */
   def hashRange(s: String, from: Int, until: Int): Long = {
     var h = FnvOffset
     var i = from

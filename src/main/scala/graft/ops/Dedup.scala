@@ -797,11 +797,30 @@ object Dedup {
     * Strip boilerplate upstream (the [[winnowOverlapPairs]] note) or
     * raise the cap deliberately. The df window rides the same `__sh`
     * hash partitioning the index join shuffles on anyway.
+    *
+    * BREAKING CHANGE (round 13): `maxShingleDf` defaults to 100000 and
+    * the guard is ON by default — a corpus with one hotter shingle that
+    * previously ran (slowly) now raise_errors unless the cap is raised
+    * or `dropOverDfShingles` is set. Deliberate: an unguarded hot
+    * shingle at 100 TB is a job-killing task, not a slow one.
+    *
+    * `dropOverDfShingles` is the report-and-continue alternative (the
+    * ccnet move, matching how `blocklist_filter`/`quality_filter`
+    * report rather than abort): over-cap shingles are DROPPED from the
+    * inverted index instead of raising, and the number of dropped
+    * (shingle, doc) index rows is published as the observed metric
+    * `ngram_containment_df_guard.n_dropped_shingle_rows`
+    * (`Dataset.observe` — read it via `Observation`/
+    * `QueryExecutionListener`). Semantics under drop: a pair whose ONLY
+    * shared shingles were boilerplate is no longer emitted — dropping
+    * df-saturated shingles removes (near-)zero-information evidence,
+    * the standard production trade for web corpora.
     */
   def ngramContainmentPairs(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Long = 100000L): DataFrame = {
+      maxShingleDf: Long = 100000L,
+      dropOverDfShingles: Boolean = false): DataFrame = {
     require(threshold > 0d && threshold <= 1d,
       s"threshold must be in (0, 1]: $threshold")
     require(maxShingleDf >= 1, s"maxShingleDf must be positive: $maxShingleDf")
@@ -821,19 +840,31 @@ object Dedup {
     // count(); shingle sets are sets, so per-shingle row count IS
     // document frequency
     val wsh = Window.partitionBy(col("__sh"))
-    val full = sets.select(
+    val indexed = sets.select(
       col(idCol).as("__id"), sz.as("__sz"),
       explode(col("__shingles")).as("__sh"))
       .withColumn("__df", count(lit(1)).over(wsh))
-      .select(col("__id"), col("__sz"),
+    val full =
+      if (dropOverDfShingles)
+        // soft mode: boilerplate shingles leave the index (their rows are
+        // evidence-free fan-out), the drop count is published as an
+        // observed metric, and the job continues
+        indexed
+          .observe("ngram_containment_df_guard",
+            sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
+              .as("n_dropped_shingle_rows"))
+          .filter(col("__df") <= maxShingleDf)
+          .select(col("__id"), col("__sz"), col("__sh"))
+      else indexed.select(col("__id"), col("__sz"),
         when(col("__df") > maxShingleDf,
           raise_error(concat(
             lit("ngramContainmentPairs: shingle "), col("__sh").cast("string"),
             lit(" occurs in "), col("__df").cast("string"),
             lit(s" documents (> maxShingleDf=$maxShingleDf) — a corpus-wide" +
               " boilerplate shingle would fan df_prefix × df candidate" +
-              " pairs from few tasks; strip boilerplate upstream or raise" +
-              " the cap deliberately"))))
+              " pairs from few tasks; strip boilerplate upstream, raise" +
+              " the cap deliberately, or set dropOverDfShingles=true to" +
+              " drop-and-report instead"))))
           .otherwise(col("__sh")).as("__sh"))
     // the prefix condition holds on the smaller (or equal) side only
     val cands = prefix.as("l").join(full.as("r"),

@@ -216,9 +216,11 @@ object Sinks {
     *
     * Contracts (checked where checkable):
     *  - `partitionColumn` must be an INTEGRAL SQL type (the stride API is
-    *    long-based); the probe verifies the result-set type up front and
-    *    fails with the offending type name rather than silently
-    *    truncating a date/decimal key at `getLong`.
+    *    long-based) — including NUMERIC/DECIMAL at scale 0, the shape
+    *    Oracle (NUMBER) and DB2 report integer surrogate keys as; the
+    *    probe verifies the result-set type up front and fails with the
+    *    offending type name rather than silently truncating a
+    *    date/fractional-decimal key at `getLong`.
     *  - `partitionColumn` is quoted through the url's [[JdbcDialect]]
     *    (`quoteIdentifier`: double quotes ANSI, backticks MySQL — the
     *    same resolution Spark's own JDBC source uses), so mixed-case
@@ -250,11 +252,21 @@ object Sinks {
           try {
             val integral = Set(java.sql.Types.TINYINT, java.sql.Types.SMALLINT,
               java.sql.Types.INTEGER, java.sql.Types.BIGINT)
-            val sqlType = rs.getMetaData.getColumnType(1)
-            require(integral.contains(sqlType),
-              s"partitionColumn $partitionColumn must be an integral type; " +
-                s"probe returned ${rs.getMetaData.getColumnTypeName(1)} " +
-                s"(java.sql.Types $sqlType)")
+            val md = rs.getMetaData
+            val sqlType = md.getColumnType(1)
+            // NUMERIC/DECIMAL at scale 0 is how Oracle (NUMBER) and DB2
+            // report integer surrogate keys — getLong reads them without
+            // truncation, so they are integral for striding purposes; the
+            // fail-fast stays for genuinely fractional scales and for
+            // date/char types
+            val exactScale0 =
+              (sqlType == java.sql.Types.NUMERIC || sqlType == java.sql.Types.DECIMAL) &&
+                md.getScale(1) == 0
+            require(integral.contains(sqlType) || exactScale0,
+              s"partitionColumn $partitionColumn must be an integral type " +
+                s"(or NUMERIC/DECIMAL at scale 0); " +
+                s"probe returned ${md.getColumnTypeName(1)} " +
+                s"(java.sql.Types $sqlType, scale ${md.getScale(1)})")
             rs.next()
             val lo = rs.getLong(1); val loNull = rs.wasNull()
             val hi = rs.getLong(2); val hiNull = rs.wasNull()

@@ -218,25 +218,35 @@ object Streams {
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_event_id: Long)
 
-  /** Custom per-key running state (`mapGroupsWithState`): running event
-    * count / value sum / high-water-mark per user, emitted on every
+  /** Custom per-key running state (`flatMapGroupsWithState`): running
+    * event count / value sum / high-water-mark per user, emitted on every
     * update. The custom-state escape hatch for semantics windowed aggs
     * can't express (the state is a single small struct per key —
     * state-store size = #distinct users).
+    * `ttl` ([[timeoutConf]] — the same lease every stateful op here
+    * takes): a user idle past the lease forgets its running totals — the
+    * next event after a long silence counts from zero, and dead users
+    * stop pinning state on an unbounded-user ingest.
     */
-  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+  def runningUserStats(events: Dataset[UserEvent],
+      ttl: Option[String] = None): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, timeoutConf(ttl)) {
         (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Long.MinValue))
-          val next = rows.foldLeft(prev) { (acc, e) =>
-            UserStats(userId, acc.n_events + 1, acc.sum_value + e.value,
-              math.max(acc.max_event_id, e.event_id))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Long.MinValue))
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              UserStats(userId, acc.n_events + 1, acc.sum_value + e.value,
+                math.max(acc.max_event_id, e.event_id))
+            }
+            state.update(next)
+            ttl.foreach(state.setTimeoutDuration) // lease renewed on traffic
+            Iterator.single(next)
           }
-          state.update(next)
-          next
       }
   }
 
@@ -311,7 +321,11 @@ object Streams {
               ObsCarry(userId, e.event_id, e.ts, e.value, carry)
             }
             carry.foreach(state.update)
-            ttl.foreach(state.setTimeoutDuration) // lease renewed on traffic
+            // lease renewed on traffic — but only when state EXISTS: an
+            // all-null batch with no prior carry would otherwise persist
+            // an empty state row carrying nothing but a timeout ("state
+            // lives only while there is something to remember")
+            if (state.exists) ttl.foreach(state.setTimeoutDuration)
             out.iterator
           }
       }
@@ -450,14 +464,46 @@ object Streams {
     * LATER-arriving stale row for an evicted key re-enters as a fresh
     * winner (the monotone no-regress guarantee holds per lease, the
     * standard TTL trade).
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`) is the
+    * REPLAY-CORRECT lease: eviction follows the DATA's clock, not the
+    * wall clock. A watermark is attached over `ts` (epoch-MICROS, the
+    * engine's canonical event-time shape) with `watermarkDelay`
+    * lateness tolerance, and a key expires when the watermark passes
+    * its latest event time + `eventTimeTtl` — so replaying a month of
+    * historical backlog in minutes evicts exactly the keys that went
+    * quiet for a month of EVENT time (a processing-time lease would
+    * evict almost nothing on a fast replay, and conversely would evict
+    * live keys mid-stream on a slow one). Live ingest works too (the
+    * watermark tracks arriving data); what event-time leases can NOT do
+    * is evict while the whole stream is silent — the watermark only
+    * advances with data, which is the one case the processing-time
+    * lease covers better. Note Spark's EventTimeTimeout contract: input
+    * rows older than the current watermark are dropped before reaching
+    * the operator (late-data filtering), so `watermarkDelay` bounds how
+    * stale a re-entering row can be.
     */
   def latestState(events: Dataset[ObsEvent],
-      ttl: Option[String] = None): Dataset[KeyLatest] = {
+      ttl: Option[String] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[KeyLatest] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    events
+    val src: Dataset[ObsEvent] =
+      if (eventTimeTtl.isDefined)
+        events.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ts")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[ObsEvent]
+      else events
+    val conf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else timeoutConf(ttl)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[KeyLatest, KeyLatest](
-        OutputMode.Update(), timeoutConf(ttl)) {
+        OutputMode.Update(), conf) {
         (uid: Long, rows: Iterator[ObsEvent], state: GroupState[KeyLatest]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -466,6 +512,15 @@ object Streams {
               rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
               .maxBy(k => (k.ts, k.event_id))
             ttl.foreach(state.setTimeoutDuration) // any traffic renews the lease
+            eventTimeTtl.foreach { d =>
+              // the lease rides the data's clock: expire when the
+              // watermark passes the key's latest EVENT time + ttl
+              // (clamped just above the current watermark — Spark
+              // requires a timeout strictly ahead of it)
+              state.setTimeoutTimestamp(math.max(
+                best.ts / 1000L + d.toMillis,
+                state.getCurrentWatermarkMs() + 1))
+            }
             if (prev.contains(best)) Iterator.empty // all-late batch: no churn
             else { state.update(best); Iterator.single(best) }
           }
@@ -501,23 +556,51 @@ object Streams {
     * STATE_STORE_MULTIPLE_COLUMN_FAMILIES (transformWithState stores
     * each state variable in its own column family, which only RocksDB
     * supports). Scope it with [[withRocksDbProvider]].
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`) is the
+    * replay-correct lease on this tier: `TimeMode.EventTime` with a
+    * real per-key EVENT-TIME timer re-armed to the key's latest event
+    * time + ttl on every update — when the watermark (attached over
+    * `ts` epoch-micros with `watermarkDelay` tolerance) passes it, the
+    * timer fires and the key's state is cleared. Same
+    * data-clock-vs-wall-clock trade as [[latestState]]'s eventTimeTtl
+    * (and the same caveat: a totally silent stream never advances the
+    * watermark, so nothing expires until data flows again).
     */
   def latestStateTws(events: Dataset[ObsEvent],
-      ttl: Option[java.time.Duration] = None): Dataset[KeyLatest] = {
+      ttl: Option[java.time.Duration] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[KeyLatest] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    events.groupByKey(_.user_id)
+    val src: Dataset[ObsEvent] =
+      if (eventTimeTtl.isDefined)
+        events.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ts")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[ObsEvent]
+      else events
+    src.groupByKey(_.user_id)
       .transformWithState(
-        new LatestStateProcessor(ttl),
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        new LatestStateProcessor(ttl, eventTimeTtl),
+        if (eventTimeTtl.isDefined) TimeMode.EventTime()
+        else if (ttl.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
         OutputMode.Update())
   }
 
   /** Processor backing [[latestStateTws]]: one [[KeyLatest]] value per
     * key, updated only when the (ts, event_id) winner actually changes
     * (the churn-free upsert-feed contract of the legacy op, verbatim).
+    * With `eventTtl`, an event-time flush timer is re-armed per update;
+    * firing clears the key's state (CDC eviction emits nothing — the
+    * sink already holds every winner).
     */
-  private[streaming] class LatestStateProcessor(ttl: Option[java.time.Duration])
+  private[streaming] class LatestStateProcessor(
+      ttl: Option[java.time.Duration],
+      eventTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ObsEvent, KeyLatest] {
     @transient private var latest: org.apache.spark.sql.streaming.ValueState[KeyLatest] = _
     override def init(outputMode: OutputMode,
@@ -533,8 +616,22 @@ object Streams {
       val best = (prev.iterator ++
         rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
         .maxBy(k => (k.ts, k.event_id))
+      eventTtl.foreach { d =>
+        // re-arm the data-clock lease: at most one live timer per key
+        // (materialize before deleting — the EpisodeProcessor rule)
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.max(
+          best.ts / 1000L + d.toMillis,
+          timerValues.getCurrentWatermarkInMs() + 1))
+      }
       if (prev.contains(best)) Iterator.empty // all-late batch: no churn
       else { latest.update(best); Iterator.single(best) }
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[KeyLatest] = {
+      latest.clear() // eviction, not data: the sink holds every winner
+      Iterator.empty
     }
   }
 
@@ -759,10 +856,12 @@ object Streams {
         }
       open.foreach(cur.update)
       idleFlush.foreach { d =>
-        // re-arm: at most one live flush timer per key
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // re-arm: at most one live flush timer per key. Materialize the
+        // listing before deleting — mutating a state store while
+        // iterating it is provider-implementation-dependent behavior
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(
-          timerValues.getCurrentProcessingTimeInMs + d.toMillis)
+          timerValues.getCurrentProcessingTimeInMs() + d.toMillis)
       }
       out.iterator
     }

@@ -171,6 +171,33 @@ class DedupSpec extends SparkSpec {
       n = 3, threshold = 0.9, maxShingleDf = 6L).count() >= 0L)
   }
 
+  test("ngramContainmentPairs dropOverDfShingles: boilerplate dropped and reported, clean pairs survive") {
+    val boiler = "cookie consent banner text"
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrapper = s"intro line with framing words here : $body : " +
+      "closing boilerplate trailer sentence with extra words at the end"
+    // 6 docs share the boilerplate head (df=6 > cap) + one genuine
+    // embedded pair whose shared shingles are all under the cap
+    val docs = ((1L to 6L)
+      .map(i => (i, s"$boiler unique tail $i alpha$i beta$i gamma$i delta$i")) ++
+      Seq((10L, body), (11L, wrapper))).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8, maxShingleDf = 5L, dropOverDfShingles = true)
+    // soft mode: the same corpus that trips the fail-fast (previous
+    // test's shape) now RUNS, drops the boilerplate index rows, and
+    // still finds the genuine pair exactly
+    val rows = out.collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("id_a") == 10L &&
+      rows(0).getAs[Long]("id_b") == 11L &&
+      rows(0).getAs[Double]("containment") == 1.0, rows.mkString(";"))
+    // the dropped volume is REPORTED: the 6-doc common prefix "cookie
+    // consent banner text unique tail" yields 4 over-cap trigram
+    // shingles × 6 docs = 24 dropped index rows
+    val metric = out.queryExecution.observedMetrics("ngram_containment_df_guard")
+    assert(metric.getAs[Long]("n_dropped_shingle_rows") == 24L, metric.toString)
+  }
+
   test("triangleStats: hand-built graph — dups, reversals, and self-loops canonicalized") {
     // triangle 1-2-3, pendant 3-4, separate pair 5-6; edge 1-2 repeated
     // reversed, self-loop 7-7 dropped

@@ -101,6 +101,46 @@ class SinksSpec extends SparkSpec {
     assert(frag.getMessage.contains("fragment"), frag.getMessage)
   }
 
+  test("JDBC auto-bounds: DECIMAL scale-0 keys stride (the Oracle/DB2 surrogate-key shape); fractional scales still fail fast") {
+    val dir = Files.createTempDirectory("derby_db_dec")
+    val url = s"jdbc:derby:$dir/testdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    // hand DDL (not the Spark writer): the point is the exact column
+    // type Oracle (NUMBER) and DB2 report integer surrogates as —
+    // java.sql.Types.DECIMAL at scale 0
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE DEC_DOCS (K DECIMAL(10,0), F DECIMAL(10,2), NAME VARCHAR(64))")
+      st.close()
+      val ins = conn.prepareStatement("INSERT INTO DEC_DOCS VALUES (?, ?, ?)")
+      (1 to 20).foreach { i =>
+        ins.setLong(1, i.toLong)
+        ins.setBigDecimal(2, new java.math.BigDecimal(s"$i.50"))
+        ins.setString(3, s"doc-$i")
+        ins.executeUpdate()
+      }
+      ins.close()
+    } finally conn.close()
+    // scale-0 DECIMAL strides like any integral key — getLong reads it
+    // without truncation, so the up-front check must let it through
+    val auto = Sinks.readJdbcAutoBounds(spark, url, "DEC_DOCS", props,
+      "K", numPartitions = 3)
+    assert(auto.rdd.getNumPartitions == 3)
+    assert(auto.agg(org.apache.spark.sql.functions.sum($"K".cast("long")))
+      .as[Long].head() == 210L, "strides must cover every row exactly once")
+    // a genuinely FRACTIONAL decimal key keeps the fail-fast: striding
+    // it through getLong would silently truncate
+    val e = intercept[IllegalArgumentException] {
+      Sinks.readJdbcAutoBounds(spark, url, "DEC_DOCS", props,
+        "F", numPartitions = 2)
+    }
+    assert(e.getMessage.contains("scale"), e.getMessage)
+  }
+
   test("S7 FK-ordered multi-table read-back mirrors the load walk") {
     val dir = Files.createTempDirectory("derby_db_rb2")
     val url = s"jdbc:derby:$dir/testdb;create=true"

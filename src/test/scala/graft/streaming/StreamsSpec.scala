@@ -828,6 +828,154 @@ class StreamsSpec extends SparkSpec {
       s"cross-batch carry: $r2")
   }
 
+  test("runningUserStats TTL: an idle user's totals expire — the next event counts from zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.UserEvent]
+    val q = Streams.runningUserStats(in.toDS(), ttl = Some("500 milliseconds"))
+      .toDF().writeStream.format("memory").queryName("stats_ttl_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.UserEvent(1L, 10L, 2.0), Streams.UserEvent(1L, 11L, 3.0))
+      awaitTtl("running totals emitted") {
+        spark.table("stats_ttl_out").count() == 1L
+      }
+      // idle past the lease: the totals are forgotten (state count drops)
+      awaitTtl("idle user's state expires") { stateRows(q) == 0L }
+      // the next event counts from ZERO — under NoTimeout it would
+      // accumulate to n_events=3 / sum=10.0
+      in.addData(Streams.UserEvent(1L, 12L, 5.0))
+      awaitTtl("post-expiry event starts a fresh accumulation") {
+        spark.table("stats_ttl_out").count() == 2L
+      }
+    } finally q.stop()
+    val ems = spark.table("stats_ttl_out").as[Streams.UserStats].collect().toSeq
+    assert(ems.contains(Streams.UserStats(1L, 2L, 5.0, 11L)), ems.toString)
+    assert(ems.contains(Streams.UserStats(1L, 1L, 5.0, 12L)),
+      s"fresh accumulation must start from zero: $ems")
+  }
+
+  test("locfEnrich TTL: an all-null batch with no prior carry leaves NO state row behind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    // lease long enough that eviction can never explain an absent row —
+    // absence proves the lease was never armed for the carry-less key
+    val q = Streams.locfEnrich(in.toDS(), ttl = Some("10 minutes")).toDF()
+      .writeStream.format("memory").queryName("locf_nostate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 100L, None))
+      awaitTtl("the null observation is emitted (carried = none)") {
+        spark.table("locf_nostate_out").count() == 1L
+      }
+      // no carry was ever stored: the key must NOT hold an empty state
+      // row that exists only to carry a timeout ("state lives only while
+      // there is something to remember")
+      awaitTtl("no state row for the carry-less key") { stateRows(q) == 0L }
+      // ... while a real observation DOES store (and lease) the carry
+      in.addData(Streams.ObsEvent(1L, 11L, 200L, Some(7.0)))
+      awaitTtl("a non-null value stores the carry") { stateRows(q) == 1L }
+    } finally q.stop()
+    val ems = spark.table("locf_nostate_out").as[Streams.ObsCarry].collect().toSeq
+    assert(ems.map(_.carried).toSet == Set(None, Some(7.0)), ems.toString)
+  }
+
+  test("latestState eventTimeTtl: watermark advance evicts a quiet key with ZERO wall-clock wait") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    // lease = 10 s of EVENT time; ts is epoch-micros
+    val q = Streams.latestState(in.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(10))).toDF()
+      .writeStream.format("memory").queryName("cdc_ett_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // 10 s
+      q.processAllAvailable()
+      awaitTtl("key 1 held in state") { stateRows(q) == 1L }
+      // ONE batch 40 s of event time later: the watermark jumps past
+      // key 1's 20 s lease and the very next timeout sweep evicts it —
+      // no wall-clock sleep anywhere in this test (the data's clock,
+      // not the machine's, is what expired the key)
+      in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0))) // 50 s
+      q.processAllAvailable()
+      awaitTtl("watermark advance evicted key 1 (key 2 stays)") {
+        stateRows(q) == 1L && spark.table("cdc_ett_out").count() == 2L
+      }
+    } finally q.stop()
+    val ems = spark.table("cdc_ett_out").as[Streams.KeyLatest].collect().toSeq
+    assert(ems.map(_.user_id).sorted == Seq(1L, 2L), ems.toString)
+  }
+
+  test("latestState eventTimeTtl: a fast wall-clock replay does NOT evict keys live in event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    // 100 s event-time lease, 60 s lateness tolerance (so a stale probe
+    // row stays above the watermark)
+    val q = Streams.latestState(in.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(100)),
+      watermarkDelay = "60 seconds").toDF()
+      .writeStream.format("memory").queryName("cdc_ett_live_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 200_000_000L, Some(1.0))) // 200 s
+      q.processAllAvailable()
+      // replay a burst of batches back-to-back — seconds of wall clock,
+      // but the event times stay inside key 1's 300 s lease (watermark
+      // tops out at 203 − 60 = 143 s). A processing-time lease of the
+      // same magnitude would treat this replay as "no time passed at
+      // all"; the event-time lease must agree here and disagree only
+      // when the DATA goes quiet (previous test).
+      for (i <- 1 to 3) {
+        in.addData(Streams.ObsEvent(2L, 20L + i, (200L + i) * 1_000_000L, Some(2.0)))
+        q.processAllAvailable()
+      }
+      awaitTtl("both keys live after the replay burst") { stateRows(q) == 2L }
+      // direct evidence key 1's state survived: a STALE row (180 s —
+      // above the 143 s watermark, below key 1's 200 s winner) is
+      // SUPPRESSED, which only a live state row can do
+      in.addData(Streams.ObsEvent(1L, 9L, 180_000_000L, Some(0.5)))
+      q.processAllAvailable()
+      // 1 emission for key 1 + 3 for key 2, and none for the stale row
+      assert(spark.table("cdc_ett_live_out").count() == 4L)
+    } finally q.stop()
+    val ems = spark.table("cdc_ett_live_out").as[Streams.KeyLatest].collect().toSeq
+    assert(ems.count(_.user_id == 1L) == 1 && ems.count(_.user_id == 2L) == 3,
+      ems.toString)
+    assert(!ems.exists(_.ts == 180_000_000L), "stale row must be suppressed")
+  }
+
+  test("latestStateTws eventTimeTtl: event-time timers clear state on watermark advance (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.latestStateTws(in.toDS(),
+        eventTimeTtl = Some(java.time.Duration.ofSeconds(10))).toDF()
+        .writeStream.format("memory").queryName("tws_ett_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // 10 s
+        q.processAllAvailable()
+        awaitTtl("key 1 emitted and held") {
+          spark.table("tws_ett_out").count() == 1L
+        }
+        // the 50 s batch advances the watermark past key 1's 20 s timer:
+        // the timer fires on the data's clock — zero wall-clock wait —
+        // and clears key 1's value (eviction emits nothing: CDC contract)
+        in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0)))
+        q.processAllAvailable()
+        awaitTtl("key 2 emitted") { spark.table("tws_ett_out").count() == 2L }
+        // state-count metric proves the clear: only key 2's value remains
+        awaitTtl("timer cleared key 1's value") { stateRows(q) == 1L }
+      } finally q.stop()
+      val ems = spark.table("tws_ett_out").as[Streams.KeyLatest].collect().toSeq
+      assert(ems.map(_.user_id).sorted == Seq(1L, 2L), ems.toString)
+    }
+  }
+
   test("episodeState: closed episodes emit, the trailing open episode stays in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
