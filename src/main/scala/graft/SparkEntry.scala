@@ -188,6 +188,11 @@ object SparkEntry {
   // csv/jsonl/orc scratch dirs
   private def jdbcScratchUrl(dir: String): String =
     s"jdbc:derby:$jsonlScratchRoot/derby-${pathKey(dir)}/gatedb;create=true"
+  // session-catalog scratch database for the catalog_roundtrip gate: the
+  // metastore is per-JVM (in-memory catalog) and the table data lives
+  // under the per-JVM jsonlScratchRoot, so concurrent JVMs can't clobber;
+  // a plain identifier per registerAllCatalog's contract
+  private val CatalogGateDb = "graft_cat_rt"
 
   /** Deterministic structure enrichment shared by the jsonl/line/sentence
     * gates AND their oracles: the synthetic documents corpus is
@@ -1317,6 +1322,40 @@ object SparkEntry {
       graft.sinks.Sinks.readJdbcAutoBounds(s, url, "supplier_rt", props,
         "s_suppkey", numPartitions = 4)
         .orderBy("s_suppkey")
+    }),
+
+    // Catalog twin of jdbc_roundtrip (round 14): the six cleaned FHIR
+    // tables registered as EXTERNAL parquet tables in the session catalog
+    // (registerAllCatalog — FK parent-first walk, the same
+    // ReferenceDdl.coerceDates typing as the JDBC load, ANALYZE for CBO
+    // stats), then consumed BY NAME via a SQL FK-ordered join walk:
+    // patient LEFT JOIN encounter LEFT JOIN condition. The read-back
+    // must hash-equal the same joins over the DuckDB-re-derived cleaned
+    // tables: values survive the catalog/parquet layer exactly, the
+    // DATE-declared birthDate survives the coerceDates cast (compared
+    // as its ISO string), and the fixture encounter's NULL patient_id
+    // (the FK parity quirk) joins to nothing on BOTH sides — while the
+    // condition leg matches, so the gate is not vacuously empty.
+    // Lifts the catalog path from spec-only evidence to a first-class
+    // differential gate, like jdbc_roundtrip did for Derby.
+    "catalog_roundtrip" -> ((s, _) => {
+      val entries = graft.fhir.BundleReader
+        .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
+      val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+      graft.sinks.Sinks.registerAllCatalog(s, tables, CatalogGateDb,
+        jsonlScratchRoot + "/catalog-fhir", analyze = true)
+      s.sql(
+        s"""SELECT p.resource_id AS patient_resource_id,
+           |  cast(p.resource_birthDate AS string) AS birth_date,
+           |  p.full_name, p.resource_gender AS gender,
+           |  e.resource_id AS encounter_id,
+           |  c.resource_id AS condition_id,
+           |  c.condition_code,
+           |  c.resource_onsetDateTime AS onset
+           |FROM `$CatalogGateDb`.patient p
+           |LEFT JOIN `$CatalogGateDb`.encounter e ON e.patient_id = p.patient_id
+           |LEFT JOIN `$CatalogGateDb`.`condition` c ON c.patient_id = p.patient_id
+           |ORDER BY patient_resource_id""".stripMargin)
     }),
 
     // Audit/provenance read: the scan plus file-lineage (`_src_file`
@@ -5192,6 +5231,27 @@ object SparkEntry {
     "jdbc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // catalog twin: the register→SQL-by-name FK join must reproduce the
+    // same join over the DuckDB-re-derived cleaned tables (the two
+    // fhir_*_oracle bodies as subqueries — one shared derivation, so the
+    // compare pins the CATALOG layer, not the extractors again). The
+    // DATE-declared birthDate is compared as its 10-char ISO prefix: the
+    // engine side round-trips it through coerceDates' to_date and casts
+    // back to string
+    "catalog_roundtrip" ->
+      (s"""SELECT p.resource_id AS patient_resource_id,
+          |  substring(p."resource_birthDate", 1, 10) AS birth_date,
+          |  p.full_name, p.resource_gender AS gender,
+          |  e.resource_id AS encounter_id,
+          |  c.resource_id AS condition_id,
+          |  c.condition_code,
+          |  c."resource_onsetDateTime" AS onset
+          |""".stripMargin +
+        s"FROM ($fhirPatientOracleSql) p\n" +
+        s"LEFT JOIN ($fhirEncounterOracleSql) e ON e.patient_id = p.patient_id\n" +
+        s"LEFT JOIN ($fhirConditionOracleSql) c ON c.patient_id = p.patient_id\n" +
+        "ORDER BY patient_resource_id"),
 
     "provenance" ->
       s"""SELECT doc_id, regexp_extract(filename, '([^/]+)$$', 1) AS _src_file,

@@ -40,6 +40,9 @@ class PlanAuditSpec extends SparkSpec {
       // builder writes the supplier table into embedded Derby (JDBC DDL
       // + batch insert) before the stride read-back
       "jdbc_roundtrip",
+      // builder registers the six FHIR tables as external parquet tables
+      // (saveAsTable + ANALYZE) before the SQL-by-name read-back
+      "catalog_roundtrip",
       // builder iterates connected components (actions per round)
       "embed_clusters")
 
