@@ -3107,6 +3107,28 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stream_locf on the transformWithState tier (round 14): the carry
+    // in a typed ValueState on RocksDB — identical single-batch answer,
+    // so the legacy gate's IGNORE NULLS window oracle verifies the
+    // new-API carry path end to end.
+    "stream_locf_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast("double").as("value"))
+        .as[Streams.ObsEvent]
+      val name = "stream_locf_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(Streams.locfEnrichTws(ev).toDF(), name,
+          statePartitions = Some(8))
+      }
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"), col("carried"))
+        .orderBy("event_id")
+    }),
+
     "stream_seen" -> ((s, dir) => {
       import graft.streaming.Streams
       val src = docsStream(s, dir)
@@ -4254,6 +4276,32 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // stream_transitions on the transformWithState tier (round 14): the
+    // previous-event marker in a typed ValueState on RocksDB — identical
+    // single-batch answer, so the legacy gate's lag-window oracle
+    // verifies the new-API marker path end to end.
+    "stream_transitions_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[Streams.TypedEvent]
+      val name = "stream_transitions_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      val sink = Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(
+          Streams.transitionsStatefulTws(ev).toDF(), name, statePartitions = Some(8))
+      }
+      val wFrom = Window.partitionBy(col("from_type"))
+      sink.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from", sum(col("n")).over(wFrom))
+        .withColumn("p",
+          round(col("n").cast("double") / col("n_from").cast("double"), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Stride-interleaved mixture order: per-source mix60 shuffle, then
     // round-robin across sources via the distributed prefix-sum rank —
     // consecutive same-source runs bounded by the live-source count.
@@ -4942,7 +4990,10 @@ object SparkEntry {
       // oracle body each, aliased rather than duplicated
       "stream_cdc_tws" -> base("stream_cdc"),
       "stream_neardup_tws" -> base("stream_neardup"),
-      "stream_episodes_tws" -> base("stream_episodes"))
+      "stream_episodes_tws" -> base("stream_episodes"),
+      // round-14 twins completing the TWS tier
+      "stream_locf_tws" -> base("stream_locf"),
+      "stream_transitions_tws" -> base("stream_transitions"))
   }
 
   private def oracleSqlMain: Map[String, String] = Map(

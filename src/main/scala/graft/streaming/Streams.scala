@@ -800,6 +800,100 @@ object Streams {
     }
   }
 
+  /** [[locfEnrich]] on the arbitrary-state API: the per-key carry in a
+    * typed `ValueState[Double]` on the REQUIRED RocksDB provider, with
+    * native `TTLConfig` expiry replacing the hand-rolled lease. Same
+    * determinism contract as the legacy op (the (key, batch) group is
+    * sorted by `(ts, event_id)` before the carry folds). Value TTL is
+    * the structurally right expiry here: an expired carry simply READS
+    * AS ABSENT, so the next event after a long silence starts from
+    * "nothing observed" — exactly the legacy `ttl` semantics, with the
+    * store doing the bookkeeping. The carry is (re)written on every
+    * batch that has one, so traffic renews the TTL like the legacy
+    * lease; a carry-less key writes nothing (the "state lives only
+    * while there is something to remember" contract).
+    */
+  def locfEnrichTws(events: Dataset[ObsEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[ObsCarry] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new LocfProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Processor backing [[locfEnrichTws]]: one carry double per key. */
+  private[streaming] class LocfProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ObsEvent, ObsCarry] {
+    @transient private var carryState: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      carryState = getHandle.getValueState[Double]("carry",
+        org.apache.spark.sql.Encoders.scalaDouble, cfg)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[ObsEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ObsCarry] = {
+      var carry: Option[Double] =
+        if (carryState.exists()) Some(carryState.get()) else None
+      val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+        if (e.value.isDefined) carry = e.value
+        ObsCarry(uid, e.event_id, e.ts, e.value, carry)
+      }
+      carry.foreach(carryState.update) // rewrite renews the value TTL
+      out.iterator
+    }
+  }
+
+  /** [[transitionsStateful]] on the arbitrary-state API: the
+    * previous-event marker in a typed `ValueState` on RocksDB, native
+    * `TTLConfig` expiry. An expired marker reads as absent, so the
+    * first event after a long silence starts a fresh chain — the legacy
+    * `ttl` semantics, store-enforced. Same `(ts, event_id)` in-batch
+    * sort and cross-batch monotonicity contract as the legacy op.
+    */
+  def transitionsStatefulTws(events: Dataset[TypedEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionsProcessor(ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Processor backing [[transitionsStatefulTws]]: one (ts, event_id,
+    * type) marker per key.
+    */
+  private[streaming] class TransitionsProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Transition] {
+    @transient private var prevState:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      prevState = getHandle.getValueState[(Long, Long, String)]("prev",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)], cfg)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+      var prev: Option[(Long, Long, String)] =
+        if (prevState.exists()) Some(prevState.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        prev.foreach { case (_, _, fromType) =>
+          out += Transition(uid, fromType, e.event_type)
+        }
+        prev = Some((e.ts, e.event_id, e.event_type))
+      }
+      prev.foreach(prevState.update) // rewrite renews the value TTL
+      out.iterator
+    }
+  }
+
   /** [[episodeState]] on the arbitrary-state API, with the idle-key
     * flush driven by REAL per-key TIMERS (`registerTimer` /
     * `handleExpiredTimer`) instead of the legacy timeout lease: every

@@ -21,8 +21,9 @@ class PlanAuditSpec extends SparkSpec {
       "stream_asof", "stream_locf", "stream_fhir", "stream_join", "fhir_scale",
       "stream_drift", "stream_anomaly", "stream_topk", "stream_transitions",
       "stream_neardup", "stream_cdc",
-      // round-13 transformWithState twins (runToMemory on RocksDB)
+      // round-13/14 transformWithState twins (runToMemory on RocksDB)
       "stream_neardup_tws", "stream_cdc_tws", "stream_episodes_tws",
+      "stream_locf_tws", "stream_transitions_tws",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",

@@ -976,6 +976,79 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("locfEnrichTws: carry crosses batches on RocksDB, matching the legacy op; value TTL forgets it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.locfEnrichTws(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("locf_tws_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // same scrambled input as the legacy test: in-batch sort + carry
+        in.addData(
+          Streams.ObsEvent(1L, 3L, us(3), None),
+          Streams.ObsEvent(1L, 1L, us(1), Some(5.0)),
+          Streams.ObsEvent(1L, 2L, us(2), None),
+          Streams.ObsEvent(2L, 4L, us(1), None))
+        q.processAllAvailable()
+        in.addData(
+          Streams.ObsEvent(1L, 5L, us(10), None),
+          Streams.ObsEvent(2L, 6L, us(9), Some(7.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("locf_tws_out")
+        .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+      assert(rows == Map(
+        1L -> Some(5.0), 2L -> Some(5.0), 3L -> Some(5.0),
+        4L -> None, 5L -> Some(5.0), 6L -> Some(7.0)),
+        s"must match the legacy locfEnrich answer exactly: $rows")
+      // native value TTL: the carry expires after idle silence — the
+      // next event reads it as absent (honest "nothing observed")
+      val tin = MemoryStream[Streams.ObsEvent]
+      val tq = Streams.locfEnrichTws(tin.toDS(),
+        ttl = Some(java.time.Duration.ofMillis(500))).toDF()
+        .writeStream.format("memory").queryName("locf_tws_ttl_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        tin.addData(Streams.ObsEvent(1L, 1L, 100L, Some(5.0)))
+        awaitTtl("observation emitted with its own carry") {
+          spark.table("locf_tws_ttl_out").count() == 1L
+        }
+        Thread.sleep(1200)
+        tin.addData(Streams.ObsEvent(1L, 2L, 200L, None))
+        awaitTtl("post-expiry event emitted") {
+          spark.table("locf_tws_ttl_out").count() == 2L
+        }
+      } finally tq.stop()
+      val carries = spark.table("locf_tws_ttl_out")
+        .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+      assert(carries(1L) == Some(5.0) && carries(2L) == None,
+        s"expired carry must read as absent: $carries")
+    }
+  }
+
+  test("transitionsStatefulTws: previous-event marker crosses batches on RocksDB, matching the legacy op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[(Long, Long, Long, String)]
+      // same shape as the legacy test: scrambled batch 1, then carries
+      in.addData((1L, 101L, 20L, "b"), (1L, 100L, 10L, "a"), (2L, 200L, 5L, "x"))
+      val ds = in.toDF.toDF("user_id", "event_id", "ts", "event_type")
+        .as[Streams.TypedEvent]
+      val out1 = Streams.runToMemory(
+        Streams.transitionsStatefulTws(ds).toDF(), "trans_tws_out")
+      val r1 = out1.as[(Long, String, String)].collect().toSet
+      assert(r1 == Set((1L, "a", "b")), s"batch 1: $r1")
+      in.addData((1L, 102L, 30L, "c"), (2L, 201L, 9L, "y"))
+      Streams.runToMemory(Streams.transitionsStatefulTws(ds).toDF(), "trans_tws_out2")
+      val r2 = spark.table("trans_tws_out2").as[(Long, String, String)].collect().toSet
+      assert(r2.contains((1L, "b", "c")) && r2.contains((2L, "x", "y")),
+        s"cross-batch carry: $r2")
+    }
+  }
+
   test("episodeState: closed episodes emit, the trailing open episode stays in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
