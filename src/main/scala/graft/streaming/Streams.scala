@@ -401,14 +401,43 @@ object Streams {
     *
     * Scale shape: state = one 3-long struct per key with an open
     * episode — bounded by key cardinality, not event volume.
+    *
+    * `eventTimeIdleFlush` (mutually exclusive with `ttl`) is the
+    * REPLAY-CORRECT flush — event-time sessionization: a watermark is
+    * attached over `ive` (epoch-MICROS, the engine's canonical
+    * event-time shape) with `watermarkDelay` lateness tolerance, and
+    * the open episode flushes when the watermark passes its reach +
+    * the idle gap. Replaying a year of history in minutes flushes
+    * exactly the episodes whose keys went quiet in EVENT time — a
+    * wall-clock lease would flush nothing on a fast replay and flush
+    * live episodes mid-stream on a stalled one. Caveats shared with
+    * [[latestState]]'s eventTimeTtl: a totally silent stream never
+    * advances the watermark (nothing flushes until data flows), and
+    * Spark's EventTimeTimeout drops input rows older than the current
+    * watermark before they reach the operator, so `watermarkDelay`
+    * bounds how late an interval may arrive.
     */
   def episodeState(iv: Dataset[IntervalRow], gap: Long,
-      ttl: Option[String] = None): Dataset[Episode] = {
+      ttl: Option[String] = None,
+      eventTimeIdleFlush: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[Episode] = {
     require(gap >= 0, s"gap must be non-negative: $gap")
+    require(ttl.isEmpty || eventTimeIdleFlush.isEmpty,
+      "ttl (processing-time) and eventTimeIdleFlush (watermark-driven) are mutually exclusive")
     import iv.sparkSession.implicits._
-    iv.groupByKey(_.user_id)
+    val src: Dataset[IntervalRow] =
+      if (eventTimeIdleFlush.isDefined)
+        iv.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ive")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[IntervalRow]
+      else iv
+    val conf =
+      if (eventTimeIdleFlush.isDefined) GroupStateTimeout.EventTimeTimeout
+      else timeoutConf(ttl)
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), Episode](
-        OutputMode.Append, timeoutConf(ttl)) {
+        OutputMode.Append, conf) {
         (uid: Long, rows: Iterator[IntervalRow],
          state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) {
@@ -434,6 +463,20 @@ object Streams {
               }
             cur.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
+            eventTimeIdleFlush.foreach { d =>
+              // the flush lease rides the data's clock: fire when the
+              // watermark passes the open episode's reach + idle gap
+              // (clamped just above the current watermark — Spark
+              // requires a timeout strictly ahead of it). Arm only
+              // when an episode is actually open: an all-invalid batch
+              // with no prior state has nothing to flush (and Spark
+              // rejects a timeout on a key with no state value).
+              cur.foreach { case (_, me, _) =>
+                state.setTimeoutTimestamp(math.max(
+                  me / 1000L + d.toMillis,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            }
             out.iterator
           }
       }
@@ -904,15 +947,37 @@ object Streams {
     * OUTPUT (value TTL would silently drop the open episode — data
     * loss, not cleanup). No `idleFlush` → `TimeMode.None`, no timers,
     * exact legacy semantics.
+    *
+    * `eventTimeIdleFlush` (mutually exclusive with `idleFlush`) is the
+    * replay-correct form — event-time sessionization via
+    * `TimeMode.EventTime` per-key timers: each batch re-arms the key's
+    * flush timer to the open episode's reach + idle gap, and when the
+    * watermark (attached over `ive` epoch-micros with `watermarkDelay`
+    * tolerance) passes it, the timer fires and the episode is emitted.
+    * Same data-clock-vs-wall-clock trade as [[episodeState]]'s
+    * eventTimeIdleFlush.
     */
   def episodeStateTws(iv: Dataset[IntervalRow], gap: Long,
-      idleFlush: Option[java.time.Duration] = None): Dataset[Episode] = {
+      idleFlush: Option[java.time.Duration] = None,
+      eventTimeIdleFlush: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[Episode] = {
     require(gap >= 0, s"gap must be non-negative: $gap")
+    require(idleFlush.isEmpty || eventTimeIdleFlush.isEmpty,
+      "idleFlush (processing-time) and eventTimeIdleFlush (watermark-driven) are mutually exclusive")
     import iv.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    iv.groupByKey(_.user_id)
-      .transformWithState(new EpisodeProcessor(gap, idleFlush),
-        if (idleFlush.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+    val src: Dataset[IntervalRow] =
+      if (eventTimeIdleFlush.isDefined)
+        iv.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ive")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[IntervalRow]
+      else iv
+    src.groupByKey(_.user_id)
+      .transformWithState(new EpisodeProcessor(gap, idleFlush, eventTimeIdleFlush),
+        if (eventTimeIdleFlush.isDefined) TimeMode.EventTime()
+        else if (idleFlush.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
         OutputMode.Append())
   }
 
@@ -921,7 +986,8 @@ object Streams {
     * flushes it after `idleFlush` of silence.
     */
   private[streaming] class EpisodeProcessor(gap: Long,
-      idleFlush: Option[java.time.Duration])
+      idleFlush: Option[java.time.Duration],
+      eventIdleFlush: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, IntervalRow, Episode] {
     @transient private var cur: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode,
@@ -956,6 +1022,17 @@ object Streams {
         getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(
           timerValues.getCurrentProcessingTimeInMs() + d.toMillis)
+      }
+      eventIdleFlush.foreach { d =>
+        // the data-clock twin: flush when the watermark passes the open
+        // episode's reach + idle gap (clamped strictly ahead of the
+        // current watermark). Arm only when an episode is actually open.
+        open.foreach { case (_, me, _) =>
+          getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(math.max(
+            me / 1000L + d.toMillis,
+            timerValues.getCurrentWatermarkInMs() + 1))
+        }
       }
       out.iterator
     }

@@ -976,6 +976,68 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("episodeState eventTimeIdleFlush: watermark advance flushes the open episode, zero wall-clock wait") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.IntervalRow]
+    // idle gap = 10 s of EVENT time; ivs/ive are epoch-micros
+    val q = Streams.episodeState(in.toDS(), gap = 2_000_000L,
+      eventTimeIdleFlush = Some(java.time.Duration.ofSeconds(10))).toDF()
+      .writeStream.format("memory").queryName("ep_ett_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.IntervalRow(1L, 0L, 10_000_000L)) // reach 10 s
+      q.processAllAvailable()
+      awaitTtl("open episode held, nothing emitted") {
+        stateRows(q) == 1L && spark.table("ep_ett_out").isEmpty
+      }
+      // ONE batch 50 s of event time later: the watermark jumps past
+      // key 1's 20 s flush point and the episode is EMITTED on the
+      // data's clock — no wall-clock sleep anywhere in this test
+      in.addData(Streams.IntervalRow(2L, 50_000_000L, 55_000_000L))
+      q.processAllAvailable()
+      awaitTtl("watermark advance flushed key 1's episode (key 2 stays open)") {
+        spark.table("ep_ett_out").count() == 1L && stateRows(q) == 1L
+      }
+      val flushed = spark.table("ep_ett_out").as[Streams.Episode].collect().toSeq
+      assert(flushed == Seq(Streams.Episode(1L, 0L, 10_000_000L, 1L)), flushed.toString)
+      // a LATER key-1 interval opens a FRESH episode (state was removed)
+      in.addData(Streams.IntervalRow(1L, 60_000_000L, 61_000_000L))
+      q.processAllAvailable()
+      awaitTtl("post-flush interval opens fresh state") { stateRows(q) == 2L }
+      assert(spark.table("ep_ett_out").count() == 1L,
+        "post-flush interval must open a fresh episode, not re-emit")
+    } finally q.stop()
+  }
+
+  test("episodeStateTws eventTimeIdleFlush: event-time timer flushes the open episode (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.IntervalRow]
+      val q = Streams.episodeStateTws(in.toDS(), gap = 2_000_000L,
+        eventTimeIdleFlush = Some(java.time.Duration.ofSeconds(10))).toDF()
+        .writeStream.format("memory").queryName("eptws_ett_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(Streams.IntervalRow(1L, 0L, 10_000_000L))
+        q.processAllAvailable()
+        awaitTtl("open episode held, nothing emitted") {
+          spark.table("eptws_ett_out").isEmpty
+        }
+        // the 50 s batch advances the watermark past key 1's 20 s
+        // timer: it fires on the data's clock and EMITS the episode
+        in.addData(Streams.IntervalRow(2L, 50_000_000L, 55_000_000L))
+        q.processAllAvailable()
+        awaitTtl("event-time timer flushed key 1's episode") {
+          spark.table("eptws_ett_out").count() == 1L
+        }
+        val eps = spark.table("eptws_ett_out").as[Streams.Episode].collect().toSeq
+        assert(eps == Seq(Streams.Episode(1L, 0L, 10_000_000L, 1L)), eps.toString)
+      } finally q.stop()
+    }
+  }
+
   test("locfEnrichTws: carry crosses batches on RocksDB, matching the legacy op; value TTL forgets it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
