@@ -304,19 +304,43 @@ object Streams {
     * Memory: one (key, batch) group is buffered to sort — bounded by
     * per-key per-trigger volume, the quantity `maxFilesPerTrigger`
     * already throttles.
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`) is the
+    * replay-correct lease — same construction and trade as
+    * [[latestState]]'s: watermark over `ts` epoch-micros with
+    * `watermarkDelay` tolerance, the carry expiring when the watermark
+    * passes the key's latest event time + ttl, so a fast backlog
+    * replay forgets exactly the carries that went stale in EVENT time
+    * (a wall-clock lease forgets nothing on a fast replay — state
+    * balloons to every key ever seen).
     */
   def locfEnrich(events: Dataset[ObsEvent],
-      ttl: Option[String] = None): Dataset[ObsCarry] = {
+      ttl: Option[String] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[ObsCarry] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    events
+    val src: Dataset[ObsEvent] =
+      if (eventTimeTtl.isDefined)
+        events.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ts")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[ObsEvent]
+      else events
+    val conf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else timeoutConf(ttl)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Double, ObsCarry](
-        OutputMode.Append, timeoutConf(ttl)) {
+        OutputMode.Append, conf) {
         (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var carry: Option[Double] = state.getOption
-            val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+            val out = sorted.map { e =>
               if (e.value.isDefined) carry = e.value
               ObsCarry(userId, e.event_id, e.ts, e.value, carry)
             }
@@ -325,7 +349,17 @@ object Streams {
             // all-null batch with no prior carry would otherwise persist
             // an empty state row carrying nothing but a timeout ("state
             // lives only while there is something to remember")
-            if (state.exists) ttl.foreach(state.setTimeoutDuration)
+            if (state.exists) {
+              ttl.foreach(state.setTimeoutDuration)
+              eventTimeTtl.foreach { d =>
+                // data-clock lease: expire when the watermark passes
+                // the key's latest event time + ttl (clamped strictly
+                // ahead of the current watermark, as Spark requires)
+                state.setTimeoutTimestamp(math.max(
+                  sorted.last.ts / 1000L + d.toMillis,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            }
             out.iterator
           }
       }
@@ -350,14 +384,37 @@ object Streams {
     * `ttl` ([[timeoutConf]]): a key idle past the lease forgets its
     * previous-event marker — the first event after a long silence
     * starts a fresh chain instead of pairing with a stale predecessor.
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`): the
+    * replay-correct lease — same construction and trade as
+    * [[latestState]]'s (watermark over `ts` epoch-micros,
+    * `watermarkDelay` tolerance, marker expiring when the watermark
+    * passes its event time + ttl). "A fresh chain after a long
+    * silence" is an EVENT-time statement — on a backlog replay only
+    * this form breaks chains at the data's silences rather than the
+    * cluster's stalls.
     */
   def transitionsStateful(events: Dataset[TypedEvent],
-      ttl: Option[String] = None): Dataset[Transition] = {
+      ttl: Option[String] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[Transition] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    events
+    val src: Dataset[TypedEvent] =
+      if (eventTimeTtl.isDefined)
+        events.toDF()
+          .withColumn("__event_time", timestamp_micros(col("ts")))
+          .withWatermark("__event_time", watermarkDelay)
+          .as[TypedEvent]
+      else events
+    val conf =
+      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else timeoutConf(ttl)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, String), Transition](
-        OutputMode.Append, timeoutConf(ttl)) {
+        OutputMode.Append, conf) {
         (userId: Long, rows: Iterator[TypedEvent],
          state: GroupState[(Long, Long, String)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -372,6 +429,15 @@ object Streams {
             }
             prev.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
+            eventTimeTtl.foreach { d =>
+              // data-clock lease on the marker (state always exists
+              // here: prev is defined after any non-empty batch)
+              prev.foreach { case (ts, _, _) =>
+                state.setTimeoutTimestamp(math.max(
+                  ts / 1000L + d.toMillis,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+            }
             out.iterator
           }
       }

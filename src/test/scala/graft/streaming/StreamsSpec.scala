@@ -596,6 +596,61 @@ class StreamsSpec extends SparkSpec {
       "post-expiry event must not pair with the stale predecessor")
   }
 
+  test("locfEnrich/transitionsStateful eventTimeTtl: watermark advance forgets carry/marker, zero wall-clock wait") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // LOCF: the carry expires on the DATA's clock — no sleeps anywhere
+    val lin = MemoryStream[Streams.ObsEvent]
+    val lq = Streams.locfEnrich(lin.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(10)))
+      .writeStream.format("memory").queryName("locf_ett_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lin.addData(Streams.ObsEvent(1L, 1L, 10_000_000L, Some(5.0))) // 10 s
+      lq.processAllAvailable()
+      awaitTtl("carry stored") { stateRows(lq) == 1L }
+      // one batch 40 s of event time later sweeps key 1's 20 s lease
+      lin.addData(Streams.ObsEvent(2L, 2L, 50_000_000L, Some(2.0))) // 50 s
+      lq.processAllAvailable()
+      awaitTtl("watermark advance evicted key 1's carry") { stateRows(lq) == 1L }
+      // key 1's next event (above the watermark) carries NOTHING
+      lin.addData(Streams.ObsEvent(1L, 3L, 60_000_000L, None))
+      lq.processAllAvailable()
+      awaitTtl("post-expiry event emitted") {
+        spark.table("locf_ett_out").count() == 3L
+      }
+    } finally lq.stop()
+    val carries = spark.table("locf_ett_out")
+      .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+    assert(carries(1L) == Some(5.0) && carries(2L) == Some(2.0), carries.toString)
+    assert(carries(3L) == None,
+      s"event-time-expired key must forget its carry: $carries")
+    // transitions: the marker expires on the data's clock — the next
+    // event starts a fresh chain, NO pair with the stale predecessor
+    val tin = MemoryStream[Streams.TypedEvent]
+    val tq = Streams.transitionsStateful(tin.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(10)))
+      .writeStream.format("memory").queryName("trans_ett_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      tin.addData(Streams.TypedEvent(1L, 1L, 10_000_000L, "login"))
+      tq.processAllAvailable()
+      awaitTtl("marker armed (no pair yet)") { stateRows(tq) == 1L }
+      tin.addData(Streams.TypedEvent(2L, 2L, 50_000_000L, "other"))
+      tq.processAllAvailable()
+      awaitTtl("watermark advance expired key 1's marker") { stateRows(tq) == 1L }
+      tin.addData(Streams.TypedEvent(1L, 3L, 60_000_000L, "view"),
+        Streams.TypedEvent(1L, 4L, 61_000_000L, "buy"))
+      tq.processAllAvailable()
+      awaitTtl("fresh chain pairs only within itself") {
+        spark.table("trans_ett_out").count() == 1L
+      }
+    } finally tq.stop()
+    val trans = spark.table("trans_ett_out").as[Streams.Transition].collect().toSeq
+    assert(trans == Seq(Streams.Transition(1L, "view", "buy")),
+      s"stale predecessor must not pair across the event-time lease: $trans")
+  }
+
   test("streaming content dedup: custom fingerprint expression inside a watermarked stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
