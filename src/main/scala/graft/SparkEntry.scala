@@ -185,9 +185,16 @@ object SparkEntry {
     jsonlScratchRoot + "/orc-" + pathKey(dir)
   // embedded-Derby scratch database for the jdbc_roundtrip gate — one DB
   // per (JVM, input dir), same clobber-isolation contract as the
-  // csv/jsonl/orc scratch dirs
-  private def jdbcScratchUrl(dir: String): String =
+  // csv/jsonl/orc scratch dirs. Routing derby.log into the scratch root
+  // is a HARNESS decision (this is the embedding application), kept out
+  // of the library's DerbyCompat.register: best-effort, read once at
+  // Derby engine boot, never overrides an embedder's own setting
+  private def jdbcScratchUrl(dir: String): String = {
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"$jsonlScratchRoot/derby.log")
     s"jdbc:derby:$jsonlScratchRoot/derby-${pathKey(dir)}/gatedb;create=true"
+  }
   // session-catalog scratch database for the catalog_roundtrip gate: the
   // metastore is per-JVM (in-memory catalog) and the table data lives
   // under the per-JVM jsonlScratchRoot, so concurrent JVMs can't clobber;
@@ -1355,7 +1362,7 @@ object SparkEntry {
            |FROM `$CatalogGateDb`.patient p
            |LEFT JOIN `$CatalogGateDb`.encounter e ON e.patient_id = p.patient_id
            |LEFT JOIN `$CatalogGateDb`.`condition` c ON c.patient_id = p.patient_id
-           |ORDER BY patient_resource_id""".stripMargin)
+           |ORDER BY patient_resource_id, encounter_id, condition_id""".stripMargin)
     }),
 
     // Audit/provenance read: the scan plus file-lineage (`_src_file`
@@ -5302,7 +5309,9 @@ object SparkEntry {
         s"FROM ($fhirPatientOracleSql) p\n" +
         s"LEFT JOIN ($fhirEncounterOracleSql) e ON e.patient_id = p.patient_id\n" +
         s"LEFT JOIN ($fhirConditionOracleSql) c ON c.patient_id = p.patient_id\n" +
-        "ORDER BY patient_resource_id"),
+        // total order even if the fixture grows >1 encounter/condition
+        // per patient (the LEFT JOINs fan out)
+        "ORDER BY patient_resource_id, encounter_id, condition_id"),
 
     "provenance" ->
       s"""SELECT doc_id, regexp_extract(filename, '([^/]+)$$', 1) AS _src_file,

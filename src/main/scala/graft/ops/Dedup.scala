@@ -806,15 +806,21 @@ object Dedup {
     *
     * `dropOverDfShingles` is the report-and-continue alternative (the
     * ccnet move, matching how `blocklist_filter`/`quality_filter`
-    * report rather than abort): over-cap shingles are DROPPED from the
-    * inverted index instead of raising, and the number of dropped
-    * (shingle, doc) index rows is published as the observed metric
+    * report rather than abort): over-cap shingles are DROPPED FROM THE
+    * SHINGLE SETS THEMSELVES — before sizes, prefixes, the index, and
+    * the exact verify are computed — and the number of dropped
+    * (shingle, doc) set rows is published as the observed metric
     * `ngram_containment_df_guard.n_dropped_shingle_rows`
     * (`Dataset.observe` — read it via `Observation`/
-    * `QueryExecutionListener`). Semantics under drop: a pair whose ONLY
-    * shared shingles were boilerplate is no longer emitted — dropping
-    * df-saturated shingles removes (near-)zero-information evidence,
-    * the standard production trade for web corpora.
+    * `QueryExecutionListener`). Dropping at the SET level is what keeps
+    * the PPJoin prefix filter COMPLETE: prefix and index must cover the
+    * same shingle universe, or a pair whose prefix window happened to
+    * hold only boilerplate would be silently lost even when enough
+    * under-cap evidence exists. Semantics under drop: containment is
+    * computed over the under-cap shingle universe (boilerplate carries
+    * (near-)zero information, so both evidence and sizes exclude it —
+    * the standard production trade for web corpora); documents whose
+    * every shingle is boilerplate drop out entirely.
     */
   def ngramContainmentPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -824,11 +830,32 @@ object Dedup {
     require(threshold > 0d && threshold <= 1d,
       s"threshold must be in (0, 1]: $threshold")
     require(maxShingleDf >= 1, s"maxShingleDf must be positive: $maxShingleDf")
-    val sets = df.filter(col(idCol).isNotNull)
+    val rawSets = df.filter(col(idCol).isNotNull)
       .select(col(idCol),
         graft.functions.shingle_hash_set(col(s"`$textCol`"), n).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
-      .transform(graft.CachedFrames.cached)
+    val sets = (
+      if (!dropOverDfShingles) rawSets
+      else {
+        // soft mode: remove over-cap shingles from the SETS before any
+        // size/prefix/index derivation (prefix-filter completeness —
+        // see the Scaladoc), publishing the drop count. sort_array
+        // restores shingle_hash_set's canonical ascending order, which
+        // the prefix window is defined over. One extra shuffle pair
+        // (explode-window + regroup), both keyed small (__sh, id) —
+        // the opt-in cost of continuing past boilerplate.
+        val wdf = Window.partitionBy(col("__sh"))
+        rawSets
+          .select(col(idCol), explode(col("__shingles")).as("__sh"))
+          .withColumn("__df", count(lit(1)).over(wdf))
+          .observe("ngram_containment_df_guard",
+            sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
+              .as("n_dropped_shingle_rows"))
+          .filter(col("__df") <= maxShingleDf)
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(col("__sh"))).as("__shingles"))
+      }
+    ).transform(graft.CachedFrames.cached)
     val sz = size(col("__shingles"))
     val prefixLen = greatest(
       sz - ceil(sz * lit(threshold)).cast("int") + lit(1), lit(0))
@@ -839,33 +866,30 @@ object Dedup {
     // so column pruning can never elide the check even under a bare
     // count(); shingle sets are sets, so per-shingle row count IS
     // document frequency
-    val wsh = Window.partitionBy(col("__sh"))
     val indexed = sets.select(
       col(idCol).as("__id"), sz.as("__sz"),
       explode(col("__shingles")).as("__sh"))
-      .withColumn("__df", count(lit(1)).over(wsh))
     val full =
       if (dropOverDfShingles)
-        // soft mode: boilerplate shingles leave the index (their rows are
-        // evidence-free fan-out), the drop count is published as an
-        // observed metric, and the job continues
+        // soft mode: the sets were df-filtered upstream, so the index is
+        // already boilerplate-free — no per-row guard needed
         indexed
-          .observe("ngram_containment_df_guard",
-            sum(when(col("__df") > maxShingleDf, 1L).otherwise(0L))
-              .as("n_dropped_shingle_rows"))
-          .filter(col("__df") <= maxShingleDf)
-          .select(col("__id"), col("__sz"), col("__sh"))
-      else indexed.select(col("__id"), col("__sz"),
-        when(col("__df") > maxShingleDf,
-          raise_error(concat(
-            lit("ngramContainmentPairs: shingle "), col("__sh").cast("string"),
-            lit(" occurs in "), col("__df").cast("string"),
-            lit(s" documents (> maxShingleDf=$maxShingleDf) — a corpus-wide" +
-              " boilerplate shingle would fan df_prefix × df candidate" +
-              " pairs from few tasks; strip boilerplate upstream, raise" +
-              " the cap deliberately, or set dropOverDfShingles=true to" +
-              " drop-and-report instead"))))
-          .otherwise(col("__sh")).as("__sh"))
+      else {
+        val wsh = Window.partitionBy(col("__sh"))
+        indexed
+          .withColumn("__df", count(lit(1)).over(wsh))
+          .select(col("__id"), col("__sz"),
+            when(col("__df") > maxShingleDf,
+              raise_error(concat(
+                lit("ngramContainmentPairs: shingle "), col("__sh").cast("string"),
+                lit(" occurs in "), col("__df").cast("string"),
+                lit(s" documents (> maxShingleDf=$maxShingleDf) — a corpus-wide" +
+                  " boilerplate shingle would fan df_prefix × df candidate" +
+                  " pairs from few tasks; strip boilerplate upstream, raise" +
+                  " the cap deliberately, or set dropOverDfShingles=true to" +
+                  " drop-and-report instead"))))
+              .otherwise(col("__sh")).as("__sh"))
+      }
     // the prefix condition holds on the smaller (or equal) side only
     val cands = prefix.as("l").join(full.as("r"),
         col("l.__sh") === col("r.__sh") && col("l.__id") =!= col("r.__id") &&

@@ -390,18 +390,12 @@ object Sinks {
       }
     }
     @volatile private var registered = false
+    // NOTE deliberately no JVM-global side effects here beyond the
+    // dialect registration itself: routing derby.log (a CWD-relative
+    // engine boot artifact) is the EMBEDDING harness's decision —
+    // the gate/test harnesses set derby.stream.error.file themselves
     def register(): Unit = synchronized {
-      if (!registered) {
-        // route Derby's engine boot log out of the CWD: derby.log at the
-        // repo root is pure litter for embedded scratch databases.
-        // Best-effort — the property is read once at engine boot, so a
-        // Derby engine booted before register() keeps its stream
-        if (System.getProperty("derby.stream.error.file") == null) {
-          new java.io.File("target").mkdirs()
-          System.setProperty("derby.stream.error.file", "target/derby.log")
-        }
-        JdbcDialects.registerDialect(dialect); registered = true
-      }
+      if (!registered) { JdbcDialects.registerDialect(dialect); registered = true }
     }
   }
 

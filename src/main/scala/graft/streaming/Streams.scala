@@ -226,7 +226,10 @@ object Streams {
     * `ttl` ([[timeoutConf]] — the same lease every stateful op here
     * takes): a user idle past the lease forgets its running totals — the
     * next event after a long silence counts from zero, and dead users
-    * stop pinning state on an unbounded-user ingest.
+    * stop pinning state on an unbounded-user ingest. No event-time
+    * variant by construction: [[UserEvent]] carries no event-time field
+    * for a watermark to ride (same for [[neardupCandidates]]'s
+    * [[BandDoc]]) — ops whose input has a `ts` all take `eventTimeTtl`.
     */
   def runningUserStats(events: Dataset[UserEvent],
       ttl: Option[String] = None): Dataset[UserStats] = {
@@ -282,6 +285,50 @@ object Streams {
     if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
 
+  /** Attach the event-time watermark every data-clock lease rides: a
+    * `__event_time` column derived from `microsCol` (epoch-MICROS, the
+    * engine's canonical event-time shape) with `delay` lateness
+    * tolerance. No-op when `armed` is false so the non-event-time
+    * paths keep their exact pre-existing plan.
+    */
+  private def watermarkedInput[T: org.apache.spark.sql.Encoder](
+      ds: Dataset[T], armed: Boolean,
+      microsCol: String, delay: String): Dataset[T] =
+    if (!armed) ds
+    else ds.toDF()
+      .withColumn("__event_time", timestamp_micros(col(microsCol)))
+      .withWatermark("__event_time", delay)
+      .as[T]
+
+  /** The data-clock lease arithmetic every event-time variant shares:
+    * expire when the watermark passes `tsMicros` + `d`, clamped
+    * STRICTLY ahead of the current watermark (Spark requires an
+    * event-time timeout/timer above it).
+    */
+  private def dataClockLeaseMs(
+      tsMicros: Long, d: java.time.Duration, watermarkMs: Long): Long =
+    math.max(tsMicros / 1000L + d.toMillis, watermarkMs + 1L)
+
+  /** An event-time episode flush lease must EXCEED the merge gap: a
+    * lease within the gap could flush an episode while point intervals
+    * that batch semantics would merge are still admissible above the
+    * watermark — output would then depend on batch boundaries, the
+    * exact nondeterminism event-time flushing exists to remove. (Long
+    * intervals reaching far past their start can still straddle a
+    * flush — the inherent open-episode trade of every streaming flush;
+    * size the lease ≥ gap + the corpus's max interval length to
+    * exclude that too.)
+    */
+  private def requireFlushExceedsGap(
+      flush: Option[java.time.Duration], gapMicros: Long): Unit =
+    flush.foreach { d =>
+      require(d.toNanos / 1000L > gapMicros,
+        s"event-time idle flush ($d) must exceed gap ($gapMicros micros): " +
+          "a flush lease within the merge gap can emit an episode while " +
+          "mergeable rows are still admissible, making output depend on " +
+          "batching")
+    }
+
   /** Streaming LOCF enrichment (`flatMapGroupsWithState`) — the stateful
     * twin of [[graft.ops.TimeSeries.resampleLocf]]'s carry: every event
     * is emitted with its key's latest non-null observation at-or-before
@@ -312,7 +359,13 @@ object Streams {
     * passes the key's latest event time + ttl, so a fast backlog
     * replay forgets exactly the carries that went stale in EVENT time
     * (a wall-clock lease forgets nothing on a fast replay — state
-    * balloons to every key ever seen).
+    * balloons to every key ever seen). In this mode the state holds
+    * (carry, latest event-time micros): the lease must ride the KEY's
+    * latest event time, which the carry double alone cannot retain —
+    * arming from each batch's max would let a LATE batch move the
+    * lease backward and evict a live carry. (Separate state shape by
+    * design: the non-event-time path keeps its original Double state,
+    * so existing processing-time checkpoints stay restorable.)
     */
   def locfEnrich(events: Dataset[ObsEvent],
       ttl: Option[String] = None,
@@ -321,48 +374,61 @@ object Streams {
     require(ttl.isEmpty || eventTimeTtl.isEmpty,
       "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    val src: Dataset[ObsEvent] =
-      if (eventTimeTtl.isDefined)
-        events.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ts")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[ObsEvent]
-      else events
-    val conf =
-      if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
-      else timeoutConf(ttl)
-    src
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, ObsCarry](
-        OutputMode.Append, conf) {
-        (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var carry: Option[Double] = state.getOption
-            val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
-            val out = sorted.map { e =>
-              if (e.value.isDefined) carry = e.value
-              ObsCarry(userId, e.event_id, e.ts, e.value, carry)
-            }
-            carry.foreach(state.update)
-            // lease renewed on traffic — but only when state EXISTS: an
-            // all-null batch with no prior carry would otherwise persist
-            // an empty state row carrying nothing but a timeout ("state
-            // lives only while there is something to remember")
-            if (state.exists) {
-              ttl.foreach(state.setTimeoutDuration)
-              eventTimeTtl.foreach { d =>
-                // data-clock lease: expire when the watermark passes
-                // the key's latest event time + ttl (clamped strictly
-                // ahead of the current watermark, as Spark requires)
-                state.setTimeoutTimestamp(math.max(
-                  sorted.last.ts / 1000L + d.toMillis,
-                  state.getCurrentWatermarkMs() + 1))
-              }
-            }
-            out.iterator
-          }
+    // shared per-batch fold: sort, emit each event with the rolling
+    // carry, return (emitted rows, final carry, batch max event time)
+    def fold(userId: Long, rows: Iterator[ObsEvent], carry0: Option[Double])
+        : (IndexedSeq[ObsCarry], Option[Double], Long) = {
+      var carry = carry0
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+      val out = sorted.map { e =>
+        if (e.value.isDefined) carry = e.value
+        ObsCarry(userId, e.event_id, e.ts, e.value, carry)
       }
+      (out, carry, if (sorted.isEmpty) Long.MinValue else sorted.last.ts)
+    }
+    eventTimeTtl match {
+      case Some(d) =>
+        watermarkedInput(events, armed = true, "ts", watermarkDelay)
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[(Double, Long), ObsCarry](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (userId: Long, rows: Iterator[ObsEvent],
+             state: GroupState[(Double, Long)]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                val (out, carry, batchMaxTs) =
+                  fold(userId, rows, state.getOption.map(_._1))
+                // latest event time is MONOTONE across batches — a late
+                // batch must never regress the lease
+                val maxTs = math.max(
+                  state.getOption.map(_._2).getOrElse(Long.MinValue), batchMaxTs)
+                carry.foreach(c => state.update((c, maxTs)))
+                if (state.exists)
+                  state.setTimeoutTimestamp(
+                    dataClockLeaseMs(maxTs, d, state.getCurrentWatermarkMs()))
+                out.iterator
+              }
+          }
+      case None =>
+        events
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[Double, ObsCarry](
+            OutputMode.Append, timeoutConf(ttl)) {
+            (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                val (out, carry, _) = fold(userId, rows, state.getOption)
+                carry.foreach(state.update)
+                // lease renewed on traffic — but only when state EXISTS:
+                // an all-null batch with no prior carry would otherwise
+                // persist an empty state row carrying nothing but a
+                // timeout ("state lives only while there is something to
+                // remember")
+                if (state.exists) ttl.foreach(state.setTimeoutDuration)
+                out.iterator
+              }
+          }
+    }
   }
 
   final case class TypedEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
@@ -401,13 +467,7 @@ object Streams {
     require(ttl.isEmpty || eventTimeTtl.isEmpty,
       "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    val src: Dataset[TypedEvent] =
-      if (eventTimeTtl.isDefined)
-        events.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ts")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[TypedEvent]
-      else events
+    val src = watermarkedInput(events, eventTimeTtl.isDefined, "ts", watermarkDelay)
     val conf =
       if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
       else timeoutConf(ttl)
@@ -430,12 +490,13 @@ object Streams {
             prev.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
             eventTimeTtl.foreach { d =>
-              // data-clock lease on the marker (state always exists
-              // here: prev is defined after any non-empty batch)
+              // data-clock lease riding the MARKER's event time (the
+              // thing being forgotten — consistent with the op's
+              // cross-batch marker semantics; state always exists here:
+              // prev is defined after any non-empty batch)
               prev.foreach { case (ts, _, _) =>
-                state.setTimeoutTimestamp(math.max(
-                  ts / 1000L + d.toMillis,
-                  state.getCurrentWatermarkMs() + 1))
+                state.setTimeoutTimestamp(
+                  dataClockLeaseMs(ts, d, state.getCurrentWatermarkMs()))
               }
             }
             out.iterator
@@ -490,14 +551,9 @@ object Streams {
     require(gap >= 0, s"gap must be non-negative: $gap")
     require(ttl.isEmpty || eventTimeIdleFlush.isEmpty,
       "ttl (processing-time) and eventTimeIdleFlush (watermark-driven) are mutually exclusive")
+    requireFlushExceedsGap(eventTimeIdleFlush, gap)
     import iv.sparkSession.implicits._
-    val src: Dataset[IntervalRow] =
-      if (eventTimeIdleFlush.isDefined)
-        iv.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ive")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[IntervalRow]
-      else iv
+    val src = watermarkedInput(iv, eventTimeIdleFlush.isDefined, "ive", watermarkDelay)
     val conf =
       if (eventTimeIdleFlush.isDefined) GroupStateTimeout.EventTimeTimeout
       else timeoutConf(ttl)
@@ -532,15 +588,14 @@ object Streams {
             eventTimeIdleFlush.foreach { d =>
               // the flush lease rides the data's clock: fire when the
               // watermark passes the open episode's reach + idle gap
-              // (clamped just above the current watermark — Spark
-              // requires a timeout strictly ahead of it). Arm only
-              // when an episode is actually open: an all-invalid batch
-              // with no prior state has nothing to flush (and Spark
-              // rejects a timeout on a key with no state value).
+              // (the reach is monotone per key, so the lease never
+              // regresses). Arm only when an episode is actually open:
+              // an all-invalid batch with no prior state has nothing to
+              // flush (and Spark rejects a timeout on a key with no
+              // state value).
               cur.foreach { case (_, me, _) =>
-                state.setTimeoutTimestamp(math.max(
-                  me / 1000L + d.toMillis,
-                  state.getCurrentWatermarkMs() + 1))
+                state.setTimeoutTimestamp(
+                  dataClockLeaseMs(me, d, state.getCurrentWatermarkMs()))
               }
             }
             out.iterator
@@ -599,13 +654,7 @@ object Streams {
     require(ttl.isEmpty || eventTimeTtl.isEmpty,
       "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    val src: Dataset[ObsEvent] =
-      if (eventTimeTtl.isDefined)
-        events.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ts")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[ObsEvent]
-      else events
+    val src = watermarkedInput(events, eventTimeTtl.isDefined, "ts", watermarkDelay)
     val conf =
       if (eventTimeTtl.isDefined) GroupStateTimeout.EventTimeTimeout
       else timeoutConf(ttl)
@@ -624,11 +673,10 @@ object Streams {
             eventTimeTtl.foreach { d =>
               // the lease rides the data's clock: expire when the
               // watermark passes the key's latest EVENT time + ttl
-              // (clamped just above the current watermark — Spark
-              // requires a timeout strictly ahead of it)
-              state.setTimeoutTimestamp(math.max(
-                best.ts / 1000L + d.toMillis,
-                state.getCurrentWatermarkMs() + 1))
+              // (best = max(prev, batch), so the lease never regresses
+              // on a late batch)
+              state.setTimeoutTimestamp(
+                dataClockLeaseMs(best.ts, d, state.getCurrentWatermarkMs()))
             }
             if (prev.contains(best)) Iterator.empty // all-late batch: no churn
             else { state.update(best); Iterator.single(best) }
@@ -684,13 +732,7 @@ object Streams {
       "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val src: Dataset[ObsEvent] =
-      if (eventTimeTtl.isDefined)
-        events.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ts")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[ObsEvent]
-      else events
+    val src = watermarkedInput(events, eventTimeTtl.isDefined, "ts", watermarkDelay)
     src.groupByKey(_.user_id)
       .transformWithState(
         new LatestStateProcessor(ttl, eventTimeTtl),
@@ -727,11 +769,11 @@ object Streams {
         .maxBy(k => (k.ts, k.event_id))
       eventTtl.foreach { d =>
         // re-arm the data-clock lease: at most one live timer per key
-        // (materialize before deleting — the EpisodeProcessor rule)
+        // (materialize before deleting — the EpisodeProcessor rule;
+        // best = max(prev, batch), so the lease never regresses)
         getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(math.max(
-          best.ts / 1000L + d.toMillis,
-          timerValues.getCurrentWatermarkInMs() + 1))
+        getHandle.registerTimer(
+          dataClockLeaseMs(best.ts, d, timerValues.getCurrentWatermarkInMs()))
       }
       if (prev.contains(best)) Iterator.empty // all-late batch: no churn
       else { latest.update(best); Iterator.single(best) }
@@ -921,19 +963,40 @@ object Streams {
     * batch that has one, so traffic renews the TTL like the legacy
     * lease; a carry-less key writes nothing (the "state lives only
     * while there is something to remember" contract).
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`): the replay-correct
+    * lease on this tier — `TimeMode.EventTime` per-key timers instead
+    * of the wall-clock value TTL (TTLConfig is processing-time-only by
+    * construction). The timer re-arms to max(existing timer, key's
+    * batch-max event time + ttl), which — with a constant ttl — IS the
+    * key's latest event time lease, so a late batch never regresses
+    * it; firing clears the carry. Same data-clock trade as
+    * [[locfEnrich]]'s eventTimeTtl.
     */
   def locfEnrichTws(events: Dataset[ObsEvent],
-      ttl: Option[java.time.Duration] = None): Dataset[ObsCarry] = {
+      ttl: Option[java.time.Duration] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[ObsCarry] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    events.groupByKey(_.user_id)
-      .transformWithState(new LocfProcessor(ttl),
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+    val src = watermarkedInput(events, eventTimeTtl.isDefined, "ts", watermarkDelay)
+    src.groupByKey(_.user_id)
+      .transformWithState(new LocfProcessor(ttl, eventTimeTtl),
+        if (eventTimeTtl.isDefined) TimeMode.EventTime()
+        else if (ttl.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
         OutputMode.Append())
   }
 
-  /** Processor backing [[locfEnrichTws]]: one carry double per key. */
-  private[streaming] class LocfProcessor(ttl: Option[java.time.Duration])
+  /** Processor backing [[locfEnrichTws]]: one carry double per key.
+    * With `eventTtl`, a data-clock timer guards the carry; firing
+    * clears it (eviction, not data — every emitted row already carried
+    * its value downstream).
+    */
+  private[streaming] class LocfProcessor(ttl: Option[java.time.Duration],
+      eventTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ObsEvent, ObsCarry] {
     @transient private var carryState: org.apache.spark.sql.streaming.ValueState[Double] = _
     override def init(outputMode: OutputMode,
@@ -947,12 +1010,32 @@ object Streams {
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ObsCarry] = {
       var carry: Option[Double] =
         if (carryState.exists()) Some(carryState.get()) else None
-      val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+      val out = sorted.map { e =>
         if (e.value.isDefined) carry = e.value
         ObsCarry(uid, e.event_id, e.ts, e.value, carry)
       }
       carry.foreach(carryState.update) // rewrite renews the value TTL
+      eventTtl.foreach { d =>
+        // arm only while a carry exists ("state lives only while there
+        // is something to remember"); max-with-existing keeps the lease
+        // riding the key's LATEST event time across late batches
+        if (carryState.exists()) {
+          val existing = getHandle.listTimers().toSeq
+          existing.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(math.max(
+            existing.foldLeft(Long.MinValue)(math.max),
+            dataClockLeaseMs(sorted.last.ts, d,
+              timerValues.getCurrentWatermarkInMs())))
+        }
+      }
       out.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ObsCarry] = {
+      carryState.clear() // eviction, not data
+      Iterator.empty
     }
   }
 
@@ -962,21 +1045,36 @@ object Streams {
     * first event after a long silence starts a fresh chain — the legacy
     * `ttl` semantics, store-enforced. Same `(ts, event_id)` in-batch
     * sort and cross-batch monotonicity contract as the legacy op.
+    *
+    * `eventTimeTtl` (mutually exclusive with `ttl`): the replay-correct
+    * lease — `TimeMode.EventTime` per-key timers riding the MARKER's
+    * event time (the thing being forgotten, consistent with the legacy
+    * op's marker semantics); firing clears the marker so the next event
+    * starts a fresh chain at the data's silences, not the cluster's.
     */
   def transitionsStatefulTws(events: Dataset[TypedEvent],
-      ttl: Option[java.time.Duration] = None): Dataset[Transition] = {
+      ttl: Option[java.time.Duration] = None,
+      eventTimeTtl: Option[java.time.Duration] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[Transition] = {
+    require(ttl.isEmpty || eventTimeTtl.isEmpty,
+      "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    events.groupByKey(_.user_id)
-      .transformWithState(new TransitionsProcessor(ttl),
-        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+    val src = watermarkedInput(events, eventTimeTtl.isDefined, "ts", watermarkDelay)
+    src.groupByKey(_.user_id)
+      .transformWithState(new TransitionsProcessor(ttl, eventTimeTtl),
+        if (eventTimeTtl.isDefined) TimeMode.EventTime()
+        else if (ttl.isDefined) TimeMode.ProcessingTime()
+        else TimeMode.None(),
         OutputMode.Append())
   }
 
   /** Processor backing [[transitionsStatefulTws]]: one (ts, event_id,
-    * type) marker per key.
+    * type) marker per key. With `eventTtl`, a data-clock timer guards
+    * the marker; firing clears it (a fresh chain, not data loss).
     */
-  private[streaming] class TransitionsProcessor(ttl: Option[java.time.Duration])
+  private[streaming] class TransitionsProcessor(ttl: Option[java.time.Duration],
+      eventTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, Transition] {
     @transient private var prevState:
       org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
@@ -999,7 +1097,22 @@ object Streams {
         prev = Some((e.ts, e.event_id, e.event_type))
       }
       prev.foreach(prevState.update) // rewrite renews the value TTL
+      eventTtl.foreach { d =>
+        // data-clock lease riding the marker's event time (prev is
+        // defined after any non-empty batch; at most one live timer)
+        prev.foreach { case (ts, _, _) =>
+          getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(
+            dataClockLeaseMs(ts, d, timerValues.getCurrentWatermarkInMs()))
+        }
+      }
       out.iterator
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Transition] = {
+      prevState.clear() // a fresh chain, not data loss
+      Iterator.empty
     }
   }
 
@@ -1021,7 +1134,8 @@ object Streams {
     * watermark (attached over `ive` epoch-micros with `watermarkDelay`
     * tolerance) passes it, the timer fires and the episode is emitted.
     * Same data-clock-vs-wall-clock trade as [[episodeState]]'s
-    * eventTimeIdleFlush.
+    * eventTimeIdleFlush, and the same [[requireFlushExceedsGap]]
+    * contract.
     */
   def episodeStateTws(iv: Dataset[IntervalRow], gap: Long,
       idleFlush: Option[java.time.Duration] = None,
@@ -1030,15 +1144,10 @@ object Streams {
     require(gap >= 0, s"gap must be non-negative: $gap")
     require(idleFlush.isEmpty || eventTimeIdleFlush.isEmpty,
       "idleFlush (processing-time) and eventTimeIdleFlush (watermark-driven) are mutually exclusive")
+    requireFlushExceedsGap(eventTimeIdleFlush, gap)
     import iv.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    val src: Dataset[IntervalRow] =
-      if (eventTimeIdleFlush.isDefined)
-        iv.toDF()
-          .withColumn("__event_time", timestamp_micros(col("ive")))
-          .withWatermark("__event_time", watermarkDelay)
-          .as[IntervalRow]
-      else iv
+    val src = watermarkedInput(iv, eventTimeIdleFlush.isDefined, "ive", watermarkDelay)
     src.groupByKey(_.user_id)
       .transformWithState(new EpisodeProcessor(gap, idleFlush, eventTimeIdleFlush),
         if (eventTimeIdleFlush.isDefined) TimeMode.EventTime()
@@ -1091,13 +1200,12 @@ object Streams {
       }
       eventIdleFlush.foreach { d =>
         // the data-clock twin: flush when the watermark passes the open
-        // episode's reach + idle gap (clamped strictly ahead of the
-        // current watermark). Arm only when an episode is actually open.
+        // episode's reach + idle gap (the reach is monotone per key, so
+        // the lease never regresses). Arm only when an episode is open.
         open.foreach { case (_, me, _) =>
           getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(math.max(
-            me / 1000L + d.toMillis,
-            timerValues.getCurrentWatermarkInMs() + 1))
+          getHandle.registerTimer(
+            dataClockLeaseMs(me, d, timerValues.getCurrentWatermarkInMs()))
         }
       }
       out.iterator

@@ -8,6 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // harness decision (not the library's): route embedded Derby's boot
+    // log out of the repo root for the JDBC-sink suites
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file", "target/derby.log")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -1093,6 +1093,115 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("episode event-time flush must exceed the merge gap (batch-boundary determinism)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.IntervalRow]
+    // gap = 10 s (micros), flush = 5 s: an episode could flush while
+    // mergeable point intervals are still admissible — rejected up front
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.episodeState(in.toDS(), gap = 10_000_000L,
+        eventTimeIdleFlush = Some(java.time.Duration.ofSeconds(5)))
+    }
+    assert(e1.getMessage.contains("must exceed gap"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.episodeStateTws(in.toDS(), gap = 10_000_000L,
+        eventTimeIdleFlush = Some(java.time.Duration.ofSeconds(5)))
+    }
+    assert(e2.getMessage.contains("must exceed gap"), e2.getMessage)
+  }
+
+  test("locfEnrich eventTimeTtl: a LATE batch never regresses the lease (carry survives)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    // 20 s event-time lease, 60 s lateness tolerance so a late row is
+    // admitted without advancing the watermark past the lease
+    val q = Streams.locfEnrich(in.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(20)),
+      watermarkDelay = "60 seconds")
+      .writeStream.format("memory").queryName("locf_late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 1L, 100_000_000L, Some(5.0))) // 100 s
+      q.processAllAvailable()
+      // a LATE all-null row (50 s — above the 40 s watermark, below the
+      // carry's 100 s high-water mark). If the lease were re-armed from
+      // the BATCH max (50 s + 20 s = 70 s), the next watermark advance
+      // past 70 s would evict the carry; riding the key's latest event
+      // time (100 s + 20 s = 120 s lease) it must survive
+      in.addData(Streams.ObsEvent(1L, 2L, 50_000_000L, None))
+      q.processAllAvailable()
+      // advance the watermark to 115 − 60 = 55 s... not enough; use a
+      // probe key to push it to 175 − 60 = 115 s: past the would-be
+      // regressed 70 s lease, inside the correct 120 s one
+      in.addData(Streams.ObsEvent(2L, 3L, 175_000_000L, Some(9.9)))
+      q.processAllAvailable()
+      awaitTtl("both keys still in state (no regression eviction)") {
+        stateRows(q) == 2L
+      }
+      // direct evidence: key 1's next event still carries 5.0
+      in.addData(Streams.ObsEvent(1L, 4L, 118_000_000L, None))
+      q.processAllAvailable()
+      awaitTtl("post-late-batch event emitted") {
+        spark.table("locf_late_out").count() == 4L
+      }
+    } finally q.stop()
+    val carries = spark.table("locf_late_out")
+      .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+    assert(carries(4L) == Some(5.0),
+      s"late batch must not regress the event-time lease: $carries")
+  }
+
+  test("locfEnrichTws/transitionsStatefulTws eventTimeTtl: data-clock timers clear carry/marker (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // LOCF: carry forgotten after 10 s of EVENT-time silence
+      val lin = MemoryStream[Streams.ObsEvent]
+      val lq = Streams.locfEnrichTws(lin.toDS(),
+        eventTimeTtl = Some(java.time.Duration.ofSeconds(10))).toDF()
+        .writeStream.format("memory").queryName("locf_tws_ett_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        lin.addData(Streams.ObsEvent(1L, 1L, 10_000_000L, Some(5.0))) // 10 s
+        lq.processAllAvailable()
+        lin.addData(Streams.ObsEvent(2L, 2L, 50_000_000L, Some(2.0))) // 50 s
+        lq.processAllAvailable()
+        // key 1's timer (20 s) fired on the watermark advance; its next
+        // event (above the watermark) must carry NOTHING
+        lin.addData(Streams.ObsEvent(1L, 3L, 60_000_000L, None))
+        lq.processAllAvailable()
+        awaitTtl("post-expiry event emitted") {
+          spark.table("locf_tws_ett_out").count() == 3L
+        }
+      } finally lq.stop()
+      val carries = spark.table("locf_tws_ett_out")
+        .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+      assert(carries(1L) == Some(5.0) && carries(3L) == None, carries.toString)
+      // transitions: marker forgotten — fresh chain, no stale pair
+      val tin = MemoryStream[Streams.TypedEvent]
+      val tq = Streams.transitionsStatefulTws(tin.toDS(),
+        eventTimeTtl = Some(java.time.Duration.ofSeconds(10))).toDF()
+        .writeStream.format("memory").queryName("trans_tws_ett_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        tin.addData(Streams.TypedEvent(1L, 1L, 10_000_000L, "login"))
+        tq.processAllAvailable()
+        tin.addData(Streams.TypedEvent(2L, 2L, 50_000_000L, "other"))
+        tq.processAllAvailable()
+        tin.addData(Streams.TypedEvent(1L, 3L, 60_000_000L, "view"),
+          Streams.TypedEvent(1L, 4L, 61_000_000L, "buy"))
+        tq.processAllAvailable()
+        awaitTtl("fresh chain pairs only within itself") {
+          spark.table("trans_tws_ett_out").count() == 1L
+        }
+      } finally tq.stop()
+      val trans = spark.table("trans_tws_ett_out").as[Streams.Transition].collect().toSeq
+      assert(trans == Seq(Streams.Transition(1L, "view", "buy")), trans.toString)
+    }
+  }
+
   test("locfEnrichTws: carry crosses batches on RocksDB, matching the legacy op; value TTL forgets it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
