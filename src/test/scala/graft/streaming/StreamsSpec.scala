@@ -431,6 +431,44 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("episodeStateTws eventTimeIdleFlush: the armed event-time timer survives a checkpointed restart and still fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = Files.createTempDirectory("eptws_ett_ckpt").toString
+      val out = Files.createTempDirectory("eptws_ett_sink").toString
+      val in = MemoryStream[Streams.IntervalRow]
+      def start() = Streams.episodeStateTws(in.toDS(), gap = 2_000_000L,
+        eventTimeIdleFlush = Some(java.time.Duration.ofSeconds(10))).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      def sink(): Seq[Streams.Episode] =
+        try spark.read.parquet(out).as[Streams.Episode].collect().toSeq
+        catch { case _: Throwable => Seq.empty }
+      val q1 = start()
+      try {
+        // open an episode; its flush timer is armed at reach 10 s + 10 s
+        in.addData(Streams.IntervalRow(1L, 0L, 10_000_000L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(sink().isEmpty, "episode must still be open at shutdown")
+      // restart from the checkpoint: the open episode AND its timer must
+      // be restored — the 50 s batch advances the watermark past the
+      // restored 20 s timer and the flush fires post-restart
+      val q2 = start()
+      try {
+        in.addData(Streams.IntervalRow(2L, 50_000_000L, 55_000_000L))
+        q2.processAllAvailable()
+        assert(sink() == Seq(Streams.Episode(1L, 0L, 10_000_000L, 1L)),
+          s"restored event-time timer must flush the restored episode: ${sink()}")
+      } finally q2.stop()
+    }
+  }
+
   test("neardupCandidatesTws: ListState buckets pair across and within batches, exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
