@@ -810,9 +810,13 @@ object Dedup {
     * SHINGLE SETS THEMSELVES — before sizes, prefixes, the index, and
     * the exact verify are computed — and the number of dropped
     * (shingle, doc) set rows is published as the observed metric
-    * `ngram_containment_df_guard.n_dropped_shingle_rows`
-    * (`Dataset.observe` — read it via `Observation`/
-    * `QueryExecutionListener`). Dropping at the SET level is what keeps
+    * `ngram_containment_df_guard.n_dropped_shingle_rows`. The filtered
+    * sets are CACHED (they feed the prefix, the index, and the exact
+    * verify), so the metric fires on the action that first
+    * materializes the cache and not again while the cache serves —
+    * read it with `Observation` (which waits for the first firing) or
+    * from the first action's `QueryExecution.observedMetrics`, not
+    * from later runs. Dropping at the SET level is what keeps
     * the PPJoin prefix filter COMPLETE: prefix and index must cover the
     * same shingle universe, or a pair whose prefix window happened to
     * hold only boilerplate would be silently lost even when enough

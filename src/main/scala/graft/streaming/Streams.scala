@@ -360,10 +360,13 @@ object Streams {
     * replay forgets exactly the carries that went stale in EVENT time
     * (a wall-clock lease forgets nothing on a fast replay — state
     * balloons to every key ever seen). In this mode the state holds
-    * (carry, latest event-time micros): the lease must ride the KEY's
-    * latest event time, which the carry double alone cannot retain —
-    * arming from each batch's max would let a LATE batch move the
-    * lease backward and evict a live carry. (Separate state shape by
+    * (carry, carry source ts, carry source event_id, latest event-time
+    * micros), and the fold is ORDER-CORRECT under bounded disorder
+    * ([[locfFoldOrdered]]): a late-but-admissible observation never
+    * overrides a newer carry, each row carries the best known
+    * observation at-or-before its own (ts, event_id), and the lease
+    * rides the key's monotone latest event time — a late batch can
+    * regress neither the carry nor the lease. (Separate state shape by
     * design: the non-event-time path keeps its original Double state,
     * so existing processing-time checkpoints stay restorable.)
     */
@@ -374,35 +377,23 @@ object Streams {
     require(ttl.isEmpty || eventTimeTtl.isEmpty,
       "ttl (processing-time) and eventTimeTtl (watermark-driven) are mutually exclusive")
     import events.sparkSession.implicits._
-    // shared per-batch fold: sort, emit each event with the rolling
-    // carry, return (emitted rows, final carry, batch max event time)
-    def fold(userId: Long, rows: Iterator[ObsEvent], carry0: Option[Double])
-        : (IndexedSeq[ObsCarry], Option[Double], Long) = {
-      var carry = carry0
-      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
-      val out = sorted.map { e =>
-        if (e.value.isDefined) carry = e.value
-        ObsCarry(userId, e.event_id, e.ts, e.value, carry)
-      }
-      (out, carry, if (sorted.isEmpty) Long.MinValue else sorted.last.ts)
-    }
     eventTimeTtl match {
       case Some(d) =>
         watermarkedInput(events, armed = true, "ts", watermarkDelay)
           .groupByKey(_.user_id)
-          .flatMapGroupsWithState[(Double, Long), ObsCarry](
+          .flatMapGroupsWithState[(Double, Long, Long, Long), ObsCarry](
             OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
             (userId: Long, rows: Iterator[ObsEvent],
-             state: GroupState[(Double, Long)]) =>
+             state: GroupState[(Double, Long, Long, Long)]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
-                val (out, carry, batchMaxTs) =
-                  fold(userId, rows, state.getOption.map(_._1))
+                val carry0 = state.getOption.map { case (v, ts, id, _) => (v, ts, id) }
+                val (out, carry, batchMaxTs) = locfFoldOrdered(userId, rows, carry0)
                 // latest event time is MONOTONE across batches — a late
                 // batch must never regress the lease
                 val maxTs = math.max(
-                  state.getOption.map(_._2).getOrElse(Long.MinValue), batchMaxTs)
-                carry.foreach(c => state.update((c, maxTs)))
+                  state.getOption.map(_._4).getOrElse(Long.MinValue), batchMaxTs)
+                carry.foreach { case (v, ts, id) => state.update((v, ts, id, maxTs)) }
                 if (state.exists)
                   state.setTimeoutTimestamp(
                     dataClockLeaseMs(maxTs, d, state.getCurrentWatermarkMs()))
@@ -417,7 +408,15 @@ object Streams {
             (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
-                val (out, carry, _) = fold(userId, rows, state.getOption)
+                // legacy fold: the rolling carry in arrival-batch order
+                // (the documented monotone-across-batches contract; the
+                // Double state cannot retain the carry's source, and
+                // changing it would break existing checkpoints)
+                var carry: Option[Double] = state.getOption
+                val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+                  if (e.value.isDefined) carry = e.value
+                  ObsCarry(userId, e.event_id, e.ts, e.value, carry)
+                }
                 carry.foreach(state.update)
                 // lease renewed on traffic — but only when state EXISTS:
                 // an all-null batch with no prior carry would otherwise
@@ -431,6 +430,71 @@ object Streams {
     }
   }
 
+  /** Order-correct LOCF fold for the EVENT-TIME modes: the carry keeps
+    * its source `(ts, event_id)`, a late-but-admissible observation
+    * never overrides a newer carry, and each row is emitted with the
+    * latest non-null observation at-or-before ITS OWN `(ts, event_id)`
+    * among everything known (the stored carry + this batch) — the
+    * closest stream-side answer to the batch IGNORE-NULLS window under
+    * bounded disorder (`watermarkDelay` bounds how disordered input
+    * can be; observations older than an already-forgotten horizon are
+    * unknowable by construction). The legacy modes keep the plain
+    * rolling fold: their Double state cannot retain the carry's
+    * source, and upgrading it would break existing checkpoints.
+    * Returns (emitted rows, new carry (value, ts, id), batch max ts).
+    */
+  private def locfFoldOrdered(userId: Long, rows: Iterator[ObsEvent],
+      carry0: Option[(Double, Long, Long)])
+      : (IndexedSeq[ObsCarry], Option[(Double, Long, Long)], Long) = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+    var batchCarry: Option[(Double, Long, Long)] = None
+    val out = sorted.map { e =>
+      if (e.value.isDefined) batchCarry = Some((e.value.get, e.ts, e.event_id))
+      // best known observation at-or-before THIS row: the stored carry
+      // qualifies only when its source is not in the row's future
+      val stateC = carry0.filter { case (_, ts, id) =>
+        ts < e.ts || (ts == e.ts && id <= e.event_id) }
+      val eff = (stateC.toSeq ++ batchCarry.toSeq)
+        .maxByOption { case (_, ts, id) => (ts, id) }
+      ObsCarry(userId, e.event_id, e.ts, e.value, eff.map(_._1))
+    }
+    val newCarry = (carry0.toSeq ++ batchCarry.toSeq)
+      .maxByOption { case (_, ts, id) => (ts, id) }
+    (out, newCarry, if (sorted.isEmpty) Long.MinValue else sorted.last.ts)
+  }
+
+  /** Order-correct transitions fold (ALL modes — the marker state
+    * already holds its source `(ts, event_id)`, so this upgrade is
+    * checkpoint-compatible): each event pairs with the latest KNOWN
+    * event strictly-or-equal before it by `(ts, event_id)` (the stored
+    * marker qualifies only when not in the row's future), and the
+    * marker itself is MONOTONE — max(stored, batch) — so a late batch
+    * neither regresses the marker nor (in the event-time mode) the
+    * lease riding it. Under per-key monotone input this is exactly the
+    * old rolling fold; under bounded disorder it is strictly closer to
+    * the batch lag-window (an out-of-order arrival no longer pairs a
+    * FUTURE event's type onto an older row, nor hijacks the chain).
+    */
+  private def transitionsFoldOrdered(userId: Long, rows: Iterator[TypedEvent],
+      marker0: Option[(Long, Long, String)])
+      : (IndexedSeq[Transition], Option[(Long, Long, String)]) = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+    var batchPrev: Option[(Long, Long, String)] = None
+    val out = sorted.flatMap { e =>
+      val stateM = marker0.filter { case (ts, id, _) =>
+        ts < e.ts || (ts == e.ts && id <= e.event_id) }
+      val pred = (stateM.toSeq ++ batchPrev.toSeq)
+        .maxByOption { case (ts, id, _) => (ts, id) }
+      val t = pred.map { case (_, _, fromType) =>
+        Transition(userId, fromType, e.event_type) }
+      batchPrev = Some((e.ts, e.event_id, e.event_type))
+      t
+    }
+    val newMarker = (marker0.toSeq ++ batchPrev.toSeq)
+      .maxByOption { case (ts, id, _) => (ts, id) }
+    (out, newMarker)
+  }
+
   final case class TypedEvent(user_id: Long, event_id: Long, ts: Long, event_type: String)
   final case class Transition(user_id: Long, from_type: String, to_type: String)
 
@@ -442,11 +506,17 @@ object Streams {
     * = #keys). Downstream aggregation to the (from, to) matrix is
     * batch-side arithmetic over the emitted pairs.
     *
-    * Same determinism contract as [[locfEnrich]]: the (key, batch)
-    * group is sorted by `(ts, event_id)` before folding, so arrival
-    * order inside a batch never matters, and results equal the batch
-    * lag-window exactly when per-key event time is monotone across
-    * batches (always true for a single-batch run).
+    * Determinism contract ([[transitionsFoldOrdered]], all modes): the
+    * (key, batch) group is sorted by `(ts, event_id)` before folding
+    * (arrival order inside a batch never matters), the marker is
+    * MONOTONE — max(stored, batch) by `(ts, event_id)` — and each
+    * event pairs with the latest KNOWN event at-or-before its own
+    * `(ts, event_id)`, so results equal the batch lag-window exactly
+    * when per-key event time is monotone across batches (always true
+    * for a single-batch run) and degrade gracefully under disorder (a
+    * late arrival can miss its true predecessor if that was only seen
+    * in an earlier batch, but never pairs a FUTURE event's type onto
+    * an older row and never hijacks the live chain).
     * `ttl` ([[timeoutConf]]): a key idle past the lease forgets its
     * previous-event marker — the first event after a long silence
     * starts a fresh chain instead of pairing with a stale predecessor.
@@ -479,22 +549,16 @@ object Streams {
          state: GroupState[(Long, Long, String)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var prev: Option[(Long, Long, String)] = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-            rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-              prev.foreach { case (_, _, fromType) =>
-                out += Transition(userId, fromType, e.event_type)
-              }
-              prev = Some((e.ts, e.event_id, e.event_type))
-            }
-            prev.foreach(state.update)
+            val (out, marker) = transitionsFoldOrdered(userId, rows, state.getOption)
+            marker.foreach(state.update)
             ttl.foreach(state.setTimeoutDuration)
             eventTimeTtl.foreach { d =>
-              // data-clock lease riding the MARKER's event time (the
-              // thing being forgotten — consistent with the op's
-              // cross-batch marker semantics; state always exists here:
-              // prev is defined after any non-empty batch)
-              prev.foreach { case (ts, _, _) =>
+              // data-clock lease riding the MARKER's event time — which
+              // is the key's MONOTONE latest event time (the fold takes
+              // max(stored, batch)), so a late batch never regresses
+              // the lease. State always exists here: the marker is
+              // defined after any non-empty batch.
+              marker.foreach { case (ts, _, _) =>
                 state.setTimeoutTimestamp(
                   dataClockLeaseMs(ts, d, state.getCurrentWatermarkMs()))
               }
@@ -970,7 +1034,10 @@ object Streams {
     * construction). The timer re-arms to max(existing timer, key's
     * batch-max event time + ttl), which — with a constant ttl — IS the
     * key's latest event time lease, so a late batch never regresses
-    * it; firing clears the carry. Same data-clock trade as
+    * it; firing clears the carry. The carry itself follows the
+    * [[locfFoldOrdered]] order-correct contract (its own "carry_et"
+    * state retains the source (ts, event_id), so a late observation
+    * never overrides a newer carry). Same data-clock trade as
     * [[locfEnrich]]'s eventTimeTtl.
     */
   def locfEnrichTws(events: Dataset[ObsEvent],
@@ -990,51 +1057,67 @@ object Streams {
         OutputMode.Append())
   }
 
-  /** Processor backing [[locfEnrichTws]]: one carry double per key.
-    * With `eventTtl`, a data-clock timer guards the carry; firing
-    * clears it (eviction, not data — every emitted row already carried
-    * its value downstream).
+  /** Processor backing [[locfEnrichTws]]: one carry per key. The legacy
+    * modes keep the original `ValueState[Double]` ("carry",
+    * checkpoint-compatible); the event-time mode uses its own
+    * `ValueState[(Double, Long, Long)]` ("carry_et" — value + source
+    * (ts, event_id)) so the [[locfFoldOrdered]] order-correct contract
+    * holds: a late observation never overrides a newer carry. A
+    * data-clock timer guards the carry; firing clears it (eviction,
+    * not data — every emitted row already carried its value
+    * downstream); max-with-existing keeps the lease riding the key's
+    * monotone latest event time across late batches.
     */
   private[streaming] class LocfProcessor(ttl: Option[java.time.Duration],
       eventTtl: Option[java.time.Duration] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ObsEvent, ObsCarry] {
     @transient private var carryState: org.apache.spark.sql.streaming.ValueState[Double] = _
+    @transient private var carryEt:
+      org.apache.spark.sql.streaming.ValueState[(Double, Long, Long)] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
-        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
-      carryState = getHandle.getValueState[Double]("carry",
-        org.apache.spark.sql.Encoders.scalaDouble, cfg)
+      if (eventTtl.isDefined)
+        carryEt = getHandle.getValueState[(Double, Long, Long)]("carry_et",
+          org.apache.spark.sql.Encoders.product[(Double, Long, Long)],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      else {
+        val cfg = ttl.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+          .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+        carryState = getHandle.getValueState[Double]("carry",
+          org.apache.spark.sql.Encoders.scalaDouble, cfg)
+      }
     }
     override def handleInputRows(uid: Long, rows: Iterator[ObsEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ObsCarry] = {
-      var carry: Option[Double] =
-        if (carryState.exists()) Some(carryState.get()) else None
-      val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
-      val out = sorted.map { e =>
-        if (e.value.isDefined) carry = e.value
-        ObsCarry(uid, e.event_id, e.ts, e.value, carry)
+      eventTtl match {
+        case Some(d) =>
+          val carry0 = if (carryEt.exists()) Some(carryEt.get()) else None
+          val (out, carry, batchMaxTs) = locfFoldOrdered(uid, rows, carry0)
+          carry.foreach(carryEt.update)
+          if (carryEt.exists()) {
+            val existing = getHandle.listTimers().toSeq
+            existing.foreach(getHandle.deleteTimer)
+            getHandle.registerTimer(math.max(
+              existing.foldLeft(Long.MinValue)(math.max),
+              dataClockLeaseMs(batchMaxTs, d,
+                timerValues.getCurrentWatermarkInMs())))
+          }
+          out.iterator
+        case None =>
+          var carry: Option[Double] =
+            if (carryState.exists()) Some(carryState.get()) else None
+          val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            if (e.value.isDefined) carry = e.value
+            ObsCarry(uid, e.event_id, e.ts, e.value, carry)
+          }
+          carry.foreach(carryState.update) // rewrite renews the value TTL
+          out.iterator
       }
-      carry.foreach(carryState.update) // rewrite renews the value TTL
-      eventTtl.foreach { d =>
-        // arm only while a carry exists ("state lives only while there
-        // is something to remember"); max-with-existing keeps the lease
-        // riding the key's LATEST event time across late batches
-        if (carryState.exists()) {
-          val existing = getHandle.listTimers().toSeq
-          existing.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(math.max(
-            existing.foldLeft(Long.MinValue)(math.max),
-            dataClockLeaseMs(sorted.last.ts, d,
-              timerValues.getCurrentWatermarkInMs())))
-        }
-      }
-      out.iterator
     }
     override def handleExpiredTimer(uid: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ObsCarry] = {
-      carryState.clear() // eviction, not data
+      carryEt.clear() // eviction, not data
       Iterator.empty
     }
   }
@@ -1087,20 +1170,15 @@ object Streams {
     }
     override def handleInputRows(uid: Long, rows: Iterator[TypedEvent],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
-      var prev: Option[(Long, Long, String)] =
-        if (prevState.exists()) Some(prevState.get()) else None
-      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
-      rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-        prev.foreach { case (_, _, fromType) =>
-          out += Transition(uid, fromType, e.event_type)
-        }
-        prev = Some((e.ts, e.event_id, e.event_type))
-      }
-      prev.foreach(prevState.update) // rewrite renews the value TTL
+      val marker0 = if (prevState.exists()) Some(prevState.get()) else None
+      val (out, marker) = transitionsFoldOrdered(uid, rows, marker0)
+      marker.foreach(prevState.update) // rewrite renews the value TTL
       eventTtl.foreach { d =>
-        // data-clock lease riding the marker's event time (prev is
-        // defined after any non-empty batch; at most one live timer)
-        prev.foreach { case (ts, _, _) =>
+        // data-clock lease riding the marker's event time — which is the
+        // key's MONOTONE latest event time (the fold takes max(stored,
+        // batch)), so a late batch never regresses the lease; at most
+        // one live timer per key
+        marker.foreach { case (ts, _, _) =>
           getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
           getHandle.registerTimer(
             dataClockLeaseMs(ts, d, timerValues.getCurrentWatermarkInMs()))

@@ -9,9 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val spark: SparkSession = {
     // harness decision (not the library's): route embedded Derby's boot
-    // log out of the repo root for the JDBC-sink suites
-    if (System.getProperty("derby.stream.error.file") == null)
+    // log out of the repo root for the JDBC-sink suites (mkdirs first —
+    // a runner whose CWD lacks target/ would leave Derby with an
+    // uncreatable stream path and fall back to CWD litter)
+    if (System.getProperty("derby.stream.error.file") == null) {
+      new java.io.File("target").mkdirs()
       System.setProperty("derby.stream.error.file", "target/derby.log")
+    }
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

@@ -1191,6 +1191,71 @@ class StreamsSpec extends SparkSpec {
       s"late batch must not regress the event-time lease: $carries")
   }
 
+  test("locfEnrich eventTimeTtl is ORDER-CORRECT: a late observation neither overrides a newer carry nor sees its own future") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    val q = Streams.locfEnrich(in.toDS(),
+      eventTimeTtl = Some(java.time.Duration.ofSeconds(200)),
+      watermarkDelay = "60 seconds")
+      .writeStream.format("memory").queryName("locf_order_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 1L, 100_000_000L, Some(5.0))) // 100 s
+      q.processAllAvailable()
+      // a LATE batch (admissible above the 40 s watermark): a non-null
+      // observation at 50 s and a null probe at 60 s. The 50 s obs must
+      // NOT override the newer 100 s carry, and both late rows must be
+      // scored against observations at-or-before THEIR OWN time — the
+      // 60 s probe sees the 50 s value (7.0), never the future 5.0
+      in.addData(
+        Streams.ObsEvent(1L, 2L, 50_000_000L, Some(7.0)),
+        Streams.ObsEvent(1L, 3L, 60_000_000L, None))
+      q.processAllAvailable()
+      // the carry the NEXT in-order event sees is still the 100 s one
+      in.addData(Streams.ObsEvent(1L, 4L, 110_000_000L, None))
+      q.processAllAvailable()
+      awaitTtl("all four rows emitted") {
+        spark.table("locf_order_out").count() == 4L
+      }
+    } finally q.stop()
+    val carries = spark.table("locf_order_out")
+      .select("event_id", "carried").as[(Long, Option[Double])].collect().toMap
+    assert(carries(1L) == Some(5.0), carries.toString)
+    assert(carries(2L) == Some(7.0), s"own observation carries itself: $carries")
+    assert(carries(3L) == Some(7.0),
+      s"late null probe must see the 50 s obs, not the future 100 s one: $carries")
+    assert(carries(4L) == Some(5.0),
+      s"late obs must not override the newer carry: $carries")
+  }
+
+  test("transitionsStateful is ORDER-CORRECT across batches: a late row neither pairs with a future marker nor hijacks the chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.TypedEvent]
+    val q = Streams.transitionsStateful(in.toDS())
+      .writeStream.format("memory").queryName("trans_order_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.TypedEvent(1L, 2L, 100_000_000L, "login"))
+      q.processAllAvailable()
+      // a LATE row at 50 s: its true predecessor was never seen, so it
+      // pairs with NOTHING (the old fold would emit login→early, a
+      // FUTURE event's type onto an older row)
+      in.addData(Streams.TypedEvent(1L, 1L, 50_000_000L, "early"))
+      q.processAllAvailable()
+      // the next in-order event pairs with the 100 s marker (the old
+      // fold would have hijacked the chain: early→view)
+      in.addData(Streams.TypedEvent(1L, 3L, 110_000_000L, "view"))
+      q.processAllAvailable()
+      awaitTtl("exactly one pair emitted") {
+        spark.table("trans_order_out").count() == 1L
+      }
+    } finally q.stop()
+    val trans = spark.table("trans_order_out").as[Streams.Transition].collect().toSeq
+    assert(trans == Seq(Streams.Transition(1L, "login", "view")), trans.toString)
+  }
+
   test("locfEnrichTws/transitionsStatefulTws eventTimeTtl: data-clock timers clear carry/marker (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
