@@ -368,7 +368,11 @@ object Streams {
     * rides the key's monotone latest event time — a late batch can
     * regress neither the carry nor the lease. (Separate state shape by
     * design: the non-event-time path keeps its original Double state,
-    * so existing processing-time checkpoints stay restorable.)
+    * so existing processing-time checkpoints stay restorable.
+    * Checkpoints are NOT portable across modes or across the r14
+    * order-correct upgrade of the event-time layout itself — the
+    * flatMapGroupsWithState state-schema check fails loudly on a
+    * mismatch, so restart such a query from a fresh checkpoint.)
     */
   def locfEnrich(events: Dataset[ObsEvent],
       ttl: Option[String] = None,
@@ -408,15 +412,7 @@ object Streams {
             (userId: Long, rows: Iterator[ObsEvent], state: GroupState[Double]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
-                // legacy fold: the rolling carry in arrival-batch order
-                // (the documented monotone-across-batches contract; the
-                // Double state cannot retain the carry's source, and
-                // changing it would break existing checkpoints)
-                var carry: Option[Double] = state.getOption
-                val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-                  if (e.value.isDefined) carry = e.value
-                  ObsCarry(userId, e.event_id, e.ts, e.value, carry)
-                }
+                val (out, carry) = locfFoldLegacy(userId, rows, state.getOption)
                 carry.foreach(state.update)
                 // lease renewed on traffic — but only when state EXISTS:
                 // an all-null batch with no prior carry would otherwise
@@ -428,6 +424,22 @@ object Streams {
               }
           }
     }
+  }
+
+  /** The legacy LOCF fold shared by both APIs' non-event-time modes:
+    * sort the (key, batch) group by `(ts, event_id)`, roll the carry in
+    * that order (the documented monotone-across-batches contract — the
+    * Double state cannot retain the carry's source). Returns (emitted
+    * rows, final carry).
+    */
+  private def locfFoldLegacy(userId: Long, rows: Iterator[ObsEvent],
+      carry0: Option[Double]): (IndexedSeq[ObsCarry], Option[Double]) = {
+    var carry = carry0
+    val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+      if (e.value.isDefined) carry = e.value
+      ObsCarry(userId, e.event_id, e.ts, e.value, carry)
+    }
+    (out, carry)
   }
 
   /** Order-correct LOCF fold for the EVENT-TIME modes: the carry keeps
@@ -481,9 +493,15 @@ object Streams {
     val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
     var batchPrev: Option[(Long, Long, String)] = None
     val out = sorted.flatMap { e =>
-      val stateM = marker0.filter { case (ts, id, _) =>
-        ts < e.ts || (ts == e.ts && id <= e.event_id) }
-      val pred = (stateM.toSeq ++ batchPrev.toSeq)
+      // STRICTLY before (unlike LOCF, where a row carrying itself is
+      // intended): an at-least-once redelivery of an event — across
+      // batches (the stored marker) or within one (a duplicate batch
+      // row) — must not pair the event with itself
+      def strictlyBefore(ts: Long, id: Long): Boolean =
+        ts < e.ts || (ts == e.ts && id < e.event_id)
+      val stateM = marker0.filter { case (ts, id, _) => strictlyBefore(ts, id) }
+      val batchM = batchPrev.filter { case (ts, id, _) => strictlyBefore(ts, id) }
+      val pred = (stateM.toSeq ++ batchM.toSeq)
         .maxByOption { case (ts, id, _) => (ts, id) }
       val t = pred.map { case (_, _, fromType) =>
         Transition(userId, fromType, e.event_type) }
@@ -1038,7 +1056,12 @@ object Streams {
     * [[locfFoldOrdered]] order-correct contract (its own "carry_et"
     * state retains the source (ts, event_id), so a late observation
     * never overrides a newer carry). Same data-clock trade as
-    * [[locfEnrich]]'s eventTimeTtl.
+    * [[locfEnrich]]'s eventTimeTtl. Checkpoints are NOT portable
+    * across modes or across the r14 order-correct upgrade of the
+    * event-time layout ("carry" → "carry_et"): a pre-upgrade
+    * event-time checkpoint's carries live in a column family the
+    * upgraded processor never registers and would silently read as
+    * absent — restart event-time queries from a fresh checkpoint.
     */
   def locfEnrichTws(events: Dataset[ObsEvent],
       ttl: Option[java.time.Duration] = None,
@@ -1104,12 +1127,8 @@ object Streams {
           }
           out.iterator
         case None =>
-          var carry: Option[Double] =
-            if (carryState.exists()) Some(carryState.get()) else None
-          val out = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-            if (e.value.isDefined) carry = e.value
-            ObsCarry(uid, e.event_id, e.ts, e.value, carry)
-          }
+          val carry0 = if (carryState.exists()) Some(carryState.get()) else None
+          val (out, carry) = locfFoldLegacy(uid, rows, carry0)
           carry.foreach(carryState.update) // rewrite renews the value TTL
           out.iterator
       }

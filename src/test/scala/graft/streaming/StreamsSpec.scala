@@ -1256,6 +1256,35 @@ class StreamsSpec extends SparkSpec {
     assert(trans == Seq(Streams.Transition(1L, "login", "view")), trans.toString)
   }
 
+  test("transitionsStateful: an at-least-once redelivery never pairs an event with itself") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.TypedEvent]
+    val q = Streams.transitionsStateful(in.toDS())
+      .writeStream.format("memory").queryName("trans_redeliver_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Streams.TypedEvent(1L, 1L, 100L, "login"))
+      q.processAllAvailable()
+      // the SAME event redelivered across a batch boundary: the stored
+      // marker IS this event — no login→login self-transition
+      in.addData(Streams.TypedEvent(1L, 1L, 100L, "login"))
+      q.processAllAvailable()
+      // and redelivered within one batch (duplicate rows)
+      in.addData(Streams.TypedEvent(2L, 5L, 200L, "view"),
+        Streams.TypedEvent(2L, 5L, 200L, "view"))
+      q.processAllAvailable()
+      // a genuinely next event still pairs
+      in.addData(Streams.TypedEvent(1L, 2L, 300L, "buy"))
+      q.processAllAvailable()
+      awaitTtl("only the genuine pair emitted") {
+        spark.table("trans_redeliver_out").count() == 1L
+      }
+    } finally q.stop()
+    val trans = spark.table("trans_redeliver_out").as[Streams.Transition].collect().toSeq
+    assert(trans == Seq(Streams.Transition(1L, "login", "buy")), trans.toString)
+  }
+
   test("locfEnrichTws/transitionsStatefulTws eventTimeTtl: data-clock timers clear carry/marker (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
