@@ -888,6 +888,22 @@ object ScaleProbe {
       })
     }
 
+    // round-14 probe: the containment soft mode (dropOverDfShingles)
+    // df-filters the shingle SETS up front — one extra explode-window +
+    // regroup shuffle pair vs the guard mode's in-index window. Same
+    // replica corpus as probe12c; the delta between the two modes at
+    // each scale IS the opt-in cost of continuing past boilerplate
+    // (plus whatever the boilerplate drop saves downstream).
+    if (familyOn("probe14s")) Seq(1, 8).foreach { times =>
+      val d = replicate(times)
+      println(s"--- probe14s docs ${times}x (${d.count()} docs) ---")
+      time("probe14s:containGuard",
+        Dedup.ngramContainmentPairs(d, "text", "doc_id", 3, 0.8))
+      time("probe14s:containSoft",
+        Dedup.ngramContainmentPairs(d, "text", "doc_id", 3, 0.8,
+          dropOverDfShingles = true))
+    }
+
     // round-12 family: model-eval metrics replicate on the ROW axis
     // (events ×k — every metric folds map-side to a metric-domain-sized
     // relation: grid scores, calibration bins, rater categories — so the
