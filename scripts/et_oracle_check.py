@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Validates the stream_locf_et / stream_cdc_et DuckDB oracle SQL against
+the engine-semantics simulator (et_sim.py) on real testdata."""
+import duckdb
+import pandas as pd
+from et_sim import load, sim_locf, sim_cdc, norm, DAY_US
+
+TTL_MS = 6 * 3600 * 1000
+
+LOCF_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
+         epoch_us(ts) // 86400000000 AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+bk AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+  FROM ev GROUP BY b
+),
+wm0 AS (
+  SELECT ord,
+    coalesce(max(bmax) OVER (ORDER BY ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+  FROM bk
+),
+wmt AS (
+  SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0
+),
+r AS (
+  SELECT ev.user_id, ev.event_id, ev.tsu, ev.val, bk.ord, w.wm, w.wmm1
+  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+),
+flag AS (
+  SELECT r.*,
+    CASE WHEN lag(ord) OVER k IS NOT NULL
+          AND ord >= lag(ord) OVER k + 2
+          AND wmm1 > greatest(lag(tsu) OVER k // 1000 + 21600000,
+                              lag(wm) OVER k + 1)
+          AND count(val) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+         THEN 1 ELSE 0 END AS boundary
+  FROM r
+  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+seg AS (
+  SELECT *, sum(boundary) OVER (PARTITION BY user_id
+    ORDER BY tsu, event_id) AS sg
+  FROM flag
+)
+SELECT user_id, event_id, tsu AS ts_us, val AS value,
+       last_value(val IGNORE NULLS) OVER (PARTITION BY user_id, sg
+         ORDER BY tsu, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+FROM seg ORDER BY event_id
+"""
+
+CDC_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+         epoch_us(ts) // 86400000000 AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+bk AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+  FROM ev GROUP BY b
+),
+wmt AS (
+  SELECT ord,
+    coalesce(max(bmax) OVER (ORDER BY ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+  FROM bk
+),
+fin AS (SELECT max(bmax) // 1000 AS final_wm FROM bk),
+stp AS (
+  SELECT user_id, ord, wm, tsu, event_id, value FROM (
+    SELECT ev.user_id, bk.ord, w.wm, ev.tsu, ev.event_id, ev.value,
+           row_number() OVER (PARTITION BY ev.user_id, bk.ord
+             ORDER BY ev.tsu DESC, ev.event_id DESC) AS rn
+    FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+  ) WHERE rn = 1
+),
+nxt AS (
+  SELECT *, lead(ord) OVER (PARTITION BY user_id ORDER BY ord) AS next_ord
+  FROM stp
+),
+ups AS (
+  SELECT user_id, tsu AS ts_us, event_id, value, 'upsert' AS op FROM nxt
+),
+dels AS (
+  SELECT n.user_id, n.tsu AS ts_us, n.event_id, n.value, 'delete' AS op
+  FROM nxt n
+  CROSS JOIN fin
+  LEFT JOIN wmt wprev ON wprev.ord = n.next_ord - 1
+  WHERE CASE WHEN n.next_ord IS NULL
+             THEN fin.final_wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+             ELSE n.next_ord >= n.ord + 2
+                  AND wprev.wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+        END
+)
+SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
+ORDER BY user_id, ts_us, event_id, op
+"""
+
+if __name__ == "__main__":
+    for sf in ["0.001", "0.01", "0.1"]:
+        sf_dir = f"/root/testdata/sf{sf}"
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        df = load(sf_dir)
+
+        sql_rows = [tuple(r) for r in con.sql(LOCF_SQL).fetchall()]
+        eng, _ = sim_locf(df, DAY_US, TTL_MS)
+        ok_locf = norm(sql_rows) == norm(eng)
+
+        sql_rows = [tuple(r) for r in con.sql(CDC_SQL).fetchall()]
+        eng, _ = sim_cdc(df, DAY_US, TTL_MS)
+        ok_cdc = norm(sql_rows) == norm(eng)
+        print(f"sf{sf}: locf_sql_match={ok_locf} cdc_sql_match={ok_cdc}")
+        if not (ok_locf and ok_cdc):
+            a, b = set(norm(sql_rows)), set(norm(eng))
+            print("  sql-only:", list(a - b)[:5])
+            print("  eng-only:", list(b - a)[:5])

@@ -1,0 +1,242 @@
+#!/usr/bin/env python3
+"""Design-time simulator for the event-time eviction oracle gates
+(stream_locf_et / stream_cdc_et).
+
+Models Spark's flatMapGroupsWithState + EventTimeTimeout semantics over
+the chunked-file micro-batch replay the gates construct:
+
+- delivered batch = ts bucket (cdc: +1 bucket for late-delivered rows)
+- watermark DURING batch k = floor(max event-time us seen in batches < k
+  / 1000) - delayMs, starting at 0 (WatermarkTracker), monotone
+- keys WITH data in a batch are processed normally (no timeout branch)
+- keys WITHOUT data whose timer < watermark (STRICT) are evicted in that
+  batch; the timer is armed as
+  max(latest-event-time-ms + ttlMs, watermark + 1)  (dataClockLeaseMs)
+
+It runs the exact engine fold (locfFoldOrdered / latestState) AND the
+closed-form oracle the DuckDB gate SQL uses, and asserts they agree —
+plus counts evictions / discriminating rows so the gate provably
+exercises the eviction path at each SF.
+"""
+import sys
+import duckdb
+import pandas as pd
+
+DAY_US = 86_400_000_000
+
+def load(sf_dir):
+    con = duckdb.connect()
+    df = con.sql(f"""
+      SELECT user_id, event_id, epoch_us(ts) AS tsu, value
+      FROM '{sf_dir}/events.parquet'
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    """).df()
+    return df
+
+# ---------------------------------------------------------------- engine sims
+
+def sim_locf(df, W, ttl_ms):
+    """Engine model for locfEnrich(eventTimeTtl, delay=0), in-order bucket
+    delivery, value nulled when event_id % 3 == 0. Returns (rows, n_evict)."""
+    d = df.copy()
+    d["val"] = d["value"].where(d["event_id"] % 3 != 0)
+    d["b"] = d["tsu"] // W
+    batches = sorted(d["b"].unique())
+    state = {}   # uid -> (v, ts, id, maxTs)
+    timer = {}   # uid -> timeout ms
+    out = []
+    n_evict = 0
+    wm = 0
+    prev_max_us = None
+    for b in batches:
+        if prev_max_us is not None:
+            wm = max(wm, prev_max_us // 1000)  # delay = 0
+        batch = d[d["b"] == b]
+        keys_with_data = set(batch["user_id"])
+        # timers fire for keys WITHOUT data, strictly below watermark
+        for uid in list(timer):
+            if uid not in keys_with_data and timer[uid] < wm:
+                state.pop(uid, None); timer.pop(uid, None); n_evict += 1
+        for uid, g in batch.groupby("user_id"):
+            g = g.sort_values(["tsu", "event_id"])
+            assert (g["tsu"] // 1000 > wm).all(), "late row would be dropped"
+            st = state.get(uid)
+            carry0 = (st[0], st[1], st[2]) if st else None
+            batch_carry = None
+            for _, r in g.iterrows():
+                if pd.notna(r["val"]):
+                    batch_carry = (r["val"], r["tsu"], r["event_id"])
+                cands = []
+                if carry0 and (carry0[1], carry0[2]) <= (r["tsu"], r["event_id"]):
+                    cands.append(carry0)
+                if batch_carry:
+                    cands.append(batch_carry)
+                eff = max(cands, key=lambda c: (c[1], c[2]))[0] if cands else None
+                out.append((uid, r["event_id"], r["tsu"],
+                            None if pd.isna(r["val"]) else r["val"], eff))
+            new_carry = max([c for c in [carry0, batch_carry] if c],
+                            key=lambda c: (c[1], c[2]), default=None)
+            max_ts = max(st[3] if st else -1 << 62, g["tsu"].max())
+            if new_carry:
+                state[uid] = (new_carry[0], new_carry[1], new_carry[2], max_ts)
+            if uid in state:
+                timer[uid] = max(max_ts // 1000 + ttl_ms, wm + 1)
+        prev_max_us = max(prev_max_us or 0, batch["tsu"].max())
+    return out, n_evict
+
+def oracle_locf(df, W, ttl_ms):
+    """Closed-form (window) oracle for sim_locf."""
+    d = df.copy()
+    d["val"] = d["value"].where(d["event_id"] % 3 != 0)
+    d["b"] = d["tsu"] // W
+    border = sorted(d["b"].unique())
+    ordv = {b: i + 1 for i, b in enumerate(border)}
+    d["ord"] = d["b"].map(ordv)
+    bmax = d.groupby("ord")["tsu"].max()
+    # wm[x] = floor(max tsu over ord < x / 1000), 0 if none (delay = 0)
+    wm = {}
+    run = None
+    for x in sorted(ordv.values()):
+        wm[x] = (run // 1000) if run is not None else 0
+        run = max(run or 0, bmax[x])
+    out = []
+    for uid, g in d.groupby("user_id"):
+        g = g.sort_values(["tsu", "event_id"])
+        seg = 0
+        seen_nonnull = False
+        prev = None
+        rows = []
+        for _, r in g.iterrows():
+            if prev is not None and seen_nonnull:
+                timeout = max(prev["tsu"] // 1000 + ttl_ms, wm[prev["ord"]] + 1)
+                if r["ord"] >= prev["ord"] + 2 and wm[r["ord"] - 1] > timeout:
+                    seg += 1
+            rows.append((r, seg))
+            if pd.notna(r["val"]):
+                seen_nonnull = True
+            prev = r
+        carry = {}
+        for r, s in rows:
+            if pd.notna(r["val"]):
+                carry[s] = r["val"]
+            out.append((uid, r["event_id"], r["tsu"],
+                        None if pd.isna(r["val"]) else r["val"], carry.get(s)))
+    return out
+
+def sim_cdc(df, W, ttl_ms, evict=True):
+    """Engine model for latestStateChanges(eventTimeTtl, delay=0):
+    upsert emitted when a key's (ts, event_id) winner changes, DELETE
+    tombstone emitted when the key's event-time lease expires (first
+    silent batch whose watermark strictly exceeds the timer), including
+    the post-backlog extra batch Spark runs when the watermark advanced
+    in the final data batch. In-order bucket delivery."""
+    d = df.copy()
+    d["b"] = d["tsu"] // W
+    batches = sorted(d["b"].unique())
+    state = {}   # uid -> (ts, id, value)
+    timer = {}
+    out = []
+    n_evict = 0
+    wm = 0
+    prev_max_us = None
+
+    def fire(keys_with_data):
+        nonlocal n_evict
+        for uid in list(timer):
+            if uid not in keys_with_data and timer[uid] < wm:
+                st = state.pop(uid)
+                timer.pop(uid)
+                out.append((uid, st[0], st[1], st[2], "delete"))
+                n_evict += 1
+
+    for b in batches:
+        if prev_max_us is not None:
+            wm = max(wm, prev_max_us // 1000)   # delay = 0
+        batch = d[d["b"] == b]
+        if evict:
+            fire(set(batch["user_id"]))
+        for uid, g in batch.groupby("user_id"):
+            bm = g.loc[g[["tsu", "event_id"]].apply(tuple, axis=1).idxmax()]
+            bkey = (bm["tsu"], bm["event_id"], bm["value"])
+            st = state.get(uid)
+            if st is None or (bkey[0], bkey[1]) > (st[0], st[1]):
+                state[uid] = bkey
+                out.append((uid, bkey[0], bkey[1], bkey[2], "upsert"))
+            timer[uid] = max(state[uid][0] // 1000 + ttl_ms, wm + 1)
+        prev_max_us = max(prev_max_us or 0, batch["tsu"].max())
+    # the extra no-data batch: watermark advanced in the last data batch,
+    # so Spark runs one more batch to fire newly-expired timers
+    wm = max(wm, prev_max_us // 1000)
+    if evict:
+        fire(set())
+    return out, n_evict
+
+def oracle_cdc(df, W, ttl_ms):
+    """Closed-form oracle for sim_cdc: upserts are the per-(key, bucket)
+    argmax (in-order delivery means every data bucket strictly advances
+    the winner); deletes follow the lease rule between consecutive data
+    buckets and at the final watermark — no recursion, because any
+    admissible post-eviction arrival is above the watermark and hence
+    above the evicted best, so the winner is the delivered prefix max
+    whether or not an eviction happened."""
+    d = df.copy()
+    d["b"] = d["tsu"] // W
+    border = sorted(d["b"].unique())
+    ordv = {b: i + 1 for i, b in enumerate(border)}
+    d["ord"] = d["b"].map(ordv)
+    bmax = d.groupby("ord")["tsu"].max()
+    wm = {}
+    run = None
+    for x in sorted(ordv.values()):
+        wm[x] = (run // 1000) if run is not None else 0
+        run = max(run or 0, bmax[x])
+    final_wm = run // 1000
+    out = []
+    for uid, g in d.groupby("user_id"):
+        steps = []
+        for o, gg in sorted(g.groupby("ord")):
+            bm = gg.loc[gg[["tsu", "event_id"]].apply(tuple, axis=1).idxmax()]
+            steps.append((o, bm["tsu"], bm["event_id"], bm["value"]))
+        for i, (o, bts, bid, bval) in enumerate(steps):
+            out.append((uid, bts, bid, bval, "upsert"))
+            timeout = max(bts // 1000 + ttl_ms, wm[o] + 1)
+            if i + 1 < len(steps):
+                o2 = steps[i + 1][0]
+                if o2 >= o + 2 and wm[o2 - 1] > timeout:
+                    out.append((uid, bts, bid, bval, "delete"))
+            else:
+                if final_wm > timeout:
+                    out.append((uid, bts, bid, bval, "delete"))
+    return out
+
+def norm(rows):
+    def c(x):
+        if x is None:
+            return None
+        if isinstance(x, str):
+            return x
+        f = float(x)
+        # integral values (ids, epoch-us) compare as exact ints — numpy's
+        # scale-based round() corrupts 1e15-magnitude int64s
+        return int(f) if f.is_integer() else round(f, 9)
+    return sorted(tuple(c(x) for x in r) for r in rows)
+
+if __name__ == "__main__":
+    for sf in ["0.001", "0.01", "0.1"]:
+        df = load(f"/root/testdata/sf{sf}")
+        # ---- locf gate: W = 1 day, ttl = 6 h, delay = 0
+        eng, nev = sim_locf(df, DAY_US, 6 * 3600 * 1000)
+        orc = oracle_locf(df, DAY_US, 6 * 3600 * 1000)
+        match = norm(eng) == norm(orc)
+        # discriminating rows: carried differs vs a no-eviction run
+        noev, _ = sim_locf(df, DAY_US, 10**15)
+        diff = len(set(norm(eng)) ^ set(norm(noev)))
+        print(f"sf{sf} locf_et: n={len(eng)} evictions={nev} "
+              f"oracle_match={match} rows_changed_by_eviction={diff // 2}")
+        # ---- cdc tombstone gate: W = 1 day, ttl = 6 h, delay = 0
+        eng, nev = sim_cdc(df, DAY_US, 6 * 3600 * 1000)
+        orc = oracle_cdc(df, DAY_US, 6 * 3600 * 1000)
+        match = norm(eng) == norm(orc)
+        n_del = sum(1 for r in eng if r[4] == "delete")
+        print(f"sf{sf} cdc_et: emissions={len(eng)} deletes={n_del} "
+              f"evictions={nev} oracle_match={match}")

@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * each query reports its per-run MINIMUM — run 1 absorbs residual cold
   * paths, and two warm runs mean one ambient-load spike can't masquerade
   * as a code regression (2-run artifacts kept landing a loaded-box window
-  * on the only warm pass: round 12 measured a 4.5 s gate at 68 s there). Artifact-proofing (round-4 verdict:
+  * on the only warm pass: round 12 measured a 4.5 s gate at 68 s there).
+  * Round 15 (round-14 verdict): passes visit gates in a ROTATED order
+  * (each gate's samples land in different wall-clock windows), and gates
+  * whose spread still exceeds 2× get two extra isolated samples folded
+  * into their min (`retimed` in the detail line). Artifact-proofing (round-4 verdict:
   * tail-capture clipped the compact line and lost early queries from
   * per-round tracking): the canonical compact line prints FIRST and LAST
   * (detail line in between), and is ALSO written to a file
@@ -141,35 +145,59 @@ object Bench {
     // per-query (seconds, succeeded) for each full pass over the registry
     val registry = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val runs: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { _ =>
-      registry.map { case (name, fn) =>
-        // the near-dup operator family persists intermediates by design
-        // (documented caching contract, Dedup.scala): drop them between
-        // queries so no query's time includes another's eviction thrash.
-        // releaseAll FIRST: it clears the CachedFrames registry itself —
-        // clearCache alone unpersists but leaves hundreds of Dataset
-        // references (each pinning its analyzed plan) accumulating on the
-        // driver across the pass.
-        graft.CachedFrames.releaseAll()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        // noop-format write: materializes every row end-to-end (projection
-        // expressions, sorts, kernels) without sink I/O. A bare `.count()`
-        // lets Catalyst prune projection-only query bodies down to a parquet
-        // row count, timing the scan instead of the operator.
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            // record, never swallow: a failed query must be visible in the
-            // emitted JSON, not a ~0-second success
-            if (!errors.contains(name))
-              errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            false
-          }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
-      }.toMap
+    val gateSeq = registry.toSeq
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      // the near-dup operator family persists intermediates by design
+      // (documented caching contract, Dedup.scala): drop them between
+      // queries so no query's time includes another's eviction thrash.
+      // releaseAll FIRST: it clears the CachedFrames registry itself —
+      // clearCache alone unpersists but leaves hundreds of Dataset
+      // references (each pinning its analyzed plan) accumulating on the
+      // driver across the pass.
+      graft.CachedFrames.releaseAll()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // noop-format write: materializes every row end-to-end (projection
+      // expressions, sorts, kernels) without sink I/O. A bare `.count()`
+      // lets Catalyst prune projection-only query bodies down to a parquet
+      // row count, timing the scan instead of the operator.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          // record, never swallow: a failed query must be visible in the
+          // emitted JSON, not a ~0-second success
+          if (!errors.contains(name))
+            errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Interleaved gate order (round-14 verdict: min-of-N stopped separating
+    // signal from scheduler interference when every pass visits gates in
+    // the SAME order — one noisy wall-clock window then pins the same
+    // gates' every sample). Rotate the order by #gates/nRuns per pass so a
+    // gate's N samples land in N different thirds of the bench wall clock;
+    // a localized ambient spike now pollutes each gate at most once, which
+    // min-of-N absorbs by construction.
+    val runs: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { r =>
+      val off = (((r - 1).toLong * gateSeq.size) / math.max(nRuns, 1)).toInt
+      val ordered = gateSeq.drop(off) ++ gateSeq.take(off)
+      ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     }
     val names = registry.keys.toSeq
+    // Adaptive re-time (same verdict): a gate whose cross-pass spread still
+    // exceeds 2× after interleaving was hit in more than one window — give
+    // it two extra isolated samples so its reported min reflects the code,
+    // not the box. Bounded extra cost: only spread>2× gates above a 0.15 s
+    // floor (sub-noise gates can't meaningfully regress), 2 samples each.
+    val retimed: Map[String, Seq[Double]] = names.flatMap { n =>
+      val good = runs.map(_(n)).filter(_._2).map(_._1)
+      if (good.nonEmpty && good.min >= 0.15 && good.max / good.min > 2.0) {
+        val fn = registry(n)
+        Some(n -> (1 to 2).map(_ => timeOne(n, fn)).filter(_._2).map(_._1))
+      } else None
+    }.toMap
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -184,7 +212,7 @@ object Bench {
     // failed falls back to the raw min (the error is in the errors map).
     val minSecs = names.map { n =>
       val all = runs.map(_(n))
-      val good = all.filter(_._2).map(_._1)
+      val good = all.filter(_._2).map(_._1) ++ retimed.getOrElse(n, Nil)
       n -> (if (good.nonEmpty) good.min else all.map(_._1).min)
     }
     val qs = minSecs.map { case (k, v) => jstr(k) + ":" + f3(v) }.mkString("{", ",", "}")
@@ -196,7 +224,10 @@ object Bench {
     val total = minSecs.map(_._2).sum
     val runTotals = runs.map(r => f3(r.values.map(_._1).sum)).mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_runs":$nRuns,"run_totals":$runTotals,"sf":"$sfDir"}"""
-    val detail = s"""{"metric":"bench_detail","unit":"sec","n_runs":$nRuns,"run_totals":$runTotals,"per_run":$perRun}"""
+    val retimedJson = retimed.toSeq.sortBy(_._1).map { case (n, ts) =>
+      jstr(n) + ":" + ts.map(f3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"bench_detail","unit":"sec","n_runs":$nRuns,"run_totals":$runTotals,"retimed":$retimedJson,"per_run":$perRun}"""
     // canonical line FIRST (head-capture) and LAST (tail-capture), detail in
     // between, plus a file copy immune to either
     println(compact)

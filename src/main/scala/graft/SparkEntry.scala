@@ -1334,8 +1334,9 @@ object SparkEntry {
     // Catalog twin of jdbc_roundtrip (round 14): the six cleaned FHIR
     // tables registered as EXTERNAL parquet tables in the session catalog
     // (registerAllCatalog — FK parent-first walk, the same
-    // ReferenceDdl.coerceDates typing as the JDBC load, ANALYZE for CBO
-    // stats), then consumed BY NAME via a SQL FK-ordered join walk:
+    // ReferenceDdl.coerceDates typing as the JDBC load; ANALYZE covered
+    // by SinksSpec, not paid here), then consumed BY NAME via a SQL
+    // FK-ordered join walk:
     // patient LEFT JOIN encounter LEFT JOIN condition. The read-back
     // must hash-equal the same joins over the DuckDB-re-derived cleaned
     // tables: values survive the catalog/parquet layer exactly, the
@@ -1349,8 +1350,12 @@ object SparkEntry {
       val entries = graft.fhir.BundleReader
         .normalizedEntries(s, FhirFixtures.fixtureDir).cache()
       val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
+      // analyze=false IN THE GATE: the hash never consumes the CBO stats,
+      // and full ANALYZE on six tables was the gate's entire 1.7 s floor
+      // (r14 bench). SinksSpec keeps an analyze=true case, so the stats
+      // path stays proven without paying for it 3× per bench run.
       graft.sinks.Sinks.registerAllCatalog(s, tables, CatalogGateDb,
-        jsonlScratchRoot + "/catalog-fhir", analyze = true)
+        jsonlScratchRoot + "/catalog-fhir", analyze = false)
       s.sql(
         s"""SELECT p.resource_id AS patient_resource_id,
            |  cast(p.resource_birthDate AS string) AS birth_date,

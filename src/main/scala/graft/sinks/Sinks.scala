@@ -380,6 +380,15 @@ object Sinks {
     * VARCHAR columns that `createTableColumnTypes` DDL creates. Register
     * once before loading into Derby; no-op for other engines
     * (`canHandle` keys on the url).
+    *
+    * BEHAVIOR CHANGE (r14): `register()` no longer sets
+    * `derby.stream.error.file` — earlier builds routed `derby.log` out of
+    * the CWD as a side effect of dialect registration. Routing an engine
+    * boot artifact is the embedding harness's decision, not a library
+    * side effect: embedders that relied on it must now set
+    * `-Dderby.stream.error.file=...` (or `derby.system.home`) themselves
+    * before the first Derby connection, or Derby writes `derby.log` at
+    * the working directory.
     */
   object DerbyCompat {
     private val dialect: JdbcDialect = new JdbcDialect {

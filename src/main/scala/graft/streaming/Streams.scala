@@ -490,7 +490,17 @@ object Streams {
   private def transitionsFoldOrdered(userId: Long, rows: Iterator[TypedEvent],
       marker0: Option[(Long, Long, String)])
       : (IndexedSeq[Transition], Option[(Long, Long, String)]) = {
+    // Dedupe the batch by (ts, event_id) BEFORE folding: a within-batch
+    // at-least-once redelivery (two copies of one event in the same
+    // trigger) must behave exactly like the cross-batch case — the
+    // strictlyBefore filter below stops a copy pairing with ITSELF, but
+    // the first copy's true predecessor is still known, so without this
+    // dedupe each extra copy would re-emit the same transition once per
+    // copy while a cross-batch redelivery emits nothing. Keep-first on
+    // the sorted run (copies of one event agree on everything but are
+    // deduped on identity, not payload).
     val sorted = rows.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+      .distinctBy(e => (e.ts, e.event_id))
     var batchPrev: Option[(Long, Long, String)] = None
     val out = sorted.flatMap { e =>
       // STRICTLY before (unlike LOCF, where a row carrying itself is
