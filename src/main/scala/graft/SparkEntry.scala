@@ -138,6 +138,41 @@ object SparkEntry {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The staged event-time backlog replay the `stream_*_et` eviction
+    * gates stream from: the canonical events read, bucketized one file
+    * per ts DAY via [[graft.streaming.Streams.stageEventTimeReplay]],
+    * read back one file per micro-batch. `nullifyThirds` nulls `value`
+    * on `event_id % 3 = 0` (mirrored in the oracle SQL) so the LOCF
+    * carry is load-bearing. Memoized per (dir, nullify): staging is
+    * deterministic harness scaffolding — re-staging per bench pass
+    * would time the writer, not the streaming operator under test.
+    */
+  private val etReplayDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+  private[graft] def etReplayStream(spark: SparkSession, dir: String,
+      nullifyThirds: Boolean)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.ObsEvent] = {
+    import spark.implicits._
+    val chunks = etReplayDirs.computeIfAbsent((dir, nullifyThirds), _ => {
+      val base = events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (if (nullifyThirds)
+             when(col("event_id") % 3 === 0, lit(null))
+               .otherwise(col("value").cast("double"))
+           else col("value").cast("double")).as("value"))
+      graft.streaming.Streams.stageEventTimeReplay(base, "ts",
+        bucketUs = 86_400_000_000L)
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+      .as[graft.streaming.Streams.ObsEvent]
+  }
+
   private[graft] val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
@@ -3139,6 +3174,63 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
           col("value"), col("carried"))
         .orderBy("event_id")
+    }),
+
+    // Round 15 — the EVENT-TIME EVICTION gates (r14 verdict #1): the
+    // event-time lease tier's defining behavior — state expiring on the
+    // DATA's clock — exercised mid-stream and hash-compared against a
+    // DuckDB replay of the data-clock rule. The input is the events
+    // table staged as a deterministic backlog replay (one file per ts
+    // DAY, one micro-batch per file under AvailableNow — see
+    // stageEventTimeReplay), which pins the micro-batch partitioning
+    // and with it every watermark value and timer firing. A 6 h lease
+    // against per-user day-scale silences evicts hundreds of leases
+    // mid-stream at sf0.01 (simulator-sized: scripts/et_sim.py), so a
+    // wrong watermark floor, a wrong strictness on the timer compare,
+    // or a lease regressing on a late batch all hash-mismatch.
+    //
+    // stream_locf_et: eviction observed through the CARRY — a key quiet
+    // past the lease forgets its last observation, so the first rows
+    // after a long-enough silence carry null (or only in-batch values)
+    // instead of the stale pre-silence carry. value is deterministically
+    // nulled on event_id % 3 = 0 (both sides) so the carry is load-
+    // bearing; the oracle replays watermark/lease/segment arithmetic in
+    // window SQL (validated against the exact engine-semantics simulator
+    // at sf0.001/0.01/0.1 before being pinned here).
+    "stream_locf_et" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = etReplayStream(s, dir, nullifyThirds = true)
+      val name = "stream_locf_et_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(
+          Streams.locfEnrich(ev,
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(8), availableNow = true)
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"), col("carried"))
+        .orderBy("event_id")
+    }),
+
+    // stream_cdc_et: eviction observed DIRECTLY — latestStateChanges
+    // emits a DELETE tombstone carrying the dying winner when a key's
+    // event-time lease expires (the Kafka-compaction/TTL-stream record
+    // shape), so the eviction set itself is hashed, not inferred. The
+    // oracle replays upserts as the per-(key, day) argmax (in-order
+    // delivery makes every data bucket strictly advance the winner) and
+    // deletes by the lease rule between consecutive data buckets plus
+    // the final-watermark sweep (Spark's extra post-backlog batch).
+    "stream_cdc_et" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val ev = etReplayStream(s, dir, nullifyThirds = false)
+      val name = "stream_cdc_et_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(
+          Streams.latestStateChanges(ev, java.time.Duration.ofHours(6)).toDF(),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(8), availableNow = true)
+        .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+          col("value"), col("op"))
+        .orderBy("user_id", "ts_us", "event_id", "op")
     }),
 
     "stream_seen" -> ((s, dir) => {
@@ -6713,6 +6805,127 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    // Event-time EVICTION replay (round 15). Shared arithmetic with the
+    // engine run (validated against the exact-semantics simulator,
+    // scripts/et_sim.py + et_oracle_check.py, at sf0.001/0.01/0.1):
+    //   - delivered batch = ts day (86400000000 us), in event-time order;
+    //   - wm during batch k = floor(max event-us of batches < k / 1000),
+    //     0 before any data (delay "0 seconds");
+    //   - lease after a key's data batch = greatest(latest-ts-ms + ttl,
+    //     wm-at-that-batch + 1), ttl = 6 h = 21600000 ms;
+    //   - eviction fires in the first KEY-SILENT batch whose wm STRICTLY
+    //     exceeds the lease — between consecutive key rows that means
+    //     "next batch is >= 2 ordinals later AND wm at (next ordinal - 1)
+    //     > lease" (wm is monotone, and a batch where the key HAS data
+    //     re-arms the lease above the wm before any timer could fire).
+    // stream_locf_et: an evicted key forgets its carry — segment the
+    // per-key row sequence at evictions, then LOCF within segments. The
+    // "some non-null seen" clause mirrors "state exists iff a carry
+    // does": a carry-less key arms no lease (and a spurious boundary on
+    // a carry-less stretch provably cuts nothing — no non-null can sit
+    // between a real eviction and the next carry, else state would
+    // exist).
+    "stream_locf_et" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
+        |         epoch_us(ts) // 86400000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |wm0 AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |wmt AS (
+        |  SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0
+        |),
+        |r AS (
+        |  SELECT ev.user_id, ev.event_id, ev.tsu, ev.val, bk.ord, w.wm, w.wmm1
+        |  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |),
+        |flag AS (
+        |  SELECT r.*,
+        |    CASE WHEN lag(ord) OVER k IS NOT NULL
+        |          AND ord >= lag(ord) OVER k + 2
+        |          AND wmm1 > greatest(lag(tsu) OVER k // 1000 + 21600000,
+        |                              lag(wm) OVER k + 1)
+        |          AND count(val) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM r
+        |  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |),
+        |seg AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS sg
+        |  FROM flag
+        |)
+        |SELECT event_id, user_id, tsu AS ts_us, val AS value,
+        |       last_value(val IGNORE NULLS) OVER (PARTITION BY user_id, sg
+        |         ORDER BY tsu, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM seg ORDER BY event_id""".stripMargin,
+
+    // stream_cdc_et: the latestStateChanges feed — upserts are the
+    // per-(key, day) argmax (in-order delivery strictly advances the
+    // winner every data bucket, evicted or not: any admissible
+    // post-eviction arrival is above the watermark and hence above the
+    // dead winner + ttl, which is why NO state simulation is needed);
+    // deletes fire by the lease rule between consecutive data buckets,
+    // plus the final-watermark sweep for Spark's extra post-backlog
+    // batch (final wm = floor(global max ts / 1000), delay 0).
+    "stream_cdc_et" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |         epoch_us(ts) // 86400000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |wmt AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |fin AS (SELECT max(bmax) // 1000 AS final_wm FROM bk),
+        |stp AS (
+        |  SELECT user_id, ord, wm, tsu, event_id, value FROM (
+        |    SELECT ev.user_id, bk.ord, w.wm, ev.tsu, ev.event_id, ev.value,
+        |           row_number() OVER (PARTITION BY ev.user_id, bk.ord
+        |             ORDER BY ev.tsu DESC, ev.event_id DESC) AS rn
+        |    FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |  ) WHERE rn = 1
+        |),
+        |nxt AS (
+        |  SELECT *, lead(ord) OVER (PARTITION BY user_id ORDER BY ord) AS next_ord
+        |  FROM stp
+        |),
+        |ups AS (
+        |  SELECT user_id, tsu AS ts_us, event_id, value, 'upsert' AS op FROM nxt
+        |),
+        |dels AS (
+        |  SELECT n.user_id, n.tsu AS ts_us, n.event_id, n.value, 'delete' AS op
+        |  FROM nxt n
+        |  CROSS JOIN fin
+        |  LEFT JOIN wmt wprev ON wprev.ord = n.next_ord - 1
+        |  WHERE CASE WHEN n.next_ord IS NULL
+        |             THEN fin.final_wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+        |             ELSE n.next_ord >= n.ord + 2
+        |                  AND wprev.wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+        |        END
+        |)
+        |SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
+        |ORDER BY user_id, ts_us, event_id, op""".stripMargin,
 
     // identical ASOF shape to the batch asof_join oracle — streaming
     // must change nothing about the answer

@@ -776,6 +776,81 @@ object Streams {
       }
   }
 
+  final case class CdcChange(
+    user_id: Long, ts: Long, event_id: Long, value: Option[Double], op: String)
+
+  /** [[latestState]] as a FULL change feed: upserts when a key's winner
+    * changes, and a DELETE tombstone when the key's event-time lease
+    * expires — the record shape a compacted-topic / TTL'd-store consumer
+    * needs (Kafka compaction tombstones, DynamoDB-TTL delete streams): a
+    * downstream materialization that only ever saw upserts would pin
+    * every key forever, so expiry must flow THROUGH the feed, not happen
+    * silently beside it.
+    *
+    * Event-time ONLY, by design: a tombstone is data, and data must be
+    * replayable — a processing-time lease would emit a different delete
+    * set on every run of the same input (the nondeterminism
+    * [[latestState]]'s `eventTimeTtl` mode exists to remove). The delete
+    * carries the evicted key's last winner (`ts`/`event_id`/`value`)
+    * with `op = "delete"`, so consumers can reconcile exactly which
+    * version died; upserts carry `op = "upsert"`.
+    *
+    * Determinism contract (what makes this ORACLE-gateable, the r14
+    * verdict's ask): given a fixed micro-batch partitioning of the
+    * input, every emission is a pure function of the data —
+    *  - the watermark DURING batch k is the max event time of batches
+    *    < k minus `watermarkDelay` (ms floor), starting at 0;
+    *  - a key's lease after a data batch is
+    *    max(latest-event-ts-ms + ttl, watermark + 1) ([[dataClockLeaseMs]]);
+    *  - the tombstone fires in the FIRST key-silent batch whose
+    *    watermark STRICTLY exceeds the lease (Spark schedules one extra
+    *    no-data batch after a bounded backlog when the final data batch
+    *    advanced the watermark, so end-of-backlog expiries flush);
+    *  - any post-eviction arrival is above the watermark, hence above
+    *    the evicted winner + ttl, so it re-enters as a fresh upsert and
+    *    the winner sequence equals the delivered prefix max whether or
+    *    not an eviction happened — which is what lets a batch SQL
+    *    oracle replay the whole feed without simulating state.
+    * See the `stream_cdc_et` gate: a DuckDB window query replays
+    * upserts AND tombstones exactly, hash-verified.
+    *
+    * Scale shape: identical to [[latestState]] (one struct per live
+    * key); the tombstone branch adds no state, only output. 100 TB
+    * backlog replays evict on the DATA's clock at any wall-clock speed.
+    */
+  def latestStateChanges(events: Dataset[ObsEvent],
+      eventTimeTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds"): Dataset[CdcChange] = {
+    import events.sparkSession.implicits._
+    watermarkedInput(events, armed = true, "ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyLatest, CdcChange](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[ObsEvent], state: GroupState[KeyLatest]) =>
+          if (state.hasTimedOut) {
+            // the lease expired on the data clock: the eviction IS data —
+            // emit the dying winner as a tombstone, then drop the state
+            val dead = state.get
+            state.remove()
+            Iterator.single(CdcChange(uid, dead.ts, dead.event_id, dead.value, "delete"))
+          } else {
+            val prev = state.getOption
+            val best = (prev.iterator ++
+              rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
+              .maxBy(k => (k.ts, k.event_id))
+            if (!prev.contains(best)) state.update(best) // all-late batch: no churn
+            // any traffic re-arms the lease (best is monotone, so a late
+            // batch never regresses it); clamped strictly above the
+            // watermark, so a just-armed lease can never fire in the
+            // same batch's timeout sweep
+            state.setTimeoutTimestamp(
+              dataClockLeaseMs(best.ts, eventTimeTtl, state.getCurrentWatermarkMs()))
+            if (prev.contains(best)) Iterator.empty
+            else Iterator.single(CdcChange(uid, best.ts, best.event_id, best.value, "upsert"))
+          }
+      }
+  }
+
   /** [[latestState]] re-expressed on Spark 4's GA arbitrary-state API
     * (`transformWithState`): the same latest-wins CDC semantics held in
     * a typed `ValueState[KeyLatest]`, with NATIVE per-value TTL
@@ -1346,6 +1421,67 @@ object Streams {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  /** Stage a bounded frame as a DETERMINISTIC event-time backlog replay:
+    * one parquet file per non-empty `bucketUs` bucket of `microsCol`,
+    * modification times ascending in bucket order, so a file-source
+    * stream with `maxFilesPerTrigger = 1` (the source processes oldest
+    * mtime first) delivers exactly one ts bucket per micro-batch, in
+    * event-time order. This pins the ONE free variable in event-time
+    * streaming semantics — the micro-batch partitioning — which makes
+    * every watermark value, lease arming, and timer firing a pure
+    * function of the data: the property the `stream_*_et` oracle gates
+    * need to hash-compare an eviction-exercising run against a batch
+    * SQL replay, and the property a checkpoint-restart equivalence test
+    * needs to be meaningful.
+    *
+    * Test/replay harness by design, not a production writer: a real
+    * 100 TB backfill already HAS event-time-ordered files (the lake's
+    * date partitions) — there you stream the lake directly and
+    * `maxFilesPerTrigger` bounds batch size. The single-task write here
+    * (one writer so file count = bucket count, and mtimes can be
+    * assigned in order) is sized for replaying fixtures and samples,
+    * and refuses data above a safety cap rather than silently becoming
+    * a driver bottleneck.
+    *
+    * Returns the chunk directory; read it back with
+    * `spark.readStream.schema(...).option("maxFilesPerTrigger", 1)
+    * .parquet(dir)` under `Trigger.AvailableNow()` (one listing, every
+    * chunk its own batch).
+    */
+  def stageEventTimeReplay(df: DataFrame, microsCol: String,
+      bucketUs: Long, maxRows: Long = 10_000_000L): String = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val n = df.count()
+    require(n <= maxRows,
+      s"stageEventTimeReplay is a single-writer replay harness: $n rows " +
+        s"exceeds the $maxRows cap — stream the source directly instead")
+    val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    val byBucket = root.resolve("by_bucket").toString
+    df.withColumn("__b",
+        org.apache.spark.sql.functions.expr(s"CAST(`$microsCol` DIV $bucketUs AS LONG)"))
+      .repartition(1)
+      .sortWithinPartitions("__b")
+      .write.mode("overwrite").partitionBy("__b").parquet(byBucket)
+    val out = root.resolve("chunks").toFile
+    out.mkdirs()
+    val dirs = new java.io.File(byBucket).listFiles()
+      .filter(_.getName.startsWith("__b="))
+      .sortBy(_.getName.stripPrefix("__b=").toLong)
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected one file per bucket from the single-task write, got " +
+          s"${parts.length} under ${d.getName}")
+      val dst = new java.io.File(out, f"chunk-$i%05d.parquet")
+      java.nio.file.Files.move(parts.head.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly ascending, minute-spaced mtimes: the file source orders
+      // by modification time, and coarse-mtime filesystems must not tie
+      dst.setLastModified(1_700_000_000_000L + i.toLong * 60_000L)
+    }
+    out.toString
   }
 
   /** Convenience: run a streaming DataFrame to an in-memory table until

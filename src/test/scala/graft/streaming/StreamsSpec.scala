@@ -1040,6 +1040,96 @@ class StreamsSpec extends SparkSpec {
     assert(!ems.exists(_.ts == 180_000_000L), "stale row must be suppressed")
   }
 
+  test("stageEventTimeReplay: one file per ts bucket, ascending mtimes, lossless replay") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 5L, Some(1.0)), (1L, 2L, 105L, Some(2.0)),
+      (2L, 3L, 210L, None: Option[Double]), (1L, 4L, 207L, Some(4.0)),
+      (2L, 5L, 450L, Some(5.0)))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val dir = Streams.stageEventTimeReplay(df, "ts", bucketUs = 100L)
+    val files = new java.io.File(dir).listFiles().sortBy(_.getName)
+    // buckets 0, 1, 2, 4 are non-empty -> 4 chunk files
+    assert(files.length == 4, files.map(_.getName).mkString(","))
+    assert(files.map(_.lastModified()).toSeq ==
+      files.map(_.lastModified()).sorted.toSeq)
+    assert(files.sliding(2).forall(p => p(0).lastModified() < p(1).lastModified()))
+    // chunk i holds exactly bucket i's rows (event-time order), and the
+    // one-file-per-trigger replay round-trips the frame losslessly
+    val c0 = spark.read.parquet(files(0).getPath).as[Streams.ObsEvent].collect()
+    assert(c0.map(_.event_id).toSeq == Seq(1L))
+    val back = Streams.runToMemory(
+      spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir).toDF(),
+      "replay_out_" + java.lang.Long.toHexString(System.nanoTime()),
+      availableNow = true)
+    assert(back.as[(Long, Long, Long, Option[Double])].collect().toSet ==
+      rows.toSet)
+    // oversize input refuses rather than silently single-tasking it
+    intercept[IllegalArgumentException] {
+      Streams.stageEventTimeReplay(df, "ts", bucketUs = 100L, maxRows = 2L)
+    }
+  }
+
+  test("latestStateChanges: expiry emits a DELETE tombstone carrying the dying winner") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    val q = Streams.latestStateChanges(in.toDS(),
+      java.time.Duration.ofSeconds(10)).toDF()
+      .writeStream.format("memory").queryName("cdc_chg_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // 10 s
+      q.processAllAvailable()
+      awaitTtl("key 1 upserted and held") { stateRows(q) == 1L }
+      // one batch 40 s of event time later: the watermark passes key 1's
+      // 20 s lease — the eviction must FLOW THROUGH THE FEED as a delete
+      // carrying exactly the version that died (ts/event_id/value), not
+      // happen silently beside it
+      in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0))) // 50 s
+      q.processAllAvailable()
+      awaitTtl("key 1 evicted (tombstone emitted), key 2 live") {
+        stateRows(q) == 1L && spark.table("cdc_chg_out").count() == 3L
+      }
+    } finally q.stop()
+    val ems = spark.table("cdc_chg_out").as[Streams.CdcChange].collect().toSeq
+      .sortBy(c => (c.user_id, c.op))
+    assert(ems.map(c => (c.user_id, c.op)) ==
+      Seq((1L, "delete"), (1L, "upsert"), (2L, "upsert")), ems.toString)
+    val dead = ems.find(c => c.op == "delete").get
+    assert(dead == Streams.CdcChange(1L, 10_000_000L, 10L, Some(1.0), "delete"),
+      s"tombstone must carry the dying winner: $dead")
+  }
+
+  test("latestStateChanges: live keys never tombstone; a stale row emits no churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.ObsEvent]
+    // generous lease + lateness tolerance so nothing can expire here
+    val q = Streams.latestStateChanges(in.toDS(),
+      java.time.Duration.ofSeconds(1000), watermarkDelay = "60 seconds").toDF()
+      .writeStream.format("memory").queryName("cdc_chg_live_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Streams.ObsEvent(1L, 10L, 200_000_000L, Some(1.0))) // 200 s
+      q.processAllAvailable()
+      in.addData(Streams.ObsEvent(1L, 11L, 250_000_000L, Some(2.0))) // new winner
+      q.processAllAvailable()
+      // stale-but-admissible row (180 s: above the 190 s-60 s watermark,
+      // below the 250 s winner): suppressed — an upsert feed must never
+      // regress, and no tombstone may appear for a live key
+      in.addData(Streams.ObsEvent(1L, 9L, 180_000_000L, Some(0.5)))
+      q.processAllAvailable()
+      awaitTtl("exactly the two winner upserts") {
+        spark.table("cdc_chg_live_out").count() == 2L
+      }
+    } finally q.stop()
+    val ems = spark.table("cdc_chg_live_out").as[Streams.CdcChange].collect().toSeq
+    assert(ems.forall(_.op == "upsert"), ems.toString)
+    assert(ems.map(_.event_id).sorted == Seq(10L, 11L), ems.toString)
+  }
+
   test("latestStateTws eventTimeTtl: event-time timers clear state on watermark advance (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
