@@ -228,8 +228,10 @@ object Streams {
     * next event after a long silence counts from zero, and dead users
     * stop pinning state on an unbounded-user ingest. No event-time
     * variant by construction: [[UserEvent]] carries no event-time field
-    * for a watermark to ride (same for [[neardupCandidates]]'s
-    * [[BandDoc]]) — ops whose input has a `ts` all take `eventTimeTtl`.
+    * for a watermark to ride — ops whose input has a `ts` all take
+    * `eventTimeTtl` (and [[neardupCandidates]], whose [[BandDoc]] is
+    * likewise ts-less, has the ts-bearing
+    * [[neardupCandidatesEventTime]] twin since r15).
     */
   def runningUserStats(events: Dataset[UserEvent],
       ttl: Option[String] = None): Dataset[UserStats] = {
@@ -1033,6 +1035,85 @@ object Streams {
             }
             if (fresh.nonEmpty) state.update(seen ++ fresh)
             bucketTtl.foreach(state.setTimeoutDuration) // arrivals renew the lease
+            out.iterator
+          }
+      }
+  }
+
+  final case class TsBandDoc(band_idx: Int, band_hash: Long, doc_id: Long, ts: Long)
+
+  /** [[neardupCandidates]] with the bucket lease on the DATA's clock —
+    * the r14 event-time argument applied to LSH state: `bucketTtl`
+    * (processing time) makes a fast backlog replay keep every bucket
+    * ever seen (state = the full-history index — exactly the balloon the
+    * lease exists to prevent) and a stalled stream drop LIVE buckets;
+    * this variant watermarks the docs' `tsCol` (epoch-MICROS) and
+    * expires a bucket when the watermark passes its latest member's
+    * event time + `eventTimeTtl`, so "pairs within a lease of each
+    * other" is measured in EVENT time — replay a year of corpus history
+    * in an hour and the candidate set is the same one the live stream
+    * would have produced, which is the property that makes windowed
+    * near-dup detection auditable at all ([[latestState]]'s eventTimeTtl
+    * caveats apply: a silent stream never advances the watermark, and
+    * rows older than the watermark are dropped before the operator).
+    *
+    * Separate method (not a param on [[neardupCandidates]]) because the
+    * input row gains a field: the bucket lease needs each doc's ts, so
+    * the banded explode carries [[TsBandDoc]] and the state adds the
+    * bucket's monotone latest event time — a late batch can regress
+    * neither the member set nor the lease.
+    */
+  def neardupCandidatesEventTime(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      eventTimeTtl: java.time.Duration,
+      n: Int = 3, watermarkDelay: String = "0 seconds"): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    import graft.ops.Dedup
+    val bands = docs.filter(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        posexplode(graft.functions.band_hashes(
+          Dedup.minhashSignature(
+            graft.functions.shingle_hash_set(col(textCol), n)),
+          Dedup.Bands, Dedup.RowsPerBand)).as(Seq("band_idx", "band_hash")),
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("long").as("ts"))
+      .select("band_idx", "band_hash", "doc_id", "ts")
+      .as[TsBandDoc]
+    watermarkedInput(bands, armed = true, "ts", watermarkDelay)
+      .groupByKey(b => (b.band_idx, b.band_hash))
+      .flatMapGroupsWithState[(Array[Long], Long), CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[TsBandDoc],
+         state: GroupState[(Array[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (seen, maxTs0) = state.getOption.getOrElse((Array.empty[Long], Long.MinValue))
+            val batch = rows.toArray
+            val fresh = batch.map(_.doc_id).distinct.sorted.filterNot(seen.contains)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+            var i = 0
+            while (i < fresh.length) {
+              val a = fresh(i)
+              var j = 0
+              while (j < seen.length) {
+                val b = seen(j)
+                out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+                j += 1
+              }
+              var k = i + 1
+              while (k < fresh.length) {
+                out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
+                k += 1
+              }
+              i += 1
+            }
+            // the lease rides the bucket's MONOTONE latest event time, so
+            // a late batch never regresses it; re-deliveries of known ids
+            // still renew (they are bucket traffic on the data clock)
+            val maxTs = math.max(maxTs0, batch.map(_.ts).max)
+            state.update((seen ++ fresh, maxTs))
+            state.setTimeoutTimestamp(
+              dataClockLeaseMs(maxTs, eventTimeTtl, state.getCurrentWatermarkMs()))
             out.iterator
           }
       }

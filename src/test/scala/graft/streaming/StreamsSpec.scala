@@ -235,6 +235,41 @@ class StreamsSpec extends SparkSpec {
     assert(ems.map(_.ts).toSet == Set(100L, 40L), ems.toString)
   }
 
+  test("neardupCandidatesEventTime: bucket lease expires on the DATA clock, zero wall-clock wait") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val otherA = "completely different content with no shared shingles at all here"
+    val otherB = "yet another unrelated passage whose trigrams overlap with nothing"
+    val in = MemoryStream[(Long, String, Long)]
+    val cands = Streams.neardupCandidatesEventTime(
+      in.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      eventTimeTtl = java.time.Duration.ofSeconds(10))
+    val q = cands.toDF().writeStream.format("memory").queryName("nd_et_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, dup, 10_000_000L)) // 10 s
+      q.processAllAvailable()
+      in.addData((2L, dup, 15_000_000L)) // 15 s: inside 1's lease -> pairs
+      q.processAllAvailable()
+      // advance the watermark FAR past the dup buckets' 25 s lease using
+      // a disjoint-shingle doc (different buckets), then once more so the
+      // quiet dup buckets see a timeout sweep with wm = 60 s
+      in.addData((3L, otherA, 60_000_000L))
+      q.processAllAvailable()
+      in.addData((4L, otherB, 70_000_000L))
+      q.processAllAvailable()
+      // a NEW dup doc above the watermark: its buckets were evicted on
+      // the data clock, so it must NOT pair with 1 or 2 — windowed
+      // detection measured in event time (a processing-time lease would
+      // have kept everything: this whole test runs in milliseconds)
+      in.addData((5L, dup, 80_000_000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_et_out").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"evicted buckets must not pair: $pairs")
+  }
+
   test("neardupCandidates bucketTtl: expired buckets forget their members — detection is windowed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
