@@ -102,6 +102,58 @@ SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
 ORDER BY user_id, ts_us, event_id, op
 """
 
+EP_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
+         (epoch_us(ts) + 7200000000) // 86400000000 AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+bk AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax
+  FROM ev GROUP BY b
+),
+wm0 AS (
+  SELECT ord,
+    coalesce(max(bmax) OVER (ORDER BY ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+  FROM bk
+),
+wmt AS (SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0),
+fin AS (SELECT max(bmax) // 1000 AS final_wm FROM bk),
+r AS (
+  SELECT ev.user_id, ev.ivs, ev.ive, bk.ord, w.wm, w.wmm1
+  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+),
+flag AS (
+  SELECT r.*,
+    CASE WHEN lag(ive) OVER k IS NULL THEN 1
+         WHEN (ord >= lag(ord) OVER k + 2
+               AND wmm1 > greatest(lag(ive) OVER k // 1000 + 21600000,
+                                   lag(wm) OVER k + 1))
+           OR ivs > lag(ive) OVER k + 7200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM r WINDOW k AS (PARTITION BY user_id ORDER BY ivs, ive)
+),
+seg AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ivs, ive) AS eid
+  FROM flag
+),
+ep AS (
+  SELECT user_id, eid, min(ivs) AS mstart, max(ive) AS mend,
+         count(*) AS n_merged, max(ord) AS last_ord
+  FROM seg GROUP BY user_id, eid
+),
+mx AS (SELECT user_id, max(eid) AS last_eid FROM ep GROUP BY user_id)
+SELECT e.user_id, e.mstart, e.mend, e.n_merged
+FROM ep e
+JOIN mx USING (user_id)
+JOIN wmt wl ON wl.ord = e.last_ord
+CROSS JOIN fin
+WHERE e.eid < mx.last_eid
+   OR fin.final_wm > greatest(e.mend // 1000 + 21600000, wl.wm + 1)
+ORDER BY user_id, mstart
+"""
+
 if __name__ == "__main__":
     for sf in ["0.001", "0.01", "0.1"]:
         sf_dir = f"/root/testdata/sf{sf}"
@@ -116,8 +168,15 @@ if __name__ == "__main__":
         sql_rows = [tuple(r) for r in con.sql(CDC_SQL).fetchall()]
         eng, _ = sim_cdc(df, DAY_US, TTL_MS)
         ok_cdc = norm(sql_rows) == norm(eng)
-        print(f"sf{sf}: locf_sql_match={ok_locf} cdc_sql_match={ok_cdc}")
-        if not (ok_locf and ok_cdc):
+
+        from et_sim import sim_episodes
+        sql_rows = [tuple(r) for r in con.sql(EP_SQL).fetchall()]
+        eng, _ = sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
+                              2 * 3600 * 1_000_000, TTL_MS)
+        ok_ep = norm(sql_rows) == norm(eng)
+        print(f"sf{sf}: locf_sql_match={ok_locf} cdc_sql_match={ok_cdc} "
+              f"episodes_sql_match={ok_ep}")
+        if not (ok_locf and ok_cdc and ok_ep):
             a, b = set(norm(sql_rows)), set(norm(eng))
             print("  sql-only:", list(a - b)[:5])
             print("  eng-only:", list(b - a)[:5])

@@ -209,6 +209,104 @@ def oracle_cdc(df, W, ttl_ms):
                     out.append((uid, bts, bid, bval, "delete"))
     return out
 
+def sim_episodes(df, W, L_us, gap_us, flush_ms):
+    """Engine model for episodeState(gap, eventTimeIdleFlush, delay=0):
+    intervals (ivs=ts, ive=ts+L) delivered one ive-day-bucket per batch
+    (fixed L makes per-key delivery ivs- AND ive-monotone). Emits closed
+    episodes plus watermark-flushed episodes (incl. the post-backlog
+    sweep batch); the per-key trailing OPEN episode is never emitted."""
+    d = df.copy()
+    d["ivs"] = d["tsu"]
+    d["ive"] = d["tsu"] + L_us
+    d["b"] = d["ive"] // W
+    batches = sorted(d["b"].unique())
+    state = {}   # uid -> (ms, me, n)
+    timer = {}
+    out = []
+    n_flush = 0
+    wm = 0
+    prev_max_us = None
+
+    def fire(keys_with_data):
+        nonlocal n_flush
+        for uid in list(timer):
+            if uid not in keys_with_data and timer[uid] < wm:
+                ms, me, n = state.pop(uid)
+                timer.pop(uid)
+                out.append((uid, ms, me, n))
+                n_flush += 1
+
+    for b in batches:
+        if prev_max_us is not None:
+            wm = max(wm, prev_max_us // 1000)
+        batch = d[d["b"] == b]
+        fire(set(batch["user_id"]))
+        for uid, g in batch.groupby("user_id"):
+            g = g.sort_values(["ivs", "ive"])
+            assert (g["ive"] // 1000 > wm).all(), "late interval would drop"
+            cur = state.get(uid)
+            for _, r in g.iterrows():
+                if cur is not None and r["ivs"] <= cur[1] + gap_us:
+                    cur = (cur[0], max(cur[1], r["ive"]), cur[2] + 1)
+                elif cur is not None:
+                    out.append((uid, cur[0], cur[1], cur[2]))
+                    cur = (r["ivs"], r["ive"], 1)
+                else:
+                    cur = (r["ivs"], r["ive"], 1)
+            state[uid] = cur
+            timer[uid] = max(cur[1] // 1000 + flush_ms, wm + 1)
+        prev_max_us = max(prev_max_us or 0, batch["ive"].max())
+    wm = max(wm, prev_max_us // 1000)
+    fire(set())
+    return out, n_flush
+
+def oracle_episodes(df, W, L_us, gap_us, flush_ms):
+    """Closed-form oracle for sim_episodes: break the per-key interval
+    sequence at gap breaks OR flush boundaries (silent-batch lease rule
+    on the previous interval's reach — fixed L makes reach = lag(ive)),
+    group into episodes, emit all but each key's last episode, which is
+    emitted iff the final watermark flushes it."""
+    d = df.copy()
+    d["ivs"] = d["tsu"]
+    d["ive"] = d["tsu"] + L_us
+    d["b"] = d["ive"] // W
+    border = sorted(d["b"].unique())
+    ordv = {b: i + 1 for i, b in enumerate(border)}
+    d["ord"] = d["b"].map(ordv)
+    bmax = d.groupby("ord")["ive"].max()
+    wm = {}
+    run = None
+    for x in sorted(ordv.values()):
+        wm[x] = (run // 1000) if run is not None else 0
+        run = max(run or 0, bmax[x])
+    final_wm = run // 1000
+    out = []
+    for uid, g in d.groupby("user_id"):
+        g = g.sort_values(["ivs", "ive"])
+        eps = []   # list of [ms, me, n, last_ord]
+        prev = None
+        for _, r in g.iterrows():
+            brk = True
+            if prev is not None:
+                timeout = max(prev["ive"] // 1000 + flush_ms, wm[prev["ord"]] + 1)
+                flushed = (r["ord"] >= prev["ord"] + 2
+                           and wm[r["ord"] - 1] > timeout)
+                brk = flushed or r["ivs"] > prev["ive"] + gap_us
+            if brk:
+                eps.append([r["ivs"], r["ive"], 1, r["ord"]])
+            else:
+                e = eps[-1]
+                e[1] = max(e[1], r["ive"]); e[2] += 1; e[3] = r["ord"]
+            prev = r
+        for i, (ms, me, n, lo) in enumerate(eps):
+            if i + 1 < len(eps):
+                out.append((uid, ms, me, n))
+            else:
+                timeout = max(me // 1000 + flush_ms, wm[lo] + 1)
+                if final_wm > timeout:
+                    out.append((uid, ms, me, n))
+    return out
+
 def norm(rows):
     def c(x):
         if x is None:
@@ -240,3 +338,16 @@ if __name__ == "__main__":
         n_del = sum(1 for r in eng if r[4] == "delete")
         print(f"sf{sf} cdc_et: emissions={len(eng)} deletes={n_del} "
               f"evictions={nev} oracle_match={match}")
+        # ---- episode flush gate: 2 h intervals, 2 h merge gap,
+        #      6 h idle flush, day buckets on ive, delay = 0
+        eng, nfl = sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
+                                2 * 3600 * 1_000_000, 6 * 3600 * 1000)
+        orc = oracle_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
+                              2 * 3600 * 1_000_000, 6 * 3600 * 1000)
+        match = norm(eng) == norm(orc)
+        print(f"sf{sf} episodes_et: episodes={len(eng)} flushes={nfl} "
+              f"oracle_match={match}")
+        if not match:
+            a, b = set(norm(eng)), set(norm(orc))
+            print("  eng-only:", sorted(a - b)[:4])
+            print("  orc-only:", sorted(b - a)[:4])

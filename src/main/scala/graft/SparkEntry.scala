@@ -173,6 +173,32 @@ object SparkEntry {
       .as[graft.streaming.Streams.ObsEvent]
   }
 
+  /** The staged interval replay for `stream_episodes_et`: fixed-length
+    * intervals (ivs = ts, ive = ts + 2 h) bucketized one file per ive
+    * DAY — fixed length keeps per-key delivery monotone in BOTH
+    * endpoints, which is what gives the idle-flush rule a closed-form
+    * window oracle (reach = lag(ive)). Memoized like [[etReplayStream]].
+    */
+  private[graft] def etEpisodeReplayStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.IntervalRow] = {
+    import spark.implicits._
+    val chunks = etReplayDirs.computeIfAbsent((dir + "#episodes", false), _ => {
+      val base = events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").as("ivs"),
+          (col("ts") + lit(7_200_000_000L)).as("ive"))
+      graft.streaming.Streams.stageEventTimeReplay(base, "ive",
+        bucketUs = 86_400_000_000L)
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ivs", LongType),
+        StructField("ive", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+      .as[graft.streaming.Streams.IntervalRow]
+  }
+
   private[graft] val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
@@ -3729,6 +3755,31 @@ object SparkEntry {
         .orderBy("user_id", "mstart")
     }),
 
+    // Round 15 — event-time SESSIONIZATION, hash-gated (the r14
+    // verdict's sanctioned growth): episodeState's eventTimeIdleFlush is
+    // the subtlest event-time semantics — the flush produces OUTPUT, so
+    // wall-clock flushing changes the result set, not just state size.
+    // Intervals are FIXED-LENGTH (ivs = ts, ive = ts + 2 h) so per-key
+    // delivery is ivs- AND ive-monotone under the ive-day-bucket replay,
+    // which gives the flush rule a closed-form window oracle: break the
+    // per-key sequence at gap breaks OR silent-batch flushes (lease on
+    // the previous interval's reach — fixed length makes reach =
+    // lag(ive)), emit every episode except each key's trailing one,
+    // which emits iff the final watermark flushes it (340 watermark
+    // flushes at sf0.01 — simulator-sized like its siblings). A flush
+    // firing one batch early/late, a lease regressing, or the trailing
+    // open episode leaking all hash-mismatch.
+    "stream_episodes_et" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val iv = etEpisodeReplayStream(s, dir)
+      val name = "stream_episodes_et_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(
+          Streams.episodeState(iv, gap = 7_200_000_000L,
+            eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(8), availableNow = true)
+        .orderBy("user_id", "mstart")
+    }),
+
     // Interval algebra §E — readmission profile over the §D episodes:
     // each episode with a successor is an index case, readmitted iff
     // the next episode starts within 30 HOURS of its end (the 30-day
@@ -6926,6 +6977,64 @@ object SparkEntry {
         |)
         |SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
         |ORDER BY user_id, ts_us, event_id, op""".stripMargin,
+
+    // stream_episodes_et: event-time sessionization replay — fixed 2 h
+    // intervals, 2 h merge gap, 6 h idle flush, ive-day buckets. Break
+    // the per-key sequence at gap breaks OR silent-batch flushes (lease
+    // = greatest(reach-ms + flush, wm + 1) on the PREVIOUS interval;
+    // fixed length makes reach = lag(ive)), group to episodes, emit all
+    // but each key's trailing episode, which emits iff the final
+    // watermark flushes it (trailing OPEN episodes stay in state).
+    "stream_episodes_et" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
+        |         (epoch_us(ts) + 7200000000) // 86400000000 AS b
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |wm0 AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |wmt AS (SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0),
+        |fin AS (SELECT max(bmax) // 1000 AS final_wm FROM bk),
+        |r AS (
+        |  SELECT ev.user_id, ev.ivs, ev.ive, bk.ord, w.wm, w.wmm1
+        |  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |),
+        |flag AS (
+        |  SELECT r.*,
+        |    CASE WHEN lag(ive) OVER k IS NULL THEN 1
+        |         WHEN (ord >= lag(ord) OVER k + 2
+        |               AND wmm1 > greatest(lag(ive) OVER k // 1000 + 21600000,
+        |                                   lag(wm) OVER k + 1))
+        |           OR ivs > lag(ive) OVER k + 7200000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM r WINDOW k AS (PARTITION BY user_id ORDER BY ivs, ive)
+        |),
+        |seg AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ivs, ive) AS eid
+        |  FROM flag
+        |),
+        |ep AS (
+        |  SELECT user_id, eid, min(ivs) AS mstart, max(ive) AS mend,
+        |         count(*) AS n_merged, max(ord) AS last_ord
+        |  FROM seg GROUP BY user_id, eid
+        |),
+        |mx AS (SELECT user_id, max(eid) AS last_eid FROM ep GROUP BY user_id)
+        |SELECT e.user_id, e.mstart, e.mend, e.n_merged
+        |FROM ep e
+        |JOIN mx USING (user_id)
+        |JOIN wmt wl ON wl.ord = e.last_ord
+        |CROSS JOIN fin
+        |WHERE e.eid < mx.last_eid
+        |   OR fin.final_wm > greatest(e.mend // 1000 + 21600000, wl.wm + 1)
+        |ORDER BY user_id, mstart""".stripMargin,
 
     // identical ASOF shape to the batch asof_join oracle — streaming
     // must change nothing about the answer
