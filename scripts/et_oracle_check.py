@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Validates the stream_locf_et / stream_cdc_et DuckDB oracle SQL against
+"""Validates the stream_locf_et / stream_cdc_et / stream_episodes_et /
+stream_transitions_et DuckDB oracle SQL against
 the engine-semantics simulator (et_sim.py) on real testdata."""
 import duckdb
 import pandas as pd
@@ -102,6 +103,48 @@ SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
 ORDER BY user_id, ts_us, event_id, op
 """
 
+TRANS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+         epoch_us(ts) // 86400000000 AS b
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+),
+bk AS (
+  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+  FROM ev GROUP BY b
+),
+wm0 AS (
+  SELECT ord,
+    coalesce(max(bmax) OVER (ORDER BY ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+  FROM bk
+),
+wmt AS (
+  SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0
+),
+r AS (
+  SELECT ev.user_id, ev.event_id, ev.tsu, ev.event_type, bk.ord,
+         w.wm, w.wmm1
+  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+),
+p AS (
+  SELECT r.user_id, r.event_type AS to_type,
+    lag(event_type) OVER k AS from_type,
+    CASE WHEN lag(ord) OVER k IS NOT NULL
+          AND ord >= lag(ord) OVER k + 2
+          AND wmm1 > greatest(lag(tsu) OVER k // 1000 + 21600000,
+                              lag(wm) OVER k + 1)
+         THEN 1 ELSE 0 END AS evicted
+  FROM r
+  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
+)
+SELECT user_id, from_type, to_type
+FROM p WHERE from_type IS NOT NULL AND evicted = 0
+ORDER BY user_id, from_type, to_type
+"""
+
 EP_SQL = """
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
@@ -169,14 +212,18 @@ if __name__ == "__main__":
         eng, _ = sim_cdc(df, DAY_US, TTL_MS)
         ok_cdc = norm(sql_rows) == norm(eng)
 
-        from et_sim import sim_episodes
+        from et_sim import sim_episodes, sim_transitions, load_typed
         sql_rows = [tuple(r) for r in con.sql(EP_SQL).fetchall()]
         eng, _ = sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
                               2 * 3600 * 1_000_000, TTL_MS)
         ok_ep = norm(sql_rows) == norm(eng)
+
+        sql_rows = [tuple(r) for r in con.sql(TRANS_SQL).fetchall()]
+        eng, _ = sim_transitions(load_typed(sf_dir), DAY_US, TTL_MS)
+        ok_tr = norm(sql_rows) == norm(eng)
         print(f"sf{sf}: locf_sql_match={ok_locf} cdc_sql_match={ok_cdc} "
-              f"episodes_sql_match={ok_ep}")
-        if not (ok_locf and ok_cdc and ok_ep):
+              f"episodes_sql_match={ok_ep} transitions_sql_match={ok_tr}")
+        if not (ok_locf and ok_cdc and ok_ep and ok_tr):
             a, b = set(norm(sql_rows)), set(norm(eng))
             print("  sql-only:", list(a - b)[:5])
             print("  eng-only:", list(b - a)[:5])

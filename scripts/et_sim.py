@@ -209,6 +209,89 @@ def oracle_cdc(df, W, ttl_ms):
                     out.append((uid, bts, bid, bval, "delete"))
     return out
 
+def load_typed(sf_dir):
+    con = duckdb.connect()
+    return con.sql(f"""
+      SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+      FROM '{sf_dir}/events.parquet'
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    """).df()
+
+def sim_transitions(df, W, ttl_ms):
+    """Engine model for transitionsStateful(eventTimeTtl, delay=0), in-order
+    day-bucket delivery: marker state (ts, event_id, type) per key, each
+    event pairs with the latest KNOWN strictly-before event
+    (transitionsFoldOrdered), lease = max(marker-ts-ms + ttl, wm + 1),
+    eviction (marker forgotten, nothing emitted) fires in the first
+    key-silent batch whose wm STRICTLY exceeds the lease."""
+    d = df.copy()
+    d["b"] = d["tsu"] // W
+    batches = sorted(d["b"].unique())
+    state = {}   # uid -> (ts, id, type)
+    timer = {}
+    out = []
+    n_evict = 0
+    wm = 0
+    prev_max_us = None
+    for b in batches:
+        if prev_max_us is not None:
+            wm = max(wm, prev_max_us // 1000)   # delay = 0
+        batch = d[d["b"] == b]
+        keys_with_data = set(batch["user_id"])
+        for uid in list(timer):
+            if uid not in keys_with_data and timer[uid] < wm:
+                state.pop(uid, None); timer.pop(uid, None); n_evict += 1
+        for uid, g in batch.groupby("user_id"):
+            g = g.sort_values(["tsu", "event_id"])
+            marker0 = state.get(uid)
+            batch_prev = None
+            for _, r in g.iterrows():
+                key = (r["tsu"], r["event_id"])
+                cands = [c for c in (marker0, batch_prev)
+                         if c is not None and (c[0], c[1]) < key]
+                pred = max(cands, key=lambda c: (c[0], c[1]), default=None)
+                if pred is not None:
+                    out.append((uid, pred[2], r["event_type"]))
+                batch_prev = (r["tsu"], r["event_id"], r["event_type"])
+            marker = max([c for c in (marker0, batch_prev) if c is not None],
+                         key=lambda c: (c[0], c[1]))
+            state[uid] = marker
+            timer[uid] = max(marker[0] // 1000 + ttl_ms, wm + 1)
+        prev_max_us = max(prev_max_us or 0, batch["tsu"].max())
+    return out, n_evict
+
+def oracle_transitions(df, W, ttl_ms):
+    """Closed-form oracle for sim_transitions: segment the per-key row
+    sequence at evictions (same lease rule as oracle_locf, minus the
+    non-null clause — the marker exists after ANY batch), then pair each
+    row with its in-segment predecessor (in-order delivery makes the
+    stored marker exactly the previous row)."""
+    d = df.copy()
+    d["b"] = d["tsu"] // W
+    border = sorted(d["b"].unique())
+    ordv = {b: i + 1 for i, b in enumerate(border)}
+    d["ord"] = d["b"].map(ordv)
+    bmax = d.groupby("ord")["tsu"].max()
+    wm = {}
+    run = None
+    for x in sorted(ordv.values()):
+        wm[x] = (run // 1000) if run is not None else 0
+        run = max(run or 0, bmax[x])
+    out = []
+    for uid, g in d.groupby("user_id"):
+        g = g.sort_values(["tsu", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None:
+                timeout = max(prev["tsu"] // 1000 + ttl_ms, wm[prev["ord"]] + 1)
+                evicted = (r["ord"] >= prev["ord"] + 2
+                           and wm[r["ord"] - 1] > timeout)
+                if not evicted:
+                    out.append((uid, prev["event_type"], r["event_type"]))
+            prev = r
+    return out
+
 def sim_episodes(df, W, L_us, gap_us, flush_ms):
     """Engine model for episodeState(gap, eventTimeIdleFlush, delay=0):
     intervals (ivs=ts, ive=ts+L) delivered one ive-day-bucket per batch
@@ -338,6 +421,22 @@ if __name__ == "__main__":
         n_del = sum(1 for r in eng if r[4] == "delete")
         print(f"sf{sf} cdc_et: emissions={len(eng)} deletes={n_del} "
               f"evictions={nev} oracle_match={match}")
+        # ---- transitions gate: W = 1 day, ttl = 6 h, delay = 0
+        dt = load_typed(f"/root/testdata/sf{sf}")
+        eng, nev = sim_transitions(dt, DAY_US, 6 * 3600 * 1000)
+        orc = oracle_transitions(dt, DAY_US, 6 * 3600 * 1000)
+        match = norm(eng) == norm(orc)
+        # discriminating rows: pairs suppressed vs a no-eviction run
+        noev, _ = sim_transitions(dt, DAY_US, 10**15)
+        import collections
+        ec, nc = collections.Counter(norm(eng)), collections.Counter(norm(noev))
+        diff = sum((nc - ec).values()) + sum((ec - nc).values())
+        print(f"sf{sf} transitions_et: pairs={len(eng)} evictions={nev} "
+              f"oracle_match={match} pairs_changed_by_eviction={diff}")
+        if not match:
+            a, b = set(norm(eng)), set(norm(orc))
+            print("  eng-only:", sorted(a - b)[:4])
+            print("  orc-only:", sorted(b - a)[:4])
         # ---- episode flush gate: 2 h intervals, 2 h merge gap,
         #      6 h idle flush, day buckets on ive, delay = 0
         eng, nfl = sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,

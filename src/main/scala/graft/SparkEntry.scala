@@ -173,6 +173,32 @@ object SparkEntry {
       .as[graft.streaming.Streams.ObsEvent]
   }
 
+  /** The staged typed replay for `stream_transitions_et`: the canonical
+    * events read carrying `event_type` (non-null — the transitions ops'
+    * input contract), bucketized one file per ts DAY like
+    * [[etReplayStream]]. Memoized per dir: staging is deterministic
+    * harness scaffolding.
+    */
+  private[graft] def etTypedReplayStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.TypedEvent] = {
+    import spark.implicits._
+    val chunks = etReplayDirs.computeIfAbsent((dir + "#typed", false), _ => {
+      val base = events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      graft.streaming.Streams.stageEventTimeReplay(base, "ts",
+        bucketUs = 86_400_000_000L)
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("event_type", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+      .as[graft.streaming.Streams.TypedEvent]
+  }
+
   /** The staged interval replay for `stream_episodes_et`: fixed-length
     * intervals (ivs = ts, ive = ts + 2 h) bucketized one file per ive
     * DAY — fixed length keeps per-key delivery monotone in BOTH
@@ -3237,6 +3263,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // stream_locf_et_tws: the same event-time eviction on the
+    // transformWithState tier — a real per-key event-time timer on
+    // RocksDB whose firing CLEARS the carry (handleExpiredTimer), so a
+    // key quiet past the lease forgets its carry exactly like the
+    // flatMapGroupsWithState op. Same staged replay, same data-clock
+    // oracle: the TWS timer path gets the hash-grade evidence the
+    // legacy tier got (r14 verdict: "the TWS timer path deserves the
+    // same").
+    "stream_locf_et_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = etReplayStream(s, dir, nullifyThirds = true)
+      val name = "stream_locf_et_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(
+          Streams.locfEnrichTws(ev,
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(8), availableNow = true)
+      }
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"), col("carried"))
+        .orderBy("event_id")
+    }),
+
     // stream_cdc_et: eviction observed DIRECTLY — latestStateChanges
     // emits a DELETE tombstone carrying the dying winner when a key's
     // event-time lease expires (the Kafka-compaction/TTL-stream record
@@ -3257,6 +3307,30 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
           col("value"), col("op"))
         .orderBy("user_id", "ts_us", "event_id", "op")
+    }),
+
+    // stream_transitions_et: eviction observed through the CHAIN — a key
+    // quiet past the lease forgets its previous-event marker, so the
+    // first event after a long-enough silence starts a fresh chain
+    // (emits NO pair) instead of pairing with the stale predecessor.
+    // Raw (user_id, from_type, to_type) pairs are hashed (a
+    // deterministic multiset under the driver's sort-and-hash); at
+    // sf0.01 the 6 h lease suppresses ~242 pairs vs a no-eviction run
+    // (scripts/et_sim.py), so a wrong timer compare or a lease
+    // regressing on a late batch hash-mismatches. Oracle: same segment
+    // arithmetic as stream_locf_et minus the non-null clause (the
+    // marker exists after ANY batch), pairs = in-segment lag.
+    "stream_transitions_et" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = etTypedReplayStream(s, dir)
+      val name = "stream_transitions_et_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.runToMemory(
+          Streams.transitionsStateful(ev,
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(8), availableNow = true)
+        .select(col("user_id"), col("from_type"), col("to_type"))
+        .orderBy("user_id", "from_type", "to_type")
     }),
 
     "stream_seen" -> ((s, dir) => {
@@ -3777,6 +3851,25 @@ object SparkEntry {
           Streams.episodeState(iv, gap = 7_200_000_000L,
             eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF(),
           name, statePartitions = Some(8), availableNow = true)
+        .orderBy("user_id", "mstart")
+    }),
+
+    // stream_episodes_et_tws: the same event-time flush on the
+    // transformWithState tier — the timer-EMITS expiry behavior
+    // (handleExpiredTimer flushes the open episode downstream), so the
+    // fired-timer output itself is hashed against the same data-clock
+    // oracle. With stream_locf_et_tws (the timer-CLEARS behavior) this
+    // hash-gates both expiry shapes of the TWS event-time timer path.
+    "stream_episodes_et_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val iv = etEpisodeReplayStream(s, dir)
+      val name = "stream_episodes_et_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(
+          Streams.episodeStateTws(iv, gap = 7_200_000_000L,
+            eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(8), availableNow = true)
+      }
         .orderBy("user_id", "mstart")
     }),
 
@@ -5148,7 +5241,13 @@ object SparkEntry {
       "stream_episodes_tws" -> base("stream_episodes"),
       // round-14 twins completing the TWS tier
       "stream_locf_tws" -> base("stream_locf"),
-      "stream_transitions_tws" -> base("stream_transitions"))
+      "stream_transitions_tws" -> base("stream_transitions"),
+      // round-15 event-time eviction twins: the TWS timer path answers
+      // the same data-clock question as the flatMapGroupsWithState tier
+      // — timer-CLEARS (locf carry forgotten) and timer-EMITS (episode
+      // flushed) both hashed against the one validated replay oracle
+      "stream_locf_et_tws" -> base("stream_locf_et"),
+      "stream_episodes_et_tws" -> base("stream_episodes_et"))
   }
 
   private def oracleSqlMain: Map[String, String] = Map(
@@ -6977,6 +7076,54 @@ object SparkEntry {
         |)
         |SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
         |ORDER BY user_id, ts_us, event_id, op""".stripMargin,
+
+    // stream_transitions_et: an evicted key forgets its previous-event
+    // marker — same boundary arithmetic as stream_locf_et WITHOUT the
+    // "some non-null seen" clause (the marker exists after any batch);
+    // pairs are the in-segment lag (in-order day-bucket delivery makes
+    // the stored marker exactly the key's previous row). Validated
+    // against the exact engine-semantics simulator (scripts/et_sim.py)
+    // at sf0.001/0.01/0.1 before being pinned here.
+    "stream_transitions_et" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
+        |         epoch_us(ts) // 86400000000 AS b
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |wm0 AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |wmt AS (
+        |  SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0
+        |),
+        |r AS (
+        |  SELECT ev.user_id, ev.event_id, ev.tsu, ev.event_type, bk.ord,
+        |         w.wm, w.wmm1
+        |  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |),
+        |p AS (
+        |  SELECT r.user_id, r.event_type AS to_type,
+        |    lag(event_type) OVER k AS from_type,
+        |    CASE WHEN lag(ord) OVER k IS NOT NULL
+        |          AND ord >= lag(ord) OVER k + 2
+        |          AND wmm1 > greatest(lag(tsu) OVER k // 1000 + 21600000,
+        |                              lag(wm) OVER k + 1)
+        |         THEN 1 ELSE 0 END AS evicted
+        |  FROM r
+        |  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |)
+        |SELECT user_id, from_type, to_type
+        |FROM p WHERE from_type IS NOT NULL AND evicted = 0
+        |ORDER BY user_id, from_type, to_type""".stripMargin,
 
     // stream_episodes_et: event-time sessionization replay — fixed 2 h
     // intervals, 2 h merge gap, 6 h idle flush, ive-day buckets. Break

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
       "stream_locf_tws", "stream_transitions_tws",
       // round-15 event-time eviction gates (stage chunks + runToMemory)
       "stream_locf_et", "stream_cdc_et", "stream_episodes_et",
+      "stream_transitions_et", "stream_locf_et_tws", "stream_episodes_et_tws",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",
