@@ -9,11 +9,16 @@ from et_sim import load, sim_locf, sim_cdc, norm, DAY_US
 TTL_MS = 6 * 3600 * 1000
 
 LOCF_SQL = """
-WITH ev AS (
+WITH t0 AS (
+  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu,
          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
          epoch_us(ts) // 86400000000 AS b
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -57,10 +62,15 @@ FROM seg ORDER BY event_id
 """
 
 CDC_SQL = """
-WITH ev AS (
+WITH t0 AS (
+  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
          epoch_us(ts) // 86400000000 AS b
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -104,12 +114,17 @@ ORDER BY user_id, ts_us, event_id, op
 """
 
 TRANS_SQL = """
-WITH ev AS (
+WITH t0 AS (
+  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
          epoch_us(ts) // 86400000000 AS b
-  FROM events
+  FROM events, t0
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
     AND event_type IS NOT NULL
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -146,10 +161,15 @@ ORDER BY user_id, from_type, to_type
 """
 
 EP_SQL = """
-WITH ev AS (
+WITH t0 AS (
+  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+ev AS (
   SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
          (epoch_us(ts) + 7200000000) // 86400000000 AS b
-  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax

@@ -23,13 +23,21 @@ import duckdb
 import pandas as pd
 
 DAY_US = 86_400_000_000
+# the gates replay only the first PREFIX_DAYS ts-days (SparkEntry
+# etReplayCutoffUs): per-micro-batch overhead is a fixed floor, and the
+# prefix already evicts 95 leases at sf0.01 / ~1000 at sf0.1
+PREFIX_DAYS = 12
 
-def load(sf_dir):
+def load(sf_dir, days=PREFIX_DAYS):
     con = duckdb.connect()
     df = con.sql(f"""
+      WITH t0 AS (SELECT min(epoch_us(ts)) // {DAY_US} AS d0
+                  FROM '{sf_dir}/events.parquet'
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       SELECT user_id, event_id, epoch_us(ts) AS tsu, value
-      FROM '{sf_dir}/events.parquet'
+      FROM '{sf_dir}/events.parquet', t0
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND epoch_us(ts) // {DAY_US} < t0.d0 + {days}
     """).df()
     return df
 
@@ -209,13 +217,17 @@ def oracle_cdc(df, W, ttl_ms):
                     out.append((uid, bts, bid, bval, "delete"))
     return out
 
-def load_typed(sf_dir):
+def load_typed(sf_dir, days=PREFIX_DAYS):
     con = duckdb.connect()
     return con.sql(f"""
+      WITH t0 AS (SELECT min(epoch_us(ts)) // {DAY_US} AS d0
+                  FROM '{sf_dir}/events.parquet'
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
-      FROM '{sf_dir}/events.parquet'
+      FROM '{sf_dir}/events.parquet', t0
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
         AND event_type IS NOT NULL
+        AND epoch_us(ts) // {DAY_US} < t0.d0 + {days}
     """).df()
 
 def sim_transitions(df, W, ttl_ms):

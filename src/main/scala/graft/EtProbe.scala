@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dev probe: prices the `stream_*_et` gates' micro-batch overhead —
+  * the evidence behind the pinned replay design (12-day prefix, 1-day
+  * buckets, statePartitions=2). Times locfEnrich(eventTimeTtl) over
+  * the staged replay while varying the state partition count, the
+  * replay bucket width, and the replay prefix length. Measured r15
+  * (sf0.1, min of 3): full-range day-buckets parts=8 ≈ 10.5 s (the
+  * r15 gate cost pre-fix), parts=2 ≈ 8 s, parts=1 ≈ 7.3 s; 2-day
+  * buckets parts=2 ≈ 4.3 s but gut eviction power at the correctness
+  * SF (sf0.01 changed-carries 110 → 10, sf0.001 → 0, et_sim.py);
+  * the pinned 12-day day-bucket parts=2 design ≈ 4 s with 95
+  * evictions at sf0.01 — per-micro-batch fixed cost (~300 ms:
+  * per-trigger planning + offset/commit log + state commit) dominates,
+  * so batch COUNT is the lever, and trimming the replay prefix keeps
+  * day-granularity silences (common) where coarser buckets would
+  * require week-scale silences (rare).
+  */
+object EtProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def stage(bucketUs: Long, days: Long = Long.MaxValue): String = {
+      val all = SparkEntry.events(spark, sfDir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val cutoff =
+        if (days == Long.MaxValue) Long.MaxValue
+        else (all.agg(min(col("ts"))).head.getLong(0) / 86_400_000_000L + days) *
+          86_400_000_000L
+      val base = all
+        .filter(col("ts") < lit(cutoff))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_id") % 3 === 0, lit(null))
+            .otherwise(col("value").cast("double")).as("value"))
+      graft.streaming.Streams.stageEventTimeReplay(base, "ts", bucketUs)
+    }
+    def read(chunks: String) = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+      .as[graft.streaming.Streams.ObsEvent]
+
+    def run(chunks: String, parts: Int, label: String): Unit = {
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val name = s"etprobe_${label}_$i" + java.lang.Long.toHexString(System.nanoTime())
+        val out = graft.streaming.Streams.runToMemory(
+          graft.streaming.Streams.locfEnrich(read(chunks),
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(parts), availableNow = true)
+        val n = out.count()
+        println(f"PROBE $label parts=$parts run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+    }
+
+    val day = stage(86_400_000_000L)
+    run(day, 8, "day")
+    run(day, 2, "day")
+    run(day, 1, "day")
+    val twoDay = stage(2 * 86_400_000_000L)
+    run(twoDay, 8, "twoday")
+    run(twoDay, 2, "twoday")
+    val day12 = stage(86_400_000_000L, days = 12L)
+    run(day12, 2, "day12") // the pinned gate design
+    spark.stop()
+  }
+}

@@ -149,20 +149,45 @@ object SparkEntry {
     */
   private val etReplayDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+
+  /** The replay PREFIX all `stream_*_et` gates stage: the first
+    * [[EtReplayDays]] ts-days of the events table, measured from the
+    * canonical replay epoch `d0` = min ts-day over (user_id, ts)
+    * non-null rows — one epoch shared by every _et stream and mirrored
+    * in every _et oracle's `t0` CTE. A harness choice, not semantics:
+    * each micro-batch carries a fixed ~300 ms planning/commit floor,
+    * so replaying all 30 ts-days doubles every gate's bench cost while
+    * proving nothing the first 12 don't (95 evictions / 50 changed
+    * carries / 169 tombstones / 170 flushes at sf0.01; ~1000 at sf0.1
+    * — scripts/et_sim.py; EtReplayDays is the margin-vs-evidence knob,
+    * priced in EtProbe). The epoch read is one driver-side scalar
+    * aggregate (KB-scale), memoized per dir.
+    */
+  private val EtReplayDayUs = 86_400_000_000L
+  private val EtReplayDays = 12L
+  private val etReplayEpochs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def etReplayCutoffUs(spark: SparkSession, dir: String): Long = {
+    val d0 = etReplayEpochs.computeIfAbsent(dir, _ =>
+      events(spark, dir)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .agg(min(col("ts"))).head.getLong(0) / EtReplayDayUs)
+    (d0 + EtReplayDays) * EtReplayDayUs
+  }
   private[graft] def etReplayStream(spark: SparkSession, dir: String,
       nullifyThirds: Boolean)
       : org.apache.spark.sql.Dataset[graft.streaming.Streams.ObsEvent] = {
     import spark.implicits._
     val chunks = etReplayDirs.computeIfAbsent((dir, nullifyThirds), _ => {
       val base = events(spark, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("ts") < lit(etReplayCutoffUs(spark, dir)))
         .select(col("user_id"), col("event_id"), col("ts"),
           (if (nullifyThirds)
              when(col("event_id") % 3 === 0, lit(null))
                .otherwise(col("value").cast("double"))
            else col("value").cast("double")).as("value"))
       graft.streaming.Streams.stageEventTimeReplay(base, "ts",
-        bucketUs = 86_400_000_000L)
+        bucketUs = EtReplayDayUs)
     })
     spark.readStream
       .schema(StructType(Seq(
@@ -185,10 +210,11 @@ object SparkEntry {
     val chunks = etReplayDirs.computeIfAbsent((dir + "#typed", false), _ => {
       val base = events(spark, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("event_type").isNotNull)
+          col("event_type").isNotNull &&
+          col("ts") < lit(etReplayCutoffUs(spark, dir)))
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       graft.streaming.Streams.stageEventTimeReplay(base, "ts",
-        bucketUs = 86_400_000_000L)
+        bucketUs = EtReplayDayUs)
     })
     spark.readStream
       .schema(StructType(Seq(
@@ -210,11 +236,12 @@ object SparkEntry {
     import spark.implicits._
     val chunks = etReplayDirs.computeIfAbsent((dir + "#episodes", false), _ => {
       val base = events(spark, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("ts") < lit(etReplayCutoffUs(spark, dir)))
         .select(col("user_id"), col("ts").as("ivs"),
           (col("ts") + lit(7_200_000_000L)).as("ive"))
       graft.streaming.Streams.stageEventTimeReplay(base, "ive",
-        bucketUs = 86_400_000_000L)
+        bucketUs = EtReplayDayUs)
     })
     spark.readStream
       .schema(StructType(Seq(
@@ -3235,11 +3262,15 @@ object SparkEntry {
     // table staged as a deterministic backlog replay (one file per ts
     // DAY, one micro-batch per file under AvailableNow — see
     // stageEventTimeReplay), which pins the micro-batch partitioning
-    // and with it every watermark value and timer firing. A 6 h lease
-    // against per-user day-scale silences evicts hundreds of leases
-    // mid-stream at sf0.01 (simulator-sized: scripts/et_sim.py), so a
-    // wrong watermark floor, a wrong strictness on the timer compare,
-    // or a lease regressing on a late batch all hash-mismatch.
+    // and with it every watermark value and timer firing. The replay is
+    // the first 12 ts-days (etReplayCutoffUs: per-micro-batch overhead
+    // is a fixed floor, and 12 days already evicts 95 leases / flips
+    // 50 carries at sf0.01 — simulator-sized, scripts/et_sim.py), and
+    // statePartitions=2 (13 micro-batches pay per-partition commit 13×,
+    // unlike the single-drain gates' 8). A 6 h lease against per-user
+    // day-scale silences evicts leases mid-stream, so a wrong watermark
+    // floor, a wrong strictness on the timer compare, or a lease
+    // regressing on a late batch all hash-mismatch.
     //
     // stream_locf_et: eviction observed through the CARRY — a key quiet
     // past the lease forgets its last observation, so the first rows
@@ -3257,7 +3288,7 @@ object SparkEntry {
       Streams.runToMemory(
           Streams.locfEnrich(ev,
             eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
-          name, statePartitions = Some(8), availableNow = true)
+          name, statePartitions = Some(2), availableNow = true)
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
           col("value"), col("carried"))
         .orderBy("event_id")
@@ -3280,7 +3311,7 @@ object SparkEntry {
         Streams.runToMemory(
           Streams.locfEnrichTws(ev,
             eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
-          name, statePartitions = Some(8), availableNow = true)
+          name, statePartitions = Some(2), availableNow = true)
       }
         .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
           col("value"), col("carried"))
@@ -3303,7 +3334,7 @@ object SparkEntry {
           Streams.latestStateChanges(ev, java.time.Duration.ofHours(6)).toDF(),
           name,
           org.apache.spark.sql.streaming.OutputMode.Update(),
-          statePartitions = Some(8), availableNow = true)
+          statePartitions = Some(2), availableNow = true)
         .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
           col("value"), col("op"))
         .orderBy("user_id", "ts_us", "event_id", "op")
@@ -3315,7 +3346,7 @@ object SparkEntry {
     // (emits NO pair) instead of pairing with the stale predecessor.
     // Raw (user_id, from_type, to_type) pairs are hashed (a
     // deterministic multiset under the driver's sort-and-hash); at
-    // sf0.01 the 6 h lease suppresses ~242 pairs vs a no-eviction run
+    // sf0.01 the 6 h lease suppresses ~92 pairs vs a no-eviction run
     // (scripts/et_sim.py), so a wrong timer compare or a lease
     // regressing on a late batch hash-mismatches. Oracle: same segment
     // arithmetic as stream_locf_et minus the non-null clause (the
@@ -3328,7 +3359,7 @@ object SparkEntry {
       Streams.runToMemory(
           Streams.transitionsStateful(ev,
             eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
-          name, statePartitions = Some(8), availableNow = true)
+          name, statePartitions = Some(2), availableNow = true)
         .select(col("user_id"), col("from_type"), col("to_type"))
         .orderBy("user_id", "from_type", "to_type")
     }),
@@ -3850,7 +3881,7 @@ object SparkEntry {
       Streams.runToMemory(
           Streams.episodeState(iv, gap = 7_200_000_000L,
             eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF(),
-          name, statePartitions = Some(8), availableNow = true)
+          name, statePartitions = Some(2), availableNow = true)
         .orderBy("user_id", "mstart")
     }),
 
@@ -3868,7 +3899,7 @@ object SparkEntry {
         Streams.runToMemory(
           Streams.episodeStateTws(iv, gap = 7_200_000_000L,
             eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF(),
-          name, statePartitions = Some(8), availableNow = true)
+          name, statePartitions = Some(2), availableNow = true)
       }
         .orderBy("user_id", "mstart")
     }),
@@ -6977,11 +7008,16 @@ object SparkEntry {
     // between a real eviction and the next carry, else state would
     // exist).
     "stream_locf_et" ->
-      """WITH ev AS (
+      """WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
         |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
         |         epoch_us(ts) // 86400000000 AS b
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7032,10 +7068,15 @@ object SparkEntry {
     // plus the final-watermark sweep for Spark's extra post-backlog
     // batch (final wm = floor(global max ts / 1000), delay 0).
     "stream_cdc_et" ->
-      """WITH ev AS (
+      """WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
         |         epoch_us(ts) // 86400000000 AS b
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7085,12 +7126,17 @@ object SparkEntry {
     // against the exact engine-semantics simulator (scripts/et_sim.py)
     // at sf0.001/0.01/0.1 before being pinned here.
     "stream_transitions_et" ->
-      """WITH ev AS (
+      """WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type,
         |         epoch_us(ts) // 86400000000 AS b
-        |  FROM events
+        |  FROM events, t0
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |    AND event_type IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7133,10 +7179,15 @@ object SparkEntry {
     // but each key's trailing episode, which emits iff the final
     // watermark flushes it (trailing OPEN episodes stay in state).
     "stream_episodes_et" ->
-      """WITH ev AS (
+      """WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
         |  SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
         |         (epoch_us(ts) + 7200000000) // 86400000000 AS b
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax
