@@ -217,33 +217,41 @@ WHERE e.eid < mx.last_eid
 ORDER BY user_id, mstart
 """
 
+def compare(name, sql_rows, eng):
+    """Diff the SQL oracle against the simulator; print the failing pair's
+    own rows (not whichever comparison ran last) and report the verdict."""
+    ok = norm(sql_rows) == norm(eng)
+    if not ok:
+        a, b = set(norm(sql_rows)), set(norm(eng))
+        print(f"  {name} sql-only:", sorted(a - b)[:5])
+        print(f"  {name} eng-only:", sorted(b - a)[:5])
+    return ok
+
 if __name__ == "__main__":
+    import sys
+    from et_sim import sim_episodes, sim_transitions, load_typed
+    failed = False
     for sf in ["0.001", "0.01", "0.1"]:
         sf_dir = f"/root/testdata/sf{sf}"
         con = duckdb.connect()
         con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
         df = load(sf_dir)
 
-        sql_rows = [tuple(r) for r in con.sql(LOCF_SQL).fetchall()]
-        eng, _ = sim_locf(df, DAY_US, TTL_MS)
-        ok_locf = norm(sql_rows) == norm(eng)
-
-        sql_rows = [tuple(r) for r in con.sql(CDC_SQL).fetchall()]
-        eng, _ = sim_cdc(df, DAY_US, TTL_MS)
-        ok_cdc = norm(sql_rows) == norm(eng)
-
-        from et_sim import sim_episodes, sim_transitions, load_typed
-        sql_rows = [tuple(r) for r in con.sql(EP_SQL).fetchall()]
-        eng, _ = sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
-                              2 * 3600 * 1_000_000, TTL_MS)
-        ok_ep = norm(sql_rows) == norm(eng)
-
-        sql_rows = [tuple(r) for r in con.sql(TRANS_SQL).fetchall()]
-        eng, _ = sim_transitions(load_typed(sf_dir), DAY_US, TTL_MS)
-        ok_tr = norm(sql_rows) == norm(eng)
+        ok_locf = compare("locf",
+            [tuple(r) for r in con.sql(LOCF_SQL).fetchall()],
+            sim_locf(df, DAY_US, TTL_MS)[0])
+        ok_cdc = compare("cdc",
+            [tuple(r) for r in con.sql(CDC_SQL).fetchall()],
+            sim_cdc(df, DAY_US, TTL_MS)[0])
+        ok_ep = compare("episodes",
+            [tuple(r) for r in con.sql(EP_SQL).fetchall()],
+            sim_episodes(df, DAY_US, 2 * 3600 * 1_000_000,
+                         2 * 3600 * 1_000_000, TTL_MS)[0])
+        ok_tr = compare("transitions",
+            [tuple(r) for r in con.sql(TRANS_SQL).fetchall()],
+            sim_transitions(load_typed(sf_dir), DAY_US, TTL_MS)[0])
         print(f"sf{sf}: locf_sql_match={ok_locf} cdc_sql_match={ok_cdc} "
               f"episodes_sql_match={ok_ep} transitions_sql_match={ok_tr}")
-        if not (ok_locf and ok_cdc and ok_ep and ok_tr):
-            a, b = set(norm(sql_rows)), set(norm(eng))
-            print("  sql-only:", list(a - b)[:5])
-            print("  eng-only:", list(b - a)[:5])
+        failed |= not (ok_locf and ok_cdc and ok_ep and ok_tr)
+    # a validator that cannot fail loudly validates nothing
+    sys.exit(1 if failed else 0)

@@ -181,23 +181,33 @@ object Bench {
     // a localized ambient spike now pollutes each gate at most once, which
     // min-of-N absorbs by construction.
     val runs: Seq[Map[String, (Double, Boolean)]] = (1 to nRuns).map { r =>
-      val off = (((r - 1).toLong * gateSeq.size) / math.max(nRuns, 1)).toInt
+      // proportional rotation, but never a zero offset on a later pass:
+      // a dev subset smaller than nRuns would otherwise repeat pass 1's
+      // order and re-share wall-clock windows (the thing rotation exists
+      // to prevent)
+      val off =
+        if (gateSeq.size >= nRuns) (((r - 1).toLong * gateSeq.size) / math.max(nRuns, 1)).toInt
+        else if (gateSeq.isEmpty) 0
+        else (r - 1) % gateSeq.size
       val ordered = gateSeq.drop(off) ++ gateSeq.take(off)
       ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     }
     val names = registry.keys.toSeq
     // Adaptive re-time (same verdict): a gate whose cross-pass spread still
     // exceeds 2× after interleaving was hit in more than one window — give
-    // it two extra isolated samples so its reported min reflects the code,
-    // not the box. Bounded extra cost: only spread>2× gates above a 0.15 s
-    // floor (sub-noise gates can't meaningfully regress), 2 samples each.
-    val retimed: Map[String, Seq[Double]] = names.flatMap { n =>
+    // it two extra samples so its reported min reflects the code, not the
+    // box. Bounded extra cost: only spread>2× gates above a 0.15 s floor
+    // (sub-noise gates can't meaningfully regress), 2 samples each — taken
+    // as two ROUNDS over the whole retime set, not back-to-back per gate,
+    // so one ambient spike can't pollute both of a gate's extra samples.
+    val retimeSet: Seq[String] = names.filter { n =>
       val good = runs.map(_(n)).filter(_._2).map(_._1)
-      if (good.nonEmpty && good.min >= 0.15 && good.max / good.min > 2.0) {
-        val fn = registry(n)
-        Some(n -> (1 to 2).map(_ => timeOne(n, fn)).filter(_._2).map(_._1))
-      } else None
-    }.toMap
+      good.nonEmpty && good.min >= 0.15 && good.max / good.min > 2.0
+    }
+    val retimed: Map[String, Seq[Double]] =
+      (1 to 2).flatMap(_ => retimeSet.map(n => n -> timeOne(n, registry(n))))
+        .collect { case (n, (sec, true)) => n -> sec }
+        .groupMap(_._1)(_._2)
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =
       "\"" + s.flatMap {

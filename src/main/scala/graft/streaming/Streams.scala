@@ -958,6 +958,35 @@ object Streams {
   final case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(id_a: Long, id_b: Long)
 
+  /** Exactly-once pair emission shared by every streaming LSH bucket
+    * variant (legacy, event-time, TWS): each FRESH member pairs once
+    * with every already-SEEN member and once with every later fresh
+    * member. Pairs are normalized `id_a < id_b`; `fresh` must be
+    * sorted ascending so fresh×fresh pairs are ordered by construction.
+    * Materializes before returning (C(k,2)-bounded, the hot-bucket
+    * caveat documented on the ops) so callers may update state after.
+    */
+  private def emitNewPairs(seen: Array[Long], fresh: Array[Long]): Iterator[CandPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    var i = 0
+    while (i < fresh.length) {
+      val a = fresh(i)
+      var j = 0
+      while (j < seen.length) {
+        val b = seen(j)
+        out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+        j += 1
+      }
+      var k = i + 1
+      while (k < fresh.length) {
+        out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
+        k += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   /** Streaming MinHash-LSH near-dup CANDIDATE detection — the streaming
     * twin of [[graft.ops.Dedup.lshCandidates]]: each arriving document's
     * text runs the same shingle→minhash→band kernel chain
@@ -1016,26 +1045,10 @@ object Streams {
             val seen = state.getOption.getOrElse(Array.empty[Long])
             val fresh = rows.map(_.doc_id).toArray.distinct.sorted
               .filterNot(seen.contains)
-            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-            var i = 0
-            while (i < fresh.length) {
-              val a = fresh(i)
-              var j = 0
-              while (j < seen.length) {
-                val b = seen(j)
-                out += (if (a < b) CandPair(a, b) else CandPair(b, a))
-                j += 1
-              }
-              var k = i + 1
-              while (k < fresh.length) {
-                out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
-                k += 1
-              }
-              i += 1
-            }
+            val out = emitNewPairs(seen, fresh)
             if (fresh.nonEmpty) state.update(seen ++ fresh)
             bucketTtl.foreach(state.setTimeoutDuration) // arrivals renew the lease
-            out.iterator
+            out
           }
       }
   }
@@ -1090,23 +1103,7 @@ object Streams {
             val (seen, maxTs0) = state.getOption.getOrElse((Array.empty[Long], Long.MinValue))
             val batch = rows.toArray
             val fresh = batch.map(_.doc_id).distinct.sorted.filterNot(seen.contains)
-            val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-            var i = 0
-            while (i < fresh.length) {
-              val a = fresh(i)
-              var j = 0
-              while (j < seen.length) {
-                val b = seen(j)
-                out += (if (a < b) CandPair(a, b) else CandPair(b, a))
-                j += 1
-              }
-              var k = i + 1
-              while (k < fresh.length) {
-                out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
-                k += 1
-              }
-              i += 1
-            }
+            val out = emitNewPairs(seen, fresh)
             // the lease rides the bucket's MONOTONE latest event time, so
             // a late batch never regresses it; re-deliveries of known ids
             // still renew (they are bucket traffic on the data clock)
@@ -1114,7 +1111,7 @@ object Streams {
             state.update((seen ++ fresh, maxTs))
             state.setTimeoutTimestamp(
               dataClockLeaseMs(maxTs, eventTimeTtl, state.getCurrentWatermarkMs()))
-            out.iterator
+            out
           }
       }
   }
@@ -1177,25 +1174,9 @@ object Streams {
       val seen = members.get().toArray // expired elements already absent
       val fresh = rows.map(_.doc_id).toArray.distinct.sorted
         .filterNot(seen.contains)
-      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
-      var i = 0
-      while (i < fresh.length) {
-        val a = fresh(i)
-        var j = 0
-        while (j < seen.length) {
-          val b = seen(j)
-          out += (if (a < b) CandPair(a, b) else CandPair(b, a))
-          j += 1
-        }
-        var k = i + 1
-        while (k < fresh.length) {
-          out += CandPair(a, fresh(k)) // fresh is sorted: a < fresh(k)
-          k += 1
-        }
-        i += 1
-      }
+      val out = emitNewPairs(seen, fresh)
       if (fresh.nonEmpty) members.appendList(fresh)
-      out.iterator
+      out
     }
   }
 
@@ -1504,6 +1485,11 @@ object Streams {
     }
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Stage a bounded frame as a DETERMINISTIC event-time backlog replay:
     * one parquet file per non-empty `bucketUs` bucket of `microsCol`,
     * modification times ascending in bucket order, so a file-source
@@ -1549,8 +1535,14 @@ object Streams {
     out.mkdirs()
     val dirs = new java.io.File(byBucket).listFiles()
       .filter(_.getName.startsWith("__b="))
-      .sortBy(_.getName.stripPrefix("__b=").toLong)
-    dirs.zipWithIndex.foreach { case (d, i) =>
+    // a null event time would land in __b=__HIVE_DEFAULT_PARTITION__ and
+    // has no place in an event-time replay — fail with the contract, not
+    // a NumberFormatException out of a directory-name parse
+    require(!dirs.exists(_.getName.contains("HIVE_DEFAULT_PARTITION")),
+      s"stageEventTimeReplay: `$microsCol` contains nulls — an event-time " +
+        "replay has no bucket for a row without an event time; filter them first")
+    val ordered = dirs.sortBy(_.getName.stripPrefix("__b=").toLong)
+    ordered.zipWithIndex.foreach { case (d, i) =>
       val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
       require(parts.length == 1,
         s"expected one file per bucket from the single-task write, got " +
@@ -1559,9 +1551,19 @@ object Streams {
       java.nio.file.Files.move(parts.head.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // strictly ascending, minute-spaced mtimes: the file source orders
-      // by modification time, and coarse-mtime filesystems must not tie
-      dst.setLastModified(1_700_000_000_000L + i.toLong * 60_000L)
+      // by modification time, and coarse-mtime filesystems must not tie —
+      // a filesystem that refuses the assignment would silently break the
+      // deterministic batch order every _et gate depends on, so fail loud
+      require(dst.setLastModified(1_700_000_000_000L + i.toLong * 60_000L),
+        s"stageEventTimeReplay: could not set mtime on $dst — replay order " +
+          "would be nondeterministic on this filesystem")
     }
+    // the emptied staging tree is dead weight once the chunks are moved;
+    // the chunks themselves must outlive this call (memoized per JVM and
+    // re-read every bench pass), so they are reaped at JVM exit instead
+    deleteRecursively(new java.io.File(byBucket))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(root.toFile)))
     out.toString
   }
 
