@@ -1125,6 +1125,59 @@ object ScaleProbe {
       println(f"probe13t:latestStateTws[rocks]${r}%7.2f s  rows=$nKeys")
     }
 
+    // round-15 eviction-storm probe: the event-time lease tier's scale
+    // axis is the TIMER SWEEP — on a backlog replay the watermark can
+    // jump months in one batch, expiring every idle key's timer at
+    // once (the "year of dead keys" scenario the tier exists for).
+    // Three batches: nKeys keys at day 1; one nudge row at day 30
+    // (advances the watermark past every lease but fires nothing —
+    // FMGWS uses the PRIOR batch's watermark); one nudge at day 31,
+    // whose batch sweeps all nKeys timers. The timed sweep batch must
+    // scale linearly in fired timers on both state APIs — superlinear
+    // behavior here would stall the first post-backlog batch at 100 TB.
+    if (familyOn("probe15e")) Seq(1, math.min(k, 16)).foreach { times =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.Streams
+      val nKeys = 10000 * times
+      val day = 86_400_000_000L
+      val ttl = java.time.Duration.ofHours(6)
+      def sweep(tws: Boolean): (Double, Long) = {
+        val in = MemoryStream[Streams.ObsEvent]
+        val ds = in.toDS()
+        val out = (if (tws) Streams.latestStateTws(ds, eventTimeTtl = Some(ttl))
+                   else Streams.latestStateChanges(ds, ttl)).toDF()
+        def body(): (Double, Long) = {
+          val name = "probe15e_" + java.lang.Long.toHexString(System.nanoTime())
+          val q = out.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          try {
+            in.addData((0 until nKeys).map(i =>
+              Streams.ObsEvent(i.toLong, i.toLong, day + i.toLong, Some(1.0))))
+            q.processAllAvailable()
+            in.addData(Seq(Streams.ObsEvent(-1L, -1L, 30L * day, Some(2.0))))
+            q.processAllAvailable()
+            val t0 = System.nanoTime()
+            in.addData(Seq(Streams.ObsEvent(-1L, -2L, 31L * day, Some(3.0))))
+            q.processAllAvailable()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val fired =
+              if (tws) -1L // TWS eviction clears state silently by design
+              else spark.table(name).filter(col("op") === "delete").count()
+            (sec, fired)
+          } finally q.stop()
+        }
+        if (tws) Streams.withRocksDbProvider(spark)(body()) else body()
+      }
+      val (hs, hd) = sweep(tws = false)
+      require(hd == nKeys,
+        s"probe15e: expected $nKeys tombstones from the sweep batch, got $hd")
+      val (rs, _) = sweep(tws = true)
+      println(f"probe15e:timerSweep[fmgws]   ${hs}%7.2f s  fired=$hd")
+      println(f"probe15e:timerSweep[tws]     ${rs}%7.2f s  fired=$nKeys (cleared silently)")
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
