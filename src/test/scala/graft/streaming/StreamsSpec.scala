@@ -1104,6 +1104,16 @@ class StreamsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Streams.stageEventTimeReplay(df, "ts", bucketUs = 100L, maxRows = 2L)
     }
+    // a null event time has no bucket in an event-time replay: refuse
+    // with the contract named, not a NumberFormatException out of a
+    // Hive default-partition directory name
+    val withNull = df.unionByName(
+      Seq((9L, 9L, Option.empty[Long], Some(9.0)))
+        .toDF("user_id", "event_id", "ts", "value"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.stageEventTimeReplay(withNull, "ts", bucketUs = 100L)
+    }
+    assert(e.getMessage.contains("nulls"), e.getMessage)
   }
 
   test("latestStateChanges: expiry emits a DELETE tombstone carrying the dying winner") {
