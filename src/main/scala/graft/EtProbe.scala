@@ -19,6 +19,16 @@ import org.apache.spark.sql.types._
   * so batch COUNT is the lever, and trimming the replay prefix keeps
   * day-granularity silences (common) where coarser buckets would
   * require week-scale silences (rare).
+  *
+  * MIRROR CONTRACT: `stage()` deliberately re-derives the gate staging
+  * (cutoff arithmetic, the event_id % 3 nullify, the four-field read
+  * schema) instead of calling [[SparkEntry.etReplayStream]] — the probe
+  * exists to vary the parameters the gate PINS, so parameterizing the
+  * production path with probe-only knobs would widen the gate surface
+  * for a dev tool. The cost is drift risk: if etReplayStream's pinned
+  * design changes (EtReplayDays, bucket width, nullify rule), the
+  * "day12" case here must change with it or the probe prices a design
+  * that no longer ships.
   */
 object EtProbe {
   def main(args: Array[String]): Unit = {
