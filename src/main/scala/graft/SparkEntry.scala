@@ -164,7 +164,11 @@ object SparkEntry {
     * aggregate (KB-scale), memoized per dir.
     */
   private val EtReplayDayUs = 86_400_000_000L
-  private val EtReplayDays = 12L
+  // private[graft]: EtProbe's day12 case reads the pinned prefix length
+  // through this accessor (r15 ADVICE — the probe's staged design cannot
+  // silently diverge from the gate's), and the _et oracle SQL strings
+  // interpolate it, so engine and oracle move as one when the knob moves.
+  private[graft] val EtReplayDays = 12L
   private val etReplayEpochs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def etReplayCutoffUs(spark: SparkSession, dir: String): Long = {
     val d0 = etReplayEpochs.computeIfAbsent(dir, _ =>
@@ -3340,6 +3344,30 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id", "op")
     }),
 
+    // stream_cdc_et_tws: the same tombstone feed on the
+    // transformWithState tier — a real per-key event-time timer on
+    // RocksDB whose firing EMITS the dying winner as a DELETE tombstone
+    // (latestStateChangesTws.handleExpiredTimer), completing the TWS
+    // event-time matrix's timer-EMITS-tombstone cell (r15 verdict #1).
+    // Same staged replay, same oracle: the eviction set itself is
+    // hashed on both state tiers.
+    "stream_cdc_et_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = etReplayStream(s, dir, nullifyThirds = false)
+      val name = "stream_cdc_et_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(
+          Streams.latestStateChangesTws(ev, java.time.Duration.ofHours(6)).toDF(),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          statePartitions = Some(2), availableNow = true)
+      }
+        .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+          col("value"), col("op"))
+        .orderBy("user_id", "ts_us", "event_id", "op")
+    }),
+
     // stream_transitions_et: eviction observed through the CHAIN — a key
     // quiet past the lease forgets its previous-event marker, so the
     // first event after a long-enough silence starts a fresh chain
@@ -3360,6 +3388,27 @@ object SparkEntry {
           Streams.transitionsStateful(ev,
             eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
           name, statePartitions = Some(2), availableNow = true)
+        .select(col("user_id"), col("from_type"), col("to_type"))
+        .orderBy("user_id", "from_type", "to_type")
+    }),
+
+    // stream_transitions_et_tws: the same marker eviction on the
+    // transformWithState tier — a real per-key event-time timer on
+    // RocksDB whose firing CLEARS the previous-event marker
+    // (TransitionsProcessor.handleExpiredTimer), completing the TWS
+    // event-time matrix's marker-clear-on-the-typed-path cell (r15
+    // verdict #1). Same staged typed replay, same data-clock oracle.
+    "stream_transitions_et_tws" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val ev = etTypedReplayStream(s, dir)
+      val name = "stream_transitions_et_tws_" + java.lang.Long.toHexString(System.nanoTime())
+      Streams.withRocksDbProvider(s) {
+        Streams.runToMemory(
+          Streams.transitionsStatefulTws(ev,
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF(),
+          name, statePartitions = Some(2), availableNow = true)
+      }
         .select(col("user_id"), col("from_type"), col("to_type"))
         .orderBy("user_id", "from_type", "to_type")
     }),
@@ -5278,7 +5327,13 @@ object SparkEntry {
       // — timer-CLEARS (locf carry forgotten) and timer-EMITS (episode
       // flushed) both hashed against the one validated replay oracle
       "stream_locf_et_tws" -> base("stream_locf_et"),
-      "stream_episodes_et_tws" -> base("stream_episodes_et"))
+      "stream_episodes_et_tws" -> base("stream_episodes_et"),
+      // round-16 twins completing the TWS event-time matrix: the
+      // timer-EMITS-tombstone (CDC) and marker-clear (typed transitions)
+      // cells answer the same data-clock question as their
+      // flatMapGroupsWithState twins over the same staged replay
+      "stream_cdc_et_tws" -> base("stream_cdc_et"),
+      "stream_transitions_et_tws" -> base("stream_transitions_et"))
   }
 
   private def oracleSqlMain: Map[String, String] = Map(
@@ -7008,7 +7063,7 @@ object SparkEntry {
     // between a real eviction and the next carry, else state would
     // exist).
     "stream_locf_et" ->
-      """WITH t0 AS (
+      s"""WITH t0 AS (
         |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |),
@@ -7017,7 +7072,7 @@ object SparkEntry {
         |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
         |         epoch_us(ts) // 86400000000 AS b
         |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7068,7 +7123,7 @@ object SparkEntry {
     // plus the final-watermark sweep for Spark's extra post-backlog
     // batch (final wm = floor(global max ts / 1000), delay 0).
     "stream_cdc_et" ->
-      """WITH t0 AS (
+      s"""WITH t0 AS (
         |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |),
@@ -7076,7 +7131,7 @@ object SparkEntry {
         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
         |         epoch_us(ts) // 86400000000 AS b
         |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7126,7 +7181,7 @@ object SparkEntry {
     // against the exact engine-semantics simulator (scripts/et_sim.py)
     // at sf0.001/0.01/0.1 before being pinned here.
     "stream_transitions_et" ->
-      """WITH t0 AS (
+      s"""WITH t0 AS (
         |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |),
@@ -7136,7 +7191,7 @@ object SparkEntry {
         |  FROM events, t0
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |    AND event_type IS NOT NULL
-        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -7179,7 +7234,7 @@ object SparkEntry {
     // but each key's trailing episode, which emits iff the final
     // watermark flushes it (trailing OPEN episodes stay in state).
     "stream_episodes_et" ->
-      """WITH t0 AS (
+      s"""WITH t0 AS (
         |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |),
@@ -7187,7 +7242,7 @@ object SparkEntry {
         |  SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
         |         (epoch_us(ts) + 7200000000) // 86400000000 AS b
         |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
         |),
         |bk AS (
         |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax

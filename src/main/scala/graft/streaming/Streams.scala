@@ -955,6 +955,86 @@ object Streams {
     }
   }
 
+  /** [[latestStateChanges]] on the arbitrary-state API: the same full
+    * change feed — upserts when a key's winner changes, a DELETE
+    * tombstone when the key's event-time lease expires — with the
+    * tombstone emitted from a REAL per-key event-time timer
+    * (`handleExpiredTimer`) on the required RocksDB provider. Timers
+    * are the right primitive for this op on this tier (the same
+    * argument as [[episodeStateTws]]): expiry produces OUTPUT — the
+    * dying winner flows through the feed — so value TTL (which reads
+    * the expired value as silently absent) would drop the tombstone,
+    * and [[latestStateTws]]'s timer-CLEARS mode deliberately emits
+    * nothing because its sink contract needs no tombstones.
+    *
+    * Event-time only, same reason as the legacy op: a tombstone is
+    * data and data must be replayable. Same determinism contract and
+    * [[dataClockLeaseMs]] arithmetic, so the same batch-SQL oracle
+    * replays this feed (see `stream_cdc_et_tws`: the TWS timer-EMITS-
+    * tombstone path hash-verified against the `stream_cdc_et` oracle).
+    * Same scale shape as [[latestStateTws]]: one struct + one live
+    * timer per key, key cardinality bounded by the lease on the data's
+    * clock.
+    */
+  def latestStateChangesTws(events: Dataset[ObsEvent],
+      eventTimeTtl: java.time.Duration,
+      watermarkDelay: String = "0 seconds"): Dataset[CdcChange] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    watermarkedInput(events, armed = true, "ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new LatestChangesProcessor(eventTimeTtl),
+        TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
+  /** Processor backing [[latestStateChangesTws]]: one [[KeyLatest]]
+    * value per key, churn-free upserts (emit only when the (ts,
+    * event_id) winner changes — the [[LatestStateProcessor]] contract
+    * verbatim), and an event-time timer re-armed on every batch to the
+    * key's monotone latest event time + ttl; firing emits the dying
+    * winner as a tombstone and clears the state.
+    */
+  private[streaming] class LatestChangesProcessor(
+      eventTtl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ObsEvent, CdcChange] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[KeyLatest] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      latest = getHandle.getValueState[KeyLatest]("latest",
+        org.apache.spark.sql.Encoders.product[KeyLatest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[ObsEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcChange] = {
+      val prev = if (latest.exists()) Some(latest.get()) else None
+      val best = (prev.iterator ++
+        rows.map(e => KeyLatest(uid, e.ts, e.event_id, e.value)))
+        .maxBy(k => (k.ts, k.event_id))
+      // re-arm the data-clock lease: at most one live timer per key
+      // (materialize before deleting — the EpisodeProcessor rule; best =
+      // max(prev, batch), so the lease never regresses on a late batch)
+      getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(
+        dataClockLeaseMs(best.ts, eventTtl, timerValues.getCurrentWatermarkInMs()))
+      if (prev.contains(best)) Iterator.empty // all-late batch: no churn
+      else {
+        latest.update(best)
+        Iterator.single(CdcChange(uid, best.ts, best.event_id, best.value, "upsert"))
+      }
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CdcChange] = {
+      // the lease expired on the data clock: the eviction IS data —
+      // emit the dying winner as a tombstone, then drop the state
+      val dead = latest.get()
+      latest.clear()
+      Iterator.single(CdcChange(uid, dead.ts, dead.event_id, dead.value, "delete"))
+    }
+  }
+
   final case class BandDoc(band_idx: Int, band_hash: Long, doc_id: Long)
   final case class CandPair(id_a: Long, id_b: Long)
 
@@ -1490,6 +1570,19 @@ object Streams {
     f.delete()
   }
 
+  /** Replay temp roots awaiting JVM-exit cleanup: one static set + ONE
+    * lazily-installed shutdown hook, instead of a hook per
+    * [[stageEventTimeReplay]] call — and roots are enrolled immediately
+    * after creation, so the failure paths (null-event-time refusal,
+    * mtime refusal) no longer leak a half-staged tree.
+    */
+  private val replayRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val replayReaper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      replayRoots.forEach(p => deleteRecursively(p.toFile))))
+  }
+
   /** Stage a bounded frame as a DETERMINISTIC event-time backlog replay:
     * one parquet file per non-empty `bucketUs` bucket of `microsCol`,
     * modification times ascending in bucket order, so a file-source
@@ -1525,6 +1618,8 @@ object Streams {
       s"stageEventTimeReplay is a single-writer replay harness: $n rows " +
         s"exceeds the $maxRows cap — stream the source directly instead")
     val root = java.nio.file.Files.createTempDirectory("graft_replay")
+    replayRoots.add(root) // enroll BEFORE any failure path can throw
+    replayReaper // install the single JVM-exit reaper (idempotent)
     val byBucket = root.resolve("by_bucket").toString
     df.withColumn("__b",
         org.apache.spark.sql.functions.expr(s"CAST(`$microsCol` DIV $bucketUs AS LONG)"))
@@ -1560,10 +1655,9 @@ object Streams {
     }
     // the emptied staging tree is dead weight once the chunks are moved;
     // the chunks themselves must outlive this call (memoized per JVM and
-    // re-read every bench pass), so they are reaped at JVM exit instead
+    // re-read every bench pass), so the root stays enrolled in
+    // [[replayRoots]] and is reaped by the single JVM-exit hook
     deleteRecursively(new java.io.File(byBucket))
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      deleteRecursively(root.toFile)))
     out.toString
   }
 
