@@ -256,6 +256,45 @@ object SparkEntry {
       .as[graft.streaming.Streams.IntervalRow]
   }
 
+  /** The staged document replay for `stream_neardup_et`: documents with
+    * a SYNTHETIC deterministic event time — day = (doc_id *
+    * [[EtDocDayMult]]) mod [[EtDocDays]], ts = (day + 1) *
+    * [[EtReplayDayUs]] exactly (constant within a day; the +1 keeps
+    * day-0 rows strictly above Spark's initial watermark of 0 ms, which
+    * would otherwise drop them as late before the operator — the lease
+    * inequalities are invariant under the uniform shift) — bucketized
+    * one file per ts day.
+    * The constant-per-day ts is load-bearing for the oracle: an LSH
+    * bucket's lease rides its latest MEMBER ts, and constant-per-day ts
+    * makes that value a pure function of the member's day, independent
+    * of which other docs share the bucket — which is what lets a
+    * pairwise window SQL replay the bucket lease without knowing bucket
+    * membership. The multiplicative hash spreads near-dup pairs across
+    * the 12 replay days so the 30 h lease genuinely splits the verified
+    * pair set (kept vs evicted) instead of trivially keeping everything.
+    * Memoized like [[etReplayStream]].
+    */
+  private[graft] val EtDocDayMult = 2654435761L // Knuth multiplicative hash
+  private[graft] val EtDocDays = 12L
+  private[graft] val EtDocLeaseMs = 108_000_000L // 30 h = 1.25 replay days
+  private[graft] def etDocsReplayStream(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = etReplayDirs.computeIfAbsent((dir + "#docs", false), _ => {
+      val base = t(spark, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"),
+          ((pmod(col("doc_id") * lit(EtDocDayMult), lit(EtDocDays)) + 1) *
+            lit(EtReplayDayUs)).as("ts"))
+      graft.streaming.Streams.stageEventTimeReplay(base, "ts",
+        bucketUs = EtReplayDayUs)
+    })
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("ts", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunks)
+  }
+
   private[graft] val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
@@ -345,6 +384,35 @@ object SparkEntry {
     */
   val SimhashDumpDir: String =
     new java.io.File("target/verify-simhash-sigs").getAbsolutePath
+
+  /** Where Verify materializes the LSH band table `(band_idx, band_hash,
+    * doc_id)` of the sf documents corpus — the SAME shingle→minhash→band
+    * chain the streaming ops explode. The `stream_neardup_et` oracle
+    * replays the per-BUCKET event-time lease chain exactly from this
+    * parquet (member-day timelines → surviving gaps → alive pairs):
+    * bucket bridging — a third member renewing a bucket mid-silence,
+    * which no pairwise day-window can express — is replayed, not
+    * approximated. The band kernel itself stays spec-pinned
+    * (FunctionsSpec / DedupSpec) — the [[SimhashDumpDir]] soundness
+    * pattern.
+    */
+  val NeardupBandsDumpDir: String =
+    new java.io.File("target/verify-neardup-bands").getAbsolutePath
+
+  /** The banded LSH explode of the documents corpus, exactly as the
+    * neardup ops compute it (graft.streaming.Streams.neardupCandidates*
+    * and graft.ops.Dedup.lshCandidates share these kernels/constants).
+    */
+  def neardupBandFrame(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(
+        posexplode(graft.functions.band_hashes(
+          graft.ops.Dedup.minhashSignature(
+            graft.functions.shingle_hash_set(col("text"), 3)),
+          graft.ops.Dedup.Bands, graft.ops.Dedup.RowsPerBand))
+          .as(Seq("band_idx", "band_hash")),
+        col("doc_id").cast("long").as("doc_id"))
 
   /** Where Verify materializes the CORPUS-LEARNED BPE merge table
     * `(rank, l, r)` — the `bpe_learned_count` oracle replays the greedy
@@ -3090,6 +3158,39 @@ object SparkEntry {
       val sunk = Streams.withRocksDbProvider(s) {
         Streams.runToMemory(cands.toDF(), name, statePartitions = Some(8))
       }
+      val signed = t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.shingle_hash_set(col("text"), 3).as("__shingles"))
+      Dedup.verifyJaccard(sunk.distinct(), signed, "doc_id", "__shingles")
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // stream_neardup_et: the LSH bucket lease on the DATA's clock,
+    // hash-gated (r15 verdict #3). Documents replay over 12 synthetic
+    // ts days (constant ts within a day — see etDocsReplayStream); a
+    // bucket whose latest member is > 30 h of EVENT time behind the
+    // watermark is evicted mid-stream, so a pair of near-dups arriving
+    // ≥ 4 replay days apart pairs with NOTHING (its shared buckets died
+    // in between) while pairs ≤ 3 days apart emit. Exact-Jaccard verify
+    // over the streamed candidates makes the final answer the ≥0.8 pair
+    // set FILTERED by bucket-lease survival — which the oracle replays
+    // EXACTLY per bucket from the Verify band dump (NeardupBandsDumpDir):
+    // member-day timelines under the same wm/lease arithmetic as the
+    // other _et oracles, INCLUDING bucket bridging — a third member
+    // renewing a shared bucket mid-silence keeps a pair alive across a
+    // day gap no pairwise window covers (2 of the 134 surviving sf0.1
+    // pairs exist only through such a bridge, so the hash compare
+    // exercises the chain semantics too). Validated engine-vs-oracle at
+    // sf0.001/0.01/0.1 (r16).
+    "stream_neardup_et" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val cands = Streams.neardupCandidatesEventTime(
+        etDocsReplayStream(s, dir), "doc_id", "text", "ts",
+        eventTimeTtl = java.time.Duration.ofMillis(EtDocLeaseMs), n = 3)
+      val name = "stream_neardup_et_" + java.lang.Long.toHexString(System.nanoTime())
+      val sunk = Streams.runToMemory(cands.toDF(), name,
+        statePartitions = Some(2), availableNow = true)
       val signed = t(s, dir, "documents").select(
         col("doc_id"),
         graft.functions.shingle_hash_set(col("text"), 3).as("__shingles"))
@@ -7683,6 +7784,67 @@ object SparkEntry {
     // the streaming candidate path must land on the same verified pairs
     "stream_neardup" -> jaccardSql(0.8),
     "ngram_jaccard" -> jaccardSql(0.5),
+
+    // stream_neardup_et: the ≥0.8 pair set FILTERED by event-time bucket
+    // survival, replayed EXACTLY per bucket from the Verify band dump
+    // (NeardupBandsDumpDir — the same banded explode the op runs; the
+    // kernel stays spec-pinned). Same wm/ord/lease arithmetic as the
+    // other _et oracles, applied to each bucket's member-DAY timeline:
+    // with constant-per-day doc ts (see etDocsReplayStream), a bucket's
+    // lease after a data day is greatest((d+1)*day_ms + lease, wm + 1),
+    // a gap between consecutive member days dies iff ≥1 full intervening
+    // batch exists AND the wm during the batch before the later day
+    // strictly exceeds that lease, and a pair is alive iff SOME shared
+    // bucket has no dead gap between the two docs' days — which replays
+    // bucket BRIDGING (a third member renewing a bucket mid-silence)
+    // that no pairwise day-window can express (observed at sf0.1: 2 of
+    // 134 surviving pairs exist only through a bridge doc).
+    "stream_neardup_et" ->
+      (shingleCte +
+        s""", bd AS (
+           |  SELECT band_idx, band_hash, doc_id,
+           |         (doc_id * $EtDocDayMult) % $EtDocDays AS d
+           |  FROM read_parquet('$NeardupBandsDumpDir/*.parquet')
+           |), dd AS (
+           |  SELECT DISTINCT (doc_id * $EtDocDayMult) % $EtDocDays AS d
+           |  FROM documents WHERE doc_id IS NOT NULL
+           |), ords AS (
+           |  SELECT d, row_number() OVER (ORDER BY d) AS ord FROM dd
+           |), wmt AS (
+           |  SELECT d, ord,
+           |    coalesce(max((d + 1) * 86400000) OVER (ORDER BY ord
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wm
+           |  FROM ords
+           |), badgaps AS (
+           |  SELECT g.band_idx, g.band_hash, g.d1, g.d2
+           |  FROM (SELECT band_idx, band_hash, d AS d1,
+           |          lead(d) OVER (PARTITION BY band_idx, band_hash ORDER BY d) AS d2
+           |        FROM (SELECT DISTINCT band_idx, band_hash, d FROM bd)) g
+           |  JOIN wmt w1 ON w1.d = g.d1
+           |  JOIN wmt w2 ON w2.d = g.d2
+           |  LEFT JOIN wmt wp ON wp.ord = w2.ord - 1
+           |  WHERE w2.ord >= w1.ord + 2
+           |    AND wp.wm > greatest((g.d1 + 1) * 86400000 + $EtDocLeaseMs,
+           |                         w1.wm + 1)
+           |), alive AS (
+           |  SELECT DISTINCT s.id_a, s.id_b FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |           a.band_idx, a.band_hash,
+           |           least(a.d, b.d) AS dlo, greatest(a.d, b.d) AS dhi
+           |    FROM bd a JOIN bd b ON a.band_idx = b.band_idx
+           |      AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id) s
+           |  WHERE NOT EXISTS (SELECT 1 FROM badgaps g
+           |    WHERE g.band_idx = s.band_idx AND g.band_hash = s.band_hash
+           |      AND g.d1 >= s.dlo AND g.d2 <= s.dhi)
+           |)
+           |SELECT id_a, id_b,
+           |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+           |FROM pair_inter
+           |JOIN sz sa ON sa.doc_id = id_a
+           |JOIN sz sb ON sb.doc_id = id_b
+           |JOIN alive USING (id_a, id_b)
+           |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin),
 
     // Source copy matrix: threshold pairs joined to source labels,
     // names sorted per pair.

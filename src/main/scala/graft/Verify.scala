@@ -54,6 +54,11 @@ object Verify {
     // bit_count(xor()) oracle (the kernel stays spec-pinned).
     SparkEntry.simhashSignatures(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.SimhashDumpDir)
+    // ... and the LSH band table, so stream_neardup_et's oracle replays
+    // the per-bucket event-time lease chain (bridging included) exactly
+    // from the SAME banded explode the streaming op runs.
+    SparkEntry.neardupBandFrame(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.NeardupBandsDumpDir)
     // ... and the LSH bucket keys, so ann_lsh's candidate join + exact
     // scoring + ranking get a DuckDB oracle (the plane kernel stays
     // spec-pinned).

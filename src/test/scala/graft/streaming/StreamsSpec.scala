@@ -270,6 +270,42 @@ class StreamsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"evicted buckets must not pair: $pairs")
   }
 
+  test("neardupCandidatesEventTime: a bridge member renews the bucket — chain semantics") {
+    // The bucket lease rides the bucket's LATEST member, so a mid-silence
+    // arrival (the "bridge") keeps the WHOLE member set pairable past the
+    // lease the first member alone would have had: windowed detection is
+    // per-bucket chains, not pairwise windows (the stream_neardup_et
+    // oracle replays exactly this from the band dump).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val otherA = "completely different content with no shared shingles at all here"
+    val otherB = "yet another unrelated passage whose trigrams overlap with nothing"
+    val in = MemoryStream[(Long, String, Long)]
+    val cands = Streams.neardupCandidatesEventTime(
+      in.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      eventTimeTtl = java.time.Duration.ofSeconds(10))
+    val q = cands.toDF().writeStream.format("memory").queryName("nd_bridge_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, dup, 10_000_000L)) // lease = 20 s
+      q.processAllAvailable()
+      in.addData((9L, otherA, 19_000_000L)) // wm 10 s < 20 s: bucket survives
+      q.processAllAvailable()
+      in.addData((2L, dup, 28_000_000L)) // the BRIDGE: wm 19 s < 20 s; lease -> 38 s
+      q.processAllAvailable()
+      in.addData((10L, otherB, 37_000_000L)) // wm 28 s < 38 s: bucket survives
+      q.processAllAvailable()
+      // 36 s of event time after doc 1 — over 3 leases past its solo
+      // expiry — yet (1,3) emits, because the bridge renewed the bucket
+      in.addData((3L, dup, 46_000_000L)) // wm 37 s < 38 s
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("nd_bridge_out").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"the bridge must keep doc 1 pairable: $pairs")
+  }
+
   test("neardupCandidates bucketTtl: expired buckets forget their members — detection is windowed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1173,6 +1209,38 @@ class StreamsSpec extends SparkSpec {
     val ems = spark.table("cdc_chg_live_out").as[Streams.CdcChange].collect().toSeq
     assert(ems.forall(_.op == "upsert"), ems.toString)
     assert(ems.map(_.event_id).sorted == Seq(10L, 11L), ems.toString)
+  }
+
+  test("latestStateChangesTws: the event-time timer EMITS the tombstone (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.latestStateChangesTws(in.toDS(),
+        java.time.Duration.ofSeconds(10)).toDF()
+        .writeStream.format("memory").queryName("tws_chg_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // 10 s
+        q.processAllAvailable()
+        awaitTtl("key 1 upserted and held") { stateRows(q) == 1L }
+        // one batch 40 s of event time later: the watermark passes key
+        // 1's 20 s timer — handleExpiredTimer must emit the dying winner
+        // as a delete through the feed, exactly like the legacy op
+        in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0))) // 50 s
+        q.processAllAvailable()
+        awaitTtl("key 1 tombstoned, key 2 live") {
+          stateRows(q) == 1L && spark.table("tws_chg_out").count() == 3L
+        }
+      } finally q.stop()
+    }
+    val ems = spark.table("tws_chg_out").as[Streams.CdcChange].collect().toSeq
+      .sortBy(c => (c.user_id, c.op))
+    assert(ems.map(c => (c.user_id, c.op)) ==
+      Seq((1L, "delete"), (1L, "upsert"), (2L, "upsert")), ems.toString)
+    val dead = ems.find(c => c.op == "delete").get
+    assert(dead == Streams.CdcChange(1L, 10_000_000L, 10L, Some(1.0), "delete"),
+      s"tombstone must carry the dying winner: $dead")
   }
 
   test("latestStateTws eventTimeTtl: event-time timers clear state on watermark advance (RocksDB)") {
