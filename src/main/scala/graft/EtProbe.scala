@@ -25,12 +25,33 @@ import org.apache.spark.sql.types._
   * schema) instead of calling [[SparkEntry.etReplayStream]] — the probe
   * exists to vary the parameters the gate PINS, so parameterizing the
   * production path with probe-only knobs would widen the gate surface
-  * for a dev tool. The cost is drift risk: if etReplayStream's pinned
-  * design changes (EtReplayDays, bucket width, nullify rule), the
-  * "day12" case here must change with it or the probe prices a design
-  * that no longer ships.
+  * for a dev tool. The drift risk that mirroring carries is PINNED by
+  * test (r15 verdict/ADVICE): the "day12" case reads the prefix length
+  * through [[SparkEntry.EtReplayDays]] (the knob cannot silently
+  * diverge), and EtProbeSpec stages both this mirror and the gate's own
+  * [[SparkEntry.etReplayChunkDir]] on sf0.001 and asserts chunk-count
+  * and per-chunk row-multiset equality.
   */
 object EtProbe {
+  /** The probe's independently-derived staging — see the mirror
+    * contract above. `days = Long.MaxValue` stages the full ts range.
+    */
+  private[graft] def stage(spark: SparkSession, sfDir: String,
+      bucketUs: Long, days: Long = Long.MaxValue): String = {
+    val all = SparkEntry.events(spark, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val cutoff =
+      if (days == Long.MaxValue) Long.MaxValue
+      else (all.agg(min(col("ts"))).head.getLong(0) / 86_400_000_000L + days) *
+        86_400_000_000L
+    val base = all
+      .filter(col("ts") < lit(cutoff))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_id") % 3 === 0, lit(null))
+          .otherwise(col("value").cast("double")).as("value"))
+    graft.streaming.Streams.stageEventTimeReplay(base, "ts", bucketUs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -42,20 +63,8 @@ object EtProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def stage(bucketUs: Long, days: Long = Long.MaxValue): String = {
-      val all = SparkEntry.events(spark, sfDir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      val cutoff =
-        if (days == Long.MaxValue) Long.MaxValue
-        else (all.agg(min(col("ts"))).head.getLong(0) / 86_400_000_000L + days) *
-          86_400_000_000L
-      val base = all
-        .filter(col("ts") < lit(cutoff))
-        .select(col("user_id"), col("event_id"), col("ts"),
-          when(col("event_id") % 3 === 0, lit(null))
-            .otherwise(col("value").cast("double")).as("value"))
-      graft.streaming.Streams.stageEventTimeReplay(base, "ts", bucketUs)
-    }
+    def stage(bucketUs: Long, days: Long = Long.MaxValue): String =
+      EtProbe.stage(spark, sfDir, bucketUs, days)
     def read(chunks: String) = spark.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("event_id", LongType),
@@ -84,8 +93,10 @@ object EtProbe {
     val twoDay = stage(2 * 86_400_000_000L)
     run(twoDay, 8, "twoday")
     run(twoDay, 2, "twoday")
-    val day12 = stage(86_400_000_000L, days = 12L)
-    run(day12, 2, "day12") // the pinned gate design
+    // the pinned gate design: prefix length read through the gate's own
+    // knob, so the probe cannot price a stale prefix
+    val day12 = stage(86_400_000_000L, days = SparkEntry.EtReplayDays)
+    run(day12, 2, "day12")
     spark.stop()
   }
 }

@@ -1143,10 +1143,16 @@ object ScaleProbe {
       val nKeys = 10000 * times
       val day = 86_400_000_000L
       val ttl = java.time.Duration.ofHours(6)
+      // both tiers run their TOMBSTONE op (latestStateChanges /
+      // latestStateChangesTws) so firing is OBSERVED on both — the r15
+      // probe timed latestStateTws, whose timer clears silently, and so
+      // printed a pass-shaped line even if the TWS timer path fired
+      // nothing (r15 ADVICE); the tombstone twin shares the exact timer
+      // machinery and makes the fired count a hard require on both tiers
       def sweep(tws: Boolean): (Double, Long) = {
         val in = MemoryStream[Streams.ObsEvent]
         val ds = in.toDS()
-        val out = (if (tws) Streams.latestStateTws(ds, eventTimeTtl = Some(ttl))
+        val out = (if (tws) Streams.latestStateChangesTws(ds, ttl)
                    else Streams.latestStateChanges(ds, ttl)).toDF()
         def body(): (Double, Long) = {
           val name = "probe15e_" + java.lang.Long.toHexString(System.nanoTime())
@@ -1162,9 +1168,7 @@ object ScaleProbe {
             in.addData(Seq(Streams.ObsEvent(-1L, -2L, 31L * day, Some(3.0))))
             q.processAllAvailable()
             val sec = (System.nanoTime() - t0) / 1e9
-            val fired =
-              if (tws) -1L // TWS eviction clears state silently by design
-              else spark.table(name).filter(col("op") === "delete").count()
+            val fired = spark.table(name).filter(col("op") === "delete").count()
             (sec, fired)
           } finally q.stop()
         }
@@ -1173,9 +1177,11 @@ object ScaleProbe {
       val (hs, hd) = sweep(tws = false)
       require(hd == nKeys,
         s"probe15e: expected $nKeys tombstones from the sweep batch, got $hd")
-      val (rs, _) = sweep(tws = true)
+      val (rs, rd) = sweep(tws = true)
+      require(rd == nKeys,
+        s"probe15e: expected $nKeys TWS tombstones from the sweep batch, got $rd")
       println(f"probe15e:timerSweep[fmgws]   ${hs}%7.2f s  fired=$hd")
-      println(f"probe15e:timerSweep[tws]     ${rs}%7.2f s  fired=$nKeys (cleared silently)")
+      println(f"probe15e:timerSweep[tws]     ${rs}%7.2f s  fired=$rd")
     }
 
     // guard probe: one epoch-0 sentinel next to current-epoch data must

@@ -177,11 +177,14 @@ object SparkEntry {
         .agg(min(col("ts"))).head.getLong(0) / EtReplayDayUs)
     (d0 + EtReplayDays) * EtReplayDayUs
   }
-  private[graft] def etReplayStream(spark: SparkSession, dir: String,
-      nullifyThirds: Boolean)
-      : org.apache.spark.sql.Dataset[graft.streaming.Streams.ObsEvent] = {
-    import spark.implicits._
-    val chunks = etReplayDirs.computeIfAbsent((dir, nullifyThirds), _ => {
+  /** The staged chunk directory behind [[etReplayStream]] — exposed
+    * `private[graft]` so the EtProbe mirror-contract spec can assert the
+    * probe's independently-derived staging is row-identical per chunk
+    * (the r15 drift risk becomes a failing test).
+    */
+  private[graft] def etReplayChunkDir(spark: SparkSession, dir: String,
+      nullifyThirds: Boolean): String =
+    etReplayDirs.computeIfAbsent((dir, nullifyThirds), _ => {
       val base = events(spark, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("ts") < lit(etReplayCutoffUs(spark, dir)))
@@ -193,6 +196,12 @@ object SparkEntry {
       graft.streaming.Streams.stageEventTimeReplay(base, "ts",
         bucketUs = EtReplayDayUs)
     })
+
+  private[graft] def etReplayStream(spark: SparkSession, dir: String,
+      nullifyThirds: Boolean)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.ObsEvent] = {
+    import spark.implicits._
+    val chunks = etReplayChunkDir(spark, dir, nullifyThirds)
     spark.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("event_id", LongType),
