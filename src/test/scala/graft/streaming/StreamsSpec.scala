@@ -540,6 +540,46 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("latestStateChangesTws: the tombstone timer survives a checkpointed restart and still emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ckpt = Files.createTempDirectory("twschg_ckpt").toString
+      val out = Files.createTempDirectory("twschg_sink").toString
+      val in = MemoryStream[Streams.ObsEvent]
+      def start() = Streams.latestStateChangesTws(in.toDS(),
+        java.time.Duration.ofSeconds(10)).toDF()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update()).start()
+      def sink(): Seq[Streams.CdcChange] =
+        try spark.read.parquet(out).as[Streams.CdcChange].collect().toSeq
+        catch { case _: Throwable => Seq.empty }
+      val q1 = start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // lease 20 s
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(sink().map(_.op) == Seq("upsert"), sink().toString)
+      // restart: key 1's state AND its 20 s event-time timer must be
+      // restored — the 50 s batch advances the watermark past it and
+      // the tombstone (data, not cleanup) emits post-restart
+      val q2 = start()
+      try {
+        in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0)))
+        q2.processAllAvailable()
+        val ems = sink().sortBy(c => (c.user_id, c.op))
+        assert(ems.map(c => (c.user_id, c.op)) ==
+          Seq((1L, "delete"), (1L, "upsert"), (2L, "upsert")), ems.toString)
+        assert(ems.head == Streams.CdcChange(1L, 10_000_000L, 10L, Some(1.0), "delete"),
+          s"restored timer must emit the restored winner as the tombstone: $ems")
+      } finally q2.stop()
+    }
+  }
+
   test("neardupCandidatesTws: ListState buckets pair across and within batches, exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
