@@ -1563,6 +1563,16 @@ object Streams {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+    // Deliberately NOT set here: `spark.sql.streaming.stateStore.rocksdb
+    // .changelogCheckpointing.enabled`. At production state scale it is
+    // the right setting (per-batch commits ship the changelog; full
+    // snapshots move to background maintenance — commit cost stops
+    // scaling with store size), but it is a session-level deployment
+    // choice, and measured at gate scale (r16, the nine _tws gates,
+    // min-of-3 at sf0.1) it was neutral-to-negative (24.5 s -> 27.0 s):
+    // with KB-scale state the per-batch floor is trigger planning, and
+    // changelog files only add commit I/O. Enable it in the session conf
+    // for real deployments with large state.
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
