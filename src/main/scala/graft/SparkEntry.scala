@@ -349,6 +349,8 @@ object SparkEntry {
     jsonlScratchRoot + "/csv-" + pathKey(dir)
   private def orcScratchDir(dir: String): String =
     jsonlScratchRoot + "/orc-" + pathKey(dir)
+  private def mergeScratchDir(dir: String): String =
+    jsonlScratchRoot + "/merge-" + pathKey(dir)
   // embedded-Derby scratch database for the jdbc_roundtrip gate — one DB
   // per (JVM, input dir), same clobber-isolation contract as the
   // csv/jsonl/orc scratch dirs. Routing derby.log into the scratch root
@@ -714,15 +716,6 @@ object SparkEntry {
     * dir-agnostic, unlike a hardcoded sf path.
     */
   @volatile private var verifySfDir: String = "/root/testdata/sf0.01"
-
-  /** Where the schema_merge gate writes its two evolving-schema parquet
-    * snapshots (v1 lacks `n_chars`/`lang`; v2 has the full schema).
-    * Static absolute path so the oracle can `read_parquet(..,
-    * union_by_name=true)` the very files the engine wrote — both engines
-    * must agree that pre-evolution rows surface the new columns as null.
-    */
-  val MergeExportDir: String =
-    new java.io.File("target/verify-schema-merge").getAbsolutePath
 
   /** Where the csv_roundtrip gate writes the cleaned patient table as CSV
     * (S4, `json_pipeline.py:1058-1076`). Static absolute path: the oracle
@@ -1583,17 +1576,24 @@ object SparkEntry {
     // into one frame via mergeSchema. Pre-evolution rows must surface
     // the late columns as null in BOTH engines (DuckDB union_by_name
     // reads the same files), pinning the backfill contract end-to-end.
+    // Scratch is SF-SCOPED like the jsonl/csv/orc round-trips (r16: the
+    // static path let a later run at another SF clobber the files the
+    // dumped oracle reads — harmless in driver order, a landmine for
+    // any out-of-order re-compare); the oracle resolves the same dir
+    // through verifySfDir, set here like `provenance` does.
     "schema_merge" -> ((s, dir) => {
+      verifySfDir = dir
+      val scratch = mergeScratchDir(dir)
       val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
       graft.sinks.Sinks.writeParquet(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0)
           .select("doc_id", "text", "source"),
-        s"$MergeExportDir/v1")
+        s"$scratch/v1")
       graft.sinks.Sinks.writeParquet(
         docs.filter(pmod(col("doc_id"), lit(2)) === 1)
           .select("doc_id", "text", "source", "lang", "n_chars"),
-        s"$MergeExportDir/v2")
-      graft.sinks.Sinks.readParquetMerged(s, s"$MergeExportDir/v1", s"$MergeExportDir/v2")
+        s"$scratch/v2")
+      graft.sinks.Sinks.readParquetMerged(s, s"$scratch/v1", s"$scratch/v2")
         .select("doc_id", "text", "source", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -5765,7 +5765,8 @@ object SparkEntry {
     "schema_merge" ->
       s"""SELECT doc_id, text, source, lang, n_chars
          |FROM read_parquet(
-         |  ['$MergeExportDir/v1/*.parquet', '$MergeExportDir/v2/*.parquet'],
+         |  ['${mergeScratchDir(verifySfDir)}/v1/*.parquet',
+         |   '${mergeScratchDir(verifySfDir)}/v2/*.parquet'],
          |  union_by_name=true)
          |ORDER BY doc_id""".stripMargin,
 
