@@ -1184,6 +1184,59 @@ object ScaleProbe {
       println(f"probe15e:timerSweep[tws]     ${rs}%7.2f s  fired=$rd")
     }
 
+    // round-17 probe: latestStateChangesTws' OWN 64× curve (the r16
+    // verdict ask — probe15e pins 1×/16× timer FIRING on both tiers,
+    // but the new tombstone processor had no per-op scale row). Axis =
+    // key cardinality, i.e. RocksDB state size (one KeyLatest struct +
+    // one event-time timer per key) and fired-timer volume together.
+    // Lifecycle timed in two windows: LOAD = arm nKeys leases then
+    // renew every one (two keyed batches — the steady-state write
+    // path), SWEEP = the post-backlog batch whose watermark jump fires
+    // every timer at once and must emit exactly nKeys tombstones.
+    // Contract: both walls linear-to-flat through 64× — superlinear
+    // load means per-key state writes degrade with instance size;
+    // superlinear sweep means the timer scan does.
+    if (familyOn("probe17a")) Seq(1, 8, 64).filter(t => t == 1 || t <= k)
+        .foreach { times =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.Streams
+      val nKeys = 10000 * times
+      val day = 86_400_000_000L
+      val ttl = java.time.Duration.ofHours(6)
+      val in = MemoryStream[Streams.ObsEvent]
+      val out = Streams.latestStateChangesTws(in.toDS(), ttl).toDF()
+      val (loadSec, sweepSec, fired) = Streams.withRocksDbProvider(spark) {
+        val name = "probe17a_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val t0 = System.nanoTime()
+          in.addData((0 until nKeys).map(i =>
+            Streams.ObsEvent(i.toLong, i.toLong, day + i.toLong, Some(1.0))))
+          q.processAllAvailable()
+          in.addData((0 until nKeys).map(i =>
+            Streams.ObsEvent(i.toLong, (nKeys + i).toLong, 2L * day + i.toLong,
+              Some(2.0))))
+          q.processAllAvailable()
+          val load = (System.nanoTime() - t0) / 1e9
+          in.addData(Seq(Streams.ObsEvent(-1L, -1L, 30L * day, Some(3.0))))
+          q.processAllAvailable()
+          val t1 = System.nanoTime()
+          in.addData(Seq(Streams.ObsEvent(-1L, -2L, 31L * day, Some(4.0))))
+          q.processAllAvailable()
+          val sweep = (System.nanoTime() - t1) / 1e9
+          val d = spark.table(name).filter(col("op") === "delete").count()
+          (load, sweep, d)
+        } finally q.stop()
+      }
+      require(fired == nKeys,
+        s"probe17a: expected $nKeys tombstones from the sweep batch, got $fired")
+      println(f"probe17a:cdcTws load ${loadSec}%7.2f s  sweep ${sweepSec}%7.2f s" +
+        f"  keys=$nKeys fired=$fired")
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

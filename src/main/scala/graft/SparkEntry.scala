@@ -286,13 +286,19 @@ object SparkEntry {
   private[graft] val EtDocDayMult = 2654435761L // Knuth multiplicative hash
   private[graft] val EtDocDays = 12L
   private[graft] val EtDocLeaseMs = 108_000_000L // 30 h = 1.25 replay days
+  /** The document's replay day — THE defining expression (Spark long
+    * multiply wraps on overflow; pmod of the wrapped value is the
+    * semantics). Shared by the replay staging and the Verify band dump
+    * so the oracle reads this value rather than re-deriving it in SQL.
+    */
+  private[graft] def etDocDay(id: Column): Column =
+    pmod(id * lit(EtDocDayMult), lit(EtDocDays))
   private[graft] def etDocsReplayStream(spark: SparkSession, dir: String): DataFrame = {
     val chunks = etReplayDirs.computeIfAbsent((dir + "#docs", false), _ => {
       val base = t(spark, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("text"),
-          ((pmod(col("doc_id") * lit(EtDocDayMult), lit(EtDocDays)) + 1) *
-            lit(EtReplayDayUs)).as("ts"))
+          ((etDocDay(col("doc_id")) + 1) * lit(EtReplayDayUs)).as("ts"))
       graft.streaming.Streams.stageEventTimeReplay(base, "ts",
         bucketUs = EtReplayDayUs)
     })
@@ -393,8 +399,21 @@ object SparkEntry {
     * operator's output equals the all-pairs form the SQL computes. The
     * signature kernel itself stays spec-pinned (TextKernels specs).
     */
-  val SimhashDumpDir: String =
-    new java.io.File("target/verify-simhash-sigs").getAbsolutePath
+  def simhashDumpDir(dir: String): String = verifyDumpDir("simhash-sigs", dir)
+
+  /** Stable (survives the Verify JVM — the DuckDB oracle runs later in
+    * another process), SF-SCOPED dump path under target/. Keyed by
+    * [[pathKey]] of the input dir for the same reason the jsonl/csv/orc
+    * scratch dirs are (r16 schema_merge fix, commit 6cd9faa; r16 ADVICE
+    * flagged the band dump): a static path lets a later Verify run at
+    * another SF overwrite the parquet an earlier run's dumped oracle SQL
+    * reads — harmless in driver order, a silent-mismatch landmine for any
+    * out-of-order re-compare. Every SF-DEPENDENT dump routes through
+    * here; SF-independent dumps (PSL rules, the FHIR fixture exports,
+    * csv_roundtrip's 2-row fixture table) stay static by design.
+    */
+  private def verifyDumpDir(name: String, dir: String): String =
+    new java.io.File(s"target/verify-$name-${pathKey(dir)}").getAbsolutePath
 
   /** Where Verify materializes the LSH band table `(band_idx, band_hash,
     * doc_id)` of the sf documents corpus — the SAME shingle→minhash→band
@@ -404,15 +423,21 @@ object SparkEntry {
     * bucket bridging — a third member renewing a bucket mid-silence,
     * which no pairwise day-window can express — is replayed, not
     * approximated. The band kernel itself stays spec-pinned
-    * (FunctionsSpec / DedupSpec) — the [[SimhashDumpDir]] soundness
+    * (FunctionsSpec / DedupSpec) — the [[simhashDumpDir]] soundness
     * pattern.
     */
-  val NeardupBandsDumpDir: String =
-    new java.io.File("target/verify-neardup-bands").getAbsolutePath
+  def neardupBandsDumpDir(dir: String): String =
+    verifyDumpDir("neardup-bands", dir)
 
   /** The banded LSH explode of the documents corpus, exactly as the
     * neardup ops compute it (graft.streaming.Streams.neardupCandidates*
     * and graft.ops.Dedup.lshCandidates share these kernels/constants).
+    * Carries the replay day `d` computed by the ENGINE's expression
+    * ([[etDocDay]] — the same wrapped int64 product etDocsReplayStream
+    * derives ts from), so the stream_neardup_et oracle reads the day
+    * instead of re-deriving `(doc_id * mult) % days` in DuckDB, which
+    * errors on int64 product overflow where Spark wraps silently (r16
+    * ADVICE — divergent-by-engine, not just a magnitude assumption).
     */
   def neardupBandFrame(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -423,7 +448,8 @@ object SparkEntry {
             graft.functions.shingle_hash_set(col("text"), 3)),
           graft.ops.Dedup.Bands, graft.ops.Dedup.RowsPerBand))
           .as(Seq("band_idx", "band_hash")),
-        col("doc_id").cast("long").as("doc_id"))
+        col("doc_id").cast("long").as("doc_id"),
+        etDocDay(col("doc_id").cast("long")).as("d"))
 
   /** Where Verify materializes the CORPUS-LEARNED BPE merge table
     * `(rank, l, r)` — the `bpe_learned_count` oracle replays the greedy
@@ -431,10 +457,9 @@ object SparkEntry {
     * as `bpe_merge_count`, table-driven instead of literal), so the
     * APPLICATION of a trained vocabulary is fully SQL-verified; the
     * trainer itself stays spec-pinned (TextStatsSpec's Sennrich
-    * worked example) — the [[SimhashDumpDir]] soundness pattern.
+    * worked example) — the [[simhashDumpDir]] soundness pattern.
     */
-  val BpeMergesDumpDir: String =
-    new java.io.File("target/verify-bpe-merges").getAbsolutePath
+  def bpeMergesDumpDir(dir: String): String = verifyDumpDir("bpe-merges", dir)
 
   /** The merge table the `bpe_learned_count` gate trains and applies:
     * 12 merges learned on the 1-in-4 corpus slice (the
@@ -476,8 +501,7 @@ object SparkEntry {
     * trainer is the SAME exact-Lloyd machinery the ann_ivf oracle
     * replays bit-exactly, so training stays verified there).
     */
-  val PqDumpDir: String =
-    new java.io.File("target/verify-pq-codebooks").getAbsolutePath
+  def pqDumpDir(dir: String): String = verifyDumpDir("pq-codebooks", dir)
 
   /** Process-lifetime memo of TRAINED, deterministic, KB-scale model
     * artifacts (Lloyd/PQ codebooks) keyed by (input dir | config). The
@@ -592,8 +616,7 @@ object SparkEntry {
     * parquet; only the SplitMix64 plane derivation stays spec-pinned
     * (kernel ≡ literal-plane equivalence in SimilaritySpec).
     */
-  val LshKeysDumpDir: String =
-    new java.io.File("target/verify-lsh-keys").getAbsolutePath
+  def lshKeysDumpDir(dir: String): String = verifyDumpDir("lsh-keys", dir)
 
   /** The ann_lsh gate's key frame (m=4, L=16 — keep in lock-step with the
     * registry entry below).
@@ -632,18 +655,17 @@ object SparkEntry {
   /** Where Verify materializes the ann_lsh_scaled corpus with its
     * 10-plane × 32-table keys, for that gate's oracle.
     */
-  val ScaledLshDumpDir: String =
-    new java.io.File("target/verify-lsh-scaled").getAbsolutePath
+  def scaledLshDumpDir(dir: String): String = verifyDumpDir("lsh-scaled", dir)
 
   /** Where Verify materializes (doc_id, rolling_fp, content_fp) of the
     * fingerprint gate's enriched corpus. The doc_fingerprint oracle replays
     * the gate's downstream duplicate-group stage (canonical id, exact-dup
     * count, content-bucket size) from this parquet in DuckDB; the FNV-style
     * rolling/content hash kernels stay spec-pinned (TextKernels specs) —
-    * same soundness pattern as [[SimhashDumpDir]].
+    * same soundness pattern as [[simhashDumpDir]].
     */
-  val FingerprintDumpDir: String =
-    new java.io.File("target/verify-fingerprints").getAbsolutePath
+  def fingerprintDumpDir(dir: String): String =
+    verifyDumpDir("fingerprints", dir)
 
   /** The fingerprint frame both the dump and the doc_fingerprint gate
     * derive from. The raw synthetic corpus has no duplicate or reordered
@@ -689,8 +711,8 @@ object SparkEntry {
     * the gate's per-source profile AGGREGATION from this parquet, leaving
     * only the kernel spec-pinned (TextKernelsSpec pins known ratios).
     */
-  val CompressionDumpDir: String =
-    new java.io.File("target/verify-comp-ratios").getAbsolutePath
+  def compressionDumpDir(dir: String): String =
+    verifyDumpDir("comp-ratios", dir)
 
   /** The per-doc ratio frame both the dump and the compression_profile
     * gate derive from. Enriched with a highly-repetitive variant of every
@@ -710,12 +732,15 @@ object SparkEntry {
         TextStats.compressionRatio(col("text")).as("comp_ratio"))
   }
 
-  /** The input dir of the current Verify run, captured by the provenance
-    * gate when it executes so the (def-evaluated, dumped-last) oracle SQL
-    * can `read_parquet(filename=true)` the very file the engine scanned —
-    * dir-agnostic, unlike a hardcoded sf path.
+  /** The input dir of the current Verify run, so the (def-evaluated,
+    * dumped-last) oracle SQL can resolve SF-scoped dump/scratch paths and
+    * `read_parquet(filename=true)` the very file the engine scanned —
+    * dir-agnostic, unlike a hardcoded sf path. Verify.main sets it at
+    * startup (every dump-reading oracle needs it even under a
+    * SPARK_GRAFT_ONLY subset); the provenance/schema_merge gates also set
+    * it when they execute, keeping ad-hoc REPL runs of those gates honest.
     */
-  @volatile private var verifySfDir: String = "/root/testdata/sf0.01"
+  @volatile private[graft] var verifySfDir: String = "/root/testdata/sf0.01"
 
   /** Where the csv_roundtrip gate writes the cleaned patient table as CSV
     * (S4, `json_pipeline.py:1058-1076`). Static absolute path: the oracle
@@ -3184,7 +3209,7 @@ object SparkEntry {
     // in between) while pairs ≤ 3 days apart emit. Exact-Jaccard verify
     // over the streamed candidates makes the final answer the ≥0.8 pair
     // set FILTERED by bucket-lease survival — which the oracle replays
-    // EXACTLY per bucket from the Verify band dump (NeardupBandsDumpDir):
+    // EXACTLY per bucket from the Verify band dump (neardupBandsDumpDir):
     // member-day timelines under the same wm/lease arithmetic as the
     // other _et oracles, INCLUDING bucket bridging — a third member
     // renewing a shared bucket mid-silence keeps a pair alive across a
@@ -5517,24 +5542,24 @@ object SparkEntry {
       floor = 0.0),
 
     "ann_recall" -> recallOracleSql(
-      embeddingsESrc, lshApproxCtes(LshKeysDumpDir), floor = 0.5),
+      embeddingsESrc, lshApproxCtes(lshKeysDumpDir(verifySfDir)), floor = 0.5),
 
     "ann_lsh_scaled" -> recallOracleSql(
       s"""SELECT vec_id, embedding AS v
-         |  FROM read_parquet('$ScaledLshDumpDir/*.parquet')""".stripMargin,
-      lshApproxCtes(ScaledLshDumpDir), floor = 0.8),
+         |  FROM read_parquet('${scaledLshDumpDir(verifySfDir)}/*.parquet')""".stripMargin,
+      lshApproxCtes(scaledLshDumpDir(verifySfDir)), floor = 0.8),
 
     // PQ top-k lists replayed from the codebook dump: encode + LUT +
     // exact-int64 ADC + exact re-rank, all in SQL.
     "ann_pq" ->
       (s"WITH e AS (\n  $embeddingsESrc),\n" +
-        pqApproxCtes(PqDumpDir, nQueries = 5, candK = 50) + "\n" +
+        pqApproxCtes(pqDumpDir(verifySfDir), nQueries = 5, candK = 50) + "\n" +
         """SELECT query_id, neighbor_id, cosine_sim, rank
           |FROM approx ORDER BY query_id, rank""".stripMargin),
 
     "ann_pq_recall" -> recallOracleSql(
       embeddingsESrc,
-      pqApproxCtes(PqDumpDir, nQueries = 20, candK = 100), floor = 0.5),
+      pqApproxCtes(pqDumpDir(verifySfDir), nQueries = 20, candK = 100), floor = 0.5),
 
     "ann_ivf_recall" -> recallOracleSql(
       embeddingsESrc,
@@ -5586,7 +5611,7 @@ object SparkEntry {
 
     "ann_lsh" ->
       s"""WITH k AS (
-         |  SELECT vec_id, keys FROM read_parquet('$LshKeysDumpDir/*.parquet')),
+         |  SELECT vec_id, keys FROM read_parquet('${lshKeysDumpDir(verifySfDir)}/*.parquet')),
          |ck AS (SELECT vec_id, unnest(keys) AS key FROM k),
          |qk AS (SELECT vec_id AS qid, unnest(keys) AS key FROM k WHERE vec_id < 5),
          |cand AS (
@@ -5960,7 +5985,7 @@ object SparkEntry {
     "doc_fingerprint" ->
       s"""WITH fp AS (
          |  SELECT doc_id, rolling_fp, content_fp
-         |  FROM read_parquet('$FingerprintDumpDir/*.parquet'))
+         |  FROM read_parquet('${fingerprintDumpDir(verifySfDir)}/*.parquet'))
          |SELECT doc_id,
          |  CASE WHEN rolling_fp IS NULL THEN doc_id
          |       ELSE min(doc_id) OVER (PARTITION BY rolling_fp) END AS canonical_id,
@@ -6012,12 +6037,12 @@ object SparkEntry {
          |  round(min(comp_ratio), 6) AS min_ratio,
          |  round(max(comp_ratio), 6) AS max_ratio,
          |  CAST(sum(CASE WHEN comp_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
-         |FROM read_parquet('$CompressionDumpDir/*.parquet')
+         |FROM read_parquet('${compressionDumpDir(verifySfDir)}/*.parquet')
          |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH s AS (
-         |  SELECT doc_id, simhash FROM read_parquet('$SimhashDumpDir/*.parquet'))
+         |  SELECT doc_id, simhash FROM read_parquet('${simhashDumpDir(verifySfDir)}/*.parquet'))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -7797,7 +7822,7 @@ object SparkEntry {
 
     // stream_neardup_et: the ≥0.8 pair set FILTERED by event-time bucket
     // survival, replayed EXACTLY per bucket from the Verify band dump
-    // (NeardupBandsDumpDir — the same banded explode the op runs; the
+    // (neardupBandsDumpDir — the same banded explode the op runs; the
     // kernel stays spec-pinned). Same wm/ord/lease arithmetic as the
     // other _et oracles, applied to each bucket's member-DAY timeline:
     // with constant-per-day doc ts (see etDocsReplayStream), a bucket's
@@ -7808,16 +7833,20 @@ object SparkEntry {
     // bucket has no dead gap between the two docs' days — which replays
     // bucket BRIDGING (a third member renewing a bucket mid-silence)
     // that no pairwise day-window can express (observed at sf0.1: 2 of
-    // 134 surviving pairs exist only through a bridge doc).
+    // 134 surviving pairs exist only through a bridge doc). The replay
+    // day `d` is READ from the band dump (the engine's own wrapped-mod
+    // expression, etDocDay) rather than re-derived in SQL: DuckDB
+    // errors on the int64 product where Spark wraps. The day SET (dd)
+    // comes from bd too — sound because every replayed doc has non-null
+    // text and therefore bands (the day timeline would only diverge if
+    // an entire replay day held nothing but band-less docs).
     "stream_neardup_et" ->
       (shingleCte +
         s""", bd AS (
-           |  SELECT band_idx, band_hash, doc_id,
-           |         (doc_id * $EtDocDayMult) % $EtDocDays AS d
-           |  FROM read_parquet('$NeardupBandsDumpDir/*.parquet')
+           |  SELECT band_idx, band_hash, doc_id, d
+           |  FROM read_parquet('${neardupBandsDumpDir(verifySfDir)}/*.parquet')
            |), dd AS (
-           |  SELECT DISTINCT (doc_id * $EtDocDayMult) % $EtDocDays AS d
-           |  FROM documents WHERE doc_id IS NOT NULL
+           |  SELECT DISTINCT d FROM bd
            |), ords AS (
            |  SELECT d, row_number() OVER (ORDER BY d) AS ord FROM dd
            |), wmt AS (
@@ -8313,7 +8342,7 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |ml AS (
          |  SELECT list(l || ' ' || r ORDER BY rank) AS m
-         |  FROM read_parquet('$BpeMergesDumpDir/*.parquet')),
+         |  FROM read_parquet('${bpeMergesDumpDir(verifySfDir)}/*.parquet')),
          |d AS (
          |  SELECT doc_id, text FROM documents
          |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),

@@ -22,6 +22,11 @@ object Verify {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
     new java.io.File(outDir).mkdirs()
+    // Pin the SF-scoped oracle paths to THIS run's input before anything
+    // dumps or runs: oracleSql is def-evaluated at the end of main, and
+    // under SPARK_GRAFT_ONLY the provenance/schema_merge gates (the other
+    // setters) may never execute.
+    SparkEntry.verifySfDir = sfDir
     // Materialize the normalized FHIR entry rows once per run: the
     // fhir_*_oracle DuckDB SQL re-derives every cleaned table from this
     // parquet, so the oracle and the engine share one input.
@@ -39,7 +44,7 @@ object Verify {
       .select(org.apache.spark.sql.functions.col("subspace"),
         org.apache.spark.sql.functions.col("centroid_id"),
         org.apache.spark.sql.functions.col("__cent").as("cv"))
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.PqDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.pqDumpDir(sfDir))
     // ... and the corpus-learned BPE merge table, so bpe_learned_count's
     // greedy application gets a table-driven recursive-CTE oracle (the
     // trainer stays spec-pinned on the Sennrich worked example).
@@ -48,22 +53,22 @@ object Verify {
       SparkEntry.bpeLearnedMerges(spark, sfDir).zipWithIndex
         .map { case ((l, r), rank) => (rank, l, r) }
         .toDF("rank", "l", "r")
-        .coalesce(1).write.mode("overwrite").parquet(SparkEntry.BpeMergesDumpDir)
+        .coalesce(1).write.mode("overwrite").parquet(SparkEntry.bpeMergesDumpDir(sfDir))
     }
     // ... and the simhash signatures, so dedup_simhash's pair stage gets a
     // bit_count(xor()) oracle (the kernel stays spec-pinned).
     SparkEntry.simhashSignatures(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.SimhashDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.simhashDumpDir(sfDir))
     // ... and the LSH band table, so stream_neardup_et's oracle replays
     // the per-bucket event-time lease chain (bridging included) exactly
     // from the SAME banded explode the streaming op runs.
     SparkEntry.neardupBandFrame(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.NeardupBandsDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.neardupBandsDumpDir(sfDir))
     // ... and the LSH bucket keys, so ann_lsh's candidate join + exact
     // scoring + ranking get a DuckDB oracle (the plane kernel stays
     // spec-pinned).
     SparkEntry.lshKeyFrame(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.LshKeysDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.lshKeysDumpDir(sfDir))
     // ... and the ann_lsh_scaled corpus (base + planted near-copies) with
     // its selective-config keys, for that gate's recall oracle.
     SparkEntry.annLshScaledData(spark, sfDir)._1
@@ -71,17 +76,17 @@ object Verify {
         org.apache.spark.sql.functions.col("embedding"),
         graft.functions.lsh_keys(
           org.apache.spark.sql.functions.col("embedding"), 64, 10, 32).as("keys"))
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.ScaledLshDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.scaledLshDumpDir(sfDir))
     // ... and the rolling/content fingerprints, so doc_fingerprint's
     // duplicate-group stage gets a window-function oracle (the hash
     // kernels stay spec-pinned).
     SparkEntry.fingerprintFrame(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.FingerprintDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.fingerprintDumpDir(sfDir))
     // ... and the per-doc deflate ratios, so compression_profile's
     // per-source aggregation gets an oracle (DuckDB has no deflate; the
     // ratio kernel stays spec-pinned).
     SparkEntry.compressionFrame(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.CompressionDumpDir)
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.compressionDumpDir(sfDir))
     // Dev-loop filter: SPARK_GRAFT_ONLY=name1,name2 runs a subset without
     // paying for the full registry. Unset (driver runs) = everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

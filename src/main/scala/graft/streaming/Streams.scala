@@ -1028,10 +1028,17 @@ object Streams {
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CdcChange] = {
       // the lease expired on the data clock: the eviction IS data —
-      // emit the dying winner as a tombstone, then drop the state
-      val dead = latest.get()
-      latest.clear()
-      Iterator.single(CdcChange(uid, dead.ts, dead.event_id, dead.value, "delete"))
+      // emit the dying winner as a tombstone, then drop the state.
+      // exists() guard: handleInputRows keeps state and timer in
+      // lockstep (one live timer per key, always alongside state), but
+      // a stale provider-delivered timer for a cleared key must no-op,
+      // not throw inside the query (r16 ADVICE).
+      if (!latest.exists()) Iterator.empty
+      else {
+        val dead = latest.get()
+        latest.clear()
+        Iterator.single(CdcChange(uid, dead.ts, dead.event_id, dead.value, "delete"))
+      }
     }
   }
 
