@@ -3129,6 +3129,27 @@ object SparkEntry {
           col("width"), col("height"), col("pixel_sum"))
         .orderBy("media_id", "frame_idx")),
 
+    // §2.11 — H.264 NAL-layer metadata tier (dependency-free: the
+    // bit-syntax layer — Annex-B scan, RBSP unescape, exp-Golomb, SPS
+    // with real frame-cropping arithmetic, slice-header prefixes — is
+    // implemented from the public spec; pixel decode of P/B frames
+    // remains the documented codec-dep ceiling). The engine PARSES real
+    // escaped bitstream bytes; the oracle predicts every field from the
+    // fixture generator's formulas (fhir_scale pattern). The parser is
+    // independently pinned on hand-assembled golden bit patterns
+    // (H264Spec) that never touch the builder.
+    "multimodal_h264" -> ((s, dir) =>
+      graft.ops.H264.nalStats(
+        graft.ops.H264.syntheticH264Table(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("profile_idc"), col("level_idc"), col("width"), col("height"),
+          col("n_nals"), col("n_sps"), col("n_pps"), col("n_sei"),
+          col("n_idr"), col("n_i"), col("n_p"), col("n_b"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8598,6 +8619,32 @@ object SparkEntry {
         |  CAST(w * h * g AS BIGINT) AS pixel_sum
         |FROM fr
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // H.264 NAL-layer stats predicted from the fixture generator's
+    // formulas: dims via the SPS crop arithmetic the engine must decode
+    // from real exp-Golomb bits (16·mbs − 2·crop for 4:2:0), NAL census
+    // 3 headers + 1+p+b slices per GOP. The engine earns each value by
+    // parsing escaped Annex-B bytes; this SQL never sees a byte.
+    "multimodal_h264" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    1 + doc_id % 5 AS mbw, 1 + doc_id % 3 AS mbh,
+        |    doc_id % 3 AS crp, doc_id % 2 AS cbt,
+        |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 66 END AS prof,
+        |    1 + doc_id % 2 AS g, doc_id % 3 AS p, doc_id % 2 AS b
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(prof AS INTEGER) AS profile_idc,
+        |  CAST(30 AS INTEGER) AS level_idc,
+        |  CAST(16 * mbw - 2 * crp AS INTEGER) AS width,
+        |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
+        |  CAST(3 + g * (1 + p + b) AS BIGINT) AS n_nals,
+        |  CAST(1 AS BIGINT) AS n_sps, CAST(1 AS BIGINT) AS n_pps,
+        |  CAST(1 AS BIGINT) AS n_sei,
+        |  CAST(g AS BIGINT) AS n_idr, CAST(g AS BIGINT) AS n_i,
+        |  CAST(g * p AS BIGINT) AS n_p, CAST(g * b AS BIGINT) AS n_b
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
     // the PCM formula (empty windows zero-filled), gradient-sign bits

@@ -1,0 +1,434 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** H.264/AVC NAL-LAYER metadata extraction — the dependency-free video
+  * tier. The JDK ships no H.264 pixel decoder and the build's dependency
+  * policy (README) excludes codec jars, but everything a curation
+  * pipeline filters video BY — resolution, profile/level, frame count,
+  * I/P/B composition, keyframe (IDR) cadence — lives in the bitstream's
+  * NAL headers, sequence parameter set, and slice-header prefix, all of
+  * which are plain bit-field/exp-Golomb syntax defined by the public
+  * ITU-T H.264 spec (§7.3): no entropy decoding, no prediction, no
+  * pixels. This module implements that layer from the spec:
+  *
+  *   - Annex-B start-code scan (00 00 01 / 00 00 00 01) → NAL units
+  *   - RBSP emulation-prevention escape/unescape (§7.3.1/§7.4.1.1)
+  *   - exp-Golomb ue(v)/se(v) bit reader AND writer (§9.1)
+  *   - seq_parameter_set_rbsp parse (§7.3.2.1.1) incl. the high-profile
+  *     chroma/bit-depth branch, scaling-list skip (§7.3.2.1.1.1), and
+  *     the frame-cropping → luma-sample arithmetic (§7.4.2.1.1)
+  *   - slice_header prefix parse (§7.3.3): first_mb_in_slice,
+  *     slice_type, pic_parameter_set_id, frame_num — enough to census
+  *     frames by I/P/B class without touching slice_data()
+  *
+  * What this tier deliberately does NOT do: decode pixels. Macroblock
+  * reconstruction of P/B frames needs CABAC/CAVLC + inter prediction —
+  * a codec dependency by any honest account; that ceiling stays
+  * documented in README. The synthetic fixture
+  * ([[syntheticAnnexBStream]]) builds structurally valid SPS/PPS/SEI +
+  * slice-header prefixes through the SAME bit syntax in reverse (slice
+  * payloads carry no macroblock data — metadata-layer fixtures for a
+  * metadata-layer op), so the oracle can predict every extracted field
+  * from the generator formulas while the engine earns them by parsing
+  * real escaped bitstream bytes. The parser itself is additionally
+  * pinned on hand-assembled golden bit patterns (H264Spec) that never
+  * touch the builder.
+  *
+  * Scale shape: one narrow `mapPartitions` pass, one row in → one row
+  * out, per-payload cost linear in NAL count (headers only — skipped
+  * slice data costs a byte scan, not a parse). Corrupt payloads degrade
+  * to `parse_ok = false` rows, never fail the scan — the
+  * [[Multimodal.decodeImages]] contract.
+  */
+object H264 {
+
+  // --- bit I/O over RBSP ---------------------------------------------
+
+  /** MSB-first bit reader over an (unescaped) RBSP byte array. Throws
+    * on overrun — callers turn that into a flagged row.
+    */
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0 // bit position
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val byteIdx = pos >>> 3
+        if (byteIdx >= b.length) throw new IllegalArgumentException("RBSP overrun")
+        v = (v << 1) | ((b(byteIdx) >>> (7 - (pos & 7))) & 1)
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    /** exp-Golomb codeNum (§9.1): count zeros to the marker 1 bit, then
+      * read that many info bits.
+      */
+    def ue(): Int = {
+      var lz = 0
+      while (u(1) == 0) {
+        lz += 1
+        if (lz > 31) throw new IllegalArgumentException("exp-Golomb overrun")
+      }
+      ((1 << lz) | u(lz)) - 1
+    }
+    /** signed exp-Golomb (§9.1.1): k odd → (k+1)/2, k even → −k/2. */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** MSB-first bit writer producing a raw RBSP (caller escapes). */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): this.type = {
+      require(n >= 0 && n <= 31 && (n == 31 || v < (1 << n)) && v >= 0,
+        s"u($v, $n) out of range")
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >>> k) & 1)
+        nBits += 1
+        if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+        k -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      require(v >= 0, s"ue($v)")
+      val cn = v + 1
+      val lz = 31 - java.lang.Integer.numberOfLeadingZeros(cn)
+      u(0, lz); u(cn, lz + 1)
+    }
+    def se(v: Int): this.type =
+      ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: the stop 1 then zero-pad to a byte boundary. */
+    def trailing(): Array[Byte] = {
+      u(1, 1)
+      if (nBits > 0) { out.write(cur << (8 - nBits)); cur = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  // --- emulation prevention (§7.3.1 / §7.4.1.1) ------------------------
+
+  /** RBSP → EBSP: insert emulation_prevention_three_byte before any
+    * third byte ≤ 0x03 that would otherwise complete 00 00 0x.
+    */
+  def rbspEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < rbsp.length) {
+      val b = rbsp(i)
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** EBSP → RBSP: drop the 0x03 of every 00 00 03 sequence. */
+  def rbspUnescape(ebsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(ebsp.length)
+    var zeros = 0
+    var i = 0
+    while (i < ebsp.length) {
+      val b = ebsp(i)
+      if (zeros >= 2 && b == 3) zeros = 0 // emulation prevention: skip
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // --- SPS (§7.3.2.1.1) -------------------------------------------------
+
+  /** The profiles whose SPS carries the chroma-format/bit-depth branch. */
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  final case class Sps(
+      profileIdc: Int, levelIdc: Int, chromaFormatIdc: Int,
+      separateColourPlane: Boolean, log2MaxFrameNum: Int,
+      frameMbsOnly: Boolean, width: Int, height: Int)
+
+  /** scaling_list() (§7.3.2.1.1.1) — values decoded and discarded. */
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var lastScale = 8
+    var nextScale = 8
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+      if (nextScale != 0) lastScale = nextScale
+      j += 1
+    }
+  }
+
+  /** Parse a seq_parameter_set_rbsp from unescaped RBSP bytes. */
+  def parseSps(rbsp: Array[Byte]): Sps = {
+    val r = new BitReader(rbsp)
+    val profile = r.u(8)
+    r.u(8) // constraint_set flags + reserved_zero_2bits
+    val level = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chromaIdc = 1 // inferred 4:2:0 when the branch is absent (§7.4.2.1.1)
+    var sepColour = false
+    if (HighProfiles.contains(profile)) {
+      chromaIdc = r.ue()
+      if (chromaIdc == 3) sepColour = r.u(1) == 1
+      r.ue() // bit_depth_luma_minus8
+      r.ue() // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+        val n = if (chromaIdc == 3) 12 else 8
+        var i = 0
+        while (i < n) {
+          if (r.u(1) == 1) skipScalingList(r, if (i < 6) 16 else 64)
+          i += 1
+        }
+      }
+    }
+    val log2Mfn = r.ue() + 4
+    val pocType = r.ue()
+    if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    else if (pocType == 1) {
+      r.u(1) // delta_pic_order_always_zero_flag
+      r.se(); r.se()
+      val n = r.ue()
+      var i = 0
+      while (i < n) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val widthMbs = r.ue() + 1
+    val heightMapUnits = r.ue() + 1
+    val frameMbsOnly = r.u(1) == 1
+    if (!frameMbsOnly) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    var (cl, cr, ct, cb) = (0, 0, 0, 0)
+    if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    // luma dimensions (§7.4.2.1.1): crop units depend on ChromaArrayType
+    val chromaArrayType = if (sepColour) 0 else chromaIdc
+    val (subW, subH) = chromaIdc match {
+      case 1 => (2, 2); case 2 => (2, 1); case _ => (1, 1)
+    }
+    val cropUnitX = if (chromaArrayType == 0) 1 else subW
+    val cropUnitY =
+      (if (chromaArrayType == 0) 1 else subH) * (if (frameMbsOnly) 1 else 2)
+    val width = 16 * widthMbs - cropUnitX * (cl + cr)
+    val height =
+      16 * heightMapUnits * (if (frameMbsOnly) 1 else 2) - cropUnitY * (ct + cb)
+    Sps(profile, level, chromaIdc, sepColour, log2Mfn, frameMbsOnly,
+      width, height)
+  }
+
+  // --- per-stream stats --------------------------------------------------
+
+  final case class H264Stats(
+      media_id: Long, parse_ok: Boolean,
+      profile_idc: Int, level_idc: Int, width: Int, height: Int,
+      n_nals: Long, n_sps: Long, n_pps: Long, n_sei: Long,
+      n_idr: Long, n_i: Long, n_p: Long, n_b: Long)
+
+  /** Annex-B start-code scan: offsets of the byte AFTER each 00 00 01
+    * (a 4-byte 00 00 00 01 code is a leading zero + the same scan key).
+    */
+  private def nalOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < b.length) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) { starts += i + 3; i += 3 }
+      else i += 1
+    }
+    starts.toSeq.zipWithIndex.map { case (s, k) =>
+      // a NAL ends where the next start code's zeros begin
+      val rawEnd = if (k + 1 < starts.length) starts(k + 1) - 3 else b.length
+      var e = rawEnd
+      if (k + 1 < starts.length && e > s && b(e - 1) == 0) e -= 1 // 4-byte code
+      (s, e)
+    }
+  }
+
+  /** Parse one Annex-B elementary stream into [[H264Stats]]. Frames are
+    * counted at their FIRST slice (`first_mb_in_slice == 0`) by
+    * slice_type class (`% 5`: 0=P, 1=B, 2=I — §7.4.3 table 7-6; SP/SI
+    * count toward P/I homes nowhere here, they census as neither).
+    */
+  def parseStream(id: Long, bytes: Array[Byte]): H264Stats =
+    try {
+      val nals = nalOffsets(if (bytes == null) Array.emptyByteArray else bytes)
+      if (nals.isEmpty) return H264Stats(id, parse_ok = false, 0, 0, 0, 0,
+        0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      var sps: Sps = null
+      var (nSps, nPps, nSei, nIdr, nI, nP, nB) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      nals.foreach { case (s, e) =>
+        val header = bytes(s) & 0xff
+        require((header & 0x80) == 0, "forbidden_zero_bit set")
+        val nalType = header & 0x1f
+        val payload = java.util.Arrays.copyOfRange(bytes, s + 1, e)
+        nalType match {
+          case 7 => sps = parseSps(rbspUnescape(payload)); nSps += 1
+          case 8 => nPps += 1
+          case 6 => nSei += 1
+          case 1 | 5 =>
+            require(sps != null, "slice before SPS")
+            val r = new BitReader(rbspUnescape(payload))
+            val firstMb = r.ue()
+            val sliceType = r.ue()
+            r.ue() // pic_parameter_set_id
+            if (sps.separateColourPlane) r.u(2) // colour_plane_id
+            r.u(sps.log2MaxFrameNum) // frame_num
+            if (firstMb == 0) sliceType % 5 match {
+              case 0 => nP += 1
+              case 1 => nB += 1
+              case 2 => nI += 1
+              case _ => () // SP/SI: censused in n_nals only
+            }
+            if (nalType == 5 && firstMb == 0) nIdr += 1
+          case _ => () // AUD/EOS/filler/...: counted in n_nals
+        }
+      }
+      if (sps == null) H264Stats(id, parse_ok = false, 0, 0, 0, 0,
+        nals.length.toLong, nSps, nPps, nSei, nIdr, nI, nP, nB)
+      else H264Stats(id, parse_ok = true, sps.profileIdc, sps.levelIdc,
+        sps.width, sps.height, nals.length.toLong, nSps, nPps, nSei,
+        nIdr, nI, nP, nB)
+    } catch {
+      case _: Exception => H264Stats(id, parse_ok = false, 0, 0, 0, 0,
+        0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    }
+
+  /** NAL-layer stats over a binary payload table — one narrow
+    * `mapPartitions` pass, one row per media, corrupt payloads flagged.
+    */
+  def nalStats(media: DataFrame): Dataset[H264Stats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseStream(id, bytes) })
+  }
+
+  // --- synthetic fixture --------------------------------------------------
+
+  private def nal(refIdc: Int, nalType: Int, rbsp: Array[Byte],
+      fourByteCode: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (fourByteCode) out.write(0)
+    out.write(0); out.write(0); out.write(1)
+    out.write((refIdc << 5) | nalType)
+    out.write(rbspEscape(rbsp))
+    out.toByteArray
+  }
+
+  /** Deterministic Annex-B stream for media `id`: one SPS (profile 66,
+    * or 100 with the chroma branch when `id % 4 == 0`; dimensions
+    * `16·(1+id%5) − 2·(id%3)` × `16·(1+id%3) − 2·(id%2)` via REAL
+    * frame-cropping syntax), one PPS, one SEI whose payload embeds
+    * 00 00 0x runs (so emulation-prevention escaping provably fires in
+    * every stream — H264Spec asserts it), then `1 + id%2` GOPs of
+    * [IDR-I, (id%3)×P, (id%2)×B] slice-header prefixes. The first start
+    * code is 4-byte, the rest 3-byte — both Annex-B forms in every
+    * payload. Slice NALs end at the header prefix (no macroblock
+    * data) — metadata-layer fixtures for a metadata-layer parser, per
+    * the module contract.
+    */
+  def syntheticAnnexBStream(id: Long): Array[Byte] = {
+    val mbW = 1 + (id % 5).toInt
+    val mbH = 1 + (id % 3).toInt
+    val cropR = (id % 3).toInt
+    val cropB = (id % 2).toInt
+    val high = id % 4 == 0
+    val log2Mfn4 = (id % 2).toInt
+    val nGop = 1 + (id % 2).toInt
+    val pPerGop = (id % 3).toInt
+    val bPerGop = (id % 2).toInt
+
+    val sps = {
+      val w = new BitWriter()
+      w.u(if (high) 100 else 66, 8).u(0, 8).u(30, 8).ue(0)
+      if (high) { w.ue(1); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1) }
+      w.ue(log2Mfn4) // log2_max_frame_num_minus4
+      w.ue(0).ue(0)  // pic_order_cnt_type 0, log2_max_poc_lsb_minus4
+      w.ue(1)        // max_num_ref_frames
+      w.u(0, 1)      // gaps_in_frame_num_value_allowed_flag
+      w.ue(mbW - 1).ue(mbH - 1)
+      w.u(1, 1)      // frame_mbs_only_flag
+      w.u(1, 1)      // direct_8x8_inference_flag
+      if (cropR + cropB > 0) { w.u(1, 1); w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB) }
+      else w.u(0, 1)
+      w.u(0, 1)      // vui_parameters_present_flag
+      w.trailing()
+    }
+    val pps = {
+      val w = new BitWriter()
+      w.ue(0).ue(0)       // pps id, sps id
+      w.u(0, 1).u(0, 1)   // entropy CAVLC, bottom_field_pic_order
+      w.ue(0)             // num_slice_groups_minus1
+      w.ue(0).ue(0)       // num_ref_idx l0/l1 defaults
+      w.u(0, 1).u(0, 2)   // weighted_pred, weighted_bipred
+      w.se(0).se(0).se(0) // init qp/qs, chroma_qp_offset
+      w.u(0, 1).u(0, 1).u(0, 1) // deblock ctrl, constrained intra, redundant
+      w.trailing()
+    }
+    val sei = {
+      // payload_type 5 (user_data_unregistered), size 16: a "uuid" of
+      // zero runs that force every escape class into the EBSP
+      val w = new BitWriter()
+      w.u(5, 8).u(16, 8)
+      Seq(0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 0xff, 0, 0, 0, 0)
+        .foreach(b => w.u(b, 8))
+      w.trailing()
+    }
+    def slice(idr: Boolean, sliceTypeAllSame: Int, frameNum: Int,
+        idrPicId: Int): Array[Byte] = {
+      val w = new BitWriter()
+      w.ue(0)                 // first_mb_in_slice
+      w.ue(sliceTypeAllSame)  // slice_type (5..9 = "all slices this type")
+      w.ue(0)                 // pic_parameter_set_id
+      w.u(frameNum % (1 << (log2Mfn4 + 4)), log2Mfn4 + 4)
+      if (idr) w.ue(idrPicId)
+      w.u(0, 4)               // pic_order_cnt_lsb (log2_max_poc_lsb = 4)
+      w.trailing()
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(nal(3, 7, sps, fourByteCode = true))
+    out.write(nal(3, 8, pps, fourByteCode = false))
+    out.write(nal(0, 6, sei, fourByteCode = false))
+    var fn = 0
+    var g = 0
+    while (g < nGop) {
+      out.write(nal(3, 5, slice(idr = true, 7, 0, g), fourByteCode = false))
+      fn = 1
+      var i = 0
+      while (i < pPerGop) {
+        out.write(nal(2, 1, slice(idr = false, 5, fn, 0), fourByteCode = false))
+        fn += 1; i += 1
+      }
+      i = 0
+      while (i < bPerGop) {
+        out.write(nal(0, 1, slice(idr = false, 6, fn, 0), fourByteCode = false))
+        i += 1
+      }
+      g += 1
+    }
+    out.toByteArray
+  }
+
+  def syntheticH264Table(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticAnnexBStream(id))))
+      .toDF("media_id", "payload")
+  }
+}
