@@ -1237,6 +1237,27 @@ object ScaleProbe {
         f"  keys=$nKeys fired=$fired")
     }
 
+    // round-17 probe: H264.nalStats at 1×/k× stream count — the claimed
+    // shape is NAL-count-linear (header-prefix parse only, slice data
+    // never entropy-decoded), so wall must scale ≤ linearly in streams.
+    // parse_ok is summed as the action so a silent degrade (all-flagged
+    // rows would still be "fast") fails the probe, not just the timing.
+    if (familyOn("h264NalStats")) Seq(1, k).foreach { times =>
+      val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
+      val rep = (0 until times).map(i =>
+        ids.select((col("doc_id") + lit(i * 1000000L)).as("doc_id")))
+        .reduce(_.unionByName(_))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val okCount = graft.ops.H264.nalStats(
+        graft.ops.H264.syntheticH264Table(rep, "doc_id"))
+        .filter(col("parse_ok")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = rep.count()
+      require(okCount == n, s"h264NalStats: $okCount parsed of $n streams")
+      println(f"h264NalStats ${sec}%7.2f s  streams=$n parsed=$okCount")
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
