@@ -126,6 +126,24 @@ class H264Spec extends SparkSpec {
       Array[Byte](0, 0, 1, 0x80.toByte, 0x12)).parse_ok)
   }
 
+  test("parseStream never throws on arbitrary byte soup (seeded fuzz)") {
+    (0 until 500).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      // some soups contain start codes and parse "ok" with garbage
+      // fields — fine; the contract under test is degrade-not-throw
+      H264.parseStream(seed.toLong, b)
+    }
+    // adversarial: start code + every NAL type byte + truncated payloads
+    (0 until 32).foreach { t =>
+      (0 to 3).foreach { len =>
+        val b = Array[Byte](0, 0, 1, t.toByte) ++ Array.fill(len)(0xff.toByte)
+        H264.parseStream(t.toLong, b)
+      }
+    }
+  }
+
   test("nalStats: distributed parse over a payload table matches parseStream") {
     import spark.implicits._
     val media = (0L until 20L).map(id => (id, H264.syntheticAnnexBStream(id)))
