@@ -1242,20 +1242,27 @@ object ScaleProbe {
     // never entropy-decoded), so wall must scale ≤ linearly in streams.
     // parse_ok is summed as the action so a silent degrade (all-flagged
     // rows would still be "fast") fails the probe, not just the timing.
-    if (familyOn("h264NalStats")) Seq(1, k).foreach { times =>
+    if (familyOn("h264NalStats", "mp4Meta")) Seq(1, k).foreach { times =>
       val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
       val rep = (0 until times).map(i =>
         ids.select((col("doc_id") + lit(i * 1000000L)).as("doc_id")))
         .reduce(_.unionByName(_))
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val okCount = graft.ops.H264.nalStats(
-        graft.ops.H264.syntheticH264Table(rep, "doc_id"))
-        .filter(col("parse_ok")).count()
-      val sec = (System.nanoTime() - t0) / 1e9
       val n = rep.count()
-      require(okCount == n, s"h264NalStats: $okCount parsed of $n streams")
-      println(f"h264NalStats ${sec}%7.2f s  streams=$n parsed=$okCount")
+      def run(name: String, parsed: => Long): Unit = {
+        if (probeOnly.exists(f => !f.exists(name.startsWith))) return
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = parsed
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(ok == n, s"$name: $ok parsed of $n streams")
+        println(f"$name%-13s ${sec}%7.2f s  streams=$n parsed=$ok")
+      }
+      run("h264NalStats", graft.ops.H264.nalStats(
+        graft.ops.H264.syntheticH264Table(rep, "doc_id"))
+        .filter(col("parse_ok")).count())
+      run("mp4Meta", graft.ops.Mp4.mp4Meta(
+        graft.ops.Mp4.syntheticMp4Table(rep, "doc_id"))
+        .filter(col("parse_ok")).count())
     }
 
     // guard probe: one epoch-0 sentinel next to current-epoch data must

@@ -3150,6 +3150,24 @@ object SparkEntry {
           col("n_idr"), col("n_i"), col("n_p"), col("n_b"))
         .orderBy("media_id")),
 
+    // §2.11 — ISO-BMFF (MP4) container demux tier: box-tree walk,
+    // first video track's sample/sync tables, and the avcC-embedded SPS
+    // decoded by the SAME spec-derived parser as multimodal_h264 (one
+    // codec-config parser, two transports). Every 5th file omits stss,
+    // pinning the spec's every-sample-is-sync default; mdat is skipped
+    // by size, never read. Oracle predicts all fields from the fixture
+    // generator's formulas.
+    "multimodal_mp4" -> ((s, dir) =>
+      graft.ops.Mp4.mp4Meta(
+        graft.ops.Mp4.syntheticMp4Table(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("brand"),
+          col("duration_ms"), col("n_samples"), col("n_keyframes"),
+          col("width"), col("height"), col("profile_idc"), col("level_idc"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8643,6 +8661,32 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_sei,
         |  CAST(g AS BIGINT) AS n_idr, CAST(g AS BIGINT) AS n_i,
         |  CAST(g * p AS BIGINT) AS n_p, CAST(g * b AS BIGINT) AS n_b
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // MP4 container metadata from the fixture formulas: 5 + id%7
+    // samples at 40 ms; keyframes every 1 + id%3 samples (ceil), except
+    // id%5=0 files whose ABSENT stss means every sample is sync; dims/
+    // profile are the shared avcC-SPS formulas of multimodal_h264.
+    "multimodal_mp4" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    5 + doc_id % 7 AS n, 1 + doc_id % 3 AS gop,
+        |    1 + doc_id % 5 AS mbw, 1 + doc_id % 3 AS mbh,
+        |    doc_id % 3 AS crp, doc_id % 2 AS cbt,
+        |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 66 END AS prof,
+        |    doc_id % 5 = 0 AS allsync
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  'isom' AS brand,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN allsync THEN n
+        |            ELSE (n + gop - 1) // gop END AS BIGINT) AS n_keyframes,
+        |  CAST(16 * mbw - 2 * crp AS INTEGER) AS width,
+        |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
+        |  CAST(prof AS INTEGER) AS profile_idc,
+        |  CAST(30 AS INTEGER) AS level_idc
         |FROM ids
         |ORDER BY media_id""".stripMargin,
 

@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** ISO-BMFF (MP4, ISO/IEC 14496-12) container metadata extraction — the
+  * dependency-free companion of [[H264]]. Real lakes hold H.264 in MP4
+  * containers, not raw Annex-B; everything curation filters a video
+  * FILE by — brand, track handler, duration, frame count, keyframe
+  * cadence (the sync-sample table), codec configuration — is plain
+  * big-endian box structure: a (size, fourcc) tree with tabular leaves.
+  * No entropy decoding anywhere; the codec-private `avcC` record embeds
+  * the SPS verbatim, so resolution/profile/level come from the SAME
+  * spec-derived [[H264.parseSps]] the Annex-B tier uses (one parser,
+  * two transports).
+  *
+  * Parsed (minimal, curation-sufficient): `ftyp` major brand; the first
+  * video (`hdlr` = 'vide') track's `mdhd` timescale/duration,
+  * `stts` sample count, `stss` sync-sample count (absent table = every
+  * sample is a keyframe, per spec §8.6.2), and `stsd`/`avc1`/`avcC` →
+  * SPS → dims/profile/level. Unknown boxes are skipped by size —
+  * forward-compatible by construction, exactly how real demuxers
+  * survive new box types.
+  *
+  * Pixel decode remains the documented codec-dep ceiling (README);
+  * this tier is the container half of that missing item. Fixtures
+  * ([[syntheticMp4]]) assemble structurally valid box trees through a
+  * byte-level writer, embedding the [[H264]] builder's real escaped
+  * SPS/PPS in `avcC`; the parser is independently pinned on a
+  * hand-assembled golden box tree (Mp4Spec) that never touches the
+  * builder. Scale shape: one narrow `mapPartitions` pass, cost linear
+  * in box count (sample DATA is never touched — `mdat` skips by size).
+  */
+object Mp4 {
+
+  // --- byte helpers -----------------------------------------------------
+
+  private def be32(b: Array[Byte], off: Int): Long = {
+    if (off + 4 > b.length) throw new IllegalArgumentException("box overrun")
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  }
+  private def fourcc(b: Array[Byte], off: Int): String = {
+    if (off + 4 > b.length) throw new IllegalArgumentException("box overrun")
+    new String(b, off, 4, "ISO-8859-1")
+  }
+
+  /** Child boxes of `[from, until)`: (type, payloadFrom, payloadUntil).
+    * 64-bit `size == 1` largesize and `size == 0` to-end forms handled
+    * per §4.2; a size that escapes the parent is corrupt.
+    */
+  private def children(b: Array[Byte], from: Int, until: Int)
+      : Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var i = from
+    while (i + 8 <= until) {
+      val size32 = be32(b, i)
+      val typ = fourcc(b, i + 4)
+      val (payFrom, boxEnd) =
+        if (size32 == 1) {
+          val hi = be32(b, i + 8); val lo = be32(b, i + 12)
+          val sz = (hi << 32) | lo
+          if (sz < 16 || i + sz > until) throw new IllegalArgumentException("bad largesize")
+          (i + 16, i + sz.toInt)
+        } else if (size32 == 0) (i + 8, until)
+        else {
+          if (size32 < 8 || i + size32 > until) throw new IllegalArgumentException("bad box size")
+          (i + 8, i + size32.toInt)
+        }
+      out += ((typ, payFrom, boxEnd))
+      i = boxEnd
+    }
+    out.toSeq
+  }
+
+  private def child(cs: Seq[(String, Int, Int)], typ: String)
+      : Option[(Int, Int)] =
+    cs.collectFirst { case (t, f, u) if t == typ => (f, u) }
+
+  // --- per-file metadata --------------------------------------------------
+
+  final case class Mp4Meta(
+      media_id: Long, parse_ok: Boolean, brand: String,
+      duration_ms: Long, n_samples: Long, n_keyframes: Long,
+      width: Int, height: Int, profile_idc: Int, level_idc: Int)
+
+  private val Failed =
+    Mp4Meta(0L, parse_ok = false, "", 0L, 0L, 0L, 0, 0, 0, 0)
+
+  /** Parse one MP4 payload. The first 'vide'-handler track wins; files
+    * with no video track, no avcC, or malformed boxes degrade to a
+    * flagged row.
+    */
+  def parseMp4(id: Long, bytes: Array[Byte]): Mp4Meta =
+    try {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val top = children(b, 0, b.length)
+      val brand = child(top, "ftyp")
+        .map { case (f, _) => fourcc(b, f) }.getOrElse("")
+      val (moovF, moovU) = child(top, "moov")
+        .getOrElse(throw new IllegalArgumentException("no moov"))
+      val videoTrack = children(b, moovF, moovU)
+        .filter(_._1 == "trak")
+        .map { case (_, tf, tu) => children(b, tf, tu) }
+        .find { tk =>
+          child(tk, "mdia").exists { case (mf, mu) =>
+            child(children(b, mf, mu), "hdlr").exists { case (hf, _) =>
+              // FullBox(4) + pre_defined(4) then handler_type
+              fourcc(b, hf + 8) == "vide"
+            }
+          }
+        }
+        .getOrElse(throw new IllegalArgumentException("no video track"))
+      val (mdiaF, mdiaU) = child(videoTrack, "mdia").get
+      val mdia = children(b, mdiaF, mdiaU)
+      val (mdhdF, _) = child(mdia, "mdhd")
+        .getOrElse(throw new IllegalArgumentException("no mdhd"))
+      // mdhd v0: FullBox(4) + creation(4) + modification(4) + timescale + duration
+      require(b(mdhdF) == 0, "mdhd v1 unsupported in fixtures")
+      val timescale = be32(b, mdhdF + 12)
+      val duration = be32(b, mdhdF + 16)
+      require(timescale > 0, "zero timescale")
+      val (minfF, minfU) = child(mdia, "minf")
+        .getOrElse(throw new IllegalArgumentException("no minf"))
+      val (stblF, stblU) = child(children(b, minfF, minfU), "stbl")
+        .getOrElse(throw new IllegalArgumentException("no stbl"))
+      val stbl = children(b, stblF, stblU)
+      // stts: FullBox(4) + entry_count + (sample_count, sample_delta)*
+      val (sttsF, _) = child(stbl, "stts")
+        .getOrElse(throw new IllegalArgumentException("no stts"))
+      val nStts = be32(b, sttsF + 4).toInt
+      var nSamples = 0L
+      var i = 0
+      while (i < nStts) { nSamples += be32(b, sttsF + 8 + 8 * i); i += 1 }
+      // stss: sync samples; ABSENT table = every sample is sync (§8.6.2)
+      val nKey = child(stbl, "stss")
+        .map { case (f, _) => be32(b, f + 4) }.getOrElse(nSamples)
+      // stsd -> avc1 -> avcC -> first SPS -> H264.parseSps
+      val (stsdF, stsdU) = child(stbl, "stsd")
+        .getOrElse(throw new IllegalArgumentException("no stsd"))
+      val (avc1F, avc1U) = child(children(b, stsdF + 8, stsdU), "avc1")
+        .getOrElse(throw new IllegalArgumentException("no avc1"))
+      // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/
+      // reserved + width(2) height(2) + 50 more bytes before child boxes
+      val (avcCF, _) = child(children(b, avc1F + 78, avc1U), "avcC")
+        .getOrElse(throw new IllegalArgumentException("no avcC"))
+      // avcC: version(1) profile(1) compat(1) level(1) lengthSize(1)
+      // numSPS(1, low 5 bits) + (len16, sps)*
+      require((b(avcCF + 5) & 0x1f) >= 1, "avcC without SPS")
+      val spsLen = (((b(avcCF + 6) & 0xff) << 8) | (b(avcCF + 7) & 0xff))
+      val spsNal = java.util.Arrays.copyOfRange(b, avcCF + 8, avcCF + 8 + spsLen)
+      require((spsNal(0) & 0x1f) == 7, "avcC first parameter set not an SPS")
+      val sps = H264.parseSps(H264.rbspUnescape(
+        java.util.Arrays.copyOfRange(spsNal, 1, spsNal.length)))
+      Mp4Meta(id, parse_ok = true, brand,
+        duration * 1000L / timescale, nSamples, nKey,
+        sps.width, sps.height, sps.profileIdc, sps.levelIdc)
+    } catch {
+      case _: Exception => Failed.copy(media_id = id)
+    }
+
+  /** Container metadata over a binary payload table — one narrow
+    * `mapPartitions` pass, one row per media, corrupt payloads flagged.
+    */
+  def mp4Meta(media: DataFrame): Dataset[Mp4Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseMp4(id, bytes) })
+  }
+
+  // --- synthetic fixture ----------------------------------------------------
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val size = 8 + payload.map(_.length).sum
+    val out = new java.io.ByteArrayOutputStream(size)
+    out.write((size >>> 24) & 0xff); out.write((size >>> 16) & 0xff)
+    out.write((size >>> 8) & 0xff); out.write(size & 0xff)
+    out.write(typ.getBytes("ISO-8859-1"))
+    payload.foreach(out.write)
+    out.toByteArray
+  }
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Deterministic minimal MP4 for media `id`: brand isom; one video
+    * track whose avcC embeds the [[H264]] builder's REAL escaped SPS
+    * (so dims/profile replay the same generator formulas as
+    * `multimodal_h264`); `5 + id%7` samples at 40 ms (25 fps, mdhd
+    * timescale 1000); a keyframe every `1 + id%3` samples via stss —
+    * except `id % 5 == 0` files, which OMIT stss to pin the
+    * every-sample-is-sync default; sized `mdat` the parser must skip.
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val nSamples = 5 + (id % 7).toInt
+    val gop = 1 + (id % 3).toInt
+    val nKey = (nSamples + gop - 1) / gop
+    val allSync = id % 5 == 0
+    val high = id % 4 == 0
+
+    // reuse the Annex-B builder's stream and lift its SPS/PPS NALs (the
+    // escaped EBSP bytes avcC carries verbatim)
+    val annexB = H264.syntheticAnnexBStream(id)
+    // lift a NAL (header + EBSP) out of the Annex-B stream by type —
+    // scan every start code, pick the first NAL of the wanted type
+    def liftNal(nalType: Int): Array[Byte] = {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i + 2 < annexB.length) {
+        if (annexB(i) == 0 && annexB(i + 1) == 0 && annexB(i + 2) == 1) {
+          starts += i + 3; i += 3
+        } else i += 1
+      }
+      val k = starts.indexWhere(s => (annexB(s) & 0x1f) == nalType)
+      require(k >= 0, s"no NAL of type $nalType in fixture stream")
+      val start = starts(k)
+      var e = if (k + 1 < starts.length) starts(k + 1) - 3 else annexB.length
+      if (k + 1 < starts.length && e > start && annexB(e - 1) == 0) e -= 1
+      java.util.Arrays.copyOfRange(annexB, start, e)
+    }
+    val spsNal = liftNal(7)
+    val ppsNal = liftNal(8)
+
+    val avcC = box("avcC",
+      Array(1.toByte, (if (high) 100 else 66).toByte, 0.toByte, 30.toByte,
+        0xff.toByte, 0xe1.toByte), // lengthSizeMinusOne=3, numSPS=1
+      u16(spsNal.length), spsNal,
+      Array(1.toByte), u16(ppsNal.length), ppsNal)
+    val avc1 = box("avc1",
+      new Array[Byte](6), u16(1),          // reserved, data_reference_index
+      new Array[Byte](16),                  // pre_defined/reserved
+      u16(16 * (1 + (id % 5).toInt)), u16(16 * (1 + (id % 3).toInt)), // nominal dims
+      new Array[Byte](50),                  // resolution/frame_count/name/depth
+      avcC)
+    val stsd = box("stsd", u32(0), u32(1), avc1)
+    val stts = box("stts", u32(0), u32(1), u32(nSamples.toLong), u32(40))
+    val stss =
+      if (allSync) Array.emptyByteArray
+      else box("stss", u32(0), u32(nKey.toLong),
+        (0 until nKey).flatMap(k => u32(1L + k.toLong * gop)).toArray)
+    val stsz = box("stsz", u32(0), u32(0), u32(nSamples.toLong),
+      (0 until nSamples).flatMap(_ => u32(16L)).toArray)
+    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(nSamples.toLong), u32(1))
+    val stco = box("stco", u32(0), u32(1), u32(0))
+    val stbl = box("stbl", stsd, stts, stss, stsz, stsc, stco)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](12), Array(0.toByte))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0),
+      u32(1000), u32(nSamples.toLong * 40), u16(0x55c4), u16(0))
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", u32(0), u32(0), u32(0), u32(1), u32(0), u32(0),
+      new Array[Byte](52),
+      u32(16L * (1 + id % 5) << 16), u32(16L * (1 + id % 3) << 16))
+    val trak = box("trak", tkhd, mdia)
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0),
+      u32(1000), u32(nSamples.toLong * 40), new Array[Byte](80))
+    val moov = box("moov", mvhd, trak)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0x200),
+      "isomavc1".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", new Array[Byte](16 * nSamples)) // skipped by size
+    ftyp ++ moov ++ mdat
+  }
+
+  def syntheticMp4Table(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticMp4(id))))
+      .toDF("media_id", "payload")
+  }
+}

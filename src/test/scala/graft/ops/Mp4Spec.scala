@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the ISO-BMFF demux on evidence independent of the synthetic
+  * builder (a golden hand-assembled box tree), plus the builder↔parser
+  * differential, the absent-stss default, and the degrade contracts.
+  */
+class Mp4Spec extends SparkSpec {
+
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def bx(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val size = 8 + payload.map(_.length).sum
+    u32(size.toLong) ++ typ.getBytes("ISO-8859-1") ++
+      payload.foldLeft(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** A golden file assembled field-by-field from the 14496-12 box
+    * layouts (never the Mp4 builder): one video track, timescale 600,
+    * duration 1200 (→ 2000 ms), stts of TWO runs (3×delta + 2×delta =
+    * 5 samples), stss listing samples {1, 4} and an avcC whose SPS is
+    * the H264Spec golden baseline SPS (60×30, profile 66) — so the
+    * cross-layer reuse is pinned against hand bits on BOTH layers.
+    */
+  private def goldenMp4: Array[Byte] = {
+    val bits =
+      "01000010" + "00000000" + "00011110" +
+        "1" + "1" + "1" + "1" + "010" + "0" +
+        "00100" + "010" + "1" + "1" +
+        "1" + "1" + "011" + "1" + "010" + "0" + "1"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val spsRbsp = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val spsNal = Array(0x67.toByte) ++ H264.rbspEscape(spsRbsp)
+    val avcC = bx("avcC",
+      Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+      u16(spsNal.length), spsNal, Array[Byte](0)) // zero PPS: demux-irrelevant
+    val avc1 = bx("avc1", new Array[Byte](6), u16(1), new Array[Byte](16),
+      u16(64), u16(32), new Array[Byte](50), avcC)
+    val stbl = bx("stbl",
+      bx("stsd", u32(0), u32(1), avc1),
+      bx("stts", u32(0), u32(2), u32(3), u32(240), u32(2), u32(240)),
+      bx("stss", u32(0), u32(2), u32(1), u32(4)))
+    val mdia = bx("mdia",
+      bx("mdhd", u32(0), u32(0), u32(0), u32(600), u32(1200), u16(0), u16(0)),
+      bx("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+        new Array[Byte](12)),
+      bx("minf", stbl))
+    bx("ftyp", "mp42".getBytes("ISO-8859-1"), u32(0)) ++
+      bx("moov", bx("trak", mdia)) ++
+      bx("mdat", new Array[Byte](7))
+  }
+
+  test("golden hand-assembled box tree parses field-for-field") {
+    val m = Mp4.parseMp4(9L, goldenMp4)
+    assert(m.parse_ok, m.toString)
+    assert(m.brand == "mp42")
+    assert(m.duration_ms == 2000L) // 1200 ticks at timescale 600
+    assert(m.n_samples == 5L)      // two stts runs: 3 + 2
+    assert(m.n_keyframes == 2L)    // stss entry_count
+    assert(m.width == 60 && m.height == 30) // the golden SPS, cropped
+    assert(m.profile_idc == 66 && m.level_idc == 30)
+  }
+
+  test("builder -> parser: every field matches the generator formulas") {
+    (0L until 60L).foreach { id =>
+      val m = Mp4.parseMp4(id, Mp4.syntheticMp4(id))
+      val n = 5 + (id % 7)
+      val gop = 1 + (id % 3)
+      assert(m.parse_ok, s"id=$id")
+      assert(m.brand == "isom")
+      assert(m.duration_ms == n * 40, s"id=$id dur=${m.duration_ms}")
+      assert(m.n_samples == n, s"id=$id")
+      val wantKey = if (id % 5 == 0) n else (n + gop - 1) / gop
+      assert(m.n_keyframes == wantKey, s"id=$id key=${m.n_keyframes}")
+      assert(m.width == 16 * (1 + id % 5) - 2 * (id % 3), s"id=$id")
+      assert(m.height == 16 * (1 + id % 3) - 2 * (id % 2), s"id=$id")
+      assert(m.profile_idc == (if (id % 4 == 0) 100 else 66), s"id=$id")
+      assert(m.level_idc == 30)
+    }
+  }
+
+  test("absent stss means every sample is a keyframe (spec default)") {
+    // id 0, 5, 10 ... omit stss by construction
+    Seq(0L, 5L, 10L, 15L).foreach { id =>
+      val m = Mp4.parseMp4(id, Mp4.syntheticMp4(id))
+      assert(m.n_keyframes == m.n_samples, s"id=$id")
+    }
+    // and a non-multiple has a genuine gop split
+    val m7 = Mp4.parseMp4(7L, Mp4.syntheticMp4(7L))
+    assert(m7.n_keyframes < m7.n_samples)
+  }
+
+  test("corrupt / truncated / no-video payloads degrade to flagged rows") {
+    assert(!Mp4.parseMp4(1L, null).parse_ok)
+    assert(!Mp4.parseMp4(1L, Array.emptyByteArray).parse_ok)
+    assert(!Mp4.parseMp4(1L, "not an mp4 at all".getBytes).parse_ok)
+    // a valid-looking box whose size escapes the payload
+    assert(!Mp4.parseMp4(1L, u32(1000) ++ "moov".getBytes ++
+      new Array[Byte](4)).parse_ok)
+    // an audio-only file: moov present, no 'vide' handler
+    val soun = bx("moov", bx("trak", bx("mdia",
+      bx("hdlr", u32(0), u32(0), "soun".getBytes("ISO-8859-1"),
+        new Array[Byte](12)))))
+    assert(!Mp4.parseMp4(1L, soun).parse_ok)
+    // truncation at every prefix of a valid file must flag, never throw
+    val good = Mp4.syntheticMp4(3L)
+    Seq(1, 7, 8, 20, good.length / 2, good.length - 1).foreach { cut =>
+      assert(!Mp4.parseMp4(1L, java.util.Arrays.copyOf(good, cut)).parse_ok,
+        s"cut=$cut")
+    }
+  }
+
+  test("parseMp4 never throws on arbitrary byte soup (seeded fuzz)") {
+    (0 until 500).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      Mp4.parseMp4(seed.toLong, b)
+    }
+  }
+
+  test("mp4Meta: distributed parse over a payload table matches parseMp4") {
+    import spark.implicits._
+    val media = (0L until 20L).map(id => (id, Mp4.syntheticMp4(id)))
+      .toDF("media_id", "payload")
+    val got = Mp4.mp4Meta(media).collect().sortBy(_.media_id)
+    val want = (0L until 20L).map(id => Mp4.parseMp4(id, Mp4.syntheticMp4(id)))
+    assert(got.toSeq == want)
+  }
+}
