@@ -115,10 +115,14 @@ object Mp4 {
       val mdia = children(b, mdiaF, mdiaU)
       val (mdhdF, _) = child(mdia, "mdhd")
         .getOrElse(throw new IllegalArgumentException("no mdhd"))
-      // mdhd v0: FullBox(4) + creation(4) + modification(4) + timescale + duration
-      require(b(mdhdF) == 0, "mdhd v1 unsupported in fixtures")
-      val timescale = be32(b, mdhdF + 12)
-      val duration = be32(b, mdhdF + 16)
+      // mdhd v0: FullBox(4) + creation(4) + modification(4) + timescale(4)
+      // + duration(4); v1 widens the three times to 64-bit (§8.4.2)
+      val (timescale, duration) = b(mdhdF).toInt match {
+        case 0 => (be32(b, mdhdF + 12), be32(b, mdhdF + 16))
+        case 1 => (be32(b, mdhdF + 20),
+          (be32(b, mdhdF + 24) << 32) | be32(b, mdhdF + 28))
+        case _ => throw new IllegalArgumentException("unknown mdhd version")
+      }
       require(timescale > 0, "zero timescale")
       val (minfF, minfU) = child(mdia, "minf")
         .getOrElse(throw new IllegalArgumentException("no minf"))

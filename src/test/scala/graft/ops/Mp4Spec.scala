@@ -65,6 +65,44 @@ class Mp4Spec extends SparkSpec {
     assert(m.profile_idc == 66 && m.level_idc == 30)
   }
 
+  test("mdhd version 1 (64-bit times) parses: golden v1 header") {
+    // v1 layout: FullBox(version=1) + creation(8) + modification(8) +
+    // timescale(4) + duration(8) — timescale 90000, duration 450000
+    // ticks -> 5000 ms
+    val mdhdV1 = bx("mdhd", Array[Byte](1, 0, 0, 0),
+      new Array[Byte](16), u32(90000), u32(0), u32(450000), u16(0), u16(0))
+    val golden = goldenMp4
+    // graft the v1 mdhd in place of the golden file's v0 one by
+    // rebuilding the tree around the same stbl/hdlr
+    val bits =
+      "01000010" + "00000000" + "00011110" +
+        "1" + "1" + "1" + "1" + "010" + "0" +
+        "00100" + "010" + "1" + "1" +
+        "1" + "1" + "011" + "1" + "010" + "0" + "1"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val spsRbsp = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val spsNal = Array(0x67.toByte) ++ H264.rbspEscape(spsRbsp)
+    val avcC = bx("avcC", Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+      u16(spsNal.length), spsNal, Array[Byte](0))
+    val avc1 = bx("avc1", new Array[Byte](6), u16(1), new Array[Byte](16),
+      u16(64), u16(32), new Array[Byte](50), avcC)
+    val stbl = bx("stbl",
+      bx("stsd", u32(0), u32(1), avc1),
+      bx("stts", u32(0), u32(1), u32(4), u32(112500)))
+    val mdia = bx("mdia", mdhdV1,
+      bx("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+        new Array[Byte](12)),
+      bx("minf", stbl))
+    val file = bx("ftyp", "mp42".getBytes("ISO-8859-1"), u32(0)) ++
+      bx("moov", bx("trak", mdia))
+    val m = Mp4.parseMp4(2L, file)
+    assert(m.parse_ok, m.toString)
+    assert(m.duration_ms == 5000L, m.toString) // 450000 / 90000 * 1000
+    assert(m.n_samples == 4L)
+    assert(m.n_keyframes == 4L) // no stss: every sample sync
+    assert(golden.nonEmpty)     // golden tree unchanged by this test
+  }
+
   test("builder -> parser: every field matches the generator formulas") {
     (0L until 60L).foreach { id =>
       val m = Mp4.parseMp4(id, Mp4.syntheticMp4(id))
