@@ -64,6 +64,26 @@ object Verify {
     // from the SAME banded explode the streaming op runs.
     SparkEntry.neardupBandFrame(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.neardupBandsDumpDir(sfDir))
+    // Guard the stream_neardup_et oracle's day-timeline assumption
+    // (r17 ADVICE): the oracle derives the replay-day set from the band
+    // dump, which drops band-less docs (null/too-short text →
+    // minhash-null → posexplode drop). If an entire replay day held
+    // ONLY band-less docs, the oracle's day-ordinal/watermark timeline
+    // would silently diverge from the replay the op actually sees —
+    // fail the dump loudly instead of assuming.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val allDays = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id").isNotNull)
+        .select(SparkEntry.etDocDay(col("doc_id").cast("long")).as("d"))
+        .distinct()
+      val bandedDays = spark.read.parquet(SparkEntry.neardupBandsDumpDir(sfDir))
+        .select(col("d")).distinct()
+      val missing = allDays.except(bandedDays).collect()
+      require(missing.isEmpty,
+        "stream_neardup_et oracle day-coverage hole — replay days holding " +
+          s"only band-less docs: ${missing.mkString(", ")}")
+    }
     // ... and the LSH bucket keys, so ann_lsh's candidate join + exact
     // scoring + ranking get a DuckDB oracle (the plane kernel stays
     // spec-pinned).

@@ -70,7 +70,9 @@ object H264 {
       var lz = 0
       while (u(1) == 0) {
         lz += 1
-        if (lz > 31) throw new IllegalArgumentException("exp-Golomb overrun")
+        // lz == 31 would overflow (1 << 31) and lz > 30 exceeds Int
+        // codeNum range anyway — corrupt by the degrade contract
+        if (lz > 30) throw new IllegalArgumentException("exp-Golomb overrun")
       }
       ((1 << lz) | u(lz)) - 1
     }

@@ -124,15 +124,20 @@ object Mp4 {
         case _ => throw new IllegalArgumentException("unknown mdhd version")
       }
       require(timescale > 0, "zero timescale")
+      // v1 64-bit durations: a sign-bit duration is corrupt per spec
+      require(duration >= 0, "negative duration")
       val (minfF, minfU) = child(mdia, "minf")
         .getOrElse(throw new IllegalArgumentException("no minf"))
       val (stblF, stblU) = child(children(b, minfF, minfU), "stbl")
         .getOrElse(throw new IllegalArgumentException("no stbl"))
       val stbl = children(b, stblF, stblU)
       // stts: FullBox(4) + entry_count + (sample_count, sample_delta)*
-      val (sttsF, _) = child(stbl, "stts")
+      val (sttsF, sttsU) = child(stbl, "stts")
         .getOrElse(throw new IllegalArgumentException("no stts"))
       val nStts = be32(b, sttsF + 4).toInt
+      // entry table must fit ITS box, not merely the byte array — a
+      // corrupt-but-in-bounds count must not census sibling-box bytes
+      require(nStts >= 0 && sttsF + 8 + 8L * nStts <= sttsU, "stts entry overrun")
       var nSamples = 0L
       var i = 0
       while (i < nStts) { nSamples += be32(b, sttsF + 8 + 8 * i); i += 1 }
@@ -156,8 +161,14 @@ object Mp4 {
       require((spsNal(0) & 0x1f) == 7, "avcC first parameter set not an SPS")
       val sps = H264.parseSps(H264.rbspUnescape(
         java.util.Arrays.copyOfRange(spsNal, 1, spsNal.length)))
+      // overflow-safe ms conversion: duration * 1000 overflows Long for
+      // extreme 64-bit v1 durations; split into whole + fractional parts
+      // ((duration % timescale) * 1000 stays under 2^42 since timescale
+      // is a u32)
+      val durMs =
+        duration / timescale * 1000L + (duration % timescale) * 1000L / timescale
       Mp4Meta(id, parse_ok = true, brand,
-        duration * 1000L / timescale, nSamples, nKey,
+        durMs, nSamples, nKey,
         sps.width, sps.height, sps.profileIdc, sps.levelIdc)
     } catch {
       case _: Exception => Failed.copy(media_id = id)

@@ -126,6 +126,17 @@ class H264Spec extends SparkSpec {
       Array[Byte](0, 0, 1, 0x80.toByte, 0x12)).parse_ok)
   }
 
+  test("exp-Golomb with 31 leading zeros rejects instead of Int overflow") {
+    // an SPS whose seq_parameter_set_id field is 31 zero bits then the
+    // marker: (1 << 31) would flip negative and yield a garbage-but-
+    // accepted codeNum (r17 ADVICE) — the reader must throw (and the
+    // stream path flag) instead
+    val rbsp = Array[Byte](66, 0, 30, 0, 0, 0, 0x01, 0x55, 0x55, 0x55, 0x55)
+    intercept[IllegalArgumentException](H264.parseSps(rbsp))
+    val nal = Array[Byte](0, 0, 1, 0x67) ++ H264.rbspEscape(rbsp)
+    assert(!H264.parseStream(1L, nal).parse_ok)
+  }
+
   test("parseStream never throws on arbitrary byte soup (seeded fuzz)") {
     (0 until 500).foreach { seed =>
       val rnd = new java.util.Random(seed)

@@ -103,6 +103,71 @@ class Mp4Spec extends SparkSpec {
     assert(golden.nonEmpty)     // golden tree unchanged by this test
   }
 
+  test("mdhd v1 extreme/negative durations: overflow-safe ms, sign-bit flags") {
+    def v1File(durHi: Long, durLo: Long): Array[Byte] = {
+      val mdhdV1 = bx("mdhd", Array[Byte](1, 0, 0, 0),
+        new Array[Byte](16), u32(1000), u32(durHi), u32(durLo), u16(0), u16(0))
+      val bits =
+        "01000010" + "00000000" + "00011110" +
+          "1" + "1" + "1" + "1" + "010" + "0" +
+          "00100" + "010" + "1" + "1" +
+          "1" + "1" + "011" + "1" + "010" + "0" + "1"
+      val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+      val spsRbsp = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+      val spsNal = Array(0x67.toByte) ++ H264.rbspEscape(spsRbsp)
+      val avcC = bx("avcC", Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+        u16(spsNal.length), spsNal, Array[Byte](0))
+      val avc1 = bx("avc1", new Array[Byte](6), u16(1), new Array[Byte](16),
+        u16(64), u16(32), new Array[Byte](50), avcC)
+      val stbl = bx("stbl",
+        bx("stsd", u32(0), u32(1), avc1),
+        bx("stts", u32(0), u32(1), u32(4), u32(112500)))
+      val mdia = bx("mdia", mdhdV1,
+        bx("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+          new Array[Byte](12)),
+        bx("minf", stbl))
+      bx("ftyp", "mp42".getBytes("ISO-8859-1"), u32(0)) ++
+        bx("moov", bx("trak", mdia))
+    }
+    // 2^62 ticks at timescale 1000: duration * 1000 would overflow Long
+    // (r17 ADVICE); split arithmetic is exact here (ms == ticks)
+    val huge = Mp4.parseMp4(1L, v1File(1L << 30, 0L))
+    assert(huge.parse_ok, huge.toString)
+    assert(huge.duration_ms == (1L << 62), huge.toString)
+    // sign-bit duration is corrupt: flagged, never a negative ms
+    assert(!Mp4.parseMp4(1L, v1File(0x80000000L, 0L)).parse_ok)
+  }
+
+  test("stts entry_count escaping its box flags instead of reading siblings") {
+    // entry_count 100 but ONE entry in the box: without the bound the
+    // parser would census the following stss box's bytes as sample runs
+    // and return parse_ok with garbage (r17 ADVICE)
+    val bits =
+      "01000010" + "00000000" + "00011110" +
+        "1" + "1" + "1" + "1" + "010" + "0" +
+        "00100" + "010" + "1" + "1" +
+        "1" + "1" + "011" + "1" + "010" + "0" + "1"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val spsRbsp = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val spsNal = Array(0x67.toByte) ++ H264.rbspEscape(spsRbsp)
+    val avcC = bx("avcC", Array[Byte](1, 66, 0, 30, 0xff.toByte, 0xe1.toByte),
+      u16(spsNal.length), spsNal, Array[Byte](0))
+    val avc1 = bx("avc1", new Array[Byte](6), u16(1), new Array[Byte](16),
+      u16(64), u16(32), new Array[Byte](50), avcC)
+    val stbl = bx("stbl",
+      bx("stsd", u32(0), u32(1), avc1),
+      bx("stts", u32(0), u32(100), u32(3), u32(240)),
+      bx("stss", u32(0), u32(2), u32(1), u32(4)))
+    val mdia = bx("mdia",
+      bx("mdhd", u32(0), u32(0), u32(0), u32(600), u32(1200), u16(0), u16(0)),
+      bx("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+        new Array[Byte](12)),
+      bx("minf", stbl))
+    val file = bx("ftyp", "mp42".getBytes("ISO-8859-1"), u32(0)) ++
+      bx("moov", bx("trak", mdia))
+    assert(!Mp4.parseMp4(1L, file).parse_ok)
+  }
+
   test("builder -> parser: every field matches the generator formulas") {
     (0L until 60L).foreach { id =>
       val m = Mp4.parseMp4(id, Mp4.syntheticMp4(id))
