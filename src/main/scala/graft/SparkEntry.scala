@@ -3168,6 +3168,26 @@ object SparkEntry {
           col("width"), col("height"), col("profile_idc"), col("level_idc"))
         .orderBy("media_id")),
 
+    // §2.11 — MP4 SAMPLE-DATA demux bridging the two video tiers: the
+    // stsz/stsc/stco(+co64) tables slice each sample's bytes out of
+    // mdat (chunks are pad-separated — offsets are used, not assumed),
+    // the avcC length-prefixed framing (4- and 2-byte widths both
+    // exercised) converts to NAL units, avcC parameter sets are
+    // prepended (the avcC→Annex-B transmux), and the SAME H264 census
+    // runs. The oracle is the multimodal_h264 formula set verbatim —
+    // the demux must reproduce the Annex-B NAL multiset exactly.
+    "multimodal_mp4_nals" -> ((s, dir) =>
+      graft.ops.Mp4.mp4NalStats(
+        graft.ops.Mp4.syntheticMp4SamplesTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("profile_idc"), col("level_idc"), col("width"), col("height"),
+          col("n_nals"), col("n_sps"), col("n_pps"), col("n_sei"),
+          col("n_idr"), col("n_i"), col("n_p"), col("n_b"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8687,6 +8707,34 @@ object SparkEntry {
         |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
         |  CAST(prof AS INTEGER) AS profile_idc,
         |  CAST(30 AS INTEGER) AS level_idc
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // The MP4 sample-demux census: the SAME formula set as
+    // multimodal_h264 — the mdat slices hold exactly the Annex-B
+    // stream's SEI + slice NALs (SPS/PPS arrive via avcC prepend), so a
+    // correct stsz/stsc/stco walk + length-prefix conversion reproduces
+    // the Annex-B census field-for-field. Any demux slip (wrong chunk
+    // offset, misread prefix width, dropped tail run) lands in pad
+    // bytes or splits NALs and flags/miscounts — caught by the hash.
+    "multimodal_mp4_nals" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    1 + doc_id % 5 AS mbw, 1 + doc_id % 3 AS mbh,
+        |    doc_id % 3 AS crp, doc_id % 2 AS cbt,
+        |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 66 END AS prof,
+        |    1 + doc_id % 2 AS g, doc_id % 3 AS p, doc_id % 2 AS b
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(prof AS INTEGER) AS profile_idc,
+        |  CAST(30 AS INTEGER) AS level_idc,
+        |  CAST(16 * mbw - 2 * crp AS INTEGER) AS width,
+        |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
+        |  CAST(3 + g * (1 + p + b) AS BIGINT) AS n_nals,
+        |  CAST(1 AS BIGINT) AS n_sps, CAST(1 AS BIGINT) AS n_pps,
+        |  CAST(1 AS BIGINT) AS n_sei,
+        |  CAST(g AS BIGINT) AS n_idr, CAST(g AS BIGINT) AS n_i,
+        |  CAST(g * p AS BIGINT) AS n_p, CAST(g * b AS BIGINT) AS n_b
         |FROM ids
         |ORDER BY media_id""".stripMargin,
 

@@ -244,7 +244,7 @@ object H264 {
   /** Annex-B start-code scan: offsets of the byte AFTER each 00 00 01
     * (a 4-byte 00 00 00 01 code is a leading zero + the same scan key).
     */
-  private def nalOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
+  private[ops] def nalOffsets(b: Array[Byte]): Seq[(Int, Int)] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i + 2 < b.length) {
@@ -260,50 +260,69 @@ object H264 {
     }
   }
 
-  /** Parse one Annex-B elementary stream into [[H264Stats]]. Frames are
+  /** Census a sequence of NAL units (each = header byte + EBSP payload,
+    * no start codes — the transport-independent form both Annex-B and
+    * the MP4 length-prefixed sample format reduce to). Frames are
     * counted at their FIRST slice (`first_mb_in_slice == 0`) by
     * slice_type class (`% 5`: 0=P, 1=B, 2=I — §7.4.3 table 7-6; SP/SI
     * count toward P/I homes nowhere here, they census as neither).
+    * Throws on malformed units — transport callers degrade to a
+    * flagged row.
+    */
+  private[ops] def censusNals(id: Long, nals: Iterator[Array[Byte]]): H264Stats = {
+    var sps: Sps = null
+    var nNals = 0L
+    var (nSps, nPps, nSei, nIdr, nI, nP, nB) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    nals.foreach { unit =>
+      require(unit.length >= 1, "empty NAL unit")
+      val header = unit(0) & 0xff
+      require((header & 0x80) == 0, "forbidden_zero_bit set")
+      val nalType = header & 0x1f
+      nNals += 1
+      nalType match {
+        case 7 =>
+          sps = parseSps(rbspUnescape(
+            java.util.Arrays.copyOfRange(unit, 1, unit.length)))
+          nSps += 1
+        case 8 => nPps += 1
+        case 6 => nSei += 1
+        case 1 | 5 =>
+          require(sps != null, "slice before SPS")
+          val r = new BitReader(rbspUnescape(
+            java.util.Arrays.copyOfRange(unit, 1, unit.length)))
+          val firstMb = r.ue()
+          val sliceType = r.ue()
+          r.ue() // pic_parameter_set_id
+          if (sps.separateColourPlane) r.u(2) // colour_plane_id
+          r.u(sps.log2MaxFrameNum) // frame_num
+          if (firstMb == 0) sliceType % 5 match {
+            case 0 => nP += 1
+            case 1 => nB += 1
+            case 2 => nI += 1
+            case _ => () // SP/SI: censused in n_nals only
+          }
+          if (nalType == 5 && firstMb == 0) nIdr += 1
+        case _ => () // AUD/EOS/filler/...: counted in n_nals
+      }
+    }
+    if (sps == null || nNals == 0L)
+      H264Stats(id, parse_ok = false, 0, 0, 0, 0,
+        nNals, nSps, nPps, nSei, nIdr, nI, nP, nB)
+    else H264Stats(id, parse_ok = true, sps.profileIdc, sps.levelIdc,
+      sps.width, sps.height, nNals, nSps, nPps, nSei,
+      nIdr, nI, nP, nB)
+  }
+
+  /** Parse one Annex-B elementary stream into [[H264Stats]] — the
+    * start-code scan feeding [[censusNals]].
     */
   def parseStream(id: Long, bytes: Array[Byte]): H264Stats =
     try {
-      val nals = nalOffsets(if (bytes == null) Array.emptyByteArray else bytes)
-      if (nals.isEmpty) return H264Stats(id, parse_ok = false, 0, 0, 0, 0,
-        0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
-      var sps: Sps = null
-      var (nSps, nPps, nSei, nIdr, nI, nP, nB) = (0L, 0L, 0L, 0L, 0L, 0L, 0L)
-      nals.foreach { case (s, e) =>
-        val header = bytes(s) & 0xff
-        require((header & 0x80) == 0, "forbidden_zero_bit set")
-        val nalType = header & 0x1f
-        val payload = java.util.Arrays.copyOfRange(bytes, s + 1, e)
-        nalType match {
-          case 7 => sps = parseSps(rbspUnescape(payload)); nSps += 1
-          case 8 => nPps += 1
-          case 6 => nSei += 1
-          case 1 | 5 =>
-            require(sps != null, "slice before SPS")
-            val r = new BitReader(rbspUnescape(payload))
-            val firstMb = r.ue()
-            val sliceType = r.ue()
-            r.ue() // pic_parameter_set_id
-            if (sps.separateColourPlane) r.u(2) // colour_plane_id
-            r.u(sps.log2MaxFrameNum) // frame_num
-            if (firstMb == 0) sliceType % 5 match {
-              case 0 => nP += 1
-              case 1 => nB += 1
-              case 2 => nI += 1
-              case _ => () // SP/SI: censused in n_nals only
-            }
-            if (nalType == 5 && firstMb == 0) nIdr += 1
-          case _ => () // AUD/EOS/filler/...: counted in n_nals
-        }
-      }
-      if (sps == null) H264Stats(id, parse_ok = false, 0, 0, 0, 0,
-        nals.length.toLong, nSps, nPps, nSei, nIdr, nI, nP, nB)
-      else H264Stats(id, parse_ok = true, sps.profileIdc, sps.levelIdc,
-        sps.width, sps.height, nals.length.toLong, nSps, nPps, nSei,
-        nIdr, nI, nP, nB)
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val nals = nalOffsets(b)
+      censusNals(id, nals.iterator.map { case (s, e) =>
+        java.util.Arrays.copyOfRange(b, s, e)
+      })
     } catch {
       case _: Exception => H264Stats(id, parse_ok = false, 0, 0, 0, 0,
         0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)

@@ -87,6 +87,64 @@ object Mp4 {
   private val Failed =
     Mp4Meta(0L, parse_ok = false, "", 0L, 0L, 0L, 0, 0, 0, 0)
 
+  /** The first 'vide'-handler track's demux-relevant box extents —
+    * shared by the metadata tier ([[parseMp4]]) and the sample-data
+    * demux ([[parseMp4Nals]]).
+    */
+  private final case class VideoTrack(
+      brand: String, timescale: Long, duration: Long,
+      stbl: Seq[(String, Int, Int)], avcCF: Int, avcCU: Int)
+
+  private def findVideoTrack(b: Array[Byte]): VideoTrack = {
+    val top = children(b, 0, b.length)
+    val brand = child(top, "ftyp")
+      .map { case (f, _) => fourcc(b, f) }.getOrElse("")
+    val (moovF, moovU) = child(top, "moov")
+      .getOrElse(throw new IllegalArgumentException("no moov"))
+    val videoTrack = children(b, moovF, moovU)
+      .filter(_._1 == "trak")
+      .map { case (_, tf, tu) => children(b, tf, tu) }
+      .find { tk =>
+        child(tk, "mdia").exists { case (mf, mu) =>
+          child(children(b, mf, mu), "hdlr").exists { case (hf, _) =>
+            // FullBox(4) + pre_defined(4) then handler_type
+            fourcc(b, hf + 8) == "vide"
+          }
+        }
+      }
+      .getOrElse(throw new IllegalArgumentException("no video track"))
+    val (mdiaF, mdiaU) = child(videoTrack, "mdia").get
+    val mdia = children(b, mdiaF, mdiaU)
+    val (mdhdF, _) = child(mdia, "mdhd")
+      .getOrElse(throw new IllegalArgumentException("no mdhd"))
+    // mdhd v0: FullBox(4) + creation(4) + modification(4) + timescale(4)
+    // + duration(4); v1 widens the three times to 64-bit (§8.4.2)
+    val (timescale, duration) = b(mdhdF).toInt match {
+      case 0 => (be32(b, mdhdF + 12), be32(b, mdhdF + 16))
+      case 1 => (be32(b, mdhdF + 20),
+        (be32(b, mdhdF + 24) << 32) | be32(b, mdhdF + 28))
+      case _ => throw new IllegalArgumentException("unknown mdhd version")
+    }
+    require(timescale > 0, "zero timescale")
+    // v1 64-bit durations: a sign-bit duration is corrupt per spec
+    require(duration >= 0, "negative duration")
+    val (minfF, minfU) = child(mdia, "minf")
+      .getOrElse(throw new IllegalArgumentException("no minf"))
+    val (stblF, stblU) = child(children(b, minfF, minfU), "stbl")
+      .getOrElse(throw new IllegalArgumentException("no stbl"))
+    val stbl = children(b, stblF, stblU)
+    // stsd -> avc1 -> avcC
+    val (stsdF, stsdU) = child(stbl, "stsd")
+      .getOrElse(throw new IllegalArgumentException("no stsd"))
+    val (avc1F, avc1U) = child(children(b, stsdF + 8, stsdU), "avc1")
+      .getOrElse(throw new IllegalArgumentException("no avc1"))
+    // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/
+    // reserved + width(2) height(2) + 50 more bytes before child boxes
+    val (avcCF, avcCU) = child(children(b, avc1F + 78, avc1U), "avcC")
+      .getOrElse(throw new IllegalArgumentException("no avcC"))
+    VideoTrack(brand, timescale, duration, stbl, avcCF, avcCU)
+  }
+
   /** Parse one MP4 payload. The first 'vide'-handler track wins; files
     * with no video track, no avcC, or malformed boxes degrade to a
     * flagged row.
@@ -94,43 +152,8 @@ object Mp4 {
   def parseMp4(id: Long, bytes: Array[Byte]): Mp4Meta =
     try {
       val b = if (bytes == null) Array.emptyByteArray else bytes
-      val top = children(b, 0, b.length)
-      val brand = child(top, "ftyp")
-        .map { case (f, _) => fourcc(b, f) }.getOrElse("")
-      val (moovF, moovU) = child(top, "moov")
-        .getOrElse(throw new IllegalArgumentException("no moov"))
-      val videoTrack = children(b, moovF, moovU)
-        .filter(_._1 == "trak")
-        .map { case (_, tf, tu) => children(b, tf, tu) }
-        .find { tk =>
-          child(tk, "mdia").exists { case (mf, mu) =>
-            child(children(b, mf, mu), "hdlr").exists { case (hf, _) =>
-              // FullBox(4) + pre_defined(4) then handler_type
-              fourcc(b, hf + 8) == "vide"
-            }
-          }
-        }
-        .getOrElse(throw new IllegalArgumentException("no video track"))
-      val (mdiaF, mdiaU) = child(videoTrack, "mdia").get
-      val mdia = children(b, mdiaF, mdiaU)
-      val (mdhdF, _) = child(mdia, "mdhd")
-        .getOrElse(throw new IllegalArgumentException("no mdhd"))
-      // mdhd v0: FullBox(4) + creation(4) + modification(4) + timescale(4)
-      // + duration(4); v1 widens the three times to 64-bit (§8.4.2)
-      val (timescale, duration) = b(mdhdF).toInt match {
-        case 0 => (be32(b, mdhdF + 12), be32(b, mdhdF + 16))
-        case 1 => (be32(b, mdhdF + 20),
-          (be32(b, mdhdF + 24) << 32) | be32(b, mdhdF + 28))
-        case _ => throw new IllegalArgumentException("unknown mdhd version")
-      }
-      require(timescale > 0, "zero timescale")
-      // v1 64-bit durations: a sign-bit duration is corrupt per spec
-      require(duration >= 0, "negative duration")
-      val (minfF, minfU) = child(mdia, "minf")
-        .getOrElse(throw new IllegalArgumentException("no minf"))
-      val (stblF, stblU) = child(children(b, minfF, minfU), "stbl")
-        .getOrElse(throw new IllegalArgumentException("no stbl"))
-      val stbl = children(b, stblF, stblU)
+      val vt = findVideoTrack(b)
+      val stbl = vt.stbl
       // stts: FullBox(4) + entry_count + (sample_count, sample_delta)*
       val (sttsF, sttsU) = child(stbl, "stts")
         .getOrElse(throw new IllegalArgumentException("no stts"))
@@ -144,17 +167,9 @@ object Mp4 {
       // stss: sync samples; ABSENT table = every sample is sync (§8.6.2)
       val nKey = child(stbl, "stss")
         .map { case (f, _) => be32(b, f + 4) }.getOrElse(nSamples)
-      // stsd -> avc1 -> avcC -> first SPS -> H264.parseSps
-      val (stsdF, stsdU) = child(stbl, "stsd")
-        .getOrElse(throw new IllegalArgumentException("no stsd"))
-      val (avc1F, avc1U) = child(children(b, stsdF + 8, stsdU), "avc1")
-        .getOrElse(throw new IllegalArgumentException("no avc1"))
-      // VisualSampleEntry: 6 reserved + 2 data_ref_index + 16 pre_defined/
-      // reserved + width(2) height(2) + 50 more bytes before child boxes
-      val (avcCF, _) = child(children(b, avc1F + 78, avc1U), "avcC")
-        .getOrElse(throw new IllegalArgumentException("no avcC"))
       // avcC: version(1) profile(1) compat(1) level(1) lengthSize(1)
       // numSPS(1, low 5 bits) + (len16, sps)*
+      val avcCF = vt.avcCF
       require((b(avcCF + 5) & 0x1f) >= 1, "avcC without SPS")
       val spsLen = (((b(avcCF + 6) & 0xff) << 8) | (b(avcCF + 7) & 0xff))
       val spsNal = java.util.Arrays.copyOfRange(b, avcCF + 8, avcCF + 8 + spsLen)
@@ -165,14 +180,169 @@ object Mp4 {
       // extreme 64-bit v1 durations; split into whole + fractional parts
       // ((duration % timescale) * 1000 stays under 2^42 since timescale
       // is a u32)
-      val durMs =
-        duration / timescale * 1000L + (duration % timescale) * 1000L / timescale
-      Mp4Meta(id, parse_ok = true, brand,
+      val durMs = vt.duration / vt.timescale * 1000L +
+        (vt.duration % vt.timescale) * 1000L / vt.timescale
+      Mp4Meta(id, parse_ok = true, vt.brand,
         durMs, nSamples, nKey,
         sps.width, sps.height, sps.profileIdc, sps.levelIdc)
     } catch {
       case _: Exception => Failed.copy(media_id = id)
     }
+
+  // --- sample-data demux (§8.7: stsz/stsc/stco/co64 → mdat NALs) -----------
+
+  /** avcC parameter sets + NAL length-prefix size: version(1)
+    * profile(1) compat(1) level(1) | 0xfc+lengthSizeMinusOne(1) |
+    * 0xe0+numSPS(1) (len16, sps)* | numPPS(1) (len16, pps)* —
+    * ISO/IEC 14496-15 §5.2.4.1. Returns the SPS/PPS NAL units (header +
+    * EBSP) in avcC order, exactly what an avcC→Annex-B transmux
+    * prepends to the elementary stream.
+    */
+  private def avcCParams(b: Array[Byte], avcCF: Int, avcCU: Int)
+      : (Int, Seq[Array[Byte]]) = {
+    require(avcCF + 6 <= avcCU, "avcC truncated")
+    val lengthSize = (b(avcCF + 4) & 3) + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = avcCF + 6
+    def paramSets(n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        require(p + 2 <= avcCU, "avcC truncated")
+        val len = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+        require(len >= 1 && p + 2 + len <= avcCU, "avcC parameter set overrun")
+        out += java.util.Arrays.copyOfRange(b, p + 2, p + 2 + len)
+        p += 2 + len
+        k += 1
+      }
+    }
+    paramSets(b(avcCF + 5) & 0x1f)
+    require(p + 1 <= avcCU, "avcC truncated before PPS count")
+    val nPps = b(p) & 0xff
+    p += 1
+    paramSets(nPps)
+    (lengthSize, out.toSeq)
+  }
+
+  /** Per-sample absolute byte extents `(offset, size)` from the sample
+    * tables: stsz sizes (fixed or per-sample, §8.7.3), stsc
+    * sample-to-chunk runs (§8.7.4), stco/co64 chunk offsets (§8.7.5).
+    * Every table is bounds-checked against ITS OWN box; inconsistent
+    * tables (chunks exhausting before samples, stsc not starting at
+    * chunk 1, extents escaping the file) throw — callers degrade.
+    */
+  private def sampleExtents(b: Array[Byte], stbl: Seq[(String, Int, Int)])
+      : Array[(Long, Int)] = {
+    val (szF, szU) = child(stbl, "stsz")
+      .getOrElse(throw new IllegalArgumentException("no stsz"))
+    val fixed = be32(b, szF + 4)
+    val nSamp = be32(b, szF + 8).toInt
+    require(nSamp >= 0 && nSamp <= (1 << 24), "implausible sample count")
+    val sizes: Array[Int] =
+      if (fixed != 0) {
+        require(fixed <= Int.MaxValue, "implausible fixed sample size")
+        Array.fill(nSamp)(fixed.toInt)
+      } else {
+        require(szF + 12 + 4L * nSamp <= szU, "stsz entry overrun")
+        Array.tabulate(nSamp) { i =>
+          val v = be32(b, szF + 12 + 4 * i)
+          require(v <= Int.MaxValue, "implausible sample size")
+          v.toInt
+        }
+      }
+    val offsets: Array[Long] = child(stbl, "stco") match {
+      case Some((f, u)) =>
+        val n = be32(b, f + 4).toInt
+        require(n >= 0 && f + 8 + 4L * n <= u, "stco entry overrun")
+        Array.tabulate(n)(i => be32(b, f + 8 + 4 * i))
+      case None =>
+        val (f, u) = child(stbl, "co64")
+          .getOrElse(throw new IllegalArgumentException("no stco/co64"))
+        val n = be32(b, f + 4).toInt
+        require(n >= 0 && f + 8 + 8L * n <= u, "co64 entry overrun")
+        Array.tabulate(n)(i =>
+          (be32(b, f + 8 + 8 * i) << 32) | be32(b, f + 12 + 8 * i))
+    }
+    val (scF, scU) = child(stbl, "stsc")
+      .getOrElse(throw new IllegalArgumentException("no stsc"))
+    val nRuns = be32(b, scF + 4).toInt
+    require(nRuns >= 1 && scF + 8 + 12L * nRuns <= scU, "stsc entry overrun")
+    // (first_chunk 1-based, samples_per_chunk); sample_description_index
+    // is demux-irrelevant here
+    val runs = Array.tabulate(nRuns)(i =>
+      (be32(b, scF + 8 + 12 * i).toInt, be32(b, scF + 12 + 12 * i).toInt))
+    require(runs(0)._1 == 1, "stsc must start at chunk 1")
+    val out = new Array[(Long, Int)](nSamp)
+    var s = 0
+    var r = 0
+    var chunk = 1
+    while (chunk <= offsets.length && s < nSamp) {
+      while (r + 1 < nRuns && runs(r + 1)._1 <= chunk) r += 1
+      val spc = runs(r)._2
+      require(spc > 0, "nonpositive samples_per_chunk")
+      var off = offsets(chunk - 1)
+      var j = 0
+      while (j < spc && s < nSamp) {
+        val sz = sizes(s)
+        require(off >= 0 && off + sz <= b.length, "sample escapes file")
+        out(s) = (off, sz)
+        off += sz
+        s += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    require(s == nSamp, "chunk list exhausted before sample count")
+    out
+  }
+
+  /** Sample-data demux → NAL census: slice every sample's bytes out of
+    * the file via the stsz/stsc/stco(+co64) tables, convert the avcC
+    * length-prefixed NAL framing to NAL units, prepend the avcC
+    * parameter sets (exactly what an avcC→Annex-B transmux does), and
+    * feed the SAME spec-derived census the Annex-B tier runs
+    * ([[H264.censusNals]]). Corrupt tables/framing degrade to a flagged
+    * row. Cost is linear in sample BYTES actually demuxed — the
+    * metadata tier ([[parseMp4]]) stays mdat-blind for lakes that only
+    * need container fields.
+    */
+  def parseMp4Nals(id: Long, bytes: Array[Byte]): H264.H264Stats =
+    try {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val vt = findVideoTrack(b)
+      val (lengthSize, params) = avcCParams(b, vt.avcCF, vt.avcCU)
+      val extents = sampleExtents(b, vt.stbl)
+      val sampleNals = extents.iterator.flatMap { case (off, sz) =>
+        val nals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var p = off.toInt
+        val end = off.toInt + sz
+        while (p < end) {
+          require(p + lengthSize <= end, "truncated NAL length prefix")
+          var len = 0L
+          var k = 0
+          while (k < lengthSize) { len = (len << 8) | (b(p + k) & 0xffL); k += 1 }
+          require(len >= 1 && p + lengthSize + len <= end, "NAL escapes sample")
+          nals += java.util.Arrays.copyOfRange(
+            b, p + lengthSize, p + lengthSize + len.toInt)
+          p += lengthSize + len.toInt
+        }
+        nals
+      }
+      H264.censusNals(id, params.iterator ++ sampleNals)
+    } catch {
+      case _: Exception => H264.H264Stats(id, parse_ok = false, 0, 0, 0, 0,
+        0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    }
+
+  /** NAL census over MP4 payloads — one narrow `mapPartitions` pass,
+    * one row per media, corrupt payloads flagged.
+    */
+  def mp4NalStats(media: DataFrame): Dataset[H264.H264Stats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseMp4Nals(id, bytes) })
+  }
 
   /** Container metadata over a binary payload table — one narrow
     * `mapPartitions` pass, one row per media, corrupt payloads flagged.
@@ -286,6 +456,130 @@ object Mp4 {
     import spark.implicits._
     df.select(col(s"`$idCol`").cast("long")).as[Long]
       .mapPartitions(it => it.map(id => (id, syntheticMp4(id))))
+      .toDF("media_id", "payload")
+  }
+
+  /** Deterministic MP4 whose `mdat` holds the REAL length-prefixed
+    * slice (and SEI) NALs of [[H264.syntheticAnnexBStream]]`(id)` —
+    * SPS/PPS live in avcC, slices in samples, exactly the AVC file
+    * format split. Sample tables are honest: per-sample stsz sizes,
+    * `2 + id%3` samples per chunk (stsc with a short tail run),
+    * chunks separated by `id%5` pad bytes the demuxer must skip via
+    * stco — or co64 when `id % 7 == 0` — and a `id%2`-selected NAL
+    * length-prefix width (4 or 2 bytes, avcC lengthSizeMinusOne). A
+    * demuxed census therefore reproduces the Annex-B tier's NAL
+    * multiset field-for-field, which is what the multimodal_mp4_nals
+    * oracle predicts from the shared generator formulas.
+    */
+  def syntheticMp4Samples(id: Long): Array[Byte] = {
+    val annexB = H264.syntheticAnnexBStream(id)
+    val units = H264.nalOffsets(annexB).map { case (s, e) =>
+      ((annexB(s) & 0x1f), java.util.Arrays.copyOfRange(annexB, s, e))
+    }
+    def first(t: Int): Array[Byte] = units.collectFirst {
+      case (typ, u) if typ == t => u
+    }.getOrElse(throw new IllegalStateException(s"fixture stream lacks NAL $t"))
+    val spsNal = first(7)
+    val ppsNal = first(8)
+    val seiNal = first(6)
+    val slices = units.collect { case (t, u) if t == 1 || t == 5 => (t, u) }
+
+    val lengthSize = if (id % 2 == 0) 4 else 2
+    def lp(nal: Array[Byte]): Array[Byte] = {
+      require(lengthSize == 4 || nal.length < (1 << 16), "NAL too long for prefix")
+      val pre =
+        if (lengthSize == 4) u32(nal.length.toLong)
+        else u16(nal.length)
+      pre ++ nal
+    }
+    val samples: Seq[Array[Byte]] = slices.zipWithIndex.map { case ((_, u), k) =>
+      if (k == 0) lp(seiNal) ++ lp(u) else lp(u)
+    }
+    val nFrames = samples.length
+    val syncPositions = // 1-based sample numbers of IDR slices
+      slices.zipWithIndex.collect { case ((5, _), k) => k + 1L }
+    val spc = 2 + (id % 3).toInt
+    val pad = (id % 5).toInt
+    val chunks = samples.grouped(spc).toSeq
+    val useCo64 = id % 7 == 0
+
+    val high = id % 4 == 0
+    val avcC = box("avcC",
+      Array(1.toByte, (if (high) 100 else 66).toByte, 0.toByte, 30.toByte,
+        (0xfc | (lengthSize - 1)).toByte, 0xe1.toByte),
+      u16(spsNal.length), spsNal,
+      Array(1.toByte), u16(ppsNal.length), ppsNal)
+    val avc1 = box("avc1",
+      new Array[Byte](6), u16(1),
+      new Array[Byte](16),
+      u16(16 * (1 + (id % 5).toInt)), u16(16 * (1 + (id % 3).toInt)),
+      new Array[Byte](50),
+      avcC)
+
+    // chunk offsets relative to the mdat PAYLOAD start: each chunk is
+    // preceded by `pad` bytes of 0xAA the demuxer must skip via the
+    // offset table (contiguity is NOT assumable)
+    val chunkSizes = chunks.map(_.map(_.length).sum)
+    val relOffs = chunkSizes.scanLeft(pad.toLong) {
+      case (acc, sz) => acc + sz + pad
+    }.init
+
+    def buildFile(chunkOffs: Seq[Long]): Array[Byte] = {
+      val stsd = box("stsd", u32(0), u32(1), avc1)
+      val stts = box("stts", u32(0), u32(1), u32(nFrames.toLong), u32(40))
+      val stss = box("stss", u32(0), u32(syncPositions.length.toLong),
+        syncPositions.flatMap(u32).toArray)
+      val stsz = box("stsz", u32(0), u32(0), u32(nFrames.toLong),
+        samples.flatMap(sm => u32(sm.length.toLong)).toArray)
+      val fullRuns = nFrames / spc
+      val rem = nFrames % spc
+      val stscEntries =
+        if (fullRuns == 0) Seq((1L, rem.toLong))
+        else if (rem == 0) Seq((1L, spc.toLong))
+        else Seq((1L, spc.toLong), (fullRuns + 1L, rem.toLong))
+      val stsc = box("stsc", u32(0), u32(stscEntries.length.toLong),
+        stscEntries.flatMap { case (fc, n) => u32(fc) ++ u32(n) ++ u32(1) }.toArray)
+      val offBox =
+        if (useCo64) box("co64", u32(0), u32(chunkOffs.length.toLong),
+          chunkOffs.flatMap(o => u32(o >>> 32) ++ u32(o & 0xffffffffL)).toArray)
+        else box("stco", u32(0), u32(chunkOffs.length.toLong),
+          chunkOffs.flatMap(u32).toArray)
+      val stbl = box("stbl", stsd, stts, stss, stsz, stsc, offBox)
+      val minf = box("minf", stbl)
+      val hdlr = box("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+        new Array[Byte](12), Array(0.toByte))
+      val mdhd = box("mdhd", u32(0), u32(0), u32(0),
+        u32(1000), u32(nFrames.toLong * 40), u16(0x55c4), u16(0))
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val tkhd = box("tkhd", u32(0), u32(0), u32(0), u32(1), u32(0), u32(0),
+        new Array[Byte](52),
+        u32(16L * (1 + id % 5) << 16), u32(16L * (1 + id % 3) << 16))
+      val trak = box("trak", tkhd, mdia)
+      val mvhd = box("mvhd", u32(0), u32(0), u32(0),
+        u32(1000), u32(nFrames.toLong * 40), new Array[Byte](80))
+      val moov = box("moov", mvhd, trak)
+      val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0x200),
+        "isomavc1".getBytes("ISO-8859-1"))
+      val mdatPayload = chunks.flatMap { ch =>
+        Array.fill(pad)(0xaa.toByte) ++ ch.foldLeft(Array.emptyByteArray)(_ ++ _)
+      }.toArray
+      ftyp ++ moov ++ box("mdat", mdatPayload)
+    }
+
+    // two-pass offset resolution: box sizes are offset-VALUE independent
+    // (fixed-width entries), so build once with placeholders to learn
+    // the mdat payload's absolute position, then rebuild for real
+    val probe = buildFile(relOffs.map(_ => 0L))
+    val mdatPayloadStart =
+      (probe.length - chunkSizes.map(_ + pad).sum) // mdat header already counted
+    buildFile(relOffs.map(_ + mdatPayloadStart))
+  }
+
+  def syntheticMp4SamplesTable(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticMp4Samples(id))))
       .toDF("media_id", "payload")
   }
 }

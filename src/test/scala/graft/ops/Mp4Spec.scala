@@ -226,6 +226,109 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("golden sample-table demux: hand-assembled stsz/stsc/stco census") {
+    // never the builder: avcC carries the golden SPS (60x30) with a
+    // 2-byte length prefix; two samples — [SEI, IDR-I slice] and
+    // [IDR-I slice] — split across TWO chunks separated by pad bytes,
+    // a 2-entry stsc, per-sample stsz, absolute stco offsets
+    val bits =
+      "01000010" + "00000000" + "00011110" +
+        "1" + "1" + "1" + "1" + "010" + "0" +
+        "00100" + "010" + "1" + "1" +
+        "1" + "1" + "011" + "1" + "010" + "0" + "1"
+    val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+    val spsRbsp = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val spsNal = Array(0x67.toByte) ++ H264.rbspEscape(spsRbsp)
+    val ppsNal = Array[Byte](0x68, 0xce.toByte) // census counts, never parses
+    val seiNal = Array[Byte](0x06, 0x05, 0x00)
+    // hand slice header: first_mb ue(0), slice_type ue(7) (I, "all
+    // slices"), pps_id ue(0), frame_num u(4) (log2MaxFrameNum=4 in the
+    // golden SPS), idr_pic_id ue(0), poc_lsb u(4), stop bit
+    val sliceBits = "1" + "0001000" + "1" + "0000" + "1" + "0000" + "1"
+    val slicePad = sliceBits + "0" * ((8 - sliceBits.length % 8) % 8)
+    val sliceNal = Array(0x65.toByte) ++
+      slicePad.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    def lp2(n: Array[Byte]) = u16(n.length) ++ n
+    val sample1 = lp2(seiNal) ++ lp2(sliceNal)
+    val sample2 = lp2(sliceNal)
+    val avcC = bx("avcC",
+      Array[Byte](1, 66, 0, 30, 0xfd.toByte, 0xe1.toByte), // lengthSize 2
+      u16(spsNal.length), spsNal, Array[Byte](1), u16(ppsNal.length), ppsNal)
+    val avc1 = bx("avc1", new Array[Byte](6), u16(1), new Array[Byte](16),
+      u16(64), u16(32), new Array[Byte](50), avcC)
+    def stblWith(off1: Long, off2: Long) = bx("stbl",
+      bx("stsd", u32(0), u32(1), avc1),
+      bx("stts", u32(0), u32(1), u32(2), u32(240)),
+      bx("stsz", u32(0), u32(0), u32(2),
+        u32(sample1.length.toLong), u32(sample2.length.toLong)),
+      bx("stsc", u32(0), u32(2), u32(1), u32(1), u32(1), u32(2), u32(1), u32(1)),
+      bx("stco", u32(0), u32(2), u32(off1), u32(off2)))
+    def fileWith(off1: Long, off2: Long): Array[Byte] = {
+      val mdia = bx("mdia",
+        bx("mdhd", u32(0), u32(0), u32(0), u32(600), u32(480), u16(0), u16(0)),
+        bx("hdlr", u32(0), u32(0), "vide".getBytes("ISO-8859-1"),
+          new Array[Byte](12)),
+        bx("minf", stblWith(off1, off2)))
+      bx("ftyp", "mp42".getBytes("ISO-8859-1"), u32(0)) ++
+        bx("moov", bx("trak", mdia)) ++
+        bx("mdat",
+          Array[Byte](0x11, 0x22) ++ sample1 ++ // 2 pad bytes before chunk 1
+            Array[Byte](0x33, 0x44, 0x55) ++ sample2) // 3 before chunk 2
+    }
+    val probe = fileWith(0L, 0L)
+    val payloadStart = probe.length -
+      (2 + sample1.length + 3 + sample2.length)
+    val file = fileWith(payloadStart + 2L,
+      payloadStart + 2L + sample1.length + 3L)
+    val st = Mp4.parseMp4Nals(7L, file)
+    assert(st.parse_ok, st.toString)
+    assert(st.width == 60 && st.height == 30, st.toString)
+    assert(st.profile_idc == 66 && st.level_idc == 30)
+    assert(st.n_nals == 5L, st.toString) // sps + pps + sei + 2 slices
+    assert((st.n_sps, st.n_pps, st.n_sei) == ((1L, 1L, 1L)))
+    assert(st.n_idr == 2L && st.n_i == 2L && st.n_p == 0L && st.n_b == 0L)
+    // wrong chunk-2 offset (off by the pad) must flag or miscount — it
+    // reads pad bytes as a length prefix; assert it does NOT silently
+    // reproduce the correct census
+    val skewed = Mp4.parseMp4Nals(7L, fileWith(payloadStart + 2L,
+      payloadStart + 2L + sample1.length))
+    assert(skewed != st.copy(media_id = skewed.media_id), skewed.toString)
+  }
+
+  test("sample demux == Annex-B census, field-for-field (builder differential)") {
+    (0L until 120L).foreach { id =>
+      val viaMp4 = Mp4.parseMp4Nals(id, Mp4.syntheticMp4Samples(id))
+      val viaAnnexB = H264.parseStream(id, H264.syntheticAnnexBStream(id))
+      assert(viaMp4 == viaAnnexB, s"id=$id mp4=$viaMp4 annexb=$viaAnnexB")
+      assert(viaMp4.parse_ok, s"id=$id")
+    }
+  }
+
+  test("sample demux: truncation at every prefix flags, fuzz never throws") {
+    val good = Mp4.syntheticMp4Samples(11L)
+    (1 until good.length by 7).foreach { cut =>
+      Mp4.parseMp4Nals(1L, java.util.Arrays.copyOf(good, cut)) // no throw
+    }
+    assert(!Mp4.parseMp4Nals(1L, java.util.Arrays.copyOf(good, good.length / 2)).parse_ok)
+    assert(!Mp4.parseMp4Nals(1L, null).parse_ok)
+    assert(!Mp4.parseMp4Nals(1L, Array.emptyByteArray).parse_ok)
+    (0 until 300).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      Mp4.parseMp4Nals(seed.toLong, b)
+    }
+  }
+
+  test("mp4NalStats: distributed demux over a payload table matches parseMp4Nals") {
+    import spark.implicits._
+    val media = (0L until 20L).map(id => (id, Mp4.syntheticMp4Samples(id)))
+      .toDF("media_id", "payload")
+    val got = Mp4.mp4NalStats(media).collect().sortBy(_.media_id)
+    val want = (0L until 20L).map(id => Mp4.parseMp4Nals(id, Mp4.syntheticMp4Samples(id)))
+    assert(got.toSeq == want)
+  }
+
   test("mp4Meta: distributed parse over a payload table matches parseMp4") {
     import spark.implicits._
     val media = (0L until 20L).map(id => (id, Mp4.syntheticMp4(id)))
