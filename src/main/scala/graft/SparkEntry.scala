@@ -3235,6 +3235,26 @@ object SparkEntry {
           col("n_idr"), col("n_i"), col("n_p"), col("n_b"))
         .orderBy("media_id")),
 
+    // §2.11 — EXIF/TIFF-IFD metadata tier: byte-order-marked IFD walk
+    // (both endians), SHORT/LONG scalars, inline AND offset-addressed
+    // ASCII values, the EXIF sub-IFD hop — over bare TIFF payloads
+    // (id%3==0) and real APP1 segments spliced into real encoded JPEGs
+    // (marker-segment scan). Oracle predicts every field from the
+    // fixture formulas; the parser is independently pinned on
+    // hand-assembled golden IFDs (ExifSpec).
+    "multimodal_exif" -> ((s, dir) =>
+      graft.ops.Exif.exifMeta(
+        graft.ops.Exif.syntheticExifTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("byte_order"),
+          col("n_entries"), col("orientation"),
+          col("image_width"), col("image_height"),
+          col("make"), col("model"),
+          col("datetime"), col("datetime_original"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8767,6 +8787,27 @@ object SparkEntry {
         |  CAST(g AS BIGINT) AS n_idr, CAST(g AS BIGINT) AS n_i,
         |  CAST(g * p AS BIGINT) AS n_p, CAST(g * b AS BIGINT) AS n_b
         |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // EXIF fields predicted from the fixture formulas (fhir_scale
+    // pattern): the engine earns each value by walking real IFD bytes —
+    // endianness, scalar widths, inline-vs-offset ASCII, the sub-IFD
+    // hop — while this SQL replays the generator arithmetic only.
+    "multimodal_exif" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(7 AS INTEGER) AS n_entries,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  CAST(16 * (1 + doc_id % 5) AS BIGINT) AS image_width,
+        |  CAST(16 * (1 + doc_id % 3) AS BIGINT) AS image_height,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'm' || CAST(doc_id % 3 AS VARCHAR)
+        |       ELSE 'maker-' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+        |  'model-' || CAST(doc_id % 5 AS VARCHAR) AS model,
+        |  printf('2020:01:%02d 12:00:%02d', 1 + doc_id % 28, doc_id % 60)
+        |    AS datetime,
+        |  printf('2019:12:%02d 08:30:%02d', 1 + doc_id % 28, (doc_id * 7) % 60)
+        |    AS datetime_original
+        |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
