@@ -3255,6 +3255,25 @@ object SparkEntry {
           col("datetime"), col("datetime_original"))
         .orderBy("media_id")),
 
+    // §2.11 — ADTS (AAC) frame-header census: the compressed-audio
+    // analog of multimodal_h264 — sync-chained 7/9-byte headers give
+    // profile/rate/channels/frames/duration by header arithmetic alone,
+    // payload bytes skipped via frame_length, CRC and CRC-less frames
+    // both present in every stream. Oracle predicts all fields from the
+    // fixture formulas; the parser is pinned on hand-packed golden
+    // frames (AdtsSpec).
+    "multimodal_adts" -> ((s, dir) =>
+      graft.ops.Adts.adtsStats(
+        graft.ops.Adts.syntheticAdtsTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("profile"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("n_blocks"), col("n_crc_frames"),
+          col("duration_ms"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8808,6 +8827,32 @@ object SparkEntry {
         |  printf('2019:12:%02d 08:30:%02d', 1 + doc_id % 28, (doc_id * 7) % 60)
         |    AS datetime_original
         |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // ADTS census from the fixture formulas: the sampling-frequency
+    // table is the public §1.A.3.2.1 13-entry list; duration is the
+    // same integral header arithmetic the engine computes. The engine
+    // earns each value by walking real sync-chained header bytes.
+    "multimodal_adts" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    3 + doc_id % 9 AS n, 1 + doc_id % 3 AS rdb,
+        |    CASE doc_id % 13
+        |      WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+        |      WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+        |      WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+        |      WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+        |      ELSE 7350 END AS rate
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(media_id % 4 AS INTEGER) AS profile,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(1 + media_id % 6 AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * rdb AS BIGINT) AS n_blocks,
+        |  CAST(n // 2 AS BIGINT) AS n_crc_frames,
+        |  CAST(n * rdb * 1024 * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM ids
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
