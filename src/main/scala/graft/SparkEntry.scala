@@ -3602,6 +3602,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // stream_locf_et_tws_restart: the SAME op and staged replay as
+    // stream_locf_et_tws, but the query is KILLED after the first half
+    // of the replay days and a new incarnation recovers from the
+    // checkpoint (RocksDB state + armed event-time timers + watermark)
+    // before the remaining days arrive — through the fault-tolerant
+    // file sink, since the memory sink doesn't survive a restart
+    // (r17 verdict #5: the restart was spec-pinned but never
+    // oracle-gated). The oracle is stream_locf_et's lease replay PLUS
+    // the one semantic a restart adds: the dying incarnation's final
+    // AvailableNow batch is a key-silent watermark sweep that fires any
+    // lease strictly below the first half's max-ts watermark with no
+    // data to re-arm it — modeled as an extra segment boundary at the
+    // split ordinal, so recovery fidelity AND the sweep's lease
+    // arithmetic are both hashed.
+    "stream_locf_et_tws_restart" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val chunks = etReplayChunkDir(s, dir, nullifyThirds = true)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType)))
+      Streams.withRocksDbProvider(s) {
+        Streams.drainWithCheckpointRestart(s, chunks, schema,
+            statePartitions = 2) { df =>
+          Streams.locfEnrichTws(df.as[Streams.ObsEvent],
+            eventTimeTtl = Some(java.time.Duration.ofHours(6))).toDF()
+        }
+      }
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_us"),
+          col("value"), col("carried"))
+        .orderBy("event_id")
+    }),
+
     // stream_cdc_et: eviction observed DIRECTLY — latestStateChanges
     // emits a DELETE tombstone carrying the dying winner when a key's
     // event-time lease expires (the Kafka-compaction/TTL-stream record
@@ -7366,6 +7399,80 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
         |         THEN 1 ELSE 0 END AS boundary
         |  FROM r
+        |  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |),
+        |seg AS (
+        |  SELECT *, sum(boundary) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id) AS sg
+        |  FROM flag
+        |)
+        |SELECT event_id, user_id, tsu AS ts_us, val AS value,
+        |       last_value(val IGNORE NULLS) OVER (PARTITION BY user_id, sg
+        |         ORDER BY tsu, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM seg ORDER BY event_id""".stripMargin,
+
+    // stream_locf_et_tws_restart: the SAME replay and lease arithmetic
+    // as stream_locf_et, plus the ONE thing a mid-backlog checkpoint
+    // restart adds — the dying incarnation's final AvailableNow batch
+    // is a KEY-SILENT watermark sweep (wm = max ts of the first half's
+    // buckets) in which any armed lease strictly below that wm fires
+    // with no data to re-arm it. The extra boundary term models exactly
+    // that sweep at the split ordinal (count(buckets)//2, the engine
+    // helper's split), so the hash proves BOTH directions: state/timers
+    // the sweep spares must survive recovery (missing state ⇒ extra
+    // boundaries ⇒ mismatch), and the sweep itself must fire per the
+    // lease rule (a resurrected-too-much checkpoint ⇒ missing
+    // boundaries ⇒ mismatch).
+    "stream_locf_et_tws_restart" ->
+      s"""WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
+        |         epoch_us(ts) // 86400000000 AS b
+        |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |sp AS (SELECT count(*) // 2 AS s FROM bk),
+        |wmseam AS (
+        |  SELECT max(bmax) // 1000 AS wms FROM bk, sp WHERE ord <= sp.s
+        |),
+        |wm0 AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |wmt AS (
+        |  SELECT ord, wm, lag(wm) OVER (ORDER BY ord) AS wmm1 FROM wm0
+        |),
+        |r AS (
+        |  SELECT ev.user_id, ev.event_id, ev.tsu, ev.val, bk.ord, w.wm, w.wmm1
+        |  FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |),
+        |flag AS (
+        |  SELECT r.*,
+        |    CASE WHEN lag(ord) OVER k IS NOT NULL
+        |          AND count(val) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+        |          AND (
+        |            (ord >= lag(ord) OVER k + 2
+        |             AND wmm1 > greatest(lag(tsu) OVER k // 1000 + 21600000,
+        |                                 lag(wm) OVER k + 1))
+        |            OR
+        |            (lag(ord) OVER k <= sp.s AND ord >= sp.s + 1
+        |             AND wmseam.wms > greatest(lag(tsu) OVER k // 1000 + 21600000,
+        |                                       lag(wm) OVER k + 1))
+        |          )
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM r, sp, wmseam
         |  WINDOW k AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |),
         |seg AS (

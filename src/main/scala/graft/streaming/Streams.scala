@@ -1678,6 +1678,83 @@ object Streams {
     out.toString
   }
 
+  /** Drain a staged event-time replay through `transform` with a REAL
+    * checkpoint restart in the middle: phase 1 exposes only the first
+    * `splitAt` chunk files, runs the query under `Trigger.AvailableNow`
+    * to self-termination (the checkpoint now holds the watermark, the
+    * state store, and every armed timer), then the remaining days
+    * "arrive" and a NEW query incarnation resumes from the SAME
+    * checkpoint and drains them. The sink is the fault-tolerant FILE
+    * sink (exactly-once via its commit log — the memory sink the other
+    * gates use does not survive a restart), so the read-back is the
+    * committed output of both incarnations with no duplicates.
+    *
+    * Event-time determinism across the seam: the watermark sequence is
+    * a pure function of the per-day batches (one file per trigger),
+    * and restart resumes from the checkpointed watermark — so timers
+    * fire at the same watermark values as in a single run, and the
+    * drained output must hash-match the same batch-SQL oracle. That
+    * equivalence is exactly what this harness exists to gate
+    * (`stream_*_restart`): a state/timer/watermark field missing from
+    * the checkpoint, or replayed wrong on recovery, diverges the
+    * output.
+    *
+    * `transform` must be Append-mode expressible (the file sink's
+    * contract). `statePartitions` is baked into the checkpoint at the
+    * first micro-batch, as in [[runToMemory]].
+    */
+  def drainWithCheckpointRestart(
+      spark: SparkSession, chunksDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statePartitions: Int, splitAt: Int = -1)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    val chunkFiles = new java.io.File(chunksDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    val split = if (splitAt > 0) splitAt else chunkFiles.length / 2
+    require(split > 0 && split < chunkFiles.length,
+      s"need a two-phase split: $split of ${chunkFiles.length} chunks")
+    val root = java.nio.file.Files.createTempDirectory("graft_restart")
+    replayRoots.add(root)
+    replayReaper
+    val src = root.resolve("src").toFile
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    src.mkdirs()
+    def arrive(files: Seq[java.io.File]): Unit = files.foreach { f =>
+      val dst = new java.io.File(src, f.getName)
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      // keep the staged ascending mtimes so the file source's
+      // oldest-first ordering (one day per trigger) survives the copy
+      require(dst.setLastModified(f.lastModified),
+        s"could not preserve mtime on $dst")
+    }
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      def incarnation(): Unit = {
+        val q = transform(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src.toString))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      arrive(chunkFiles.take(split))
+      incarnation() // phase 1: partial backlog, then the query DIES
+      arrive(chunkFiles.drop(split))
+      incarnation() // phase 2: recovery from the checkpoint
+    } finally spark.conf.set(key, prior)
+    spark.read.schema(transform(
+      spark.readStream.schema(schema).parquet(src.toString)).schema)
+      .parquet(out)
+  }
+
   /** Convenience: run a streaming DataFrame to an in-memory table until
     * all currently-available data is processed; returns the result. Used
     * by tests and smoke checks (not a production sink).
