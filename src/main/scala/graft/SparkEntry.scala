@@ -3274,6 +3274,26 @@ object SparkEntry {
           col("duration_ms"))
         .orderBy("media_id")),
 
+    // §2.11 — MP3 (MPEG-1/2 Layer III) frame-header census: VBR
+    // envelopes chained by the header-derived frame length, ID3v2
+    // containers skipped by syncsafe size, trailing ID3v1 TAG blocks
+    // terminating the scan — the metadata wrappers every real audio
+    // lake contains. Oracle replays the formulas + the public
+    // bitrate/samplerate tables; the parser is pinned on hand-packed
+    // golden frames (Mp3Spec, incl. the FF FB 90 C0 signature).
+    "multimodal_mp3" -> ((s, dir) =>
+      graft.ops.Mp3.mp3Stats(
+        graft.ops.Mp3.syntheticMp3Table(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("version"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("n_padded"),
+          col("bitrate_kbps_min"), col("bitrate_kbps_max"),
+          col("duration_ms"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8960,6 +8980,69 @@ object SparkEntry {
         |  CAST(n // 2 AS BIGINT) AS n_crc_frames,
         |  CAST(n * rdb * 1024 * 1000 // rate AS BIGINT) AS duration_ms
         |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // MP3 census from the fixture formulas: the VBR envelope is the
+    // min/max of the public Layer III bitrate table over the per-frame
+    // index orbit 1 + (id+f) % 14 — the engine earns it by chaining
+    // real frame lengths through ID3 wrappers.
+    "multimodal_mp3" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 3 + doc_id % 8 AS n,
+        |    doc_id % 2 = 0 AS v1, doc_id % 3 AS sri, doc_id % 4 AS md
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |env AS (
+        |  SELECT media_id,
+        |    min(CASE WHEN v1 THEN
+        |          CASE 1 + (media_id + ff.f) % 14
+        |            WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |            WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |            WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |            WHEN 13 THEN 256 ELSE 320 END
+        |        ELSE
+        |          CASE 1 + (media_id + ff.f) % 14
+        |            WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+        |            WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+        |            WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+        |            WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+        |            WHEN 13 THEN 144 ELSE 160 END END) AS bmin,
+        |    max(CASE WHEN v1 THEN
+        |          CASE 1 + (media_id + ff.f) % 14
+        |            WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |            WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |            WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |            WHEN 13 THEN 256 ELSE 320 END
+        |        ELSE
+        |          CASE 1 + (media_id + ff.f) % 14
+        |            WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+        |            WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+        |            WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+        |            WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+        |            WHEN 13 THEN 144 ELSE 160 END END) AS bmax
+        |  FROM ids, unnest(generate_series(0, n - 1)) AS ff(f)
+        |  GROUP BY media_id),
+        |cfg AS (
+        |  SELECT media_id, n, v1, md,
+        |    CASE WHEN v1 THEN
+        |      CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |    ELSE
+        |      CASE sri WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+        |    END AS rate
+        |  FROM ids)
+        |SELECT c.media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(CASE WHEN v1 THEN 1 ELSE 2 END AS INTEGER) AS version,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN md = 3 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN c.media_id % 3 = 0 THEN n // 2 ELSE 0 END
+        |    AS BIGINT) AS n_padded,
+        |  CAST(e.bmin AS INTEGER) AS bitrate_kbps_min,
+        |  CAST(e.bmax AS INTEGER) AS bitrate_kbps_max,
+        |  CAST(n * (CASE WHEN v1 THEN 1152 ELSE 576 END) * 1000 // rate
+        |    AS BIGINT) AS duration_ms
+        |FROM cfg c JOIN env e USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
