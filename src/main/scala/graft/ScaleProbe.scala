@@ -1265,6 +1265,40 @@ object ScaleProbe {
         .filter(col("parse_ok")).count())
     }
 
+    // round-18 probes: the four new metadata parsers at 1×/k× media
+    // count — each claims one narrow mapPartitions pass linear in its
+    // structural element count (samples/IFD entries/frames), so wall
+    // must scale ≤ linearly in media. parse_ok is the action, as above.
+    if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats"))
+      Seq(1, k).foreach { times =>
+        val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
+        val rep = (0 until times).map(i =>
+          ids.select((col("doc_id") + lit(i * 1000000L)).as("doc_id")))
+          .reduce(_.unionByName(_))
+        val n = rep.count()
+        def run(name: String, parsed: => Long): Unit = {
+          if (probeOnly.exists(f => !f.exists(name.startsWith))) return
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val ok = parsed
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(ok == n, s"$name: $ok parsed of $n media")
+          println(f"$name%-13s ${sec}%7.2f s  media=$n parsed=$ok")
+        }
+        run("mp4NalStats", graft.ops.Mp4.mp4NalStats(
+          graft.ops.Mp4.syntheticMp4SamplesTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        run("exifMeta", graft.ops.Exif.exifMeta(
+          graft.ops.Exif.syntheticExifTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        run("adtsStats", graft.ops.Adts.adtsStats(
+          graft.ops.Adts.syntheticAdtsTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        run("mp3Stats", graft.ops.Mp3.mp3Stats(
+          graft.ops.Mp3.syntheticMp3Table(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+      }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)
