@@ -3294,6 +3294,57 @@ object SparkEntry {
           col("duration_ms"))
         .orderBy("media_id")),
 
+    // §2.11 — ID3v2 text-frame extraction (the EXIF analog for audio):
+    // v2.3 plain and v2.4 syncsafe frame sizes, ISO-8859-1 and UTF-8
+    // encodings, unknown frames skipped by size, zero-padding handled —
+    // over tagged payloads whose tag fronts a REAL frame stream. Oracle
+    // replays the text formulas; golden hand-assembled tags pin the
+    // parser (Mp3Spec).
+    "multimodal_id3" -> ((s, dir) =>
+      graft.ops.Mp3.id3Meta(
+        graft.ops.Mp3.syntheticTaggedMp3Table(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("id3_version"), col("n_frames"),
+          col("title"), col("artist"), col("album"),
+          col("year"), col("genre"))
+        .orderBy("media_id")),
+
+    // §2.11 — the metadata tiers COMPOSED as a curation triage: the
+    // MP4 container fields, the EXIF orientation, and the ADTS duration
+    // of each media id hash-join on media_id and fold into a
+    // keep/reject decision with a first-match reason — the decision
+    // table an actual multimodal curation pass materializes before
+    // touching any payload bytes. Every input field is earned by the
+    // respective real parser; the oracle replays the three formula sets
+    // joined in SQL with the same first-match CASE.
+    "media_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val video = graft.ops.Mp4.mp4Meta(
+        graft.ops.Mp4.syntheticMp4Table(docs, "doc_id")).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_samples"), col("n_keyframes"))
+      val image = graft.ops.Exif.exifMeta(
+        graft.ops.Exif.syntheticExifTable(docs, "doc_id")).toDF()
+        .select(col("media_id"), col("orientation"))
+      val audio = graft.ops.Adts.adtsStats(
+        graft.ops.Adts.syntheticAdtsTable(docs, "doc_id")).toDF()
+        .select(col("media_id"), col("duration_ms"))
+      val reason = when(col("orientation") > 4, lit("rotated"))
+        .when(col("width") < 30, lit("low_res"))
+        .when(col("duration_ms") < 100, lit("too_short"))
+        .when(col("n_keyframes") * 2 < col("n_samples"), lit("sparse_sync"))
+        .otherwise(lit(""))
+      video.join(image, Seq("media_id")).join(audio, Seq("media_id"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("orientation"), col("duration_ms"),
+          reason.as("reject_reason"),
+          (reason === "").cast("int").as("kept"))
+        .orderBy("media_id")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9043,6 +9094,68 @@ object SparkEntry {
         |  CAST(n * (CASE WHEN v1 THEN 1152 ELSE 576 END) * 1000 // rate
         |    AS BIGINT) AS duration_ms
         |FROM cfg c JOIN env e USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // ID3 text frames from the fixture formulas — the engine earns each
+    // string by walking real frame headers (plain vs syncsafe sizes,
+    // two encodings, an unknown frame, padding) inside a real tag.
+    "multimodal_id3" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INTEGER)
+        |    AS id3_version,
+        |  CAST(6 AS INTEGER) AS n_frames,
+        |  'title-' || CAST(doc_id % 23 AS VARCHAR) AS title,
+        |  'artist-' || CAST(doc_id % 11 AS VARCHAR) AS artist,
+        |  'album-' || CAST(doc_id % 7 AS VARCHAR) AS album,
+        |  CAST(1990 + doc_id % 35 AS VARCHAR) AS year,
+        |  'genre-' || CAST(doc_id % 5 AS VARCHAR) AS genre
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // The curation-triage oracle: the three metadata formula sets
+    // joined on media_id with the SAME first-match CASE as the engine's
+    // decision column. Every branch fires on real fixture ids
+    // (orientation 5–8, width 12/14 combos, low-rate short audio, and
+    // gop-3 sparse-sync files).
+    "media_curation" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    16 * (1 + doc_id % 5) - 2 * (doc_id % 3) AS width,
+        |    16 * (1 + doc_id % 3) - 2 * (doc_id % 2) AS height,
+        |    5 + doc_id % 7 AS nsamp, 1 + doc_id % 3 AS gop,
+        |    doc_id % 5 = 0 AS allsync,
+        |    1 + doc_id % 8 AS orientation,
+        |    3 + doc_id % 9 AS nf, 1 + doc_id % 3 AS rdb,
+        |    CASE doc_id % 13
+        |      WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+        |      WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+        |      WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+        |      WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+        |      ELSE 7350 END AS rate
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |m AS (
+        |  SELECT media_id, width, height, orientation,
+        |    nf * rdb * 1024 * 1000 // rate AS duration_ms,
+        |    nsamp,
+        |    CASE WHEN allsync THEN nsamp
+        |         ELSE (nsamp + gop - 1) // gop END AS nkey
+        |  FROM ids),
+        |dec AS (
+        |  SELECT *,
+        |    CASE WHEN orientation > 4 THEN 'rotated'
+        |         WHEN width < 30 THEN 'low_res'
+        |         WHEN duration_ms < 100 THEN 'too_short'
+        |         WHEN nkey * 2 < nsamp THEN 'sparse_sync'
+        |         ELSE '' END AS reject_reason
+        |  FROM m)
+        |SELECT media_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(orientation AS INTEGER) AS orientation,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  reject_reason,
+        |  CAST(CASE WHEN reject_reason = '' THEN 1 ELSE 0 END AS INTEGER)
+        |    AS kept
+        |FROM dec
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from

@@ -130,6 +130,157 @@ object Mp3 {
       case _: Exception => Failed.copy(media_id = id)
     }
 
+  // --- ID3v2 text frames (the EXIF analog for audio) -----------------------
+
+  final case class Id3Meta(
+      media_id: Long, parse_ok: Boolean, id3_version: Int,
+      n_frames: Int, title: String, artist: String, album: String,
+      year: String, genre: String)
+
+  private val Id3Failed =
+    Id3Meta(0L, parse_ok = false, 0, 0, "", "", "", "", "")
+
+  /** Parse the leading ID3v2 container's TEXT frames (ID3v2.3 §3.3 /
+    * v2.4 §4: 4-byte frame id, 4-byte size — plain in v2.3, syncsafe in
+    * v2.4 — 2 flag bytes, then for `T***` frames an encoding byte +
+    * text). Extracted: TIT2 title, TPE1 artist, TALB album, TYER/TDRC
+    * year, TCON genre — the fields audio curation stratifies on.
+    * Unknown frames are skipped by size; encodings 0 (ISO-8859-1) and
+    * 3 (UTF-8) are decoded, others flag the file (v2.3's UTF-16 is
+    * fixture-external by the dependency-free contract — documented,
+    * like the codec ceilings). A file with NO ID3v2 container is a
+    * flagged row: this op's contract is "extract the tag", not "maybe".
+    */
+  def parseId3(id: Long, bytes: Array[Byte]): Id3Meta =
+    try {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      require(b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3',
+        "no ID3v2 container")
+      val ver = b(3) & 0xff
+      require(ver == 3 || ver == 4, s"unsupported ID3v2.$ver")
+      require((b(5) & 0x80) == 0, "unsynchronisation unsupported")
+      val total = id3v2Len(b) // validates syncsafe size + bounds
+      val end = total - (if ((b(5) & 0x10) != 0) 10 else 0)
+      var p = 10
+      var n = 0
+      var title = ""; var artist = ""; var album = ""
+      var year = ""; var genre = ""
+      var done = false
+      while (!done && p + 10 <= end) {
+        if (b(p) == 0) done = true // zero-padding region
+        else {
+          val fid = new String(b, p, 4, "ISO-8859-1")
+          require(fid.forall(c => c.isUpper || c.isDigit), s"bad frame id $fid")
+          val sz =
+            if (ver == 4) {
+              var s = 0
+              var i = p + 4
+              while (i < p + 8) {
+                require((b(i) & 0x80) == 0, "frame size not syncsafe")
+                s = (s << 7) | (b(i) & 0x7f); i += 1
+              }
+              s
+            } else
+              ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+                ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+          require(sz >= 0 && p + 10 + sz <= end, "frame escapes tag")
+          if (fid.startsWith("T") && sz >= 1) {
+            val enc = b(p + 10) & 0xff
+            require(enc == 0 || enc == 3, s"unsupported text encoding $enc")
+            var to = p + 10 + sz
+            while (to > p + 11 && b(to - 1) == 0) to -= 1 // trailing NULs
+            val text = new String(b, p + 11, to - (p + 11),
+              if (enc == 0) "ISO-8859-1" else "UTF-8")
+            fid match {
+              case "TIT2" => title = text
+              case "TPE1" => artist = text
+              case "TALB" => album = text
+              case "TYER" | "TDRC" => year = text
+              case "TCON" => genre = text
+              case _ => ()
+            }
+          }
+          n += 1
+          p += 10 + sz
+        }
+      }
+      require(n > 0, "empty ID3v2 container")
+      Id3Meta(id, parse_ok = true, ver, n, title, artist, album, year, genre)
+    } catch {
+      case _: Exception => Id3Failed.copy(media_id = id)
+    }
+
+  /** ID3 text-frame extraction over a binary payload table — one narrow
+    * `mapPartitions` pass, one row per media, corrupt/tag-less payloads
+    * flagged.
+    */
+  def id3Meta(media: DataFrame): Dataset[Id3Meta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseId3(id, bytes) })
+  }
+
+  /** Fixture formulas shared with the multimodal_id3 oracle SQL. */
+  def fixtureTitle(id: Long): String = s"title-${id % 23}"
+  def fixtureArtist(id: Long): String = s"artist-${id % 11}"
+  def fixtureAlbum(id: Long): String = s"album-${id % 7}"
+  def fixtureYear(id: Long): String = s"${1990 + id % 35}"
+  def fixtureGenre(id: Long): String = s"genre-${id % 5}"
+
+  /** A tagged MP3: a real ID3v2.3 (even ids) / v2.4 (odd ids) container
+    * holding the five text frames — v2.4 sizes syncsafe, v2.3 plain;
+    * UTF-8 encoding byte on `id % 3 == 0` frames, ISO-8859-1 otherwise;
+    * one unknown (`TXXX`) frame the parser must skip by size — followed
+    * by the [[syntheticMp3]] frame stream for the same id.
+    */
+  def syntheticTaggedMp3(id: Long): Array[Byte] = {
+    val v4 = id % 2 == 1
+    val frames = new java.io.ByteArrayOutputStream()
+    def frame(fid: String, text: String): Unit = {
+      val enc = if (id % 3 == 0) 3 else 0
+      val payload = Array((enc & 0xff).toByte) ++ text.getBytes("UTF-8")
+      frames.write(fid.getBytes("ISO-8859-1"))
+      val sz = payload.length
+      if (v4) {
+        frames.write((sz >>> 21) & 0x7f); frames.write((sz >>> 14) & 0x7f)
+        frames.write((sz >>> 7) & 0x7f); frames.write(sz & 0x7f)
+      } else {
+        frames.write((sz >>> 24) & 0xff); frames.write((sz >>> 16) & 0xff)
+        frames.write((sz >>> 8) & 0xff); frames.write(sz & 0xff)
+      }
+      frames.write(0); frames.write(0)
+      frames.write(payload)
+    }
+    frame("TIT2", fixtureTitle(id))
+    frame("TPE1", fixtureArtist(id))
+    frame("TALB", fixtureAlbum(id))
+    frame(if (v4) "TDRC" else "TYER", fixtureYear(id))
+    frame("TCON", fixtureGenre(id))
+    frame("TXXX", s"custom-${id % 3}") // unknown to the extractor: skipped
+    val body = frames.toByteArray
+    val pad = (id % 6).toInt // zero padding, routine in real tags
+    val sz = body.length + pad
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+    out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
+    out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(body)
+    (0 until pad).foreach(_ => out.write(0))
+    out.write(syntheticMp3(id))
+    out.toByteArray
+  }
+
+  def syntheticTaggedMp3Table(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(s"`$idCol`").cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, syntheticTaggedMp3(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** Header census over a binary payload table — one narrow
     * `mapPartitions` pass, one row per media, corrupt payloads flagged.
     */

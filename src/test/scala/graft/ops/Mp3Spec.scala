@@ -111,6 +111,79 @@ class Mp3Spec extends SparkSpec {
     }
   }
 
+  test("golden hand-assembled ID3v2.3 tag extracts text frames field-for-field") {
+    // hand bytes, never the builder: v2.3 plain sizes, two text frames
+    // (ISO-8859-1 "Abc" title, UTF-8 "Xy" artist), one unknown frame
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII")); out.write(3); out.write(0); out.write(0)
+    val body = {
+      val f = new java.io.ByteArrayOutputStream()
+      f.write("TIT2".getBytes); f.write(Array[Byte](0, 0, 0, 4)); f.write(0); f.write(0)
+      f.write(0); f.write("Abc".getBytes("ISO-8859-1"))
+      f.write("TPE1".getBytes); f.write(Array[Byte](0, 0, 0, 3)); f.write(0); f.write(0)
+      f.write(3); f.write("Xy".getBytes("UTF-8"))
+      f.write("PRIV".getBytes); f.write(Array[Byte](0, 0, 0, 2)); f.write(0); f.write(0)
+      f.write(0x55); f.write(0x66)
+      f.toByteArray
+    }
+    val sz = body.length
+    out.write((sz >>> 21) & 0x7f); out.write((sz >>> 14) & 0x7f)
+    out.write((sz >>> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(body)
+    val m = Mp3.parseId3(9L, out.toByteArray)
+    assert(m.parse_ok, m.toString)
+    assert(m.id3_version == 3 && m.n_frames == 3)
+    assert(m.title == "Abc" && m.artist == "Xy")
+    assert(m.album == "" && m.year == "" && m.genre == "")
+  }
+
+  test("ID3 builder -> parser: every field matches the generator formulas") {
+    (0L until 140L).foreach { id =>
+      val m = Mp3.parseId3(id, Mp3.syntheticTaggedMp3(id))
+      assert(m.parse_ok, s"id=$id")
+      assert(m.id3_version == (if (id % 2 == 1) 4 else 3), s"id=$id")
+      assert(m.n_frames == 6, s"id=$id")
+      assert(m.title == Mp3.fixtureTitle(id), s"id=$id")
+      assert(m.artist == Mp3.fixtureArtist(id), s"id=$id")
+      assert(m.album == Mp3.fixtureAlbum(id), s"id=$id")
+      assert(m.year == Mp3.fixtureYear(id), s"id=$id")
+      assert(m.genre == Mp3.fixtureGenre(id), s"id=$id")
+      // and the SAME tagged payload still frame-censuses through
+      // parseMp3 for ids whose mp3 body carries no second container
+      if (id % 5 != 0) {
+        val st = Mp3.parseMp3(id, Mp3.syntheticTaggedMp3(id))
+        assert(st.parse_ok && st.n_frames == 3 + id % 8, s"id=$id")
+      }
+    }
+  }
+
+  test("ID3 degrade: tag-less / corrupt / escaping frames flag, fuzz never throws") {
+    assert(!Mp3.parseId3(1L, null).parse_ok)
+    assert(!Mp3.parseId3(1L, golden).parse_ok) // bare frames: no container
+    assert(!Mp3.parseId3(1L, "ID3 but trash".getBytes).parse_ok)
+    // a frame whose size escapes the tag
+    val good = Mp3.syntheticTaggedMp3(2L)
+    val bad = good.clone()
+    bad(14) = 0x7f.toByte // first frame's v2.3 size hi byte -> huge
+    assert(!Mp3.parseId3(1L, bad).parse_ok)
+    (0 until 300).foreach { seed =>
+      val rnd = new java.util.Random(seed)
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      if (b.length >= 3) { b(0) = 'I'; b(1) = 'D'; b(2) = '3' }
+      Mp3.parseId3(seed.toLong, b)
+    }
+  }
+
+  test("id3Meta: distributed extraction over a payload table matches parseId3") {
+    import spark.implicits._
+    val media = (0L until 20L).map(id => (id, Mp3.syntheticTaggedMp3(id)))
+      .toDF("media_id", "payload")
+    val got = Mp3.id3Meta(media).collect().sortBy(_.media_id)
+    val want = (0L until 20L).map(id => Mp3.parseId3(id, Mp3.syntheticTaggedMp3(id)))
+    assert(got.toSeq == want)
+  }
+
   test("mp3Stats: distributed census over a payload table matches parseMp3") {
     import spark.implicits._
     val media = (0L until 20L).map(id => (id, Mp3.syntheticMp3(id)))
