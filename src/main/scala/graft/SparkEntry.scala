@@ -3345,6 +3345,43 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // §2.11 — GPS geotag census: IFD0's 0x8825 pointer → the GPS
+    // sub-IFD's refs + RATIONAL×3 coordinates (mixed denominators —
+    // num/den really divides) folded to signed integer arcseconds.
+    // Geotag ABSENCE (id%4==1 files) is a clean has_gps=0 row, not a
+    // flag — the distinction a privacy audit runs on.
+    "multimodal_gps" -> ((s, dir) =>
+      graft.ops.Exif.gpsMeta(
+        graft.ops.Exif.syntheticExifTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("has_gps"),
+          col("lat_ref"), col("lon_ref"),
+          col("lat_arcsec"), col("lon_arcsec"))
+        .orderBy("media_id")),
+
+    // §2.11 — the media-PII WRITE path: scrubGps zeroes the GPS IFD,
+    // its offset-addressed rational blocks, and the 0x8825 pointer
+    // (padding-tag rewrite) IN PLACE, then the gate re-parses the
+    // scrubbed bytes with BOTH readers — the geotag must be gone
+    // (has_gps=0 everywhere) and every non-GPS field intact (make /
+    // datetime still hash the fixture formulas). The byte-level
+    // zeroing is additionally pinned in ExifSpec.
+    "media_gps_scrub" -> ((s, dir) => {
+      val scrubbed = graft.ops.Exif.scrubGps(
+        graft.ops.Exif.syntheticExifTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+      graft.ops.Exif.gpsMeta(scrubbed).toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("gps_ok"), col("has_gps"))
+        .join(graft.ops.Exif.exifMeta(scrubbed).toDF()
+          .select(col("media_id"),
+            col("parse_ok").cast("int").as("exif_ok"),
+            col("make"), col("datetime")), Seq("media_id"))
+        .orderBy("media_id")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -8993,7 +9030,8 @@ object SparkEntry {
     "multimodal_exif" ->
       """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
         |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-        |  CAST(7 AS INTEGER) AS n_entries,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 7 ELSE 8 END AS INTEGER)
+        |    AS n_entries,
         |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
         |  CAST(16 * (1 + doc_id % 5) AS BIGINT) AS image_width,
         |  CAST(16 * (1 + doc_id % 3) AS BIGINT) AS image_height,
@@ -9156,6 +9194,42 @@ object SparkEntry {
         |  CAST(CASE WHEN reject_reason = '' THEN 1 ELSE 0 END AS INTEGER)
         |    AS kept
         |FROM dec
+        |ORDER BY media_id""".stripMargin,
+
+    // GPS census from the fixture formulas: arcseconds are exact
+    // integer folds of the RATIONAL components (deg·3600 + min·60 +
+    // sec, S/W negative), absence is data.
+    "multimodal_gps" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END AS INTEGER)
+        |    AS has_gps,
+        |  CASE WHEN doc_id % 4 = 1 THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+        |  CASE WHEN doc_id % 4 = 1 THEN ''
+        |       WHEN doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE
+        |    ((doc_id % 90) * 3600 + (doc_id % 60) * 60 + (doc_id * 7) % 60)
+        |    * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) END
+        |    AS BIGINT) AS lat_arcsec,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE
+        |    ((doc_id % 180) * 3600 + ((doc_id * 3) % 60) * 60
+        |      + (doc_id * 11) % 60)
+        |    * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) END
+        |    AS BIGINT) AS lon_arcsec
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // The scrub oracle: EVERY file reads back geotag-free while make /
+    // datetime still match the generator — proving the in-place zeroing
+    // removed exactly the GPS surface and nothing else.
+    "media_gps_scrub" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS gps_ok,
+        |  CAST(0 AS INTEGER) AS has_gps, CAST(1 AS INTEGER) AS exif_ok,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'm' || CAST(doc_id % 3 AS VARCHAR)
+        |       ELSE 'maker-' || CAST(doc_id % 3 AS VARCHAR) END AS make,
+        |  printf('2020:01:%02d 12:00:%02d', 1 + doc_id % 28, doc_id % 60)
+        |    AS datetime
+        |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from

@@ -217,6 +217,156 @@ object Exif {
     }
   }
 
+  // --- GPS IFD (read) + in-place scrub (the media-PII write path) ----------
+
+  final case class GpsMeta(
+      media_id: Long, parse_ok: Boolean, has_gps: Int,
+      lat_ref: String, lon_ref: String,
+      lat_arcsec: Long, lon_arcsec: Long)
+
+  private val GpsFailed = GpsMeta(0L, parse_ok = false, 0, "", "", 0L, 0L)
+
+  /** RATIONAL(5) count-3 value (deg/min/sec as num/den pairs at the
+    * offset the value field points to), folded to integer ARCSECONDS —
+    * curation granularity (±~30 m), exact whenever each den divides its
+    * num (the fixture guarantees it; real-file remainders floor).
+    */
+  private def rational3Arcsec(b: Array[Byte], tiff: Int, e: Entry,
+      le: Boolean): Long = {
+    require(e.typ == 5 && e.count == 3, s"tag ${e.tag}: expected RATIONAL x3")
+    val off = u32(b, e.valOff, le)
+    require(off >= 8 && tiff + off + 24 <= b.length, "RATIONAL value escapes file")
+    val base = tiff + off.toInt
+    def comp(i: Int): Long = {
+      val num = u32(b, base + 8 * i, le)
+      val den = u32(b, base + 8 * i + 4, le)
+      require(den > 0, "zero RATIONAL denominator")
+      num / den
+    }
+    comp(0) * 3600L + comp(1) * 60L + comp(2)
+  }
+
+  /** GPS extraction: IFD0's 0x8825 pointer → the GPS sub-IFD's
+    * latitude/longitude refs (0x0001/0x0003) and RATIONAL×3 coordinates
+    * (0x0002/0x0004), folded to SIGNED integer arcseconds (S/W
+    * negative). A file without a GPS IFD is a clean `has_gps = 0` row —
+    * geotag ABSENCE is data, not corruption; malformed structure still
+    * flags.
+    */
+  def parseGps(id: Long, bytes: Array[Byte]): GpsMeta =
+    try {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      require(b.length >= 8, "too short")
+      val tiff =
+        if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) tiffOffsetInJpeg(b)
+        else 0
+      val le =
+        if (b(tiff) == 'I'.toByte && b(tiff + 1) == 'I'.toByte) true
+        else if (b(tiff) == 'M'.toByte && b(tiff + 1) == 'M'.toByte) false
+        else throw new IllegalArgumentException("bad byte-order mark")
+      require(u16(b, tiff + 2, le) == 42, "bad TIFF magic")
+      val ifd0 = ifdEntries(b, tiff, u32(b, tiff + 4, le), le)
+      ifd0.find(_.tag == 0x8825) match {
+        case None => GpsMeta(id, parse_ok = true, 0, "", "", 0L, 0L)
+        case Some(p) =>
+          val gps = ifdEntries(b, tiff, intValue(b, p, le), le)
+          def ref(tag: Int): String =
+            gps.find(_.tag == tag).map(asciiValue(b, tiff, _, le)).getOrElse("")
+          def arc(tag: Int): Long =
+            gps.find(_.tag == tag).map(rational3Arcsec(b, tiff, _, le)).getOrElse(0L)
+          val latRef = ref(0x0001)
+          val lonRef = ref(0x0003)
+          val lat = arc(0x0002) * (if (latRef == "S") -1L else 1L)
+          val lon = arc(0x0004) * (if (lonRef == "W") -1L else 1L)
+          GpsMeta(id, parse_ok = true, 1, latRef, lonRef, lat, lon)
+      }
+    } catch {
+      case _: Exception => GpsFailed.copy(media_id = id)
+    }
+
+  /** GPS geotag census over a binary payload table. */
+  def gpsMeta(media: DataFrame): Dataset[GpsMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => parseGps(id, bytes) })
+  }
+
+  /** Remove the geotag IN PLACE (copy-on-write): zero every
+    * offset-addressed value region the GPS IFD references, zero the GPS
+    * IFD block itself, and neutralize IFD0's 0x8825 pointer entry by
+    * rewriting its tag to the well-known padding tag 0xEA1C with a zero
+    * value — every OTHER offset in the file stays valid, which is what
+    * makes in-place scrubbing safe where a structural rewrite would
+    * have to relocate the whole IFD tree. Files without a geotag (or
+    * without parseable EXIF at all) pass through untouched — a scrub
+    * pass must be total over mixed corpora.
+    */
+  def stripGps(bytes: Array[Byte]): Array[Byte] = {
+    val b0 = if (bytes == null) Array.emptyByteArray else bytes
+    try {
+      val b = b0.clone()
+      val tiff =
+        if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+          tiffOffsetInJpeg(b)
+        else 0
+      val le =
+        if (b(tiff) == 'I'.toByte && b(tiff + 1) == 'I'.toByte) true
+        else if (b(tiff) == 'M'.toByte && b(tiff + 1) == 'M'.toByte) false
+        else throw new IllegalArgumentException("bad byte-order mark")
+      require(u16(b, tiff + 2, le) == 42, "bad TIFF magic")
+      val ifd0Off = u32(b, tiff + 4, le)
+      val ifd0 = ifdEntries(b, tiff, ifd0Off, le)
+      ifd0.find(_.tag == 0x8825) match {
+        case None => b0 // no geotag: untouched
+        case Some(pointer) =>
+          val gpsOff = intValue(b, pointer, le)
+          val gps = ifdEntries(b, tiff, gpsOff, le)
+          // 1. zero each offset-addressed value region (inline values
+          //    die with the table)
+          val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+          gps.foreach { e =>
+            val sz = typeSize.getOrElse(e.typ, 1).toLong * e.count
+            if (sz > 4) {
+              val off = u32(b, e.valOff, le)
+              require(off >= 8 && tiff + off + sz <= b.length,
+                "GPS value escapes file")
+              java.util.Arrays.fill(b, tiff + off.toInt,
+                tiff + off.toInt + sz.toInt, 0.toByte)
+            }
+          }
+          // 2. zero the GPS IFD block (count + entries + next pointer)
+          val base = tiff + gpsOff.toInt
+          java.util.Arrays.fill(b, base, base + 2 + 12 * gps.length + 4, 0.toByte)
+          // 3. neutralize the pointer entry: padding tag 0xEA1C, LONG,
+          //    count 1, value 0
+          val entryOff = pointer.valOff - 8
+          val w = if (le) Seq(0x1c, 0xea, 0x04, 0x00, 0x01, 0x00, 0x00, 0x00)
+            else Seq(0xea, 0x1c, 0x00, 0x04, 0x00, 0x00, 0x00, 0x01)
+          w.zipWithIndex.foreach { case (v, i) => b(entryOff + i) = v.toByte }
+          java.util.Arrays.fill(b, pointer.valOff, pointer.valOff + 4, 0.toByte)
+          b
+      }
+    } catch {
+      case _: Exception => b0 // unparseable: pass through untouched
+    }
+  }
+
+  /** Geotag scrub over a binary payload table — returns the table with
+    * `payload` replaced by its scrubbed bytes (one narrow mapPartitions
+    * pass; the downstream gate re-parses to prove the geotag gone and
+    * everything else intact).
+    */
+  def scrubGps(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, stripGps(bytes)) })
+      .toDF("media_id", "payload")
+  }
+
   /** The fixture's generator formulas — shared with the
     * multimodal_exif oracle SQL, which predicts every field from the
     * SAME arithmetic while the engine earns it by walking real IFD
@@ -230,9 +380,20 @@ object Exif {
   def fixtureDateTimeOriginal(id: Long): String =
     f"2019:12:${1 + id % 28}%02d 08:30:${(id * 7) % 60}%02d"
 
-  /** The TIFF body: header + IFD0 (7 ascending-tag entries incl. the
-    * EXIF sub-IFD pointer) + EXIF IFD (DateTimeOriginal) + the
-    * offset-addressed ASCII data area.
+  /** GPS fixture formulas — `id % 4 == 1` files carry NO geotag. */
+  def fixtureHasGps(id: Long): Boolean = id % 4 != 1
+  def fixtureLatRef(id: Long): String = if (id % 2 == 0) "N" else "S"
+  def fixtureLonRef(id: Long): String = if (id % 3 == 0) "E" else "W"
+  def fixtureLatArcsec(id: Long): Long = // unsigned magnitude
+    (id % 90) * 3600L + (id % 60) * 60L + (id * 7) % 60
+  def fixtureLonArcsec(id: Long): Long =
+    (id % 180) * 3600L + (id * 3) % 60 * 60L + (id * 11) % 60
+
+  /** The TIFF body: header + IFD0 (ascending tags incl. the EXIF
+    * sub-IFD pointer and — for geotagged ids — the GPS IFD pointer) +
+    * EXIF IFD (DateTimeOriginal) + GPS IFD (refs inline, RATIONAL×3
+    * coordinates with MIXED denominators 1/2/4 so num/den is really
+    * divided) + the offset-addressed data area.
     */
   def syntheticTiff(id: Long): Array[Byte] = {
     val le = id % 2 == 0
@@ -240,25 +401,30 @@ object Exif {
     val model = fixtureModel(id)
     val dt = fixtureDateTime(id)
     val dto = fixtureDateTimeOriginal(id)
+    val hasGps = fixtureHasGps(id)
+    val nIfd0 = if (hasGps) 8 else 7
     val ifd0Off = 8L
-    val ifd0Size = 2 + 7 * 12 + 4
+    val ifd0Size = 2 + nIfd0 * 12 + 4
     val exifOff = ifd0Off + ifd0Size
     val exifSize = 2 + 1 * 12 + 4
-    var dataOff = exifOff + exifSize
-    def reserve(s: String): Long = {
-      val n = s.length + 1
-      if (n <= 4) 0L else { val o = dataOff; dataOff += n; o }
-    }
-    val makeOff = reserve(make)
-    val modelOff = reserve(model)
-    val dtOff = reserve(dt)
-    val dtoOff = reserve(dto)
+    val gpsOff = exifOff + exifSize
+    val gpsSize = if (hasGps) 2 + 4 * 12 + 4 else 0
+    var dataOff = gpsOff + gpsSize
+    def reserve(n: Int): Long = { val o = dataOff; dataOff += n; o }
+    def reserveAscii(s: String): Long =
+      if (s.length + 1 <= 4) 0L else reserve(s.length + 1)
+    val makeOff = reserveAscii(make)
+    val modelOff = reserveAscii(model)
+    val dtOff = reserveAscii(dt)
+    val dtoOff = reserveAscii(dto)
+    val latOff = if (hasGps) reserve(24) else 0L
+    val lonOff = if (hasGps) reserve(24) else 0L
     val w = new TiffWriter(le)
     // header
     w.out.write(if (le) 'I' else 'M'); w.out.write(if (le) 'I' else 'M')
     w.w16(42); w.w32(ifd0Off)
     // IFD0, tags ascending per TIFF 6.0
-    w.w16(7)
+    w.w16(nIfd0)
     w.entryScalar(0x0100, 4, 16L * (1 + id % 5))
     w.entryScalar(0x0101, 4, 16L * (1 + id % 3))
     w.entryAscii(0x010f, make, makeOff)
@@ -266,14 +432,34 @@ object Exif {
     w.entryScalar(0x0112, 3, 1 + id % 8)
     w.entryAscii(0x0132, dt, dtOff)
     w.entryScalar(0x8769, 4, exifOff)
+    if (hasGps) w.entryScalar(0x8825, 4, gpsOff)
     w.w32(0L) // next IFD: none
     // EXIF sub-IFD
     w.w16(1)
     w.entryAscii(0x9003, dto, dtoOff)
     w.w32(0L)
-    // data area, in reservation order
+    // GPS sub-IFD: refs inline (count 2), coordinates RATIONAL×3
+    if (hasGps) {
+      w.w16(4)
+      w.entryAscii(0x0001, fixtureLatRef(id), 0L)
+      w.w16(0x0002); w.w16(5); w.w32(3L); w.w32(latOff)
+      w.entryAscii(0x0003, fixtureLonRef(id), 0L)
+      w.w16(0x0004); w.w16(5); w.w32(3L); w.w32(lonOff)
+      w.w32(0L)
+    }
+    // data area, in reservation order: NUL-terminated ASCII then the
+    // rational blocks (deg den 1, min den 2, sec den 4 — division real)
     Seq(make, model, dt, dto).filter(_.length + 1 > 4).foreach { s =>
       w.out.write((s + "\u0000").getBytes("US-ASCII"))
+    }
+    if (hasGps) {
+      def rat3(deg: Long, min: Long, sec: Long): Unit = {
+        w.w32(deg); w.w32(1L)
+        w.w32(min * 2); w.w32(2L)
+        w.w32(sec * 4); w.w32(4L)
+      }
+      rat3(id % 90, id % 60, (id * 7) % 60)
+      rat3(id % 180, (id * 3) % 60, (id * 11) % 60)
     }
     w.out.toByteArray
   }

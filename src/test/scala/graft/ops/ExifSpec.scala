@@ -89,7 +89,7 @@ class ExifSpec extends SparkSpec {
       val m = Exif.parseExif(id, Exif.syntheticExifPayload(id))
       assert(m.parse_ok, s"id=$id")
       assert(m.byte_order == (if (id % 2 == 0) "II" else "MM"), s"id=$id")
-      assert(m.n_entries == 7, s"id=$id")
+      assert(m.n_entries == (if (id % 4 == 1) 7 else 8), s"id=$id")
       assert(m.orientation == 1 + (id % 8), s"id=$id")
       assert(m.image_width == 16 * (1 + id % 5), s"id=$id")
       assert(m.image_height == 16 * (1 + id % 3), s"id=$id")
@@ -120,11 +120,13 @@ class ExifSpec extends SparkSpec {
     // IFD entry count escaping the payload
     val badCount = goldenLE.clone(); badCount(8) = 0xff.toByte
     assert(!Exif.parseExif(1L, badCount).parse_ok)
-    // bare-TIFF truncation at EVERY prefix must flag (the data area sits
-    // last, so any cut clips a required byte), never throw
+    // bare-TIFF truncation at EVERY prefix must flag ONE of the two
+    // readers (the GPS rationals sit last, so late cuts clip parseGps's
+    // bytes while parseExif's are complete), never throw
     val bare = Exif.syntheticExifPayload(6L) // id % 3 == 0 → bare TIFF
     (1 until bare.length).foreach { cut =>
-      assert(!Exif.parseExif(1L, java.util.Arrays.copyOf(bare, cut)).parse_ok,
+      val t = java.util.Arrays.copyOf(bare, cut)
+      assert(!Exif.parseExif(1L, t).parse_ok || !Exif.parseGps(1L, t).parse_ok,
         s"cut=$cut")
     }
     // JPEG-transport truncation: no-throw (cuts past the APP1 segment
@@ -151,6 +153,100 @@ class ExifSpec extends SparkSpec {
       b(4) = 8; b(5) = 0; b(6) = 0; b(7) = 0
       Exif.parseExif(seed.toLong, b)
     }
+  }
+
+  test("GPS builder -> parser: refs and signed arcseconds match the formulas") {
+    (0L until 120L).foreach { id =>
+      val g = Exif.parseGps(id, Exif.syntheticExifPayload(id))
+      assert(g.parse_ok, s"id=$id")
+      if (id % 4 == 1) {
+        assert(g.has_gps == 0 && g.lat_ref == "" && g.lat_arcsec == 0L, s"id=$id")
+      } else {
+        assert(g.has_gps == 1, s"id=$id")
+        assert(g.lat_ref == Exif.fixtureLatRef(id), s"id=$id")
+        assert(g.lon_ref == Exif.fixtureLonRef(id), s"id=$id")
+        val latSign = if (id % 2 == 0) 1L else -1L
+        val lonSign = if (id % 3 == 0) 1L else -1L
+        assert(g.lat_arcsec == latSign * Exif.fixtureLatArcsec(id), s"id=$id $g")
+        assert(g.lon_arcsec == lonSign * Exif.fixtureLonArcsec(id), s"id=$id $g")
+      }
+    }
+  }
+
+  test("golden GPS: hand-assembled rational coordinates, both byte orders") {
+    // graft a GPS IFD by hand onto a minimal TIFF: 37°51'30" S, 12°0'45" E
+    Seq(true, false).foreach { le =>
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (le) { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+        else { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Long): Unit =
+        if (le) {
+          out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+          out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+        } else {
+          out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+          out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+        }
+      out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+      w16(42); w32(8)
+      // IFD0: 1 entry (GPS pointer at 26) -> 2 + 12 + 4 = 18, ends 26
+      w16(1); w16(0x8825); w16(4); w32(1); w32(26)
+      w32(0)
+      // GPS IFD at 26: 4 entries -> 2 + 48 + 4 = 54, ends 80
+      w16(4)
+      w16(0x0001); w16(2); w32(2)
+      out.write('S'); out.write(0); w16(0) // inline "S\0" + pad
+      w16(0x0002); w16(5); w32(3); w32(80)  // lat rationals at 80
+      w16(0x0003); w16(2); w32(2)
+      out.write('E'); out.write(0); w16(0)
+      w16(0x0004); w16(5); w32(3); w32(104) // lon rationals at 104
+      w32(0)
+      // lat: 37/1 deg, 102/2 = 51 min, 120/4 = 30 sec
+      w32(37); w32(1); w32(102); w32(2); w32(120); w32(4)
+      // lon: 12/1 deg, 0/1 min, 45/1 sec
+      w32(12); w32(1); w32(0); w32(1); w32(45); w32(1)
+      val g = Exif.parseGps(2L, out.toByteArray)
+      assert(g.parse_ok && g.has_gps == 1, s"le=$le $g")
+      assert(g.lat_ref == "S" && g.lon_ref == "E", s"le=$le $g")
+      assert(g.lat_arcsec == -(37L * 3600 + 51 * 60 + 30), s"le=$le $g")
+      assert(g.lon_arcsec == 12L * 3600 + 45, s"le=$le $g")
+    }
+  }
+
+  test("stripGps: geotag gone, every other field intact, GPS bytes zeroed") {
+    (0L until 60L).foreach { id =>
+      val orig = Exif.syntheticExifPayload(id)
+      val scrubbed = Exif.stripGps(orig)
+      val g = Exif.parseGps(id, scrubbed)
+      assert(g.parse_ok && g.has_gps == 0, s"id=$id $g")
+      val before = Exif.parseExif(id, orig)
+      val after = Exif.parseExif(id, scrubbed)
+      assert(after == before, s"id=$id non-GPS fields changed")
+      if (Exif.fixtureHasGps(id)) {
+        assert(!(scrubbed sameElements orig), s"id=$id: nothing scrubbed")
+        // the coordinate rationals must be GONE from the bytes, not just
+        // unreachable: the rational denominators (1/2/4, six nonzero u32s)
+        // and the GPS entry tags all zero out, so the changed-byte count
+        // has a hard floor well above a pointer-only rewrite (~8 bytes)
+        val diff = orig.zip(scrubbed).count { case (a, b) => a != b }
+        assert(diff >= 20, s"id=$id: only $diff bytes changed")
+      } else assert(scrubbed sameElements orig, s"id=$id: no-GPS file touched")
+    }
+    // byte-level zeroing pinned on a known layout: id=6 is a bare TIFF
+    // (6%3==0) with GPS (6%4!=1); the builder's arithmetic puts the GPS
+    // IFD block at [128, 182) and the two rational blocks at [238, 286)
+    locally {
+      val sc = Exif.stripGps(Exif.syntheticExifPayload(6L))
+      (128 until 182).foreach(i =>
+        assert(sc(i) == 0, s"GPS IFD byte $i survived: ${sc(i)}"))
+      (238 until 286).foreach(i =>
+        assert(sc(i) == 0, s"rational byte $i survived: ${sc(i)}"))
+    }
+    // unparseable payloads pass through untouched, never throw
+    val junk = "not exif".getBytes
+    assert(Exif.stripGps(junk) sameElements junk)
+    assert(Exif.stripGps(null).length == 0)
   }
 
   test("exifMeta: distributed parse over a payload table matches parseExif") {
