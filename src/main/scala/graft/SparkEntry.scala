@@ -3382,6 +3382,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // §2.11 — SRT/WebVTT subtitle census: cue tables parsed from real
+    // text (both millisecond separators, VTT NOTE blocks and cue
+    // settings, SRT index lines), yielding coverage/volume/reading-
+    // speed/timing-hygiene fields in exact integer arithmetic. Only the
+    // dense-spacing (id%7==0) files overlap — the QC signal the
+    // n_overlap column exists for.
+    "subtitle_stats" -> ((s, dir) =>
+      graft.ops.Subtitles.subStats(
+        graft.ops.Subtitles.syntheticSubsTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+        "media_id", "text")
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("format"),
+          col("n_cues"), col("first_start_ms"), col("last_end_ms"),
+          col("total_span_ms"), col("total_chars"), col("n_overlap"),
+          col("max_cps_milli"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9230,6 +9249,45 @@ object SparkEntry {
         |  printf('2020:01:%02d 12:00:%02d', 1 + doc_id % 28, doc_id % 60)
         |    AS datetime
         |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // Subtitle census from the fixture cue arithmetic: per-cue starts/
+    // durations/char counts replayed over generate_series; overlap is
+    // spacing < previous duration; reading speed is the same integer
+    // floor the engine computes.
+    "subtitle_stats" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 6 AS n,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1000 ELSE 2500 END AS sp
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |cues AS (
+        |  SELECT media_id, sp, ff.f AS k,
+        |    100 + ff.f * sp AS st,
+        |    900 + (media_id * 13 + ff.f * 7) % 1200 AS dur,
+        |    10 + (media_id + ff.f) % 30 AS ch
+        |  FROM ids, unnest(generate_series(0, n - 1)) AS ff(f)),
+        |agg AS (
+        |  SELECT media_id,
+        |    count(*) AS n_cues,
+        |    min(st) AS first_start_ms,
+        |    max(st + dur) AS last_end_ms,
+        |    sum(dur) AS total_span_ms,
+        |    sum(ch) AS total_chars,
+        |    sum(CASE WHEN k > 0
+        |             AND sp < 900 + (media_id * 13 + (k - 1) * 7) % 1200
+        |        THEN 1 ELSE 0 END) AS n_overlap,
+        |    max(ch * 1000000 // dur) AS max_cps_milli
+        |  FROM cues GROUP BY media_id)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CASE WHEN media_id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS format,
+        |  CAST(n_cues AS BIGINT) AS n_cues,
+        |  CAST(first_start_ms AS BIGINT) AS first_start_ms,
+        |  CAST(last_end_ms AS BIGINT) AS last_end_ms,
+        |  CAST(total_span_ms AS BIGINT) AS total_span_ms,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  CAST(max_cps_milli AS BIGINT) AS max_cps_milli
+        |FROM agg
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
