@@ -3401,6 +3401,25 @@ object SparkEntry {
           col("max_cps_milli"))
         .orderBy("media_id")),
 
+    // §2.11 — EBML/Matroska/WebM container census (RFC 8794 vint tree):
+    // DocType, TimestampScale + float Duration folded to ms, track
+    // census with the first video track's codec/dimensions and the
+    // first audio track's codec; Cluster payloads skipped by size;
+    // id%5==0 files mux the Segment with the UNKNOWN-SIZE vint (the
+    // live-stream form). Oracle replays the fixture formulas; golden
+    // hand-assembled trees pin the parser (EbmlSpec).
+    "multimodal_webm" -> ((s, dir) =>
+      graft.ops.Ebml.ebmlMeta(
+        graft.ops.Ebml.syntheticWebmTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("doctype"),
+          col("timescale_ns"), col("duration_ms"), col("n_tracks"),
+          col("video_codec"), col("audio_codec"),
+          col("width"), col("height"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9288,6 +9307,24 @@ object SparkEntry {
         |  CAST(n_overlap AS BIGINT) AS n_overlap,
         |  CAST(max_cps_milli AS BIGINT) AS max_cps_milli
         |FROM agg
+        |ORDER BY media_id""".stripMargin,
+
+    // WebM census from the fixture formulas — the engine earns each
+    // field by walking real vint-framed element bytes (incl. the
+    // unknown-size Segment form on id%5==0).
+    "multimodal_webm" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  'webm' AS doctype,
+        |  CAST(1000000 AS BIGINT) AS timescale_ns,
+        |  CAST(40 * (5 + doc_id % 7) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+        |    AS video_codec,
+        |  CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'A_OPUS' END AS audio_codec,
+        |  CAST(16 * (1 + doc_id % 5) AS INTEGER) AS width,
+        |  CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height
+        |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
