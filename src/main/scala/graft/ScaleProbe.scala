@@ -1269,7 +1269,8 @@ object ScaleProbe {
     // count — each claims one narrow mapPartitions pass linear in its
     // structural element count (samples/IFD entries/frames), so wall
     // must scale ≤ linearly in media. parse_ok is the action, as above.
-    if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats"))
+    if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats",
+        "id3Meta", "subStats", "ebmlMeta", "gpsScrub"))
       Seq(1, k).foreach { times =>
         val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
         val rep = (0 until times).map(i =>
@@ -1297,6 +1298,23 @@ object ScaleProbe {
         run("mp3Stats", graft.ops.Mp3.mp3Stats(
           graft.ops.Mp3.syntheticMp3Table(rep, "doc_id"))
           .filter(col("parse_ok")).count())
+        run("id3Meta", graft.ops.Mp3.id3Meta(
+          graft.ops.Mp3.syntheticTaggedMp3Table(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        run("subStats", graft.ops.Subtitles.subStats(
+          graft.ops.Subtitles.syntheticSubsTable(rep, "doc_id"),
+          "media_id", "text")
+          .filter(col("parse_ok")).count())
+        run("ebmlMeta", graft.ops.Ebml.ebmlMeta(
+          graft.ops.Ebml.syntheticWebmTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        // the scrub WRITE path chained into the geotag read-back: every
+        // scrubbed file must parse geotag-free, so the action verifies
+        // the whole pipe, not just wall time
+        run("gpsScrub", graft.ops.Exif.gpsMeta(
+          graft.ops.Exif.scrubGps(
+            graft.ops.Exif.syntheticExifTable(rep, "doc_id")))
+          .filter(col("parse_ok") && col("has_gps") === 0).count())
       }
 
     // guard probe: one epoch-0 sentinel next to current-epoch data must
