@@ -3420,6 +3420,24 @@ object SparkEntry {
           col("width"), col("height"))
         .orderBy("media_id")),
 
+    // §2.11 — FLAC STREAMINFO census (the lossless-audio member of the
+    // header family): packed 20/3/5/36-bit fields → rate/channels/bits/
+    // total samples and an exact header-arithmetic duration; metadata
+    // block chain walked to the last-flag, VORBIS_COMMENT presence
+    // censused, audio frames never read. Oracle replays the formulas;
+    // hand-packed golden bits pin the parser (FlacSpec).
+    "multimodal_flac" -> ((s, dir) =>
+      graft.ops.Flac.flacMeta(
+        graft.ops.Flac.syntheticFlacTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"),
+          col("total_samples"), col("duration_ms"),
+          col("n_blocks"), col("has_vorbis_comment"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9324,6 +9342,24 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'A_OPUS' END AS audio_codec,
         |  CAST(16 * (1 + doc_id % 5) AS INTEGER) AS width,
         |  CAST(16 * (1 + doc_id % 3) AS INTEGER) AS height
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // FLAC census from the fixture formulas — the engine earns each
+    // value by unpacking real 20/3/5/36-bit STREAMINFO fields and
+    // walking the real block chain.
+    "multimodal_flac" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(8000 * (1 + doc_id % 6) AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS channels,
+        |  CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS bits_per_sample,
+        |  CAST(1000 * (3 + doc_id % 7) AS BIGINT) AS total_samples,
+        |  CAST(1000 * (3 + doc_id % 7) * 1000
+        |       // (8000 * (1 + doc_id % 6)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INTEGER)
+        |    AS n_blocks,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS has_vorbis_comment
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY media_id""".stripMargin,
 
