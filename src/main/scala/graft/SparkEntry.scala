@@ -412,6 +412,42 @@ object SparkEntry {
     * here; SF-independent dumps (PSL rules, the FHIR fixture exports,
     * csv_roundtrip's 2-row fixture table) stay static by design.
     */
+  /** A staged directory of REAL media files (one `media-<id>.mp4` per
+    * document id, the [[graft.ops.Mp4.syntheticMp4]] bytes) so the
+    * binaryFile-source gate ingests through the path a lake actually
+    * uses — file listing, per-file content rows, path-derived ids —
+    * instead of an in-memory fixture table. Idempotent via a
+    * count-stamped marker (the FhirCorpus pattern); staging is harness
+    * scaffolding, the gate's measured work is the scan + demux.
+    */
+  private val mediaFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def mediaFixtureDir(s: SparkSession, dir: String): String =
+    mediaFixtureDirs.computeIfAbsent(dir, _ => {
+      val root = new java.io.File(verifyDumpDir("media-files", dir))
+      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        .select(col("doc_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val marker = new java.io.File(root, s"_complete_${ids.length}")
+      if (!marker.exists()) {
+        if (root.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(root)
+        }
+        root.mkdirs()
+        ids.foreach { id =>
+          java.nio.file.Files.write(
+            new java.io.File(root, s"media-$id.mp4").toPath,
+            graft.ops.Mp4.syntheticMp4(id))
+        }
+        java.nio.file.Files.writeString(marker.toPath, ids.length.toString)
+      }
+      root.getAbsolutePath
+    })
+
   private def verifyDumpDir(name: String, dir: String): String =
     new java.io.File(s"target/verify-$name-${pathKey(dir)}").getAbsolutePath
 
@@ -3438,6 +3474,30 @@ object SparkEntry {
           col("n_blocks"), col("has_vorbis_comment"))
         .orderBy("media_id")),
 
+    // §2.11 — the INGESTION path for media: a staged directory of real
+    // .mp4 files read through Spark's binaryFile source (file listing,
+    // per-file content rows, PathGlobFilter pushdown, path-derived
+    // media ids) and demuxed by the same container parser — the
+    // jsonl/csv_roundtrip analog for binary media. Oracle = the
+    // multimodal_mp4 formula set verbatim: the file round-trip must be
+    // byte-faithful.
+    "media_binaryfile" -> ((s, dir) => {
+      val files = mediaFixtureDir(s, dir)
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(files)
+        .select(
+          regexp_extract(col("path"), "media-(\\d+)\\.mp4$", 1)
+            .cast("long").as("media_id"),
+          col("content").as("payload"))
+      graft.ops.Mp4.mp4Meta(media).toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"), col("brand"),
+          col("duration_ms"), col("n_samples"), col("n_keyframes"),
+          col("width"), col("height"), col("profile_idc"), col("level_idc"))
+        .orderBy("media_id")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -5797,7 +5857,35 @@ object SparkEntry {
       "stream_transitions_et_tws" -> base("stream_transitions_et"))
   }
 
+  /** The MP4 container-metadata prediction — shared verbatim by
+    * `multimodal_mp4` (in-memory fixture table) and `media_binaryfile`
+    * (the same bytes ingested through the binaryFile source), so the
+    * file round-trip is held to byte-faithfulness.
+    */
+  private val mp4MetaOracleSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id,
+      |    5 + doc_id % 7 AS n, 1 + doc_id % 3 AS gop,
+      |    1 + doc_id % 5 AS mbw, 1 + doc_id % 3 AS mbh,
+      |    doc_id % 3 AS crp, doc_id % 2 AS cbt,
+      |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 66 END AS prof,
+      |    doc_id % 5 = 0 AS allsync
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+      |  'isom' AS brand,
+      |  CAST(n * 40 AS BIGINT) AS duration_ms,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN allsync THEN n
+      |            ELSE (n + gop - 1) // gop END AS BIGINT) AS n_keyframes,
+      |  CAST(16 * mbw - 2 * crp AS INTEGER) AS width,
+      |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
+      |  CAST(prof AS INTEGER) AS profile_idc,
+      |  CAST(30 AS INTEGER) AS level_idc
+      |FROM ids
+      |ORDER BY media_id""".stripMargin
+
   private def oracleSqlMain: Map[String, String] = Map(
+    "media_binaryfile" -> mp4MetaOracleSql,
 
     "fhir_tables" ->
       (Seq(
@@ -9029,27 +9117,7 @@ object SparkEntry {
     // samples at 40 ms; keyframes every 1 + id%3 samples (ceil), except
     // id%5=0 files whose ABSENT stss means every sample is sync; dims/
     // profile are the shared avcC-SPS formulas of multimodal_h264.
-    "multimodal_mp4" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS media_id,
-        |    5 + doc_id % 7 AS n, 1 + doc_id % 3 AS gop,
-        |    1 + doc_id % 5 AS mbw, 1 + doc_id % 3 AS mbh,
-        |    doc_id % 3 AS crp, doc_id % 2 AS cbt,
-        |    CASE WHEN doc_id % 4 = 0 THEN 100 ELSE 66 END AS prof,
-        |    doc_id % 5 = 0 AS allsync
-        |  FROM documents WHERE doc_id IS NOT NULL)
-        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
-        |  'isom' AS brand,
-        |  CAST(n * 40 AS BIGINT) AS duration_ms,
-        |  CAST(n AS BIGINT) AS n_samples,
-        |  CAST(CASE WHEN allsync THEN n
-        |            ELSE (n + gop - 1) // gop END AS BIGINT) AS n_keyframes,
-        |  CAST(16 * mbw - 2 * crp AS INTEGER) AS width,
-        |  CAST(16 * mbh - 2 * cbt AS INTEGER) AS height,
-        |  CAST(prof AS INTEGER) AS profile_idc,
-        |  CAST(30 AS INTEGER) AS level_idc
-        |FROM ids
-        |ORDER BY media_id""".stripMargin,
+    "multimodal_mp4" -> mp4MetaOracleSql,
 
     // The MP4 sample-demux census: the SAME formula set as
     // multimodal_h264 — the mdat slices hold exactly the Annex-B

@@ -45,6 +45,9 @@ class PlanAuditSpec extends SparkSpec {
       // concurrent Verify run's export mid-compare
       "jsonl_roundtrip", "csv_roundtrip", "csv_roundtrip_docs",
       "schema_merge",
+      // builder stages the media-file fixture directory (one .mp4 per
+      // doc id) before the binaryFile read
+      "media_binaryfile",
       // builder writes the supplier table into embedded Derby (JDBC DDL
       // + batch insert) before the stride read-back
       "jdbc_roundtrip",
