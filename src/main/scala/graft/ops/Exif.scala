@@ -301,7 +301,12 @@ object Exif {
     * makes in-place scrubbing safe where a structural rewrite would
     * have to relocate the whole IFD tree. Files without a geotag (or
     * without parseable EXIF at all) pass through untouched — a scrub
-    * pass must be total over mixed corpora.
+    * pass must be total over mixed corpora. A GPS entry with an
+    * out-of-spec field type (not 1–12) also passes through rather than
+    * guessing a value size and zeroing the wrong bytes — which is why a
+    * privacy pipeline must VERIFY with [[gpsMeta]] after scrubbing and
+    * quarantine any surviving `has_gps = 1` rows (exactly what the
+    * media_gps_scrub gate and the gpsScrub probe do).
     */
   def stripGps(bytes: Array[Byte]): Array[Byte] = {
     val b0 = if (bytes == null) Array.emptyByteArray else bytes
@@ -324,10 +329,16 @@ object Exif {
           val gpsOff = intValue(b, pointer, le)
           val gps = ifdEntries(b, tiff, gpsOff, le)
           // 1. zero each offset-addressed value region (inline values
-          //    die with the table)
-          val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+          //    die with the table) — ALL twelve TIFF 6.0 field types,
+          //    so an SRATIONAL/DOUBLE-typed vendor field can't leave
+          //    coordinate bytes behind under a too-small size guess
+          val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8,
+            6 -> 1, 7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
           gps.foreach { e =>
-            val sz = typeSize.getOrElse(e.typ, 1).toLong * e.count
+            require(typeSize.contains(e.typ),
+              s"GPS entry tag ${e.tag}: unknown field type ${e.typ} — " +
+                "refusing a scrub that could leave value bytes behind")
+            val sz = typeSize(e.typ).toLong * e.count
             if (sz > 4) {
               val off = u32(b, e.valOff, le)
               require(off >= 8 && tiff + off + sz <= b.length,
