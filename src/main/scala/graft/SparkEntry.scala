@@ -244,10 +244,8 @@ object SparkEntry {
     * endpoints, which is what gives the idle-flush rule a closed-form
     * window oracle (reach = lag(ive)). Memoized like [[etReplayStream]].
     */
-  private[graft] def etEpisodeReplayStream(spark: SparkSession, dir: String)
-      : org.apache.spark.sql.Dataset[graft.streaming.Streams.IntervalRow] = {
-    import spark.implicits._
-    val chunks = etReplayDirs.computeIfAbsent((dir + "#episodes", false), _ => {
+  private[graft] def etEpisodeChunkDir(spark: SparkSession, dir: String): String =
+    etReplayDirs.computeIfAbsent((dir + "#episodes", false), _ => {
       val base = events(spark, dir)
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
           col("ts") < lit(etReplayCutoffUs(spark, dir)))
@@ -256,12 +254,18 @@ object SparkEntry {
       graft.streaming.Streams.stageEventTimeReplay(base, "ive",
         bucketUs = EtReplayDayUs)
     })
+
+  private[graft] val etEpisodeSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ivs", LongType),
+    StructField("ive", LongType)))
+
+  private[graft] def etEpisodeReplayStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.streaming.Streams.IntervalRow] = {
+    import spark.implicits._
     spark.readStream
-      .schema(StructType(Seq(
-        StructField("user_id", LongType), StructField("ivs", LongType),
-        StructField("ive", LongType))))
+      .schema(etEpisodeSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(chunks)
+      .parquet(etEpisodeChunkDir(spark, dir))
       .as[graft.streaming.Streams.IntervalRow]
   }
 
@@ -4490,6 +4494,31 @@ object SparkEntry {
         .orderBy("user_id", "mstart")
     }),
 
+    // stream_episodes_et_tws_restart: the timer-EMITS twin of
+    // stream_locf_et_tws_restart — the query is killed after half the
+    // replay days and recovered from the checkpoint, and the dying
+    // incarnation's key-silent final-watermark sweep FIRES the flush
+    // timers it covers, emitting those episodes truncated at the seam
+    // (content = exactly the phase-1 merges — the recovered state must
+    // carry the open episode's mstart/mend/count verbatim). Oracle =
+    // stream_episodes_et's segment replay plus the seam break at the
+    // split ordinal; together with the locf restart cell this hash-
+    // gates BOTH expiry behaviors across a real recovery.
+    "stream_episodes_et_tws_restart" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val chunks = etEpisodeChunkDir(s, dir)
+      Streams.withRocksDbProvider(s) {
+        Streams.drainWithCheckpointRestart(s, chunks, etEpisodeSchema,
+            statePartitions = 2) { df =>
+          Streams.episodeStateTws(df.as[Streams.IntervalRow],
+            gap = 7_200_000_000L,
+            eventTimeIdleFlush = Some(java.time.Duration.ofHours(6))).toDF()
+        }
+      }
+        .orderBy("user_id", "mstart")
+    }),
+
     // Interval algebra §E — readmission profile over the §D episodes:
     // each episode with a successor is an index case, readmitted iff
     // the next episode starts within 30 HOURS of its end (the 30-day
@@ -5854,7 +5883,18 @@ object SparkEntry {
       // cells answer the same data-clock question as their
       // flatMapGroupsWithState twins over the same staged replay
       "stream_cdc_et_tws" -> base("stream_cdc_et"),
-      "stream_transitions_et_tws" -> base("stream_transitions_et"))
+      "stream_transitions_et_tws" -> base("stream_transitions_et"),
+      // round-18 timer-EMITS restart cell: killed after half the replay
+      // days and recovered mid-backlog. Unlike locf, the restart's seam
+      // sweep is PROVABLY output-neutral here: a flush lease can only
+      // expire at the seam if the key's next interval is > gap away
+      // (flush 6 h >= gap 2 h + 2 x interval 2 h forces
+      // ivs - lag(ive) > 4 h > gap), so every seam-flushable pair is
+      // already a gap break — the single-run oracle holds verbatim, and
+      // matching it proves the recovered RocksDB state carries every
+      // seam-straddling open episode's mstart/mend/count bit-exactly (a
+      // lost or mangled episode would split or miscount)
+      "stream_episodes_et_tws_restart" -> base("stream_episodes_et"))
   }
 
   /** The MP4 container-metadata prediction — shared verbatim by

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
       // round-16 TWS matrix completions + the round-18 checkpoint-restart
       // gate (two full drains through the file sink in the builder)
       "stream_cdc_et_tws", "stream_transitions_et_tws",
-      "stream_locf_et_tws_restart",
+      "stream_locf_et_tws_restart", "stream_episodes_et_tws_restart",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",
