@@ -3502,6 +3502,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // §2.11 — ZIP archive census + member extraction (the docx/epub
+    // access pattern): EOCD signature scan, central-directory walk,
+    // per-member local-header hop, STORED copy and real raw-DEFLATE
+    // inflate, every extraction CRC-32-verified. Fixtures are written
+    // by the REAL java.util.zip writer, so the walk is a standing
+    // differential against the JDK (ZipSpec also read-back-compares
+    // member-for-member).
+    "archive_census" -> ((s, dir) =>
+      graft.ops.Zip.zipMeta(
+        graft.ops.Zip.syntheticZipTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("n_entries"), col("n_stored"), col("n_deflated"),
+          col("total_uncompressed"), col("first_name"),
+          col("member0_text"), col("member1_text"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9469,6 +9488,36 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
         |    AS has_vorbis_comment
         |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
+
+    // Archive census from the member-text formulas: the engine earns
+    // member0 through the STORED copy and member1 through a REAL raw
+    // inflate of JDK-deflated bytes (both CRC-verified); the SQL only
+    // replays the text arithmetic — it never sees a compressed byte.
+    "archive_census" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |members AS (
+        |  SELECT media_id,
+        |    sum(4 + length(CAST(media_id AS VARCHAR))
+        |        + length(CAST(ff.f AS VARCHAR))
+        |        + 5 + (media_id + ff.f) % 20) AS total_u
+        |  FROM ids, unnest(generate_series(0, n - 1)) AS ff(f)
+        |  GROUP BY media_id)
+        |SELECT i.media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(n AS INTEGER) AS n_entries,
+        |  CAST(1 AS INTEGER) AS n_stored,
+        |  CAST(n - 1 AS INTEGER) AS n_deflated,
+        |  CAST(m.total_u AS BIGINT) AS total_uncompressed,
+        |  'doc-0.txt' AS first_name,
+        |  'm' || CAST(i.media_id AS VARCHAR) || '-e0:'
+        |    || repeat('x', CAST(5 + i.media_id % 20 AS INTEGER))
+        |    AS member0_text,
+        |  'm' || CAST(i.media_id AS VARCHAR) || '-e1:'
+        |    || repeat('x', CAST(5 + (i.media_id + 1) % 20 AS INTEGER))
+        |    AS member1_text
+        |FROM ids i JOIN members m USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
