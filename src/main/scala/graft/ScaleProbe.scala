@@ -1270,7 +1270,7 @@ object ScaleProbe {
     // structural element count (samples/IFD entries/frames), so wall
     // must scale ≤ linearly in media. parse_ok is the action, as above.
     if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats",
-        "id3Meta", "subStats", "ebmlMeta", "gpsScrub"))
+        "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta"))
       Seq(1, k).foreach { times =>
         val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
         val rep = (0 until times).map(i =>
@@ -1315,6 +1315,9 @@ object ScaleProbe {
           graft.ops.Exif.scrubGps(
             graft.ops.Exif.syntheticExifTable(rep, "doc_id")))
           .filter(col("parse_ok") && col("has_gps") === 0).count())
+        run("zipMeta", graft.ops.Zip.zipMeta(
+          graft.ops.Zip.syntheticZipTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
       }
 
     // guard probe: one epoch-0 sentinel next to current-epoch data must
