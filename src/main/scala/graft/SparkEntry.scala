@@ -420,9 +420,12 @@ object SparkEntry {
     * document id, the [[graft.ops.Mp4.syntheticMp4]] bytes) so the
     * binaryFile-source gate ingests through the path a lake actually
     * uses — file listing, per-file content rows, path-derived ids —
-    * instead of an in-memory fixture table. Idempotent via a
-    * count-stamped marker (the FhirCorpus pattern); staging is harness
-    * scaffolding, the gate's measured work is the scan + demux.
+    * instead of an in-memory fixture table. Idempotent via a marker
+    * stamped with the COUNT and a DIGEST of the sorted id set (r18
+    * ADVICE: a count-only marker let an equal-size regenerated corpus
+    * reuse stale files and skip missing ids, surfacing as a confusing
+    * hash mismatch downstream); staging is harness scaffolding, the
+    * gate's measured work is the scan + demux.
     */
   private val mediaFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -432,7 +435,12 @@ object SparkEntry {
       val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
         .select(col("doc_id").cast("long")).distinct()
         .collect().map(_.getLong(0)).sorted
-      val marker = new java.io.File(root, s"_complete_${ids.length}")
+      val idDigest = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest(ids.mkString(",").getBytes("UTF-8"))
+        d.take(8).map(b => f"$b%02x").mkString
+      }
+      val marker = new java.io.File(root, s"_complete_${ids.length}_$idDigest")
       if (!marker.exists()) {
         if (root.exists()) {
           def rm(f: java.io.File): Unit = {
@@ -9496,7 +9504,10 @@ object SparkEntry {
     // replays the text arithmetic — it never sees a compressed byte.
     "archive_census" ->
       """WITH ids AS (
-        |  SELECT doc_id AS media_id, 2 + doc_id % 5 AS n
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id = (SELECT min(doc_id) FROM documents
+        |                        WHERE doc_id IS NOT NULL)
+        |         THEN 65536 ELSE 2 + doc_id % 5 END AS n
         |  FROM documents WHERE doc_id IS NOT NULL),
         |members AS (
         |  SELECT media_id,

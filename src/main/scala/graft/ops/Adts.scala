@@ -67,8 +67,12 @@ object Adts {
         val prof = ((b(p + 2) & 0xff) >>> 6) & 3
         val sri = ((b(p + 2) & 0xff) >>> 2) & 0xf
         require(sri < SampleRates.length, "reserved sampling_frequency_index")
-        val ch = ((b(p + 2) & 1) << 2) | (((b(p + 3) & 0xff) >>> 6) & 3)
-        require(ch >= 1, "zero channel_configuration")
+        val cfg = ((b(p + 2) & 1) << 2) | (((b(p + 3) & 0xff) >>> 6) & 3)
+        require(cfg >= 1, "zero channel_configuration")
+        // ISO/IEC 14496-3 Table 1.19: configs 1..6 coincide with the
+        // channel count but config 7 means 7.1 = 8 channels (r18 ADVICE:
+        // reporting the raw value lied on real 7.1 streams).
+        val ch = if (cfg == 7) 8 else cfg
         if (nFrames == 0L) { profile = prof; srIdx = sri; channels = ch }
         else require(prof == profile && sri == srIdx && ch == channels,
           "config changed mid-stream")

@@ -185,6 +185,14 @@ object Mp3 {
                 ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
           require(sz >= 0 && p + 10 + sz <= end, "frame escapes tag")
           if (fid.startsWith("T") && sz >= 1) {
+            // Frame status/format flags (ID3v2.3 §3.3 / v2.4 §4.1):
+            // compression, encryption, grouping, and (v2.4) per-frame
+            // unsynchronisation or a data-length indicator all change
+            // the body layout — a flagged frame decoded as raw text
+            // would be silently wrong, so degrade the row instead
+            // (r18 ADVICE).
+            require(b(p + 8) == 0 && b(p + 9) == 0,
+              s"frame flags unsupported for $fid")
             val enc = b(p + 10) & 0xff
             require(enc == 0 || enc == 3, s"unsupported text encoding $enc")
             var to = p + 10 + sz

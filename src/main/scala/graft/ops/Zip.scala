@@ -51,6 +51,15 @@ object Zip {
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
   }
+  private def u64(b: Array[Byte], off: Int): Long = {
+    if (off < 0 || off + 8 > b.length)
+      throw new IllegalArgumentException("zip overrun")
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    require(v >= 0, "zip64 value exceeds signed 64-bit range")
+    v
+  }
 
   private final case class Entry(
       name: String, method: Int, crc: Long,
@@ -70,26 +79,87 @@ object Zip {
       i -= 1
     }
     require(eocd >= 0, "no EOCD record")
-    val n = u16(b, eocd + 10)
+    var n: Long = u16(b, eocd + 10).toLong
     require(n == u16(b, eocd + 8), "multi-disk archives unsupported")
-    val cdSize = u32(b, eocd + 12)
-    val cdOff = u32(b, eocd + 16)
-    require(cdOff + cdSize <= eocd, "central directory escapes EOCD")
+    var cdSize = u32(b, eocd + 12)
+    var cdOff = u32(b, eocd + 16)
+    // ZIP64 (APPNOTE §4.5): sentinel counts/offsets in the classic EOCD
+    // defer to the zip64 EOCD record, located through the 20-byte
+    // locator (PK\6\7) that sits immediately before the classic EOCD.
+    // Count-only zip64 (≥65535 entries, the JDK-writer shape) and
+    // offset/size zip64 both route through here.
+    if (n == 0xffffL || cdSize == 0xffffffffL || cdOff == 0xffffffffL) {
+      val loc = eocd - 20
+      require(loc >= 0 && u32(b, loc) == 0x07064b50L,
+        "zip64 sentinel without EOCD locator")
+      require(u32(b, loc + 4) == 0L && u32(b, loc + 16) == 1L,
+        "multi-disk zip64 unsupported")
+      val z = u64(b, loc + 8)
+      require(z <= loc - 56, "zip64 EOCD escapes locator")
+      val zi = z.toInt
+      require(u32(b, zi) == 0x06064b50L, "bad zip64 EOCD signature")
+      require(u32(b, zi + 16) == 0L && u32(b, zi + 20) == 0L,
+        "multi-disk zip64 unsupported")
+      require(u64(b, zi + 24) == u64(b, zi + 32),
+        "multi-disk zip64 unsupported")
+      n = u64(b, zi + 32)
+      cdSize = u64(b, zi + 40)
+      cdOff = u64(b, zi + 48)
+      require(cdOff + cdSize <= z, "central directory escapes zip64 EOCD")
+    } else
+      require(cdOff + cdSize <= eocd, "central directory escapes EOCD")
+    // Payloads arrive as Array[Byte] (< 2 GiB), so resolved offsets fit
+    // Int; zip64 archives BEYOND that are out of contract by the
+    // binary-column data model, not the parser.
+    require(cdOff + cdSize <= b.length && n <= Int.MaxValue,
+      "archive exceeds in-memory payload bounds")
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var p = cdOff.toInt
-    var k = 0
+    var k = 0L
     while (k < n) {
       require(u32(b, p) == 0x02014b50L, "bad central header signature")
+      val gpFlag = u16(b, p + 8)
       val method = u16(b, p + 10)
       val crc = u32(b, p + 16)
-      val csize = u32(b, p + 20)
-      val usize = u32(b, p + 24)
+      var csize = u32(b, p + 20)
+      var usize = u32(b, p + 24)
       val nameLen = u16(b, p + 28)
       val extraLen = u16(b, p + 30)
       val commentLen = u16(b, p + 32)
-      val localOff = u32(b, p + 42)
-      require(p + 46 + nameLen <= b.length, "name escapes payload")
-      val name = new String(b, p + 46, nameLen, "UTF-8")
+      var localOff = u32(b, p + 42)
+      require(p + 46 + nameLen + extraLen <= b.length, "name escapes payload")
+      // Per-entry zip64 (APPNOTE §4.5.3): 0xFFFFFFFF size/offset fields
+      // defer to the 0x0001 extra field, whose 64-bit values appear in
+      // fixed order but ONLY for the fields that carry the sentinel.
+      if (csize == 0xffffffffL || usize == 0xffffffffL ||
+          localOff == 0xffffffffL) {
+        var q = p + 46 + nameLen
+        val qEnd = q + extraLen
+        var found = false
+        while (q + 4 <= qEnd && !found) {
+          val hid = u16(b, q)
+          val hsz = u16(b, q + 2)
+          require(q + 4 + hsz <= qEnd, "extra field escapes header")
+          if (hid == 0x0001) {
+            var r = q + 4
+            if (usize == 0xffffffffL) { usize = u64(b, r); r += 8 }
+            if (csize == 0xffffffffL) { csize = u64(b, r); r += 8 }
+            if (localOff == 0xffffffffL) { localOff = u64(b, r); r += 8 }
+            require(r <= q + 4 + hsz, "zip64 extra field too short")
+            found = true
+          } else q += 4 + hsz
+        }
+        require(found, "zip64 sentinel without 0x0001 extra field")
+      }
+      // APPNOTE §4.4.4 bit 11 (EFS): names are UTF-8 only when set;
+      // the spec default is CP437 (r18 ADVICE — decoding everything as
+      // UTF-8 gave mojibake with parse_ok=true on real non-EFS
+      // archives). ASCII is identical in both, so fixtures written by
+      // ZipOutputStream (which sets EFS) and hand-rolled ASCII names
+      // are unaffected.
+      val name = new String(b, p + 46, nameLen,
+        if ((gpFlag & 0x0800) != 0) java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.Charset.forName("IBM437"))
       out += Entry(name, method, crc, csize, usize, localOff)
       p += 46 + nameLen + extraLen + commentLen
       k += 1
@@ -176,14 +246,24 @@ object Zip {
   def fixtureText(id: Long, k: Int): String =
     s"m$id-e$k:" + "x" * (5 + ((id + k) % 20).toInt)
 
+  /** Entry count that forces the JDK writer into zip64: at ≥ 0xFFFF
+    * entries `ZipOutputStream` saturates the classic EOCD counts to the
+    * 0xFFFF sentinel and appends the zip64 EOCD record + locator, so
+    * 65536 is the smallest count where a non-zip64 walk is actually
+    * WRONG (65535 coincides with the sentinel value).
+    */
+  val Zip64Entries: Int = 65536
+
   /** A REAL `ZipOutputStream` archive for media `id`: `2 + id%5`
     * entries named `doc-<k>.txt`; entry 0 is STORED (size/CRC
     * pre-declared, as the JDK requires), the rest DEFLATED at the
     * default level. The parser's walk is therefore a differential
     * against the JDK's writer, not a sibling builder.
     */
-  def syntheticZip(id: Long): Array[Byte] = {
-    val n = 2 + (id % 5).toInt
+  def syntheticZip(id: Long): Array[Byte] =
+    syntheticZip(id, 2 + (id % 5).toInt)
+
+  def syntheticZip(id: Long, n: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     try {
@@ -210,11 +290,21 @@ object Zip {
     bos.toByteArray
   }
 
+  /** Fixture table: one JDK-written archive per id, with the MINIMUM id
+    * promoted to a forced-zip64 archive ([[Zip64Entries]] members) so
+    * the oracle gate exercises the zip64 EOCD path against the real
+    * writer every run. The min is a driver-side scalar off an
+    * already-tiny id projection — one cheap pre-pass, same pattern as
+    * the corpus-digest fixture markers.
+    */
   def syntheticZipTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(s"`$idCol`").cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticZip(id))))
-      .toDF("media_id", "payload")
+    val ids = df.select(col(s"`$idCol`").cast("long").as("media_id")).as[Long]
+    val zip64Id = ids.agg(min(col("media_id"))).head().getLong(0)
+    ids.mapPartitions(it => it.map { id =>
+      val n = if (id == zip64Id) Zip64Entries else 2 + (id % 5).toInt
+      (id, syntheticZip(id, n))
+    }).toDF("media_id", "payload")
   }
 }
