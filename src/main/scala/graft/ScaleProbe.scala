@@ -113,6 +113,10 @@ object ScaleProbe {
       time("ivfTopK(100 queries)", Similarity.ivfTopK(
         e, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 10, numCentroids = 64, nProbe = 8))
+      time("ivfpqTopK(100 queries)", Similarity.ivfpqTopK(
+        e, "vec_id", "embedding", q, "vec_id", "embedding",
+        dim = 64, k = 10, numCentroids = 64, nProbe = 8,
+        numSubspaces = 4, pqCentroids = 16, candK = 50))
       time("cosineClusters", Similarity.cosineClusters(e, "vec_id", "embedding", 0.9))
     }
 

@@ -647,6 +647,31 @@ object SparkEntry {
         dim = 64, numSubspaces = 4, numCentroids = 16, iters = 2)
     }
 
+  /** Where Verify materializes the trained RESIDUAL PQ codebooks
+    * `(subspace, centroid_id, cv)` of the IVFADC index — the
+    * `ann_ivfpq`/`ann_ivfpq_recall` oracles replay coarse-assign →
+    * residual → encode → cell-term + LUT ADC → re-rank from this
+    * parquet plus the coarse Lloyd replay they already share with
+    * ann_ivf (training itself is the same exact-Lloyd machinery those
+    * oracles verify).
+    */
+  def ivfpqDumpDir(dir: String): String =
+    verifyDumpDir("ivfpq-codebooks", dir)
+
+  /** The IVFADC residual codebooks: PQ (4 subspaces × 16 centroids,
+    * 2 Lloyd rounds) over residuals vs the SHARED coarse codebook
+    * ([[ivfCentroidsShared]] — one coarse training serves the whole
+    * IVF family). Memoized: ann_ivfpq, ann_ivfpq_recall and Verify's
+    * dump all serve from one training pass.
+    */
+  def ivfpqCodebooks(s: SparkSession, dir: String): DataFrame =
+    memoTrained(s, s"$dir|ivfpq|dim=64,K=16,m=4,k=16,iters=2",
+        inputStamp(dir, "embeddings")) {
+      Similarity.ivfpqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, numSubspaces = 4, numCentroids = 16,
+        coarse = ivfCentroidsShared(s, dir), iters = 2)
+    }
+
   /** Memo stamp for the FHIR scale corpus: the generator's count-stamped
     * completion marker (name + mtime) — regeneration or a corpus-version
     * bump invalidates the memo, matching [[inputStamp]]'s contract for
@@ -3005,6 +3030,44 @@ object SparkEntry {
           dim = 64, k = 10, numSubspaces = 4, numCentroids = 16, candK = 100,
           codebooks = Some(pqCodebooks(s, dir))),
         floor = 0.5)
+        .orderBy("query_id")
+    }),
+
+    // §2.11 — IVF-PQ residual index (IVFADC, Jégou et al. TPAMI'11 /
+    // FAISS IVFx,PQy): coarse cells bound the scan to nProbe inverted
+    // lists; candidates rank by grid-exact ADC over residual PQ codes
+    // (cell term + per-subspace LUT); exact re-rank emits top-k. Coarse
+    // codebook shared with the whole IVF family; residual codebooks
+    // from one memoized training pass. The oracle replays assign →
+    // residual → encode → ADC → re-rank from the Lloyd CTEs + Verify's
+    // residual-codebook dump.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfpqTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, k = 10, numCentroids = 16, nProbe = 6,
+        numSubspaces = 4, pqCentroids = 16, candK = 50,
+        coarse = Some(ivfCentroidsShared(s, dir)),
+        residualCodebooks = Some(ivfpqCodebooks(s, dir)))
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // §2.11 — IVFADC quality gate: deterministic recall vs the exact
+    // side, certified against a floor (a recall regression errors the
+    // gate instead of shipping silently degraded candidates).
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.certifyRecallFloor(
+        Similarity.ivfpqRecall(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          dim = 64, k = 10, numCentroids = 16, nProbe = 6,
+          numSubspaces = 4, pqCentroids = 16, candK = 100,
+          coarse = Some(ivfCentroidsShared(s, dir)),
+          residualCodebooks = Some(ivfpqCodebooks(s, dir))),
+        floor = 0.6)
         .orderBy("query_id")
     }),
 
@@ -5579,6 +5642,81 @@ object SparkEntry {
        |    FROM cand c JOIN e eq ON eq.vec_id = c.qid
        |      JOIN e en ON en.vec_id = c.nid) WHERE rn <= 10)""".stripMargin
 
+  /** Approx-side CTEs replaying the IVFADC pipeline: coarse assignment
+    * comes from the shared Lloyd replay (callers prepend
+    * [[ivfLloydCtes]], so `e`/`cents`/`assign` are in scope), residual
+    * codebooks from Verify's dump. Residuals are exact IEEE `x − c`
+    * (order-pinned by list position), encode follows the shared
+    * max-rounded-cosine / centroid-id-tiebreak convention, and the ADC
+    * score is grid-exact int64: per-(query, probed-cell) cell term
+    * `⌊dot(q,c)·2²⁰⌋` plus the per-subspace LUT partials — so candidate
+    * ranking can never drift on float summation order. Ends in
+    * `approx(query_id, neighbor_id, cosine_sim, rank)`.
+    */
+  private def ivfpqApproxCtes(dumpDir: String, nQueries: Int,
+      nProbe: Int, candK: Int): String =
+    s"""rcb AS (SELECT subspace, centroid_id, cv
+       |  FROM read_parquet('$dumpDir/*.parquet')),
+       |cex AS (SELECT cid, generate_subscripts(cv, 1) AS d, unnest(cv) AS m
+       |  FROM cents),
+       |rex AS (SELECT a.vec_id, a.cid,
+       |    generate_subscripts(e.v, 1) AS d, unnest(e.v) AS x
+       |  FROM assign a JOIN e ON e.vec_id = a.vec_id),
+       |resid AS (
+       |  SELECT r.vec_id, r.cid, list(r.x - c.m ORDER BY r.d) AS rv
+       |  FROM rex r JOIN cex c ON c.cid = r.cid AND c.d = r.d
+       |  GROUP BY r.vec_id, r.cid),
+       |rpieces AS (
+       |  SELECT vec_id, cid, ss.s AS subspace,
+       |    rv[ss.s * 16 + 1 : ss.s * 16 + 16] AS sv
+       |  FROM resid, unnest(generate_series(0, 3)) AS ss(s)),
+       |enc AS (
+       |  SELECT vec_id, cid, subspace, ccode AS code FROM (
+       |    SELECT p.vec_id, p.cid, p.subspace, c.centroid_id AS ccode,
+       |      row_number() OVER (PARTITION BY p.vec_id, p.subspace
+       |        ORDER BY round(list_cosine_similarity(p.sv, c.cv), 6) DESC,
+       |          c.centroid_id) AS rn
+       |    FROM rpieces p JOIN rcb c ON c.subspace = p.subspace) WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT qid, cid, cellpart FROM (
+       |    SELECT q.qid, c.cid,
+       |      CAST(floor(list_inner_product(q.qv, c.cv) * 1048576.0) AS BIGINT)
+       |        AS cellpart,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+       |          c.cid) AS rn
+       |    FROM qp q CROSS JOIN cents c) WHERE rn <= $nProbe),
+       |qpieces AS (
+       |  SELECT qid, ss.s AS subspace, qv[ss.s * 16 + 1 : ss.s * 16 + 16] AS sv
+       |  FROM qp, unnest(generate_series(0, 3)) AS ss(s)),
+       |lut AS (
+       |  SELECT p.qid, p.subspace, c.centroid_id AS code,
+       |    CAST(floor(list_inner_product(p.sv, c.cv) * 1048576.0) AS BIGINT)
+       |      AS part
+       |  FROM qpieces p JOIN rcb c ON c.subspace = p.subspace),
+       |adc AS (
+       |  SELECT pr.qid, en.vec_id AS nid, pr.cellpart + sum(l.part) AS score
+       |  FROM enc en JOIN probes pr ON pr.cid = en.cid
+       |  JOIN lut l ON l.qid = pr.qid AND l.subspace = en.subspace
+       |    AND l.code = en.code
+       |  WHERE en.vec_id <> pr.qid
+       |  GROUP BY pr.qid, en.vec_id, pr.cellpart),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rn FROM adc) WHERE rn <= $candK),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT c.qid AS query_id, c.nid AS neighbor_id,
+       |      round(list_cosine_similarity(eq.v, en.v), 6) AS cosine_sim,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY round(list_cosine_similarity(eq.v, en.v), 6) DESC,
+       |          c.nid) AS rn
+       |    FROM cand c JOIN e eq ON eq.vec_id = c.qid
+       |      JOIN e en ON en.vec_id = c.nid) WHERE rn <= 10)""".stripMargin
+
   /** Approx-side CTEs for an LSH recall oracle over a (vec_id, embedding,
     * keys) dump: bucket equi-join candidates → exact-score → top-10.
     */
@@ -6041,6 +6179,24 @@ object SparkEntry {
     "ann_pq_recall" -> recallOracleSql(
       embeddingsESrc,
       pqApproxCtes(pqDumpDir(verifySfDir), nQueries = 20, candK = 100), floor = 0.5),
+
+    // IVFADC top-k lists replayed end-to-end in SQL: coarse Lloyd
+    // (shared fragment) → residual vs cell centroid → encode against
+    // the dumped residual codebooks → cell-term + LUT exact-int64 ADC
+    // within probed cells → exact re-rank.
+    "ann_ivfpq" ->
+      (s"WITH e AS (\n  $embeddingsESrc),\n" + ivfLloydCtes + ",\n" +
+        ivfpqApproxCtes(ivfpqDumpDir(verifySfDir),
+          nQueries = 5, nProbe = 6, candK = 50) + "\n" +
+        """SELECT query_id, neighbor_id, cosine_sim, rank
+          |FROM approx ORDER BY query_id, rank""".stripMargin),
+
+    "ann_ivfpq_recall" -> recallOracleSql(
+      embeddingsESrc,
+      ivfLloydCtes + ",\n" +
+        ivfpqApproxCtes(ivfpqDumpDir(verifySfDir),
+          nQueries = 20, nProbe = 6, candK = 100),
+      floor = 0.6),
 
     "ann_ivf_recall" -> recallOracleSql(
       embeddingsESrc,

@@ -45,6 +45,14 @@ object Verify {
         org.apache.spark.sql.functions.col("centroid_id"),
         org.apache.spark.sql.functions.col("__cent").as("cv"))
       .coalesce(1).write.mode("overwrite").parquet(SparkEntry.pqDumpDir(sfDir))
+    // ... and the IVFADC residual codebooks, so ann_ivfpq/ann_ivfpq_recall
+    // replay residual-encode + cell-term ADC + re-rank from the SAME
+    // tables the gates serve (coarse training replays via ivfLloydCtes).
+    SparkEntry.ivfpqCodebooks(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("subspace"),
+        org.apache.spark.sql.functions.col("centroid_id"),
+        org.apache.spark.sql.functions.col("__cent").as("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(SparkEntry.ivfpqDumpDir(sfDir))
     // ... and the corpus-learned BPE merge table, so bpe_learned_count's
     // greedy application gets a table-driven recursive-CTE oracle (the
     // trainer stays spec-pinned on the Sennrich worked example).

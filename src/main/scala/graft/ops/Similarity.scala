@@ -822,6 +822,161 @@ object Similarity {
       pqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
         dim, k, numSubspaces, numCentroids, candK, trainIters, codebooks))
 
+  // --- IVF-PQ residual index (IVFADC) -------------------------------------
+
+  /** Per-vector residuals against a coarse codebook: each vector is
+    * assigned to its nearest centroid ([[ivfAssign]] — broadcast argmax,
+    * rounded-cosine + centroid-id tiebreak) and the output carries
+    * `x − c(x)` componentwise. Output: `(<idCol>, centroid_id, __rv)`.
+    * The subtraction is plain IEEE double (inputs widened from float
+    * exactly), so an external engine replays it bit-exactly — the
+    * determinism contract every downstream grid-int64 stage inherits.
+    */
+  def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val c = df
+      .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull)
+      .select(col(s"`$idCol`").cast("long").as("__rid"),
+        col(s"`$vecCol`").cast("array<double>").as("__cv"))
+    c.join(ivfAssign(c, "__rid", "__cv", centroids)
+        .select(col("__rid"), col("centroid_id")), "__rid")
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("__rid").as(idCol), col("centroid_id"),
+        zip_with(col("__cv"), col("__cent"), (x, m) => x - m).as("__rv"))
+  }
+
+  /** Residual PQ codebooks for the IVFADC index (Jégou, Douze & Schmid,
+    * TPAMI'11 §IV): per-subspace codebooks trained on the POOLED
+    * residuals `x − c(x)` rather than raw vectors — residuals
+    * concentrate around the origin regardless of which coarse cell a
+    * vector lives in, so one shared m×k codebook quantizes them far
+    * tighter than it could the raw space. Same deterministic trainer as
+    * every codebook in the engine ([[pqTrain]] → exact-grid Lloyd).
+    * Output: `(subspace, centroid_id, __cent)`, broadcast-footprint.
+    */
+  def ivfpqTrain(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numSubspaces: Int, numCentroids: Int,
+      coarse: DataFrame, iters: Int = 2): DataFrame =
+    pqTrain(
+      ivfResiduals(
+        df.filter(size(col(s"`$vecCol`")) === dim), idCol, vecCol, coarse),
+      idCol, "__rv", dim, numSubspaces, numCentroids, iters)
+
+  /** Approximate NN via IVFADC — the canonical billion-vector layout
+    * (FAISS `IVFx,PQy`): coarse IVF cells bound the search to `nProbe`
+    * inverted lists, and within them candidates are ranked by PQ codes
+    * of the RESIDUAL vs the cell centroid, scored asymmetrically:
+    *
+    *  1. coarse: assign corpus vectors to their nearest of
+    *     `numCentroids` cells; PQ-encode each vector's residual with
+    *     the shared residual codebooks ([[ivfpqTrain]]);
+    *  2. per query: probe the `nProbe` nearest cells, carrying the
+    *     grid-floored CELL TERM `⌊dot(q, c)·2²⁰⌋` — dot decomposes as
+    *     `dot(q, x) = dot(q, c) + dot(q, x−c)`, so the per-cell
+    *     constant rides along instead of being re-derived per pair;
+    *  3. LUT: `⌊dot(q_s, r̂)·2²⁰⌋` for every (subspace, residual
+    *     centroid) — m·k longs per query, broadcast;
+    *  4. ADC scan: candidates = codes in probed cells; score =
+    *     cell term + Σ_s LUT[s, code_s] — exact int64 arithmetic, so
+    *     candidate ranking is order-independent and replayable;
+    *  5. exact re-rank of the top `candK` per query, top `k` emitted
+    *     in [[ivfTopK]]'s output shape.
+    *
+    * Scale shape: coarse + residual codebooks and the per-query
+    * probes/LUT broadcast (K + m·k + Q·(nProbe + m·k) rows); the scan
+    * touches only probed cells' code rows (n·m·nProbe/K joined rows),
+    * map-side-combinable into one (query, vector) row; corpus floats
+    * are read once at encode time and again only for the Q·candK
+    * re-rank join. `nProbe = numCentroids` with `candK ≥ n` degrades
+    * exactly to [[bruteForceTopK]] (spec-pinned).
+    */
+  def ivfpqTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      numSubspaces: Int = 4, pqCentroids: Int = 16, candK: Int = 50,
+      trainIters: Int = 2, coarse: Option[DataFrame] = None,
+      residualCodebooks: Option[DataFrame] = None): DataFrame = {
+    require(candK >= k, s"candK=$candK must cover k=$k")
+    val c = corpus
+      .filter(col(s"`$corpusId`").isNotNull && col(s"`$corpusVec`").isNotNull &&
+        size(col(s"`$corpusVec`")) === dim)
+      .select(col(s"`$corpusId`").cast("long").as("neighbor_id"),
+        col(s"`$corpusVec`").cast("array<double>").as("__cv"))
+    val q = queries
+      .filter(col(s"`$queryId`").isNotNull && col(s"`$queryVec`").isNotNull &&
+        size(col(s"`$queryVec`")) === dim)
+      .select(col(s"`$queryId`").cast("long").as("query_id"),
+        col(s"`$queryVec`").cast("array<double>").as("__qv"))
+    val cents = coarse.getOrElse(
+      if (trainIters <= 0) ivfCentroids(c, numCentroids)
+      else ivfTrainCentroids(c, numCentroids, trainIters))
+    val resid = ivfResiduals(c, "neighbor_id", "__cv", cents)
+    val rcb = residualCodebooks.getOrElse(
+      pqTrain(resid, "neighbor_id", "__rv", dim, numSubspaces, pqCentroids,
+        trainIters))
+    // one residual row per vector, so the cell lookup is a plain 1:m join
+    val codes = pqEncode(resid, "neighbor_id", "__rv", dim, numSubspaces, rcb)
+      .join(resid.select(col("neighbor_id"), col("centroid_id")),
+        Seq("neighbor_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__ccos"), asc("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosine(col("__qv"), col("__cent")), 6).as("__ccos"),
+        floor(dot(col("__qv"), col("__cent")) * lit(LloydScale))
+          .cast("long").as("__cellpart"))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "centroid_id", "__cellpart")
+    val lut = q
+      .select(col("query_id"), pqPieces("__qv", dim, numSubspaces).as("__e"))
+      .select(col("query_id"), col("__e.subspace").as("subspace"),
+        col("__e.__sv").as("__sqv"))
+      .join(broadcast(rcb), Seq("subspace"))
+      .select(col("query_id"), col("subspace"),
+        col("centroid_id").as("code"),
+        floor(dot(col("__sqv"), col("__cent")) * lit(LloydScale))
+          .cast("long").as("__part"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__adc"), asc("neighbor_id"))
+    val cand = codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((sum(col("__part")) + max(col("__cellpart"))).as("__adc"))
+      .withColumn("__rn", row_number().over(wCand))
+      .filter(col("__rn") <= candK)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    cand
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of [[ivfpqTopK]] vs exact ground truth — what the combined
+    * cell restriction (nProbe/K of the corpus scanned) plus residual-PQ
+    * candidate ranking costs after the exact re-rank.
+    */
+  def ivfpqRecall(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      numSubspaces: Int = 4, pqCentroids: Int = 16, candK: Int = 50,
+      trainIters: Int = 2, coarse: Option[DataFrame] = None,
+      residualCodebooks: Option[DataFrame] = None): DataFrame =
+    recallAgainstExact(
+      bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k),
+      ivfpqTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+        dim, k, numCentroids, nProbe, numSubspaces, pqCentroids, candK,
+        trainIters, coarse, residualCodebooks))
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     *
     * Exact all-pairs is inherently O(n²) in similarity computations; the

@@ -217,6 +217,64 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall collapsed: $recall")
   }
 
+  test("ivfpqTopK: full probe + corpus candK degrades to brute force; IVFADC meets a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    // every cell probed AND candK covering the corpus ⇒ the exact
+    // re-rank scores everything ⇒ identical to brute force whatever
+    // the coarse cells or residual codes said
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.ivfpqTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, numCentroids = 8, nProbe = 8,
+        numSubspaces = 4, pqCentroids = 8, candK = n)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(full == exact, "full-probe corpus-candK IVFADC must equal brute force")
+    // real cell restriction + residual ADC: quantitative recall floor
+    val recall = Similarity.ivfpqRecall(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        dim = 64, k = 5, numCentroids = 16, nProbe = 6,
+        numSubspaces = 4, pqCentroids = 16, candK = 50)
+      .agg(avg("recall")).as[Double].collect()(0)
+    info(f"IVFADC mean recall (K=16, nProbe=6, m=4, k=16, candK=50) = $recall%.4f")
+    assert(recall >= 0.6, s"IVFADC recall collapsed: $recall")
+  }
+
+  test("ivfResiduals/ivfpqTrain: residuals reconstruct, pooled codebooks deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val coarse = Similarity.ivfCodebook(emb, "vec_id", "embedding",
+      k = 8, iters = 1)
+    val resid = Similarity.ivfResiduals(emb, "vec_id", "embedding", coarse)
+    // one row per vector, and x = centroid + residual componentwise
+    assert(resid.count() == emb.count())
+    val recon = resid
+      .join(coarse, Seq("centroid_id"))
+      .join(emb.select(col("vec_id").as("__xid"),
+        col("embedding").cast("array<double>").as("__x")),
+        col("vec_id") === col("__xid"))
+      .select(max(expr(
+        "aggregate(zip_with(zip_with(__rv, __cent, (r, m) -> r + m), __x," +
+          " (s, x) -> abs(s - x)), 0D, (a, v) -> greatest(a, v))")))
+      .as[Double].collect()(0)
+    // (x − m) + m round-trips to within 1 ulp, not exactly (the oracle
+    // contract is that x − m ITSELF is one IEEE op, identical on both
+    // engines — reconstruction here is just a sanity bound)
+    assert(recon <= 1e-12, s"residual + centroid must reconstruct: $recon")
+    // pooled residual codebooks: right shape, deterministic retrain
+    val cb = Similarity.ivfpqTrain(emb, "vec_id", "embedding",
+      dim = 64, numSubspaces = 4, numCentroids = 8, coarse = coarse, iters = 1)
+    val bySub = cb.groupBy("subspace").count().as[(Int, Long)].collect().toMap
+    assert(bySub.keySet == Set(0, 1, 2, 3), bySub.toString)
+    val again = Similarity.ivfpqTrain(emb, "vec_id", "embedding",
+      dim = 64, numSubspaces = 4, numCentroids = 8, coarse = coarse, iters = 1)
+    assert(cb.exceptAll(again).count() == 0L && again.exceptAll(cb).count() == 0L,
+      "residual PQ training must be deterministic")
+  }
+
   test("pqTrain/pqEncode: per-subspace codebooks; a vector sitting ON a centroid encodes to it") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
