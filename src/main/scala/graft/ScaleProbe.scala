@@ -1274,7 +1274,7 @@ object ScaleProbe {
     // structural element count (samples/IFD entries/frames), so wall
     // must scale ≤ linearly in media. parse_ok is the action, as above.
     if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats",
-        "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta"))
+        "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta", "pdfMeta"))
       Seq(1, k).foreach { times =>
         val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
         val rep = (0 until times).map(i =>
@@ -1321,6 +1321,9 @@ object ScaleProbe {
           .filter(col("parse_ok") && col("has_gps") === 0).count())
         run("zipMeta", graft.ops.Zip.zipMeta(
           graft.ops.Zip.syntheticZipTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        run("pdfMeta", graft.ops.Pdf.pdfMeta(
+          graft.ops.Pdf.syntheticPdfTable(rep, "doc_id"))
           .filter(col("parse_ok")).count())
       }
 

@@ -3592,6 +3592,26 @@ object SparkEntry {
           col("member0_text"), col("member1_text"))
         .orderBy("media_id")),
 
+    // §2.11 — PDF object/xref census (ISO 32000): header version,
+    // xref topology (classic table vs FlateDecoded xref stream ± PNG
+    // predictor), /Prev incremental-update chain with newest-wins
+    // merge, object accounting, page count EARNED via /Root→/Pages
+    // resolution, /Encrypt flag (producer nulled under encryption —
+    // string values are ciphertext). Fixture xref streams are deflated
+    // by the REAL JDK Deflater; the oracle replays only the fixture
+    // arithmetic, never a PDF byte.
+    "multimodal_pdf" -> ((s, dir) =>
+      graft.ops.Pdf.pdfMeta(
+        graft.ops.Pdf.syntheticPdfTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("version"), col("xref_type"), col("n_xref_sections"),
+          col("size_total"), col("n_in_use"), col("n_pages"),
+          col("encrypted").cast("int").as("encrypted"), col("producer"))
+        .orderBy("media_id")),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -9686,6 +9706,37 @@ object SparkEntry {
         |    AS member1_text
         |FROM ids i JOIN members m USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // PDF census from the fixture formulas: the engine earns the page
+    // count through xref-offset object resolution and the producer
+    // through the Info walk (newest update wins); the SQL replays the
+    // parameter arithmetic only.
+    "multimodal_pdf" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    1 + doc_id % 7 AS np,
+        |    (doc_id % 11 = 0) AS enc,
+        |    (doc_id % 2 = 1) AS strm,
+        |    (doc_id % 2 = 0 AND doc_id % 13 = 0) AS incr
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  '1.' || CAST(4 + media_id % 4 AS VARCHAR) AS version,
+        |  CASE WHEN strm THEN 'stream' ELSE 'table' END AS xref_type,
+        |  CAST(CASE WHEN incr THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_xref_sections,
+        |  CAST(4 + np + CASE WHEN enc THEN 1 ELSE 0 END
+        |    + CASE WHEN strm THEN 1 ELSE 0 END
+        |    + CASE WHEN incr THEN 1 ELSE 0 END AS BIGINT) AS size_total,
+        |  CAST(3 + np + CASE WHEN enc THEN 1 ELSE 0 END
+        |    + CASE WHEN strm THEN 1 ELSE 0 END
+        |    + CASE WHEN incr THEN 1 ELSE 0 END AS BIGINT) AS n_in_use,
+        |  CAST(np AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN enc THEN 1 ELSE 0 END AS INTEGER) AS encrypted,
+        |  CASE WHEN enc THEN NULL
+        |       WHEN incr THEN 'graft-pdf-upd-' || CAST(media_id % 5 AS VARCHAR)
+        |       ELSE 'graft-pdf-' || CAST(media_id % 5 AS VARCHAR) END
+        |    AS producer
+        |FROM p ORDER BY media_id""".stripMargin,
 
     // The audio-dHash oracle: per media, 65-window exact energies from
     // the PCM formula (empty windows zero-filled), gradient-sign bits
