@@ -4019,6 +4019,42 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id", "op")
     }),
 
+    // stream_cdc_et_tws_restart: the CDC changelog killed mid-backlog
+    // and recovered — the third restart cell (r18 verdict #3), covering
+    // the production-critical case the locf/episodes cells don't: state
+    // expiry that EMITS a tombstone ROW across the seam. Unlike
+    // episodes (where the seam sweep is provably output-neutral), the
+    // dying incarnation's key-silent final-watermark sweep here FIRES
+    // any armed lease strictly below the first half's max-ts watermark,
+    // emitting that key's winner as an EXTRA delete the single-run feed
+    // never produces (the following upsert re-arms fresh state) — so
+    // the oracle is stream_cdc_et's replay plus one extra sweep term at
+    // the split ordinal. Matching it proves both directions: leases the
+    // seam spares must survive recovery verbatim (lost state ⇒ missing
+    // later tombstones), and the seam sweep itself must fire per the
+    // lease rule (over-resurrected state ⇒ missing seam tombstones).
+    // Append operator mode: every CdcChange row is an append-only
+    // change RECORD, the changelog-into-a-log-sink production shape.
+    "stream_cdc_et_tws_restart" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import s.implicits._
+      val chunks = etReplayChunkDir(s, dir, nullifyThirds = false)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType)))
+      Streams.withRocksDbProvider(s) {
+        Streams.drainWithCheckpointRestart(s, chunks, schema,
+            statePartitions = 2) { df =>
+          Streams.latestStateChangesTws(df.as[Streams.ObsEvent],
+            java.time.Duration.ofHours(6),
+            outputMode = org.apache.spark.sql.streaming.OutputMode.Append()).toDF()
+        }
+      }
+        .select(col("user_id"), col("ts").as("ts_us"), col("event_id"),
+          col("value"), col("op"))
+        .orderBy("user_id", "ts_us", "event_id", "op")
+    }),
+
     // stream_transitions_et: eviction observed through the CHAIN — a key
     // quiet past the lease forgets its previous-event marker, so the
     // first event after a long-enough silence starts a fresh chain
@@ -8035,6 +8071,78 @@ object SparkEntry {
         |             THEN fin.final_wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
         |             ELSE n.next_ord >= n.ord + 2
         |                  AND wprev.wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+        |        END
+        |)
+        |SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)
+        |ORDER BY user_id, ts_us, event_id, op""".stripMargin,
+
+    // stream_cdc_et_tws_restart: stream_cdc_et's replay plus the ONE
+    // thing a mid-backlog restart adds to a changelog — the dying
+    // incarnation's final AvailableNow batch is a KEY-SILENT watermark
+    // sweep at wms (max ts of the first half's buckets) that fires any
+    // armed lease strictly below it, emitting that winner as an EXTRA
+    // delete (the next data bucket's upsert then re-arms fresh state).
+    // The seam term only MATTERS for winner/next-data pairs straddling
+    // the split where the regular rule stays silent (next_ord = s+1, or
+    // wm(next_ord-1) still below the lease): for next_ord >= s+2 the
+    // regular wprev.wm >= wms already fires the identical row, and for
+    // keys with no next data the final sweep (final_wm >= wms) does —
+    // the OR keeps those single-row cases single. Upserts are unchanged:
+    // the restart repartitions batches across incarnations but the
+    // per-(key, day) argmax and the watermark sequence are pure
+    // functions of the staged data.
+    "stream_cdc_et_tws_restart" ->
+      s"""WITH t0 AS (
+        |  SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |),
+        |ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+        |         epoch_us(ts) // 86400000000 AS b
+        |  FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND epoch_us(ts) // 86400000000 < t0.d0 + $EtReplayDays
+        |),
+        |bk AS (
+        |  SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
+        |  FROM ev GROUP BY b
+        |),
+        |sp AS (SELECT count(*) // 2 AS s FROM bk),
+        |wmseam AS (
+        |  SELECT max(bmax) // 1000 AS wms FROM bk, sp WHERE ord <= sp.s
+        |),
+        |wmt AS (
+        |  SELECT ord,
+        |    coalesce(max(bmax) OVER (ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) // 1000, 0) AS wm
+        |  FROM bk
+        |),
+        |fin AS (SELECT max(bmax) // 1000 AS final_wm FROM bk),
+        |stp AS (
+        |  SELECT user_id, ord, wm, tsu, event_id, value FROM (
+        |    SELECT ev.user_id, bk.ord, w.wm, ev.tsu, ev.event_id, ev.value,
+        |           row_number() OVER (PARTITION BY ev.user_id, bk.ord
+        |             ORDER BY ev.tsu DESC, ev.event_id DESC) AS rn
+        |    FROM ev JOIN bk USING (b) JOIN wmt w USING (ord)
+        |  ) WHERE rn = 1
+        |),
+        |nxt AS (
+        |  SELECT *, lead(ord) OVER (PARTITION BY user_id ORDER BY ord) AS next_ord
+        |  FROM stp
+        |),
+        |ups AS (
+        |  SELECT user_id, tsu AS ts_us, event_id, value, 'upsert' AS op FROM nxt
+        |),
+        |dels AS (
+        |  SELECT n.user_id, n.tsu AS ts_us, n.event_id, n.value, 'delete' AS op
+        |  FROM nxt n
+        |  CROSS JOIN fin CROSS JOIN sp CROSS JOIN wmseam
+        |  LEFT JOIN wmt wprev ON wprev.ord = n.next_ord - 1
+        |  WHERE CASE WHEN n.next_ord IS NULL
+        |             THEN fin.final_wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1)
+        |             ELSE (n.next_ord >= n.ord + 2
+        |                   AND wprev.wm > greatest(n.tsu // 1000 + 21600000, n.wm + 1))
+        |               OR (n.ord <= sp.s AND n.next_ord >= sp.s + 1
+        |                   AND wmseam.wms > greatest(n.tsu // 1000 + 21600000, n.wm + 1))
         |        END
         |)
         |SELECT * FROM (SELECT * FROM ups UNION ALL SELECT * FROM dels)

@@ -978,7 +978,15 @@ object Streams {
     */
   def latestStateChangesTws(events: Dataset[ObsEvent],
       eventTimeTtl: java.time.Duration,
-      watermarkDelay: String = "0 seconds"): Dataset[CdcChange] = {
+      watermarkDelay: String = "0 seconds",
+      outputMode: OutputMode = OutputMode.Update()): Dataset[CdcChange] = {
+    // `outputMode` is the OPERATOR mode TWS validates against the
+    // query's: Update for the memory-sink gates; Append when the feed
+    // drains through the fault-tolerant FILE sink (the checkpoint-
+    // restart harness) — semantically faithful either way, since every
+    // emitted row is an append-only change RECORD (a changelog into a
+    // log sink is the production CDC shape), never a retraction of a
+    // previously-emitted sink row.
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     watermarkedInput(events, armed = true, "ts", watermarkDelay)
@@ -986,7 +994,7 @@ object Streams {
       .transformWithState(
         new LatestChangesProcessor(eventTimeTtl),
         TimeMode.EventTime(),
-        OutputMode.Update())
+        outputMode)
   }
 
   /** Processor backing [[latestStateChangesTws]]: one [[KeyLatest]]

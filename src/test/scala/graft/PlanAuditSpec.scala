@@ -31,14 +31,18 @@ class PlanAuditSpec extends SparkSpec {
       // gate (two full drains through the file sink in the builder)
       "stream_cdc_et_tws", "stream_transitions_et_tws",
       "stream_locf_et_tws_restart", "stream_episodes_et_tws_restart",
+      // round-19 third restart cell (same two-incarnation file-sink drain)
+      "stream_cdc_et_tws_restart",
       "dedup_clusters",
       // builder runs the same min-label CC loop (per-round actions)
       "leakage_split",
       // builder runs the history Bloom aggregate (sketch to driver)
       "dedup_incremental",
       // builders run Lloyd codebook training (K×dim codebook to driver,
-      // broadcast-footprint class — same pattern as the Bloom sketch)
-      "ann_ivf", "ann_ivf_recall",
+      // broadcast-footprint class — same pattern as the Bloom sketch);
+      // the r19 IVFADC gates train the coarse codebook AND the per-cell
+      // residual PQ codebooks in the builder
+      "ann_ivf", "ann_ivf_recall", "ann_ivfpq", "ann_ivfpq_recall",
       // builders write the JSONL/CSV/parquet exports before reading them
       // back; schema_merge's snapshots live at a STATIC path (the oracle
       // reads the same files), so auditing it here would clobber a

@@ -1283,6 +1283,39 @@ class StreamsSpec extends SparkSpec {
       s"tombstone must carry the dying winner: $dead")
   }
 
+  test("latestStateChangesTws Append mode: identical change feed (the file-sink restart path)") {
+    // the r19 restart gate drains the feed through the fault-tolerant
+    // FILE sink, whose contract is Append — the operator mode must not
+    // change WHAT is emitted, only what TWS validates against. Same
+    // replay as the Update test above; every row (both upserts and the
+    // timer-emitted tombstone) must come through identically.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[Streams.ObsEvent]
+      val q = Streams.latestStateChangesTws(in.toDS(),
+        java.time.Duration.ofSeconds(10),
+        outputMode = OutputMode.Append()).toDF()
+        .writeStream.format("memory").queryName("tws_chg_app_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(Streams.ObsEvent(1L, 10L, 10_000_000L, Some(1.0))) // 10 s
+        q.processAllAvailable()
+        in.addData(Streams.ObsEvent(2L, 20L, 50_000_000L, Some(2.0))) // 50 s
+        q.processAllAvailable()
+        awaitTtl("key 1 tombstoned, key 2 live") {
+          spark.table("tws_chg_app_out").count() == 3L
+        }
+      } finally q.stop()
+    }
+    val ems = spark.table("tws_chg_app_out").as[Streams.CdcChange].collect().toSeq
+      .sortBy(c => (c.user_id, c.op))
+    assert(ems.map(c => (c.user_id, c.op)) ==
+      Seq((1L, "delete"), (1L, "upsert"), (2L, "upsert")), ems.toString)
+    assert(ems.head == Streams.CdcChange(1L, 10_000_000L, 10L, Some(1.0), "delete"),
+      s"Append mode must carry the same dying winner: ${ems.head}")
+  }
+
   test("latestStateTws eventTimeTtl: event-time timers clear state on watermark advance (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
