@@ -3546,7 +3546,9 @@ object SparkEntry {
           col("parse_ok").cast("int").as("parse_ok"),
           col("sample_rate"), col("channels"), col("bits_per_sample"),
           col("total_samples"), col("duration_ms"),
-          col("n_blocks"), col("has_vorbis_comment"))
+          col("n_blocks"), col("has_vorbis_comment"),
+          col("vendor"), col("tag_title"), col("tag_artist"),
+          col("n_tags"))
         .orderBy("media_id")),
 
     // §2.11 — the INGESTION path for media: a staged directory of real
@@ -9778,7 +9780,16 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INTEGER)
         |    AS n_blocks,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
-        |    AS has_vorbis_comment
+        |    AS has_vorbis_comment,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'graft flac 1.0' END AS vendor,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'Track ' || CAST(doc_id AS VARCHAR) END AS tag_title,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'Artist ' || CAST(doc_id % 17 AS VARCHAR) END AS tag_artist,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN 2 + CAST(doc_id % 3 = 0 AS INTEGER)
+        |              + CAST(doc_id % 4 = 0 AS INTEGER)
+        |       ELSE 0 END AS INTEGER) AS n_tags
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY media_id""".stripMargin,
 

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * read.
   *
   * Census: rate/channels/bits, total samples, duration ms, metadata
-  * block count, and whether a VORBIS_COMMENT (type 4) tag block is
-  * present (the tag carrier, ID3's analog here). Bad magic, a
-  * non-STREAMINFO first block, a truncated block, or zero rate degrade
-  * to `parse_ok = false` rows.
+  * block count, and the VORBIS_COMMENT (type 4) tag block — ID3's
+  * analog here and where audio PII/attribution lives (r18 verdict #7):
+  * the Xiph comment-header layout (little-endian u32 vendor length +
+  * UTF-8 vendor string, u32 comment count, then per-comment u32
+  * length + `FIELD=value` UTF-8, field names case-insensitive) is
+  * walked fully; the census carries the vendor string, the TITLE and
+  * ARTIST values, and the total tag count. Bad magic, a
+  * non-STREAMINFO first block, a truncated block, zero rate, or a
+  * VORBIS_COMMENT whose lengths escape the block degrade to
+  * `parse_ok = false` rows — never a wrong-but-plausible extraction.
   */
 object Flac {
 
@@ -26,10 +32,54 @@ object Flac {
       media_id: Long, parse_ok: Boolean,
       sample_rate: Int, channels: Int, bits_per_sample: Int,
       total_samples: Long, duration_ms: Long,
-      n_blocks: Int, has_vorbis_comment: Int)
+      n_blocks: Int, has_vorbis_comment: Int,
+      vendor: Option[String], tag_title: Option[String],
+      tag_artist: Option[String], n_tags: Int)
 
   private val Failed =
-    FlacMeta(0L, parse_ok = false, 0, 0, 0, 0L, 0L, 0, 0)
+    FlacMeta(0L, parse_ok = false, 0, 0, 0, 0L, 0L, 0, 0,
+      None, None, None, 0)
+
+  /** Walk a METADATA_BLOCK_VORBIS_COMMENT payload (Xiph comment-header
+    * spec). Returns (vendor, title, artist, n_tags); throws on any
+    * length escaping the block so the caller degrades the row.
+    */
+  private def parseVorbisComment(b: Array[Byte], start: Int, len: Int)
+      : (Option[String], Option[String], Option[String], Int) = {
+    val end = start + len
+    def u32le(p: Int): Long = {
+      require(p + 4 <= end, "vorbis length field escapes block")
+      ((b(p) & 0xffL)) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    }
+    var p = start
+    val vlen = u32le(p); p += 4
+    require(p + vlen <= end, "vendor string escapes block")
+    val vendor = new String(b, p, vlen.toInt, "UTF-8")
+    p += vlen.toInt
+    val n = u32le(p); p += 4
+    require(n <= len, "comment count exceeds block size") // cheap sanity
+    var title: Option[String] = None
+    var artist: Option[String] = None
+    var i = 0L
+    while (i < n) {
+      val clen = u32le(p); p += 4
+      require(p + clen <= end, "comment escapes block")
+      val c = new String(b, p, clen.toInt, "UTF-8")
+      p += clen.toInt
+      val eq = c.indexOf('=')
+      if (eq > 0) {
+        // field names are case-insensitive ASCII per the spec
+        c.substring(0, eq).toUpperCase(java.util.Locale.ROOT) match {
+          case "TITLE" if title.isEmpty => title = Some(c.substring(eq + 1))
+          case "ARTIST" if artist.isEmpty => artist = Some(c.substring(eq + 1))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    (Some(vendor), title, artist, n.toInt)
+  }
 
   def parseFlac(id: Long, bytes: Array[Byte]): FlacMeta =
     try {
@@ -40,6 +90,10 @@ object Flac {
       var nBlocks = 0
       var hasVc = 0
       var rate = 0; var ch = 0; var bps = 0; var total = 0L
+      var vendor: Option[String] = None
+      var title: Option[String] = None
+      var artist: Option[String] = None
+      var nTags = 0
       var last = false
       while (!last) {
         require(p + 4 <= b.length, "truncated block header")
@@ -64,12 +118,19 @@ object Flac {
           total = ((b(o + 3) & 0xfL) << 32) | ((b(o + 4) & 0xffL) << 24) |
             ((b(o + 5) & 0xffL) << 16) | ((b(o + 6) & 0xffL) << 8) |
             (b(o + 7) & 0xffL)
-        } else if (typ == 4) hasVc = 1
+        } else if (typ == 4 && hasVc == 0) {
+          // first VORBIS_COMMENT wins (the spec allows at most one;
+          // tolerate-but-ignore duplicates rather than overwrite)
+          hasVc = 1
+          val (v, t, a, n) = parseVorbisComment(b, p + 4, len)
+          vendor = v; title = t; artist = a; nTags = n
+        }
         nBlocks += 1
         p += 4 + len
       }
       FlacMeta(id, parse_ok = true, rate, ch, bps, total,
-        total * 1000L / rate, nBlocks, hasVc)
+        total * 1000L / rate, nBlocks, hasVc,
+        vendor, title, artist, nTags)
     } catch {
       case _: Exception => Failed.copy(media_id = id)
     }
@@ -89,9 +150,13 @@ object Flac {
 
   /** Deterministic FLAC header for media `id`: STREAMINFO with rate
     * `8000·(1+id%6)`, `1+id%8` channels, 8/12/16 bits, `1000·(3+id%7)`
-    * total samples; a VORBIS_COMMENT junk block on even ids; a PADDING
-    * block closing the chain; then audio-frame junk the parser must
-    * never reach.
+    * total samples; on even ids a REAL spec-layout VORBIS_COMMENT
+    * (vendor `graft flac 1.0`, `TITLE=Track <id>`,
+    * `ARTIST=Artist <id%17>`, plus `ALBUM=Album <id%5>` when id%3=0 —
+    * a lowercase `title=` duplicate on id%4=0 exercises both the
+    * case-insensitive field match and first-wins); a PADDING block
+    * closing the chain; then audio-frame junk the parser must never
+    * reach.
     */
   def syntheticFlac(id: Long): Array[Byte] = {
     val rate = 8000 * (1 + (id % 6).toInt)
@@ -124,14 +189,33 @@ object Flac {
     // bytes 18..33: MD5 of the unencoded audio — junk here (never read)
     (18 until 34).foreach(i => si(i) = ((id * 7 + i) % 251).toByte)
     block(last = false, 0, si)
-    if (id % 2 == 0) {
-      val vc = (0 until 12 + (id % 20).toInt)
-        .map(i => ((id * 13 + i * 3) % 251).toByte).toArray
-      block(last = false, 4, vc)
-    }
+    if (id % 2 == 0) block(last = false, 4, syntheticVorbisComment(id))
     block(last = true, 1, new Array[Byte](8 + (id % 9).toInt)) // PADDING
     // audio frames: junk the parser never reaches
     (0 until 24).foreach(i => out.write(((id * 31 + i * 11) % 251).toInt))
+    out.toByteArray
+  }
+
+  /** Real spec-layout Vorbis comment payload for media `id` — the
+    * formulas the `multimodal_flac` oracle replays in SQL.
+    */
+  def syntheticVorbisComment(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); u32le(b.length); out.write(b)
+    }
+    str("graft flac 1.0")
+    val tags = Seq(s"TITLE=Track $id", s"ARTIST=Artist ${id % 17}") ++
+      (if (id % 3 == 0) Seq(s"ALBUM=Album ${id % 5}") else Nil) ++
+      // a duplicate in a different case: the parser must match the
+      // field case-insensitively AND keep the first value
+      (if (id % 4 == 0) Seq(s"title=shadowed $id") else Nil)
+    u32le(tags.length)
+    tags.foreach(str)
     out.toByteArray
   }
 

@@ -48,7 +48,30 @@ class FlacSpec extends SparkSpec {
       assert(m.duration_ms == total * 1000L / rate, s"id=$id")
       assert(m.n_blocks == (if (id % 2 == 0) 3 else 2), s"id=$id")
       assert(m.has_vorbis_comment == (if (id % 2 == 0) 1 else 0), s"id=$id")
+      if (id % 2 == 0) {
+        assert(m.vendor.contains("graft flac 1.0"), s"id=$id: $m")
+        // case-insensitive field match, FIRST value wins over the
+        // lowercase `title=shadowed` duplicate on id%4=0
+        assert(m.tag_title.contains(s"Track $id"), s"id=$id: $m")
+        assert(m.tag_artist.contains(s"Artist ${id % 17}"), s"id=$id: $m")
+        val want = 2 + (if (id % 3 == 0) 1 else 0) + (if (id % 4 == 0) 1 else 0)
+        assert(m.n_tags == want, s"id=$id: $m")
+      } else {
+        assert(m.vendor.isEmpty && m.tag_title.isEmpty &&
+          m.tag_artist.isEmpty && m.n_tags == 0, s"id=$id: $m")
+      }
     }
+  }
+
+  test("VORBIS_COMMENT whose lengths escape the block degrades the row") {
+    // rebuild id=2's file, then corrupt the VC payload's vendor length
+    // to point past the block: the row must flag, not misextract
+    val b = Flac.syntheticFlac(2L)
+    val vcHdr = 4 + 4 + 34 // magic + STREAMINFO header + payload
+    assert((b(vcHdr) & 0x7f) == 4, "fixture layout: VC block second")
+    b(vcHdr + 4) = 0xff.toByte // vendor length low byte → escapes
+    b(vcHdr + 5) = 0xff.toByte
+    assert(!Flac.parseFlac(2L, b).parse_ok)
   }
 
   test("corrupt / truncated payloads degrade to flagged rows") {
