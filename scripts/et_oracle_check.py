@@ -18,7 +18,7 @@ ev AS (
          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val,
          epoch_us(ts) // 86400000000 AS b
   FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 9
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -70,7 +70,7 @@ ev AS (
   SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
          epoch_us(ts) // 86400000000 AS b
   FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 9
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -124,7 +124,7 @@ ev AS (
   FROM events, t0
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
     AND event_type IS NOT NULL
-    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 9
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(tsu) AS bmax
@@ -169,7 +169,7 @@ ev AS (
   SELECT user_id, epoch_us(ts) AS ivs, epoch_us(ts) + 7200000000 AS ive,
          (epoch_us(ts) + 7200000000) // 86400000000 AS b
   FROM events, t0 WHERE user_id IS NOT NULL AND ts IS NOT NULL
-    AND epoch_us(ts) // 86400000000 < t0.d0 + 12
+    AND epoch_us(ts) // 86400000000 < t0.d0 + 9
 ),
 bk AS (
   SELECT b, row_number() OVER (ORDER BY b) AS ord, max(ive) AS bmax

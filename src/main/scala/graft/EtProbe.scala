@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Dev probe: prices the `stream_*_et` gates' micro-batch overhead —
-  * the evidence behind the pinned replay design (12-day prefix, 1-day
+  * the evidence behind the pinned replay design (9-day prefix r19
+  * (12-day through r18), 1-day
   * buckets, statePartitions=2). Times locfEnrich(eventTimeTtl) over
   * the staged replay while varying the state partition count, the
   * replay bucket width, and the replay prefix length. Measured r15
@@ -13,8 +14,8 @@ import org.apache.spark.sql.types._
   * r15 gate cost pre-fix), parts=2 ≈ 8 s, parts=1 ≈ 7.3 s; 2-day
   * buckets parts=2 ≈ 4.3 s but gut eviction power at the correctness
   * SF (sf0.01 changed-carries 110 → 10, sf0.001 → 0, et_sim.py);
-  * the pinned 12-day day-bucket parts=2 design ≈ 4 s with 95
-  * evictions at sf0.01 — per-micro-batch fixed cost (~300 ms:
+  * the pinned day-bucket parts=2 design with the r18 12-day prefix
+  * ≈ 4 s with 95 evictions at sf0.01 (the r19 9-day prefix keeps 68) — per-micro-batch fixed cost (~300 ms:
   * per-trigger planning + offset/commit log + state commit) dominates,
   * so batch COUNT is the lever, and trimming the replay prefix keeps
   * day-granularity silences (common) where coarser buckets would
@@ -26,7 +27,7 @@ import org.apache.spark.sql.types._
   * exists to vary the parameters the gate PINS, so parameterizing the
   * production path with probe-only knobs would widen the gate surface
   * for a dev tool. The drift risk that mirroring carries is PINNED by
-  * test (r15 verdict/ADVICE): the "day12" case reads the prefix length
+  * test (r15 verdict/ADVICE): the "daypfx" case reads the prefix length
   * through [[SparkEntry.EtReplayDays]] (the knob cannot silently
   * diverge), and EtProbeSpec stages both this mirror and the gate's own
   * [[SparkEntry.etReplayChunkDir]] on sf0.001 and asserts chunk-count
@@ -95,8 +96,8 @@ object EtProbe {
     run(twoDay, 2, "twoday")
     // the pinned gate design: prefix length read through the gate's own
     // knob, so the probe cannot price a stale prefix
-    val day12 = stage(86_400_000_000L, days = SparkEntry.EtReplayDays)
-    run(day12, 2, "day12")
+    val daypfx = stage(86_400_000_000L, days = SparkEntry.EtReplayDays)
+    run(daypfx, 2, "daypfx")
     spark.stop()
   }
 }

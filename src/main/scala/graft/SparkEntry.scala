@@ -156,19 +156,25 @@ object SparkEntry {
     * non-null rows — one epoch shared by every _et stream and mirrored
     * in every _et oracle's `t0` CTE. A harness choice, not semantics:
     * each micro-batch carries a fixed ~300 ms planning/commit floor,
-    * so replaying all 30 ts-days doubles every gate's bench cost while
-    * proving nothing the first 12 don't (95 evictions / 50 changed
-    * carries / 169 tombstones / 170 flushes at sf0.01; ~1000 at sf0.1
-    * — scripts/et_sim.py; EtReplayDays is the margin-vs-evidence knob,
-    * priced in EtProbe). The epoch read is one driver-side scalar
-    * aggregate (KB-scale), memoized per dir.
+    * so replaying all 30 ts-days triples every gate's bench cost while
+    * proving nothing the first 9 don't (68 evictions / 37 changed
+    * carries / 147 tombstones / 148 flushes at sf0.01, 7/2/18/18 at
+    * sf0.001, ~550/250/1370/1390 at sf0.1 — scripts/et_sim.py, which
+    * also re-proves engine ≡ oracle closed form at this prefix at all
+    * three SFs; EtReplayDays is the margin-vs-evidence knob, priced in
+    * EtProbe. Trimmed 12 → 9 in r19 — the r18 streaming family cost
+    * ~55 s of a 203 s board, almost all of it this per-batch floor, and
+    * 9 days is the shortest prefix keeping every gate's eviction
+    * evidence nonzero at every SF including the sf0.001 smoke scale).
+    * The epoch read is one driver-side scalar aggregate (KB-scale),
+    * memoized per dir.
     */
   private val EtReplayDayUs = 86_400_000_000L
-  // private[graft]: EtProbe's day12 case reads the pinned prefix length
+  // private[graft]: EtProbe's pinned-prefix case reads the length
   // through this accessor (r15 ADVICE — the probe's staged design cannot
   // silently diverge from the gate's), and the _et oracle SQL strings
   // interpolate it, so engine and oracle move as one when the knob moves.
-  private[graft] val EtReplayDays = 12L
+  private[graft] val EtReplayDays = 9L
   private val etReplayEpochs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private def etReplayCutoffUs(spark: SparkSession, dir: String): Long = {
     val d0 = etReplayEpochs.computeIfAbsent(dir, _ =>
@@ -3887,11 +3893,12 @@ object SparkEntry {
     // DAY, one micro-batch per file under AvailableNow — see
     // stageEventTimeReplay), which pins the micro-batch partitioning
     // and with it every watermark value and timer firing. The replay is
-    // the first 12 ts-days (etReplayCutoffUs: per-micro-batch overhead
-    // is a fixed floor, and 12 days already evicts 95 leases / flips
-    // 50 carries at sf0.01 — simulator-sized, scripts/et_sim.py), and
-    // statePartitions=2 (13 micro-batches pay per-partition commit 13×,
-    // unlike the single-drain gates' 8). A 6 h lease against per-user
+    // the first EtReplayDays=9 ts-days (etReplayCutoffUs:
+    // per-micro-batch overhead is a fixed floor, and 9 days already
+    // evicts 68 leases / flips 37 carries at sf0.01 — simulator-sized,
+    // scripts/et_sim.py), and statePartitions=2 (10 micro-batches pay
+    // per-partition commit 10×, unlike the single-drain gates' 8). A
+    // 6 h lease against per-user
     // day-scale silences evicts leases mid-stream, so a wrong watermark
     // floor, a wrong strictness on the timer compare, or a lease
     // regressing on a late batch all hash-mismatch.
