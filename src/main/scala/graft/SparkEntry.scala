@@ -289,12 +289,16 @@ object SparkEntry {
     * of which other docs share the bucket — which is what lets a
     * pairwise window SQL replay the bucket lease without knowing bucket
     * membership. The multiplicative hash spreads near-dup pairs across
-    * the 12 replay days so the 30 h lease genuinely splits the verified
-    * pair set (kept vs evicted) instead of trivially keeping everything.
+    * the EtDocDays replay days so the 30 h lease genuinely splits the
+    * verified pair set (kept vs evicted) instead of trivially keeping
+    * everything — 13 kept / 12 evicted of the 25 batch pairs at sf0.01
+    * with the r19 9-day prefix (12 days through r18 kept 9 / evicted
+    * 16; trimmed with the EtReplayDays family — same per-batch-floor
+    * rationale, and the split stays two-sided).
     * Memoized like [[etReplayStream]].
     */
   private[graft] val EtDocDayMult = 2654435761L // Knuth multiplicative hash
-  private[graft] val EtDocDays = 12L
+  private[graft] val EtDocDays = 9L
   private[graft] val EtDocLeaseMs = 108_000_000L // 30 h = 1.25 replay days
   /** The document's replay day — THE defining expression (Spark long
     * multiply wraps on overflow; pmod of the wrapped value is the
