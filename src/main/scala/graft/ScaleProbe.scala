@@ -1327,6 +1327,41 @@ object ScaleProbe {
           .filter(col("parse_ok")).count())
       }
 
+    // round-19 probe: the parquet footer walker at 1×/k× file count —
+    // one narrow mapPartitions pass whose cost is FOOTER-size-linear
+    // (page bytes are never touched), so wall must scale ≤ linearly in
+    // file count. The payload is a real parquet-mr file written once by
+    // Spark (staged OUTSIDE the timed region) and replicated per doc.
+    if (familyOn("parquetFooter")) {
+      val pqBytes = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_pqprobe").toString
+        docs.select(col("doc_id"), col("text")).filter(col("doc_id").isNotNull)
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "snappy")
+          .option("parquet.block.size", "8192") // several row groups
+          .parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.readAllBytes(part.toPath)
+      }
+      Seq(1, k).foreach { times =>
+        val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
+        val rep = (0 until times).map(i =>
+          ids.select((col("doc_id") + lit(i * 1000000L)).as("doc_id")))
+          .reduce(_.unionByName(_))
+        val n = rep.count()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = graft.ops.ParquetFooter.footerCensus(
+          rep.select(col("doc_id").cast("string").as("file"),
+            lit(pqBytes).as("payload")))
+          .filter(col("parse_ok")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(ok == n, s"parquetFooter: $ok parsed of $n files")
+        println(f"parquetFooter ${sec}%7.2f s  files=$n parsed=$ok")
+      }
+    }
+
     // guard probe: one epoch-0 sentinel next to current-epoch data must
     // fail fast with the offending key named, not build a giant grid row
     // (bound lowered so the bench corpus's ~490k-hour span trips it)

@@ -439,6 +439,89 @@ object SparkEntry {
     */
   private val mediaFixtureDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The `lake_footer_census` fixture: five SMALL parquet files written
+    * by Spark's OWN writer (parquet-mr) from deterministic slices of
+    * the sf tables — one per codec (snappy/gzip/zstd/uncompressed) plus
+    * a forced multi-row-group layout (tiny `parquet.block.size`) — so
+    * the gate's three-way differential (this repo's hand-rolled Thrift
+    * footer walker vs DuckDB's C++ reader vs parquet-mr's writer) sees
+    * real variety: codecs, nested list schema, >1 row group, Spark's
+    * kv metadata. Part files are renamed to deterministic names (the
+    * writer's UUID names would break the oracle join); restaged
+    * whenever the slice digest changes (the media-fixture marker
+    * contract). Staging is harness scaffolding — the gate's measured
+    * work is the binaryFile scan + footer walk.
+    */
+  private val lakeFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // path-only twin for the oracle SQL (dumped after the gate ran, so
+  // the directory is already staged)
+  private def lakeFixtureDir0(dir: String): String =
+    verifyDumpDir("lake-files", dir)
+  private[graft] def lakeFixtureDir(s: SparkSession, dir: String): String =
+    lakeFixtureDirs.computeIfAbsent(dir, _ => {
+      val root = new java.io.File(lakeFixtureDir0(dir))
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val ords = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 17 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val embs = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val evs = events(s, dir)
+        .filter(col("user_id").isNotNull && col("user_id") % 10 === 0)
+        .select("event_id", "user_id", "ts", "value")
+      val slices: Seq[(String, DataFrame, String, Option[Int])] = Seq(
+        ("lake-docs-snappy", docs, "snappy", None),
+        ("lake-orders-gzip", ords, "gzip", None),
+        ("lake-embeddings-zstd", embs, "zstd", None),
+        ("lake-events-plain", evs, "uncompressed", None),
+        // 4 KiB row groups force a multi-row-group footer even on the
+        // sf0.01 slice (parquet-mr cuts a group when the buffered size
+        // crosses parquet.block.size)
+        ("lake-events-multirg", evs, "snappy", Some(4096)))
+      val digest = {
+        val counts = slices.map(_._2.count()).mkString(",")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(counts.getBytes("UTF-8")).take(8)
+          .map(b => f"$b%02x").mkString
+      }
+      val marker = new java.io.File(root, s"_complete_$digest")
+      if (!marker.exists()) {
+        if (root.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(root)
+        }
+        root.mkdirs()
+        slices.foreach { case (name, df, codec, blockSize) =>
+          val tmp = new java.io.File(root, s"_tmp_$name")
+          val w0 = df.coalesce(1).write.mode("overwrite")
+            .option("compression", codec)
+          val w = blockSize.fold(w0)(bs =>
+            w0.option("parquet.block.size", bs.toString))
+          w.parquet(tmp.getAbsolutePath)
+          val part = tmp.listFiles()
+            .filter(_.getName.endsWith(".parquet")) match {
+            case Array(one) => one
+            case other => throw new IllegalStateException(
+              s"expected one part file from coalesce(1), got ${other.length}")
+          }
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(root, s"$name.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(tmp)
+        }
+        java.nio.file.Files.writeString(marker.toPath, digest)
+      }
+      root.getAbsolutePath
+    })
+
   private[graft] def mediaFixtureDir(s: SparkSession, dir: String): String =
     mediaFixtureDirs.computeIfAbsent(dir, _ => {
       val root = new java.io.File(verifyDumpDir("media-files", dir))
@@ -3623,6 +3706,37 @@ object SparkEntry {
           col("size_total"), col("n_in_use"), col("n_pages"),
           col("encrypted").cast("int").as("encrypted"), col("producer"))
         .orderBy("media_id")),
+
+    // §2.11 — parquet FOOTER census: the lake format itself joins the
+    // container tier. Five fixture files written by Spark's OWN writer
+    // (parquet-mr: four codecs + a forced multi-row-group layout +
+    // Spark's kv metadata + the embeddings LIST schema) are read back
+    // as raw bytes through binaryFile and their footers walked by the
+    // hand-rolled Thrift compact-protocol reader (ops/ParquetFooter);
+    // the oracle replays the same census from the SAME staged files
+    // through DuckDB's independent C++ parquet reader — three parquet
+    // implementations must agree field-for-field (version, rows, row
+    // groups, leaf count, writer string, chunk byte totals, codec and
+    // encoding sets, kv count). Page data is never touched on the
+    // engine side: a 100 TB lake layout audit stays metadata-only.
+    "lake_footer_census" -> ((s, dir) => {
+      verifySfDir = dir
+      val files = lakeFixtureDir(s, dir)
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(files)
+        .select(
+          regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("file"),
+          col("content").as("payload"))
+      graft.ops.ParquetFooter.footerCensus(bin).toDF()
+        .select(col("file"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("version"), col("num_rows"), col("n_row_groups"),
+          col("n_columns"), col("created_by"),
+          col("total_compressed"), col("total_uncompressed"),
+          col("codecs"), col("encodings"), col("n_kv"))
+        .orderBy("file")
+    }),
 
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
@@ -9867,6 +9981,55 @@ object SparkEntry {
         |       ELSE 'graft-pdf-' || CAST(media_id % 5 AS VARCHAR) END
         |    AS producer
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // lake_footer_census: DuckDB replays the census from the SAME
+    // staged files through its OWN C++ parquet reader — no formula
+    // replay anywhere: every compared value was independently derived
+    // by a second implementation from bytes a third one wrote.
+    "lake_footer_census" -> {
+      val glob = s"${lakeFixtureDir0(verifySfDir)}/*.parquet"
+      s"""WITH fm AS (
+        |  SELECT parse_filename(file_name, true) AS file,
+        |         CAST(format_version AS INTEGER) AS version,
+        |         CAST(num_rows AS BIGINT) AS num_rows,
+        |         CAST(num_row_groups AS INTEGER) AS n_row_groups,
+        |         created_by
+        |  FROM parquet_file_metadata('$glob')
+        |),
+        |cm AS (
+        |  SELECT parse_filename(file_name, true) AS file,
+        |         CAST(sum(total_compressed_size) AS BIGINT) AS total_compressed,
+        |         CAST(sum(total_uncompressed_size) AS BIGINT) AS total_uncompressed,
+        |         string_agg(DISTINCT compression, ',' ORDER BY compression) AS codecs
+        |  FROM parquet_metadata('$glob') GROUP BY 1
+        |),
+        |enc AS (
+        |  SELECT file, string_agg(DISTINCT e, ',' ORDER BY e) AS encodings
+        |  FROM (SELECT parse_filename(file_name, true) AS file,
+        |               unnest(string_split(encodings, ', ')) AS e
+        |        FROM parquet_metadata('$glob'))
+        |  GROUP BY 1
+        |),
+        |kv AS (
+        |  SELECT parse_filename(file_name, true) AS file,
+        |         CAST(count(*) AS INTEGER) AS n_kv
+        |  FROM parquet_kv_metadata('$glob') GROUP BY 1
+        |),
+        |sc AS (
+        |  SELECT parse_filename(file_name, true) AS file,
+        |         CAST(count(*) FILTER (WHERE num_children IS NULL
+        |                               OR num_children = 0) AS INTEGER)
+        |           AS n_columns
+        |  FROM parquet_schema('$glob') GROUP BY 1
+        |)
+        |SELECT fm.file, CAST(1 AS INTEGER) AS parse_ok, version, num_rows,
+        |       n_row_groups, sc.n_columns, created_by,
+        |       total_compressed, total_uncompressed, codecs, encodings,
+        |       CAST(coalesce(kv.n_kv, 0) AS INTEGER) AS n_kv
+        |FROM fm JOIN cm USING (file) JOIN enc USING (file)
+        |JOIN sc USING (file) LEFT JOIN kv USING (file)
+        |ORDER BY file""".stripMargin
+    },
 
     // The audio-dHash oracle: per media, 65-window exact energies from
     // the PCM formula (empty windows zero-filled), gradient-sign bits
