@@ -1274,7 +1274,8 @@ object ScaleProbe {
     // structural element count (samples/IFD entries/frames), so wall
     // must scale ≤ linearly in media. parse_ok is the action, as above.
     if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats",
-        "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta", "pdfMeta"))
+        "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta", "pdfMeta",
+        "avroMeta"))
       Seq(1, k).foreach { times =>
         val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
         val rep = (0 until times).map(i =>
@@ -1324,6 +1325,11 @@ object ScaleProbe {
           .filter(col("parse_ok")).count())
         run("pdfMeta", graft.ops.Pdf.pdfMeta(
           graft.ops.Pdf.syntheticPdfTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        // r19: real-Avro-writer build + walk (incl. the raw-deflate
+        // inflate of every even-id file's blocks)
+        run("avroMeta", graft.ops.Avro.avroMeta(
+          graft.ops.Avro.realAvroTable(rep, "doc_id"))
           .filter(col("parse_ok")).count())
       }
 

@@ -3707,6 +3707,28 @@ object SparkEntry {
           col("encrypted").cast("int").as("encrypted"), col("producer"))
         .orderBy("media_id")),
 
+    // §2.11 — Avro OCF census: the row-oriented lake ingest format
+    // joins the container tier, as a genuine cross-implementation
+    // differential (the ZIP gate's pattern): the fixture bytes are
+    // written by the REAL Apache Avro DataFileWriter (Spark's runtime
+    // classpath), this repo's walker parses them — including a real
+    // raw-deflate inflate of every even-id file's blocks, whose
+    // decompressed total the oracle replays in closed form — and
+    // DuckDB replays the layout formulas. A wrong codec path, a
+    // mis-walked metadata map, or a sync-marker confusion all
+    // hash-mismatch.
+    "avro_census" -> ((s, dir) =>
+      graft.ops.Avro.avroMeta(
+        graft.ops.Avro.realAvroTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("codec"), col("schema_name"), col("n_fields"),
+          col("n_meta"), col("n_blocks"), col("n_rows"),
+          col("inflated_bytes"))
+        .orderBy("media_id")),
+
     // §2.11 — parquet FOOTER census: the lake format itself joins the
     // container tier. Five fixture files written by Spark's OWN writer
     // (parquet-mr: four codecs + a forced multi-row-group layout +
@@ -9981,6 +10003,37 @@ object SparkEntry {
         |       ELSE 'graft-pdf-' || CAST(media_id % 5 AS VARCHAR) END
         |    AS producer
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // avro_census: the layout formulas behind the real-writer fixture.
+    // Every long value is range-pinned to a 2-byte zigzag varint and
+    // every string to 1+3 bytes, so the engine's REAL per-block inflate
+    // total has the closed form rows × (2·ceil(k/2) + 4·floor(k/2)).
+    "avro_census" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    2 + doc_id % 4 AS k, 1 + doc_id % 4 AS nb
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |blk AS (
+        |  -- nb is in [1,4]: cross with the fixed ordinals and filter
+        |  -- (lateral generate_series correlation is not supported)
+        |  SELECT media_id, CAST(sum(2 + (media_id + t.j) % 5) AS BIGINT)
+        |    AS n_rows
+        |  FROM ids, (SELECT unnest([0, 1, 2, 3]) AS j) t
+        |  WHERE t.j < nb
+        |  GROUP BY media_id)
+        |SELECT i.media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CASE WHEN i.media_id % 2 = 0 THEN 'deflate' ELSE 'null' END
+        |    AS codec,
+        |  'Rec' || CAST(i.media_id % 4 AS VARCHAR) AS schema_name,
+        |  CAST(i.k AS INTEGER) AS n_fields,
+        |  CAST(1 + CAST(i.media_id % 2 = 0 AS INTEGER)
+        |         + CAST(i.media_id % 5 = 0 AS INTEGER) AS INTEGER) AS n_meta,
+        |  CAST(i.nb AS INTEGER) AS n_blocks,
+        |  b.n_rows,
+        |  CAST(b.n_rows * (2 * ((i.k + 1) // 2) + 4 * (i.k // 2)) AS BIGINT)
+        |    AS inflated_bytes
+        |FROM ids i JOIN blk b ON i.media_id = b.media_id
+        |ORDER BY i.media_id""".stripMargin,
 
     // lake_footer_census: DuckDB replays the census from the SAME
     // staged files through its OWN C++ parquet reader — no formula
