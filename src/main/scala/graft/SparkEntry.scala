@@ -3707,6 +3707,25 @@ object SparkEntry {
           col("encrypted").cast("int").as("encrypted"), col("producer"))
         .orderBy("media_id")),
 
+    // §2.11 — PNG structural census: chunk walk with REAL per-chunk
+    // CRC-32 verification (no decode — the metadata-cost image filter
+    // tier; Multimodal owns the decode path). Fixture bytes come from
+    // the REAL JDK ImageIO PNG writer; the oracle pins the
+    // deterministic IHDR-level fields (the writer's IDAT sizing is its
+    // own choice and is spec-pinned instead). parse_ok=1 means every
+    // chunk in the file CRC-verified — a flipped bit anywhere degrades.
+    "multimodal_png" -> ((s, dir) =>
+      graft.ops.Png.pngMeta(
+        graft.ops.Png.syntheticPngTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("width"), col("height"), col("bit_depth"), col("color_type"),
+          col("interlace"), col("palette_entries"), col("has_alpha"),
+          col("n_text"))
+        .orderBy("media_id")),
+
     // §2.11 — Avro OCF census: the row-oriented lake ingest format
     // joins the container tier, as a genuine cross-implementation
     // differential (the ZIP gate's pattern): the fixture bytes are
@@ -10003,6 +10022,26 @@ object SparkEntry {
         |       ELSE 'graft-pdf-' || CAST(media_id % 5 AS VARCHAR) END
         |    AS producer
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // multimodal_png: the deterministic IHDR-level formulas behind the
+    // real-ImageIO-writer fixture (gray/RGB/RGBA by id%3; the JDK
+    // writer emits 8-bit non-interlaced truecolor/gray, no palette, no
+    // text chunks — writer-dependent IDAT layout is spec-pinned, not
+    // oracle-pinned).
+    "multimodal_png" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(9 + doc_id % 13 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+        |    AS INTEGER) AS color_type,
+        |  CAST(0 AS INTEGER) AS interlace,
+        |  CAST(0 AS INTEGER) AS palette_entries,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS has_alpha,
+        |  CAST(0 AS INTEGER) AS n_text
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
 
     // avro_census: the layout formulas behind the real-writer fixture.
     // Every long value is range-pinned to a 2-byte zigzag varint and
