@@ -1275,7 +1275,7 @@ object ScaleProbe {
     // must scale ≤ linearly in media. parse_ok is the action, as above.
     if (familyOn("mp4NalStats", "exifMeta", "adtsStats", "mp3Stats",
         "id3Meta", "subStats", "ebmlMeta", "gpsScrub", "zipMeta", "pdfMeta",
-        "avroMeta", "pngMeta"))
+        "avroMeta", "pngMeta", "jpegMeta"))
       Seq(1, k).foreach { times =>
         val ids = docs.select(col("doc_id")).filter(col("doc_id").isNotNull)
         val rep = (0 until times).map(i =>
@@ -1334,6 +1334,10 @@ object ScaleProbe {
         // r19: real-ImageIO build + CRC-verified chunk walk
         run("pngMeta", graft.ops.Png.pngMeta(
           graft.ops.Png.syntheticPngTable(rep, "doc_id"))
+          .filter(col("parse_ok")).count())
+        // r19: real-ImageIO JPEG build + marker/entropy walk
+        run("jpegMeta", graft.ops.Jpeg.jpegMeta(
+          graft.ops.Jpeg.syntheticJpegTable(rep, "doc_id"))
           .filter(col("parse_ok")).count())
       }
 

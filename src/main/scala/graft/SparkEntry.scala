@@ -3726,6 +3726,25 @@ object SparkEntry {
           col("n_text"))
         .orderBy("media_id")),
 
+    // §2.11 — JPEG structural census: the ITU-T T.81 marker walk with
+    // entropy data counted but never decoded (Multimodal owns decode;
+    // Exif reuses this grammar to find its APP1). Fixture = the REAL
+    // JDK ImageIO writer (gray 1-comp on id%3=0, RGB 3-comp otherwise)
+    // with a REAL spliced APP1 Exif segment on id%4=0; the oracle pins
+    // the deterministic frame-level fields — the writer's own segment
+    // layout (DQT/DHT split, entropy size) is spec-pinned instead.
+    "multimodal_jpeg" -> ((s, dir) =>
+      graft.ops.Jpeg.jpegMeta(
+        graft.ops.Jpeg.syntheticJpegTable(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+        .toDF()
+        .select(col("media_id"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("width"), col("height"), col("precision"),
+          col("n_components"), col("progressive"),
+          col("has_jfif"), col("has_exif"))
+        .orderBy("media_id")),
+
     // §2.11 — Avro OCF census: the row-oriented lake ingest format
     // joins the container tier, as a genuine cross-implementation
     // differential (the ZIP gate's pattern): the fixture bytes are
@@ -10022,6 +10041,23 @@ object SparkEntry {
         |       ELSE 'graft-pdf-' || CAST(media_id % 5 AS VARCHAR) END
         |    AS producer
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // multimodal_jpeg: the deterministic frame-level formulas behind
+    // the real-ImageIO-writer fixture (+ the real spliced APP1 on
+    // id%4=0).
+    "multimodal_jpeg" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS parse_ok,
+        |  CAST(24 + doc_id % 19 AS INTEGER) AS width,
+        |  CAST(10 + doc_id % 11 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS precision,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
+        |    AS n_components,
+        |  CAST(0 AS INTEGER) AS progressive,
+        |  CAST(1 AS INTEGER) AS has_jfif,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS has_exif
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY media_id""".stripMargin,
 
     // multimodal_png: the deterministic IHDR-level formulas behind the
     // real-ImageIO-writer fixture (gray/RGB/RGBA by id%3; the JDK
