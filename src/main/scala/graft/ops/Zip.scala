@@ -297,14 +297,28 @@ object Zip {
     * already-tiny id projection — one cheap pre-pass, same pattern as
     * the corpus-digest fixture markers.
     */
+  /** The one [[Zip64Entries]]-member archive is ~65k `ZipOutputStream`
+    * entry writes — fixture SCAFFOLDING, not census work — and its
+    * bytes are a pure function of the id, so build it once per
+    * (JVM, id) instead of once per run: the gate's measured work stays
+    * the real 65k-entry walk, not the writer re-encoding the same
+    * archive every bench pass (r19: archive_census 0.38 → 1.31 s was
+    * exactly this rebuild tax).
+    */
+  private val zip64Cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
   def syntheticZipTable(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ids = df.select(col(s"`$idCol`").cast("long").as("media_id")).as[Long]
     val zip64Id = ids.agg(min(col("media_id"))).head().getLong(0)
     ids.mapPartitions(it => it.map { id =>
-      val n = if (id == zip64Id) Zip64Entries else 2 + (id % 5).toInt
-      (id, syntheticZip(id, n))
+      val bytes =
+        if (id == zip64Id)
+          zip64Cache.computeIfAbsent(id, syntheticZip(_, Zip64Entries))
+        else syntheticZip(id, 2 + (id % 5).toInt)
+      (id, bytes)
     }).toDF("media_id", "payload")
   }
 }
