@@ -3798,6 +3798,29 @@ object SparkEntry {
         .orderBy("file")
     }),
 
+    // §2.11 — the lake-SCALE twin of lake_footer_census: the SAME five
+    // staged files censused through the ranged-tail path (content
+    // column pruned from the binaryFile listing; per file one 4-byte
+    // head probe + one positioned tail read, with an exact-size
+    // re-read when a footer outgrows the first slice — forced here by
+    // a deliberately tiny 4 KiB first slice, which the multi-row-group
+    // fixture's footer exceeds). Same oracle as the full-payload gate:
+    // moving KBs per object instead of the object must not change one
+    // field. This is THE 100 TB shape — the audit's bytes scale with
+    // file COUNT, not lake size.
+    "lake_footer_tail" -> ((s, dir) => {
+      verifySfDir = dir
+      val files = lakeFixtureDir(s, dir)
+      graft.ops.ParquetFooter.tailCensus(s, files, tailBytes = 4096).toDF()
+        .select(col("file"),
+          col("parse_ok").cast("int").as("parse_ok"),
+          col("version"), col("num_rows"), col("n_row_groups"),
+          col("n_columns"), col("created_by"),
+          col("total_compressed"), col("total_uncompressed"),
+          col("codecs"), col("encodings"), col("n_kv"))
+        .orderBy("file")
+    }),
+
     // §2.11 — frame sampling fan-out over video-like payloads (stubbed
     // decode; real flatMap-in-mapPartitions plumbing).
     "multimodal_frames" -> ((s, dir) =>
@@ -6302,7 +6325,11 @@ object SparkEntry {
       // matching it proves the recovered RocksDB state carries every
       // seam-straddling open episode's mstart/mend/count bit-exactly (a
       // lost or mangled episode would split or miscount)
-      "stream_episodes_et_tws_restart" -> base("stream_episodes_et"))
+      "stream_episodes_et_tws_restart" -> base("stream_episodes_et"),
+      // r19: the ranged-tail census answers the SAME question as the
+      // full-payload census over the SAME staged files — one DuckDB
+      // replay, aliased: the tail path must not change one field
+      "lake_footer_tail" -> base("lake_footer_census"))
   }
 
   /** The MP4 container-metadata prediction — shared verbatim by

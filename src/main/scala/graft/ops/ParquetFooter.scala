@@ -146,8 +146,54 @@ object ParquetFooter {
       val flen = ((b(n - 8) & 0xff)) | ((b(n - 7) & 0xff) << 8) |
         ((b(n - 6) & 0xff) << 16) | ((b(n - 5) & 0xff) << 24)
       require(flen > 0 && flen <= n - 12, "footer length escapes file")
-      val start = n - 8 - flen
-      val c = new Cursor(b, start, n - 8)
+      walkFileMetaData(file, b, n - 8 - flen, n - 8)
+    } catch {
+      case _: Exception => failed(file)
+    }
+
+  /** Parse from a ranged TAIL slice — the 100 TB path: the caller read
+    * only the last `tail.length` bytes of a `fileLen`-byte object (plus
+    * a 4-byte head probe for the leading magic), so a lake-wide footer
+    * audit moves KBs per file, not the file. Degrades exactly like
+    * [[parseFooter]]; additionally degrades when the footer is larger
+    * than the slice (the caller re-reads with the exact size — see
+    * [[tailCensus]]).
+    */
+  def parseFooterTail(file: String, tail: Array[Byte], fileLen: Long,
+      headMagicOk: Boolean): FooterMeta =
+    try {
+      val b = if (tail == null) Array.emptyByteArray else tail
+      val m = b.length
+      require(headMagicOk, "bad leading magic")
+      require(fileLen >= 12 && m >= 12 && m <= fileLen, "too short")
+      require(b(m - 4) == 'P' && b(m - 3) == 'A' && b(m - 2) == 'R' &&
+        b(m - 1) == '1', "bad/encrypted tail magic")
+      val flen = ((b(m - 8) & 0xff)) | ((b(m - 7) & 0xff) << 8) |
+        ((b(m - 6) & 0xff) << 16) | ((b(m - 5) & 0xff) << 24)
+      require(flen > 0 && flen <= fileLen - 12, "footer length escapes file")
+      require(flen <= m - 8, "footer larger than the ranged slice")
+      walkFileMetaData(file, b, m - 8 - flen, m - 8)
+    } catch {
+      case _: Exception => failed(file)
+    }
+
+  /** How many tail bytes a full footer parse needs (so a too-small
+    * first ranged read can be retried with the exact size).
+    */
+  def footerSpan(tail: Array[Byte]): Option[Long] = {
+    val m = if (tail == null) 0 else tail.length
+    if (m < 8) None
+    else {
+      val b = tail
+      val flen = ((b(m - 8) & 0xffL)) | ((b(m - 7) & 0xffL) << 8) |
+        ((b(m - 6) & 0xffL) << 16) | ((b(m - 5) & 0xffL) << 24)
+      Some(flen + 8L)
+    }
+  }
+
+  private def walkFileMetaData(file: String, b: Array[Byte],
+      start: Int, end: Int): FooterMeta = {
+      val c = new Cursor(b, start, end)
 
       var version = 0
       var numRows = 0L
@@ -218,16 +264,12 @@ object ParquetFooter {
         if (codecs.isEmpty) None else Some(codecs.mkString(",")),
         if (encodings.isEmpty) None else Some(encodings.mkString(",")),
         nKv)
-    } catch {
-      case _: Exception => failed(file)
-    }
+  }
 
   /** Footer census over a (file, payload) table — one narrow
     * `mapPartitions` pass, one row per file, corrupt footers flagged.
-    * Feed it `binaryFile`-read content: only the footer bytes are
-    * walked (at 100 TB, pair with a ranged read of the last N MB per
-    * object rather than full payloads — the census itself never needs
-    * page data).
+    * For full-payload inputs (e.g. `binaryFile` content); at lake
+    * scale prefer [[tailCensus]], which never moves page data.
     */
   def footerCensus(files: DataFrame): Dataset[FooterMeta] = {
     val spark = files.sparkSession
@@ -235,5 +277,66 @@ object ParquetFooter {
     files.select(col("file").cast("string"), col("payload"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (f, b) => parseFooter(f, b) })
+  }
+
+  /** The LAKE-SCALE census path: list the directory (the `binaryFile`
+    * source with the content column PRUNED — a metadata-only scan),
+    * then per file issue a positioned read of the last `tailBytes`
+    * bytes plus a 4-byte head-magic probe, and walk the footer from
+    * the slice. Data pages never cross the wire: a 100 TB lake audit
+    * moves ~64 KB per object instead of the object. Footers larger
+    * than the first slice get ONE exact-size re-read (footerSpan from
+    * the already-read length field), so the pass stays two preads
+    * worst-case. Results are identical to [[footerCensus]] over full
+    * payloads — the `lake_footer_tail` gate pins that equivalence
+    * against the same DuckDB oracle.
+    */
+  def tailCensus(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: String = "*.parquet", tailBytes: Int = 65536): Dataset[FooterMeta] = {
+    import spark.implicits._
+    require(tailBytes >= 12, s"tailBytes too small: $tailBytes")
+    val listing = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path").cast("string"), col("length").cast("long"))
+      .as[(String, Long)]
+    listing.mapPartitions { it =>
+      // one Configuration per partition; FileSystem instances are
+      // cached per scheme by Hadoop itself
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (uri, len) =>
+        val file = {
+          val slash = uri.lastIndexOf('/')
+          val base = if (slash >= 0) uri.substring(slash + 1) else uri
+          if (base.endsWith(".parquet")) base.dropRight(".parquet".length)
+          else base
+        }
+        try {
+          val path = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+          val fs = path.getFileSystem(conf)
+          def pread(pos: Long, n: Int): Array[Byte] = {
+            val out = new Array[Byte](n)
+            val in = fs.open(path)
+            try { in.readFully(pos, out, 0, n) } finally in.close()
+            out
+          }
+          val headOk = len >= 12 && {
+            val h = pread(0L, 4)
+            h(0) == 'P' && h(1) == 'A' && h(2) == 'R' && h(3) == '1'
+          }
+          val firstN = math.min(tailBytes.toLong, len).toInt
+          var tail = if (len >= 12) pread(len - firstN, firstN)
+            else Array.emptyByteArray
+          // footer bigger than the slice: one exact-size re-read
+          footerSpan(tail).foreach { span =>
+            if (span > tail.length && span <= len - 4)
+              tail = pread(len - span, span.toInt)
+          }
+          parseFooterTail(file, tail, len, headOk)
+        } catch {
+          case _: Exception => failed(file)
+        }
+      }
+    }
   }
 }

@@ -52,9 +52,9 @@ class PlanAuditSpec extends SparkSpec {
       // builder stages the media-file fixture directory (one .mp4 per
       // doc id) before the binaryFile read
       "media_binaryfile",
-      // builder stages the five Spark-written lake fixture files before
+      // builders stage the five Spark-written lake fixture files before
       // the binaryFile read (r19)
-      "lake_footer_census",
+      "lake_footer_census", "lake_footer_tail",
       // builder writes the supplier table into embedded Derby (JDBC DDL
       // + batch insert) before the stride read-back
       "jdbc_roundtrip",

@@ -167,6 +167,47 @@ class ParquetFooterSpec extends SparkSpec {
     }
   }
 
+  test("ranged-tail parse ≡ full parse, incl. the footer-outgrows-slice re-read path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqtail").toString
+    // several row groups → a footer comfortably larger than a 1 KiB
+    // first slice, so the exact-size re-read path is exercised
+    (1L to 400L).map(i => (i, s"name-$i", i * 0.5))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "2048").parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val full = ParquetFooter.parseFooter("f", bytes)
+    assert(full.parse_ok && full.n_row_groups > 1, full.toString)
+    // tail slice big enough on the first read
+    val big = java.util.Arrays.copyOfRange(bytes,
+      math.max(0, bytes.length - 32768), bytes.length)
+    assert(ParquetFooter.parseFooterTail("f", big, bytes.length.toLong,
+      headMagicOk = true) == full)
+    // tail slice too small: parseFooterTail must DEGRADE (the driver
+    // re-reads via footerSpan), never misparse
+    val small = java.util.Arrays.copyOfRange(bytes, bytes.length - 64,
+      bytes.length)
+    assert(!ParquetFooter.parseFooterTail("f", small, bytes.length.toLong,
+      headMagicOk = true).parse_ok)
+    val span = ParquetFooter.footerSpan(small).get
+    assert(span > 64 && span < bytes.length, s"span=$span")
+    val exact = java.util.Arrays.copyOfRange(bytes,
+      bytes.length - span.toInt, bytes.length)
+    assert(ParquetFooter.parseFooterTail("f", exact, bytes.length.toLong,
+      headMagicOk = true) == full, "exact-size re-read must equal full parse")
+    // a failed head probe degrades even with a pristine tail
+    assert(!ParquetFooter.parseFooterTail("f", big, bytes.length.toLong,
+      headMagicOk = false).parse_ok)
+    // distributed tail census over the directory ≡ the full parse
+    val viaTail = ParquetFooter.tailCensus(spark, dir, tailBytes = 1024)
+      .collect()
+    assert(viaTail.length == 1 && viaTail.head.copy(file = "f") == full,
+      viaTail.mkString(","))
+  }
+
   test("footerCensus: distributed parse over a payload table matches parseFooter") {
     import spark.implicits._
     val files = Seq(("g1", goldenFooter), ("bad", "PAR1junk".getBytes))
