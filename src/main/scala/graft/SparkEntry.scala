@@ -10124,11 +10124,11 @@ object SparkEntry {
         |  WHERE t.j < nb
         |  GROUP BY media_id)
         |SELECT i.media_id, CAST(1 AS INTEGER) AS parse_ok,
-        |  CASE WHEN i.media_id % 2 = 0 THEN 'deflate' ELSE 'null' END
-        |    AS codec,
+        |  CASE i.media_id % 3 WHEN 0 THEN 'deflate' WHEN 1 THEN 'null'
+        |       ELSE 'snappy' END AS codec,
         |  'Rec' || CAST(i.media_id % 4 AS VARCHAR) AS schema_name,
         |  CAST(i.k AS INTEGER) AS n_fields,
-        |  CAST(1 + CAST(i.media_id % 2 = 0 AS INTEGER)
+        |  CAST(1 + CAST(i.media_id % 3 <> 1 AS INTEGER)
         |         + CAST(i.media_id % 5 = 0 AS INTEGER) AS INTEGER) AS n_meta,
         |  CAST(i.nb AS INTEGER) AS n_blocks,
         |  b.n_rows,

@@ -167,7 +167,7 @@ object Avro {
         blockCount = varlong()
       }
       require(KnownCodecs.contains(codec), s"unknown codec $codec")
-      require(codec == "null" || codec == "deflate",
+      require(codec == "null" || codec == "deflate" || codec == "snappy",
         s"codec $codec not supported by this census") // degrade honestly
       val sync = rawBytes(16L)
       // schema: a record's name + top-level field count
@@ -212,6 +212,22 @@ object Avro {
               }
               total
             } finally inf.end()
+          case "snappy" =>
+            // spec: snappy block = compressed bytes + 4-byte BIG-endian
+            // CRC-32 of the UNCOMPRESSED data — a real integrity check:
+            // decompress, then the checksum must match
+            require(payload.length >= 4, "snappy block too short for CRC")
+            val body = java.util.Arrays.copyOfRange(payload, 0,
+              payload.length - 4)
+            val raw = org.xerial.snappy.Snappy.uncompress(body)
+            val crc = new java.util.zip.CRC32
+            crc.update(raw)
+            val stored = ((payload(payload.length - 4) & 0xffL) << 24) |
+              ((payload(payload.length - 3) & 0xffL) << 16) |
+              ((payload(payload.length - 2) & 0xffL) << 8) |
+              (payload(payload.length - 1) & 0xffL)
+            require(crc.getValue == stored, "snappy: CRC mismatch")
+            raw.length.toLong
         })
         nRows += rows
         nBlocks += 1
@@ -235,12 +251,13 @@ object Avro {
 
   // --- synthetic fixture ----------------------------------------------------
 
-  /** Deterministic OCF for media `id`, exercising both census codecs
-    * and the formula surface the oracle replays:
+  /** Deterministic OCF for media `id`, exercising all three census
+    * codecs and the formula surface the oracle replays:
     *   - schema: record `Rec<id%4>` with `2 + id%4` fields alternating
     *     long / 3-char string
-    *   - codec: deflate on even ids (REAL raw-deflate payloads the
-    *     parser must inflate), null on odd
+    *   - codec by id%3: deflate (REAL raw-deflate payloads the parser
+    *     must inflate) / null / snappy (REAL snappy blocks whose
+    *     4-byte big-endian CRC-32-of-uncompressed the parser verifies)
     *   - metadata: avro.schema (+ avro.codec only when deflate — the
     *     reference writer's behavior), plus a `graft.tag` pair when
     *     id%5=0
@@ -255,7 +272,9 @@ object Avro {
     val k = 2 + (id % 4).toInt
     val nLong = (k + 1) / 2
     val nStr = k / 2
-    val deflate = id % 2 == 0
+    val codec = (id % 3) match {
+      case 0 => "deflate"; case 1 => "null"; case _ => "snappy"
+    }
     val out = new java.io.ByteArrayOutputStream()
     def vlong(v0: Long): Unit = {
       var v = (v0 << 1) ^ (v0 >> 63)
@@ -276,9 +295,9 @@ object Avro {
     // avro.codec is written ONLY when a codec is set — the reference
     // DataFileWriter's behavior (absent codec means null per the spec),
     // so the real-writer differential compares meta counts exactly
-    vlong(1L + (if (deflate) 1 else 0) + (if (extra) 1 else 0))
+    vlong(1L + (if (codec != "null") 1 else 0) + (if (extra) 1 else 0))
     bstr("avro.schema"); bstr(schema)
-    if (deflate) { bstr("avro.codec"); bstr("deflate") }
+    if (codec != "null") { bstr("avro.codec"); bstr(codec) }
     if (extra) { bstr("graft.tag"); bstr(s"t${id % 7}") }
     vlong(0L) // end of metadata map
     val sync = Array.tabulate[Byte](16)(i => ((id * 17 + i * 29) % 251).toByte)
@@ -300,17 +319,27 @@ object Avro {
         }
       }
       val rawBytes = raw.toByteArray
-      val payload = if (deflate) {
-        val d = new java.util.zip.Deflater(
-          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-        try {
-          d.setInput(rawBytes); d.finish()
-          val buf = new Array[Byte](rawBytes.length + 64)
-          val o = new java.io.ByteArrayOutputStream()
-          while (!d.finished()) o.write(buf, 0, d.deflate(buf))
-          o.toByteArray
-        } finally d.end()
-      } else rawBytes
+      val payload = codec match {
+        case "deflate" =>
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            d.setInput(rawBytes); d.finish()
+            val buf = new Array[Byte](rawBytes.length + 64)
+            val o = new java.io.ByteArrayOutputStream()
+            while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+            o.toByteArray
+          } finally d.end()
+        case "snappy" =>
+          val body = org.xerial.snappy.Snappy.compress(rawBytes)
+          val crc = new java.util.zip.CRC32
+          crc.update(rawBytes)
+          val v = crc.getValue
+          body ++ Array[Byte](((v >>> 24) & 0xff).toByte,
+            ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+            (v & 0xff).toByte)
+        case _ => rawBytes
+      }
       vlong(rows.toLong)
       vlong(payload.length.toLong)
       out.write(payload)
@@ -342,7 +371,6 @@ object Avro {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     import org.apache.avro.file.{CodecFactory, DataFileWriter}
     val k = 2 + (id % 4).toInt
-    val deflate = id % 2 == 0
     var fb = SchemaBuilder.record(s"Rec${id % 4}").fields()
     (0 until k).foreach { i =>
       fb = if (i % 2 == 0) fb.requiredLong(s"f$i") else fb.requiredString(s"f$i")
@@ -352,7 +380,11 @@ object Avro {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     try {
-      if (deflate) w.setCodec(CodecFactory.deflateCodec(6))
+      (id % 3) match {
+        case 0 => w.setCodec(CodecFactory.deflateCodec(6))
+        case 2 => w.setCodec(CodecFactory.snappyCodec())
+        case _ => ()
+      }
       if (id % 5 == 0) w.setMeta("graft.tag", s"t${id % 7}")
       val sync = Array.tabulate[Byte](16)(i => ((id * 17 + i * 29) % 251).toByte)
       w.create(schema, out, sync)

@@ -13,7 +13,7 @@ class AvroSpec extends SparkSpec {
     val nb = 1 + (id % 4).toInt
     // avro.schema always; avro.codec only when a codec is set (the
     // reference DataFileWriter behavior); graft.tag on id%5=0
-    val nMeta = 1 + (if (id % 2 == 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+    val nMeta = 1 + (if (id % 3 != 1) 1 else 0) + (if (id % 5 == 0) 1 else 0)
     val nRows = (0 until nb).map(j => 2L + (id + j) % 5).sum
     val rowBytes = 2L * ((k + 1) / 2) + 4L * (k / 2)
     (k, nb, nMeta, nRows, nRows * rowBytes)
@@ -24,7 +24,10 @@ class AvroSpec extends SparkSpec {
       val m = Avro.parseAvro(id, Avro.syntheticAvro(id))
       val (k, nb, nMeta, nRows, inflated) = expected(id)
       assert(m.parse_ok, s"id=$id: $m")
-      assert(m.codec.contains(if (id % 2 == 0) "deflate" else "null"), s"id=$id")
+      val wantCodec = (id % 3) match {
+        case 0 => "deflate"; case 1 => "null"; case _ => "snappy"
+      }
+      assert(m.codec.contains(wantCodec), s"id=$id: $m")
       assert(m.schema_name.contains(s"Rec${id % 4}"), s"id=$id: $m")
       assert(m.n_fields == k, s"id=$id: $m")
       assert(m.n_meta == nMeta, s"id=$id: $m")
@@ -49,41 +52,56 @@ class AvroSpec extends SparkSpec {
     assert(!Avro.parseAvro(1L, null).parse_ok)
     assert(!Avro.parseAvro(1L, Array.emptyByteArray).parse_ok)
     assert(!Avro.parseAvro(1L, "PAR1not avro".getBytes).parse_ok)
-    val g = Avro.syntheticAvro(3L) // null codec
+    val g = Avro.syntheticAvro(4L) // null codec (4 % 3 = 1)
     // flip a byte inside the LAST sync marker: block sync mismatch
     val badSync = g.clone()
     badSync(badSync.length - 1) = (badSync(badSync.length - 1) ^ 0x55).toByte
-    assert(!Avro.parseAvro(3L, badSync).parse_ok, "sync mismatch must degrade")
+    assert(!Avro.parseAvro(4L, badSync).parse_ok, "sync mismatch must degrade")
     // every prefix truncation must either flag or — at an exact block
     // boundary, which an EOF-terminated container cannot distinguish
     // from a shorter file — parse cleanly with FEWER blocks; it must
     // never throw and never report the full census
-    val full = Avro.parseAvro(3L, g)
+    val full = Avro.parseAvro(4L, g)
     (1 until g.length).foreach { cut =>
-      val t = Avro.parseAvro(3L, java.util.Arrays.copyOf(g, cut))
+      val t = Avro.parseAvro(4L, java.util.Arrays.copyOf(g, cut))
       assert(!t.parse_ok || t.n_blocks < full.n_blocks, s"cut=$cut: $t")
     }
     // corrupt deflate stream: flip a payload byte in a deflate file
-    val d = Avro.syntheticAvro(2L)
+    val d = Avro.syntheticAvro(6L) // 6 % 3 = 0 -> deflate
     // header ends after metadata+sync; corrupt a byte comfortably inside
     // the first block payload (after its two varint headers)
     val mid = d.length / 2
     val badInf = d.clone(); badInf(mid) = (badInf(mid) ^ 0x7f).toByte
-    assert(!Avro.parseAvro(2L, badInf).parse_ok ||
-      Avro.parseAvro(2L, badInf).inflated_bytes !=
-        Avro.parseAvro(2L, d).inflated_bytes,
+    assert(!Avro.parseAvro(6L, badInf).parse_ok ||
+      Avro.parseAvro(6L, badInf).inflated_bytes !=
+        Avro.parseAvro(6L, d).inflated_bytes,
       "a corrupt deflate stream must not produce the clean census")
   }
 
+  test("snappy block CRC is really verified: flipped compressed bytes degrade") {
+    val g = Avro.syntheticAvro(2L) // 2 % 3 = 2 -> snappy
+    assert(Avro.parseAvro(2L, g).codec.contains("snappy"))
+    // flip bytes at several offsets in the back half (inside snappy
+    // payloads / their CRC trailers): every flip must degrade — either
+    // snappy refuses the stream or the CRC-32 of the uncompressed data
+    // mismatches; none may ship a clean census
+    val clean = Avro.parseAvro(2L, g)
+    Seq(g.length / 2, 2 * g.length / 3, g.length - 20).foreach { at =>
+      val bad = g.clone(); bad(at) = (bad(at) ^ 0x40).toByte
+      val m = Avro.parseAvro(2L, bad)
+      assert(!m.parse_ok || m != clean, s"flip at $at shipped a clean census")
+    }
+  }
+
   test("unknown or unsupported codec degrades") {
-    // corrupt id=2's codec string (deflate → same-length junk)
-    val g = Avro.syntheticAvro(2L)
+    // corrupt id=6's codec string (deflate → same-length junk)
+    val g = Avro.syntheticAvro(6L)
     val s = new String(g, "ISO-8859-1")
     val idx = s.indexOf("deflate", s.indexOf("avro.codec"))
     assert(idx > 0)
     val bad = g.clone()
     "deflatz".getBytes.copyToArray(bad, idx)
-    assert(!Avro.parseAvro(2L, bad).parse_ok)
+    assert(!Avro.parseAvro(6L, bad).parse_ok)
   }
 
   test("parseAvro never throws on arbitrary byte soup (seeded fuzz)") {
