@@ -9,6 +9,38 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** The (key, bucket) floor-division bucket expression shared by every
+    * resampler: exact int64, no double round-trip.
+    */
+  private def bucketExpr(tsCol: String, bucketWidth: Long) =
+    expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
+
+  /** Per-key total span (whole-partition min/max windows over the
+    * COMPACT observed-bucket rows — rides the by-key exchange the
+    * ordered windows already need). Feeds [[gapRunColumn]]'s fail-fast.
+    */
+  private def spanColumn(keyCol: String): Column = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$keyCol`"))
+    max(col("bucket")).over(wAll) - min(col("bucket")).over(wAll) + lit(1L)
+  }
+
+  /** Each observed bucket's half-open gap run [bucket, __next) as an
+    * `explode(sequence)`, wrapped in the per-key total-span fail-fast —
+    * the same trigger condition (key span > cap) and message as the
+    * historical two-aggregation shape. (A window function cannot live
+    * inside a generator, so the span arrives as the materialized
+    * `__span` column.)
+    */
+  private def gapRunColumn(keyCol: String, maxBucketsPerKey: Long): Column =
+    explode(when(col("__span") > maxBucketsPerKey,
+      raise_error(concat(
+        lit(s"denseCounts: key "), col(s"`$keyCol`").cast("string"),
+        lit(s" spans "), col("__span").cast("string"),
+        lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — corrupt/sentinel timestamp?"))))
+      .otherwise(sequence(col("bucket"),
+        coalesce(col("__next") - lit(1L), col("bucket")))))
+
   /** Dense per-key bucket counts: one row per (key, bucket) for EVERY
     * bucket in [min observed, max observed] of that key, with
     * `n_events = 0` where nothing happened — the gap-fill step charts
@@ -19,16 +51,25 @@ object TimeSeries {
     * straddling the epoch and mis-bucket any negative/sentinel
     * timestamp relative to a floor-division oracle.
     *
-    * Scale shape: one groupBy down to (key, bucket) partial counts —
-    * map-side combine absorbs the raw event volume — then an
-    * `explode(sequence)` executor-side fan-out of each key's span and a
-    * left join back on (key, bucket). Grid size is Σ per-key spans, not
-    * keys × global span: a key active for an hour never fans out to the
-    * corpus's full history. Null keys/timestamps are excluded (they
-    * have no place on a grid). A single corrupt timestamp (epoch-0
-    * sentinel next to 2026 data) would explode one key's span into a
-    * multi-GB row or hit Spark's sequence cap with a cryptic error —
-    * `maxBucketsPerKey` fails fast and names the key instead.
+    * Scale shape (r19 optimization round — guide §2.4 shuffle removal):
+    * one groupBy down to (key, bucket) partial counts — map-side combine
+    * absorbs the raw event volume — then gap-fill with NO second
+    * aggregation and NO join-back: one window pass over the compact
+    * observed-bucket rows (`lead` finds each bucket's next observed
+    * bucket) and an `explode(sequence)` emits the half-open gap run
+    * [bucket, next) per row. The historical shape (groupBy(key) min/max
+    * → explode → left join back on (key, bucket)) cost two extra
+    * Exchanges plus a grid-sized sort-merge join; this one reaches the
+    * same grid with a single by-key exchange of compact rows (measured
+    * on the sf0.1 events gates: see OPTIMIZATION_r19.md). Grid size is
+    * still Σ per-key spans, not keys × global span. Null
+    * keys/timestamps are excluded (they have no place on a grid). A
+    * single corrupt timestamp (epoch-0 sentinel next to 2026 data)
+    * would explode one key's span into a multi-GB row or hit Spark's
+    * sequence cap with a cryptic error — `maxBucketsPerKey` fails fast
+    * and names the key instead (same per-key total-span trigger as
+    * always, from whole-partition min/max windows riding the same
+    * exchange).
     */
   def denseCounts(
       df: DataFrame, keyCol: String, tsCol: String,
@@ -36,26 +77,17 @@ object TimeSeries {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     require(maxBucketsPerKey > 0, s"maxBucketsPerKey must be positive: $maxBucketsPerKey")
     val key = col(s"`$keyCol`")
-    val counts = df
-      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull)
-      .groupBy(key.as(keyCol),
-        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
-          .as("bucket"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("bucket"))
+    df.filter(key.isNotNull && col(s"`$tsCol`").isNotNull)
+      .groupBy(key.as(keyCol), bucketExpr(tsCol, bucketWidth).as("bucket"))
       .agg(count(lit(1)).as("n_events"))
-    val grid = counts
-      .groupBy(col(s"`$keyCol`"))
-      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-      .withColumn("__span", col("__hi") - col("__lo") + 1L)
-      .withColumn("bucket",
-        explode(when(col("__span") > maxBucketsPerKey,
-          raise_error(concat(
-            lit(s"denseCounts: key "), col(s"`$keyCol`").cast("string"),
-            lit(s" spans "), col("__span").cast("string"),
-            lit(s" buckets > maxBucketsPerKey=$maxBucketsPerKey — corrupt/sentinel timestamp?"))))
-          .otherwise(sequence(col("__lo"), col("__hi")))))
-      .drop("__lo", "__hi", "__span")
-    grid.join(counts, Seq(keyCol, "bucket"), "left")
-      .na.fill(0L, Seq("n_events"))
+      .withColumn("__next", lead(col("bucket"), 1).over(wk))
+      .withColumn("__span", spanColumn(keyCol))
+      .withColumn("__g", gapRunColumn(keyCol, maxBucketsPerKey))
+      .select(col(s"`$keyCol`"), col("__g").as("bucket"),
+        when(col("__g") === col("bucket"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"))
   }
 
   /** Dense per-key grid with the VALUE carried forward — LOCF
@@ -70,11 +102,16 @@ object TimeSeries {
     * observation). Null observations are not observations: they neither
     * set `value` nor `is_observed`, and the carry skips them.
     *
-    * Scale shape: ONE extra groupBy vs [[denseCounts]] (per-bucket
-    * struct-max, map-side combined — the raw event volume never reaches
-    * the shuffle), a (key, bucket)-keyed join onto the grid, and one
-    * carry window over the same (key, bucket-ordered) partitioning the
-    * grid already has. maxBucketsPerKey fail-fast inherited.
+    * Scale shape (r19 optimization round — guide §2.4): the per-bucket
+    * struct-max rides the SAME single (key, bucket) aggregation as the
+    * count (map-side combined — the raw event volume never reaches the
+    * shuffle), and the carry window runs over the COMPACT observed
+    * rows BEFORE the gap-run explode, so the dense grid is produced in
+    * its final form with no join and no grid-sized window buffer. The
+    * historical shape (denseCounts grid + a second groupBy + a
+    * (key, bucket) join + a grid-length running window) cost three
+    * more Exchanges and two grid-sized sorts for the identical output.
+    * maxBucketsPerKey fail-fast inherited.
     */
   def resampleLocf(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
@@ -84,26 +121,34 @@ object TimeSeries {
       "tiebreak columns required: equal-timestamp observations would " +
         "otherwise resolve nondeterministically")
     val key = col(s"`$keyCol`")
-    val obs = df
-      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull &&
-        col(s"`$valueCol`").isNotNull)
-      .groupBy(key.as(keyCol),
-        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
-          .as("bucket"))
-      // struct max: field-wise (ts, tiebreak..., value) ordering picks the
-      // bucket's latest observation in one map-side-combinable aggregate —
-      // no per-bucket row_number shuffle
-      .agg(max(struct(col(s"`$tsCol`") +: tiebreak :+ col(s"`$valueCol`").as("__v"): _*))
-        .as("__last"))
-      .select(col(s"`$keyCol`"), col("bucket"), col("__last.__v").as("__bv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(s"`$keyCol`")).orderBy(col("bucket"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("bucket"))
+    val wRun = wk
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
-      .join(obs, Seq(keyCol, "bucket"), "left")
-      .withColumn("is_observed", col("__bv").isNotNull)
-      .withColumn("value", last(col("__bv"), ignoreNulls = true).over(w))
-      .drop("__bv")
+    df.filter(key.isNotNull && col(s"`$tsCol`").isNotNull)
+      .groupBy(key.as(keyCol), bucketExpr(tsCol, bucketWidth).as("bucket"))
+      // struct max: field-wise (ts, tiebreak..., value) ordering picks the
+      // bucket's latest NON-NULL observation (null values are not
+      // observations — max ignores the null struct) in one map-side-
+      // combinable aggregate — no per-bucket row_number shuffle
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col(s"`$valueCol`").isNotNull,
+          struct(col(s"`$tsCol`") +: tiebreak :+ col(s"`$valueCol`").as("__v"): _*)))
+          .as("__last"))
+      .select(col(s"`$keyCol`"), col("bucket"), col("n_events"),
+        col("__last.__v").as("__bv"))
+      .withColumn("__next", lead(col("bucket"), 1).over(wk))
+      // carried value per observed bucket: every gap bucket up to the
+      // next observation inherits it unchanged (there is nothing in
+      // between to reset it)
+      .withColumn("__carry", last(col("__bv"), ignoreNulls = true).over(wRun))
+      .withColumn("__span", spanColumn(keyCol))
+      .withColumn("__g", gapRunColumn(keyCol, maxBucketsPerKey))
+      .select(col(s"`$keyCol`"), col("__g").as("bucket"),
+        when(col("__g") === col("bucket"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        (col("__g") === col("bucket") && col("__bv").isNotNull).as("is_observed"),
+        col("__carry").as("value"))
   }
 
   /** Dense per-key grid with LINEAR interpolation between observations —
@@ -121,12 +166,15 @@ object TimeSeries {
     *    null (no extrapolation — an estimate with one anchor is a guess,
     *    and LOCF already covers the carry-forward contract).
     *
-    * Scale shape: identical to [[resampleLocf]] plus ONE more window pass
-    * over the same (key, bucket-ordered) partitioning (the
-    * next-observation carry) — raw events still never reach a shuffle
-    * (per-bucket struct-max is map-side combined), and the grid is
-    * fail-fast bounded by `maxBucketsPerKey`. The blend is pure
-    * double arithmetic inside whole-stage codegen.
+    * Scale shape (r19 optimization round — guide §2.4): identical to
+    * [[resampleLocf]] plus ONE more window pass over the compact
+    * observed rows (the next-anchor carry) — raw events still never
+    * reach a shuffle (per-bucket struct-max rides the single
+    * map-side-combined aggregation), both anchors are resolved BEFORE
+    * the gap-run explode (they are constant across a gap run), and the
+    * blend is pure double arithmetic inside whole-stage codegen over
+    * the emitted grid. No joins, no grid-sized window buffers; grid
+    * fail-fast bounded by `maxBucketsPerKey`.
     */
   def resampleInterp(
       df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
@@ -136,45 +184,52 @@ object TimeSeries {
       "tiebreak columns required: equal-timestamp observations would " +
         "otherwise resolve nondeterministically")
     val key = col(s"`$keyCol`")
-    val obs = df
-      .filter(key.isNotNull && col(s"`$tsCol`").isNotNull &&
-        col(s"`$valueCol`").isNotNull)
-      .groupBy(key.as(keyCol),
-        expr(s"(`$tsCol` - pmod(`$tsCol`, ${bucketWidth}L)) DIV ${bucketWidth}L")
-          .as("bucket"))
-      .agg(max(struct(col(s"`$tsCol`").as("__ot") +: tiebreak :+
-        col(s"`$valueCol`").as("__v"): _*)).as("__last"))
-      .select(col(s"`$keyCol`"), col("bucket"),
-        col("__last.__ot").as("__ot"), col("__last.__v").as("__bv"))
-    val wPrev = org.apache.spark.sql.expressions.Window
+    val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(col("bucket"))
+    val wPrev = wk
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // next-observation carry as a RUNNING frame over the REVERSED bucket
     // order: a [current, unboundedFollowing] frame looks symmetric but
     // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
-    // frame from scratch per row — O(buckets²) per key, measured 17×
-    // slower on the sf0.1 grid (33 s vs <2 s). Descending order + the
-    // incremental [unboundedPreceding, current] frame is the O(n) form;
-    // it costs one extra sort over the exchange the grid already has.
+    // frame from scratch per row — O(buckets²) per key (measured 17×
+    // slower in the historical grid shape). Descending order + the
+    // incremental [unboundedPreceding, -1] frame is the O(n) form; the
+    // -1 bound excludes the current row, so an observed-but-all-null
+    // bucket blends toward the anchor strictly AFTER it — exactly what
+    // the whole-grid carry resolved to (its own anchor is null there).
     val wNext = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val anchor = when(col("__bv").isNotNull, struct(col("__ot"), col("__bv")))
-    val tB = col("bucket") * lit(bucketWidth)
     val p = col("__p"); val n = col("__n")
-    val blend = p.getField("__bv") +
-      (n.getField("__bv") - p.getField("__bv")) *
-        ((tB - p.getField("__ot")).cast("double") /
-          (n.getField("__ot") - p.getField("__ot")).cast("double"))
-    denseCounts(df, keyCol, tsCol, bucketWidth, maxBucketsPerKey)
-      .join(obs, Seq(keyCol, "bucket"), "left")
+    df.filter(key.isNotNull && col(s"`$tsCol`").isNotNull)
+      .groupBy(key.as(keyCol), bucketExpr(tsCol, bucketWidth).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col(s"`$valueCol`").isNotNull,
+          struct(col(s"`$tsCol`").as("__ot") +: tiebreak :+
+            col(s"`$valueCol`").as("__v"): _*))).as("__last"))
+      .select(col(s"`$keyCol`"), col("bucket"), col("n_events"),
+        col("__last.__ot").as("__ot"), col("__last.__v").as("__bv"))
+      .withColumn("__next", lead(col("bucket"), 1).over(wk))
       .withColumn("__p", last(anchor, ignoreNulls = true).over(wPrev))
+      // strictly-after anchor: correct for every row that CONSULTS it —
+      // gap rows (their in-between anchors don't exist) and observed-but-
+      // all-null buckets (their own anchor is null, so "nearest ≥ here"
+      // IS "nearest after here"); observed non-null buckets never read it
       .withColumn("__n", last(anchor, ignoreNulls = true).over(wNext))
-      .withColumn("is_observed", col("__bv").isNotNull)
-      .withColumn("value",
-        when(col("__bv").isNotNull, col("__bv"))
-          .otherwise(when(p.isNotNull && n.isNotNull, blend)))
-      .drop("__bv", "__ot", "__p", "__n")
+      .withColumn("__span", spanColumn(keyCol))
+      .withColumn("__g", gapRunColumn(keyCol, maxBucketsPerKey))
+      .select(col(s"`$keyCol`"), col("__g").as("bucket"),
+        when(col("__g") === col("bucket"), col("n_events"))
+          .otherwise(lit(0L)).as("n_events"),
+        (col("__g") === col("bucket") && col("__bv").isNotNull).as("is_observed"),
+        when(col("__g") === col("bucket") && col("__bv").isNotNull, col("__bv"))
+          .otherwise(when(p.isNotNull && n.isNotNull,
+            p.getField("__bv") +
+              (n.getField("__bv") - p.getField("__bv")) *
+                ((col("__g") * lit(bucketWidth) - p.getField("__ot")).cast("double") /
+                  (n.getField("__ot") - p.getField("__ot")).cast("double"))))
+          .as("value"))
   }
 
   /** [[denseCounts]] plus a gap flag and a carried-forward "last active
