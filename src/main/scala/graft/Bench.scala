@@ -51,6 +51,25 @@ object Bench {
       // store with high-latency metadata, drop this back toward the
       // default so listing parallelizes across executors.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+      // r19 (guide §1 measure-first on the streaming family): the default
+      // FileContext-based checkpoint file manager costs ~30 ms PER
+      // metadata operation on the local FS (measured via
+      // StreamingQueryListener durationMs: walCommit 30 ms,
+      // commitOffsets 30 ms, latestOffset 30 ms, state commitTime 55 ms
+      // — all CPU in the FileContext/AbstractFileSystem layer, NOT I/O:
+      // a tmpfs checkpoint dir moved nothing, and the FileSystem-based
+      // manager drops the same ops to 7/7/7/2 ms). ~100 ms × every
+      // micro-batch × 35 streaming gates. The FileContext default exists
+      // for atomic-rename semantics against multi-writer object stores;
+      // a single-driver local[] session has no such writer race. On a
+      // real cluster with HDFS/S3 checkpoints, unset
+      // SPARK_GRAFT_CKPT_FM_LOCAL (any non-"1" value) to restore the
+      // deployment-safe default.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        if (sys.env.getOrElse("SPARK_GRAFT_CKPT_FM_LOCAL", "1") == "1")
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
+        else
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileContextBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       // the status stores run even with the UI off (they back the status
       // API) and their DEFAULT retention is sized for a monitoring UI, not

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.debug.maxToStringFields", "2000")
       // driver-side listing for small path batches (see Bench.scala)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+      // local-FS checkpoint file manager — see the measured rationale in
+      // Bench.scala (same env override)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        if (sys.env.getOrElse("SPARK_GRAFT_CKPT_FM_LOCAL", "1") == "1")
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
+        else
+          "org.apache.spark.sql.execution.streaming.checkpointing.FileContextBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
