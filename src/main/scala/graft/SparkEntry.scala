@@ -123,10 +123,15 @@ object SparkEntry {
         s"events.ts has unsupported type $other — expected timestamp or epoch-nanos long")
     }
 
-  /** Canonical events read: `ts` is ALWAYS epoch-µs LongType downstream. */
+  /** Canonical events read: `ts` is ALWAYS epoch-µs LongType downstream.
+    * Fanned out when tiny (see [[fanOutTiny]] — 55 gates read events
+    * directly, so the fan-out lives here, not just in [[t]]).
+    */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEventTs(
-      spark.read.schema(eventsReadSchema(spark, dir)).parquet(s"$dir/events.parquet"))
+    fanOutTiny(spark,
+      normalizeEventTs(
+        spark.read.schema(eventsReadSchema(spark, dir)).parquet(s"$dir/events.parquet")),
+      s"$dir/events.parquet", Seq("event_id"))
 
   /** Canonical streaming events read — same unit resolution as [[events]]. */
   private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -134,9 +139,53 @@ object SparkEntry {
       spark.readStream.schema(eventsReadSchema(spark, dir))
         .option("pathGlobFilter", "events.parquet").parquet(dir))
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  /** r19 optimization round (guide §2.5 "input skew: one huge
+    * unsplittable file… repartition immediately after the read"): every
+    * sf test table is ONE parquet file with ONE row group, so a scan —
+    * and with it every first-stage kernel, filter, and map-side partial
+    * aggregate — runs as a single task no matter how many cores the
+    * session has. Fan tiny scans out to `defaultParallelism` by hashing
+    * the table's unique key (hash repartition is deterministic under
+    * task retry and, unlike round-robin, pays no sort-before-repartition
+    * pass). SCALE-ADAPTIVE, not a local[32] constant: the fan-out only
+    * fires when the whole input is smaller than one scan split
+    * (`spark.sql.files.maxPartitionBytes`) — a production-sized input
+    * already splits, so its plan is untouched and no payload is ever
+    * re-shuffled at scale. Correctness is unaffected by construction:
+    * every aggregate in the registry is exact under any partitioning
+    * (int64/decimal folds, struct-max picks), every output carries a
+    * total order, and the full oracle board was re-verified after this
+    * change (OPTIMIZATION_r19.md).
+    */
+  private val fanOutKeys: Map[String, Seq[String]] = Map(
+    // events fans out inside [[events]] itself (direct callers)
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  private[graft] def fanOutTiny(spark: SparkSession, df: DataFrame,
+      path: String, keys: Seq[String]): DataFrame = {
+    val f = new java.io.File(path)
+    val len =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+      else f.length
+    val n = spark.sparkContext.defaultParallelism
+    if (len > 0 && len < spark.sessionState.conf.filesMaxPartitionBytes && n > 1)
+      df.repartition(n, keys.map(k => col(s"`$k`")): _*)
+    else df
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val base =
+      if (name == "events") events(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    fanOutKeys.get(name) match {
+      case Some(keys) => fanOutTiny(spark, base, s"$dir/$name.parquet", keys)
+      case None => base
+    }
+  }
 
   /** The staged event-time backlog replay the `stream_*_et` eviction
     * gates stream from: the canonical events read, bucketized one file
