@@ -124,14 +124,16 @@ object SparkEntry {
     }
 
   /** Canonical events read: `ts` is ALWAYS epoch-µs LongType downstream.
-    * Fanned out when tiny (see [[fanOutTiny]] — 55 gates read events
-    * directly, so the fan-out lives here, not just in [[t]]).
+    * NOT fanned out (r19 measurement): most events gates are light
+    * aggregations whose map-side partial agg already collapses rows
+    * before any shuffle — a pre-shuffle of the raw payload only adds an
+    * exchange (full-board A/B: +0.3-0.6 s per gate across ~60 events
+    * gates with the fan-out, no wins). Gates whose FIRST stage is
+    * kernel-heavy opt in via [[tf]].
     */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame =
-    fanOutTiny(spark,
-      normalizeEventTs(
-        spark.read.schema(eventsReadSchema(spark, dir)).parquet(s"$dir/events.parquet")),
-      s"$dir/events.parquet", Seq("event_id"))
+    normalizeEventTs(
+      spark.read.schema(eventsReadSchema(spark, dir)).parquet(s"$dir/events.parquet"))
 
   /** Canonical streaming events read — same unit resolution as [[events]]. */
   private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame =
@@ -154,11 +156,20 @@ object SparkEntry {
     * re-shuffled at scale. Correctness is unaffected by construction:
     * every aggregate in the registry is exact under any partitioning
     * (int64/decimal folds, struct-max picks), every output carries a
-    * total order, and the full oracle board was re-verified after this
-    * change (OPTIMIZATION_r19.md).
+    * total order.
+    *
+    * OPT-IN PER GATE ([[tf]]), not automatic in [[t]]/[[events]]: the
+    * full-board A/B (OPTIMIZATION_r19.md) showed the extra exchange is
+    * a net LOSS for the ~150 light gates whose first stage is a filter
+    * or map-side partial aggregate (they shuffle a handful of agg rows
+    * anyway; pre-shuffling the raw payload adds ~0.3-0.6 s of pure
+    * shuffle-file overhead each), and a 2-3× loss for the typed
+    * media-synth pipelines — while first-stage kernel-heavy gates
+    * (gopher/readability/fuzzy/ngram kernels, image-codec synth+decode)
+    * win 2-4×. Only the measured winners call [[tf]].
     */
   private val fanOutKeys: Map[String, Seq[String]] = Map(
-    // events fans out inside [[events]] itself (direct callers)
+    "events" -> Seq("event_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"),
     "orders" -> Seq("o_orderkey"),
@@ -177,15 +188,15 @@ object SparkEntry {
     else df
   }
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val base =
-      if (name == "events") events(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
-    fanOutKeys.get(name) match {
-      case Some(keys) => fanOutTiny(spark, base, s"$dir/$name.parquet", keys)
-      case None => base
-    }
-  }
+  /** Fanned-out variant of [[t]] — see [[fanOutKeys]] for when a gate
+    * should use it (first stage dominated by per-row kernel work).
+    */
+  private def tf(spark: SparkSession, dir: String, name: String): DataFrame =
+    fanOutTiny(spark, t(spark, dir, name), s"$dir/$name.parquet", fanOutKeys(name))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The staged event-time backlog replay the `stream_*_et` eviction
     * gates stream from: the canonical events read, bucketized one file
@@ -1385,7 +1396,7 @@ object SparkEntry {
 
     // §2.11 — PII scrub: masked text + per-doc match counts.
     "pii_scrub" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .select(col("doc_id") +:
           TextStats.scrubPii(col("text")).as("text_scrubbed") +:
           TextStats.piiCounts(col("text")): _*)
@@ -1458,7 +1469,7 @@ object SparkEntry {
     // non-vacuous; the oracle replays the explode → count → top-1/dup
     // aggregation per signal.
     "gopher_repetition" -> ((s, dir) => {
-      val enriched = t(s, dir, "documents")
+      val enriched = tf(s, dir, "documents")
         .filter(col("doc_id").isNotNull)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(3)) === 0,
@@ -1532,7 +1543,7 @@ object SparkEntry {
     // scale factor); the base table's natural dup grams (vocabulary is
     // small) exercise the organic path.
     "substring_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val docs = tf(s, dir, "documents").select("doc_id", "text")
       val enriched = docs
         .unionByName(docs.filter(col("doc_id") % 17 === 0)
           .select((-col("doc_id") - 1L).as("doc_id"),
@@ -1569,7 +1580,7 @@ object SparkEntry {
     // proxy): avg corpus token frequency + near-OOV count per doc,
     // int64-exact until one final division.
     "familiarity_score" -> ((s, dir) =>
-      TextStats.unigramFamiliarity(t(s, dir, "documents"), "doc_id", "text",
+      TextStats.unigramFamiliarity(tf(s, dir, "documents"), "doc_id", "text",
         oovBelow = 3L)
         .orderBy("doc_id")),
 
@@ -1577,7 +1588,7 @@ object SparkEntry {
     // 2-gram evidence): per-doc continuation rate Σc(w1,w2)/Σc(w1·) and
     // rare-bigram count, int64-exact until one final division.
     "bigram_familiarity" -> ((s, dir) =>
-      TextStats.bigramFamiliarity(t(s, dir, "documents"), "doc_id", "text",
+      TextStats.bigramFamiliarity(tf(s, dir, "documents"), "doc_id", "text",
         rareBelow = 3L)
         .orderBy("doc_id")),
 
@@ -2017,12 +2028,12 @@ object SparkEntry {
 
     // §2.11 — MinHash+LSH near-dup (verified ≥ 0.8 exact Jaccard).
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
+      Dedup.minhashNearDups(tf(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
 
     // §2.11 — exact all-pairs n-gram Jaccard via inverted index.
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(tf(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     // §2.11 — cross-source duplication matrix: the ≥0.5-Jaccard
@@ -2031,7 +2042,7 @@ object SparkEntry {
     // shows WHICH feeds mirror each other — the per-pair list is
     // ngram_jaccard; this is its contract with the mixture planner.
     "source_copy_matrix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tf(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
         .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
@@ -2151,7 +2162,7 @@ object SparkEntry {
     // full 64-dim ranking, floor-certified in-gate; full pure-SQL oracle
     // (projection + both rankings + recall all replayed).
     "ann_rp_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.certifyRecallFloor(
         Similarity.rpRecall(
           emb, "vec_id", "embedding",
@@ -2241,7 +2252,7 @@ object SparkEntry {
     // absent term (zero branch); keep-threshold compared by exact
     // integer cross-multiplication.
     "blockterm_profile" -> ((s, dir) =>
-      TextStats.blocktermProfile(t(s, dir, "documents"), "doc_id", "text",
+      TextStats.blocktermProfile(tf(s, dir, "documents"), "doc_id", "text",
         Seq("slow", "stale", "corrupt", "zzznotaword"), maxPerMyriad = 150)
         .orderBy("doc_id")),
 
@@ -2253,7 +2264,7 @@ object SparkEntry {
     // trim/split/regex semantics.
     "c4_line_filter" -> ((s, dir) => {
       val m = pmod(col("doc_id"), lit(4))
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .withColumn("text", concat(col("text"),
           when(m === 0, lit("\nPlease enable Javascript to continue.\nA proper closing sentence survives here."))
             .when(m === 1, lit("\nok\nlorem ipsum dolor sit amet, consectetur."))
@@ -2269,7 +2280,7 @@ object SparkEntry {
     // double-encoded &amp;amp;); the oracle replays the identical
     // Java≡RE2 regex chain in DuckDB.
     "html_extract" -> ((s, dir) => {
-      val html = t(s, dir, "documents").select(col("doc_id"), concat(
+      val html = tf(s, dir, "documents").select(col("doc_id"), concat(
         lit("<html><head><title>d"), col("doc_id"), lit("</title>"),
         lit("<style type=\"text/css\">body {margin: 0}</style>"),
         lit("<script>if (1 < 2) { alert(\"x\"); }</script></head><body>"),
@@ -2295,7 +2306,7 @@ object SparkEntry {
     // vowel-group counts + the Flesch and FK-grade fixed-order IEEE
     // expressions — the cheap quality-filter axis Gopher rules miss.
     "readability" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tf(s, dir, "documents")
         .select(col("doc_id") +:
           TextStats.readabilityProfile(col("text")): _*)
         .orderBy("doc_id")),
@@ -2311,7 +2322,7 @@ object SparkEntry {
         .select(concat(lit("zzterm"), col("id")).as("term"))
       val real = Seq("the", "and", "of", "to", "in", "a", "is", "data",
         "with", "for").toDF("term")
-      TextStats.blocktermProfileJoined(t(s, dir, "documents"), "doc_id", "text",
+      TextStats.blocktermProfileJoined(tf(s, dir, "documents"), "doc_id", "text",
         gen.unionByName(real), maxPerMyriad = 150)
         .orderBy("doc_id")
     }),
@@ -2722,7 +2733,7 @@ object SparkEntry {
     // state changes share valid_from, so the day's FINAL version (max) is
     // what a PIT lookup must see — dedup'd identically on both sides.
     "pit_lookup" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = tf(s, dir, "orders")
       val dim0 = TimeSeries.scd2(
         o.select("o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate", "o_orderkey"),
@@ -2925,7 +2936,7 @@ object SparkEntry {
     "neardup_triangles" -> ((s, dir) =>
       graft.ops.Dedup.triangleStats(
         graft.ops.Dedup.ngramJaccardPairs(
-          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
+          tf(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
         "id_a", "id_b")),
 
     // Categorical drift (PSI over the source MIX): doc_id%3 splits the
@@ -3080,7 +3091,7 @@ object SparkEntry {
     // the exact brute-force ground truth (both sides pinned elsewhere:
     // similarity_topk carries the DuckDB oracle for the exact side).
     "ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.certifyRecallFloor(
         Similarity.annRecall(
           emb, "vec_id", "embedding",
@@ -3150,7 +3161,7 @@ object SparkEntry {
     // oracle here replays encode + LUT + ADC + re-rank from Verify's
     // codebook dump.
     "ann_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tf(s, dir, "embeddings")
       Similarity.pqTopK(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -3245,7 +3256,7 @@ object SparkEntry {
     // which is exactly what lets the BLOCKED engine hash-match an
     // ALL-PAIRS levenshtein oracle.
     "fuzzy_join" -> ((s, dir) => {
-      val base = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val base = tf(s, dir, "documents").filter(col("doc_id").isNotNull)
         .select(col("doc_id"), substring(col("text"), 11, 24).as("name"))
         .filter(length(col("name")) === 24)
       val typos = base.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -3262,7 +3273,7 @@ object SparkEntry {
     // k-longs-per-group 100 TB profile) stays spec-gated: DedupSpec bounds
     // its error against this exact form.
     "source_overlap" -> ((s, dir) =>
-      Dedup.groupOverlapExact(t(s, dir, "documents"), "source", "text")
+      Dedup.groupOverlapExact(tf(s, dir, "documents"), "source", "text")
         .orderBy("group_a", "group_b")),
 
     // §2.11 — multimodal plumbing: binary payload + typed metadata.
@@ -3283,7 +3294,7 @@ object SparkEntry {
     // value — original and resized — from the pixel formula alone in
     // SQL; nothing about the codec is trusted.
     "multimodal_imageio" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val ids = tf(s, dir, "documents").filter(col("doc_id").isNotNull)
       val media = Multimodal.syntheticPngTable(ids, "doc_id")
       val orig = Multimodal.decodeImages(media).toDF()
         .select(col("media_id"), col("decoded").cast("int").as("decoded"),
@@ -3304,7 +3315,7 @@ object SparkEntry {
     // got them through actual PNG encode/decode) and checks ALL pairs —
     // proving the pigeonhole candidate join is complete at maxHamming 3.
     "multimodal_ahash" -> ((s, dir) => {
-      val ids = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val ids = tf(s, dir, "documents").filter(col("doc_id").isNotNull)
       val base = Multimodal.syntheticPngTable(ids, "doc_id")
       val copies = Multimodal.syntheticPngTable(
         ids.filter(pmod(col("doc_id"), lit(9)) === 0), "doc_id",
@@ -3403,7 +3414,7 @@ object SparkEntry {
     "multimodal_video" -> ((s, dir) =>
       Multimodal.sampleVideoFrames(
         Multimodal.syntheticFrameStreamTable(
-          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+          tf(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
         stride = 2)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
@@ -3421,7 +3432,7 @@ object SparkEntry {
     "multimodal_mjpeg" -> ((s, dir) =>
       Multimodal.sampleMjpegFrames(
         Multimodal.syntheticMjpegTable(
-          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
+          tf(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"),
         stride = 2)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
@@ -3766,7 +3777,7 @@ object SparkEntry {
     "multimodal_png" -> ((s, dir) =>
       graft.ops.Png.pngMeta(
         graft.ops.Png.syntheticPngTable(
-          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+          tf(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
         .toDF()
         .select(col("media_id"),
           col("parse_ok").cast("int").as("parse_ok"),
@@ -3807,7 +3818,7 @@ object SparkEntry {
     "avro_census" -> ((s, dir) =>
       graft.ops.Avro.avroMeta(
         graft.ops.Avro.realAvroTable(
-          t(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
+          tf(s, dir, "documents").filter(col("doc_id").isNotNull), "doc_id"))
         .toDF()
         .select(col("media_id"),
           col("parse_ok").cast("int").as("parse_ok"),
@@ -4510,7 +4521,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) =>
       graft.ops.GraphOps.pageRank(
         graft.ops.Dedup.ngramJaccardPairs(
-          t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
+          tf(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5),
         "id_a", "id_b", iters = 3)
         .orderBy("id")),
 
@@ -4520,7 +4531,7 @@ object SparkEntry {
     // PARTITION BY doc_id.
     "pmi_collocations" -> ((s, dir) =>
       TextStats.pmiCollocations(
-        t(s, dir, "documents").filter(col("doc_id").isNotNull),
+        tf(s, dir, "documents").filter(col("doc_id").isNotNull),
         "text", minCount = 5L, topK = 50)),
 
     // G-family per-entity outlier scoring: every event z-scored against
