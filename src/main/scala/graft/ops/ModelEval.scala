@@ -38,10 +38,11 @@ object ModelEval {
     * are ≤ 2n, so `u_x2 ≤ 2n²` stays inside int64 to n ≈ 2.1e9 rows.
     *
     * Scale shape: rows collapse map-side to one row per DISTINCT grid
-    * score (count + positive count); the rank prefix is a window over
-    * that distinct-score relation (bounded by the score domain, not
-    * subjects — the [[Profiling.rankSumTest]] argument); the result is
-    * a 1-row aggregate.
+    * score (count + positive count); the rank prefix runs over that
+    * distinct-score relation via the distributed two-phase pattern
+    * ([[Prefix.exclusiveSums]] — r20: the former unpartitioned window
+    * was a single-task sort, range-sized for open-ended score domains);
+    * the result is a 1-row aggregate.
     */
   def aucScore(
       df: DataFrame, labelCol: String, scoreCol: String,
@@ -58,10 +59,11 @@ object ModelEval {
       .groupBy(col("__x"))
       .agg(count(lit(1)).as("__t"),
         sum(col("__y")).as("__t1"))
-    val wPrev = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perV
-      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+    // r20: the rank prefix was a single-partition Window.orderBy over the
+    // distinct-score relation — domain-bounded for fixed-range scores but
+    // range-sized for open-ended ones; Prefix.exclusiveSums computes the
+    // identical exact int64 prefix with partitioned windows only
+    Prefix.exclusiveSums(perV, Seq(col("__x")), Seq("__c" -> col("__t")))
       .withColumn("__r1x2",
         col("__t1") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
       .agg(
@@ -418,16 +420,20 @@ object ModelEval {
     val y = col(s"`$labelCol`").cast("long")
     val s = col(s"`$scoreCol`")
     val xd = round(s * lit(scale.toDouble), 0).cast("long")
-    val wCum = Window.orderBy(col("__x").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
     // NaN scores excluded for the same reason as [[aucScore]]: the
     // non-ANSI NaN→0 long cast would silently grid them at 0
-    df.filter(y.isin(0L, 1L) && s.isNotNull && !isnan(s.cast("double")))
+    val perV = df.filter(y.isin(0L, 1L) && s.isNotNull && !isnan(s.cast("double")))
       .select(y.as("__y"), xd.as("__x"))
       .groupBy(col("__x"))
       .agg(count(lit(1)).as("__t"), sum(col("__y")).as("__t1"))
-      .withColumn("__ctp", sum(col("__t1")).over(wCum))
-      .withColumn("__cn", sum(col("__t")).over(wCum))
+    // r20: descending INCLUSIVE cumulatives = descending exclusive prefix
+    // (Prefix.exclusiveSums — partitioned, no single-task sort) + the
+    // row's own exact int64 contribution
+    Prefix.exclusiveSums(perV, Seq(col("__x").desc),
+        Seq("__ctp0" -> col("__t1"), "__cn0" -> col("__t")))
+      .withColumn("__ctp", col("__ctp0") + col("__t1"))
+      .withColumn("__cn", col("__cn0") + col("__t"))
+      .drop("__ctp0", "__cn0")
   }
 
   /** Cumulative lift/gains table — "if we act on everything scoring in
@@ -461,6 +467,9 @@ object ModelEval {
       .agg(count(lit(1)).as("n"), sum(y).as("n_pos"))
     val tot = perBin.agg(
       sum(col("n")).as("__nt"), sum(col("n_pos")).as("__rt"))
+    // unpartitioned window is BOUNDED by construction here: the frame is
+    // the ≤ nBins-row fixed-bin relation, never data-sized (r19-verdict
+    // window audit: bounded-bin sites stay single-window, documented)
     val wCum = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     perBin
@@ -636,9 +645,10 @@ object ModelEval {
     * run (zero rank variance). tie sums stay int64 (the
     * [[Profiling.rankSumTest]] bound applies per axis).
     *
-    * Scale shape: each axis's midrank is a window over its
-    * DISTINCT-value relation (value-domain-sized), joined back to rows
-    * on the grid value — two hash joins keyed on a value, no
+    * Scale shape: each axis's midrank is a distributed prefix over its
+    * DISTINCT-value relation ([[Prefix.exclusiveSums]], r20 — no
+    * single-task sort even for open-ended value domains), joined back
+    * to rows on the grid value — two hash joins keyed on a value, no
     * subject-cardinality window; then one map-side-combined 1-row
     * aggregate.
     */
@@ -656,10 +666,11 @@ object ModelEval {
         round(vx * lit(scaleX.toDouble), 0).cast("long").as("__x"),
         round(vy * lit(scaleY.toDouble), 0).cast("long").as("__y"))
     def ranks(keyCol: String): DataFrame = {
-      val wPrev = Window.orderBy(col(keyCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      rows.groupBy(col(keyCol)).agg(count(lit(1)).as("__t"))
-        .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+      // r20: per-axis rank prefix via the distributed two-phase pattern
+      // (was a single-partition Window.orderBy over the distinct grid)
+      Prefix.exclusiveSums(
+          rows.groupBy(col(keyCol)).agg(count(lit(1)).as("__t")),
+          Seq(col(keyCol)), Seq("__c" -> col("__t")))
         .select(col(keyCol),
           (lit(2L) * col("__c") + col("__t") + lit(1L)).as(s"${keyCol}r"),
           (col("__t") * col("__t") * col("__t") - col("__t"))

@@ -692,10 +692,10 @@ object Profiling {
     * when either arm is empty or every value is tied (zero variance).
     *
     * Scale shape: rows collapse map-side to one row per DISTINCT grid
-    * value (count + group-one count); the rank prefix is a window over
-    * those bounded rows (unpartitioned BY DESIGN — its input is the
-    * distinct-value relation, not subjects; cf. [[logRank]]'s at-risk
-    * prefix); the result is a 1-row aggregate.
+    * value (count + group-one count); the rank prefix runs over the
+    * distinct-value relation via [[Prefix.exclusiveSums]] (r20 — the
+    * former unpartitioned window was a single-task sort, range-sized
+    * for open-ended value domains); the result is a 1-row aggregate.
     */
   def rankSumTest(
       df: DataFrame, groupCol: String, valueCol: String,
@@ -709,10 +709,10 @@ object Profiling {
       .groupBy(col("__x"))
       .agg(count(lit(1)).as("__t"),
         sum(when(col("__g") === groupOne, 1L).otherwise(0L)).as("__t1"))
-    val wPrev = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perV
-      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+    // r20: rank prefix via Prefix.exclusiveSums (was a single-partition
+    // Window.orderBy over the distinct grid — range-sized for open-ended
+    // value domains); same exact int64 prefix, partitioned windows only
+    Prefix.exclusiveSums(perV, Seq(col("__x")), Seq("__c" -> col("__t")))
       // doubled midrank of this tie run, times its group-one members
       .withColumn("__r1x2",
         col("__t1") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
@@ -815,10 +815,9 @@ object Profiling {
       .groupBy(col("__x"), col("__g"))
       .agg(count(lit(1)).as("__tg"))
     val perV = perVG.groupBy(col("__x")).agg(sum(col("__tg")).as("__t"))
-    val wPrev = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perV
-      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
+    // r20: same distributed-prefix move as [[rankSumTest]]
+    val ranked =
+      Prefix.exclusiveSums(perV, Seq(col("__x")), Seq("__c" -> col("__t")))
     val perG = perVG.join(ranked, Seq("__x"))
       .withColumn("__r2",
         col("__tg") * (lit(2L) * col("__c") + col("__t") + lit(1L)))
@@ -1424,15 +1423,14 @@ object Profiling {
     * (share 1) as a built-in self-check.
     *
     * Scale shape: groupBy(key) collapses rows to the key relation
-    * map-side; the distinct-TOTAL relation carries the window; the
+    * map-side; the distinct-TOTAL relation carries the prefix pass; the
     * p-frame is a broadcast literal of a handful of rows range-matched
-    * against tie runs. CAVEAT the rank family's domain argument is
-    * weaker here: cent-grain totals of a continuous value are nearly
-    * all distinct, so the windowed relation is keys-sized, not
-    * domain-sized — at billions of keys run the curve on a coarser
-    * money grid (drop `scale`, e.g. whole currency units or hundreds),
-    * which caps the relation at the grid's domain and changes the
-    * result only below the chosen grain.
+    * against tie runs. The rank family's domain argument is weakest
+    * here (cent-grain totals of a continuous value are nearly all
+    * distinct, so the prefix relation is KEYS-sized, not domain-sized)
+    * — which is why the prefix runs through [[Prefix.exclusiveSums]]
+    * (r20): range-partitioned parallel cumsums, no single-task sort at
+    * any key count.
     */
   def concentration(
       df: DataFrame, keyCol: String, valueCol: String,
@@ -1450,12 +1448,12 @@ object Profiling {
       .filter(col("__v") >= 0L)
     val runs = perKey.groupBy(col("__v").as("__x"))
       .agg(count(lit(1)).as("__t"))
-    val wPrev = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = runs
-      .withColumn("__c", coalesce(sum(col("__t")).over(wPrev), lit(0L)))
-      .withColumn("__cumv",
-        coalesce(sum(col("__x") * col("__t")).over(wPrev), lit(0L)))
+    // r20: the scaladoc's own caveat made this the one KEY-sized frame in
+    // the rank family (cent totals are nearly all distinct) — the
+    // single-partition window is gone; the two prefixes ride one
+    // distributed two-phase pass (Prefix.exclusiveSums), exact-identical
+    val ranked = Prefix.exclusiveSums(runs, Seq(col("__x")),
+      Seq("__c" -> col("__t"), "__cumv" -> (col("__x") * col("__t"))))
     val totals = ranked.agg(
       sum(col("__t")).as("__n"),
       sum(col("__x") * col("__t")).as("__tot"),

@@ -898,7 +898,9 @@ object TextStats {
       .withColumn("__prnk", row_number().over(wCut))
       .filter(col("__prnk") <= k)
       .drop("__pid", "__prnk")
-    // phase 2: global rank over ≤ k × numPartitions survivors
+    // phase 2: global rank over ≤ k × numPartitions survivors — the
+    // unpartitioned window is bounded by the phase-1 cut, never corpus-
+    // sized (r19 window audit: bounded sites stay single-window)
     val w = Window.orderBy(desc("score"), asc("__id"))
     cut
       .withColumn("rnk", row_number().over(w).cast("long"))
