@@ -70,6 +70,36 @@ object Bench {
           "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
         else
           "org.apache.spark.sql.execution.streaming.checkpointing.FileContextBasedCheckpointFileManager")
+      // r20 AQE-coalescing experiment knob (guide §2.2 / r19-verdict
+      // scaling block): SPARK_GRAFT_AQE_COALESCE=size switches partition
+      // coalescing from the parallelism-first default to size-based
+      // (parallelismFirst=false, advisory SPARK_GRAFT_ADVISORY_PART,
+      // cached-plan re-optimization on). Measured r20 full-board A/B at
+      // sf0.1/local[32]: size-based is a NET LOSS here (geomean 1.12,
+      // worst gates +2.4 s) — the tiny-SF stages are fixed-cost/compute-
+      // bound, so folding byte-small exchanges serializes kernel and
+      // cached-frame stages; measurement details in OPTIMIZATION_r20.md.
+      // On a real cluster with advisory 64-256m and byte-bound stages,
+      // size-based is the standard setting — flip the env there.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        if (sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "parallel") == "size")
+          "false" else "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "64m"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        if (sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "parallel") == "size")
+          "true" else "false")
+      // r20 (StageProbe measurement, guide §1): parallelism-first AQE
+      // coalescing still floors partitions at minPartitionSize (1m
+      // default), which folded CPU-DENSE small-byte exchanges — the
+      // ngram/winnow inverted-index sorts move ~4 MB but burn ~2.4 s of
+      // CPU — down to 3-4 tasks on a 32-core session. A finer floor
+      // re-parallelizes exactly those stages while byte-tiny exchanges
+      // (< cpus × floor) still coalesce; at cluster scale byte-dense
+      // exchanges exceed total/parallelism anyway, so the floor is
+      // irrelevant there and the setting is scale-safe.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
       .config("spark.ui.enabled", "false")
       // the status stores run even with the UI off (they back the status
       // API) and their DEFAULT retention is sized for a monitoring UI, not
@@ -164,6 +194,34 @@ object Bench {
       // codebooks (round 13)
       SparkEntry.bpeLearnedMerges(spark, sfDir)
     } catch { case _: Throwable => () }
+    // r20 (r19-verdict item 5 — neutralize the memoTrained timing
+    // ambiguity): the registry's ann_* gates serve codebooks the session
+    // trains once (the documented training/serving split; warmup above
+    // pre-trains them). This bench-only entry times the TRAINING path
+    // explicitly and cold — it calls the trainers directly, bypassing
+    // the memo, so each timed pass pays a full ivf + pq + ivfpq training
+    // over the embeddings corpus. Appended to the bench `queries` map
+    // (additions are allowed; declared queries are untouched): the
+    // serving-only ann_* numbers now sit next to an explicit build cost.
+    val trainColdGate: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (sp, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+        val ivf = graft.ops.Similarity.ivfCodebook(
+          emb, "vec_id", "embedding", k = 16, iters = 2)
+        val pq = graft.ops.Similarity.pqTrain(
+          emb, "vec_id", "embedding", dim = 64, numSubspaces = 4,
+          numCentroids = 16, iters = 2)
+        val ivfpq = graft.ops.Similarity.ivfpqTrain(
+          emb, "vec_id", "embedding", dim = 64, numSubspaces = 4,
+          numCentroids = 16, coarse = ivf, iters = 2)
+        ivf.select(lit("ivf").as("family"), lit(0L).as("subspace"),
+            col("centroid_id"), col("__cent").as("cv"))
+          .unionByName(pq.select(lit("pq").as("family"), col("subspace"),
+            col("centroid_id"), col("__cent").as("cv")))
+          .unionByName(ivfpq.select(lit("ivfpq").as("family"), col("subspace"),
+            col("centroid_id"), col("__cent").as("cv")))
+      }
     var errors = Map.empty[String, String]
     // warmup-only failures: reported (warmup_errors field) but NOT fatal —
     // a transient hiccup in the untimed pass-0 must not fail a bench whose
@@ -172,8 +230,10 @@ object Bench {
     // a timed pass still lands in `errors` and fails the bench (r16 ADVICE).
     var warmupErrors = Map.empty[String, String]
     // per-query (seconds, succeeded) for each full pass over the registry
-    val registry = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // (plus the bench-only cold-train entry, honoring the same dev filter)
+    val registry: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      (SparkEntry.queries ++ Map("ann_train_cold" -> trainColdGate))
+        .filter { case (name, _) => only.forall(_.contains(name)) }
     val gateSeq = registry.toSeq
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         warmup: Boolean = false)

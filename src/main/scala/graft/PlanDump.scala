@@ -12,11 +12,16 @@ import org.apache.spark.sql.execution.{ExtendedMode, FormattedMode}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, s"usage: PlanDump <query> [sfDir] [formatted]; " +
-      s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-    val name = args(0)
+    require(args.nonEmpty, s"usage: PlanDump <query>[,<query>...] [sfDir] [formatted]; " +
+      s"set SPARK_GRAFT_PLAN_OUT=<dir>/<suffix> to write <dir>/<query>_<suffix>.txt " +
+      s"per query instead of stdout; queries: " +
+      s"${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val mode = if (args.length > 2 && args(2) == "formatted") FormattedMode else ExtendedMode
+    // out spec "plans/r20/before" → plans/r20/<query>_before.txt (one JVM
+    // for a whole batch of dumps — per-query sbt startup dwarfs the dump)
+    val outSpec = sys.env.get("SPARK_GRAFT_PLAN_OUT")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,8 +30,25 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.JaccardLengthFilter
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    println(df.queryExecution.explainString(mode))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val text = df.queryExecution.explainString(mode)
+      outSpec match {
+        case Some(spec) =>
+          val (dir, suffix) = {
+            val p = java.nio.file.Paths.get(spec)
+            (p.getParent, p.getFileName.toString)
+          }
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(
+            dir.resolve(s"${name}_$suffix.txt"), text.getBytes("UTF-8"))
+        case None =>
+          println(s"=== $name ===")
+          println(text)
+      }
+      graft.CachedFrames.releaseAll()
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -55,6 +55,9 @@ object Similarity {
         coalesce(lit(1.0) / (lit(k0.toLong) + col("__ra")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k0.toLong) + col("__rb")), lit(0.0)), 6))
       .withColumn("rrf_rank",
+        // unpartitioned window is BOUNDED by construction: both inputs
+        // are top-k frames, so this sorts ≤ |a|+|b| ≈ 2k rows (r19
+        // window audit: bounded sites stay single-window, documented)
         row_number().over(Window.orderBy(desc("rrf_score"), asc(idCol)))
           .cast("long"))
       .filter(col("rrf_rank") <= k)
@@ -1170,8 +1173,13 @@ object Similarity {
       .join(
         chunks.select(col("__blk").as("__blk_b"), col("__rows").as("__rb")),
         "__blk_b")
-      // spread the B(B+1)/2 heavy chunk-pair rows evenly over tasks
-      .repartition(col("__blk_a"), col("__blk_b"))
+      // spread the B(B+1)/2 heavy chunk-pair rows evenly over tasks.
+      // EXPLICIT partition count (REPARTITION_BY_NUM): this stage is
+      // compute-bound at KB-per-row — AQE's size-based coalescing (r20)
+      // would fold the whole O(n²) cosine kernel into one task if left
+      // free to merge these byte-tiny partitions
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__blk_a"), col("__blk_b"))
       .select(
         col("__blk_a").as("_1"), col("__blk_b").as("_2"),
         col("__ra").as("_3"), col("__rb").as("_4"))
