@@ -168,12 +168,13 @@ object SparkEntry {
     * (gopher/readability/fuzzy/ngram kernels, image-codec synth+decode)
     * win 2-4×. Only the measured winners call [[tf]].
     */
+  // only tables with a tf() call site are listed (r19 ADVICE: dead
+  // entries for events/lineitem misleadingly suggested those gates opt
+  // in); a new opt-in on another table adds its unique key here
   private val fanOutKeys: Map[String, Seq[String]] = Map(
-    "events" -> Seq("event_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"),
-    "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+    "orders" -> Seq("o_orderkey"))
 
   private[graft] def fanOutTiny(spark: SparkSession, df: DataFrame,
       path: String, keys: Seq[String]): DataFrame = {
@@ -192,7 +193,9 @@ object SparkEntry {
     * should use it (first stage dominated by per-row kernel work).
     */
   private def tf(spark: SparkSession, dir: String, name: String): DataFrame =
-    fanOutTiny(spark, t(spark, dir, name), s"$dir/$name.parquet", fanOutKeys(name))
+    fanOutTiny(spark, t(spark, dir, name), s"$dir/$name.parquet",
+      fanOutKeys.getOrElse(name,
+        sys.error(s"tf($name): add a unique-key entry to fanOutKeys")))
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -2069,8 +2072,13 @@ object SparkEntry {
               col("text"),
               lit(" : wrapper trailer boilerplate after the body end"))
               .as("text")))
-      Dedup.ngramContainmentPairs(enriched, "text", "doc_id",
-          n = 3, threshold = 0.8)
+      // r20 fan-out (the r19 tf() pattern, applied to the enriched union
+      // so the wrapper branch fans too): the shingle_hash_set kernel is
+      // the first stage and otherwise runs in as many tasks as the
+      // single-split scan provides
+      Dedup.ngramContainmentPairs(
+          fanOutTiny(s, enriched, s"$dir/documents.parquet", Seq("doc_id")),
+          "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2397,7 +2405,12 @@ object SparkEntry {
     // (60-bit truncated-md5 hashes, window minima, inverted-index join).
     "winnow_overlap" -> ((s, dir) =>
       graft.ops.Dedup.winnowOverlapPairs(
-        copiesEnrichedDocs(s, dir), "text", "doc_id", k = 4, w = 4, minShared = 3)
+        // r20 fan-out (tf() pattern on the enriched union): the MOSS
+        // winnowFingerprints kernel is the first stage — single-split
+        // scan otherwise serializes it into ~3 tasks
+        fanOutTiny(s, copiesEnrichedDocs(s, dir),
+          s"$dir/documents.parquet", Seq("doc_id")),
+        "text", "doc_id", k = 4, w = 4, minShared = 3)
         .orderBy("id_a", "id_b")),
 
     // §2.11 — document fingerprinting (rolling + content hashes), gated on

@@ -181,7 +181,12 @@ object GraphOps {
     * C(k,2) pairs out of one task. The final pair count is map-side
     * combinable. The deduplicated membership frame is persisted and
     * outlives the call (it feeds three consumers) — the same
-    * clearCache contract as the [[Dedup]] family.
+    * clearCache contract as the [[Dedup]] family. (r20 re-examined
+    * this shape against two alternatives and kept it: in-row
+    * `transform`-generated pairs measured slower — higher-order-
+    * function lambdas evaluate interpreted — and persisting the
+    * frequent-membership side measured slower too, because exchange
+    * reuse already serves both self-join sides from one shuffle.)
     */
   def cooccurrenceLift(
       df: DataFrame, basketCol: String, itemCol: String,
@@ -206,6 +211,11 @@ object GraphOps {
     // gate/bench runs, not just tests, and costs nothing extra — the
     // count rides the same by-basket exchange the self-join needs.
     val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+    // NOT persisted: both self-join sides canonicalize to the same
+    // subtree, so exchange reuse already serves the second side from the
+    // first side's shuffle output — r20 measured the explicit cache
+    // strictly slower (it adds a materialization pass for work reuse
+    // the planner provides for free)
     val fm = membership.join(frequent, Seq("__i"))
       .withColumn("__bn", count(lit(1)).over(wB))
       // the guard wraps the ITEM column itself (the denseCounts pattern:

@@ -238,10 +238,15 @@ object Intervals {
     * Scale shape: one key shuffle for the island pass; the self-join
     * is keyed on the SAME key (no cross-key pairs ever form), so its
     * fanout per key is `islands_A·islands_B` per class pair — bounded
-    * by per-entity class diversity, not corpus size. `maxIslandsPerKey`
-    * fails fast (plan-embedded raise_error, the cooccurrenceLift
-    * pattern) when one key's island count says the fanout would
-    * degenerate (a sentinel id absorbing a feed).
+    * by per-entity class diversity, not corpus size. The island frame
+    * is persisted (r20): it feeds both join sides, and unpersisted the
+    * whole distinct + two-window + aggregate subtree executed once per
+    * side (the in-row `transform`-pairs alternative measured SLOWER —
+    * higher-order-function lambdas evaluate interpreted, and this
+    * pair space is pairs-volume-bound, not shuffle-bound).
+    * `maxIslandsPerKey` fails fast (plan-embedded raise_error, the
+    * cooccurrenceLift pattern) when one key's island count says the
+    * fanout would degenerate (a sentinel id absorbing a feed).
     */
   def concurrentPairs(df: DataFrame, keyCol: String, classCol: String,
       startCol: String, endCol: String,
@@ -287,6 +292,8 @@ object Intervals {
               "degenerate entity?"))))
           .otherwise(col("__ik")))
       .drop("__nk")
+      // persisted (r20): feeds both self-join sides — see the scaladoc
+      .transform(graft.CachedFrames.cached)
     val a = islands.select(col("__ik"), col("__cl").as("class_a"),
       col("__s").as("__sa"), col("__e").as("__ea"))
     val b = islands.select(col("__ik"), col("__cl").as("class_b"),
