@@ -1545,8 +1545,14 @@ object SparkEntry {
     // repeat (%23, ids -id-500000000 — disjoint negative range at any
     // scale factor); the base table's natural dup grams (vocabulary is
     // small) exercise the organic path.
+    // r20: fan-out opt-in DROPPED (r19-verdict item 6) — the r19 win did
+    // not reproduce: driver r18 no-fanout 1.27 s vs r19 fanout 1.53 s,
+    // and this round's interleaved A/B pairs straddle each other
+    // ({2.39, 2.72} vs {3.08, 2.27} on a loaded box). The gram explode
+    // shuffles by gram immediately, so the kernel-stage parallelism the
+    // fan-out buys is already bought by that exchange.
     "substring_dedup" -> ((s, dir) => {
-      val docs = tf(s, dir, "documents").select("doc_id", "text")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
       val enriched = docs
         .unionByName(docs.filter(col("doc_id") % 17 === 0)
           .select((-col("doc_id") - 1L).as("doc_id"),
@@ -3072,9 +3078,20 @@ object SparkEntry {
       // UNPERSISTED before returning — the result is 6 rows, so collect
       // them rather than pin a corpus-sized cache for the rest of the JVM
       // (the persist-outlives-call contract is fine for library ops, not
-      // for a gate that runs inside every Verify/bench pass)
+      // for a gate that runs inside every Verify/bench pass).
+      // coalesce (r20): the 5k-small-file scan splits into ~157
+      // partitions; the six cached passes would each launch 157 near-
+      // empty tasks (StageProbe: ~0.6 s wall per pass in task launches)
       val entries = graft.fhir.BundleReader
-        .normalizedEntries(s, graft.fhir.FhirCorpus.corpusDir).cache()
+        .normalizedEntries(s, graft.fhir.FhirCorpus.corpusDir)
+        .coalesce(s.sparkContext.defaultParallelism).cache()
+      // materialize ONCE before the union collect (r20, StageProbe): the
+      // six aggregate branches run as concurrent subtrees of one job, and
+      // each subtree re-parses the whole corpus when the cache blocks
+      // don't exist yet — measured as 6 × ~13 s of executor time where
+      // one parse suffices (the Dedup.connectedComponents sym.count()
+      // lesson, applied here)
+      entries.count()
       try {
         val tables = graft.fhir.Cleaning.all(graft.fhir.Extractors.allTables(entries))
         val agg = Seq(

@@ -34,6 +34,10 @@ object Verify {
           "true" else "false")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "64k"))
+      // RocksDB changelog checkpointing — measured rationale in Bench.scala
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        if (sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1") == "1")
+          "true" else "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
