@@ -699,17 +699,37 @@ object Similarity {
     require(numSubspaces >= 1 && dim % numSubspaces == 0,
       s"dim=$dim must split evenly into numSubspaces=$numSubspaces")
     val sub = dim / numSubspaces
-    (0 until numSubspaces).map { s =>
-      val c = df
-        .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull &&
-          size(col(s"`$vecCol`")) === dim)
-        .select(col(s"`$idCol`").cast("long").as("neighbor_id"),
-          expr(s"slice(`$vecCol`, ${s * sub + 1}, $sub)")
-            .cast("array<double>").as("__cv"))
-      ivfTrainCentroids(c, numCentroids, iters)
-        .withColumn("subspace", lit(s))
-    }.reduce(_.unionByName(_))
-      .select(col("subspace"), col("centroid_id"), col("__cent"))
+    // r20 (guide §2.6 "overlap independent jobs"): each subspace's Lloyd
+    // training is an independent chain of driver-sequenced jobs (seed
+    // collect + per-round assign/mean collects) whose stage barriers
+    // leave most cores idle at codebook scale — submit the m subspaces
+    // from a small thread pool so one subspace's tail back-fills the
+    // others. Results are position-identical to the sequential loop:
+    // subspaces share nothing, every mean is exact grid-int64, and the
+    // output order is the indexed sequence, not completion order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(numSubspaces)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val trained = (0 until numSubspaces).map { s =>
+        scala.concurrent.Future {
+          val c = df
+            .filter(col(s"`$idCol`").isNotNull && col(s"`$vecCol`").isNotNull &&
+              size(col(s"`$vecCol`")) === dim)
+            .select(col(s"`$idCol`").cast("long").as("neighbor_id"),
+              expr(s"slice(`$vecCol`, ${s * sub + 1}, $sub)")
+                .cast("array<double>").as("__cv"))
+          ivfTrainCentroids(c, numCentroids, iters)
+            .withColumn("subspace", lit(s))
+        }
+      }
+      scala.concurrent.Await
+        .result(
+          scala.concurrent.Future.sequence(trained),
+          scala.concurrent.duration.Duration.Inf)
+        .reduce(_.unionByName(_))
+        .select(col("subspace"), col("centroid_id"), col("__cent"))
+    } finally pool.shutdown()
   }
 
   /** PQ encoding: per (vector, subspace), the nearest codebook entry
